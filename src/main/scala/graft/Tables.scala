@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver testdata star schema (TESTDATA.md).
+  *
+  * Reference analog: the raw-zone reads in `jobs/vdt1.py:32-38` (CSV + ORC from a
+  * lakeFS branch). Here everything is parquet at rest; CSV/ORC scan capabilities are
+  * exercised by round-trip queries in [[graft.ops.Relational]].
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame     = t(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Scratch dir for sink round-trips and versioned-table roots. Kept under the
+    * JVM tmpdir so nothing outside /root/repo or /tmp is touched. */
+  def scratch(name: String): String = {
+    val p = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_scratch", name)
+    java.nio.file.Files.createDirectories(p.getParent)
+    p.toString
+  }
+}
