@@ -24,11 +24,25 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
   /** Scratch dir for sink round-trips and versioned-table roots. Kept under the
-    * JVM tmpdir so nothing outside /root/repo or /tmp is touched. */
+    * JVM tmpdir so nothing outside /root/repo or /tmp is touched.
+    * Deletes any stale dir from a prior run so Spark's default ErrorIfExists
+    * mode (and our versioned-table layer, which requires a fresh root) never
+    * collides with leftover state. */
   def scratch(name: String): String = {
     val p = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_scratch", name)
+    deleteRecursively(p)
     java.nio.file.Files.createDirectories(p.getParent)
     p.toString
+  }
+
+  def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p)) {
+      val stream = Files.walk(p)
+      try stream.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+      finally stream.close()
+    }
   }
 }
