@@ -1,0 +1,34 @@
+package graft
+
+/** Central query registry: every operator from SURVEY.md §2 plus the
+  * LLM-pipeline extensions, each a [[QueryDef]] with (when SQL-expressible)
+  * its DuckDB oracle. SparkEntry derives the driver-contract maps from here.
+  */
+object Registry {
+
+  val all: Seq[QueryDef] =
+    ops.Relational.defs ++
+      ops.MLlite.defs ++
+      ops.Pipelines.defs ++
+      ops.Versioned.defs ++
+      ext.Dedup.defs ++
+      ext.Similarity.defs ++
+      ext.TextAnalysis.defs ++
+      ext.Multimodal.defs ++
+      streaming.EventsStreaming.defs
+
+  require(all.map(_.name).distinct.size == all.size,
+    s"duplicate query names: ${all.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }.mkString(",")}")
+
+  val byName: Map[String, QueryDef] = all.map(d => d.name -> d).toMap
+
+  /** Headline queries timed by graft.Bench (the heavy/representative subset;
+    * the full set runs under Verify for correctness). */
+  val benchNames: Seq[String] = Seq(
+    "q_vdt1", "q_vdt2", "q_vdt3", "q_vdt4",
+    "q_agg_sum", "q_join_inner", "q_join_after_agg", "q_topk_per_group",
+    "q_mode_per_group", "q_count_over", "q_sort_desc", "q_topk",
+    "q_string_indexer", "q_quantile_bucket",
+    "q_dedup_exact", "q_dedup_minhash", "q_topk_cosine", "q_ann_lsh",
+    "q_text_stats", "q_token_count", "q_sessionize", "q_window_tumbling")
+}

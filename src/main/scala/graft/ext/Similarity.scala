@@ -1,0 +1,123 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.{sql => q, rowsOnly}
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, 64-dim).
+  *
+  * Two paths, as a production pipeline needs both:
+  *  - brute-force cosine top-k: exact baseline. The query set is broadcast
+  *    (bounded), the corpus streams; cost O(|Q|·n) FLOPs with zero shuffle on
+  *    the corpus side, then a per-query top-k window.
+  *  - sign-LSH (random hyperplanes) bucketed ANN: the 100 TB path. Buckets
+  *    shrink candidate sets ~2^planes ×; recall is tunable via plane count /
+  *    multi-probe. Hyperplanes are seed-42 deterministic so results (and the
+  *    oracle) are reproducible.
+  *
+  * All vector math is built-in higher-order functions (`zip_with` +
+  * `aggregate`) over double-cast elements — codegen-friendly, no UDFs, and
+  * bit-reproducible across engines because both fold the 64 products in
+  * index order.
+  */
+object Similarity {
+
+  /** Exact cosine similarity between two float-array columns (double math). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column = aggregate(
+      zip_with(x, y, (p, r) => p.cast(DoubleType) * r.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Deterministic hyperplanes: seed-42 uniform [-0.5, 0.5) components. */
+  def hyperplanes(nPlanes: Int = 8, dim: Int = 64): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextDouble() - 0.5))
+  }
+
+  private def planeLit(p: Array[Double]): Column = array(p.map(lit(_)).toIndexedSeq: _*)
+
+  /** Sign-LSH bucket id: one bit per hyperplane = sign of the projection. */
+  def lshBucket(v: Column, nPlanes: Int = 8, dim: Int = 64): Column = {
+    val planes = hyperplanes(nPlanes, dim)
+    planes.zipWithIndex.map { case (p, i) =>
+      val dotP = aggregate(zip_with(v, planeLit(p), (x, y) => x.cast(DoubleType) * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(dotP >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Brute-force cosine top-k: queries broadcast against the full corpus. */
+  def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val qx = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qe")))
+    val scored = qx.join(emb.select(col("vec_id").as("cid"), col("embedding").as("ce")),
+        col("qid") =!= col("cid"))
+      .withColumn("score", cosine(col("qe"), col("ce")))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("cid").asc)
+    scored.withColumn("rnk", row_number().over(w).cast(IntegerType)).where(col("rnk") <= k)
+      .select("qid", "cid", "rnk", "score")
+  }
+
+  /** DuckDB twin of [[cosine]]: same index-order fold, numeric struct keys. */
+  private def duckCosine(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_aggregate(list_transform(list_zip($x, $y), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
+  val qTopkCosine: QueryDef = q("q_topk_cosine")(
+    s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+       |     scored AS (SELECT qid, e.vec_id AS cid, ${duckCosine("qe", "e.embedding")} AS score
+       |                FROM qs JOIN embeddings e ON e.vec_id <> qid),
+       |     ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+       |                                ORDER BY score DESC, cid) AS INTEGER) AS rnk FROM scored)
+       |SELECT qid, cid, rnk, score FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    bruteForceTopK(emb, emb.where(col("vec_id") < 8), k = 10)
+      .orderBy("qid", "rnk")
+  }
+
+  /** ANN via sign-LSH buckets: join queries to candidates sharing the bucket,
+    * exact cosine inside, top-k per query. Trades recall for a candidate set
+    * ~2^8 smaller — the shape that survives 100 TB (bucket-keyed shuffle,
+    * no cross-bucket pairs materialized). Recall vs brute force is asserted
+    * in SimilaritySpec on planted identical vectors. */
+  def annTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .withColumn("bucket", lshBucket(col("ce")))
+    val qs = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .withColumn("bucket", lshBucket(col("qe"))))
+    val scored = qs.join(corpus, Seq("bucket")).where(col("qid") =!= col("cid"))
+      .withColumn("score", cosine(col("qe"), col("ce")))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("cid").asc)
+    scored.withColumn("rnk", row_number().over(w).cast(IntegerType)).where(col("rnk") <= k)
+      .select("qid", "cid", "rnk", "score")
+  }
+
+  val qAnnLsh: QueryDef = rowsOnly("q_ann_lsh") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    annTopK(emb, emb.where(col("vec_id") < 8), k = 10).orderBy("qid", "rnk")
+  }
+
+  /** Pairwise dot-product / norm surface as its own checked query (the
+    * `functions.aggregate`/`zip_with` math without the ranking). */
+  val qVectorMath: QueryDef = q("q_vector_math")(
+    s"""SELECT vec_id,
+       |       list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS sq_norm,
+       |       CAST(len(embedding) AS INTEGER) AS dim
+       |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d).select(col("vec_id"),
+      aggregate(zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast(DoubleType) * y.cast(DoubleType)), lit(0.0), (acc, v) => acc + v)
+        .as("sq_norm"),
+      size(col("embedding")).as("dim"))
+      .orderBy("vec_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(qTopkCosine, qAnnLsh, qVectorMath)
+}

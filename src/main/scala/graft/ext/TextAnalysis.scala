@@ -1,0 +1,146 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.{sql => q, rowsOnly}
+
+/** Text analysis over `documents` — the per-document statistics a training
+  * corpus pipeline computes before filtering: length/word stats, quality
+  * scoring, language-ID, token counting, fingerprinting. Everything is
+  * row-local built-in expressions (one narrow pass, no shuffle except the
+  * final presentation sort), so the operators are embarrassingly parallel at
+  * any scale.
+  */
+object TextAnalysis {
+
+  /** Core per-doc stats: chars, whitespace words, distinct words, uniqueness. */
+  val qTextStats: QueryDef = q("q_text_stats")(
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,
+      |       CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+      |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS distinct_words,
+      |       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+      |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS uniq_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val words = split(col("text"), " ")
+    Tables.documents(s, d).select(col("doc_id"),
+      length(col("text")).cast(LongType).as("chars"),
+      size(words).cast(LongType).as("words"),
+      size(array_distinct(words)).cast(LongType).as("distinct_words"),
+      (size(array_distinct(words)).cast(DoubleType) / size(words).cast(DoubleType))
+        .as("uniq_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Marker tokens per language for the n-gram/stopword language-ID
+    * heuristic. Deliberately tiny — the point is the operator shape
+    * (score-per-language then argmax), not lexicon quality. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "fr" -> Seq("le", "la", "et"),
+    "de" -> Seq("der", "die", "und"),
+    "es" -> Seq("el", "los", "y"),
+    "zh" -> Seq("的", "是", "了"))
+
+  private def markerScore(markers: Seq[String]): Column =
+    markers.map(m => size(filter(split(col("text"), " "), t => t === lit(m))))
+      .reduce(_ + _).cast(LongType)
+
+  /** Language-ID: count marker-token hits per language, argmax with a fixed
+    * tie order (first language in [[langMarkers]] order wins). Row-local; the
+    * per-language scores are also emitted so the oracle pins the whole
+    * computation, not just the argmax. */
+  val qLangId: QueryDef = q("q_lang_id")({
+    val langs = langMarkers.map(_._1)
+    val scoreSql = langMarkers.map { case (lg, ms) =>
+      val terms = ms.map(m => s"len(list_filter(string_split(text, ' '), t -> t = '$m'))").mkString(" + ")
+      s"CAST($terms AS BIGINT) AS score_$lg"
+    }.mkString(",\n       ")
+    val g = s"greatest(${langs.map(lg => s"score_$lg").mkString(", ")})"
+    val caseArms = langs.map(lg => s"WHEN score_$lg = $g THEN '$lg'").mkString(" ")
+    s"""WITH scored AS (SELECT doc_id, lang,
+       |       $scoreSql
+       |FROM documents)
+       |SELECT doc_id, lang, ${langs.map(lg => s"score_$lg").mkString(", ")},
+       |       CASE $caseArms END AS predicted
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }) { (s, d) =>
+    val scored = Tables.documents(s, d).select(
+      (col("doc_id") +: col("lang") +:
+        langMarkers.map { case (lg, ms) => markerScore(ms).as(s"score_$lg") }): _*)
+    val maxScore = greatest(langMarkers.map { case (lg, _) => col(s"score_$lg") }: _*)
+    val predicted = langMarkers.foldRight(lit(null).cast(StringType)) { case ((lg, _), acc) =>
+      when(col(s"score_$lg") === maxScore, lit(lg)).otherwise(acc)
+    } // foldRight ⇒ the FIRST matching language in langMarkers order wins ties
+    scored.withColumn("predicted", predicted).orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens plus a BPE-ish regex tokenization
+    * (letter runs / single digits / single punctuation), the standard
+    * pre-tokenizer shape. */
+  val qTokenCount: QueryDef = q("q_token_count")(
+    """SELECT doc_id,
+      |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS bpe_ish_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(col("doc_id"),
+      size(split(col("text"), " ")).cast(LongType).as("ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]', 0)")).cast(LongType)
+        .as("bpe_ish_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: 31-base polynomial rolling hash over characters
+    * mod 1e9+7 — cheap order-sensitive content id (distinct from the
+    * order-insensitive sha256 in Dedup). Folded left-to-right in both
+    * engines, so values agree exactly. */
+  val qDocFingerprint: QueryDef = q("q_doc_fingerprint")(
+    """SELECT doc_id,
+      |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |         list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |         (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(col("doc_id"),
+      expr("aggregate(split(text, ''), CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + CAST(ascii(c) AS BIGINT)) % 1000000007)")
+        .as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length band + uniqueness + marker-hit signals combined
+    * into an integer score and a keep/review/drop verdict — the filter stage
+    * of a corpus pipeline, expressed as pure relational conditionals. */
+  val qQualityScore: QueryDef = q("q_quality_score")(
+    """WITH s AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+      |                  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS dwords
+      |           FROM documents)
+      |SELECT doc_id,
+      |       (CASE WHEN chars BETWEEN 100 AND 2000 THEN 2 WHEN chars >= 50 THEN 1 ELSE 0 END +
+      |        CASE WHEN words >= 20 THEN 1 ELSE 0 END +
+      |        CASE WHEN CAST(dwords AS DOUBLE) / CAST(words AS DOUBLE) >= 0.3 THEN 1 ELSE 0 END) AS quality,
+      |       CASE WHEN (CASE WHEN chars BETWEEN 100 AND 2000 THEN 2 WHEN chars >= 50 THEN 1 ELSE 0 END +
+      |                  CASE WHEN words >= 20 THEN 1 ELSE 0 END +
+      |                  CASE WHEN CAST(dwords AS DOUBLE) / CAST(words AS DOUBLE) >= 0.3 THEN 1 ELSE 0 END) >= 3
+      |            THEN 'keep' WHEN (CASE WHEN chars BETWEEN 100 AND 2000 THEN 2 WHEN chars >= 50 THEN 1 ELSE 0 END +
+      |                  CASE WHEN words >= 20 THEN 1 ELSE 0 END +
+      |                  CASE WHEN CAST(dwords AS DOUBLE) / CAST(words AS DOUBLE) >= 0.3 THEN 1 ELSE 0 END) = 2
+      |            THEN 'review' ELSE 'drop' END AS verdict
+      |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val words = split(col("text"), " ")
+    val chars = length(col("text")).cast(LongType)
+    val nWords = size(words).cast(LongType)
+    val dWords = size(array_distinct(words)).cast(LongType)
+    val quality =
+      (when(chars.between(100, 2000), 2).when(chars >= 50, 1).otherwise(0) +
+        when(nWords >= 20, 1).otherwise(0) +
+        when(dWords.cast(DoubleType) / nWords.cast(DoubleType) >= 0.3, 1).otherwise(0))
+    Tables.documents(s, d).select(col("doc_id"), quality.as("quality"),
+      when(quality >= 3, "keep").when(quality === 2, "review").otherwise("drop").as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(qTextStats, qLangId, qTokenCount,
+    qDocFingerprint, qQualityScore)
+}

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.{sql => q}
+
+/** "ML-lite" operators — the reference's two learned/statistical operators in
+  * relational form so the DuckDB oracle can check them (SURVEY.md §2.10, §2.4 A3).
+  */
+object MLlite {
+
+  /** StringIndexer fit+transform semantics (`jobs/vdt4.py:64-65`):
+    * fit = distinct values ordered by frequency desc, value asc; transform =
+    * map value → 0-based double index. Relationally: a groupBy-count, a
+    * bounded global window over the DISTINCT values only (small by
+    * construction — that is what makes the global window scale-safe here),
+    * and a broadcast join back onto the rows.
+    */
+  def stringIndex(df: DataFrame, inputCol: String, outputCol: String): DataFrame = {
+    val counts = df.groupBy(inputCol).agg(count(lit(1)).as("__cnt"))
+    val w = Window.orderBy(col("__cnt").desc, col(inputCol).asc)
+    val mapping = counts
+      .withColumn(outputCol, (row_number().over(w) - 1).cast(DoubleType))
+      .drop("__cnt")
+    df.join(broadcast(mapping), Seq(inputCol))
+  }
+
+  val qStringIndexer: QueryDef = q("q_string_indexer")(
+    """WITH m AS (SELECT c_mktsegment,
+      |                  CAST(row_number() OVER (ORDER BY count(*) DESC, c_mktsegment) - 1 AS DOUBLE) AS seg_idx
+      |           FROM customer GROUP BY c_mktsegment)
+      |SELECT c.c_custkey, c.c_mktsegment, m.seg_idx
+      |FROM customer c JOIN m USING (c_mktsegment) ORDER BY c.c_custkey""".stripMargin) { (s, d) =>
+    stringIndex(Tables.customer(s, d), "c_mktsegment", "seg_idx")
+      .select("c_custkey", "c_mktsegment", "seg_idx")
+      .orderBy("c_custkey")
+  }
+
+  /** Exact quantile cut points under a pinned deterministic rule: the value at
+    * 1-based rank ceil(p*n) of the ascending order — the classic
+    * nearest-rank definition, expressible identically in Spark and SQL.
+    *
+    * This pins the SEMANTICS the reference gets from
+    * `df.approxQuantile(..., relativeError)` (`jobs/vdt4.py:68`): at
+    * relativeError=0 Spark's Greenwald–Khanna sketch is exact; at scale the
+    * production path is `df.stat.approxQuantile` / `percentile_approx` with
+    * relErr>0 (one pass, mergeable sketch, no global sort). A ScalaTest
+    * asserts GK(relErr=0) lands within rank tolerance of this rule.
+    */
+  def exactQuantileRanks(n: Long, ps: Seq[Double]): Seq[Long] =
+    ps.map(p => math.max(1L, math.ceil(p * n).toLong))
+
+  /** Driver-side exact quantiles via the rank rule (mirrors the reference's
+    * adaptive plan construction: an action returns scalars that are baked
+    * into the subsequent plan as literals — SURVEY.md §3.3). */
+  def exactQuantiles(df: DataFrame, valueCol: String, ps: Seq[Double]): Seq[Double] = {
+    val n = df.count()
+    val targets = exactQuantileRanks(n, ps)
+    val ranked = df.select(col(valueCol).cast(DoubleType).as("v"))
+      .withColumn("rn", row_number().over(Window.orderBy("v")).cast(LongType))
+      .where(col("rn").isin(targets: _*))
+      .select("rn", "v").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    targets.map(ranked)
+  }
+
+  val qApproxQuantile: QueryDef = q("q_approx_quantile")(
+    """WITH r AS (SELECT l_extendedprice AS v,
+      |                  row_number() OVER (ORDER BY l_extendedprice) AS rn FROM lineitem),
+      |     n AS (SELECT count(*) AS cnt FROM lineitem)
+      |SELECT CAST(rn AS BIGINT) AS rn, v FROM r, n
+      |WHERE rn IN (CAST(ceil(0.25 * cnt) AS BIGINT), CAST(ceil(0.5 * cnt) AS BIGINT),
+      |             CAST(ceil(0.75 * cnt) AS BIGINT))
+      |ORDER BY rn""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val targets = exactQuantileRanks(li.count(), Seq(0.25, 0.5, 0.75))
+    li.select(col("l_extendedprice").as("v"))
+      .withColumn("rn", row_number().over(Window.orderBy("v")).cast(LongType))
+      .where(col("rn").isin(targets: _*))
+      .select("rn", "v").orderBy("rn")
+  }
+
+  /** Quantile bucketing (`jobs/vdt4.py:68-73`): cut points from an action,
+    * baked into a chained when/otherwise. */
+  def quantileBucket(df: DataFrame, valueCol: String, outputCol: String,
+                     cuts: Seq[Double]): DataFrame = {
+    require(cuts.size == 3, "expects q1,q2,q3")
+    df.withColumn(outputCol,
+      when(col(valueCol) <= cuts(0), 1).when(col(valueCol) <= cuts(1), 2)
+        .when(col(valueCol) <= cuts(2), 3).otherwise(4))
+  }
+
+  val qQuantileBucket: QueryDef = q("q_quantile_bucket")(
+    """WITH r AS (SELECT l_extendedprice AS v,
+      |                  row_number() OVER (ORDER BY l_extendedprice) AS rn FROM lineitem),
+      |     n AS (SELECT count(*) AS cnt FROM lineitem),
+      |     cuts AS (SELECT max(CASE WHEN rn = CAST(ceil(0.25 * cnt) AS BIGINT) THEN v END) AS q1,
+      |                     max(CASE WHEN rn = CAST(ceil(0.5 * cnt) AS BIGINT) THEN v END) AS q2,
+      |                     max(CASE WHEN rn = CAST(ceil(0.75 * cnt) AS BIGINT) THEN v END) AS q3
+      |              FROM r, n)
+      |SELECT l.l_orderkey, l.l_linenumber,
+      |       CASE WHEN l.l_extendedprice <= c.q1 THEN 1 WHEN l.l_extendedprice <= c.q2 THEN 2
+      |            WHEN l.l_extendedprice <= c.q3 THEN 3 ELSE 4 END AS price_quartile
+      |FROM lineitem l CROSS JOIN cuts c
+      |ORDER BY l.l_orderkey, l.l_linenumber, price_quartile""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val cuts = exactQuantiles(li, "l_extendedprice", Seq(0.25, 0.5, 0.75))
+    quantileBucket(li, "l_extendedprice", "price_quartile", cuts)
+      .select("l_orderkey", "l_linenumber", "price_quartile")
+      .orderBy("l_orderkey", "l_linenumber", "price_quartile")
+  }
+
+  val defs: Seq[QueryDef] = Seq(qStringIndexer, qApproxQuantile, qQuantileBucket)
+}

@@ -1,0 +1,187 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.{sql => q}
+import graft.vt.VersionedTable
+
+/** The reference's four end-to-end jobs (`jobs/vdt{1..4}.py`), re-targeted at
+  * the driver testdata star schema per FIXTURES.md §3:
+  * students→customer, learning_courses→orders, content_access_logs→lineitem,
+  * log_app_test→lineitem numeric columns, Delta dir→VersionedTable scratch.
+  *
+  * These are the primary correctness targets (SURVEY.md §2.12). Each mirrors
+  * the reference's exact operator sequence; the only additions are the
+  * deterministic tie-breakers both engines need to agree on row order.
+  */
+object Pipelines {
+
+  private def yyyymmdd(c: String): org.apache.spark.sql.Column =
+    date_format(col(c), "yyyyMMdd").cast(IntegerType)
+
+  /** q_vdt1 (`jobs/vdt1.py:41-42`): CSV+ORC scans → inner FK join → 6-col
+    * projection → headerless CSV sink. Analog: customer ⋈ orders on custkey.
+    * The sink half is exercised by q_sink_csv; here we return the projection. */
+  val qVdt1: QueryDef = q("q_vdt1")(
+    """SELECT o_orderkey, c_name AS full_name, c_mktsegment AS segment,
+      |       o_orderpriority AS priority,
+      |       CAST(strftime(o_orderdate, '%Y%m%d') AS INTEGER) AS start_date,
+      |       o_totalprice
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .select(col("o_orderkey"), col("c_name").as("full_name"),
+        col("c_mktsegment").as("segment"), col("o_orderpriority").as("priority"),
+        yyyymmdd("o_orderdate").as("start_date"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** q_vdt2 (`jobs/vdt2.py:46-60`): join; groupBy-sum; derive `/constant`;
+    * filter `>= 2.0`; join; per-(customer,priority) argmax window; rn=1;
+    * desc sort; project. `sum(l_quantity)` is exact (integral doubles), so
+    * `total_duration = sum/36.0` is one deterministic division. */
+  val qVdt2: QueryDef = q("q_vdt2")(
+    """WITH agg AS (SELECT l_orderkey, sum(l_quantity) AS time_qty FROM lineitem GROUP BY l_orderkey),
+      |     dur AS (SELECT l_orderkey, time_qty, time_qty / 36.0 AS total_duration FROM agg
+      |             WHERE time_qty / 36.0 >= 2.0),
+      |     j AS (SELECT c.c_name AS full_name, concat(c.c_name, '@x') AS email,
+      |                  o.o_orderpriority AS platform, o.o_orderkey,
+      |                  CAST(strftime(o.o_orderdate, '%Y%m%d') AS INTEGER) AS start_date,
+      |                  d2.total_duration
+      |           FROM dur d2 JOIN orders o ON d2.l_orderkey = o.o_orderkey
+      |                       JOIN customer c ON o.o_custkey = c.c_custkey),
+      |     w AS (SELECT *, row_number() OVER (PARTITION BY email, platform
+      |                                        ORDER BY total_duration DESC, o_orderkey) AS rn FROM j)
+      |SELECT full_name, email, platform, total_duration AS tot_duration, start_date, o_orderkey
+      |FROM w WHERE rn = 1
+      |ORDER BY tot_duration DESC, o_orderkey""".stripMargin) { (s, d) =>
+    val agg = Tables.lineitem(s, d).groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("time_qty"))
+    val dur = agg.withColumn("total_duration", col("time_qty") / 36.0)
+      .where(col("total_duration") >= 2.0)
+      .orderBy("total_duration") // reference sorts here (`jobs/vdt2.py:50`)
+    val joined = dur
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name").as("full_name"), concat(col("c_name"), lit("@x")).as("email"),
+        col("o_orderpriority").as("platform"), col("o_orderkey"),
+        yyyymmdd("o_orderdate").as("start_date"), col("total_duration"))
+    val w = Window.partitionBy("email", "platform")
+      .orderBy(col("total_duration").desc, col("o_orderkey").asc)
+    joined.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("full_name"), col("email"), col("platform"),
+        col("total_duration").as("tot_duration"), col("start_date"), col("o_orderkey"))
+      .orderBy(col("tot_duration").desc, col("o_orderkey").asc)
+  }
+
+  /** q_vdt3 (`jobs/vdt3.py:47-57`): count over unordered window per
+    * (course,content_type); row_number per course by cnt desc (mode); rn=1;
+    * join dim; multi-key (asc,desc) sort; project. Analog: main returnflag
+    * per order joined back to orders. */
+  val qVdt3: QueryDef = q("q_vdt3")(
+    """WITH a AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+      |                  count(*) OVER (PARTITION BY l_orderkey, l_returnflag) AS cnt
+      |           FROM lineitem),
+      |     b AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+      |                                        ORDER BY cnt DESC, l_returnflag, l_linenumber) AS rn
+      |           FROM a)
+      |SELECT o.o_orderkey, o.o_orderpriority AS platform, b.l_returnflag AS main_content,
+      |       b.cnt, CAST(strftime(o.o_orderdate, '%Y%m%d') AS INTEGER) AS start_date
+      |FROM b JOIN orders o ON b.l_orderkey = o.o_orderkey WHERE rn = 1
+      |ORDER BY platform, start_date DESC, o.o_orderkey""".stripMargin) { (s, d) =>
+    val wCnt = Window.partitionBy("l_orderkey", "l_returnflag")
+    val a = Tables.lineitem(s, d).withColumn("cnt", count(lit(1)).over(wCnt))
+    val wRn = Window.partitionBy("l_orderkey")
+      .orderBy(col("cnt").desc, col("l_returnflag").asc, col("l_linenumber").asc)
+    a.withColumn("rn", row_number().over(wRn)).where(col("rn") === 1)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_orderpriority").as("platform"),
+        col("l_returnflag").as("main_content"), col("cnt"),
+        yyyymmdd("o_orderdate").as("start_date"))
+      .orderBy(col("platform").asc, col("start_date").desc, col("o_orderkey").asc)
+  }
+
+  /** q_vdt4 (`jobs/vdt4.py:29-85`): cast-all-double → versioned write v0 →
+    * re-read → global rank id → when/otherwise label → dynamic row-wise means
+    * (fe1/fe2) → StringIndexer (fe3) → quantile buckets (fe4) → versioned
+    * write v1 → time-travel v0 → vacuum. Returns the final (v1) table.
+    *
+    * Versioning invariants (v0 immutable under the v1 overwrite, time travel,
+    * vacuum retention) are unit-tested in VersionedTableSpec; here the oracle
+    * checks the full relational result of the pipeline.
+    */
+  val qVdt4: QueryDef = q("q_vdt4")(
+    """WITH base AS (SELECT CAST(l_orderkey AS DOUBLE) AS l_orderkey,
+      |                     CAST(l_linenumber AS DOUBLE) AS l_linenumber,
+      |                     CAST(l_quantity AS DOUBLE) AS l_quantity,
+      |                     CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
+      |                     CAST(l_discount AS DOUBLE) AS l_discount,
+      |                     CAST(l_tax AS DOUBLE) AS l_tax
+      |              FROM lineitem),
+      |     r AS (SELECT *,
+      |                  CAST(rank() OVER (ORDER BY l_extendedprice ASC) AS BIGINT) AS id,
+      |                  CASE WHEN l_quantity <= 25 THEN 0 ELSE 1 END AS label,
+      |                  (l_quantity + l_extendedprice) / 2 AS fe1,
+      |                  (l_discount + l_tax) / 2 AS fe2,
+      |                  CAST(l_quantity AS VARCHAR) AS qstr
+      |           FROM base),
+      |     m AS (SELECT qstr, CAST(row_number() OVER (ORDER BY count(*) DESC, qstr) - 1 AS DOUBLE) AS fe3
+      |           FROM r GROUP BY qstr),
+      |     rk AS (SELECT l_extendedprice AS v, row_number() OVER (ORDER BY l_extendedprice) AS rn FROM base),
+      |     n AS (SELECT count(*) AS cnt FROM base),
+      |     cuts AS (SELECT max(CASE WHEN rn = CAST(ceil(0.25 * cnt) AS BIGINT) THEN v END) AS q1,
+      |                     max(CASE WHEN rn = CAST(ceil(0.5 * cnt) AS BIGINT) THEN v END) AS q2,
+      |                     max(CASE WHEN rn = CAST(ceil(0.75 * cnt) AS BIGINT) THEN v END) AS q3
+      |              FROM rk, n)
+      |SELECT r.l_orderkey, r.l_linenumber, r.l_quantity, r.l_extendedprice, r.l_discount, r.l_tax,
+      |       r.id, r.label, r.fe1, r.fe2, m.fe3,
+      |       CASE WHEN r.l_extendedprice <= c.q1 THEN 1 WHEN r.l_extendedprice <= c.q2 THEN 2
+      |            WHEN r.l_extendedprice <= c.q3 THEN 3 ELSE 4 END AS fe4
+      |FROM r JOIN m ON r.qstr = m.qstr CROSS JOIN cuts c
+      |ORDER BY r.l_orderkey, r.l_linenumber, r.l_quantity, r.l_extendedprice, r.l_discount, r.l_tax""".stripMargin) { (s, d) =>
+    val vt = VersionedTable.create(Tables.scratch("vdt4_vt"))
+
+    // cast every selected column to double (`jobs/vdt4.py:35-36`)
+    val srcCols = Seq("l_orderkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax")
+    val base = Tables.lineitem(s, d).select(srcCols.map(c => col(c).cast(DoubleType).as(c)): _*)
+
+    vt.write(base, "main", "v0: raw casts") // Delta v0 (`jobs/vdt4.py:39-40`)
+    val df0 = vt.read(s, "main")            // re-read latest (`jobs/vdt4.py:44-45`)
+
+    // global rank id — single-partition hazard, kept for parity (`jobs/vdt4.py:48-49`)
+    val df1 = df0
+      .withColumn("id", rank().over(Window.orderBy(col("l_extendedprice").asc)).cast(LongType))
+      .withColumn("label", when(col("l_quantity") <= 25, 0).otherwise(1))
+
+    // dynamic prefix-selected row-wise means (`jobs/vdt4.py:53-60`)
+    val feCols1 = df1.columns.filter(c => c.startsWith("l_q") || c.startsWith("l_e")).map(col(_))
+    val feCols2 = df1.columns.filter(c => c.startsWith("l_d") || c.startsWith("l_t")).map(col(_))
+    val df2 = df1
+      .withColumn("fe1", feCols1.reduce(_ + _) / lit(feCols1.length))
+      .withColumn("fe2", feCols2.reduce(_ + _) / lit(feCols2.length))
+      .withColumn("qstr", col("l_quantity").cast(StringType))
+
+    val df3 = MLlite.stringIndex(df2, "qstr", "fe3") // fe3 (`jobs/vdt4.py:63-65`)
+
+    // fe4: quantile buckets from a driver-side action (`jobs/vdt4.py:68-73`)
+    val cuts = MLlite.exactQuantiles(base, "l_extendedprice", Seq(0.25, 0.5, 0.75))
+    val df4 = MLlite.quantileBucket(df3, "l_extendedprice", "fe4", cuts).drop("qstr")
+
+    vt.write(df4, "main", "v1: features")        // Delta v1 (`jobs/vdt4.py:76-77`)
+    vt.readVersion(s, "main", 0).count()         // time travel v0 (`jobs/vdt4.py:80-81`)
+    vt.vacuum(retainLast = 2)                    // vacuum, both versions retained (`jobs/vdt4.py:84-85`)
+
+    vt.read(s, "main")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "id", "label", "fe1", "fe2", "fe3", "fe4")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  }
+
+  val defs: Seq[QueryDef] = Seq(qVdt1, qVdt2, qVdt3, qVdt4)
+}

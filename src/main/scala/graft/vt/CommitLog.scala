@@ -1,0 +1,86 @@
+package graft.vt
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** One immutable commit in a versioned table's history.
+  *
+  * Semantics model the reference's two versioning layers at once:
+  *  - Delta-style numbered table versions with time travel / vacuum
+  *    (reference `jobs/vdt4.py:39-85`);
+  *  - lakeFS-style named branches with commit / merge / diff / revert
+  *    (reference `README.md:62-147`).
+  *
+  * A commit is a snapshot: `files` is the COMPLETE list of data files (paths
+  * relative to the table root) that make up the table at this version, so
+  * readers never replay deltas — resolving a version is O(1) metadata reads
+  * plus one vectorized parquet scan over exactly those files. At 100 TB the
+  * metadata stays tiny (one small JSON per commit) while the data plane is
+  * ordinary immutable parquet, preserving predicate pushdown, column pruning
+  * and partition-parallel reads.
+  *
+  * @param id         globally unique commit id (`<branch>-v<version>-<rand>`)
+  * @param parent     parent commit id (None for the root commit)
+  * @param version    monotonically increasing along a lineage, 0-based
+  * @param files      table-root-relative parquet paths forming the snapshot
+  * @param schemaJson Spark `StructType.json` of the snapshot (schema evolution:
+  *                   each version carries its own schema, as the reference's
+  *                   overwrite-with-new-schema at `jobs/vdt4.py:39-77` requires)
+  */
+final case class Commit(
+    id: String,
+    parent: Option[String],
+    version: Long,
+    files: Vector[String],
+    schemaJson: String,
+    message: String,
+    ts: Long)
+
+/** JSON codec + crash-safe filesystem helpers for the commit log.
+  *
+  * All metadata writes go through [[CommitLog.writeAtomic]]: write a temp file
+  * in the destination directory, then `ATOMIC_MOVE` it into place. Readers
+  * therefore never observe a torn commit or ref — the same recipe Delta uses
+  * for `_delta_log` entries and lakeFS for its ref store.
+  */
+object CommitLog {
+  private val mapper = new ObjectMapper()
+
+  def toJson(c: Commit): String = {
+    val m = new java.util.LinkedHashMap[String, Object]()
+    m.put("id", c.id)
+    m.put("parent", c.parent.orNull)
+    m.put("version", java.lang.Long.valueOf(c.version))
+    m.put("files", c.files.asJava)
+    m.put("schemaJson", c.schemaJson)
+    m.put("message", c.message)
+    m.put("ts", java.lang.Long.valueOf(c.ts))
+    mapper.writeValueAsString(m)
+  }
+
+  def fromJson(s: String): Commit = {
+    val m = mapper.readValue(s, classOf[java.util.Map[String, Object]])
+    Commit(
+      id = m.get("id").asInstanceOf[String],
+      parent = Option(m.get("parent").asInstanceOf[String]),
+      version = m.get("version").asInstanceOf[Number].longValue(),
+      files = m.get("files").asInstanceOf[java.util.List[String]].asScala.toVector,
+      schemaJson = m.get("schemaJson").asInstanceOf[String],
+      message = m.get("message").asInstanceOf[String],
+      ts = m.get("ts").asInstanceOf[Number].longValue())
+  }
+
+  /** Atomic file write: tmp file in the same directory + atomic rename. */
+  def writeAtomic(target: Path, content: String): Unit = {
+    Files.createDirectories(target.getParent)
+    val tmp = Files.createTempFile(target.getParent, "." + target.getFileName.toString, ".tmp")
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def readString(p: Path): String =
+    new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+}

@@ -1,0 +1,261 @@
+package graft.vt
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** A branch/version-addressed table over immutable parquet files + a commit log.
+  *
+  * Layout under `root/`:
+  * {{{
+  *   refs/<branch>           head pointer: the branch's current commit id
+  *   refs/<branch>.staged    staged (uncommitted) snapshot, lakeFS-style
+  *   commits/<id>.json       immutable commit records (CommitLog JSON)
+  *   data/<commit-dir>/part-… .parquet   immutable data files
+  * }}}
+  *
+  * Re-expresses the reference's versioning surface natively (no Delta/lakeFS
+  * jars offline — SURVEY.md §2.11):
+  *  - Delta write v0 / overwrite v1 / `versionAsOf` / vacuum → `jobs/vdt4.py:39-85`
+  *  - lakeFS branch / commit / diff / merge / revert / reset → `README.md:62-147`
+  *
+  * Scale design: reads resolve a commit (two tiny metadata reads) and then go
+  * through the stock `DataFrameReader`, so Catalyst still sees a plain parquet
+  * relation — predicate pushdown, column pruning, vectorized reads and
+  * split-parallelism all survive (SURVEY.md §4). Writes create a fresh
+  * directory per commit (no in-place mutation), so concurrent readers of older
+  * versions are never disturbed; commit/ref publication is atomic-rename.
+  */
+final class VersionedTable private (val root: Path) {
+
+  private def commitsDir: Path = root.resolve("commits")
+  private def refsDir: Path = root.resolve("refs")
+  private def dataDir: Path = root.resolve("data")
+
+  // ---- commit log access -------------------------------------------------
+
+  def loadCommit(id: String): Commit =
+    CommitLog.fromJson(CommitLog.readString(commitsDir.resolve(id + ".json")))
+
+  def head(branch: String): Option[Commit] = {
+    val ref = refsDir.resolve(branch)
+    if (Files.exists(ref)) Some(loadCommit(CommitLog.readString(ref).trim)) else None
+  }
+
+  def branches: Seq[String] =
+    if (!Files.exists(refsDir)) Seq.empty
+    else Files.list(refsDir).iterator().asScala.map(_.getFileName.toString)
+      .filterNot(_.endsWith(".staged")).toSeq.sorted
+
+  /** Head-first lineage walk of a branch (head, head.parent, …, root). */
+  def lineage(branch: String): List[Commit] = {
+    @annotation.tailrec
+    def walk(c: Option[Commit], acc: List[Commit]): List[Commit] = c match {
+      case None => acc.reverse
+      case Some(cc) => walk(cc.parent.map(loadCommit), cc :: acc)
+    }
+    walk(head(branch), Nil)
+  }
+
+  private def isAncestor(maybeAncestor: String, of: Commit): Boolean = {
+    @annotation.tailrec
+    def walk(c: Commit): Boolean =
+      if (c.id == maybeAncestor) true
+      else c.parent match {
+        case Some(p) => walk(loadCommit(p))
+        case None => false
+      }
+    walk(of)
+  }
+
+  // ---- writes ------------------------------------------------------------
+
+  /** Write `df` as a new version on `branch` (v0 if the branch is new).
+    *
+    * `mode="overwrite"` replaces the snapshot (Delta overwrite semantics,
+    * `jobs/vdt4.py:39-40,76-77`); `mode="append"` unions the parent's file
+    * list with the new files — an O(metadata) append, no data rewrite.
+    */
+  def write(df: DataFrame, branch: String = "main", message: String = "",
+            mode: String = "overwrite"): Commit = synchronized {
+    val parent = head(branch)
+    val newFiles = writeDataFiles(df, branch, parent.map(_.version + 1).getOrElse(0L))
+    publish(branch, parent, message, df.schema,
+      if (mode == "append") parent.map(_.files).getOrElse(Vector.empty) ++ newFiles else newFiles)
+  }
+
+  /** Stage a snapshot on `branch` without committing (lakeFS staging area,
+    * `README.md:85-127`). Promote with [[commitStaged]]; discard with [[reset]]. */
+  def stage(df: DataFrame, branch: String = "main"): Unit = synchronized {
+    val parent = head(branch)
+    val files = writeDataFiles(df, branch + "-staged", parent.map(_.version + 1).getOrElse(0L))
+    val staged = Commit("STAGED", parent.map(_.id),
+      parent.map(_.version + 1).getOrElse(0L), files, df.schema.json, "", System.currentTimeMillis())
+    CommitLog.writeAtomic(refsDir.resolve(branch + ".staged"), CommitLog.toJson(staged))
+  }
+
+  def hasStaged(branch: String): Boolean = Files.exists(refsDir.resolve(branch + ".staged"))
+
+  /** lakeFS `commit`: promote the staged snapshot to a real commit (V3). */
+  def commitStaged(branch: String, message: String): Commit = synchronized {
+    val stagedPath = refsDir.resolve(branch + ".staged")
+    require(Files.exists(stagedPath), s"nothing staged on $branch")
+    val staged = CommitLog.fromJson(CommitLog.readString(stagedPath))
+    val c = publish(branch, head(branch), message,
+      DataType.fromJson(staged.schemaJson).asInstanceOf[StructType], staged.files)
+    Files.deleteIfExists(stagedPath)
+    c
+  }
+
+  /** lakeFS `reset`: drop staged changes and their orphaned data files (V7). */
+  def reset(branch: String): Unit = synchronized {
+    val stagedPath = refsDir.resolve(branch + ".staged")
+    if (Files.exists(stagedPath)) {
+      val staged = CommitLog.fromJson(CommitLog.readString(stagedPath))
+      staged.files.foreach(f => Files.deleteIfExists(root.resolve(f)))
+      Files.deleteIfExists(stagedPath)
+    }
+  }
+
+  private def writeDataFiles(df: DataFrame, branch: String, version: Long): Vector[String] = {
+    val rel = s"$branch-v$version-${java.util.UUID.randomUUID.toString.take(8)}"
+    val out = dataDir.resolve(rel)
+    df.write.mode("overwrite").parquet(out.toString)
+    Files.list(out).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => root.relativize(p).toString).toVector.sorted
+  }
+
+  private def publish(branch: String, parent: Option[Commit], message: String,
+                      schema: StructType, files: Vector[String]): Commit = {
+    val version = parent.map(_.version + 1).getOrElse(0L)
+    val id = s"$branch-v$version-${java.util.UUID.randomUUID.toString.take(8)}"
+    val c = Commit(id, parent.map(_.id), version, files, schema.json, message,
+      System.currentTimeMillis())
+    CommitLog.writeAtomic(commitsDir.resolve(id + ".json"), CommitLog.toJson(c))
+    CommitLog.writeAtomic(refsDir.resolve(branch), id)
+    c
+  }
+
+  // ---- reads -------------------------------------------------------------
+
+  def read(spark: SparkSession, branch: String = "main"): DataFrame =
+    readCommit(spark, head(branch).getOrElse(
+      throw new IllegalArgumentException(s"no such branch: $branch")))
+
+  /** Delta `versionAsOf` time travel (`jobs/vdt4.py:80-81`, S6/V8). */
+  def readVersion(spark: SparkSession, branch: String, version: Long): DataFrame = {
+    val c = lineage(branch).find(_.version == version).getOrElse(
+      throw new IllegalArgumentException(s"no version $version on $branch (vacuumed or never existed)"))
+    readCommit(spark, c)
+  }
+
+  def readCommit(spark: SparkSession, c: Commit): DataFrame = {
+    val schema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
+    if (c.files.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    else
+      // Stock parquet reader over an explicit immutable file list: pushdown,
+      // pruning and vectorization intact; the pinned schema makes replays of
+      // old versions immune to later schema evolution.
+      spark.read.schema(schema).parquet(c.files.map(f => root.resolve(f).toString): _*)
+  }
+
+  // ---- branch plumbing (lakeFS README.md:105-147) ------------------------
+
+  /** V2 `branch create`: zero-copy — a new head pointer at `from`'s commit. */
+  def createBranch(name: String, from: String = "main"): Unit = synchronized {
+    require(!Files.exists(refsDir.resolve(name)), s"branch exists: $name")
+    val h = head(from).getOrElse(throw new IllegalArgumentException(s"no such branch: $from"))
+    CommitLog.writeAtomic(refsDir.resolve(name), h.id)
+  }
+
+  /** V4 `diff`: object-level change list between two branch heads, as
+    * (path, change_type) pairs — lakeFS `lakectl diff` semantics. */
+  def diffFiles(branch: String, other: String): Seq[(String, String)] = {
+    val a = head(branch).map(_.files.toSet).getOrElse(Set.empty)
+    val b = head(other).map(_.files.toSet).getOrElse(Set.empty)
+    ((a -- b).toSeq.sorted.map(_ -> "added") ++ (b -- a).toSeq.sorted.map(_ -> "removed"))
+  }
+
+  /** V5 `merge from into`: fast-forward when `into` hasn't moved since the
+    * branch point; otherwise a conflict (lakeFS object-level conflict rule). */
+  def merge(from: String, into: String): Commit = synchronized {
+    val src = head(from).getOrElse(throw new IllegalArgumentException(s"no such branch: $from"))
+    val dst = head(into).getOrElse(throw new IllegalArgumentException(s"no such branch: $into"))
+    if (src.id == dst.id) src
+    else if (isAncestor(dst.id, of = src)) { // fast-forward
+      CommitLog.writeAtomic(refsDir.resolve(into), src.id)
+      src
+    } else if (isAncestor(src.id, of = dst)) dst // already merged
+    else throw new IllegalStateException(
+      s"merge conflict: $into diverged from $from since the branch point")
+  }
+
+  /** V6 `revert`: append a NEW commit whose snapshot equals `toVersion` —
+    * history is never rewritten (lakeFS `README.md:132`). */
+  def revert(branch: String, toVersion: Long, message: String = ""): Commit = synchronized {
+    val target = lineage(branch).find(_.version == toVersion).getOrElse(
+      throw new IllegalArgumentException(s"no version $toVersion on $branch"))
+    publish(branch, head(branch), if (message.isEmpty) s"revert to v$toVersion" else message,
+      DataType.fromJson(target.schemaJson).asInstanceOf[StructType], target.files)
+  }
+
+  // ---- vacuum (jobs/vdt4.py:84-85, V9) -----------------------------------
+
+  /** Delete data files unreferenced by any retained commit. A commit is
+    * retained iff it is among the newest `retainLast` versions of some
+    * branch's lineage (plus every staged snapshot). Returns #files deleted.
+    *
+    * Safety invariant (property-tested): a file referenced by any retained
+    * version is never deleted — vacuum can only break time travel to versions
+    * older than the retention horizon, exactly like Delta's `vacuum()`.
+    */
+  def vacuum(retainLast: Int = 1): Int = synchronized {
+    require(retainLast >= 1, "retainLast must be >= 1")
+    val retained: Set[String] =
+      (branches.flatMap(b => lineage(b).take(retainLast).flatMap(_.files)) ++ // lineage is head-first
+        branches.filter(hasStaged).flatMap(b =>
+          CommitLog.fromJson(CommitLog.readString(refsDir.resolve(b + ".staged"))).files)).toSet
+    if (!Files.exists(dataDir)) return 0
+    val all = Files.walk(dataDir).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .map(p => root.relativize(p).toString).toVector
+    val dead = all.filterNot(retained.contains)
+    dead.foreach(f => Files.deleteIfExists(root.resolve(f)))
+    // prune now-empty commit directories
+    Files.list(dataDir).iterator().asScala.toVector.foreach { d =>
+      if (Files.isDirectory(d) && !Files.list(d).iterator().asScala.exists(p =>
+            p.getFileName.toString.endsWith(".parquet")))
+        graft.Tables.deleteRecursively(d)
+    }
+    dead.size
+  }
+
+  /** V10 upload/rm analog: raw object ops under the table root (staging dir). */
+  def putObject(rel: String, content: String): Unit =
+    CommitLog.writeAtomic(root.resolve(rel), content)
+  def rmObject(rel: String): Boolean = Files.deleteIfExists(root.resolve(rel))
+}
+
+object VersionedTable {
+  /** V1 `repo create`: initialize an empty table root. */
+  def create(root: String): VersionedTable = {
+    val p = Paths.get(root)
+    Files.createDirectories(p.resolve("commits"))
+    Files.createDirectories(p.resolve("refs"))
+    Files.createDirectories(p.resolve("data"))
+    new VersionedTable(p)
+  }
+
+  def open(root: String): VersionedTable = {
+    val p = Paths.get(root)
+    require(Files.isDirectory(p.resolve("commits")), s"not a versioned table root: $root")
+    new VersionedTable(p)
+  }
+
+  /** V1 `repo delete`. */
+  def delete(root: String): Unit = graft.Tables.deleteRecursively(Paths.get(root))
+}
