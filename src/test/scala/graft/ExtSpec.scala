@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity}
+
+/** LLM-pipeline extension behavior on PLANTED cases: near-dup recall for
+  * MinHash/SimHash/n-gram, ANN recall vs brute force, multimodal decode
+  * determinism. The testdata documents are all-distinct, so recall has to be
+  * proven on synthetic near-duplicates.
+  */
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and then runs far away " +
+    "into the deep green forest while the hunter watches quietly from a hill"
+
+  /** doc 1 ≈ doc 2 (one word changed), doc 3 unrelated. */
+  private def plantedDocs = Seq(
+    (1L, base, "en", "s", base.length.toLong),
+    (2L, base.replace("lazy", "sleepy"), "en", "s", base.length.toLong),
+    (3L, "completely different content about spark query engines and data lakes at scale " +
+      "with partitions shuffles and columnar formats everywhere", "en", "s", 120L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("minhash near-dup finds the planted pair and not the unrelated doc") {
+    val out = Dedup.minhashNearDups(plantedDocs, thresh = 0.4)
+      .select("doc_id", "n_near_dups", "min_dup_id")
+      .as[(Long, Long, Option[Long])].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 === 1L && out(1L)._3 === Some(2L))
+    assert(out(2L)._2 === 1L && out(2L)._3 === Some(1L))
+    assert(out(3L)._2 === 0L)
+  }
+
+  test("exact dedup collapses identical texts to the lowest doc_id") {
+    val docs = Seq((5L, "same"), (9L, "same"), (7L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDedup(docs).select("doc_id", "n_copies")
+      .as[(Long, Long)].collect().toSet
+    assert(out === Set((5L, 2L), (7L, 1L)))
+  }
+
+  test("simhash of identical texts is identical; near texts share a band") {
+    val out = Dedup.simhashNearDups(plantedDocs)
+      .select("doc_id", "n_candidates").as[(Long, Long)].collect().toMap
+    assert(out(1L) >= 1L && out(2L) >= 1L) // near pair lands in a common band
+  }
+
+  test("ngram jaccard verifies the planted pair above threshold") {
+    val pairs = Dedup.ngramJaccardDups(plantedDocs, thresh = 0.4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("brute-force cosine top-1 of a vector's duplicate is the duplicate") {
+    val vecs = Seq(
+      (1L, Array.tabulate(64)(i => i.toFloat / 64f), 0),
+      (2L, Array.tabulate(64)(i => i.toFloat / 64f), 0), // exact dup of 1
+      (3L, Array.tabulate(64)(i => ((63 - i).toFloat) / 64f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val top1 = Similarity.bruteForceTopK(vecs, vecs.where(col("vec_id") === 1), k = 1)
+      .select("cid", "score").as[(Long, Double)].head()
+    assert(top1._1 === 2L)
+    assert(math.abs(top1._2 - 1.0) < 1e-12)
+  }
+
+  test("ANN recall: identical vectors land in the same LSH bucket") {
+    val vecs = Seq(
+      (1L, Array.tabulate(64)(i => math.sin(i + 1).toFloat), 0),
+      (2L, Array.tabulate(64)(i => math.sin(i + 1).toFloat), 0),
+      (3L, Array.tabulate(64)(i => math.cos(i * 3 + 2).toFloat), 1))
+      .toDF("vec_id", "embedding", "label")
+    val ann = Similarity.annTopK(vecs, vecs.where(col("vec_id") === 1), k = 5)
+      .select("cid").as[Long].collect()
+    assert(ann.contains(2L), "exact duplicate must be recalled from the same bucket")
+  }
+
+  test("multimodal stub decode is deterministic and matches meta lengths") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val a = Multimodal.decodeAll(spark, Multimodal.mediaTable(docs))
+      .collect().sortBy(_.doc_id)
+    val b = Multimodal.decodeAll(spark, Multimodal.mediaTable(docs))
+      .collect().sortBy(_.doc_id)
+    assert(a.toSeq === b.toSeq)
+    val lens = docs.select(col("doc_id"), length(col("text").cast("binary")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    a.foreach(f => assert(f.byte_len === lens(f.doc_id)))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.MLlite
+
+/** Operator edge cases: argmax tie-breaks, StringIndexer ordering, quantile
+  * rule vs Spark's Greenwald–Khanna sketch, casts (SURVEY.md §5.3).
+  */
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("argmax window tie-break picks the lowest key among equal maxima") {
+    val df = Seq(("g1", 10, 1), ("g1", 10, 2), ("g2", 5, 3)).toDF("g", "v", "k")
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("k").asc)
+    val top = df.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select("g", "k").as[(String, Int)].collect().toMap
+    assert(top === Map("g1" -> 1, "g2" -> 3))
+  }
+
+  test("stringIndex orders by frequency desc then value asc, 0-based double") {
+    val df = Seq("b", "b", "a", "a", "c").toDF("v")
+    val idx = MLlite.stringIndex(df, "v", "idx")
+      .select("v", "idx").distinct().as[(String, Double)].collect().toMap
+    // a and b tie at 2 → alphabetical: a=0, b=1; c (freq 1) = 2
+    assert(idx === Map("a" -> 0.0, "b" -> 1.0, "c" -> 2.0))
+  }
+
+  test("exactQuantiles matches Spark GK sketch at relativeError=0") {
+    val li = Tables.lineitem(spark, sf)
+    val mine = MLlite.exactQuantiles(li, "l_extendedprice", Seq(0.25, 0.5, 0.75))
+    val gk = li.stat.approxQuantile("l_extendedprice", Array(0.25, 0.5, 0.75), 0.0)
+    // Both must return actual data values at the same rank rule
+    assert(mine.zip(gk).forall { case (a, b) => a === b },
+      s"rank-rule $mine vs GK ${gk.toSeq}")
+  }
+
+  test("quantileBucket boundaries are inclusive on the left cut") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val out = MLlite.quantileBucket(df, "v", "b", Seq(1.0, 2.0, 3.0))
+      .select("v", "b").as[(Double, Int)].collect().toMap
+    assert(out === Map(1.0 -> 1, 2.0 -> 2, 3.0 -> 3, 4.0 -> 4))
+  }
+
+  test("cast double→string round-trips integral doubles like the reference") {
+    // `jobs/vdt4.py:63`: sizeRelatedTable double → string feeds StringIndexer
+    val out = Seq(17.0, 0.5).toDF("v")
+      .select(col("v").cast("string").as("s")).as[String].collect().toSet
+    assert(out === Set("17.0", "0.5"))
+  }
+
+  test("rowwise mean over dynamic column set folds left-to-right") {
+    val df = Seq((1.0, 2.0, 3.0, 6.0)).toDF("a", "b", "c", "d")
+    val cols = df.columns.map(col(_))
+    val m = df.withColumn("m", cols.reduce(_ + _) / lit(cols.length))
+      .select("m").as[Double].head()
+    assert(m === 3.0)
+  }
+
+  test("versioned queries survive repeated invocation (scratch isolation)") {
+    val d1 = ops.Versioned.qVtWriteVersions.impl(spark, sf).count()
+    val d2 = ops.Versioned.qVtWriteVersions.impl(spark, sf).count()
+    assert(d1 === d2 && d1 > 0)
+  }
+}

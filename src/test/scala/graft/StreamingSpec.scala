@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventsStreaming
+import graft.streaming.EventsStreaming.{Ev, SessOut}
+
+/** Streaming forms must agree with their batch twins on the same rows. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming tumbling counts equal the batch tumbling counts") {
+    val batch = EventsStreaming.tumblingCounts(Tables.events(spark, sf))
+      .orderBy("win_start", "event_type").collect()
+
+    // file-source streams read directories: stage the single parquet file
+    val dir = java.nio.file.Paths.get(Tables.scratch("stream_events"))
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val eventsPath = dir.toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsPath).schema
+    val streamed = spark.readStream.schema(schema).parquet(eventsPath)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("value") * 100).cast("long")).as("sum_val_c"))
+      .select(col("w.start").cast("long").as("win_start"), col("event_type"),
+        col("cnt"), col("sum_val_c"))
+    val q = streamed.writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("tumbling_test").orderBy("win_start", "event_type").collect()
+      assert(got.toSeq === batch.toSeq)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionizer closes sessions on the gap rule") {
+    implicit val s = spark
+    val mem = MemoryStream[Ev](spark)
+    val out = EventsStreaming.streamingSessionize(mem.toDS(), gapSec = 100)
+    val q = out.writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").start()
+    try {
+      // user 1: two events close together, then a gap > 100s closes session 0
+      mem.addData(Ev(1L, 1000L), Ev(1L, 1050L))
+      q.processAllAvailable()
+      mem.addData(Ev(1L, 2000L)) // closes [1000,1050], opens session 1
+      q.processAllAvailable()
+      val sessions = spark.table("sess_test").as[SessOut].collect().toSeq
+      assert(sessions === Seq(SessOut(1L, 0L, 2L, 1000L, 1050L)))
+    } finally q.stop()
+  }
+
+  test("batch sessionize splits on gaps > 30min and counts events per session") {
+    val ts = (s: Long) => new Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, ts(0), 10L, "a", 1.0, ""), (2L, ts(60), 10L, "a", 1.0, ""),
+      (3L, ts(60 + 1900), 10L, "a", 1.0, ""), // > 1800s after previous
+      (4L, ts(30), 20L, "b", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventsStreaming.sessionize(ev)
+      .select("user_id", "sess_id", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((10L, 0L, 2L), (10L, 1L, 1L), (20L, 0L, 1L)))
+  }
+}

@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.vt.VersionedTable
+
+/** Invariants of the commit-log versioned table (SURVEY.md §5.3–5.4):
+  * v0 immutability under overwrite, time travel, branch isolation, merge
+  * fast-forward/conflict, revert-as-new-commit, vacuum retention safety,
+  * staging commit/reset, append mode.
+  */
+class VersionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshVt(name: String): VersionedTable =
+    VersionedTable.create(Tables.scratch(s"test_$name"))
+
+  private def df(xs: Int*) = xs.toDF("x")
+
+  test("v0 stays readable and identical after v1 overwrite") {
+    val vt = freshVt("immutability")
+    vt.write(df(1, 2, 3), "main", "v0")
+    vt.write(df(9, 10), "main", "v1")
+    assert(vt.read(spark, "main").as[Int].collect().sorted === Array(9, 10))
+    assert(vt.readVersion(spark, "main", 0).as[Int].collect().sorted === Array(1, 2, 3))
+    assert(vt.head("main").get.version === 1)
+  }
+
+  test("append mode unions parent files without rewriting them") {
+    val vt = freshVt("append")
+    val c0 = vt.write(df(1), "main", "v0")
+    val c1 = vt.write(df(2), "main", "v1 append", mode = "append")
+    assert(c0.files.toSet.subsetOf(c1.files.toSet))
+    assert(vt.read(spark, "main").as[Int].collect().sorted === Array(1, 2))
+    assert(vt.readVersion(spark, "main", 0).as[Int].collect() === Array(1))
+  }
+
+  test("branches are zero-copy and isolated") {
+    val vt = freshVt("branch")
+    val c0 = vt.write(df(1, 2), "main", "v0")
+    vt.createBranch("dev", "main")
+    assert(vt.head("dev").get.id === c0.id) // zero-copy: same commit
+    vt.write(df(7), "dev", "dev change")
+    assert(vt.read(spark, "main").as[Int].collect().sorted === Array(1, 2))
+    assert(vt.read(spark, "dev").as[Int].collect() === Array(7))
+  }
+
+  test("merge fast-forwards when target has not moved, conflicts when it has") {
+    val vt = freshVt("merge")
+    vt.write(df(1), "main", "v0")
+    vt.createBranch("dev", "main")
+    vt.write(df(1, 2), "dev", "dev adds")
+    val merged = vt.merge("dev", "main")
+    assert(vt.head("main").get.id === merged.id)
+    assert(vt.read(spark, "main").as[Int].collect().sorted === Array(1, 2))
+    // now diverge both and expect a conflict
+    vt.createBranch("dev2", "main")
+    vt.write(df(3), "dev2", "dev2")
+    vt.write(df(4), "main", "main moved")
+    assertThrows[IllegalStateException](vt.merge("dev2", "main"))
+  }
+
+  test("revert creates a new commit equal to the target version") {
+    val vt = freshVt("revert")
+    vt.write(df(1, 2), "main", "v0")
+    vt.write(df(9), "main", "v1")
+    val c = vt.revert("main", 0)
+    assert(c.version === 2)
+    assert(vt.read(spark, "main").as[Int].collect().sorted === Array(1, 2))
+    // history preserved: v1 still time-travelable
+    assert(vt.readVersion(spark, "main", 1).as[Int].collect() === Array(9))
+  }
+
+  test("vacuum never deletes a file referenced by a retained version") {
+    val vt = freshVt("vacuum_safety")
+    val commits = (0 until 4).map(i => vt.write(df(i, i + 1), "main", s"v$i"))
+    val deleted = vt.vacuum(retainLast = 2)
+    assert(deleted > 0)
+    // retained: v2 and v3 — all their files must still exist
+    commits.drop(2).flatMap(_.files).foreach { f =>
+      assert(Files.exists(vt.root.resolve(f)), s"retained file vanished: $f")
+    }
+    assert(vt.read(spark, "main").as[Int].collect().sorted === Array(3, 4))
+    assert(vt.readVersion(spark, "main", 2).as[Int].collect().sorted === Array(2, 3))
+    // vacuumed versions now fail to read
+    assertThrows[Exception](vt.readVersion(spark, "main", 0).collect())
+  }
+
+  test("vacuum respects branch heads, not just the written-to branch") {
+    val vt = freshVt("vacuum_branches")
+    val c0 = vt.write(df(1), "main", "v0")
+    vt.createBranch("old", "main") // pins v0
+    vt.write(df(2), "main", "v1")
+    vt.vacuum(retainLast = 1)
+    c0.files.foreach(f => assert(Files.exists(vt.root.resolve(f)),
+      "file referenced by branch 'old' was vacuumed"))
+    assert(vt.read(spark, "old").as[Int].collect() === Array(1))
+  }
+
+  test("staging: commitStaged publishes, reset discards") {
+    val vt = freshVt("staging")
+    vt.stage(df(1), "main")
+    assert(vt.hasStaged("main"))
+    val c = vt.commitStaged("main", "first")
+    assert(c.version === 0 && !vt.hasStaged("main"))
+    vt.stage(df(99), "main")
+    vt.reset("main")
+    assert(!vt.hasStaged("main"))
+    assert(vt.read(spark, "main").as[Int].collect() === Array(1))
+  }
+
+  test("schema evolution: each version replays with its own schema") {
+    val vt = freshVt("schema_evo")
+    vt.write(Seq((1, "a")).toDF("x", "s"), "main", "v0")
+    vt.write(Seq((1, "a", 2.0)).toDF("x", "s", "d"), "main", "v1 wider")
+    assert(vt.readVersion(spark, "main", 0).columns === Array("x", "s"))
+    assert(vt.read(spark, "main").columns === Array("x", "s", "d"))
+  }
+
+  test("commit publication is atomic: no partial refs/commits on disk") {
+    val vt = freshVt("atomic")
+    vt.write(df(1), "main", "v0")
+    val refs = Files.list(vt.root.resolve("refs")).iterator().asScala.map(_.getFileName.toString).toList
+    assert(refs === List("main"))
+    val commits = Files.list(vt.root.resolve("commits")).iterator().asScala.toList
+    assert(commits.forall(_.getFileName.toString.endsWith(".json")))
+    assert(!commits.exists(_.getFileName.toString.contains(".tmp")))
+  }
+}
