@@ -15,6 +15,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM (codegen, parquet reader, shuffle machinery) once so the
+    // first timed query doesn't pay classloading costs.
+    try spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag").count().count()
+    catch { case _: Throwable => () }
     val names = Registry.benchNames.filter(Registry.byName.contains)
     val results = names.map { name =>
       val fn = Registry.byName(name).impl
