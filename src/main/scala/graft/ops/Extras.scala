@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.{sql => q}
+
+/** Surface-completeness extras beyond the reference's own operator set:
+  * JSON extraction, DISTINCT, CUBE, unionByName, and the typed Dataset[T]
+  * API (SURVEY.md §2.8 extension surface + §1 "Dataset[T] where type safety
+  * helps"). All oracle-checked.
+  */
+object Extras {
+
+  /** JSON field extraction from the events.props payload column. */
+  val qJsonFuncs: QueryDef = q("q_json_funcs")(
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d).select(col("event_id"),
+      get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+      .orderBy("event_id")
+  }
+
+  /** DISTINCT projection (dedup-at-the-operator level). */
+  val qDistinct: QueryDef = q("q_distinct")(
+    """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).select("o_orderstatus", "o_orderpriority").distinct()
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  /** CUBE over two dimensions with GROUPING() disambiguation. */
+  val qCube: QueryDef = q("q_cube")(
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(GROUPING(l_returnflag) AS INTEGER) AS g1,
+      |       CAST(GROUPING(l_linestatus) AS INTEGER) AS g2,
+      |       count(*) AS cnt, sum(l_quantity) AS sum_qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY g1, g2, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).cube("l_returnflag", "l_linestatus")
+      .agg(grouping("l_returnflag").cast(IntegerType).as("g1"),
+        grouping("l_linestatus").cast(IntegerType).as("g2"),
+        count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
+      .select("l_returnflag", "l_linestatus", "g1", "g2", "cnt", "sum_qty")
+      .orderBy(col("g1"), col("g2"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
+  /** unionByName: schemas align by NAME, not position — the positional
+    * variant would silently mis-zip these two selects. */
+  val qUnionByName: QueryDef = q("q_union_by_name")(
+    """SELECT c_custkey, c_name FROM customer WHERE c_nationkey < 3
+      |UNION ALL
+      |SELECT c_custkey, c_name FROM customer WHERE c_nationkey > 21
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+    c.where(col("c_nationkey") < 3).select("c_custkey", "c_name")
+      .unionByName(c.where(col("c_nationkey") > 21).select("c_name", "c_custkey"))
+      .orderBy("c_custkey")
+  }
+
+  final case class Supplier(s_suppkey: Long, s_name: String, s_nationkey: Int,
+                            s_acctbal: Double)
+
+  /** Typed Dataset[T] API: case-class encoder, typed filter + map. The lambda
+    * path costs deserialization vs the codegen'd Column path — used where
+    * type safety matters, not in hot aggregates (doc'd trade-off). */
+  val qTypedApi: QueryDef = q("q_typed_api")(
+    """SELECT s_suppkey, s_name, s_acctbal * 2 AS dbl_bal FROM supplier
+      |WHERE s_acctbal > 0 ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.supplier(s, d).as[Supplier]
+      .filter(_.s_acctbal > 0)
+      .map(x => (x.s_suppkey, x.s_name, x.s_acctbal * 2))
+      .toDF("s_suppkey", "s_name", "dbl_bal")
+      .orderBy("s_suppkey")
+  }
+
+  val defs: Seq[QueryDef] = Seq(qJsonFuncs, qDistinct, qCube, qUnionByName, qTypedApi)
+}
