@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.vt.VersionedTable
+
+/** Property-based invariants (SURVEY.md §5.4):
+  *  - the W1/W2 argmax window pattern equals a sort-then-head reference impl;
+  *  - a versioned read@vN is stable under ANY sequence of later writes;
+  *  - vacuum never deletes a file referenced by a retained version;
+  *  - revert∘commit is an identity on the file list.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic ScalaCheck sampling (no scalatestplus bridge offline):
+    * draw `n` values from `g` under fixed seeds. */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1L to n.toLong).flatMap(i => g.apply(Gen.Parameters.default, Seed(i)))
+
+  private val smallRows: Gen[List[(Int, Int, Int)]] = Gen.listOfN(40,
+    for {
+      g <- Gen.choose(0, 4); v <- Gen.choose(0, 9); k <- Gen.choose(0, 99)
+    } yield (g, v, k))
+
+  test("property: window argmax equals sort-then-head per group") {
+    samples(smallRows, 10).foreach { rows =>
+      if (rows.nonEmpty) {
+        val df = rows.toDF("g", "v", "k")
+        val w = Window.partitionBy("g").orderBy(col("v").desc, col("k").asc)
+        val viaWindow = df.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1).select("g", "v", "k")
+          .as[(Int, Int, Int)].collect().toSet
+        val expected = rows.groupBy(_._1).values
+          .map(_.minBy { case (_, v, k) => (-v, k) }).toSet
+        assert(viaWindow === expected)
+      }
+    }
+  }
+
+  private val writeSeqs: Gen[List[List[Int]]] =
+    Gen.listOfN(4, Gen.listOfN(3, Gen.choose(0, 100)))
+
+  test("property: read@v0 is stable under any sequence of later writes") {
+    samples(writeSeqs, 5).foreach { snapshots =>
+      if (snapshots.nonEmpty) {
+        val vt = VersionedTable.create(Tables.scratch("prop_stable"))
+        val first = snapshots.head
+        vt.write(first.toDF("x"), "main", "v0")
+        snapshots.tail.zipWithIndex.foreach { case (snap, i) =>
+          vt.write(snap.toDF("x"), "main", s"v${i + 1}")
+        }
+        val v0 = vt.readVersion(spark, "main", 0).as[Int].collect().sorted.toList
+        assert(v0 === first.sorted)
+      }
+    }
+  }
+
+  test("property: vacuum(retain=k) keeps the newest k versions fully readable") {
+    samples(Gen.zip(Gen.choose(1, 3), Gen.choose(3, 5)), 5).foreach { case (retain, nVersions) =>
+      val vt = VersionedTable.create(Tables.scratch("prop_vacuum"))
+      val snaps = (0 until nVersions).map(i => List(i, i * 10)).toList
+      snaps.zipWithIndex.foreach { case (s0, i) => vt.write(s0.toDF("x"), "main", s"v$i") }
+      vt.vacuum(retainLast = retain)
+      val lineage = vt.lineage("main")
+      lineage.take(retain).foreach { c =>
+        c.files.foreach(f => assert(Files.exists(vt.root.resolve(f)),
+          s"retained v${c.version} lost file $f"))
+        val expected = snaps(c.version.toInt).sorted
+        assert(vt.readCommit(spark, c).as[Int].collect().sorted.toList === expected)
+      }
+    }
+  }
+
+  test("property: revert to vN restores exactly vN's file list") {
+    samples(Gen.choose(2, 4), 3).foreach { n =>
+      val vt = VersionedTable.create(Tables.scratch("prop_revert"))
+      (0 until n).foreach(i => vt.write(List(i).toDF("x"), "main", s"v$i"))
+      val target = vt.lineage("main").find(_.version == 0L).get
+      val c = vt.revert("main", 0)
+      assert(c.files === target.files)
+      assert(c.version === n.toLong)
+      assert(vt.read(spark, "main").as[Int].collect().toList === List(0))
+    }
+  }
+}
