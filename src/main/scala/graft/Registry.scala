@@ -9,6 +9,7 @@ object Registry {
   val all: Seq[QueryDef] =
     ops.Relational.defs ++
       ops.Extras.defs ++
+      ops.Scale.defs ++
       ops.MLlite.defs ++
       ops.Pipelines.defs ++
       ops.Versioned.defs ++

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, ShuffleQueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+
+import graft.ops.Scale
+
+/** Plan-level assertions for the scale techniques: the point of bucketing /
+  * partitioning / salting is the SHAPE of the physical plan, so the tests pin
+  * the shape, not just the values (values are pinned by the DuckDB oracle).
+  */
+class ScaleSpec extends SparkSpec {
+
+  private def executedPlan(df: DataFrame): SparkPlan = {
+    df.collect() // force AQE to finalize
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  // AQE renders finished exchanges as innerChildren of QueryStage nodes,
+  // which TreeNode.collect does not traverse — count from the rendered tree.
+  private def countShuffles(p: SparkPlan): Int =
+    "Exchange (hash|range)partitioning|Exchange SinglePartition".r
+      .findAllIn(p.toString).size
+
+  test("bucketed join runs with NO shuffle exchange on either side") {
+    val joined = Scale.bucketedJoin(spark, sf)
+    // the final orderBy adds one range exchange; the JOIN itself must add none
+    val plan = executedPlan(joined)
+    val shuffles = countShuffles(plan)
+    assert(shuffles <= 1, s"expected only the presentation sort exchange, got $shuffles:\n$plan")
+    assert(plan.toString.contains("SortMergeJoin"), "bucketed join should SMJ without exchange")
+  }
+
+  test("partitioned scan prunes to a single partition directory") {
+    val df = Scale.partitionedScan(spark, sf)
+    val scan = executedPlan(df).toString
+    // the partition predicate must land in PartitionFilters (dir-level prune),
+    // not in PushedFilters/DataFilters (row-level)
+    val pf = scan.linesIterator.find(_.contains("PartitionFilters")).getOrElse(
+      scan.split("PartitionFilters").lift(1).map("PartitionFilters" + _).getOrElse(""))
+    assert(pf.contains("o_orderstatus"), s"no partition filter on o_orderstatus in:\n$scan")
+  }
+
+  test("salted aggregation equals direct aggregation exactly") {
+    val direct = Tables.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("sum_val"), count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag").collect()
+    val salted = Scale.saltedSum(Tables.lineitem(spark, sf), "l_returnflag",
+      "l_quantity", saltBuckets = 16).orderBy("l_returnflag").collect()
+    assert(salted.toSeq === direct.toSeq)
+  }
+
+  test("salted aggregation has two shuffle stages (salted partial + final)") {
+    val df = Scale.saltedSum(Tables.lineitem(spark, sf), "l_returnflag",
+      "l_quantity", saltBuckets = 16)
+    val shuffles = countShuffles(executedPlan(df))
+    assert(shuffles === 2, s"expected 2 exchanges (salted + final), got $shuffles")
+  }
+}
