@@ -14,6 +14,7 @@ object Registry {
       ops.Pipelines.defs ++
       ops.Versioned.defs ++
       ext.Dedup.defs ++
+      ext.DedupCluster.defs ++
       ext.Similarity.defs ++
       ext.TextAnalysis.defs ++
       ext.Multimodal.defs ++

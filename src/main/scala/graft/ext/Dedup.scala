@@ -65,6 +65,18 @@ object Dedup {
     */
   def minhashNearDups(docs: DataFrame, k: Int = 32, bands: Int = 8,
                       thresh: Double = 0.5): DataFrame = {
+    val verified = minhashPairs(docs, k, bands, thresh)
+    val pairsBoth = verified.select(col("a").as("doc_id"), col("b").as("dup"))
+      .union(verified.select(col("b").as("doc_id"), col("a").as("dup")))
+    docs.select("doc_id").join(pairsBoth, Seq("doc_id"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("dup")).as("n_near_dups"), min(col("dup")).as("min_dup_id"))
+  }
+
+  /** Verified near-dup pairs (a < b, exact Jaccard >= thresh) — the edge list
+    * consumed by [[DedupCluster.connectedComponents]]. */
+  def minhashPairs(docs: DataFrame, k: Int = 32, bands: Int = 8,
+                   thresh: Double = 0.5): DataFrame = {
     val withSig = docs.select(col("doc_id"), col("text"))
       .withColumn("shingles", shingles(col("text")))
       .withColumn("sig", minhashSignature(k))
@@ -78,7 +90,7 @@ object Dedup {
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b")).distinct()
     val sh = withSig.select(col("doc_id"), col("shingles"))
-    val verified = candidates
+    candidates
       .join(sh.select(col("doc_id").as("a"), col("shingles").as("sh_a")), "a")
       .join(sh.select(col("doc_id").as("b"), col("shingles").as("sh_b")), "b")
       .withColumn("jaccard",
@@ -86,11 +98,6 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
       .where(col("jaccard") >= thresh)
       .select(col("a"), col("b"), col("jaccard"))
-    val pairsBoth = verified.select(col("a").as("doc_id"), col("b").as("dup"))
-      .union(verified.select(col("b").as("doc_id"), col("a").as("dup")))
-    docs.select("doc_id").join(pairsBoth, Seq("doc_id"), "left")
-      .groupBy("doc_id")
-      .agg(count(col("dup")).as("n_near_dups"), min(col("dup")).as("min_dup_id"))
   }
 
   /** Not SQL-oracle-expressible (xxhash64 has no DuckDB twin) — rows-only

@@ -104,6 +104,33 @@ object Similarity {
     annTopK(emb, emb.where(col("vec_id") < 8), k = 10).orderBy("qid", "rnk")
   }
 
+  /** Multi-probe ANN: each query also probes the buckets at Hamming distance
+    * 1 from its own (flip one sign bit) — the standard recall/cost dial for
+    * sign-LSH. Candidates ≈ (1 + nPlanes) buckets per query instead of 1,
+    * still a vanishing fraction of the corpus; the corpus side is untouched
+    * (probing explodes only the tiny broadcast query set). */
+  def annTopKMultiProbe(emb: DataFrame, queries: DataFrame, k: Int,
+                        nPlanes: Int = 8): DataFrame = {
+    val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .withColumn("bucket", lshBucket(col("ce")))
+    val qs = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .withColumn("bucket0", lshBucket(col("qe")))
+    val probed = broadcast(qs.select(col("qid"), col("qe"), explode(
+      expr(s"array_union(array(bucket0), transform(sequence(0, ${nPlanes - 1}), i -> bucket0 ^ shiftleft(1L, i)))"))
+      .as("bucket")))
+    val scored = probed.join(corpus, Seq("bucket")).where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("qe"), col("ce")).distinct()
+      .withColumn("score", cosine(col("qe"), col("ce")))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("cid").asc)
+    scored.withColumn("rnk", row_number().over(w).cast(IntegerType)).where(col("rnk") <= k)
+      .select("qid", "cid", "rnk", "score")
+  }
+
+  val qAnnMultiProbe: QueryDef = rowsOnly("q_ann_multiprobe") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    annTopKMultiProbe(emb, emb.where(col("vec_id") < 8), k = 10).orderBy("qid", "rnk")
+  }
+
   /** Pairwise dot-product / norm surface as its own checked query (the
     * `functions.aggregate`/`zip_with` math without the ranking). */
   val qVectorMath: QueryDef = q("q_vector_math")(
@@ -119,5 +146,5 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(qTopkCosine, qAnnLsh, qVectorMath)
+  val defs: Seq[QueryDef] = Seq(qTopkCosine, qAnnLsh, qAnnMultiProbe, qVectorMath)
 }

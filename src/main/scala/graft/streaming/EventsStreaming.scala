@@ -125,5 +125,17 @@ object EventsStreaming {
       }
   }
 
+  // ---- streaming dedup ---------------------------------------------------
+
+  /** Streaming exact dedup: content fingerprint + dropDuplicatesWithinWatermark
+    * — state holds one fingerprint per doc inside the watermark horizon, so
+    * memory is bounded by arrival rate × horizon, not corpus size. The batch
+    * twin is Dedup.exactDedup; StreamingSpec pins their agreement. */
+  def streamingDedup(events: DataFrame, idCol: String, contentCol: String): DataFrame =
+    events
+      .withColumn("content_sha", sha2(col(contentCol), 256))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("content_sha")
+
   val defs: Seq[QueryDef] = Seq(qWindowTumbling, qSessionize)
 }

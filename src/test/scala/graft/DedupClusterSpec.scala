@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, DedupCluster, Similarity}
+
+/** Chain semantics of near-dup clustering (A≈B≈C without A≈C must collapse to
+  * one cluster) and multi-probe ANN recall vs single-probe.
+  */
+class DedupClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components collapse chains to the min label") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a", "b")
+    val cc = DedupCluster.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("dedupVerdict: chained near-dups share a cluster, one canonical each") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val docs = Seq(
+      (10L, base),
+      (11L, base.replace("gamma", "g1")),            // ≈ 10
+      (12L, base.replace("gamma", "g1").replace("omega", "o2")), // ≈ 11, maybe not ≈ 10
+      (30L, "unrelated words entirely different content about query engines and lakes at large scale"))
+      .toDF("doc_id", "text")
+    val verdict = DedupCluster.dedupVerdict(docs, thresh = 0.4)
+      .select("doc_id", "cluster_id", "is_canonical")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(verdict(10L)._2 === 10L && verdict(10L)._3)
+    assert(verdict(11L)._2 === 10L && !verdict(11L)._3)
+    assert(verdict(12L)._2 === 10L && !verdict(12L)._3) // via the 11-chain
+    assert(verdict(30L)._2 === 30L && verdict(30L)._3)
+  }
+
+  test("multi-probe ANN candidate set contains the single-probe set") {
+    val emb = Tables.embeddings(spark, sf)
+    val qs = emb.where(col("vec_id") < 4)
+    val single = Similarity.annTopK(emb, qs, k = 50)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val multi = Similarity.annTopKMultiProbe(emb, qs, k = 50)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    assert(single.subsetOf(multi))
+    assert(multi.size >= single.size)
+  }
+}

@@ -57,6 +57,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps one row per content fingerprint") {
+    val ts = (sec: Long) => new Timestamp(sec * 1000L)
+    val dir = java.nio.file.Paths.get(Tables.scratch("stream_dedup"))
+    java.nio.file.Files.createDirectories(dir)
+    Seq((1L, ts(0), "same text"), (2L, ts(10), "same text"), (3L, ts(20), "other"))
+      .toDF("event_id", "ts", "payload")
+      .write.mode("overwrite").parquet(dir.toString)
+    val src = spark.readStream.schema("event_id BIGINT, ts TIMESTAMP, payload STRING")
+      .parquet(dir.toString)
+    val deduped = graft.streaming.EventsStreaming.streamingDedup(src, "event_id", "payload")
+    val q = deduped.writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_test").select("payload")
+        .as[String].collect().sorted
+      assert(got === Array("other", "same text"))
+    } finally q.stop()
+  }
+
   test("batch sessionize splits on gaps > 30min and counts events per session") {
     val ts = (s: Long) => new Timestamp(s * 1000L)
     val ev = Seq(
