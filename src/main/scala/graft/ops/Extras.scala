@@ -78,5 +78,41 @@ object Extras {
       .orderBy("s_suppkey")
   }
 
-  val defs: Seq[QueryDef] = Seq(qJsonFuncs, qDistinct, qCube, qUnionByName, qTypedApi)
+  /** Pivot: groupBy().pivot() with an explicit value list (the at-scale form —
+    * implicit pivot runs an extra distinct job to discover values). */
+  val qPivot: QueryDef = q("q_pivot")(
+    """SELECT l_returnflag,
+      |       sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS F,
+      |       sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS O
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O")).agg(sum("l_quantity"))
+      .orderBy("l_returnflag")
+  }
+
+  /** posexplode of a split array — row expansion with ordinal position. */
+  val qExplode: QueryDef = q("q_explode")(
+    """WITH e AS (SELECT doc_id,
+      |                   unnest(list_transform(string_split(text, ' '),
+      |                          (w, i) -> {'p': i - 1, 'word': w}), recursive := true)
+      |           FROM documents WHERE doc_id < 5)
+      |SELECT doc_id, CAST(p AS INTEGER) AS pos, word FROM e ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).where(col("doc_id") < 5)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .orderBy("doc_id", "pos")
+  }
+
+  /** collect_set made deterministic: sort the set, join to a string (arrays
+    * hash differently across engines; a canonical string does not). */
+  val qCollectSet: QueryDef = q("q_collect_set")(
+    """SELECT l_suppkey,
+      |       array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags
+      |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).groupBy("l_suppkey")
+      .agg(concat_ws(",", sort_array(collect_set(col("l_returnflag")))).as("flags"))
+      .orderBy("l_suppkey")
+  }
+
+  val defs: Seq[QueryDef] = Seq(qJsonFuncs, qDistinct, qCube, qUnionByName, qTypedApi,
+    qPivot, qExplode, qCollectSet)
 }

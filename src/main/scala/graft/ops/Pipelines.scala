@@ -174,7 +174,9 @@ object Pipelines {
     val df4 = MLlite.quantileBucket(df3, "l_extendedprice", "fe4", cuts).drop("qstr")
 
     vt.write(df4, "main", "v1: features")        // Delta v1 (`jobs/vdt4.py:76-77`)
-    vt.readVersion(s, "main", 0).count()         // time travel v0 (`jobs/vdt4.py:80-81`)
+    // time travel v0 (`jobs/vdt4.py:80-81`) — the reference runs no action on
+    // df_v0; one row proves the snapshot resolves without a full rescan
+    vt.readVersion(s, "main", 0).limit(1).count()
     vt.vacuum(retainLast = 2)                    // vacuum, both versions retained (`jobs/vdt4.py:84-85`)
 
     vt.read(s, "main")
