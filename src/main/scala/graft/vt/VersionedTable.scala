@@ -27,12 +27,24 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * split-parallelism all survive (SURVEY.md §4). Writes create a fresh
   * directory per commit (no in-place mutation), so concurrent readers of older
   * versions are never disturbed; commit/ref publication is atomic-rename.
+  *
+  * Concurrency: writers within one JVM are serialized per table instance
+  * (`synchronized`); cross-process writers would need an external lock or a
+  * compare-and-swap ref store (as Delta uses its log-store contract) — out of
+  * scope here and called out rather than half-implemented.
   */
 final class VersionedTable private (val root: Path) {
 
   private def commitsDir: Path = root.resolve("commits")
   private def refsDir: Path = root.resolve("refs")
   private def dataDir: Path = root.resolve("data")
+
+  /** List a directory, closing the underlying stream (Files.list leaks the
+    * handle otherwise — fatal for a long-lived driver hosting many tables). */
+  private def listDir(p: Path): Vector[Path] = {
+    val st = Files.list(p)
+    try st.iterator().asScala.toVector finally st.close()
+  }
 
   // ---- commit log access -------------------------------------------------
 
@@ -46,8 +58,8 @@ final class VersionedTable private (val root: Path) {
 
   def branches: Seq[String] =
     if (!Files.exists(refsDir)) Seq.empty
-    else Files.list(refsDir).iterator().asScala.map(_.getFileName.toString)
-      .filterNot(_.endsWith(".staged")).toSeq.sorted
+    else listDir(refsDir).map(_.getFileName.toString)
+      .filterNot(_.endsWith(".staged")).sorted
 
   /** Head-first lineage walk of a branch (head, head.parent, …, root). */
   def lineage(branch: String): List[Commit] = {
@@ -123,9 +135,9 @@ final class VersionedTable private (val root: Path) {
     val rel = s"$branch-v$version-${java.util.UUID.randomUUID.toString.take(8)}"
     val out = dataDir.resolve(rel)
     df.write.mode("overwrite").parquet(out.toString)
-    Files.list(out).iterator().asScala
+    listDir(out)
       .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(p => root.relativize(p).toString).toVector.sorted
+      .map(p => root.relativize(p).toString).sorted
   }
 
   private def publish(branch: String, parent: Option[Commit], message: String,
@@ -220,14 +232,17 @@ final class VersionedTable private (val root: Path) {
         branches.filter(hasStaged).flatMap(b =>
           CommitLog.fromJson(CommitLog.readString(refsDir.resolve(b + ".staged"))).files)).toSet
     if (!Files.exists(dataDir)) return 0
-    val all = Files.walk(dataDir).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-      .map(p => root.relativize(p).toString).toVector
+    val walk = Files.walk(dataDir)
+    val all =
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString).toVector
+      finally walk.close()
     val dead = all.filterNot(retained.contains)
     dead.foreach(f => Files.deleteIfExists(root.resolve(f)))
     // prune now-empty commit directories
-    Files.list(dataDir).iterator().asScala.toVector.foreach { d =>
-      if (Files.isDirectory(d) && !Files.list(d).iterator().asScala.exists(p =>
+    listDir(dataDir).foreach { d =>
+      if (Files.isDirectory(d) && !listDir(d).exists(p =>
             p.getFileName.toString.endsWith(".parquet")))
         graft.Tables.deleteRecursively(d)
     }
