@@ -16,6 +16,7 @@ object Registry {
       ext.Dedup.defs ++
       ext.DedupCluster.defs ++
       ext.Similarity.defs ++
+      ext.Ivf.defs ++
       ext.TextAnalysis.defs ++
       ext.Multimodal.defs ++
       streaming.EventsStreaming.defs

@@ -1,0 +1,94 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.rowsOnly
+
+/** IVF (inverted-file) approximate nearest neighbor: partition the corpus by
+  * nearest centroid, search only the `nprobe` closest cells per query — the
+  * other classic ANN scale path next to sign-LSH (Similarity.annTopK).
+  *
+  * Centroids come from a k-means-lite Lloyd loop run AS DataFrame jobs:
+  * assignment is a codegen'd expression over literal centroid arrays (no
+  * UDFs), the update step is an explode + groupBy elementwise mean, and each
+  * iteration collects only k×dim doubles to the driver (the SURVEY §3.3
+  * adaptive-plan pattern: tiny action results parameterize the next plan).
+  * At 100 TB: train on a sample, assignment/search stay fully distributed,
+  * shuffles are keyed on cell id, and per-query work is nprobe cells.
+  */
+object Ivf {
+
+  private def sqDist(v: Column, centroid: Array[Double]): Column =
+    aggregate(zip_with(v, array(centroid.map(lit(_)).toIndexedSeq: _*),
+      (x, c) => (x.cast(DoubleType) - c) * (x.cast(DoubleType) - c)),
+      lit(0.0), (acc, d) => acc + d)
+
+  /** Index of the nearest centroid via array_min over (dist, idx) structs. */
+  def nearestCell(v: Column, centroids: Seq[Array[Double]]): Column =
+    array_min(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(sqDist(v, c).as("d"), lit(i).as("i"))
+    }: _*)).getField("i")
+
+  /** Deterministic k-means-lite: seed cells = the k vectors with smallest
+    * xxhash64(vec_id); `iters` Lloyd rounds of assign + elementwise mean. */
+  def trainCentroids(emb: DataFrame, k: Int = 16, iters: Int = 3,
+                     dim: Int = 64): Seq[Array[Double]] = {
+    val spark = emb.sparkSession
+    def collectCentroids(df: DataFrame): Seq[Array[Double]] =
+      df.collect().map(r => r.getSeq[Double](0).toArray).toSeq
+    var centroids = collectCentroids(
+      emb.withColumn("h", xxhash64(col("vec_id")))
+        .orderBy("h").limit(k)
+        .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
+    for (_ <- 0 until iters) {
+      val assigned = emb.withColumn("cell", nearestCell(col("embedding"), centroids))
+      val means = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos").agg(avg(col("v").cast(DoubleType)).as("m"))
+        .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), expr("transform(pm, x -> x.m)").as("centroid"))
+        .orderBy("cell")
+      val updated = means.collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i)))
+    }
+    centroids
+  }
+
+  /** IVF top-k: corpus assigned once to cells; each query probes its `nprobe`
+    * nearest cells; exact cosine inside the probed cells only. */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int,
+              centroids: Seq[Array[Double]], nprobe: Int = 2): DataFrame = {
+    val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .withColumn("cell", nearestCell(col("ce"), centroids))
+    val cellsOf = (v: Column) => slice(expr(
+      // rank all cells by distance, keep the nprobe nearest
+      centroids.zipWithIndex.map { case (_, i) => s"named_struct('d', __d$i, 'i', $i)" }
+        .mkString("array_sort(array(", ", ", "))")), 1, nprobe)
+    val qs = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val qsWithD = centroids.zipWithIndex.foldLeft(qs) { case (df, (c, i)) =>
+      df.withColumn(s"__d$i", sqDist(col("qe"), c))
+    }
+    val probed = broadcast(qsWithD
+      .withColumn("probe", explode(cellsOf(col("qe"))))
+      .select(col("qid"), col("qe"), col("probe.i").as("cell")))
+    val scored = probed.join(corpus, Seq("cell")).where(col("qid") =!= col("cid"))
+      .withColumn("score", Similarity.cosine(col("qe"), col("ce")))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("cid").asc)
+    scored.withColumn("rnk", row_number().over(w).cast(IntegerType)).where(col("rnk") <= k)
+      .select("qid", "cid", "rnk", "score")
+  }
+
+  val qAnnIvf: QueryDef = rowsOnly("q_ann_ivf") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val centroids = trainCentroids(emb)
+    ivfTopK(emb, emb.where(col("vec_id") < 8), k = 10, centroids)
+      .orderBy("qid", "rnk")
+  }
+
+  val defs: Seq[QueryDef] = Seq(qAnnIvf)
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, DedupCluster, Similarity}
+import graft.ext.{Dedup, DedupCluster, Ivf, Similarity}
 
 /** Chain semantics of near-dup clustering (A≈B≈C without A≈C must collapse to
   * one cluster) and multi-probe ANN recall vs single-probe.
@@ -33,6 +33,20 @@ class DedupClusterSpec extends SparkSpec {
     assert(verdict(11L)._2 === 10L && !verdict(11L)._3)
     assert(verdict(12L)._2 === 10L && !verdict(12L)._3) // via the 11-chain
     assert(verdict(30L)._2 === 30L && verdict(30L)._3)
+  }
+
+  test("IVF: identical vectors share a cell and are recalled at rank 1") {
+    val emb = Tables.embeddings(spark, sf)
+    val centroids = Ivf.trainCentroids(emb, k = 8, iters = 2)
+    assert(centroids.size === 8 && centroids.forall(_.length === 64))
+    // plant an exact duplicate of vec 0 and query for it
+    val dup = emb.where(col("vec_id") === 0)
+      .withColumn("vec_id", lit(9999L)).select("vec_id", "embedding", "label")
+    val corpus = emb.select("vec_id", "embedding", "label").unionByName(dup)
+    val top = Ivf.ivfTopK(corpus, corpus.where(col("vec_id") === 9999L), k = 1, centroids)
+      .select("cid", "score").as[(Long, Double)].collect()
+    assert(top.nonEmpty && top.head._1 === 0L, s"IVF missed the duplicate: ${top.toSeq}")
+    assert(math.abs(top.head._2 - 1.0) < 1e-12)
   }
 
   test("multi-probe ANN candidate set contains the single-probe set") {
