@@ -59,6 +59,12 @@ class OperatorSpec extends SparkSpec {
     assert(m === 3.0)
   }
 
+  test("driver contract: entry() returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet ++
+      Registry.all.filter(_.oracle.isEmpty).map(_.name))
+  }
+
   test("versioned queries survive repeated invocation (scratch isolation)") {
     val d1 = ops.Versioned.qVtWriteVersions.impl(spark, sf).count()
     val d2 = ops.Versioned.qVtWriteVersions.impl(spark, sf).count()
