@@ -154,33 +154,85 @@ object Dedup {
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"), col("jaccard"))
   }
 
-  /** Doc-level n-gram-dup summary; count is oracle-checkable cheaply via the
-    * length-band definition, but the pair set itself needs array ops DuckDB
-    * words differently — rows-only + DedupSpec. */
-  val qDedupNgram: QueryDef = rowsOnly("q_dedup_ngram") { (s, d) =>
+  /** Doc-level n-gram Jaccard profile, FULLY oracle-checked: for every doc,
+    * the candidate count, best Jaccard, and minimum partner id among its
+    * (lang, length-band) bucket — pure set arithmetic, so DuckDB reproduces
+    * it exactly (int-ratio divisions are bit-deterministic). */
+  val qDedupNgram: QueryDef = q("q_dedup_ngram")(
+    """WITH g AS (SELECT doc_id, lang, CAST(n_chars // 100 AS INTEGER) AS len_band,
+      |                  list_distinct(list_transform(
+      |                    generate_series(1, greatest(1, CAST(length(text) AS INTEGER) - 4)),
+      |                    i -> substr(text, i, 5))) AS grams
+      |           FROM documents),
+      |     p AS (SELECT l.doc_id AS a, r.doc_id AS b,
+      |                  CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE) /
+      |                  CAST(len(list_distinct(list_concat(l.grams, r.grams))) AS DOUBLE) AS jac
+      |           FROM g l JOIN g r ON l.lang = r.lang AND l.len_band = r.len_band
+      |                            AND l.doc_id < r.doc_id),
+      |     bo AS (SELECT a AS doc_id, b AS partner, jac FROM p
+      |            UNION ALL SELECT b, a, jac FROM p)
+      |SELECT d.doc_id, count(bo.partner) AS n_cand, max(bo.jac) AS best_jac,
+      |       min(bo.partner) AS min_partner
+      |FROM documents d LEFT JOIN bo ON d.doc_id = bo.doc_id
+      |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val pairs = ngramJaccardDups(docs)
-    val both = pairs.select(col("a").as("doc_id")).union(pairs.select(col("b").as("doc_id")))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_ngram_dups"))
+    val grams = docs.select(col("doc_id"), col("lang"),
+      (col("n_chars") / 100).cast(IntegerType).as("len_band"),
+      expr("array_distinct(transform(sequence(1, greatest(1, length(text) - 4)), i -> substring(text, i, 5)))").as("grams"))
+    val l = grams.as("l"); val r = grams.as("r")
+    val pairs = l.join(r, col("l.lang") === col("r.lang") &&
+        col("l.len_band") === col("r.len_band") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+        (size(array_intersect(col("l.grams"), col("r.grams"))).cast(DoubleType) /
+          size(array_union(col("l.grams"), col("r.grams"))).cast(DoubleType)).as("jac"))
+    val both = pairs.select(col("a").as("doc_id"), col("b").as("partner"), col("jac"))
+      .union(pairs.select(col("b").as("doc_id"), col("a").as("partner"), col("jac")))
     docs.select("doc_id").join(both, Seq("doc_id"), "left")
-      .withColumn("n_ngram_dups", coalesce(col("n_ngram_dups"), lit(0L)))
+      .groupBy("doc_id")
+      .agg(count(col("partner")).as("n_cand"), max(col("jac")).as("best_jac"),
+        min(col("partner")).as("min_partner"))
       .orderBy("doc_id")
   }
 
-  /** Embedding-cosine near-dup: sign-LSH bucket (8 deterministic hyperplanes)
-    * then exact cosine within bucket — same shape as Similarity.annTopK. */
-  val qDedupEmbedding: QueryDef = rowsOnly("q_dedup_embedding") { (s, d) =>
+  /** Embedding-cosine near-dup: sign-LSH bucket (8 deterministic seed-42
+    * hyperplanes) then exact cosine within bucket — same shape as
+    * Similarity.annTopK. FULLY oracle-checked: the planes are literals, both
+    * engines fold the 64 products in index order, so bucket signs and cosine
+    * values are bit-identical and DuckDB replays the whole pipeline. */
+  val qDedupEmbedding: QueryDef = q("q_dedup_embedding")({
+    def duckDot(a: String, plane: Array[Double]): String = {
+      val lit = plane.map(_.toString).mkString("[", ", ", "]")
+      s"list_aggregate(list_transform(list_zip($a, $lit), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+    }
+    val bucketSql = Similarity.hyperplanes().zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${duckDot("embedding", p)} >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    def dotSelf(x: String) =
+      s"list_aggregate(list_transform($x, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')"
+    val cosSql =
+      s"""(list_aggregate(list_transform(list_zip(l.embedding, r.embedding),
+         |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') /
+         |  (sqrt(${dotSelf("l.embedding")}) * sqrt(${dotSelf("r.embedding")})))""".stripMargin
+    s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+       |     p AS (SELECT l.vec_id AS a, r.vec_id AS b2, $cosSql AS cos
+       |           FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
+       |     f AS (SELECT * FROM p WHERE cos >= 0.95),
+       |     bo AS (SELECT a AS vec_id, b2 AS partner FROM f UNION ALL SELECT b2, a FROM f)
+       |SELECT e.vec_id, count(bo.partner) AS n_near
+       |FROM embeddings e LEFT JOIN bo ON e.vec_id = bo.vec_id
+       |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin
+  }) { (s, d) =>
     val emb = Tables.embeddings(s, d)
     val bucketed = emb.withColumn("bucket", Similarity.lshBucket(col("embedding")))
     val l = bucketed.as("l"); val r = bucketed.as("r")
     val pairs = l.join(r, col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
       .withColumn("cos", Similarity.cosine(col("l.embedding"), col("r.embedding")))
       .where(col("cos") >= 0.95)
-      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"), col("cos"))
-    val both = pairs.select(col("a").as("vec_id")).union(pairs.select(col("b").as("vec_id")))
-      .groupBy("vec_id").agg(count(lit(1)).as("n_near"))
+      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"))
+    val both = pairs.select(col("a").as("vec_id"), col("b").as("partner"))
+      .union(pairs.select(col("b").as("vec_id"), col("a").as("partner")))
     emb.select("vec_id").join(both, Seq("vec_id"), "left")
-      .withColumn("n_near", coalesce(col("n_near"), lit(0L)))
+      .groupBy("vec_id").agg(count(col("partner")).as("n_near"))
       .orderBy("vec_id")
   }
 

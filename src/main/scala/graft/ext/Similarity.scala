@@ -63,8 +63,17 @@ object Similarity {
       .select("qid", "cid", "rnk", "score")
   }
 
+  /** DuckDB twin of [[lshBucket]]: literal seed-42 planes, same fold order,
+    * so the sign bits (and hence buckets) are bit-identical across engines. */
+  private[ext] def duckBucketSql(colName: String, nPlanes: Int = 8): String =
+    hyperplanes(nPlanes).zipWithIndex.map { case (p, i) =>
+      val planeLit = p.map(_.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN list_aggregate(list_transform(list_zip($colName, $planeLit), " +
+        s"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   /** DuckDB twin of [[cosine]]: same index-order fold, numeric struct keys. */
-  private def duckCosine(a: String, b: String): String = {
+  private[ext] def duckCosine(a: String, b: String): String = {
     def dot(x: String, y: String) =
       s"list_aggregate(list_transform(list_zip($x, $y), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
@@ -99,7 +108,14 @@ object Similarity {
       .select("qid", "cid", "rnk", "score")
   }
 
-  val qAnnLsh: QueryDef = rowsOnly("q_ann_lsh") { (s, d) =>
+  val qAnnLsh: QueryDef = q("q_ann_lsh")(
+    s"""WITH b AS (SELECT vec_id, embedding, ${duckBucketSql("embedding")} AS bucket FROM embeddings),
+       |     qs AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM b WHERE vec_id < 8),
+       |     scored AS (SELECT qid, c.vec_id AS cid, ${duckCosine("qe", "c.embedding")} AS score
+       |                FROM qs JOIN b c ON qs.bucket = c.bucket AND c.vec_id <> qid),
+       |     ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+       |                                ORDER BY score DESC, cid) AS INTEGER) AS rnk FROM scored)
+       |SELECT qid, cid, rnk, score FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
     annTopK(emb, emb.where(col("vec_id") < 8), k = 10).orderBy("qid", "rnk")
   }
