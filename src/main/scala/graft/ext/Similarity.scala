@@ -142,7 +142,20 @@ object Similarity {
       .select("qid", "cid", "rnk", "score")
   }
 
-  val qAnnMultiProbe: QueryDef = rowsOnly("q_ann_multiprobe") { (s, d) =>
+  val qAnnMultiProbe: QueryDef = q("q_ann_multiprobe")(
+    s"""WITH b AS (SELECT vec_id, embedding, ${duckBucketSql("embedding")} AS bucket FROM embeddings),
+       |     q0 AS (SELECT vec_id AS qid, bucket AS b0 FROM b WHERE vec_id < 8),
+       |     probes AS (SELECT qid, unnest(list_distinct(list_prepend(b0,
+       |                  list_transform(range(0, 8), i -> xor(b0, 1::BIGINT << i))))) AS bucket
+       |                FROM q0),
+       |     cand AS (SELECT DISTINCT qid, c.vec_id AS cid
+       |              FROM probes JOIN b c ON probes.bucket = c.bucket AND c.vec_id <> qid),
+       |     scored AS (SELECT qid, cid, ${duckCosine("qe.embedding", "ce.embedding")} AS score
+       |                FROM cand JOIN embeddings qe ON qe.vec_id = qid
+       |                          JOIN embeddings ce ON ce.vec_id = cid),
+       |     ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+       |                                ORDER BY score DESC, cid) AS INTEGER) AS rnk FROM scored)
+       |SELECT qid, cid, rnk, score FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
     annTopKMultiProbe(emb, emb.where(col("vec_id") < 8), k = 10).orderBy("qid", "rnk")
   }
