@@ -26,11 +26,12 @@ import graft.QueryDef.{sql => q, rowsOnly}
   */
 object Similarity {
 
-  /** Exact cosine similarity between two float-array columns (double math). */
+  /** Exact cosine similarity between two float-array columns (double math).
+    * Dot products use the native codegen'd [[graft.functions.FloatVecDot]] —
+    * bit-identical to the HOF formulation (index-order double accumulation)
+    * but ~whole-stage-codegen fast in the pairwise scoring hot loop. */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column = aggregate(
-      zip_with(x, y, (p, r) => p.cast(DoubleType) * r.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+    val dot = graft.functions.FloatVecDot.fdot _
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 

@@ -49,6 +49,16 @@ class DedupClusterSpec extends SparkSpec {
     assert(math.abs(top.head._2 - 1.0) < 1e-12)
   }
 
+  test("native FloatVecDot is bit-equal to the HOF dot product") {
+    import org.apache.spark.sql.types.DoubleType
+    val emb = Tables.embeddings(spark, sf).limit(100)
+    val hof = expr(
+      "aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
+    val native = graft.functions.FloatVecDot.fdot(col("embedding"), col("embedding"))
+    val diffs = emb.select((hof - native).as("d")).as[Double].collect()
+    assert(diffs.forall(_ == 0.0), s"bit mismatch: ${diffs.filter(_ != 0.0).take(3).toSeq}")
+  }
+
   test("multi-probe ANN candidate set contains the single-probe set") {
     val emb = Tables.embeddings(spark, sf)
     val qs = emb.where(col("vec_id") < 4)
