@@ -43,12 +43,13 @@ object Similarity {
 
   private def planeLit(p: Array[Double]): Column = array(p.map(lit(_)).toIndexedSeq: _*)
 
-  /** Sign-LSH bucket id: one bit per hyperplane = sign of the projection. */
+  /** Sign-LSH bucket id: one bit per hyperplane = sign of the projection.
+    * Projections use the codegen'd FloatVecDot (float vec · double plane),
+    * same index-order accumulation as the HOF/oracle formulation. */
   def lshBucket(v: Column, nPlanes: Int = 8, dim: Int = 64): Column = {
     val planes = hyperplanes(nPlanes, dim)
     planes.zipWithIndex.map { case (p, i) =>
-      val dotP = aggregate(zip_with(v, planeLit(p), (x, y) => x.cast(DoubleType) * y),
-        lit(0.0), (acc, x) => acc + x)
+      val dotP = graft.functions.FloatVecDot.fdot(v, planeLit(p))
       when(dotP >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
   }

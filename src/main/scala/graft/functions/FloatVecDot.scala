@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 
-/** Native dot product of two float-array columns, accumulated in double.
+/** Native dot product of two float/double-array columns, accumulated in double.
   *
   * The higher-order-function formulation (`aggregate(zip_with(a, b, *), 0d, +)`)
   * is a CodegenFallback chain: per element it allocates lambda variables and
@@ -25,29 +25,44 @@ import org.apache.spark.sql.types._
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(t: DataType) = t match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    }
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects two array<float> inputs, got ${left.dataType} / ${right.dataType}")
+  private def elemType(t: DataType): Option[DataType] = t match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
   }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemType(left.dataType).isDefined && elemType(right.dataType).isDefined)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_vec_dot"
+
+  private def get(a: ArrayData, t: DataType, i: Int): Double = t match {
+    case FloatType => a.getFloat(i).toDouble
+    case _ => a.getDouble(i)
+  }
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    val lt = elemType(left.dataType).get
+    val rt = elemType(right.dataType).get
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      acc += get(a, lt, i) * get(b, rt, i)
       i += 1
     }
     acc
+  }
+
+  private def genGet(arr: String, t: DataType, i: String): String = t match {
+    case FloatType => s"((double) $arr.getFloat($i))"
+    case _ => s"$arr.getDouble($i)"
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -55,11 +70,13 @@ case class FloatVecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val lt = elemType(left.dataType).get
+      val rt = elemType(right.dataType).get
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  $acc += ${genGet(a, lt, i)} * ${genGet(b, rt, i)};
          |}
          |${ev.value} = $acc;
        """.stripMargin
