@@ -1,0 +1,28 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers graft's native expressions
+  * with the function registry, so SQL text can call them —
+  * {{{
+  *   SparkSession.builder().withExtensions(new GraftExtensions)...
+  *   // or: spark.sql.extensions=graft.functions.GraftExtensions
+  *   spark.sql("SELECT float_vec_dot(a, b) FROM vecs")
+  * }}}
+  * The Column API (`FloatVecDot.fdot`) works without this — registration only
+  * adds the SQL-text surface, which is why no query in Registry depends on it
+  * (the driver may build sessions without extensions).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("float_vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "float_vec_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "float_vec_dot(a, b) takes exactly 2 arguments")
+        FloatVecDot(children.head, children(1))
+      }))
+  }
+}
