@@ -159,6 +159,23 @@ object Versioned {
       "head_version", "n_files", "object_roundtrip", "branches")
   }
 
+  /** Data-skipping read: range-layout the table, record per-file min/max in
+    * the commit, then answer a range predicate by pruning files BEFORE the
+    * scan (VersionedTableSpec asserts the file-count drop; the oracle pins
+    * the answer). The lakehouse analog of Delta data skipping. */
+  val qVtSkipRead: QueryDef = q("q_vt_skip_read")(
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_orderkey BETWEEN 100 AND 500 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val vt = VersionedTable.create(Tables.scratch("vt_skip_read"))
+    vt.write(Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      .repartitionByRange(8, col("o_orderkey")), "main", "range layout",
+      statsCols = Seq("o_orderkey"))
+    vt.readWhere(s, "main", "o_orderkey", 100d, 500d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   val defs: Seq[QueryDef] = Seq(qVtWriteVersions, qVtReadLatest, qVtTimeTravel,
-    qVtBranch, qVtCommit, qVtDiff, qVtMerge, qVtRevert, qVtVacuum, qVtObjects)
+    qVtBranch, qVtCommit, qVtDiff, qVtMerge, qVtRevert, qVtVacuum, qVtObjects,
+    qVtSkipRead)
 }

@@ -37,7 +37,11 @@ final case class Commit(
     files: Vector[String],
     schemaJson: String,
     message: String,
-    ts: Long)
+    ts: Long,
+    /** Optional per-file column statistics for data skipping:
+      * file → column → (min, max). Populated when the writer is given
+      * `statsCols`; absent entries mean "no stats, never skip this file". */
+    stats: Map[String, Map[String, (Double, Double)]] = Map.empty)
 
 /** JSON codec + crash-safe filesystem helpers for the commit log.
   *
@@ -58,6 +62,18 @@ object CommitLog {
     m.put("schemaJson", c.schemaJson)
     m.put("message", c.message)
     m.put("ts", java.lang.Long.valueOf(c.ts))
+    if (c.stats.nonEmpty) {
+      val sm = new java.util.LinkedHashMap[String, Object]()
+      c.stats.toSeq.sortBy(_._1).foreach { case (file, cols) =>
+        val cm = new java.util.LinkedHashMap[String, Object]()
+        cols.toSeq.sortBy(_._1).foreach { case (col, (mn, mx)) =>
+          cm.put(col, java.util.List.of(
+            java.lang.Double.valueOf(mn), java.lang.Double.valueOf(mx)))
+        }
+        sm.put(file, cm)
+      }
+      m.put("stats", sm)
+    }
     mapper.writeValueAsString(m)
   }
 
@@ -70,7 +86,15 @@ object CommitLog {
       files = m.get("files").asInstanceOf[java.util.List[String]].asScala.toVector,
       schemaJson = m.get("schemaJson").asInstanceOf[String],
       message = m.get("message").asInstanceOf[String],
-      ts = m.get("ts").asInstanceOf[Number].longValue())
+      ts = m.get("ts").asInstanceOf[Number].longValue(),
+      stats = Option(m.get("stats")).map { raw =>
+        raw.asInstanceOf[java.util.Map[String, java.util.Map[String, java.util.List[Number]]]]
+          .asScala.map { case (file, cols) =>
+            file -> cols.asScala.map { case (col, mm) =>
+              col -> (mm.get(0).doubleValue(), mm.get(1).doubleValue())
+            }.toMap
+          }.toMap
+      }.getOrElse(Map.empty))
   }
 
   /** Atomic file write: tmp file in the same directory + atomic rename. */

@@ -91,11 +91,39 @@ final class VersionedTable private (val root: Path) {
     * list with the new files — an O(metadata) append, no data rewrite.
     */
   def write(df: DataFrame, branch: String = "main", message: String = "",
-            mode: String = "overwrite"): Commit = synchronized {
+            mode: String = "overwrite", statsCols: Seq[String] = Nil): Commit = synchronized {
     val parent = head(branch)
     val newFiles = writeDataFiles(df, branch, parent.map(_.version + 1).getOrElse(0L))
+    val newStats = if (statsCols.isEmpty) Map.empty[String, Map[String, (Double, Double)]]
+                   else collectFileStats(df.sparkSession, newFiles, statsCols)
+    val parentStats = if (mode == "append") parent.map(_.stats).getOrElse(Map.empty)
+                      else Map.empty[String, Map[String, (Double, Double)]]
     publish(branch, parent, message, df.schema,
-      if (mode == "append") parent.map(_.files).getOrElse(Vector.empty) ++ newFiles else newFiles)
+      if (mode == "append") parent.map(_.files).getOrElse(Vector.empty) ++ newFiles else newFiles,
+      parentStats ++ newStats)
+  }
+
+  /** Per-file min/max stats for `cols`, computed in ONE Spark job over the
+    * just-written files (grouped by input_file_name) — the commit-log
+    * equivalent of Delta's data-skipping stats. At 100 TB you would read
+    * parquet footers instead of rescanning; one extra columnar scan of the
+    * fresh files keeps this dependency-free and exact. */
+  private def collectFileStats(spark: SparkSession, files: Vector[String],
+                               cols: Seq[String]): Map[String, Map[String, (Double, Double)]] = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val paths = files.map(f => root.resolve(f).toString)
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__min_$c"), max(col(c).cast("double")).as(s"__max_$c")))
+    spark.read.parquet(paths: _*)
+      .groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        val file = r.getString(0).stripPrefix("file:")
+        val rel = root.relativize(java.nio.file.Paths.get(file)).toString
+        rel -> cols.zipWithIndex.map { case (c, i) =>
+          c -> (r.getDouble(1 + 2 * i), r.getDouble(2 + 2 * i))
+        }.toMap
+      }.toMap
   }
 
   /** Stage a snapshot on `branch` without committing (lakeFS staging area,
@@ -141,11 +169,12 @@ final class VersionedTable private (val root: Path) {
   }
 
   private def publish(branch: String, parent: Option[Commit], message: String,
-                      schema: StructType, files: Vector[String]): Commit = {
+                      schema: StructType, files: Vector[String],
+                      stats: Map[String, Map[String, (Double, Double)]] = Map.empty): Commit = {
     val version = parent.map(_.version + 1).getOrElse(0L)
     val id = s"$branch-v$version-${java.util.UUID.randomUUID.toString.take(8)}"
     val c = Commit(id, parent.map(_.id), version, files, schema.json, message,
-      System.currentTimeMillis())
+      System.currentTimeMillis(), stats)
     CommitLog.writeAtomic(commitsDir.resolve(id + ".json"), CommitLog.toJson(c))
     CommitLog.writeAtomic(refsDir.resolve(branch), id)
     c
@@ -156,6 +185,26 @@ final class VersionedTable private (val root: Path) {
   def read(spark: SparkSession, branch: String = "main"): DataFrame =
     readCommit(spark, head(branch).getOrElse(
       throw new IllegalArgumentException(s"no such branch: $branch")))
+
+  /** Data-skipping read: prune the snapshot's file list with the commit's
+    * per-file [min,max] stats for `column` before Spark ever lists them, then
+    * apply the residual filter. Files without stats are conservatively kept.
+    * This is the lakehouse file-skipping contract: at 100 TB the win is not
+    * reading (or even listing) the 99% of files whose range can't match. */
+  def readWhere(spark: SparkSession, branch: String, column: String,
+                lower: Double, upper: Double): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val c = head(branch).getOrElse(
+      throw new IllegalArgumentException(s"no such branch: $branch"))
+    val keep = c.files.filter { f =>
+      c.stats.get(f).flatMap(_.get(column)) match {
+        case Some((mn, mx)) => mx >= lower && mn <= upper
+        case None => true
+      }
+    }
+    readCommit(spark, c.copy(files = keep))
+      .where(col(column).cast("double").between(lower, upper))
+  }
 
   /** Delta `versionAsOf` time travel (`jobs/vdt4.py:80-81`, S6/V8). */
   def readVersion(spark: SparkSession, branch: String, version: Long): DataFrame = {

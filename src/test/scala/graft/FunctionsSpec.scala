@@ -11,18 +11,28 @@ class FunctionsSpec extends SparkSpec {
   import spark.implicits._
 
   test("GraftExtensions registers float_vec_dot for SQL text") {
-    val s2 = SparkSession.builder()
-      .master("local[2]")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
+    // getOrCreate returns the suite's shared session (extensions ignored) —
+    // clear the active/default session so a NEW SparkSession (same context)
+    // is built WITH the extensions, then restore the shared one.
+    val shared = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
       import s2.implicits._
       Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
         .createOrReplaceTempView("vecs")
       val r = s2.sql("SELECT float_vec_dot(a, b) AS d FROM vecs").as[Double].head()
       assert(r === 11.0)
-    } finally s2.catalog.dropTempView("vecs")
+      s2.catalog.dropTempView("vecs")
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
   }
 
   test("FloatVecDot rejects non-array inputs at analysis time") {

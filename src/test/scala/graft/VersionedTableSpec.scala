@@ -120,6 +120,29 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.read(spark, "main").columns === Array("x", "s", "d"))
   }
 
+  test("data skipping: stats recorded, files pruned, answers unchanged") {
+    import org.apache.spark.sql.functions.col
+    val vt = freshVt("skipping")
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    vt.write(orders.repartitionByRange(8, col("o_orderkey")), "main", "layout",
+      statsCols = Seq("o_orderkey"))
+    val head = vt.head("main").get
+    assert(head.stats.nonEmpty && head.stats.size === head.files.size)
+    // round-trip through JSON preserved the stats
+    assert(vt.loadCommit(head.id).stats === head.stats)
+    val skipped = vt.readWhere(spark, "main", "o_orderkey", 10d, 60d)
+    assert(skipped.inputFiles.length < head.files.size,
+      s"expected pruning, read ${skipped.inputFiles.length}/${head.files.size} files")
+    val expected = orders.where(col("o_orderkey").between(10, 60))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(skipped.select("o_orderkey", "o_custkey")
+      .as[(Long, Long)].collect().sorted.toSeq === expected)
+    // files without stats are conservatively kept: append without statsCols
+    vt.write(orders.limit(5), "main", "no-stats append", mode = "append")
+    val all = vt.readWhere(spark, "main", "o_orderkey", 10d, 60d)
+    assert(all.count() >= skipped.count())
+  }
+
   test("commit publication is atomic: no partial refs/commits on disk") {
     val vt = freshVt("atomic")
     vt.write(df(1), "main", "v0")
