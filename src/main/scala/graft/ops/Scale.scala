@@ -106,6 +106,25 @@ object Scale {
       .orderBy("o_custkey")
   }
 
+  /** 16-bit Z-order (Morton) interleave of two numeric columns, each rank-
+    * normalized to [0, 65535] with cut points from a driver-side action.
+    * Layout-sorting by the Z-value clusters BOTH dimensions, so per-file
+    * min/max stats can skip files for predicates on EITHER column — the
+    * standard multi-dimensional clustering recipe (Delta/Iceberg OPTIMIZE
+    * ZORDER). Pure bit arithmetic on codegen'd built-ins. */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+             aMin: Double, aMax: Double, bMin: Double, bMax: Double): org.apache.spark.sql.Column = {
+    def norm(c: org.apache.spark.sql.Column, lo: Double, hi: Double) =
+      least(lit(65535), greatest(lit(0),
+        ((c.cast(DoubleType) - lo) / (if (hi > lo) hi - lo else 1.0) * 65535).cast(IntegerType)))
+    val an = norm(a, aMin, aMax)
+    val bn = norm(b, bMin, bMax)
+    (0 until 16).map { i =>
+      (shiftleft(shiftright(an, i).bitwiseAND(1), 2 * i + 1) +
+        shiftleft(shiftright(bn, i).bitwiseAND(1), 2 * i)).cast(LongType)
+    }.reduce(_ + _)
+  }
+
   val defs: Seq[QueryDef] = Seq(qAggSalted, qJoinBucketed, qPartitionedScan,
     qRepartitionReuse)
 }

@@ -298,6 +298,16 @@ final class VersionedTable private (val root: Path) {
     dead.size
   }
 
+  /** Small-file compaction: rewrite the head snapshot into `numFiles` files
+    * as a NEW version (history intact — old versions still time-travel, and
+    * vacuum reclaims the small files once they fall off the retention
+    * horizon). The at-scale answer to streaming/append write amplification. */
+  def compact(spark: SparkSession, branch: String = "main", numFiles: Int = 1,
+              statsCols: Seq[String] = Nil): Commit = {
+    val df = read(spark, branch).repartition(numFiles)
+    write(df, branch, s"compact to $numFiles files", statsCols = statsCols)
+  }
+
   /** V10 upload/rm analog: raw object ops under the table root (staging dir). */
   def putObject(rel: String, content: String): Unit =
     CommitLog.writeAtomic(root.resolve(rel), content)

@@ -143,6 +143,42 @@ class VersionedTableSpec extends SparkSpec {
     assert(all.count() >= skipped.count())
   }
 
+  test("compaction shrinks the file count, preserves content and history") {
+    import org.apache.spark.sql.functions.col
+    val vt = freshVt("compact")
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    val c0 = vt.write(orders.repartition(8), "main", "many small files")
+    assert(c0.files.size === 8)
+    val c1 = vt.compact(spark, "main", numFiles = 2)
+    assert(c1.files.size === 2 && c1.version === 1)
+    val before = orders.as[(Long, Long)].collect().sorted.toSeq
+    assert(vt.read(spark, "main").as[(Long, Long)].collect().sorted.toSeq === before)
+    // the pre-compaction version still time-travels
+    assert(vt.readVersion(spark, "main", 0).count() === before.size.toLong)
+  }
+
+  test("z-order layout lets stats skip files on EITHER dimension") {
+    import org.apache.spark.sql.functions.col
+    val vt = freshVt("zorder")
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+    val Array(okMin, okMax) = orders.selectExpr("CAST(min(o_orderkey) AS DOUBLE)",
+      "CAST(max(o_orderkey) AS DOUBLE)").collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+    val Array(tpMin, tpMax) = orders.selectExpr("min(o_totalprice)", "max(o_totalprice)")
+      .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+    val z = ops.Scale.zValue(col("o_orderkey"), col("o_totalprice"), okMin, okMax, tpMin, tpMax)
+    vt.write(orders.withColumn("__z", z).repartitionByRange(8, col("__z"))
+      .sortWithinPartitions("__z").drop("__z"),
+      "main", "zorder layout", statsCols = Seq("o_orderkey", "o_totalprice"))
+    val nFiles = vt.head("main").get.files.size
+    val byKey = vt.readWhere(spark, "main", "o_orderkey", okMin, okMin + (okMax - okMin) / 16)
+    val byPrice = vt.readWhere(spark, "main", "o_totalprice", tpMin, tpMin + (tpMax - tpMin) / 16)
+    assert(byKey.inputFiles.length < nFiles, s"no skipping on o_orderkey: ${byKey.inputFiles.length}/$nFiles")
+    assert(byPrice.inputFiles.length < nFiles, s"no skipping on o_totalprice: ${byPrice.inputFiles.length}/$nFiles")
+    // answers still exact
+    val expected = orders.where(col("o_totalprice").between(tpMin, tpMin + (tpMax - tpMin) / 16)).count()
+    assert(byPrice.count() === expected)
+  }
+
   test("commit publication is atomic: no partial refs/commits on disk") {
     val vt = freshVt("atomic")
     vt.write(df(1), "main", "v0")
