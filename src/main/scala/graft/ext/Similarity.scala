@@ -19,10 +19,11 @@ import graft.QueryDef.{sql => q, rowsOnly}
   *    multi-probe. Hyperplanes are seed-42 deterministic so results (and the
   *    oracle) are reproducible.
   *
-  * All vector math is built-in higher-order functions (`zip_with` +
-  * `aggregate`) over double-cast elements — codegen-friendly, no UDFs, and
-  * bit-reproducible across engines because both fold the 64 products in
-  * index order.
+  * Vector math runs through the native codegen'd
+  * [[graft.functions.FloatVecDot]] (doGenCode loop, no UDFs); `q_vector_math`
+  * keeps the equivalent higher-order-function formulation on the books. Both
+  * fold the 64 products in index order with double accumulation, so scores
+  * are bit-reproducible across engines (and against the DuckDB oracle).
   */
 object Similarity {
 

@@ -175,7 +175,18 @@ object Versioned {
       .orderBy("o_orderkey")
   }
 
+  /** Append-mode ingestion: v1 = v0's files + the new files (O(metadata)
+    * append, no rewrite — the incremental-load path). Head reads the union. */
+  val qVtAppend: QueryDef = q("q_vt_append")(
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""") { (s, d) =>
+    val vt = VersionedTable.create(Tables.scratch("vt_append"))
+    val nation = Tables.nation(s, d)
+    vt.write(nation.where(col("n_regionkey") < 2), "main", "v0 initial load")
+    vt.write(nation.where(col("n_regionkey") >= 2), "main", "v1 increment", mode = "append")
+    vt.read(s, "main").select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
+  }
+
   val defs: Seq[QueryDef] = Seq(qVtWriteVersions, qVtReadLatest, qVtTimeTravel,
     qVtBranch, qVtCommit, qVtDiff, qVtMerge, qVtRevert, qVtVacuum, qVtObjects,
-    qVtSkipRead)
+    qVtSkipRead, qVtAppend)
 }
