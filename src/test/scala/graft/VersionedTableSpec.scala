@@ -179,6 +179,32 @@ class VersionedTableSpec extends SparkSpec {
     assert(byPrice.count() === expected)
   }
 
+  test("commit messages with quotes, newlines and unicode survive the JSON codec") {
+    val vt = freshVt("unicode")
+    val msg = "tricky \"message\"\nwith newline, tab\t, unicode \u00e9\u4e2d\u6587 and backslash \\"
+    val c = vt.write(df(1), "main", msg)
+    assert(vt.loadCommit(c.id).message === msg)
+    assert(vt.read(spark, "main").as[Int].collect() === Array(1))
+  }
+
+  test("concurrent writers on distinct branches all publish consistently") {
+    val vt = freshVt("concurrent")
+    vt.write(df(0), "main", "root")
+    (1 to 6).foreach(i => vt.createBranch(s"b$i", "main"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes = (1 to 6).map { i =>
+      Future { vt.write(df(i, i * 10), s"b$i", s"branch $i payload") }
+    }
+    Await.result(Future.sequence(writes), 120.seconds)
+    (1 to 6).foreach { i =>
+      assert(vt.read(spark, s"b$i").as[Int].collect().sorted === Array(i, i * 10))
+      assert(vt.head(s"b$i").get.version === 1)
+    }
+    assert(vt.read(spark, "main").as[Int].collect() === Array(0)) // untouched
+  }
+
   test("commit publication is atomic: no partial refs/commits on disk") {
     val vt = freshVt("atomic")
     vt.write(df(1), "main", "v0")
