@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.{QueryDef, Tables}
-import graft.QueryDef.{sql => q, rowsOnly}
+import graft.QueryDef.{sql => q}
 
 /** Similarity search over the `embeddings` table (`Array[Float]`, 64-dim).
   *
