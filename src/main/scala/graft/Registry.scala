@@ -17,6 +17,7 @@ object Registry {
       ext.DedupCluster.defs ++
       ext.Similarity.defs ++
       ext.Ivf.defs ++
+      ext.CorpusPipeline.defs ++
       ext.TextAnalysis.defs ++
       ext.Multimodal.defs ++
       streaming.EventsStreaming.defs
@@ -34,5 +35,6 @@ object Registry {
     "q_mode_per_group", "q_count_over", "q_sort_desc", "q_topk",
     "q_string_indexer", "q_quantile_bucket",
     "q_dedup_exact", "q_dedup_minhash", "q_topk_cosine", "q_ann_lsh",
-    "q_text_stats", "q_token_count", "q_sessionize", "q_window_tumbling")
+    "q_text_stats", "q_token_count", "q_sessionize", "q_window_tumbling",
+    "q_corpus_pipeline")
 }
