@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
 import graft.QueryDef.{sql => q, rowsOnly}
-import graft.vt.VersionedTable
+import graft.vt.{Repo, VersionedTable}
 
 /** Versioning operators (SURVEY.md §2.11) surfaced as driver-checkable
   * queries. Each builds a fresh VersionedTable under scratch, drives the
@@ -186,7 +186,36 @@ object Versioned {
     vt.read(s, "main").select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
   }
 
+  /** lakeFS-faithful repo semantics: ONE commit atomically covers writes to
+    * MULTIPLE tables (nation + region staged, then committed together; a
+    * second commit updates only nation — region rides along untouched, and
+    * repo-wide time travel still sees v0 of both). */
+  val qRepoCommit: QueryDef = q("q_repo_commit")(
+    """SELECT 'nation_v1' AS part, CAST(n_nationkey AS BIGINT) AS k, n_name AS name FROM nation
+      |UNION ALL
+      |SELECT 'region_v1' AS part, CAST(r_regionkey AS BIGINT) AS k, r_name AS name FROM region
+      |UNION ALL
+      |SELECT 'nation_v0' AS part, CAST(n_nationkey AS BIGINT) AS k, n_name AS name FROM nation WHERE n_regionkey < 2
+      |ORDER BY part, k""".stripMargin) { (s, d) =>
+    val repo = Repo.create(Tables.scratch("repo_commit"))
+    repo.stageWrite(Tables.nation(s, d).where(col("n_regionkey") < 2), "main", "nation")
+    repo.stageWrite(Tables.region(s, d), "main", "region")
+    repo.commit("main", "v0: both tables in one commit")
+    repo.stageWrite(Tables.nation(s, d), "main", "nation")
+    repo.commit("main", "v1: nation only; region carried forward")
+    repo.readTable(s, "main", "nation")
+      .select(lit("nation_v1").as("part"), col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"))
+      .unionByName(repo.readTable(s, "main", "region")
+        .select(lit("region_v1").as("part"), col("r_regionkey").cast("long").as("k"),
+          col("r_name").as("name")))
+      .unionByName(repo.readTableAsOf(s, "main", "nation", 0)
+        .select(lit("nation_v0").as("part"), col("n_nationkey").cast("long").as("k"),
+          col("n_name").as("name")))
+      .orderBy("part", "k")
+  }
+
   val defs: Seq[QueryDef] = Seq(qVtWriteVersions, qVtReadLatest, qVtTimeTravel,
     qVtBranch, qVtCommit, qVtDiff, qVtMerge, qVtRevert, qVtVacuum, qVtObjects,
-    qVtSkipRead, qVtAppend)
+    qVtSkipRead, qVtAppend, qRepoCommit)
 }

@@ -1,0 +1,153 @@
+package graft.vt
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** A multi-table repository with ATOMIC cross-table commits — the faithful
+  * lakeFS model (reference `README.md:62-147`): a lakeFS commit snapshots the
+  * WHOLE repo (every object path), not a single table. `VersionedTable` is
+  * the per-table analog; `Repo` adds the repo-wide transaction: stage writes
+  * to any number of tables, then one `commit` publishes them together — a
+  * reader on the branch either sees all of the batch or none of it.
+  *
+  * Implementation: one commit log (reusing [[CommitLog]]'s record + atomic
+  * rename publication); `files` entries are namespaced `tableName/…` paths and
+  * `schemaJson` holds a JSON object of per-table schemas. Branch / merge /
+  * diff / time-travel semantics carry over from the single-table layer
+  * unchanged, because they only manipulate commit ids and file lists.
+  *
+  * Scale posture matches VersionedTable: metadata is O(tables + files) JSON,
+  * data files are immutable parquet read through the stock DataFrameReader.
+  */
+final class Repo private (val root: Path) {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private def commitsDir = root.resolve("commits")
+  private def refsDir = root.resolve("refs")
+  private def dataDir = root.resolve("data")
+
+  /** branch → staged (table → (files, schemaJson)) accumulated until commit. */
+  private val staged = scala.collection.mutable.Map
+    .empty[String, scala.collection.mutable.LinkedHashMap[String, (Vector[String], String)]]
+
+  def head(branch: String): Option[Commit] = {
+    val ref = refsDir.resolve(branch)
+    if (Files.exists(ref))
+      Some(CommitLog.fromJson(CommitLog.readString(commitsDir.resolve(
+        CommitLog.readString(ref).trim + ".json"))))
+    else None
+  }
+
+  /** Data files live under `data/<table>/…` relative to the repo root. */
+  private def tablePrefix(table: String): String = s"data/$table/"
+
+  private def tableFiles(c: Commit, table: String): Vector[String] =
+    c.files.filter(_.startsWith(tablePrefix(table)))
+
+  private def tableSchemas(c: Commit): Map[String, String] = {
+    val m = mapper.readValue(c.schemaJson, classOf[java.util.Map[String, String]])
+    import scala.jdk.CollectionConverters._
+    m.asScala.toMap
+  }
+
+  /** Stage a table write on `branch`; nothing is visible until [[commit]]. */
+  def stageWrite(df: DataFrame, branch: String, table: String): Unit = synchronized {
+    require(!table.contains("/"), "table names must not contain '/'")
+    val version = head(branch).map(_.version + 1).getOrElse(0L)
+    val rel = s"$table/$branch-v$version-${java.util.UUID.randomUUID.toString.take(8)}"
+    val out = dataDir.resolve(rel)
+    df.write.mode("overwrite").parquet(out.toString)
+    import scala.jdk.CollectionConverters._
+    val files = Files.list(out).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => root.relativize(p).toString).toVector.sorted
+    staged.getOrElseUpdate(branch, scala.collection.mutable.LinkedHashMap.empty)
+      .put(table, (files, df.schema.json))
+  }
+
+  /** Publish every staged table of `branch` as ONE commit (atomic rename of
+    * the ref: concurrent readers see the old snapshot or the full new one). */
+  def commit(branch: String, message: String): Commit = synchronized {
+    val batch = staged.getOrElse(branch,
+      throw new IllegalStateException(s"nothing staged on $branch"))
+    require(batch.nonEmpty, s"nothing staged on $branch")
+    val parent = head(branch)
+    val parentSchemas = parent.map(tableSchemas).getOrElse(Map.empty)
+    val untouched = parent.map(_.files.filterNot(f =>
+      batch.keys.exists(t => f.startsWith(tablePrefix(t))))).getOrElse(Vector.empty)
+    val files = untouched ++ batch.values.flatMap(_._1)
+    val schemas = parentSchemas ++ batch.map { case (t, (_, sj)) => t -> sj }
+    val schemaJson = {
+      val m = new java.util.LinkedHashMap[String, String]()
+      schemas.toSeq.sortBy(_._1).foreach { case (k, v) => m.put(k, v) }
+      mapper.writeValueAsString(m)
+    }
+    val version = parent.map(_.version + 1).getOrElse(0L)
+    val id = s"$branch-v$version-${java.util.UUID.randomUUID.toString.take(8)}"
+    val c = Commit(id, parent.map(_.id), version, files.toVector, schemaJson,
+      message, System.currentTimeMillis())
+    CommitLog.writeAtomic(commitsDir.resolve(id + ".json"), CommitLog.toJson(c))
+    CommitLog.writeAtomic(refsDir.resolve(branch), id)
+    staged.remove(branch)
+    c
+  }
+
+  /** Discard staged writes and their data files (lakeFS reset). */
+  def reset(branch: String): Unit = synchronized {
+    staged.remove(branch).foreach(_.values.foreach(_._1.foreach(f =>
+      Files.deleteIfExists(root.resolve(f)))))
+  }
+
+  def readTable(spark: SparkSession, branch: String, table: String): DataFrame = {
+    val c = head(branch).getOrElse(
+      throw new IllegalArgumentException(s"no such branch: $branch"))
+    readTableAt(spark, c, table)
+  }
+
+  /** Repo-wide time travel: every table as of one repo version. */
+  def readTableAsOf(spark: SparkSession, branch: String, table: String,
+                    version: Long): DataFrame = {
+    @annotation.tailrec
+    def walk(c: Commit): Commit =
+      if (c.version == version) c
+      else c.parent match {
+        case Some(p) => walk(CommitLog.fromJson(CommitLog.readString(
+          commitsDir.resolve(p + ".json"))))
+        case None => throw new IllegalArgumentException(s"no version $version on $branch")
+      }
+    readTableAt(spark, walk(head(branch).getOrElse(
+      throw new IllegalArgumentException(s"no such branch: $branch"))), table)
+  }
+
+  private def readTableAt(spark: SparkSession, c: Commit, table: String): DataFrame = {
+    val schema = DataType.fromJson(tableSchemas(c).getOrElse(table,
+      throw new IllegalArgumentException(s"no table '$table' in commit ${c.id}")))
+      .asInstanceOf[StructType]
+    val files = tableFiles(c, table)
+    if (files.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    else spark.read.schema(schema).parquet(files.map(f => root.resolve(f).toString): _*)
+  }
+
+  def tables(branch: String): Seq[String] =
+    head(branch).map(tableSchemas(_).keys.toSeq.sorted).getOrElse(Seq.empty)
+
+  /** lakeFS branch create: zero-copy head pointer. */
+  def createBranch(name: String, from: String = "main"): Unit = synchronized {
+    require(!Files.exists(refsDir.resolve(name)), s"branch exists: $name")
+    val h = head(from).getOrElse(throw new IllegalArgumentException(s"no such branch: $from"))
+    CommitLog.writeAtomic(refsDir.resolve(name), h.id)
+  }
+}
+
+object Repo {
+  def create(root: String): Repo = {
+    val p = Paths.get(root)
+    Files.createDirectories(p.resolve("commits"))
+    Files.createDirectories(p.resolve("refs"))
+    Files.createDirectories(p.resolve("data"))
+    new Repo(p)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.vt.Repo
+
+/** Multi-table repo semantics: atomic cross-table commits, reset drops the
+  * whole staged batch, untouched tables carry forward, repo-wide time travel,
+  * zero-copy branches. */
+class RepoSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("one commit atomically covers writes to multiple tables") {
+    val repo = Repo.create(Tables.scratch("repo_atomic"))
+    repo.stageWrite(Seq(1, 2).toDF("x"), "main", "a")
+    repo.stageWrite(Seq("p", "q").toDF("s"), "main", "b")
+    // before commit: branch does not even exist for readers
+    assert(repo.head("main").isEmpty)
+    val c = repo.commit("main", "both at once")
+    assert(c.version === 0)
+    assert(repo.tables("main") === Seq("a", "b"))
+    assert(repo.readTable(spark, "main", "a").as[Int].collect().sorted === Array(1, 2))
+    assert(repo.readTable(spark, "main", "b").as[String].collect().sorted === Array("p", "q"))
+  }
+
+  test("reset discards the entire staged batch") {
+    val repo = Repo.create(Tables.scratch("repo_reset"))
+    repo.stageWrite(Seq(1).toDF("x"), "main", "a")
+    repo.commit("main", "v0")
+    repo.stageWrite(Seq(9).toDF("x"), "main", "a")
+    repo.stageWrite(Seq(9).toDF("x"), "main", "c")
+    repo.reset("main")
+    assertThrows[IllegalStateException](repo.commit("main", "empty"))
+    assert(repo.readTable(spark, "main", "a").as[Int].collect() === Array(1))
+    assert(repo.tables("main") === Seq("a"))
+  }
+
+  test("untouched tables carry forward; repo-wide time travel sees old state") {
+    val repo = Repo.create(Tables.scratch("repo_carry"))
+    repo.stageWrite(Seq(1).toDF("x"), "main", "a")
+    repo.stageWrite(Seq(10).toDF("x"), "main", "b")
+    repo.commit("main", "v0")
+    repo.stageWrite(Seq(2).toDF("x"), "main", "a") // only table a changes
+    repo.commit("main", "v1")
+    assert(repo.readTable(spark, "main", "a").as[Int].collect() === Array(2))
+    assert(repo.readTable(spark, "main", "b").as[Int].collect() === Array(10)) // carried
+    assert(repo.readTableAsOf(spark, "main", "a", 0).as[Int].collect() === Array(1))
+    assert(repo.readTableAsOf(spark, "main", "b", 0).as[Int].collect() === Array(10))
+  }
+
+  test("branches are zero-copy and isolated across all tables") {
+    val repo = Repo.create(Tables.scratch("repo_branch"))
+    repo.stageWrite(Seq(1).toDF("x"), "main", "a")
+    repo.commit("main", "v0")
+    repo.createBranch("dev", "main")
+    repo.stageWrite(Seq(2).toDF("x"), "dev", "a")
+    repo.stageWrite(Seq(3).toDF("x"), "dev", "new_table")
+    repo.commit("dev", "dev work")
+    assert(repo.readTable(spark, "main", "a").as[Int].collect() === Array(1))
+    assert(repo.tables("main") === Seq("a"))
+    assert(repo.readTable(spark, "dev", "a").as[Int].collect() === Array(2))
+    assert(repo.tables("dev") === Seq("a", "new_table"))
+  }
+}
