@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -141,6 +142,38 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Out-of-vocabulary rate against a LEARNED corpus vocabulary: fit = the
+    * top-100 tokens by corpus frequency (count desc, token asc), transform =
+    * per-doc fraction of tokens outside it. The fit→broadcast→transform shape
+    * mirrors StringIndexer; the division is exact-int arithmetic so the
+    * oracle replays it bit-for-bit. A standard corpus-quality signal (high
+    * OOV ≈ noise / wrong language / code). */
+  val qOovRate: QueryDef = q("q_oov_rate")(
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |     vocab AS (SELECT w FROM (SELECT w, count(*) AS c,
+      |                       row_number() OVER (ORDER BY count(*) DESC, w) AS rn
+      |                FROM toks GROUP BY w) WHERE rn <= 100),
+      |     per_doc AS (SELECT t.doc_id, count(*) AS n_tokens,
+      |                        count(v.w) AS in_vocab
+      |                 FROM toks t LEFT JOIN vocab v ON t.w = v.w
+      |                 GROUP BY t.doc_id)
+      |SELECT doc_id, n_tokens, in_vocab,
+      |       CAST(n_tokens - in_vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+      |FROM per_doc ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val w100 = Window.orderBy(col("c").desc, col("w").asc)
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(w100)).where(col("rn") <= 100)
+      .select(col("w").as("vw"))
+    toks.join(broadcast(vocab), col("w") === col("vw"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), count(col("vw")).as("in_vocab"))
+      .withColumn("oov_rate",
+        (col("n_tokens") - col("in_vocab")).cast(DoubleType) / col("n_tokens").cast(DoubleType))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(qTextStats, qLangId, qTokenCount,
-    qDocFingerprint, qQualityScore)
+    qDocFingerprint, qQualityScore, qOovRate)
 }

@@ -140,6 +140,41 @@ final class Repo private (val root: Path) {
     val h = head(from).getOrElse(throw new IllegalArgumentException(s"no such branch: $from"))
     CommitLog.writeAtomic(refsDir.resolve(name), h.id)
   }
+
+  private def loadCommit(id: String): Commit =
+    CommitLog.fromJson(CommitLog.readString(commitsDir.resolve(id + ".json")))
+
+  private def isAncestor(maybeAncestor: String, of: Commit): Boolean = {
+    @annotation.tailrec
+    def walk(c: Commit): Boolean =
+      if (c.id == maybeAncestor) true
+      else c.parent match {
+        case Some(p) => walk(loadCommit(p))
+        case None => false
+      }
+    walk(of)
+  }
+
+  /** lakeFS merge: fast-forward across ALL tables at once, or conflict when
+    * the target moved since the branch point (object-level conflict rule). */
+  def merge(from: String, into: String): Commit = synchronized {
+    val src = head(from).getOrElse(throw new IllegalArgumentException(s"no such branch: $from"))
+    val dst = head(into).getOrElse(throw new IllegalArgumentException(s"no such branch: $into"))
+    if (src.id == dst.id) src
+    else if (isAncestor(dst.id, of = src)) {
+      CommitLog.writeAtomic(refsDir.resolve(into), src.id)
+      src
+    } else if (isAncestor(src.id, of = dst)) dst
+    else throw new IllegalStateException(
+      s"merge conflict: $into diverged from $from since the branch point")
+  }
+
+  /** lakeFS diff: repo-wide (path, change_type) between two branch heads. */
+  def diffFiles(branch: String, other: String): Seq[(String, String)] = {
+    val a = head(branch).map(_.files.toSet).getOrElse(Set.empty)
+    val b = head(other).map(_.files.toSet).getOrElse(Set.empty)
+    (a -- b).toSeq.sorted.map(_ -> "added") ++ (b -- a).toSeq.sorted.map(_ -> "removed")
+  }
 }
 
 object Repo {

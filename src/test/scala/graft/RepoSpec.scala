@@ -46,6 +46,25 @@ class RepoSpec extends SparkSpec {
     assert(repo.readTableAsOf(spark, "main", "b", 0).as[Int].collect() === Array(10))
   }
 
+  test("repo merge fast-forwards all tables; diverged targets conflict") {
+    val repo = Repo.create(Tables.scratch("repo_merge"))
+    repo.stageWrite(Seq(1).toDF("x"), "main", "a")
+    repo.commit("main", "v0")
+    repo.createBranch("dev", "main")
+    repo.stageWrite(Seq(2).toDF("x"), "dev", "a")
+    repo.stageWrite(Seq(7).toDF("x"), "dev", "b")
+    repo.commit("dev", "dev adds b, changes a")
+    repo.merge("dev", "main")
+    assert(repo.readTable(spark, "main", "a").as[Int].collect() === Array(2))
+    assert(repo.readTable(spark, "main", "b").as[Int].collect() === Array(7))
+    assert(repo.diffFiles("dev", "main").isEmpty)
+    // diverge and expect conflict
+    repo.createBranch("dev2", "main")
+    repo.stageWrite(Seq(3).toDF("x"), "dev2", "a"); repo.commit("dev2", "d2")
+    repo.stageWrite(Seq(4).toDF("x"), "main", "a"); repo.commit("main", "m2")
+    assertThrows[IllegalStateException](repo.merge("dev2", "main"))
+  }
+
   test("branches are zero-copy and isolated across all tables") {
     val repo = Repo.create(Tables.scratch("repo_branch"))
     repo.stageWrite(Seq(1).toDF("x"), "main", "a")
