@@ -215,7 +215,27 @@ object Versioned {
       .orderBy("part", "k")
   }
 
+  /** CDC between v0 and v1: inserts = the regionkey>=2 rows, no deletes. */
+  val qVtChanges: QueryDef = q("q_vt_changes")(
+    """SELECT 'insert' AS change_type, n_nationkey, n_name FROM nation WHERE n_regionkey >= 2
+      |ORDER BY change_type, n_nationkey""".stripMargin) { (s, d) =>
+    val vt = writeV0V1(s, d, "vt_changes")
+    vt.changes(s, "main", fromVersion = 0, toVersion = 1)
+      .select("change_type", "n_nationkey", "n_name")
+      .orderBy("change_type", "n_nationkey")
+  }
+
+  /** Commit history metadata (ts and file counts are run-dependent — project
+    * them away so the remaining columns are oracle-exact). */
+  val qVtHistory: QueryDef = q("q_vt_history")(
+    """SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'v1'), (CAST(0 AS BIGINT), 'v0'))
+      |  AS t(version, message) ORDER BY version DESC""".stripMargin) { (s, d) =>
+    val vt = writeV0V1(s, d, "vt_history")
+    vt.history(s, "main").select("version", "message")
+      .orderBy(col("version").desc)
+  }
+
   val defs: Seq[QueryDef] = Seq(qVtWriteVersions, qVtReadLatest, qVtTimeTravel,
     qVtBranch, qVtCommit, qVtDiff, qVtMerge, qVtRevert, qVtVacuum, qVtObjects,
-    qVtSkipRead, qVtAppend, qRepoCommit)
+    qVtSkipRead, qVtAppend, qRepoCommit, qVtChanges, qVtHistory)
 }

@@ -298,6 +298,26 @@ final class VersionedTable private (val root: Path) {
     dead.size
   }
 
+  /** CDC between two versions of a branch: row-level changes as a DataFrame
+    * of (change_type, row-columns), computed with exceptAll both ways over the
+    * two immutable snapshots — the bag-semantics diff a downstream consumer
+    * replays. Shuffles on full rows; at scale restrict to key columns first. */
+  def changes(spark: SparkSession, branch: String, fromVersion: Long,
+              toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val before = readVersion(spark, branch, fromVersion)
+    val after = readVersion(spark, branch, toVersion)
+    after.exceptAll(before).withColumn("change_type", lit("insert"))
+      .unionByName(before.exceptAll(after).withColumn("change_type", lit("delete")))
+  }
+
+  /** Commit history of a branch, newest first: (version, message, ts, n_files). */
+  def history(spark: SparkSession, branch: String): DataFrame = {
+    import spark.implicits._
+    lineage(branch).map(c => (c.version, c.message, c.ts, c.files.size))
+      .toDF("version", "message", "ts", "n_files")
+  }
+
   /** Small-file compaction: rewrite the head snapshot into `numFiles` files
     * as a NEW version (history intact — old versions still time-travel, and
     * vacuum reclaims the small files once they fall off the retention
