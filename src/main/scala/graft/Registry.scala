@@ -10,6 +10,7 @@ object Registry {
     ops.Relational.defs ++
       ops.Extras.defs ++
       ops.Scale.defs ++
+      ops.AsofJoin.defs ++
       ops.MLlite.defs ++
       ops.Pipelines.defs ++
       ops.Versioned.defs ++

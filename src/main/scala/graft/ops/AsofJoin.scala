@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.{sql => q}
+
+/** As-of join — the time-series operator Spark has no built-in for (the
+  * prompt's canonical "operator the engine lacks"). Implemented by COMPOSING
+  * built-ins (preference (a) over a custom SparkPlan): union the two sides
+  * tagged, sort each key's timeline once, and carry the last right-side value
+  * forward with `last(ignoreNulls)` over an unbounded-preceding frame.
+  *
+  * One shuffle on the join key + one in-partition sort — the same cost as a
+  * single window aggregation, versus a naive range-join's quadratic blowup.
+  * Equal timestamps match (`right.ts <= left.ts` inclusive) because right
+  * rows sort before left rows at the same instant. DuckDB's native
+  * `ASOF LEFT JOIN` provides the independent oracle.
+  */
+object AsofJoin {
+
+  /** For every `left` row, attach `valueCol` from the latest `right` row of
+    * the same `key` with `rightTs <= leftTs` (null when none precedes).
+    * `right` must be unique per (key, ts) — dedupe upstream (deterministically)
+    * or ties resolve to the row that sorts last. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               valueCol: String): DataFrame = {
+    val rightTagged = right.select(col(key), col(ts),
+      lit(0).as("__tag"), col(valueCol).as("__r_value"))
+    val leftTagged = left.withColumn("__tag", lit(1))
+      .withColumn("__r_value", lit(null).cast(right.schema(valueCol).dataType))
+    val cols = leftTagged.columns
+    val unioned = rightTagged
+      .select(cols.map(c => if (rightTagged.columns.contains(c)) col(c)
+        else lit(null).cast(leftTagged.schema(c).dataType).as(c)): _*)
+      .unionByName(leftTagged)
+    val w = Window.partitionBy(key).orderBy(col(ts).asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__asof", last(col("__r_value"), ignoreNulls = true).over(w))
+      .where(col("__tag") === 1)
+      .drop("__tag", "__r_value")
+  }
+
+  /** Events as-of-joined to the latest preceding purchase value per user. */
+  val qJoinAsof: QueryDef = q("q_join_asof")(
+    """WITH e AS (SELECT user_id, event_id,
+      |                  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+      |                  value, event_type FROM events),
+      |     r AS (SELECT user_id, sec, max(value) AS purchase_value
+      |           FROM e WHERE event_type = 'purchase' GROUP BY user_id, sec)
+      |SELECT l.user_id, l.sec, l.event_id, l.value, r.purchase_value AS last_purchase
+      |FROM e l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.sec >= r.sec
+      |ORDER BY l.user_id, l.sec, l.event_id""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).select(col("user_id"), col("event_id"),
+      col("ts").cast(LongType).as("sec"), col("value"), col("event_type"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .groupBy("user_id", "sec").agg(max("value").as("purchase_value"))
+    asofJoin(e.select("user_id", "event_id", "sec", "value"), purchases,
+      key = "user_id", ts = "sec", valueCol = "purchase_value")
+      .select(col("user_id"), col("sec"), col("event_id"), col("value"),
+        col("__asof").as("last_purchase"))
+      .orderBy("user_id", "sec", "event_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(qJoinAsof)
+}

@@ -59,6 +59,16 @@ class OperatorSpec extends SparkSpec {
     assert(m === 3.0)
   }
 
+  test("asof join: inclusive at equal ts, null before first right row") {
+    import graft.ops.AsofJoin
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 5L, 102L))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, 10L, 1.5), (1L, 15L, 2.5)).toDF("k", "t", "v")
+    val out = AsofJoin.asofJoin(left, right, "k", "t", "v")
+      .select("lid", "__asof").as[(Long, Option[Double])].collect().toMap
+    assert(out === Map(100L -> Some(1.5), 101L -> Some(2.5), 102L -> None))
+  }
+
   test("driver contract: entry() returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet ++
