@@ -66,5 +66,46 @@ object AsofJoin {
       .orderBy("user_id", "sec", "event_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(qJoinAsof)
+  // -------------------------------------------------------------------------
+  // Range join — the other interval operator Spark lacks a native strategy
+  // for. A direct inequality join plans BroadcastNestedLoopJoin (quadratic);
+  // the scale path is BIN BUCKETING: points map to one bin, intervals explode
+  // to their covering bins, the join becomes an EQUI-join on bin + a residual
+  // filter. Work scales with interval width / bin width, not |L|×|R|.
+  // -------------------------------------------------------------------------
+
+  /** Join `points` (pointCol) to `intervals` ([loCol, hiCol)) via bin
+    * bucketing. Result = all (point, interval) pairs with lo <= p < hi. */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, pointCol: String,
+                loCol: String, hiCol: String, binWidth: Double): DataFrame = {
+    val p = points.withColumn("__bin", floor(col(pointCol) / binWidth).cast(LongType))
+    val iv = intervals.withColumn("__bin", explode(sequence(
+      floor(col(loCol) / binWidth).cast(LongType),
+      floor((col(hiCol) - 1e-9) / binWidth).cast(LongType))))
+    p.join(iv, Seq("__bin"))
+      .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__bin")
+  }
+
+  /** Low-priced orders joined to 5 synthetic price bands. The oracle
+    * is DuckDB's plain inequality join; RangeJoinSpec asserts the physical
+    * plan is an equi-join (no BroadcastNestedLoopJoin). */
+  val qJoinRange: QueryDef = q("q_join_range")(
+    """WITH bands AS (SELECT r_regionkey AS band_id, r_regionkey * 8000.0 + 1000.0 AS lo,
+      |                      r_regionkey * 8000.0 + 7000.0 AS hi FROM region),
+      |     pts AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 40000)
+      |SELECT o_orderkey, o_totalprice, band_id, lo, hi
+      |FROM pts JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+      |ORDER BY o_orderkey, band_id""".stripMargin) { (s, d) =>
+    val bands = Tables.region(s, d).select(col("r_regionkey").as("band_id"),
+      (col("r_regionkey") * 8000.0 + 1000.0).as("lo"),
+      (col("r_regionkey") * 8000.0 + 7000.0).as("hi"))
+    val pts = Tables.orders(s, d).where(col("o_totalprice") < 40000)
+      .select("o_orderkey", "o_totalprice")
+    rangeJoin(pts, bands, "o_totalprice", "lo", "hi", binWidth = 1000.0)
+      .select("o_orderkey", "o_totalprice", "band_id", "lo", "hi")
+      .orderBy("o_orderkey", "band_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(qJoinAsof, qJoinRange)
 }

@@ -47,6 +47,14 @@ class ScaleSpec extends SparkSpec {
     assert(pf.contains("o_orderstatus"), s"no partition filter on o_orderstatus in:\n$scan")
   }
 
+  test("bin-bucketed range join plans an equi-join, not a nested loop") {
+    val df = graft.ops.AsofJoin.qJoinRange.impl(spark, sf)
+    val plan = executedPlan(df).toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join degenerated to a nested loop:\n$plan")
+    assert(plan.contains("Join") || plan.contains("HashJoin"), plan)
+  }
+
   test("salted aggregation equals direct aggregation exactly") {
     val direct = Tables.lineitem(spark, sf).groupBy("l_returnflag")
       .agg(sum("l_quantity").as("sum_val"), count(lit(1)).as("cnt"))
