@@ -96,27 +96,31 @@ object Relational {
   }
 
   /** S8 — Parquet sink (`jobs/vdt2.py:63-64`). Sum over a non-cents-exact
-    * double is made order-independent by rounding to integer cents first. */
+    * double is made order-independent by rounding to integers pre-sum; the
+    * rounding is `floor(x + 0.5)` rather than `round(x)` because thousands of
+    * testdata prices land exactly on .5, where round() is FP-rounding-mode
+    * dependent across engines while floor of the identical IEEE add is not. */
   val qSinkParquet: QueryDef = q("q_sink_parquet")(
     """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty,
-      |       sum(CAST(round(l_extendedprice) AS BIGINT)) AS sum_price_r
+      |       sum(CAST(floor(l_extendedprice + 0.5) AS BIGINT)) AS sum_price_r
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
     val out = Tables.scratch("sink_parquet")
     Tables.lineitem(s, d).groupBy("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"),
-        sum(round(col("l_extendedprice")).cast(LongType)).as("sum_price_r"))
+        sum(floor(col("l_extendedprice") + 0.5).cast(LongType)).as("sum_price_r"))
       .write.mode("overwrite").parquet(out)
     s.read.parquet(out).orderBy("l_returnflag", "l_linestatus")
   }
 
-  /** S9 — ORC sink (`jobs/vdt3.py:60-61`). */
+  /** S9 — ORC sink (`jobs/vdt3.py:60-61`). Mode-independent floor(x+0.5)
+    * rounding as in S8. */
   val qSinkOrc: QueryDef = q("q_sink_orc")(
-    """SELECT o_orderpriority, count(*) AS cnt, sum(CAST(round(o_totalprice) AS BIGINT)) AS sum_price_r
+    """SELECT o_orderpriority, count(*) AS cnt, sum(CAST(floor(o_totalprice + 0.5) AS BIGINT)) AS sum_price_r
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
     val out = Tables.scratch("sink_orc")
     Tables.orders(s, d).groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("cnt"), sum(round(col("o_totalprice")).cast(LongType)).as("sum_price_r"))
+      .agg(count(lit(1)).as("cnt"), sum(floor(col("o_totalprice") + 0.5).cast(LongType)).as("sum_price_r"))
       .write.mode("overwrite").orc(out)
     s.read.orc(out).orderBy("o_orderpriority")
   }
@@ -223,12 +227,12 @@ object Relational {
     * serves both the agg and the join. */
   val qJoinAfterAgg: QueryDef = q("q_join_after_agg")(
     """WITH t AS (SELECT o_custkey, count(*) AS n_orders,
-      |                  sum(CAST(round(o_totalprice) AS BIGINT)) AS sum_price_r
+      |                  sum(CAST(floor(o_totalprice + 0.5) AS BIGINT)) AS sum_price_r
       |           FROM orders GROUP BY o_custkey)
       |SELECT c_custkey, c_name, n_orders, sum_price_r
       |FROM t JOIN customer ON o_custkey = c_custkey ORDER BY c_custkey""".stripMargin) { (s, d) =>
     val t = Tables.orders(s, d).groupBy("o_custkey")
-      .agg(count(lit(1)).as("n_orders"), sum(round(col("o_totalprice")).cast(LongType)).as("sum_price_r"))
+      .agg(count(lit(1)).as("n_orders"), sum(floor(col("o_totalprice") + 0.5).cast(LongType)).as("sum_price_r"))
     t.join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .select("c_custkey", "c_name", "n_orders", "sum_price_r")
       .orderBy("c_custkey")

@@ -25,18 +25,24 @@ object EventsStreaming {
   // ---- tumbling window aggregation ---------------------------------------
 
   /** Batch tumbling 1h windows: count + exact (integer-cents) value sum per
-    * (window, event_type). */
-  def tumblingCounts(events: DataFrame): DataFrame =
-    events.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+    * (window, event_type). Window start is pure integer arithmetic on epoch
+    * seconds (`(sec div 3600) * 3600` — identical to Spark's epoch-aligned
+    * `window()` start) and the cents rounding is mode-independent
+    * `floor(x + 0.5)`, so neither engine's FP rounding mode nor its
+    * timestamp-bucketing builtin can drift the oracle comparison. */
+  def tumblingCounts(events: DataFrame): DataFrame = {
+    val sec = col("ts").cast(LongType)
+    events
+      .groupBy((sec - (sec % 3600)).as("win_start"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
-        sum(round(col("value") * 100).cast(LongType)).as("sum_val_c"))
-      .select(col("w.start").cast(LongType).as("win_start"), col("event_type"),
-        col("cnt"), col("sum_val_c"))
+        sum(floor(col("value") * 100 + 0.5).cast(LongType)).as("sum_val_c"))
+      .select(col("win_start"), col("event_type"), col("cnt"), col("sum_val_c"))
+  }
 
   val qWindowTumbling: QueryDef = q("q_window_tumbling")(
-    """SELECT CAST(epoch(date_trunc('second', time_bucket(INTERVAL '1 hour', ts))) AS BIGINT) AS win_start,
+    """SELECT (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600) * 3600 AS win_start,
       |       event_type, count(*) AS cnt,
-      |       sum(CAST(round(value * 100) AS BIGINT)) AS sum_val_c
+      |       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_val_c
       |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin) { (s, d) =>
     tumblingCounts(Tables.events(s, d)).orderBy("win_start", "event_type")
   }
@@ -48,7 +54,7 @@ object EventsStreaming {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
-        sum(round(col("value") * 100).cast(LongType)).as("sum_val_c"))
+        sum(floor(col("value") * 100 + 0.5).cast(LongType)).as("sum_val_c"))
       .select(col("w.start").cast(LongType).as("win_start"), col("event_type"),
         col("cnt"), col("sum_val_c"))
 
