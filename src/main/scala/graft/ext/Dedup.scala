@@ -39,12 +39,14 @@ object Dedup {
       .orderBy("lang", "source")
   }
 
-  /** Word 3-shingles of `text` (falls back to the whole text when shorter),
-    * deduplicated per document. */
+  /** Word 3-shingles of the given text column (falls back to the whole text
+    * when shorter), deduplicated per document. Built from the passed Column —
+    * works over any string expression, not just a column named `text`. */
   def shingles(text: Column): Column = {
     val toks = split(text, " ")
     array_distinct(when(size(toks) >= 3,
-      expr("transform(sequence(1, size(split(text, ' ')) - 2), i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"))
+      transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i, lit(3)))))
       .otherwise(array(text)))
   }
 
@@ -109,16 +111,18 @@ object Dedup {
 
   /** 64-bit SimHash from whitespace tokens: per token take xxhash64, add ±1
     * per bit position, sign-collapse to a fingerprint. Near-dups = equal
-    * 16-bit band of the fingerprint (Hamming-adjacent candidates). */
-  def simhash(textCol: Column): Column =
-    expr("""aggregate(sequence(0, 63), cast(0L AS BIGINT), (acc, j) ->
-      |  acc | (CASE WHEN aggregate(split(text, ' '), 0L,
-      |                 (s, t) -> s + (CASE WHEN ((xxhash64(t) >> j) & 1L) = 1L THEN 1L ELSE -1L END)) > 0
+    * 16-bit band of the fingerprint (Hamming-adjacent candidates). The input
+    * column NAME is spliced into the SQL lambda (variable bit-shifts have no
+    * DSL form), so callers choose the column instead of it being hardcoded. */
+  def simhash(textColName: String): Column =
+    expr(s"""aggregate(sequence(0, 63), cast(0L AS BIGINT), (acc, j) ->
+      |  acc | (CASE WHEN aggregate(split(`$textColName`, ' '), 0L,
+      |                 (s, tok) -> s + (CASE WHEN ((xxhash64(tok) >> j) & 1L) = 1L THEN 1L ELSE -1L END)) > 0
       |         THEN shiftleft(1L, j) ELSE 0L END))""".stripMargin)
 
   def simhashNearDups(docs: DataFrame): DataFrame = {
     val withSim = docs.select(col("doc_id"), col("text"))
-      .withColumn("simhash", simhash(col("text")))
+      .withColumn("simhash", simhash("text"))
     val banded = withSim.select(col("doc_id"), col("simhash"), posexplode(
       expr("transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535L)"))
       .as(Seq("band", "band_val")))

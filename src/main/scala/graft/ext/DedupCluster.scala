@@ -12,35 +12,47 @@ import graft.QueryDef.rowsOnly
   * stage of a corpus dedup pipeline (pairs alone under-delete when dups chain
   * A≈B≈C without A≈C).
   *
-  * Algorithm: iterative min-label propagation. Each round joins labels across
-  * edges (shuffle keyed on doc_id — the edge list is the tiny verified-pair
-  * set, not the corpus) and keeps the smaller label; converges in
-  * O(log(longest chain)) rounds, with a driver-side fixpoint check per round
-  * (one scalar count per iteration — no collect of data). At 100 TB the edge
-  * list after MinHash verification is orders of magnitude smaller than the
-  * corpus, so each round is a small-table self-join.
+  * Algorithm: min-label propagation PLUS pointer doubling. Each round a node
+  * adopts the min label among itself, its neighbors, and its label's label
+  * (the doubling step halves chain distance, so convergence is genuinely
+  * O(log diameter) — plain neighbor propagation alone is O(diameter)). All
+  * joins are keyed on doc_id over the tiny verified-pair set, not the corpus;
+  * the driver sees one scalar count per round (no collect of data). If the
+  * graph has not converged within maxIter the call THROWS rather than
+  * returning a silently under-merged clustering.
   */
 object DedupCluster {
 
   /** @param pairs (a, b) undirected near-dup edges (a != b)
     * @return (doc_id, cluster_id) for every doc appearing in an edge,
     *         cluster_id = min doc_id reachable. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 16): DataFrame = {
     val edges = pairs.select(col("a").cast(LongType), col("b").cast(LongType))
       .union(pairs.select(col("b").cast(LongType).as("a"), col("a").cast(LongType).as("b")))
       .distinct()
+      .localCheckpoint(true) // materialize once: every round re-joins this
     var labels = edges.select(col("a").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // each node adopts the min label among itself and its neighbors
+      // each node adopts the min label among itself and its neighbors…
       val neighborLabels = edges
         .join(labels.withColumnRenamed("doc_id", "b"), Seq("b"))
         .select(col("a").as("doc_id"), col("cluster_id"))
-      val next = labels.select(col("doc_id"), col("cluster_id"))
+      // checkpoint before the self-join below: truncates the union lineage so
+      // the doubling join is over a materialized table, not an ambiguous
+      // self-referential plan (and keeps per-round lineage O(1) regardless)
+      val propagated = labels.select(col("doc_id"), col("cluster_id"))
         .union(neighborLabels)
         .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint(true)
+      // …then pointer-doubles: adopt its label's label, halving chain depth
+      val next = propagated.as("p")
+        .join(propagated.as("g"), col("p.cluster_id") === col("g.doc_id"), "left")
+        .select(col("p.doc_id").as("doc_id"),
+          least(col("p.cluster_id"),
+            coalesce(col("g.cluster_id"), col("p.cluster_id"))).as("cluster_id"))
       val changed = next.as("n")
         .join(labels.as("l"), col("n.doc_id") === col("l.doc_id"))
         .where(col("n.cluster_id") =!= col("l.cluster_id")).count()
@@ -48,6 +60,9 @@ object DedupCluster {
       converged = changed == 0
       i += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter rounds — " +
+        "raise maxIter; returning a partial clustering would silently under-merge")
     labels
   }
 

@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -162,9 +161,11 @@ object TextAnalysis {
       |FROM per_doc ORDER BY doc_id""".stripMargin) { (s, d) =>
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-    val w100 = Window.orderBy(col("c").desc, col("w").asc)
+    // Top-100 via orderBy+limit → TakeOrderedAndProject (per-partition heaps
+    // of 100, merged on the driver) — NOT a global single-partition window,
+    // which would funnel the whole 10⁸-row corpus vocabulary through one task.
     val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
-      .withColumn("rn", row_number().over(w100)).where(col("rn") <= 100)
+      .orderBy(col("c").desc, col("w").asc).limit(100)
       .select(col("w").as("vw"))
     toks.join(broadcast(vocab), col("w") === col("vw"), "left")
       .groupBy("doc_id")

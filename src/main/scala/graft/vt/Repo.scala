@@ -60,9 +60,12 @@ final class Repo private (val root: Path) {
     val out = dataDir.resolve(rel)
     df.write.mode("overwrite").parquet(out.toString)
     import scala.jdk.CollectionConverters._
-    val files = Files.list(out).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(p => root.relativize(p).toString).toVector.sorted
+    val st = Files.list(out)
+    val files =
+      try st.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString).toVector.sorted
+      finally st.close()
     staged.getOrElseUpdate(branch, scala.collection.mutable.LinkedHashMap.empty)
       .put(table, (files, df.schema.json))
   }

@@ -93,6 +93,13 @@ final class VersionedTable private (val root: Path) {
   def write(df: DataFrame, branch: String = "main", message: String = "",
             mode: String = "overwrite", statsCols: Seq[String] = Nil): Commit = synchronized {
     val parent = head(branch)
+    // Delta-style append schema enforcement: readCommit pins ONE schema over
+    // all files, so a divergent append would silently null/drop columns in
+    // the parent's files. Reject it instead of corrupting reads.
+    for (p <- parent if mode == "append" && df.schema.json != p.schemaJson)
+      throw new IllegalArgumentException(
+        s"append schema mismatch on $branch: table has ${p.schemaJson} but the " +
+          s"appended DataFrame has ${df.schema.json}; use mode=overwrite to evolve the schema")
     val newFiles = writeDataFiles(df, branch, parent.map(_.version + 1).getOrElse(0L))
     val newStats = if (statsCols.isEmpty) Map.empty[String, Map[String, (Double, Double)]]
                    else collectFileStats(df.sparkSession, newFiles, statsCols)
@@ -120,8 +127,11 @@ final class VersionedTable private (val root: Path) {
       .collect().map { r =>
         val file = r.getString(0).stripPrefix("file:")
         val rel = root.relativize(java.nio.file.Paths.get(file)).toString
-        rel -> cols.zipWithIndex.map { case (c, i) =>
-          c -> (r.getDouble(1 + 2 * i), r.getDouble(2 + 2 * i))
+        // All-null (or non-castable) stats columns yield null min/max: omit
+        // that column's entry — conservative "no stats, never skip".
+        rel -> cols.zipWithIndex.flatMap { case (c, i) =>
+          if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
+          else Some(c -> (r.getDouble(1 + 2 * i), r.getDouble(2 + 2 * i)))
         }.toMap
       }.toMap
   }

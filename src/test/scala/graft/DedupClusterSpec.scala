@@ -17,6 +17,21 @@ class DedupClusterSpec extends SparkSpec {
     assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("pointer doubling collapses a 30-node chain within the default round budget") {
+    // plain neighbor propagation needs ~29 rounds here; doubling needs ~6
+    val pairs = (0L until 29L).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = DedupCluster.connectedComponents(pairs).as[(Long, Long)].collect()
+    assert(cc.length === 30)
+    assert(cc.forall(_._2 === 0L), s"non-converged labels: ${cc.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
+  test("non-convergence within maxIter throws instead of under-merging silently") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      DedupCluster.connectedComponents(pairs, maxIter = 1)
+    }
+  }
+
   test("dedupVerdict: chained near-dups share a cluster, one canonical each") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"

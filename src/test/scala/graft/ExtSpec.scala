@@ -76,6 +76,16 @@ class ExtSpec extends SparkSpec {
     assert(ann.contains(2L), "exact duplicate must be recalled from the same bucket")
   }
 
+  test("shingles and simhash honor the caller's column, not a hardcoded 'text'") {
+    val df = Seq((1L, "a b c d e")).toDF("id", "body")
+    val sh = df.select(Dedup.shingles(col("body")).as("sh")).head.getSeq[String](0)
+    assert(sh === Seq("a b c", "b c d", "c d e"))
+    val viaBody = df.select(Dedup.simhash("body")).head.getLong(0)
+    val viaText = df.withColumnRenamed("body", "text")
+      .select(Dedup.simhash("text")).head.getLong(0)
+    assert(viaBody === viaText)
+  }
+
   test("multimodal stub decode is deterministic and matches meta lengths") {
     val docs = Tables.documents(spark, sf).limit(50)
     val a = Multimodal.decodeAll(spark, Multimodal.mediaTable(docs))

@@ -70,4 +70,12 @@ class ScaleSpec extends SparkSpec {
     val shuffles = countShuffles(executedPlan(df))
     assert(shuffles === 2, s"expected 2 exchanges (salted + final), got $shuffles")
   }
+
+  test("oov vocab fit plans TakeOrderedAndProject, not a single-partition window") {
+    val df = graft.ext.TextAnalysis.qOovRate.impl(spark, sf)
+    val plan = executedPlan(df).toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-100 vocab should be a distributed top-k, got:\n$plan")
+    assert(!plan.contains("Window"), "no window operator should remain in the oov plan")
+  }
 }

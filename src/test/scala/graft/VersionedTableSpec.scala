@@ -205,6 +205,31 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.read(spark, "main").as[Int].collect() === Array(0)) // untouched
   }
 
+  test("append with a divergent schema is rejected, not silently nulled") {
+    val vt = freshVt("append_schema")
+    vt.write(df(1, 2), "main", "v0")
+    val widened = Seq((3, "extra")).toDF("x", "note")
+    val e = intercept[IllegalArgumentException] {
+      vt.write(widened, "main", "bad append", mode = "append")
+    }
+    assert(e.getMessage.contains("append schema mismatch"))
+    // overwrite still evolves the schema, and v0 replays with its own
+    vt.write(widened, "main", "evolve via overwrite")
+    assert(vt.read(spark, "main").columns.toSeq === Seq("x", "note"))
+    assert(vt.readVersion(spark, "main", 0).columns.toSeq === Seq("x"))
+  }
+
+  test("all-null stats column yields no stats (kept conservatively), commit succeeds") {
+    val vt = freshVt("null_stats")
+    val data = Seq((1, None: Option[Double]), (2, None)).toDF("x", "v")
+    val c = vt.write(data, "main", "nulls", statsCols = Seq("v", "x"))
+    // x has stats; v (all null) is omitted from every file's stats map
+    assert(c.stats.values.forall(m => m.contains("x") && !m.contains("v")))
+    // skip-read on the stats-less column keeps all files and still answers
+    val rows = vt.readWhere(spark, "main", "v", 0.0, 1.0).count()
+    assert(rows === 0) // residual filter applies; nothing matches but no NPE/loss
+  }
+
   test("commit publication is atomic: no partial refs/commits on disk") {
     val vt = freshVt("atomic")
     vt.write(df(1), "main", "v0")
