@@ -16,13 +16,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failed = 0
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A throwing query must show up as a red row in the driver's report,
+        // not vanish: write its output dir with an _ERROR marker (and no
+        // parquet) so the DuckDB compare fails loudly instead of omitting it.
+        failed += 1
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        val dir = Paths.get(s"$outDir/$name")
+        Files.createDirectories(dir)
+        Files.writeString(dir.resolve("_ERROR"),
+          s"$name threw ${e.getClass.getName}: ${e.getMessage}\n")
       }
     }
+    if (failed > 0) System.err.println(s"[verify] $failed queries FAILED — see _ERROR markers")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -40,11 +40,14 @@ object DedupCluster {
       val neighborLabels = edges
         .join(labels.withColumnRenamed("doc_id", "b"), Seq("b"))
         .select(col("a").as("doc_id"), col("cluster_id"))
-      // checkpoint before the self-join below: truncates the union lineage so
-      // the doubling join is over a materialized table, not an ambiguous
-      // self-referential plan (and keeps per-round lineage O(1) regardless)
-      val propagated = labels.select(col("doc_id"), col("cluster_id"))
-        .union(neighborLabels)
+      // Both union arms descend from the same checkpointed `labels` plan, so
+      // they would share attribute ids — which trips Catalyst's
+      // Union.rewriteConstraints at analysis time. toDF re-aliases each arm
+      // with fresh expression ids before the union. The checkpoint after the
+      // min-agg truncates the lineage so the doubling join below is over a
+      // materialized table (and keeps per-round lineage O(1) regardless).
+      val propagated = labels.toDF("doc_id", "cluster_id")
+        .union(neighborLabels.toDF("doc_id", "cluster_id"))
         .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
         .localCheckpoint(true)
       // …then pointer-doubles: adopt its label's label, halving chain depth

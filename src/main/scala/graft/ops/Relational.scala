@@ -102,7 +102,7 @@ object Relational {
     * dependent across engines while floor of the identical IEEE add is not. */
   val qSinkParquet: QueryDef = q("q_sink_parquet")(
     """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty,
-      |       sum(CAST(floor(l_extendedprice + 0.5) AS BIGINT)) AS sum_price_r
+      |       CAST(sum(CAST(floor(l_extendedprice + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_r
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
     val out = Tables.scratch("sink_parquet")
@@ -116,7 +116,8 @@ object Relational {
   /** S9 — ORC sink (`jobs/vdt3.py:60-61`). Mode-independent floor(x+0.5)
     * rounding as in S8. */
   val qSinkOrc: QueryDef = q("q_sink_orc")(
-    """SELECT o_orderpriority, count(*) AS cnt, sum(CAST(floor(o_totalprice + 0.5) AS BIGINT)) AS sum_price_r
+    """SELECT o_orderpriority, count(*) AS cnt,
+      |       CAST(sum(CAST(floor(o_totalprice + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_r
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
     val out = Tables.scratch("sink_orc")
     Tables.orders(s, d).groupBy("o_orderpriority")
@@ -227,7 +228,7 @@ object Relational {
     * serves both the agg and the join. */
   val qJoinAfterAgg: QueryDef = q("q_join_after_agg")(
     """WITH t AS (SELECT o_custkey, count(*) AS n_orders,
-      |                  sum(CAST(floor(o_totalprice + 0.5) AS BIGINT)) AS sum_price_r
+      |                  CAST(sum(CAST(floor(o_totalprice + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_r
       |           FROM orders GROUP BY o_custkey)
       |SELECT c_custkey, c_name, n_orders, sum_price_r
       |FROM t JOIN customer ON o_custkey = c_custkey ORDER BY c_custkey""".stripMargin) { (s, d) =>

@@ -42,7 +42,7 @@ object EventsStreaming {
   val qWindowTumbling: QueryDef = q("q_window_tumbling")(
     """SELECT (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600) * 3600 AS win_start,
       |       event_type, count(*) AS cnt,
-      |       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_val_c
+      |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_val_c
       |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin) { (s, d) =>
     tumblingCounts(Tables.events(s, d)).orderBy("win_start", "event_type")
   }
