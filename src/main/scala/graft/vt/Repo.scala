@@ -158,8 +158,38 @@ final class Repo private (val root: Path) {
     walk(of)
   }
 
-  /** lakeFS merge: fast-forward across ALL tables at once, or conflict when
-    * the target moved since the branch point (object-level conflict rule). */
+  /** Nearest common ancestor (merge base) of two commits. */
+  private def mergeBase(a: Commit, b: Commit): Option[Commit] = {
+    @annotation.tailrec
+    def ancestors(c: Commit, acc: Set[String]): Set[String] = c.parent match {
+      case Some(p) => ancestors(loadCommit(p), acc + c.id)
+      case None => acc + c.id
+    }
+    val as = ancestors(a, Set.empty)
+    @annotation.tailrec
+    def firstShared(c: Commit): Option[Commit] =
+      if (as.contains(c.id)) Some(c)
+      else c.parent match {
+        case Some(p) => firstShared(loadCommit(p))
+        case None => None
+      }
+    firstShared(b)
+  }
+
+  /** Tables whose snapshot (file list or schema) differs between `base` and
+    * `c` — the change set the lakeFS conflict rule compares. */
+  private def changedTables(base: Commit, c: Commit): Set[String] = {
+    val bs = tableSchemas(base); val cs = tableSchemas(c)
+    (bs.keySet ++ cs.keySet).filter { t =>
+      bs.get(t) != cs.get(t) || tableFiles(base, t) != tableFiles(c, t)
+    }
+  }
+
+  /** lakeFS merge: fast-forward across ALL tables at once; when both sides
+    * moved but changed DISJOINT tables since the merge base, a 3-way merge
+    * commit combines the changes (lakeFS merges branches whose object
+    * changes don't collide — reference README.md:141-147); a table changed
+    * on both sides is a conflict. */
   def merge(from: String, into: String): Commit = synchronized {
     val src = head(from).getOrElse(throw new IllegalArgumentException(s"no such branch: $from"))
     val dst = head(into).getOrElse(throw new IllegalArgumentException(s"no such branch: $into"))
@@ -168,8 +198,31 @@ final class Repo private (val root: Path) {
       CommitLog.writeAtomic(refsDir.resolve(into), src.id)
       src
     } else if (isAncestor(src.id, of = dst)) dst
-    else throw new IllegalStateException(
-      s"merge conflict: $into diverged from $from since the branch point")
+    else {
+      val base = mergeBase(src, dst).getOrElse(throw new IllegalStateException(
+        s"merge conflict: $from and $into share no common ancestor"))
+      val srcChanged = changedTables(base, src)
+      val overlap = srcChanged intersect changedTables(base, dst)
+      if (overlap.nonEmpty) throw new IllegalStateException(
+        s"merge conflict: tables ${overlap.toSeq.sorted.mkString(", ")} changed on both " +
+          s"$from and $into since the merge base")
+      // dst's snapshot, with every src-changed table's files+schema swapped in
+      val files = dst.files.filterNot(f => srcChanged.exists(t => f.startsWith(tablePrefix(t)))) ++
+        src.files.filter(f => srcChanged.exists(t => f.startsWith(tablePrefix(t))))
+      val schemas = tableSchemas(dst) ++ tableSchemas(src).view.filterKeys(srcChanged).toMap
+      val schemaJson = {
+        val m = new java.util.LinkedHashMap[String, String]()
+        schemas.toSeq.sortBy(_._1).foreach { case (k, v) => m.put(k, v) }
+        mapper.writeValueAsString(m)
+      }
+      val version = dst.version + 1
+      val id = s"$into-v$version-${java.util.UUID.randomUUID.toString.take(8)}"
+      val c = Commit(id, Some(dst.id), version, files.sorted, schemaJson,
+        s"merge $from into $into", System.currentTimeMillis())
+      CommitLog.writeAtomic(commitsDir.resolve(id + ".json"), CommitLog.toJson(c))
+      CommitLog.writeAtomic(refsDir.resolve(into), id)
+      c
+    }
   }
 
   /** lakeFS diff: repo-wide (path, change_type) between two branch heads. */

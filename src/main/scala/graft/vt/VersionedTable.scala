@@ -82,6 +82,25 @@ final class VersionedTable private (val root: Path) {
     walk(of)
   }
 
+  /** Nearest common ancestor of two commits (the merge base). Both lineages
+    * are linear chains to the root, so one Set walk suffices. */
+  private def mergeBase(a: Commit, b: Commit): Option[Commit] = {
+    @annotation.tailrec
+    def ancestors(c: Commit, acc: Set[String]): Set[String] = c.parent match {
+      case Some(p) => ancestors(loadCommit(p), acc + c.id)
+      case None => acc + c.id
+    }
+    val as = ancestors(a, Set.empty)
+    @annotation.tailrec
+    def firstShared(c: Commit): Option[Commit] =
+      if (as.contains(c.id)) Some(c)
+      else c.parent match {
+        case Some(p) => firstShared(loadCommit(p))
+        case None => None
+      }
+    firstShared(b)
+  }
+
   // ---- writes ------------------------------------------------------------
 
   /** Write `df` as a new version on `branch` (v0 if the branch is new).
@@ -252,7 +271,12 @@ final class VersionedTable private (val root: Path) {
   }
 
   /** V5 `merge from into`: fast-forward when `into` hasn't moved since the
-    * branch point; otherwise a conflict (lakeFS object-level conflict rule). */
+    * branch point; when both branches moved but touched DISJOINT object
+    * paths since the merge base (the lakeFS rule — `lakectl merge` succeeds
+    * iff no object changed on both sides, reference README.md:141-147), a
+    * true 3-way merge commit unions the changes; overlapping changes
+    * conflict. Disjoint divergence arises from append-mode writes — an
+    * overwrite replaces every file and so always conflicts, as it should. */
   def merge(from: String, into: String): Commit = synchronized {
     val src = head(from).getOrElse(throw new IllegalArgumentException(s"no such branch: $from"))
     val dst = head(into).getOrElse(throw new IllegalArgumentException(s"no such branch: $into"))
@@ -261,8 +285,25 @@ final class VersionedTable private (val root: Path) {
       CommitLog.writeAtomic(refsDir.resolve(into), src.id)
       src
     } else if (isAncestor(src.id, of = dst)) dst // already merged
-    else throw new IllegalStateException(
-      s"merge conflict: $into diverged from $from since the branch point")
+    else {
+      val base = mergeBase(src, dst).getOrElse(throw new IllegalStateException(
+        s"merge conflict: $from and $into share no common ancestor"))
+      val baseFiles = base.files.toSet
+      val srcTouched = (src.files.toSet -- baseFiles) ++ (baseFiles -- src.files.toSet)
+      val dstTouched = (dst.files.toSet -- baseFiles) ++ (baseFiles -- dst.files.toSet)
+      val overlap = srcTouched intersect dstTouched
+      if (overlap.nonEmpty) throw new IllegalStateException(
+        s"merge conflict: ${overlap.size} paths changed on both $from and $into " +
+          s"since the merge base (e.g. ${overlap.toSeq.sorted.take(3).mkString(", ")})")
+      if (src.schemaJson != dst.schemaJson) throw new IllegalStateException(
+        s"merge conflict: $from and $into disagree on the table schema")
+      val srcRemoved = baseFiles -- src.files.toSet
+      val srcAdded = src.files.filterNot(baseFiles.contains)
+      val merged = (dst.files.filterNot(srcRemoved.contains) ++ srcAdded).distinct.sorted
+      publish(into, Some(dst), s"merge $from into $into",
+        DataType.fromJson(dst.schemaJson).asInstanceOf[StructType], merged,
+        dst.stats ++ src.stats)
+    }
   }
 
   /** V6 `revert`: append a NEW commit whose snapshot equals `toVersion` —
@@ -286,10 +327,29 @@ final class VersionedTable private (val root: Path) {
     */
   def vacuum(retainLast: Int = 1): Int = synchronized {
     require(retainLast >= 1, "retainLast must be >= 1")
-    val retained: Set[String] =
-      (branches.flatMap(b => lineage(b).take(retainLast).flatMap(_.files)) ++ // lineage is head-first
-        branches.filter(hasStaged).flatMap(b =>
-          CommitLog.fromJson(CommitLog.readString(refsDir.resolve(b + ".staged"))).files)).toSet
+    sweep((branches.flatMap(b => lineage(b).take(retainLast).flatMap(_.files)) ++ // lineage is head-first
+      stagedFiles).toSet)
+  }
+
+  /** Time-based retention, Delta's `vacuum()` dial (`jobs/vdt4.py:84-85`
+    * defaults to 168h): a commit is retained iff it is younger than
+    * `retainHours` — or is a branch head, which is always kept so the table
+    * stays readable. `nowMs` is injectable for deterministic tests. */
+  def vacuumRetainHours(retainHours: Double,
+                        nowMs: Long = System.currentTimeMillis()): Int = synchronized {
+    require(retainHours >= 0, "retainHours must be >= 0")
+    val cutoff = nowMs - (retainHours * 3600 * 1000).toLong
+    sweep((branches.flatMap(b => lineage(b).zipWithIndex.collect {
+      case (c, i) if i == 0 || c.ts >= cutoff => c.files // i==0 = the head
+    }.flatten) ++ stagedFiles).toSet)
+  }
+
+  private def stagedFiles: Seq[String] =
+    branches.filter(hasStaged).flatMap(b =>
+      CommitLog.fromJson(CommitLog.readString(refsDir.resolve(b + ".staged"))).files)
+
+  /** Delete every data file not in `retained`; prune emptied commit dirs. */
+  private def sweep(retained: Set[String]): Int = {
     if (!Files.exists(dataDir)) return 0
     val walk = Files.walk(dataDir)
     val all =

@@ -65,6 +65,30 @@ class RepoSpec extends SparkSpec {
     assertThrows[IllegalStateException](repo.merge("dev2", "main"))
   }
 
+  test("3-way merge: branches changing disjoint tables merge; same table conflicts") {
+    val repo = Repo.create(Tables.scratch("repo_merge3"))
+    repo.stageWrite(Seq(1).toDF("x"), "main", "a")
+    repo.stageWrite(Seq(10).toDF("x"), "main", "b")
+    repo.commit("main", "v0")
+    repo.createBranch("dev", "main")
+    repo.stageWrite(Seq(2).toDF("x"), "dev", "a"); repo.commit("dev", "dev changes a")
+    repo.stageWrite(Seq(20).toDF("x"), "main", "b"); repo.commit("main", "main changes b")
+    // disjoint table change sets {a} vs {b} → merge commit combines both
+    val c = repo.merge("dev", "main")
+    assert(c.message === "merge dev into main")
+    assert(repo.readTable(spark, "main", "a").as[Int].collect() === Array(2))
+    assert(repo.readTable(spark, "main", "b").as[Int].collect() === Array(20))
+    assert(repo.readTable(spark, "dev", "b").as[Int].collect() === Array(10)) // src untouched
+    // a table added on the source side merges in too
+    repo.createBranch("dev2", "main")
+    repo.stageWrite(Seq(7).toDF("x"), "dev2", "c"); repo.commit("dev2", "adds c")
+    repo.stageWrite(Seq(3).toDF("x"), "main", "a"); repo.commit("main", "moves a")
+    repo.merge("dev2", "main")
+    assert(repo.tables("main") === Seq("a", "b", "c"))
+    assert(repo.readTable(spark, "main", "c").as[Int].collect() === Array(7))
+    assert(repo.readTable(spark, "main", "a").as[Int].collect() === Array(3))
+  }
+
   test("branches are zero-copy and isolated across all tables") {
     val repo = Repo.create(Tables.scratch("repo_branch"))
     repo.stageWrite(Seq(1).toDF("x"), "main", "a")

@@ -63,6 +63,43 @@ class VersionedTableSpec extends SparkSpec {
     assertThrows[IllegalStateException](vt.merge("dev2", "main"))
   }
 
+  test("3-way merge: disjoint appends on both branches union; overlap conflicts") {
+    val vt = freshVt("merge3way")
+    vt.write(df(1), "main", "v0")
+    vt.createBranch("dev", "main")
+    vt.write(df(2), "dev", "dev append", mode = "append")
+    vt.write(df(3), "main", "main append", mode = "append")
+    // both branches moved, but their changed file sets are disjoint (each
+    // append only ADDS files) → lakeFS-style merge commit unions them
+    val c = vt.merge("dev", "main")
+    assert(c.version === vt.lineage("main").drop(1).head.version + 1)
+    assert(vt.read(spark, "main").as[Int].collect().sorted === Array(1, 2, 3))
+    assert(vt.read(spark, "dev").as[Int].collect().sorted === Array(1, 2)) // src untouched
+    // merge is a commit, not a rewrite: pre-merge main still time-travels
+    assert(vt.readVersion(spark, "main", 1).as[Int].collect().sorted === Array(1, 3))
+    // overwrites replace every file → always overlap → still a conflict
+    vt.createBranch("dev2", "main")
+    vt.write(df(8), "dev2", "ow")
+    vt.write(df(9), "main", "ow")
+    assertThrows[IllegalStateException](vt.merge("dev2", "main"))
+  }
+
+  test("vacuumRetainHours keeps commits inside the horizon, reclaims older, always keeps heads") {
+    val vt = freshVt("vacuum_hours")
+    val c0 = vt.write(df(1), "main", "v0")
+    Thread.sleep(15) // ensure strictly increasing commit timestamps
+    val c1 = vt.write(df(2), "main", "v1")
+    assert(c1.ts > c0.ts)
+    // horizon covers both commits → nothing reclaimed
+    assert(vt.vacuumRetainHours(1.0, nowMs = c1.ts) === 0)
+    assert(vt.readVersion(spark, "main", 0).as[Int].collect() === Array(1))
+    // horizon ends after c0 → c0 reclaimed, head (c1) always survives
+    val deleted = vt.vacuumRetainHours(0.0, nowMs = c1.ts)
+    assert(deleted === c0.files.size && deleted > 0)
+    assert(vt.read(spark, "main").as[Int].collect() === Array(2))
+    assertThrows[Exception](vt.readVersion(spark, "main", 0).collect())
+  }
+
   test("revert creates a new commit equal to the target version") {
     val vt = freshVt("revert")
     vt.write(df(1, 2), "main", "v0")
