@@ -1,19 +1,55 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.{QueryDef, Tables}
-import graft.QueryDef.{sql => q, rowsOnly}
+import graft.QueryDef.{sql => q}
 
 /** Training-data deduplication over the `documents` table — exact, MinHash-LSH,
   * SimHash, and n-gram Jaccard. All candidate generation is BUCKETED (band
   * join / signature join), never all-pairs: at 100 TB the only shuffles are
   * keyed on content fingerprints, so work scales with duplicate density, not
-  * with n². Hash primitives are Spark's codegen'd `sha2`/`xxhash64` — no UDFs.
+  * with n². Hash primitives are codegen'd built-in expressions — no UDFs; the
+  * hash family is a seeded 31-base polynomial (not xxhash64) so the DuckDB
+  * oracle replays signatures, bands, and candidate sets bit-for-bit.
+  *
+  * Scale hardening against bucket blowup (the classic 100 TB failure: a
+  * boilerplate cluster of k near-identical docs meets in one band bucket and
+  * produces k²/2 candidate pairs):
+  *  1. exact duplicates are COLLAPSED to one representative (sha256 group)
+  *     before any banding, and re-attached as O(k) star edges afterwards;
+  *  2. each band bucket keeps at most `bucketCap` docs (deterministic lowest
+  *     doc_id order), bounding per-bucket pairs at cap²/2. Both steps are
+  *     deterministic, so the oracle SQL replays them too.
   */
 object Dedup {
+
+  // ---- SQL-replayable hash primitives ------------------------------------
+
+  /** Modulus for every polynomial/affine hash: keeps all products in int64
+    * (a·x ≤ (1e9+6)² < 2⁶³) in both engines. */
+  val P = 1000000007L
+
+  /** Affine hash-family constants (family i: x → (aᵢ·x + bᵢ) mod P). Both the
+    * Spark expression and the oracle SQL splice the SAME literals, so minhash
+    * signatures and simhash bit-draws replay exactly in DuckDB. */
+  def affineA(i: Int): Long = ((2L * i + 1) * 2654435761L) % P
+  def affineB(i: Int): Long = ((i + 1L) * 998244353L) % P
+  private def sparkArr(xs: Seq[Long]): String = xs.mkString("array(", ", ", ")")
+  private def duckList(xs: Seq[Long]): String = xs.mkString("([", ", ", "])")
+
+  /** 31-base char-polynomial hash of Spark SQL string expression `e` — the
+    * same rolling hash as `q_doc_fingerprint` (TextAnalysis.scala), chosen
+    * over xxhash64 because DuckDB has no xxhash64 twin. */
+  def polySql(e: String): String =
+    s"aggregate(split($e, ''), CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + CAST(ascii(c) AS BIGINT)) % $P)"
+
+  /** DuckDB twin of [[polySql]] — folds the identical character sequence. */
+  def polyDuck(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split_regex($e, ''), c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc * 31 + c) % $P)"
 
   /** Exact dedup: group on a content fingerprint (sha256) and keep the lowest
     * doc_id — the survivor rule common in corpus pipelines. Hashing first
@@ -50,10 +86,13 @@ object Dedup {
       .otherwise(array(text)))
   }
 
-  /** MinHash signature: k independent minimums of `xxhash64(shingle, seed)`.
-    * One pass over the shingle array per row, no shuffle. */
-  def minhashSignature(k: Int): Column =
-    expr(s"transform(sequence(0, ${k - 1}), h -> aggregate(shingles, 9223372036854775807L, (acc, sh) -> least(acc, xxhash64(sh, h))))")
+  /** MinHash signature over a precomputed `basehashes` column (one polynomial
+    * hash per shingle): k independent affine-permutation minimums. One pass
+    * over the array per row, no shuffle, and exactly replayable in SQL. */
+  def minhashSignature(k: Int): Column = {
+    val a = sparkArr((0 until k).map(affineA)); val b = sparkArr((0 until k).map(affineB))
+    expr(s"transform(sequence(0, ${k - 1}), h -> array_min(transform(basehashes, x -> (element_at($a, h + 1) * x + element_at($b, h + 1)) % $P)))")
+  }
 
   /** MinHash + LSH banding near-dup detection (SURVEY.md §7 step 6).
     *
@@ -75,24 +114,47 @@ object Dedup {
       .agg(count(col("dup")).as("n_near_dups"), min(col("dup")).as("min_dup_id"))
   }
 
-  /** Verified near-dup pairs (a < b, exact Jaccard >= thresh) — the edge list
-    * consumed by [[DedupCluster.connectedComponents]]. */
+  /** Near-dup pair SPANNING set (a < b): exact-duplicate star edges
+    * (representative → member, Jaccard 1.0 by construction) unioned with
+    * Jaccard-verified MinHash pairs over the distinct-content representatives.
+    * Connectivity-equivalent to the full pair set — exactly what
+    * [[DedupCluster.connectedComponents]] needs — at O(members) instead of
+    * O(members²) edges for an exact-duplicate cluster.
+    *
+    * `bucketCap`: at most this many (lowest-doc_id) docs survive per band
+    * bucket — candidates from a pathological near-identical flood are bounded
+    * at cap²/2 per bucket; a dropped doc can still pair in its 7 other bands.
+    */
   def minhashPairs(docs: DataFrame, k: Int = 32, bands: Int = 8,
-                   thresh: Double = 0.5): DataFrame = {
-    val withSig = docs.select(col("doc_id"), col("text"))
+                   thresh: Double = 0.5, bucketCap: Int = 64): DataFrame = {
+    // 1. collapse exact duplicates: one representative (min doc_id) per sha256
+    val withSha = docs.select(col("doc_id"), col("text"))
+      .withColumn("sha", sha2(col("text"), 256))
+    val reps = withSha.groupBy("sha")
+      .agg(min("doc_id").as("doc_id"), min("text").as("text")) // texts in a group are identical
+    val siblings = withSha.join(reps.select(col("sha"), col("doc_id").as("rep_id")), "sha")
+      .where(col("doc_id") =!= col("rep_id"))
+      .select(col("rep_id").as("a"), col("doc_id").as("b"), lit(1.0).as("jaccard"))
+    // 2. shingle → polynomial base hashes → k-minhash over representatives only
+    val withSig = reps.select(col("doc_id"), col("text"))
       .withColumn("shingles", shingles(col("text")))
+      .withColumn("basehashes", expr(s"transform(shingles, sh -> ${polySql("sh")})"))
       .withColumn("sig", minhashSignature(k))
     val rowsPerBand = k / bands
     val banded = withSig.select(col("doc_id"), posexplode(
-      expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(concat_ws(',', transform(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), x -> cast(x AS STRING)))))"))
+      expr(s"transform(sequence(0, ${bands - 1}), b -> aggregate(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), CAST(7 AS BIGINT), (acc, x) -> (acc * 1000003 + x) % $P))"))
       .as(Seq("band", "band_hash")))
+      // 3. deterministic per-bucket cap (shuffles once on the band key either way)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("band", "band_hash").orderBy("doc_id")))
+      .where(col("rn") <= bucketCap).drop("rn")
     val l = banded.as("l"); val r = banded.as("r")
     val candidates = l.join(r,
         col("l.band") === col("r.band") && col("l.band_hash") === col("r.band_hash") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b")).distinct()
     val sh = withSig.select(col("doc_id"), col("shingles"))
-    candidates
+    val verified = candidates
       .join(sh.select(col("doc_id").as("a"), col("shingles").as("sh_a")), "a")
       .join(sh.select(col("doc_id").as("b"), col("shingles").as("sh_b")), "b")
       .withColumn("jaccard",
@@ -100,32 +162,98 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
       .where(col("jaccard") >= thresh)
       .select(col("a"), col("b"), col("jaccard"))
+    verified.union(siblings)
   }
 
-  /** Not SQL-oracle-expressible (xxhash64 has no DuckDB twin) — rows-only
-    * here; planted-duplicate recall is asserted in DedupSpec. */
-  val qDedupMinhash: QueryDef = rowsOnly("q_dedup_minhash") { (s, d) =>
+  /** DuckDB CTE chain replaying [[minhashPairs]] (ending in `pr(a, b)`, the
+    * spanning pair set): sha collapse, shingles, polynomial minhash, band
+    * fold, bucket cap, Jaccard verify, star re-attach. Same literals as the
+    * Spark expressions, so every intermediate agrees bit-for-bit. Shared by
+    * the minhash profile oracle below and DedupCluster's clustering oracle. */
+  private[ext] def minhashPairsCtes(k: Int = 32, bands: Int = 8, thresh: Double = 0.5,
+                                    bucketCap: Int = 64): String = {
+    val a = duckList((0 until k).map(affineA)); val b = duckList((0 until k).map(affineB))
+    val rpb = k / bands
+    s"""ws AS (SELECT doc_id, text, sha256(text) AS sha FROM documents),
+       |     reps AS (SELECT sha, min(doc_id) AS doc_id, min(text) AS text FROM ws GROUP BY sha),
+       |     sib AS (SELECT r.doc_id AS a, w.doc_id AS b FROM ws w
+       |             JOIN reps r ON w.sha = r.sha AND w.doc_id <> r.doc_id),
+       |     sh AS (SELECT doc_id, CASE WHEN len(string_split(text, ' ')) >= 3
+       |              THEN list_distinct(list_transform(
+       |                     generate_series(1, len(string_split(text, ' ')) - 2),
+       |                     i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))
+       |              ELSE [text] END AS shingles FROM reps),
+       |     bh AS (SELECT doc_id, shingles,
+       |              list_transform(shingles, s2 -> ${polyDuck("s2")}) AS basehashes FROM sh),
+       |     sg AS (SELECT doc_id, list_transform(generate_series(0, ${k - 1}), h ->
+       |              list_aggregate(list_transform(basehashes,
+       |                x -> ($a[h + 1] * x + $b[h + 1]) % $P), 'min')) AS sig FROM bh),
+       |     bd0 AS (SELECT doc_id, b AS band,
+       |              list_reduce(list_prepend(CAST(7 AS BIGINT), list_slice(sig, b * $rpb + 1, b * $rpb + $rpb)),
+       |                (acc, x) -> (acc * 1000003 + x) % $P) AS band_hash
+       |             FROM sg, generate_series(0, ${bands - 1}) t(b)),
+       |     bd AS (SELECT doc_id, band, band_hash FROM
+       |              (SELECT doc_id, band, band_hash,
+       |                      row_number() OVER (PARTITION BY band, band_hash ORDER BY doc_id) AS rn
+       |               FROM bd0) WHERE rn <= $bucketCap),
+       |     cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bd l JOIN bd r
+       |              ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id),
+       |     ver AS (SELECT c.a, c.b FROM cand c
+       |             JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
+       |             WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+       |                   CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE) >= $thresh),
+       |     pr AS (SELECT a, b FROM ver UNION ALL SELECT a, b FROM sib)""".stripMargin
+  }
+
+  /** Oracle replaying [[minhashNearDups]]'s doc-level profile end-to-end. */
+  private def minhashOracle(): String =
+    s"""WITH ${minhashPairsCtes()},
+       |     bo AS (SELECT a AS doc_id, b AS dup FROM pr UNION ALL SELECT b, a FROM pr)
+       |SELECT d.doc_id, count(bo.dup) AS n_near_dups, min(bo.dup) AS min_dup_id
+       |FROM documents d LEFT JOIN bo ON d.doc_id = bo.doc_id
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  /** Fully oracle-checked: DuckDB replays the whole minhash pipeline. */
+  val qDedupMinhash: QueryDef = q("q_dedup_minhash")(minhashOracle()) { (s, d) =>
     minhashNearDups(Tables.documents(s, d))
       .orderBy("doc_id")
   }
 
-  /** 64-bit SimHash from whitespace tokens: per token take xxhash64, add ±1
-    * per bit position, sign-collapse to a fingerprint. Near-dups = equal
-    * 16-bit band of the fingerprint (Hamming-adjacent candidates). The input
-    * column NAME is spliced into the SQL lambda (variable bit-shifts have no
-    * DSL form), so callers choose the column instead of it being hardcoded. */
-  def simhash(textColName: String): Column =
-    expr(s"""aggregate(sequence(0, 63), cast(0L AS BIGINT), (acc, j) ->
-      |  acc | (CASE WHEN aggregate(split(`$textColName`, ' '), 0L,
-      |                 (s, tok) -> s + (CASE WHEN ((xxhash64(tok) >> j) & 1L) = 1L THEN 1L ELSE -1L END)) > 0
-      |         THEN shiftleft(1L, j) ELSE 0L END))""".stripMargin)
+  /** Spark SQL fragment: per-token polynomial hashes of a text column. */
+  private def tokhashesSql(textColName: String): String =
+    s"transform(split(`$textColName`, ' '), tok -> ${polySql("tok")})"
 
-  def simhashNearDups(docs: DataFrame): DataFrame = {
+  /** 64-bit SimHash body over a token-hash array expression: bit j is the
+    * sign of the sum over tokens of ±1 drawn from affine family j — one
+    * base hash per token, 64 cheap affine draws per (token, bit). Bits are
+    * disjoint, so summing the shifted contributions IS the bitwise OR (bit 63
+    * lands on the int64 sign — well-defined two's complement in both
+    * engines). */
+  private def simhashExpr(tokhashesExpr: String): String = {
+    val a = sparkArr((0 until 64).map(affineA)); val b = sparkArr((0 until 64).map(affineB))
+    s"""aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, j) ->
+       |  acc + (CASE WHEN aggregate($tokhashesExpr, CAST(0 AS BIGINT),
+       |                 (s2, x) -> s2 + (CASE WHEN ((element_at($a, j + 1) * x + element_at($b, j + 1)) % $P) % 2 = 1
+       |                                  THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)) > 0
+       |         THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END))""".stripMargin
+  }
+
+  /** SimHash of an arbitrary text column (the column NAME is spliced into
+    * the SQL lambda, so callers choose the column). */
+  def simhash(textColName: String): Column = expr(simhashExpr(tokhashesSql(textColName)))
+
+  /** Near-dup candidates = equal 16-bit band of the fingerprint, with the
+    * same deterministic per-bucket cap as minhash (lowest doc_id survives). */
+  def simhashNearDups(docs: DataFrame, bucketCap: Int = 256): DataFrame = {
     val withSim = docs.select(col("doc_id"), col("text"))
-      .withColumn("simhash", simhash("text"))
+      .withColumn("tokhashes", expr(tokhashesSql("text")))
+      .withColumn("simhash", expr(simhashExpr("tokhashes")))
     val banded = withSim.select(col("doc_id"), col("simhash"), posexplode(
       expr("transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535L)"))
       .as(Seq("band", "band_val")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("band", "band_val").orderBy("doc_id")))
+      .where(col("rn") <= bucketCap).drop("rn")
     val l = banded.as("l"); val r = banded.as("r")
     val cand = l.join(r, col("l.band") === col("r.band") &&
         col("l.band_val") === col("r.band_val") && col("l.doc_id") < col("r.doc_id"))
@@ -136,7 +264,36 @@ object Dedup {
       .withColumn("n_candidates", coalesce(col("n_candidates"), lit(0L)))
   }
 
-  val qDedupSimhash: QueryDef = rowsOnly("q_dedup_simhash") { (s, d) =>
+  /** DuckDB replay of [[simhashNearDups]]: same token hashes, same 64 affine
+    * bit-draws (bit 63 as an explicit int64-min literal — DuckDB rejects
+    * 1<<63), same banding, cap, and candidate counts. */
+  private def simhashOracle(bucketCap: Int = 256): String = {
+    val a = duckList((0 until 64).map(affineA)); val b = duckList((0 until 64).map(affineB))
+    s"""WITH th AS (SELECT doc_id, list_transform(string_split(text, ' '),
+       |              tok -> ${polyDuck("tok")}) AS tokhashes FROM documents),
+       |     sm AS (SELECT doc_id, CAST(list_aggregate(list_transform(generate_series(0, 63), j ->
+       |              CASE WHEN CAST(list_aggregate(list_transform(tokhashes, x ->
+       |                     CASE WHEN (($a[j + 1] * x + $b[j + 1]) % $P) % 2 = 1 THEN 1 ELSE -1 END),
+       |                   'sum') AS BIGINT) > 0
+       |                   THEN (CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+       |                         ELSE CAST(1 AS BIGINT) << j END)
+       |                   ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT) AS simhash FROM th),
+       |     bd0 AS (SELECT doc_id, b AS band, (simhash >> (b * 16)) & 65535 AS band_val
+       |             FROM sm, generate_series(0, 3) t(b)),
+       |     bd AS (SELECT doc_id, band, band_val FROM
+       |              (SELECT doc_id, band, band_val,
+       |                      row_number() OVER (PARTITION BY band, band_val ORDER BY doc_id) AS rn
+       |               FROM bd0) WHERE rn <= $bucketCap),
+       |     cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bd l JOIN bd r
+       |              ON l.band = r.band AND l.band_val = r.band_val AND l.doc_id < r.doc_id),
+       |     bo AS (SELECT a AS doc_id FROM cand UNION ALL SELECT b FROM cand),
+       |     cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_candidates FROM bo GROUP BY doc_id)
+       |SELECT s.doc_id, s.simhash, COALESCE(c.n_candidates, CAST(0 AS BIGINT)) AS n_candidates
+       |FROM sm s LEFT JOIN cnt c ON s.doc_id = c.doc_id ORDER BY s.doc_id""".stripMargin
+  }
+
+  /** Fully oracle-checked: DuckDB replays the whole simhash pipeline. */
+  val qDedupSimhash: QueryDef = q("q_dedup_simhash")(simhashOracle()) { (s, d) =>
     simhashNearDups(Tables.documents(s, d)).orderBy("doc_id")
   }
 

@@ -80,9 +80,25 @@ object DedupCluster {
       .withColumn("is_canonical", col("cluster_id") === col("doc_id"))
   }
 
-  /** Clustered-dedup over documents (rows-only: murmur-family hashes have no
-    * SQL twin; chain semantics are pinned by DedupClusterSpec). */
-  val qDedupCluster: QueryDef = rowsOnly("q_dedup_cluster") { (s, d) =>
+  /** DuckDB replay of [[dedupVerdict]]: the shared minhash pair CTEs
+    * (bit-identical spanning edges) feed a recursive-CTE transitive closure;
+    * min reachable id per node = the min-label component id the Spark side
+    * converges to. Closure size is O(Σ component²) PAIRS — fine for an
+    * oracle at test SF; the distributed side stays the O(log d) label
+    * propagation. */
+  private def clusterOracle: String =
+    s"""WITH RECURSIVE ${Dedup.minhashPairsCtes()},
+       |     ed AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
+       |     reach(n, m) AS (
+       |       SELECT doc_id, doc_id FROM documents
+       |       UNION
+       |       SELECT e.a, r.m FROM ed e JOIN reach r ON r.n = e.b)
+       |SELECT n AS doc_id, min(m) AS cluster_id, (min(m) = n) AS is_canonical
+       |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin
+
+  /** Fully oracle-checked clustered dedup (chain semantics additionally
+    * pinned by DedupClusterSpec). */
+  val qDedupCluster: QueryDef = QueryDef.sql("q_dedup_cluster")(clusterOracle) { (s, d) =>
     dedupVerdict(Tables.documents(s, d)).orderBy("doc_id")
   }
 

@@ -144,16 +144,19 @@ object Versioned {
     vt.read(s, "main").select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
   }
 
-  /** V1/V10 — repo create/delete + raw object put/rm, surfaced as a smoke
-    * query over the commit metadata (rows-only: paths/timestamps are
-    * run-dependent). */
-  val qVtObjects: QueryDef = rowsOnly("q_vt_objects") { (s, d) =>
+  /** V1/V10 — repo create/delete + raw object put/rm, surfaced as commit
+    * metadata. Deterministic by construction (coalesce(1) pins the file
+    * count, a fresh table pins version 0 and the branch list), so a literal
+    * VALUES oracle pins every field. */
+  val qVtObjects: QueryDef = q("q_vt_objects")(
+    """SELECT CAST(0 AS BIGINT) AS head_version, CAST(1 AS INTEGER) AS n_files,
+      |       CAST(true AS BOOLEAN) AS object_roundtrip, 'main' AS branches""".stripMargin) { (s, d) =>
     import s.implicits._
     val root = Tables.scratch("vt_objects")
     val vt = VersionedTable.create(root)
     vt.putObject("staging/notes.txt", "hello")
     val existed = vt.rmObject("staging/notes.txt")
-    vt.write(Tables.region(s, d), "main", "regions")
+    vt.write(Tables.region(s, d).coalesce(1), "main", "regions")
     val head = vt.head("main").get
     Seq((head.version, head.files.size, existed, vt.branches.mkString(","))).toDF(
       "head_version", "n_files", "object_roundtrip", "branches")

@@ -71,6 +71,34 @@ class ScaleSpec extends SparkSpec {
     assert(shuffles === 2, s"expected 2 exchanges (salted + final), got $shuffles")
   }
 
+  test("a 1000-copy duplicate cluster yields O(k) spanning edges, not O(k^2) pairs") {
+    import spark.implicits._
+    val text = "the same boilerplate paragraph repeated across the whole corpus " +
+      "with enough words to shingle into a realistic signature for banding"
+    val docs = ((1L to 1000L).map(i => (i, text)) :+ (2000L, "an entirely different " +
+      "document about distributed query engines and columnar storage formats"))
+      .toDF("doc_id", "text")
+    val pairs = graft.ext.Dedup.minhashPairs(docs).cache()
+    // exact-collapse gives the 999-edge star, NOT ~500k all-pairs candidates
+    assert(pairs.count() === 999L)
+    assert(pairs.where(col("a") === 1L).count() === 999L) // star centre = min doc_id
+    val verdict = graft.ext.DedupCluster.dedupVerdict(docs)
+    assert(verdict.where(col("cluster_id") === 1L).count() === 1000L)
+    assert(verdict.where(col("is_canonical")).count() === 2L) // doc 1 + the singleton
+    pairs.unpersist()
+  }
+
+  test("band bucket cap deterministically bounds candidates; default cap finds the pair") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then runs far away " +
+      "into the deep green forest while the hunter watches quietly from a hill"
+    val docs = Seq((1L, base), (2L, base.replace("lazy", "sleepy"))).toDF("doc_id", "text")
+    assert(graft.ext.Dedup.minhashPairs(docs, thresh = 0.4).count() >= 1L)
+    // cap=1 keeps one doc per bucket -> no band candidates survive (and no
+    // exact dups exist), so the pair set is deterministically empty
+    assert(graft.ext.Dedup.minhashPairs(docs, thresh = 0.4, bucketCap = 1).count() === 0L)
+  }
+
   test("oov vocab fit plans TakeOrderedAndProject, not a single-partition window") {
     val df = graft.ext.TextAnalysis.qOovRate.impl(spark, sf)
     val plan = executedPlan(df).toString
