@@ -22,21 +22,28 @@ object Bench {
       .groupBy("l_returnflag").count().count()
     catch { case _: Throwable => () }
     val names = Registry.benchNames.filter(Registry.byName.contains)
-    val results = names.map { name =>
+    // Two passes in one JVM, min per query: a single noisy run (GC pause,
+    // page-cache miss, CI neighbor) can neither masquerade as nor mask a
+    // real plan regression when the min of two runs is what gets compared.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    def timeOnce(name: String): Double = {
       val fn = Registry.byName(name).impl
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-        }
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+      }
+    }
+    val passes = (1 to runs).map(_ => names.map(n => n -> timeOnce(n)).toMap)
+    val results = names.map { n =>
+      val ok = passes.map(_(n)).filter(_ >= 0)
+      (n, if (ok.isEmpty) -1.0 else ok.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
