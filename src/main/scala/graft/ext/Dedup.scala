@@ -298,13 +298,27 @@ object Dedup {
   }
 
   /** Exact n-gram (character 5-gram) Jaccard within cheap buckets
-    * (lang, length-band): the bucketing bounds the pair count; the verify is
-    * exact set Jaccard via array_intersect/union. MinHash above is the
-    * at-scale prefilter; this is the precise variant for bounded buckets. */
-  def ngramJaccardDups(docs: DataFrame, n: Int = 5, thresh: Double = 0.4): DataFrame = {
-    val grams = docs.select(col("doc_id"), col("lang"),
+    * (lang, length-band), with the same two blowup guards as minhash: exact
+    * duplicates collapse to a representative first (star edges at Jaccard
+    * 1.0), and each bucket keeps at most `bucketCap` representatives in
+    * deterministic doc_id order. A doc lives in exactly ONE bucket here, so
+    * the cap is a documented top-N truncation (a dropped doc pairs with
+    * nothing) — MinHash above remains the at-scale prefilter. */
+  def ngramJaccardDups(docs: DataFrame, n: Int = 5, thresh: Double = 0.4,
+                       bucketCap: Int = 64): DataFrame = {
+    val withSha = docs.select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .withColumn("sha", sha2(col("text"), 256))
+    val reps = withSha.groupBy("sha").agg(min("doc_id").as("doc_id"),
+      min("lang").as("lang"), min("n_chars").as("n_chars"), min("text").as("text"))
+    val siblings = withSha.join(reps.select(col("sha"), col("doc_id").as("rep_id")), "sha")
+      .where(col("doc_id") =!= col("rep_id"))
+      .select(col("rep_id").as("a"), col("doc_id").as("b"), lit(1.0).as("jaccard"))
+    val grams = reps.select(col("doc_id"), col("lang"),
         (col("n_chars") / 100).cast(IntegerType).as("len_band"),
         expr(s"array_distinct(transform(sequence(1, greatest(1, length(text) - ${n - 1})), i -> substring(text, i, $n)))").as("grams"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang", "len_band").orderBy("doc_id")))
+      .where(col("rn") <= bucketCap).drop("rn")
     val l = grams.as("l"); val r = grams.as("r")
     l.join(r, col("l.lang") === col("r.lang") && col("l.len_band") === col("r.len_band") &&
         col("l.doc_id") < col("r.doc_id"))
@@ -313,23 +327,36 @@ object Dedup {
           size(array_union(col("l.grams"), col("r.grams"))).cast(DoubleType))
       .where(col("jaccard") >= thresh)
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"), col("jaccard"))
+      .union(siblings)
   }
 
   /** Doc-level n-gram Jaccard profile, FULLY oracle-checked: for every doc,
-    * the candidate count, best Jaccard, and minimum partner id among its
-    * (lang, length-band) bucket — pure set arithmetic, so DuckDB reproduces
-    * it exactly (int-ratio divisions are bit-deterministic). */
+    * the candidate count, best Jaccard, and minimum partner id. Exact
+    * duplicates collapse to representatives (star candidates at Jaccard 1.0)
+    * and buckets are capped, exactly as in [[ngramJaccardDups]] — pure set
+    * arithmetic plus deterministic row_number, so DuckDB reproduces every
+    * intermediate exactly (int-ratio divisions are bit-deterministic). */
   val qDedupNgram: QueryDef = q("q_dedup_ngram")(
-    """WITH g AS (SELECT doc_id, lang, CAST(n_chars // 100 AS INTEGER) AS len_band,
+    """WITH ws AS (SELECT doc_id, lang, n_chars, text, sha256(text) AS sha FROM documents),
+      |     reps AS (SELECT sha, min(doc_id) AS doc_id, min(lang) AS lang,
+      |                     min(n_chars) AS n_chars, min(text) AS text
+      |              FROM ws GROUP BY sha),
+      |     sib AS (SELECT r.doc_id AS a, w.doc_id AS b, 1.0 AS jac FROM ws w
+      |             JOIN reps r ON w.sha = r.sha AND w.doc_id <> r.doc_id),
+      |     g0 AS (SELECT doc_id, lang, CAST(n_chars // 100 AS INTEGER) AS len_band,
       |                  list_distinct(list_transform(
       |                    generate_series(1, greatest(1, CAST(length(text) AS INTEGER) - 4)),
       |                    i -> substr(text, i, 5))) AS grams
-      |           FROM documents),
-      |     p AS (SELECT l.doc_id AS a, r.doc_id AS b,
+      |           FROM reps),
+      |     g AS (SELECT doc_id, lang, len_band, grams FROM
+      |             (SELECT *, row_number() OVER (PARTITION BY lang, len_band ORDER BY doc_id) AS rn
+      |              FROM g0) WHERE rn <= 64),
+      |     p0 AS (SELECT l.doc_id AS a, r.doc_id AS b,
       |                  CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE) /
       |                  CAST(len(list_distinct(list_concat(l.grams, r.grams))) AS DOUBLE) AS jac
       |           FROM g l JOIN g r ON l.lang = r.lang AND l.len_band = r.len_band
       |                            AND l.doc_id < r.doc_id),
+      |     p AS (SELECT a, b, jac FROM p0 UNION ALL SELECT a, b, jac FROM sib),
       |     bo AS (SELECT a AS doc_id, b AS partner, jac FROM p
       |            UNION ALL SELECT b, a, jac FROM p)
       |SELECT d.doc_id, count(bo.partner) AS n_cand, max(bo.jac) AS best_jac,
@@ -337,15 +364,26 @@ object Dedup {
       |FROM documents d LEFT JOIN bo ON d.doc_id = bo.doc_id
       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val grams = docs.select(col("doc_id"), col("lang"),
+    val withSha = docs.select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .withColumn("sha", sha2(col("text"), 256))
+    val reps = withSha.groupBy("sha").agg(min("doc_id").as("doc_id"),
+      min("lang").as("lang"), min("n_chars").as("n_chars"), min("text").as("text"))
+    val siblings = withSha.join(reps.select(col("sha"), col("doc_id").as("rep_id")), "sha")
+      .where(col("doc_id") =!= col("rep_id"))
+      .select(col("rep_id").as("a"), col("doc_id").as("b"), lit(1.0).as("jac"))
+    val grams = reps.select(col("doc_id"), col("lang"),
       (col("n_chars") / 100).cast(IntegerType).as("len_band"),
       expr("array_distinct(transform(sequence(1, greatest(1, length(text) - 4)), i -> substring(text, i, 5)))").as("grams"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang", "len_band").orderBy("doc_id")))
+      .where(col("rn") <= 64).drop("rn")
     val l = grams.as("l"); val r = grams.as("r")
     val pairs = l.join(r, col("l.lang") === col("r.lang") &&
         col("l.len_band") === col("r.len_band") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
         (size(array_intersect(col("l.grams"), col("r.grams"))).cast(DoubleType) /
           size(array_union(col("l.grams"), col("r.grams"))).cast(DoubleType)).as("jac"))
+      .union(siblings)
     val both = pairs.select(col("a").as("doc_id"), col("b").as("partner"), col("jac"))
       .union(pairs.select(col("b").as("doc_id"), col("a").as("partner"), col("jac")))
     docs.select("doc_id").join(both, Seq("doc_id"), "left")
