@@ -231,6 +231,68 @@ final class Repo private (val root: Path) {
     val b = head(other).map(_.files.toSet).getOrElse(Set.empty)
     (a -- b).toSeq.sorted.map(_ -> "added") ++ (b -- a).toSeq.sorted.map(_ -> "removed")
   }
+
+  def branches: Seq[String] = {
+    if (!Files.exists(refsDir)) return Seq.empty
+    val st = Files.list(refsDir)
+    import scala.jdk.CollectionConverters._
+    try st.iterator().asScala.map(_.getFileName.toString).toVector.sorted
+    finally st.close()
+  }
+
+  /** Head-first lineage walk of a branch (head, head.parent, …, root). */
+  def lineage(branch: String): List[Commit] = {
+    @annotation.tailrec
+    def walk(c: Option[Commit], acc: List[Commit]): List[Commit] = c match {
+      case None => acc.reverse
+      case Some(cc) => walk(cc.parent.map(loadCommit), cc :: acc)
+    }
+    walk(head(branch), Nil)
+  }
+
+  /** lakeFS revert: append a NEW repo-wide commit whose snapshot (every
+    * table) equals `toVersion` — history is never rewritten. */
+  def revert(branch: String, toVersion: Long, message: String = ""): Commit = synchronized {
+    val target = lineage(branch).find(_.version == toVersion).getOrElse(
+      throw new IllegalArgumentException(s"no version $toVersion on $branch"))
+    val parent = head(branch).get
+    val version = parent.version + 1
+    val id = s"$branch-v$version-${java.util.UUID.randomUUID.toString.take(8)}"
+    val c = Commit(id, Some(parent.id), version, target.files, target.schemaJson,
+      if (message.isEmpty) s"revert to v$toVersion" else message, System.currentTimeMillis())
+    CommitLog.writeAtomic(commitsDir.resolve(id + ".json"), CommitLog.toJson(c))
+    CommitLog.writeAtomic(refsDir.resolve(branch), id)
+    c
+  }
+
+  /** Commit history of a branch, newest first: (version, message, ts,
+    * n_tables, n_files). */
+  def history(spark: SparkSession, branch: String): DataFrame = {
+    import spark.implicits._
+    lineage(branch).map(c => (c.version, c.message, c.ts, tableSchemas(c).size, c.files.size))
+      .toDF("version", "message", "ts", "n_tables", "n_files")
+  }
+
+  /** Repo-wide GC, same contract as VersionedTable.vacuum: delete data files
+    * unreferenced by the newest `retainLast` commits of every branch (staged
+    * but uncommitted batches are always retained). Returns #files deleted. */
+  def vacuum(retainLast: Int = 1): Int = synchronized {
+    require(retainLast >= 1, "retainLast must be >= 1")
+    val retained: Set[String] =
+      (branches.flatMap(b => lineage(b).take(retainLast).flatMap(_.files)) ++
+        staged.values.flatMap(_.values.flatMap(_._1))).toSet
+    if (!Files.exists(dataDir)) return 0
+    val walk = Files.walk(dataDir)
+    import scala.jdk.CollectionConverters._
+    val all =
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString).toVector
+      finally walk.close()
+    val dead = all.filterNot(retained.contains)
+    dead.foreach(f => Files.deleteIfExists(root.resolve(f)))
+    dead.size
+  }
 }
 
 object Repo {

@@ -89,6 +89,40 @@ class RepoSpec extends SparkSpec {
     assert(repo.readTable(spark, "main", "a").as[Int].collect() === Array(3))
   }
 
+  test("repo revert restores every table as a new commit; history lists lineage") {
+    val repo = Repo.create(Tables.scratch("repo_revert"))
+    repo.stageWrite(Seq(1).toDF("x"), "main", "a")
+    repo.stageWrite(Seq(10).toDF("x"), "main", "b")
+    repo.commit("main", "v0")
+    repo.stageWrite(Seq(2).toDF("x"), "main", "a")
+    repo.stageWrite(Seq(20).toDF("x"), "main", "b")
+    repo.commit("main", "v1")
+    val c = repo.revert("main", 0)
+    assert(c.version === 2)
+    assert(repo.readTable(spark, "main", "a").as[Int].collect() === Array(1))
+    assert(repo.readTable(spark, "main", "b").as[Int].collect() === Array(10))
+    // history preserved: v1 still time-travels
+    assert(repo.readTableAsOf(spark, "main", "a", 1).as[Int].collect() === Array(2))
+    val h = repo.history(spark, "main").collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(2L, 1L, 0L))
+    assert(h.forall(_.getInt(3) === 2)) // both tables in every commit
+  }
+
+  test("repo vacuum reclaims files outside retention but never retained ones") {
+    val repo = Repo.create(Tables.scratch("repo_vacuum"))
+    (0 until 3).foreach { i =>
+      repo.stageWrite(Seq(i).toDF("x"), "main", "a")
+      repo.commit("main", s"v$i")
+    }
+    val keep = repo.head("main").get.files
+    val deleted = repo.vacuum(retainLast = 1)
+    assert(deleted > 0)
+    keep.foreach(f => assert(java.nio.file.Files.exists(repo.root.resolve(f)),
+      s"retained file vanished: $f"))
+    assert(repo.readTable(spark, "main", "a").as[Int].collect() === Array(2))
+    assertThrows[Exception](repo.readTableAsOf(spark, "main", "a", 0).collect())
+  }
+
   test("branches are zero-copy and isolated across all tables") {
     val repo = Repo.create(Tables.scratch("repo_branch"))
     repo.stageWrite(Seq(1).toDF("x"), "main", "a")
