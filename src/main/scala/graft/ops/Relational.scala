@@ -126,6 +126,30 @@ object Relational {
     s.read.orc(out).orderBy("o_orderpriority")
   }
 
+  /** ext — JSON-lines sink + schema-pinned scan (covers JSON as both a sink
+    * and a source format). Integer/string columns only: JSON round-trips
+    * them exactly, so the oracle stays plain SQL over `orders`. */
+  val qSinkJson: QueryDef = q("q_sink_json")(
+    """SELECT o_orderstatus, count(*) AS cnt, min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    val out = Tables.scratch("sink_json")
+    Tables.orders(s, d).groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), min("o_orderkey").as("min_ok"), max("o_orderkey").as("max_ok"))
+      .write.mode("overwrite").json(out)
+    s.read.schema("o_orderstatus STRING, cnt BIGINT, min_ok BIGINT, max_ok BIGINT")
+      .json(out).orderBy("o_orderstatus")
+  }
+
+  /** ext — plain-text sink + `spark.read.text` scan: one value per line,
+    * order irrelevant after the group-count read-back. */
+  val qSinkText: QueryDef = q("q_sink_text")(
+    """SELECT o_orderpriority AS value, count(*) AS cnt
+      |FROM orders GROUP BY o_orderpriority ORDER BY value""".stripMargin) { (s, d) =>
+    val out = Tables.scratch("sink_text")
+    Tables.orders(s, d).select(col("o_orderpriority")).write.mode("overwrite").text(out)
+    s.read.text(out).groupBy("value").agg(count(lit(1)).as("cnt")).orderBy("value")
+  }
+
   // -------------------------------------------------------------------------
   // §2.2 Projections / filters / derivations (P1–P8)
   // -------------------------------------------------------------------------
@@ -557,7 +581,7 @@ object Relational {
   /** All atomic relational queries in registration order. */
   val defs: Seq[QueryDef] = Seq(
     qScanCsv, qScanCsvRaw, qScanOrc, qScanParquet,
-    qSinkCsv, qSinkParquet, qSinkOrc,
+    qSinkCsv, qSinkParquet, qSinkOrc, qSinkJson, qSinkText,
     qProject, qAlias, qFilterCmp, qDeriveArith, qRowwiseMean, qCaseWhen, qCast,
     qJoinInner, qJoinAfterAgg, qJoinAfterWindow, qJoinLeft, qJoinSemi, qJoinAnti,
     qJoinFull, qJoinCross,

@@ -218,6 +218,26 @@ object Versioned {
       .orderBy("part", "k")
   }
 
+  /** Delta MERGE/upsert: update the name of nations 0–4, insert nothing new
+    * (the updated rows' keys all match), and read the head — a closed-form
+    * CASE expression over the source `nation` table. v0 still time-travels
+    * (asserted in VersionedTableSpec; the oracle pins the head content). */
+  val qVtUpsert: QueryDef = q("q_vt_upsert")(
+    """SELECT n_nationkey,
+      |       CASE WHEN n_nationkey < 5 THEN upper(n_name) ELSE n_name END AS n_name,
+      |       n_regionkey
+      |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+    val vt = VersionedTable.create(Tables.scratch("vt_upsert"))
+    val nation = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+    vt.write(nation, "main", "v0")
+    val updates = nation.where(col("n_nationkey") < 5)
+      .withColumn("n_name", upper(col("n_name")))
+      .select("n_nationkey", "n_name", "n_regionkey")
+    vt.upsert(s, updates, keyCols = Seq("n_nationkey"), branch = "main")
+    vt.read(s, "main").select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey")
+  }
+
   /** CDC between v0 and v1: inserts = the regionkey>=2 rows, no deletes. */
   val qVtChanges: QueryDef = q("q_vt_changes")(
     """SELECT 'insert' AS change_type, n_nationkey, n_name FROM nation WHERE n_regionkey >= 2
@@ -240,5 +260,5 @@ object Versioned {
 
   val defs: Seq[QueryDef] = Seq(qVtWriteVersions, qVtReadLatest, qVtTimeTravel,
     qVtBranch, qVtCommit, qVtDiff, qVtMerge, qVtRevert, qVtVacuum, qVtObjects,
-    qVtSkipRead, qVtAppend, qRepoCommit, qVtChanges, qVtHistory)
+    qVtSkipRead, qVtAppend, qRepoCommit, qVtChanges, qVtHistory, qVtUpsert)
 }

@@ -155,6 +155,30 @@ final class VersionedTable private (val root: Path) {
       }.toMap
   }
 
+  /** Delta-style MERGE (upsert): source rows REPLACE current rows sharing
+    * their key (WHEN MATCHED UPDATE ALL) and are INSERTED otherwise, as a
+    * NEW version — old versions still time-travel. Relational core: one
+    * left-anti join of the current snapshot against the distinct source
+    * keys, then a union — both shuffle only on the key columns, so the plan
+    * is two key-partitioned exchanges regardless of table width or scale.
+    * Schemas must match (same enforcement rationale as append). */
+  def upsert(spark: SparkSession, source: DataFrame, keyCols: Seq[String],
+             branch: String = "main", message: String = ""): Commit = synchronized {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val current = read(spark, branch)
+    // name+type equality (nullability-insensitive: reading parquet back
+    // relaxes nullable flags, which must not block a legitimate upsert)
+    require(current.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        source.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"upsert schema mismatch on $branch: table has ${current.schema.simpleString} " +
+        s"but the source has ${source.schema.simpleString}")
+    import org.apache.spark.sql.functions.col
+    val keep = current.join(
+      source.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+    write(keep.unionByName(source), branch,
+      if (message.isEmpty) s"upsert on (${keyCols.mkString(", ")})" else message)
+  }
+
   /** Stage a snapshot on `branch` without committing (lakeFS staging area,
     * `README.md:85-127`). Promote with [[commitStaged]]; discard with [[reset]]. */
   def stage(df: DataFrame, branch: String = "main"): Unit = synchronized {

@@ -100,6 +100,20 @@ class VersionedTableSpec extends SparkSpec {
     assertThrows[Exception](vt.readVersion(spark, "main", 0).collect())
   }
 
+  test("upsert updates matched keys, inserts unmatched, preserves old versions") {
+    val vt = freshVt("upsert")
+    vt.write(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), "main", "v0")
+    val c = vt.upsert(spark, Seq((2, "B"), (9, "new")).toDF("k", "v"), keyCols = Seq("k"))
+    assert(c.version === 1)
+    assert(vt.read(spark, "main").as[(Int, String)].collect().sortBy(_._1)
+      === Array((1, "a"), (2, "B"), (3, "c"), (9, "new")))
+    assert(vt.readVersion(spark, "main", 0).as[(Int, String)].collect().sortBy(_._1)
+      === Array((1, "a"), (2, "b"), (3, "c")))
+    // mismatched schema is rejected, not silently merged
+    assertThrows[IllegalArgumentException](
+      vt.upsert(spark, Seq((1, 1.0)).toDF("k", "d"), keyCols = Seq("k")))
+  }
+
   test("revert creates a new commit equal to the target version") {
     val vt = freshVt("revert")
     vt.write(df(1, 2), "main", "v0")
