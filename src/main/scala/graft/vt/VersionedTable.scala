@@ -108,23 +108,42 @@ final class VersionedTable private (val root: Path) {
     * `mode="overwrite"` replaces the snapshot (Delta overwrite semantics,
     * `jobs/vdt4.py:39-40,76-77`); `mode="append"` unions the parent's file
     * list with the new files — an O(metadata) append, no data rewrite.
-    */
+    *
+    * Append schema handling mirrors Delta: a divergent schema is REJECTED by
+    * default (readCommit pins one schema over all files, so it would
+    * silently null/drop columns), and accepted with `mergeSchema=true` as
+    * ADDITIVE evolution — the commit schema becomes parent fields plus the
+    * appended frame's new fields; parquet's by-name resolution then nulls a
+    * file's missing columns on read, exactly Delta's mergeSchema contract.
+    * A same-name/different-type collision is always an error. */
   def write(df: DataFrame, branch: String = "main", message: String = "",
-            mode: String = "overwrite", statsCols: Seq[String] = Nil): Commit = synchronized {
+            mode: String = "overwrite", statsCols: Seq[String] = Nil,
+            mergeSchema: Boolean = false): Commit = synchronized {
     val parent = head(branch)
-    // Delta-style append schema enforcement: readCommit pins ONE schema over
-    // all files, so a divergent append would silently null/drop columns in
-    // the parent's files. Reject it instead of corrupting reads.
-    for (p <- parent if mode == "append" && df.schema.json != p.schemaJson)
-      throw new IllegalArgumentException(
-        s"append schema mismatch on $branch: table has ${p.schemaJson} but the " +
-          s"appended DataFrame has ${df.schema.json}; use mode=overwrite to evolve the schema")
+    val schema: StructType = parent match {
+      case Some(p) if mode == "append" =>
+        val parentSchema = DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
+        val byName = parentSchema.fields.map(f => f.name -> f.dataType).toMap
+        val clash = df.schema.fields.filter(f =>
+          byName.get(f.name).exists(_ != f.dataType))
+        if (clash.nonEmpty) throw new IllegalArgumentException(
+          s"append type collision on $branch for ${clash.map(_.name).mkString(", ")}: " +
+            "a column cannot change type on append")
+        if (!mergeSchema && df.schema.json != p.schemaJson)
+          throw new IllegalArgumentException(
+            s"append schema mismatch on $branch: table has ${parentSchema.simpleString} but " +
+              s"the appended DataFrame has ${df.schema.simpleString}; pass mergeSchema=true " +
+              "for additive evolution or use mode=overwrite")
+        StructType(parentSchema.fields ++
+          df.schema.fields.filterNot(f => byName.contains(f.name)))
+      case _ => df.schema
+    }
     val newFiles = writeDataFiles(df, branch, parent.map(_.version + 1).getOrElse(0L))
     val newStats = if (statsCols.isEmpty) Map.empty[String, Map[String, (Double, Double)]]
                    else collectFileStats(df.sparkSession, newFiles, statsCols)
     val parentStats = if (mode == "append") parent.map(_.stats).getOrElse(Map.empty)
                       else Map.empty[String, Map[String, (Double, Double)]]
-    publish(branch, parent, message, df.schema,
+    publish(branch, parent, message, schema,
       if (mode == "append") parent.map(_.files).getOrElse(Vector.empty) ++ newFiles else newFiles,
       parentStats ++ newStats)
   }

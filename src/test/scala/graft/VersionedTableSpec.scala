@@ -100,6 +100,23 @@ class VersionedTableSpec extends SparkSpec {
     assertThrows[Exception](vt.readVersion(spark, "main", 0).collect())
   }
 
+  test("mergeSchema append evolves additively; type collisions always rejected") {
+    val vt = freshVt("merge_schema")
+    vt.write(Seq((1, "a")).toDF("x", "s"), "main", "v0")
+    // additive append: new column d appears, old rows read as null
+    vt.write(Seq((2, "b", 2.5)).toDF("x", "s", "d"), "main", "widen",
+      mode = "append", mergeSchema = true)
+    val rows = vt.read(spark, "main").select("x", "s", "d")
+      .as[(Int, String, Option[Double])].collect().sortBy(_._1)
+    assert(rows === Array((1, "a", None), (2, "b", Some(2.5))))
+    // v0 still replays with its own narrower schema
+    assert(vt.readVersion(spark, "main", 0).columns === Array("x", "s"))
+    // same name, different type: rejected even with mergeSchema
+    assertThrows[IllegalArgumentException](
+      vt.write(Seq(("no", "b", 1.0)).toDF("x", "s", "d"), "main", "clash",
+        mode = "append", mergeSchema = true))
+  }
+
   test("upsert updates matched keys, inserts unmatched, preserves old versions") {
     val vt = freshVt("upsert")
     vt.write(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), "main", "v0")
