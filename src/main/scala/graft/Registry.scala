@@ -20,6 +20,7 @@ object Registry {
       ext.Ivf.defs ++
       ext.CorpusPipeline.defs ++
       ext.TextAnalysis.defs ++
+      ext.Sampling.defs ++
       ext.Multimodal.defs ++
       streaming.EventsStreaming.defs
 

@@ -86,6 +86,25 @@ class ExtSpec extends SparkSpec {
     assert(viaBody === viaText)
   }
 
+  test("hash sampling and split assignment are deterministic and well-proportioned") {
+    val a = graft.ext.Sampling.qSampleHash.impl(spark, sf).collect()
+    val b = graft.ext.Sampling.qSampleHash.impl(spark, sf).collect()
+    assert(a.toSeq === b.toSeq) // bit-identical across runs: no RNG anywhere
+    val splits = graft.ext.Sampling.qSplitAssign.impl(spark, sf)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    val total = splits.values.sum.toDouble
+    assert(splits("train") / total > 0.7 && splits("train") / total < 0.9)
+    assert(splits.keySet === Set("train", "val", "test"))
+    // stratified: exactly min(50, stratum size) per language
+    val perLang = graft.ext.Sampling.qSampleStratified.impl(spark, sf)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val strata = Tables.documents(spark, sf).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    strata.foreach { case (lang, n) =>
+      assert(perLang(lang) === math.min(50L, n), s"lang $lang")
+    }
+  }
+
   test("multimodal stub decode is deterministic and matches meta lengths") {
     val docs = Tables.documents(spark, sf).limit(50)
     val a = Multimodal.decodeAll(spark, Multimodal.mediaTable(docs))
