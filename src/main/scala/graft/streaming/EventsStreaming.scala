@@ -92,6 +92,36 @@ object EventsStreaming {
       .orderBy("user_id", "sess_id")
   }
 
+  /** Rolling time-RANGE window: per-user count and cents-sum of the trailing
+    * hour at every event — the sliding-window complement of the tumbling
+    * bucket above (a row belongs to many overlapping frames here). RANGE
+    * frames are tie-inclusive (all rows with equal sec share one frame), so
+    * the result is deterministic however same-second events are ordered;
+    * cents stay integers, so the frame sum is order-exact in both engines. */
+  def rollingHour(events: DataFrame): DataFrame = {
+    val sec = col("ts").cast(LongType)
+    val w = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-3600L, 0L)
+    events.select(col("user_id"), col("event_id"), sec.as("sec"),
+        floor(col("value") * 100 + 0.5).cast(LongType).as("cents"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_val_c_1h", sum(col("cents")).over(w))
+      .select("user_id", "event_id", "sec", "n_1h", "sum_val_c_1h")
+  }
+
+  val qWindowRange: QueryDef = q("q_window_range")(
+    """WITH e AS (SELECT user_id, event_id,
+      |                  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+      |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
+      |SELECT user_id, event_id, sec,
+      |       count(*) OVER w AS n_1h,
+      |       CAST(sum(cents) OVER w AS BIGINT) AS sum_val_c_1h
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+      |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    rollingHour(Tables.events(s, d)).orderBy("user_id", "event_id")
+  }
+
   // ---- stateful streaming sessionizer ------------------------------------
 
   final case class Ev(user_id: Long, sec: Long)
@@ -143,5 +173,5 @@ object EventsStreaming {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("content_sha")
 
-  val defs: Seq[QueryDef] = Seq(qWindowTumbling, qSessionize)
+  val defs: Seq[QueryDef] = Seq(qWindowTumbling, qSessionize, qWindowRange)
 }
