@@ -161,6 +161,28 @@ object EventsStreaming {
       }
   }
 
+  // ---- streaming ingestion into the versioned lakehouse layer ------------
+
+  /** Streaming → VersionedTable ingest via foreachBatch: each micro-batch
+    * becomes one APPEND commit (O(metadata) union of the parent file list),
+    * so the branch head is always a consistent snapshot — a reader never
+    * sees a half-written batch — and every batch boundary is a time-travel
+    * point. batchId is recorded in the commit message for exactly-once
+    * replay audit (a restarted query re-delivers a batch under the same id;
+    * dedup-by-message is then a metadata scan, not a data diff). This is
+    * the lakehouse streaming-sink contract (Delta's transactional
+    * streaming write) on the native commit log. Small files accumulate per
+    * trigger at scale — `vt.compact()` is the companion operation. */
+  def streamingVersionedIngest(events: DataFrame, vt: graft.vt.VersionedTable,
+                               branch: String = "main"):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          vt.write(batch, branch, message = s"stream batch $batchId", mode = "append")
+        ()
+    }
+
   // ---- streaming dedup ---------------------------------------------------
 
   /** Streaming exact dedup: content fingerprint + dropDuplicatesWithinWatermark

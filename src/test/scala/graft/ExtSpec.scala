@@ -105,6 +105,19 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("hash sampling is invariant to partitioning (no RNG, no partition state)") {
+    val base = Tables.documents(spark, sf)
+    val expected = base.withColumn("bucket",
+        graft.ext.Sampling.hashBucket(col("doc_id")))
+      .where(col("bucket") < 100).select("doc_id").as[Long].collect().sorted
+    Seq(1, 7, 32).foreach { n =>
+      val got = base.repartition(n).withColumn("bucket",
+          graft.ext.Sampling.hashBucket(col("doc_id")))
+        .where(col("bucket") < 100).select("doc_id").as[Long].collect().sorted
+      assert(got === expected, s"sample changed under repartition($n)")
+    }
+  }
+
   test("multimodal stub decode is deterministic and matches meta lengths") {
     val docs = Tables.documents(spark, sf).limit(50)
     val a = Multimodal.decodeAll(spark, Multimodal.mediaTable(docs))

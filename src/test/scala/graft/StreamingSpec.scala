@@ -77,6 +77,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest commits one append version per micro-batch") {
+    val vt = graft.vt.VersionedTable.create(Tables.scratch("stream_ingest"))
+    val mem = MemoryStream[Ev](spark)
+    val q = EventsStreaming.streamingVersionedIngest(mem.toDS().toDF(), vt)
+      .option("checkpointLocation", Tables.scratch("stream_ingest_ckpt")).start()
+    try {
+      mem.addData(Ev(1L, 100L), Ev(2L, 200L))
+      q.processAllAvailable()
+      mem.addData(Ev(3L, 300L))
+      q.processAllAvailable()
+      val head = vt.head("main").get
+      assert(head.version === 1) // two micro-batches -> v0 append + v1 append
+      assert(head.message.startsWith("stream batch"))
+      assert(vt.read(spark, "main").count() === 3L)
+      // each batch boundary is a time-travel point
+      assert(vt.readVersion(spark, "main", 0).count() === 2L)
+    } finally q.stop()
+  }
+
   test("batch sessionize splits on gaps > 30min and counts events per session") {
     val ts = (s: Long) => new Timestamp(s * 1000L)
     val ev = Seq(
