@@ -80,6 +80,29 @@ object MLlite {
     targets.zip(vals).toDF("rn", "v").orderBy("rn")
   }
 
+  /** Grouped exact interpolated percentiles (quantile_cont semantics) over
+    * INTEGER CENTS: pos = (n-1)·p lands on exact binary fractions for
+    * quartiles, and frac·(upper-lower) is a dyadic-rational × int product —
+    * bit-exact in IEEE double in both engines, so the oracle hash-matches
+    * without any rounding tolerance. One shuffle on the group key;
+    * percentile is Spark's built-in exact aggregator (sort within group). */
+  val qPercentile: QueryDef = q("q_percentile")(
+    """WITH c AS (SELECT o_orderpriority,
+      |                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders)
+      |SELECT o_orderpriority,
+      |       quantile_cont(cents, 0.25) AS p25,
+      |       quantile_cont(cents, 0.5)  AS p50,
+      |       quantile_cont(cents, 0.75) AS p75
+      |FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val cents = floor(col("o_totalprice") * 100 + 0.5).cast(LongType)
+    Tables.orders(s, d).withColumn("cents", cents)
+      .groupBy("o_orderpriority")
+      .agg(expr("percentile(cents, 0.25)").as("p25"),
+        expr("percentile(cents, 0.5)").as("p50"),
+        expr("percentile(cents, 0.75)").as("p75"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Quantile bucketing (`jobs/vdt4.py:68-73`): cut points from an action,
     * baked into a chained when/otherwise. */
   def quantileBucket(df: DataFrame, valueCol: String, outputCol: String,
@@ -110,5 +133,6 @@ object MLlite {
       .orderBy("l_orderkey", "l_linenumber", "price_quartile")
   }
 
-  val defs: Seq[QueryDef] = Seq(qStringIndexer, qApproxQuantile, qQuantileBucket)
+  val defs: Seq[QueryDef] = Seq(qStringIndexer, qApproxQuantile, qQuantileBucket,
+    qPercentile)
 }
