@@ -46,6 +46,29 @@ class PropertySpec extends SparkSpec {
   private val writeSeqs: Gen[List[List[Int]]] =
     Gen.listOfN(4, Gen.listOfN(3, Gen.choose(0, 100)))
 
+  test("property: exact-duplicate groups cluster exactly, lowest id canonical") {
+    // sha star edges make exact-dup grouping DETERMINISTIC (independent of
+    // MinHash banding probabilism): docs sharing a text MUST land in one
+    // cluster whose id is the group minimum, and distinct texts must not
+    // merge unless genuinely near-dup (texts here are pairwise unrelated).
+    val texts = Vector(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      "one two three four five six seven eight nine ten eleven twelve",
+      "red orange yellow green blue indigo violet ultraviolet infrared",
+      "spark catalyst tungsten shuffle partition broadcast executor driver")
+    val assignment: Gen[List[Int]] = Gen.listOfN(24, Gen.choose(0, texts.size - 1))
+    samples(assignment, 5).foreach { groups =>
+      val docs = groups.zipWithIndex
+        .map { case (g, i) => (i.toLong + 1, texts(g)) }.toDF("doc_id", "text")
+      val verdict = graft.ext.DedupCluster.dedupVerdict(docs)
+        .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+      val expected = groups.zipWithIndex
+        .groupMap(_._1)(p => p._2.toLong + 1)
+        .flatMap { case (_, ids) => ids.map(_ -> ids.min) }
+      assert(verdict === expected)
+    }
+  }
+
   test("property: read@v0 is stable under any sequence of later writes") {
     samples(writeSeqs, 5).foreach { snapshots =>
       if (snapshots.nonEmpty) {
