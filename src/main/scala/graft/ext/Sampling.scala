@@ -14,19 +14,26 @@ import graft.QueryDef.{sql => q}
   * cluster layouts and unreplayable in SQL), so all three operators below
   * use a multiplicative hash of the STABLE doc_id instead:
   *
-  *   bucket(id) = (id * 2654435761) mod 1000        (Knuth multiplicative)
+  *   bucket(id) = ((id mod (2^31-1)) * 2654435761) mod 1000
+  *
+  * (Knuth multiplicative hash, with the id pre-reduced mod the Mersenne
+  * prime 2^31-1 so the product is at most ~5.7e18 < 2^63-1 for ANY int64
+  * id: without the reduction, `id * 2654435761` overflows for ids ≥ ~4.3e9
+  * — Spark would wrap silently, changing the sample's composition, while
+  * DuckDB raises an overflow error. The reduction keeps both engines exact
+  * and in agreement at any id scale.)
   *
   * The draw is a pure row-local projection — no shuffle, no RNG state, the
   * same rows selected on 1 executor or 1000 — and DuckDB replays it exactly.
-  * (`doc_id * 2654435761` stays in int64 for ids < 4.3e9; for larger id
-  * spaces hash the id down first.)
   */
 object Sampling {
 
-  /** Knuth multiplicative-hash bucket in [0, 1000). */
-  def hashBucket(id: Column): Column = pmod(id * lit(2654435761L), lit(1000L))
+  /** Knuth multiplicative-hash bucket in [0, 1000), overflow-safe for all
+    * non-negative int64 ids (see the pre-reduction note above). */
+  def hashBucket(id: Column): Column =
+    pmod(pmod(id, lit(2147483647L)) * lit(2654435761L), lit(1000L))
 
-  private val bucketSql = "(doc_id * 2654435761) % 1000"
+  private val bucketSql = "(doc_id % 2147483647) * 2654435761 % 1000"
 
   /** 10% reproducible sample: keep rows whose bucket falls below 100. */
   val qSampleHash: QueryDef = q("q_sample_hash")(

@@ -163,25 +163,43 @@ object EventsStreaming {
 
   // ---- streaming ingestion into the versioned lakehouse layer ------------
 
+  private val BatchMsgPrefix = "stream batch "
+
+  /** One idempotent micro-batch append: skip the write when the branch has
+    * already committed this batchId or a later one. A restarted query
+    * re-delivers its last micro-batch under the SAME batchId (Spark's
+    * exactly-once sink contract expects the sink to dedup by it — the same
+    * `txnAppId`/`txnVersion` check Delta's streaming sink performs), so
+    * without this check a crash between the commit and the checkpoint
+    * advance would append the batch twice. The check reads commit METADATA
+    * newest-first and stops at the first ingest commit found — O(1) ingest
+    * commits inspected per batch, no data read. Batch ids are monotonic per
+    * checkpoint, so "newest ingest commit's id >= batchId" ⇔ duplicate. */
+  def ingestBatch(vt: graft.vt.VersionedTable, branch: String)
+                 (batch: DataFrame, batchId: Long): Unit = {
+    val lastIngested: Option[Long] = // lazy head-first walk: stops at the first ingest commit
+      Iterator.iterate(vt.head(branch))(_.flatMap(_.parent).map(vt.loadCommit))
+        .takeWhile(_.isDefined).map(_.get.message)
+        .collectFirst { case m if m.startsWith(BatchMsgPrefix) =>
+          m.stripPrefix(BatchMsgPrefix).toLong }
+    if (lastIngested.exists(_ >= batchId)) () // duplicate delivery: already committed
+    else if (!batch.isEmpty)
+      vt.write(batch, branch, message = s"$BatchMsgPrefix$batchId", mode = "append")
+  }
+
   /** Streaming → VersionedTable ingest via foreachBatch: each micro-batch
     * becomes one APPEND commit (O(metadata) union of the parent file list),
     * so the branch head is always a consistent snapshot — a reader never
     * sees a half-written batch — and every batch boundary is a time-travel
-    * point. batchId is recorded in the commit message for exactly-once
-    * replay audit (a restarted query re-delivers a batch under the same id;
-    * dedup-by-message is then a metadata scan, not a data diff). This is
-    * the lakehouse streaming-sink contract (Delta's transactional
-    * streaming write) on the native commit log. Small files accumulate per
-    * trigger at scale — `vt.compact()` is the companion operation. */
+    * point. Exactly-once per batchId: [[ingestBatch]] skips a re-delivered
+    * batch whose id is already in the branch's commit log, which is the
+    * lakehouse streaming-sink contract (Delta's transactional streaming
+    * write) on the native commit log. Small files accumulate per trigger at
+    * scale — `vt.compact()` is the companion operation. */
   def streamingVersionedIngest(events: DataFrame, vt: graft.vt.VersionedTable,
                                branch: String = "main"):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    events.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
-          vt.write(batch, branch, message = s"stream batch $batchId", mode = "append")
-        ()
-    }
+    events.writeStream.outputMode("append").foreachBatch(ingestBatch(vt, branch) _)
 
   // ---- streaming dedup ---------------------------------------------------
 

@@ -41,7 +41,16 @@ final case class Commit(
     /** Optional per-file column statistics for data skipping:
       * file → column → (min, max). Populated when the writer is given
       * `statsCols`; absent entries mean "no stats, never skip this file". */
-    stats: Map[String, Map[String, (Double, Double)]] = Map.empty)
+    stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
+    /** Second parent of a merge commit: the SOURCE branch head that was merged
+      * in (git's second parent; lakeFS records the same). Without it the merge
+      * base of a later merge of the same pair would never advance, and the
+      * files the first merge imported would look "changed on both sides" —
+      * a spurious conflict on the standard merge-repeatedly workflow. */
+    mergeParent: Option[String] = None) {
+  /** All parents, first-parent first — the DAG edge set for ancestry walks. */
+  def parents: List[String] = parent.toList ++ mergeParent.toList
+}
 
 /** JSON codec + crash-safe filesystem helpers for the commit log.
   *
@@ -62,6 +71,7 @@ object CommitLog {
     m.put("schemaJson", c.schemaJson)
     m.put("message", c.message)
     m.put("ts", java.lang.Long.valueOf(c.ts))
+    c.mergeParent.foreach(mp => m.put("mergeParent", mp)) // absent = not a merge
     if (c.stats.nonEmpty) {
       val sm = new java.util.LinkedHashMap[String, Object]()
       c.stats.toSeq.sortBy(_._1).foreach { case (file, cols) =>
@@ -87,6 +97,7 @@ object CommitLog {
       schemaJson = m.get("schemaJson").asInstanceOf[String],
       message = m.get("message").asInstanceOf[String],
       ts = m.get("ts").asInstanceOf[Number].longValue(),
+      mergeParent = Option(m.get("mergeParent").asInstanceOf[String]),
       stats = Option(m.get("stats")).map { raw =>
         raw.asInstanceOf[java.util.Map[String, java.util.Map[String, java.util.List[Number]]]]
           .asScala.map { case (file, cols) =>

@@ -147,34 +147,13 @@ final class Repo private (val root: Path) {
   private def loadCommit(id: String): Commit =
     CommitLog.fromJson(CommitLog.readString(commitsDir.resolve(id + ".json")))
 
-  private def isAncestor(maybeAncestor: String, of: Commit): Boolean = {
-    @annotation.tailrec
-    def walk(c: Commit): Boolean =
-      if (c.id == maybeAncestor) true
-      else c.parent match {
-        case Some(p) => walk(loadCommit(p))
-        case None => false
-      }
-    walk(of)
-  }
+  /** DAG-aware ancestry (merge commits have two parents — see [[Ancestry]]). */
+  private def isAncestor(maybeAncestor: String, of: Commit): Boolean =
+    Ancestry.isAncestor(loadCommit, maybeAncestor, of)
 
-  /** Nearest common ancestor (merge base) of two commits. */
-  private def mergeBase(a: Commit, b: Commit): Option[Commit] = {
-    @annotation.tailrec
-    def ancestors(c: Commit, acc: Set[String]): Set[String] = c.parent match {
-      case Some(p) => ancestors(loadCommit(p), acc + c.id)
-      case None => acc + c.id
-    }
-    val as = ancestors(a, Set.empty)
-    @annotation.tailrec
-    def firstShared(c: Commit): Option[Commit] =
-      if (as.contains(c.id)) Some(c)
-      else c.parent match {
-        case Some(p) => firstShared(loadCommit(p))
-        case None => None
-      }
-    firstShared(b)
-  }
+  /** Lowest common ancestor (merge base) over the commit DAG. */
+  private def mergeBase(a: Commit, b: Commit): Option[Commit] =
+    Ancestry.mergeBase(loadCommit, a, b)
 
   /** Tables whose snapshot (file list or schema) differs between `base` and
     * `c` — the change set the lakeFS conflict rule compares. */
@@ -189,7 +168,9 @@ final class Repo private (val root: Path) {
     * moved but changed DISJOINT tables since the merge base, a 3-way merge
     * commit combines the changes (lakeFS merges branches whose object
     * changes don't collide — reference README.md:141-147); a table changed
-    * on both sides is a conflict. */
+    * on both sides is a conflict. The merge commit records the source head
+    * as [[Commit.mergeParent]], so later merges of the same pair measure
+    * divergence from the ADVANCED base, not the original branch point. */
   def merge(from: String, into: String): Commit = synchronized {
     val src = head(from).getOrElse(throw new IllegalArgumentException(s"no such branch: $from"))
     val dst = head(into).getOrElse(throw new IllegalArgumentException(s"no such branch: $into"))
@@ -218,7 +199,7 @@ final class Repo private (val root: Path) {
       val version = dst.version + 1
       val id = s"$into-v$version-${java.util.UUID.randomUUID.toString.take(8)}"
       val c = Commit(id, Some(dst.id), version, files.sorted, schemaJson,
-        s"merge $from into $into", System.currentTimeMillis())
+        s"merge $from into $into", System.currentTimeMillis(), mergeParent = Some(src.id))
       CommitLog.writeAtomic(commitsDir.resolve(id + ".json"), CommitLog.toJson(c))
       CommitLog.writeAtomic(refsDir.resolve(into), id)
       c

@@ -71,35 +71,19 @@ final class VersionedTable private (val root: Path) {
     walk(head(branch), Nil)
   }
 
-  private def isAncestor(maybeAncestor: String, of: Commit): Boolean = {
-    @annotation.tailrec
-    def walk(c: Commit): Boolean =
-      if (c.id == maybeAncestor) true
-      else c.parent match {
-        case Some(p) => walk(loadCommit(p))
-        case None => false
-      }
-    walk(of)
-  }
+  /** DAG ancestry: history is a DAG once merge commits carry a second parent,
+    * so both walks below follow `parents` (first parent + mergeParent), not
+    * just the first-parent chain. This is what makes "merge, keep committing
+    * on the source, merge again" converge: the second merge sees the first
+    * merge's imported commits as shared history, not as divergence. */
+  private def isAncestor(maybeAncestor: String, of: Commit): Boolean =
+    Ancestry.isAncestor(loadCommit, maybeAncestor, of)
 
-  /** Nearest common ancestor of two commits (the merge base). Both lineages
-    * are linear chains to the root, so one Set walk suffices. */
-  private def mergeBase(a: Commit, b: Commit): Option[Commit] = {
-    @annotation.tailrec
-    def ancestors(c: Commit, acc: Set[String]): Set[String] = c.parent match {
-      case Some(p) => ancestors(loadCommit(p), acc + c.id)
-      case None => acc + c.id
-    }
-    val as = ancestors(a, Set.empty)
-    @annotation.tailrec
-    def firstShared(c: Commit): Option[Commit] =
-      if (as.contains(c.id)) Some(c)
-      else c.parent match {
-        case Some(p) => firstShared(loadCommit(p))
-        case None => None
-      }
-    firstShared(b)
-  }
+  /** Nearest common ancestor of two commits (the merge base): breadth-first
+    * from `b` in level order, first commit already in `a`'s ancestor closure
+    * — a lowest common ancestor of the DAG. */
+  private def mergeBase(a: Commit, b: Commit): Option[Commit] =
+    Ancestry.mergeBase(loadCommit, a, b)
 
   // ---- writes ------------------------------------------------------------
 
@@ -180,10 +164,26 @@ final class VersionedTable private (val root: Path) {
     * left-anti join of the current snapshot against the distinct source
     * keys, then a union — both shuffle only on the key columns, so the plan
     * is two key-partitioned exchanges regardless of table width or scale.
-    * Schemas must match (same enforcement rationale as append). */
+    * Schemas must match (same enforcement rationale as append).
+    *
+    * The source must be key-unique: Delta's MERGE errors when multiple source
+    * rows match one target row, and silently keeping every duplicate would
+    * violate the REPLACE contract above — so a duplicated key fails fast
+    * here. The check is one aggregation on the key columns (the same shuffle
+    * key the anti-join uses) short-circuited by `limit(1)`: a bounded extra
+    * job, metadata-scale next to the rewrite itself. */
   def upsert(spark: SparkSession, source: DataFrame, keyCols: Seq[String],
              branch: String = "main", message: String = ""): Commit = synchronized {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
+    import org.apache.spark.sql.functions.{count, lit}
+    val dup = source.groupBy(keyCols.map(org.apache.spark.sql.functions.col): _*)
+      .agg(count(lit(1)).as("__n")).where(org.apache.spark.sql.functions.col("__n") > 1)
+      .limit(1).collect()
+    if (dup.nonEmpty) throw new IllegalArgumentException(
+      s"upsert source is not unique on (${keyCols.mkString(", ")}): e.g. key " +
+        s"${dup.head.toSeq.init.mkString("(", ", ", ")")} appears ${dup.head.getLong(keyCols.size)} " +
+        "times — source rows REPLACE rows sharing their key, so duplicates are ambiguous " +
+        "(Delta MERGE raises the same error); de-duplicate the source first")
     val current = read(spark, branch)
     // name+type equality (nullability-insensitive: reading parquet back
     // relaxes nullable flags, which must not block a legitimate upsert)
@@ -242,11 +242,12 @@ final class VersionedTable private (val root: Path) {
 
   private def publish(branch: String, parent: Option[Commit], message: String,
                       schema: StructType, files: Vector[String],
-                      stats: Map[String, Map[String, (Double, Double)]] = Map.empty): Commit = {
+                      stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
+                      mergeParent: Option[String] = None): Commit = {
     val version = parent.map(_.version + 1).getOrElse(0L)
     val id = s"$branch-v$version-${java.util.UUID.randomUUID.toString.take(8)}"
     val c = Commit(id, parent.map(_.id), version, files, schema.json, message,
-      System.currentTimeMillis(), stats)
+      System.currentTimeMillis(), stats, mergeParent)
     CommitLog.writeAtomic(commitsDir.resolve(id + ".json"), CommitLog.toJson(c))
     CommitLog.writeAtomic(refsDir.resolve(branch), id)
     c
@@ -314,12 +315,20 @@ final class VersionedTable private (val root: Path) {
   }
 
   /** V5 `merge from into`: fast-forward when `into` hasn't moved since the
-    * branch point; when both branches moved but touched DISJOINT object
-    * paths since the merge base (the lakeFS rule — `lakectl merge` succeeds
-    * iff no object changed on both sides, reference README.md:141-147), a
-    * true 3-way merge commit unions the changes; overlapping changes
-    * conflict. Disjoint divergence arises from append-mode writes — an
-    * overwrite replaces every file and so always conflicts, as it should. */
+    * branch point; when both branches moved but their changes since the merge
+    * base are PURE DISJOINT APPENDS (each side only added files), a true
+    * 3-way merge commit unions them — the lakeFS rule that `lakectl merge`
+    * succeeds iff no object changed on both sides (reference
+    * README.md:141-147), tightened one notch: a side that REMOVED base files
+    * (overwrite / compact / revert) conflicts with ANY change on the other
+    * side. Object-wise lakeFS would merge that case too, but the row-level
+    * outcome — an overwrite snapshot silently interleaved with the other
+    * side's appended rows — is ambiguous enough that we refuse it loudly;
+    * redo the overwrite on the merged head instead.
+    *
+    * The merge commit records the source head as [[Commit.mergeParent]], so
+    * the merge base ADVANCES: keep committing appends on `from` and merging —
+    * each later merge sees only the new commits as divergence. */
   def merge(from: String, into: String): Commit = synchronized {
     val src = head(from).getOrElse(throw new IllegalArgumentException(s"no such branch: $from"))
     val dst = head(into).getOrElse(throw new IllegalArgumentException(s"no such branch: $into"))
@@ -332,20 +341,31 @@ final class VersionedTable private (val root: Path) {
       val base = mergeBase(src, dst).getOrElse(throw new IllegalStateException(
         s"merge conflict: $from and $into share no common ancestor"))
       val baseFiles = base.files.toSet
-      val srcTouched = (src.files.toSet -- baseFiles) ++ (baseFiles -- src.files.toSet)
-      val dstTouched = (dst.files.toSet -- baseFiles) ++ (baseFiles -- dst.files.toSet)
-      val overlap = srcTouched intersect dstTouched
+      val srcAdded = src.files.toSet -- baseFiles
+      val srcRemoved = baseFiles -- src.files.toSet
+      val dstAdded = dst.files.toSet -- baseFiles
+      val dstRemoved = baseFiles -- dst.files.toSet
+      val overlap = (srcAdded ++ srcRemoved) intersect (dstAdded ++ dstRemoved)
       if (overlap.nonEmpty) throw new IllegalStateException(
         s"merge conflict: ${overlap.size} paths changed on both $from and $into " +
           s"since the merge base (e.g. ${overlap.toSeq.sorted.take(3).mkString(", ")})")
+      if (srcRemoved.nonEmpty && (dstAdded.nonEmpty || dstRemoved.nonEmpty))
+        throw new IllegalStateException(
+          s"merge conflict: $from replaced base files (overwrite/compact/revert) while " +
+            s"$into also changed — merging would silently combine an overwrite snapshot " +
+            "with the other side's rows; redo the rewrite on the merged head instead")
+      if (dstRemoved.nonEmpty && srcAdded.nonEmpty)
+        throw new IllegalStateException(
+          s"merge conflict: $into replaced base files (overwrite/compact/revert) while " +
+            s"$from appended — merging would silently graft $from's rows onto the rewritten " +
+            "snapshot; redo the append on the merged head instead")
       if (src.schemaJson != dst.schemaJson) throw new IllegalStateException(
         s"merge conflict: $from and $into disagree on the table schema")
-      val srcRemoved = baseFiles -- src.files.toSet
-      val srcAdded = src.files.filterNot(baseFiles.contains)
-      val merged = (dst.files.filterNot(srcRemoved.contains) ++ srcAdded).distinct.sorted
+      val merged = (dst.files.filterNot(srcRemoved.contains) ++
+        src.files.filter(srcAdded.contains)).distinct.sorted.toVector
       publish(into, Some(dst), s"merge $from into $into",
         DataType.fromJson(dst.schemaJson).asInstanceOf[StructType], merged,
-        dst.stats ++ src.stats)
+        dst.stats ++ src.stats, mergeParent = Some(src.id))
     }
   }
 

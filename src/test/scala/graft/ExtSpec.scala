@@ -105,6 +105,19 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("hashBucket is overflow-safe: ids beyond 2^32 bucket exactly, in range") {
+    // without the mod-(2^31-1) pre-reduction, id * 2654435761 overflows int64
+    // for ids >= ~4.3e9 — Spark would wrap silently while DuckDB errors
+    val ids = Seq(4300000000L, 9000000000000000000L, Long.MaxValue)
+    val got = ids.toDF("doc_id")
+      .select(graft.ext.Sampling.hashBucket(col("doc_id")))
+      .as[Long].collect().toSeq
+    val expected = ids.map(id =>
+      math.floorMod(math.floorMod(id, 2147483647L) * 2654435761L, 1000L))
+    assert(got === expected)
+    assert(got.forall(b => b >= 0 && b < 1000))
+  }
+
   test("hash sampling is invariant to partitioning (no RNG, no partition state)") {
     val base = Tables.documents(spark, sf)
     val expected = base.withColumn("bucket",

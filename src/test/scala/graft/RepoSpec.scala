@@ -89,6 +89,25 @@ class RepoSpec extends SparkSpec {
     assert(repo.readTable(spark, "main", "a").as[Int].collect() === Array(3))
   }
 
+  test("repo merge base advances: successive disjoint-table merges keep working") {
+    val repo = Repo.create(Tables.scratch("repo_merge_succ"))
+    repo.stageWrite(Seq(1).toDF("x"), "main", "a")
+    repo.stageWrite(Seq(10).toDF("x"), "main", "b")
+    repo.commit("main", "v0")
+    repo.createBranch("dev", "main")
+    repo.stageWrite(Seq(2).toDF("x"), "dev", "a"); repo.commit("dev", "dev a v1")
+    repo.stageWrite(Seq(20).toDF("x"), "main", "b"); repo.commit("main", "main b v1")
+    val m1 = repo.merge("dev", "main")
+    assert(m1.mergeParent.contains(repo.head("dev").get.id)) // src head recorded
+    // each side keeps changing ITS table; the second merge must not see the
+    // 'a' files m1 imported as changed-on-both-sides (stale-base symptom)
+    repo.stageWrite(Seq(3).toDF("x"), "dev", "a"); repo.commit("dev", "dev a v2")
+    repo.stageWrite(Seq(30).toDF("x"), "main", "b"); repo.commit("main", "main b v2")
+    repo.merge("dev", "main")
+    assert(repo.readTable(spark, "main", "a").as[Int].collect() === Array(3))
+    assert(repo.readTable(spark, "main", "b").as[Int].collect() === Array(30))
+  }
+
   test("repo revert restores every table as a new commit; history lists lineage") {
     val repo = Repo.create(Tables.scratch("repo_revert"))
     repo.stageWrite(Seq(1).toDF("x"), "main", "a")

@@ -96,6 +96,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestBatch is idempotent: a re-delivered batchId appends nothing") {
+    val vt = graft.vt.VersionedTable.create(Tables.scratch("stream_ingest_idem"))
+    def batch(ids: Long*) = ids.map(Ev(_, 100L)).toDF()
+    EventsStreaming.ingestBatch(vt, "main")(batch(1L), 0L)
+    EventsStreaming.ingestBatch(vt, "main")(batch(2L, 3L), 1L)
+    assert(vt.head("main").get.version === 1)
+    // a restarted query re-delivers the last micro-batch under the SAME id:
+    // the commit log already has it, so this must be a no-op, not a dup row
+    EventsStreaming.ingestBatch(vt, "main")(batch(2L, 3L), 1L)
+    assert(vt.head("main").get.version === 1)
+    assert(vt.read(spark, "main").count() === 3L)
+    // progress resumes: the NEXT batch id still appends
+    EventsStreaming.ingestBatch(vt, "main")(batch(4L), 2L)
+    assert(vt.head("main").get.version === 2)
+    assert(vt.read(spark, "main").count() === 4L)
+  }
+
   test("batch sessionize splits on gaps > 30min and counts events per session") {
     val ts = (s: Long) => new Timestamp(s * 1000L)
     val ev = Seq(

@@ -77,11 +77,52 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.read(spark, "dev").as[Int].collect().sorted === Array(1, 2)) // src untouched
     // merge is a commit, not a rewrite: pre-merge main still time-travels
     assert(vt.readVersion(spark, "main", 1).as[Int].collect().sorted === Array(1, 3))
-    // overwrites replace every file → always overlap → still a conflict
+    // both sides overwrote → both removed the same base files → conflict
     vt.createBranch("dev2", "main")
     vt.write(df(8), "dev2", "ow")
     vt.write(df(9), "main", "ow")
     assertThrows[IllegalStateException](vt.merge("dev2", "main"))
+  }
+
+  test("merge base advances: successive merges of the same pair keep working") {
+    val vt = freshVt("merge_successive")
+    vt.write(df(1), "main", "v0")
+    vt.createBranch("dev", "main")
+    vt.write(df(2), "dev", "dev append 1", mode = "append")
+    vt.write(df(3), "main", "main append 1", mode = "append")
+    val m1 = vt.merge("dev", "main")
+    assert(m1.mergeParent === Some(vt.head("dev").get.id)) // src head recorded
+    // both branches keep appending; the second merge must see only the NEW
+    // commits as divergence — the files m1 imported are shared history now
+    vt.write(df(4), "dev", "dev append 2", mode = "append")
+    vt.write(df(5), "main", "main append 2", mode = "append")
+    val m2 = vt.merge("dev", "main")
+    assert(vt.read(spark, "main").as[Int].collect().sorted === Array(1, 2, 3, 4, 5))
+    // merging an unchanged source once more is the already-merged no-op
+    assert(vt.merge("dev", "main").id === m2.id)
+    // and the merge commit round-trips its second parent through the log
+    assert(vt.loadCommit(m2.id).mergeParent === m2.mergeParent)
+  }
+
+  test("merge conflicts when one side replaced base files and the other changed") {
+    // src overwrote (removed base files), dst appended → refuse loudly:
+    // object-level the changes are disjoint, but the row-level outcome would
+    // silently combine src's overwrite snapshot with dst's appended rows
+    val vt = freshVt("merge_ow_src")
+    vt.write(df(1), "main", "v0")
+    vt.createBranch("dev", "main")
+    vt.write(df(9), "dev", "dev overwrites")
+    vt.write(df(2), "main", "main appends", mode = "append")
+    val e = intercept[IllegalStateException](vt.merge("dev", "main"))
+    assert(e.getMessage.contains("replaced base files"))
+    // symmetric: dst overwrote, src appended
+    val vt2 = freshVt("merge_ow_dst")
+    vt2.write(df(1), "main", "v0")
+    vt2.createBranch("dev", "main")
+    vt2.write(df(2), "dev", "dev appends", mode = "append")
+    vt2.write(df(9), "main", "main overwrites")
+    val e2 = intercept[IllegalStateException](vt2.merge("dev", "main"))
+    assert(e2.getMessage.contains("replaced base files"))
   }
 
   test("vacuumRetainHours keeps commits inside the horizon, reclaims older, always keeps heads") {
@@ -129,6 +170,15 @@ class VersionedTableSpec extends SparkSpec {
     // mismatched schema is rejected, not silently merged
     assertThrows[IllegalArgumentException](
       vt.upsert(spark, Seq((1, 1.0)).toDF("k", "d"), keyCols = Seq("k")))
+  }
+
+  test("upsert rejects a key-duplicated source before writing anything") {
+    val vt = freshVt("upsert_dup")
+    vt.write(Seq((1, "a")).toDF("k", "v"), "main", "v0")
+    val e = intercept[IllegalArgumentException](
+      vt.upsert(spark, Seq((2, "x"), (2, "y")).toDF("k", "v"), keyCols = Seq("k")))
+    assert(e.getMessage.contains("not unique"))
+    assert(vt.head("main").get.version === 0) // fail-fast: no partial version
   }
 
   test("revert creates a new commit equal to the target version") {
