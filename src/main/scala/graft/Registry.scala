@@ -9,6 +9,7 @@ object Registry {
   val all: Seq[QueryDef] =
     ops.Relational.defs ++
       ops.Extras.defs ++
+      ops.Analytic.defs ++
       ops.Scale.defs ++
       ops.AsofJoin.defs ++
       ops.MLlite.defs ++

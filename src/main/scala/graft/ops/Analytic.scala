@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.{sql => q}
+
+/** Analytic-surface extensions: GROUPING SETS, value-picking window
+  * functions, relative-rank windows, conditional aggregation, regular
+  * expressions, and array/higher-order functions (SURVEY.md §2.4/§2.5/§2.8
+  * extension surface). All oracle-checked.
+  *
+  * Scale notes: every query here is either one keyed shuffle (the
+  * aggregations), one window shuffle on a real partition key (the windows),
+  * or a pure row-local projection (regexp/array ops) — no driver-side loops,
+  * no single-partition windows, nothing that degrades at 1000 executors.
+  */
+object Analytic {
+
+  /** GROUPING SETS — the general form behind rollup/cube (which are already
+    * covered): two independent grouping columns aggregated in ONE pass over
+    * the data (Spark plans a single Expand + hash aggregate, not two scans).
+    */
+  val qGroupingSets: QueryDef = q("q_grouping_sets")(
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(GROUPING(l_returnflag) AS INTEGER) AS g1,
+      |       CAST(GROUPING(l_linestatus) AS INTEGER) AS g2,
+      |       count(*) AS cnt, sum(l_quantity) AS sum_qty
+      |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      |ORDER BY g1, g2, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping("l_returnflag").cast(IntegerType).as("g1"),
+        grouping("l_linestatus").cast(IntegerType).as("g2"),
+        count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
+      .select("l_returnflag", "l_linestatus", "g1", "g2", "cnt", "sum_qty")
+      .orderBy(col("g1"), col("g2"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
+  /** first_value / last_value / nth_value over an explicit full-partition
+    * frame. The frame matters: with the default RANGE frame last_value
+    * would see only rows up to CURRENT ROW — a classic silent-wrongness
+    * trap both engines share, avoided identically on both sides. */
+  val qFirstLast: QueryDef = q("q_first_last")(
+    """SELECT o_orderkey, o_custkey,
+      |       first_value(o_orderkey) OVER w AS first_ok,
+      |       last_value(o_orderkey) OVER w AS last_ok,
+      |       nth_value(o_orderkey, 2) OVER w AS second_ok
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        first(col("o_orderkey")).over(w).as("first_ok"),
+        last(col("o_orderkey")).over(w).as("last_ok"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+      .orderBy("o_orderkey")
+  }
+
+  /** percent_rank + cume_dist: relative ranks inside each status partition.
+    * Both engines compute (rank-1)/(n-1) and (#peers ≤ row)/n from the same
+    * integers, so the doubles are bit-identical — no rounding slack needed.
+    * Ordering by the unique o_orderkey keeps ranks deterministic. */
+  val qPercentRank: QueryDef = q("q_percent_rank")(
+    """SELECT o_orderkey, o_orderstatus,
+      |       percent_rank() OVER w AS pr,
+      |       cume_dist() OVER w AS cd
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Conditional aggregation: count_if + filtered sums in one grouped pass
+    * (no self-joins, no second scan). Integer sums are cast outside the
+    * aggregate on the oracle side — DuckDB's sum(BIGINT) is HUGEINT. */
+  val qCountIf: QueryDef = q("q_count_if")(
+    """SELECT o_orderpriority,
+      |       count(*) AS cnt,
+      |       count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+      |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        count_if(col("o_totalprice") > 150000).as("n_big"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Regular expressions over document text: first match extraction, global
+    * replacement (DuckDB needs the explicit 'g' flag for replace-ALL —
+    * Spark's regexp_replace is global by default), and match counting.
+    * Patterns stick to character classes both regex dialects (Java util vs
+    * RE2) treat identically. */
+  val qRegexp: QueryDef = q("q_regexp")(
+    """SELECT doc_id,
+      |       regexp_extract(text, '[aeiou]{2,}') AS first_vowel_run,
+      |       length(regexp_replace(lower(text), '[aeiou]', '', 'g')) AS len_novowel,
+      |       CAST(len(regexp_extract_all(text, '[A-Z][a-z]+')) AS BIGINT) AS n_capwords
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(col("doc_id"),
+        regexp_extract(col("text"), "[aeiou]{2,}", 0).as("first_vowel_run"),
+        length(regexp_replace(lower(col("text")), "[aeiou]", "")).as("len_novowel"),
+        regexp_count(col("text"), lit("[A-Z][a-z]+")).as("n_capwords"))
+      .orderBy("doc_id")
+  }
+
+  /** Array ops over the tokenized text: size, distinct-size, lexicographic
+    * min/max — all row-local (no shuffle, whole-stage codegen'd), with
+    * DuckDB's list functions replaying the same values. */
+  val qArrayOps: QueryDef = q("q_array_ops")(
+    """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+      |                                      x -> x <> '') AS toks FROM documents)
+      |SELECT doc_id,
+      |       CAST(len(toks) AS INTEGER) AS n_tokens,
+      |       CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+      |       list_min(toks) AS tok_min,
+      |       list_max(toks) AS tok_max
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), " "), x => x =!= "").as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        array_min(col("toks")).as("tok_min"),
+        array_max(col("toks")).as("tok_max"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(qGroupingSets, qFirstLast, qPercentRank,
+    qCountIf, qRegexp, qArrayOps)
+}

@@ -69,6 +69,37 @@ class OperatorSpec extends SparkSpec {
     assert(out === Map(100L -> Some(1.5), 101L -> Some(2.5), 102L -> None))
   }
 
+  test("first/last_value use the full-partition frame, not the default running frame") {
+    // with the DEFAULT frame (range unbounded preceding..current row),
+    // last_value would return the CURRENT row's key — the classic trap the
+    // explicit frame in qFirstLast avoids; pin the intended semantics here
+    val out = ops.Analytic.qFirstLast.impl(spark, sf)
+      .select("o_custkey", "first_ok", "last_ok")
+      .as[(Long, Long, Long)].collect()
+    val expect = Tables.orders(spark, sf).groupBy("o_custkey")
+      .agg(min("o_orderkey").as("mn"), max("o_orderkey").as("mx"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    out.foreach { case (ck, fo, lo) => assert((fo, lo) === expect(ck)) }
+  }
+
+  test("analytic windows are keyed: no single-partition WindowExec in the plans") {
+    // a window without PARTITION BY funnels the table through one task —
+    // the scale hazard the global-rank parity queries document; the NEW
+    // analytic queries must all partition their windows
+    Seq(ops.Analytic.qFirstLast, ops.Analytic.qPercentRank).foreach { qd =>
+      val plan = qd.impl(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("SinglePartition"), s"${qd.name} plans SinglePartition:\n$plan")
+    }
+  }
+
+  test("grouping sets aggregates both dimensions in one pass (single Expand)") {
+    val plan = ops.Analytic.qGroupingSets.impl(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("(?i)expand".r.findAllIn(plan).size >= 1)
+    // one scan of lineitem, not one per grouping set
+    assert("Scan parquet".r.findAllIn(plan).size === 1, s"multiple scans:\n$plan")
+  }
+
   test("driver contract: entry() returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet ++
