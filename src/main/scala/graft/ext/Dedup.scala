@@ -435,6 +435,75 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** Edit-distance (Levenshtein) near-dup: the character-level complement of
+    * the token-set measures above — catches small in-place edits (typo fixes,
+    * template variable substitutions) that shift every shingle. Same blowup
+    * guards as ngram: exact duplicates collapse to a sha256 representative
+    * first (star pairs at distance 0), candidates come from ONE cheap
+    * (lang, 50-char length band) bucket each, capped at `bucketCap` in
+    * deterministic doc_id order; the distance runs on a `prefixLen`-char
+    * prefix so each comparison is O(prefixLen²) regardless of doc size.
+    * Both engines implement classic unit-cost Levenshtein → identical ints. */
+  def editDistanceDups(docs: DataFrame, prefixLen: Int = 40, maxDist: Int = 10,
+                       bucketCap: Int = 64): DataFrame = {
+    val withSha = docs.select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .withColumn("sha", sha2(col("text"), 256))
+    val reps = withSha.groupBy("sha").agg(min("doc_id").as("doc_id"),
+      min("lang").as("lang"), min("n_chars").as("n_chars"), min("text").as("text"))
+    val siblings = withSha.join(reps.select(col("sha"), col("doc_id").as("rep_id")), "sha")
+      .where(col("doc_id") =!= col("rep_id"))
+      .select(col("rep_id").as("a"), col("doc_id").as("b"), lit(0L).as("dist"))
+    val banded = reps.select(col("doc_id"), col("lang"),
+        expr("n_chars div 50").as("len_band"),
+        substring(col("text"), 1, prefixLen).as("pfx"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang", "len_band").orderBy("doc_id")))
+      .where(col("rn") <= bucketCap).drop("rn")
+    val l = banded.as("l"); val r = banded.as("r")
+    l.join(r, col("l.lang") === col("r.lang") && col("l.len_band") === col("r.len_band") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .withColumn("dist", levenshtein(col("l.pfx"), col("r.pfx")).cast(LongType))
+      .where(col("dist") <= maxDist)
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"), col("dist"))
+      .union(siblings)
+  }
+
+  /** Doc-level edit-distance profile, fully oracle-checked (same output
+    * shape as the ngram profile: candidate count, best distance, min
+    * partner). */
+  val qDedupEdit: QueryDef = q("q_dedup_edit")(
+    """WITH ws AS (SELECT doc_id, lang, n_chars, text, sha256(text) AS sha FROM documents),
+      |     reps AS (SELECT sha, min(doc_id) AS doc_id, min(lang) AS lang,
+      |                     min(n_chars) AS n_chars, min(text) AS text
+      |              FROM ws GROUP BY sha),
+      |     sib AS (SELECT r.doc_id AS a, w.doc_id AS b, CAST(0 AS BIGINT) AS dist FROM ws w
+      |             JOIN reps r ON w.sha = r.sha AND w.doc_id <> r.doc_id),
+      |     g0 AS (SELECT doc_id, lang, n_chars // 50 AS len_band,
+      |                   substr(text, 1, 40) AS pfx FROM reps),
+      |     g AS (SELECT doc_id, lang, len_band, pfx FROM
+      |             (SELECT *, row_number() OVER (PARTITION BY lang, len_band ORDER BY doc_id) AS rn
+      |              FROM g0) WHERE rn <= 64),
+      |     p0 AS (SELECT l.doc_id AS a, r.doc_id AS b,
+      |                   CAST(levenshtein(l.pfx, r.pfx) AS BIGINT) AS dist
+      |            FROM g l JOIN g r ON l.lang = r.lang AND l.len_band = r.len_band
+      |                             AND l.doc_id < r.doc_id
+      |            WHERE levenshtein(l.pfx, r.pfx) <= 10),
+      |     p AS (SELECT a, b, dist FROM p0 UNION ALL SELECT a, b, dist FROM sib),
+      |     bo AS (SELECT a AS doc_id, b AS partner, dist FROM p
+      |            UNION ALL SELECT b, a, dist FROM p)
+      |SELECT d.doc_id, count(bo.partner) AS n_near,
+      |       min(bo.dist) AS best_dist, min(bo.partner) AS min_partner
+      |FROM documents d LEFT JOIN bo ON d.doc_id = bo.doc_id
+      |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val pairs = editDistanceDups(Tables.documents(s, d))
+    val bo = pairs.select(col("a").as("doc_id"), col("b").as("partner"), col("dist"))
+      .union(pairs.select(col("b").as("doc_id"), col("a").as("partner"), col("dist")))
+    Tables.documents(s, d).select("doc_id").join(bo, Seq("doc_id"), "left")
+      .groupBy("doc_id").agg(count(col("partner")).as("n_near"),
+        min(col("dist")).as("best_dist"), min(col("partner")).as("min_partner"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(qDedupExact, qDedupKeyed, qDedupMinhash,
-    qDedupSimhash, qDedupNgram, qDedupEmbedding)
+    qDedupSimhash, qDedupNgram, qDedupEmbedding, qDedupEdit)
 }

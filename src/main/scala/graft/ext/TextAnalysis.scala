@@ -175,6 +175,28 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus document frequency: in how many documents does each token occur
+    * (tokens deduped per doc first), top 20 by (df desc, token) — the "fit"
+    * statistic behind IDF weighting and stop-word discovery. One explode
+    * (absorbed map-side by partial aggregation) + one hash shuffle on the
+    * token; the top-k plans as TakeOrderedAndProject (per-partition heaps),
+    * never a global sort of the vocabulary. */
+  val qTermDf: QueryDef = q("q_term_df")(
+    """WITH toks AS (SELECT DISTINCT doc_id, w FROM
+      |                (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      |                 FROM documents))
+      |SELECT w AS token, count(*) AS df
+      |FROM toks WHERE w <> ''
+      |GROUP BY w ORDER BY df DESC, token LIMIT 20""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(split(lower(col("text")), " "))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(20)
+  }
+
   val defs: Seq[QueryDef] = Seq(qTextStats, qLangId, qTokenCount,
-    qDocFingerprint, qQualityScore, qOovRate)
+    qDocFingerprint, qQualityScore, qOovRate, qTermDf)
 }

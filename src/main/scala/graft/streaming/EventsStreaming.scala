@@ -122,6 +122,54 @@ object EventsStreaming {
     rollingHour(Tables.events(s, d)).orderBy("user_id", "event_id")
   }
 
+  /** Batch hopping (sliding) windows: 1h windows every 15min — each event
+    * lands in 4 overlapping windows. The window membership is an explicit
+    * `explode(sequence(...))` of the 4 window starts (pure integer epoch
+    * arithmetic, exactly what Spark's `window(ts, "1 hour", "15 minutes")`
+    * computes), so the oracle replays it with `generate_series`. The explode
+    * is row-local (×4 fan-out BEFORE the keyed shuffle, so partial
+    * aggregation absorbs it map-side); the only exchange is the final
+    * (win_start, event_type) hash shuffle. */
+  def hoppingCounts(events: DataFrame, sizeSec: Long = 3600L,
+                    hopSec: Long = 900L): DataFrame = {
+    val sec = col("ts").cast(LongType)
+    val lastStart = sec - pmod(sec, lit(hopSec)) // newest window containing sec
+    events
+      .select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast(LongType).as("cents"),
+        explode(sequence(lastStart - (sizeSec - hopSec), lastStart,
+          lit(hopSec))).as("win_start"))
+      .groupBy("win_start", "event_type")
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_val_c"))
+  }
+
+  val qWindowHopping: QueryDef = q("q_window_hopping")(
+    """WITH e AS (SELECT event_type,
+      |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+      |                  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec FROM events),
+      |     x AS (SELECT event_type, cents,
+      |                  unnest(generate_series(sec - sec % 900 - 2700,
+      |                                         sec - sec % 900, 900)) AS win_start FROM e)
+      |SELECT win_start, event_type, count(*) AS cnt,
+      |       CAST(sum(cents) AS BIGINT) AS sum_val_c
+      |FROM x GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin) { (s, d) =>
+    hoppingCounts(Tables.events(s, d))
+      .select("win_start", "event_type", "cnt", "sum_val_c")
+      .orderBy("win_start", "event_type")
+  }
+
+  /** Streaming twin: Spark's native sliding `window()` with a watermark —
+    * StreamingSpec pins its agreement with [[hoppingCounts]] on the same
+    * rows (same 4-windows-per-event semantics, state bounded by watermark). */
+  def streamingHoppingCounts(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col("value") * 100 + 0.5).cast(LongType)).as("sum_val_c"))
+      .select(col("w.start").cast(LongType).as("win_start"), col("event_type"),
+        col("cnt"), col("sum_val_c"))
+
   // ---- stateful streaming sessionizer ------------------------------------
 
   final case class Ev(user_id: Long, sec: Long)
@@ -213,5 +261,6 @@ object EventsStreaming {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("content_sha")
 
-  val defs: Seq[QueryDef] = Seq(qWindowTumbling, qSessionize, qWindowRange)
+  val defs: Seq[QueryDef] =
+    Seq(qWindowTumbling, qSessionize, qWindowRange, qWindowHopping)
 }

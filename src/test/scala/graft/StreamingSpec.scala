@@ -40,6 +40,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming hopping counts equal the batch hopping counts") {
+    val batch = EventsStreaming.hoppingCounts(Tables.events(spark, sf))
+      .orderBy("win_start", "event_type").collect()
+    val dir = java.nio.file.Paths.get(Tables.scratch("stream_events_hop"))
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(dir.toString).schema
+    // native sliding window(): same 4-windows-per-event, slide-aligned starts
+    val streamed = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("value") * 100).cast("long")).as("sum_val_c"))
+      .select(col("w.start").cast("long").as("win_start"), col("event_type"),
+        col("cnt"), col("sum_val_c"))
+    val q = streamed.writeStream.format("memory").queryName("hopping_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("hopping_test").orderBy("win_start", "event_type").collect()
+      assert(got.toSeq === batch.toSeq)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer closes sessions on the gap rule") {
     implicit val s = spark
     val mem = MemoryStream[Ev](spark)
