@@ -125,6 +125,78 @@ object Scale {
     }.reduce(_ + _)
   }
 
+  // ---- bloom-filter runtime join pruning ---------------------------------
+
+  /** Bloom filter parameters: 16384 bits (256 int64 words — a ~2 KB literal
+    * the plan broadcasts to every task for free) × 3 affine hash draws.
+    * For the ~1.5k-key dim subsets used here the false-positive rate is
+    * (1 - e^(-kn/m))^k ≈ 2%; at larger n, scale mBits — the technique is
+    * the point, the constants are per-deployment dials. */
+  private val mBits = 16384
+  private val kHashes = 3
+  private val bloomP = graft.ext.Dedup.P
+
+  /** Hash-i bit position of integer key expression `x` — plain `%`/`*`/`+`
+    * on non-negative int64, so the SAME text is valid Spark SQL and DuckDB
+    * SQL and both engines agree at any key scale (products stay < 2^63). */
+  private def bitPosSql(x: String, i: Int): String = {
+    val a = graft.ext.Dedup.affineA(i); val b = graft.ext.Dedup.affineB(i)
+    s"((($a * (($x) % $bloomP) + $b) % $bloomP) % $mBits)"
+  }
+
+  /** Build the bloom bitmap from the build side's keys in ONE bounded Spark
+    * job: the k bit positions per key are exploded row-locally, deduped by
+    * the aggregation, and collected — the driver receives at most mBits
+    * (16384) integers no matter how many build rows there are, the same
+    * bounded-action contract as the IVF centroids. */
+  def bloomBits(build: DataFrame, keyCol: String): Array[Long] = {
+    val pos = build.select(explode(array(
+        (0 until kHashes).map(i => expr(bitPosSql(keyCol, i))): _*)).as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val bits = new Array[Long](mBits / 64)
+    pos.foreach(p => bits(p.toInt >> 6) |= 1L << (p.toInt & 63))
+    bits
+  }
+
+  /** Membership test against a LITERAL bitmap: all k bit positions set.
+    * Pure built-in expressions (element_at / shiftright / bitwise-and) —
+    * codegen'd, no UDF, no broadcast variable plumbing; the bitmap rides in
+    * the plan itself. This is Spark's own runtime row-level filter shape
+    * (InjectRuntimeFilter's bloom pushdown) made explicit and testable. */
+  def bloomMightContain(keyCol: String, bits: Array[Long]): org.apache.spark.sql.Column = {
+    val arr = bits.mkString("array(", "L, ", "L)")
+    expr((0 until kHashes).map { i =>
+      val h = bitPosSql(keyCol, i)
+      s"((shiftright(element_at($arr, CAST($h DIV 64 AS INT) + 1), CAST($h % 64 AS INT)) & 1) = 1)"
+    }.mkString(" AND "))
+  }
+
+  /** Bloom-pruned semi join: the 100 TB pattern for a big-fact ⋉ filtered-dim
+    * join — build a tiny bloom from the dim subset, row-locally discard the
+    * ~98% of fact rows that cannot match BEFORE any join machinery, then run
+    * the exact (broadcast) semi join on the survivors to remove false
+    * positives. Net effect: the fact table is read once, filtered in the
+    * scan stage, and never shuffled. The bloom is a transparent optimization
+    * — output is identical to the plain semi join, which is exactly what the
+    * oracle checks (ScaleSpec pins the pruning mechanism itself). */
+  val qJoinBloom: QueryDef = q("q_join_bloom")(
+    """WITH sel AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000)
+      |SELECT l_returnflag, count(*) AS cnt,
+      |       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c
+      |FROM lineitem l
+      |WHERE EXISTS (SELECT 1 FROM sel s WHERE s.o_orderkey = l.l_orderkey)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val sel = Tables.orders(s, d).where(col("o_totalprice") > 150000).select("o_orderkey")
+    val bits = bloomBits(sel, "o_orderkey")
+    Tables.lineitem(s, d)
+      .where(bloomMightContain("l_orderkey", bits))
+      .join(broadcast(sel), col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col("l_extendedprice") * 100 + 0.5).cast(LongType)).as("sum_price_c"))
+      .orderBy("l_returnflag")
+  }
+
   val defs: Seq[QueryDef] = Seq(qAggSalted, qJoinBucketed, qPartitionedScan,
-    qRepartitionReuse)
+    qRepartitionReuse, qJoinBloom)
 }

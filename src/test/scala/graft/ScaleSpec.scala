@@ -106,4 +106,33 @@ class ScaleSpec extends SparkSpec {
       s"top-100 vocab should be a distributed top-k, got:\n$plan")
     assert(!plan.contains("Window"), "no window operator should remain in the oov plan")
   }
+
+  test("bloom filter prunes the fact side row-locally and never drops a match") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val sel = Tables.orders(spark, sf).where(col("o_totalprice") > 150000)
+      .select("o_orderkey")
+    val bits = ops.Scale.bloomBits(sel, "o_orderkey")
+    val fact = Tables.lineitem(spark, sf)
+    val total = fact.count()
+    val candidates = fact.where(ops.Scale.bloomMightContain("l_orderkey", bits)).count()
+    val exact = fact.join(broadcast(sel), col("l_orderkey") === col("o_orderkey"),
+      "left_semi").count()
+    // no false negatives: every true match passes the bloom
+    assert(candidates >= exact, s"bloom dropped matches: $candidates < $exact")
+    // and it actually prunes: false positives stay a small fraction of the
+    // pruned-away mass (m=16384, k=3, n≈|sel| → FPR ≈ 2%)
+    assert(candidates < total, "bloom pruned nothing")
+    val fpr = (candidates - exact).toDouble / math.max(1L, total - exact)
+    assert(fpr < 0.10, f"false-positive rate $fpr%.3f too high")
+    // the full query equals the plain semi join + aggregation (transparency)
+    val viaBloom = ops.Scale.qJoinBloom.impl(spark, sf).collect().toSeq
+    val plain = fact.join(broadcast(sel), col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("cnt"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.floor(col("l_extendedprice") * 100 + 0.5)
+            .cast("long")).as("sum_price_c"))
+      .orderBy("l_returnflag").collect().toSeq
+    assert(viaBloom === plain)
+  }
 }
