@@ -133,6 +133,52 @@ object MLlite {
       .orderBy("l_orderkey", "l_linenumber", "price_quartile")
   }
 
+  /** Approximate distinct count via a KMV (k-minimum-values) sketch, the
+    * classic DV estimator: hash every element, keep the k smallest distinct
+    * hashes, estimate DV ≈ (k-1)·M/h_k (hashes uniform in [0, M)). Chosen
+    * over HyperLogLog deliberately: Spark's HLL++ state is not replayable in
+    * another engine, while KMV over the shared 31-base polynomial hash is
+    * pure relational algebra — BOTH engines compute the identical estimate,
+    * so even the "approximate" operator is hash-check oracled (same design
+    * rule as the literal-plane LSH replay).
+    *
+    * Scale shape: one distinct-shuffle on (group, hash) — 16-byte rows —
+    * then a per-group top-k that plans as WindowGroupLimit (map-side heaps,
+    * no global sort). Estimator error ~ 1/√k ≈ 6% at k=256 (spec-pinned);
+    * `n_exact` is the exact distinct count of hash values (collision-
+    * coalesced identically in both engines). */
+  val qApproxDistinct: QueryDef = q("q_approx_distinct")({
+    val hv = graft.ext.Dedup.polyDuck("w")
+    s"""WITH toks AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+       |              FROM documents),
+       |     h AS (SELECT DISTINCT lang, $hv AS hv FROM toks WHERE w <> ''),
+       |     r AS (SELECT lang, hv,
+       |                  row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn FROM h),
+       |     tk AS (SELECT lang, count(*) AS n_k, max(hv) AS hk
+       |            FROM r WHERE rn <= 256 GROUP BY lang),
+       |     ex AS (SELECT lang, count(*) AS n_exact FROM h GROUP BY lang)
+       |SELECT ex.lang, n_exact,
+       |       CAST(CASE WHEN n_k < 256 THEN n_k
+       |                 ELSE (255 * 1000000007) // greatest(hk, 1) END AS BIGINT) AS n_est
+       |FROM ex JOIN tk USING (lang) ORDER BY lang""".stripMargin}) { (s, d) =>
+    val hashes = Tables.documents(s, d)
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("w"))
+      .where(col("w") =!= "")
+      .select(col("lang"), expr(graft.ext.Dedup.polySql("w")).as("hv"))
+      .distinct()
+    val topk = hashes
+      .withColumn("rn", row_number().over(Window.partitionBy("lang").orderBy("hv")))
+      .where(col("rn") <= 256)
+      .groupBy("lang").agg(count(lit(1)).as("n_k"), max("hv").as("hk"))
+    hashes.groupBy("lang").agg(count(lit(1)).as("n_exact"))
+      .join(topk, Seq("lang"))
+      .select(col("lang"), col("n_exact"),
+        when(col("n_k") < 256, col("n_k"))
+          .otherwise(expr("CAST((255 * 1000000007) DIV greatest(hk, 1) AS BIGINT)"))
+          .as("n_est"))
+      .orderBy("lang")
+  }
+
   val defs: Seq[QueryDef] = Seq(qStringIndexer, qApproxQuantile, qQuantileBucket,
-    qPercentile)
+    qPercentile, qApproxDistinct)
 }

@@ -100,6 +100,23 @@ class OperatorSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(plan).size === 1, s"multiple scans:\n$plan")
   }
 
+  test("KMV sketch estimates distinct tokens within ~1/sqrt(k) of the truth") {
+    val out = ops.MLlite.qApproxDistinct.impl(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (lang, exact, est) =>
+      if (exact < 256) assert(est === exact, s"$lang: below k the sketch is exact")
+      else {
+        val rel = math.abs(est - exact).toDouble / exact
+        assert(rel < 0.25, s"$lang: KMV estimate $est vs exact $exact (rel err $rel)")
+      }
+    }
+    // the per-lang top-k plans as map-side heaps, not a per-group full sort
+    val plan = ops.MLlite.qApproxDistinct.impl(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$plan")
+  }
+
   test("driver contract: entry() returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet ++
