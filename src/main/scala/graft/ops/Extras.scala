@@ -113,6 +113,46 @@ object Extras {
       .orderBy("l_suppkey")
   }
 
+  /** Null-handling semantics: nullif / coalesce / null-safe equality.
+    * Spark's `<=>` is DuckDB's `IS NOT DISTINCT FROM`; both treat
+    * null<=>null as TRUE and null<=>value as FALSE — the exact three-valued
+    * logic corner this query pins across engines. */
+  val qNullSafe: QueryDef = q("q_null_safe")(
+    """SELECT o_orderkey,
+      |       coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+      |       (nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM
+      |        nullif(o_orderpriority, '1-URGENT')) AS ns_eq,
+      |       CAST(CASE WHEN nullif(o_orderstatus, 'O') IS NULL
+      |                 THEN 1 ELSE 0 END AS INTEGER) AS is_open
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val status = nullif(col("o_orderstatus"), lit("O"))
+    val prio = nullif(col("o_orderpriority"), lit("1-URGENT"))
+    Tables.orders(s, d).select(col("o_orderkey"),
+        coalesce(status, lit("open")).as("status_or_open"),
+        status.eqNullSafe(prio).as("ns_eq"),
+        when(status.isNull, 1).otherwise(0).cast(IntegerType).as("is_open"))
+      .orderBy("o_orderkey")
+  }
+
+  /** The ONE SQL text runs on both engines verbatim — the `spark.sql` entry
+    * point over temp views, exercising a correlated scalar subquery and a
+    * correlated EXISTS (both decorrelate to joins under Catalyst, so the
+    * plan is two keyed joins, not a per-row subquery loop). */
+  private val custOrdersSql =
+    """SELECT c_custkey, c_name,
+      |       (SELECT count(*) FROM orders o
+      |        WHERE o.o_custkey = c.c_custkey) AS n_orders
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+      |ORDER BY c_custkey""".stripMargin
+
+  val qSqlText: QueryDef = q("q_sql_text")(custOrdersSql) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(custOrdersSql)
+  }
+
   val defs: Seq[QueryDef] = Seq(qJsonFuncs, qDistinct, qCube, qUnionByName, qTypedApi,
-    qPivot, qExplode, qCollectSet)
+    qPivot, qExplode, qCollectSet, qNullSafe, qSqlText)
 }

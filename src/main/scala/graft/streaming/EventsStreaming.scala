@@ -249,6 +249,29 @@ object EventsStreaming {
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream.outputMode("append").foreachBatch(ingestBatch(vt, branch) _)
 
+  // ---- stream-stream join ------------------------------------------------
+
+  /** Stream-stream inner join with event-time bounds: enrich a stream of
+    * events with the FIRST stream's rows for the same user within the
+    * trailing hour. Both sides carry watermarks and the join condition
+    * bounds event time on both sides — the two conditions Structured
+    * Streaming needs to know when buffered state can be dropped, so state
+    * is bounded by (arrival rate × horizon) per side, not by stream length.
+    * The shuffle is keyed on user_id only; this is the canonical
+    * clicks⋈impressions shape. StreamingSpec pins agreement with the
+    * equivalent batch range join on the same rows. */
+  def streamingIntervalJoin(left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left.withWatermark("ts", "1 hour").as("l")
+    val r = right.withWatermark("ts", "1 hour").as("r")
+    l.join(r,
+      col("l.user_id") === col("r.user_id") &&
+        col("r.ts") >= col("l.ts") &&
+        col("r.ts") <= col("l.ts") + org.apache.spark.sql.functions.expr("INTERVAL 1 HOUR"))
+      .select(col("l.user_id"), col("l.event_id").as("l_event"),
+        col("r.event_id").as("r_event"),
+        col("l.ts").cast(LongType).as("l_sec"), col("r.ts").cast(LongType).as("r_sec"))
+  }
+
   // ---- streaming dedup ---------------------------------------------------
 
   /** Streaming exact dedup: content fingerprint + dropDuplicatesWithinWatermark

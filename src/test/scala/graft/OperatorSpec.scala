@@ -117,6 +117,13 @@ class OperatorSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$plan")
   }
 
+  test("sql-text subqueries decorrelate to joins, not per-row loops") {
+    val plan = ops.Extras.qSqlText.impl(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("subquery"),
+      s"correlated subquery survived decorrelation:\n$plan")
+    assert("(?i)join".r.findAllIn(plan).size >= 2, s"expected two joins:\n$plan")
+  }
+
   test("driver contract: entry() returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet ++

@@ -122,6 +122,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch range join on the same rows") {
+    val ts = (s: Long) => new Timestamp(s * 1000L)
+    val mk = (rows: Seq[(Long, Long, Long)]) => // (event_id, sec, user_id)
+      rows.map { case (e, sec, u) => (e, ts(sec), u) }.toDF("event_id", "ts", "user_id")
+    val lRows = Seq((1L, 1000L, 10L), (2L, 5000L, 10L), (3L, 1000L, 20L))
+    val rRows = Seq((101L, 1500L, 10L), (102L, 5500L, 10L), (103L, 1200L, 20L))
+    val dirL = java.nio.file.Paths.get(Tables.scratch("ssj_l"))
+    val dirR = java.nio.file.Paths.get(Tables.scratch("ssj_r"))
+    mk(lRows).write.mode("overwrite").parquet(dirL.toString)
+    mk(rRows).write.mode("overwrite").parquet(dirR.toString)
+    val schema = spark.read.parquet(dirL.toString).schema
+    val joined = EventsStreaming.streamingIntervalJoin(
+      spark.readStream.schema(schema).parquet(dirL.toString),
+      spark.readStream.schema(schema).parquet(dirR.toString))
+    val q = joined.writeStream.format("memory").queryName("ssj_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ssj_test").select("l_event", "r_event")
+        .as[(Long, Long)].collect().toSet
+      // batch truth: r within [l.ts, l.ts + 1h] for the same user
+      val expect = (for {
+        (le, ls, lu) <- lRows; (re, rs, ru) <- rRows
+        if lu == ru && rs >= ls && rs <= ls + 3600
+      } yield (le, re)).toSet
+      assert(got === expect)
+      assert(expect === Set((1L, 101L), (2L, 102L), (3L, 103L)))
+    } finally q.stop()
+  }
+
   test("ingestBatch is idempotent: a re-delivered batchId appends nothing") {
     val vt = graft.vt.VersionedTable.create(Tables.scratch("stream_ingest_idem"))
     def batch(ids: Long*) = ids.map(Ev(_, 100L)).toDF()
