@@ -137,6 +137,48 @@ object Analytic {
       .orderBy("doc_id")
   }
 
+  /** Date/interval arithmetic: add days/months, month-end snapping, day
+    * deltas. Dates are emitted as formatted STRINGS — a raw DATE column
+    * round-trips through parquet/pandas with engine-specific dtypes, while
+    * the formatted text hashes identically everywhere. */
+  val qDateArith: QueryDef = q("q_date_arith")(
+    """SELECT o_orderkey,
+      |       strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+      |       strftime(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus2mo,
+      |       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom,
+      |       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since95
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val dt = to_date(col("o_orderdate"))
+    Tables.orders(s, d).select(col("o_orderkey"),
+        date_format(date_add(dt, 30), "yyyy-MM-dd").as("plus30"),
+        date_format(add_months(dt, 2), "yyyy-MM-dd").as("plus2mo"),
+        date_format(last_day(dt), "yyyy-MM-dd").as("eom"),
+        datediff(dt, lit("1995-01-01")).cast(LongType).as("days_since95"))
+      .orderBy("o_orderkey")
+  }
+
+  /** String padding / search / rewrite surface: lpad, rpad, trim, replace,
+    * translate, repeat, and 1-based substring search (Spark instr = DuckDB
+    * strpos). Row-local, codegen'd, zero shuffle. */
+  val qStringPad: QueryDef = q("q_string_pad")(
+    """SELECT c_custkey,
+      |       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+      |       rpad(trim(c_mktsegment), 12, '.') AS seg_cell,
+      |       replace(c_name, 'Customer', 'Cust') AS short_name,
+      |       translate(c_mktsegment, 'AEIOU', 'aeiou') AS lowered_vowels,
+      |       repeat('-', CAST(c_custkey % 4 AS INTEGER)) AS dashes,
+      |       CAST(strpos(c_name, '0') AS BIGINT) AS first_zero_at
+      |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).select(col("c_custkey"),
+        lpad(col("c_custkey").cast(StringType), 10, "0").as("padded_key"),
+        rpad(trim(col("c_mktsegment")), 12, ".").as("seg_cell"),
+        regexp_replace(col("c_name"), "Customer", "Cust").as("short_name"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("lowered_vowels"),
+        expr("repeat('-', CAST(c_custkey % 4 AS INT))").as("dashes"),
+        instr(col("c_name"), "0").cast(LongType).as("first_zero_at"))
+      .orderBy("c_custkey")
+  }
+
   val defs: Seq[QueryDef] = Seq(qGroupingSets, qFirstLast, qPercentRank,
-    qCountIf, qRegexp, qArrayOps)
+    qCountIf, qRegexp, qArrayOps, qDateArith, qStringPad)
 }
