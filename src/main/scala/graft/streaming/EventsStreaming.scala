@@ -170,6 +170,36 @@ object EventsStreaming {
       .select(col("w.start").cast(LongType).as("win_start"), col("event_type"),
         col("cnt"), col("sum_val_c"))
 
+  /** Moving aggregate over a bounded ROWS frame: count and cents-sum of the
+    * trailing 4 events (3 preceding + current) per user — the row-count
+    * complement of the time-RANGE frame in [[rollingHour]]. The (sec,
+    * event_id) ordering is a total order per user, so the frame contents are
+    * deterministic in both engines; cents stay integers so the sum is exact. */
+  def movingRows(events: DataFrame): DataFrame = {
+    val sec = col("ts").cast(LongType)
+    val w = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+      .rowsBetween(-3, Window.currentRow)
+    events.select(col("user_id"), col("event_id"), sec.as("sec"),
+        floor(col("value") * 100 + 0.5).cast(LongType).as("cents"))
+      .withColumn("mv_n", count(lit(1)).over(w))
+      .withColumn("mv_sum_c", sum(col("cents")).over(w))
+      .select("user_id", "event_id", "sec", "mv_n", "mv_sum_c")
+  }
+
+  val qWindowRows: QueryDef = q("q_window_rows")(
+    """WITH e AS (SELECT user_id, event_id,
+      |                  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+      |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
+      |SELECT user_id, event_id, sec,
+      |       count(*) OVER w AS mv_n,
+      |       CAST(sum(cents) OVER w AS BIGINT) AS mv_sum_c
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
+      |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    movingRows(Tables.events(s, d)).orderBy("user_id", "event_id")
+  }
+
   // ---- stateful streaming sessionizer ------------------------------------
 
   final case class Ev(user_id: Long, sec: Long)
@@ -285,5 +315,5 @@ object EventsStreaming {
       .dropDuplicatesWithinWatermark("content_sha")
 
   val defs: Seq[QueryDef] =
-    Seq(qWindowTumbling, qSessionize, qWindowRange, qWindowHopping)
+    Seq(qWindowTumbling, qSessionize, qWindowRange, qWindowHopping, qWindowRows)
 }
