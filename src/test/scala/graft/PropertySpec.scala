@@ -111,4 +111,36 @@ class PropertySpec extends SparkSpec {
       assert(vt.read(spark, "main").as[Int].collect().toList === List(0))
     }
   }
+
+  test("property: bloom filter never produces a false negative") {
+    val keysGen: Gen[List[Long]] = Gen.listOfN(200, Gen.choose(0L, Long.MaxValue))
+    samples(keysGen, 5).foreach { keys =>
+      val build = keys.distinct.toDF("k")
+      val bits = ops.Scale.bloomBits(build, "k")
+      // every build key must pass the membership test — zero false negatives
+      val passed = build.where(ops.Scale.bloomMightContain("k", bits)).count()
+      assert(passed === keys.distinct.size.toLong,
+        s"bloom dropped ${keys.distinct.size - passed} of its own keys")
+    }
+  }
+
+  test("property: merged appends equal the union of both branches' appends") {
+    // for ANY pair of disjoint append sequences on two branches, the merged
+    // snapshot reads as base ∪ src-appends ∪ dst-appends — the row-level
+    // contract behind the lakeFS object-level merge rule
+    val seqGen: Gen[(List[Int], List[Int])] = for {
+      a <- Gen.listOfN(3, Gen.choose(100, 999))
+      b <- Gen.listOfN(2, Gen.choose(1000, 1999))
+    } yield (a, b)
+    samples(seqGen, 4).foreach { case (devRows, mainRows) =>
+      val vt = VersionedTable.create(Tables.scratch("prop_merge"))
+      vt.write(List(1).toDF("x"), "main", "base")
+      vt.createBranch("dev", "main")
+      devRows.foreach(v => vt.write(List(v).toDF("x"), "dev", s"d$v", mode = "append"))
+      mainRows.foreach(v => vt.write(List(v).toDF("x"), "main", s"m$v", mode = "append"))
+      vt.merge("dev", "main")
+      val got = vt.read(spark, "main").as[Int].collect().sorted.toList
+      assert(got === (1 :: devRows ::: mainRows).sorted)
+    }
+  }
 }
