@@ -181,6 +181,24 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.head("main").get.version === 0) // fail-fast: no partial version
   }
 
+  test("incremental maintenance drops emptied groups and creates new ones") {
+    val vt = freshVt("incr_groups")
+    val v0 = Seq(("a", 10L), ("a", 20L), ("b", 5L)).toDF("k", "v")
+    val v1 = Seq(("a", 10L), ("c", 7L)).toDF("k", "v") // b vanishes, c appears
+    vt.write(v0, "main", "v0"); vt.write(v1, "main", "v1")
+    val prev = vt.readVersion(spark, "main", 0).groupBy("k")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sum_c"))
+    val out = ops.Versioned.maintainSumCount(prev,
+        vt.changes(spark, "main", 0, 1), Seq("k"), "v")
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(out === Array(("a", 1L, 10L), ("c", 1L, 7L)))
+    // identity: maintained view == full recompute at v1
+    val full = vt.read(spark, "main").groupBy("k")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sum_c"))
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(out === full)
+  }
+
   test("revert creates a new commit equal to the target version") {
     val vt = freshVt("revert")
     vt.write(df(1, 2), "main", "v0")
