@@ -181,6 +181,25 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.head("main").get.version === 0) // fail-fast: no partial version
   }
 
+  test("append-only CDC reads only the delta files, never the snapshots") {
+    val vt = freshVt("cdc_append")
+    vt.write(df(1, 2, 3), "main", "v0")
+    val c1 = vt.write(df(4, 5), "main", "v1 append", mode = "append")
+    val cdc = vt.changes(spark, "main", 0, 1)
+    assert(cdc.select("x").as[Int].collect().sorted === Array(4, 5))
+    assert(cdc.select("change_type").distinct().as[String].collect() === Array("insert"))
+    // the scan touches exactly the files v1 added — the O(delta) fast path
+    val added = c1.files.toSet -- vt.lineage("main").last.files.toSet
+    assert(cdc.inputFiles.length === added.size,
+      s"CDC read ${cdc.inputFiles.length} files, delta is ${added.size}")
+    // an overwrite interval still takes the general exceptAll path
+    vt.write(df(9), "main", "v2 overwrite")
+    val cdc2 = vt.changes(spark, "main", 1, 2)
+    assert(cdc2.where(col("change_type") === "delete").count() === 5)
+    assert(cdc2.where(col("change_type") === "insert").as[(Int, String)]
+      .collect().map(_._1) === Array(9))
+  }
+
   test("incremental maintenance drops emptied groups and creates new ones") {
     val vt = freshVt("incr_groups")
     val v0 = Seq(("a", 10L), ("a", 20L), ("b", 5L)).toDF("k", "v")
