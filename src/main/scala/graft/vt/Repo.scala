@@ -274,6 +274,30 @@ final class Repo private (val root: Path) {
     dead.foreach(f => Files.deleteIfExists(root.resolve(f)))
     dead.size
   }
+
+  /** Time-based repo GC, the Delta retention dial at repo scope: retain
+    * commits younger than `retainHours` plus every branch head (the repo
+    * must stay readable). `nowMs` is injectable for deterministic tests. */
+  def vacuumRetainHours(retainHours: Double,
+                        nowMs: Long = System.currentTimeMillis()): Int = synchronized {
+    require(retainHours >= 0, "retainHours must be >= 0")
+    val cutoff = nowMs - (retainHours * 3600 * 1000).toLong
+    val retained: Set[String] =
+      (branches.flatMap(b => lineage(b).zipWithIndex.collect {
+        case (c, i) if i == 0 || c.ts >= cutoff => c.files // i==0 = the head
+      }.flatten) ++ staged.values.flatMap(_.values.flatMap(_._1))).toSet
+    if (!Files.exists(dataDir)) return 0
+    val walk = Files.walk(dataDir)
+    import scala.jdk.CollectionConverters._
+    val all =
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString).toVector
+      finally walk.close()
+    val dead = all.filterNot(retained.contains)
+    dead.foreach(f => Files.deleteIfExists(root.resolve(f)))
+    dead.size
+  }
 }
 
 object Repo {

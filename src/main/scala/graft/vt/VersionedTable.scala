@@ -99,10 +99,23 @@ final class VersionedTable private (val root: Path) {
     * ADDITIVE evolution — the commit schema becomes parent fields plus the
     * appended frame's new fields; parquet's by-name resolution then nulls a
     * file's missing columns on read, exactly Delta's mergeSchema contract.
-    * A same-name/different-type collision is always an error. */
+    * A same-name/different-type collision is always an error.
+    *
+    * `check` is an optional Delta-style CHECK constraint (a boolean SQL
+    * expression): the write REJECTS the whole batch if any row evaluates it
+    * to false (NULL passes, per the SQL standard). The validation is one
+    * filter + limit(1) scan — it short-circuits on the first violation and
+    * pushes down like any filter, so its cost is bounded by the first bad
+    * row's position, not the batch size. */
   def write(df: DataFrame, branch: String = "main", message: String = "",
             mode: String = "overwrite", statsCols: Seq[String] = Nil,
-            mergeSchema: Boolean = false): Commit = synchronized {
+            mergeSchema: Boolean = false, check: Option[String] = None): Commit = synchronized {
+    check.foreach { c =>
+      val bad = df.where(org.apache.spark.sql.functions.expr(s"NOT ($c)")).limit(1).collect()
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"CHECK constraint violated on $branch: ($c) is false for row ${bad.head}; " +
+          "no version was written")
+    }
     val parent = head(branch)
     val schema: StructType = parent match {
       case Some(p) if mode == "append" =>
@@ -283,6 +296,18 @@ final class VersionedTable private (val root: Path) {
   def readVersion(spark: SparkSession, branch: String, version: Long): DataFrame = {
     val c = lineage(branch).find(_.version == version).getOrElse(
       throw new IllegalArgumentException(s"no version $version on $branch (vacuumed or never existed)"))
+    readCommit(spark, c)
+  }
+
+  /** Delta `timestampAsOf` time travel: the newest commit at or before
+    * `tsMillis` — "the table as it was at 9am". Resolved from commit
+    * metadata (lineage is newest-first, so the first qualifying commit is
+    * the answer); a timestamp before the first commit is an error, matching
+    * Delta's behavior. */
+  def readAsOfTimestamp(spark: SparkSession, branch: String, tsMillis: Long): DataFrame = {
+    val c = lineage(branch).find(_.ts <= tsMillis).getOrElse(
+      throw new IllegalArgumentException(
+        s"no commit on $branch at or before timestamp $tsMillis (first commit is later)"))
     readCommit(spark, c)
   }
 

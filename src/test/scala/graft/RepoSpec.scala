@@ -108,6 +108,18 @@ class RepoSpec extends SparkSpec {
     assert(repo.readTable(spark, "main", "b").as[Int].collect() === Array(30))
   }
 
+  test("repo vacuumRetainHours keeps the horizon and the head, reclaims older") {
+    val repo = Repo.create(Tables.scratch("repo_vacuum_hours"))
+    repo.stageWrite(Seq(1).toDF("x"), "main", "a"); val c0 = repo.commit("main", "v0")
+    Thread.sleep(15)
+    repo.stageWrite(Seq(2).toDF("x"), "main", "a"); val c1 = repo.commit("main", "v1")
+    assert(c1.ts > c0.ts)
+    assert(repo.vacuumRetainHours(1.0, nowMs = c1.ts) === 0) // both inside horizon
+    val deleted = repo.vacuumRetainHours(0.0, nowMs = c1.ts)
+    assert(deleted > 0) // v0's orphaned table files reclaimed, head survives
+    assert(repo.readTable(spark, "main", "a").as[Int].collect() === Array(2))
+  }
+
   test("repo revert restores every table as a new commit; history lists lineage") {
     val repo = Repo.create(Tables.scratch("repo_revert"))
     repo.stageWrite(Seq(1).toDF("x"), "main", "a")

@@ -181,6 +181,32 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.head("main").get.version === 0) // fail-fast: no partial version
   }
 
+  test("timestampAsOf resolves the newest commit at or before the timestamp") {
+    val vt = freshVt("ts_travel")
+    val c0 = vt.write(df(1), "main", "v0")
+    Thread.sleep(15)
+    val c1 = vt.write(df(2), "main", "v1")
+    assert(c1.ts > c0.ts)
+    assert(vt.readAsOfTimestamp(spark, "main", c0.ts).as[Int].collect() === Array(1))
+    assert(vt.readAsOfTimestamp(spark, "main", c1.ts - 1).as[Int].collect() === Array(1))
+    assert(vt.readAsOfTimestamp(spark, "main", c1.ts + 1000).as[Int].collect() === Array(2))
+    assertThrows[IllegalArgumentException](
+      vt.readAsOfTimestamp(spark, "main", c0.ts - 1))
+  }
+
+  test("CHECK constraint rejects the whole batch on the first violating row") {
+    val vt = freshVt("check_constraint")
+    vt.write(df(1, 2, 3), "main", "v0", check = Some("x > 0"))
+    assert(vt.head("main").get.version === 0)
+    val e = intercept[IllegalArgumentException](
+      vt.write(df(4, -5), "main", "bad", check = Some("x > 0")))
+    assert(e.getMessage.contains("CHECK constraint violated"))
+    assert(vt.head("main").get.version === 0) // nothing was written
+    // NULL passes, per the SQL standard
+    vt.write(Seq(Some(7), None).toDF("x"), "main", "nulls ok", check = Some("x > 0"))
+    assert(vt.head("main").get.version === 1)
+  }
+
   test("append-only CDC reads only the delta files, never the snapshots") {
     val vt = freshVt("cdc_append")
     vt.write(df(1, 2, 3), "main", "v0")
