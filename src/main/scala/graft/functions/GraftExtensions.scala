@@ -24,5 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "float_vec_dot(a, b) takes exactly 2 arguments")
         FloatVecDot(children.head, children(1))
       }))
+    // Optimizer rule: bounded levenshtein predicates gain a free
+    // length-difference prefilter and switch to the banded threshold DP.
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
   }
 }
