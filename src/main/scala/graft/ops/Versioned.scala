@@ -258,6 +258,24 @@ object Versioned {
       .orderBy(col("version").desc)
   }
 
+  /** Delta `timestampAsOf` twin of the versionAsOf query: resolve v0 by its
+    * COMMIT TIMESTAMP instead of its number. The second write is gated until
+    * the clock has advanced past v0's millisecond so the two commits can
+    * never share a timestamp (a busy-wait of at most a few ms, test-only
+    * determinism — production commits are never same-millisecond races on
+    * one branch because writers are serialized). */
+  val qVtTsTravel: QueryDef = q("q_vt_ts_travel")(
+    """SELECT n_nationkey, n_name FROM nation WHERE n_regionkey < 2
+      |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+    val vt = VersionedTable.create(Tables.scratch("vt_ts_travel"))
+    val nation = Tables.nation(s, d)
+    val c0 = vt.write(nation.where(col("n_regionkey") < 2), "main", "v0")
+    while (System.currentTimeMillis() <= c0.ts) Thread.sleep(1)
+    vt.write(nation, "main", "v1")
+    vt.readAsOfTimestamp(s, "main", c0.ts)
+      .select("n_nationkey", "n_name").orderBy("n_nationkey")
+  }
+
   // ---- incremental view maintenance over CDC -----------------------------
 
   /** Maintain a (count, sum) aggregate "view" incrementally: fold a CDC
@@ -313,5 +331,5 @@ object Versioned {
   val defs: Seq[QueryDef] = Seq(qVtWriteVersions, qVtReadLatest, qVtTimeTravel,
     qVtBranch, qVtCommit, qVtDiff, qVtMerge, qVtRevert, qVtVacuum, qVtObjects,
     qVtSkipRead, qVtAppend, qRepoCommit, qVtChanges, qVtHistory, qVtUpsert,
-    qVtIncremental)
+    qVtIncremental, qVtTsTravel)
 }
