@@ -107,6 +107,23 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("Window"), "no window operator should remain in the oov plan")
   }
 
+  test("edit-distance dedup: planted duplicate cluster yields O(k) star edges") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // 100 identical docs: the sha collapse must emit 99 star edges (dist 0),
+    // never 4950 pairwise comparisons — plus one genuine near-pair
+    val dup = (1 to 100).map(i => (i.toLong, "en", 35L, "the same exact text content for all"))
+    val near = Seq((101L, "en", 35L, "the same exact teXt content for aLL!"),
+                   (102L, "de", 35L, "ein ganz anderer text ohne partner"))
+    val pairs = ext.Dedup.editDistanceDups((dup ++ near)
+      .toDF("doc_id", "lang", "n_chars", "text"))
+    assert(pairs.where(col("dist") === 0).count() === 99) // the star, O(k)
+    // the near-duplicate is caught through the banded levenshtein path
+    assert(pairs.where(col("a") === 1 && col("b") === 101).count() === 1)
+    // nothing pairs across languages
+    assert(pairs.where(col("b") === 102).count() === 0)
+  }
+
   test("bloom filter prunes the fact side row-locally and never drops a match") {
     import org.apache.spark.sql.functions.{broadcast, col}
     val sel = Tables.orders(spark, sf).where(col("o_totalprice") > 150000)
