@@ -200,6 +200,41 @@ object EventsStreaming {
     movingRows(Tables.events(s, d)).orderBy("user_id", "event_id")
   }
 
+  /** Forward-fill (last-observation-carried-forward): impute missing values
+    * from the most recent non-null observation in the same series — the
+    * standard time-series gap repair. `last(..., ignoreNulls)` over a
+    * running per-user frame; the (sec, event_id) total order makes the
+    * carried value deterministic. Synthetic gaps (every 5th event) keep the
+    * query closed-form for the oracle, which replays it with DuckDB's
+    * `last_value(... IGNORE NULLS)`. Leading nulls (no prior observation)
+    * stay null — both engines agree. */
+  def forwardFill(events: DataFrame): DataFrame = {
+    val sec = col("ts").cast(LongType)
+    val cents = floor(col("value") * 100 + 0.5).cast(LongType)
+    val gapped = when(pmod(col("event_id"), lit(5)) === 0, lit(null)).otherwise(cents)
+    val w = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.select(col("user_id"), col("event_id"), sec.as("sec"),
+        gapped.as("cents_gapped"))
+      .withColumn("cents_filled", last(col("cents_gapped"), ignoreNulls = true).over(w))
+      .select("user_id", "event_id", "sec", "cents_gapped", "cents_filled")
+  }
+
+  val qForwardFill: QueryDef = q("q_forward_fill")(
+    """WITH e AS (SELECT user_id, event_id,
+      |                  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+      |                  CASE WHEN event_id % 5 = 0 THEN NULL
+      |                       ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END AS cents_gapped
+      |           FROM events)
+      |SELECT user_id, event_id, sec, cents_gapped,
+      |       last_value(cents_gapped IGNORE NULLS) OVER w AS cents_filled
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    forwardFill(Tables.events(s, d)).orderBy("user_id", "event_id")
+  }
+
   // ---- stateful streaming sessionizer ------------------------------------
 
   final case class Ev(user_id: Long, sec: Long)
@@ -315,5 +350,6 @@ object EventsStreaming {
       .dropDuplicatesWithinWatermark("content_sha")
 
   val defs: Seq[QueryDef] =
-    Seq(qWindowTumbling, qSessionize, qWindowRange, qWindowHopping, qWindowRows)
+    Seq(qWindowTumbling, qSessionize, qWindowRange, qWindowHopping, qWindowRows,
+      qForwardFill)
 }
