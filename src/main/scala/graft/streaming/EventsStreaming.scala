@@ -235,6 +235,66 @@ object EventsStreaming {
     forwardFill(Tables.events(s, d)).orderBy("user_id", "event_id")
   }
 
+  /** Linear interpolation of the synthetic gaps in EXACT integer
+    * arithmetic: lerp between the previous and next non-null anchors, in
+    * milli-cents so the slope never leaves int64 —
+    * `prev*1000 + (next-prev)*1000*(t-t0) DIV (t1-t0)`. Both engines
+    * truncate integer division toward zero (Spark DIV = DuckDB `//`), so
+    * the result is bit-identical with no floating point anywhere. Edge
+    * policy: leading gaps backfill, trailing gaps forward-fill, non-gaps
+    * pass through scaled. The backward/forward anchor lookups are one
+    * window pair over the same per-user ordering (one shuffle total). */
+  def interpolate(events: DataFrame): DataFrame = {
+    val sec = col("ts").cast(LongType)
+    val cents = floor(col("value") * 100 + 0.5).cast(LongType)
+    val gapped = when(pmod(col("event_id"), lit(5)) === 0, lit(null)).otherwise(cents)
+    val ord = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val base = events.select(col("user_id"), col("event_id"), sec.as("sec"),
+      gapped.as("g"))
+    val anchored = base
+      .withColumn("pv", last(col("g"), ignoreNulls = true).over(wPrev))
+      .withColumn("pt", last(when(col("g").isNotNull, col("sec")), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("g"), ignoreNulls = true).over(wNext))
+      .withColumn("nt", first(when(col("g").isNotNull, col("sec")), ignoreNulls = true).over(wNext))
+    anchored.select(col("user_id"), col("event_id"), col("sec"),
+      when(col("g").isNotNull, col("g") * 1000)
+        .when(col("pv").isNull, col("nv") * 1000)
+        .when(col("nv").isNull, col("pv") * 1000)
+        .when(col("nt") === col("pt"), col("pv") * 1000)
+        .otherwise(col("pv") * 1000 +
+          expr("((nv - pv) * 1000 * (sec - pt)) DIV (nt - pt)"))
+        .as("mc_interp"))
+  }
+
+  val qInterpolate: QueryDef = q("q_interpolate")(
+    """WITH e AS (SELECT user_id, event_id,
+      |                  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+      |                  CASE WHEN event_id % 5 = 0 THEN NULL
+      |                       ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END AS g
+      |           FROM events),
+      |     a AS (SELECT user_id, event_id, sec, g,
+      |                  last_value(g IGNORE NULLS) OVER wp AS pv,
+      |                  last_value(CASE WHEN g IS NOT NULL THEN sec END IGNORE NULLS) OVER wp AS pt,
+      |                  first_value(g IGNORE NULLS) OVER wn AS nv,
+      |                  first_value(CASE WHEN g IS NOT NULL THEN sec END IGNORE NULLS) OVER wn AS nt
+      |           FROM e
+      |           WINDOW wp AS (PARTITION BY user_id ORDER BY sec, event_id
+      |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |                  wn AS (PARTITION BY user_id ORDER BY sec, event_id
+      |                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, event_id, sec,
+      |       CAST(CASE WHEN g IS NOT NULL THEN g * 1000
+      |                 WHEN pv IS NULL THEN nv * 1000
+      |                 WHEN nv IS NULL THEN pv * 1000
+      |                 WHEN nt = pt THEN pv * 1000
+      |                 ELSE pv * 1000 + ((nv - pv) * 1000 * (sec - pt)) // (nt - pt)
+      |            END AS BIGINT) AS mc_interp
+      |FROM a ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    interpolate(Tables.events(s, d)).orderBy("user_id", "event_id")
+  }
+
   // ---- stateful streaming sessionizer ------------------------------------
 
   final case class Ev(user_id: Long, sec: Long)
@@ -351,5 +411,5 @@ object EventsStreaming {
 
   val defs: Seq[QueryDef] =
     Seq(qWindowTumbling, qSessionize, qWindowRange, qWindowHopping, qWindowRows,
-      qForwardFill)
+      qForwardFill, qInterpolate)
 }
