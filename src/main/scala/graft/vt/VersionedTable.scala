@@ -331,6 +331,19 @@ final class VersionedTable private (val root: Path) {
     CommitLog.writeAtomic(refsDir.resolve(name), h.id)
   }
 
+  /** lakeFS `branch delete`: drop the head pointer (and any staged snapshot
+    * with its uncommitted files). Commits stay on disk — another branch may
+    * still reach them, and an unreachable commit's data files are reclaimed
+    * by the next vacuum, never here (deletion must not be able to corrupt a
+    * surviving branch). The last branch cannot be deleted: a repo with no
+    * refs would be unreadable. */
+  def deleteBranch(name: String): Unit = synchronized {
+    require(branches.contains(name), s"no such branch: $name")
+    require(branches.size > 1, s"cannot delete the last branch: $name")
+    reset(name) // staged files are uncommitted: safe to reclaim now
+    Files.deleteIfExists(refsDir.resolve(name))
+  }
+
   /** V4 `diff`: object-level change list between two branch heads, as
     * (path, change_type) pairs — lakeFS `lakectl diff` semantics. */
   def diffFiles(branch: String, other: String): Seq[(String, String)] = {

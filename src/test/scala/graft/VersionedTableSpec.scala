@@ -181,6 +181,22 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.head("main").get.version === 0) // fail-fast: no partial version
   }
 
+  test("deleteBranch drops the ref; vacuum then reclaims unreachable commits") {
+    val vt = freshVt("branch_delete")
+    vt.write(df(1), "main", "v0")
+    vt.createBranch("dev", "main")
+    val cDev = vt.write(df(2, 3), "dev", "dev only")
+    vt.deleteBranch("dev")
+    assert(vt.branches === Seq("main"))
+    assertThrows[IllegalArgumentException](vt.read(spark, "dev").collect())
+    // main is untouched; dev's now-unreachable files go at the next vacuum
+    assert(vt.read(spark, "main").as[Int].collect() === Array(1))
+    val deleted = vt.vacuum(retainLast = 1)
+    assert(deleted === cDev.files.size && deleted > 0)
+    // the last branch is protected
+    assertThrows[IllegalArgumentException](vt.deleteBranch("main"))
+  }
+
   test("timestampAsOf resolves the newest commit at or before the timestamp") {
     val vt = freshVt("ts_travel")
     val c0 = vt.write(df(1), "main", "v0")
