@@ -200,6 +200,35 @@ object EventsStreaming {
     movingRows(Tables.events(s, d)).orderBy("user_id", "event_id")
   }
 
+  /** Running DISTINCT count over a window — "distinct event types seen so
+    * far per user", the engagement-breadth growth metric. Spark has no
+    * DISTINCT window aggregates, so the idiomatic form is
+    * `size(collect_set(x) OVER running-frame)`; DuckDB supports
+    * `count(DISTINCT x) OVER` natively and the two are semantically
+    * identical. State per frame is one small set of distinct values (5
+    * event types here) — bounded by the value domain, not the row count. */
+  def runningDistinct(events: DataFrame): DataFrame = {
+    val sec = col("ts").cast(LongType)
+    val w = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.select(col("user_id"), col("event_id"), sec.as("sec"), col("event_type"))
+      .withColumn("n_types_seen",
+        size(collect_set(col("event_type")).over(w)).cast(LongType))
+      .select("user_id", "event_id", "sec", "n_types_seen")
+  }
+
+  val qWindowDistinct: QueryDef = q("q_window_distinct")(
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |                  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec FROM events)
+      |SELECT user_id, event_id, sec,
+      |       CAST(count(DISTINCT event_type) OVER w AS BIGINT) AS n_types_seen
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    runningDistinct(Tables.events(s, d)).orderBy("user_id", "event_id")
+  }
+
   /** Forward-fill (last-observation-carried-forward): impute missing values
     * from the most recent non-null observation in the same series — the
     * standard time-series gap repair. `last(..., ignoreNulls)` over a
@@ -411,5 +440,5 @@ object EventsStreaming {
 
   val defs: Seq[QueryDef] =
     Seq(qWindowTumbling, qSessionize, qWindowRange, qWindowHopping, qWindowRows,
-      qForwardFill, qInterpolate)
+      qForwardFill, qInterpolate, qWindowDistinct)
 }
