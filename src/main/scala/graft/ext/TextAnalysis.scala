@@ -197,6 +197,50 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Benchmark decontamination: flag training documents that share any word
+    * 3-gram with the held-out evaluation set — the standard pre-training
+    * hygiene step (an eval answer leaked into the corpus inflates the
+    * benchmark). Eval membership here is the deterministic doc_id%97 slice
+    * so the oracle has a closed form; in production the eval set is an
+    * external table. Shape: eval grams are DISTINCT-deduped and BROADCAST
+    * (eval sets are small by construction — benchmarks, not corpora), the
+    * training side explodes row-locally and joins without shuffling the
+    * corpus; the per-doc hit count is one keyed aggregation. Same shingle
+    * definition as the MinHash pipeline ([[Dedup.shingles]]). */
+  val qDecontaminate: QueryDef = q("q_decontaminate")({
+    val gramsDuck =
+      """CASE WHEN len(string_split(text, ' ')) >= 3
+        |     THEN list_distinct(list_transform(
+        |            generate_series(1, len(string_split(text, ' ')) - 2),
+        |            i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))
+        |     ELSE [text] END""".stripMargin
+    s"""WITH ev AS (SELECT text FROM documents WHERE doc_id % 97 = 0),
+       |     tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+       |     evg AS (SELECT DISTINCT gram FROM
+       |               (SELECT unnest($gramsDuck) AS gram FROM ev)),
+       |     trg AS (SELECT DISTINCT doc_id, gram FROM
+       |               (SELECT doc_id, unnest($gramsDuck) AS gram FROM tr)),
+       |     h AS (SELECT t.doc_id, count(*) AS n FROM trg t
+       |           JOIN evg e ON t.gram = e.gram GROUP BY t.doc_id)
+       |SELECT tr.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_eval_grams_hit,
+       |       coalesce(h.n, 0) > 0 AS contaminated
+       |FROM tr LEFT JOIN h ON tr.doc_id = h.doc_id ORDER BY tr.doc_id""".stripMargin
+  }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val isEval = pmod(col("doc_id"), lit(97)) === 0
+    val evalGrams = docs.where(isEval)
+      .select(explode(Dedup.shingles(col("text"))).as("gram")).distinct()
+    val trainGrams = docs.where(!isEval)
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("gram")).distinct()
+    val hits = trainGrams.join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    docs.where(!isEval).select("doc_id").join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n_eval_grams_hit"),
+        (coalesce(col("n"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(qTextStats, qLangId, qTokenCount,
-    qDocFingerprint, qQualityScore, qOovRate, qTermDf)
+    qDocFingerprint, qQualityScore, qOovRate, qTermDf, qDecontaminate)
 }
