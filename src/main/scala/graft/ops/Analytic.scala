@@ -179,6 +179,70 @@ object Analytic {
       .orderBy("c_custkey")
   }
 
+  /** UNION with set semantics (distinct-after-union) — the dedup complement
+    * of the existing UNION ALL query; Spark's union + distinct matches SQL
+    * UNION exactly. */
+  val qUnionDistinct: QueryDef = q("q_union_distinct")(
+    """SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_custkey < 50
+      |UNION
+      |SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_custkey > 100
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    o.where(col("o_custkey") < 50).select("o_orderstatus", "o_orderpriority")
+      .union(o.where(col("o_custkey") > 100).select("o_orderstatus", "o_orderpriority"))
+      .distinct()
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  /** Fixed-width histogram: integer band index from pure arithmetic (no
+    * data-dependent cut points, unlike the quantile bucketing), one hash
+    * aggregation. Bands are half-open [lo, lo+width). */
+  val qHistogram: QueryDef = q("q_histogram")(
+    """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS band,
+      |       count(*) AS cnt
+      |FROM orders GROUP BY 1 ORDER BY band""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(floor(col("o_totalprice") / 50000).cast(LongType).as("band"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("band")
+  }
+
+  /** Null-safe equi-join: `<=>` (DuckDB IS NOT DISTINCT FROM) as a JOIN
+    * condition — null keys MATCH null keys, unlike plain `=` which drops
+    * them. Null keys are derived deterministically with nullif so the
+    * semantics difference is actually exercised. */
+  val qJoinNullSafe: QueryDef = q("q_join_null_safe")(
+    """WITH l AS (SELECT n_nationkey, nullif(n_regionkey, 0) AS rk FROM nation),
+      |     r AS (SELECT r_regionkey, r_name, nullif(r_regionkey, 0) AS rk FROM region)
+      |SELECT l.n_nationkey, r.r_name
+      |FROM l JOIN r ON l.rk IS NOT DISTINCT FROM r.rk
+      |ORDER BY n_nationkey, r_name""".stripMargin) { (s, d) =>
+    val l = Tables.nation(s, d)
+      .select(col("n_nationkey"), nullif(col("n_regionkey"), lit(0)).as("rk")).as("l")
+    val r = Tables.region(s, d)
+      .select(col("r_name"), nullif(col("r_regionkey"), lit(0)).as("rk")).as("r")
+    l.join(r, col("l.rk") <=> col("r.rk"))
+      .select(col("n_nationkey"), col("r_name"))
+      .orderBy("n_nationkey", "r_name")
+  }
+
+  /** min_by / max_by (DuckDB arg_min / arg_max): the value of one column at
+    * another column's extreme — deterministic here because the ordering
+    * column (o_orderkey) is unique within every group. */
+  val qMinMaxBy: QueryDef = q("q_min_max_by")(
+    """SELECT o_custkey,
+      |       arg_min(o_orderstatus, o_orderkey) AS first_status,
+      |       arg_max(o_orderstatus, o_orderkey) AS last_status,
+      |       min(o_orderkey) AS first_ok, max(o_orderkey) AS last_ok
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).groupBy("o_custkey")
+      .agg(min_by(col("o_orderstatus"), col("o_orderkey")).as("first_status"),
+        max_by(col("o_orderstatus"), col("o_orderkey")).as("last_status"),
+        min("o_orderkey").as("first_ok"), max("o_orderkey").as("last_ok"))
+      .orderBy("o_custkey")
+  }
+
   val defs: Seq[QueryDef] = Seq(qGroupingSets, qFirstLast, qPercentRank,
-    qCountIf, qRegexp, qArrayOps, qDateArith, qStringPad)
+    qCountIf, qRegexp, qArrayOps, qDateArith, qStringPad,
+    qUnionDistinct, qHistogram, qJoinNullSafe, qMinMaxBy)
 }
