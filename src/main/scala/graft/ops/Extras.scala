@@ -148,9 +148,14 @@ object Extras {
       |ORDER BY c_custkey""".stripMargin
 
   val qSqlText: QueryDef = q("q_sql_text")(custOrdersSql) { (s, d) =>
+    // The views exist only while spark.sql analyzes the text (Dataset
+    // creation resolves them eagerly), then are dropped — registering them
+    // for the query's lifetime would leak scale-factor-specific state into
+    // the shared session catalog and poison any other name-based spark.sql.
     Tables.customer(s, d).createOrReplaceTempView("customer")
     Tables.orders(s, d).createOrReplaceTempView("orders")
-    s.sql(custOrdersSql)
+    try s.sql(custOrdersSql)
+    finally { s.catalog.dropTempView("customer"); s.catalog.dropTempView("orders") }
   }
 
   val defs: Seq[QueryDef] = Seq(qJsonFuncs, qDistinct, qCube, qUnionByName, qTypedApi,

@@ -38,6 +38,19 @@ object LevenshteinPrefilter extends Rule[LogicalPlan] {
     case other => other
   }
 
+  /** The threshold literal is rewritable only when it is a non-negative
+    * value that fits in Int: the thresholded builtin takes an Int threshold,
+    * so a Long literal above Int.MaxValue would wrap negative under the
+    * Cast in non-ANSI mode (turning an always-true predicate false) or
+    * error under ANSI — either way no longer semantics-preserving. Negative
+    * thresholds (always-false predicates) are left to the optimizer's
+    * constant handling rather than rewritten. */
+  private def rewritableK(lit: Literal): Boolean = lit match {
+    case Literal(v: Int, IntegerType) => v >= 0
+    case Literal(v: Long, LongType) => v >= 0L && v <= Int.MaxValue.toLong
+    case _ => false
+  }
+
   private def rewrite(lev: Levenshtein, k: Literal): Expression = {
     val guard = LessThanOrEqual(
       Abs(Subtract(Cast(Length(lev.left), LongType), Cast(Length(lev.right), LongType))),
@@ -51,12 +64,12 @@ object LevenshteinPrefilter extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
       val newCond = cond.transform {
-        case LessThanOrEqual(l, r @ Literal(_, IntegerType | LongType)) =>
+        case LessThanOrEqual(l, r @ Literal(_, IntegerType | LongType)) if rewritableK(r) =>
           unwrapCast(l) match {
             case lev: Levenshtein if lev.threshold.isEmpty => rewrite(lev, r)
             case _ => LessThanOrEqual(l, r)
           }
-        case GreaterThanOrEqual(l @ Literal(_, IntegerType | LongType), r) =>
+        case GreaterThanOrEqual(l @ Literal(_, IntegerType | LongType), r) if rewritableK(l) =>
           unwrapCast(r) match {
             case lev: Levenshtein if lev.threshold.isEmpty => rewrite(lev, l)
             case _ => GreaterThanOrEqual(l, r)

@@ -366,6 +366,11 @@ object EventsStreaming {
   // ---- streaming ingestion into the versioned lakehouse layer ------------
 
   private val BatchMsgPrefix = "stream batch "
+  // Strict message shape for the idempotence check: a manual commit whose
+  // message merely starts with the prefix ("stream batch backfill") must be
+  // SKIPPED, not parsed — a NumberFormatException here would wedge every
+  // subsequent micro-batch. 18 digits max keeps `toLong` overflow-proof.
+  private val BatchMsgRe = ("^" + BatchMsgPrefix + """(\d{1,18})$""").r
 
   /** One idempotent micro-batch append: skip the write when the branch has
     * already committed this batchId or a later one. A restarted query
@@ -382,8 +387,7 @@ object EventsStreaming {
     val lastIngested: Option[Long] = // lazy head-first walk: stops at the first ingest commit
       Iterator.iterate(vt.head(branch))(_.flatMap(_.parent).map(vt.loadCommit))
         .takeWhile(_.isDefined).map(_.get.message)
-        .collectFirst { case m if m.startsWith(BatchMsgPrefix) =>
-          m.stripPrefix(BatchMsgPrefix).toLong }
+        .collectFirst { case BatchMsgRe(digits) => digits.toLong }
     if (lastIngested.exists(_ >= batchId)) () // duplicate delivery: already committed
     else if (!batch.isEmpty)
       vt.write(batch, branch, message = s"$BatchMsgPrefix$batchId", mode = "append")

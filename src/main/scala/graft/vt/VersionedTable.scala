@@ -498,8 +498,22 @@ final class VersionedTable private (val root: Path) {
       readCommit(spark, to.copy(files = added))
         .withColumn("change_type", lit("insert"))
     } else {
-      val before = readCommit(spark, from)
-      val after = readCommit(spark, to)
+      // The interval may contain a mergeSchema append, so the two snapshots
+      // can disagree on columns; align both sides to the union schema with
+      // null-filled missing columns before the bag diff (append forbids
+      // same-name/different-type, so a name appears with one type only).
+      // Without this the exceptAll below throws AnalysisException at runtime.
+      val fromSchema = DataType.fromJson(from.schemaJson).asInstanceOf[StructType]
+      val toSchema = DataType.fromJson(to.schemaJson).asInstanceOf[StructType]
+      val allFields = toSchema.fields ++
+        fromSchema.fields.filterNot(f => toSchema.fieldNames.contains(f.name))
+      def align(df: DataFrame): DataFrame = df.select(allFields.toIndexedSeq.map { f =>
+        import org.apache.spark.sql.functions.col
+        if (df.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+      val before = align(readCommit(spark, from))
+      val after = align(readCommit(spark, to))
       after.exceptAll(before).withColumn("change_type", lit("insert"))
         .unionByName(before.exceptAll(after).withColumn("change_type", lit("delete")))
     }

@@ -42,6 +42,21 @@ class PlanRulesSpec extends SparkSpec {
       assert("levenshtein\\(.*Some\\(3\\)\\)".r.findFirstIn(castedPlan).isDefined,
         s"cast form not rewritten:\n$castedPlan")
       assert(casted.collect().map(_.getLong(0)).toSet === expected)
+      // a Long threshold above Int.MaxValue must NOT be rewritten: the Int
+      // cast would wrap it negative, flipping an always-true predicate
+      val big = Tables.documents(s2, sf)
+        .where(levenshtein(substring(col("text"), 1, 6), lit("common")) <= 3000000000L)
+        .select("doc_id")
+      val bigPlan = big.queryExecution.optimizedPlan.toString
+      assert("levenshtein\\(.*Some\\(".r.findFirstIn(bigPlan).isEmpty,
+        s"oversized threshold was rewritten:\n$bigPlan")
+      assert(big.count() === Tables.documents(s2, sf).count()) // stays always-true
+      // negative thresholds are likewise untouched (always-false predicate)
+      val neg = Tables.documents(s2, sf)
+        .where(levenshtein(substring(col("text"), 1, 6), lit("common")) <= -1)
+      assert("levenshtein\\(.*Some\\(".r
+        .findFirstIn(neg.queryExecution.optimizedPlan.toString).isEmpty)
+      assert(neg.count() === 0L)
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)

@@ -167,6 +167,14 @@ class StreamingSpec extends SparkSpec {
     EventsStreaming.ingestBatch(vt, "main")(batch(4L), 2L)
     assert(vt.head("main").get.version === 2)
     assert(vt.read(spark, "main").count() === 4L)
+    // a manual commit whose message merely STARTS with the ingest prefix
+    // must not wedge the stream (it used to NumberFormatException): it is
+    // skipped and the idempotence walk finds the real ingest commit below it
+    vt.write(batch(5L), "main", message = "stream batch backfill", mode = "append")
+    EventsStreaming.ingestBatch(vt, "main")(batch(2L, 3L), 2L) // re-delivery: still a no-op
+    assert(vt.read(spark, "main").count() === 5L)
+    EventsStreaming.ingestBatch(vt, "main")(batch(6L), 3L) // progress still works
+    assert(vt.read(spark, "main").count() === 6L)
   }
 
   test("batch sessionize splits on gaps > 30min and counts events per session") {

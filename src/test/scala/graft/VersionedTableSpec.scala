@@ -156,6 +156,12 @@ class VersionedTableSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       vt.write(Seq(("no", "b", 1.0)).toDF("x", "s", "d"), "main", "clash",
         mode = "append", mergeSchema = true))
+    // CDC across the schema-evolving interval: the general path must align
+    // the two column sets (null-fill) instead of throwing AnalysisException
+    val cdc = vt.changes(spark, "main", 0, 1)
+      .select("change_type", "x", "s", "d")
+      .as[(String, Int, String, Option[Double])].collect().sortBy(_._2)
+    assert(cdc === Array(("insert", 2, "b", Some(2.5))))
   }
 
   test("upsert updates matched keys, inserts unmatched, preserves old versions") {
