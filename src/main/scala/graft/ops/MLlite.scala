@@ -15,17 +15,30 @@ object MLlite {
 
   /** StringIndexer fit+transform semantics (`jobs/vdt4.py:64-65`):
     * fit = distinct values ordered by frequency desc, value asc; transform =
-    * map value → 0-based double index. Relationally: a groupBy-count, a
-    * bounded global window over the DISTINCT values only (small by
-    * construction — that is what makes the global window scale-safe here),
-    * and a broadcast join back onto the rows.
-    */
+    * map value → 0-based double index.
+    *
+    * Fit is one distributed groupBy-count whose RESULT (the distinct-value
+    * frequency table — bounded by construction for an indexer) is collected
+    * and ordered on the driver, exactly what Spark MLlib's StringIndexer
+    * does (its model holds `labelsArray` driver-side). This keeps the plan
+    * free of any single-partition window: the earlier formulation ranked the
+    * distinct values with an unpartitioned `row_number`, which was safe in
+    * size but still planned an `Exchange SinglePartition`. Transform is a
+    * broadcast join of the tiny mapping back onto the rows.
+    *
+    * Null inputs never match the join (SQL null-equality), so null rows are
+    * dropped from the output — the same outcome the windowed form had. */
   def stringIndex(df: DataFrame, inputCol: String, outputCol: String): DataFrame = {
-    val counts = df.groupBy(inputCol).agg(count(lit(1)).as("__cnt"))
-    val w = Window.orderBy(col("__cnt").desc, col(inputCol).asc)
-    val mapping = counts
-      .withColumn(outputCol, (row_number().over(w) - 1).cast(DoubleType))
-      .drop("__cnt")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val labels = df.groupBy(col(inputCol).cast(StringType).as(inputCol))
+      .agg(count(lit(1)).as("__cnt"))
+      .where(col(inputCol).isNotNull)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (v, c) => (-c, v) }
+    val mapping = labels.zipWithIndex
+      .map { case ((v, _), i) => (v, i.toDouble) }.toSeq
+      .toDF(inputCol, outputCol)
     df.join(broadcast(mapping), Seq(inputCol))
   }
 

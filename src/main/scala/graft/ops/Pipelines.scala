@@ -115,7 +115,7 @@ object Pipelines {
     * vacuum retention) are unit-tested in VersionedTableSpec; here the oracle
     * checks the full relational result of the pipeline.
     */
-  val qVdt4: QueryDef = q("q_vdt4")(
+  private val vdt4OracleSql =
     """WITH base AS (SELECT CAST(l_orderkey AS DOUBLE) AS l_orderkey,
       |                     CAST(l_linenumber AS DOUBLE) AS l_linenumber,
       |                     CAST(l_quantity AS DOUBLE) AS l_quantity,
@@ -143,8 +143,15 @@ object Pipelines {
       |       CASE WHEN r.l_extendedprice <= c.q1 THEN 1 WHEN r.l_extendedprice <= c.q2 THEN 2
       |            WHEN r.l_extendedprice <= c.q3 THEN 3 ELSE 4 END AS fe4
       |FROM r JOIN m ON r.qstr = m.qstr CROSS JOIN cuts c
-      |ORDER BY r.l_orderkey, r.l_linenumber, r.l_quantity, r.l_extendedprice, r.l_discount, r.l_tax""".stripMargin) { (s, d) =>
-    val vt = VersionedTable.create(Tables.scratch("vdt4_vt"))
+      |ORDER BY r.l_orderkey, r.l_linenumber, r.l_quantity, r.l_extendedprice, r.l_discount, r.l_tax""".stripMargin
+
+  /** Shared pipeline body; `scalableRank` selects the global-id strategy:
+    * false = the reference's own single-partition window (parity form),
+    * true = Scale.globalRankScalable's bucketed two-pass rank — identical
+    * output (same oracle), no single-task window at any scale. */
+  private def vdt4(s: SparkSession, d: String, scalableRank: Boolean): DataFrame = {
+    val vt = VersionedTable.create(Tables.scratch(
+      if (scalableRank) "vdt4s_vt" else "vdt4_vt"))
 
     // cast every selected column to double (`jobs/vdt4.py:35-36`)
     val srcCols = Seq("l_orderkey", "l_linenumber", "l_quantity",
@@ -154,10 +161,14 @@ object Pipelines {
     vt.write(base, "main", "v0: raw casts") // Delta v0 (`jobs/vdt4.py:39-40`)
     val df0 = vt.read(s, "main")            // re-read latest (`jobs/vdt4.py:44-45`)
 
-    // global rank id — single-partition hazard, kept for parity (`jobs/vdt4.py:48-49`)
-    val df1 = df0
-      .withColumn("id", rank().over(Window.orderBy(col("l_extendedprice").asc)).cast(LongType))
-      .withColumn("label", when(col("l_quantity") <= 25, 0).otherwise(1))
+    // global rank id — parity form is the reference's single-partition
+    // window (`jobs/vdt4.py:48-49`); the scalable form ranks identically
+    // through bucketed offsets (Scale.globalRankScalable)
+    val ranked =
+      if (scalableRank) Scale.globalRankScalable(df0, "l_extendedprice", desc = false, "id")
+      else df0.withColumn("id",
+        rank().over(Window.orderBy(col("l_extendedprice").asc)).cast(LongType))
+    val df1 = ranked.withColumn("label", when(col("l_quantity") <= 25, 0).otherwise(1))
 
     // dynamic prefix-selected row-wise means (`jobs/vdt4.py:53-60`)
     val feCols1 = df1.columns.filter(c => c.startsWith("l_q") || c.startsWith("l_e")).map(col(_))
@@ -185,5 +196,12 @@ object Pipelines {
       .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
   }
 
-  val defs: Seq[QueryDef] = Seq(qVdt1, qVdt2, qVdt3, qVdt4)
+  val qVdt4: QueryDef = q("q_vdt4")(vdt4OracleSql)((s, d) => vdt4(s, d, scalableRank = false))
+
+  /** Same pipeline, same oracle — global id via the bucketed two-pass rank,
+    * so no operator in the plan is single-partition (ScaleSpec pins it). */
+  val qVdt4Scalable: QueryDef =
+    q("q_vdt4_scalable")(vdt4OracleSql)((s, d) => vdt4(s, d, scalableRank = true))
+
+  val defs: Seq[QueryDef] = Seq(qVdt1, qVdt2, qVdt3, qVdt4, qVdt4Scalable)
 }

@@ -125,6 +125,53 @@ object Scale {
     }.reduce(_ + _)
   }
 
+  // ---- scale-safe global rank --------------------------------------------
+
+  /** Global `rank()` WITHOUT the single-partition window (SURVEY §4's
+    * "single-partition window" hazard; the reference's own
+    * `rank().over(Window.orderBy(...))` — `jobs/vdt4.py:48-49` — moves every
+    * row to ONE task). Three bounded stages instead:
+    *
+    *  1. approxQuantile picks ~`buckets` cut points (one pass, driver gets
+    *     a handful of doubles — any cuts are CORRECT, they only balance);
+    *  2. count rows per value-bucket (one keyed agg, ≤ buckets rows to the
+    *     driver) and prefix-sum them in rank order into per-bucket offsets;
+    *  3. rank within each bucket (window partitioned BY bucket — parallel)
+    *     and add the bucket's offset.
+    *
+    * Correct for ties because the bucket is a function of the VALUE: equal
+    * keys land in the same bucket, so within-bucket `rank()` plus the offset
+    * (= rows in strictly-earlier buckets) is exactly the global rank, gaps
+    * included. Null keys fall in bucket 0 and keep Spark's default placement
+    * (first for asc, last for desc — bucket 0 ranks last in desc order).
+    * At 100 TB: two extra scans buy a window bounded by N/buckets per task. */
+  def globalRankScalable(df: DataFrame, key: String, desc: Boolean,
+                         outCol: String, buckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val cuts = df.stat.approxQuantile(key, probs, 0.001).distinct.sorted
+    val bucket = cuts.map(c => when(col(key) > c, 1).otherwise(0))
+      .reduceOption(_ + _).getOrElse(lit(0))
+    val withB = df.withColumn("__b", bucket)
+    val counts = withB.groupBy("__b").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val order = if (desc) counts.keys.toSeq.sorted.reverse else counts.keys.toSeq.sorted
+    val offsets = order.zip(order.scanLeft(0L)(_ + counts(_)).init).toMap
+    val w = Window.partitionBy("__b").orderBy(if (desc) col(key).desc else col(key).asc)
+    withB.withColumn(outCol,
+        rank().over(w).cast(LongType) + element_at(typedLit(offsets), col("__b")))
+      .drop("__b")
+  }
+
+  /** Same result as q_rank_global (identical oracle SQL) — but the plan has
+    * NO SinglePartition exchange before the window (ScaleSpec pins this). */
+  val qRankScalable: QueryDef = q("q_rank_scalable")(
+    """SELECT o_orderkey, CAST(rank() OVER (ORDER BY o_totalprice DESC) AS BIGINT) AS rnk
+      |FROM orders ORDER BY rnk, o_orderkey""".stripMargin) { (s, d) =>
+    globalRankScalable(Tables.orders(s, d), "o_totalprice", desc = true, "rnk")
+      .select("o_orderkey", "rnk").orderBy("rnk", "o_orderkey")
+  }
+
   // ---- bloom-filter runtime join pruning ---------------------------------
 
   /** Bloom filter parameters: 16384 bits (256 int64 words — a ~2 KB literal
@@ -198,5 +245,5 @@ object Scale {
   }
 
   val defs: Seq[QueryDef] = Seq(qAggSalted, qJoinBucketed, qPartitionedScan,
-    qRepartitionReuse, qJoinBloom)
+    qRepartitionReuse, qJoinBloom, qRankScalable)
 }

@@ -152,4 +152,38 @@ class ScaleSpec extends SparkSpec {
       .orderBy("l_returnflag").collect().toSeq
     assert(viaBloom === plain)
   }
+
+  test("scalable global rank: no SinglePartition window, equal to rank() incl. ties") {
+    import org.apache.spark.sql.expressions.Window
+    // heavy ties: l_quantity takes ~50 distinct values over thousands of rows
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_linenumber", "l_quantity")
+    val fast = Scale.globalRankScalable(li, "l_quantity", desc = false, "rnk", buckets = 8)
+    val plan = executedPlan(fast).toString
+    assert(!plan.contains("SinglePartition"),
+      s"scalable rank must not move all rows to one task:\n$plan")
+    assert(plan.contains("Window"), "the bucketed window should still be a window")
+    // rank is a function of the value alone — compare the (value, rank) graphs
+    val slow = li.withColumn("rnk",
+      rank().over(Window.orderBy(col("l_quantity").asc)).cast("long"))
+    val got = fast.select("l_quantity", "rnk").distinct().collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).sorted
+    val want = slow.select("l_quantity", "rnk").distinct().collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).sorted
+    assert(got === want)
+    // descending direction too (distinct bucket order / offset arithmetic)
+    val fastD = Scale.globalRankScalable(li, "l_quantity", desc = true, "rnk", buckets = 8)
+    val slowD = li.withColumn("rnk",
+      rank().over(Window.orderBy(col("l_quantity").desc)).cast("long"))
+    assert(fastD.select("l_quantity", "rnk").distinct().collect()
+        .map(r => (r.getDouble(0), r.getLong(1))).sorted ===
+      slowD.select("l_quantity", "rnk").distinct().collect()
+        .map(r => (r.getDouble(0), r.getLong(1))).sorted)
+  }
+
+  test("q_vdt4_scalable plan contains no SinglePartition exchange anywhere") {
+    val df = graft.ops.Pipelines.qVdt4Scalable.impl(spark, sf)
+    val plan = executedPlan(df).toString
+    assert(!plan.contains("SinglePartition"),
+      s"the scalable vdt4 pipeline must have no single-task stage:\n$plan")
+  }
 }
