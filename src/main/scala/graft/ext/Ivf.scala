@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.{QueryDef, Tables}
-import graft.QueryDef.rowsOnly
+import graft.QueryDef.{sql => q, rowsOnly}
 
 /** IVF (inverted-file) approximate nearest neighbor: partition the corpus by
   * nearest centroid, search only the `nprobe` closest cells per query — the
@@ -90,5 +90,39 @@ object Ivf {
       .orderBy("qid", "rnk")
   }
 
-  val defs: Seq[QueryDef] = Seq(qAnnIvf)
+  // ---- oracle-checked assignment step -------------------------------------
+
+  /** Fixed literal centroids for the ASSIGNMENT oracle: the Lloyd loop's
+    * centroids are data-dependent (unreplayable in static SQL), but the
+    * assignment operator itself — argmin over squared distances — is the
+    * part that runs at corpus scale, and with pinned centroids it has an
+    * exact DuckDB twin. Values are deterministic decimals in the data's
+    * range; `Double.toString` round-trips, so both engines parse the SAME
+    * doubles and the left-fold distance sums are bit-identical. */
+  private[ext] val assignCentroids: Seq[Array[Double]] =
+    (0 until 4).map(j => Array.tabulate(64)(i => ((j * 31 + i * 7) % 21 - 10) / 50.0))
+
+  private def assignDistSql(c: Array[Double]): String = {
+    val lst = c.map(_.toString).mkString("[", ", ", "]")
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), " +
+      s"i -> (CAST(embedding[i] AS DOUBLE) - ($lst)[i]) * (CAST(embedding[i] AS DOUBLE) - ($lst)[i]))), " +
+      "(acc, x) -> acc + x)"
+  }
+
+  /** IVF cell assignment with literal centroids. Tie-break parity: Spark's
+    * array_min over (dist, idx) structs picks the smallest idx among equal
+    * distances; DuckDB's list_position finds the FIRST index of the min —
+    * the same index, since distances are bit-identical doubles. */
+  val qIvfAssign: QueryDef = q("q_ivf_assign")(
+    s"""WITH d AS (SELECT vec_id,
+       |                  [${assignCentroids.map(assignDistSql).mkString(",\n                   ")}] AS ds
+       |           FROM embeddings)
+       |SELECT vec_id, CAST(list_position(ds, list_min(ds)) - 1 AS INTEGER) AS cell
+       |FROM d ORDER BY vec_id""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), nearestCell(col("embedding"), assignCentroids).as("cell"))
+      .orderBy("vec_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(qAnnIvf, qIvfAssign)
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.{QueryDef, Tables}
-import graft.QueryDef.{sql => q, rowsOnly}
+import graft.QueryDef.{sql => q}
 
 /** Multimodal column plumbing: media as opaque `binary` columns plus typed
   * metadata, with decode/feature-extraction as a per-partition batch stage.
@@ -76,9 +76,27 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  /** Stub-decoded features via the typed mapPartitions path (rows-only: the
-    * checksum has no SQL twin; determinism is asserted in MultimodalSpec). */
-  val qMultimodalDecode: QueryDef = rowsOnly("q_multimodal_decode") { (s, d) =>
+  /** Stub-decoded features via the typed mapPartitions path. Fully
+    * oracle-checked: the 131-rolling checksum over the payload bytes IS
+    * SQL-expressible — DuckDB folds the blob's bytes (hex + nibble lookup →
+    * byte list, `list_reduce` for the rolling product; `% 2^32` twins the
+    * `& 0xffffffff` since the accumulator never goes negative). */
+  val qMultimodalDecode: QueryDef = q("q_multimodal_decode")(
+    """WITH b AS (SELECT doc_id,
+      |                  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |                  hex(encode(text)) AS h,
+      |                  CAST(octet_length(encode(text)) AS BIGINT) AS len
+      |           FROM documents)
+      |SELECT doc_id, kind, len AS byte_len,
+      |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |              list_transform(range(0, len), i ->
+      |                CAST((strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS BIGINT), 1)) - 1) * 16
+      |                   + (strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS BIGINT), 1)) - 1) AS BIGINT))),
+      |            (acc, byt) -> (acc * 131 + byt) % 4294967296) AS BIGINT) AS checksum,
+      |       CAST(len % 640 + 1 AS INTEGER) AS width,
+      |       CAST(len % 480 + 1 AS INTEGER) AS height,
+      |       CAST(len // 100 + 1 AS INTEGER) AS n_frames
+      |FROM b ORDER BY doc_id""".stripMargin) { (s, d) =>
     decodeAll(s, mediaTable(Tables.documents(s, d))).toDF().orderBy("doc_id")
   }
 

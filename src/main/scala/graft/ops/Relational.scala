@@ -504,6 +504,18 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc).limit(100)
   }
 
+  /** Extension — BARE `df.limit(n)` (GlobalLimit/LocalLimit, no sort feeding
+    * it — unlike q_topk's TakeOrderedAndProject). A bare limit over more
+    * rows than it keeps is nondeterministic, so the query limits a table it
+    * cannot truncate (region has 5 rows, n=10): the limit semantics — pass
+    * through at most n — are exercised, the result stays deterministic, and
+    * the trailing sort is presentation-only. */
+  val qLimit: QueryDef = q("q_limit")(
+    """SELECT r_regionkey, r_name FROM (SELECT r_regionkey, r_name FROM region LIMIT 10) t
+      |ORDER BY r_regionkey""".stripMargin) { (s, d) =>
+    Tables.region(s, d).select("r_regionkey", "r_name").limit(10).orderBy("r_regionkey")
+  }
+
   // -------------------------------------------------------------------------
   // §2.7 Set operations (extension surface)
   // -------------------------------------------------------------------------
@@ -587,7 +599,7 @@ object Relational {
     qJoinFull, qJoinCross,
     qAggSum, qAggMulti, qCountOver, qCountDistinct, qRollup,
     qTopkPerGroup, qModePerGroup, qRankGlobal, qLagLead, qDenseNtile,
-    qSortAsc, qSortDesc, qSortMultikey, qTopk,
+    qSortAsc, qSortDesc, qSortMultikey, qTopk, qLimit,
     qUnion, qIntersect, qExcept,
     qStringFuncs, qDateFuncs, qMathFuncs)
 }

@@ -142,4 +142,29 @@ class ExtSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     a.foreach(f => assert(f.byte_len === lens(f.doc_id)))
   }
+
+  test("IVF top-k on planted clusters: trained cells give high recall vs brute force") {
+    // 4 well-separated clusters of 50 points each: center j lights up
+    // dimensions where i % 4 == j; deterministic jitter, no RNG
+    val rows = for (j <- 0 until 4; p <- 0 until 50) yield {
+      val id = (j * 50 + p).toLong
+      val v = Array.tabulate(64) { i =>
+        val center = if (i % 4 == j) 1.0f else 0.0f
+        center + 0.02f * (((id * 13 + i * 7) % 11).toFloat - 5f) / 5f
+      }
+      (id, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val centroids = graft.ext.Ivf.trainCentroids(emb, k = 4, iters = 3)
+    val queries = emb.where(col("vec_id").isin(0L, 60L, 120L, 180L, 25L, 75L, 125L, 175L))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid").as[(Long, Long)].collect().toSet
+    val bf = pairs(Similarity.bruteForceTopK(emb, queries, k = 10))
+    val iv = pairs(graft.ext.Ivf.ivfTopK(emb, queries, k = 10, centroids, nprobe = 2))
+    val recall = (bf intersect iv).size.toDouble / bf.size
+    assert(recall >= 0.9, f"IVF recall $recall%.2f < 0.9 (bf=${bf.size}, ivf=${iv.size})")
+    // and the probed search is actually restricted: each query scores only
+    // its nprobe cells' members, so the candidate set is smaller than N
+    assert(iv.size === bf.size) // same top-k cardinality back
+  }
 }
