@@ -47,7 +47,12 @@ final case class Commit(
       * base of a later merge of the same pair would never advance, and the
       * files the first merge imported would look "changed on both sides" —
       * a spurious conflict on the standard merge-repeatedly workflow. */
-    mergeParent: Option[String] = None) {
+    mergeParent: Option[String] = None,
+    /** Per-file min/max for STRING stats columns (lexicographic order) —
+      * Delta keeps string stats too; a time/tenant-keyed lake skips on them.
+      * Kept apart from the numeric `stats` so the JSON stays back-compatible
+      * (absent = empty, like mergeParent). */
+    strStats: Map[String, Map[String, (String, String)]] = Map.empty) {
   /** All parents, first-parent first — the DAG edge set for ancestry walks. */
   def parents: List[String] = parent.toList ++ mergeParent.toList
 }
@@ -84,6 +89,17 @@ object CommitLog {
       }
       m.put("stats", sm)
     }
+    if (c.strStats.nonEmpty) {
+      val sm = new java.util.LinkedHashMap[String, Object]()
+      c.strStats.toSeq.sortBy(_._1).foreach { case (file, cols) =>
+        val cm = new java.util.LinkedHashMap[String, Object]()
+        cols.toSeq.sortBy(_._1).foreach { case (col, (mn, mx)) =>
+          cm.put(col, java.util.List.of(mn, mx))
+        }
+        sm.put(file, cm)
+      }
+      m.put("strStats", sm)
+    }
     mapper.writeValueAsString(m)
   }
 
@@ -105,7 +121,39 @@ object CommitLog {
               col -> (mm.get(0).doubleValue(), mm.get(1).doubleValue())
             }.toMap
           }.toMap
+      }.getOrElse(Map.empty),
+      strStats = Option(m.get("strStats")).map { raw =>
+        raw.asInstanceOf[java.util.Map[String, java.util.Map[String, java.util.List[String]]]]
+          .asScala.map { case (file, cols) =>
+            file -> cols.asScala.map { case (col, mm) =>
+              col -> (mm.get(0), mm.get(1))
+            }.toMap
+          }.toMap
       }.getOrElse(Map.empty))
+  }
+
+  /** Cross-process optimistic concurrency (Delta's log-store contract on a
+    * POSIX filesystem): atomically claim the (branch, version) slot with a
+    * CREATE-NEW — `Files.createFile` is an atomic exists-check-and-create —
+    * before publishing the commit. Two writers that both based themselves on
+    * the same parent race to claim the same slot; the loser gets a
+    * [[java.util.ConcurrentModificationException]] instead of silently
+    * orphaning the winner's lineage with a last-ref-write-wins. The caller
+    * re-reads the head and retries (its version then differs → a new slot).
+    *
+    * Crash caveat (same shape as Delta on non-CAS object stores): a writer
+    * that dies between claiming and publishing leaves a stale slot that
+    * blocks that one version number; remove the slot file to recover. Slot
+    * files are empty — O(bytes) metadata next to the commit JSONs. */
+  def claimVersionSlot(locksDir: Path, branch: String, version: Long): Unit = {
+    Files.createDirectories(locksDir)
+    try Files.createFile(locksDir.resolve(s"$branch-v$version"))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent write to $branch: version $version was already claimed by " +
+            "another writer — re-read the branch head and retry the write")
+    }
   }
 
   /** Atomic file write: tmp file in the same directory + atomic rename. */

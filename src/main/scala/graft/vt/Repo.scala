@@ -88,6 +88,8 @@ final class Repo private (val root: Path) {
       mapper.writeValueAsString(m)
     }
     val version = parent.map(_.version + 1).getOrElse(0L)
+    // same cross-process CAS as VersionedTable.publish: no silent forks
+    CommitLog.claimVersionSlot(root.resolve("locks"), branch, version)
     val id = s"$branch-v$version-${java.util.UUID.randomUUID.toString.take(8)}"
     val c = Commit(id, parent.map(_.id), version, files.toVector, schemaJson,
       message, System.currentTimeMillis())
@@ -197,6 +199,7 @@ final class Repo private (val root: Path) {
         mapper.writeValueAsString(m)
       }
       val version = dst.version + 1
+      CommitLog.claimVersionSlot(root.resolve("locks"), into, version)
       val id = s"$into-v$version-${java.util.UUID.randomUUID.toString.take(8)}"
       val c = Commit(id, Some(dst.id), version, files.sorted, schemaJson,
         s"merge $from into $into", System.currentTimeMillis(), mergeParent = Some(src.id))
@@ -238,6 +241,7 @@ final class Repo private (val root: Path) {
       throw new IllegalArgumentException(s"no version $toVersion on $branch"))
     val parent = head(branch).get
     val version = parent.version + 1
+    CommitLog.claimVersionSlot(root.resolve("locks"), branch, version)
     val id = s"$branch-v$version-${java.util.UUID.randomUUID.toString.take(8)}"
     val c = Commit(id, Some(parent.id), version, target.files, target.schemaJson,
       if (message.isEmpty) s"revert to v$toVersion" else message, System.currentTimeMillis())

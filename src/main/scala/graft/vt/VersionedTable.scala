@@ -29,9 +29,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * versions are never disturbed; commit/ref publication is atomic-rename.
   *
   * Concurrency: writers within one JVM are serialized per table instance
-  * (`synchronized`); cross-process writers would need an external lock or a
-  * compare-and-swap ref store (as Delta uses its log-store contract) — out of
-  * scope here and called out rather than half-implemented.
+  * (`synchronized`); ACROSS processes every commit first claims its
+  * (branch, version) slot with an atomic create-new
+  * ([[CommitLog.claimVersionSlot]] — Delta's optimistic-concurrency
+  * contract), so two racing writers produce a linear history plus one clean
+  * `ConcurrentModificationException` to retry, never a silent fork.
   */
 final class VersionedTable private (val root: Path) {
 
@@ -136,39 +138,68 @@ final class VersionedTable private (val root: Path) {
       case _ => df.schema
     }
     val newFiles = writeDataFiles(df, branch, parent.map(_.version + 1).getOrElse(0L))
-    val newStats = if (statsCols.isEmpty) Map.empty[String, Map[String, (Double, Double)]]
-                   else collectFileStats(df.sparkSession, newFiles, statsCols)
+    val (newStats, newStrStats) =
+      if (statsCols.isEmpty)
+        (Map.empty[String, Map[String, (Double, Double)]],
+          Map.empty[String, Map[String, (String, String)]])
+      else collectFileStats(df.sparkSession, newFiles, statsCols, df.schema)
     val parentStats = if (mode == "append") parent.map(_.stats).getOrElse(Map.empty)
                       else Map.empty[String, Map[String, (Double, Double)]]
+    val parentStrStats = if (mode == "append") parent.map(_.strStats).getOrElse(Map.empty)
+                         else Map.empty[String, Map[String, (String, String)]]
     publish(branch, parent, message, schema,
       if (mode == "append") parent.map(_.files).getOrElse(Vector.empty) ++ newFiles else newFiles,
-      parentStats ++ newStats)
+      parentStats ++ newStats, strStats = parentStrStats ++ newStrStats)
   }
 
   /** Per-file min/max stats for `cols`, computed in ONE Spark job over the
     * just-written files (grouped by input_file_name) — the commit-log
     * equivalent of Delta's data-skipping stats. At 100 TB you would read
     * parquet footers instead of rescanning; one extra columnar scan of the
-    * fresh files keeps this dependency-free and exact. */
+    * fresh files keeps this dependency-free and exact.
+    *
+    * STRING columns keep their min/max as strings (second map), compared
+    * lexicographically at prune time — Delta records string stats too; a
+    * time/tenant-keyed lake skips on them constantly. (Java String ordering
+    * and Spark's UTF8String binary ordering agree through the BMP; only
+    * supplementary-plane code points order differently — the usual caveat,
+    * and moot for keys like dates/tenants.) Other columns are cast to
+    * double as before. */
   private def collectFileStats(spark: SparkSession, files: Vector[String],
-                               cols: Seq[String]): Map[String, Map[String, (Double, Double)]] = {
+                               cols: Seq[String], schema: StructType)
+      : (Map[String, Map[String, (Double, Double)]],
+         Map[String, Map[String, (String, String)]]) = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val isStr = cols.map(c =>
+      c -> (schema(c).dataType == org.apache.spark.sql.types.StringType)).toMap
     val paths = files.map(f => root.resolve(f).toString)
-    val aggs = cols.flatMap(c => Seq(
-      min(col(c).cast("double")).as(s"__min_$c"), max(col(c).cast("double")).as(s"__max_$c")))
-    spark.read.parquet(paths: _*)
+    val aggs = cols.flatMap(c =>
+      if (isStr(c)) Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"))
+      else Seq(min(col(c).cast("double")).as(s"__min_$c"),
+        max(col(c).cast("double")).as(s"__max_$c")))
+    val rows = spark.read.parquet(paths: _*)
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().map { r =>
         val file = r.getString(0).stripPrefix("file:")
-        val rel = root.relativize(java.nio.file.Paths.get(file)).toString
-        // All-null (or non-castable) stats columns yield null min/max: omit
-        // that column's entry — conservative "no stats, never skip".
-        rel -> cols.zipWithIndex.flatMap { case (c, i) =>
-          if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
-          else Some(c -> (r.getDouble(1 + 2 * i), r.getDouble(2 + 2 * i)))
-        }.toMap
+        root.relativize(java.nio.file.Paths.get(file)).toString -> r
+      }
+    // All-null (or non-castable) stats columns yield null min/max: omit
+    // that column's entry — conservative "no stats, never skip".
+    def defined(r: Row, i: Int) = !r.isNullAt(1 + 2 * i) && !r.isNullAt(2 + 2 * i)
+    val num = rows.map { case (rel, r) =>
+      rel -> cols.zipWithIndex.collect {
+        case (c, i) if !isStr(c) && defined(r, i) =>
+          c -> (r.getDouble(1 + 2 * i), r.getDouble(2 + 2 * i))
       }.toMap
+    }.toMap
+    val str = rows.map { case (rel, r) =>
+      rel -> cols.zipWithIndex.collect {
+        case (c, i) if isStr(c) && defined(r, i) =>
+          c -> (r.getString(1 + 2 * i), r.getString(2 + 2 * i))
+      }.toMap
+    }.toMap
+    (num, str)
   }
 
   /** Delta-style MERGE (upsert): source rows REPLACE current rows sharing
@@ -253,14 +284,22 @@ final class VersionedTable private (val root: Path) {
       .map(p => root.relativize(p).toString).sorted
   }
 
+  private def locksDir: Path = root.resolve("locks")
+
   private def publish(branch: String, parent: Option[Commit], message: String,
                       schema: StructType, files: Vector[String],
                       stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
-                      mergeParent: Option[String] = None): Commit = {
+                      mergeParent: Option[String] = None,
+                      strStats: Map[String, Map[String, (String, String)]] = Map.empty): Commit = {
     val version = parent.map(_.version + 1).getOrElse(0L)
+    // cross-process CAS: two writers based on the same parent both target
+    // this version; exactly one claims the slot, the other gets a clean
+    // ConcurrentModificationException (never a silently forked lineage).
+    // A loser's already-written data files are orphans vacuum reclaims.
+    CommitLog.claimVersionSlot(locksDir, branch, version)
     val id = s"$branch-v$version-${java.util.UUID.randomUUID.toString.take(8)}"
     val c = Commit(id, parent.map(_.id), version, files, schema.json, message,
-      System.currentTimeMillis(), stats, mergeParent)
+      System.currentTimeMillis(), stats, mergeParent, strStats)
     CommitLog.writeAtomic(commitsDir.resolve(id + ".json"), CommitLog.toJson(c))
     CommitLog.writeAtomic(refsDir.resolve(branch), id)
     c
@@ -290,6 +329,25 @@ final class VersionedTable private (val root: Path) {
     }
     readCommit(spark, c.copy(files = keep))
       .where(col(column).cast("double").between(lower, upper))
+  }
+
+  /** String-column data-skipping read: same contract as [[readWhere]], with
+    * the per-file [min,max] compared LEXICOGRAPHICALLY — the skip rule for
+    * date-string / tenant / category keys. Files without string stats for
+    * `column` are conservatively kept; the residual filter stays exact. */
+  def readWhereString(spark: SparkSession, branch: String, column: String,
+                      lower: String, upper: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val c = head(branch).getOrElse(
+      throw new IllegalArgumentException(s"no such branch: $branch"))
+    val keep = c.files.filter { f =>
+      c.strStats.get(f).flatMap(_.get(column)) match {
+        case Some((mn, mx)) => mx >= lower && mn <= upper
+        case None => true
+      }
+    }
+    readCommit(spark, c.copy(files = keep))
+      .where(col(column).between(lower, upper))
   }
 
   /** Delta `versionAsOf` time travel (`jobs/vdt4.py:80-81`, S6/V8). */
@@ -342,6 +400,14 @@ final class VersionedTable private (val root: Path) {
     require(branches.size > 1, s"cannot delete the last branch: $name")
     reset(name) // staged files are uncommitted: safe to reclaim now
     Files.deleteIfExists(refsDir.resolve(name))
+    // release the branch's version slots so a recreated branch with the
+    // same name can commit again (its commits get fresh uuid'd ids, so the
+    // old still-reachable commits are never shadowed)
+    if (Files.exists(locksDir)) {
+      val slotRe = ("^" + java.util.regex.Pattern.quote(name) + """-v\d+$""").r
+      listDir(locksDir).filter(p => slotRe.findFirstIn(p.getFileName.toString).isDefined)
+        .foreach(Files.deleteIfExists)
+    }
   }
 
   /** V4 `diff`: object-level change list between two branch heads, as
@@ -403,7 +469,8 @@ final class VersionedTable private (val root: Path) {
         src.files.filter(srcAdded.contains)).distinct.sorted.toVector
       publish(into, Some(dst), s"merge $from into $into",
         DataType.fromJson(dst.schemaJson).asInstanceOf[StructType], merged,
-        dst.stats ++ src.stats, mergeParent = Some(src.id))
+        dst.stats ++ src.stats, mergeParent = Some(src.id),
+        strStats = dst.strStats ++ src.strStats)
     }
   }
 

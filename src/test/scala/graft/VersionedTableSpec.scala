@@ -408,6 +408,64 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.read(spark, "main").as[Int].collect() === Array(0)) // untouched
   }
 
+  test("string data skipping: lexicographic stats prune files, answers unchanged") {
+    val vt = freshVt("strskip")
+    // three appends with disjoint lexicographic ranges → separate files
+    vt.write(Seq(("apple", 1), ("banana", 2)).toDF("s", "v").coalesce(1),
+      "main", "v0", statsCols = Seq("s", "v"))
+    vt.write(Seq(("melon", 3), ("orange", 4)).toDF("s", "v").coalesce(1),
+      "main", "v1", mode = "append", statsCols = Seq("s", "v"))
+    vt.write(Seq(("watermelon", 5), ("zebra", 6)).toDF("s", "v").coalesce(1),
+      "main", "v2", mode = "append", statsCols = Seq("s", "v"))
+    val pruned = vt.readWhereString(spark, "main", "s", "m", "p")
+    assert(pruned.select("s", "v").as[(String, Int)].collect().sortBy(_._2)
+      === Array(("melon", 3), ("orange", 4)))
+    // the scan lists ONLY the middle commit's file — that is the skip
+    val total = vt.read(spark, "main").inputFiles.length
+    assert(total === 3)
+    assert(pruned.inputFiles.length === 1,
+      s"expected 1 pruned file of $total, got ${pruned.inputFiles.length}")
+    // numeric stats still recorded alongside on the same commit
+    val prunedNum = vt.readWhere(spark, "main", "v", 5.0, 9.0)
+    assert(prunedNum.inputFiles.length === 1)
+    // string stats survive the JSON codec round-trip
+    val head = vt.head("main").get
+    val reloaded = graft.vt.CommitLog.fromJson(graft.vt.CommitLog.toJson(head))
+    assert(reloaded.strStats === head.strStats && head.strStats.nonEmpty)
+  }
+
+  test("optimistic concurrency: racing same-branch writers stay linear or fail cleanly") {
+    val rootDir = Tables.scratch("test_occ")
+    val vt1 = VersionedTable.create(rootDir)
+    vt1.write(df(0), "main", "v0")
+    val vt2 = VersionedTable.open(rootDir) // a second "process": separate monitor
+    // deterministic CAS check: a rival that already claimed the next slot
+    // forces a clean ConcurrentModificationException, not a forked lineage
+    graft.vt.CommitLog.claimVersionSlot(Paths.get(rootDir).resolve("locks"), "main", 1L)
+    assertThrows[java.util.ConcurrentModificationException](
+      vt1.write(df(9), "main", "stale parent", mode = "append"))
+    assert(vt1.head("main").get.version === 0) // nothing published
+    Files.delete(Paths.get(rootDir).resolve("locks").resolve("main-v1"))
+    // two handles race 5 appends each with retry-on-CME: the outcome must be
+    // a LINEAR v0..v10 history containing every writer's commit exactly once
+    val threads = Seq(vt1, vt2).zipWithIndex.map { case (h, ti) =>
+      new Thread(() => {
+        for (i <- 0 until 5) {
+          var done = false
+          while (!done) {
+            try { h.write(df(i), "main", s"w$ti-$i", mode = "append"); done = true }
+            catch { case _: java.util.ConcurrentModificationException => Thread.sleep(2) }
+          }
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val lin = vt1.lineage("main")
+    assert(lin.map(_.version) === (10L to 0L by -1L).toList, "history must be linear, no forks")
+    assert(lin.map(_.message).toSet.size === 11, "every commit published exactly once")
+    assert(vt1.read(spark, "main").count() === 11L) // v0 row + 10 appended rows
+  }
+
   test("append with a divergent schema is rejected, not silently nulled") {
     val vt = freshVt("append_schema")
     vt.write(df(1, 2), "main", "v0")
