@@ -15,6 +15,8 @@ object Registry {
       ops.MLlite.defs ++
       ops.Pipelines.defs ++
       ops.Versioned.defs ++
+      ops.Wide.defs ++
+      ext.Curation.defs ++
       ext.Dedup.defs ++
       ext.DedupCluster.defs ++
       ext.Similarity.defs ++
