@@ -66,6 +66,58 @@ object AsofJoin {
       .orderBy("user_id", "sec", "event_id")
   }
 
+  /** As-of join WITH TOLERANCE (pandas `merge_asof(tolerance=...)`): the
+    * match is dropped when the latest preceding right row is older than
+    * `tol` time units — the guard real feature pipelines need so a years-old
+    * reading can't leak into today's features. Same single-shuffle plan as
+    * [[asofJoin]]; the carried value is a (ts, value) struct so the
+    * staleness check is row-local after the window. */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, key: String, ts: String,
+                        valueCol: String, tol: Long): DataFrame = {
+    val vType = right.schema(valueCol).dataType
+    val rightTagged = right.select(col(key), col(ts), lit(0).as("__tag"),
+      struct(col(ts).as("__rts"), col(valueCol).as("__rv")).as("__r_match"))
+    val leftTagged = left.withColumn("__tag", lit(1))
+      .withColumn("__r_match", lit(null).cast(
+        StructType(Seq(StructField("__rts", left.schema(ts).dataType),
+          StructField("__rv", vType)))))
+    val cols = leftTagged.columns
+    val unioned = rightTagged
+      .select(cols.map(c => if (rightTagged.columns.contains(c)) col(c)
+        else lit(null).cast(leftTagged.schema(c).dataType).as(c)): _*)
+      .unionByName(leftTagged)
+    val w = Window.partitionBy(key).orderBy(col(ts).asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__m", last(col("__r_match"), ignoreNulls = true).over(w))
+      .where(col("__tag") === 1)
+      .withColumn("__asof",
+        when(col("__m").isNotNull && col("__m.__rts") >= col(ts) - tol, col("__m.__rv")))
+      .drop("__tag", "__r_match", "__m")
+  }
+
+  /** Same query as q_join_asof but matches staler than 1 hour are nulled. */
+  val qJoinAsofTol: QueryDef = q("q_join_asof_tol")(
+    """WITH e AS (SELECT user_id, event_id,
+      |                  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+      |                  value, event_type FROM events),
+      |     r AS (SELECT user_id, sec, max(value) AS purchase_value
+      |           FROM e WHERE event_type = 'purchase' GROUP BY user_id, sec)
+      |SELECT l.user_id, l.sec, l.event_id, l.value,
+      |       CASE WHEN l.sec - r.sec <= 3600 THEN r.purchase_value END AS recent_purchase
+      |FROM e l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.sec >= r.sec
+      |ORDER BY l.user_id, l.sec, l.event_id""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).select(col("user_id"), col("event_id"),
+      col("ts").cast(LongType).as("sec"), col("value"), col("event_type"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .groupBy("user_id", "sec").agg(max("value").as("purchase_value"))
+    asofJoinTolerance(e.select("user_id", "event_id", "sec", "value"), purchases,
+      key = "user_id", ts = "sec", valueCol = "purchase_value", tol = 3600L)
+      .select(col("user_id"), col("sec"), col("event_id"), col("value"),
+        col("__asof").as("recent_purchase"))
+      .orderBy("user_id", "sec", "event_id")
+  }
+
   // -------------------------------------------------------------------------
   // Range join — the other interval operator Spark lacks a native strategy
   // for. A direct inequality join plans BroadcastNestedLoopJoin (quadratic);
@@ -107,5 +159,5 @@ object AsofJoin {
       .orderBy("o_orderkey", "band_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(qJoinAsof, qJoinRange)
+  val defs: Seq[QueryDef] = Seq(qJoinAsof, qJoinAsofTol, qJoinRange)
 }

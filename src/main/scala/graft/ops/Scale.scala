@@ -125,6 +125,37 @@ object Scale {
     }.reduce(_ + _)
   }
 
+  /** Skew-safe SALTED JOIN — the companion recipe to [[saltedSum]] for the
+    * case AQE can't fix (e.g. a skewed key that must SMJ against a
+    * non-broadcastable side): the fact side gets a deterministic per-row
+    * salt in [0, k), the dim side is replicated k times (explode of a
+    * k-element sequence — k× a SMALL side, never the fact), and the join key
+    * becomes (key, salt) — a hot key's rows now land on k reducers instead
+    * of one. Output is identical to the plain join, which is what the
+    * oracle pins. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, k: Int): DataFrame = {
+    val salted = fact.withColumn("__salt",
+      pmod(crc32(concat_ws("|", fact.columns.map(col).toIndexedSeq: _*)), lit(k)))
+    val replicated = dim.withColumn("__salt", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("__salt", col("__salt").cast(LongType)) // a generator can't nest in cast
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** lineitem ⋈ orders through the salted path, aggregated per status. */
+  val qJoinSalted: QueryDef = q("q_join_salted")(
+    """SELECT o_orderstatus, count(*) AS cnt,
+      |       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    val fact = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"))
+    val dim = Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    saltedJoin(fact, dim, "l_orderkey", k = 8)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col("l_extendedprice") * 100 + 0.5).cast(LongType)).as("sum_price_c"))
+      .orderBy("o_orderstatus")
+  }
+
   // ---- scale-safe global rank --------------------------------------------
 
   /** Global `rank()` WITHOUT the single-partition window (SURVEY §4's
@@ -245,5 +276,5 @@ object Scale {
   }
 
   val defs: Seq[QueryDef] = Seq(qAggSalted, qJoinBucketed, qPartitionedScan,
-    qRepartitionReuse, qJoinBloom, qRankScalable)
+    qRepartitionReuse, qJoinBloom, qRankScalable, qJoinSalted)
 }

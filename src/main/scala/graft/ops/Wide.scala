@@ -121,5 +121,31 @@ object Wide {
       .orderBy("bar_start")
   }
 
-  val defs: Seq[QueryDef] = Seq(qUnpivot, qMapFuncs, qStructFuncs, qHof, qResample)
+  /** Per-status price stats through the TYPED custom-Aggregator path
+    * ([[graft.functions.GroupStats]]): `groupByKey.agg(aggregator.toColumn)`
+    * — the extension point for aggregation logic the built-ins lack. The
+    * buffer is merge-order-insensitive (integer cents + min/max), so the
+    * result is bit-stable under any partitioning; mean is derived with
+    * integer division, identical in both engines. */
+  val qTypedAgg: QueryDef = q("q_typed_agg")(
+    """SELECT o_orderstatus AS status, count(*) AS cnt,
+      |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+      |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) // count(*) AS BIGINT) AS mean_cents
+      |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.orders(s, d).select(col("o_orderstatus"), col("o_totalprice"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .agg(graft.functions.GroupStats.toColumn)
+      .toDF("status", "stats")
+      .select(col("status"), col("stats.cnt").as("cnt"),
+        col("stats.sumCents").as("sum_cents"),
+        col("stats.mn").as("min_price"), col("stats.mx").as("max_price"),
+        expr("stats.sumCents div stats.cnt").as("mean_cents"))
+      .orderBy("status")
+  }
+
+  val defs: Seq[QueryDef] = Seq(qUnpivot, qMapFuncs, qStructFuncs, qHof, qResample,
+    qTypedAgg)
 }

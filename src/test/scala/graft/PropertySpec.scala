@@ -143,4 +143,24 @@ class PropertySpec extends SparkSpec {
       assert(got === (1 :: devRows ::: mainRows).sorted)
     }
   }
+
+  test("property: bucketed scalable rank equals rank() on random tied data, both directions") {
+    val gen: Gen[List[(Int, Int)]] = Gen.listOfN(60,
+      for { v <- Gen.choose(0, 7); id <- Gen.choose(0, 999) } yield (v, id))
+    samples(gen, 8).foreach { rows =>
+      if (rows.nonEmpty) {
+        val df = rows.toDF("v", "id").withColumn("v", col("v").cast("double"))
+        for (desc <- Seq(false, true)) {
+          val fast = ops.Scale.globalRankScalable(df, "v", desc, "rnk", buckets = 4)
+            .select("v", "rnk").distinct()
+            .as[(Double, Long)].collect().toSet
+          val w = Window.orderBy(if (desc) col("v").desc else col("v").asc)
+          val slow = df.withColumn("rnk", rank().over(w).cast("long"))
+            .select("v", "rnk").distinct()
+            .as[(Double, Long)].collect().toSet
+          assert(fast === slow, s"desc=$desc rows=$rows")
+        }
+      }
+    }
+  }
 }

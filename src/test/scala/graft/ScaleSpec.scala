@@ -180,6 +180,38 @@ class ScaleSpec extends SparkSpec {
         .map(r => (r.getDouble(0), r.getLong(1))).sorted)
   }
 
+  test("AQE skew join splits the hot partition (skew=true in the final plan)") {
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.coalescePartitions.enabled"
+    ).map(k => k -> scala.util.Try(spark.conf.get(k)).toOption).toMap
+    try {
+      // make the skew detector fire on a small fixture: one key holds ~50k
+      // of 60k rows; thresholds shrunk so that partition counts as skewed
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val fact = spark.range(0, 60000).select(
+        when(col("id") < 50000, 1L).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+      val dim = spark.range(0, 200).select(col("id").as("k"), (col("id") * 2).as("dv"))
+      val joined = fact.join(dim, "k")
+      val plan = executedPlan(joined).toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the hot partition as skewed:\n$plan")
+      // correctness unaffected: 50k rows of key 1 match dim key 1, plus
+      // fact keys 50000..59999 match nothing (dim stops at 199)
+      assert(joined.count() === 50000L)
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => spark.conf.set(k, x); case None => spark.conf.unset(k) }
+    }
+  }
+
   test("q_vdt4_scalable plan contains no SinglePartition exchange anywhere") {
     val df = graft.ops.Pipelines.qVdt4Scalable.impl(spark, sf)
     val plan = executedPlan(df).toString

@@ -152,6 +152,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches each micro-batch from the static dim") {
+    // the stream side joins a STATIC DataFrame — Spark re-plans the static
+    // side per micro-batch, no state store involved; equals the batch join
+    val mem = MemoryStream[Ev](spark)
+    val dim = Seq((10L, "gold"), (20L, "silver")).toDF("user_id", "tier")
+    val joined = mem.toDS().toDF().join(dim, Seq("user_id"), "left")
+      .select("user_id", "sec", "tier")
+    val q = joined.writeStream.format("memory").queryName("ss_join_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(10L, 1L), Ev(20L, 2L), Ev(30L, 3L))
+      q.processAllAvailable()
+      val got = spark.table("ss_join_test")
+        .as[(Long, Long, Option[String])].collect().sortBy(_._2)
+      assert(got === Array((10L, 1L, Some("gold")), (20L, 2L, Some("silver")),
+        (30L, 3L, None)))
+    } finally q.stop()
+  }
+
   test("ingestBatch is idempotent: a re-delivered batchId appends nothing") {
     val vt = graft.vt.VersionedTable.create(Tables.scratch("stream_ingest_idem"))
     def batch(ids: Long*) = ids.map(Ev(_, 100L)).toDF()
