@@ -41,5 +41,6 @@ object Registry {
     "q_string_indexer", "q_quantile_bucket",
     "q_dedup_exact", "q_dedup_minhash", "q_topk_cosine", "q_ann_lsh",
     "q_text_stats", "q_token_count", "q_sessionize", "q_window_tumbling",
-    "q_corpus_pipeline")
+    "q_corpus_pipeline",
+    "q_pii_redact", "q_tfidf_terms", "q_pack_sequences")
 }

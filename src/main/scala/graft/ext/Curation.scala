@@ -135,12 +135,12 @@ object Curation {
       |                  CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS n_tokens
       |           FROM documents),
       |     o AS (SELECT doc_id, shard, n_tokens,
-      |                  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-      |                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |                    - n_tokens AS offset_in_shard
+      |                  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |                         - n_tokens AS BIGINT) AS offset_in_shard
       |           FROM t)
       |SELECT doc_id, shard, n_tokens, offset_in_shard,
-      |       shard * 1000000 + offset_in_shard // 2048 AS pack_id
+      |       CAST(shard * 1000000 + offset_in_shard // 2048 AS BIGINT) AS pack_id
       |FROM o ORDER BY doc_id""".stripMargin) { (s, d) =>
     val toks = size(filter(split(lower(col("text")), " "), x => x =!= "")).cast(LongType)
     val w = Window.partitionBy("shard").orderBy("doc_id")

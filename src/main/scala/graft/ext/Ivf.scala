@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.{QueryDef, Tables}
-import graft.QueryDef.{sql => q, rowsOnly}
+import graft.QueryDef.{sql => q}
 
 /** IVF (inverted-file) approximate nearest neighbor: partition the corpus by
   * nearest centroid, search only the `nprobe` closest cells per query — the
@@ -83,10 +83,40 @@ object Ivf {
       .select("qid", "cid", "rnk", "score")
   }
 
-  val qAnnIvf: QueryDef = rowsOnly("q_ann_ivf") { (s, d) =>
+  /** Pinned centroids for the end-to-end SEARCH oracle (8 cells, nprobe=2 →
+    * a quarter of the corpus probed per query). The Lloyd loop's centroids
+    * are data-dependent and use order-sensitive float means, so they cannot
+    * be replayed bit-identically in static SQL; the search pipeline —
+    * assignment, probe ranking, in-cell cosine top-k — is the part that runs
+    * at corpus scale, and with literal centroids every stage of it has an
+    * exact DuckDB twin. Training itself is asserted by the planted-cluster
+    * recall spec (ExtSpec). */
+  private[ext] val searchCentroids: Seq[Array[Double]] =
+    (0 until 8).map(j => Array.tabulate(64)(i => ((j * 37 + i * 11) % 19 - 9) / 40.0))
+
+  /** End-to-end IVF search, oracle-checked: corpus assigned to its nearest
+    * pinned cell, each query probes its 2 nearest cells, exact cosine top-10
+    * inside the probed cells. Distance folds and probe tie-breaks (sort by
+    * (d, i)) are bit-identical across engines. */
+  val qAnnIvf: QueryDef = q("q_ann_ivf")(
+    s"""WITH d AS (SELECT vec_id, embedding,
+       |                  [${searchCentroids.map(assignDistSql).mkString(",\n                   ")}] AS ds
+       |           FROM embeddings),
+       |     corpus AS (SELECT vec_id AS cid, embedding AS ce,
+       |                       CAST(list_position(ds, list_min(ds)) - 1 AS INTEGER) AS cell
+       |                FROM d),
+       |     probes AS (SELECT vec_id AS qid, embedding AS qe,
+       |                       unnest(list_transform(list_slice(list_sort(
+       |                         list_transform(range(1, 9), i -> {'d': ds[i], 'i': CAST(i - 1 AS INTEGER)})),
+       |                         1, 2), s -> s.i)) AS cell
+       |                FROM d WHERE vec_id < 8),
+       |     scored AS (SELECT qid, cid, ${Similarity.duckCosine("qe", "ce")} AS score
+       |                FROM probes JOIN corpus ON probes.cell = corpus.cell AND cid <> qid),
+       |     ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+       |                                ORDER BY score DESC, cid) AS INTEGER) AS rnk FROM scored)
+       |SELECT qid, cid, rnk, score FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
-    val centroids = trainCentroids(emb)
-    ivfTopK(emb, emb.where(col("vec_id") < 8), k = 10, centroids)
+    ivfTopK(emb, emb.where(col("vec_id") < 8), k = 10, searchCentroids, nprobe = 2)
       .orderBy("qid", "rnk")
   }
 

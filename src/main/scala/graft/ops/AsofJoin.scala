@@ -24,8 +24,10 @@ object AsofJoin {
 
   /** For every `left` row, attach `valueCol` from the latest `right` row of
     * the same `key` with `rightTs <= leftTs` (null when none precedes).
-    * `right` must be unique per (key, ts) — dedupe upstream (deterministically)
-    * or ties resolve to the row that sorts last. */
+    * When `right` has several rows at one (key, ts), the LARGEST value wins —
+    * the window orders right peers by value, so the pick is deterministic
+    * (max_by semantics) rather than partition-order-dependent; pre-aggregate
+    * upstream if a different tie rule is wanted. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                valueCol: String): DataFrame = {
     val rightTagged = right.select(col(key), col(ts),
@@ -37,7 +39,11 @@ object AsofJoin {
       .select(cols.map(c => if (rightTagged.columns.contains(c)) col(c)
         else lit(null).cast(leftTagged.schema(c).dataType).as(c)): _*)
       .unionByName(leftTagged)
-    val w = Window.partitionBy(key).orderBy(col(ts).asc, col("__tag").asc)
+    // nulls_first so `last(ignoreNulls)` lands on the largest NON-null value
+    // among right peers sharing a timestamp; left rows carry null __r_value,
+    // so their relative order never affects the carried value
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts).asc, col("__tag").asc, col("__r_value").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("__asof", last(col("__r_value"), ignoreNulls = true).over(w))
@@ -71,7 +77,9 @@ object AsofJoin {
     * `tol` time units — the guard real feature pipelines need so a years-old
     * reading can't leak into today's features. Same single-shuffle plan as
     * [[asofJoin]]; the carried value is a (ts, value) struct so the
-    * staleness check is row-local after the window. */
+    * staleness check is row-local after the window. Duplicate right rows at
+    * one (key, ts) resolve deterministically to the largest value — the
+    * window orders the carried (ts, value) struct, same rule as [[asofJoin]]. */
   def asofJoinTolerance(left: DataFrame, right: DataFrame, key: String, ts: String,
                         valueCol: String, tol: Long): DataFrame = {
     val vType = right.schema(valueCol).dataType
@@ -86,7 +94,8 @@ object AsofJoin {
       .select(cols.map(c => if (rightTagged.columns.contains(c)) col(c)
         else lit(null).cast(leftTagged.schema(c).dataType).as(c)): _*)
       .unionByName(leftTagged)
-    val w = Window.partitionBy(key).orderBy(col(ts).asc, col("__tag").asc)
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts).asc, col("__tag").asc, col("__r_match").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("__m", last(col("__r_match"), ignoreNulls = true).over(w))

@@ -27,18 +27,31 @@ object MLlite {
     * broadcast join of the tiny mapping back onto the rows.
     *
     * Null inputs never match the join (SQL null-equality), so null rows are
-    * dropped from the output — the same outcome the windowed form had. */
+    * dropped from the output — the same outcome the windowed form had.
+    *
+    * The input column keeps its NATIVE type end-to-end: the fit groups on the
+    * column as-is and breaks frequency ties with the value's own ordering
+    * (numeric 9 < 10, not lexicographic "10" < "9"), and the transform joins
+    * on the original type — no implicit string↔numeric coercion. Matches
+    * MLlib StringIndexer on strings and extends coherently to non-strings. */
   def stringIndex(df: DataFrame, inputCol: String, outputCol: String): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
-    val labels = df.groupBy(col(inputCol).cast(StringType).as(inputCol))
+    val inField = df.schema(inputCol)
+    val labels = df.groupBy(col(inputCol))
       .agg(count(lit(1)).as("__cnt"))
       .where(col(inputCol).isNotNull)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-      .sortBy { case (v, c) => (-c, v) }
-    val mapping = labels.zipWithIndex
-      .map { case ((v, _), i) => (v, i.toDouble) }.toSeq
-      .toDF(inputCol, outputCol)
+      .collect().map(r => (r.get(0), r.getLong(1)))
+      // collect() returns external JVM types (String, java.lang numerics,
+      // BigDecimal, Date, …), all Comparable within one column's class
+      .sortWith { case ((v1, c1), (v2, c2)) =>
+        if (c1 != c2) c1 > c2
+        else v1.asInstanceOf[Comparable[Any]].compareTo(v2) < 0
+      }
+    val rows = labels.zipWithIndex
+      .map { case ((v, _), i) => org.apache.spark.sql.Row(v, i.toDouble) }
+    val mapping = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField(inputCol, inField.dataType), StructField(outputCol, DoubleType))))
     df.join(broadcast(mapping), Seq(inputCol))
   }
 

@@ -184,7 +184,9 @@ object Pipelines {
     val cuts = MLlite.exactQuantiles(base, "l_extendedprice", Seq(0.25, 0.5, 0.75))
     val df4 = MLlite.quantileBucket(df3, "l_extendedprice", "fe4", cuts).drop("qstr")
 
-    vt.write(df4, "main", "v1: features")        // Delta v1 (`jobs/vdt4.py:76-77`)
+    // Delta v1 (`jobs/vdt4.py:76-77`): the feature columns change the schema,
+    // so the overwrite must opt in — Delta's overwriteSchema=true, same here
+    vt.write(df4, "main", "v1: features", overwriteSchema = true)
     // time travel v0 (`jobs/vdt4.py:80-81`) — the reference runs no action on
     // df_v0; one row proves the snapshot resolves without a full rescan
     vt.readVersion(s, "main", 0).limit(1).count()

@@ -103,6 +103,14 @@ final class VersionedTable private (val root: Path) {
     * file's missing columns on read, exactly Delta's mergeSchema contract.
     * A same-name/different-type collision is always an error.
     *
+    * Overwrite schema handling also mirrors Delta: replacing the snapshot
+    * with a DIFFERENT schema (names+types; nullability-insensitive) is
+    * rejected unless `overwriteSchema=true` — the guard that turns an
+    * accidental schema clobber into a loud error (Delta's
+    * `overwriteSchema` option, which the reference's vdt4 overwrite relies
+    * on). Old versions keep their own pinned schema either way, so time
+    * travel across an intentional schema change still replays exactly.
+    *
     * `check` is an optional Delta-style CHECK constraint (a boolean SQL
     * expression): the write REJECTS the whole batch if any row evaluates it
     * to false (NULL passes, per the SQL standard). The validation is one
@@ -111,7 +119,8 @@ final class VersionedTable private (val root: Path) {
     * row's position, not the batch size. */
   def write(df: DataFrame, branch: String = "main", message: String = "",
             mode: String = "overwrite", statsCols: Seq[String] = Nil,
-            mergeSchema: Boolean = false, check: Option[String] = None): Commit = synchronized {
+            mergeSchema: Boolean = false, check: Option[String] = None,
+            overwriteSchema: Boolean = false): Commit = synchronized {
     check.foreach { c =>
       val bad = df.where(org.apache.spark.sql.functions.expr(s"NOT ($c)")).limit(1).collect()
       if (bad.nonEmpty) throw new IllegalArgumentException(
@@ -135,6 +144,15 @@ final class VersionedTable private (val root: Path) {
               "for additive evolution or use mode=overwrite")
         StructType(parentSchema.fields ++
           df.schema.fields.filterNot(f => byName.contains(f.name)))
+      case Some(p) if mode == "overwrite" && !overwriteSchema =>
+        val parentSchema = DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
+        if (df.schema.fields.map(f => (f.name, f.dataType)).toSeq !=
+            parentSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+          throw new IllegalArgumentException(
+            s"overwrite schema mismatch on $branch: table has ${parentSchema.simpleString} " +
+              s"but the new snapshot has ${df.schema.simpleString}; pass overwriteSchema=true " +
+              "to replace the schema intentionally (Delta overwriteSchema semantics)")
+        df.schema
       case _ => df.schema
     }
     val newFiles = writeDataFiles(df, branch, parent.map(_.version + 1).getOrElse(0L))
@@ -158,13 +176,11 @@ final class VersionedTable private (val root: Path) {
     * parquet footers instead of rescanning; one extra columnar scan of the
     * fresh files keeps this dependency-free and exact.
     *
-    * STRING columns keep their min/max as strings (second map), compared
-    * lexicographically at prune time — Delta records string stats too; a
-    * time/tenant-keyed lake skips on them constantly. (Java String ordering
-    * and Spark's UTF8String binary ordering agree through the BMP; only
-    * supplementary-plane code points order differently — the usual caveat,
-    * and moot for keys like dates/tenants.) Other columns are cast to
-    * double as before. */
+    * STRING columns keep their min/max as strings (second map), compared at
+    * prune time as unsigned UTF-8 bytes — the SAME ordering Spark's min/max
+    * computed them under (see [[readWhereString]]) — Delta records string
+    * stats too; a time/tenant-keyed lake skips on them constantly. Other
+    * columns are cast to double as before. */
   private def collectFileStats(spark: SparkSession, files: Vector[String],
                                cols: Seq[String], schema: StructType)
       : (Map[String, Map[String, (Double, Double)]],
@@ -332,17 +348,25 @@ final class VersionedTable private (val root: Path) {
   }
 
   /** String-column data-skipping read: same contract as [[readWhere]], with
-    * the per-file [min,max] compared LEXICOGRAPHICALLY — the skip rule for
-    * date-string / tenant / category keys. Files without string stats for
-    * `column` are conservatively kept; the residual filter stays exact. */
+    * the per-file [min,max] compared as UNSIGNED UTF-8 BYTES — the exact
+    * ordering Spark's min/max produced the stats under (UTF8String binary
+    * comparison). Java String `<`/`>` (UTF-16 code units) disagrees with it
+    * for supplementary-plane code points mixed with U+E000–U+FFFF, and a
+    * prune under the wrong order silently drops matching rows, so the
+    * byte-wise compare is load-bearing, not cosmetic. Files without string
+    * stats for `column` are conservatively kept; the residual filter stays
+    * exact (and is evaluated by Spark under the same binary ordering). */
   def readWhereString(spark: SparkSession, branch: String, column: String,
                       lower: String, upper: String): DataFrame = {
     import org.apache.spark.sql.functions.col
+    def utf8Cmp(a: String, b: String): Int = java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val c = head(branch).getOrElse(
       throw new IllegalArgumentException(s"no such branch: $branch"))
     val keep = c.files.filter { f =>
       c.strStats.get(f).flatMap(_.get(column)) match {
-        case Some((mn, mx)) => mx >= lower && mn <= upper
+        case Some((mn, mx)) => utf8Cmp(mx, lower) >= 0 && utf8Cmp(mn, upper) <= 0
         case None => true
       }
     }
@@ -493,8 +517,9 @@ final class VersionedTable private (val root: Path) {
     * version is never deleted — vacuum can only break time travel to versions
     * older than the retention horizon, exactly like Delta's `vacuum()`.
     */
-  def vacuum(retainLast: Int = 1): Int = synchronized {
+  def vacuum(retainLast: Int = 1, staleSlotMs: Long = VersionedTable.DefaultStaleSlotMs): Int = synchronized {
     require(retainLast >= 1, "retainLast must be >= 1")
+    sweepStaleSlots(System.currentTimeMillis(), staleSlotMs)
     sweep((branches.flatMap(b => lineage(b).take(retainLast).flatMap(_.files)) ++ // lineage is head-first
       stagedFiles).toSet)
   }
@@ -504,12 +529,37 @@ final class VersionedTable private (val root: Path) {
     * `retainHours` — or is a branch head, which is always kept so the table
     * stays readable. `nowMs` is injectable for deterministic tests. */
   def vacuumRetainHours(retainHours: Double,
-                        nowMs: Long = System.currentTimeMillis()): Int = synchronized {
+                        nowMs: Long = System.currentTimeMillis(),
+                        staleSlotMs: Long = VersionedTable.DefaultStaleSlotMs): Int = synchronized {
     require(retainHours >= 0, "retainHours must be >= 0")
     val cutoff = nowMs - (retainHours * 3600 * 1000).toLong
+    sweepStaleSlots(nowMs, staleSlotMs)
     sweep((branches.flatMap(b => lineage(b).zipWithIndex.collect {
       case (c, i) if i == 0 || c.ts >= cutoff => c.files // i==0 = the head
     }.flatten) ++ stagedFiles).toSet)
+  }
+
+  /** Reclaim version-slot locks whose commit was never published — a writer
+    * that crashed between [[CommitLog.claimVersionSlot]] and publish leaves
+    * the (branch, version) slot claimed forever, and every retry recomputes
+    * the same head-derived version, so the branch is wedged until the slot
+    * is removed. Vacuum sweeps such slots once they are older than
+    * `staleSlotMs` (age-gated so an IN-FLIGHT writer's freshly claimed slot
+    * is never stolen). A slot whose commit WAS published is the CAS record
+    * for that version and is kept forever. Returns #slots reclaimed. */
+  private def sweepStaleSlots(nowMs: Long, staleSlotMs: Long): Int = {
+    if (!Files.exists(locksDir)) return 0
+    val published =
+      if (Files.exists(commitsDir))
+        listDir(commitsDir).map(_.getFileName.toString.stripSuffix(".json"))
+      else Vector.empty
+    val stale = listDir(locksDir).filter { p =>
+      val slot = p.getFileName.toString // "<branch>-v<version>"
+      !published.exists(_.startsWith(slot + "-")) &&
+        Files.getLastModifiedTime(p).toMillis < nowMs - staleSlotMs
+    }
+    stale.foreach(Files.deleteIfExists)
+    stale.size
   }
 
   private def stagedFiles: Seq[String] =
@@ -610,6 +660,11 @@ final class VersionedTable private (val root: Path) {
 }
 
 object VersionedTable {
+  /** Age before an unpublished version slot counts as a crashed writer's
+    * leftover and becomes vacuum-reclaimable (1 h — far beyond any single
+    * commit's claim→publish window, which is one parquet write). */
+  val DefaultStaleSlotMs: Long = 3600L * 1000
+
   /** V1 `repo create`: initialize an empty table root. */
   def create(root: String): VersionedTable = {
     val p = Paths.get(root)

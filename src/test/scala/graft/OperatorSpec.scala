@@ -27,6 +27,17 @@ class OperatorSpec extends SparkSpec {
     assert(idx === Map("a" -> 0.0, "b" -> 1.0, "c" -> 2.0))
   }
 
+  test("stringIndex on a numeric column breaks ties numerically, joins on the native type") {
+    // lexicographic would order "10" < "9"; the native-type fit must not
+    val df = Seq(9, 9, 10, 10, 2).toDF("v")
+    val idx = MLlite.stringIndex(df, "v", "idx")
+      .select("v", "idx").distinct().as[(Int, Double)].collect().toMap
+    assert(idx === Map(9 -> 0.0, 10 -> 1.0, 2 -> 2.0))
+    // and the mapping column keeps the input's type (no string coercion)
+    assert(MLlite.stringIndex(df, "v", "idx").schema("v").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+  }
+
   test("GK sketch at relativeError=0 equals the nearest-rank rule (the oracle's rule)") {
     val li = Tables.lineitem(spark, sf)
     val gk = MLlite.exactQuantiles(li, "l_extendedprice", Seq(0.25, 0.5, 0.75))
@@ -67,6 +78,22 @@ class OperatorSpec extends SparkSpec {
     val out = AsofJoin.asofJoin(left, right, "k", "t", "v")
       .select("lid", "__asof").as[(Long, Option[Double])].collect().toMap
     assert(out === Map(100L -> Some(1.5), 101L -> Some(2.5), 102L -> None))
+  }
+
+  test("asof join resolves duplicate right (key, ts) rows to the largest value, repeatably") {
+    import graft.ops.AsofJoin
+    val left = Seq((1L, 10L, 100L)).toDF("k", "t", "lid")
+    // three right rows at the same instant, shuffled across partitions
+    val right = Seq((1L, 10L, 2.5), (1L, 10L, 7.5), (1L, 10L, 5.0))
+      .toDF("k", "t", "v").repartition(3)
+    (1 to 3).foreach { _ =>
+      val out = AsofJoin.asofJoin(left, right, "k", "t", "v")
+        .select("__asof").as[Option[Double]].head()
+      assert(out === Some(7.5), "tie must deterministically pick the max value")
+      val tol = AsofJoin.asofJoinTolerance(left, right, "k", "t", "v", tol = 100L)
+        .select("__asof").as[Option[Double]].head()
+      assert(tol === Some(7.5))
+    }
   }
 
   test("first/last_value use the full-partition frame, not the default running frame") {

@@ -474,10 +474,61 @@ class VersionedTableSpec extends SparkSpec {
       vt.write(widened, "main", "bad append", mode = "append")
     }
     assert(e.getMessage.contains("append schema mismatch"))
-    // overwrite still evolves the schema, and v0 replays with its own
-    vt.write(widened, "main", "evolve via overwrite")
+    // overwrite with a changed schema is guarded too (Delta overwriteSchema):
+    // rejected by default, accepted with the explicit opt-in
+    val e2 = intercept[IllegalArgumentException] {
+      vt.write(widened, "main", "accidental clobber")
+    }
+    assert(e2.getMessage.contains("overwrite schema mismatch"))
+    assert(vt.head("main").get.version === 0, "failed overwrite must not publish")
+    vt.write(widened, "main", "evolve via overwrite", overwriteSchema = true)
     assert(vt.read(spark, "main").columns.toSeq === Seq("x", "note"))
     assert(vt.readVersion(spark, "main", 0).columns.toSeq === Seq("x"))
+    // same-schema overwrite still needs no flag
+    vt.write(Seq((4, "more")).toDF("x", "note"), "main", "same schema")
+    assert(vt.head("main").get.version === 2)
+  }
+
+  test("vacuum reclaims a crashed writer's stale version slot, never a fresh or published one") {
+    val vt = freshVt("stale_slot")
+    vt.write(df(1), "main", "v0")
+    // simulate a writer that claimed v1 and died before publishing
+    val locks = vt.root.resolve("locks")
+    graft.vt.CommitLog.claimVersionSlot(locks, "main", 1L)
+    val stale = locks.resolve("main-v1")
+    // a FRESH unpublished slot is not stolen (in-flight writer)
+    vt.vacuum(retainLast = 10)
+    assert(Files.exists(stale), "fresh slot must survive vacuum")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      vt.write(df(2), "main", "blocked")
+    }
+    assert(e.getMessage.contains("already claimed"))
+    // age the slot past the staleness horizon → vacuum reclaims it
+    Files.setLastModifiedTime(stale, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * VersionedTable.DefaultStaleSlotMs))
+    vt.vacuum(retainLast = 10)
+    assert(!Files.exists(stale), "stale unpublished slot must be reclaimed")
+    val c1 = vt.write(df(2), "main", "v1 after recovery")
+    assert(c1.version === 1)
+    // the PUBLISHED slot is the CAS record: vacuum keeps it however old
+    val publishedSlot = locks.resolve("main-v1")
+    Files.setLastModifiedTime(publishedSlot, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * VersionedTable.DefaultStaleSlotMs))
+    vt.vacuum(retainLast = 10)
+    assert(Files.exists(publishedSlot), "published slot must never be swept")
+  }
+
+  test("string skip-read prunes under UTF-8 byte order, not UTF-16 code units") {
+    val vt = freshVt("utf8_skip")
+    // one file whose max is a supplementary-plane char: in UTF-8 bytes
+    // U+1F600 (F0 9F 98 80) sorts ABOVE U+FFFD (EF BF BD), but its UTF-16
+    // surrogates (D83D DE00) sort BELOW — a Java-String prune would skip
+    // the file and silently lose the matching U+FFFD row
+    val data = Seq("a", "�", "😀").toDF("s").coalesce(1)
+    vt.write(data, "main", "v0", statsCols = Seq("s"))
+    val rows = vt.readWhereString(spark, "main", "s", "�", "�")
+      .as[String].collect()
+    assert(rows === Array("�"))
   }
 
   test("all-null stats column yields no stats (kept conservatively), commit succeeds") {

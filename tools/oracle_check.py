@@ -59,8 +59,17 @@ def main():
             n_bad += 1
             continue
         bad_cols = []
+        bad_types = []
         for c in s.columns:
             a, b = s[c], o[c]
+            # Type-strict on numeric/bool kinds, matching the driver's hash:
+            # an int64 Spark column vs a HUGEINT/float oracle column is a
+            # mismatch even when every value compares equal.
+            strict = "iufb"
+            if (a.dtype.kind in strict or b.dtype.kind in strict) \
+                    and a.dtype != b.dtype:
+                bad_types.append(f"{c}({a.dtype}!={b.dtype})")
+                continue
             try:
                 if a.dtype.kind == "f" or b.dtype.kind == "f":
                     eq = ((a.isna() & b.isna()) | (a == b)).all()
@@ -70,6 +79,10 @@ def main():
                 eq = False
             if not eq:
                 bad_cols.append(c)
+        if bad_types:
+            print(f"{name}: MISMATCH dtypes {bad_types}")
+            n_bad += 1
+            continue
         if bad_cols:
             print(f"{name}: MISMATCH values cols={bad_cols}")
             for c in bad_cols[:2]:
