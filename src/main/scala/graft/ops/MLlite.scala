@@ -41,11 +41,17 @@ object MLlite {
       .agg(count(lit(1)).as("__cnt"))
       .where(col(inputCol).isNotNull)
       .collect().map(r => (r.get(0), r.getLong(1)))
-      // collect() returns external JVM types (String, java.lang numerics,
-      // BigDecimal, Date, …), all Comparable within one column's class
+      // collect() returns external JVM types — atomic ones (String, java.lang
+      // numerics, BigDecimal, Date, …) are Comparable within one column's
+      // class; non-Comparable externals (array → WrappedArray, struct → Row,
+      // map) tie-break on their string form instead of throwing
       .sortWith { case ((v1, c1), (v2, c2)) =>
         if (c1 != c2) c1 > c2
-        else v1.asInstanceOf[Comparable[Any]].compareTo(v2) < 0
+        else (v1, v2) match {
+          case (a: Comparable[_], b) if b.getClass == a.getClass =>
+            a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+          case (a, b) => String.valueOf(a) < String.valueOf(b)
+        }
       }
     val rows = labels.zipWithIndex
       .map { case ((v, _), i) => org.apache.spark.sql.Row(v, i.toDouble) }

@@ -146,8 +146,11 @@ final class VersionedTable private (val root: Path) {
           df.schema.fields.filterNot(f => byName.contains(f.name)))
       case Some(p) if mode == "overwrite" && !overwriteSchema =>
         val parentSchema = DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
-        if (df.schema.fields.map(f => (f.name, f.dataType)).toSeq !=
-            parentSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+        // asNullable also normalizes NESTED nullability (ArrayType.containsNull,
+        // inner StructField.nullable, MapType.valueContainsNull) that a parquet
+        // round-trip may relax — only name+logical-type changes should trip this
+        if (df.schema.fields.map(f => (f.name, f.dataType.asNullable)).toSeq !=
+            parentSchema.fields.map(f => (f.name, f.dataType.asNullable)).toSeq)
           throw new IllegalArgumentException(
             s"overwrite schema mismatch on $branch: table has ${parentSchema.simpleString} " +
               s"but the new snapshot has ${df.schema.simpleString}; pass overwriteSchema=true " +
@@ -245,10 +248,10 @@ final class VersionedTable private (val root: Path) {
         "times — source rows REPLACE rows sharing their key, so duplicates are ambiguous " +
         "(Delta MERGE raises the same error); de-duplicate the source first")
     val current = read(spark, branch)
-    // name+type equality (nullability-insensitive: reading parquet back
-    // relaxes nullable flags, which must not block a legitimate upsert)
-    require(current.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
-        source.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+    // name+type equality (nullability-insensitive, including NESTED nullability:
+    // reading parquet back relaxes nullable flags, which must not block an upsert)
+    require(current.schema.fields.map(f => (f.name, f.dataType.asNullable)).toSeq ==
+        source.schema.fields.map(f => (f.name, f.dataType.asNullable)).toSeq,
       s"upsert schema mismatch on $branch: table has ${current.schema.simpleString} " +
         s"but the source has ${source.schema.simpleString}")
     import org.apache.spark.sql.functions.col
@@ -545,21 +548,54 @@ final class VersionedTable private (val root: Path) {
     * the same head-derived version, so the branch is wedged until the slot
     * is removed. Vacuum sweeps such slots once they are older than
     * `staleSlotMs` (age-gated so an IN-FLIGHT writer's freshly claimed slot
-    * is never stolen). A slot whose commit WAS published is the CAS record
-    * for that version and is kept forever. Returns #slots reclaimed. */
+    * is never stolen). A slot whose commit WAS published AND is reachable
+    * from the branch ref is the CAS record for that version and is kept
+    * forever; a published-but-unreachable commit (crash between the commit
+    * write and the ref advance) gets its ref advance replayed instead, which
+    * un-wedges the branch without ever forking history. Returns #slots
+    * reclaimed/repaired. */
   private def sweepStaleSlots(nowMs: Long, staleSlotMs: Long): Int = {
     if (!Files.exists(locksDir)) return 0
-    val published =
+    val publishedIds =
       if (Files.exists(commitsDir))
-        listDir(commitsDir).map(_.getFileName.toString.stripSuffix(".json"))
+        listDir(commitsDir).map(_.getFileName.toString.stripSuffix(".json")).sorted
       else Vector.empty
-    val stale = listDir(locksDir).filter { p =>
-      val slot = p.getFileName.toString // "<branch>-v<version>"
-      !published.exists(_.startsWith(slot + "-")) &&
-        Files.getLastModifiedTime(p).toMillis < nowMs - staleSlotMs
-    }
-    stale.foreach(Files.deleteIfExists)
-    stale.size
+    // commits actually reachable from some branch ref — a commit file alone
+    // does not prove the publish finished (the ref advance may have been lost)
+    val reachable: Set[String] = branches.flatMap(b => lineage(b).map(_.id)).toSet
+    var reclaimed = 0
+    listDir(locksDir)
+      .filter(p => Files.getLastModifiedTime(p).toMillis < nowMs - staleSlotMs)
+      .foreach { p =>
+        val slot = p.getFileName.toString // "<branch>-v<version>"
+        // EXACT id match (commit ids are "<slot>-<8 hex uuid chars>"): a prefix
+        // test would let a branch literally named "<branch>-v<N>" shadow another
+        // branch's stale slot and leave that branch wedged forever
+        val idRe = (java.util.regex.Pattern.quote(slot) + "-[0-9a-f]{8}").r
+        val owned = publishedIds.filter(id => idRe.pattern.matcher(id).matches())
+        if (owned.isEmpty) {
+          // crash between claimVersionSlot and the commit-json write:
+          // nothing was published — reclaim the slot so retries can land
+          Files.deleteIfExists(p); reclaimed += 1
+        } else if (!owned.exists(reachable.contains)) {
+          // crash between the commit-json write and the ref advance: the
+          // commit exists but no ref reaches it, so every retry targets the
+          // same version and hits the claimed slot. Finish the interrupted
+          // publish: advance the branch ref to the orphan — but only when the
+          // orphan's parent IS the branch's current head (anything else means
+          // the lineage moved some other way; fail safe and leave it alone).
+          slot match {
+            case VersionedTable.SlotRe(branch, _) =>
+              val orphan = loadCommit(owned.head)
+              if (head(branch).map(_.id) == orphan.parent) {
+                CommitLog.writeAtomic(refsDir.resolve(branch), orphan.id)
+                reclaimed += 1
+              }
+            case _ => ()
+          }
+        }
+      }
+    reclaimed
   }
 
   private def stagedFiles: Seq[String] =
@@ -664,6 +700,11 @@ object VersionedTable {
     * leftover and becomes vacuum-reclaimable (1 h — far beyond any single
     * commit's claim→publish window, which is one parquet write). */
   val DefaultStaleSlotMs: Long = 3600L * 1000
+
+  /** Slot filename "<branch>-v<version>"; greedy branch group so hyphenated
+    * branch names (even ones ending in "-vN") parse to the right (branch,
+    * version) split — the version is always the TRAILING digits. */
+  private[vt] val SlotRe = "(.+)-v(\\d+)".r
 
   /** V1 `repo create`: initialize an empty table root. */
   def create(root: String): VersionedTable = {

@@ -318,7 +318,15 @@ class VersionedTableSpec extends SparkSpec {
   test("schema evolution: each version replays with its own schema") {
     val vt = freshVt("schema_evo")
     vt.write(Seq((1, "a")).toDF("x", "s"), "main", "v0")
-    vt.write(Seq((1, "a", 2.0)).toDF("x", "s", "d"), "main", "v1 wider")
+    // a schema-changing overwrite WITHOUT the flag is rejected (Delta semantics)
+    val e = intercept[IllegalArgumentException] {
+      vt.write(Seq((1, "a", 2.0)).toDF("x", "s", "d"), "main", "v1 wider")
+    }
+    assert(e.getMessage.contains("overwriteSchema"), s"error should name the flag: $e")
+    // with the flag the widening overwrite succeeds
+    vt.write(Seq((1, "a", 2.0)).toDF("x", "s", "d"), "main", "v1 wider",
+      overwriteSchema = true)
+    // v0 still time-travels with its ORIGINAL schema across the change
     assert(vt.readVersion(spark, "main", 0).columns === Array("x", "s"))
     assert(vt.read(spark, "main").columns === Array("x", "s", "d"))
   }
