@@ -43,7 +43,12 @@ object Bench {
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    // total_core: same numbers restricted to the FROZEN round-4 query list —
+    // the round-comparable metric the 2×-baseline gate reads (BASELINE.md);
+    // `total` keeps growing as new operators join benchNames.
+    val core = Registry.benchCoreNames.toSet
+    val totalCore = results.collect { case (k, v) if v >= 0 && core(k) => v }.sum
+    println(s"""{"metric":"total","value":$total,"total_core":$totalCore,"unit":"sec","runs":$runs,"queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

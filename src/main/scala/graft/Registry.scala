@@ -43,4 +43,18 @@ object Registry {
     "q_text_stats", "q_token_count", "q_sessionize", "q_window_tumbling",
     "q_corpus_pipeline",
     "q_pii_redact", "q_tfidf_terms", "q_pack_sequences")
+
+  /** The FROZEN round-4 headline list. `benchNames` grows as operators land
+    * (23 → 27 across rounds), so the all-queries `total` is not
+    * round-comparable; Bench's `total_core` over THIS list is the metric the
+    * 2×-baseline gate reads (BASELINE.md). Do not edit — freezing is the
+    * point. */
+  val benchCoreNames: Seq[String] = Seq(
+    "q_vdt1", "q_vdt2", "q_vdt3", "q_vdt4",
+    "q_agg_sum", "q_join_inner", "q_join_after_agg", "q_topk_per_group",
+    "q_mode_per_group", "q_count_over", "q_sort_desc", "q_topk",
+    "q_string_indexer", "q_quantile_bucket",
+    "q_dedup_exact", "q_dedup_minhash", "q_topk_cosine", "q_ann_lsh",
+    "q_text_stats", "q_token_count", "q_sessionize", "q_window_tumbling",
+    "q_corpus_pipeline")
 }

@@ -109,8 +109,9 @@ object Analytic {
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     Tables.documents(s, d).select(col("doc_id"),
         regexp_extract(col("text"), "[aeiou]{2,}", 0).as("first_vowel_run"),
-        length(regexp_replace(lower(col("text")), "[aeiou]", "")).as("len_novowel"),
-        regexp_count(col("text"), lit("[A-Z][a-z]+")).as("n_capwords"))
+        // int64 casts: DuckDB length()/len() return BIGINT, Spark's are int32
+        length(regexp_replace(lower(col("text")), "[aeiou]", "")).cast("long").as("len_novowel"),
+        regexp_count(col("text"), lit("[A-Z][a-z]+")).cast("long").as("n_capwords"))
       .orderBy("doc_id")
   }
 

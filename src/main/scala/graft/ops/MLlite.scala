@@ -43,14 +43,17 @@ object MLlite {
       .collect().map(r => (r.get(0), r.getLong(1)))
       // collect() returns external JVM types — atomic ones (String, java.lang
       // numerics, BigDecimal, Date, …) are Comparable within one column's
-      // class; non-Comparable externals (array → WrappedArray, struct → Row,
-      // map) tie-break on their string form instead of throwing
+      // class; non-Comparable externals (binary → Array[Byte], array →
+      // WrappedArray, struct → Row, map) tie-break on a CONTENT-derived
+      // string — String.valueOf alone would be identity-based ("[B@1a2b3c")
+      // for Array[Byte], giving frequency-tied binary labels nondeterministic
+      // indices across runs
       .sortWith { case ((v1, c1), (v2, c2)) =>
         if (c1 != c2) c1 > c2
         else (v1, v2) match {
           case (a: Comparable[_], b) if b.getClass == a.getClass =>
             a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
-          case (a, b) => String.valueOf(a) < String.valueOf(b)
+          case (a, b) => stableString(a) < stableString(b)
         }
       }
     val rows = labels.zipWithIndex
@@ -59,6 +62,21 @@ object MLlite {
       java.util.Arrays.asList(rows: _*),
       StructType(Seq(StructField(inputCol, inField.dataType), StructField(outputCol, DoubleType))))
     df.join(broadcast(mapping), Seq(inputCol))
+  }
+
+  /** Content-based render for tie-breaking non-Comparable label values:
+    * binary as lowercase hex, collections/rows element-wise, else
+    * String.valueOf (whose default for Array[Byte] is identity-based and
+    * therefore nondeterministic across JVMs). */
+  private def stableString(v: Any): String = v match {
+    case bytes: Array[Byte]              => bytes.map(b => f"$b%02x").mkString
+    case arr: Array[_]                   => arr.map(stableString).mkString("[", ",", "]")
+    case seq: scala.collection.Seq[_]    => seq.map(stableString).mkString("[", ",", "]")
+    case row: org.apache.spark.sql.Row   => row.toSeq.map(stableString).mkString("(", ",", ")")
+    case m: scala.collection.Map[_, _]   =>
+      m.toSeq.map { case (k, vv) => stableString(k) + "->" + stableString(vv) }
+        .sorted.mkString("{", ",", "}")
+    case other                           => String.valueOf(other)
   }
 
   val qStringIndexer: QueryDef = q("q_string_indexer")(
@@ -87,15 +105,65 @@ object MLlite {
     ps.map(p => math.max(1L, math.ceil(p * n).toLong))
 
   /** Driver-side exact quantiles via `df.stat.approxQuantile` at
-    * relativeError=0 — the reference's A3 operator (`jobs/vdt4.py:68`), where
-    * the GK sketch degenerates to exact nearest-rank values. One mergeable
-    * pass, NO global sort — this is the path that survives 100 TB (vs. a
-    * `row_number` over an unpartitioned window, which funnels every row
-    * through one task). OperatorSpec pins GK(0) == the rank rule above.
-    * Mirrors the reference's adaptive plan construction: an action returns
-    * scalars baked into the subsequent plan as literals (SURVEY.md §3.3). */
+    * relativeError=0 — the reference's A3 operator FORM (`jobs/vdt4.py:68`),
+    * where the GK sketch degenerates to exact nearest-rank values.
+    * REFERENCE-PARITY ONLY, kept for the OperatorSpec pin (GK(0) == the rank
+    * rule above): at ε=0 the "sketch" keeps EVERY distinct value in driver
+    * memory — O(distinct) driver state, a driver OOM at 100 TB. Every benched
+    * query routes through [[exactQuantilesScalable]] instead, which returns
+    * the identical values with bounded driver traffic. */
   def exactQuantiles(df: DataFrame, valueCol: String, ps: Seq[Double]): Seq[Double] =
     df.stat.approxQuantile(valueCol, ps.toArray, 0.0).toSeq
+
+  /** Exact nearest-rank quantiles with BOUNDED driver state — the 100 TB
+    * replacement for GK(ε=0). Three bounded stages (the same machinery as
+    * [[Scale.globalRankScalable]]):
+    *
+    *  1. `approxQuantile(ε=0.01)` picks ~`buckets` cut points — one mergeable
+    *     pass, sketch state O(1/ε), and ANY cuts are correct (they only
+    *     balance the buckets);
+    *  2. count rows per value-bucket (one keyed agg, ≤ `buckets` rows to the
+    *     driver); prefix sums locate each target rank's (bucket, local rank);
+    *  3. `row_number` within each bucket — a window partitioned BY bucket, so
+    *     every task sorts ~N/buckets rows, never N — filtered to exactly the
+    *     |ps| hit positions; the driver receives |ps| rows.
+    *
+    * Equal values share a bucket (the bucket is a function of the value), so
+    * within-bucket position + rows-in-earlier-buckets is exactly the global
+    * nearest-rank position: the returned values are bit-identical to GK(0)'s
+    * and to the oracle's `row_number`-based rank rule. Mirrors the
+    * reference's adaptive plan construction — an action returns scalars baked
+    * into the subsequent plan as literals (SURVEY.md §3.3). */
+  def exactQuantilesScalable(df: DataFrame, valueCol: String, ps: Seq[Double],
+                             buckets: Int = 32): Seq[Double] = {
+    import org.apache.spark.sql.expressions.Window
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val cuts = // buckets=1 → no cuts: everything lands in bucket 0
+      if (probs.isEmpty) Array.empty[Double]
+      else df.stat.approxQuantile(valueCol, probs, 0.01).distinct.sorted
+    val bucket = cuts.map(c => when(col(valueCol) > c, 1).otherwise(0))
+      .reduceOption(_ + _).getOrElse(lit(0))
+    val withB = df.withColumn("__b", bucket)
+    val counts = withB.groupBy("__b").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    require(n > 0, s"exactQuantilesScalable: no rows in $valueCol")
+    val order = counts.keys.toSeq.sorted
+    val offsets = order.zip(order.scanLeft(0L)(_ + counts(_)).init).toMap
+    val locals: Seq[(Int, Long)] = exactQuantileRanks(n, ps).map { r =>
+      val b = order.findLast(bb => offsets(bb) < r).get
+      (b, r - offsets(b))
+    }
+    val w = Window.partitionBy("__b").orderBy(col(valueCol).asc)
+    val cond = locals.distinct
+      .map { case (b, k) => col("__b") === lit(b) && col("__rn") === lit(k) }
+      .reduce(_ || _)
+    val got = withB.withColumn("__rn", row_number().over(w).cast(LongType))
+      .where(cond)
+      .select(col("__b"), col("__rn"), col(valueCol).cast(DoubleType).as("__v"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    locals.map(got)
+  }
 
   val qApproxQuantile: QueryDef = q("q_approx_quantile")(
     """WITH r AS (SELECT l_extendedprice AS v,
@@ -108,7 +176,7 @@ object MLlite {
     import s.implicits._
     val li = Tables.lineitem(s, d)
     val targets = exactQuantileRanks(li.count(), Seq(0.25, 0.5, 0.75))
-    val vals = exactQuantiles(li, "l_extendedprice", Seq(0.25, 0.5, 0.75))
+    val vals = exactQuantilesScalable(li, "l_extendedprice", Seq(0.25, 0.5, 0.75))
     targets.zip(vals).toDF("rn", "v").orderBy("rn")
   }
 
@@ -159,7 +227,7 @@ object MLlite {
       |FROM lineitem l CROSS JOIN cuts c
       |ORDER BY l.l_orderkey, l.l_linenumber, price_quartile""".stripMargin) { (s, d) =>
     val li = Tables.lineitem(s, d)
-    val cuts = exactQuantiles(li, "l_extendedprice", Seq(0.25, 0.5, 0.75))
+    val cuts = exactQuantilesScalable(li, "l_extendedprice", Seq(0.25, 0.5, 0.75))
     quantileBucket(li, "l_extendedprice", "price_quartile", cuts)
       .select("l_orderkey", "l_linenumber", "price_quartile")
       .orderBy("l_orderkey", "l_linenumber", "price_quartile")

@@ -180,8 +180,10 @@ object Pipelines {
 
     val df3 = MLlite.stringIndex(df2, "qstr", "fe3") // fe3 (`jobs/vdt4.py:63-65`)
 
-    // fe4: quantile buckets from a driver-side action (`jobs/vdt4.py:68-73`)
-    val cuts = MLlite.exactQuantiles(base, "l_extendedprice", Seq(0.25, 0.5, 0.75))
+    // fe4: quantile buckets from a driver-side action (`jobs/vdt4.py:68-73`) —
+    // cut VALUES are identical to the reference's approxQuantile but computed
+    // through the bounded two-pass path (no O(distinct) driver state)
+    val cuts = MLlite.exactQuantilesScalable(base, "l_extendedprice", Seq(0.25, 0.5, 0.75))
     val df4 = MLlite.quantileBucket(df3, "l_extendedprice", "fe4", cuts).drop("qstr")
 
     // Delta v1 (`jobs/vdt4.py:76-77`): the feature columns change the schema,

@@ -405,7 +405,9 @@ object Relational {
       |SELECT o_custkey, o_orderkey, o_totalprice, rn FROM w WHERE rn <= 3
       |ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
     val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-    Tables.orders(s, d).withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w).cast(LongType)) // int64: DuckDB row_number is BIGINT
+      .where(col("rn") <= 3)
       .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
       .orderBy("o_custkey", "rn")
   }

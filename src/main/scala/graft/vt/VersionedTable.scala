@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** A branch/version-addressed table over immutable parquet files + a commit log.
   *
@@ -146,11 +146,11 @@ final class VersionedTable private (val root: Path) {
           df.schema.fields.filterNot(f => byName.contains(f.name)))
       case Some(p) if mode == "overwrite" && !overwriteSchema =>
         val parentSchema = DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
-        // asNullable also normalizes NESTED nullability (ArrayType.containsNull,
+        // normalization covers NESTED nullability (ArrayType.containsNull,
         // inner StructField.nullable, MapType.valueContainsNull) that a parquet
         // round-trip may relax — only name+logical-type changes should trip this
-        if (df.schema.fields.map(f => (f.name, f.dataType.asNullable)).toSeq !=
-            parentSchema.fields.map(f => (f.name, f.dataType.asNullable)).toSeq)
+        if (df.schema.fields.map(f => (f.name, VersionedTable.nullNormalized(f.dataType))).toSeq !=
+            parentSchema.fields.map(f => (f.name, VersionedTable.nullNormalized(f.dataType))).toSeq)
           throw new IllegalArgumentException(
             s"overwrite schema mismatch on $branch: table has ${parentSchema.simpleString} " +
               s"but the new snapshot has ${df.schema.simpleString}; pass overwriteSchema=true " +
@@ -250,8 +250,8 @@ final class VersionedTable private (val root: Path) {
     val current = read(spark, branch)
     // name+type equality (nullability-insensitive, including NESTED nullability:
     // reading parquet back relaxes nullable flags, which must not block an upsert)
-    require(current.schema.fields.map(f => (f.name, f.dataType.asNullable)).toSeq ==
-        source.schema.fields.map(f => (f.name, f.dataType.asNullable)).toSeq,
+    require(current.schema.fields.map(f => (f.name, VersionedTable.nullNormalized(f.dataType))).toSeq ==
+        source.schema.fields.map(f => (f.name, VersionedTable.nullNormalized(f.dataType))).toSeq,
       s"upsert schema mismatch on $branch: table has ${current.schema.simpleString} " +
         s"but the source has ${source.schema.simpleString}")
     import org.apache.spark.sql.functions.col
@@ -426,15 +426,19 @@ final class VersionedTable private (val root: Path) {
     require(branches.contains(name), s"no such branch: $name")
     require(branches.size > 1, s"cannot delete the last branch: $name")
     reset(name) // staged files are uncommitted: safe to reclaim now
-    Files.deleteIfExists(refsDir.resolve(name))
-    // release the branch's version slots so a recreated branch with the
-    // same name can commit again (its commits get fresh uuid'd ids, so the
-    // old still-reachable commits are never shadowed)
+    // release the branch's version slots BEFORE the ref: a crash mid-delete
+    // then leaves (fewer slots + live ref) — the branch still exists and the
+    // delete can simply be retried. The old order (ref first) could leave a
+    // refless v0 slot behind, which vacuum's orphan-replay might mistake for
+    // a crashed first commit and resurrect the deleted branch. Slot release
+    // lets a recreated branch with the same name commit again (its commits
+    // get fresh uuid'd ids, so old still-reachable commits are never shadowed).
     if (Files.exists(locksDir)) {
       val slotRe = ("^" + java.util.regex.Pattern.quote(name) + """-v\d+$""").r
       listDir(locksDir).filter(p => slotRe.findFirstIn(p.getFileName.toString).isDefined)
         .foreach(Files.deleteIfExists)
     }
+    Files.deleteIfExists(refsDir.resolve(name))
   }
 
   /** V4 `diff`: object-level change list between two branch heads, as
@@ -524,7 +528,7 @@ final class VersionedTable private (val root: Path) {
     require(retainLast >= 1, "retainLast must be >= 1")
     sweepStaleSlots(System.currentTimeMillis(), staleSlotMs)
     sweep((branches.flatMap(b => lineage(b).take(retainLast).flatMap(_.files)) ++ // lineage is head-first
-      stagedFiles).toSet)
+      stagedFiles).toSet ++ slotProtectedFiles(reachableIds))
   }
 
   /** Time-based retention, Delta's `vacuum()` dial (`jobs/vdt4.py:84-85`
@@ -539,7 +543,7 @@ final class VersionedTable private (val root: Path) {
     sweepStaleSlots(nowMs, staleSlotMs)
     sweep((branches.flatMap(b => lineage(b).zipWithIndex.collect {
       case (c, i) if i == 0 || c.ts >= cutoff => c.files // i==0 = the head
-    }.flatten) ++ stagedFiles).toSet)
+    }.flatten) ++ stagedFiles).toSet ++ slotProtectedFiles(reachableIds))
   }
 
   /** Reclaim version-slot locks whose commit was never published — a writer
@@ -562,7 +566,7 @@ final class VersionedTable private (val root: Path) {
       else Vector.empty
     // commits actually reachable from some branch ref — a commit file alone
     // does not prove the publish finished (the ref advance may have been lost)
-    val reachable: Set[String] = branches.flatMap(b => lineage(b).map(_.id)).toSet
+    val reachable = reachableIds
     var reclaimed = 0
     listDir(locksDir)
       .filter(p => Files.getLastModifiedTime(p).toMillis < nowMs - staleSlotMs)
@@ -581,21 +585,88 @@ final class VersionedTable private (val root: Path) {
           // crash between the commit-json write and the ref advance: the
           // commit exists but no ref reaches it, so every retry targets the
           // same version and hits the claimed slot. Finish the interrupted
-          // publish: advance the branch ref to the orphan — but only when the
-          // orphan's parent IS the branch's current head (anything else means
-          // the lineage moved some other way; fail safe and leave it alone).
+          // publish: advance the branch ref to the orphan — guarded three ways.
           slot match {
             case VersionedTable.SlotRe(branch, _) =>
               val orphan = loadCommit(owned.head)
-              if (head(branch).map(_.id) == orphan.parent) {
-                CommitLog.writeAtomic(refsDir.resolve(branch), orphan.id)
-                reclaimed += 1
+              // (1) the orphan must EXTEND the branch's current head —
+              //     anything else means lineage moved some other way; leave it.
+              // (2) deleted-branch resurrection guard: a parentless (v0)
+              //     orphan with no current ref is only replayed when NOTHING
+              //     else exists under the branch name — a crashed
+              //     deleteBranch can leave a v0 slot behind, and None==None
+              //     alone would recreate the deleted branch's ref.
+              val extendsHead = head(branch).map(_.id) == orphan.parent
+              val branchIdP = java.util.regex.Pattern.compile(
+                java.util.regex.Pattern.quote(branch) + "-v\\d+-[0-9a-f]{8}")
+              val branchSlotP = java.util.regex.Pattern.compile(
+                java.util.regex.Pattern.quote(branch) + "-v\\d+")
+              val v0Safe = orphan.parent.isDefined || (head(branch).isEmpty &&
+                publishedIds.count(id => branchIdP.matcher(id).matches()) == 1 &&
+                listDir(locksDir).map(_.getFileName.toString)
+                  .count(s => branchSlotP.matcher(s).matches()) == 1)
+              if (extendsHead && v0Safe) {
+                // (3) post-vacuum safety: every data file the orphan references
+                //     must still exist — an earlier vacuum (run while this slot
+                //     was age-gated but the commit already unreachable) may have
+                //     swept them, and advancing the ref would publish a head
+                //     that cannot be read. Such an orphan is garbage: reclaim
+                //     the slot AND its commit json so retries can land.
+                if (orphan.files.forall(f => Files.exists(root.resolve(f)))) {
+                  // NOTE (cross-process): this read-head-then-write-ref pair is
+                  // serialized against in-JVM writers by `synchronized` and
+                  // against cross-process writers by the slot CAS — but a
+                  // concurrent cross-process FAST-FORWARD merge writes the ref
+                  // without claiming a slot and could be overwritten here. The
+                  // head re-read directly above keeps the window to one
+                  // metadata write; routing FF merges through a slot claim
+                  // would close it entirely.
+                  CommitLog.writeAtomic(refsDir.resolve(branch), orphan.id)
+                  reclaimed += 1
+                } else {
+                  Files.deleteIfExists(commitsDir.resolve(orphan.id + ".json"))
+                  Files.deleteIfExists(p)
+                  reclaimed += 1
+                }
               }
             case _ => ()
           }
         }
       }
     reclaimed
+  }
+
+  /** Ids of every commit reachable from some branch ref through the FULL
+    * parent edge set (first parent + mergeParent) — a first-parent lineage
+    * walk would misclassify commits reachable only through a merge's second
+    * parent (e.g. the pre-merge source head after a fast-forward) as orphans. */
+  private def reachableIds: Set[String] = {
+    val seen = scala.collection.mutable.Set.empty[String]
+    val queue = scala.collection.mutable.Queue.empty[Commit]
+    branches.flatMap(head).foreach(c => if (seen.add(c.id)) queue.enqueue(c))
+    while (queue.nonEmpty) {
+      val c = queue.dequeue()
+      c.parents.foreach(pid => if (seen.add(pid)) queue.enqueue(loadCommit(pid)))
+    }
+    seen.toSet
+  }
+
+  /** Data files of published-but-UNREACHABLE commits whose version slot still
+    * exists: these are [[sweepStaleSlots]]'s potential replay targets, so
+    * vacuum must retain their files — otherwise the sequence (vacuum while the
+    * slot is age-gated → later vacuum replays the ref) would publish a branch
+    * head whose data was already deleted. Reachable commits are excluded, so
+    * this never widens retention for ordinary history (every published commit
+    * keeps its slot forever as the CAS record). */
+  private def slotProtectedFiles(reachable: Set[String]): Set[String] = {
+    if (!Files.exists(locksDir) || !Files.exists(commitsDir)) return Set.empty
+    val slots = listDir(locksDir).map(_.getFileName.toString).toSet
+    listDir(commitsDir).map(_.getFileName.toString.stripSuffix(".json"))
+      .filter { id => // id = "<branch>-v<n>-<hex8>"
+        val cut = id.lastIndexOf('-')
+        cut > 0 && !reachable.contains(id) && slots.contains(id.substring(0, cut))
+      }
+      .flatMap(id => loadCommit(id).files).toSet
   }
 
   private def stagedFiles: Seq[String] =
@@ -696,6 +767,20 @@ final class VersionedTable private (val root: Path) {
 }
 
 object VersionedTable {
+  /** Recursively force every nullable flag true (Spark's `DataType.asNullable`
+    * is package-private) so schema comparisons ignore nullability at any
+    * nesting depth; field metadata is also dropped — only name+logical type
+    * should participate in equality. */
+  private[vt] def nullNormalized(dt: DataType): DataType = dt match {
+    case s: StructType =>
+      StructType(s.fields.map(f => org.apache.spark.sql.types.StructField(
+        f.name, nullNormalized(f.dataType), nullable = true)))
+    case a: ArrayType => ArrayType(nullNormalized(a.elementType), containsNull = true)
+    case m: MapType =>
+      MapType(nullNormalized(m.keyType), nullNormalized(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
   /** Age before an unpublished version slot counts as a crashed writer's
     * leftover and becomes vacuum-reclaimable (1 h — far beyond any single
     * commit's claim→publish window, which is one parquet write). */

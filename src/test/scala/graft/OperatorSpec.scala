@@ -48,6 +48,18 @@ class OperatorSpec extends SparkSpec {
     assert(gk === rankRule, s"GK $gk vs rank-rule $rankRule")
   }
 
+  test("bounded two-pass quantiles equal GK(0) (bit-identical cut values)") {
+    val li = Tables.lineitem(spark, sf)
+    val ps = Seq(0.25, 0.5, 0.75)
+    val scalable = MLlite.exactQuantilesScalable(li, "l_extendedprice", ps)
+    val gk = MLlite.exactQuantiles(li, "l_extendedprice", ps)
+    assert(scalable === gk, s"scalable $scalable vs GK(0) $gk")
+    // degenerate bucketing (everything in one bucket) still lands exactly
+    val tiny = Seq(5.0, 1.0, 3.0, 2.0, 4.0).toDF("v")
+    assert(MLlite.exactQuantilesScalable(tiny, "v", ps, buckets = 1) ===
+      Seq(2.0, 3.0, 4.0)) // ceil(p*5) ranks = 2,3,4
+  }
+
   test("quantileBucket boundaries are inclusive on the left cut") {
     val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
     val out = MLlite.quantileBucket(df, "v", "b", Seq(1.0, 2.0, 3.0))

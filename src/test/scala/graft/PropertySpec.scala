@@ -163,4 +163,60 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: writers with random crash points — versions stay gap-free, published slots survive, the branch always recovers") {
+    // op 0 = clean write; op 1 = crash between slot claim and commit write;
+    // op 2 = crash between commit write and ref advance. After every crash
+    // the branch is WEDGED (the claimed slot blocks the next writer); an
+    // aged-slot vacuum must always un-wedge it, never fork or lose history.
+    val opsGen: Gen[List[Int]] = Gen.listOfN(7, Gen.choose(0, 2))
+    val past = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * VersionedTable.DefaultStaleSlotMs)
+    samples(opsGen, 4).zipWithIndex.foreach { case (opsSeq, si) =>
+      val vt = VersionedTable.create(Tables.scratch(s"prop_cas_$si"))
+      val refPath = vt.root.resolve("refs").resolve("main")
+      var expectedRows = List(0)
+      vt.write(List(0).toDF("x"), "main", "v0")
+      opsSeq.zipWithIndex.foreach { case (op, i) =>
+        val v = 100 * si + i + 1
+        op match {
+          case 0 => // clean write
+            vt.write(List(v).toDF("x"), "main", s"ok$v", mode = "append")
+            expectedRows ::= v
+          case 1 => // crash before the commit json: slot claimed, nothing published
+            val next = vt.head("main").get.version + 1
+            graft.vt.CommitLog.claimVersionSlot(vt.root.resolve("locks"), "main", next)
+            intercept[java.util.ConcurrentModificationException] {
+              vt.write(List(-1).toDF("x"), "main", "blocked", mode = "append")
+            }
+            Files.setLastModifiedTime(vt.root.resolve("locks").resolve(s"main-v$next"), past)
+            vt.vacuum(retainLast = 1000) // reclaims the empty slot
+            vt.write(List(v).toDF("x"), "main", s"retry$v", mode = "append")
+            expectedRows ::= v
+          case 2 => // crash before the ref advance: commit published, ref stale
+            val before = graft.vt.CommitLog.readString(refPath).trim
+            val orphan = vt.write(List(v).toDF("x"), "main", s"lost$v", mode = "append")
+            graft.vt.CommitLog.writeAtomic(refPath, before)
+            intercept[java.util.ConcurrentModificationException] {
+              vt.write(List(-1).toDF("x"), "main", "blocked", mode = "append")
+            }
+            Files.setLastModifiedTime(
+              vt.root.resolve("locks").resolve(s"main-v${orphan.version}"), past)
+            vt.vacuum(retainLast = 1000) // replays the lost ref advance
+            assert(vt.head("main").map(_.id) === Some(orphan.id))
+            expectedRows ::= v
+        }
+        // invariants after every step: versions 0..head gap-free and
+        // monotonic; every published version's CAS slot still exists
+        val lin = vt.lineage("main") // head-first
+        assert(lin.map(_.version) === (lin.head.version to 0L by -1).toList,
+          s"gap or non-monotonic versions: ${lin.map(_.version)}")
+        lin.foreach(c => assert(
+          Files.exists(vt.root.resolve("locks").resolve(s"main-v${c.version}")),
+          s"published slot main-v${c.version} was reclaimed"))
+      }
+      assert(vt.read(spark, "main").as[Int].collect().sorted.toList ===
+        expectedRows.sorted, s"ops=$opsSeq")
+    }
+  }
 }

@@ -526,6 +526,85 @@ class VersionedTableSpec extends SparkSpec {
     assert(Files.exists(publishedSlot), "published slot must never be swept")
   }
 
+  test("orphan replay: an age-gated orphan's files survive vacuum, then the ref advance is replayed") {
+    val vt = freshVt("orphan_replay")
+    vt.write(df(1), "main", "v0")
+    val refPath = vt.root.resolve("refs").resolve("main")
+    val v0id = graft.vt.CommitLog.readString(refPath).trim
+    // simulate a writer that crashed AFTER publishing the commit json but
+    // BEFORE advancing the ref: do a real write, then wind the ref back
+    val c1 = vt.write(df(2, 3), "main", "v1 (ref advance lost)")
+    graft.vt.CommitLog.writeAtomic(refPath, v0id)
+    // vacuum while the v1 slot is age-gated: the orphan is the pending replay
+    // target, so its files must be RETAINED even though no ref reaches it
+    vt.vacuum(retainLast = 1)
+    assert(c1.files.forall(f => Files.exists(vt.root.resolve(f))),
+      "age-gated orphan's data files must survive vacuum")
+    // age the slot past the horizon → the next vacuum finishes the publish
+    val slot = vt.root.resolve("locks").resolve("main-v1")
+    Files.setLastModifiedTime(slot, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * VersionedTable.DefaultStaleSlotMs))
+    vt.vacuum(retainLast = 1)
+    assert(vt.head("main").map(_.id) === Some(c1.id), "lost ref advance must be replayed")
+    assert(vt.read(spark, "main").as[Int].collect().sorted === Array(2, 3),
+      "replayed head must be fully readable")
+  }
+
+  test("orphan replay: an orphan whose files are already gone is reclaimed, never published") {
+    val vt = freshVt("orphan_gone")
+    vt.write(df(1), "main", "v0")
+    val refPath = vt.root.resolve("refs").resolve("main")
+    val v0id = graft.vt.CommitLog.readString(refPath).trim
+    val c1 = vt.write(df(2), "main", "v1 (ref advance lost)")
+    graft.vt.CommitLog.writeAtomic(refPath, v0id)
+    // simulate the pre-fix hazard: the orphan's data files were swept while
+    // its slot was still age-gated — replaying the ref would publish a head
+    // that cannot be read
+    c1.files.foreach(f => Files.deleteIfExists(vt.root.resolve(f)))
+    val slot = vt.root.resolve("locks").resolve("main-v1")
+    Files.setLastModifiedTime(slot, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * VersionedTable.DefaultStaleSlotMs))
+    vt.vacuum(retainLast = 1)
+    assert(vt.head("main").map(_.id) === Some(v0id), "a file-less orphan must not become head")
+    assert(!Files.exists(slot), "the garbage orphan's slot must be reclaimed")
+    assert(!Files.exists(vt.root.resolve("commits").resolve(c1.id + ".json")),
+      "the garbage orphan's commit json must be reclaimed")
+    // the branch is un-wedged: a retry lands on the same version
+    val retry = vt.write(df(9), "main", "v1 retry")
+    assert(retry.version === 1L)
+    assert(vt.read(spark, "main").as[Int].collect() === Array(9))
+  }
+
+  test("a genuine crashed FIRST commit on a new branch is replayed (v0 orphan, nothing else)") {
+    val vt = freshVt("v0_replay")
+    vt.write(df(1), "main", "m0")
+    vt.write(df(7), "dev", "d0") // real v0 on a new branch...
+    Files.delete(vt.root.resolve("refs").resolve("dev")) // ...whose ref write was lost
+    val slot = vt.root.resolve("locks").resolve("dev-v0")
+    Files.setLastModifiedTime(slot, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * VersionedTable.DefaultStaleSlotMs))
+    vt.vacuum(retainLast = 10)
+    assert(vt.branches.contains("dev"), "crashed first commit must be replayed")
+    assert(vt.read(spark, "dev").as[Int].collect() === Array(7))
+  }
+
+  test("a crashed deleteBranch's leftover slots never resurrect the deleted branch") {
+    val vt = freshVt("no_resurrect")
+    vt.write(df(1), "main", "m0")
+    vt.write(df(2), "dev", "d0")
+    vt.write(df(3), "dev", "d1", mode = "append")
+    // the OLD deleteBranch order crashing mid-way: ref removed, slots left
+    Files.delete(vt.root.resolve("refs").resolve("dev"))
+    Seq("dev-v0", "dev-v1").foreach { s =>
+      Files.setLastModifiedTime(vt.root.resolve("locks").resolve(s),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 2 * VersionedTable.DefaultStaleSlotMs))
+    }
+    vt.vacuum(retainLast = 10)
+    assert(vt.branches === Seq("main"),
+      "vacuum must not recreate a deleted branch from its leftover slots")
+  }
+
   test("string skip-read prunes under UTF-8 byte order, not UTF-16 code units") {
     val vt = freshVt("utf8_skip")
     // one file whose max is a supplementary-plane char: in UTF-8 bytes
