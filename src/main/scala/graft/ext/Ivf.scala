@@ -154,5 +154,73 @@ object Ivf {
       .orderBy("vec_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(qAnnIvf, qIvfAssign)
+  // ---- oracle-checked TRAINED path ----------------------------------------
+
+  /** One Lloyd round whose OUTPUT is machine-checked end-to-end — the piece
+    * the pinned-centroid oracles above cannot cover. The production loop
+    * ([[trainCentroids]]) uses distributed float `avg`, whose summation order
+    * is partition-dependent: its exact output is NOT replayable in static
+    * SQL (the float-fold nondeterminism note from the r9 review). This
+    * variant removes the nondeterminism instead of tolerating it:
+    *
+    *  - seeding by the repo's SQL-replayable seeded polynomial hash
+    *    (`Dedup.affineA/B` mod P) over vec_id, smallest k win;
+    *  - assignment via the same codegen'd argmin as production (literal seed
+    *    centroids, collected k×dim doubles — the bounded-action contract);
+    *  - the mean update in EXACT integer arithmetic: each element is scaled
+    *    to a micro-unit long with floor(x·10⁶+0.5) (the qPercentile cents
+    *    trick), summed as int64 (order-independent!), divided once as
+    *    double/double — bit-identical in both engines.
+    *
+    * Scale shape: one bounded collect (k×dim), row-local assignment, one
+    * keyed shuffle on (cell, pos). Output is the trained centroid matrix. */
+  def trainedCentroidMatrix(emb: DataFrame, k: Int): DataFrame = {
+    import graft.ext.Dedup.{P, affineA, affineB}
+    val hv = (lit(affineA(0)) * (col("vec_id") % P) + affineB(0)) % P
+    val seeds = emb.select(col("vec_id"), col("embedding"), hv.as("hv"))
+      .orderBy("hv", "vec_id").limit(k) // global top-k: TakeOrderedAndProject
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .collect().map(_.getSeq[Double](0).toArray).toSeq
+    // cell first, posexplode second: a generator in the same select rewrites
+    // sibling expressions and drops the struct field aliases nearestCell needs
+    emb.withColumn("cell", nearestCell(col("embedding"), seeds).cast(LongType))
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("sv", floor(col("v").cast(DoubleType) * 1000000 + lit(0.5)).cast(LongType))
+      .groupBy("cell", "pos")
+      .agg(sum("sv").as("ssv"), count(lit(1)).as("n"))
+      .select(col("cell"), col("pos").cast(LongType).as("pos"),
+        (col("ssv").cast(DoubleType) / (lit(1000000.0) * col("n"))).as("m"),
+        col("n"))
+      .orderBy("cell", "pos")
+  }
+
+  val qAnnIvfTrained: QueryDef = q("q_ann_ivf_trained")(
+    s"""WITH h AS (SELECT vec_id, embedding,
+       |                  ((${graft.ext.Dedup.affineA(0)} * (vec_id % ${graft.ext.Dedup.P}) +
+       |                    ${graft.ext.Dedup.affineB(0)}) % ${graft.ext.Dedup.P}) AS hv
+       |           FROM embeddings),
+       |     seeds AS (SELECT CAST(row_number() OVER (ORDER BY hv, vec_id) - 1 AS BIGINT) AS cell,
+       |                      embedding AS ce
+       |               FROM h ORDER BY hv, vec_id LIMIT 4),
+       |     d AS (SELECT e.vec_id, e.embedding, s.cell,
+       |                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |                    list_transform(range(1, 65),
+       |                      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.ce[i] AS DOUBLE))
+       |                         * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.ce[i] AS DOUBLE)))),
+       |                    (acc, x) -> acc + x) AS d
+       |           FROM embeddings e CROSS JOIN seeds s),
+       |     a AS (SELECT vec_id, embedding, cell,
+       |                  row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+       |           FROM d),
+       |     x AS (SELECT cell, CAST(t.i - 1 AS BIGINT) AS pos,
+       |                  CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS sv
+       |           FROM a CROSS JOIN range(1, 65) AS t(i)
+       |           WHERE rn = 1)
+       |SELECT cell, pos, CAST(sum(sv) AS DOUBLE) / (1000000.0 * count(*)) AS m,
+       |       count(*) AS n
+       |FROM x GROUP BY cell, pos ORDER BY cell, pos""".stripMargin) { (s, d) =>
+    trainedCentroidMatrix(Tables.embeddings(s, d), k = 4)
+  }
+
+  val defs: Seq[QueryDef] = Seq(qAnnIvf, qIvfAssign, qAnnIvfTrained)
 }
