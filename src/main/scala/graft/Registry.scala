@@ -42,7 +42,7 @@ object Registry {
     "q_dedup_exact", "q_dedup_minhash", "q_topk_cosine", "q_ann_lsh",
     "q_text_stats", "q_token_count", "q_sessionize", "q_window_tumbling",
     "q_corpus_pipeline",
-    "q_pii_redact", "q_tfidf_terms", "q_pack_sequences")
+    "q_pii_redact", "q_tfidf_terms", "q_pack_sequences", "q_ann_ivf_trained")
 
   /** The FROZEN round-4 headline list. `benchNames` grows as operators land
     * (23 → 27 across rounds), so the all-queries `total` is not
