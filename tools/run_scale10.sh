@@ -19,12 +19,14 @@ fi
 echo "== bench at sf0.1 =="
 SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$CPUS" \
   sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' | tail -1 \
+  | sed 's/^\[info\] //' \
   > "BENCH_sf01_$TAG.json"
 cat "BENCH_sf01_$TAG.json"
 
 echo "== bench at 10x =="
 SPARK_GRAFT_SF_DIR="$BIG" SPARK_GRAFT_CPUS="$CPUS" \
   sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' | tail -1 \
+  | sed 's/^\[info\] //' \
   > "BENCH_scale10_$TAG.json"
 cat "BENCH_scale10_$TAG.json"
 
