@@ -83,7 +83,7 @@ object Pipelines {
     * (course,content_type); row_number per course by cnt desc (mode); rn=1;
     * join dim; multi-key (asc,desc) sort; project. Analog: main returnflag
     * per order joined back to orders. */
-  val qVdt3: QueryDef = q("q_vdt3")(
+  private val vdt3OracleSql =
     """WITH a AS (SELECT l_orderkey, l_linenumber, l_returnflag,
       |                  count(*) OVER (PARTITION BY l_orderkey, l_returnflag) AS cnt
       |           FROM lineitem),
@@ -93,13 +93,42 @@ object Pipelines {
       |SELECT o.o_orderkey, o.o_orderpriority AS platform, b.l_returnflag AS main_content,
       |       b.cnt, CAST(strftime(o.o_orderdate, '%Y%m%d') AS INTEGER) AS start_date
       |FROM b JOIN orders o ON b.l_orderkey = o.o_orderkey WHERE rn = 1
-      |ORDER BY platform, start_date DESC, o.o_orderkey""".stripMargin) { (s, d) =>
+      |ORDER BY platform, start_date DESC, o.o_orderkey""".stripMargin
+
+  val qVdt3: QueryDef = q("q_vdt3")(vdt3OracleSql) { (s, d) =>
     val wCnt = Window.partitionBy("l_orderkey", "l_returnflag")
     val a = Tables.lineitem(s, d).withColumn("cnt", count(lit(1)).over(wCnt))
     val wRn = Window.partitionBy("l_orderkey")
       .orderBy(col("cnt").desc, col("l_returnflag").asc, col("l_linenumber").asc)
     a.withColumn("rn", row_number().over(wRn)).where(col("rn") === 1)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_orderpriority").as("platform"),
+        col("l_returnflag").as("main_content"), col("cnt"),
+        yyyymmdd("o_orderdate").as("start_date"))
+      .orderBy(col("platform").asc, col("start_date").desc, col("o_orderkey").asc)
+  }
+
+  /** Same result as q_vdt3 (identical oracle SQL) with the two full-data
+    * windows replaced by keyed aggregations — the 100 TB form. The window
+    * plan shuffles EVERY lineitem row twice (once per window); here the
+    * first groupBy gets a map-side partial combine, so only the distinct
+    * (orderkey, returnflag) counts ever cross the wire, and the per-order
+    * argmax is a second tiny agg (min_by over a (-cnt, flag) struct — the
+    * same (cnt DESC, flag ASC) tie-break as the reference's row_number; the
+    * window's l_linenumber tie-break only chose which PHYSICAL row won, and
+    * no column unique to that row is projected, so the outputs coincide).
+    * The r11 10x gate measured the window form at 8.8x for 10x rows — the
+    * closest query to the sub-linearity line; this twin is the shape that
+    * survives the next 10x. ScaleSpec pins the no-window plan. */
+  val qVdt3Scalable: QueryDef = q("q_vdt3_scalable")(vdt3OracleSql) { (s, d) =>
+    val counts = Tables.lineitem(s, d)
+      .groupBy("l_orderkey", "l_returnflag").agg(count(lit(1)).as("cnt"))
+    val top = counts.groupBy("l_orderkey")
+      .agg(min_by(struct(col("l_returnflag"), col("cnt")),
+        struct((-col("cnt")).as("neg_cnt"), col("l_returnflag"))).as("m"))
+      .select(col("l_orderkey"), col("m.l_returnflag").as("l_returnflag"),
+        col("m.cnt").as("cnt"))
+    top.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_orderkey"), col("o_orderpriority").as("platform"),
         col("l_returnflag").as("main_content"), col("cnt"),
         yyyymmdd("o_orderdate").as("start_date"))
@@ -207,5 +236,5 @@ object Pipelines {
   val qVdt4Scalable: QueryDef =
     q("q_vdt4_scalable")(vdt4OracleSql)((s, d) => vdt4(s, d, scalableRank = true))
 
-  val defs: Seq[QueryDef] = Seq(qVdt1, qVdt2, qVdt3, qVdt4, qVdt4Scalable)
+  val defs: Seq[QueryDef] = Seq(qVdt1, qVdt2, qVdt3, qVdt3Scalable, qVdt4, qVdt4Scalable)
 }

@@ -218,4 +218,15 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"),
       s"the scalable vdt4 pipeline must have no single-task stage:\n$plan")
   }
+
+  test("q_vdt3_scalable plans keyed aggregations, no window at all, equal to the window form") {
+    val df = graft.ops.Pipelines.qVdt3Scalable.impl(spark, sf)
+    val plan = executedPlan(df).toString
+    assert(!plan.contains("Window"),
+      s"the scalable vdt3 must replace both windows with aggregations:\n$plan")
+    // and the map-side combine is actually planned (partial + final HashAggregate)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"expected partial+final aggs:\n$plan")
+    val window = graft.ops.Pipelines.qVdt3.impl(spark, sf).collect().toSeq
+    assert(df.collect().toSeq === window)
+  }
 }
