@@ -35,7 +35,8 @@ object Registry {
   /** Headline queries timed by graft.Bench (the heavy/representative subset;
     * the full set runs under Verify for correctness). */
   val benchNames: Seq[String] = Seq(
-    "q_vdt1", "q_vdt2", "q_vdt3", "q_vdt3_scalable", "q_vdt4", "q_vdt4_scalable",
+    "q_vdt1", "q_vdt2", "q_vdt2_scalable", "q_vdt3", "q_vdt3_scalable",
+    "q_vdt4", "q_vdt4_scalable",
     "q_agg_sum", "q_join_inner", "q_join_after_agg", "q_topk_per_group",
     "q_mode_per_group", "q_count_over", "q_sort_desc", "q_topk",
     "q_string_indexer", "q_quantile_bucket",

@@ -45,7 +45,7 @@ object Pipelines {
     * filter `>= 2.0`; join; per-(customer,priority) argmax window; rn=1;
     * desc sort; project. `sum(l_quantity)` is exact (integral doubles), so
     * `total_duration = sum/36.0` is one deterministic division. */
-  val qVdt2: QueryDef = q("q_vdt2")(
+  private val vdt2OracleSql =
     """WITH agg AS (SELECT l_orderkey, sum(l_quantity) AS time_qty FROM lineitem GROUP BY l_orderkey),
       |     dur AS (SELECT l_orderkey, time_qty, time_qty / 36.0 AS total_duration FROM agg
       |             WHERE time_qty / 36.0 >= 2.0),
@@ -59,7 +59,9 @@ object Pipelines {
       |                                        ORDER BY total_duration DESC, o_orderkey) AS rn FROM j)
       |SELECT full_name, email, platform, total_duration AS tot_duration, start_date, o_orderkey
       |FROM w WHERE rn = 1
-      |ORDER BY tot_duration DESC, o_orderkey""".stripMargin) { (s, d) =>
+      |ORDER BY tot_duration DESC, o_orderkey""".stripMargin
+
+  val qVdt2: QueryDef = q("q_vdt2")(vdt2OracleSql) { (s, d) =>
     val agg = Tables.lineitem(s, d).groupBy("l_orderkey")
       .agg(sum("l_quantity").as("time_qty"))
     val dur = agg.withColumn("total_duration", col("time_qty") / 36.0)
@@ -76,6 +78,35 @@ object Pipelines {
     joined.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
       .select(col("full_name"), col("email"), col("platform"),
         col("total_duration").as("tot_duration"), col("start_date"), col("o_orderkey"))
+      .orderBy(col("tot_duration").desc, col("o_orderkey").asc)
+  }
+
+  /** Same result as q_vdt2 (identical oracle SQL), two scale fixes:
+    * (1) the reference's mid-pipeline global sort (`jobs/vdt2.py:50`) is
+    * pure row-ordering with no semantic effect — dropped, removing a range
+    * exchange over the whole filtered aggregate; (2) the per-(email,
+    * platform) argmax window becomes a min_by aggregation over a
+    * (-duration, o_orderkey) struct (o_orderkey is globally unique, so the
+    * pick is deterministic) — one partially-combined agg instead of a full
+    * window sort. ScaleSpec pins the window-free plan. */
+  val qVdt2Scalable: QueryDef = q("q_vdt2_scalable")(vdt2OracleSql) { (s, d) =>
+    val agg = Tables.lineitem(s, d).groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("time_qty"))
+    val dur = agg.withColumn("total_duration", col("time_qty") / 36.0)
+      .where(col("total_duration") >= 2.0)
+    val joined = dur
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name").as("full_name"), concat(col("c_name"), lit("@x")).as("email"),
+        col("o_orderpriority").as("platform"), col("o_orderkey"),
+        yyyymmdd("o_orderdate").as("start_date"), col("total_duration"))
+    joined.groupBy("email", "platform")
+      .agg(min_by(
+        struct(col("full_name"), col("o_orderkey"), col("start_date"), col("total_duration")),
+        struct((-col("total_duration")).as("neg_dur"), col("o_orderkey"))).as("m"))
+      .select(col("m.full_name").as("full_name"), col("email"), col("platform"),
+        col("m.total_duration").as("tot_duration"), col("m.start_date").as("start_date"),
+        col("m.o_orderkey").as("o_orderkey"))
       .orderBy(col("tot_duration").desc, col("o_orderkey").asc)
   }
 
@@ -236,5 +267,6 @@ object Pipelines {
   val qVdt4Scalable: QueryDef =
     q("q_vdt4_scalable")(vdt4OracleSql)((s, d) => vdt4(s, d, scalableRank = true))
 
-  val defs: Seq[QueryDef] = Seq(qVdt1, qVdt2, qVdt3, qVdt3Scalable, qVdt4, qVdt4Scalable)
+  val defs: Seq[QueryDef] =
+    Seq(qVdt1, qVdt2, qVdt2Scalable, qVdt3, qVdt3Scalable, qVdt4, qVdt4Scalable)
 }

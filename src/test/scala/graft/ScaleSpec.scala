@@ -229,4 +229,17 @@ class ScaleSpec extends SparkSpec {
     val window = graft.ops.Pipelines.qVdt3.impl(spark, sf).collect().toSeq
     assert(df.collect().toSeq === window)
   }
+
+  test("q_vdt2_scalable drops the order-only sort and the window, equal to the parity form") {
+    val df = graft.ops.Pipelines.qVdt2Scalable.impl(spark, sf)
+    val plan = executedPlan(df).toString
+    assert(!plan.contains("Window"),
+      s"the scalable vdt2 must replace the argmax window with an aggregation:\n$plan")
+    // exactly ONE range exchange: the final ORDER BY (the reference's
+    // mid-pipeline sort is gone)
+    assert("Exchange rangepartitioning".r.findAllIn(plan).size === 1,
+      s"expected only the final sort's range exchange:\n$plan")
+    val window = graft.ops.Pipelines.qVdt2.impl(spark, sf).collect().toSeq
+    assert(df.collect().toSeq === window)
+  }
 }
