@@ -87,8 +87,15 @@ object Pipelines {
     * exchange over the whole filtered aggregate; (2) the per-(email,
     * platform) argmax window becomes a min_by aggregation over a
     * (-duration, o_orderkey) struct (o_orderkey is globally unique, so the
-    * pick is deterministic) — one partially-combined agg instead of a full
-    * window sort. ScaleSpec pins the window-free plan. */
+    * pick is deterministic). The struct buffer does plan as SortAggregate
+    * (non-primitive buffers disqualify HashAggregateExec — see the
+    * qVdt3Scalable note, where that cost mandated a primitive-packed
+    * argmax); HERE the aggregate's input is already shrunk to one row per
+    * qualifying order by the upstream agg+filter+joins, so the per-partition
+    * sorts are over the reduced relation, measured sub-linear (2.8× at 10×
+    * rows) — accepted in exchange for computing the pipeline once instead
+    * of the 3× self-join a pure-primitive two-phase argmax would need.
+    * ScaleSpec pins the window-free plan. */
   val qVdt2Scalable: QueryDef = q("q_vdt2_scalable")(vdt2OracleSql) { (s, d) =>
     val agg = Tables.lineitem(s, d).groupBy("l_orderkey")
       .agg(sum("l_quantity").as("time_qty"))
@@ -143,22 +150,30 @@ object Pipelines {
     * windows replaced by keyed aggregations — the 100 TB form. The window
     * plan shuffles EVERY lineitem row twice (once per window); here the
     * first groupBy gets a map-side partial combine, so only the distinct
-    * (orderkey, returnflag) counts ever cross the wire, and the per-order
-    * argmax is a second tiny agg (min_by over a (-cnt, flag) struct — the
-    * same (cnt DESC, flag ASC) tie-break as the reference's row_number; the
-    * window's l_linenumber tie-break only chose which PHYSICAL row won, and
-    * no column unique to that row is projected, so the outputs coincide).
-    * The r11 10x gate measured the window form at 8.8x for 10x rows — the
-    * closest query to the sub-linearity line; this twin is the shape that
-    * survives the next 10x. ScaleSpec pins the no-window plan. */
+    * (orderkey, returnflag) counts ever cross the wire.
+    *
+    * The per-order argmax deliberately avoids `min_by(struct, struct)`:
+    * a non-primitive aggregation buffer (struct ordering or string value)
+    * disqualifies HashAggregateExec, and the planner falls back to
+    * SortAggregate with a full sort before BOTH the partial and final
+    * stages — measured at 21× for 10× rows, WORSE than the window form it
+    * was meant to replace. Instead the (cnt DESC, flag ASC) preference is
+    * packed into ONE long — `cnt·256 + (255 − ascii(flag))`, exact while
+    * cnt < 2^55 for a single-byte flag domain (general strings: dictionary-
+    * encode first, StringIndexer-style) — so the argmax is a plain `max`
+    * over a primitive buffer: pure whole-stage-codegen HashAggregate with
+    * map-side combine, decoded after the agg with DIV/chr. The window's
+    * l_linenumber tie-break only chose which PHYSICAL row won and no column
+    * unique to that row is projected, so the outputs coincide. ScaleSpec
+    * pins the no-window, no-SortAggregate plan. */
   val qVdt3Scalable: QueryDef = q("q_vdt3_scalable")(vdt3OracleSql) { (s, d) =>
     val counts = Tables.lineitem(s, d)
       .groupBy("l_orderkey", "l_returnflag").agg(count(lit(1)).as("cnt"))
-    val top = counts.groupBy("l_orderkey")
-      .agg(min_by(struct(col("l_returnflag"), col("cnt")),
-        struct((-col("cnt")).as("neg_cnt"), col("l_returnflag"))).as("m"))
-      .select(col("l_orderkey"), col("m.l_returnflag").as("l_returnflag"),
-        col("m.cnt").as("cnt"))
+    val top = counts
+      .withColumn("score", col("cnt") * 256L + (lit(255L) - ascii(col("l_returnflag"))))
+      .groupBy("l_orderkey").agg(max("score").as("s"))
+      .select(col("l_orderkey"), expr("s DIV 256").as("cnt"),
+        expr("chr(255 - (s % 256))").as("l_returnflag"))
     top.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_orderkey"), col("o_orderpriority").as("platform"),
         col("l_returnflag").as("main_content"), col("cnt"),

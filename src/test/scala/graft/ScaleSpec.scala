@@ -224,8 +224,13 @@ class ScaleSpec extends SparkSpec {
     val plan = executedPlan(df).toString
     assert(!plan.contains("Window"),
       s"the scalable vdt3 must replace both windows with aggregations:\n$plan")
-    // and the map-side combine is actually planned (partial + final HashAggregate)
+    // the map-side combine is actually planned (partial + final HashAggregate)
     assert("HashAggregate".r.findAllIn(plan).size >= 2, s"expected partial+final aggs:\n$plan")
+    // and the primitive-packed argmax kept every aggregate hash-based: a
+    // struct/string buffer would fall back to SortAggregate with a full sort
+    // before BOTH stages (measured 21x at 10x rows — worse than the window)
+    assert(!plan.contains("SortAggregate"),
+      s"vdt3_scalable must not contain a sort-based aggregate:\n$plan")
     val window = graft.ops.Pipelines.qVdt3.impl(spark, sf).collect().toSeq
     assert(df.collect().toSeq === window)
   }
