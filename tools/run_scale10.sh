@@ -10,6 +10,11 @@ TAG=${1:-local}
 SF=${SF:-/root/testdata/sf0.1}
 BIG=${BIG:-/tmp/graft_sf1}
 CPUS=${SPARK_GRAFT_CPUS:-32}
+# min-of-3 per query: the heavy versioned-write/window queries at 10x are
+# GC/page-cache sensitive and swing up to 3x between min-of-2 runs (observed
+# r11: q_vdt4_scalable 13.1s/23.0s/38.7s across three gate invocations);
+# a third pass restores a stable, gateable number.
+export SPARK_GRAFT_BENCH_RUNS=${SPARK_GRAFT_BENCH_RUNS:-3}
 
 if [ ! -f "$BIG/lineitem.parquet" ]; then
   echo "== synthesizing 10x copy of $SF at $BIG =="
