@@ -164,6 +164,19 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: bounded two-pass quantiles equal the sorted nearest-rank rule on random tied data") {
+    val gen: Gen[List[Int]] = Gen.listOfN(50, Gen.choose(0, 9)) // heavy ties
+    samples(gen, 6).foreach { xs =>
+      val df = xs.map(_.toDouble).toDF("v")
+      val ps = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+      val got = graft.ops.MLlite.exactQuantilesScalable(df, "v", ps, buckets = 4)
+      val sorted = xs.map(_.toDouble).sorted
+      val want = graft.ops.MLlite.exactQuantileRanks(xs.size.toLong, ps)
+        .map(r => sorted(r.toInt - 1))
+      assert(got === want, s"xs=$xs")
+    }
+  }
+
   test("property: writers with random crash points — versions stay gap-free, published slots survive, the branch always recovers") {
     // op 0 = clean write; op 1 = crash between slot claim and commit write;
     // op 2 = crash between commit write and ref advance. After every crash
