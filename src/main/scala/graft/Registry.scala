@@ -19,6 +19,7 @@ object Registry {
       ext.Curation.defs ++
       ext.Dedup.defs ++
       ext.DedupCluster.defs ++
+      ext.IncrementalDedup.defs ++
       ext.Similarity.defs ++
       ext.Ivf.defs ++
       ext.CorpusPipeline.defs ++
@@ -43,7 +44,8 @@ object Registry {
     "q_dedup_exact", "q_dedup_minhash", "q_topk_cosine", "q_ann_lsh",
     "q_text_stats", "q_token_count", "q_sessionize", "q_window_tumbling",
     "q_corpus_pipeline",
-    "q_pii_redact", "q_tfidf_terms", "q_pack_sequences", "q_ann_ivf_trained")
+    "q_pii_redact", "q_tfidf_terms", "q_pack_sequences", "q_ann_ivf_trained",
+    "q_dedup_incremental")
 
   /** The FROZEN round-4 headline list. `benchNames` grows as operators land
     * (23 → 27 across rounds), so the all-queries `total` is not

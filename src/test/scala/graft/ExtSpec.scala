@@ -167,4 +167,23 @@ class ExtSpec extends SparkSpec {
     // its nprobe cells' members, so the candidate set is smaller than N
     assert(iv.size === bf.size) // same top-k cardinality back
   }
+
+  test("incremental dedup flags planted exact and near duplicates of the corpus, skips fresh docs") {
+    // corpus = doc_id % 5 != 0 (ids 1,2,3); increment = % 5 == 0 (ids 5,10,15):
+    //   5 is byte-identical to corpus doc 1  → exact dup, no near screening
+    //  10 is one word off corpus doc 2 (and two off doc 1) → near dup of BOTH
+    //  15 is unrelated                        → clean
+    val docs = Seq(
+      (1L, base), (2L, base.replace("fox", "wolf")),
+      (3L, "unrelated corpus filler about columnar storage formats and shuffle services"),
+      (5L, base), (10L, base.replace("fox", "wolf").replace("lazy", "sleepy")),
+      (15L, "a totally fresh increment document on watermarking and stateful streaming"))
+      .toDF("doc_id", "text")
+    val out = graft.ext.IncrementalDedup.incrementalProfile(docs, "inc_dedup_spec")
+      .as[(Long, Boolean, Option[Long], Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(5L) === ((5L, true, Some(1L), 0L, None)), s"exact: ${out(5L)}")
+    assert(out(10L) === ((10L, false, None, 2L, Some(1L))), s"near: ${out(10L)}")
+    assert(out(15L) === ((15L, false, None, 0L, None)), s"fresh: ${out(15L)}")
+  }
 }
