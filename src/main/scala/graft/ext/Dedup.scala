@@ -130,8 +130,12 @@ object Dedup {
     // 1. collapse exact duplicates: one representative (min doc_id) per sha256
     val withSha = docs.select(col("doc_id"), col("text"))
       .withColumn("sha", sha2(col("text"), 256))
-    val reps = withSha.groupBy("sha")
-      .agg(min("doc_id").as("doc_id"), min("text").as("text")) // texts in a group are identical
+    // texts in a group are identical (sha = sha256(text)), so text can sit in
+    // the GROUP KEY: same groups, same shuffle bytes, but no string in the
+    // aggregation buffer — which would disqualify HashAggregateExec and force
+    // a SortAggregate with a per-partition sort before both agg stages
+    val reps = withSha.groupBy("sha", "text")
+      .agg(min("doc_id").as("doc_id"))
     val siblings = withSha.join(reps.select(col("sha"), col("doc_id").as("rep_id")), "sha")
       .where(col("doc_id") =!= col("rep_id"))
       .select(col("rep_id").as("a"), col("doc_id").as("b"), lit(1.0).as("jaccard"))
@@ -175,7 +179,7 @@ object Dedup {
     val a = duckList((0 until k).map(affineA)); val b = duckList((0 until k).map(affineB))
     val rpb = k / bands
     s"""ws AS (SELECT doc_id, text, sha256(text) AS sha FROM documents),
-       |     reps AS (SELECT sha, min(doc_id) AS doc_id, min(text) AS text FROM ws GROUP BY sha),
+       |     reps AS (SELECT sha, text, min(doc_id) AS doc_id FROM ws GROUP BY sha, text),
        |     sib AS (SELECT r.doc_id AS a, w.doc_id AS b FROM ws w
        |             JOIN reps r ON w.sha = r.sha AND w.doc_id <> r.doc_id),
        |     sh AS (SELECT doc_id, CASE WHEN len(string_split(text, ' ')) >= 3

@@ -65,9 +65,13 @@ object IncrementalDedup {
 
     // exact screening: corpus exact-dup groups collapse to their min-doc_id
     // representative; an increment doc matching any corpus sha is flagged
+    // text joins the GROUP KEY instead of a min(text) buffer: sha determines
+    // text (sha = sha256(text)), so groups are identical — but a string in
+    // the aggregation buffer would force SortAggregate (ScaleSpec audit),
+    // while string group keys hash-aggregate fine, same bytes on the wire
     val corpusReps = corpus.select(col("doc_id"), col("text"))
       .withColumn("sha", sha2(col("text"), 256))
-      .groupBy("sha").agg(min("doc_id").as("rep_id"), min("text").as("text"))
+      .groupBy("sha", "text").agg(min("doc_id").as("rep_id"))
     val screened = inc.select(col("doc_id"), col("text"))
       .withColumn("sha", sha2(col("text"), 256))
       .join(corpusReps.select(col("sha"), col("rep_id")), Seq("sha"), "left")
@@ -107,7 +111,7 @@ object IncrementalDedup {
     val a = (0 until K).map(affineA).mkString("([", ", ", "])")
     val b = (0 until K).map(affineB).mkString("([", ", ", "])")
     s"""WITH cw AS (SELECT doc_id, text, sha256(text) AS sha FROM documents WHERE doc_id % 5 <> 0),
-       |     creps AS (SELECT sha, min(doc_id) AS rep_id, min(text) AS text FROM cw GROUP BY sha),
+       |     creps AS (SELECT sha, text, min(doc_id) AS rep_id FROM cw GROUP BY sha, text),
        |     iw AS (SELECT doc_id, text, sha256(text) AS sha FROM documents WHERE doc_id % 5 = 0),
        |     ex AS (SELECT iw.doc_id, iw.text, creps.rep_id FROM iw
        |            LEFT JOIN creps ON iw.sha = creps.sha),

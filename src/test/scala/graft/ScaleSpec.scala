@@ -235,6 +235,22 @@ class ScaleSpec extends SparkSpec {
     assert(df.collect().toSeq === window)
   }
 
+  test("plan audit: no benched query plans a SortAggregate except the two documented sites") {
+    // Non-primitive aggregation buffers (struct min_by, string min) silently
+    // disqualify HashAggregateExec and cost a full sort before BOTH agg
+    // stages — the trap that made the first q_vdt3_scalable 21x at 10x rows.
+    // Lock the audited state: only the two deliberate, documented sites may
+    // sort-aggregate; any new one must either go primitive or be added here
+    // WITH a Scaladoc justification.
+    val allowed = Set("q_vdt2_scalable")
+    val offenders = Registry.benchNames.filter(Registry.byName.contains).flatMap { n =>
+      val plan = Registry.byName(n).impl(spark, sf).queryExecution.executedPlan.toString
+      if (plan.contains("SortAggregate") && !allowed(n)) Some(n) else None
+    }
+    assert(offenders.isEmpty,
+      s"new SortAggregate sites (non-primitive agg buffers): $offenders")
+  }
+
   test("q_vdt2_scalable drops the order-only sort and the window, equal to the parity form") {
     val df = graft.ops.Pipelines.qVdt2Scalable.impl(spark, sf)
     val plan = executedPlan(df).toString
