@@ -137,13 +137,17 @@ object MLlite {
   def exactQuantilesScalable(df: DataFrame, valueCol: String, ps: Seq[Double],
                              buckets: Int = 32): Seq[Double] = {
     import org.apache.spark.sql.expressions.Window
+    // NULLs are excluded up front so both paths agree on nullable columns:
+    // approxQuantile (the GK path) ignores nulls, while the when/otherwise
+    // bucket expression would have silently routed them to bucket 0.
+    val rows = df.where(col(valueCol).isNotNull)
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     val cuts = // buckets=1 → no cuts: everything lands in bucket 0
       if (probs.isEmpty) Array.empty[Double]
-      else df.stat.approxQuantile(valueCol, probs, 0.01).distinct.sorted
+      else rows.stat.approxQuantile(valueCol, probs, 0.01).distinct.sorted
     val bucket = cuts.map(c => when(col(valueCol) > c, 1).otherwise(0))
       .reduceOption(_ + _).getOrElse(lit(0))
-    val withB = df.withColumn("__b", bucket)
+    val withB = rows.withColumn("__b", bucket)
     val counts = withB.groupBy("__b").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val n = counts.values.sum

@@ -169,8 +169,17 @@ object Pipelines {
   val qVdt3Scalable: QueryDef = q("q_vdt3_scalable")(vdt3OracleSql) { (s, d) =>
     val counts = Tables.lineitem(s, d)
       .groupBy("l_orderkey", "l_returnflag").agg(count(lit(1)).as("cnt"))
+    // The 1-byte packing is only exact for single-character flags with
+    // codepoint ≤ 255; enforce that at runtime so reuse on a general string
+    // column fails loudly instead of silently decoding the wrong winner.
+    val flagByte = when(
+      length(col("l_returnflag")) === 1 && ascii(col("l_returnflag")).between(0, 255),
+      ascii(col("l_returnflag"))
+    ).otherwise(raise_error(concat(
+      lit("qVdt3Scalable: packed argmax requires single-char ASCII flags, got '"),
+      col("l_returnflag"), lit("'"))))
     val top = counts
-      .withColumn("score", col("cnt") * 256L + (lit(255L) - ascii(col("l_returnflag"))))
+      .withColumn("score", col("cnt") * 256L + (lit(255L) - flagByte))
       .groupBy("l_orderkey").agg(max("score").as("s"))
       .select(col("l_orderkey"), expr("s DIV 256").as("cnt"),
         expr("chr(255 - (s % 256))").as("l_returnflag"))

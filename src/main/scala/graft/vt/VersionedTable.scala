@@ -567,6 +567,12 @@ final class VersionedTable private (val root: Path) {
     // commits actually reachable from some branch ref — a commit file alone
     // does not prove the publish finished (the ref advance may have been lost)
     val reachable = reachableIds
+    // Snapshot the slot listing ONCE: the v0Safe count below must be evaluated
+    // against the pre-sweep state, otherwise it is order-dependent — an
+    // unpublished leftover slot of the same deleted branch reclaimed EARLIER
+    // in this pass would drop the count to 1 and let a single-published-commit
+    // deleted branch be resurrected.
+    val slotSnapshot = listDir(locksDir).map(_.getFileName.toString)
     var reclaimed = 0
     listDir(locksDir)
       .filter(p => Files.getLastModifiedTime(p).toMillis < nowMs - staleSlotMs)
@@ -603,8 +609,7 @@ final class VersionedTable private (val root: Path) {
                 java.util.regex.Pattern.quote(branch) + "-v\\d+")
               val v0Safe = orphan.parent.isDefined || (head(branch).isEmpty &&
                 publishedIds.count(id => branchIdP.matcher(id).matches()) == 1 &&
-                listDir(locksDir).map(_.getFileName.toString)
-                  .count(s => branchSlotP.matcher(s).matches()) == 1)
+                slotSnapshot.count(s => branchSlotP.matcher(s).matches()) == 1)
               if (extendsHead && v0Safe) {
                 // (3) post-vacuum safety: every data file the orphan references
                 //     must still exist — an earlier vacuum (run while this slot

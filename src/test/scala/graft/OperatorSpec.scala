@@ -58,6 +58,12 @@ class OperatorSpec extends SparkSpec {
     val tiny = Seq(5.0, 1.0, 3.0, 2.0, 4.0).toDF("v")
     assert(MLlite.exactQuantilesScalable(tiny, "v", ps, buckets = 1) ===
       Seq(2.0, 3.0, 4.0)) // ceil(p*5) ranks = 2,3,4
+    // NULLs are excluded, matching the GK path (approxQuantile ignores nulls):
+    // with them counted, n would inflate and every rank would shift
+    val withNulls = Seq(Some(5.0), None, Some(1.0), Some(3.0), None,
+      Some(2.0), Some(4.0)).toDF("v")
+    assert(MLlite.exactQuantilesScalable(withNulls, "v", ps, buckets = 2) ===
+      Seq(2.0, 3.0, 4.0))
   }
 
   test("quantileBucket boundaries are inclusive on the left cut") {

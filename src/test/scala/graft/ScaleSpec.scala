@@ -235,13 +235,14 @@ class ScaleSpec extends SparkSpec {
     assert(df.collect().toSeq === window)
   }
 
-  test("plan audit: no benched query plans a SortAggregate except the two documented sites") {
+  test("plan audit: no benched query plans a SortAggregate except the documented allowlist") {
     // Non-primitive aggregation buffers (struct min_by, string min) silently
     // disqualify HashAggregateExec and cost a full sort before BOTH agg
     // stages — the trap that made the first q_vdt3_scalable 21x at 10x rows.
-    // Lock the audited state: only the two deliberate, documented sites may
-    // sort-aggregate; any new one must either go primitive or be added here
-    // WITH a Scaladoc justification.
+    // Lock the audited state: only the deliberate, documented site(s) below
+    // may sort-aggregate (currently one: q_vdt2_scalable's min_by(struct,_)
+    // argmax over a pre-shrunk input, Pipelines.scala); any new one must
+    // either go primitive or be added here WITH a Scaladoc justification.
     val allowed = Set("q_vdt2_scalable")
     val offenders = Registry.benchNames.filter(Registry.byName.contains).flatMap { n =>
       val plan = Registry.byName(n).impl(spark, sf).queryExecution.executedPlan.toString
