@@ -143,12 +143,23 @@ object CommitLog {
     *
     * Crash caveat (same shape as Delta on non-CAS object stores): a writer
     * that dies between claiming and publishing leaves a stale slot that
-    * blocks that one version number; remove the slot file to recover. Slot
-    * files are empty — O(bytes) metadata next to the commit JSONs. */
-  def claimVersionSlot(locksDir: Path, branch: String, version: Long): Unit = {
+    * blocks that one version number; remove the slot file to recover.
+    *
+    * Slot files are empty for ordinary commits. A FAST-FORWARD merge — which
+    * advances the ref to an EXISTING commit and so never publishes one —
+    * claims its slot with `content = "ff:<targetCommitId>"`: the content is
+    * what lets vacuum's stale-slot sweep tell a completed FF's CAS record
+    * (kept forever, like a published commit's slot) from a crashed claim
+    * (reclaimed). The content write is a separate step after the atomic
+    * create; a crash in between leaves an empty slot, which is exactly the
+    * crashed-claim case the sweep already reclaims. */
+  def claimVersionSlot(locksDir: Path, branch: String, version: Long,
+                       content: String = ""): Unit = {
     Files.createDirectories(locksDir)
-    try Files.createFile(locksDir.resolve(s"$branch-v$version"))
-    catch {
+    try {
+      val p = Files.createFile(locksDir.resolve(s"$branch-v$version"))
+      if (content.nonEmpty) Files.write(p, content.getBytes(StandardCharsets.UTF_8))
+    } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new java.util.ConcurrentModificationException(
           s"concurrent write to $branch: version $version was already claimed by " +

@@ -178,6 +178,13 @@ final class Repo private (val root: Path) {
     val dst = head(into).getOrElse(throw new IllegalArgumentException(s"no such branch: $into"))
     if (src.id == dst.id) src
     else if (isAncestor(dst.id, of = src)) {
+      // Fast-forward, slot-serialized like any publish (see
+      // VersionedTable.merge): claiming the next version slot before the ref
+      // write means no concurrent cross-process commit or merge based on the
+      // same head can silently overwrite this ref advance — the lakeFS
+      // atomic-merge contract (reference README.md:145).
+      CommitLog.claimVersionSlot(root.resolve("locks"), into, dst.version + 1,
+        content = "ff:" + src.id)
       CommitLog.writeAtomic(refsDir.resolve(into), src.id)
       src
     } else if (isAncestor(src.id, of = dst)) dst

@@ -29,11 +29,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
   * versions are never disturbed; commit/ref publication is atomic-rename.
   *
   * Concurrency: writers within one JVM are serialized per table instance
-  * (`synchronized`); ACROSS processes every commit first claims its
-  * (branch, version) slot with an atomic create-new
-  * ([[CommitLog.claimVersionSlot]] — Delta's optimistic-concurrency
-  * contract), so two racing writers produce a linear history plus one clean
-  * `ConcurrentModificationException` to retry, never a silent fork.
+  * (`synchronized`); ACROSS processes every ref-advancing write — commit,
+  * 3-way merge, AND fast-forward merge — first claims its (branch, version)
+  * slot with an atomic create-new ([[CommitLog.claimVersionSlot]] — Delta's
+  * optimistic-concurrency contract), so two racing writers produce a linear
+  * history plus one clean `ConcurrentModificationException` to retry, never
+  * a silent fork or a lost ref advance.
   */
 final class VersionedTable private (val root: Path) {
 
@@ -469,6 +470,16 @@ final class VersionedTable private (val root: Path) {
     val dst = head(into).getOrElse(throw new IllegalArgumentException(s"no such branch: $into"))
     if (src.id == dst.id) src
     else if (isAncestor(dst.id, of = src)) { // fast-forward
+      // An FF advances the ref without publishing a commit, but it still
+      // claims the next version slot exactly like a publish: EVERY
+      // ref-advancing path holds the branch's next slot, so a concurrent
+      // cross-process writer, another merge, or vacuum's orphan-replay
+      // (which only acts while the orphan's own slot is claimed) can never
+      // interleave with — and silently overwrite — this ref write. The slot
+      // records the FF target so the stale-slot sweep keeps it as this
+      // version's CAS record once the head descends from the target (lakeFS
+      // promises merge atomicity — reference README.md:145).
+      CommitLog.claimVersionSlot(locksDir, into, dst.version + 1, content = "ff:" + src.id)
       CommitLog.writeAtomic(refsDir.resolve(into), src.id)
       src
     } else if (isAncestor(src.id, of = dst)) dst // already merged
@@ -584,9 +595,28 @@ final class VersionedTable private (val root: Path) {
         val idRe = (java.util.regex.Pattern.quote(slot) + "-[0-9a-f]{8}").r
         val owned = publishedIds.filter(id => idRe.pattern.matcher(id).matches())
         if (owned.isEmpty) {
-          // crash between claimVersionSlot and the commit-json write:
-          // nothing was published — reclaim the slot so retries can land
-          Files.deleteIfExists(p); reclaimed += 1
+          // No published commit owns this slot. Two cases:
+          //  - a writer crashed between claimVersionSlot and the commit-json
+          //    write — reclaim the slot so retries can land;
+          //  - the slot is a COMPLETED fast-forward merge's CAS record (an FF
+          //    advances the ref to an existing commit, publishing nothing):
+          //    its content names the FF target, and the branch head
+          //    descending from that target proves the ref advance landed.
+          //    Keep it FOREVER, exactly like a published commit's slot —
+          //    reclaiming it would let a writer stale by more than
+          //    staleSlotMs claim this version and fork the merged history.
+          //    (A crashed FF — target named but head not descended — is
+          //    reclaimed; the merge caller simply retries.)
+          val content = try CommitLog.readString(p).trim catch { case _: Exception => "" }
+          val ffDone = content.startsWith("ff:") && {
+            val tid = content.drop(3)
+            Files.exists(commitsDir.resolve(tid + ".json")) && (slot match {
+              case VersionedTable.SlotRe(branch, _) =>
+                head(branch).exists(h => isAncestor(tid, of = h))
+              case _ => false
+            })
+          }
+          if (!ffDone) { Files.deleteIfExists(p); reclaimed += 1 }
         } else if (!owned.exists(reachable.contains)) {
           // crash between the commit-json write and the ref advance: the
           // commit exists but no ref reaches it, so every retry targets the
@@ -618,14 +648,13 @@ final class VersionedTable private (val root: Path) {
                 //     that cannot be read. Such an orphan is garbage: reclaim
                 //     the slot AND its commit json so retries can land.
                 if (orphan.files.forall(f => Files.exists(root.resolve(f)))) {
-                  // NOTE (cross-process): this read-head-then-write-ref pair is
-                  // serialized against in-JVM writers by `synchronized` and
-                  // against cross-process writers by the slot CAS — but a
-                  // concurrent cross-process FAST-FORWARD merge writes the ref
-                  // without claiming a slot and could be overwritten here. The
-                  // head re-read directly above keeps the window to one
-                  // metadata write; routing FF merges through a slot claim
-                  // would close it entirely.
+                  // This read-head-then-write-ref pair is fully serialized:
+                  // in-JVM writers by `synchronized`, and cross-process
+                  // writers by the slot CAS — EVERY ref-advancing path
+                  // (publish, and since r12 fast-forward merge too) first
+                  // claims the branch's next version slot, which is exactly
+                  // the slot this orphan still holds, so no concurrent ref
+                  // write can interleave here.
                   CommitLog.writeAtomic(refsDir.resolve(branch), orphan.id)
                   reclaimed += 1
                 } else {

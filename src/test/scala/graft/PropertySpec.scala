@@ -179,10 +179,14 @@ class PropertySpec extends SparkSpec {
 
   test("property: writers with random crash points — versions stay gap-free, published slots survive, the branch always recovers") {
     // op 0 = clean write; op 1 = crash between slot claim and commit write;
-    // op 2 = crash between commit write and ref advance. After every crash
-    // the branch is WEDGED (the claimed slot blocks the next writer); an
-    // aged-slot vacuum must always un-wedge it, never fork or lose history.
-    val opsGen: Gen[List[Int]] = Gen.listOfN(7, Gen.choose(0, 2))
+    // op 2 = crash between commit write and ref advance; op 3 = fast-forward
+    // merge (slot-serialized since r12 — a zombie writer based on the
+    // pre-merge head must LOSE the CAS, never overwrite the advanced ref);
+    // op 4 = crash between the FF's slot claim and its ref write. After
+    // every crash the branch is WEDGED (the claimed slot blocks the next
+    // writer); an aged-slot vacuum must always un-wedge it, never fork or
+    // lose history.
+    val opsGen: Gen[List[Int]] = Gen.listOfN(7, Gen.choose(0, 4))
     val past = java.nio.file.attribute.FileTime.fromMillis(
       System.currentTimeMillis() - 2 * VersionedTable.DefaultStaleSlotMs)
     samples(opsGen, 4).zipWithIndex.foreach { case (opsSeq, si) =>
@@ -217,6 +221,48 @@ class PropertySpec extends SparkSpec {
               vt.root.resolve("locks").resolve(s"main-v${orphan.version}"), past)
             vt.vacuum(retainLast = 1000) // replays the lost ref advance
             assert(vt.head("main").map(_.id) === Some(orphan.id))
+            expectedRows ::= v
+          case 3 => // clean fast-forward merge: slot-serialized ref advance
+            val b = s"dev${si}_$i"
+            vt.createBranch(b, "main")
+            vt.write(List(v).toDF("x"), b, s"side$v", mode = "append")
+            val merged = vt.merge(b, "main") // FF: claims main-v<merged.version>
+            assert(vt.head("main").map(_.id) === Some(merged.id))
+            // the closed race: a zombie writer still holding the PRE-merge
+            // head targets exactly the slot the FF claimed — it must lose
+            // the CAS instead of silently overwriting the merged ref
+            intercept[java.util.ConcurrentModificationException] {
+              graft.vt.CommitLog.claimVersionSlot(
+                vt.root.resolve("locks"), "main", merged.version)
+            }
+            // an aged-slot vacuum must KEEP a completed FF's slot (it is the
+            // CAS record for that version), not reclaim it
+            Files.setLastModifiedTime(
+              vt.root.resolve("locks").resolve(s"main-v${merged.version}"), past)
+            vt.vacuum(retainLast = 1000)
+            assert(Files.exists(vt.root.resolve("locks").resolve(s"main-v${merged.version}")),
+              "completed-FF slot was reclaimed")
+            assert(vt.head("main").map(_.id) === Some(merged.id))
+            vt.deleteBranch(b)
+            expectedRows ::= v
+          case 4 => // crash between the FF merge's slot claim and its ref write
+            val b = s"dev${si}_$i"
+            vt.createBranch(b, "main")
+            val side = vt.write(List(v).toDF("x"), b, s"side$v", mode = "append")
+            val next = vt.head("main").get.version + 1
+            graft.vt.CommitLog.claimVersionSlot(
+              vt.root.resolve("locks"), "main", next, content = "ff:" + side.id)
+            // wedged: both a plain write and the merge retry lose the CAS
+            intercept[java.util.ConcurrentModificationException] {
+              vt.merge(b, "main")
+            }
+            assert(vt.head("main").map(_.version) === Some(next - 1)) // no ref advance
+            Files.setLastModifiedTime(vt.root.resolve("locks").resolve(s"main-v$next"), past)
+            vt.vacuum(retainLast = 1000) // reclaims the crashed FF's slot (head never descended)
+            val merged = vt.merge(b, "main") // retry lands
+            assert(merged.id === side.id)
+            assert(vt.head("main").map(_.id) === Some(side.id))
+            vt.deleteBranch(b)
             expectedRows ::= v
         }
         // invariants after every step: versions 0..head gap-free and
