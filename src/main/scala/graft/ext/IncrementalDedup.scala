@@ -21,9 +21,16 @@ import graft.vt.VersionedTable
   * increment: exact screening is a sha semi-join (64-byte keys), near-dup
   * screening bands the increment against the corpus representatives' capped
   * band buckets — increment docs meet only co-bucketed corpus docs, never
-  * all of them. At 100 TB the corpus-side signatures would be persisted as a
-  * companion versioned table and maintained per commit (same O(delta)
-  * maintenance as `q_vt_incremental`); here they are computed in one scan.
+  * all of them.
+  *
+  * Corpus-side signatures are PERSISTED as a companion versioned table
+  * ([[maintainSignatureTable]]) maintained per corpus commit from the CDC
+  * delta alone — the same O(delta) IVM pattern as `q_vt_incremental`
+  * (`ops/Versioned.scala`). The profile therefore never touches corpus TEXT:
+  * its plan scans only the signature table plus the increment's delta files
+  * (pinned by a VersionedTableSpec inputFiles assertion). Shingling + K
+  * minhash passes — the expensive per-byte work — happen exactly once per
+  * document, at ingest, not once per screening run.
   *
   * Every stage replays bit-identically in DuckDB over the same corpus /
   * increment split (`doc_id % 5`), so the whole incremental pipeline —
@@ -49,36 +56,84 @@ object IncrementalDedup {
     s"transform(sequence(0, ${Bands - 1}), b -> aggregate(slice(sig, b * $RowsPerBand + 1, " +
       s"$RowsPerBand), CAST(7 AS BIGINT), (acc, x) -> (acc * 1000003 + x) % $P))"
 
+  /** Signature rows for a set of docs: `(doc_id, sha, shingles, sig)` — the
+    * text itself is deliberately NOT carried: sha covers exact screening,
+    * sig covers banding, shingles cover Jaccard verification of the few
+    * candidates. (Storing shingles trades ~text-sized storage for never
+    * re-reading candidate docs' text at screening time; persisting only the
+    * K-long sig and point-reading candidates is the lower-storage variant.) */
+  private def sigRows(docs: DataFrame): DataFrame =
+    withSig(docs.select(col("doc_id"), col("text")))
+      .withColumn("sha", sha2(col("text"), 256))
+      .select("doc_id", "sha", "shingles", "sig")
+
+  /** Advance the companion SIGNATURE TABLE to the corpus table's head:
+    * version N of `sigVt` holds `(doc_id, sha, shingles, sig)` for every doc
+    * in version N of `vt`. Each append interval is maintained from its CDC
+    * delta alone — O(increment) shingling + one append commit, the
+    * `q_vt_incremental` IVM pattern — so the per-byte signature work happens
+    * once per document at ingest. A non-append interval (overwrite/upsert/
+    * revert) cannot be folded incrementally (signatures of removed docs must
+    * disappear); those versions rebuild from the full snapshot, exactly like
+    * any IVM falling back to recompute on a non-monotone change. */
+  def maintainSignatureTable(vt: VersionedTable, sigVt: VersionedTable,
+                             branch: String = "main"): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val corpusHead = vt.head(branch).map(_.version).getOrElse(return)
+    val from = sigVt.head(branch).map(_.version + 1).getOrElse(0L)
+    val byVersion = vt.lineage(branch).map(c => c.version -> c).toMap
+    (from to corpusHead).foreach { v =>
+      val appendOnly = v > 0 &&
+        byVersion(v - 1).files.toSet.subsetOf(byVersion(v).files.toSet)
+      val (delta, mode) =
+        if (v == 0) (vt.readVersion(spark, branch, 0), "overwrite") // initial build
+        else if (appendOnly)
+          (vt.changes(spark, branch, v - 1, v).drop("change_type"), "append")
+        else (vt.readVersion(spark, branch, v), "overwrite") // IVM recompute fallback
+      sigVt.write(sigRows(delta), branch, s"signatures for corpus v$v", mode = mode)
+    }
+  }
+
   /** Profile of one arrival increment against the corpus snapshot:
     * `(doc_id, is_exact_dup, exact_rep, n_near, min_partner)` per increment
     * doc, where near-dup screening runs only for docs that are not already
-    * exact duplicates (the standard drop-exact-first cascade). */
+    * exact duplicates (the standard drop-exact-first cascade). The corpus
+    * side is read EXCLUSIVELY from the persisted signature table — the plan
+    * never scans corpus text (VersionedTableSpec pins this via inputFiles). */
   def incrementalProfile(docs: DataFrame, scratch: String): DataFrame = {
-    val spark = docs.sparkSession
     val vt = VersionedTable.create(Tables.scratch(scratch))
+    val sigVt = VersionedTable.create(Tables.scratch(scratch + "_sigs"))
     vt.write(docs.where(col("doc_id") % 5 =!= 0), "main", "v0: corpus snapshot")
+    maintainSignatureTable(vt, sigVt) // one-time O(corpus) build at ingest
     vt.write(docs.where(col("doc_id") % 5 === 0), "main", "v1: arrival increment",
       mode = "append")
-    val corpus = vt.readVersion(spark, "main", 0)
-    // append-only CDC fast path: scans ONLY the increment's delta files
-    val inc = vt.changes(spark, "main", 0, 1).drop("change_type")
+    maintainSignatureTable(vt, sigVt) // O(increment) append
+    profileAgainstSignatures(vt, sigVt, corpusVersion = 0, incTo = 1)
+  }
 
-    // exact screening: corpus exact-dup groups collapse to their min-doc_id
-    // representative; an increment doc matching any corpus sha is flagged
-    // text joins the GROUP KEY instead of a min(text) buffer: sha determines
-    // text (sha = sha256(text)), so groups are identical — but a string in
-    // the aggregation buffer would force SortAggregate (ScaleSpec audit),
-    // while string group keys hash-aggregate fine, same bytes on the wire
-    val corpusReps = corpus.select(col("doc_id"), col("text"))
-      .withColumn("sha", sha2(col("text"), 256))
-      .groupBy("sha", "text").agg(min("doc_id").as("rep_id"))
+  /** The screening itself: increment delta (CDC fast path — only v0→v1 delta
+    * files) against the signature table at `corpusVersion`. */
+  def profileAgainstSignatures(vt: VersionedTable, sigVt: VersionedTable,
+                               corpusVersion: Long, incTo: Long): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    // append-only CDC fast path: scans ONLY the increment's delta files
+    val inc = vt.changes(spark, "main", corpusVersion, incTo).drop("change_type")
+    val sigs0 = sigVt.readVersion(spark, "main", corpusVersion)
+
+    // exact-dup collapse on the SIGNATURE table: min doc_id per sha is the
+    // representative (primitive agg buffer → HashAggregate), then a self
+    // equi-join on doc_id = rep_id recovers the rep's stored shingles/sig —
+    // no corpus text is ever read, and nothing is ever re-shingled
+    val corpusReps = sigs0.groupBy("sha").agg(min("doc_id").as("rep_id"))
+    val corpusSig = sigs0
+      .join(corpusReps.select(col("rep_id")), col("doc_id") === col("rep_id"))
+      .select(col("rep_id"), col("shingles"), col("sig"))
     val screened = inc.select(col("doc_id"), col("text"))
       .withColumn("sha", sha2(col("text"), 256))
       .join(corpusReps.select(col("sha"), col("rep_id")), Seq("sha"), "left")
     val fresh = screened.where(col("rep_id").isNull).select("doc_id", "text")
 
     // near-dup screening: increment bands probe the corpus reps' capped buckets
-    val corpusSig = withSig(corpusReps.select(col("rep_id"), col("text")))
     val corpusBanded = corpusSig
       .select(col("rep_id"), posexplode(expr(bandFold)).as(Seq("band", "band_hash")))
       .withColumn("rn", row_number().over(

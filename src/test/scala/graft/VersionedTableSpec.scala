@@ -638,4 +638,45 @@ class VersionedTableSpec extends SparkSpec {
     assert(commits.forall(_.getFileName.toString.endsWith(".json")))
     assert(!commits.exists(_.getFileName.toString.contains(".tmp")))
   }
+
+  test("signature table advances per corpus commit; screening never scans corpus text") {
+    import graft.ext.IncrementalDedup
+    val docs = Tables.documents(spark, sf)
+    val vt = freshVt("sig_corpus")
+    val sigVt = freshVt("sig_table")
+    // v0: corpus snapshot → one-time signature build at the same version
+    vt.write(docs.where(col("doc_id") % 5 =!= 0), "main", "v0")
+    IncrementalDedup.maintainSignatureTable(vt, sigVt)
+    assert(sigVt.head("main").map(_.version) === Some(0L))
+    val corpusCount = vt.readVersion(spark, "main", 0).count()
+    assert(sigVt.readVersion(spark, "main", 0).count() === corpusCount)
+    // v1: append increment → signature table advances O(delta), in lockstep
+    vt.write(docs.where(col("doc_id") % 5 === 0), "main", "v1", mode = "append")
+    IncrementalDedup.maintainSignatureTable(vt, sigVt)
+    assert(sigVt.head("main").map(_.version) === Some(1L))
+    assert(sigVt.read(spark, "main").count() === docs.count())
+    // maintenance is idempotent: already caught up → no new version
+    IncrementalDedup.maintainSignatureTable(vt, sigVt)
+    assert(sigVt.head("main").map(_.version) === Some(1L))
+    // sig rows carry signatures, never text
+    assert(!sigVt.read(spark, "main").columns.contains("text"))
+
+    // THE scale claim: the screening plan reads the signature table and the
+    // increment's v0→v1 delta files — not one byte of corpus v0 text
+    val profile = IncrementalDedup.profileAgainstSignatures(
+      vt, sigVt, corpusVersion = 0, incTo = 1)
+    val corpusFiles = vt.readVersion(spark, "main", 0).inputFiles.toSet
+    val scanned = profile.inputFiles.toSet
+    assert(scanned.intersect(corpusFiles).isEmpty,
+      s"profile scans corpus snapshot files: ${scanned.intersect(corpusFiles)}")
+    assert(scanned.exists(_.contains("sig_table")), "profile must read the signature table")
+    assert(profile.count() > 0)
+
+    // non-append interval (overwrite) falls back to a full signature rebuild
+    vt.write(docs.where(col("doc_id") % 7 === 0), "main", "v2 overwrite")
+    IncrementalDedup.maintainSignatureTable(vt, sigVt)
+    assert(sigVt.head("main").map(_.version) === Some(2L))
+    assert(sigVt.read(spark, "main").count() ===
+      docs.where(col("doc_id") % 7 === 0).count())
+  }
 }
