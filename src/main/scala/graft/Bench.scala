@@ -3,8 +3,24 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times the headline queries (Registry.benchNames) on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Failures are recorded as -1
   * for that query and EXCLUDED from the total (with an "errors" list), so a
-  * crashing query can never make the bench number look better. */
+  * crashing query can never make the bench number look better.
+  *
+  * SELF-ADJUDICATING artifact: three rounds running, the committed bench
+  * artifact disagreed with clean re-runs because something heavy shared the
+  * machine (r9: 5.2x -> 1.2x; r11: 1.30x -> 0.83x). The JSON therefore
+  * carries (a) PER-PASS totals and per-query per-pass times — a contended
+  * run shows uniform inflation across passes/queries, a real regression
+  * shows one query slow in EVERY pass; (b) /proc/loadavg snapshots before
+  * and after (fields: 1/5/15-min load + running/total processes), so a
+  * reader can see the machine state without guessing; and (c)
+  * "core_spread" = max/min of per-pass core totals — >1.3 means the box was
+  * noisy and the min (which `total_core` already is) is the number to trust.
+  * Default is min-of-3 (SPARK_GRAFT_BENCH_RUNS), matching the scale gate. */
 object Bench {
+  private def loadavg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+    catch { case _: Throwable => "unavailable" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -16,16 +32,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadStart = loadavg()
     // Warm the JVM (codegen, parquet reader, shuffle machinery) once so the
     // first timed query doesn't pay classloading costs.
     try spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().count()
     catch { case _: Throwable => () }
     val names = Registry.benchNames.filter(Registry.byName.contains)
-    // Two passes in one JVM, min per query: a single noisy run (GC pause,
-    // page-cache miss, CI neighbor) can neither masquerade as nor mask a
-    // real plan regression when the min of two runs is what gets compared.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // Min over passes in one JVM: a single noisy run (GC pause, page-cache
+    // miss, CI neighbor) can neither masquerade as nor mask a real plan
+    // regression when the min is what gets compared.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     def timeOnce(name: String): Double = {
       val fn = Registry.byName(name).impl
       val t0 = System.nanoTime()
@@ -39,7 +56,12 @@ object Bench {
       val ok = passes.map(_(n)).filter(_ >= 0)
       (n, if (ok.isEmpty) -1.0 else ok.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val loadEnd = loadavg()
+    def f(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    val queryPasses = names.map { n =>
+      "\"" + n + "\":[" + passes.map(p => f(p(n))).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
@@ -48,7 +70,14 @@ object Bench {
     // `total` keeps growing as new operators join benchNames.
     val core = Registry.benchCoreNames.toSet
     val totalCore = results.collect { case (k, v) if v >= 0 && core(k) => v }.sum
-    println(s"""{"metric":"total","value":$total,"total_core":$totalCore,"unit":"sec","runs":$runs,"queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    val passCore = passes.map(p =>
+      p.collect { case (k, v) if v >= 0 && core(k) => v }.sum)
+    val passTotal = passes.map(p => p.values.filter(_ >= 0).sum)
+    val spread = if (passCore.nonEmpty && passCore.min > 0) passCore.max / passCore.min else -1.0
+    println(s"""{"metric":"total","value":${f(total)},"total_core":${f(totalCore)},"unit":"sec","runs":$runs,""" +
+      s""""pass_total_core":[${passCore.map(f).mkString(",")}],"pass_total":[${passTotal.map(f).mkString(",")}],""" +
+      s""""core_spread":${f(spread)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
+      s""""queries":$qs,"query_passes":$queryPasses,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

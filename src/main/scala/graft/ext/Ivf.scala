@@ -132,7 +132,7 @@ object Ivf {
   private[ext] val assignCentroids: Seq[Array[Double]] =
     (0 until 4).map(j => Array.tabulate(64)(i => ((j * 31 + i * 7) % 21 - 10) / 50.0))
 
-  private def assignDistSql(c: Array[Double]): String = {
+  private[ext] def assignDistSql(c: Array[Double]): String = {
     val lst = c.map(_.toString).mkString("[", ", ", "]")
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), " +
       s"i -> (CAST(embedding[i] AS DOUBLE) - ($lst)[i]) * (CAST(embedding[i] AS DOUBLE) - ($lst)[i]))), " +

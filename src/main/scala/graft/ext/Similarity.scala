@@ -178,5 +178,88 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(qTopkCosine, qAnnLsh, qAnnMultiProbe, qVectorMath)
+  /** Recall@k of each ANN path against the exact brute-force ground truth,
+    * as a STANDING ORACLE ROW — the quality claim of the ANN family, machine-
+    * checked per round instead of only spec-asserted on planted clusters.
+    * Everything upstream is seed-pinned (hyperplanes, IVF centroids), so the
+    * per-query recall is deterministic and DuckDB replays the whole
+    * computation: exact top-10, then LSH / multi-probe LSH / IVF top-10, and
+    * |ANN ∩ exact| / |exact| per (method, query) — the multi-probe row makes
+    * the recall/cost dial visible next to its single-bucket base. ExtSpec
+    * asserts a recall floor so a silent quality regression (e.g. a bucketing
+    * change that tanks recall while staying "correct") fails the suite. */
+  val qAnnRecall: QueryDef = q("q_ann_recall")(
+    s"""WITH b AS (SELECT vec_id, embedding, ${duckBucketSql("embedding")} AS bucket FROM embeddings),
+       |     qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+       |     se AS (SELECT qid, e.vec_id AS cid, ${duckCosine("qe", "e.embedding")} AS score
+       |            FROM qs JOIN embeddings e ON e.vec_id <> qid),
+       |     re AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk FROM se),
+       |     exact AS (SELECT qid, cid FROM re WHERE rnk <= 10),
+       |     ql AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM b WHERE vec_id < 8),
+       |     sl AS (SELECT qid, c.vec_id AS cid, ${duckCosine("qe", "c.embedding")} AS score
+       |            FROM ql JOIN b c ON ql.bucket = c.bucket AND c.vec_id <> qid),
+       |     rl AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk FROM sl),
+       |     lsh AS (SELECT qid, cid FROM rl WHERE rnk <= 10),
+       |     dv AS (SELECT vec_id, embedding,
+       |                   [${Ivf.searchCentroids.map(Ivf.assignDistSql).mkString(",\n                    ")}] AS ds
+       |            FROM embeddings),
+       |     corpus AS (SELECT vec_id AS cid, embedding AS ce,
+       |                       CAST(list_position(ds, list_min(ds)) - 1 AS INTEGER) AS cell FROM dv),
+       |     probes AS (SELECT vec_id AS qid, embedding AS qe,
+       |                       unnest(list_transform(list_slice(list_sort(
+       |                         list_transform(range(1, 9), i -> {'d': ds[i], 'i': CAST(i - 1 AS INTEGER)})),
+       |                         1, 2), s2 -> s2.i)) AS cell
+       |                FROM dv WHERE vec_id < 8),
+       |     si AS (SELECT qid, cid, ${duckCosine("qe", "ce")} AS score
+       |            FROM probes JOIN corpus ON probes.cell = corpus.cell AND cid <> qid),
+       |     ri AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk FROM si),
+       |     ivf AS (SELECT qid, cid FROM ri WHERE rnk <= 10),
+       |     q0 AS (SELECT vec_id AS qid, bucket AS b0 FROM b WHERE vec_id < 8),
+       |     pm AS (SELECT qid, unnest(list_distinct(list_prepend(b0,
+       |              list_transform(range(0, 8), i -> xor(b0, 1::BIGINT << i))))) AS bucket
+       |            FROM q0),
+       |     candm AS (SELECT DISTINCT qid, c.vec_id AS cid
+       |               FROM pm JOIN b c ON pm.bucket = c.bucket AND c.vec_id <> qid),
+       |     sm AS (SELECT qid, cid, ${duckCosine("qe.embedding", "ce.embedding")} AS score
+       |            FROM candm JOIN embeddings qe ON qe.vec_id = qid
+       |                       JOIN embeddings ce ON ce.vec_id = cid),
+       |     rm AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk FROM sm),
+       |     mp AS (SELECT qid, cid FROM rm WHERE rnk <= 10),
+       |     rec_l AS (SELECT e.qid, count(*) AS n_exact,
+       |                      CAST(sum(CASE WHEN l.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+       |               FROM exact e LEFT JOIN lsh l ON e.qid = l.qid AND e.cid = l.cid
+       |               GROUP BY e.qid),
+       |     rec_m AS (SELECT e.qid, count(*) AS n_exact,
+       |                      CAST(sum(CASE WHEN m.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+       |               FROM exact e LEFT JOIN mp m ON e.qid = m.qid AND e.cid = m.cid
+       |               GROUP BY e.qid),
+       |     rec_i AS (SELECT e.qid, count(*) AS n_exact,
+       |                      CAST(sum(CASE WHEN i.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+       |               FROM exact e LEFT JOIN ivf i ON e.qid = i.qid AND e.cid = i.cid
+       |               GROUP BY e.qid)
+       |SELECT method, qid, n_exact, n_hit,
+       |       CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+       |FROM (SELECT 'lsh' AS method, * FROM rec_l
+       |      UNION ALL SELECT 'lsh_mp' AS method, * FROM rec_m
+       |      UNION ALL SELECT 'ivf' AS method, * FROM rec_i)
+       |ORDER BY method, qid""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.where(col("vec_id") < 8)
+    val exact = bruteForceTopK(emb, queries, 10).select("qid", "cid")
+    def recallOf(method: String, ann: DataFrame): DataFrame =
+      exact.join(ann.select(col("qid"), col("cid")).withColumn("hit", lit(1L)),
+          Seq("qid", "cid"), "left")
+        .groupBy("qid")
+        .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(lit(method).as("method"), col("qid"), col("n_exact"), col("n_hit"),
+          (col("n_hit").cast(DoubleType) / col("n_exact").cast(DoubleType)).as("recall"))
+    recallOf("lsh", annTopK(emb, queries, 10))
+      .unionByName(recallOf("lsh_mp", annTopKMultiProbe(emb, queries, 10)))
+      .unionByName(recallOf("ivf",
+        Ivf.ivfTopK(emb, queries, 10, Ivf.searchCentroids, nprobe = 2)))
+      .orderBy("method", "qid")
+  }
+
+  val defs: Seq[QueryDef] = Seq(qTopkCosine, qAnnLsh, qAnnMultiProbe, qVectorMath,
+    qAnnRecall)
 }

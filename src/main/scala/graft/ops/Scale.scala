@@ -275,6 +275,52 @@ object Scale {
       .orderBy("l_returnflag")
   }
 
+  /** Z-order layout + both probe reads, factored out so ScaleSpec can assert
+    * the FILE-SKIPPING mechanism (inputFiles < snapshot files on EACH
+    * dimension) against exactly the layout and literals the oracle row runs.
+    * The min/max normalization bounds come from one driver-side action —
+    * the adaptive plan-construction pattern (SURVEY.md §3.3). */
+  def zorderProbes(s: SparkSession, d: String, scratch: String):
+      (graft.vt.VersionedTable, DataFrame, DataFrame) = {
+    val orders = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+    val Array(okMin, okMax, tpMin, tpMax) = orders.selectExpr(
+      "CAST(min(o_orderkey) AS DOUBLE)", "CAST(max(o_orderkey) AS DOUBLE)",
+      "min(o_totalprice)", "max(o_totalprice)")
+      .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+    val z = zValue(col("o_orderkey"), col("o_totalprice"), okMin, okMax, tpMin, tpMax)
+    val vt = graft.vt.VersionedTable.create(Tables.scratch(scratch))
+    // sort the LAYOUT by the interleaved z-value: each file then covers a
+    // small rectangle of (key, price) space, so its min/max stats are tight
+    // on BOTH columns and either predicate prunes files before the scan
+    vt.write(orders.withColumn("__z", z).repartitionByRange(8, col("__z"))
+      .sortWithinPartitions("__z").drop("__z"), "main", "zorder layout",
+      statsCols = Seq("o_orderkey", "o_totalprice"))
+    val byKey = vt.readWhere(s, "main", "o_orderkey", 100d, 500d)
+    val byPrice = vt.readWhere(s, "main", "o_totalprice", 1000d, 20000d)
+    (vt, byKey, byPrice)
+  }
+
+  /** 2-D clustering surfaced as an oracle row: write a [[zValue]]-sorted
+    * layout through the versioned writer's per-file stats, then answer one
+    * range probe PER DIMENSION via the stats-pruned read — Delta/Iceberg
+    * `OPTIMIZE ZORDER` semantics. The oracle is the same two relational
+    * filters on the unsorted table: layout must never change answers.
+    * ScaleSpec asserts both probes read fewer files than the snapshot
+    * holds — the actual multi-dimensional skipping claim. */
+  val qZorder: QueryDef = q("q_zorder")(
+    """SELECT 'by_key' AS probe, o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_orderkey BETWEEN 100 AND 500
+      |UNION ALL
+      |SELECT 'by_price' AS probe, o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_totalprice BETWEEN 1000 AND 20000
+      |ORDER BY probe, o_orderkey""".stripMargin) { (s, d) =>
+    val (_, byKey, byPrice) = zorderProbes(s, d, "vt_zorder")
+    byKey.withColumn("probe", lit("by_key"))
+      .unionByName(byPrice.withColumn("probe", lit("by_price")))
+      .select("probe", "o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("probe", "o_orderkey")
+  }
+
   val defs: Seq[QueryDef] = Seq(qAggSalted, qJoinBucketed, qPartitionedScan,
-    qRepartitionReuse, qJoinBloom, qRankScalable, qJoinSalted)
+    qRepartitionReuse, qJoinBloom, qRankScalable, qJoinSalted, qZorder)
 }

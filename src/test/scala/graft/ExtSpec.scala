@@ -186,4 +186,21 @@ class ExtSpec extends SparkSpec {
     assert(out(10L) === ((10L, false, None, 2L, Some(1L))), s"near: ${out(10L)}")
     assert(out(15L) === ((15L, false, None, 0L, None)), s"fresh: ${out(15L)}")
   }
+
+  test("q_ann_recall floors: IVF mean recall holds and multi-probe never trails plain LSH") {
+    // the standing oracle row measures recall on UNIFORM RANDOM vectors —
+    // the adversarial regime for LSH (true neighbors are barely closer than
+    // strangers), so plain single-bucket LSH recall is legitimately near 0
+    // there (planted-cluster recall above is where LSH earns its keep).
+    // What must NOT regress silently: IVF with nprobe=2/8 keeps real recall,
+    // and widening the probe set can only help.
+    val rows = graft.ext.Similarity.qAnnRecall.impl(spark, sf)
+      .select("method", "recall").as[(String, Double)].collect()
+    assert(rows.length === 24, s"expected 3 methods x 8 queries, got ${rows.length}")
+    assert(rows.forall { case (_, r) => r >= 0.0 && r <= 1.0 })
+    def mean(m: String) = { val v = rows.collect { case (`m`, r) => r }; v.sum / v.length }
+    assert(mean("ivf") >= 0.3, f"IVF mean recall ${mean("ivf")}%.2f < 0.3 floor")
+    assert(mean("lsh_mp") >= mean("lsh"),
+      f"multi-probe mean ${mean("lsh_mp")}%.2f below single-bucket ${mean("lsh")}%.2f")
+  }
 }

@@ -252,6 +252,16 @@ class ScaleSpec extends SparkSpec {
       s"new SortAggregate sites (non-primitive agg buffers): $offenders")
   }
 
+  test("q_zorder probes skip files on BOTH dimensions (2-D clustering does its job)") {
+    val (vt, byKey, byPrice) = graft.ops.Scale.zorderProbes(spark, sf, "test_q_zorder")
+    val nFiles = vt.head("main").get.files.size
+    assert(nFiles > 1, "layout produced a single file — skipping unprovable")
+    assert(byKey.inputFiles.length < nFiles,
+      s"no file skipping on o_orderkey: ${byKey.inputFiles.length}/$nFiles")
+    assert(byPrice.inputFiles.length < nFiles,
+      s"no file skipping on o_totalprice: ${byPrice.inputFiles.length}/$nFiles")
+  }
+
   test("q_vdt2_scalable drops the order-only sort and the window, equal to the parity form") {
     val df = graft.ops.Pipelines.qVdt2Scalable.impl(spark, sf)
     val plan = executedPlan(df).toString
