@@ -248,6 +248,33 @@ object Versioned {
       .orderBy("change_type", "n_nationkey")
   }
 
+  /** File-granular CDC over a COPY-ON-WRITE upsert interval: v0 is a
+    * key-range layout with per-file key stats; the upsert touches only keys
+    * 0–4, so COW rewrites just the file(s) whose stats admit those keys and
+    * carries every other file forward untouched. `changes(0,1)` then diffs
+    * ONLY touched+new files — common files cancel by metadata alone
+    * (VersionedTableSpec pins the inputFiles claim). Output: the 5 updated
+    * rows as inserts plus their old forms as deletes. */
+  val qVtChangesUpsert: QueryDef = q("q_vt_changes_upsert")(
+    """SELECT * FROM (
+      |  SELECT 'insert' AS change_type, n_nationkey, lower(n_name) AS n_name, n_regionkey
+      |  FROM nation WHERE n_nationkey < 5
+      |  UNION ALL
+      |  SELECT 'delete' AS change_type, n_nationkey, n_name, n_regionkey
+      |  FROM nation WHERE n_nationkey < 5)
+      |ORDER BY change_type, n_nationkey""".stripMargin) { (s, d) =>
+    val vt = VersionedTable.create(Tables.scratch("vt_changes_upsert"))
+    val nation = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+    vt.write(nation.repartitionByRange(4, col("n_nationkey")), "main",
+      "v0 range layout", statsCols = Seq("n_nationkey"))
+    val updates = nation.where(col("n_nationkey") < 5)
+      .withColumn("n_name", lower(col("n_name")))
+    vt.upsert(s, updates, keyCols = Seq("n_nationkey"))
+    vt.changes(s, "main", fromVersion = 0, toVersion = 1)
+      .select("change_type", "n_nationkey", "n_name", "n_regionkey")
+      .orderBy("change_type", "n_nationkey")
+  }
+
   /** Commit history metadata (ts and file counts are run-dependent — project
     * them away so the remaining columns are oracle-exact). */
   val qVtHistory: QueryDef = q("q_vt_history")(
@@ -330,6 +357,6 @@ object Versioned {
 
   val defs: Seq[QueryDef] = Seq(qVtWriteVersions, qVtReadLatest, qVtTimeTravel,
     qVtBranch, qVtCommit, qVtDiff, qVtMerge, qVtRevert, qVtVacuum, qVtObjects,
-    qVtSkipRead, qVtAppend, qRepoCommit, qVtChanges, qVtHistory, qVtUpsert,
-    qVtIncremental, qVtTsTravel)
+    qVtSkipRead, qVtAppend, qRepoCommit, qVtChanges, qVtChangesUpsert,
+    qVtHistory, qVtUpsert, qVtIncremental, qVtTsTravel)
 }

@@ -225,10 +225,20 @@ final class VersionedTable private (val root: Path) {
   /** Delta-style MERGE (upsert): source rows REPLACE current rows sharing
     * their key (WHEN MATCHED UPDATE ALL) and are INSERTED otherwise, as a
     * NEW version — old versions still time-travel. Relational core: one
-    * left-anti join of the current snapshot against the distinct source
-    * keys, then a union — both shuffle only on the key columns, so the plan
-    * is two key-partitioned exchanges regardless of table width or scale.
-    * Schemas must match (same enforcement rationale as append).
+    * left-anti join of the touched rows against the distinct source keys,
+    * then a union — both shuffle only on the key columns, so the plan is two
+    * key-partitioned exchanges regardless of table width or scale. Schemas
+    * must match (same enforcement rationale as append).
+    *
+    * COPY-ON-WRITE, file-granular (Delta MERGE's file pruning): a parent
+    * file whose per-file [min,max] stats on some key column are DISJOINT
+    * from the source's key range provably contains no matched key — it is
+    * carried into the new version UNTOUCHED (and keeps its stats entry).
+    * Only the remaining files are rewritten. On a key-clustered petabyte
+    * table a point-range upsert rewrites a handful of files, and the
+    * file-granular [[changes]] diff over that interval scans only
+    * touched+new files. Files without numeric key stats are conservatively
+    * rewritten; correctness never depends on pruning.
     *
     * The source must be key-unique: Delta's MERGE errors when multiple source
     * rows match one target row, and silently keeping every duplicate would
@@ -239,27 +249,66 @@ final class VersionedTable private (val root: Path) {
   def upsert(spark: SparkSession, source: DataFrame, keyCols: Seq[String],
              branch: String = "main", message: String = ""): Commit = synchronized {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
-    import org.apache.spark.sql.functions.{count, lit}
-    val dup = source.groupBy(keyCols.map(org.apache.spark.sql.functions.col): _*)
-      .agg(count(lit(1)).as("__n")).where(org.apache.spark.sql.functions.col("__n") > 1)
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    val dup = source.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).where(col("__n") > 1)
       .limit(1).collect()
     if (dup.nonEmpty) throw new IllegalArgumentException(
       s"upsert source is not unique on (${keyCols.mkString(", ")}): e.g. key " +
         s"${dup.head.toSeq.init.mkString("(", ", ", ")")} appears ${dup.head.getLong(keyCols.size)} " +
         "times — source rows REPLACE rows sharing their key, so duplicates are ambiguous " +
         "(Delta MERGE raises the same error); de-duplicate the source first")
-    val current = read(spark, branch)
+    val parent = head(branch).getOrElse(
+      throw new IllegalArgumentException(s"no such branch: $branch"))
+    val schema = DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]
     // name+type equality (nullability-insensitive, including NESTED nullability:
     // reading parquet back relaxes nullable flags, which must not block an upsert)
-    require(current.schema.fields.map(f => (f.name, VersionedTable.nullNormalized(f.dataType))).toSeq ==
+    require(schema.fields.map(f => (f.name, VersionedTable.nullNormalized(f.dataType))).toSeq ==
         source.schema.fields.map(f => (f.name, VersionedTable.nullNormalized(f.dataType))).toSeq,
-      s"upsert schema mismatch on $branch: table has ${current.schema.simpleString} " +
+      s"upsert schema mismatch on $branch: table has ${schema.simpleString} " +
         s"but the source has ${source.schema.simpleString}")
-    import org.apache.spark.sql.functions.col
-    val keep = current.join(
+    // file pruning: source key range per NUMERIC key column (one bounded
+    // action, 2 doubles per key) vs the parent's per-file stats — the same
+    // range logic as readWhere. An empty source touches nothing.
+    val numKeys = keyCols.filter(k =>
+      schema(k).dataType != org.apache.spark.sql.types.StringType)
+    val srcRange: Map[String, (Double, Double)] =
+      if (numKeys.isEmpty) Map.empty
+      else {
+        val aggs = numKeys.flatMap(k => Seq(min(col(k).cast("double")).as(s"__mn_$k"),
+          max(col(k).cast("double")).as(s"__mx_$k")))
+        val r = source.agg(aggs.head, aggs.tail: _*).collect().head
+        numKeys.zipWithIndex.collect {
+          case (k, i) if !r.isNullAt(2 * i) && !r.isNullAt(2 * i + 1) =>
+            k -> (r.getDouble(2 * i), r.getDouble(2 * i + 1))
+        }.toMap
+      }
+    val (untouched, touched) = parent.files.partition { f =>
+      srcRange.exists { case (k, (smn, smx)) =>
+        parent.stats.get(f).flatMap(_.get(k)) match {
+          case Some((mn, mx)) => mx < smn || mn > smx // provably no matched key
+          case None => false
+        }
+      }
+    }
+    val touchedRows = readCommit(spark, parent.copy(files = touched))
+    val keep = touchedRows.join(
       source.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
-    write(keep.unionByName(source), branch,
-      if (message.isEmpty) s"upsert on (${keyCols.mkString(", ")})" else message)
+    val newFiles = writeDataFiles(keep.unionByName(source), branch, parent.version + 1)
+    // untouched files keep their stats; new files get fresh stats over the
+    // same column set the parent tracked (so skip-reads keep working)
+    val statCols = (parent.stats.values.flatMap(_.keys) ++
+      parent.strStats.values.flatMap(_.keys)).toSeq.distinct
+    val (newStats, newStrStats) =
+      if (statCols.isEmpty)
+        (Map.empty[String, Map[String, (Double, Double)]],
+          Map.empty[String, Map[String, (String, String)]])
+      else collectFileStats(spark, newFiles, statCols, schema)
+    publish(branch, Some(parent),
+      if (message.isEmpty) s"upsert on (${keyCols.mkString(", ")})" else message,
+      schema, untouched ++ newFiles,
+      parent.stats.view.filterKeys(untouched.contains).toMap ++ newStats,
+      strStats = parent.strStats.view.filterKeys(untouched.contains).toMap ++ newStrStats)
   }
 
   /** Stage a snapshot on `branch` without committing (lakeFS staging area,
@@ -739,9 +788,16 @@ final class VersionedTable private (val root: Path) {
     * subset check), so the decision costs no I/O.
     *
     * General path (overwrites/upserts/reverts in the interval): exceptAll
-    * both ways over the two immutable snapshots — the bag-semantics diff a
-    * downstream consumer replays. Shuffles on full rows; at scale restrict
-    * to key columns first. */
+    * both ways — but FILE-GRANULAR, not snapshot-granular. Files are
+    * immutable, so every file common to both snapshots contributes the same
+    * bag of rows to each side and cancels out of the bag difference exactly:
+    *   bag(to) ∖ bag(from) = bag(added files) ∖ bag(removed files).
+    * The plan therefore scans only the SYMMETRIC DIFFERENCE of the two file
+    * lists (decided from commit metadata, zero I/O). For a copy-on-write
+    * upsert that rewrote 1% of a petabyte table, that is a diff over ~2% of
+    * the files instead of two full snapshots. Rows that were merely COPIED
+    * into a rewritten file (same values, new file) appear in both restricted
+    * bags and cancel, so the output is still exactly the row-level delta. */
   def changes(spark: SparkSession, branch: String, fromVersion: Long,
               toVersion: Long): DataFrame = {
     import org.apache.spark.sql.functions.lit
@@ -770,8 +826,13 @@ final class VersionedTable private (val root: Path) {
         if (df.columns.contains(f.name)) col(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }: _*)
-      val before = align(readCommit(spark, from))
-      val after = align(readCommit(spark, to))
+      // file-granular restriction: common immutable files cancel, diff only
+      // the symmetric difference (removed files on the before side, added on
+      // the after side)
+      val toSet = to.files.toSet
+      val fromSet = from.files.toSet
+      val before = align(readCommit(spark, from.copy(files = from.files.filterNot(toSet))))
+      val after = align(readCommit(spark, to.copy(files = to.files.filterNot(fromSet))))
       after.exceptAll(before).withColumn("change_type", lit("insert"))
         .unionByName(before.exceptAll(after).withColumn("change_type", lit("delete")))
     }

@@ -639,6 +639,38 @@ class VersionedTableSpec extends SparkSpec {
     assert(!commits.exists(_.getFileName.toString.contains(".tmp")))
   }
 
+  test("copy-on-write upsert carries stats-pruned files forward; CDC diffs only the delta files") {
+    val vt = freshVt("cow_upsert")
+    val nation = Tables.nation(spark, sf).select("n_nationkey", "n_name", "n_regionkey")
+    val c0 = vt.write(nation.repartitionByRange(4, col("n_nationkey")), "main",
+      "v0 range layout", statsCols = Seq("n_nationkey"))
+    assert(c0.files.size > 1, "need multiple files to prove pruning")
+    val updates = nation.where(col("n_nationkey") < 5)
+      .withColumn("n_name", lower(col("n_name")))
+    val c1 = vt.upsert(spark, updates, keyCols = Seq("n_nationkey"))
+    // COW: files whose key range is disjoint from [0,4] survive verbatim...
+    val common = c0.files.toSet intersect c1.files.toSet
+    assert(common.nonEmpty, "COW upsert must carry untouched files forward")
+    // ...and keep their data-skipping stats; rewritten files get fresh ones
+    c1.files.foreach(f => assert(c1.stats.get(f).exists(_.contains("n_nationkey")),
+      s"missing key stats on $f after upsert"))
+    // the CDC plan scans ONLY the symmetric difference (common files cancel
+    // from commit metadata alone, before any I/O)
+    val cdc = vt.changes(spark, "main", 0, 1)
+    val scanned = cdc.inputFiles.toSet
+    common.foreach(f => assert(!scanned.exists(_.endsWith(f)),
+      s"CDC scanned an untouched common file: $f"))
+    // row-level delta is exactly the 5 updates (new form in, old form out)
+    val byType = cdc.groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType === Map("insert" -> 5L, "delete" -> 5L))
+    // and the head snapshot reads back merged
+    val head = vt.read(spark, "main")
+    assert(head.count() === nation.count())
+    assert(head.where(col("n_nationkey") < 5)
+      .select("n_name").as[String].collect().forall(n => n == n.toLowerCase))
+  }
+
   test("signature table advances per corpus commit; screening never scans corpus text") {
     import graft.ext.IncrementalDedup
     val docs = Tables.documents(spark, sf)
