@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Chaos-harness writer main (driven by ChaosSpec): hammers single-row
+  * appends at one versioned table from its OWN JVM, retrying cleanly on the
+  * version-slot CAS ConcurrentModificationException. ChaosSpec spawns
+  * several of these as real processes against one table root and SIGKILLs
+  * some mid-protocol — the cross-process twin of PropertySpec's in-JVM
+  * crash-point property: same invariants (gap-free monotonic versions,
+  * readable head, vacuum un-wedges), but with genuine process isolation,
+  * genuine kill -9, and the filesystem as the only coordination medium. */
+object ChaosWriter {
+  def main(args: Array[String]): Unit = {
+    val Array(dir, id, n) = args
+    val spark = SparkSession.builder().master("local[1]")
+      .config("spark.sql.shuffle.partitions", "1")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", s"/tmp/graft_warehouse_chaos_$id")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val vt = graft.vt.VersionedTable.open(dir)
+    var written = 0
+    while (written < n.toInt) {
+      try {
+        vt.write(Seq(id.toInt * 1000 + written).toDF("x"), "main",
+          s"writer$id-$written", mode = "append")
+        written += 1
+        println(s"[chaos$id] appended $written/$n")
+      } catch {
+        // lost the CAS to a sibling process — re-read the head and retry
+        case _: java.util.ConcurrentModificationException => Thread.sleep(20)
+      }
+    }
+    spark.stop()
+  }
+}
