@@ -28,6 +28,21 @@ private[vt] object Ancestry {
     false
   }
 
+  /** Ids of every commit reachable from `heads` through the FULL parent edge
+    * set (first parent + mergeParent) — a first-parent lineage walk would
+    * misclassify commits reachable only through a merge's second parent
+    * (e.g. the pre-merge source head after a fast-forward) as orphans. */
+  def reachableIds(load: String => Commit, heads: Seq[Commit]): Set[String] = {
+    val seen = mutable.Set.empty[String]
+    val queue = mutable.Queue.empty[Commit]
+    heads.foreach(c => if (seen.add(c.id)) queue.enqueue(c))
+    while (queue.nonEmpty) {
+      val c = queue.dequeue()
+      c.parents.foreach { pid => if (seen.add(pid)) queue.enqueue(load(pid)) }
+    }
+    seen.toSet
+  }
+
   /** A LOWEST common ancestor of `a` and `b`: breadth-first from `b` in level
     * order, returning the first commit contained in `a`'s ancestor closure.
     * Level order makes the result nearest-first, so after `merge(src, dst)`

@@ -265,38 +265,52 @@ final class Repo private (val root: Path) {
       .toDF("version", "message", "ts", "n_tables", "n_files")
   }
 
+  /** Full-DAG reachable closure of every branch head (merge commits have a
+    * second parent — [[Ancestry.reachableIds]]). */
+  private def reachableIds: Set[String] =
+    Ancestry.reachableIds(loadCommit, branches.flatMap(head))
+
+  /** Same crash recovery as the table layer ([[SlotSweep.sweepStaleSlots]]):
+    * a repo writer killed mid-publish otherwise wedges its branch forever
+    * (the claimed slot blocks every retry). Run by both vacuum dials. */
+  private def sweepStaleSlots(nowMs: Long, staleSlotMs: Long): Int =
+    SlotSweep.sweepStaleSlots(root, head, loadCommit, reachableIds,
+      (id, of) => isAncestor(id, of), nowMs, staleSlotMs)
+
   /** Repo-wide GC, same contract as VersionedTable.vacuum: delete data files
     * unreferenced by the newest `retainLast` commits of every branch (staged
-    * but uncommitted batches are always retained). Returns #files deleted. */
-  def vacuum(retainLast: Int = 1): Int = synchronized {
+    * but uncommitted batches and age-gated orphan-replay targets are always
+    * retained), after sweeping crashed writers' stale slots. Returns #files
+    * deleted. */
+  def vacuum(retainLast: Int = 1,
+             staleSlotMs: Long = VersionedTable.DefaultStaleSlotMs): Int = synchronized {
     require(retainLast >= 1, "retainLast must be >= 1")
+    sweepStaleSlots(System.currentTimeMillis(), staleSlotMs)
     val retained: Set[String] =
       (branches.flatMap(b => lineage(b).take(retainLast).flatMap(_.files)) ++
-        staged.values.flatMap(_.values.flatMap(_._1))).toSet
-    if (!Files.exists(dataDir)) return 0
-    val walk = Files.walk(dataDir)
-    import scala.jdk.CollectionConverters._
-    val all =
-      try walk.iterator().asScala
-        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-        .map(p => root.relativize(p).toString).toVector
-      finally walk.close()
-    val dead = all.filterNot(retained.contains)
-    dead.foreach(f => Files.deleteIfExists(root.resolve(f)))
-    dead.size
+        staged.values.flatMap(_.values.flatMap(_._1))).toSet ++
+        SlotSweep.slotProtectedFiles(root, loadCommit, reachableIds)
+    sweepData(retained)
   }
 
   /** Time-based repo GC, the Delta retention dial at repo scope: retain
     * commits younger than `retainHours` plus every branch head (the repo
     * must stay readable). `nowMs` is injectable for deterministic tests. */
   def vacuumRetainHours(retainHours: Double,
-                        nowMs: Long = System.currentTimeMillis()): Int = synchronized {
+                        nowMs: Long = System.currentTimeMillis(),
+                        staleSlotMs: Long = VersionedTable.DefaultStaleSlotMs): Int = synchronized {
     require(retainHours >= 0, "retainHours must be >= 0")
     val cutoff = nowMs - (retainHours * 3600 * 1000).toLong
+    sweepStaleSlots(nowMs, staleSlotMs)
     val retained: Set[String] =
       (branches.flatMap(b => lineage(b).zipWithIndex.collect {
         case (c, i) if i == 0 || c.ts >= cutoff => c.files // i==0 = the head
-      }.flatten) ++ staged.values.flatMap(_.values.flatMap(_._1))).toSet
+      }.flatten) ++ staged.values.flatMap(_.values.flatMap(_._1))).toSet ++
+        SlotSweep.slotProtectedFiles(root, loadCommit, reachableIds)
+    sweepData(retained)
+  }
+
+  private def sweepData(retained: Set[String]): Int = {
     if (!Files.exists(dataDir)) return 0
     val walk = Files.walk(dataDir)
     import scala.jdk.CollectionConverters._

@@ -154,6 +154,46 @@ class RepoSpec extends SparkSpec {
     assertThrows[Exception](repo.readTableAsOf(spark, "main", "a", 0).collect())
   }
 
+  test("repo vacuum un-wedges crashed writers: stale claims reclaimed, orphan refs replayed, FF slots kept") {
+    import java.nio.file.Files
+    val rootStr = Tables.scratch("repo_slot_sweep")
+    val repo = Repo.create(rootStr)
+    val root = java.nio.file.Paths.get(rootStr)
+    val past = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * graft.vt.VersionedTable.DefaultStaleSlotMs)
+    repo.stageWrite(Seq(1).toDF("x"), "main", "a")
+    repo.commit("main", "v0")
+    // crash case 1: slot claimed, nothing published — branch is wedged
+    graft.vt.CommitLog.claimVersionSlot(root.resolve("locks"), "main", 1)
+    repo.stageWrite(Seq(2).toDF("x"), "main", "a")
+    intercept[java.util.ConcurrentModificationException] { repo.commit("main", "wedged") }
+    Files.setLastModifiedTime(root.resolve("locks").resolve("main-v1"), past)
+    repo.vacuum(retainLast = 1000) // sweeps the stale claim
+    val c1 = repo.commit("main", "retry lands")
+    assert(c1.version === 1)
+    // crash case 2: commit published, ref advance lost — vacuum replays it
+    val refPath = root.resolve("refs").resolve("main")
+    val before = graft.vt.CommitLog.readString(refPath).trim
+    repo.stageWrite(Seq(3).toDF("x"), "main", "a")
+    val orphan = repo.commit("main", "lost ref")
+    graft.vt.CommitLog.writeAtomic(refPath, before) // simulate the crash
+    Files.setLastModifiedTime(root.resolve("locks").resolve(s"main-v${orphan.version}"), past)
+    repo.vacuum(retainLast = 1000)
+    assert(repo.head("main").map(_.id) === Some(orphan.id), "orphan ref advance not replayed")
+    assert(repo.readTable(spark, "main", "a").as[Int].collect() === Array(3))
+    // FF-merge slot: completed FF's CAS record survives an aged sweep
+    repo.createBranch("dev", "main")
+    repo.stageWrite(Seq(4).toDF("x"), "dev", "a")
+    val devHead = repo.commit("dev", "dev work")
+    val merged = repo.merge("dev", "main") // fast-forward, claims main-v<devHead.version>
+    assert(merged.id === devHead.id)
+    Files.setLastModifiedTime(root.resolve("locks").resolve(s"main-v${devHead.version}"), past)
+    repo.vacuum(retainLast = 1000)
+    assert(Files.exists(root.resolve("locks").resolve(s"main-v${devHead.version}")),
+      "completed-FF slot reclaimed")
+    assert(repo.head("main").map(_.id) === Some(devHead.id))
+  }
+
   test("branches are zero-copy and isolated across all tables") {
     val repo = Repo.create(Tables.scratch("repo_branch"))
     repo.stageWrite(Seq(1).toDF("x"), "main", "a")
