@@ -38,7 +38,11 @@ object Bench {
     try spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().count()
     catch { case _: Throwable => () }
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run (local iteration aid;
+    // the driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = Registry.benchNames.filter(Registry.byName.contains)
+      .filter(n => only.forall(_(n)))
     // Min over passes in one JVM: a single noisy run (GC pause, page-cache
     // miss, CI neighbor) can neither masquerade as nor mask a real plan
     // regression when the min is what gets compared.

@@ -62,10 +62,15 @@ object IncrementalDedup {
     * candidates. (Storing shingles trades ~text-sized storage for never
     * re-reading candidate docs' text at screening time; persisting only the
     * K-long sig and point-reading candidates is the lower-storage variant.) */
-  private def sigRows(docs: DataFrame): DataFrame =
-    withSig(docs.select(col("doc_id"), col("text")))
+  private def sigRows(docs: DataFrame): DataFrame = {
+    // spread the per-byte work (shingling + K minhash folds) across the
+    // cluster: the input often arrives as a 1-2 file snapshot/delta whose
+    // partitioning would otherwise serialize the signature build on one core
+    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    withSig(spread.select(col("doc_id"), col("text")))
       .withColumn("sha", sha2(col("text"), 256))
       .select("doc_id", "sha", "shingles", "sig")
+  }
 
   /** Advance the companion SIGNATURE TABLE to the corpus table's head:
     * version N of `sigVt` holds `(doc_id, sha, shingles, sig)` for every doc
