@@ -275,6 +275,35 @@ object Versioned {
       .orderBy("change_type", "n_nationkey")
   }
 
+  /** Delta-CDF-style per-commit change feed over a THREE-version history:
+    * v0 (partial load) → v1 (append) → v2 (copy-on-write upsert). The feed
+    * tags every delta row with its commit version, so the append's inserts
+    * and the upsert's insert/delete pairs arrive as separately replayable
+    * commits rather than one squashed diff. */
+  val qVtChangesFeed: QueryDef = q("q_vt_changes_feed")(
+    """SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS version, 'insert' AS change_type,
+      |         n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey >= 2
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT) AS version, 'insert' AS change_type,
+      |         n_nationkey, lower(n_name) AS n_name, n_regionkey FROM nation WHERE n_nationkey < 5
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT) AS version, 'delete' AS change_type,
+      |         n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey < 5)
+      |ORDER BY version, change_type, n_nationkey""".stripMargin) { (s, d) =>
+    val vt = VersionedTable.create(Tables.scratch("vt_changes_feed"))
+    val nation = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+    vt.write(nation.where(col("n_regionkey") < 2)
+      .repartitionByRange(2, col("n_nationkey")), "main", "v0 partial load",
+      statsCols = Seq("n_nationkey"))
+    vt.write(nation.where(col("n_regionkey") >= 2), "main", "v1 append", mode = "append")
+    vt.upsert(s, nation.where(col("n_nationkey") < 5)
+      .withColumn("n_name", lower(col("n_name"))), keyCols = Seq("n_nationkey"))
+    vt.changesFeed(s, "main", fromVersion = 0, toVersion = 2)
+      .select("version", "change_type", "n_nationkey", "n_name", "n_regionkey")
+      .orderBy("version", "change_type", "n_nationkey")
+  }
+
   /** Commit history metadata (ts and file counts are run-dependent — project
     * them away so the remaining columns are oracle-exact). */
   val qVtHistory: QueryDef = q("q_vt_history")(
@@ -358,5 +387,5 @@ object Versioned {
   val defs: Seq[QueryDef] = Seq(qVtWriteVersions, qVtReadLatest, qVtTimeTravel,
     qVtBranch, qVtCommit, qVtDiff, qVtMerge, qVtRevert, qVtVacuum, qVtObjects,
     qVtSkipRead, qVtAppend, qRepoCommit, qVtChanges, qVtChangesUpsert,
-    qVtHistory, qVtUpsert, qVtIncremental, qVtTsTravel)
+    qVtChangesFeed, qVtHistory, qVtUpsert, qVtIncremental, qVtTsTravel)
 }

@@ -710,6 +710,24 @@ final class VersionedTable private (val root: Path) {
     }
   }
 
+  /** Delta-CDF-style change feed (`table_changes` shape): the per-commit
+    * deltas of the interval `(fromVersion, toVersion]`, each row tagged with
+    * the commit version that produced it — what a downstream incremental
+    * consumer replays commit-by-commit instead of as one squashed diff
+    * (upsert-then-delete sequences stay visible; the squashed [[changes]]
+    * would cancel them). Each per-commit interval takes the same fast paths
+    * as [[changes]]: append-only commits scan only their delta files,
+    * rewrites diff only the symmetric file difference. */
+  def changesFeed(spark: SparkSession, branch: String, fromVersion: Long,
+                  toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(toVersion > fromVersion,
+      s"changesFeed needs an ascending interval, got ($fromVersion, $toVersion]")
+    (fromVersion + 1 to toVersion).map { v =>
+      changes(spark, branch, v - 1, v).withColumn("version", lit(v))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Commit history of a branch, newest first: (version, message, ts, n_files). */
   def history(spark: SparkSession, branch: String): DataFrame = {
     import spark.implicits._

@@ -177,6 +177,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: copy-on-write upsert equals the naive full-rewrite merge on random keyed data") {
+    // The stats-based file pruning is an OPTIMIZATION: for any table layout
+    // and any source key set, the COW result must be row-identical to the
+    // definitionally-correct (keep = table ∖ source-keys) ∪ source — and the
+    // CDC over the interval must be exactly the value-level delta.
+    val tableGen: Gen[List[(Int, Int)]] = Gen.listOfN(30,
+      for { k <- Gen.choose(0, 49); v <- Gen.choose(0, 9) } yield (k, v))
+    val srcGen: Gen[List[(Int, Int)]] = Gen.listOfN(8,
+      for { k <- Gen.choose(0, 59); v <- Gen.choose(10, 19) } yield (k, v))
+    samples(Gen.zip(tableGen, srcGen), 6).zipWithIndex.foreach {
+      case ((tableRows0, srcRows0), i) =>
+        // one row per key (upsert targets are key-unique relations)
+        val tableRows = tableRows0.groupBy(_._1).values.map(_.head).toList
+        val srcRows = srcRows0.groupBy(_._1).values.map(_.head).toList
+        if (tableRows.nonEmpty && srcRows.nonEmpty) {
+          val vt = VersionedTable.create(Tables.scratch(s"prop_cow_$i"))
+          vt.write(tableRows.toDF("k", "v").repartitionByRange(4, col("k")),
+            "main", "v0", statsCols = Seq("k"))
+          vt.upsert(spark, srcRows.toDF("k", "v"), keyCols = Seq("k"))
+          val got = vt.read(spark, "main").as[(Int, Int)].collect().toSet
+          val srcKeys = srcRows.map(_._1).toSet
+          val expected = tableRows.filterNot(r => srcKeys(r._1)).toSet ++ srcRows
+          assert(got === expected, s"case $i: table=$tableRows src=$srcRows")
+          // CDC over the COW interval = exact value-level delta
+          val cdc = vt.changes(spark, "main", 0, 1)
+            .select("change_type", "k", "v").as[(String, Int, Int)].collect()
+          val inserts = cdc.collect { case ("insert", k, v) => (k, v) }.toSet
+          val deletes = cdc.collect { case ("delete", k, v) => (k, v) }.toSet
+          assert(inserts === (expected -- tableRows.toSet), s"case $i inserts")
+          assert(deletes === (tableRows.toSet -- expected), s"case $i deletes")
+        }
+    }
+  }
+
   test("property: writers with random crash points — versions stay gap-free, published slots survive, the branch always recovers") {
     // op 0 = clean write; op 1 = crash between slot claim and commit write;
     // op 2 = crash between commit write and ref advance; op 3 = fast-forward
