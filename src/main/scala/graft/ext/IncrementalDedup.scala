@@ -123,8 +123,16 @@ object IncrementalDedup {
     val spark = org.apache.spark.sql.SparkSession.active
     // append-only CDC fast path: scans ONLY the increment's delta files
     val inc = vt.changes(spark, "main", corpusVersion, incTo).drop("change_type")
-    val sigs0 = sigVt.readVersion(spark, "main", corpusVersion)
+    screenAgainstSignatures(inc, sigVt.readVersion(spark, "main", corpusVersion))
+  }
 
+  /** Screen ANY increment DataFrame `(doc_id, text, …)` against a signature
+    * snapshot `(doc_id, sha, shingles, sig)`: exact sha semi-join, banded
+    * near-dup candidates against capped rep buckets, Jaccard verification —
+    * work ∝ increment, corpus text never touched. Shared by the batch oracle
+    * row ([[profileAgainstSignatures]]) and the streaming ingest
+    * ([[graft.streaming.EventsStreaming.dedupIngestBatch]]). */
+  def screenAgainstSignatures(inc: DataFrame, sigs0: DataFrame): DataFrame = {
     // exact-dup collapse on the SIGNATURE table: min doc_id per sha is the
     // representative (primitive agg buffer → HashAggregate), then a self
     // equi-join on doc_id = rep_id recovers the rep's stored shingles/sig —

@@ -407,6 +407,49 @@ object EventsStreaming {
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream.outputMode("append").foreachBatch(ingestBatch(vt, branch) _)
 
+  /** The full continuously-ingesting training-data pipeline as ONE
+    * foreachBatch: each micro-batch of documents is (1) screened against the
+    * PERSISTED corpus signature table — exact sha + banded near-dup, work ∝
+    * batch, corpus text never read
+    * ([[graft.ext.IncrementalDedup.screenAgainstSignatures]]); (2) its fresh
+    * docs appended to the corpus as one commit (idempotent per batchId, same
+    * contract as [[ingestBatch]]); (3) the signature table advanced O(batch)
+    * ([[graft.ext.IncrementalDedup.maintainSignatureTable]]). Every batch
+    * boundary is a time-travel point of BOTH tables, and a duplicate
+    * delivery after a crash re-screens but never double-commits. Docs whose
+    * near-dup verification meets the Jaccard threshold are dropped along
+    * with exact dups (the curation choice; flip `dropNearDups` to keep them). */
+  def dedupIngestBatch(vt: graft.vt.VersionedTable, sigVt: graft.vt.VersionedTable,
+                       branch: String = "main", dropNearDups: Boolean = true)
+                      (batch: DataFrame, batchId: Long): Unit = {
+    val lastIngested: Option[Long] =
+      Iterator.iterate(vt.head(branch))(_.flatMap(_.parent).map(vt.loadCommit))
+        .takeWhile(_.isDefined).map(_.get.message)
+        .collectFirst { case BatchMsgRe(digits) => digits.toLong }
+    if (lastIngested.exists(_ >= batchId) || batch.isEmpty) return
+    val docs = batch.select("doc_id", "text")
+    val fresh =
+      if (vt.head(branch).isEmpty) docs // first batch: nothing to screen against
+      else {
+        val spark = batch.sparkSession
+        val profile = graft.ext.IncrementalDedup.screenAgainstSignatures(
+          docs, sigVt.read(spark, branch))
+        val keep = profile.where(!col("is_exact_dup") &&
+          (if (dropNearDups) col("n_near") === 0L else lit(true)))
+        docs.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+      }
+    // commit even when everything was screened out: the batchId must be
+    // recorded or a restart would re-deliver and re-screen forever
+    vt.write(fresh, branch, message = s"$BatchMsgPrefix$batchId", mode = "append")
+    graft.ext.IncrementalDedup.maintainSignatureTable(vt, sigVt, branch)
+  }
+
+  /** Streaming writer wiring [[dedupIngestBatch]] — see there. */
+  def streamingDedupIngest(docs: DataFrame, vt: graft.vt.VersionedTable,
+                           sigVt: graft.vt.VersionedTable, branch: String = "main"):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch(dedupIngestBatch(vt, sigVt, branch) _)
+
   // ---- stream-stream join ------------------------------------------------
 
   /** Stream-stream inner join with event-time bounds: enrich a stream of

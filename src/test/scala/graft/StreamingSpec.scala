@@ -122,6 +122,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup ingest screens each micro-batch against the persisted signatures") {
+    val base = "the quick brown fox jumps over the lazy dog and then runs far away " +
+      "into the deep green forest while the hunter watches quietly from a hill"
+    val vt = graft.vt.VersionedTable.create(Tables.scratch("stream_dedup_vt"))
+    val sigVt = graft.vt.VersionedTable.create(Tables.scratch("stream_dedup_sigs"))
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = EventsStreaming.streamingDedupIngest(
+        mem.toDS().toDF("doc_id", "text"), vt, sigVt)
+      .option("checkpointLocation", Tables.scratch("stream_dedup_ckpt")).start()
+    try {
+      // batch 0: the seed corpus (all fresh)
+      mem.addData((1L, base),
+        (2L, "unrelated corpus filler about columnar storage formats and shuffle services"))
+      q.processAllAvailable()
+      assert(vt.read(spark, "main").count() === 2L)
+      assert(sigVt.head("main").map(_.version) === vt.head("main").map(_.version))
+      // batch 1: an exact dup of doc 1, a near-dup (one word off), a fresh doc
+      mem.addData((10L, base), (11L, base.replace("lazy", "sleepy")),
+        (12L, "a totally fresh document on watermarking and stateful streaming"))
+      q.processAllAvailable()
+      val kept = vt.read(spark, "main").select("doc_id").as[Long].collect().sorted
+      assert(kept === Array(1L, 2L, 12L), s"kept=${kept.toSeq}") // 10 exact, 11 near → dropped
+      // the signature table advanced in lockstep and covers only kept docs
+      assert(sigVt.head("main").map(_.version) === vt.head("main").map(_.version))
+      assert(sigVt.read(spark, "main").select("doc_id").as[Long].collect().sorted
+        === Array(1L, 2L, 12L))
+      // batch 2: a dup OF A PREVIOUS BATCH'S survivor (12) — screened against
+      // the signatures maintained across batches, not just the seed corpus
+      mem.addData((20L, "a totally fresh document on watermarking and stateful streaming"))
+      q.processAllAvailable()
+      assert(vt.read(spark, "main").select("doc_id").as[Long].collect().sorted
+        === Array(1L, 2L, 12L))
+      // every batch boundary is a time-travel point of the corpus
+      assert(vt.readVersion(spark, "main", 0).count() === 2L)
+      assert(vt.readVersion(spark, "main", 1).count() === 3L)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join equals the batch range join on the same rows") {
     val ts = (s: Long) => new Timestamp(s * 1000L)
     val mk = (rows: Seq[(Long, Long, Long)]) => // (event_id, sec, user_id)
