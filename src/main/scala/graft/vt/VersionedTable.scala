@@ -745,6 +745,27 @@ final class VersionedTable private (val root: Path) {
     write(df, branch, s"compact to $numFiles files", statsCols = statsCols)
   }
 
+  /** Delta `OPTIMIZE ZORDER BY (a, b)`: rewrite the head snapshot sorted by
+    * the Morton interleave of two numeric columns
+    * ([[graft.ops.Scale.zValue]]) as a NEW version with fresh per-file
+    * stats on BOTH — each file then covers a small rectangle of (a, b)
+    * space, so [[readWhere]] range probes on EITHER column prune files.
+    * Rows are untouched (layout-only commit, history intact); the
+    * normalization bounds come from one bounded driver action. */
+  def compactZorder(spark: SparkSession, branch: String, colA: String,
+                    colB: String, numFiles: Int = 8): Commit = {
+    import org.apache.spark.sql.functions.col
+    val df = read(spark, branch)
+    val Array(aMin, aMax, bMin, bMax) = df.selectExpr(
+      s"CAST(min($colA) AS DOUBLE)", s"CAST(max($colA) AS DOUBLE)",
+      s"CAST(min($colB) AS DOUBLE)", s"CAST(max($colB) AS DOUBLE)")
+      .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+    val z = graft.ops.Scale.zValue(col(colA), col(colB), aMin, aMax, bMin, bMax)
+    write(df.withColumn("__z", z).repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z").drop("__z"), branch,
+      s"optimize zorder by ($colA, $colB)", statsCols = Seq(colA, colB))
+  }
+
   /** V10 upload/rm analog: raw object ops under the table root (staging dir). */
   def putObject(rel: String, content: String): Unit =
     CommitLog.writeAtomic(root.resolve(rel), content)

@@ -639,6 +639,29 @@ class VersionedTableSpec extends SparkSpec {
     assert(!commits.exists(_.getFileName.toString.contains(".tmp")))
   }
 
+  test("compactZorder is layout-only (rows identical) and makes both dimensions skip") {
+    import org.apache.spark.sql.functions.col
+    val vt = freshVt("compact_zorder")
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+    vt.write(orders, "main", "v0 unclustered") // no stats, no useful layout
+    val before = vt.read(spark, "main").as[(Long, Long, Double)].collect().sorted
+    val c1 = vt.compactZorder(spark, "main", "o_orderkey", "o_totalprice")
+    assert(c1.version === 1)
+    // layout-only: the snapshot's rows are untouched
+    assert(vt.read(spark, "main").as[(Long, Long, Double)].collect().sorted === before)
+    // and EITHER dimension now prunes files via the fresh per-file stats
+    val nFiles = c1.files.size
+    assert(nFiles > 1)
+    val Array(okMin, okMax) = orders.selectExpr("CAST(min(o_orderkey) AS DOUBLE)",
+      "CAST(max(o_orderkey) AS DOUBLE)").collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+    val Array(tpMin, tpMax) = orders.selectExpr("min(o_totalprice)", "max(o_totalprice)")
+      .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+    val byKey = vt.readWhere(spark, "main", "o_orderkey", okMin, okMin + (okMax - okMin) / 16)
+    val byPrice = vt.readWhere(spark, "main", "o_totalprice", tpMin, tpMin + (tpMax - tpMin) / 16)
+    assert(byKey.inputFiles.length < nFiles, s"no skip on key: ${byKey.inputFiles.length}/$nFiles")
+    assert(byPrice.inputFiles.length < nFiles, s"no skip on price: ${byPrice.inputFiles.length}/$nFiles")
+  }
+
   test("copy-on-write upsert carries stats-pruned files forward; CDC diffs only the delta files") {
     val vt = freshVt("cow_upsert")
     val nation = Tables.nation(spark, sf).select("n_nationkey", "n_name", "n_regionkey")
