@@ -241,6 +241,39 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Fixed-token-window chunking with overlap — the preprocessing step that
+    * turns variable-length documents into training-ready sequences: 64-token
+    * windows starting every 48 tokens (16-token overlap so no boundary
+    * context is lost), the trailing window short rather than dropped.
+    * Row-local (one generator, zero pre-order shuffle), so it scales with
+    * corpus bytes; same whitespace token convention as [[qTokenCount]]. */
+  val qChunkWindows: QueryDef = q("q_chunk_windows")(
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+      |     c AS (SELECT doc_id, n,
+      |                  unnest(list_transform(range(0, (n - 1) // 48 + 1),
+      |                    i -> {'cid': CAST(i AS INTEGER),
+      |                          'chunk': array_to_string(list_slice(toks, i * 48 + 1, i * 48 + 64), ' ')})) AS u
+      |           FROM t)
+      |SELECT doc_id, u.cid AS chunk_id,
+      |       LEAST(64, n - u.cid * 48) AS n_tokens, u.chunk AS chunk
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+    val (w, st) = (64, 48)
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")).cast(LongType))
+      // the chunk array is materialized BEFORE the generator select: a
+      // generator rewrites sibling expressions and drops struct aliases
+      .withColumn("chunks", expr(
+        s"transform(sequence(0L, (n - 1) DIV $st), i -> array_join(slice(toks, CAST(i * $st + 1 AS INT), $w), ' '))"))
+      .select(col("doc_id"), col("n"), posexplode(col("chunks")).as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id"),
+        least(lit(w.toLong), col("n") - col("chunk_id") * st).cast(LongType).as("n_tokens"),
+        col("chunk"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(qTextStats, qLangId, qTokenCount,
-    qDocFingerprint, qQualityScore, qOovRate, qTermDf, qDecontaminate)
+    qDocFingerprint, qQualityScore, qOovRate, qTermDf, qDecontaminate,
+    qChunkWindows)
 }

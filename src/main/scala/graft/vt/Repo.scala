@@ -126,6 +126,19 @@ final class Repo private (val root: Path) {
       throw new IllegalArgumentException(s"no such branch: $branch"))), table)
   }
 
+  /** Repo-wide time travel by COMMIT TIMESTAMP (Delta `timestampAsOf` /
+    * lakeFS ref@timestamp at repo scope): resolve the newest commit at or
+    * before `tsMillis` on the branch's first-parent lineage, then read one
+    * table out of that snapshot. Lineage is head-first, so `find` returns
+    * the latest qualifying commit. */
+  def readTableAsOfTimestamp(spark: SparkSession, branch: String, table: String,
+                             tsMillis: Long): DataFrame = {
+    val c = lineage(branch).find(_.ts <= tsMillis).getOrElse(
+      throw new IllegalArgumentException(
+        s"no commit on $branch at or before timestamp $tsMillis (first commit is later)"))
+    readTableAt(spark, c, table)
+  }
+
   private def readTableAt(spark: SparkSession, c: Commit, table: String): DataFrame = {
     val schema = DataType.fromJson(tableSchemas(c).getOrElse(table,
       throw new IllegalArgumentException(s"no table '$table' in commit ${c.id}")))

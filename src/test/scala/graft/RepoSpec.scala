@@ -154,6 +154,28 @@ class RepoSpec extends SparkSpec {
     assertThrows[Exception](repo.readTableAsOf(spark, "main", "a", 0).collect())
   }
 
+  test("repo-wide timestamp time travel resolves the snapshot as of a commit's clock") {
+    val repo = Repo.create(Tables.scratch("repo_ts_travel"))
+    repo.stageWrite(Seq(1).toDF("x"), "main", "a")
+    val c0 = repo.commit("main", "v0")
+    while (System.currentTimeMillis() <= c0.ts) Thread.sleep(1)
+    repo.stageWrite(Seq(2).toDF("x"), "main", "a")
+    repo.stageWrite(Seq(9).toDF("y"), "main", "b")
+    val c1 = repo.commit("main", "v1")
+    // as of v0's clock: table a at v0; table b does not exist yet
+    assert(repo.readTableAsOfTimestamp(spark, "main", "a", c0.ts).as[Int].collect() === Array(1))
+    intercept[IllegalArgumentException] {
+      repo.readTableAsOfTimestamp(spark, "main", "b", c0.ts).collect()
+    }
+    // as of v1's clock (and later): the new snapshot, both tables
+    assert(repo.readTableAsOfTimestamp(spark, "main", "a", c1.ts).as[Int].collect() === Array(2))
+    assert(repo.readTableAsOfTimestamp(spark, "main", "b", c1.ts + 1000).as[Int].collect() === Array(9))
+    // before the first commit: loud error, not an empty read
+    intercept[IllegalArgumentException] {
+      repo.readTableAsOfTimestamp(spark, "main", "a", c0.ts - 1)
+    }
+  }
+
   test("repo vacuum un-wedges crashed writers: stale claims reclaimed, orphan refs replayed, FF slots kept") {
     import java.nio.file.Files
     val rootStr = Tables.scratch("repo_slot_sweep")
