@@ -260,6 +260,51 @@ object Similarity {
       .orderBy("method", "qid")
   }
 
+  /** Per-vector int8 SCALAR QUANTIZATION — the 4× storage/bandwidth dial for
+    * embedding columns at 100 TB (FAISS SQ8 shape): each vector stores 64
+    * bytes of codes plus its own (min, max) scale, code_i =
+    * floor((x_i−mn)/span·255 + 0.5). Both engines evaluate the SAME double
+    * expression tree (float→double widening, one divide, one multiply,
+    * floor), so codes AND the per-vector max reconstruction error are
+    * bit-identical — the error column doubles as a standing quality bound
+    * (≤ span/510 + fp noise). A constant vector (span 0) quantizes to code
+    * 0 with zero error via the span=1 guard. Row-local: no shuffle at all
+    * before the final order. */
+  val qEmbedQuant: QueryDef = q("q_embed_quant")(
+    """WITH t AS (SELECT vec_id,
+      |                  CAST(list_min(embedding) AS DOUBLE) AS mn,
+      |                  CAST(list_max(embedding) AS DOUBLE) AS mx,
+      |                  embedding AS e
+      |           FROM embeddings),
+      |     s AS (SELECT vec_id, mn, mx,
+      |                  CASE WHEN mx = mn THEN 1.0 ELSE mx - mn END AS span, e FROM t)
+      |SELECT vec_id, mn, mx,
+      |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |         list_transform(e, x -> CAST(floor(((CAST(x AS DOUBLE) - mn) / span) * 255 + 0.5) AS BIGINT))),
+      |         (acc, c) -> (acc * 31 + c) % 1000000007) AS codes_hash,
+      |       list_aggregate(list_transform(e, x ->
+      |         abs(mn + (CAST(floor(((CAST(x AS DOUBLE) - mn) / span) * 255 + 0.5) AS DOUBLE) / 255.0) * span
+      |             - CAST(x AS DOUBLE))), 'max') AS max_err
+      |FROM s ORDER BY vec_id""".stripMargin) { (s, d) =>
+    // codes are folded to the repo's standard order-sensitive polynomial
+    // checksum (a BIGINT) rather than emitted as an array: no oracle row
+    // outputs raw arrays — the driver's value hash compares scalars
+    Tables.embeddings(s, d)
+      .withColumn("mn", expr("CAST(array_min(embedding) AS DOUBLE)"))
+      .withColumn("mx", expr("CAST(array_max(embedding) AS DOUBLE)"))
+      .withColumn("span", when(col("mx") === col("mn"), lit(1.0)).otherwise(col("mx") - col("mn")))
+      .select(col("vec_id"), col("mn"), col("mx"),
+        expr("""aggregate(transform(embedding,
+               |  x -> CAST(floor(((CAST(x AS DOUBLE) - mn) / span) * 255 + 0.5) AS BIGINT)),
+               |  CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin)
+          .as("codes_hash"),
+        expr("""aggregate(transform(embedding, x ->
+               |  abs(mn + (CAST(floor(((CAST(x AS DOUBLE) - mn) / span) * 255 + 0.5) AS DOUBLE) / 255.0) * span
+               |      - CAST(x AS DOUBLE))), CAST(0 AS DOUBLE), (a, v) -> greatest(a, v))""".stripMargin)
+          .as("max_err"))
+      .orderBy("vec_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(qTopkCosine, qAnnLsh, qAnnMultiProbe, qVectorMath,
-    qAnnRecall)
+    qAnnRecall, qEmbedQuant)
 }

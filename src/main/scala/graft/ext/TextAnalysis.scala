@@ -273,7 +273,48 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Corpus-level bigram familiarity: how "typical" each document's word
+    * transitions are for THIS corpus — the integer-exact cousin of an n-gram
+    * LM quality score (a log-prob LM score would not hash-match across
+    * engines because libm `log` is not bit-identical; summed INTEGER corpus
+    * counts divided once are). score(doc) = Σ corpusCount(bigram_i) /
+    * n_bigrams. Low scores flag boilerplate-free but also out-of-domain or
+    * garbled text — the standard cheap quality dial next to [[qOovRate]].
+    * Plan: one generator, a keyed count, a keyed join back, a keyed sum —
+    * every shuffle on the bigram or doc key, nothing quadratic. */
+  val qBigramFamiliarity: QueryDef = q("q_bigram_familiarity")(
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+      |     b AS (SELECT doc_id, unnest(list_transform(range(1, n),
+      |                    i -> toks[i] || ' ' || toks[i + 1])) AS bg FROM t),
+      |     g AS (SELECT bg, count(*) AS cnt FROM b GROUP BY bg),
+      |     s AS (SELECT b.doc_id, CAST(sum(g.cnt) AS BIGINT) AS total
+      |           FROM b JOIN g USING (bg) GROUP BY b.doc_id)
+      |SELECT t.doc_id, CAST(GREATEST(t.n - 1, 0) AS BIGINT) AS n_bigrams,
+      |       coalesce(CAST(s.total AS DOUBLE) / NULLIF(CAST(t.n - 1 AS DOUBLE), 0), 0.0)
+      |         AS familiarity
+      |FROM t LEFT JOIN s ON t.doc_id = s.doc_id
+      |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")).cast(LongType))
+    val b = t.withColumn("bgs", expr(
+        """CASE WHEN n >= 2 THEN transform(sequence(1L, n - 1),
+          |  i -> concat(element_at(toks, CAST(i AS INT)), ' ',
+          |              element_at(toks, CAST(i AS INT) + 1)))
+          |ELSE array() END""".stripMargin))
+      .select(col("doc_id"), explode(col("bgs")).as("bg"))
+    val g = b.groupBy("bg").agg(count(lit(1)).as("cnt"))
+    val sTot = b.join(g, "bg").groupBy("doc_id").agg(sum("cnt").as("total"))
+    t.join(sTot, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        greatest(col("n") - 1, lit(0L)).cast(LongType).as("n_bigrams"),
+        coalesce(col("total").cast(DoubleType) /
+          nullif(col("n").cast(DoubleType) - 1, lit(0.0)), lit(0.0)).as("familiarity"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(qTextStats, qLangId, qTokenCount,
     qDocFingerprint, qQualityScore, qOovRate, qTermDf, qDecontaminate,
-    qChunkWindows)
+    qChunkWindows, qBigramFamiliarity)
 }
