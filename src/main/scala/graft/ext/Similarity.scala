@@ -305,6 +305,67 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Search quality of the int8-quantized store, machine-checked: top-10
+    * cosine over RECONSTRUCTED vectors (decode = mn + code/255·span, the
+    * exact inverse of [[qEmbedQuant]]'s encode) joined against the exact
+    * float ground truth, per-query recall out. Quantization noise is the
+    * ONLY difference between the two pipelines, so this row is a standing
+    * measurement of what 4× compression costs in retrieval quality —
+    * deterministic end to end (encode/decode and the cosine folds are
+    * bit-identical in both engines). ExtSpec floors the mean recall. */
+  val qAnnSq8: QueryDef = q("q_ann_sq8")({
+    val recon = "list_transform(e, x -> mn + (floor(((CAST(x AS DOUBLE) - mn) / span) * 255 + 0.5) / 255.0) * span)"
+    s"""WITH t AS (SELECT vec_id, CAST(list_min(embedding) AS DOUBLE) AS mn,
+       |                  CAST(list_max(embedding) AS DOUBLE) AS mx, embedding AS e
+       |           FROM embeddings),
+       |     rq AS (SELECT vec_id, $recon AS r FROM (
+       |              SELECT vec_id, mn, CASE WHEN mx = mn THEN 1.0 ELSE mx - mn END AS span, e FROM t)),
+       |     qs AS (SELECT vec_id AS qid, e AS qe FROM t WHERE vec_id < 8),
+       |     se AS (SELECT qid, c.vec_id AS cid, ${duckCosine("qe", "c.e")} AS score
+       |            FROM qs JOIN t c ON c.vec_id <> qid),
+       |     re AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk FROM se),
+       |     exact AS (SELECT qid, cid FROM re WHERE rnk <= 10),
+       |     rqs AS (SELECT vec_id AS qid, r AS qr FROM rq WHERE vec_id < 8),
+       |     sq AS (SELECT qid, c.vec_id AS cid, ${duckCosine("qr", "c.r")} AS score
+       |            FROM rqs JOIN rq c ON c.vec_id <> qid),
+       |     rr AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk FROM sq),
+       |     sq8 AS (SELECT qid, cid FROM rr WHERE rnk <= 10)
+       |SELECT e.qid, count(*) AS n_exact,
+       |       CAST(sum(CASE WHEN s.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |       CAST(sum(CASE WHEN s.cid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+       |         CAST(count(*) AS DOUBLE) AS recall
+       |FROM exact e LEFT JOIN sq8 s ON e.qid = s.qid AND e.cid = s.cid
+       |GROUP BY e.qid ORDER BY e.qid""".stripMargin
+  }) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    // decode(encode(x)) in ONE expression tree, same op order as the oracle
+    val rq = emb
+      .withColumn("mn", expr("CAST(array_min(embedding) AS DOUBLE)"))
+      .withColumn("mx", expr("CAST(array_max(embedding) AS DOUBLE)"))
+      .withColumn("span", when(col("mx") === col("mn"), lit(1.0)).otherwise(col("mx") - col("mn")))
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> mn + (floor(((CAST(x AS DOUBLE) - mn) / span) * 255 + 0.5) / 255.0) * span)")
+        .as("r"))
+    def dotD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    def cosineD(a: Column, b: Column): Column =
+      dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+    val exact = bruteForceTopK(emb, emb.where(col("vec_id") < 8), k = 10).select("qid", "cid")
+    val qs = broadcast(rq.where(col("vec_id") < 8).select(col("vec_id").as("qid"), col("r").as("qr")))
+    val scored = qs.join(rq.select(col("vec_id").as("cid"), col("r").as("cr")),
+        col("qid") =!= col("cid"))
+      .withColumn("score", cosineD(col("qr"), col("cr")))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("cid").asc)
+    val sq8 = scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 10)
+      .select("qid", "cid")
+    exact.join(sq8.withColumn("hit", lit(1L)), Seq("qid", "cid"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("qid"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast(DoubleType) / col("n_exact").cast(DoubleType)).as("recall"))
+      .orderBy("qid")
+  }
+
   val defs: Seq[QueryDef] = Seq(qTopkCosine, qAnnLsh, qAnnMultiProbe, qVectorMath,
-    qAnnRecall, qEmbedQuant)
+    qAnnRecall, qEmbedQuant, qAnnSq8)
 }

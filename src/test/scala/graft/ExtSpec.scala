@@ -203,4 +203,15 @@ class ExtSpec extends SparkSpec {
     assert(mean("lsh_mp") >= mean("lsh"),
       f"multi-probe mean ${mean("lsh_mp")}%.2f below single-bucket ${mean("lsh")}%.2f")
   }
+
+  test("q_ann_sq8 floor: int8-quantized search keeps near-exact recall") {
+    // 4x compression should cost a few percent of retrieval quality, not
+    // more — measured 0.99 mean recall@10 on this data; floor at 0.9 so a
+    // broken encode/decode (wrong span, off-by-one code) fails loudly
+    val rows = graft.ext.Similarity.qAnnSq8.impl(spark, sf)
+      .select("recall").as[Double].collect()
+    assert(rows.length === 8)
+    val mean = rows.sum / rows.length
+    assert(mean >= 0.9, f"SQ8 mean recall $mean%.3f < 0.9 floor")
+  }
 }
