@@ -314,7 +314,50 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Quality-stratified downsampling — the curation step that sets the
+    * TRAINING MIXTURE: documents are bucketed by the [[qQualityScore]] rubric
+    * and each stratum is kept at its own deterministic hash rate (quality ≥3
+    * → 100%, =2 → 50%, else 10%) using [[Sampling.hashBucket]], so the
+    * sample is reproducible row-by-row with no RNG and no partition-order
+    * dependence. Output is the per-stratum (population, kept) census — one
+    * hash aggregation after row-local scoring, nothing else. */
+  val qQualityStratified: QueryDef = q("q_quality_stratified")(
+    """WITH s AS (SELECT doc_id,
+      |                  (CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 2
+      |                        WHEN length(text) >= 50 THEN 1 ELSE 0 END +
+      |                   CASE WHEN len(string_split(text, ' ')) >= 20 THEN 1 ELSE 0 END +
+      |                   CASE WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+      |                             CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.3
+      |                        THEN 1 ELSE 0 END) AS quality,
+      |                  (doc_id % 2147483647) * 2654435761 % 1000 AS bucket
+      |           FROM documents),
+      |     k AS (SELECT quality, bucket,
+      |                  CASE WHEN quality >= 3 THEN 1000 WHEN quality = 2 THEN 500
+      |                       ELSE 100 END AS thr FROM s)
+      |SELECT quality, count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN bucket < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM k GROUP BY quality ORDER BY quality""".stripMargin) { (s, d) =>
+    val words = split(col("text"), " ")
+    val chars = length(col("text")).cast(LongType)
+    val nWords = size(words).cast(LongType)
+    val dWords = size(array_distinct(words)).cast(LongType)
+    val quality =
+      (when(chars.between(100, 2000), 2).when(chars >= 50, 1).otherwise(0) +
+        when(nWords >= 20, 1).otherwise(0) +
+        when(dWords.cast(DoubleType) / nWords.cast(DoubleType) >= 0.3, 1).otherwise(0))
+    val thr = when(col("quality") >= 3, 1000L).when(col("quality") === 2, 500L)
+      .otherwise(100L)
+    Tables.documents(s, d)
+      .select(col("doc_id"), quality.as("quality"),
+        Sampling.hashBucket(col("doc_id")).as("bucket"))
+      .withColumn("thr", thr)
+      .groupBy("quality")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("bucket") < col("thr"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("quality")
+  }
+
   val defs: Seq[QueryDef] = Seq(qTextStats, qLangId, qTokenCount,
     qDocFingerprint, qQualityScore, qOovRate, qTermDf, qDecontaminate,
-    qChunkWindows, qBigramFamiliarity)
+    qChunkWindows, qBigramFamiliarity, qQualityStratified)
 }
