@@ -74,9 +74,15 @@ object Bench {
     // `total` keeps growing as new operators join benchNames.
     val core = Registry.benchCoreNames.toSet
     val totalCore = results.collect { case (k, v) if v >= 0 && core(k) => v }.sum
+    // Pass totals exclude any query that failed in ANY pass: a partial pass
+    // would otherwise read as a big pass-to-pass swing and make core_spread
+    // cry "contended box" on an idle machine.
+    val failedAnywhere: Set[String] =
+      names.filter(n => passes.exists(_(n) < 0)).toSet
     val passCore = passes.map(p =>
-      p.collect { case (k, v) if v >= 0 && core(k) => v }.sum)
-    val passTotal = passes.map(p => p.values.filter(_ >= 0).sum)
+      p.collect { case (k, v) if core(k) && !failedAnywhere(k) => v }.sum)
+    val passTotal = passes.map(p =>
+      p.collect { case (k, v) if !failedAnywhere(k) => v }.sum)
     val spread = if (passCore.nonEmpty && passCore.min > 0) passCore.max / passCore.min else -1.0
     println(s"""{"metric":"total","value":${f(total)},"total_core":${f(totalCore)},"unit":"sec","runs":$runs,""" +
       s""""pass_total_core":[${passCore.map(f).mkString(",")}],"pass_total":[${passTotal.map(f).mkString(",")}],""" +

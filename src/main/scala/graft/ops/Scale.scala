@@ -280,21 +280,30 @@ object Scale {
     * dimension) against exactly the layout and literals the oracle row runs.
     * The min/max normalization bounds come from one driver-side action —
     * the adaptive plan-construction pattern (SURVEY.md §3.3). */
+  /** The z-order layout pipeline itself — one bounded min/max survey, then
+    * the Morton-interleave range-sort. Shared by the `q_zorder` oracle row
+    * ([[zorderProbes]]) and the table operation
+    * ([[graft.vt.VersionedTable.compactZorder]]), so the layout recipe
+    * cannot drift between the measured row and the API. */
+  def zorderLayout(df: DataFrame, colA: String, colB: String, numFiles: Int): DataFrame = {
+    val Array(aMin, aMax, bMin, bMax) = df.selectExpr(
+      s"CAST(min($colA) AS DOUBLE)", s"CAST(max($colA) AS DOUBLE)",
+      s"CAST(min($colB) AS DOUBLE)", s"CAST(max($colB) AS DOUBLE)")
+      .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+    val z = zValue(col(colA), col(colB), aMin, aMax, bMin, bMax)
+    // sort the LAYOUT by the interleaved z-value: each file then covers a
+    // small rectangle of (a, b) space, so its min/max stats are tight on
+    // BOTH columns and either predicate prunes files before the scan
+    df.withColumn("__z", z).repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z").drop("__z")
+  }
+
   def zorderProbes(s: SparkSession, d: String, scratch: String):
       (graft.vt.VersionedTable, DataFrame, DataFrame) = {
     val orders = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
-    val Array(okMin, okMax, tpMin, tpMax) = orders.selectExpr(
-      "CAST(min(o_orderkey) AS DOUBLE)", "CAST(max(o_orderkey) AS DOUBLE)",
-      "min(o_totalprice)", "max(o_totalprice)")
-      .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
-    val z = zValue(col("o_orderkey"), col("o_totalprice"), okMin, okMax, tpMin, tpMax)
     val vt = graft.vt.VersionedTable.create(Tables.scratch(scratch))
-    // sort the LAYOUT by the interleaved z-value: each file then covers a
-    // small rectangle of (key, price) space, so its min/max stats are tight
-    // on BOTH columns and either predicate prunes files before the scan
-    vt.write(orders.withColumn("__z", z).repartitionByRange(8, col("__z"))
-      .sortWithinPartitions("__z").drop("__z"), "main", "zorder layout",
-      statsCols = Seq("o_orderkey", "o_totalprice"))
+    vt.write(zorderLayout(orders, "o_orderkey", "o_totalprice", 8), "main",
+      "zorder layout", statsCols = Seq("o_orderkey", "o_totalprice"))
     val byKey = vt.readWhere(s, "main", "o_orderkey", 100d, 500d)
     val byPrice = vt.readWhere(s, "main", "o_totalprice", 1000d, 20000d)
     (vt, byKey, byPrice)

@@ -422,16 +422,33 @@ object EventsStreaming {
   def dedupIngestBatch(vt: graft.vt.VersionedTable, sigVt: graft.vt.VersionedTable,
                        branch: String = "main", dropNearDups: Boolean = true)
                       (batch: DataFrame, batchId: Long): Unit = {
+    // HEAL FIRST, on every delivery — including the duplicate-skip path: a
+    // crash between the corpus commit and the signature maintenance below
+    // would otherwise leave sigVt permanently behind (the re-delivered batch
+    // is skipped, and every later batch screens against a stale snapshot
+    // that lets that batch's duplicates through). Maintenance is idempotent
+    // and O(delta) when behind, a metadata no-op when caught up.
+    graft.ext.IncrementalDedup.maintainSignatureTable(vt, sigVt, branch)
     val lastIngested: Option[Long] =
       Iterator.iterate(vt.head(branch))(_.flatMap(_.parent).map(vt.loadCommit))
         .takeWhile(_.isDefined).map(_.get.message)
         .collectFirst { case BatchMsgRe(digits) => digits.toLong }
     if (lastIngested.exists(_ >= batchId) || batch.isEmpty) return
-    val docs = batch.select("doc_id", "text")
+    // WITHIN-batch exact collapse first (min-doc_id survivor per sha): two
+    // byte-identical docs arriving in one micro-batch must not both land.
+    // Near-dup screening stays corpus-granular — same batch-boundary
+    // semantics as dropDuplicatesWithinWatermark, which is also exact-only;
+    // a same-batch near-dup pair is caught the next time either text
+    // arrives, once the survivors' signatures are persisted.
+    val spark = batch.sparkSession
+    val raw = batch.select("doc_id", "text")
+    val docs = raw.withColumn("__sha", sha2(col("text"), 256))
+      .withColumn("__rep", org.apache.spark.sql.functions.min("doc_id")
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("__sha")))
+      .where(col("doc_id") === col("__rep")).select("doc_id", "text")
     val fresh =
-      if (vt.head(branch).isEmpty) docs // first batch: nothing to screen against
+      if (vt.head(branch).isEmpty) docs // first batch: no corpus to screen against
       else {
-        val spark = batch.sparkSession
         val profile = graft.ext.IncrementalDedup.screenAgainstSignatures(
           docs, sigVt.read(spark, branch))
         val keep = profile.where(!col("is_exact_dup") &&

@@ -267,11 +267,18 @@ final class VersionedTable private (val root: Path) {
         source.schema.fields.map(f => (f.name, VersionedTable.nullNormalized(f.dataType))).toSeq,
       s"upsert schema mismatch on $branch: table has ${schema.simpleString} " +
         s"but the source has ${source.schema.simpleString}")
+    // An empty source is a pure no-op: nothing matches and nothing inserts,
+    // so the current head IS the result — no rewrite, no version churn (the
+    // same early-return shape as merge's already-equal case). The
+    // incremental-pipeline cycle with no updates costs one limit(1) probe.
+    if (source.isEmpty) return parent
     // file pruning: source key range per NUMERIC key column (one bounded
     // action, 2 doubles per key) vs the parent's per-file stats — the same
-    // range logic as readWhere. An empty source touches nothing.
+    // range logic as readWhere. Only NumericType keys participate (a
+    // DATE/BINARY key is not double-castable under ANSI and must not break
+    // the upsert); non-numeric-keyed tables simply rewrite conservatively.
     val numKeys = keyCols.filter(k =>
-      schema(k).dataType != org.apache.spark.sql.types.StringType)
+      schema(k).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
     val srcRange: Map[String, (Double, Double)] =
       if (numKeys.isEmpty) Map.empty
       else {
@@ -672,11 +679,17 @@ final class VersionedTable private (val root: Path) {
     * bags and cancel, so the output is still exactly the row-level delta. */
   def changes(spark: SparkSession, branch: String, fromVersion: Long,
               toVersion: Long): DataFrame = {
+    val lin = lineage(branch)
+    def at(v: Long): Commit = lin.find(_.version == v).getOrElse(
+      throw new IllegalArgumentException(s"no version $v on $branch"))
+    changesBetween(spark, at(fromVersion), at(toVersion))
+  }
+
+  /** [[changes]] over already-resolved commits — what [[changesFeed]] calls
+    * so an N-interval feed resolves the lineage ONCE (O(history) metadata
+    * reads total), not twice per interval. */
+  private def changesBetween(spark: SparkSession, from: Commit, to: Commit): DataFrame = {
     import org.apache.spark.sql.functions.lit
-    val from = lineage(branch).find(_.version == fromVersion).getOrElse(
-      throw new IllegalArgumentException(s"no version $fromVersion on $branch"))
-    val to = lineage(branch).find(_.version == toVersion).getOrElse(
-      throw new IllegalArgumentException(s"no version $toVersion on $branch"))
     val appendOnly = from.files.toSet.subsetOf(to.files.toSet) &&
       from.schemaJson == to.schemaJson
     if (appendOnly) {
@@ -723,8 +736,13 @@ final class VersionedTable private (val root: Path) {
     import org.apache.spark.sql.functions.lit
     require(toVersion > fromVersion,
       s"changesFeed needs an ascending interval, got ($fromVersion, $toVersion]")
+    // resolve the lineage ONCE: per-interval re-walks would cost O(V^2)
+    // commit-JSON loads on a long history
+    val byVersion = lineage(branch).map(c => c.version -> c).toMap
+    def at(v: Long): Commit = byVersion.getOrElse(v,
+      throw new IllegalArgumentException(s"no version $v on $branch"))
     (fromVersion + 1 to toVersion).map { v =>
-      changes(spark, branch, v - 1, v).withColumn("version", lit(v))
+      changesBetween(spark, at(v - 1), at(v)).withColumn("version", lit(v))
     }.reduce(_.unionByName(_))
   }
 
@@ -753,18 +771,9 @@ final class VersionedTable private (val root: Path) {
     * Rows are untouched (layout-only commit, history intact); the
     * normalization bounds come from one bounded driver action. */
   def compactZorder(spark: SparkSession, branch: String, colA: String,
-                    colB: String, numFiles: Int = 8): Commit = {
-    import org.apache.spark.sql.functions.col
-    val df = read(spark, branch)
-    val Array(aMin, aMax, bMin, bMax) = df.selectExpr(
-      s"CAST(min($colA) AS DOUBLE)", s"CAST(max($colA) AS DOUBLE)",
-      s"CAST(min($colB) AS DOUBLE)", s"CAST(max($colB) AS DOUBLE)")
-      .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
-    val z = graft.ops.Scale.zValue(col(colA), col(colB), aMin, aMax, bMin, bMax)
-    write(df.withColumn("__z", z).repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions("__z").drop("__z"), branch,
-      s"optimize zorder by ($colA, $colB)", statsCols = Seq(colA, colB))
-  }
+                    colB: String, numFiles: Int = 8): Commit =
+    write(graft.ops.Scale.zorderLayout(read(spark, branch), colA, colB, numFiles),
+      branch, s"optimize zorder by ($colA, $colB)", statsCols = Seq(colA, colB))
 
   /** V10 upload/rm analog: raw object ops under the table root (staging dir). */
   def putObject(rel: String, content: String): Unit =

@@ -157,7 +157,34 @@ class StreamingSpec extends SparkSpec {
       // every batch boundary is a time-travel point of the corpus
       assert(vt.readVersion(spark, "main", 0).count() === 2L)
       assert(vt.readVersion(spark, "main", 1).count() === 3L)
+      // batch 3: two byte-identical docs in ONE micro-batch — the
+      // within-batch exact collapse keeps only the min-doc_id survivor
+      mem.addData((30L, "same-batch duplicate pair content goes here"),
+        (31L, "same-batch duplicate pair content goes here"))
+      q.processAllAvailable()
+      assert(vt.read(spark, "main").select("doc_id").as[Long].collect().sorted
+        === Array(1L, 2L, 12L, 30L))
     } finally q.stop()
+  }
+
+  test("dedup ingest heals a stale signature table before screening (crash between commit and maintenance)") {
+    val vt = graft.vt.VersionedTable.create(Tables.scratch("heal_vt"))
+    val sigVt = graft.vt.VersionedTable.create(Tables.scratch("heal_sigs"))
+    // batch 0 lands normally
+    EventsStreaming.dedupIngestBatch(vt, sigVt)(
+      Seq((1L, "the first corpus document with enough words to shingle properly here")).toDF("doc_id", "text"), 0L)
+    // simulate the crash: batch 1's corpus commit happened but the process
+    // died BEFORE signature maintenance — sigVt is one version behind
+    vt.write(Seq((2L, "a second document committed without its signatures"))
+      .toDF("doc_id", "text"), "main", "stream batch 1", mode = "append")
+    assert(sigVt.head("main").get.version < vt.head("main").get.version)
+    // batch 2 contains an exact dup of the UNSIGNED doc 2: without the
+    // heal-first step it would screen against stale signatures and land
+    EventsStreaming.dedupIngestBatch(vt, sigVt)(
+      Seq((3L, "a second document committed without its signatures")).toDF("doc_id", "text"), 2L)
+    assert(vt.read(spark, "main").select("doc_id").as[Long].collect().sorted
+      === Array(1L, 2L), "stale-signature duplicate leaked into the corpus")
+    assert(sigVt.head("main").map(_.version) === vt.head("main").map(_.version))
   }
 
   test("stream-stream interval join equals the batch range join on the same rows") {

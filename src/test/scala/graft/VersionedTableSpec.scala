@@ -694,6 +694,24 @@ class VersionedTableSpec extends SparkSpec {
       .select("n_name").as[String].collect().forall(n => n == n.toLowerCase))
   }
 
+  test("upsert edge cases: empty source is a no-op; non-numeric keys fall back to full rewrite") {
+    val vt = freshVt("upsert_edges")
+    val c0 = vt.write(Seq((1, "a"), (2, "b")).toDF("k", "v"), "main", "v0")
+    // empty source: no rewrite, no version churn — the head IS the result
+    val same = vt.upsert(spark, Seq.empty[(Int, String)].toDF("k", "v"), Seq("k"))
+    assert(same.id === c0.id)
+    assert(vt.head("main").get.version === 0)
+    // DATE key (not double-castable under ANSI): must not throw, rewrites
+    // conservatively, and the merge semantics still hold
+    val vtd = freshVt("upsert_date_key")
+    val d1 = java.sql.Date.valueOf("2026-01-01")
+    val d2 = java.sql.Date.valueOf("2026-02-02")
+    vtd.write(Seq((d1, 10), (d2, 20)).toDF("day", "v"), "main", "v0")
+    vtd.upsert(spark, Seq((d2, 99), (java.sql.Date.valueOf("2026-03-03"), 30)).toDF("day", "v"), Seq("day"))
+    assert(vtd.read(spark, "main").as[(java.sql.Date, Int)].collect().toSet ===
+      Set((d1, 10), (d2, 99), (java.sql.Date.valueOf("2026-03-03"), 30)))
+  }
+
   test("signature table advances per corpus commit; screening never scans corpus text") {
     import graft.ext.IncrementalDedup
     val docs = Tables.documents(spark, sf)
