@@ -139,6 +139,37 @@ final class Repo private (val root: Path) {
     readTableAt(spark, c, table)
   }
 
+  /** Row-level CDC for ONE table between two REPO versions — lakectl diff's
+    * row-granular cousin, file-granular like [[VersionedTable.changes]]:
+    * files of the table common to both repo snapshots are immutable and
+    * cancel from the bag diff by metadata alone, so only the table's
+    * touched files are scanned (a commit that changed OTHER tables costs
+    * zero I/O here — its files never enter either side). A table absent
+    * from a snapshot contributes no rows (born/dropped tables diff cleanly
+    * against empty); on schema evolution the NEWER snapshot's schema wins —
+    * additive changes read the old files null-filled. */
+  def tableChanges(spark: SparkSession, branch: String, table: String,
+                   fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val lin = lineage(branch)
+    def at(v: Long): Commit = lin.find(_.version == v).getOrElse(
+      throw new IllegalArgumentException(s"no version $v on $branch"))
+    val (from, to) = (at(fromVersion), at(toVersion))
+    val fromFiles = tableFiles(from, table)
+    val toFiles = tableFiles(to, table)
+    val schemaJson = tableSchemas(to).getOrElse(table, tableSchemas(from).getOrElse(table,
+      throw new IllegalArgumentException(s"no table '$table' in either version")))
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    def readFiles(files: Vector[String]): DataFrame =
+      if (files.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else spark.read.schema(schema).parquet(files.map(f => root.resolve(f).toString): _*)
+    val before = readFiles(fromFiles.filterNot(toFiles.toSet))
+    val after = readFiles(toFiles.filterNot(fromFiles.toSet))
+    after.exceptAll(before).withColumn("change_type", lit("insert"))
+      .unionByName(before.exceptAll(after).withColumn("change_type", lit("delete")))
+  }
+
   private def readTableAt(spark: SparkSession, c: Commit, table: String): DataFrame = {
     val schema = DataType.fromJson(tableSchemas(c).getOrElse(table,
       throw new IllegalArgumentException(s"no table '$table' in commit ${c.id}")))

@@ -587,15 +587,21 @@ final class VersionedTable private (val root: Path) {
     * retained iff it is among the newest `retainLast` versions of some
     * branch's lineage (plus every staged snapshot). Returns #files deleted.
     *
+    * `dryRun = true` (Delta's `VACUUM ... DRY RUN`): report the count that
+    * WOULD be deleted and mutate NOTHING — no file deletes, and the
+    * stale-slot sweep (which repairs refs and reclaims slots) is skipped
+    * too, so a dry run is a pure read.
+    *
     * Safety invariant (property-tested): a file referenced by any retained
     * version is never deleted — vacuum can only break time travel to versions
     * older than the retention horizon, exactly like Delta's `vacuum()`.
     */
-  def vacuum(retainLast: Int = 1, staleSlotMs: Long = VersionedTable.DefaultStaleSlotMs): Int = synchronized {
+  def vacuum(retainLast: Int = 1, staleSlotMs: Long = VersionedTable.DefaultStaleSlotMs,
+             dryRun: Boolean = false): Int = synchronized {
     require(retainLast >= 1, "retainLast must be >= 1")
-    sweepStaleSlots(System.currentTimeMillis(), staleSlotMs)
+    if (!dryRun) sweepStaleSlots(System.currentTimeMillis(), staleSlotMs)
     sweep((branches.flatMap(b => lineage(b).take(retainLast).flatMap(_.files)) ++ // lineage is head-first
-      stagedFiles).toSet ++ slotProtectedFiles(reachableIds))
+      stagedFiles).toSet ++ slotProtectedFiles(reachableIds), dryRun)
   }
 
   /** Time-based retention, Delta's `vacuum()` dial (`jobs/vdt4.py:84-85`
@@ -635,8 +641,9 @@ final class VersionedTable private (val root: Path) {
     branches.filter(hasStaged).flatMap(b =>
       CommitLog.fromJson(CommitLog.readString(refsDir.resolve(b + ".staged"))).files)
 
-  /** Delete every data file not in `retained`; prune emptied commit dirs. */
-  private def sweep(retained: Set[String]): Int = {
+  /** Delete every data file not in `retained` (or just COUNT them when
+    * `dryRun`); prune emptied commit dirs. */
+  private def sweep(retained: Set[String], dryRun: Boolean = false): Int = {
     if (!Files.exists(dataDir)) return 0
     val walk = Files.walk(dataDir)
     val all =
@@ -645,6 +652,7 @@ final class VersionedTable private (val root: Path) {
         .map(p => root.relativize(p).toString).toVector
       finally walk.close()
     val dead = all.filterNot(retained.contains)
+    if (dryRun) return dead.size
     dead.foreach(f => Files.deleteIfExists(root.resolve(f)))
     // prune now-empty commit directories
     listDir(dataDir).foreach { d =>

@@ -177,6 +177,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: each change-feed delta replays snapshot v-1 into snapshot v (bag semantics) on random histories") {
+    // The CDC contract: for EVERY consecutive version pair of any history —
+    // appends, overwrites and COW upserts mixed — bag(v) = bag(v-1) +
+    // inserts − deletes. Checked as multisets so duplicate rows count.
+    val opGen: Gen[List[Int]] = Gen.listOfN(4, Gen.choose(0, 2))
+    val rowsGen: Gen[List[(Int, Int)]] = Gen.listOfN(6,
+      for { k <- Gen.choose(0, 9); v <- Gen.choose(0, 99) } yield (k, v))
+    samples(Gen.zip(opGen, Gen.listOfN(5, rowsGen)), 5).zipWithIndex.foreach {
+      case ((opsSeq, rowSets), si) =>
+        val vt = VersionedTable.create(Tables.scratch(s"prop_feed_$si"))
+        vt.write(rowSets.head.toDF("k", "v"), "main", "v0", statsCols = Seq("k"))
+        opsSeq.zip(rowSets.tail).foreach { case (op, rows) =>
+          op match {
+            case 0 => vt.write(rows.toDF("k", "v"), "main", "append", mode = "append")
+            case 1 => vt.write(rows.toDF("k", "v"), "main", "overwrite")
+            case 2 => // key-unique source for the COW upsert
+              val uniq = rows.groupBy(_._1).values.map(_.head).toList
+              vt.upsert(spark, uniq.toDF("k", "v"), keyCols = Seq("k"))
+          }
+        }
+        val headV = vt.head("main").get.version
+        def bag(df: org.apache.spark.sql.DataFrame): Map[(Int, Int), Int] =
+          df.select("k", "v").as[(Int, Int)].collect()
+            .groupBy(identity).view.mapValues(_.length).toMap
+        val feed = vt.changesFeed(spark, "main", 0, headV)
+          .select("version", "change_type", "k", "v")
+          .as[(Long, String, Int, Int)].collect()
+        (1L to headV).foreach { ver =>
+          val prev = bag(vt.readVersion(spark, "main", ver - 1))
+          val ins = feed.collect { case (`ver`, "insert", k, v) => (k, v) }
+            .groupBy(identity).view.mapValues(_.length).toMap
+          val del = feed.collect { case (`ver`, "delete", k, v) => (k, v) }
+            .groupBy(identity).view.mapValues(_.length).toMap
+          val replayed = (prev.keySet ++ ins.keySet).map { r =>
+            r -> (prev.getOrElse(r, 0) + ins.getOrElse(r, 0) - del.getOrElse(r, 0))
+          }.filter(_._2 > 0).toMap
+          assert(replayed === bag(vt.readVersion(spark, "main", ver)),
+            s"case $si ops=$opsSeq version $ver: delta replay diverged")
+        }
+    }
+  }
+
   test("property: copy-on-write upsert equals the naive full-rewrite merge on random keyed data") {
     // The stats-based file pruning is an OPTIMIZATION: for any table layout
     // and any source key set, the COW result must be row-identical to the

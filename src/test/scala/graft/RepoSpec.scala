@@ -216,6 +216,29 @@ class RepoSpec extends SparkSpec {
     assert(repo.head("main").map(_.id) === Some(devHead.id))
   }
 
+  test("tableChanges diffs one table between repo versions, scanning only its touched files") {
+    val repo = Repo.create(Tables.scratch("repo_table_cdc"))
+    repo.stageWrite(Seq(1, 2).toDF("x"), "main", "a")
+    repo.stageWrite(Seq(10).toDF("y"), "main", "b")
+    repo.commit("main", "v0")
+    // v1 touches ONLY table a (b rides along untouched)
+    repo.stageWrite(Seq(2, 3).toDF("x"), "main", "a")
+    repo.commit("main", "v1")
+    val cdc = repo.tableChanges(spark, "main", "a", 0, 1)
+    val got = cdc.select("change_type", "x").as[(String, Int)].collect().toSet
+    assert(got === Set(("insert", 3), ("delete", 1))) // 2 is in both → cancels
+    // the untouched table diffs empty — and costs zero I/O (no input files)
+    val cdcB = repo.tableChanges(spark, "main", "b", 0, 1)
+    assert(cdcB.count() === 0)
+    assert(cdcB.inputFiles.isEmpty, "untouched table's CDC must scan nothing")
+    // a table born in v1 diffs cleanly against empty
+    repo.stageWrite(Seq(7).toDF("z"), "main", "c")
+    repo.commit("main", "v2")
+    val born = repo.tableChanges(spark, "main", "c", 1, 2)
+      .select("change_type", "z").as[(String, Int)].collect().toSet
+    assert(born === Set(("insert", 7)))
+  }
+
   test("branches are zero-copy and isolated across all tables") {
     val repo = Repo.create(Tables.scratch("repo_branch"))
     repo.stageWrite(Seq(1).toDF("x"), "main", "a")

@@ -694,6 +694,27 @@ class VersionedTableSpec extends SparkSpec {
       .select("n_name").as[String].collect().forall(n => n == n.toLowerCase))
   }
 
+  test("vacuum dryRun counts what a real vacuum would delete and mutates nothing") {
+    val vt = freshVt("vacuum_dryrun")
+    vt.write(df(1, 2), "main", "v0")
+    vt.write(df(3), "main", "v1") // overwrite: v0's files fall out of retainLast=1
+    def dataFiles: Set[String] = {
+      val w = Files.walk(vt.root.resolve("data"))
+      try w.iterator().asScala.filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(_.toString).toSet
+      finally w.close()
+    }
+    val before = dataFiles
+    val wouldDelete = vt.vacuum(retainLast = 1, dryRun = true)
+    assert(wouldDelete > 0)
+    assert(dataFiles === before, "dry run deleted files")
+    assert(vt.readVersion(spark, "main", 0).as[Int].collect().sorted === Array(1, 2),
+      "dry run broke time travel")
+    val deleted = vt.vacuum(retainLast = 1)
+    assert(deleted === wouldDelete, s"dry-run count $wouldDelete != real $deleted")
+    assert(vt.read(spark, "main").as[Int].collect() === Array(3))
+  }
+
   test("upsert edge cases: empty source is a no-op; non-numeric keys fall back to full rewrite") {
     val vt = freshVt("upsert_edges")
     val c0 = vt.write(Seq((1, "a"), (2, "b")).toDF("k", "v"), "main", "v0")
