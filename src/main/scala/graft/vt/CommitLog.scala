@@ -1,7 +1,6 @@
 package graft.vt
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, StandardCopyOption}
+import java.nio.file.Path
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
@@ -57,12 +56,15 @@ final case class Commit(
   def parents: List[String] = parent.toList ++ mergeParent.toList
 }
 
-/** JSON codec + crash-safe filesystem helpers for the commit log.
+/** JSON codec + crash-safe metadata helpers for the commit log.
   *
-  * All metadata writes go through [[CommitLog.writeAtomic]]: write a temp file
-  * in the destination directory, then `ATOMIC_MOVE` it into place. Readers
-  * therefore never observe a torn commit or ref — the same recipe Delta uses
-  * for `_delta_log` entries and lakeFS for its ref store.
+  * All metadata writes go through a [[MetaStore]]: refs and commit JSON via
+  * [[MetaStore.put]] (atomic full-object replace — readers never observe a
+  * torn commit or ref, the same contract Delta's `_delta_log` writes and
+  * lakeFS's ref store rely on), and version-slot claims via
+  * [[MetaStore.putIfAbsent]] (the one conditional primitive — an object
+  * store's conditional PUT). The default store is the local filesystem;
+  * [[VersionedTable]]/[[Repo]] carry their own store instance.
   */
 object CommitLog {
   private val mapper = new ObjectMapper()
@@ -132,49 +134,39 @@ object CommitLog {
       }.getOrElse(Map.empty))
   }
 
-  /** Cross-process optimistic concurrency (Delta's log-store contract on a
-    * POSIX filesystem): atomically claim the (branch, version) slot with a
-    * CREATE-NEW — `Files.createFile` is an atomic exists-check-and-create —
-    * before publishing the commit. Two writers that both based themselves on
-    * the same parent race to claim the same slot; the loser gets a
-    * [[java.util.ConcurrentModificationException]] instead of silently
+  /** Cross-process optimistic concurrency (Delta's log-store contract,
+    * realized by [[MetaStore.putIfAbsent]]): atomically claim the
+    * (branch, version) slot — content included in the same indivisible
+    * operation — before publishing the commit. Two writers that both based
+    * themselves on the same parent race to claim the same slot; the loser
+    * gets a [[java.util.ConcurrentModificationException]] instead of silently
     * orphaning the winner's lineage with a last-ref-write-wins. The caller
     * re-reads the head and retries (its version then differs → a new slot).
     *
-    * Crash caveat (same shape as Delta on non-CAS object stores): a writer
-    * that dies between claiming and publishing leaves a stale slot that
-    * blocks that one version number; remove the slot file to recover.
+    * Crash caveat (same shape as Delta's log stores): a writer that dies
+    * between claiming and publishing leaves a stale slot that blocks that one
+    * version number; [[SlotSweep]] reclaims it after the staleness window.
     *
-    * Slot files are empty for ordinary commits. A FAST-FORWARD merge — which
+    * Slot content is empty for ordinary commits. A FAST-FORWARD merge — which
     * advances the ref to an EXISTING commit and so never publishes one —
     * claims its slot with `content = "ff:<targetCommitId>"`: the content is
     * what lets vacuum's stale-slot sweep tell a completed FF's CAS record
     * (kept forever, like a published commit's slot) from a crashed claim
-    * (reclaimed). The content write is a separate step after the atomic
-    * create; a crash in between leaves an empty slot, which is exactly the
-    * crashed-claim case the sweep already reclaims. */
+    * (reclaimed). Since the claim is a single content-complete CAS, there is
+    * no window where an FF slot exists without its target recorded. */
   def claimVersionSlot(locksDir: Path, branch: String, version: Long,
-                       content: String = ""): Unit = {
-    Files.createDirectories(locksDir)
-    try {
-      val p = Files.createFile(locksDir.resolve(s"$branch-v$version"))
-      if (content.nonEmpty) Files.write(p, content.getBytes(StandardCharsets.UTF_8))
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new java.util.ConcurrentModificationException(
-          s"concurrent write to $branch: version $version was already claimed by " +
-            "another writer — re-read the branch head and retry the write")
-    }
+                       content: String = "",
+                       store: MetaStore = LocalFsMetaStore): Unit = {
+    if (!store.putIfAbsent(locksDir.resolve(s"$branch-v$version"), content))
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent write to $branch: version $version was already claimed by " +
+          "another writer — re-read the branch head and retry the write")
   }
 
-  /** Atomic file write: tmp file in the same directory + atomic rename. */
-  def writeAtomic(target: Path, content: String): Unit = {
-    Files.createDirectories(target.getParent)
-    val tmp = Files.createTempFile(target.getParent, "." + target.getFileName.toString, ".tmp")
-    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+  /** Atomic file write on the DEFAULT (local-FS) store — kept as the
+    * entry point crash-simulation specs drive directly. */
+  def writeAtomic(target: Path, content: String): Unit =
+    LocalFsMetaStore.put(target, content)
 
-  def readString(p: Path): String =
-    new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+  def readString(p: Path): String = LocalFsMetaStore.read(p)
 }

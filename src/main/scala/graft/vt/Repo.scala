@@ -21,7 +21,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * Scale posture matches VersionedTable: metadata is O(tables + files) JSON,
   * data files are immutable parquet read through the stock DataFrameReader.
   */
-final class Repo private (val root: Path) {
+final class Repo private (val root: Path, val store: MetaStore) {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private def commitsDir = root.resolve("commits")
@@ -34,10 +34,7 @@ final class Repo private (val root: Path) {
 
   def head(branch: String): Option[Commit] = {
     val ref = refsDir.resolve(branch)
-    if (Files.exists(ref))
-      Some(CommitLog.fromJson(CommitLog.readString(commitsDir.resolve(
-        CommitLog.readString(ref).trim + ".json"))))
-    else None
+    if (store.exists(ref)) Some(loadCommit(store.read(ref).trim)) else None
   }
 
   /** Data files live under `data/<table>/…` relative to the repo root. */
@@ -89,12 +86,12 @@ final class Repo private (val root: Path) {
     }
     val version = parent.map(_.version + 1).getOrElse(0L)
     // same cross-process CAS as VersionedTable.publish: no silent forks
-    CommitLog.claimVersionSlot(root.resolve("locks"), branch, version)
+    CommitLog.claimVersionSlot(root.resolve("locks"), branch, version, store = store)
     val id = s"$branch-v$version-${java.util.UUID.randomUUID.toString.take(8)}"
     val c = Commit(id, parent.map(_.id), version, files.toVector, schemaJson,
       message, System.currentTimeMillis())
-    CommitLog.writeAtomic(commitsDir.resolve(id + ".json"), CommitLog.toJson(c))
-    CommitLog.writeAtomic(refsDir.resolve(branch), id)
+    store.put(commitsDir.resolve(id + ".json"), CommitLog.toJson(c))
+    store.put(refsDir.resolve(branch), id)
     staged.remove(branch)
     c
   }
@@ -118,8 +115,7 @@ final class Repo private (val root: Path) {
     def walk(c: Commit): Commit =
       if (c.version == version) c
       else c.parent match {
-        case Some(p) => walk(CommitLog.fromJson(CommitLog.readString(
-          commitsDir.resolve(p + ".json"))))
+        case Some(p) => walk(loadCommit(p))
         case None => throw new IllegalArgumentException(s"no version $version on $branch")
       }
     readTableAt(spark, walk(head(branch).getOrElse(
@@ -185,13 +181,13 @@ final class Repo private (val root: Path) {
 
   /** lakeFS branch create: zero-copy head pointer. */
   def createBranch(name: String, from: String = "main"): Unit = synchronized {
-    require(!Files.exists(refsDir.resolve(name)), s"branch exists: $name")
+    require(!store.exists(refsDir.resolve(name)), s"branch exists: $name")
     val h = head(from).getOrElse(throw new IllegalArgumentException(s"no such branch: $from"))
-    CommitLog.writeAtomic(refsDir.resolve(name), h.id)
+    store.put(refsDir.resolve(name), h.id)
   }
 
   private def loadCommit(id: String): Commit =
-    CommitLog.fromJson(CommitLog.readString(commitsDir.resolve(id + ".json")))
+    CommitLog.fromJson(store.read(commitsDir.resolve(id + ".json")))
 
   /** DAG-aware ancestry (merge commits have two parents — see [[Ancestry]]). */
   private def isAncestor(maybeAncestor: String, of: Commit): Boolean =
@@ -228,8 +224,8 @@ final class Repo private (val root: Path) {
       // same head can silently overwrite this ref advance — the lakeFS
       // atomic-merge contract (reference README.md:145).
       CommitLog.claimVersionSlot(root.resolve("locks"), into, dst.version + 1,
-        content = "ff:" + src.id)
-      CommitLog.writeAtomic(refsDir.resolve(into), src.id)
+        content = "ff:" + src.id, store = store)
+      store.put(refsDir.resolve(into), src.id)
       src
     } else if (isAncestor(src.id, of = dst)) dst
     else {
@@ -250,12 +246,12 @@ final class Repo private (val root: Path) {
         mapper.writeValueAsString(m)
       }
       val version = dst.version + 1
-      CommitLog.claimVersionSlot(root.resolve("locks"), into, version)
+      CommitLog.claimVersionSlot(root.resolve("locks"), into, version, store = store)
       val id = s"$into-v$version-${java.util.UUID.randomUUID.toString.take(8)}"
       val c = Commit(id, Some(dst.id), version, files.sorted, schemaJson,
         s"merge $from into $into", System.currentTimeMillis(), mergeParent = Some(src.id))
-      CommitLog.writeAtomic(commitsDir.resolve(id + ".json"), CommitLog.toJson(c))
-      CommitLog.writeAtomic(refsDir.resolve(into), id)
+      store.put(commitsDir.resolve(id + ".json"), CommitLog.toJson(c))
+      store.put(refsDir.resolve(into), id)
       c
     }
   }
@@ -267,13 +263,8 @@ final class Repo private (val root: Path) {
     (a -- b).toSeq.sorted.map(_ -> "added") ++ (b -- a).toSeq.sorted.map(_ -> "removed")
   }
 
-  def branches: Seq[String] = {
-    if (!Files.exists(refsDir)) return Seq.empty
-    val st = Files.list(refsDir)
-    import scala.jdk.CollectionConverters._
-    try st.iterator().asScala.map(_.getFileName.toString).toVector.sorted
-    finally st.close()
-  }
+  def branches: Seq[String] =
+    store.list(refsDir).map(_.getFileName.toString).sorted
 
   /** Head-first lineage walk of a branch (head, head.parent, …, root). */
   def lineage(branch: String): List[Commit] = {
@@ -292,12 +283,12 @@ final class Repo private (val root: Path) {
       throw new IllegalArgumentException(s"no version $toVersion on $branch"))
     val parent = head(branch).get
     val version = parent.version + 1
-    CommitLog.claimVersionSlot(root.resolve("locks"), branch, version)
+    CommitLog.claimVersionSlot(root.resolve("locks"), branch, version, store = store)
     val id = s"$branch-v$version-${java.util.UUID.randomUUID.toString.take(8)}"
     val c = Commit(id, Some(parent.id), version, target.files, target.schemaJson,
       if (message.isEmpty) s"revert to v$toVersion" else message, System.currentTimeMillis())
-    CommitLog.writeAtomic(commitsDir.resolve(id + ".json"), CommitLog.toJson(c))
-    CommitLog.writeAtomic(refsDir.resolve(branch), id)
+    store.put(commitsDir.resolve(id + ".json"), CommitLog.toJson(c))
+    store.put(refsDir.resolve(branch), id)
     c
   }
 
@@ -317,9 +308,9 @@ final class Repo private (val root: Path) {
   /** Same crash recovery as the table layer ([[SlotSweep.sweepStaleSlots]]):
     * a repo writer killed mid-publish otherwise wedges its branch forever
     * (the claimed slot blocks every retry). Run by both vacuum dials. */
-  private def sweepStaleSlots(nowMs: Long, staleSlotMs: Long): Int =
-    SlotSweep.sweepStaleSlots(root, head, loadCommit, reachableIds,
-      (id, of) => isAncestor(id, of), nowMs, staleSlotMs)
+  private def sweepStaleSlots(nowMs: Long, staleSlotMs: Long): SlotSweep.SweepResult =
+    SlotSweep.sweepStaleSlots(store, root, head, loadCommit, reachableIds,
+      nowMs, staleSlotMs)
 
   /** Repo-wide GC, same contract as VersionedTable.vacuum: delete data files
     * unreferenced by the newest `retainLast` commits of every branch (staged
@@ -333,7 +324,7 @@ final class Repo private (val root: Path) {
     val retained: Set[String] =
       (branches.flatMap(b => lineage(b).take(retainLast).flatMap(_.files)) ++
         staged.values.flatMap(_.values.flatMap(_._1))).toSet ++
-        SlotSweep.slotProtectedFiles(root, loadCommit, reachableIds)
+        SlotSweep.slotProtectedFiles(store, root, loadCommit, reachableIds)
     sweepData(retained)
   }
 
@@ -350,7 +341,7 @@ final class Repo private (val root: Path) {
       (branches.flatMap(b => lineage(b).zipWithIndex.collect {
         case (c, i) if i == 0 || c.ts >= cutoff => c.files // i==0 = the head
       }.flatten) ++ staged.values.flatMap(_.values.flatMap(_._1))).toSet ++
-        SlotSweep.slotProtectedFiles(root, loadCommit, reachableIds)
+        SlotSweep.slotProtectedFiles(store, root, loadCommit, reachableIds)
     sweepData(retained)
   }
 
@@ -370,11 +361,14 @@ final class Repo private (val root: Path) {
 }
 
 object Repo {
-  def create(root: String): Repo = {
+  /** `store` carries the control-plane metadata (default: local filesystem);
+    * data files under `data/` always live on the Spark-visible filesystem. */
+  def create(root: String, store: MetaStore = LocalFsMetaStore): Repo = {
     val p = Paths.get(root)
-    Files.createDirectories(p.resolve("commits"))
-    Files.createDirectories(p.resolve("refs"))
+    store.ensurePrefix(p.resolve("commits"))
+    store.ensurePrefix(p.resolve("refs"))
     Files.createDirectories(p.resolve("data"))
-    new Repo(p)
+    store.put(p.resolve("_graft_repo"), "repo-v1")
+    new Repo(p, store)
   }
 }

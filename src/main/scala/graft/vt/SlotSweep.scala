@@ -1,7 +1,6 @@
 package graft.vt
 
 import java.nio.file.{Files, Path}
-import scala.jdk.CollectionConverters._
 
 /** Crash recovery over the version-slot CAS, shared by [[VersionedTable]]
   * and [[Repo]] (both speak the same claim-slot → write-commit → advance-ref
@@ -18,41 +17,71 @@ import scala.jdk.CollectionConverters._
   *    exist);
   *  - [[slotProtectedFiles]] names the replay targets' data files so vacuum
   *    retention never deletes what a later replay would publish.
+  *
+  * All metadata access goes through the table's [[MetaStore]]; only the
+  * existence probe of a replay target's DATA files touches the filesystem
+  * directly (the data plane stays outside the store by design).
   */
 private[vt] object SlotSweep {
 
-  private def listDir(p: Path): Vector[Path] = {
-    if (!Files.exists(p)) return Vector.empty
-    val s = Files.list(p)
-    try s.iterator().asScala.toVector finally s.close()
-  }
+  /** Outcome of one sweep pass: slots reclaimed/repaired, and the ref
+    * advances performed (or, in plan mode, the ones that WOULD be) as
+    * branch → orphan commit id. */
+  final case class SweepResult(reclaimed: Int, refRepairs: Map[String, String])
 
   /** See the bullet list above. `reachable` is the full-DAG closure of every
-    * branch head; `isAncestor(id, of)` must walk BOTH parent edges. Returns
-    * #slots reclaimed/repaired. */
-  def sweepStaleSlots(root: Path,
+    * branch head. With `act = false` the pass is a pure READ: nothing is
+    * deleted or written, but the result still reports the repairs a real
+    * sweep would make — [[VersionedTable.vacuum]]'s dry run uses it to price
+    * retention as if the sweep had run, so dry-run counts match the
+    * subsequent real vacuum even in a crashed-writer state.
+    *
+    * Slots are processed in (branch, version) order, so CHAINED interrupted
+    * publishes (orphan v1 and orphan v2 on the same branch) heal in ONE
+    * pass — v2's replay sees v1's already-advanced head — and the pass is
+    * deterministic regardless of listing order.
+    *
+    * The completed-fast-forward test needs per-branch ancestry; the closure
+    * of each branch head is computed ONCE per sweep and memoized, so sweep
+    * cost is O(#branches × history) + O(#slots), not O(#FF-slots × history).
+    */
+  def sweepStaleSlots(store: MetaStore, root: Path,
                       head: String => Option[Commit],
                       loadCommit: String => Commit,
                       reachable: Set[String],
-                      isAncestor: (String, Commit) => Boolean,
-                      nowMs: Long, staleSlotMs: Long): Int = {
+                      nowMs: Long, staleSlotMs: Long,
+                      act: Boolean = true): SweepResult = {
     val locksDir = root.resolve("locks")
     val commitsDir = root.resolve("commits")
     val refsDir = root.resolve("refs")
-    if (!Files.exists(locksDir)) return 0
     val publishedIds =
-      if (Files.exists(commitsDir))
-        listDir(commitsDir).map(_.getFileName.toString.stripSuffix(".json")).sorted
-      else Vector.empty
+      store.list(commitsDir).map(_.getFileName.toString.stripSuffix(".json")).sorted
     // Snapshot the slot listing ONCE: the v0Safe count below must be evaluated
     // against the pre-sweep state, otherwise it is order-dependent — an
     // unpublished leftover slot of the same deleted branch reclaimed EARLIER
     // in this pass would drop the count to 1 and let a single-published-commit
     // deleted branch be resurrected.
-    val slotSnapshot = listDir(locksDir).map(_.getFileName.toString)
+    val slotSnapshot = store.list(locksDir).map(_.getFileName.toString)
+    // Ref advances performed (act) or planned (!act) THIS pass: later slots of
+    // the same branch must see them — that is what lets chained orphans heal
+    // in one sweep, and what makes the plan an exact rehearsal of the act.
+    val advanced = scala.collection.mutable.Map.empty[String, String]
+    def curHead(branch: String): Option[Commit] =
+      advanced.get(branch).map(loadCommit).orElse(head(branch))
+    // memoized per-branch ancestor closure (ADVICE r12: the per-slot
+    // isAncestor walk made vacuum cost grow with #FF-merges × depth)
+    val closures = scala.collection.mutable.Map.empty[String, Set[String]]
+    def branchClosure(branch: String): Set[String] =
+      closures.getOrElseUpdate(branch,
+        curHead(branch).map(h => Ancestry.reachableIds(loadCommit, Seq(h)))
+          .getOrElse(Set.empty))
     var reclaimed = 0
-    listDir(locksDir)
-      .filter(p => Files.getLastModifiedTime(p).toMillis < nowMs - staleSlotMs)
+    store.list(locksDir)
+      .filter(p => store.lastModified(p) < nowMs - staleSlotMs)
+      .sortBy(p => p.getFileName.toString match {
+        case VersionedTable.SlotRe(b, v) => (b, v.toLong)
+        case other => (other, -1L)
+      })
       .foreach { p =>
         val slot = p.getFileName.toString // "<branch>-v<version>"
         // EXACT id match (commit ids are "<slot>-<8 hex uuid chars>"): a prefix
@@ -73,16 +102,15 @@ private[vt] object SlotSweep {
           //    staleSlotMs claim this version and fork the merged history.
           //    (A crashed FF — target named but head not descended — is
           //    reclaimed; the merge caller simply retries.)
-          val content = try CommitLog.readString(p).trim catch { case _: Exception => "" }
+          val content = try store.read(p).trim catch { case _: Exception => "" }
           val ffDone = content.startsWith("ff:") && {
             val tid = content.drop(3)
-            Files.exists(commitsDir.resolve(tid + ".json")) && (slot match {
-              case VersionedTable.SlotRe(branch, _) =>
-                head(branch).exists(h => isAncestor(tid, h))
+            store.exists(commitsDir.resolve(tid + ".json")) && (slot match {
+              case VersionedTable.SlotRe(branch, _) => branchClosure(branch).contains(tid)
               case _ => false
             })
           }
-          if (!ffDone) { Files.deleteIfExists(p); reclaimed += 1 }
+          if (!ffDone) { if (act) store.delete(p); reclaimed += 1 }
         } else if (!owned.exists(reachable.contains)) {
           // crash between the commit-json write and the ref advance: the
           // commit exists but no ref reaches it, so every retry targets the
@@ -98,12 +126,12 @@ private[vt] object SlotSweep {
               //     else exists under the branch name — a crashed
               //     deleteBranch can leave a v0 slot behind, and None==None
               //     alone would recreate the deleted branch's ref.
-              val extendsHead = head(branch).map(_.id) == orphan.parent
+              val extendsHead = curHead(branch).map(_.id) == orphan.parent
               val branchIdP = java.util.regex.Pattern.compile(
                 java.util.regex.Pattern.quote(branch) + "-v\\d+-[0-9a-f]{8}")
               val branchSlotP = java.util.regex.Pattern.compile(
                 java.util.regex.Pattern.quote(branch) + "-v\\d+")
-              val v0Safe = orphan.parent.isDefined || (head(branch).isEmpty &&
+              val v0Safe = orphan.parent.isDefined || (curHead(branch).isEmpty &&
                 publishedIds.count(id => branchIdP.matcher(id).matches()) == 1 &&
                 slotSnapshot.count(s => branchSlotP.matcher(s).matches()) == 1)
               if (extendsHead && v0Safe) {
@@ -121,11 +149,15 @@ private[vt] object SlotSweep {
                   // claims the branch's next version slot, which is exactly
                   // the slot this orphan still holds, so no concurrent ref
                   // write can interleave here.
-                  CommitLog.writeAtomic(refsDir.resolve(branch), orphan.id)
+                  if (act) store.put(refsDir.resolve(branch), orphan.id)
+                  advanced(branch) = orphan.id
+                  closures.remove(branch) // head moved: recompute lazily
                   reclaimed += 1
                 } else {
-                  Files.deleteIfExists(commitsDir.resolve(orphan.id + ".json"))
-                  Files.deleteIfExists(p)
+                  if (act) {
+                    store.delete(commitsDir.resolve(orphan.id + ".json"))
+                    store.delete(p)
+                  }
                   reclaimed += 1
                 }
               }
@@ -133,7 +165,7 @@ private[vt] object SlotSweep {
           }
         }
       }
-    reclaimed
+    SweepResult(reclaimed, advanced.toMap)
   }
 
   /** Data files of published-but-UNREACHABLE commits whose version slot still
@@ -143,13 +175,13 @@ private[vt] object SlotSweep {
     * head whose data was already deleted. Reachable commits are excluded, so
     * this never widens retention for ordinary history (every published commit
     * keeps its slot forever as the CAS record). */
-  def slotProtectedFiles(root: Path, loadCommit: String => Commit,
+  def slotProtectedFiles(store: MetaStore, root: Path, loadCommit: String => Commit,
                          reachable: Set[String]): Set[String] = {
     val locksDir = root.resolve("locks")
     val commitsDir = root.resolve("commits")
-    if (!Files.exists(locksDir) || !Files.exists(commitsDir)) return Set.empty
-    val slots = listDir(locksDir).map(_.getFileName.toString).toSet
-    listDir(commitsDir).map(_.getFileName.toString.stripSuffix(".json"))
+    val slots = store.list(locksDir).map(_.getFileName.toString).toSet
+    if (slots.isEmpty) return Set.empty
+    store.list(commitsDir).map(_.getFileName.toString.stripSuffix(".json"))
       .filter { id => // id = "<branch>-v<n>-<hex8>"
         val cut = id.lastIndexOf('-')
         cut > 0 && !reachable.contains(id) && slots.contains(id.substring(0, cut))

@@ -31,19 +31,27 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
   * Concurrency: writers within one JVM are serialized per table instance
   * (`synchronized`); ACROSS processes every ref-advancing write — commit,
   * 3-way merge, AND fast-forward merge — first claims its (branch, version)
-  * slot with an atomic create-new ([[CommitLog.claimVersionSlot]] — Delta's
+  * slot with an atomic put-if-absent ([[CommitLog.claimVersionSlot]] — Delta's
   * optimistic-concurrency contract), so two racing writers produce a linear
   * history plus one clean `ConcurrentModificationException` to retry, never
   * a silent fork or a lost ref advance.
+  *
+  * Storage: ALL control-plane metadata (refs, commit JSON, version slots,
+  * staged markers) goes through the pluggable [[MetaStore]] — the crash-safety
+  * guarantees above are stated in its object-store terms (put-if-absent +
+  * atomic full-object put), so they transfer to S3-class stores, which have
+  * no atomic rename. The data plane (immutable parquet under `data/`) stays
+  * on the Spark-visible filesystem.
   */
-final class VersionedTable private (val root: Path) {
+final class VersionedTable private (val root: Path, val store: MetaStore) {
 
   private def commitsDir: Path = root.resolve("commits")
   private def refsDir: Path = root.resolve("refs")
   private def dataDir: Path = root.resolve("data")
 
-  /** List a directory, closing the underlying stream (Files.list leaks the
-    * handle otherwise — fatal for a long-lived driver hosting many tables). */
+  /** List a DATA directory, closing the underlying stream (Files.list leaks
+    * the handle otherwise — fatal for a long-lived driver hosting many
+    * tables). Metadata listings go through [[store]] instead. */
   private def listDir(p: Path): Vector[Path] = {
     val st = Files.list(p)
     try st.iterator().asScala.toVector finally st.close()
@@ -52,26 +60,27 @@ final class VersionedTable private (val root: Path) {
   // ---- commit log access -------------------------------------------------
 
   def loadCommit(id: String): Commit =
-    CommitLog.fromJson(CommitLog.readString(commitsDir.resolve(id + ".json")))
+    CommitLog.fromJson(store.read(commitsDir.resolve(id + ".json")))
 
   def head(branch: String): Option[Commit] = {
     val ref = refsDir.resolve(branch)
-    if (Files.exists(ref)) Some(loadCommit(CommitLog.readString(ref).trim)) else None
+    if (store.exists(ref)) Some(loadCommit(store.read(ref).trim)) else None
   }
 
   def branches: Seq[String] =
-    if (!Files.exists(refsDir)) Seq.empty
-    else listDir(refsDir).map(_.getFileName.toString)
+    store.list(refsDir).map(_.getFileName.toString)
       .filterNot(_.endsWith(".staged")).sorted
 
   /** Head-first lineage walk of a branch (head, head.parent, …, root). */
-  def lineage(branch: String): List[Commit] = {
+  def lineage(branch: String): List[Commit] = lineageFrom(head(branch))
+
+  private def lineageFrom(h: Option[Commit]): List[Commit] = {
     @annotation.tailrec
     def walk(c: Option[Commit], acc: List[Commit]): List[Commit] = c match {
       case None => acc.reverse
       case Some(cc) => walk(cc.parent.map(loadCommit), cc :: acc)
     }
-    walk(head(branch), Nil)
+    walk(h, Nil)
   }
 
   /** DAG ancestry: history is a DAG once merge commits carry a second parent,
@@ -325,29 +334,29 @@ final class VersionedTable private (val root: Path) {
     val files = writeDataFiles(df, branch + "-staged", parent.map(_.version + 1).getOrElse(0L))
     val staged = Commit("STAGED", parent.map(_.id),
       parent.map(_.version + 1).getOrElse(0L), files, df.schema.json, "", System.currentTimeMillis())
-    CommitLog.writeAtomic(refsDir.resolve(branch + ".staged"), CommitLog.toJson(staged))
+    store.put(refsDir.resolve(branch + ".staged"), CommitLog.toJson(staged))
   }
 
-  def hasStaged(branch: String): Boolean = Files.exists(refsDir.resolve(branch + ".staged"))
+  def hasStaged(branch: String): Boolean = store.exists(refsDir.resolve(branch + ".staged"))
 
   /** lakeFS `commit`: promote the staged snapshot to a real commit (V3). */
   def commitStaged(branch: String, message: String): Commit = synchronized {
     val stagedPath = refsDir.resolve(branch + ".staged")
-    require(Files.exists(stagedPath), s"nothing staged on $branch")
-    val staged = CommitLog.fromJson(CommitLog.readString(stagedPath))
+    require(store.exists(stagedPath), s"nothing staged on $branch")
+    val staged = CommitLog.fromJson(store.read(stagedPath))
     val c = publish(branch, head(branch), message,
       DataType.fromJson(staged.schemaJson).asInstanceOf[StructType], staged.files)
-    Files.deleteIfExists(stagedPath)
+    store.delete(stagedPath)
     c
   }
 
   /** lakeFS `reset`: drop staged changes and their orphaned data files (V7). */
   def reset(branch: String): Unit = synchronized {
     val stagedPath = refsDir.resolve(branch + ".staged")
-    if (Files.exists(stagedPath)) {
-      val staged = CommitLog.fromJson(CommitLog.readString(stagedPath))
+    if (store.exists(stagedPath)) {
+      val staged = CommitLog.fromJson(store.read(stagedPath))
       staged.files.foreach(f => Files.deleteIfExists(root.resolve(f)))
-      Files.deleteIfExists(stagedPath)
+      store.delete(stagedPath)
     }
   }
 
@@ -372,12 +381,12 @@ final class VersionedTable private (val root: Path) {
     // this version; exactly one claims the slot, the other gets a clean
     // ConcurrentModificationException (never a silently forked lineage).
     // A loser's already-written data files are orphans vacuum reclaims.
-    CommitLog.claimVersionSlot(locksDir, branch, version)
+    CommitLog.claimVersionSlot(locksDir, branch, version, store = store)
     val id = s"$branch-v$version-${java.util.UUID.randomUUID.toString.take(8)}"
     val c = Commit(id, parent.map(_.id), version, files, schema.json, message,
       System.currentTimeMillis(), stats, mergeParent, strStats)
-    CommitLog.writeAtomic(commitsDir.resolve(id + ".json"), CommitLog.toJson(c))
-    CommitLog.writeAtomic(refsDir.resolve(branch), id)
+    store.put(commitsDir.resolve(id + ".json"), CommitLog.toJson(c))
+    store.put(refsDir.resolve(branch), id)
     c
   }
 
@@ -468,9 +477,9 @@ final class VersionedTable private (val root: Path) {
 
   /** V2 `branch create`: zero-copy — a new head pointer at `from`'s commit. */
   def createBranch(name: String, from: String = "main"): Unit = synchronized {
-    require(!Files.exists(refsDir.resolve(name)), s"branch exists: $name")
+    require(!store.exists(refsDir.resolve(name)), s"branch exists: $name")
     val h = head(from).getOrElse(throw new IllegalArgumentException(s"no such branch: $from"))
-    CommitLog.writeAtomic(refsDir.resolve(name), h.id)
+    store.put(refsDir.resolve(name), h.id)
   }
 
   /** lakeFS `branch delete`: drop the head pointer (and any staged snapshot
@@ -490,12 +499,11 @@ final class VersionedTable private (val root: Path) {
     // a crashed first commit and resurrect the deleted branch. Slot release
     // lets a recreated branch with the same name commit again (its commits
     // get fresh uuid'd ids, so old still-reachable commits are never shadowed).
-    if (Files.exists(locksDir)) {
-      val slotRe = ("^" + java.util.regex.Pattern.quote(name) + """-v\d+$""").r
-      listDir(locksDir).filter(p => slotRe.findFirstIn(p.getFileName.toString).isDefined)
-        .foreach(Files.deleteIfExists)
-    }
-    Files.deleteIfExists(refsDir.resolve(name))
+    val slotRe = ("^" + java.util.regex.Pattern.quote(name) + """-v\d+$""").r
+    store.list(locksDir).filter(p => slotRe.findFirstIn(p.getFileName.toString).isDefined)
+      .foreach(store.delete)
+    store.delete(refsDir.resolve(name))
+    ()
   }
 
   /** V4 `diff`: object-level change list between two branch heads, as
@@ -535,8 +543,9 @@ final class VersionedTable private (val root: Path) {
       // records the FF target so the stale-slot sweep keeps it as this
       // version's CAS record once the head descends from the target (lakeFS
       // promises merge atomicity — reference README.md:145).
-      CommitLog.claimVersionSlot(locksDir, into, dst.version + 1, content = "ff:" + src.id)
-      CommitLog.writeAtomic(refsDir.resolve(into), src.id)
+      CommitLog.claimVersionSlot(locksDir, into, dst.version + 1,
+        content = "ff:" + src.id, store = store)
+      store.put(refsDir.resolve(into), src.id)
       src
     } else if (isAncestor(src.id, of = dst)) dst // already merged
     else {
@@ -588,9 +597,12 @@ final class VersionedTable private (val root: Path) {
     * branch's lineage (plus every staged snapshot). Returns #files deleted.
     *
     * `dryRun = true` (Delta's `VACUUM ... DRY RUN`): report the count that
-    * WOULD be deleted and mutate NOTHING — no file deletes, and the
-    * stale-slot sweep (which repairs refs and reclaims slots) is skipped
-    * too, so a dry run is a pure read.
+    * WOULD be deleted and mutate NOTHING. The stale-slot sweep runs in PLAN
+    * mode — a pure read that reports the ref repairs a real sweep would
+    * perform — and retention is priced against those VIRTUAL post-sweep
+    * heads, so the dry-run count matches the subsequent real vacuum even in
+    * a crashed-writer state (r12 advice: the old dry run skipped the sweep
+    * and could over- or under-count around an orphan replay).
     *
     * Safety invariant (property-tested): a file referenced by any retained
     * version is never deleted — vacuum can only break time travel to versions
@@ -599,9 +611,15 @@ final class VersionedTable private (val root: Path) {
   def vacuum(retainLast: Int = 1, staleSlotMs: Long = VersionedTable.DefaultStaleSlotMs,
              dryRun: Boolean = false): Int = synchronized {
     require(retainLast >= 1, "retainLast must be >= 1")
-    if (!dryRun) sweepStaleSlots(System.currentTimeMillis(), staleSlotMs)
-    sweep((branches.flatMap(b => lineage(b).take(retainLast).flatMap(_.files)) ++ // lineage is head-first
-      stagedFiles).toSet ++ slotProtectedFiles(reachableIds), dryRun)
+    val repairs =
+      sweepStaleSlots(System.currentTimeMillis(), staleSlotMs, act = !dryRun).refRepairs
+    // After a REAL sweep head() is already post-repair; in a dry run the
+    // planned repairs substitute for the ref advances that did not happen.
+    def vHead(b: String): Option[Commit] =
+      (if (dryRun) repairs.get(b).map(loadCommit) else None).orElse(head(b))
+    val vReachable = Ancestry.reachableIds(loadCommit, branches.flatMap(vHead))
+    sweep((branches.flatMap(b => lineageFrom(vHead(b)).take(retainLast).flatMap(_.files)) ++
+      stagedFiles).toSet ++ slotProtectedFiles(vReachable), dryRun)
   }
 
   /** Time-based retention, Delta's `vacuum()` dial (`jobs/vdt4.py:84-85`
@@ -622,9 +640,10 @@ final class VersionedTable private (val root: Path) {
   /** Crash recovery for this table's slots — semantics and guards live in
     * [[SlotSweep.sweepStaleSlots]] (shared with [[Repo]], which speaks the
     * same claim-slot → write-commit → advance-ref protocol). */
-  private def sweepStaleSlots(nowMs: Long, staleSlotMs: Long): Int =
-    SlotSweep.sweepStaleSlots(root, head, loadCommit, reachableIds,
-      (id, of) => isAncestor(id, of), nowMs, staleSlotMs)
+  private def sweepStaleSlots(nowMs: Long, staleSlotMs: Long,
+                              act: Boolean = true): SlotSweep.SweepResult =
+    SlotSweep.sweepStaleSlots(store, root, head, loadCommit, reachableIds,
+      nowMs, staleSlotMs, act)
 
   /** Ids of every commit reachable from some branch ref through the FULL
     * parent edge set (first parent + mergeParent) — see
@@ -635,11 +654,11 @@ final class VersionedTable private (val root: Path) {
   /** Replay-target data files vacuum must retain — see
     * [[SlotSweep.slotProtectedFiles]]. */
   private def slotProtectedFiles(reachable: Set[String]): Set[String] =
-    SlotSweep.slotProtectedFiles(root, loadCommit, reachable)
+    SlotSweep.slotProtectedFiles(store, root, loadCommit, reachable)
 
   private def stagedFiles: Seq[String] =
     branches.filter(hasStaged).flatMap(b =>
-      CommitLog.fromJson(CommitLog.readString(refsDir.resolve(b + ".staged"))).files)
+      CommitLog.fromJson(store.read(refsDir.resolve(b + ".staged"))).files)
 
   /** Delete every data file not in `retained` (or just COUNT them when
     * `dryRun`); prune emptied commit dirs. */
@@ -785,8 +804,8 @@ final class VersionedTable private (val root: Path) {
 
   /** V10 upload/rm analog: raw object ops under the table root (staging dir). */
   def putObject(rel: String, content: String): Unit =
-    CommitLog.writeAtomic(root.resolve(rel), content)
-  def rmObject(rel: String): Boolean = Files.deleteIfExists(root.resolve(rel))
+    store.put(root.resolve(rel), content)
+  def rmObject(rel: String): Boolean = store.delete(root.resolve(rel))
 }
 
 object VersionedTable {
@@ -814,19 +833,24 @@ object VersionedTable {
     * version) split — the version is always the TRAILING digits. */
   private[vt] val SlotRe = "(.+)-v(\\d+)".r
 
-  /** V1 `repo create`: initialize an empty table root. */
-  def create(root: String): VersionedTable = {
+  /** V1 `repo create`: initialize an empty table root. `store` carries the
+    * control-plane metadata (default: local filesystem); the data plane under
+    * `data/` is always the Spark-visible filesystem. */
+  def create(root: String, store: MetaStore = LocalFsMetaStore): VersionedTable = {
     val p = Paths.get(root)
-    Files.createDirectories(p.resolve("commits"))
-    Files.createDirectories(p.resolve("refs"))
+    store.ensurePrefix(p.resolve("commits"))
+    store.ensurePrefix(p.resolve("refs"))
     Files.createDirectories(p.resolve("data"))
-    new VersionedTable(p)
+    store.put(p.resolve("_graft_table"), "versioned-table-v1")
+    new VersionedTable(p, store)
   }
 
-  def open(root: String): VersionedTable = {
+  def open(root: String, store: MetaStore = LocalFsMetaStore): VersionedTable = {
     val p = Paths.get(root)
-    require(Files.isDirectory(p.resolve("commits")), s"not a versioned table root: $root")
-    new VersionedTable(p)
+    require(store.exists(p.resolve("_graft_table")) ||
+        Files.isDirectory(p.resolve("commits")), // pre-marker tables on local FS
+      s"not a versioned table root: $root")
+    new VersionedTable(p, store)
   }
 
   /** V1 `repo delete`. */
