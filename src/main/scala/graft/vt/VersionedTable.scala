@@ -48,6 +48,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
   private def commitsDir: Path = root.resolve("commits")
   private def refsDir: Path = root.resolve("refs")
   private def dataDir: Path = root.resolve("data")
+  private def checkpointsDir: Path = root.resolve("checkpoints")
 
   /** List a DATA directory, closing the underlying stream (Files.list leaks
     * the handle otherwise — fatal for a long-lived driver hosting many
@@ -82,6 +83,128 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     }
     walk(h, Nil)
   }
+
+  /** First `n` commits of the head-first walk — O(n) metadata reads, never
+    * O(history). What vacuum's retainLast retention uses so pricing retention
+    * on a version-10⁶ table does not replay the whole log per branch. */
+  private def lineageTake(h: Option[Commit], n: Int): List[Commit] = {
+    @annotation.tailrec
+    def walk(c: Option[Commit], left: Int, acc: List[Commit]): List[Commit] = c match {
+      case Some(cc) if left > 0 => walk(cc.parent.map(loadCommit), left - 1, cc :: acc)
+      case _ => acc.reverse
+    }
+    walk(h, n, Nil)
+  }
+
+  // ---- commit-log checkpoints (O(1) snapshot resolution) ------------------
+
+  /** Resolve `(branch, version)` to its commit in O(1) metadata reads at any
+    * history depth — Delta's checkpoint scheme (`_last_checkpoint` + numbered
+    * log suffix), which its `versionAsOf` (reference `jobs/vdt4.py:80-81`)
+    * depends on at high commit counts. Without this, a streaming ingest at
+    * one-commit-per-micro-batch makes every time travel / CDC call replay
+    * O(version) JSON files.
+    *
+    * Resolution order: the head itself (2 reads) → a bounded parent walk when
+    * the target is within one checkpoint interval (≤ interval reads) → the
+    * newest checkpoint's version index (1 list + 1 read + 1 commit load).
+    * Falls back to the plain walk when no checkpoint covers the target (e.g.
+    * a branch younger than one interval — bounded by its own commit count). */
+  private def resolveVersion(branch: String, version: Long): Commit = {
+    val h = head(branch).getOrElse(
+      throw new IllegalArgumentException(s"no such branch: $branch"))
+    if (version > h.version || version < 0) throw new IllegalArgumentException(
+      s"no version $version on $branch (vacuumed or never existed)")
+    if (version == h.version) return h
+    if (h.version - version > VersionedTable.CheckpointInterval) {
+      latestCheckpoint(branch) match {
+        case Some((ckVersion, index)) if version <= ckVersion =>
+          index.get(version) match {
+            case Some((id, _)) => return loadCommit(id)
+            case None => () // checkpoint predates the version? fall through
+          }
+        case _ => ()
+      }
+    }
+    @annotation.tailrec
+    def walk(c: Commit): Commit =
+      if (c.version == version) c
+      else c.parent.map(loadCommit) match {
+        case Some(p) => walk(p)
+        case None => throw new IllegalArgumentException(
+          s"no version $version on $branch (vacuumed or never existed)")
+      }
+    walk(h)
+  }
+
+  /** The commits of `(fromVersion, toVersion]` plus `fromVersion` itself,
+    * ascending — O(span) metadata reads via one [[resolveVersion]] and a
+    * bounded parent walk, never O(full history). */
+  private def commitRange(branch: String, fromVersion: Long, toVersion: Long): List[Commit] = {
+    val to = resolveVersion(branch, toVersion)
+    @annotation.tailrec
+    def walk(c: Commit, acc: List[Commit]): List[Commit] =
+      if (c.version == fromVersion) c :: acc
+      else c.parent.map(loadCommit) match {
+        case Some(p) => walk(p, c :: acc)
+        case None => throw new IllegalArgumentException(
+          s"no version $fromVersion on $branch (vacuumed or never existed)")
+      }
+    walk(to, Nil)
+  }
+
+  /** Newest checkpoint of `branch`: (checkpoint version, version → (commit
+    * id, ts) for every version ≤ it on the first-parent lineage). */
+  private def latestCheckpoint(branch: String): Option[(Long, Map[Long, (String, Long)])] = {
+    val names = store.list(checkpointsDir).map(_.getFileName.toString)
+    val mine = names.flatMap {
+      case VersionedTable.SlotRe(b, v) if b == branch => Some(v.toLong)
+      case _ => None
+    }
+    if (mine.isEmpty) None
+    else {
+      val v = mine.max
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val m = mapper.readValue(store.read(checkpointsDir.resolve(s"$branch-v$v")),
+        classOf[java.util.Map[String, Object]])
+      import scala.jdk.CollectionConverters._
+      val idx = m.get("index").asInstanceOf[java.util.Map[String, java.util.List[Object]]]
+        .asScala.map { case (ver, e) =>
+          ver.toLong -> (e.get(0).asInstanceOf[String], e.get(1).asInstanceOf[Number].longValue())
+        }.toMap
+      Some((v, idx))
+    }
+  }
+
+  /** Write the checkpoint for `c` (a version divisible by the interval):
+    * previous checkpoint's index + a ≤interval-step walk over the gap — so
+    * checkpoint maintenance is O(interval) amortized, with ONE O(history)
+    * walk the first time a branch (or a pre-checkpoint table) crosses a
+    * boundary. Failure here never fails the publish (the commit and ref are
+    * already durable; the next boundary just walks a larger gap). */
+  private def writeCheckpoint(branch: String, c: Commit): Unit =
+    try {
+      val prev = latestCheckpoint(branch)
+      val floor = prev.map(_._1).getOrElse(-1L)
+      @annotation.tailrec
+      def gap(x: Commit, acc: List[(Long, (String, Long))]): List[(Long, (String, Long))] =
+        if (x.version <= floor) acc
+        else x.parent.map(loadCommit) match {
+          case Some(p) => gap(p, (x.version, (x.id, x.ts)) :: acc)
+          case None => (x.version, (x.id, x.ts)) :: acc
+        }
+      val index = prev.map(_._2).getOrElse(Map.empty) ++ gap(c, Nil)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val m = new java.util.LinkedHashMap[String, Object]()
+      m.put("branch", branch)
+      m.put("version", java.lang.Long.valueOf(c.version))
+      val im = new java.util.LinkedHashMap[String, Object]()
+      index.toSeq.sortBy(_._1).foreach { case (v, (id, ts)) =>
+        im.put(v.toString, java.util.List.of(id, java.lang.Long.valueOf(ts)))
+      }
+      m.put("index", im)
+      store.put(checkpointsDir.resolve(s"$branch-v${c.version}"), mapper.writeValueAsString(m))
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** DAG ancestry: history is a DAG once merge commits carry a second parent,
     * so both walks below follow `parents` (first parent + mergeParent), not
@@ -387,6 +510,8 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       System.currentTimeMillis(), stats, mergeParent, strStats)
     store.put(commitsDir.resolve(id + ".json"), CommitLog.toJson(c))
     store.put(refsDir.resolve(branch), id)
+    if (version > 0 && version % VersionedTable.CheckpointInterval == 0)
+      writeCheckpoint(branch, c)
     c
   }
 
@@ -443,23 +568,41 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       .where(col(column).between(lower, upper))
   }
 
-  /** Delta `versionAsOf` time travel (`jobs/vdt4.py:80-81`, S6/V8). */
-  def readVersion(spark: SparkSession, branch: String, version: Long): DataFrame = {
-    val c = lineage(branch).find(_.version == version).getOrElse(
-      throw new IllegalArgumentException(s"no version $version on $branch (vacuumed or never existed)"))
-    readCommit(spark, c)
-  }
+  /** Delta `versionAsOf` time travel (`jobs/vdt4.py:80-81`, S6/V8) — O(1)
+    * metadata reads at any history depth via [[resolveVersion]]. */
+  def readVersion(spark: SparkSession, branch: String, version: Long): DataFrame =
+    readCommit(spark, resolveVersion(branch, version))
 
   /** Delta `timestampAsOf` time travel: the newest commit at or before
-    * `tsMillis` — "the table as it was at 9am". Resolved from commit
-    * metadata (lineage is newest-first, so the first qualifying commit is
-    * the answer); a timestamp before the first commit is an error, matching
-    * Delta's behavior. */
+    * `tsMillis` — "the table as it was at 9am". Walks from the head with an
+    * early stop (first-parent timestamps are nondecreasing: every publish
+    * stamps after its parent), so the cost is O(commits since `tsMillis`),
+    * not O(history) — and once the walk reaches checkpoint coverage it
+    * finishes from the in-memory index (1 more read). A timestamp before the
+    * first commit is an error, matching Delta's behavior. */
   def readAsOfTimestamp(spark: SparkSession, branch: String, tsMillis: Long): DataFrame = {
-    val c = lineage(branch).find(_.ts <= tsMillis).getOrElse(
-      throw new IllegalArgumentException(
-        s"no commit on $branch at or before timestamp $tsMillis (first commit is later)"))
-    readCommit(spark, c)
+    val h = head(branch).getOrElse(
+      throw new IllegalArgumentException(s"no such branch: $branch"))
+    lazy val checkpoint = latestCheckpoint(branch)
+    def fail() = throw new IllegalArgumentException(
+      s"no commit on $branch at or before timestamp $tsMillis (first commit is later)")
+    @annotation.tailrec
+    def walk(c: Commit): Commit =
+      if (c.ts <= tsMillis) c
+      else checkpoint match {
+        // the answer (if any) lies at or below checkpoint coverage: pick the
+        // highest indexed version with ts <= tsMillis — one commit load
+        case Some((ckVersion, index)) if c.version - 1 <= ckVersion =>
+          index.filter(_._2._2 <= tsMillis).keys.maxOption match {
+            case Some(v) => loadCommit(index(v)._1)
+            case None => fail()
+          }
+        case _ => c.parent.map(loadCommit) match {
+          case Some(p) => walk(p)
+          case None => fail()
+        }
+      }
+    readCommit(spark, walk(h))
   }
 
   def readCommit(spark: SparkSession, c: Commit): DataFrame = {
@@ -584,8 +727,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
   /** V6 `revert`: append a NEW commit whose snapshot equals `toVersion` —
     * history is never rewritten (lakeFS `README.md:132`). */
   def revert(branch: String, toVersion: Long, message: String = ""): Commit = synchronized {
-    val target = lineage(branch).find(_.version == toVersion).getOrElse(
-      throw new IllegalArgumentException(s"no version $toVersion on $branch"))
+    val target = resolveVersion(branch, toVersion)
     publish(branch, head(branch), if (message.isEmpty) s"revert to v$toVersion" else message,
       DataType.fromJson(target.schemaJson).asInstanceOf[StructType], target.files)
   }
@@ -618,7 +760,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     def vHead(b: String): Option[Commit] =
       (if (dryRun) repairs.get(b).map(loadCommit) else None).orElse(head(b))
     val vReachable = Ancestry.reachableIds(loadCommit, branches.flatMap(vHead))
-    sweep((branches.flatMap(b => lineageFrom(vHead(b)).take(retainLast).flatMap(_.files)) ++
+    sweep((branches.flatMap(b => lineageTake(vHead(b), retainLast).flatMap(_.files)) ++
       stagedFiles).toSet ++ slotProtectedFiles(vReachable), dryRun)
   }
 
@@ -705,12 +847,9 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     * into a rewritten file (same values, new file) appear in both restricted
     * bags and cancel, so the output is still exactly the row-level delta. */
   def changes(spark: SparkSession, branch: String, fromVersion: Long,
-              toVersion: Long): DataFrame = {
-    val lin = lineage(branch)
-    def at(v: Long): Commit = lin.find(_.version == v).getOrElse(
-      throw new IllegalArgumentException(s"no version $v on $branch"))
-    changesBetween(spark, at(fromVersion), at(toVersion))
-  }
+              toVersion: Long): DataFrame =
+    changesBetween(spark, resolveVersion(branch, fromVersion),
+      resolveVersion(branch, toVersion))
 
   /** [[changes]] over already-resolved commits — what [[changesFeed]] calls
     * so an N-interval feed resolves the lineage ONCE (O(history) metadata
@@ -757,20 +896,63 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     * (upsert-then-delete sequences stay visible; the squashed [[changes]]
     * would cancel them). Each per-commit interval takes the same fast paths
     * as [[changes]]: append-only commits scan only their delta files,
-    * rewrites diff only the symmetric file difference. */
+    * rewrites diff only the symmetric file difference.
+    *
+    * Scale shape (r12 advice): metadata is O(interval span) reads — one
+    * bounded walk via [[commitRange]], never a full-lineage replay — and the
+    * PLAN is O(#rewrite-commits + #schema-changes) nodes, not O(V): maximal
+    * runs of append-only same-schema commits collapse into ONE parquet scan
+    * over their delta files, with each row's `version` assigned by a
+    * broadcast join of file→version (files are immutable and belong to
+    * exactly the commit that added them). A year of streaming ingest
+    * (thousands of append commits) replays as a single scan. */
   def changesFeed(spark: SparkSession, branch: String, fromVersion: Long,
                   toVersion: Long): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{broadcast, concat_ws, input_file_name, lit, slice, split}
     require(toVersion > fromVersion,
       s"changesFeed needs an ascending interval, got ($fromVersion, $toVersion]")
-    // resolve the lineage ONCE: per-interval re-walks would cost O(V^2)
-    // commit-JSON loads on a long history
-    val byVersion = lineage(branch).map(c => c.version -> c).toMap
-    def at(v: Long): Commit = byVersion.getOrElse(v,
-      throw new IllegalArgumentException(s"no version $v on $branch"))
-    (fromVersion + 1 to toVersion).map { v =>
-      changesBetween(spark, at(v - 1), at(v)).withColumn("version", lit(v))
-    }.reduce(_.unionByName(_))
+    val range = commitRange(branch, fromVersion, toVersion)
+    val steps = range.zip(range.tail) // (v-1 commit, v commit) per feed version
+    final case class Run(schemaJson: String, pairs: List[(String, Long)])
+    val segments = scala.collection.mutable.ListBuffer.empty[Either[Run, (Commit, Commit)]]
+    steps.foreach { case (from, to) =>
+      val appendOnly = from.files.toSet.subsetOf(to.files.toSet) &&
+        from.schemaJson == to.schemaJson
+      if (appendOnly) {
+        val added = to.files.filterNot(from.files.toSet).map(_ -> to.version).toList
+        segments.lastOption match {
+          case Some(Left(run)) if run.schemaJson == to.schemaJson =>
+            segments.update(segments.size - 1, Left(Run(run.schemaJson, run.pairs ++ added)))
+          case _ => segments += Left(Run(to.schemaJson, added))
+        }
+      } else segments += Right((from, to))
+    }
+    // Version assignment key: the last two path segments (uuid'd commit dir +
+    // part file) — unique per file, scheme-independent (input_file_name
+    // returns a URI; the relative path in the commit log does not).
+    def fileKey(rel: String): String = rel.split('/').takeRight(2).mkString("/")
+    val frames = segments.toList.flatMap {
+      case Left(run) if run.pairs.isEmpty => None // steps that appended nothing
+      case Left(run) =>
+        import spark.implicits._
+        val schema = DataType.fromJson(run.schemaJson).asInstanceOf[StructType]
+        val versionByFile = run.pairs.map { case (f, v) => (fileKey(f), v) }
+          .toDF("__fk", "version")
+        Some(spark.read.schema(schema)
+          .parquet(run.pairs.map { case (f, _) => root.resolve(f).toString }: _*)
+          .withColumn("__fk", concat_ws("/", slice(split(input_file_name(), "/"), -2, 2)))
+          .join(broadcast(versionByFile), "__fk")
+          .drop("__fk")
+          .withColumn("change_type", lit("insert")))
+      case Right((from, to)) =>
+        Some(changesBetween(spark, from, to).withColumn("version", lit(to.version)))
+    }
+    if (frames.isEmpty) {
+      val schema = DataType.fromJson(range.last.schemaJson).asInstanceOf[StructType]
+        .add("change_type", org.apache.spark.sql.types.StringType)
+        .add("version", org.apache.spark.sql.types.LongType, nullable = false)
+      spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    } else frames.reduce(_.unionByName(_))
   }
 
   /** Commit history of a branch, newest first: (version, message, ts, n_files). */
@@ -827,6 +1009,11 @@ object VersionedTable {
     * leftover and becomes vacuum-reclaimable (1 h — far beyond any single
     * commit's claim→publish window, which is one parquet write). */
   val DefaultStaleSlotMs: Long = 3600L * 1000
+
+  /** Checkpoint cadence: every N commits a branch writes a version→commit
+    * index (Delta writes parquet checkpoints every 10 commits for the same
+    * reason — snapshot resolution must not replay the log). */
+  val CheckpointInterval: Long = 10L
 
   /** Slot filename "<branch>-v<version>"; greedy branch group so hyphenated
     * branch names (even ones ending in "-vN") parse to the right (branch,
