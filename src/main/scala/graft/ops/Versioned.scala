@@ -238,6 +238,32 @@ object Versioned {
       .orderBy("n_nationkey")
   }
 
+  /** Delta `DELETE FROM … WHERE` as a first-class table op (r12 verdict #3):
+    * copy-on-write, file-granular — only files containing a matching row are
+    * rewritten (VersionedTableSpec pins the untouched-file carry); the rows
+    * removed surface through the file-granular CDC diff as `delete` changes.
+    * Output = the post-delete head PLUS the CDC deletes of the interval, both
+    * closed-form over `orders`. */
+  val qVtDelete: QueryDef = q("q_vt_delete")(
+    """SELECT * FROM (
+      |  SELECT 'head' AS part, o_orderkey, o_totalprice FROM orders
+      |  WHERE NOT (o_totalprice > 200000)
+      |  UNION ALL
+      |  SELECT 'deleted' AS part, o_orderkey, o_totalprice FROM orders
+      |  WHERE o_totalprice > 200000)
+      |ORDER BY part, o_orderkey""".stripMargin) { (s, d) =>
+    val vt = VersionedTable.create(Tables.scratch("vt_delete"))
+    vt.write(Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      .repartitionByRange(4, col("o_orderkey")), "main", "v0 range layout",
+      statsCols = Seq("o_orderkey"))
+    vt.delete(s, "o_totalprice > 200000")
+    vt.read(s, "main").select(lit("head").as("part"), col("o_orderkey"), col("o_totalprice"))
+      .unionByName(vt.changes(s, "main", fromVersion = 0, toVersion = 1)
+        .where(col("change_type") === "delete")
+        .select(lit("deleted").as("part"), col("o_orderkey"), col("o_totalprice")))
+      .orderBy("part", "o_orderkey")
+  }
+
   /** CDC between v0 and v1: inserts = the regionkey>=2 rows, no deletes. */
   val qVtChanges: QueryDef = q("q_vt_changes")(
     """SELECT 'insert' AS change_type, n_nationkey, n_name FROM nation WHERE n_regionkey >= 2
@@ -387,5 +413,5 @@ object Versioned {
   val defs: Seq[QueryDef] = Seq(qVtWriteVersions, qVtReadLatest, qVtTimeTravel,
     qVtBranch, qVtCommit, qVtDiff, qVtMerge, qVtRevert, qVtVacuum, qVtObjects,
     qVtSkipRead, qVtAppend, qRepoCommit, qVtChanges, qVtChangesUpsert,
-    qVtChangesFeed, qVtHistory, qVtUpsert, qVtIncremental, qVtTsTravel)
+    qVtChangesFeed, qVtHistory, qVtUpsert, qVtDelete, qVtIncremental, qVtTsTravel)
 }

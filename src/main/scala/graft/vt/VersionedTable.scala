@@ -450,6 +450,55 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       strStats = parent.strStats.view.filterKeys(untouched.contains).toMap ++ newStrStats)
   }
 
+  /** Delta `DELETE FROM … WHERE`: remove the rows where `where` evaluates
+    * TRUE, as a NEW version — old versions still time-travel; rows where the
+    * predicate is NULL are KEPT (SQL/Delta semantics: DELETE removes only
+    * confirmed matches). Returns the new commit, or the unchanged head when
+    * nothing matched (no version churn, like the empty-source upsert).
+    *
+    * COPY-ON-WRITE, file-granular (Delta DELETE's find-touched-files scan):
+    * one predicate-pushed scan over the snapshot lists the files that
+    * actually CONTAIN a matching row — parquet row-group stats make
+    * non-matching files a footer-level probe, and the driver receives a
+    * bounded O(#files) list, never rows. Only those files are rewritten with
+    * their kept rows; every other file (and its data-skipping stats entry)
+    * is carried untouched, so a point delete on a petabyte key-clustered
+    * table rewrites a handful of files. The file-granular [[changes]] /
+    * [[changesFeed]] diff over the interval then scans only
+    * rewritten+replacement files and reports the removed rows as
+    * `change_type = delete`. */
+  def delete(spark: SparkSession, where: String, branch: String = "main",
+             message: String = ""): Commit = synchronized {
+    import org.apache.spark.sql.functions.{coalesce, expr, input_file_name, lit, not}
+    val parent = head(branch).getOrElse(
+      throw new IllegalArgumentException(s"no such branch: $branch"))
+    if (parent.files.isEmpty) return parent
+    val pred = expr(where)
+    val touchedSet = readCommit(spark, parent).where(pred)
+      .select(input_file_name().as("__f")).distinct().collect()
+      .map(r => root.relativize(
+        java.nio.file.Paths.get(r.getString(0).stripPrefix("file:"))).toString)
+      .toSet
+    if (touchedSet.isEmpty) return parent // delete matched nothing
+    val (touched, untouched) = parent.files.partition(touchedSet.contains)
+    val schema = DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]
+    val kept = readCommit(spark, parent.copy(files = touched))
+      .where(not(coalesce(pred, lit(false)))) // NULL predicate keeps the row
+    val newFiles = writeDataFiles(kept, branch, parent.version + 1)
+    val statCols = (parent.stats.values.flatMap(_.keys) ++
+      parent.strStats.values.flatMap(_.keys)).toSeq.distinct
+    val (newStats, newStrStats) =
+      if (statCols.isEmpty || newFiles.isEmpty) // all touched rows may be gone
+        (Map.empty[String, Map[String, (Double, Double)]],
+          Map.empty[String, Map[String, (String, String)]])
+      else collectFileStats(spark, newFiles, statCols, schema)
+    publish(branch, Some(parent),
+      if (message.isEmpty) s"delete where ($where)" else message,
+      schema, untouched ++ newFiles,
+      parent.stats.view.filterKeys(untouched.contains).toMap ++ newStats,
+      strStats = parent.strStats.view.filterKeys(untouched.contains).toMap ++ newStrStats)
+  }
+
   /** Stage a snapshot on `branch` without committing (lakeFS staging area,
     * `README.md:85-127`). Promote with [[commitStaged]]; discard with [[reset]]. */
   def stage(df: DataFrame, branch: String = "main"): Unit = synchronized {

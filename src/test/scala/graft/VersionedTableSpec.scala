@@ -178,6 +178,43 @@ class VersionedTableSpec extends SparkSpec {
       vt.upsert(spark, Seq((1, 1.0)).toDF("k", "d"), keyCols = Seq("k")))
   }
 
+  test("delete removes matching rows as a new version; NULL predicate keeps the row") {
+    val vt = freshVt("delete")
+    vt.write(Seq((1, Some("a")), (2, None), (3, Some("c"))).toDF("k", "v"), "main", "v0")
+    val c = vt.delete(spark, "v = 'a'")
+    assert(c.version === 1)
+    // row 2's predicate is NULL → kept (SQL DELETE semantics)
+    assert(vt.read(spark, "main").select("k").as[Int].collect().sorted === Array(2, 3))
+    assert(vt.readVersion(spark, "main", 0).count() === 3) // time travel intact
+    // a delete matching nothing is a no-op: same head, no version churn
+    val same = vt.delete(spark, "v = 'zzz'")
+    assert(same.id === c.id && vt.head("main").get.version === 1)
+  }
+
+  test("copy-on-write delete carries untouched files; CDC reports the removed rows") {
+    val vt = freshVt("cow_delete")
+    val nation = Tables.nation(spark, sf).select("n_nationkey", "n_name", "n_regionkey")
+    val c0 = vt.write(nation.repartitionByRange(4, col("n_nationkey")), "main",
+      "v0 range layout", statsCols = Seq("n_nationkey"))
+    assert(c0.files.size > 1, "need multiple files to prove the carry")
+    val c1 = vt.delete(spark, "n_nationkey < 5")
+    // only the file(s) containing keys 0-4 are rewritten; the rest carry
+    val common = c0.files.toSet intersect c1.files.toSet
+    assert(common.nonEmpty, "COW delete must carry untouched files forward")
+    c1.files.filterNot(common).foreach(f =>
+      assert(c1.stats.get(f).exists(_.contains("n_nationkey")),
+        s"rewritten file $f lost its data-skipping stats"))
+    // CDC over the interval: exactly the removed rows, as deletes, scanning
+    // only the symmetric file difference
+    val cdc = vt.changes(spark, "main", 0, 1)
+    common.foreach(f => assert(!cdc.inputFiles.exists(_.endsWith(f)),
+      s"CDC scanned an untouched common file: $f"))
+    val rows = cdc.select("change_type", "n_nationkey")
+      .as[(String, Int)].collect().sortBy(_._2)
+    assert(rows === (0 until 5).map(("delete", _)).toArray)
+    assert(vt.read(spark, "main").count() === nation.count() - 5)
+  }
+
   test("upsert rejects a key-duplicated source before writing anything") {
     val vt = freshVt("upsert_dup")
     vt.write(Seq((1, "a")).toDF("k", "v"), "main", "v0")
