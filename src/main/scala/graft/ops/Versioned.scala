@@ -218,6 +218,30 @@ object Versioned {
       .orderBy("part", "k")
   }
 
+  /** Repo-layer union merge (r12 verdict #6): main and dev both APPEND to the
+    * same table from a common base — lakeFS merges this object-wise (appended
+    * objects are disjoint uuid'd paths, reference README.md:141-147), and so
+    * does [[graft.vt.Repo.merge]]: the merged snapshot is base + both sides'
+    * additions, deterministically. Head version pins the merge-commit shape
+    * (v0 base, v1 main append, v2 merge commit). */
+  val qRepoMergeUnion: QueryDef = q("q_repo_merge_union")(
+    """SELECT n_nationkey, n_name, CAST(2 AS BIGINT) AS head_version FROM nation
+      |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+    val repo = Repo.create(Tables.scratch("repo_merge_union"))
+    val nation = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+    repo.stageWrite(nation.where(col("n_regionkey") < 2), "main", "t")
+    repo.commit("main", "v0 base")
+    repo.createBranch("dev", "main")
+    repo.stageAppend(nation.where(col("n_regionkey") === 2), "main", "t")
+    repo.commit("main", "main appends region 2")
+    repo.stageAppend(nation.where(col("n_regionkey") >= 3), "dev", "t")
+    repo.commit("dev", "dev appends regions 3+")
+    val merged = repo.merge("dev", "main")
+    repo.readTable(s, "main", "t")
+      .select(col("n_nationkey"), col("n_name"), lit(merged.version).as("head_version"))
+      .orderBy("n_nationkey")
+  }
+
   /** Delta MERGE/upsert: update the name of nations 0–4, insert nothing new
     * (the updated rows' keys all match), and read the head — a closed-form
     * CASE expression over the source `nation` table. v0 still time-travels
@@ -412,6 +436,7 @@ object Versioned {
 
   val defs: Seq[QueryDef] = Seq(qVtWriteVersions, qVtReadLatest, qVtTimeTravel,
     qVtBranch, qVtCommit, qVtDiff, qVtMerge, qVtRevert, qVtVacuum, qVtObjects,
-    qVtSkipRead, qVtAppend, qRepoCommit, qVtChanges, qVtChangesUpsert,
-    qVtChangesFeed, qVtHistory, qVtUpsert, qVtDelete, qVtIncremental, qVtTsTravel)
+    qVtSkipRead, qVtAppend, qRepoCommit, qRepoMergeUnion, qVtChanges,
+    qVtChangesUpsert, qVtChangesFeed, qVtHistory, qVtUpsert, qVtDelete,
+    qVtIncremental, qVtTsTravel)
 }

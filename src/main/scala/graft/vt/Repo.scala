@@ -67,6 +67,46 @@ final class Repo private (val root: Path, val store: MetaStore) {
       .put(table, (files, df.schema.json))
   }
 
+  /** Stage an APPEND to `table` on `branch`: the staged snapshot is the
+    * table's current files (or the already-staged ones) PLUS `df`'s new
+    * files — O(metadata), no rewrite, exactly [[VersionedTable.write]]'s
+    * append mode at repo scope. Appends are what make same-table concurrent
+    * edits mergeable: two branches appending to one table add DISJOINT
+    * uuid'd object paths, which lakeFS merges object-wise (reference
+    * README.md:141-147) — see [[merge]]'s union rule. The schema must match
+    * the table's (name+type, nullability-insensitive). */
+  def stageAppend(df: DataFrame, branch: String, table: String): Unit = synchronized {
+    require(!table.contains("/"), "table names must not contain '/'")
+    val current: Option[(Vector[String], String)] =
+      staged.get(branch).flatMap(_.get(table))
+        .orElse(head(branch).flatMap { c =>
+          tableSchemas(c).get(table).map(sj => (tableFiles(c, table), sj))
+        })
+    current match {
+      case Some((_, sj)) =>
+        val have = DataType.fromJson(sj).asInstanceOf[StructType]
+        require(have.fields.map(f => (f.name, VersionedTable.nullNormalized(f.dataType))).toSeq ==
+            df.schema.fields.map(f => (f.name, VersionedTable.nullNormalized(f.dataType))).toSeq,
+          s"append schema mismatch on $table: table has ${have.simpleString} " +
+            s"but the appended DataFrame has ${df.schema.simpleString}")
+      case None => () // first write of the table: append degenerates to write
+    }
+    val version = head(branch).map(_.version + 1).getOrElse(0L)
+    val rel = s"$table/$branch-v$version-${java.util.UUID.randomUUID.toString.take(8)}"
+    val out = dataDir.resolve(rel)
+    df.write.mode("overwrite").parquet(out.toString)
+    import scala.jdk.CollectionConverters._
+    val st = Files.list(out)
+    val newFiles =
+      try st.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString).toVector.sorted
+      finally st.close()
+    staged.getOrElseUpdate(branch, scala.collection.mutable.LinkedHashMap.empty)
+      .put(table, (current.map(_._1).getOrElse(Vector.empty) ++ newFiles,
+        current.map(_._2).getOrElse(df.schema.json)))
+  }
+
   /** Publish every staged table of `branch` as ONE commit (atomic rename of
     * the ref: concurrent readers see the old snapshot or the full new one). */
   def commit(branch: String, message: String): Commit = synchronized {
@@ -142,26 +182,46 @@ final class Repo private (val root: Path, val store: MetaStore) {
     * touched files are scanned (a commit that changed OTHER tables costs
     * zero I/O here — its files never enter either side). A table absent
     * from a snapshot contributes no rows (born/dropped tables diff cleanly
-    * against empty); on schema evolution the NEWER snapshot's schema wins —
-    * additive changes read the old files null-filled. */
+    * against empty).
+    *
+    * Schema evolution (r12 advice): each side is read under ITS OWN
+    * snapshot's schema — reading old parquet under a newer schema would
+    * throw or misread on a type change — then both are aligned to the union
+    * column set: columns missing on a side are null-filled, and a column
+    * whose type changed between the versions is cast to the NEWER type, so
+    * the diff compares values in one domain. */
   def tableChanges(spark: SparkSession, branch: String, table: String,
                    fromVersion: Long, toVersion: Long): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{col, lit}
     val lin = lineage(branch)
     def at(v: Long): Commit = lin.find(_.version == v).getOrElse(
       throw new IllegalArgumentException(s"no version $v on $branch"))
     val (from, to) = (at(fromVersion), at(toVersion))
     val fromFiles = tableFiles(from, table)
     val toFiles = tableFiles(to, table)
-    val schemaJson = tableSchemas(to).getOrElse(table, tableSchemas(from).getOrElse(table,
-      throw new IllegalArgumentException(s"no table '$table' in either version")))
-    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    def readFiles(files: Vector[String]): DataFrame =
-      if (files.isEmpty)
-        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      else spark.read.schema(schema).parquet(files.map(f => root.resolve(f).toString): _*)
-    val before = readFiles(fromFiles.filterNot(toFiles.toSet))
-    val after = readFiles(toFiles.filterNot(fromFiles.toSet))
+    require(tableSchemas(to).contains(table) || tableSchemas(from).contains(table),
+      s"no table '$table' in either version")
+    def sideSchema(c: Commit): Option[StructType] = tableSchemas(c).get(table)
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+    val fromSchema = sideSchema(from)
+    val toSchema = sideSchema(to)
+    // union columns, newer snapshot's type winning a shared name
+    val unionFields = toSchema.map(_.fields).getOrElse(Array.empty) ++
+      fromSchema.map(_.fields).getOrElse(Array.empty)
+        .filterNot(f => toSchema.exists(_.fieldNames.contains(f.name)))
+    def readSide(files: Vector[String], schema: Option[StructType]): DataFrame = {
+      val own = schema.getOrElse(StructType(unionFields))
+      val raw =
+        if (files.isEmpty)
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), own)
+        else spark.read.schema(own).parquet(files.map(f => root.resolve(f).toString): _*)
+      raw.select(unionFields.toIndexedSeq.map { f =>
+        if (own.fieldNames.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    }
+    val before = readSide(fromFiles.filterNot(toFiles.toSet), fromSchema)
+    val after = readSide(toFiles.filterNot(fromFiles.toSet), toSchema)
     after.exceptAll(before).withColumn("change_type", lit("insert"))
       .unionByName(before.exceptAll(after).withColumn("change_type", lit("delete")))
   }
@@ -209,9 +269,16 @@ final class Repo private (val root: Path, val store: MetaStore) {
   /** lakeFS merge: fast-forward across ALL tables at once; when both sides
     * moved but changed DISJOINT tables since the merge base, a 3-way merge
     * commit combines the changes (lakeFS merges branches whose object
-    * changes don't collide — reference README.md:141-147); a table changed
-    * on both sides is a conflict. The merge commit records the source head
-    * as [[Commit.mergeParent]], so later merges of the same pair measure
+    * changes don't collide — reference README.md:141-147).
+    *
+    * A table changed on BOTH sides merges iff both sides only APPENDED to it
+    * (each side's file set is a superset of the base's, schema unchanged):
+    * the merged snapshot is the deterministic union — base + both sides'
+    * additions. This is exactly lakeFS's object-level rule, since appends
+    * add disjoint uuid'd object paths that cannot collide; any other
+    * same-table overlap (overwrite, compaction, schema change) conflicts
+    * loudly. The merge commit records the source head as
+    * [[Commit.mergeParent]], so later merges of the same pair measure
     * divergence from the ADVANCED base, not the original branch point. */
   def merge(from: String, into: String): Commit = synchronized {
     val src = head(from).getOrElse(throw new IllegalArgumentException(s"no such branch: $from"))
@@ -233,13 +300,26 @@ final class Repo private (val root: Path, val store: MetaStore) {
         s"merge conflict: $from and $into share no common ancestor"))
       val srcChanged = changedTables(base, src)
       val overlap = srcChanged intersect changedTables(base, dst)
-      if (overlap.nonEmpty) throw new IllegalStateException(
-        s"merge conflict: tables ${overlap.toSeq.sorted.mkString(", ")} changed on both " +
-          s"$from and $into since the merge base")
-      // dst's snapshot, with every src-changed table's files+schema swapped in
-      val files = dst.files.filterNot(f => srcChanged.exists(t => f.startsWith(tablePrefix(t)))) ++
-        src.files.filter(f => srcChanged.exists(t => f.startsWith(tablePrefix(t))))
-      val schemas = tableSchemas(dst) ++ tableSchemas(src).view.filterKeys(srcChanged).toMap
+      // append-append union rule: both sides kept every base file and share
+      // the schema -> their additions are disjoint uuid'd paths, union them
+      val unionable = overlap.filter { t =>
+        val bf = tableFiles(base, t).toSet
+        bf.subsetOf(tableFiles(src, t).toSet) && bf.subsetOf(tableFiles(dst, t).toSet) &&
+          tableSchemas(src).get(t) == tableSchemas(dst).get(t) &&
+          tableSchemas(base).get(t) == tableSchemas(dst).get(t)
+      }
+      val conflicts = overlap -- unionable
+      if (conflicts.nonEmpty) throw new IllegalStateException(
+        s"merge conflict: tables ${conflicts.toSeq.sorted.mkString(", ")} changed on both " +
+          s"$from and $into since the merge base (and not by pure appends)")
+      // dst's snapshot, with src-only-changed tables' files+schema swapped in
+      // and src's appended files unioned into the append-append tables
+      val srcSwap = srcChanged -- unionable
+      val files = dst.files.filterNot(f => srcSwap.exists(t => f.startsWith(tablePrefix(t)))) ++
+        src.files.filter(f => srcSwap.exists(t => f.startsWith(tablePrefix(t)))) ++
+        unionable.toSeq.flatMap(t => tableFiles(src, t)
+          .filterNot(tableFiles(base, t).toSet).filterNot(tableFiles(dst, t).toSet))
+      val schemas = tableSchemas(dst) ++ tableSchemas(src).view.filterKeys(srcSwap).toMap
       val schemaJson = {
         val m = new java.util.LinkedHashMap[String, String]()
         schemas.toSeq.sortBy(_._1).foreach { case (k, v) => m.put(k, v) }

@@ -239,6 +239,68 @@ class RepoSpec extends SparkSpec {
     assert(born === Set(("insert", 7)))
   }
 
+  test("tableChanges reads each side under its own schema across a type change") {
+    val repo = Repo.create(Tables.scratch("repo_typechange"))
+    repo.stageWrite(Seq(1, 2).toDF("x"), "main", "t") // x: INT
+    repo.commit("main", "v0")
+    repo.stageWrite(Seq("2", "3").toDF("x"), "main", "t") // x: STRING
+    repo.commit("main", "v1")
+    // the before side must be read as INT (its own parquet type) and cast to
+    // the newer STRING domain — "2" then cancels across the type change
+    val cdc = repo.tableChanges(spark, "main", "t", 0, 1)
+      .select("change_type", "x").as[(String, String)].collect().sorted
+    assert(cdc === Array(("delete", "1"), ("insert", "3")))
+  }
+
+  test("append-append on the SAME table union-merges; the base advances for later merges") {
+    val repo = Repo.create(Tables.scratch("repo_union_merge"))
+    repo.stageWrite(Seq(1).toDF("x"), "main", "t")
+    repo.commit("main", "v0 base")
+    repo.createBranch("dev", "main")
+    repo.stageAppend(Seq(2).toDF("x"), "main", "t")
+    repo.commit("main", "main appends 2")
+    repo.stageAppend(Seq(3).toDF("x"), "dev", "t")
+    repo.commit("dev", "dev appends 3")
+    val m1 = repo.merge("dev", "main")
+    assert(m1.mergeParent.isDefined, "union merge must record the source head")
+    assert(repo.readTable(spark, "main", "t").as[Int].collect().sorted === Array(1, 2, 3))
+    // keep appending on dev and merge again: the first merge's import is
+    // shared history (advanced base), not divergence
+    repo.stageAppend(Seq(4).toDF("x"), "dev", "t")
+    repo.commit("dev", "dev appends 4")
+    repo.stageAppend(Seq(5).toDF("x"), "main", "t")
+    repo.commit("main", "main appends 5")
+    repo.merge("dev", "main")
+    assert(repo.readTable(spark, "main", "t").as[Int].collect().sorted === Array(1, 2, 3, 4, 5))
+  }
+
+  test("append vs overwrite on the same table still conflicts") {
+    val repo = Repo.create(Tables.scratch("repo_union_conflict"))
+    repo.stageWrite(Seq(1).toDF("x"), "main", "t")
+    repo.commit("main", "v0")
+    repo.createBranch("dev", "main")
+    repo.stageAppend(Seq(2).toDF("x"), "main", "t")
+    repo.commit("main", "main appends")
+    repo.stageWrite(Seq(9).toDF("x"), "dev", "t") // overwrite drops the base file
+    repo.commit("dev", "dev overwrites")
+    val e = intercept[IllegalStateException](repo.merge("dev", "main"))
+    assert(e.getMessage.contains("not by pure appends"))
+  }
+
+  test("stageAppend rejects a schema drift and degenerates to write on a new table") {
+    val repo = Repo.create(Tables.scratch("repo_append_schema"))
+    repo.stageAppend(Seq(1).toDF("x"), "main", "fresh") // no table yet: plain write
+    repo.commit("main", "v0")
+    assert(repo.readTable(spark, "main", "fresh").as[Int].collect() === Array(1))
+    intercept[IllegalArgumentException](
+      repo.stageAppend(Seq("s").toDF("x"), "main", "fresh"))
+    // staged-then-appended composes within one commit
+    repo.stageAppend(Seq(2).toDF("x"), "main", "fresh")
+    repo.stageAppend(Seq(3).toDF("x"), "main", "fresh")
+    repo.commit("main", "two staged appends, one commit")
+    assert(repo.readTable(spark, "main", "fresh").as[Int].collect().sorted === Array(1, 2, 3))
+  }
+
   test("branches are zero-copy and isolated across all tables") {
     val repo = Repo.create(Tables.scratch("repo_branch"))
     repo.stageWrite(Seq(1).toDF("x"), "main", "a")
