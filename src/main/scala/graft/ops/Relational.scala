@@ -57,6 +57,34 @@ object Relational {
       .orderBy(col("o_orderkey_raw").cast(LongType))
   }
 
+  /** S1-hardening (r12 verdict #7) — CSV option surface under HOSTILE text:
+    * embedded delimiters, embedded double quotes, embedded NEWLINES
+    * (multiLine read), and a distinguished nullValue token, round-tripped
+    * write→read with explicit quote/escape options. The reference relies on
+    * CSV defaults (`jobs/vdt1.py:32-35`); a real lake hits quoted fields
+    * immediately. The hostile strings are built deterministically from
+    * `nation`, so DuckDB reproduces them closed-form from the parquet. */
+  val qScanCsvQuoted: QueryDef = q("q_scan_csv_quoted")(
+    """SELECT CAST(n_nationkey AS BIGINT) AS k,
+      |       'x,"y"' || chr(10) || n_name AS tricky,
+      |       CASE WHEN n_regionkey = 2 THEN NULL ELSE n_name END AS maybe_null
+      |FROM nation ORDER BY k""".stripMargin) { (s, d) =>
+    val out = Tables.scratch("scan_csv_quoted")
+    Tables.nation(s, d).select(
+      col("n_nationkey").cast(LongType).as("k"),
+      concat(lit("x,\"y\"\n"), col("n_name")).as("tricky"),
+      when(col("n_regionkey") === 2, lit(null).cast("string"))
+        .otherwise(col("n_name")).as("maybe_null"))
+      .write.mode("overwrite")
+      .option("header", true).option("quote", "\"").option("escape", "\"")
+      .option("nullValue", "\\N").csv(out)
+    s.read
+      .option("header", true).option("multiLine", true)
+      .option("quote", "\"").option("escape", "\"").option("nullValue", "\\N")
+      .schema("k BIGINT, tricky STRING, maybe_null STRING").csv(out)
+      .orderBy("k")
+  }
+
   /** S3 — ORC scan (`jobs/vdt1.py:37-38`); S9 ORC sink is the write half. */
   val qScanOrc: QueryDef = q("q_scan_orc")(
     """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
@@ -594,7 +622,7 @@ object Relational {
 
   /** All atomic relational queries in registration order. */
   val defs: Seq[QueryDef] = Seq(
-    qScanCsv, qScanCsvRaw, qScanOrc, qScanParquet,
+    qScanCsv, qScanCsvRaw, qScanCsvQuoted, qScanOrc, qScanParquet,
     qSinkCsv, qSinkParquet, qSinkOrc, qSinkJson, qSinkText,
     qProject, qAlias, qFilterCmp, qDeriveArith, qRowwiseMean, qCaseWhen, qCast,
     qJoinInner, qJoinAfterAgg, qJoinAfterWindow, qJoinLeft, qJoinSemi, qJoinAnti,
