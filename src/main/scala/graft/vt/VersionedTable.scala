@@ -1036,6 +1036,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
   /** V10 upload/rm analog: raw object ops under the table root (staging dir). */
   def putObject(rel: String, content: String): Unit =
     store.put(root.resolve(rel), content)
+  def getObject(rel: String): String = store.read(root.resolve(rel))
   def rmObject(rel: String): Boolean = store.delete(root.resolve(rel))
 }
 

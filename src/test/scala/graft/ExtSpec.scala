@@ -168,6 +168,41 @@ class ExtSpec extends SparkSpec {
     assert(iv.size === bf.size) // same top-k cardinality back
   }
 
+  test("persisted IVF index: delta-only maintenance, search equals fresh assignment, no corpus scan") {
+    import graft.ext.Ivf
+    val emb = Tables.embeddings(spark, sf)
+    val vt = graft.vt.VersionedTable.create(Tables.scratch("test_ivf_corpus"))
+    val ixVt = graft.vt.VersionedTable.create(Tables.scratch("test_ivf_index"))
+    val c0 = vt.write(emb.where(col("vec_id") % 5 =!= 0), "main", "v0")
+    Ivf.maintainIvfIndex(vt, ixVt, Ivf.searchCentroids)
+    val c1 = vt.write(emb.where(col("vec_id") % 5 === 0), "main", "v1 increment",
+      mode = "append")
+    Ivf.maintainIvfIndex(vt, ixVt, Ivf.searchCentroids)
+    // the index tracked the corpus version-for-version and covers every vector
+    assert(ixVt.head("main").get.version === 1)
+    assert(ixVt.read(spark, "main").count() === emb.count())
+    // the increment pass reads ONLY the corpus delta files (CDC fast path):
+    // the plan the maintenance assigns from is pinned to v1's added files
+    val delta = vt.changes(spark, "main", 0, 1)
+    val added = c1.files.toSet -- c0.files.toSet
+    assert(delta.inputFiles.length === added.size,
+      s"increment maintenance would scan ${delta.inputFiles.length} files, delta is ${added.size}")
+    // centroids round-trip from the persisted object, bit-identical
+    val back = Ivf.readIndexCentroids(ixVt)
+    assert(back.map(_.toSeq) === Ivf.searchCentroids.map(_.toSeq))
+    // search over the persisted index == search with fresh assignment, and
+    // its corpus side reads ONLY index-table files
+    val queries = emb.where(col("vec_id") < 8)
+    val indexDf = ixVt.read(spark, "main")
+    val ixFiles = ixVt.head("main").get.files.toSet
+    assert(indexDf.inputFiles.forall(f => ixFiles.exists(f.endsWith)),
+      "index read must touch only index-table files")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid", "rnk").as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3))
+    assert(rows(Ivf.ivfTopKIndexed(indexDf, queries, 10, back, nprobe = 2))
+      === rows(Ivf.ivfTopK(emb, queries, 10, Ivf.searchCentroids, nprobe = 2)))
+  }
+
   test("incremental dedup flags planted exact and near duplicates of the corpus, skips fresh docs") {
     // corpus = doc_id % 5 != 0 (ids 1,2,3); increment = % 5 == 0 (ids 5,10,15):
     //   5 is byte-identical to corpus doc 1  → exact dup, no near screening
