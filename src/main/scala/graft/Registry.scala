@@ -45,7 +45,8 @@ object Registry {
     "q_text_stats", "q_token_count", "q_sessionize", "q_window_tumbling",
     "q_corpus_pipeline",
     "q_pii_redact", "q_tfidf_terms", "q_pack_sequences", "q_ann_ivf_trained",
-    "q_dedup_incremental", "q_zorder", "q_chunk_windows", "q_bigram_familiarity",
+    "q_dedup_incremental", "q_dedup_inc_ingest", "q_dedup_inc_screen",
+    "q_zorder", "q_chunk_windows", "q_bigram_familiarity",
     "q_embed_quant", "q_ann_sq8")
 
   /** The FROZEN round-4 headline list. `benchNames` grows as operators land

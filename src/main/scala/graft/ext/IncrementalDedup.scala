@@ -238,5 +238,61 @@ object IncrementalDedup {
     incrementalProfile(Tables.documents(s, d), "inc_dedup_vt")
   }
 
-  val defs: Seq[QueryDef] = Seq(qDedupIncremental)
+  // ---- split bench timing (r12 verdict #4) --------------------------------
+  // The combined row above times the ONE-TIME O(corpus) signature ingest plus
+  // the screening on every run, which buried the claim that matters — the
+  // screen is O(increment). These two entries time the phases separately:
+  // ingest REBUILDS the corpus + signature tables on every call (that is
+  // what it measures); screen reuses the session-cached build and times
+  // nothing but the increment screening. Both are ALSO correctness rows:
+  // screen replays the full q_dedup_incremental oracle, ingest pins the
+  // signature-table version counts.
+
+  private val prebuilt =
+    scala.collection.mutable.Map.empty[String, (VersionedTable, VersionedTable)]
+
+  private def builtTables(s: org.apache.spark.sql.SparkSession, d: String,
+                          rebuild: Boolean): (VersionedTable, VersionedTable) =
+    synchronized {
+      if (rebuild) prebuilt.remove(d)
+      prebuilt.getOrElseUpdate(d, {
+        val docs = Tables.documents(s, d)
+        val tag = Integer.toHexString(d.hashCode & 0x7fffffff)
+        val vt = VersionedTable.create(Tables.scratch(s"inc_dedup_ing_$tag"))
+        val sigVt = VersionedTable.create(Tables.scratch(s"inc_dedup_sig_$tag"))
+        vt.write(docs.where(col("doc_id") % 5 =!= 0), "main", "v0: corpus snapshot")
+        maintainSignatureTable(vt, sigVt)
+        vt.write(docs.where(col("doc_id") % 5 === 0), "main", "v1: arrival increment",
+          mode = "append")
+        maintainSignatureTable(vt, sigVt)
+        (vt, sigVt)
+      })
+    }
+
+  /** Signature INGEST alone: corpus v0 build + increment append, signatures
+    * maintained per commit. Output pins the companion table's shape. */
+  val qDedupIncIngest: QueryDef = q("q_dedup_inc_ingest")(
+    """SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_sigs
+      |FROM documents WHERE doc_id % 5 <> 0
+      |UNION ALL
+      |SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_sigs FROM documents
+      |ORDER BY version""".stripMargin) { (s, d) =>
+    val (_, sigVt) = builtTables(s, d, rebuild = true)
+    sigVt.readVersion(s, "main", 0)
+      .agg(count(lit(1)).as("n_sigs")).select(lit(0L).as("version"), col("n_sigs"))
+      .unionByName(sigVt.readVersion(s, "main", 1)
+        .agg(count(lit(1)).as("n_sigs")).select(lit(1L).as("version"), col("n_sigs")))
+      .orderBy("version")
+  }
+
+  /** SCREEN alone: the per-increment work a standing pipeline actually pays —
+    * sha semi-join + banded candidates + Jaccard verify against the
+    * PERSISTED signatures; the corpus text is never read (inputFiles-pinned
+    * in VersionedTableSpec). Same oracle as the combined row. */
+  val qDedupIncScreen: QueryDef = q("q_dedup_inc_screen")(oracleSql) { (s, d) =>
+    val (vt, sigVt) = builtTables(s, d, rebuild = false)
+    profileAgainstSignatures(vt, sigVt, corpusVersion = 0, incTo = 1)
+  }
+
+  val defs: Seq[QueryDef] = Seq(qDedupIncremental, qDedupIncIngest, qDedupIncScreen)
 }
