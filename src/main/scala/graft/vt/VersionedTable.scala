@@ -694,6 +694,11 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     val slotRe = ("^" + java.util.regex.Pattern.quote(name) + """-v\d+$""").r
     store.list(locksDir).filter(p => slotRe.findFirstIn(p.getFileName.toString).isDefined)
       .foreach(store.delete)
+    // checkpoints are per-branch version→id indexes: a later branch REUSING
+    // this name must never resolve versions from the dead branch's index
+    store.list(checkpointsDir)
+      .filter(p => slotRe.findFirstIn(p.getFileName.toString).isDefined)
+      .foreach(store.delete)
     store.delete(refsDir.resolve(name))
     ()
   }

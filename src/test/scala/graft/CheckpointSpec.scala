@@ -90,6 +90,21 @@ class CheckpointSpec extends SparkSpec {
     assert(byWalk.size === 35)
   }
 
+  test("deleteBranch drops the branch's checkpoints: a recreated namesake never resolves stale ids") {
+    val vt = VersionedTable.create(Tables.scratch("test_ckpt_namesake"), new InMemoryMetaStore)
+    vt.write(df(1), "main", "v0")
+    vt.createBranch("dev", "main")
+    // the DEAD branch is LONGER than its successor, so its v20 checkpoint
+    // would survive as "latest" for the name and cover deep targets
+    (1 to 25).foreach(v => vt.write(df(100 + v), "dev", s"old dev v$v"))
+    vt.deleteBranch("dev")
+    vt.createBranch("dev", "main") // same name, fresh lineage from main's head
+    (1 to 12).foreach(v => vt.write(df(200 + v), "dev", s"new dev v$v"))
+    // v1 is >interval below the new head, so resolution consults checkpoints:
+    // it must walk/index the NEW branch's history, not the dead branch's
+    assert(vt.readVersion(spark, "dev", 1).as[Int].collect() === Array(201))
+  }
+
   test("long append-only changesFeed plans ONE parquet scan with per-file version assignment") {
     val vt = VersionedTable.create(Tables.scratch("test_feed_onescan"), new InMemoryMetaStore)
     vt.write(df(0), "main", "v0")
