@@ -156,7 +156,22 @@ object Ivf {
     if (from == 0L)
       ixVt.putObject("centroids.json",
         centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]"))
-    val byVersion = vt.lineage(branch).map(c => c.version -> c).toMap
+    else {
+      // Changing centroids would mix assignment regimes: versions < from are
+      // assigned under the persisted matrix, and readIndexCentroids would
+      // keep returning it — silent recall corruption. Refuse loudly; a
+      // centroid change means a NEW index table.
+      val persisted = readIndexCentroids(ixVt)
+      require(persisted.size == centroids.size &&
+        persisted.zip(centroids).forall { case (a, b) => a.sameElements(b) },
+        "centroids differ from the persisted index matrix; create a fresh " +
+          "index table to re-assign under new centroids")
+    }
+    if (from > corpusHead) return // index already caught up
+    // only the catch-up interval's commits — O(increment) metadata, not
+    // O(history) (the corpus may be a long-lived streaming ingest)
+    val byVersion = vt.commitRange(branch, math.max(from - 1, 0L), corpusHead)
+      .map(c => c.version -> c).toMap
     (from to corpusHead).foreach { v =>
       val appendOnly = v > 0 &&
         byVersion(v - 1).files.toSet.subsetOf(byVersion(v).files.toSet)

@@ -91,14 +91,21 @@ object LocalFsMetaStore extends MetaStore {
       try { Files.createLink(key, tmp); true }
       catch {
         case _: java.nio.file.FileAlreadyExistsException => false
-        case _: UnsupportedOperationException =>
-          // no hard links (e.g. some FUSE mounts): atomic create-empty, then
-          // content — the pre-r13 two-step shape, still CAS-correct
-          try {
-            val p = Files.createFile(key)
-            if (content.nonEmpty) Files.write(p, content.getBytes(StandardCharsets.UTF_8))
-            true
-          } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        // No hard links: the JDK surfaces unsupported link(2) either as
+        // UnsupportedOperationException or (on real mounts — FUSE, SMB,
+        // vboxsf, where the syscall returns EPERM/EOPNOTSUPP) as a plain
+        // FileSystemException. Fall back to atomic create-empty + content —
+        // the pre-r13 two-step shape, still CAS-correct. If the key already
+        // exists the CAS is simply lost; any other cause resurfaces from
+        // createFile below.
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          if (Files.exists(key)) false
+          else
+            try {
+              val p = Files.createFile(key)
+              if (content.nonEmpty) Files.write(p, content.getBytes(StandardCharsets.UTF_8))
+              true
+            } catch { case _: java.nio.file.FileAlreadyExistsException => false }
       }
     } finally Files.deleteIfExists(tmp)
   }

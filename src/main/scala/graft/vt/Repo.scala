@@ -49,20 +49,26 @@ final class Repo private (val root: Path, val store: MetaStore) {
     m.asScala.toMap
   }
 
-  /** Stage a table write on `branch`; nothing is visible until [[commit]]. */
-  def stageWrite(df: DataFrame, branch: String, table: String): Unit = synchronized {
-    require(!table.contains("/"), "table names must not contain '/'")
+  /** Write `df` under a fresh uuid'd prefix for (`table`, `branch`) and
+    * return the repo-relative part-file paths — the one data-plane layout
+    * (suffix filter, relativization, sort) both staging paths share. */
+  private def writeTableFiles(df: DataFrame, branch: String, table: String): Vector[String] = {
     val version = head(branch).map(_.version + 1).getOrElse(0L)
     val rel = s"$table/$branch-v$version-${java.util.UUID.randomUUID.toString.take(8)}"
     val out = dataDir.resolve(rel)
     df.write.mode("overwrite").parquet(out.toString)
     import scala.jdk.CollectionConverters._
     val st = Files.list(out)
-    val files =
-      try st.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .map(p => root.relativize(p).toString).toVector.sorted
-      finally st.close()
+    try st.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => root.relativize(p).toString).toVector.sorted
+    finally st.close()
+  }
+
+  /** Stage a table write on `branch`; nothing is visible until [[commit]]. */
+  def stageWrite(df: DataFrame, branch: String, table: String): Unit = synchronized {
+    require(!table.contains("/"), "table names must not contain '/'")
+    val files = writeTableFiles(df, branch, table)
     staged.getOrElseUpdate(branch, scala.collection.mutable.LinkedHashMap.empty)
       .put(table, (files, df.schema.json))
   }
@@ -91,17 +97,7 @@ final class Repo private (val root: Path, val store: MetaStore) {
             s"but the appended DataFrame has ${df.schema.simpleString}")
       case None => () // first write of the table: append degenerates to write
     }
-    val version = head(branch).map(_.version + 1).getOrElse(0L)
-    val rel = s"$table/$branch-v$version-${java.util.UUID.randomUUID.toString.take(8)}"
-    val out = dataDir.resolve(rel)
-    df.write.mode("overwrite").parquet(out.toString)
-    import scala.jdk.CollectionConverters._
-    val st = Files.list(out)
-    val newFiles =
-      try st.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .map(p => root.relativize(p).toString).toVector.sorted
-      finally st.close()
+    val newFiles = writeTableFiles(df, branch, table)
     staged.getOrElseUpdate(branch, scala.collection.mutable.LinkedHashMap.empty)
       .put(table, (current.map(_._1).getOrElse(Vector.empty) ++ newFiles,
         current.map(_._2).getOrElse(df.schema.json)))
@@ -449,6 +445,15 @@ object Repo {
     store.ensurePrefix(p.resolve("refs"))
     Files.createDirectories(p.resolve("data"))
     store.put(p.resolve("_graft_repo"), "repo-v1")
+    new Repo(p, store)
+  }
+
+  /** Re-attach to an existing repo root — the read side of the `_graft_repo`
+    * marker [[create]] writes: refuses a path that is not a repo (catching
+    * the open-a-table-as-a-repo mixup before any metadata is misread). */
+  def open(root: String, store: MetaStore = LocalFsMetaStore): Repo = {
+    val p = Paths.get(root)
+    require(store.exists(p.resolve("_graft_repo")), s"not a repo root: $root")
     new Repo(p, store)
   }
 }

@@ -107,7 +107,8 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     *
     * Resolution order: the head itself (2 reads) → a bounded parent walk when
     * the target is within one checkpoint interval (≤ interval reads) → the
-    * newest checkpoint's version index (1 list + 1 read + 1 commit load).
+    * newest checkpoint's SPARSE boundary index (1 list + 1 read + 1 commit
+    * load at the nearest boundary ≥ target + ≤interval parent steps).
     * Falls back to the plain walk when no checkpoint covers the target (e.g.
     * a branch younger than one interval — bounded by its own commit count). */
   private def resolveVersion(branch: String, version: Long): Commit = {
@@ -116,16 +117,6 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     if (version > h.version || version < 0) throw new IllegalArgumentException(
       s"no version $version on $branch (vacuumed or never existed)")
     if (version == h.version) return h
-    if (h.version - version > VersionedTable.CheckpointInterval) {
-      latestCheckpoint(branch) match {
-        case Some((ckVersion, index)) if version <= ckVersion =>
-          index.get(version) match {
-            case Some((id, _)) => return loadCommit(id)
-            case None => () // checkpoint predates the version? fall through
-          }
-        case _ => ()
-      }
-    }
     @annotation.tailrec
     def walk(c: Commit): Commit =
       if (c.version == version) c
@@ -134,13 +125,28 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
         case None => throw new IllegalArgumentException(
           s"no version $version on $branch (vacuumed or never existed)")
       }
+    if (h.version - version > VersionedTable.CheckpointInterval) {
+      latestCheckpoint(branch) match {
+        case Some((ckVersion, index)) if version <= ckVersion =>
+          // nearest indexed boundary at or above the target, then ≤interval
+          // parent steps down — ckVersion itself is always indexed, so the
+          // jump exists whenever coverage does
+          index.keys.filter(_ >= version).minOption match {
+            case Some(jump) => return walk(loadCommit(index(jump)._1))
+            case None => () // defensive: empty index → plain walk
+          }
+        case _ => ()
+      }
+    }
     walk(h)
   }
 
   /** The commits of `(fromVersion, toVersion]` plus `fromVersion` itself,
     * ascending — O(span) metadata reads via one [[resolveVersion]] and a
-    * bounded parent walk, never O(full history). */
-  private def commitRange(branch: String, fromVersion: Long, toVersion: Long): List[Commit] = {
+    * bounded parent walk, never O(full history). Package-visible so
+    * incremental maintainers (IVF index, dedup signatures) can examine just
+    * their catch-up interval instead of replaying the whole lineage. */
+  private[graft] def commitRange(branch: String, fromVersion: Long, toVersion: Long): List[Commit] = {
     val to = resolveVersion(branch, toVersion)
     @annotation.tailrec
     def walk(c: Commit, acc: List[Commit]): List[Commit] =
@@ -153,8 +159,11 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     walk(to, Nil)
   }
 
-  /** Newest checkpoint of `branch`: (checkpoint version, version → (commit
-    * id, ts) for every version ≤ it on the first-parent lineage). */
+  /** Newest checkpoint of `branch`: (checkpoint version, SPARSE version →
+    * (commit id, ts) index holding only interval-boundary versions of the
+    * first-parent lineage — O(V/interval) entries, never O(V)). A read race
+    * with the writer's prune of the superseded file degrades to None (plain
+    * walk), never an error. */
   private def latestCheckpoint(branch: String): Option[(Long, Map[Long, (String, Long)])] = {
     val names = store.list(checkpointsDir).map(_.getFileName.toString)
     val mine = names.flatMap {
@@ -162,25 +171,31 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       case _ => None
     }
     if (mine.isEmpty) None
-    else {
-      val v = mine.max
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      val m = mapper.readValue(store.read(checkpointsDir.resolve(s"$branch-v$v")),
-        classOf[java.util.Map[String, Object]])
-      import scala.jdk.CollectionConverters._
-      val idx = m.get("index").asInstanceOf[java.util.Map[String, java.util.List[Object]]]
-        .asScala.map { case (ver, e) =>
-          ver.toLong -> (e.get(0).asInstanceOf[String], e.get(1).asInstanceOf[Number].longValue())
-        }.toMap
-      Some((v, idx))
-    }
+    else
+      try {
+        val v = mine.max
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val m = mapper.readValue(store.read(checkpointsDir.resolve(s"$branch-v$v")),
+          classOf[java.util.Map[String, Object]])
+        import scala.jdk.CollectionConverters._
+        val idx = m.get("index").asInstanceOf[java.util.Map[String, java.util.List[Object]]]
+          .asScala.map { case (ver, e) =>
+            ver.toLong -> (e.get(0).asInstanceOf[String], e.get(1).asInstanceOf[Number].longValue())
+          }.toMap
+        Some((v, idx))
+      } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Write the checkpoint for `c` (a version divisible by the interval):
     * previous checkpoint's index + a ≤interval-step walk over the gap — so
     * checkpoint maintenance is O(interval) amortized, with ONE O(history)
     * walk the first time a branch (or a pre-checkpoint table) crosses a
-    * boundary. Failure here never fails the publish (the commit and ref are
+    * boundary. The index keeps ONLY interval-boundary versions (resolution
+    * jumps to the nearest boundary above the target, then walks ≤interval
+    * parents), and the superseded checkpoint file — fully subsumed by its
+    * successor — is pruned, so checkpoint storage is O(V/interval) total in
+    * O(1) files per branch, not the O(V²) a cumulative never-pruned index
+    * accretes. Failure here never fails the publish (the commit and ref are
     * already durable; the next boundary just walks a larger gap). */
   private def writeCheckpoint(branch: String, c: Commit): Unit =
     try {
@@ -193,7 +208,8 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
           case Some(p) => gap(p, (x.version, (x.id, x.ts)) :: acc)
           case None => (x.version, (x.id, x.ts)) :: acc
         }
-      val index = prev.map(_._2).getOrElse(Map.empty) ++ gap(c, Nil)
+      val index = (prev.map(_._2).getOrElse(Map.empty) ++ gap(c, Nil))
+        .filter { case (v, _) => v % VersionedTable.CheckpointInterval == 0 }
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val m = new java.util.LinkedHashMap[String, Object]()
       m.put("branch", branch)
@@ -204,6 +220,9 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       }
       m.put("index", im)
       store.put(checkpointsDir.resolve(s"$branch-v${c.version}"), mapper.writeValueAsString(m))
+      prev.foreach { case (pv, _) =>
+        store.delete(checkpointsDir.resolve(s"$branch-v$pv")); ()
+      }
     } catch { case scala.util.control.NonFatal(_) => () }
 
   /** DAG ancestry: history is a DAG once merge commits carry a second parent,
@@ -317,6 +336,17 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     * computed them under (see [[readWhereString]]) — Delta records string
     * stats too; a time/tenant-keyed lake skips on them constantly. Other
     * columns are cast to double as before. */
+  /** `input_file_name()` yields a percent-encoded URI (`file:///…%20…`):
+    * decode it before relativizing against `root`, or a table root containing
+    * a URI-escaped character (space, `#`, …) matches NO commit-log entry and
+    * the caller's file partition silently classifies everything untouched. */
+  private def inputFileToRel(raw: String): String = {
+    val p =
+      try java.nio.file.Paths.get(new java.net.URI(raw).getPath)
+      catch { case _: Exception => java.nio.file.Paths.get(raw.stripPrefix("file:")) }
+    root.relativize(p).toString
+  }
+
   private def collectFileStats(spark: SparkSession, files: Vector[String],
                                cols: Seq[String], schema: StructType)
       : (Map[String, Map[String, (Double, Double)]],
@@ -332,10 +362,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     val rows = spark.read.parquet(paths: _*)
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
-      .collect().map { r =>
-        val file = r.getString(0).stripPrefix("file:")
-        root.relativize(java.nio.file.Paths.get(file)).toString -> r
-      }
+      .collect().map(r => inputFileToRel(r.getString(0)) -> r)
     // All-null (or non-castable) stats columns yield null min/max: omit
     // that column's entry — conservative "no stats, never skip".
     def defined(r: Row, i: Int) = !r.isNullAt(1 + 2 * i) && !r.isNullAt(2 + 2 * i)
@@ -476,8 +503,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     val pred = expr(where)
     val touchedSet = readCommit(spark, parent).where(pred)
       .select(input_file_name().as("__f")).distinct().collect()
-      .map(r => root.relativize(
-        java.nio.file.Paths.get(r.getString(0).stripPrefix("file:"))).toString)
+      .map(r => inputFileToRel(r.getString(0)))
       .toSet
     if (touchedSet.isEmpty) return parent // delete matched nothing
     val (touched, untouched) = parent.files.partition(touchedSet.contains)
@@ -639,12 +665,18 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     def walk(c: Commit): Commit =
       if (c.ts <= tsMillis) c
       else checkpoint match {
-        // the answer (if any) lies at or below checkpoint coverage: pick the
-        // highest indexed version with ts <= tsMillis — one commit load
+        // the answer (if any) lies strictly below c: jump down to the LOWEST
+        // indexed boundary still after tsMillis — first-parent timestamps are
+        // nondecreasing, so the answer sits within one interval below it and
+        // the remaining parent walk is ≤interval steps
         case Some((ckVersion, index)) if c.version - 1 <= ckVersion =>
-          index.filter(_._2._2 <= tsMillis).keys.maxOption match {
-            case Some(v) => loadCommit(index(v)._1)
-            case None => fail()
+          index.filter { case (v, (_, ts)) => ts > tsMillis && v < c.version }
+            .keys.minOption match {
+            case Some(jump) => walk(loadCommit(index(jump)._1))
+            case None => c.parent.map(loadCommit) match {
+              case Some(p) => walk(p)
+              case None => fail()
+            }
           }
         case _ => c.parent.map(loadCommit) match {
           case Some(p) => walk(p)

@@ -40,9 +40,17 @@ class CheckpointSpec extends SparkSpec {
     // metadata-only commits: revert alternates between the two snapshots
     (2 to 1000).foreach(v => vt.revert("main", v % 2))
     assert(vt.head("main").get.version === 1000)
-    // checkpoints exist at every interval boundary
-    assert(store.list(java.nio.file.Paths.get(vt.root.toString).resolve("checkpoints"))
-      .size === 100)
+    // superseded checkpoints are pruned: O(1) files per branch, not one per
+    // boundary (100 files here, O(V²/interval) cumulative bytes at scale)
+    val ckDir = java.nio.file.Paths.get(vt.root.toString).resolve("checkpoints")
+    assert(store.list(ckDir).size === 1)
+    // ... and the surviving index is SPARSE: boundary versions only
+    // (0,10,…,1000 → 101 entries), never all 1001
+    val ckJson = store.read(ckDir.resolve("main-v1000"))
+    val ckIdx = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readValue(ckJson, classOf[java.util.Map[String, Object]])
+      .get("index").asInstanceOf[java.util.Map[String, Object]]
+    assert(ckIdx.size === 101, s"index must hold boundaries only, has ${ckIdx.size}")
 
     store.resetCount()
     assert(vt.head("main").get.version === 1000L)

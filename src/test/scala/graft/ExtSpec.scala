@@ -201,6 +201,11 @@ class ExtSpec extends SparkSpec {
       df.select("qid", "cid", "rnk").as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3))
     assert(rows(Ivf.ivfTopKIndexed(indexDf, queries, 10, back, nprobe = 2))
       === rows(Ivf.ivfTopK(emb, queries, 10, Ivf.searchCentroids, nprobe = 2)))
+    // changing centroids mid-life is refused: earlier versions were assigned
+    // under the persisted matrix, so a silent re-assign would mix regimes
+    // (and readIndexCentroids would keep returning the stale matrix)
+    intercept[IllegalArgumentException](
+      Ivf.maintainIvfIndex(vt, ixVt, Ivf.searchCentroids.map(_.map(_ * 2.0))))
   }
 
   test("incremental dedup flags planted exact and near duplicates of the corpus, skips fresh docs") {

@@ -301,6 +301,18 @@ class RepoSpec extends SparkSpec {
     assert(repo.readTable(spark, "main", "fresh").as[Int].collect().sorted === Array(1, 2, 3))
   }
 
+  test("Repo.open re-attaches via the _graft_repo marker and rejects non-repo roots") {
+    val root = Tables.scratch("repo_open")
+    val repo = Repo.create(root)
+    repo.stageWrite(Seq(1).toDF("x"), "main", "t")
+    repo.commit("main", "v0")
+    assert(Repo.open(root).readTable(spark, "main", "t").as[Int].collect() === Array(1))
+    // a versioned-TABLE root is not a repo: the marker catches the mixup
+    val tableRoot = Tables.scratch("repo_open_not_a_repo")
+    graft.vt.VersionedTable.create(tableRoot)
+    intercept[IllegalArgumentException](Repo.open(tableRoot))
+  }
+
   test("branches are zero-copy and isolated across all tables") {
     val repo = Repo.create(Tables.scratch("repo_branch"))
     repo.stageWrite(Seq(1).toDF("x"), "main", "a")

@@ -191,6 +191,17 @@ class VersionedTableSpec extends SparkSpec {
     assert(same.id === c.id && vt.head("main").get.version === 1)
   }
 
+  test("delete works under a table root containing a URI-escaped character") {
+    // input_file_name() percent-encodes (space → %20); a raw stripPrefix
+    // mapping matched no commit-log entry, classified every file untouched,
+    // and DELETE silently committed an identical snapshot
+    val vt = VersionedTable.create(Tables.scratch("uri dir") + "/t 1")
+    vt.write(df(1, 2, 3), "main", "v0")
+    val c = vt.delete(spark, "x = 2")
+    assert(c.version === 1, "delete must commit a new version, not no-op")
+    assert(vt.read(spark, "main").as[Int].collect().sorted === Array(1, 3))
+  }
+
   test("copy-on-write delete carries untouched files; CDC reports the removed rows") {
     val vt = freshVt("cow_delete")
     val nation = Tables.nation(spark, sf).select("n_nationkey", "n_name", "n_regionkey")
