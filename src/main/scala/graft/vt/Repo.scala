@@ -144,9 +144,16 @@ final class Repo private (val root: Path, val store: MetaStore) {
     readTableAt(spark, c, table)
   }
 
-  /** Repo-wide time travel: every table as of one repo version. */
-  def readTableAsOf(spark: SparkSession, branch: String, table: String,
-                    version: Long): DataFrame = {
+  /** `(branch, version)` → commit via a bounded head-down walk: O(head −
+    * version) metadata loads, never a full-lineage materialization. (Repo
+    * histories are human-paced multi-table commits, orders of magnitude
+    * shorter than a streaming table's — the table layer's checkpoint index
+    * covers that case; here the bounded walk is the proportionate shape.) */
+  private def commitAt(branch: String, version: Long): Commit = {
+    val h = head(branch).getOrElse(
+      throw new IllegalArgumentException(s"no such branch: $branch"))
+    if (version > h.version || version < 0)
+      throw new IllegalArgumentException(s"no version $version on $branch")
     @annotation.tailrec
     def walk(c: Commit): Commit =
       if (c.version == version) c
@@ -154,21 +161,33 @@ final class Repo private (val root: Path, val store: MetaStore) {
         case Some(p) => walk(loadCommit(p))
         case None => throw new IllegalArgumentException(s"no version $version on $branch")
       }
-    readTableAt(spark, walk(head(branch).getOrElse(
-      throw new IllegalArgumentException(s"no such branch: $branch"))), table)
+    walk(h)
   }
+
+  /** Repo-wide time travel: every table as of one repo version. */
+  def readTableAsOf(spark: SparkSession, branch: String, table: String,
+                    version: Long): DataFrame =
+    readTableAt(spark, commitAt(branch, version), table)
 
   /** Repo-wide time travel by COMMIT TIMESTAMP (Delta `timestampAsOf` /
     * lakeFS ref@timestamp at repo scope): resolve the newest commit at or
     * before `tsMillis` on the branch's first-parent lineage, then read one
-    * table out of that snapshot. Lineage is head-first, so `find` returns
-    * the latest qualifying commit. */
+    * table out of that snapshot. First-parent timestamps are nondecreasing
+    * (every commit stamps after its parent), so the head-down walk stops at
+    * the FIRST qualifying commit — O(commits since `tsMillis`), not a full
+    * lineage replay. */
   def readTableAsOfTimestamp(spark: SparkSession, branch: String, table: String,
                              tsMillis: Long): DataFrame = {
-    val c = lineage(branch).find(_.ts <= tsMillis).getOrElse(
-      throw new IllegalArgumentException(
-        s"no commit on $branch at or before timestamp $tsMillis (first commit is later)"))
-    readTableAt(spark, c, table)
+    def fail() = throw new IllegalArgumentException(
+      s"no commit on $branch at or before timestamp $tsMillis (first commit is later)")
+    @annotation.tailrec
+    def walk(c: Commit): Commit =
+      if (c.ts <= tsMillis) c
+      else c.parent match {
+        case Some(p) => walk(loadCommit(p))
+        case None => fail()
+      }
+    readTableAt(spark, walk(head(branch).getOrElse(fail())), table)
   }
 
   /** Row-level CDC for ONE table between two REPO versions — lakectl diff's
@@ -189,10 +208,16 @@ final class Repo private (val root: Path, val store: MetaStore) {
   def tableChanges(spark: SparkSession, branch: String, table: String,
                    fromVersion: Long, toVersion: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val lin = lineage(branch)
-    def at(v: Long): Commit = lin.find(_.version == v).getOrElse(
-      throw new IllegalArgumentException(s"no version $v on $branch"))
-    val (from, to) = (at(fromVersion), at(toVersion))
+    // one bounded walk reaches both endpoints (to sits on from's path down)
+    val to = commitAt(branch, toVersion)
+    @annotation.tailrec
+    def down(c: Commit): Commit =
+      if (c.version == fromVersion) c
+      else c.parent match {
+        case Some(p) => down(loadCommit(p))
+        case None => throw new IllegalArgumentException(s"no version $fromVersion on $branch")
+      }
+    val from = if (fromVersion <= toVersion) down(to) else commitAt(branch, fromVersion)
     val fromFiles = tableFiles(from, table)
     val toFiles = tableFiles(to, table)
     require(tableSchemas(to).contains(table) || tableSchemas(from).contains(table),
