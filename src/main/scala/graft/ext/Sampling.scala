@@ -81,5 +81,70 @@ object Sampling {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(qSampleHash, qSplitAssign, qSampleStratified)
+  /** Temperature-scaled source mixing (the multilingual/multi-domain rebalance
+    * of XLM-R §3.1 / GPT-3 §2.2: sample source s with probability ∝ size_s^α,
+    * α=0.5, size measured in BYTES — the unit production mixes weight by):
+    * compute each source's weight, convert the per-source budget into
+    * a REPETITION SCHEDULE — n_copies per document, possibly 0 (downsample)
+    * or ≥2 (upsample a rare source) — deterministically, so every re-run and
+    * every engine draws the identical corpus.
+    *
+    * Exactness across engines (the distributed-float recipe): sqrt is
+    * IEEE-correctly-rounded in both JVMs and C, each sqrt is scaled to
+    * micro-unit int64 (floor(x·10⁶+0.5)) and the normalizing sum is INTEGER —
+    * order-independent — so the weight division is one double/double op with
+    * bit-identical operands. The fractional part of a document's expected
+    * copy count is resolved by a second, offset Knuth hash draw (decorrelated
+    * from the 10%-sample draw by the +998244353 offset), keeping the whole
+    * schedule a pure row-local projection after one tiny per-source agg that
+    * BROADCASTS back — the corpus itself never shuffles.
+    *
+    * 100 TB shape: the per-source table is O(#sources) rows (dozens), the
+    * join is a broadcast hash join, and the schedule column costs one hash +
+    * compare per row. */
+  val qMixTemperature: QueryDef = {
+    val budget = 2000.0 // total sampled docs across sources (per-SF literal)
+    val drawSql = "((doc_id % 2147483647) * 2654435761 + 998244353) % 1000"
+    q("q_mix_temperature")(
+      s"""WITH counts AS (
+         |  SELECT source, count(*) AS n,
+         |         CAST(floor(sqrt(CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS ss
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(sum(ss) AS BIGINT) AS stot FROM counts),
+         |rates AS (
+         |  SELECT source, n,
+         |         ($budget * (CAST(ss AS DOUBLE) / CAST(stot AS DOUBLE)))
+         |           / CAST(n AS DOUBLE) AS rate
+         |  FROM counts, tot)
+         |SELECT d.doc_id, d.source,
+         |       CAST(floor(r.rate) AS BIGINT) +
+         |         (CASE WHEN $drawSql <
+         |            CAST(floor((r.rate - floor(r.rate)) * 1000 + 0.5) AS BIGINT)
+         |          THEN 1 ELSE 0 END) AS n_copies
+         |FROM documents d JOIN rates r ON d.source = r.source
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("n_chars").cast(LongType).as("bytes"))
+        .withColumn("ss",
+          floor(sqrt(col("bytes").cast(DoubleType)) * 1000000 + lit(0.5)).cast(LongType))
+      val total = counts.agg(sum("ss").cast(LongType).as("stot"))
+      val rates = counts.crossJoin(broadcast(total))
+        .withColumn("rate",
+          (lit(budget) * (col("ss").cast(DoubleType) / col("stot").cast(DoubleType)))
+            / col("n").cast(DoubleType))
+        .select("source", "rate")
+      val draw = pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L)
+        + lit(998244353L), lit(1000L))
+      docs.join(broadcast(rates), Seq("source"))
+        .select(col("doc_id"), col("source"),
+          (floor(col("rate")).cast(LongType) +
+            when(draw < floor((col("rate") - floor(col("rate"))) * 1000 + lit(0.5))
+              .cast(LongType), 1L).otherwise(0L)).as("n_copies"))
+        .orderBy("doc_id")
+    }
+  }
+
+  val defs: Seq[QueryDef] = Seq(qSampleHash, qSplitAssign, qSampleStratified,
+    qMixTemperature)
 }
