@@ -122,6 +122,27 @@ object Versioned {
     vt.read(s, "main").select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
   }
 
+  /** V5-ext — lakeFS `cherry-pick`: transplant ONE commit's delta (dev's
+    * second append, region 3) onto main WITHOUT the sibling commit it sits
+    * on (region 2) — the result that distinguishes a pick from a merge,
+    * which would bring both. O(metadata): the picked append's files graft
+    * onto main's list; no data is read or rewritten. */
+  val qVtCherryPick: QueryDef = q("q_vt_cherry_pick")(
+    """SELECT n_nationkey, n_name, n_regionkey, CAST(1 AS BIGINT) AS head_version
+      |FROM nation WHERE n_regionkey < 2 OR n_regionkey = 3
+      |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+    val vt = VersionedTable.create(Tables.scratch("vt_cherry"))
+    val nation = Tables.nation(s, d)
+    vt.write(nation.where(col("n_regionkey") < 2), "main", "v0")
+    vt.createBranch("dev", from = "main")
+    vt.write(nation.where(col("n_regionkey") === 2), "dev", "dev r2", mode = "append")
+    vt.write(nation.where(col("n_regionkey") === 3), "dev", "dev r3", mode = "append")
+    val c = vt.cherryPick("dev", version = 2, into = "main")
+    vt.read(s, "main").select("n_nationkey", "n_name", "n_regionkey")
+      .withColumn("head_version", lit(c.version))
+      .orderBy("n_nationkey")
+  }
+
   /** V6 — revert appends a NEW commit equal to v0; history is preserved
     * (`README.md:132`): head content = v0, head version = 2. */
   val qVtRevert: QueryDef = q("q_vt_revert")(
@@ -435,7 +456,7 @@ object Versioned {
   }
 
   val defs: Seq[QueryDef] = Seq(qVtWriteVersions, qVtReadLatest, qVtTimeTravel,
-    qVtBranch, qVtCommit, qVtDiff, qVtMerge, qVtRevert, qVtVacuum, qVtObjects,
+    qVtBranch, qVtCommit, qVtDiff, qVtMerge, qVtCherryPick, qVtRevert, qVtVacuum, qVtObjects,
     qVtSkipRead, qVtAppend, qRepoCommit, qRepoMergeUnion, qVtChanges,
     qVtChangesUpsert, qVtChangesFeed, qVtHistory, qVtUpsert, qVtDelete,
     qVtIncremental, qVtTsTravel)

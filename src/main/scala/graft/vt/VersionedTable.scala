@@ -818,6 +818,52 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       DataType.fromJson(target.schemaJson).asInstanceOf[StructType], target.files)
   }
 
+  /** lakeFS `cherry-pick` (lakectl's single-commit transplant): apply the
+    * CHANGE one commit introduced — its file delta versus its own parent —
+    * onto `into`'s head as a NEW commit, with no merge parent (git's
+    * cherry-pick shape: the transplanted change does not link histories).
+    * Object-granular and O(metadata):
+    *
+    *   added   = picked.files − parent.files
+    *   removed = parent.files − picked.files
+    *
+    * The pick CONFLICTS loudly when the target no longer carries a removed
+    * file (that object already changed or vanished on `into` — the
+    * changed-on-both-sides rule) or already carries an added file, and when
+    * the two heads disagree on the table schema (grafting files under a
+    * diverged schema would silently null/drop columns — same rule as
+    * [[merge]]). A root commit's delta is its full snapshot. An empty delta
+    * (e.g. picking a revert that landed on its own parent state) is a no-op
+    * returning the unchanged head. */
+  def cherryPick(fromBranch: String, version: Long, into: String): Commit = synchronized {
+    val picked = resolveVersion(fromBranch, version)
+    val parentFiles = picked.parent.map(loadCommit(_).files.toSet).getOrElse(Set.empty)
+    val added = picked.files.filterNot(parentFiles.contains)
+    val removed = parentFiles -- picked.files.toSet
+    val dst = head(into).getOrElse(
+      throw new IllegalArgumentException(s"no such branch: $into"))
+    if (added.isEmpty && removed.isEmpty) return dst
+    val dstFiles = dst.files.toSet
+    val missing = removed.filterNot(dstFiles.contains)
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"cherry-pick conflict: ${missing.size} file(s) removed by $fromBranch@v$version " +
+        s"no longer exist on $into (e.g. ${missing.toSeq.sorted.take(3).mkString(", ")})")
+    val dup = added.filter(dstFiles.contains)
+    if (dup.nonEmpty) throw new IllegalStateException(
+      s"cherry-pick conflict: ${dup.size} file(s) added by $fromBranch@v$version " +
+        s"already present on $into (e.g. ${dup.sorted.take(3).mkString(", ")})")
+    if (picked.schemaJson != dst.schemaJson) throw new IllegalStateException(
+      s"cherry-pick conflict: $fromBranch@v$version and $into disagree on the table schema")
+    val files = (dst.files.filterNot(removed.contains) ++ added).distinct.sorted.toVector
+    publish(into, Some(dst),
+      s"cherry-pick $fromBranch@v$version (${picked.id.take(8)}): ${picked.message}",
+      DataType.fromJson(dst.schemaJson).asInstanceOf[StructType], files,
+      dst.stats.view.filterKeys(files.contains).toMap ++
+        picked.stats.view.filterKeys(added.contains).toMap,
+      strStats = dst.strStats.view.filterKeys(files.contains).toMap ++
+        picked.strStats.view.filterKeys(added.contains).toMap)
+  }
+
   // ---- vacuum (jobs/vdt4.py:84-85, V9) -----------------------------------
 
   /** Delete data files unreferenced by any retained commit. A commit is

@@ -191,6 +191,33 @@ class VersionedTableSpec extends SparkSpec {
     assert(same.id === c.id && vt.head("main").get.version === 1)
   }
 
+  test("cherry-pick transplants one commit's delta; conflicts are loud; empty delta no-ops") {
+    val vt = freshVt("cherry")
+    vt.write(df(1), "main", "v0")
+    vt.createBranch("dev", "main")
+    vt.write(df(2), "dev", "dev append 2", mode = "append")
+    vt.write(df(3), "dev", "dev append 3", mode = "append")
+    // pick ONLY dev@v2 (the 3-append): main gets 1,3 — not 2
+    val c = vt.cherryPick("dev", 2, into = "main")
+    assert(c.version === 1)
+    assert(vt.read(spark, "main").as[Int].collect().sorted === Array(1, 3))
+    // no merge parent: the pick does not link the histories
+    assert(c.mergeParent.isEmpty)
+    // picking the same commit again: its files are already on main → conflict
+    intercept[IllegalStateException](vt.cherryPick("dev", 2, into = "main"))
+    // an overwrite commit's delta removes its parent's files; a target that
+    // never had them conflicts (changed-on-both-sides rule)
+    vt.createBranch("other", "dev")
+    vt.write(df(9), "other", "overwrite all")
+    vt.write(df(7), "main", "main moved on") // main no longer holds dev's files
+    intercept[IllegalStateException](vt.cherryPick("other", 3, into = "main"))
+    // a revert that lands on its own parent state is an EMPTY delta → no-op
+    val devHead = vt.head("dev").get
+    vt.revert("dev", devHead.version) // revert to the head itself
+    assert(vt.cherryPick("dev", devHead.version + 1, into = "main").id
+      === vt.head("main").get.id)
+  }
+
   test("delete works under a table root containing a URI-escaped character") {
     // input_file_name() percent-encodes (space → %20); a raw stripPrefix
     // mapping matched no commit-log entry, classified every file untouched,
