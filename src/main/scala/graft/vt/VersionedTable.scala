@@ -494,6 +494,53 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     * [[changesFeed]] diff over the interval then scans only
     * rewritten+replacement files and reports the removed rows as
     * `change_type = delete`. */
+  /** Per-column [lo, hi] bounds implied by a delete/read predicate, for
+    * commit-log stats pruning: walks top-level conjuncts, recognizing
+    * `column cmp numeric-literal` in either orientation. Anything else — OR,
+    * NOT, function-wrapped columns, non-numeric literals — contributes NO
+    * constraint, so pruning stays conservative: a file is skipped only when
+    * a recognized bound provably excludes every row it could hold (and the
+    * residual predicate still runs exactly on the survivors). NaN bounds are
+    * dropped too: Spark orders NaN above +Inf while Java's NaN comparisons
+    * are all-false, so a NaN range check would wrongly skip files. */
+  private[graft] def predicateBounds(
+      pred: org.apache.spark.sql.catalyst.expressions.Expression): Map[String, (Double, Double)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def colName(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def num(e: Expression): Option[Double] = e match {
+      case Literal(v: Number, _) => Some(v.doubleValue()).filterNot(_.isNaN)
+      case Literal(d: org.apache.spark.sql.types.Decimal, _) => Some(d.toDouble)
+      case _ => None
+    }
+    def walk(e: Expression): Seq[(String, Double, Double)] = e match {
+      case And(l, r) => walk(l) ++ walk(r)
+      case EqualTo(c, v) => (colName(c), num(v)) match {
+        case (Some(n), Some(x)) => Seq((n, x, x))
+        case _ => (colName(v), num(c)) match {
+          case (Some(n), Some(x)) => Seq((n, x, x))
+          case _ => Nil
+        }
+      }
+      case GreaterThan(c, v) => lower(colName(c), num(v)) ++ upper(colName(v), num(c))
+      case GreaterThanOrEqual(c, v) => lower(colName(c), num(v)) ++ upper(colName(v), num(c))
+      case LessThan(c, v) => upper(colName(c), num(v)) ++ lower(colName(v), num(c))
+      case LessThanOrEqual(c, v) => upper(colName(c), num(v)) ++ lower(colName(v), num(c))
+      case _ => Nil
+    }
+    def lower(n: Option[String], x: Option[Double]) =
+      (n zip x).map { case (c, v) => (c, v, Double.PositiveInfinity) }.toSeq
+    def upper(n: Option[String], x: Option[Double]) =
+      (n zip x).map { case (c, v) => (c, Double.NegativeInfinity, v) }.toSeq
+    walk(pred).groupBy(_._1).map { case (c, bs) =>
+      c -> (bs.map(_._2).max, bs.map(_._3).min) // conjuncts intersect
+    }
+  }
+
   def delete(spark: SparkSession, where: String, branch: String = "main",
              message: String = ""): Commit = synchronized {
     import org.apache.spark.sql.functions.{coalesce, expr, input_file_name, lit, not}
@@ -501,7 +548,24 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       throw new IllegalArgumentException(s"no such branch: $branch"))
     if (parent.files.isEmpty) return parent
     val pred = expr(where)
-    val touchedSet = readCommit(spark, parent).where(pred)
+    // commit-log stats pruning BEFORE the find-touched scan: a file whose
+    // recorded [min,max] excludes a recognized predicate bound cannot hold a
+    // matching row — it never enters the scan, so a point delete on a
+    // key-clustered petabyte table probes a handful of files' worth of
+    // metadata, not a million parquet footers. Files without stats for a
+    // bounded column are conservatively scanned.
+    val bounds = predicateBounds(
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(where))
+    val candidates = parent.files.filter { f =>
+      bounds.forall { case (k, (lo, hi)) =>
+        parent.stats.get(f).flatMap(_.get(k)) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true
+        }
+      }
+    }
+    if (candidates.isEmpty) return parent // stats alone prove nothing matches
+    val touchedSet = readCommit(spark, parent.copy(files = candidates)).where(pred)
       .select(input_file_name().as("__f")).distinct().collect()
       .map(r => inputFileToRel(r.getString(0)))
       .toSet

@@ -191,6 +191,26 @@ class VersionedTableSpec extends SparkSpec {
     assert(same.id === c.id && vt.head("main").get.version === 1)
   }
 
+  test("delete prunes files via commit-log stats before scanning") {
+    import org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression
+    val vt = freshVt("delete_prune")
+    val nation = Tables.nation(spark, sf).select("n_nationkey", "n_name", "n_regionkey")
+    val c0 = vt.write(nation.repartitionByRange(4, col("n_nationkey")), "main",
+      "v0", statsCols = Seq("n_nationkey"))
+    // bounds extraction: conjuncts intersect, both orientations, junk ignored
+    val b = vt.predicateBounds(parseExpression("n_nationkey >= 3 AND 7 > n_nationkey AND n_name = 'x'"))
+    assert(b === Map("n_nationkey" -> (3.0, 7.0)))
+    assert(vt.predicateBounds(parseExpression("n_nationkey = 5 OR n_regionkey = 1")).isEmpty)
+    // a predicate provably outside every file's range: no scan, no version
+    val same = vt.delete(spark, "n_nationkey = 9999")
+    assert(same.id === c0.id, "stats-excluded delete must be a metadata-only no-op")
+    // a point delete in range still deletes correctly (residual exactness)
+    val c1 = vt.delete(spark, "n_nationkey = 3")
+    assert(c1.version === 1)
+    assert(vt.read(spark, "main").where("n_nationkey = 3").count() === 0)
+    assert((c0.files.toSet intersect c1.files.toSet).nonEmpty, "untouched files carry")
+  }
+
   test("cherry-pick transplants one commit's delta; conflicts are loud; empty delta no-ops") {
     val vt = freshVt("cherry")
     vt.write(df(1), "main", "v0")
