@@ -504,7 +504,22 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     * dropped too: Spark orders NaN above +Inf while Java's NaN comparisons
     * are all-false, so a NaN range check would wrongly skip files. */
   private[graft] def predicateBounds(
-      pred: org.apache.spark.sql.catalyst.expressions.Expression): Map[String, (Double, Double)] = {
+      pred: org.apache.spark.sql.catalyst.expressions.Expression): Map[String, (Double, Double)] =
+    allPredicateBounds(pred)._1
+
+  private[graft] def predicateStrBounds(
+      pred: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Map[String, (Option[String], Option[String])] =
+    allPredicateBounds(pred)._2
+
+  /** Numeric and string bounds in one walk. String bounds are Options (no
+    * ±∞ exists for strings) and combine under the UNSIGNED UTF-8 BYTE order
+    * — the ordering the stats were computed under (see [[readWhereString]]);
+    * comparing with Java's UTF-16 `compareTo` instead would wrongly skip
+    * files around supplementary-plane code points. */
+  private def allPredicateBounds(
+      pred: org.apache.spark.sql.catalyst.expressions.Expression)
+      : (Map[String, (Double, Double)], Map[String, (Option[String], Option[String])]) = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     def colName(e: Expression): Option[String] = e match {
@@ -517,28 +532,57 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       case Literal(d: org.apache.spark.sql.types.Decimal, _) => Some(d.toDouble)
       case _ => None
     }
-    def walk(e: Expression): Seq[(String, Double, Double)] = e match {
+    def str(e: Expression): Option[String] = e match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String,
+                   org.apache.spark.sql.types.StringType) => Some(s.toString)
+      case _ => None
+    }
+    // one constraint: col ∈ [lo, hi] (numeric) or [slo, shi] (string)
+    final case class B(c: String, lo: Double = Double.NegativeInfinity,
+                       hi: Double = Double.PositiveInfinity,
+                       slo: Option[String] = None, shi: Option[String] = None)
+    def cmp(c: Expression, v: Expression,
+            mk: (String, Either[Double, String]) => B,
+            mkRev: (String, Either[Double, String]) => B): Seq[B] = {
+      val fwd = colName(c).flatMap(n =>
+        num(v).map(x => mk(n, scala.Left(x))).orElse(str(v).map(s => mk(n, scala.Right(s)))))
+      val rev = colName(v).flatMap(n =>
+        num(c).map(x => mkRev(n, scala.Left(x))).orElse(str(c).map(s => mkRev(n, scala.Right(s)))))
+      (fwd orElse rev).toSeq
+    }
+    def ge(n: String, x: Either[Double, String]) =
+      x.fold(v => B(n, lo = v), s => B(n, slo = Some(s)))
+    def le(n: String, x: Either[Double, String]) =
+      x.fold(v => B(n, hi = v), s => B(n, shi = Some(s)))
+    def eq(n: String, x: Either[Double, String]) =
+      x.fold(v => B(n, lo = v, hi = v), s => B(n, slo = Some(s), shi = Some(s)))
+    def walk(e: Expression): Seq[B] = e match {
       case And(l, r) => walk(l) ++ walk(r)
-      case EqualTo(c, v) => (colName(c), num(v)) match {
-        case (Some(n), Some(x)) => Seq((n, x, x))
-        case _ => (colName(v), num(c)) match {
-          case (Some(n), Some(x)) => Seq((n, x, x))
-          case _ => Nil
-        }
-      }
-      case GreaterThan(c, v) => lower(colName(c), num(v)) ++ upper(colName(v), num(c))
-      case GreaterThanOrEqual(c, v) => lower(colName(c), num(v)) ++ upper(colName(v), num(c))
-      case LessThan(c, v) => upper(colName(c), num(v)) ++ lower(colName(v), num(c))
-      case LessThanOrEqual(c, v) => upper(colName(c), num(v)) ++ lower(colName(v), num(c))
+      case EqualTo(c, v) => cmp(c, v, eq, eq)
+      case GreaterThan(c, v) => cmp(c, v, ge, le)
+      case GreaterThanOrEqual(c, v) => cmp(c, v, ge, le)
+      case LessThan(c, v) => cmp(c, v, le, ge)
+      case LessThanOrEqual(c, v) => cmp(c, v, le, ge)
       case _ => Nil
     }
-    def lower(n: Option[String], x: Option[Double]) =
-      (n zip x).map { case (c, v) => (c, v, Double.PositiveInfinity) }.toSeq
-    def upper(n: Option[String], x: Option[Double]) =
-      (n zip x).map { case (c, v) => (c, Double.NegativeInfinity, v) }.toSeq
-    walk(pred).groupBy(_._1).map { case (c, bs) =>
-      c -> (bs.map(_._2).max, bs.map(_._3).min) // conjuncts intersect
+    def u8max(a: Option[String], b: Option[String]) = (a, b) match {
+      case (Some(x), Some(y)) => Some(if (VersionedTable.utf8Cmp(x, y) >= 0) x else y)
+      case _ => a orElse b
     }
+    def u8min(a: Option[String], b: Option[String]) = (a, b) match {
+      case (Some(x), Some(y)) => Some(if (VersionedTable.utf8Cmp(x, y) <= 0) x else y)
+      case _ => a orElse b
+    }
+    val grouped = walk(pred).groupBy(_.c)
+    val numB = grouped.collect {
+      case (c, bs) if bs.exists(b => b.lo > Double.NegativeInfinity || b.hi < Double.PositiveInfinity) =>
+        c -> (bs.map(_.lo).max, bs.map(_.hi).min)
+    }
+    val strB = grouped.collect {
+      case (c, bs) if bs.exists(b => b.slo.isDefined || b.shi.isDefined) =>
+        c -> (bs.map(_.slo).reduce(u8max), bs.map(_.shi).reduce(u8min))
+    }
+    (numB, strB)
   }
 
   def delete(spark: SparkSession, where: String, branch: String = "main",
@@ -554,12 +598,19 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     // key-clustered petabyte table probes a handful of files' worth of
     // metadata, not a million parquet footers. Files without stats for a
     // bounded column are conservatively scanned.
-    val bounds = predicateBounds(
+    val (bounds, strBounds) = allPredicateBounds(
       org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(where))
     val candidates = parent.files.filter { f =>
       bounds.forall { case (k, (lo, hi)) =>
         parent.stats.get(f).flatMap(_.get(k)) match {
           case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true
+        }
+      } && strBounds.forall { case (k, (slo, shi)) =>
+        parent.strStats.get(f).flatMap(_.get(k)) match {
+          case Some((mn, mx)) =>
+            slo.forall(lo => VersionedTable.utf8Cmp(mx, lo) >= 0) &&
+              shi.forall(hi => VersionedTable.utf8Cmp(mn, hi) <= 0)
           case None => true
         }
       }
@@ -692,9 +743,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
   def readWhereString(spark: SparkSession, branch: String, column: String,
                       lower: String, upper: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    def utf8Cmp(a: String, b: String): Int = java.util.Arrays.compareUnsigned(
-      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    import VersionedTable.utf8Cmp
     val c = head(branch).getOrElse(
       throw new IllegalArgumentException(s"no such branch: $branch"))
     val keep = c.files.filter { f =>
@@ -1216,6 +1265,12 @@ object VersionedTable {
     * branch names (even ones ending in "-vN") parse to the right (branch,
     * version) split — the version is always the TRAILING digits. */
   private[vt] val SlotRe = "(.+)-v(\\d+)".r
+
+  /** Unsigned UTF-8 byte comparison — the ordering Spark's string min/max
+    * stats are computed under (UTF8String binary compare). */
+  private[vt] def utf8Cmp(a: String, b: String): Int = java.util.Arrays.compareUnsigned(
+    a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+    b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** V1 `repo create`: initialize an empty table root. `store` carries the
     * control-plane metadata (default: local filesystem); the data plane under

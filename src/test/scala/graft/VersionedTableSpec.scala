@@ -198,9 +198,14 @@ class VersionedTableSpec extends SparkSpec {
     val c0 = vt.write(nation.repartitionByRange(4, col("n_nationkey")), "main",
       "v0", statsCols = Seq("n_nationkey"))
     // bounds extraction: conjuncts intersect, both orientations, junk ignored
-    val b = vt.predicateBounds(parseExpression("n_nationkey >= 3 AND 7 > n_nationkey AND n_name = 'x'"))
+    val b = vt.predicateBounds(parseExpression("n_nationkey >= 3 AND 7 > n_nationkey AND f(n_name) = 'x'"))
     assert(b === Map("n_nationkey" -> (3.0, 7.0)))
     assert(vt.predicateBounds(parseExpression("n_nationkey = 5 OR n_regionkey = 1")).isEmpty)
+    // string bounds: equality and ranges, both orientations, under byte order
+    assert(vt.predicateStrBounds(parseExpression("n_name = 'CHINA' AND n_nationkey = 1"))
+      === Map("n_name" -> (Some("CHINA"), Some("CHINA"))))
+    assert(vt.predicateStrBounds(parseExpression("n_name >= 'B' AND 'M' > n_name"))
+      === Map("n_name" -> (Some("B"), Some("M"))))
     // a predicate provably outside every file's range: no scan, no version
     val same = vt.delete(spark, "n_nationkey = 9999")
     assert(same.id === c0.id, "stats-excluded delete must be a metadata-only no-op")
@@ -209,6 +214,15 @@ class VersionedTableSpec extends SparkSpec {
     assert(c1.version === 1)
     assert(vt.read(spark, "main").where("n_nationkey = 3").count() === 0)
     assert((c0.files.toSet intersect c1.files.toSet).nonEmpty, "untouched files carry")
+    // string stats prune the same way: a key beyond every file's byte-order
+    // max is a metadata no-op; an in-range string delete stays exact
+    val vtS = freshVt("delete_prune_str")
+    val cS0 = vtS.write(nation.repartitionByRange(4, col("n_name")), "main", "v0",
+      statsCols = Seq("n_name"))
+    assert(vtS.delete(spark, "n_name = 'zzzz'").id === cS0.id)
+    val cS1 = vtS.delete(spark, "n_name = 'CHINA'")
+    assert(vtS.read(spark, "main").where("n_name = 'CHINA'").count() === 0)
+    assert((cS0.files.toSet intersect cS1.files.toSet).nonEmpty)
   }
 
   test("cherry-pick transplants one commit's delta; conflicts are loud; empty delta no-ops") {
