@@ -126,6 +126,63 @@ class MetaStoreSpec extends SparkSpec {
     assert(vt.read(spark, "main").as[Int].collect() === Array(1))
   }
 
+  /** A store whose LIST is eventually consistent: while frozen, list() serves
+    * the snapshot observed before the freeze (a fresh object exists, reads
+    * fine, wins CAS races — but does not appear in listings). Models the
+    * pre-2020 S3 behavior the MetaStore contract documents as tolerable. */
+  private final class StaleListStore extends MetaStore {
+    private val inner = new InMemoryMetaStore
+    private var frozen = false
+    private val seen = scala.collection.mutable.Map.empty[String, Vector[java.nio.file.Path]]
+    def freeze(): Unit = frozen = true
+    def thaw(): Unit = frozen = false
+    def list(dir: java.nio.file.Path): Vector[java.nio.file.Path] =
+      if (frozen) seen.getOrElse(dir.toString, Vector.empty)
+      else { val v = inner.list(dir); seen(dir.toString) = v; v }
+    def putIfAbsent(key: java.nio.file.Path, content: String): Boolean =
+      inner.putIfAbsent(key, content)
+    def put(key: java.nio.file.Path, content: String): Unit = inner.put(key, content)
+    def read(key: java.nio.file.Path): String = inner.read(key)
+    def exists(key: java.nio.file.Path): Boolean = inner.exists(key)
+    def delete(key: java.nio.file.Path): Boolean = inner.delete(key)
+    def lastModified(key: java.nio.file.Path): Long = inner.lastModified(key)
+    def ensurePrefix(dir: java.nio.file.Path): Unit = inner.ensurePrefix(dir)
+    def backdate(key: java.nio.file.Path, toMs: Long): Unit = inner.backdate(key, toMs)
+  }
+
+  test("eventually-consistent listings: CAS still decides winners; slot repair waits for a fresh listing") {
+    val store = new StaleListStore
+    val rootStr = Tables.scratch("test_stale_list")
+    val root = Paths.get(rootStr)
+    val vt = VersionedTable.create(rootStr, store)
+    vt.write(df(1), "main", "v0")
+    vt.write(df(2), "main", "v1")
+    vt.createBranch("dev", "main")
+    vt.vacuum(retainLast = 10) // warm every control-plane listing
+    store.freeze()
+    // a rival claimed main's next slot and crashed; the claim is stale but
+    // INVISIBLE to listings until they catch up
+    CommitLog.claimVersionSlot(root.resolve("locks"), "main", 2L, store = store)
+    store.backdate(root.resolve("locks").resolve("main-v2"),
+      System.currentTimeMillis() - 2 * VersionedTable.DefaultStaleSlotMs)
+    // commits never consult listings: the CAS alone rejects the writer...
+    intercept[java.util.ConcurrentModificationException](vt.write(df(3), "main", "blocked"))
+    // ...and a sweep fed the stale listing conservatively repairs NOTHING —
+    // the documented skip-until-next-sweep behavior, never a wrong repair
+    vt.vacuum(retainLast = 10)
+    intercept[java.util.ConcurrentModificationException](vt.write(df(3), "main", "still blocked"))
+    // unrelated branches advance freely: their CAS needs no listing either
+    vt.write(df(9), "dev", "dev advances")
+    assert(vt.read(spark, "dev").as[Int].collect() === Array(9))
+    assert(vt.head("main").get.version === 1, "no corruption while the listing is stale")
+    // the listing catches up: the next sweep reclaims, the writer lands
+    store.thaw()
+    vt.vacuum(retainLast = 10)
+    vt.write(df(3), "main", "v2")
+    assert(vt.head("main").get.version === 2)
+    assert(vt.read(spark, "main").as[Int].collect() === Array(3))
+  }
+
   test("dry-run vacuum equals the real vacuum in a crashed-writer (orphan replay) state") {
     val store = new InMemoryMetaStore
     val rootStr = Tables.scratch("test_dryrun_crash")
