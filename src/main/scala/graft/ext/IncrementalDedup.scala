@@ -89,7 +89,8 @@ object IncrementalDedup {
     val byVersion = vt.lineage(branch).map(c => c.version -> c).toMap
     (from to corpusHead).foreach { v =>
       val appendOnly = v > 0 &&
-        byVersion(v - 1).files.toSet.subsetOf(byVersion(v).files.toSet)
+        byVersion(v - 1).files.toSet.subsetOf(byVersion(v).files.toSet) &&
+        byVersion(v - 1).dvFiles.toSet == byVersion(v).dvFiles.toSet
       val (delta, mode) =
         if (v == 0) (vt.readVersion(spark, branch, 0), "overwrite") // initial build
         else if (appendOnly)

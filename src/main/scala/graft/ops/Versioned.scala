@@ -309,6 +309,35 @@ object Versioned {
       .orderBy("part", "o_orderkey")
   }
 
+  /** Merge-on-read DELETE (Delta deletion vectors / Iceberg v2 position
+    * deletes): same user-visible semantics as `q_vt_delete`, but ZERO data
+    * files rewritten — the commit records the matched row positions in a
+    * small deletion-vector parquet and readers subtract them with one
+    * broadcast anti-join (the point-delete shape a petabyte table needs).
+    * The oracle is deliberately IDENTICAL in structure to q_vt_delete's:
+    * head content and CDC deletes must match the copy-on-write path
+    * row-for-row; VersionedTableSpec pins the no-rewrite property
+    * (c1.files == c0.files) and compact's DV materialization. */
+  val qVtDeleteMor: QueryDef = q("q_vt_delete_mor")(
+    """SELECT * FROM (
+      |  SELECT 'head' AS part, o_orderkey, o_totalprice FROM orders
+      |  WHERE NOT (o_totalprice > 200000)
+      |  UNION ALL
+      |  SELECT 'deleted' AS part, o_orderkey, o_totalprice FROM orders
+      |  WHERE o_totalprice > 200000)
+      |ORDER BY part, o_orderkey""".stripMargin) { (s, d) =>
+    val vt = VersionedTable.create(Tables.scratch("vt_delete_mor"))
+    vt.write(Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      .repartitionByRange(4, col("o_orderkey")), "main", "v0 range layout",
+      statsCols = Seq("o_orderkey"))
+    vt.deleteWithVectors(s, "o_totalprice > 200000")
+    vt.read(s, "main").select(lit("head").as("part"), col("o_orderkey"), col("o_totalprice"))
+      .unionByName(vt.changes(s, "main", fromVersion = 0, toVersion = 1)
+        .where(col("change_type") === "delete")
+        .select(lit("deleted").as("part"), col("o_orderkey"), col("o_totalprice")))
+      .orderBy("part", "o_orderkey")
+  }
+
   /** CDC between v0 and v1: inserts = the regionkey>=2 rows, no deletes. */
   val qVtChanges: QueryDef = q("q_vt_changes")(
     """SELECT 'insert' AS change_type, n_nationkey, n_name FROM nation WHERE n_regionkey >= 2
@@ -458,6 +487,6 @@ object Versioned {
   val defs: Seq[QueryDef] = Seq(qVtWriteVersions, qVtReadLatest, qVtTimeTravel,
     qVtBranch, qVtCommit, qVtDiff, qVtMerge, qVtCherryPick, qVtRevert, qVtVacuum, qVtObjects,
     qVtSkipRead, qVtAppend, qRepoCommit, qRepoMergeUnion, qVtChanges,
-    qVtChangesUpsert, qVtChangesFeed, qVtHistory, qVtUpsert, qVtDelete,
+    qVtChangesUpsert, qVtChangesFeed, qVtHistory, qVtUpsert, qVtDelete, qVtDeleteMor,
     qVtIncremental, qVtTsTravel)
 }

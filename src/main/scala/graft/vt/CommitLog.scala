@@ -51,9 +51,22 @@ final case class Commit(
       * Delta keeps string stats too; a time/tenant-keyed lake skips on them.
       * Kept apart from the numeric `stats` so the JSON stays back-compatible
       * (absent = empty, like mergeParent). */
-    strStats: Map[String, Map[String, (String, String)]] = Map.empty) {
+    strStats: Map[String, Map[String, (String, String)]] = Map.empty,
+    /** DELETION VECTORS (Delta DV / Iceberg v2 position deletes): table-root-
+      * relative parquet paths, each holding `(fk STRING, pos BIGINT)` rows —
+      * the file key (last two path segments) and 0-based physical row index
+      * of every MERGE-ON-READ-deleted row. The snapshot's live rows are
+      * `files` minus the union of its dvFiles; readers apply them as one
+      * broadcast anti-join ([[VersionedTable.readCommit]]). Absent = empty =
+      * pure copy-on-write history (back-compatible JSON). */
+    dvFiles: Vector[String] = Vector.empty) {
   /** All parents, first-parent first — the DAG edge set for ancestry walks. */
   def parents: List[String] = parent.toList ++ mergeParent.toList
+
+  /** Every on-disk file this snapshot needs — data files plus deletion
+    * vectors. The unit of vacuum retention: dropping a retained commit's DV
+    * would silently RESURRECT its deleted rows. */
+  def allFiles: Vector[String] = files ++ dvFiles
 }
 
 /** JSON codec + crash-safe metadata helpers for the commit log.
@@ -102,6 +115,7 @@ object CommitLog {
       }
       m.put("strStats", sm)
     }
+    if (c.dvFiles.nonEmpty) m.put("dvFiles", c.dvFiles.asJava)
     mapper.writeValueAsString(m)
   }
 
@@ -131,7 +145,10 @@ object CommitLog {
               col -> (mm.get(0), mm.get(1))
             }.toMap
           }.toMap
-      }.getOrElse(Map.empty))
+      }.getOrElse(Map.empty),
+      dvFiles = Option(m.get("dvFiles"))
+        .map(_.asInstanceOf[java.util.List[String]].asScala.toVector)
+        .getOrElse(Vector.empty))
   }
 
   /** Cross-process optimistic concurrency (Delta's log-store contract,

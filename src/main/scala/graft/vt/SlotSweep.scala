@@ -141,7 +141,7 @@ private[vt] object SlotSweep {
                 //     swept them, and advancing the ref would publish a head
                 //     that cannot be read. Such an orphan is garbage: reclaim
                 //     the slot AND its commit json so retries can land.
-                if (orphan.files.forall(f => Files.exists(root.resolve(f)))) {
+                if (orphan.allFiles.forall(f => Files.exists(root.resolve(f)))) {
                   // This read-head-then-write-ref pair is fully serialized:
                   // in-JVM writers by `synchronized`, and cross-process
                   // writers by the slot CAS — EVERY ref-advancing path
@@ -186,6 +186,6 @@ private[vt] object SlotSweep {
         val cut = id.lastIndexOf('-')
         cut > 0 && !reachable.contains(id) && slots.contains(id.substring(0, cut))
       }
-      .flatMap(id => loadCommit(id).files).toSet
+      .flatMap(id => loadCommit(id).allFiles).toSet
   }
 }

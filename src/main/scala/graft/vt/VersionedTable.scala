@@ -322,7 +322,11 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
                          else Map.empty[String, Map[String, (String, String)]]
     publish(branch, parent, message, schema,
       if (mode == "append") parent.map(_.files).getOrElse(Vector.empty) ++ newFiles else newFiles,
-      parentStats ++ newStats, strStats = parentStrStats ++ newStrStats)
+      parentStats ++ newStats, strStats = parentStrStats ++ newStrStats,
+      // append keeps the old files, so their deletion vectors stay live;
+      // overwrite replaces the snapshot, so none carry
+      dvFiles = if (mode == "append") parent.map(_.dvFiles).getOrElse(Vector.empty)
+                else Vector.empty)
   }
 
   /** Per-file min/max stats for `cols`, computed in ONE Spark job over the
@@ -474,7 +478,8 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       if (message.isEmpty) s"upsert on (${keyCols.mkString(", ")})" else message,
       schema, untouched ++ newFiles,
       parent.stats.view.filterKeys(untouched.contains).toMap ++ newStats,
-      strStats = parent.strStats.view.filterKeys(untouched.contains).toMap ++ newStrStats)
+      strStats = parent.strStats.view.filterKeys(untouched.contains).toMap ++ newStrStats,
+      dvFiles = parent.dvFiles) // untouched files keep their deletion vectors
   }
 
   /** Delta `DELETE FROM … WHERE`: remove the rows where `where` evaluates
@@ -585,22 +590,16 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     (numB, strB)
   }
 
-  def delete(spark: SparkSession, where: String, branch: String = "main",
-             message: String = ""): Commit = synchronized {
-    import org.apache.spark.sql.functions.{coalesce, expr, input_file_name, lit, not}
-    val parent = head(branch).getOrElse(
-      throw new IllegalArgumentException(s"no such branch: $branch"))
-    if (parent.files.isEmpty) return parent
-    val pred = expr(where)
-    // commit-log stats pruning BEFORE the find-touched scan: a file whose
-    // recorded [min,max] excludes a recognized predicate bound cannot hold a
-    // matching row — it never enters the scan, so a point delete on a
-    // key-clustered petabyte table probes a handful of files' worth of
-    // metadata, not a million parquet footers. Files without stats for a
-    // bounded column are conservatively scanned.
+  /** Commit-log stats pruning shared by the delete paths: the files of
+    * `parent` that COULD hold a row matching `where` — a file whose recorded
+    * [min,max] excludes a recognized predicate bound never enters the scan,
+    * so a point delete on a key-clustered petabyte table probes a handful of
+    * files' worth of metadata, not a million parquet footers. Files without
+    * stats for a bounded column are conservatively kept. */
+  private def statsCandidates(parent: Commit, where: String): Vector[String] = {
     val (bounds, strBounds) = allPredicateBounds(
       org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(where))
-    val candidates = parent.files.filter { f =>
+    parent.files.filter { f =>
       bounds.forall { case (k, (lo, hi)) =>
         parent.stats.get(f).flatMap(_.get(k)) match {
           case Some((mn, mx)) => mx >= lo && mn <= hi
@@ -615,6 +614,54 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
         }
       }
     }
+  }
+
+  /** Merge-on-read DELETE (Delta deletion vectors / Iceberg v2 position
+    * deletes): instead of rewriting every touched file ([[delete]]'s
+    * copy-on-write), record the matched ROW POSITIONS in a small deletion-
+    * vector parquet and publish a commit with the SAME file list — O(matched
+    * rows) bytes written, zero data rewritten. This is the point-delete
+    * shape a petabyte table needs: deleting 3 rows clustered in a 1 GB file
+    * costs kilobytes, where copy-on-write rewrites the gigabyte. Readers
+    * subtract DVs with one broadcast anti-join on (file key, row position)
+    * ([[readCommit]]); [[compact]] materializes them away. Semantics match
+    * [[delete]]: NULL predicate keeps the row, a no-match delete returns the
+    * unchanged head, stats pruning bounds the find-matches scan, and rows
+    * already deleted by earlier DVs are never re-recorded (the scan applies
+    * existing vectors first). */
+  def deleteWithVectors(spark: SparkSession, where: String, branch: String = "main",
+                        message: String = ""): Commit = synchronized {
+    import org.apache.spark.sql.functions.{col, expr}
+    val parent = head(branch).getOrElse(
+      throw new IllegalArgumentException(s"no such branch: $branch"))
+    if (parent.files.isEmpty) return parent
+    val candidates = statsCandidates(parent, where)
+    if (candidates.isEmpty) return parent
+    val matched = scanWithPos(spark, parent.copy(files = candidates))
+      .where(expr(where))
+      .select(col(VersionedTable.FkCol).as("fk"),
+        col(VersionedTable.PosCol).cast("long").as("pos"))
+    if (matched.isEmpty) return parent
+    val rel = s"$branch-v${parent.version + 1}-dv-${java.util.UUID.randomUUID.toString.take(8)}"
+    val out = dataDir.resolve(rel)
+    matched.write.mode("overwrite").parquet(out.toString)
+    val dvNew = listDir(out).filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => root.relativize(p).toString).sorted
+    publish(branch, Some(parent),
+      if (message.isEmpty) s"delete (merge-on-read) where ($where)" else message,
+      DataType.fromJson(parent.schemaJson).asInstanceOf[StructType], parent.files,
+      parent.stats, strStats = parent.strStats,
+      dvFiles = parent.dvFiles ++ dvNew)
+  }
+
+  def delete(spark: SparkSession, where: String, branch: String = "main",
+             message: String = ""): Commit = synchronized {
+    import org.apache.spark.sql.functions.{coalesce, expr, input_file_name, lit, not}
+    val parent = head(branch).getOrElse(
+      throw new IllegalArgumentException(s"no such branch: $branch"))
+    if (parent.files.isEmpty) return parent
+    val pred = expr(where)
+    val candidates = statsCandidates(parent, where)
     if (candidates.isEmpty) return parent // stats alone prove nothing matches
     val touchedSet = readCommit(spark, parent.copy(files = candidates)).where(pred)
       .select(input_file_name().as("__f")).distinct().collect()
@@ -637,7 +684,10 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       if (message.isEmpty) s"delete where ($where)" else message,
       schema, untouched ++ newFiles,
       parent.stats.view.filterKeys(untouched.contains).toMap ++ newStats,
-      strStats = parent.strStats.view.filterKeys(untouched.contains).toMap ++ newStrStats)
+      strStats = parent.strStats.view.filterKeys(untouched.contains).toMap ++ newStrStats,
+      // untouched files keep their deletion vectors; touched files were read
+      // with DVs applied and rewritten, leaving only harmless dead entries
+      dvFiles = parent.dvFiles)
   }
 
   /** Stage a snapshot on `branch` without committing (lakeFS staging area,
@@ -688,7 +738,8 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
                       schema: StructType, files: Vector[String],
                       stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
                       mergeParent: Option[String] = None,
-                      strStats: Map[String, Map[String, (String, String)]] = Map.empty): Commit = {
+                      strStats: Map[String, Map[String, (String, String)]] = Map.empty,
+                      dvFiles: Vector[String] = Vector.empty): Commit = {
     val version = parent.map(_.version + 1).getOrElse(0L)
     // cross-process CAS: two writers based on the same parent both target
     // this version; exactly one claims the slot, the other gets a clean
@@ -697,7 +748,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     CommitLog.claimVersionSlot(locksDir, branch, version, store = store)
     val id = s"$branch-v$version-${java.util.UUID.randomUUID.toString.take(8)}"
     val c = Commit(id, parent.map(_.id), version, files, schema.json, message,
-      System.currentTimeMillis(), stats, mergeParent, strStats)
+      System.currentTimeMillis(), stats, mergeParent, strStats, dvFiles)
     store.put(commitsDir.resolve(id + ".json"), CommitLog.toJson(c))
     store.put(refsDir.resolve(branch), id)
     if (version > 0 && version % VersionedTable.CheckpointInterval == 0)
@@ -803,11 +854,42 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     val schema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
     if (c.files.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), schema)
-    else
+    else {
       // Stock parquet reader over an explicit immutable file list: pushdown,
       // pruning and vectorization intact; the pinned schema makes replays of
       // old versions immune to later schema evolution.
-      spark.read.schema(schema).parquet(c.files.map(f => root.resolve(f).toString): _*)
+      val base = spark.read.schema(schema)
+        .parquet(c.files.map(f => root.resolve(f).toString): _*)
+      if (c.dvFiles.isEmpty) base
+      else
+        // merge-on-read: subtract the deletion vectors with ONE broadcast
+        // anti-join on (file key, physical row index). The DV side is tiny
+        // (only deleted positions), the corpus side never shuffles, and data
+        // predicates still push below the join into the parquet scan.
+        scanWithPos(spark, c).drop(VersionedTable.FkCol, VersionedTable.PosCol)
+    }
+  }
+
+  /** The live rows of `c` tagged with their provenance — `__graft_fk` (file
+    * key: last two path segments) and `__graft_pos` (0-based physical row
+    * index from `_metadata.row_index`, stable because data files are
+    * immutable) — with `c`'s deletion vectors already subtracted. The
+    * building block of the merge-on-read path: [[readCommit]] drops the tag
+    * columns; [[deleteWithVectors]] keeps them to record new deletions. */
+  private def scanWithPos(spark: SparkSession, c: Commit): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, concat_ws, slice, split}
+    val schema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
+    val tagged = spark.read.schema(schema)
+      .parquet(c.files.map(f => root.resolve(f).toString): _*)
+      .withColumn(VersionedTable.FkCol,
+        concat_ws("/", slice(split(col("_metadata.file_path"), "/"), -2, 2)))
+      .withColumn(VersionedTable.PosCol, col("_metadata.row_index"))
+    if (c.dvFiles.isEmpty) tagged
+    else {
+      val dv = spark.read.parquet(c.dvFiles.map(f => root.resolve(f).toString): _*)
+        .select(col("fk").as(VersionedTable.FkCol), col("pos").as(VersionedTable.PosCol))
+      tagged.join(broadcast(dv), Seq(VersionedTable.FkCol, VersionedTable.PosCol), "left_anti")
+    }
   }
 
   // ---- branch plumbing (lakeFS README.md:105-147) ------------------------
@@ -902,12 +984,18 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       if (overlap.nonEmpty) throw new IllegalStateException(
         s"merge conflict: ${overlap.size} paths changed on both $from and $into " +
           s"since the merge base (e.g. ${overlap.toSeq.sorted.take(3).mkString(", ")})")
-      if (srcRemoved.nonEmpty && (dstAdded.nonEmpty || dstRemoved.nonEmpty))
+      // merge-on-read deletes count as changes against a rewriting side:
+      // an overwrite replaced the very objects the other side's deletion
+      // vectors point into, so silently unioning them would drop the delete
+      // intent (append + MOR-delete still merge cleanly below — DV union)
+      val srcDvChanged = src.dvFiles.toSet != base.dvFiles.toSet
+      val dstDvChanged = dst.dvFiles.toSet != base.dvFiles.toSet
+      if (srcRemoved.nonEmpty && (dstAdded.nonEmpty || dstRemoved.nonEmpty || dstDvChanged))
         throw new IllegalStateException(
           s"merge conflict: $from replaced base files (overwrite/compact/revert) while " +
             s"$into also changed — merging would silently combine an overwrite snapshot " +
             "with the other side's rows; redo the rewrite on the merged head instead")
-      if (dstRemoved.nonEmpty && srcAdded.nonEmpty)
+      if (dstRemoved.nonEmpty && (srcAdded.nonEmpty || srcDvChanged))
         throw new IllegalStateException(
           s"merge conflict: $into replaced base files (overwrite/compact/revert) while " +
             s"$from appended — merging would silently graft $from's rows onto the rewritten " +
@@ -919,7 +1007,10 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       publish(into, Some(dst), s"merge $from into $into",
         DataType.fromJson(dst.schemaJson).asInstanceOf[StructType], merged,
         dst.stats ++ src.stats, mergeParent = Some(src.id),
-        strStats = dst.strStats ++ src.strStats)
+        strStats = dst.strStats ++ src.strStats,
+        // deletion vectors union: concurrent merge-on-read deletes compose —
+        // the merged snapshot subtracts BOTH sides' deleted positions
+        dvFiles = (dst.dvFiles ++ src.dvFiles).distinct.sorted)
     }
   }
 
@@ -928,7 +1019,8 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
   def revert(branch: String, toVersion: Long, message: String = ""): Commit = synchronized {
     val target = resolveVersion(branch, toVersion)
     publish(branch, head(branch), if (message.isEmpty) s"revert to v$toVersion" else message,
-      DataType.fromJson(target.schemaJson).asInstanceOf[StructType], target.files)
+      DataType.fromJson(target.schemaJson).asInstanceOf[StructType], target.files,
+      target.stats, strStats = target.strStats, dvFiles = target.dvFiles)
   }
 
   /** lakeFS `cherry-pick` (lakectl's single-commit transplant): apply the
@@ -950,12 +1042,16 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     * returning the unchanged head. */
   def cherryPick(fromBranch: String, version: Long, into: String): Commit = synchronized {
     val picked = resolveVersion(fromBranch, version)
-    val parentFiles = picked.parent.map(loadCommit(_).files.toSet).getOrElse(Set.empty)
+    val pickedParent = picked.parent.map(loadCommit)
+    val parentFiles = pickedParent.map(_.files.toSet).getOrElse(Set.empty)
     val added = picked.files.filterNot(parentFiles.contains)
     val removed = parentFiles -- picked.files.toSet
+    // a merge-on-read delete's whole delta is its new deletion vectors
+    val dvAdded = picked.dvFiles
+      .filterNot(pickedParent.map(_.dvFiles.toSet).getOrElse(Set.empty))
     val dst = head(into).getOrElse(
       throw new IllegalArgumentException(s"no such branch: $into"))
-    if (added.isEmpty && removed.isEmpty) return dst
+    if (added.isEmpty && removed.isEmpty && dvAdded.isEmpty) return dst
     val dstFiles = dst.files.toSet
     val missing = removed.filterNot(dstFiles.contains)
     if (missing.nonEmpty) throw new IllegalStateException(
@@ -974,7 +1070,8 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       dst.stats.view.filterKeys(files.contains).toMap ++
         picked.stats.view.filterKeys(added.contains).toMap,
       strStats = dst.strStats.view.filterKeys(files.contains).toMap ++
-        picked.strStats.view.filterKeys(added.contains).toMap)
+        picked.strStats.view.filterKeys(added.contains).toMap,
+      dvFiles = (dst.dvFiles ++ dvAdded).distinct.sorted.toVector)
   }
 
   // ---- vacuum (jobs/vdt4.py:84-85, V9) -----------------------------------
@@ -1005,7 +1102,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     def vHead(b: String): Option[Commit] =
       (if (dryRun) repairs.get(b).map(loadCommit) else None).orElse(head(b))
     val vReachable = Ancestry.reachableIds(loadCommit, branches.flatMap(vHead))
-    sweep((branches.flatMap(b => lineageTake(vHead(b), retainLast).flatMap(_.files)) ++
+    sweep((branches.flatMap(b => lineageTake(vHead(b), retainLast).flatMap(_.allFiles)) ++
       stagedFiles).toSet ++ slotProtectedFiles(vReachable), dryRun)
   }
 
@@ -1020,7 +1117,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     val cutoff = nowMs - (retainHours * 3600 * 1000).toLong
     sweepStaleSlots(nowMs, staleSlotMs)
     sweep((branches.flatMap(b => lineage(b).zipWithIndex.collect {
-      case (c, i) if i == 0 || c.ts >= cutoff => c.files // i==0 = the head
+      case (c, i) if i == 0 || c.ts >= cutoff => c.allFiles // i==0 = the head
     }.flatten) ++ stagedFiles).toSet ++ slotProtectedFiles(reachableIds))
   }
 
@@ -1102,7 +1199,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
   private def changesBetween(spark: SparkSession, from: Commit, to: Commit): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val appendOnly = from.files.toSet.subsetOf(to.files.toSet) &&
-      from.schemaJson == to.schemaJson
+      from.schemaJson == to.schemaJson && from.dvFiles.toSet == to.dvFiles.toSet
     if (appendOnly) {
       val added = to.files.filterNot(from.files.toSet)
       readCommit(spark, to.copy(files = added))
@@ -1124,11 +1221,24 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       }: _*)
       // file-granular restriction: common immutable files cancel, diff only
       // the symmetric difference (removed files on the before side, added on
-      // the after side)
+      // the after side) — PLUS any common file whose deletion vectors changed
+      // in the interval: its row set differs even though the file bytes are
+      // identical, so it must enter both sides (a merge-on-read delete stays
+      // file-granular in CDC: only the DV-touched files are scanned, found by
+      // reading the interval's small DV delta, never the corpus)
       val toSet = to.files.toSet
       val fromSet = from.files.toSet
-      val before = align(readCommit(spark, from.copy(files = from.files.filterNot(toSet))))
-      val after = align(readCommit(spark, to.copy(files = to.files.filterNot(fromSet))))
+      val dvDelta = (to.dvFiles.toSet diff from.dvFiles.toSet) ++
+        (from.dvFiles.toSet diff to.dvFiles.toSet) // reverts drop DVs too
+      val dvTouchedFks: Set[String] =
+        if (dvDelta.isEmpty) Set.empty
+        else spark.read.parquet(dvDelta.toSeq.map(f => root.resolve(f).toString): _*)
+          .select("fk").distinct().collect().map(_.getString(0)).toSet
+      def dvTouched(rel: String) = dvTouchedFks.contains(VersionedTable.fileKey(rel))
+      val before = align(readCommit(spark,
+        from.copy(files = from.files.filter(f => !toSet(f) || dvTouched(f)))))
+      val after = align(readCommit(spark,
+        to.copy(files = to.files.filter(f => !fromSet(f) || dvTouched(f)))))
       after.exceptAll(before).withColumn("change_type", lit("insert"))
         .unionByName(before.exceptAll(after).withColumn("change_type", lit("delete")))
     }
@@ -1162,7 +1272,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     val segments = scala.collection.mutable.ListBuffer.empty[Either[Run, (Commit, Commit)]]
     steps.foreach { case (from, to) =>
       val appendOnly = from.files.toSet.subsetOf(to.files.toSet) &&
-        from.schemaJson == to.schemaJson
+        from.schemaJson == to.schemaJson && from.dvFiles.toSet == to.dvFiles.toSet
       if (appendOnly) {
         val added = to.files.filterNot(from.files.toSet).map(_ -> to.version).toList
         segments.lastOption match {
@@ -1175,7 +1285,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     // Version assignment key: the last two path segments (uuid'd commit dir +
     // part file) — unique per file, scheme-independent (input_file_name
     // returns a URI; the relative path in the commit log does not).
-    def fileKey(rel: String): String = rel.split('/').takeRight(2).mkString("/")
+    def fileKey(rel: String): String = VersionedTable.fileKey(rel)
     val frames = segments.toList.flatMap {
       case Left(run) if run.pairs.isEmpty => None // steps that appended nothing
       case Left(run) =>
@@ -1265,6 +1375,17 @@ object VersionedTable {
     * branch names (even ones ending in "-vN") parse to the right (branch,
     * version) split — the version is always the TRAILING digits. */
   private[vt] val SlotRe = "(.+)-v(\\d+)".r
+
+  /** Internal provenance-tag column names of the merge-on-read scan —
+    * underscored to stay clear of user schemas. */
+  private[vt] val FkCol = "__graft_fk"
+  private[vt] val PosCol = "__graft_pos"
+
+  /** File identity key: the last two path segments (uuid'd commit dir + part
+    * file) — unique per file, scheme/root-independent, the same key the
+    * scan-side `concat_ws("/", slice(split(file_path, "/"), -2, 2))`
+    * computes. Used by change feeds and deletion vectors. */
+  private[vt] def fileKey(rel: String): String = rel.split('/').takeRight(2).mkString("/")
 
   /** Unsigned UTF-8 byte comparison — the ordering Spark's string min/max
     * stats are computed under (UTF8String binary compare). */

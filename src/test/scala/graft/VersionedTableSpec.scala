@@ -225,6 +225,77 @@ class VersionedTableSpec extends SparkSpec {
     assert((cS0.files.toSet intersect cS1.files.toSet).nonEmpty)
   }
 
+  test("merge-on-read delete: no data rewrite, correct reads, CDC, compact materialization, vacuum safety") {
+    val vt = freshVt("dv")
+    val nation = Tables.nation(spark, sf).select("n_nationkey", "n_name", "n_regionkey")
+    val c0 = vt.write(nation.repartitionByRange(4, col("n_nationkey")), "main", "v0",
+      statsCols = Seq("n_nationkey"))
+    // DV delete: SAME file list, no data rewritten, one small DV added
+    val c1 = vt.deleteWithVectors(spark, "n_nationkey < 3")
+    assert(c1.files === c0.files, "merge-on-read must not rewrite data files")
+    assert(c1.dvFiles.nonEmpty && c0.dvFiles.isEmpty)
+    assert(vt.read(spark, "main").where("n_nationkey < 3").count() === 0)
+    assert(vt.read(spark, "main").count() === nation.count() - 3)
+    // time travel to v0 still sees everything
+    assert(vt.readVersion(spark, "main", 0).count() === nation.count())
+    // stacked DV deletes compose; already-deleted rows are not re-recorded
+    val c2 = vt.deleteWithVectors(spark, "n_nationkey < 5")
+    assert(c2.files === c0.files && c2.dvFiles.size > c1.dvFiles.size)
+    assert(vt.read(spark, "main").count() === nation.count() - 5)
+    // a no-match DV delete is a no-op (stats-pruned, no version churn)
+    assert(vt.deleteWithVectors(spark, "n_nationkey = 9999").id === c2.id)
+    // CDC: the DV interval reports exactly the deleted rows, file-granularly
+    val chg = vt.changes(spark, "main", 0, 1)
+    assert(chg.where("change_type = 'delete'").count() === 3)
+    assert(chg.where("change_type = 'insert'").count() === 0)
+    // the CDC scan touches only DV-affected data files, not the whole snapshot
+    assert(chg.inputFiles.length < c0.files.size + c1.dvFiles.size + 1)
+    // appends on top keep the DVs live
+    vt.write(nation.where(col("n_nationkey") === 0).limit(1), "main", "re-add", mode = "append")
+    assert(vt.read(spark, "main").count() === nation.count() - 5 + 1)
+    // compact materializes deletions and drops the vectors
+    val cc = vt.compact(spark, "main", numFiles = 2)
+    assert(cc.dvFiles.isEmpty)
+    assert(vt.read(spark, "main").count() === nation.count() - 5 + 1)
+    // vacuum with full retention keeps every DV file; deep retention drops
+    // old versions but the head keeps reading correctly
+    assert(vt.vacuum(retainLast = 10) === 0)
+    vt.vacuum(retainLast = 1)
+    assert(vt.read(spark, "main").count() === nation.count() - 5 + 1)
+  }
+
+  test("merge-on-read deletes compose across branches; revert restores deleted rows") {
+    val vt = freshVt("dv_merge")
+    vt.write(df(1, 2, 3, 4), "main", "v0")
+    vt.createBranch("dev", "main")
+    vt.deleteWithVectors(spark, "x = 1", "main")
+    // dev appends while main MOR-deletes: clean union merge, both effects land
+    vt.write(df(9), "dev", "append", mode = "append")
+    vt.merge("dev", "main")
+    assert(vt.read(spark, "main").as[Int].collect().sorted === Array(2, 3, 4, 9))
+    // an overwrite side vs a MOR-delete side is a loud conflict
+    vt.createBranch("ow", "main")
+    vt.write(df(7), "ow", "overwrite")
+    vt.deleteWithVectors(spark, "x = 2", "main")
+    intercept[IllegalStateException](vt.merge("ow", "main"))
+    // revert across a DV delete resurrects the rows, and CDC reports them
+    val preDelete = vt.head("main").get.version - 1
+    vt.revert("main", preDelete)
+    assert(vt.read(spark, "main").as[Int].collect().sorted === Array(2, 3, 4, 9))
+    val feed = vt.changes(spark, "main", preDelete + 1, preDelete + 2)
+    assert(feed.where("change_type = 'insert'").count() >= 1,
+      "resurrected rows must surface as inserts")
+  }
+
+  test("cherry-pick transplants a merge-on-read delete's vectors") {
+    val vt = freshVt("dv_cherry")
+    vt.write(df(1, 2, 3), "main", "v0")
+    vt.createBranch("dev", "main")
+    vt.deleteWithVectors(spark, "x = 2", "dev")
+    vt.cherryPick("dev", 1, into = "main")
+    assert(vt.read(spark, "main").as[Int].collect().sorted === Array(1, 3))
+  }
+
   test("cherry-pick transplants one commit's delta; conflicts are loud; empty delta no-ops") {
     val vt = freshVt("cherry")
     vt.write(df(1), "main", "v0")
