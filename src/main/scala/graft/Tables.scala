@@ -19,14 +19,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark 4 refuses by
-    * default; read nanos as long (legacy conf) and rebuild a microsecond
-    * TimestampType column — the same truncation DuckDB applies. */
+  /** events.parquet has shipped with two physical `ts` layouts across driver
+    * testdata generations: TIMESTAMP(NANOS) — which Spark 4 refuses by
+    * default, so we read nanos as long (legacy conf) and rebuild microseconds,
+    * the same truncation DuckDB applies — and plain timestamp[us], which Spark
+    * reads natively (as NTZ when the parquet lacks isAdjustedToUTC). Normalize
+    * both to a session-UTC TimestampType column so every downstream window /
+    * as-of / resample query sees one type regardless of the data generation. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventsTs(t(s, d, "events"))
+  }
+
+  /** Normalize the `ts` column to TimestampType (see [[events]]); under the
+    * UTC session zone the NTZ→LTZ cast is value-preserving. */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast(TimestampType)) // NTZ layout
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
 import graft.QueryDef.{sql => q, rowsOnly}
+import graft.streaming.ChangeFeed
 import graft.vt.{Repo, VersionedTable}
 
 /** Versioning operators (SURVEY.md §2.11) surfaced as driver-checkable
@@ -309,6 +310,123 @@ object Versioned {
       .orderBy("part", "o_orderkey")
   }
 
+  /** Change-feed CONSUMER ([[graft.streaming.ChangeFeed]]): a named cursor
+    * drains the table's CDC feed incrementally — two appends arrive as two
+    * polls in different drains, each reading ONLY its interval's files. The
+    * batch number comes from the consumer loop, the version column from the
+    * feed itself; together they pin that the cursor advanced durably between
+    * the drains (batch 2 re-delivers nothing from batch 1). */
+  val qVtFeedConsume: QueryDef = q("q_vt_feed_consume")(
+    """SELECT * FROM (
+      |  SELECT 1 AS batch, CAST(1 AS BIGINT) AS version, n_nationkey FROM nation
+      |  WHERE n_nationkey >= 10 AND n_nationkey < 20
+      |  UNION ALL
+      |  SELECT 2 AS batch, CAST(2 AS BIGINT) AS version, n_nationkey FROM nation
+      |  WHERE n_nationkey >= 20)
+      |ORDER BY batch, n_nationkey""".stripMargin) { (s, d) =>
+    val vt = VersionedTable.create(Tables.scratch("vt_feed_consume"))
+    val nation = Tables.nation(s, d)
+    vt.write(nation.where(col("n_nationkey") < 10), "main", "v0")
+    vt.write(nation.where(col("n_nationkey") >= 10 && col("n_nationkey") < 20),
+      "main", "v1", mode = "append")
+    val acc = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var batchNo = 0
+    def drain(): Unit = ChangeFeed.processAvailable(s, vt, "job-a") { b =>
+      batchNo += 1
+      acc += b.df.select(lit(batchNo).as("batch"), col("version"), col("n_nationkey"))
+    }
+    drain() // consumes (0, 1]
+    vt.write(nation.where(col("n_nationkey") >= 20), "main", "v2", mode = "append")
+    drain() // consumes (1, 2] only — the cursor already passed v1
+    acc.reduce(_ unionByName _).orderBy("batch", "n_nationkey")
+  }
+
+  /** Branch protection (lakeFS branch-protection rules): after `main` is
+    * protected, a direct overwrite is rejected (caught and counted below)
+    * while the same change lands fine when routed through a side branch and
+    * a merge — the exact merge-only flow a production lake enforces on its
+    * serving branch. Output = final main content (the FULL nation table,
+    * proving the merge landed) + one `rejected` marker row per refused
+    * direct write (exactly 1). */
+  val qVtProtected: QueryDef = q("q_vt_protected")(
+    """SELECT * FROM (
+      |  SELECT 'head' AS part, n_nationkey AS k FROM nation
+      |  UNION ALL
+      |  SELECT 'rejected' AS part, 1 AS k)
+      |ORDER BY part, k""".stripMargin) { (s, d) =>
+    val vt = VersionedTable.create(Tables.scratch("vt_protected"))
+    val nation = Tables.nation(s, d)
+    vt.write(nation.where(col("n_regionkey") < 2), "main", "v0")
+    vt.protectBranch("main")
+    val rejected =
+      try { vt.write(nation, "main", "direct"); 0 }
+      catch { case _: IllegalStateException => 1 }
+    vt.createBranch("ingest", from = "main")
+    vt.write(nation, "ingest", "full load")
+    vt.merge("ingest", "main")
+    vt.read(s, "main").select(lit("head").as("part"), col("n_nationkey").as("k"))
+      .unionByName(s.range(rejected.toLong)
+        .select(lit("rejected").as("part"), lit(1).as("k")))
+      .orderBy("part", "k")
+  }
+
+  /** Tags (lakeFS `lakectl tag`): an immutable named ref that pins a commit
+    * through vacuum. v0 is tagged, v1 fully overwrites it, and
+    * `vacuum(retainLast = 1)` then reclaims everything except the head —
+    * the tagged v0 stays readable ONLY because the tag holds its files in
+    * the retained set. Output = tag content + head content. */
+  val qVtTag: QueryDef = q("q_vt_tag")(
+    """SELECT * FROM (
+      |  SELECT 'tagged' AS part, n_nationkey, n_name FROM nation WHERE n_regionkey < 2
+      |  UNION ALL
+      |  SELECT 'head' AS part, n_nationkey, n_name FROM nation)
+      |ORDER BY part, n_nationkey""".stripMargin) { (s, d) =>
+    val vt = VersionedTable.create(Tables.scratch("vt_tag"))
+    val nation = Tables.nation(s, d)
+    vt.write(nation.where(col("n_regionkey") < 2), "main", "v0")
+    vt.createTag("rel-1.0")
+    vt.write(nation, "main", "v1")
+    vt.vacuum(retainLast = 1) // only the tag keeps v0's files alive
+    vt.readTag(s, "rel-1.0")
+      .select(lit("tagged").as("part"), col("n_nationkey"), col("n_name"))
+      .unionByName(vt.read(s, "main")
+        .select(lit("head").as("part"), col("n_nationkey"), col("n_name")))
+      .orderBy("part", "n_nationkey")
+  }
+
+  /** Row-level UPDATE (Delta `UPDATE ... SET ... WHERE`): copy-on-write over
+    * the stats-pruned touched files only. The output pins all three faces at
+    * once: the head shows the after-state (CASE twin in the oracle), and the
+    * CDC interval shows each matched row as a delete of its before-image plus
+    * an insert of its after-image — carried non-matching rows in rewritten
+    * files cancel in the bag diff and never reach the feed. */
+  val qVtUpdate: QueryDef = q("q_vt_update")(
+    """SELECT * FROM (
+      |  SELECT 'head' AS part, o_orderkey,
+      |         CASE WHEN o_totalprice > 200000 THEN o_totalprice * 0.9
+      |              ELSE o_totalprice END AS o_totalprice
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'upd_del' AS part, o_orderkey, o_totalprice FROM orders
+      |  WHERE o_totalprice > 200000
+      |  UNION ALL
+      |  SELECT 'upd_ins' AS part, o_orderkey, o_totalprice * 0.9 FROM orders
+      |  WHERE o_totalprice > 200000)
+      |ORDER BY part, o_orderkey""".stripMargin) { (s, d) =>
+    val vt = VersionedTable.create(Tables.scratch("vt_update"))
+    vt.write(Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      .repartitionByRange(4, col("o_orderkey")), "main", "v0 range layout",
+      statsCols = Seq("o_orderkey"))
+    vt.update(s, "o_totalprice > 200000", Map("o_totalprice" -> "o_totalprice * 0.9"))
+    val cdc = vt.changes(s, "main", fromVersion = 0, toVersion = 1)
+    vt.read(s, "main").select(lit("head").as("part"), col("o_orderkey"), col("o_totalprice"))
+      .unionByName(cdc.where(col("change_type") === "delete")
+        .select(lit("upd_del").as("part"), col("o_orderkey"), col("o_totalprice")))
+      .unionByName(cdc.where(col("change_type") === "insert")
+        .select(lit("upd_ins").as("part"), col("o_orderkey"), col("o_totalprice")))
+      .orderBy("part", "o_orderkey")
+  }
+
   /** Merge-on-read DELETE (Delta deletion vectors / Iceberg v2 position
     * deletes): same user-visible semantics as `q_vt_delete`, but ZERO data
     * files rewritten — the commit records the matched row positions in a
@@ -488,5 +606,5 @@ object Versioned {
     qVtBranch, qVtCommit, qVtDiff, qVtMerge, qVtCherryPick, qVtRevert, qVtVacuum, qVtObjects,
     qVtSkipRead, qVtAppend, qRepoCommit, qRepoMergeUnion, qVtChanges,
     qVtChangesUpsert, qVtChangesFeed, qVtHistory, qVtUpsert, qVtDelete, qVtDeleteMor,
-    qVtIncremental, qVtTsTravel)
+    qVtUpdate, qVtTag, qVtProtected, qVtFeedConsume, qVtIncremental, qVtTsTravel)
 }

@@ -273,6 +273,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
             mode: String = "overwrite", statsCols: Seq[String] = Nil,
             mergeSchema: Boolean = false, check: Option[String] = None,
             overwriteSchema: Boolean = false): Commit = synchronized {
+    guardWritable(branch)
     check.foreach { c =>
       val bad = df.where(org.apache.spark.sql.functions.expr(s"NOT ($c)")).limit(1).collect()
       if (bad.nonEmpty) throw new IllegalArgumentException(
@@ -411,6 +412,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     * job, metadata-scale next to the rewrite itself. */
   def upsert(spark: SparkSession, source: DataFrame, keyCols: Seq[String],
              branch: String = "main", message: String = ""): Commit = synchronized {
+    guardWritable(branch)
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     import org.apache.spark.sql.functions.{col, count, lit, max, min}
     val dup = source.groupBy(keyCols.map(col): _*)
@@ -631,6 +633,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     * existing vectors first). */
   def deleteWithVectors(spark: SparkSession, where: String, branch: String = "main",
                         message: String = ""): Commit = synchronized {
+    guardWritable(branch)
     import org.apache.spark.sql.functions.{col, expr}
     val parent = head(branch).getOrElse(
       throw new IllegalArgumentException(s"no such branch: $branch"))
@@ -656,6 +659,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
 
   def delete(spark: SparkSession, where: String, branch: String = "main",
              message: String = ""): Commit = synchronized {
+    guardWritable(branch)
     import org.apache.spark.sql.functions.{coalesce, expr, input_file_name, lit, not}
     val parent = head(branch).getOrElse(
       throw new IllegalArgumentException(s"no such branch: $branch"))
@@ -690,9 +694,77 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       dvFiles = parent.dvFiles)
   }
 
+  /** Row-level UPDATE (Delta `UPDATE t SET c = e WHERE p`) over the same
+    * copy-on-write machinery as [[delete]]: commit-log stats prune the
+    * candidate files, one scan finds the files actually holding matching
+    * rows, and ONLY those files are rewritten — matching rows get the `set`
+    * expressions applied (cast to the column's existing type, so the schema
+    * never drifts), non-matching rows in a touched file are carried
+    * byte-identical, and untouched files keep their file entries AND their
+    * per-file stats. A NULL predicate leaves the row unchanged (three-valued
+    * WHERE, same as [[delete]]'s keep rule). Updates surface in CDC
+    * ([[changes]] / [[changesFeed]]) as a delete of the before-image plus an
+    * insert of the after-image, restricted to the rewritten files.
+    *
+    * `set` maps existing column names to SQL expressions evaluated against
+    * the pre-update row (standard UPDATE semantics: all right-hand sides see
+    * the OLD values, so `SET a = b, b = a` swaps). Unknown columns are
+    * rejected rather than added — additive evolution stays an explicit
+    * [[append]]-with-mergeSchema decision. */
+  def update(spark: SparkSession, where: String, set: Map[String, String],
+             branch: String = "main", message: String = ""): Commit = synchronized {
+    guardWritable(branch)
+    import org.apache.spark.sql.functions.{coalesce, col, expr, input_file_name, lit, when}
+    require(set.nonEmpty, "update needs at least one SET column")
+    val parent = head(branch).getOrElse(
+      throw new IllegalArgumentException(s"no such branch: $branch"))
+    val schema = DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]
+    val unknown = set.keySet.diff(schema.fieldNames.toSet)
+    require(unknown.isEmpty, s"update SET names unknown column(s): ${unknown.mkString(", ")}")
+    if (parent.files.isEmpty) return parent
+    val pred = expr(where)
+    val candidates = statsCandidates(parent, where)
+    if (candidates.isEmpty) return parent // stats alone prove nothing matches
+    val touchedSet = readCommit(spark, parent.copy(files = candidates)).where(pred)
+      .select(input_file_name().as("__f")).distinct().collect()
+      .map(r => inputFileToRel(r.getString(0)))
+      .toSet
+    if (touchedSet.isEmpty) return parent // update matched nothing
+    val (touched, untouched) = parent.files.partition(touchedSet.contains)
+    // All SET right-hand sides evaluate against the OLD row: build every new
+    // column from the original scan in one select (no sequential withColumn,
+    // which would let later assignments see earlier ones).
+    val hit = coalesce(pred, lit(false)) // NULL predicate -> row unchanged
+    val rewritten = readCommit(spark, parent.copy(files = touched)).select(
+      schema.fields.toIndexedSeq.map { f =>
+        set.get(f.name) match {
+          case Some(rhs) => when(hit, expr(rhs).cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+    val newFiles = writeDataFiles(rewritten, branch, parent.version + 1)
+    val statCols = (parent.stats.values.flatMap(_.keys) ++
+      parent.strStats.values.flatMap(_.keys)).toSeq.distinct
+    val (newStats, newStrStats) =
+      if (statCols.isEmpty || newFiles.isEmpty)
+        (Map.empty[String, Map[String, (Double, Double)]],
+          Map.empty[String, Map[String, (String, String)]])
+      else collectFileStats(spark, newFiles, statCols, schema)
+    publish(branch, Some(parent),
+      if (message.isEmpty) s"update set (${set.keys.toSeq.sorted.mkString(", ")}) where ($where)"
+      else message,
+      schema, untouched ++ newFiles,
+      parent.stats.view.filterKeys(untouched.contains).toMap ++ newStats,
+      strStats = parent.strStats.view.filterKeys(untouched.contains).toMap ++ newStrStats,
+      // untouched files keep their deletion vectors; touched files were read
+      // with DVs applied and rewritten, leaving only harmless dead entries
+      dvFiles = parent.dvFiles)
+  }
+
   /** Stage a snapshot on `branch` without committing (lakeFS staging area,
     * `README.md:85-127`). Promote with [[commitStaged]]; discard with [[reset]]. */
   def stage(df: DataFrame, branch: String = "main"): Unit = synchronized {
+    guardWritable(branch)
     val parent = head(branch)
     val files = writeDataFiles(df, branch + "-staged", parent.map(_.version + 1).getOrElse(0L))
     val staged = Commit("STAGED", parent.map(_.id),
@@ -704,6 +776,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
 
   /** lakeFS `commit`: promote the staged snapshot to a real commit (V3). */
   def commitStaged(branch: String, message: String): Commit = synchronized {
+    guardWritable(branch)
     val stagedPath = refsDir.resolve(branch + ".staged")
     require(store.exists(stagedPath), s"nothing staged on $branch")
     val staged = CommitLog.fromJson(store.read(stagedPath))
@@ -741,14 +814,18 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
                       strStats: Map[String, Map[String, (String, String)]] = Map.empty,
                       dvFiles: Vector[String] = Vector.empty): Commit = {
     val version = parent.map(_.version + 1).getOrElse(0L)
+    val id = s"$branch-v$version-${java.util.UUID.randomUUID.toString.take(8)}"
+    val c = Commit(id, parent.map(_.id), version, files, schema.json, message,
+      System.currentTimeMillis(), stats, mergeParent, strStats, dvFiles)
+    // pre-commit hooks (lakeFS Actions) see the full candidate and may throw;
+    // running BEFORE the slot claim means an abort leaves no claimed slot to
+    // sweep — only orphan data files the next vacuum reclaims.
+    runPreCommitHooks(branch, c)
     // cross-process CAS: two writers based on the same parent both target
     // this version; exactly one claims the slot, the other gets a clean
     // ConcurrentModificationException (never a silently forked lineage).
     // A loser's already-written data files are orphans vacuum reclaims.
     CommitLog.claimVersionSlot(locksDir, branch, version, store = store)
-    val id = s"$branch-v$version-${java.util.UUID.randomUUID.toString.take(8)}"
-    val c = Commit(id, parent.map(_.id), version, files, schema.json, message,
-      System.currentTimeMillis(), stats, mergeParent, strStats, dvFiles)
     store.put(commitsDir.resolve(id + ".json"), CommitLog.toJson(c))
     store.put(refsDir.resolve(branch), id)
     if (version > 0 && version % VersionedTable.CheckpointInterval == 0)
@@ -908,6 +985,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     * surviving branch). The last branch cannot be deleted: a repo with no
     * refs would be unreadable. */
   def deleteBranch(name: String): Unit = synchronized {
+    guardWritable(name)
     require(branches.contains(name), s"no such branch: $name")
     require(branches.size > 1, s"cannot delete the last branch: $name")
     reset(name) // staged files are uncommitted: safe to reclaim now
@@ -929,6 +1007,147 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     store.delete(refsDir.resolve(name))
     ()
   }
+
+  // ---- branch protection (lakeFS branch-protection rules) -----------------
+
+  private def protectedDir: Path = root.resolve("protected")
+
+  /** lakeFS branch-protection rules: glob patterns (`*` = any run of chars,
+    * `?` = one char) naming branches that reject DIRECT mutation — write /
+    * append / upsert / delete / update / stage / commit / revert / cherry-pick
+    * / compaction / branch deletion all throw. Changes reach a protected
+    * branch only by [[merge]] from a reviewed side branch (exactly the lakeFS
+    * model: protected branches guarantee every commit arrived via a merge).
+    * Rules persist in the metadata store — one object per pattern, named by
+    * URL-safe base64 so any pattern round-trips as an object key — and are
+    * enforced by every table handle, not just the one that added them. */
+  def protectBranch(pattern: String): Unit = {
+    require(pattern.nonEmpty, "empty protection pattern")
+    store.ensurePrefix(protectedDir)
+    store.put(protectedDir.resolve(VersionedTable.b64(pattern)), pattern)
+  }
+
+  /** Remove one protection rule (exact pattern, not a matching branch name).
+    * Returns false when no such rule exists. */
+  def unprotectBranch(pattern: String): Boolean =
+    store.delete(protectedDir.resolve(VersionedTable.b64(pattern)))
+
+  def protectionRules: Seq[String] = store.list(protectedDir).map(store.read(_).trim).sorted
+
+  def isProtected(branch: String): Boolean =
+    protectionRules.exists(p => VersionedTable.globMatches(p, branch))
+
+  /** Throws unless `branch` accepts direct mutation. Merge deliberately does
+    * NOT call this on its target: landing reviewed commits is the one door a
+    * protected branch keeps open. */
+  private def guardWritable(branch: String): Unit =
+    if (isProtected(branch)) throw new IllegalStateException(
+      s"branch '$branch' is protected: direct changes are rejected; " +
+        "merge from a side branch instead (lakeFS branch-protection semantics)")
+
+  // ---- hooks (lakeFS Actions: pre-commit / pre-merge) ---------------------
+
+  private val preCommitHooks =
+    new scala.collection.mutable.LinkedHashMap[String, (String, Commit) => Unit]
+  private val preMergeHooks =
+    new scala.collection.mutable.LinkedHashMap[String, (String, String) => Unit]
+
+  /** lakeFS Actions, pre-commit flavor: `f(branch, candidate)` runs for EVERY
+    * commit this handle is about to publish — writes, upserts, deletes,
+    * updates, reverts, cherry-picks, and merge commits alike — BEFORE the
+    * version slot is claimed. A throwing hook aborts the operation with the
+    * table untouched (the candidate's already-written data files are orphans
+    * the next vacuum reclaims — the same crash-equivalence the slot protocol
+    * already guarantees). The candidate Commit carries files/schema/stats, so
+    * hooks can veto on schema drift, file-count explosions, missing stats, or
+    * message conventions. Hooks run in registration order and are
+    * driver-process-scoped (lakeFS keeps Actions in repo config; a persisted
+    * hook would need arbitrary code in the metadata store — a non-goal). */
+  def addPreCommitHook(name: String)(f: (String, Commit) => Unit): Unit =
+    synchronized { preCommitHooks.update(name, f) }
+
+  def removePreCommitHook(name: String): Boolean =
+    synchronized { preCommitHooks.remove(name).isDefined }
+
+  /** Pre-merge flavor: `f(from, into)` runs at [[merge]] entry, before any
+    * merge-base computation; throwing vetoes the merge. */
+  def addPreMergeHook(name: String)(f: (String, String) => Unit): Unit =
+    synchronized { preMergeHooks.update(name, f) }
+
+  def removePreMergeHook(name: String): Boolean =
+    synchronized { preMergeHooks.remove(name).isDefined }
+
+  private def runPreCommitHooks(branch: String, candidate: Commit): Unit =
+    preCommitHooks.foreach { case (n, f) =>
+      try f(branch, candidate) catch {
+        case e: Throwable => throw new IllegalStateException(
+          s"pre-commit hook '$n' rejected commit on $branch: ${e.getMessage}", e)
+      }
+    }
+
+  private def runPreMergeHooks(from: String, into: String): Unit =
+    preMergeHooks.foreach { case (n, f) =>
+      try f(from, into) catch {
+        case e: Throwable => throw new IllegalStateException(
+          s"pre-merge hook '$n' rejected merge $from -> $into: ${e.getMessage}", e)
+      }
+    }
+
+  // ---- tags (lakeFS `lakectl tag`, immutable named refs) ------------------
+
+  private def tagsDir: Path = root.resolve("tags")
+
+  /** lakeFS `tag create` (`lakectl tag create lakefs://repo@tag ref`): an
+    * IMMUTABLE named ref pinning one commit forever — the release-snapshot
+    * primitive ("the exact data the model was trained on"). Unlike a branch,
+    * a tag never advances; unlike a raw version number, it survives vacuum:
+    * the tagged commit's files join vacuum's retained set until the tag is
+    * deleted. Creation is a [[MetaStore.putIfAbsent]], so two racing
+    * `createTag`s of the same name resolve atomically — one wins, the other
+    * throws — on any store honoring the put-if-absent contract (no
+    * read-then-write window). Tags live under `tags/`, not `refs/`, so the
+    * branch listing and slot machinery never see them. */
+  def createTag(name: String, branch: String = "main"): Commit = {
+    require(name.nonEmpty && !name.contains('/') && !name.contains('\\'),
+      s"bad tag name: $name")
+    val h = head(branch).getOrElse(
+      throw new IllegalArgumentException(s"no such branch: $branch"))
+    createTagAt(name, h.id)
+  }
+
+  /** Tag an arbitrary commit id (lakeFS allows tagging any reachable ref,
+    * not just a head — e.g. the version a benchmark ran against). */
+  def createTagAt(name: String, commitId: String): Commit = {
+    require(store.exists(commitsDir.resolve(commitId + ".json")),
+      s"no such commit: $commitId")
+    val c = loadCommit(commitId)
+    store.ensurePrefix(tagsDir)
+    if (!store.putIfAbsent(tagsDir.resolve(name), commitId))
+      throw new IllegalArgumentException(s"tag exists: $name (tags are immutable)")
+    c
+  }
+
+  /** (tag name, commit id) pairs, name-sorted. */
+  def tags: Seq[(String, String)] =
+    store.list(tagsDir).map(p => p.getFileName.toString -> store.read(p).trim).sortBy(_._1)
+
+  def tagCommit(name: String): Commit = {
+    val p = tagsDir.resolve(name)
+    require(store.exists(p), s"no such tag: $name")
+    loadCommit(store.read(p).trim)
+  }
+
+  /** Read the table exactly as the tagged commit captured it. */
+  def readTag(spark: SparkSession, name: String): DataFrame =
+    readCommit(spark, tagCommit(name))
+
+  /** lakeFS `tag delete`: the commit becomes vacuumable again (if nothing
+    * else retains it). Deleting a missing tag is a no-op returning false. */
+  def deleteTag(name: String): Boolean = store.delete(tagsDir.resolve(name))
+
+  /** Data+DV files pinned by tags — part of every vacuum's retained set. */
+  private def taggedFiles: Set[String] =
+    tags.flatMap { case (_, id) => loadCommit(id).allFiles }.toSet
 
   /** V4 `diff`: object-level change list between two branch heads, as
     * (path, change_type) pairs — lakeFS `lakectl diff` semantics. */
@@ -954,6 +1173,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     * the merge base ADVANCES: keep committing appends on `from` and merging —
     * each later merge sees only the new commits as divergence. */
   def merge(from: String, into: String): Commit = synchronized {
+    runPreMergeHooks(from, into) // lakeFS Actions: a throwing hook vetoes
     val src = head(from).getOrElse(throw new IllegalArgumentException(s"no such branch: $from"))
     val dst = head(into).getOrElse(throw new IllegalArgumentException(s"no such branch: $into"))
     if (src.id == dst.id) src
@@ -1017,6 +1237,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
   /** V6 `revert`: append a NEW commit whose snapshot equals `toVersion` —
     * history is never rewritten (lakeFS `README.md:132`). */
   def revert(branch: String, toVersion: Long, message: String = ""): Commit = synchronized {
+    guardWritable(branch)
     val target = resolveVersion(branch, toVersion)
     publish(branch, head(branch), if (message.isEmpty) s"revert to v$toVersion" else message,
       DataType.fromJson(target.schemaJson).asInstanceOf[StructType], target.files,
@@ -1041,6 +1262,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     * (e.g. picking a revert that landed on its own parent state) is a no-op
     * returning the unchanged head. */
   def cherryPick(fromBranch: String, version: Long, into: String): Commit = synchronized {
+    guardWritable(into)
     val picked = resolveVersion(fromBranch, version)
     val pickedParent = picked.parent.map(loadCommit)
     val parentFiles = pickedParent.map(_.files.toSet).getOrElse(Set.empty)
@@ -1103,7 +1325,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       (if (dryRun) repairs.get(b).map(loadCommit) else None).orElse(head(b))
     val vReachable = Ancestry.reachableIds(loadCommit, branches.flatMap(vHead))
     sweep((branches.flatMap(b => lineageTake(vHead(b), retainLast).flatMap(_.allFiles)) ++
-      stagedFiles).toSet ++ slotProtectedFiles(vReachable), dryRun)
+      stagedFiles).toSet ++ slotProtectedFiles(vReachable) ++ taggedFiles, dryRun)
   }
 
   /** Time-based retention, Delta's `vacuum()` dial (`jobs/vdt4.py:84-85`
@@ -1118,7 +1340,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     sweepStaleSlots(nowMs, staleSlotMs)
     sweep((branches.flatMap(b => lineage(b).zipWithIndex.collect {
       case (c, i) if i == 0 || c.ts >= cutoff => c.allFiles // i==0 = the head
-    }.flatten) ++ stagedFiles).toSet ++ slotProtectedFiles(reachableIds))
+    }.flatten) ++ stagedFiles).toSet ++ slotProtectedFiles(reachableIds) ++ taggedFiles)
   }
 
   /** Crash recovery for this table's slots — semantics and guards live in
@@ -1347,6 +1569,25 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
 }
 
 object VersionedTable {
+  /** URL-safe base64 (no padding) — lets any protection pattern serve as a
+    * metadata-store object name. */
+  private[vt] def b64(s: String): String =
+    java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Branch-protection glob: `*` = any run of characters, `?` = exactly one;
+    * everything else matches literally. Branch names never contain `/`, so no
+    * path-segment subtleties exist. */
+  private[vt] def globMatches(pattern: String, name: String): Boolean = {
+    val sb = new StringBuilder("^")
+    pattern.foreach {
+      case '*' => sb.append(".*")
+      case '?' => sb.append(".")
+      case c => sb.append(java.util.regex.Pattern.quote(c.toString))
+    }
+    sb.append("$").toString.r.findFirstIn(name).isDefined
+  }
+
   /** Recursively force every nullable flag true (Spark's `DataType.asNullable`
     * is package-private) so schema comparisons ignore nullability at any
     * nesting depth; field metadata is also dropped — only name+logical type

@@ -24,8 +24,8 @@ class StreamingSpec extends SparkSpec {
     val eventsPath = dir.toString
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsPath).schema
-    val streamed = spark.readStream.schema(schema).parquet(eventsPath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val streamed = Tables.normalizeEventsTs(
+        spark.readStream.schema(schema).parquet(eventsPath))
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
         sum(round(col("value") * 100).cast("long")).as("sum_val_c"))
@@ -50,8 +50,8 @@ class StreamingSpec extends SparkSpec {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(dir.toString).schema
     // native sliding window(): same 4-windows-per-event, slide-aligned starts
-    val streamed = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val streamed = Tables.normalizeEventsTs(
+        spark.readStream.schema(schema).parquet(dir.toString))
       .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
         sum(round(col("value") * 100).cast("long")).as("sum_val_c"))
@@ -259,6 +259,34 @@ class StreamingSpec extends SparkSpec {
     assert(vt.read(spark, "main").count() === 5L)
     EventsStreaming.ingestBatch(vt, "main")(batch(6L), 3L) // progress still works
     assert(vt.read(spark, "main").count() === 6L)
+  }
+
+  test("change-feed consumer: cursor advance, redelivery on no-commit, chunked catch-up") {
+    import graft.streaming.ChangeFeed
+    val vt = graft.vt.VersionedTable.create(Tables.scratch("feed_consumer"))
+    vt.write(Seq((1, "a")).toDF("k", "v"), "main", "v0")
+    // caught up at v0: the initial snapshot is a plain read, not a feed batch
+    assert(ChangeFeed.poll(spark, vt, "c1").isEmpty)
+    vt.write(Seq((2, "b")).toDF("k", "v"), "main", "v1", mode = "append")
+    vt.write(Seq((3, "c")).toDF("k", "v"), "main", "v2", mode = "append")
+    // one poll covers the whole backlog (0, 2]; NOT committing redelivers it
+    val b1 = ChangeFeed.poll(spark, vt, "c1").get
+    assert(b1.fromVersion === 0 && b1.toVersion === 2)
+    assert(b1.df.select("k").as[Int].collect().sorted === Array(2, 3))
+    val b1again = ChangeFeed.poll(spark, vt, "c1").get // crash-twin: same interval
+    assert(b1again.fromVersion === 0 && b1again.toVersion === 2)
+    ChangeFeed.commit(vt, "c1", b1.toVersion)
+    assert(ChangeFeed.poll(spark, vt, "c1").isEmpty)
+    // a second consumer has its own cursor and sees the backlog from 0
+    assert(ChangeFeed.poll(spark, vt, "c2").get.toVersion === 2)
+    // chunked catch-up: maxVersions=1 yields one batch per version
+    var seen = Vector.empty[(Long, Long)]
+    val n = ChangeFeed.processAvailable(spark, vt, "c2", maxVersions = 1) { b =>
+      seen :+= (b.fromVersion, b.toVersion)
+    }
+    assert(n === 2 && seen === Vector((0L, 1L), (1L, 2L)))
+    // cursors never rewind (a slow replayer cannot undo a faster retry)
+    assertThrows[IllegalArgumentException](ChangeFeed.commit(vt, "c2", 1L))
   }
 
   test("batch sessionize splits on gaps > 30min and counts events per session") {

@@ -191,6 +191,127 @@ class VersionedTableSpec extends SparkSpec {
     assert(same.id === c.id && vt.head("main").get.version === 1)
   }
 
+  test("protected branches reject direct mutation but accept merges") {
+    val vt = freshVt("protected")
+    vt.write(Seq((1, "a")).toDF("k", "v"), "main", "v0")
+    vt.protectBranch("main")
+    vt.protectBranch("rel*") // glob rule
+    assert(vt.isProtected("main") && vt.isProtected("rel-2024") && !vt.isProtected("dev"))
+    // every direct-mutation door is closed
+    assertThrows[IllegalStateException](vt.write(Seq((2, "b")).toDF("k", "v"), "main", "x"))
+    assertThrows[IllegalStateException](vt.upsert(spark, Seq((2, "b")).toDF("k", "v"), Seq("k")))
+    assertThrows[IllegalStateException](vt.delete(spark, "k = 1"))
+    assertThrows[IllegalStateException](vt.deleteWithVectors(spark, "k = 1"))
+    assertThrows[IllegalStateException](vt.update(spark, "k = 1", Map("v" -> "'z'")))
+    assertThrows[IllegalStateException](vt.stage(Seq((2, "b")).toDF("k", "v"), "main"))
+    assertThrows[IllegalStateException](vt.revert("main", 0))
+    assertThrows[IllegalStateException](vt.compact(spark, "main"))
+    assertThrows[IllegalStateException](vt.deleteBranch("main"))
+    assert(vt.head("main").get.version === 0, "no rejected op may have committed")
+    // the one open door: merge from a side branch
+    vt.createBranch("dev", from = "main")
+    vt.write(Seq((1, "a"), (2, "b")).toDF("k", "v"), "dev", "reviewed change")
+    vt.merge("dev", "main")
+    assert(vt.read(spark, "main").as[(Int, String)].collect().sortBy(_._1)
+      === Array((1, "a"), (2, "b")))
+    // rules are persisted: a second handle on the same root enforces them
+    val again = VersionedTable.open(vt.root.toString)
+    assertThrows[IllegalStateException](again.delete(spark, "k = 1"))
+    // unprotect reopens direct writes; removing a missing rule is false
+    assert(vt.unprotectBranch("main") && !vt.unprotectBranch("main"))
+    assert(vt.protectionRules === Seq("rel*"))
+    vt.write(Seq((9, "z")).toDF("k", "v"), "main", "direct again")
+    assert(vt.head("main").get.version === 2)
+  }
+
+  test("pre-commit and pre-merge hooks veto operations atomically") {
+    val vt = freshVt("hooks")
+    vt.write(Seq((1, 10)).toDF("k", "v"), "main", "v0")
+    // pre-commit veto on a data/metadata condition: no empty messages
+    vt.addPreCommitHook("msg")((_, c) =>
+      require(c.message.nonEmpty, "commit message required"))
+    val e = intercept[IllegalStateException](vt.write(Seq((2, 20)).toDF("k", "v"), "main", ""))
+    assert(e.getMessage.contains("msg") && vt.head("main").get.version === 0)
+    vt.write(Seq((2, 20)).toDF("k", "v"), "main", "ok") // passing commit lands
+    assert(vt.head("main").get.version === 1)
+    // hooks see the candidate's files/schema: veto single-file explosions
+    vt.addPreCommitHook("files")((_, c) => require(c.files.size <= 4, "too many files"))
+    assertThrows[IllegalStateException](
+      vt.write(Seq.tabulate(8)(i => (i, i)).toDF("k", "v").repartition(8), "main", "wide"))
+    assert(vt.removePreCommitHook("files") && !vt.removePreCommitHook("files"))
+    // pre-merge veto, then removal lets the merge through
+    vt.createBranch("dev", from = "main")
+    vt.write(Seq((3, 30)).toDF("k", "v"), "dev", "dev change")
+    vt.addPreMergeHook("freeze")((_, into) => require(into != "main", "main is frozen"))
+    assertThrows[IllegalStateException](vt.merge("dev", "main"))
+    assert(vt.removePreMergeHook("freeze"))
+    vt.merge("dev", "main")
+    assert(vt.read(spark, "main").as[(Int, Int)].collect().sortBy(_._1) === Array((3, 30)))
+  }
+
+  test("tags: immutable, pin commits through vacuum, reclaimable on delete") {
+    val vt = freshVt("tags")
+    vt.write(Seq((1, "a"), (2, "b")).toDF("k", "v"), "main", "v0")
+    val c0 = vt.head("main").get
+    vt.createTag("rel-1.0")
+    assertThrows[IllegalArgumentException](vt.createTag("rel-1.0")) // immutable
+    assertThrows[IllegalArgumentException](vt.createTagAt("bad", "no-such-commit"))
+    vt.write(Seq((9, "z")).toDF("k", "v"), "main", "v1")
+    vt.createTagAt("also-v0", c0.id) // tagging a non-head commit
+    assert(vt.tags.map(_._1) === Seq("also-v0", "rel-1.0"))
+    // vacuum(1) reclaims v0 UNLESS a tag pins it
+    vt.vacuum(retainLast = 1)
+    assert(vt.readTag(spark, "rel-1.0").as[(Int, String)].collect().sorted
+      === Array((1, "a"), (2, "b")))
+    // drop both tags -> v0's files become vacuumable, head unaffected
+    assert(vt.deleteTag("rel-1.0") && vt.deleteTag("also-v0"))
+    assert(!vt.deleteTag("rel-1.0")) // double delete is a false no-op
+    val reclaimed = vt.vacuum(retainLast = 1)
+    assert(reclaimed === c0.files.size && reclaimed > 0)
+    assert(vt.read(spark, "main").as[(Int, String)].collect() === Array((9, "z")))
+  }
+
+  test("update rewrites matched rows copy-on-write; RHS sees OLD values; stats prune") {
+    val vt = freshVt("update")
+    vt.write(Seq((1, 10, 100), (2, 20, 200), (3, 30, 300)).toDF("k", "a", "b"), "main", "v0")
+    // simultaneous assignment: SET a = b, b = a swaps (both RHS see old row)
+    val c = vt.update(spark, "k = 2", Map("a" -> "b", "b" -> "a"))
+    assert(c.version === 1)
+    assert(vt.read(spark, "main").as[(Int, Int, Int)].collect().sortBy(_._1)
+      === Array((1, 10, 100), (2, 200, 20), (3, 30, 300)))
+    assert(vt.readVersion(spark, "main", 0).count() === 3) // time travel intact
+    // schema never drifts: RHS is cast to the column's existing type
+    val c2 = vt.update(spark, "k = 1", Map("a" -> "a * 2.7"))
+    assert(c2.schemaJson === c.schemaJson)
+    assert(vt.read(spark, "main").where("k = 1").select("a").as[Int].head() === 27)
+    // NULL predicate leaves the row unchanged; no-match update is a no-op
+    val vtN = freshVt("update_null")
+    vtN.write(Seq((1, Some("a")), (2, None)).toDF("k", "v"), "main", "v0")
+    vtN.update(spark, "v = 'a'", Map("k" -> "k + 100"))
+    assert(vtN.read(spark, "main").select("k").as[Int].collect().sorted === Array(2, 101))
+    val h = vtN.head("main").get
+    assert(vtN.update(spark, "v = 'zzz'", Map("k" -> "0")).id === h.id)
+    // unknown SET column is rejected, not silently added
+    assertThrows[IllegalArgumentException](vtN.update(spark, "true", Map("nope" -> "1")))
+    // stats pruning: out-of-range predicate is a metadata-only no-op, and an
+    // in-range point update carries the untouched files unchanged
+    val vtP = freshVt("update_prune")
+    val nation = Tables.nation(spark, sf).select("n_nationkey", "n_name", "n_regionkey")
+    val p0 = vtP.write(nation.repartitionByRange(4, col("n_nationkey")), "main", "v0",
+      statsCols = Seq("n_nationkey"))
+    assert(vtP.update(spark, "n_nationkey = 9999", Map("n_name" -> "'X'")).id === p0.id)
+    val p1 = vtP.update(spark, "n_nationkey = 3", Map("n_name" -> "'REDACTED'"))
+    assert(vtP.read(spark, "main").where("n_nationkey = 3")
+      .select("n_name").as[String].head() === "REDACTED")
+    assert((p0.files.toSet intersect p1.files.toSet).nonEmpty, "untouched files carry")
+    // CDC: exactly one delete (before-image) + one insert (after-image)
+    val cdc = vtP.changes(spark, "main", 0, 1)
+      .select("change_type", "n_nationkey", "n_name")
+      .as[(String, Int, String)].collect().sortBy(r => (r._1, r._2))
+    assert(cdc.count(_._1 === "delete") === 1 && cdc.count(_._1 === "insert") === 1)
+    assert(cdc.find(_._1 === "insert").get._3 === "REDACTED")
+  }
+
   test("delete prunes files via commit-log stats before scanning") {
     import org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression
     val vt = freshVt("delete_prune")
