@@ -14,17 +14,28 @@ import graft.vt.VersionedTable
   * lacks: at 100 TB a downstream job must read the per-commit DELTA, never
   * re-scan the snapshot).
   *
-  * Mechanics: each named consumer owns a persisted CURSOR (the highest table
-  * version it has fully processed) in the table's metadata store under
-  * `cursors/`. [[poll]] returns the change feed over `(cursor, head]` —
-  * per-row `change_type` + `version` columns from
-  * [[VersionedTable.changesFeed]] — without advancing anything;
-  * [[commit]] advances the cursor AFTER the caller has durably processed the
-  * batch. A crash between the two redelivers the same interval
-  * (at-least-once); pairing with an idempotent sink (e.g. `ingestBatch`,
-  * which keys on batchId) yields end-to-end exactly-once — the same
-  * contract Structured Streaming's checkpoint + idempotent-sink pairing
-  * gives `foreachBatch`.
+  * Mechanics: each (branch, consumer) pair owns a persisted CURSOR — the
+  * highest table version fully processed — under
+  * `cursors/<base64(branch)>/<consumer>/` in the table's metadata store.
+  * The cursor is a SET OF VERSION MARKERS, not one mutable object: its value
+  * is the max marker, [[commit]] adds a marker with put-if-absent and prunes
+  * lower ones best-effort. That makes forward-only-ness STRUCTURAL across
+  * processes — two crash-replayers racing `commit(5)` and `commit(3)` land
+  * two markers and the cursor is 5 regardless of arrival order; a plain
+  * read-check-put would let the stale 3 overwrite the 5. Branch scoping
+  * matters the same way slot scoping does: a consumer name reused across
+  * branches (or a deleted-and-recreated namesake branch, whose cursors
+  * [[VersionedTable.deleteBranch]] drops) must never inherit another
+  * lineage's offset and silently skip commits.
+  *
+  * [[poll]] returns the change feed over `(cursor, head]` — per-row
+  * `change_type` + `version` columns from [[VersionedTable.changesFeed]] —
+  * without advancing anything; [[commit]] advances the cursor AFTER the
+  * caller has durably processed the batch. A crash between the two
+  * redelivers the same interval (at-least-once); pairing with an idempotent
+  * sink (e.g. `ingestBatch`, which keys on batchId) yields end-to-end
+  * exactly-once — the same contract Structured Streaming's checkpoint +
+  * idempotent-sink pairing gives `foreachBatch`.
   *
   * Why not a custom DataSource V2 `MicroBatchStream`? The feed's batches ARE
   * commit intervals, already exposed as DataFrames; wrapping them in DSv2
@@ -45,60 +56,85 @@ object ChangeFeed {
     * `df` carries the table columns + `change_type` + `version`. */
   final case class Batch(df: DataFrame, fromVersion: Long, toVersion: Long)
 
-  private def cursorPath(vt: VersionedTable, consumer: String) = {
+  private def cursorDir(vt: VersionedTable, branch: String, consumer: String) = {
     require(consumer.nonEmpty && !consumer.contains('/') && !consumer.contains('\\'),
       s"bad consumer name: $consumer")
-    vt.root.resolve("cursors").resolve(consumer)
+    vt.root.resolve("cursors").resolve(VersionedTable.b64(branch)).resolve(consumer)
   }
 
-  /** The consumer's last committed version (0 = nothing consumed yet: version
-    * 0's content is the initial snapshot, delivered via a plain versioned
-    * read, not the feed — Delta's `startingVersion` convention). */
-  def cursor(vt: VersionedTable, consumer: String): Long = {
-    val p = cursorPath(vt, consumer)
-    if (vt.store.exists(p)) vt.store.read(p).trim.toLong else 0L
+  private def headVersion(vt: VersionedTable, branch: String): Long =
+    vt.head(branch).map(_.version).getOrElse(
+      throw new IllegalArgumentException(s"no such branch: $branch"))
+
+  /** The consumer's last committed version on `branch` (0 = nothing consumed
+    * yet: version 0's content is the initial snapshot, delivered via a plain
+    * versioned read, not the feed — Delta's `startingVersion` convention). */
+  def cursor(vt: VersionedTable, consumer: String, branch: String = "main"): Long = {
+    val markers = vt.store.list(cursorDir(vt, branch, consumer))
+      .flatMap(p => p.getFileName.toString.toLongOption)
+    if (markers.isEmpty) 0L else markers.max
   }
 
   /** Next unprocessed interval for `consumer`, or None when caught up. Does
-    * NOT advance the cursor — call [[commit]] after the batch is durable. */
+    * NOT advance the cursor — call [[commit]] after the batch is durable.
+    * `endCap` (internal) pins a drain's end offset. */
   def poll(spark: SparkSession, vt: VersionedTable, consumer: String,
-           branch: String = "main", maxVersions: Int = Int.MaxValue): Option[Batch] = {
+           branch: String = "main", maxVersions: Int = Int.MaxValue): Option[Batch] =
+    pollUpTo(spark, vt, consumer, branch, maxVersions, headVersion(vt, branch))
+
+  private def pollUpTo(spark: SparkSession, vt: VersionedTable, consumer: String,
+                       branch: String, maxVersions: Int, endCap: Long): Option[Batch] = {
     require(maxVersions >= 1, "maxVersions must be >= 1")
-    val from = cursor(vt, consumer)
-    val headV = vt.head(branch).map(_.version).getOrElse(0L)
-    if (headV <= from) None
+    val from = cursor(vt, consumer, branch)
+    if (endCap <= from) None
     else {
-      val to = math.min(headV, from + maxVersions)
+      val to = math.min(endCap, from + maxVersions)
       Some(Batch(vt.changesFeed(spark, branch, from, to), from, to))
     }
   }
 
-  /** Durably advance the cursor to `toVersion` (atomic full-object put). Only
-    * forward moves are accepted — a replayed commit of an older batch (the
-    * crash-redelivery case) must not rewind a cursor a faster retry already
-    * advanced. */
-  def commit(vt: VersionedTable, consumer: String, toVersion: Long): Unit = {
-    val cur = cursor(vt, consumer)
+  /** Durably advance the cursor to `toVersion` (put-if-absent marker — see
+    * class doc for why this is rewind-proof across processes, not just
+    * guarded). Rejects loudly: a rewind attempt (stale replayer in THIS
+    * process) and a commit past the branch head (caller bug that would
+    * otherwise wedge the consumer unrecoverably, since cursors only move
+    * forward). Idempotent for the same version. */
+  def commit(vt: VersionedTable, consumer: String, toVersion: Long,
+             branch: String = "main"): Unit = {
+    val cur = cursor(vt, consumer, branch)
     require(toVersion >= cur,
-      s"cursor for $consumer is already at $cur; cannot rewind to $toVersion")
-    vt.store.ensurePrefix(cursorPath(vt, consumer).getParent)
-    vt.store.put(cursorPath(vt, consumer), toVersion.toString)
+      s"cursor for $consumer on $branch is already at $cur; cannot rewind to $toVersion")
+    val headV = headVersion(vt, branch)
+    require(toVersion <= headV,
+      s"cannot commit cursor to v$toVersion: $branch head is v$headV")
+    val dir = cursorDir(vt, branch, consumer)
+    vt.store.ensurePrefix(dir)
+    vt.store.putIfAbsent(dir.resolve(toVersion.toString), toVersion.toString)
+    // prune superseded markers (best-effort; max stays correct under races)
+    vt.store.list(dir)
+      .filter(p => p.getFileName.toString.toLongOption.exists(_ < toVersion))
+      .foreach(vt.store.delete)
   }
 
-  /** `Trigger.AvailableNow` drain: poll → process → commit until caught up.
-    * `f` must be idempotent for exactly-once (it may see a batch twice after
-    * a crash). Returns the number of batches processed. */
+  /** `Trigger.AvailableNow` drain: poll → process → commit until the head
+    * OBSERVED AT ENTRY is consumed. The end offset is pinned first, so a
+    * sustained concurrent writer cannot keep the drain alive forever —
+    * commits landing after entry wait for the next drain (exactly
+    * AvailableNow's termination contract). `f` must be idempotent for
+    * exactly-once (it may see a batch twice after a crash). Returns the
+    * number of batches processed. */
   def processAvailable(spark: SparkSession, vt: VersionedTable, consumer: String,
                        branch: String = "main", maxVersions: Int = Int.MaxValue)
                       (f: Batch => Unit): Int = {
+    val endCap = headVersion(vt, branch)
     var n = 0
-    var batch = poll(spark, vt, consumer, branch, maxVersions)
+    var batch = pollUpTo(spark, vt, consumer, branch, maxVersions, endCap)
     while (batch.isDefined) {
       val b = batch.get
       f(b)
-      commit(vt, consumer, b.toVersion)
+      commit(vt, consumer, b.toVersion, branch)
       n += 1
-      batch = poll(spark, vt, consumer, branch, maxVersions)
+      batch = pollUpTo(spark, vt, consumer, branch, maxVersions, endCap)
     }
     n
   }

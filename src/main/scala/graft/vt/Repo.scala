@@ -393,6 +393,40 @@ final class Repo private (val root: Path, val store: MetaStore) {
     c
   }
 
+  // ---- tags (lakeFS tags are REPO-scoped: one name pins every table) ------
+
+  private def tagsDir = root.resolve("tags")
+
+  /** lakeFS `tag create` at its native scope: one immutable name pins the
+    * ENTIRE repo state — every table, at one atomic cross-table commit. This
+    * is the reproducibility primitive the reference's lakeFS deployment
+    * exists for ("tag the exact multi-table state this model trained on").
+    * Same contract as the table-level twin ([[VersionedTable.createTag]]):
+    * put-if-absent creation (atomic under races), vacuum-protection until
+    * deleted. */
+  def createTag(name: String, branch: String = "main"): Commit = {
+    val h = head(branch).getOrElse(
+      throw new IllegalArgumentException(s"no such branch: $branch"))
+    TagStore.create(store, tagsDir, name, h.id)
+    h
+  }
+
+  def tags: Seq[(String, String)] = TagStore.all(store, tagsDir)
+
+  def tagCommit(name: String): Commit =
+    loadCommit(TagStore.commitIdOf(store, tagsDir, name))
+
+  /** Read one table exactly as the tagged repo state captured it. */
+  def readTableAtTag(spark: SparkSession, tag: String, table: String): DataFrame =
+    readTableAt(spark, tagCommit(tag), table)
+
+  def deleteTag(name: String): Boolean = TagStore.delete(store, tagsDir, name)
+
+  /** Every table's files across all tagged repo states — joins each vacuum's
+    * retained set. */
+  private def taggedFiles: Set[String] =
+    tags.flatMap { case (_, id) => loadCommit(id).files }.toSet
+
   /** Commit history of a branch, newest first: (version, message, ts,
     * n_tables, n_files). */
   def history(spark: SparkSession, branch: String): DataFrame = {
@@ -425,7 +459,7 @@ final class Repo private (val root: Path, val store: MetaStore) {
     val retained: Set[String] =
       (branches.flatMap(b => lineage(b).take(retainLast).flatMap(_.files)) ++
         staged.values.flatMap(_.values.flatMap(_._1))).toSet ++
-        SlotSweep.slotProtectedFiles(store, root, loadCommit, reachableIds)
+        SlotSweep.slotProtectedFiles(store, root, loadCommit, reachableIds) ++ taggedFiles
     sweepData(retained)
   }
 
@@ -442,7 +476,7 @@ final class Repo private (val root: Path, val store: MetaStore) {
       (branches.flatMap(b => lineage(b).zipWithIndex.collect {
         case (c, i) if i == 0 || c.ts >= cutoff => c.files // i==0 = the head
       }.flatten) ++ staged.values.flatMap(_.values.flatMap(_._1))).toSet ++
-        SlotSweep.slotProtectedFiles(store, root, loadCommit, reachableIds)
+        SlotSweep.slotProtectedFiles(store, root, loadCommit, reachableIds) ++ taggedFiles
     sweepData(retained)
   }
 

@@ -476,11 +476,12 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
         (Map.empty[String, Map[String, (Double, Double)]],
           Map.empty[String, Map[String, (String, String)]])
       else collectFileStats(spark, newFiles, statCols, schema)
+    val untouchedSet = untouched.toSet // O(1) lookups: stat carry is O(F), not O(F^2)
     publish(branch, Some(parent),
       if (message.isEmpty) s"upsert on (${keyCols.mkString(", ")})" else message,
       schema, untouched ++ newFiles,
-      parent.stats.view.filterKeys(untouched.contains).toMap ++ newStats,
-      strStats = parent.strStats.view.filterKeys(untouched.contains).toMap ++ newStrStats,
+      parent.stats.view.filterKeys(untouchedSet).toMap ++ newStats,
+      strStats = parent.strStats.view.filterKeys(untouchedSet).toMap ++ newStrStats,
       dvFiles = parent.dvFiles) // untouched files keep their deletion vectors
   }
 
@@ -684,11 +685,12 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
         (Map.empty[String, Map[String, (Double, Double)]],
           Map.empty[String, Map[String, (String, String)]])
       else collectFileStats(spark, newFiles, statCols, schema)
+    val untouchedSet = untouched.toSet // O(1) lookups: stat carry is O(F), not O(F^2)
     publish(branch, Some(parent),
       if (message.isEmpty) s"delete where ($where)" else message,
       schema, untouched ++ newFiles,
-      parent.stats.view.filterKeys(untouched.contains).toMap ++ newStats,
-      strStats = parent.strStats.view.filterKeys(untouched.contains).toMap ++ newStrStats,
+      parent.stats.view.filterKeys(untouchedSet).toMap ++ newStats,
+      strStats = parent.strStats.view.filterKeys(untouchedSet).toMap ++ newStrStats,
       // untouched files keep their deletion vectors; touched files were read
       // with DVs applied and rewritten, leaving only harmless dead entries
       dvFiles = parent.dvFiles)
@@ -750,12 +752,13 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
         (Map.empty[String, Map[String, (Double, Double)]],
           Map.empty[String, Map[String, (String, String)]])
       else collectFileStats(spark, newFiles, statCols, schema)
+    val untouchedSet = untouched.toSet // O(1) lookups: stat carry is O(F), not O(F^2)
     publish(branch, Some(parent),
       if (message.isEmpty) s"update set (${set.keys.toSeq.sorted.mkString(", ")}) where ($where)"
       else message,
       schema, untouched ++ newFiles,
-      parent.stats.view.filterKeys(untouched.contains).toMap ++ newStats,
-      strStats = parent.strStats.view.filterKeys(untouched.contains).toMap ++ newStrStats,
+      parent.stats.view.filterKeys(untouchedSet).toMap ++ newStats,
+      strStats = parent.strStats.view.filterKeys(untouchedSet).toMap ++ newStrStats,
       // untouched files keep their deletion vectors; touched files were read
       // with DVs applied and rewritten, leaving only harmless dead entries
       dvFiles = parent.dvFiles)
@@ -1004,6 +1007,15 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     store.list(checkpointsDir)
       .filter(p => slotRe.findFirstIn(p.getFileName.toString).isDefined)
       .foreach(store.delete)
+    // change-feed cursors are per-branch offsets: a recreated namesake with a
+    // shorter history must not inherit them (consumers would silently skip
+    // every commit up to the dead branch's offset)
+    val cursorsBranchDir = root.resolve("cursors").resolve(VersionedTable.b64(name))
+    store.list(cursorsBranchDir).foreach { consumerDir =>
+      store.list(consumerDir).foreach(store.delete)
+      store.delete(consumerDir)
+    }
+    store.delete(cursorsBranchDir)
     store.delete(refsDir.resolve(name))
     ()
   }
@@ -1108,8 +1120,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     * read-then-write window). Tags live under `tags/`, not `refs/`, so the
     * branch listing and slot machinery never see them. */
   def createTag(name: String, branch: String = "main"): Commit = {
-    require(name.nonEmpty && !name.contains('/') && !name.contains('\\'),
-      s"bad tag name: $name")
+    TagStore.validateName(name)
     val h = head(branch).getOrElse(
       throw new IllegalArgumentException(s"no such branch: $branch"))
     createTagAt(name, h.id)
@@ -1121,21 +1132,15 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     require(store.exists(commitsDir.resolve(commitId + ".json")),
       s"no such commit: $commitId")
     val c = loadCommit(commitId)
-    store.ensurePrefix(tagsDir)
-    if (!store.putIfAbsent(tagsDir.resolve(name), commitId))
-      throw new IllegalArgumentException(s"tag exists: $name (tags are immutable)")
+    TagStore.create(store, tagsDir, name, commitId)
     c
   }
 
   /** (tag name, commit id) pairs, name-sorted. */
-  def tags: Seq[(String, String)] =
-    store.list(tagsDir).map(p => p.getFileName.toString -> store.read(p).trim).sortBy(_._1)
+  def tags: Seq[(String, String)] = TagStore.all(store, tagsDir)
 
-  def tagCommit(name: String): Commit = {
-    val p = tagsDir.resolve(name)
-    require(store.exists(p), s"no such tag: $name")
-    loadCommit(store.read(p).trim)
-  }
+  def tagCommit(name: String): Commit =
+    loadCommit(TagStore.commitIdOf(store, tagsDir, name))
 
   /** Read the table exactly as the tagged commit captured it. */
   def readTag(spark: SparkSession, name: String): DataFrame =
@@ -1143,7 +1148,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
 
   /** lakeFS `tag delete`: the commit becomes vacuumable again (if nothing
     * else retains it). Deleting a missing tag is a no-op returning false. */
-  def deleteTag(name: String): Boolean = store.delete(tagsDir.resolve(name))
+  def deleteTag(name: String): Boolean = TagStore.delete(store, tagsDir, name)
 
   /** Data+DV files pinned by tags — part of every vacuum's retained set. */
   private def taggedFiles: Set[String] =
@@ -1569,9 +1574,10 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
 }
 
 object VersionedTable {
-  /** URL-safe base64 (no padding) — lets any protection pattern serve as a
-    * metadata-store object name. */
-  private[vt] def b64(s: String): String =
+  /** URL-safe base64 (no padding) — lets any protection pattern or branch
+    * name serve as a metadata-store object name (also used by
+    * [[graft.streaming.ChangeFeed]]'s per-branch cursor directories). */
+  private[graft] def b64(s: String): String =
     java.util.Base64.getUrlEncoder.withoutPadding
       .encodeToString(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 

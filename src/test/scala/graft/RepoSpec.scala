@@ -154,6 +154,29 @@ class RepoSpec extends SparkSpec {
     assertThrows[Exception](repo.readTableAsOf(spark, "main", "a", 0).collect())
   }
 
+  test("repo tags pin every table of a multi-table state through vacuum") {
+    val repo = Repo.create(Tables.scratch("repo_tags"))
+    repo.stageWrite(Seq(1).toDF("x"), "main", "a")
+    repo.stageWrite(Seq("p").toDF("s"), "main", "b")
+    repo.commit("main", "v0: a+b together")
+    repo.createTag("train-2024-01")
+    assertThrows[IllegalArgumentException](repo.createTag("train-2024-01")) // immutable
+    // move BOTH tables past the tag, then vacuum to the head only
+    repo.stageWrite(Seq(2).toDF("x"), "main", "a")
+    repo.stageWrite(Seq("q").toDF("s"), "main", "b")
+    repo.commit("main", "v1: both rewritten")
+    repo.vacuum(retainLast = 1)
+    // the tag still reads the full multi-table v0 state
+    assert(repo.tags.map(_._1) === Seq("train-2024-01"))
+    assert(repo.readTableAtTag(spark, "train-2024-01", "a").as[Int].collect() === Array(1))
+    assert(repo.readTableAtTag(spark, "train-2024-01", "b").as[String].collect() === Array("p"))
+    // delete the tag: the old state becomes reclaimable, the head survives
+    assert(repo.deleteTag("train-2024-01") && !repo.deleteTag("train-2024-01"))
+    assert(repo.vacuum(retainLast = 1) > 0)
+    assert(repo.readTable(spark, "main", "a").as[Int].collect() === Array(2))
+    assert(repo.readTable(spark, "main", "b").as[String].collect() === Array("q"))
+  }
+
   test("repo-wide timestamp time travel resolves the snapshot as of a commit's clock") {
     val repo = Repo.create(Tables.scratch("repo_ts_travel"))
     repo.stageWrite(Seq(1).toDF("x"), "main", "a")

@@ -287,6 +287,46 @@ class StreamingSpec extends SparkSpec {
     assert(n === 2 && seen === Vector((0L, 1L), (1L, 2L)))
     // cursors never rewind (a slow replayer cannot undo a faster retry)
     assertThrows[IllegalArgumentException](ChangeFeed.commit(vt, "c2", 1L))
+    // ...and cannot run past the head (a units bug would wedge the consumer
+    // forever, since forward-only cursors have no API way back)
+    assertThrows[IllegalArgumentException](ChangeFeed.commit(vt, "c2", 99L))
+    // a typo'd branch fails loudly instead of reporting "caught up"
+    assertThrows[IllegalArgumentException](ChangeFeed.poll(spark, vt, "c1", branch = "mian"))
+    // cursors are per-(branch, consumer): c1's main offset does not leak to dev
+    vt.createBranch("dev", from = "main")
+    vt.write(Seq((4, "d")).toDF("k", "v"), "dev", "dev v3", mode = "append")
+    assert(ChangeFeed.cursor(vt, "c1", "dev") === 0)
+    val bd = ChangeFeed.poll(spark, vt, "c1", branch = "dev").get
+    assert(bd.fromVersion === 0 && bd.toVersion === 3)
+    ChangeFeed.commit(vt, "c1", bd.toVersion, "dev")
+    assert(ChangeFeed.cursor(vt, "c1") === 2, "main cursor untouched by dev consumption")
+    // a deleted-and-recreated namesake branch resets its cursors: the new
+    // lineage must be consumed from scratch, not silently skipped
+    vt.deleteBranch("dev")
+    vt.createBranch("dev", from = "main")
+    assert(ChangeFeed.cursor(vt, "c1", "dev") === 0)
+  }
+
+  test("change-feed drain pins its end offset: commits landing mid-drain wait") {
+    import graft.streaming.ChangeFeed
+    val vt = graft.vt.VersionedTable.create(Tables.scratch("feed_pinned"))
+    vt.write(Seq((1, "a")).toDF("k", "v"), "main", "v0")
+    vt.write(Seq((2, "b")).toDF("k", "v"), "main", "v1", mode = "append")
+    vt.write(Seq((3, "c")).toDF("k", "v"), "main", "v2", mode = "append")
+    // the first processed batch appends v3 — a sustained-writer stand-in; an
+    // unpinned drain would chase it (and any successor) forever
+    var appended = false
+    val n = ChangeFeed.processAvailable(spark, vt, "c", maxVersions = 1) { b =>
+      if (!appended) {
+        vt.write(Seq((9, "z")).toDF("k", "v"), "main", "v3 mid-drain", mode = "append")
+        appended = true
+      }
+    }
+    assert(n === 2, "drain covers exactly the entry-time backlog (v1, v2)")
+    assert(ChangeFeed.cursor(vt, "c") === 2)
+    // the mid-drain commit is the NEXT drain's backlog
+    val b = ChangeFeed.poll(spark, vt, "c").get
+    assert(b.fromVersion === 2 && b.toVersion === 3)
   }
 
   test("batch sessionize splits on gaps > 30min and counts events per session") {
