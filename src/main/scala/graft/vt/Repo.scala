@@ -67,6 +67,7 @@ final class Repo private (val root: Path, val store: MetaStore) {
 
   /** Stage a table write on `branch`; nothing is visible until [[commit]]. */
   def stageWrite(df: DataFrame, branch: String, table: String): Unit = synchronized {
+    guardWritable(branch)
     require(!table.contains("/"), "table names must not contain '/'")
     val files = writeTableFiles(df, branch, table)
     staged.getOrElseUpdate(branch, scala.collection.mutable.LinkedHashMap.empty)
@@ -82,6 +83,7 @@ final class Repo private (val root: Path, val store: MetaStore) {
     * README.md:141-147) — see [[merge]]'s union rule. The schema must match
     * the table's (name+type, nullability-insensitive). */
   def stageAppend(df: DataFrame, branch: String, table: String): Unit = synchronized {
+    guardWritable(branch)
     require(!table.contains("/"), "table names must not contain '/'")
     val current: Option[(Vector[String], String)] =
       staged.get(branch).flatMap(_.get(table))
@@ -106,6 +108,7 @@ final class Repo private (val root: Path, val store: MetaStore) {
   /** Publish every staged table of `branch` as ONE commit (atomic rename of
     * the ref: concurrent readers see the old snapshot or the full new one). */
   def commit(branch: String, message: String): Commit = synchronized {
+    guardWritable(branch)
     val batch = staged.getOrElse(branch,
       throw new IllegalStateException(s"nothing staged on $branch"))
     require(batch.nonEmpty, s"nothing staged on $branch")
@@ -380,6 +383,7 @@ final class Repo private (val root: Path, val store: MetaStore) {
   /** lakeFS revert: append a NEW repo-wide commit whose snapshot (every
     * table) equals `toVersion` — history is never rewritten. */
   def revert(branch: String, toVersion: Long, message: String = ""): Commit = synchronized {
+    guardWritable(branch)
     val target = lineage(branch).find(_.version == toVersion).getOrElse(
       throw new IllegalArgumentException(s"no version $toVersion on $branch"))
     val parent = head(branch).get
@@ -392,6 +396,27 @@ final class Repo private (val root: Path, val store: MetaStore) {
     store.put(refsDir.resolve(branch), id)
     c
   }
+
+  // ---- branch protection (lakeFS protection rules, native repo scope) -----
+
+  private def protectedDir = root.resolve("protected")
+
+  /** lakeFS branch-protection at its native scope: glob rules rejecting
+    * direct staging/commits on matching repo branches — changes land only
+    * via [[merge]]. Same persisted-rule mechanics as the table layer
+    * ([[ProtectionRules]]); enforced by every handle on the root. */
+  def protectBranch(pattern: String): Unit = ProtectionRules.add(store, protectedDir, pattern)
+
+  def unprotectBranch(pattern: String): Boolean =
+    ProtectionRules.remove(store, protectedDir, pattern)
+
+  def protectionRules: Seq[String] = ProtectionRules.all(store, protectedDir)
+
+  def isProtected(branch: String): Boolean =
+    ProtectionRules.isProtected(store, protectedDir, branch)
+
+  private def guardWritable(branch: String): Unit =
+    ProtectionRules.guard(store, protectedDir, branch)
 
   // ---- tags (lakeFS tags are REPO-scoped: one name pins every table) ------
 

@@ -1033,29 +1033,23 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     * Rules persist in the metadata store — one object per pattern, named by
     * URL-safe base64 so any pattern round-trips as an object key — and are
     * enforced by every table handle, not just the one that added them. */
-  def protectBranch(pattern: String): Unit = {
-    require(pattern.nonEmpty, "empty protection pattern")
-    store.ensurePrefix(protectedDir)
-    store.put(protectedDir.resolve(VersionedTable.b64(pattern)), pattern)
-  }
+  def protectBranch(pattern: String): Unit = ProtectionRules.add(store, protectedDir, pattern)
 
   /** Remove one protection rule (exact pattern, not a matching branch name).
     * Returns false when no such rule exists. */
   def unprotectBranch(pattern: String): Boolean =
-    store.delete(protectedDir.resolve(VersionedTable.b64(pattern)))
+    ProtectionRules.remove(store, protectedDir, pattern)
 
-  def protectionRules: Seq[String] = store.list(protectedDir).map(store.read(_).trim).sorted
+  def protectionRules: Seq[String] = ProtectionRules.all(store, protectedDir)
 
   def isProtected(branch: String): Boolean =
-    protectionRules.exists(p => VersionedTable.globMatches(p, branch))
+    ProtectionRules.isProtected(store, protectedDir, branch)
 
   /** Throws unless `branch` accepts direct mutation. Merge deliberately does
     * NOT call this on its target: landing reviewed commits is the one door a
     * protected branch keeps open. */
   private def guardWritable(branch: String): Unit =
-    if (isProtected(branch)) throw new IllegalStateException(
-      s"branch '$branch' is protected: direct changes are rejected; " +
-        "merge from a side branch instead (lakeFS branch-protection semantics)")
+    ProtectionRules.guard(store, protectedDir, branch)
 
   // ---- hooks (lakeFS Actions: pre-commit / pre-merge) ---------------------
 
@@ -1145,6 +1139,22 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
   /** Read the table exactly as the tagged commit captured it. */
   def readTag(spark: SparkSession, name: String): DataFrame =
     readCommit(spark, tagCommit(name))
+
+  /** Delta `RESTORE TABLE ... TO VERSION AS OF <tag>`: publish the tagged
+    * state as a NEW commit on `branch` — same O(metadata) mechanics as
+    * [[revert]] (no data movement, history intact, the restore is itself
+    * revertable), but addressed by release name instead of version number,
+    * and able to restore a state from ANOTHER branch's lineage (tags are
+    * branch-agnostic pins). */
+  def restoreTag(name: String, branch: String = "main", message: String = ""): Commit =
+    synchronized {
+      guardWritable(branch)
+      val target = tagCommit(name)
+      publish(branch, head(branch),
+        if (message.isEmpty) s"restore tag $name" else message,
+        DataType.fromJson(target.schemaJson).asInstanceOf[StructType], target.files,
+        target.stats, strStats = target.strStats, dvFiles = target.dvFiles)
+    }
 
   /** lakeFS `tag delete`: the commit becomes vacuumable again (if nothing
     * else retains it). Deleting a missing tag is a no-op returning false. */

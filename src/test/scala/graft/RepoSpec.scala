@@ -177,6 +177,27 @@ class RepoSpec extends SparkSpec {
     assert(repo.readTable(spark, "main", "b").as[String].collect() === Array("q"))
   }
 
+  test("repo branch protection: staging and commits rejected, merge lands") {
+    val repo = Repo.create(Tables.scratch("repo_protected"))
+    repo.stageWrite(Seq(1).toDF("x"), "main", "a")
+    repo.commit("main", "v0")
+    repo.protectBranch("main")
+    assertThrows[IllegalStateException](repo.stageWrite(Seq(2).toDF("x"), "main", "a"))
+    assertThrows[IllegalStateException](repo.stageAppend(Seq(2).toDF("x"), "main", "a"))
+    assertThrows[IllegalStateException](repo.revert("main", 0))
+    assert(repo.head("main").get.version === 0)
+    // merge-only flow still works at repo scope
+    repo.createBranch("etl", from = "main")
+    repo.stageWrite(Seq(2).toDF("x"), "etl", "a")
+    repo.commit("etl", "reviewed")
+    repo.merge("etl", "main")
+    assert(repo.readTable(spark, "main", "a").as[Int].collect() === Array(2))
+    assert(repo.unprotectBranch("main") && repo.protectionRules.isEmpty)
+    repo.stageWrite(Seq(3).toDF("x"), "main", "a")
+    repo.commit("main", "direct again")
+    assert(repo.readTable(spark, "main", "a").as[Int].collect() === Array(3))
+  }
+
   test("repo-wide timestamp time travel resolves the snapshot as of a commit's clock") {
     val repo = Repo.create(Tables.scratch("repo_ts_travel"))
     repo.stageWrite(Seq(1).toDF("x"), "main", "a")

@@ -263,6 +263,14 @@ class VersionedTableSpec extends SparkSpec {
     vt.vacuum(retainLast = 1)
     assert(vt.readTag(spark, "rel-1.0").as[(Int, String)].collect().sorted
       === Array((1, "a"), (2, "b")))
+    // RESTORE TO tag: the tagged state becomes a NEW head commit (history
+    // intact — the restore is itself revertable), addressed by name
+    val restored = vt.restoreTag("rel-1.0")
+    assert(restored.version === 2)
+    assert(vt.read(spark, "main").as[(Int, String)].collect().sorted
+      === Array((1, "a"), (2, "b")))
+    vt.revert("main", 1) // back to v1 content so the vacuum math below holds
+    assert(vt.read(spark, "main").as[(Int, String)].collect() === Array((9, "z")))
     // drop both tags -> v0's files become vacuumable, head unaffected
     assert(vt.deleteTag("rel-1.0") && vt.deleteTag("also-v0"))
     assert(!vt.deleteTag("rel-1.0")) // double delete is a false no-op
