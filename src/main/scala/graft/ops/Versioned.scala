@@ -310,6 +310,28 @@ object Versioned {
       .orderBy("part", "o_orderkey")
   }
 
+  /** Metadata-only COUNT(*) (Delta numRecords): the count comes from per-file
+    * row counts in the commit log — the COW delete subtracts by rewriting
+    * files (their logged counts shrink), the merge-on-read delete subtracts
+    * via its deletion vectors (base stays, only the tiny DV parquet is read).
+    * Zero data-file reads on the final count; VersionedTableSpec pins that by
+    * hiding the data directory. */
+  val qVtCount: QueryDef = q("q_vt_count")(
+    """SELECT count(*) AS cnt FROM orders
+      |WHERE NOT (o_totalprice > 200000) AND NOT (o_totalprice < 50000)""".stripMargin) {
+    (s, d) =>
+      import s.implicits._
+      val vt = VersionedTable.create(Tables.scratch("vt_count"))
+      val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      vt.write(o.where(col("o_orderkey") % 2 === 0)
+        .repartitionByRange(4, col("o_orderkey")), "main", "v0 evens",
+        statsCols = Seq("o_totalprice"))
+      vt.write(o.where(col("o_orderkey") % 2 =!= 0), "main", "v1 odds", mode = "append")
+      vt.delete(s, "o_totalprice > 200000")           // copy-on-write subtraction
+      vt.deleteWithVectors(s, "o_totalprice < 50000") // merge-on-read subtraction
+      Seq(vt.countRows(s)).toDF("cnt")
+  }
+
   /** Change-feed CONSUMER ([[graft.streaming.ChangeFeed]]): a named cursor
     * drains the table's CDC feed incrementally — two appends arrive as two
     * polls in different drains, each reading ONLY its interval's files. The
@@ -606,5 +628,5 @@ object Versioned {
     qVtBranch, qVtCommit, qVtDiff, qVtMerge, qVtCherryPick, qVtRevert, qVtVacuum, qVtObjects,
     qVtSkipRead, qVtAppend, qRepoCommit, qRepoMergeUnion, qVtChanges,
     qVtChangesUpsert, qVtChangesFeed, qVtHistory, qVtUpsert, qVtDelete, qVtDeleteMor,
-    qVtUpdate, qVtTag, qVtProtected, qVtFeedConsume, qVtIncremental, qVtTsTravel)
+    qVtUpdate, qVtTag, qVtProtected, qVtFeedConsume, qVtCount, qVtIncremental, qVtTsTravel)
 }

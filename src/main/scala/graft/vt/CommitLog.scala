@@ -59,7 +59,13 @@ final case class Commit(
       * `files` minus the union of its dvFiles; readers apply them as one
       * broadcast anti-join ([[VersionedTable.readCommit]]). Absent = empty =
       * pure copy-on-write history (back-compatible JSON). */
-    dvFiles: Vector[String] = Vector.empty) {
+    dvFiles: Vector[String] = Vector.empty,
+    /** Per-file physical row counts (Delta's `numRecords`). Filled by publish
+      * from the parent's map plus one footer read per NEW file, so
+      * `SELECT COUNT(*)`-class queries resolve from the log alone — at object-
+      * store scale the alternative is one footer GET per file per query.
+      * Absent = empty (back-compatible JSON; readers fall back to a scan). */
+    rowCounts: Map[String, Long] = Map.empty) {
   /** All parents, first-parent first — the DAG edge set for ancestry walks. */
   def parents: List[String] = parent.toList ++ mergeParent.toList
 
@@ -116,6 +122,13 @@ object CommitLog {
       m.put("strStats", sm)
     }
     if (c.dvFiles.nonEmpty) m.put("dvFiles", c.dvFiles.asJava)
+    if (c.rowCounts.nonEmpty) {
+      val rm = new java.util.LinkedHashMap[String, Object]()
+      c.rowCounts.toSeq.sortBy(_._1).foreach { case (f, n) =>
+        rm.put(f, java.lang.Long.valueOf(n))
+      }
+      m.put("rowCounts", rm)
+    }
     mapper.writeValueAsString(m)
   }
 
@@ -148,7 +161,11 @@ object CommitLog {
       }.getOrElse(Map.empty),
       dvFiles = Option(m.get("dvFiles"))
         .map(_.asInstanceOf[java.util.List[String]].asScala.toVector)
-        .getOrElse(Vector.empty))
+        .getOrElse(Vector.empty),
+      rowCounts = Option(m.get("rowCounts")).map { raw =>
+        raw.asInstanceOf[java.util.Map[String, Number]].asScala
+          .map { case (f, n) => f -> n.longValue() }.toMap
+      }.getOrElse(Map.empty))
   }
 
   /** Cross-process optimistic concurrency (Delta's log-store contract,

@@ -661,16 +661,21 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
   def delete(spark: SparkSession, where: String, branch: String = "main",
              message: String = ""): Commit = synchronized {
     guardWritable(branch)
-    import org.apache.spark.sql.functions.{coalesce, expr, input_file_name, lit, not}
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not}
     val parent = head(branch).getOrElse(
       throw new IllegalArgumentException(s"no such branch: $branch"))
     if (parent.files.isEmpty) return parent
     val pred = expr(where)
     val candidates = statsCandidates(parent, where)
     if (candidates.isEmpty) return parent // stats alone prove nothing matches
-    val touchedSet = readCommit(spark, parent.copy(files = candidates)).where(pred)
-      .select(input_file_name().as("__f")).distinct().collect()
-      .map(r => inputFileToRel(r.getString(0)))
+    // find touched files via the provenance scan's file-key column, not
+    // input_file_name(): on a DV-bearing snapshot the live-row scan is a
+    // multi-source join where input_file_name() throws, and only live rows
+    // (DVs applied) should drive the rewrite set
+    val fkToRel = candidates.map(f => VersionedTable.fileKey(f) -> f).toMap
+    val touchedSet = scanWithPos(spark, parent.copy(files = candidates)).where(pred)
+      .select(col(VersionedTable.FkCol)).distinct().collect()
+      .map(r => fkToRel(r.getString(0)))
       .toSet
     if (touchedSet.isEmpty) return parent // delete matched nothing
     val (touched, untouched) = parent.files.partition(touchedSet.contains)
@@ -716,7 +721,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
   def update(spark: SparkSession, where: String, set: Map[String, String],
              branch: String = "main", message: String = ""): Commit = synchronized {
     guardWritable(branch)
-    import org.apache.spark.sql.functions.{coalesce, col, expr, input_file_name, lit, when}
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
     require(set.nonEmpty, "update needs at least one SET column")
     val parent = head(branch).getOrElse(
       throw new IllegalArgumentException(s"no such branch: $branch"))
@@ -727,9 +732,11 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     val pred = expr(where)
     val candidates = statsCandidates(parent, where)
     if (candidates.isEmpty) return parent // stats alone prove nothing matches
-    val touchedSet = readCommit(spark, parent.copy(files = candidates)).where(pred)
-      .select(input_file_name().as("__f")).distinct().collect()
-      .map(r => inputFileToRel(r.getString(0)))
+    // same DV-safe touched-file detection as delete (see comment there)
+    val fkToRel = candidates.map(f => VersionedTable.fileKey(f) -> f).toMap
+    val touchedSet = scanWithPos(spark, parent.copy(files = candidates)).where(pred)
+      .select(col(VersionedTable.FkCol)).distinct().collect()
+      .map(r => fkToRel(r.getString(0)))
       .toSet
     if (touchedSet.isEmpty) return parent // update matched nothing
     val (touched, untouched) = parent.files.partition(touchedSet.contains)
@@ -818,8 +825,20 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
                       dvFiles: Vector[String] = Vector.empty): Commit = {
     val version = parent.map(_.version + 1).getOrElse(0L)
     val id = s"$branch-v$version-${java.util.UUID.randomUUID.toString.take(8)}"
+    // Per-file row counts (Delta numRecords): inherited from either parent's
+    // map when the file carries over; ONE local footer read per genuinely new
+    // file. Keeping them in the log is what makes COUNT(*) metadata-only at
+    // object-store scale — the alternative re-reads a footer per file per
+    // count. A failed footer read just omits the entry (countRows falls back
+    // to a scan); it never fails the publish.
+    val inheritedCounts = parent.map(_.rowCounts).getOrElse(Map.empty) ++
+      mergeParent.map(mp => loadCommit(mp).rowCounts).getOrElse(Map.empty)
+    val rowCounts = files.flatMap { f =>
+      inheritedCounts.get(f).orElse(VersionedTable.footerRowCount(root.resolve(f)))
+        .map(f -> _)
+    }.toMap
     val c = Commit(id, parent.map(_.id), version, files, schema.json, message,
-      System.currentTimeMillis(), stats, mergeParent, strStats, dvFiles)
+      System.currentTimeMillis(), stats, mergeParent, strStats, dvFiles, rowCounts)
     // pre-commit hooks (lakeFS Actions) see the full candidate and may throw;
     // running BEFORE the slot claim means an abort leaves no claimed slot to
     // sweep — only orphan data files the next vacuum reclaims.
@@ -947,6 +966,38 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
         // (only deleted positions), the corpus side never shuffles, and data
         // predicates still push below the join into the parquet scan.
         scanWithPos(spark, c).drop(VersionedTable.FkCol, VersionedTable.PosCol)
+    }
+  }
+
+  /** Metadata-only `SELECT COUNT(*)` (Delta answers it from `numRecords` in
+    * the log; so does this). When every file has a logged row count and the
+    * snapshot has no deletion vectors, the answer is a driver-side sum over
+    * the commit record — ZERO file reads, the shape a 10⁶-file table needs
+    * (a scan-based count costs a footer GET per file at minimum). With DVs,
+    * the base sum still comes from the log and only the TINY vector files
+    * are read: each live DV entry marks exactly one deleted row
+    * ([[deleteWithVectors]] never re-records an already-deleted position),
+    * and entries pointing at rewritten files (dead, left by copy-on-write
+    * ops that carry `dvFiles` forward) are dropped by a broadcast semi-join
+    * against the live file keys. Files missing a logged count (pre-rowCounts
+    * history) fall back to one real scan-based count. */
+  def countRows(spark: SparkSession, branch: String = "main"): Long = {
+    val c = head(branch).getOrElse(
+      throw new IllegalArgumentException(s"no such branch: $branch"))
+    if (!c.files.forall(c.rowCounts.contains)) readCommit(spark, c).count()
+    else {
+      val base = c.files.iterator.map(c.rowCounts).sum
+      if (c.dvFiles.isEmpty) base
+      else {
+        import org.apache.spark.sql.functions.broadcast
+        import spark.implicits._
+        // broadcast the SMALL side (the vectors); `live` may be 10⁶ keys.
+        // live fks are unique, so the inner-join row count = #live DV entries.
+        val live = c.files.map(VersionedTable.fileKey).toDF("fk")
+        val dv = spark.read
+          .parquet(c.dvFiles.map(f => root.resolve(f).toString): _*)
+        base - live.join(broadcast(dv), "fk").count()
+      }
     }
   }
 
@@ -1584,6 +1635,19 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
 }
 
 object VersionedTable {
+  /** Physical row count from a parquet FOOTER — no data pages touched. Used
+    * once per new file at publish time to stock the commit log's
+    * [[Commit.rowCounts]]; None (unreadable/corrupt footer) just omits the
+    * entry rather than failing the commit. */
+  private[vt] def footerRowCount(p: Path): Option[Long] =
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toUri),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try Some(r.getRecordCount) finally r.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** URL-safe base64 (no padding) — lets any protection pattern or branch
     * name serve as a metadata-store object name (also used by
     * [[graft.streaming.ChangeFeed]]'s per-branch cursor directories). */

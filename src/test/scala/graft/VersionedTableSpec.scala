@@ -191,6 +191,36 @@ class VersionedTableSpec extends SparkSpec {
     assert(same.id === c.id && vt.head("main").get.version === 1)
   }
 
+  test("countRows is metadata-only: survives hidden data files, DV-aware, scan fallback") {
+    val vt = freshVt("count_meta")
+    vt.write(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+      .repartitionByRange(2, col("k")), "main", "v0")
+    vt.write(Seq((4, "d"), (5, "e"), (6, "f")).toDF("k", "v"), "main", "v1", mode = "append")
+    assert(vt.countRows(spark) === 6)
+    // THE pin: the count needs no data files at all — hide the data dir
+    val dataDir = vt.root.resolve("data")
+    val hidden = vt.root.resolve("data_hidden")
+    java.nio.file.Files.move(dataDir, hidden)
+    try assert(vt.countRows(spark) === 6, "metadata-only count read a data file")
+    finally java.nio.file.Files.move(hidden, dataDir)
+    // merge-on-read delete: base stays from the log, only the DV is read
+    vt.deleteWithVectors(spark, "k = 1")
+    assert(vt.countRows(spark) === 5)
+    // COW delete rewrites the touched file; its dead DV entries (pointing at
+    // the replaced file) must NOT be subtracted again
+    vt.delete(spark, "k = 2")
+    assert(vt.countRows(spark) === 4)
+    // update rewrites but never changes cardinality
+    vt.update(spark, "k = 3", Map("v" -> "'z'"))
+    assert(vt.countRows(spark) === 4)
+    // a commit without logged counts (pre-rowCounts history) falls back to a scan
+    val h = vt.head("main").get
+    vt.store.put(vt.root.resolve("commits").resolve(h.id + ".json"),
+      graft.vt.CommitLog.toJson(h.copy(rowCounts = Map.empty)))
+    assert(vt.head("main").get.rowCounts.isEmpty)
+    assert(vt.countRows(spark) === 4, "scan fallback must agree")
+  }
+
   test("protected branches reject direct mutation but accept merges") {
     val vt = freshVt("protected")
     vt.write(Seq((1, "a")).toDF("k", "v"), "main", "v0")
