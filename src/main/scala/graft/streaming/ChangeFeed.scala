@@ -116,6 +116,49 @@ object ChangeFeed {
       .foreach(vt.store.delete)
   }
 
+  /** APPEND-ONLY REPLICATION: ship a source table's new commits into a
+    * target versioned table — the log-shipping composition of this module's
+    * two primitives, END-TO-END EXACTLY-ONCE with no coordination:
+    * [[processAvailable]] redelivers an interval after a crash
+    * (at-least-once), and [[EventsStreaming.ingestBatch]] keyed on the
+    * interval's `toVersion` skips a batch the target's own commit log
+    * already records (idempotent sink) — the same checkpoint+transactional-
+    * sink pairing Structured Streaming uses, realized on two commit logs.
+    *
+    * Append-only is a PRECONDITION, checked from commit METADATA (each
+    * step's file list must contain its parent's — O(versions) reads, no
+    * data): silently dropping a source delete would diverge the replica, so
+    * a non-append interval fails loudly instead. Replicating general CDC
+    * needs a keyed apply (upsert/delete by key) at the sink — a different
+    * contract than log shipping.
+    *
+    * Returns the number of intervals shipped. */
+  def replicateAppends(spark: SparkSession, source: VersionedTable,
+                       target: VersionedTable, consumer: String,
+                       sourceBranch: String = "main", targetBranch: String = "main",
+                       maxVersions: Int = Int.MaxValue): Int =
+    processAvailable(spark, source, consumer, sourceBranch, maxVersions) { b =>
+      // metadata precondition: every step in (from, to] only adds files
+      val commits = Iterator.iterate(source.head(sourceBranch))(
+          _.flatMap(_.parent).map(source.loadCommit))
+        .takeWhile(_.exists(_.version > b.fromVersion)).flatten.toVector
+      commits.filter(c => c.version > b.fromVersion && c.version <= b.toVersion)
+        .foreach { c =>
+          val p = c.parent.map(source.loadCommit)
+          val parentFiles = p.map(_.files.toSet).getOrElse(Set.empty)
+          val newDvs = p.map(_.dvFiles.toSet).getOrElse(Set.empty) != c.dvFiles.toSet
+          if (!parentFiles.subsetOf(c.files.toSet) || newDvs)
+            throw new IllegalStateException(
+              s"replicateAppends: source version ${c.version} is not append-only " +
+                "(files removed or deletion vectors changed); replicate it with a " +
+                "keyed CDC apply instead of log shipping")
+        }
+      EventsStreaming.ingestBatch(target, targetBranch)(
+        b.df.where(org.apache.spark.sql.functions.col("change_type") === "insert")
+          .drop("change_type", "version"),
+        b.toVersion)
+    }
+
   /** `Trigger.AvailableNow` drain: poll → process → commit until the head
     * OBSERVED AT ENTRY is consumed. The end offset is pinned first, so a
     * sustained concurrent writer cannot keep the drain alive forever —

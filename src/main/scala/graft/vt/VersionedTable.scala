@@ -284,13 +284,20 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     val schema: StructType = parent match {
       case Some(p) if mode == "append" =>
         val parentSchema = DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
-        val byName = parentSchema.fields.map(f => f.name -> f.dataType).toMap
+        // all schema comparisons are NULLABILITY-INSENSITIVE (nullNormalized):
+        // a compacted/overwritten snapshot read back from parquet reports
+        // every field nullable, and appending a stricter (non-null) frame
+        // into it is always safe — byte-exact json equality would reject it
+        val byName = parentSchema.fields
+          .map(f => f.name -> VersionedTable.nullNormalized(f.dataType)).toMap
         val clash = df.schema.fields.filter(f =>
-          byName.get(f.name).exists(_ != f.dataType))
+          byName.get(f.name).exists(_ != VersionedTable.nullNormalized(f.dataType)))
         if (clash.nonEmpty) throw new IllegalArgumentException(
           s"append type collision on $branch for ${clash.map(_.name).mkString(", ")}: " +
             "a column cannot change type on append")
-        if (!mergeSchema && df.schema.json != p.schemaJson)
+        def shape(s: StructType) =
+          s.fields.map(f => (f.name, VersionedTable.nullNormalized(f.dataType))).toSeq
+        if (!mergeSchema && shape(df.schema) != shape(parentSchema))
           throw new IllegalArgumentException(
             s"append schema mismatch on $branch: table has ${parentSchema.simpleString} but " +
               s"the appended DataFrame has ${df.schema.simpleString}; pass mergeSchema=true " +
@@ -1609,11 +1616,33 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     * as a NEW version (history intact — old versions still time-travel, and
     * vacuum reclaims the small files once they fall off the retention
     * horizon). The at-scale answer to streaming/append write amplification. */
-  def compact(spark: SparkSession, branch: String = "main", numFiles: Int = 1,
-              statsCols: Seq[String] = Nil): Commit = {
-    val df = read(spark, branch).repartition(numFiles)
-    write(df, branch, s"compact to $numFiles files", statsCols = statsCols)
+  /** Run a LAYOUT-ONLY commit (compaction, z-order) with Delta OPTIMIZE's
+    * concurrency rule: losing the version-slot race to a concurrent writer is
+    * not an error, because a layout rewrite commutes with any committed
+    * change — the right response is to re-read the NEW head (picking up the
+    * winner's rows) and rewrite again. Bounded retries: maintenance must
+    * never starve out real writers, so after `maxRetries` losses the caller
+    * gets the plain conflict. `attempt` MUST re-read the head each call —
+    * that is the rebase. */
+  private def retryLayoutCommit(maxRetries: Int)(attempt: () => Commit): Commit = {
+    var lost = 0
+    while (true) {
+      try return attempt()
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          lost += 1
+          if (lost > maxRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
+
+  def compact(spark: SparkSession, branch: String = "main", numFiles: Int = 1,
+              statsCols: Seq[String] = Nil, maxRetries: Int = 3): Commit =
+    retryLayoutCommit(maxRetries) { () =>
+      write(read(spark, branch).repartition(numFiles), branch,
+        s"compact to $numFiles files", statsCols = statsCols)
+    }
 
   /** Delta `OPTIMIZE ZORDER BY (a, b)`: rewrite the head snapshot sorted by
     * the Morton interleave of two numeric columns
@@ -1623,9 +1652,11 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     * Rows are untouched (layout-only commit, history intact); the
     * normalization bounds come from one bounded driver action. */
   def compactZorder(spark: SparkSession, branch: String, colA: String,
-                    colB: String, numFiles: Int = 8): Commit =
-    write(graft.ops.Scale.zorderLayout(read(spark, branch), colA, colB, numFiles),
-      branch, s"optimize zorder by ($colA, $colB)", statsCols = Seq(colA, colB))
+                    colB: String, numFiles: Int = 8, maxRetries: Int = 3): Commit =
+    retryLayoutCommit(maxRetries) { () =>
+      write(graft.ops.Scale.zorderLayout(read(spark, branch), colA, colB, numFiles),
+        branch, s"optimize zorder by ($colA, $colB)", statsCols = Seq(colA, colB))
+    }
 
   /** V10 upload/rm analog: raw object ops under the table root (staging dir). */
   def putObject(rel: String, content: String): Unit =

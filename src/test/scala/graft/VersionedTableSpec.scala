@@ -191,6 +191,42 @@ class VersionedTableSpec extends SparkSpec {
     assert(same.id === c.id && vt.head("main").get.version === 1)
   }
 
+  test("compact auto-rebases on concurrent-writer conflict (layout-only commutes)") {
+    val vt = freshVt("compact_race")
+    vt.write(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+      .repartitionByRange(2, col("k")), "main", "v0")
+    // deterministic racer: a pre-commit hook that appends a row the first
+    // time a compact tries to publish — the append claims the version slot
+    // first, so the compact's own publish loses and must rebase
+    var raced = false
+    vt.addPreCommitHook("racer") { (_, c) =>
+      if (c.message.startsWith("compact") && !raced) {
+        raced = true
+        vt.write(Seq((9, "z")).toDF("k", "v"), "main", "mid-compact append", mode = "append")
+      }
+    }
+    val c = vt.compact(spark, "main", numFiles = 1)
+    assert(raced, "the racer hook must have fired")
+    // the retry re-read the NEW head: the racer's row is inside the compacted
+    // file, nothing was lost, and the lineage is append(v1) -> compact(v2)
+    assert(c.version === 2 && c.files.size === 1)
+    assert(vt.read(spark, "main").as[(Int, String)].collect().sortBy(_._1)
+      === Array((1, "a"), (2, "b"), (3, "c"), (9, "z")))
+    assert(vt.countRows(spark) === 4)
+    // bounded: a conflict on EVERY attempt eventually surfaces as the error
+    vt.removePreCommitHook("racer")
+    vt.addPreCommitHook("always-racer") { (_, c) =>
+      if (c.message.startsWith("compact"))
+        vt.write(Seq((0, "w")).toDF("k", "v"), "main", "relentless writer", mode = "append")
+    }
+    assertThrows[java.util.ConcurrentModificationException](
+      vt.compact(spark, "main", numFiles = 1, maxRetries = 1))
+    vt.removePreCommitHook("always-racer")
+    // and the nullability wart the racer exposed stays fixed: appending a
+    // non-nullable frame into a compacted (all-nullable parquet) schema works
+    vt.write(Seq((7, "q")).toDF("k", "v"), "main", "append post-compact", mode = "append")
+  }
+
   test("countRows is metadata-only: survives hidden data files, DV-aware, scan fallback") {
     val vt = freshVt("count_meta")
     vt.write(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
