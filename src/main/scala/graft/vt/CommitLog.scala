@@ -65,7 +65,13 @@ final case class Commit(
       * `SELECT COUNT(*)`-class queries resolve from the log alone — at object-
       * store scale the alternative is one footer GET per file per query.
       * Absent = empty (back-compatible JSON; readers fall back to a scan). */
-    rowCounts: Map[String, Long] = Map.empty) {
+    rowCounts: Map[String, Long] = Map.empty,
+    /** Per-file per-column NULL counts (Delta's `nullCount`, the fourth
+      * stats quadrant next to min/max/numRecords): collected for the same
+      * `statsCols` as min/max. Powers `IS NULL` pruning (skip files with 0
+      * nulls) and — with [[rowCounts]] — `IS NOT NULL` pruning (skip all-null
+      * files). Absent = empty = never skip (back-compatible JSON). */
+    nullStats: Map[String, Map[String, Long]] = Map.empty) {
   /** All parents, first-parent first — the DAG edge set for ancestry walks. */
   def parents: List[String] = parent.toList ++ mergeParent.toList
 
@@ -129,6 +135,17 @@ object CommitLog {
       }
       m.put("rowCounts", rm)
     }
+    if (c.nullStats.nonEmpty) {
+      val nm = new java.util.LinkedHashMap[String, Object]()
+      c.nullStats.toSeq.sortBy(_._1).foreach { case (file, cols) =>
+        val cm = new java.util.LinkedHashMap[String, Object]()
+        cols.toSeq.sortBy(_._1).foreach { case (col, n) =>
+          cm.put(col, java.lang.Long.valueOf(n))
+        }
+        nm.put(file, cm)
+      }
+      m.put("nullStats", nm)
+    }
     mapper.writeValueAsString(m)
   }
 
@@ -165,6 +182,12 @@ object CommitLog {
       rowCounts = Option(m.get("rowCounts")).map { raw =>
         raw.asInstanceOf[java.util.Map[String, Number]].asScala
           .map { case (f, n) => f -> n.longValue() }.toMap
+      }.getOrElse(Map.empty),
+      nullStats = Option(m.get("nullStats")).map { raw =>
+        raw.asInstanceOf[java.util.Map[String, java.util.Map[String, Number]]]
+          .asScala.map { case (file, cols) =>
+            file -> cols.asScala.map { case (col, n) => col -> n.longValue() }.toMap
+          }.toMap
       }.getOrElse(Map.empty))
   }
 

@@ -319,18 +319,22 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       case _ => df.schema
     }
     val newFiles = writeDataFiles(df, branch, parent.map(_.version + 1).getOrElse(0L))
-    val (newStats, newStrStats) =
+    val (newStats, newStrStats, newNullStats) =
       if (statsCols.isEmpty)
         (Map.empty[String, Map[String, (Double, Double)]],
-          Map.empty[String, Map[String, (String, String)]])
+          Map.empty[String, Map[String, (String, String)]],
+          Map.empty[String, Map[String, Long]])
       else collectFileStats(df.sparkSession, newFiles, statsCols, df.schema)
     val parentStats = if (mode == "append") parent.map(_.stats).getOrElse(Map.empty)
                       else Map.empty[String, Map[String, (Double, Double)]]
     val parentStrStats = if (mode == "append") parent.map(_.strStats).getOrElse(Map.empty)
                          else Map.empty[String, Map[String, (String, String)]]
+    val parentNullStats = if (mode == "append") parent.map(_.nullStats).getOrElse(Map.empty)
+                          else Map.empty[String, Map[String, Long]]
     publish(branch, parent, message, schema,
       if (mode == "append") parent.map(_.files).getOrElse(Vector.empty) ++ newFiles else newFiles,
       parentStats ++ newStats, strStats = parentStrStats ++ newStrStats,
+      nullStats = parentNullStats ++ newNullStats,
       // append keeps the old files, so their deletion vectors stay live;
       // overwrite replaces the snapshot, so none carry
       dvFiles = if (mode == "append") parent.map(_.dvFiles).getOrElse(Vector.empty)
@@ -362,15 +366,18 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
   private def collectFileStats(spark: SparkSession, files: Vector[String],
                                cols: Seq[String], schema: StructType)
       : (Map[String, Map[String, (Double, Double)]],
-         Map[String, Map[String, (String, String)]]) = {
-    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+         Map[String, Map[String, (String, String)]],
+         Map[String, Map[String, Long]]) = {
+    import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min, sum, when}
     val isStr = cols.map(c =>
       c -> (schema(c).dataType == org.apache.spark.sql.types.StringType)).toMap
     val paths = files.map(f => root.resolve(f).toString)
+    // layout per file row: [__file, (min,max) x cols, nullCount x cols]
     val aggs = cols.flatMap(c =>
       if (isStr(c)) Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"))
       else Seq(min(col(c).cast("double")).as(s"__min_$c"),
-        max(col(c).cast("double")).as(s"__max_$c")))
+        max(col(c).cast("double")).as(s"__max_$c"))) ++
+      cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nc_$c"))
     val rows = spark.read.parquet(paths: _*)
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -390,7 +397,13 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
           c -> (r.getString(1 + 2 * i), r.getString(2 + 2 * i))
       }.toMap
     }.toMap
-    (num, str)
+    val ncBase = 1 + 2 * cols.size
+    val nulls = rows.map { case (rel, r) =>
+      rel -> cols.zipWithIndex.collect {
+        case (c, i) if !r.isNullAt(ncBase + i) => c -> r.getLong(ncBase + i)
+      }.toMap
+    }.toMap
+    (num, str, nulls)
   }
 
   /** Delta-style MERGE (upsert): source rows REPLACE current rows sharing
@@ -478,10 +491,11 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     // same column set the parent tracked (so skip-reads keep working)
     val statCols = (parent.stats.values.flatMap(_.keys) ++
       parent.strStats.values.flatMap(_.keys)).toSeq.distinct
-    val (newStats, newStrStats) =
+    val (newStats, newStrStats, newNullStats) =
       if (statCols.isEmpty)
         (Map.empty[String, Map[String, (Double, Double)]],
-          Map.empty[String, Map[String, (String, String)]])
+          Map.empty[String, Map[String, (String, String)]],
+          Map.empty[String, Map[String, Long]])
       else collectFileStats(spark, newFiles, statCols, schema)
     val untouchedSet = untouched.toSet // O(1) lookups: stat carry is O(F), not O(F^2)
     publish(branch, Some(parent),
@@ -489,6 +503,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       schema, untouched ++ newFiles,
       parent.stats.view.filterKeys(untouchedSet).toMap ++ newStats,
       strStats = parent.strStats.view.filterKeys(untouchedSet).toMap ++ newStrStats,
+      nullStats = parent.nullStats.view.filterKeys(untouchedSet).toMap ++ newNullStats,
       dvFiles = parent.dvFiles) // untouched files keep their deletion vectors
   }
 
@@ -606,9 +621,33 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     * so a point delete on a key-clustered petabyte table probes a handful of
     * files' worth of metadata, not a million parquet footers. Files without
     * stats for a bounded column are conservatively kept. */
+  /** Top-level-conjunct `IS NULL` / `IS NOT NULL` column demands — the null-
+    * stats complement of [[allPredicateBounds]]. Anything under OR/NOT or
+    * wrapped in a function contributes nothing (conservative, like bounds). */
+  private[graft] def nullDemands(
+      pred: org.apache.spark.sql.catalyst.expressions.Expression)
+      : (Set[String], Set[String]) = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def colName(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def walk(e: Expression): (Set[String], Set[String]) = e match {
+      case And(l, r) =>
+        val (a1, b1) = walk(l); val (a2, b2) = walk(r); (a1 ++ a2, b1 ++ b2)
+      case IsNull(c) => (colName(c).toSet, Set.empty)
+      case IsNotNull(c) => (Set.empty, colName(c).toSet)
+      case _ => (Set.empty, Set.empty)
+    }
+    walk(pred)
+  }
+
   private def statsCandidates(parent: Commit, where: String): Vector[String] = {
-    val (bounds, strBounds) = allPredicateBounds(
-      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(where))
+    val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(where)
+    val (bounds, strBounds) = allPredicateBounds(parsed)
+    val (needNull, needNotNull) = nullDemands(parsed)
     parent.files.filter { f =>
       bounds.forall { case (k, (lo, hi)) =>
         parent.stats.get(f).flatMap(_.get(k)) match {
@@ -621,6 +660,18 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
             slo.forall(lo => VersionedTable.utf8Cmp(mx, lo) >= 0) &&
               shi.forall(hi => VersionedTable.utf8Cmp(mn, hi) <= 0)
           case None => true
+        }
+      } && needNull.forall { k =>
+        // `k IS NULL` can match only files recording at least one null
+        parent.nullStats.get(f).flatMap(_.get(k)) match {
+          case Some(nc) => nc > 0
+          case None => true
+        }
+      } && needNotNull.forall { k =>
+        // `k IS NOT NULL` can match only files that are not ALL-null in k
+        (parent.nullStats.get(f).flatMap(_.get(k)), parent.rowCounts.get(f)) match {
+          case (Some(nc), Some(rc)) => nc < rc
+          case _ => true
         }
       }
     }
@@ -661,7 +712,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     publish(branch, Some(parent),
       if (message.isEmpty) s"delete (merge-on-read) where ($where)" else message,
       DataType.fromJson(parent.schemaJson).asInstanceOf[StructType], parent.files,
-      parent.stats, strStats = parent.strStats,
+      parent.stats, strStats = parent.strStats, nullStats = parent.nullStats,
       dvFiles = parent.dvFiles ++ dvNew)
   }
 
@@ -692,10 +743,11 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     val newFiles = writeDataFiles(kept, branch, parent.version + 1)
     val statCols = (parent.stats.values.flatMap(_.keys) ++
       parent.strStats.values.flatMap(_.keys)).toSeq.distinct
-    val (newStats, newStrStats) =
+    val (newStats, newStrStats, newNullStats) =
       if (statCols.isEmpty || newFiles.isEmpty) // all touched rows may be gone
         (Map.empty[String, Map[String, (Double, Double)]],
-          Map.empty[String, Map[String, (String, String)]])
+          Map.empty[String, Map[String, (String, String)]],
+          Map.empty[String, Map[String, Long]])
       else collectFileStats(spark, newFiles, statCols, schema)
     val untouchedSet = untouched.toSet // O(1) lookups: stat carry is O(F), not O(F^2)
     publish(branch, Some(parent),
@@ -703,6 +755,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       schema, untouched ++ newFiles,
       parent.stats.view.filterKeys(untouchedSet).toMap ++ newStats,
       strStats = parent.strStats.view.filterKeys(untouchedSet).toMap ++ newStrStats,
+      nullStats = parent.nullStats.view.filterKeys(untouchedSet).toMap ++ newNullStats,
       // untouched files keep their deletion vectors; touched files were read
       // with DVs applied and rewritten, leaving only harmless dead entries
       dvFiles = parent.dvFiles)
@@ -761,10 +814,11 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     val newFiles = writeDataFiles(rewritten, branch, parent.version + 1)
     val statCols = (parent.stats.values.flatMap(_.keys) ++
       parent.strStats.values.flatMap(_.keys)).toSeq.distinct
-    val (newStats, newStrStats) =
+    val (newStats, newStrStats, newNullStats) =
       if (statCols.isEmpty || newFiles.isEmpty)
         (Map.empty[String, Map[String, (Double, Double)]],
-          Map.empty[String, Map[String, (String, String)]])
+          Map.empty[String, Map[String, (String, String)]],
+          Map.empty[String, Map[String, Long]])
       else collectFileStats(spark, newFiles, statCols, schema)
     val untouchedSet = untouched.toSet // O(1) lookups: stat carry is O(F), not O(F^2)
     publish(branch, Some(parent),
@@ -773,6 +827,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       schema, untouched ++ newFiles,
       parent.stats.view.filterKeys(untouchedSet).toMap ++ newStats,
       strStats = parent.strStats.view.filterKeys(untouchedSet).toMap ++ newStrStats,
+      nullStats = parent.nullStats.view.filterKeys(untouchedSet).toMap ++ newNullStats,
       // untouched files keep their deletion vectors; touched files were read
       // with DVs applied and rewritten, leaving only harmless dead entries
       dvFiles = parent.dvFiles)
@@ -829,7 +884,8 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
                       stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
                       mergeParent: Option[String] = None,
                       strStats: Map[String, Map[String, (String, String)]] = Map.empty,
-                      dvFiles: Vector[String] = Vector.empty): Commit = {
+                      dvFiles: Vector[String] = Vector.empty,
+                      nullStats: Map[String, Map[String, Long]] = Map.empty): Commit = {
     val version = parent.map(_.version + 1).getOrElse(0L)
     val id = s"$branch-v$version-${java.util.UUID.randomUUID.toString.take(8)}"
     // Per-file row counts (Delta numRecords): inherited from either parent's
@@ -845,7 +901,8 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
         .map(f -> _)
     }.toMap
     val c = Commit(id, parent.map(_.id), version, files, schema.json, message,
-      System.currentTimeMillis(), stats, mergeParent, strStats, dvFiles, rowCounts)
+      System.currentTimeMillis(), stats, mergeParent, strStats, dvFiles, rowCounts,
+      nullStats)
     // pre-commit hooks (lakeFS Actions) see the full candidate and may throw;
     // running BEFORE the slot claim means an abort leaves no claimed slot to
     // sweep — only orphan data files the next vacuum reclaims.
@@ -1211,7 +1268,8 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       publish(branch, head(branch),
         if (message.isEmpty) s"restore tag $name" else message,
         DataType.fromJson(target.schemaJson).asInstanceOf[StructType], target.files,
-        target.stats, strStats = target.strStats, dvFiles = target.dvFiles)
+        target.stats, strStats = target.strStats, nullStats = target.nullStats,
+        dvFiles = target.dvFiles)
     }
 
   /** lakeFS `tag delete`: the commit becomes vacuumable again (if nothing
@@ -1301,6 +1359,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
         DataType.fromJson(dst.schemaJson).asInstanceOf[StructType], merged,
         dst.stats ++ src.stats, mergeParent = Some(src.id),
         strStats = dst.strStats ++ src.strStats,
+        nullStats = dst.nullStats ++ src.nullStats,
         // deletion vectors union: concurrent merge-on-read deletes compose —
         // the merged snapshot subtracts BOTH sides' deleted positions
         dvFiles = (dst.dvFiles ++ src.dvFiles).distinct.sorted)
@@ -1314,7 +1373,8 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     val target = resolveVersion(branch, toVersion)
     publish(branch, head(branch), if (message.isEmpty) s"revert to v$toVersion" else message,
       DataType.fromJson(target.schemaJson).asInstanceOf[StructType], target.files,
-      target.stats, strStats = target.strStats, dvFiles = target.dvFiles)
+      target.stats, strStats = target.strStats, nullStats = target.nullStats,
+      dvFiles = target.dvFiles)
   }
 
   /** lakeFS `cherry-pick` (lakectl's single-commit transplant): apply the
@@ -1366,6 +1426,8 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
         picked.stats.view.filterKeys(added.contains).toMap,
       strStats = dst.strStats.view.filterKeys(files.contains).toMap ++
         picked.strStats.view.filterKeys(added.contains).toMap,
+      nullStats = dst.nullStats.view.filterKeys(files.contains).toMap ++
+        picked.nullStats.view.filterKeys(added.contains).toMap,
       dvFiles = (dst.dvFiles ++ dvAdded).distinct.sorted.toVector)
   }
 

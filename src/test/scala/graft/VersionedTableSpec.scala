@@ -191,6 +191,43 @@ class VersionedTableSpec extends SparkSpec {
     assert(same.id === c.id && vt.head("main").get.version === 1)
   }
 
+  test("null-count stats prune IS NULL / IS NOT NULL predicates by file") {
+    import org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression
+    val vt = freshVt("null_stats")
+    // file A: no nulls in v; file B: all-null v; file C: mixed
+    val dfA = Seq((1, Some("a")), (2, Some("b"))).toDF("k", "v")
+    val dfB = Seq((11, None: Option[String]), (12, None)).toDF("k", "v")
+    val dfC = Seq((21, Some("c")), (22, None)).toDF("k", "v")
+    vt.write(dfA, "main", "A", statsCols = Seq("k", "v"))
+    vt.write(dfB, "main", "B", mode = "append", statsCols = Seq("k", "v"))
+    vt.write(dfC, "main", "C", mode = "append", statsCols = Seq("k", "v"))
+    val h = vt.head("main").get
+    assert(h.nullStats.nonEmpty && h.files.forall(h.nullStats.contains))
+    // demand extraction: conjuncts only, OR contributes nothing
+    assert(vt.nullDemands(parseExpression("v IS NULL AND k > 0")) === (Set("v"), Set.empty))
+    assert(vt.nullDemands(parseExpression("v IS NOT NULL")) === (Set.empty, Set("v")))
+    assert(vt.nullDemands(parseExpression("v IS NULL OR k = 1")) === (Set.empty, Set.empty))
+    // IS NULL delete: file A (zero nulls) is excluded from the rewrite —
+    // its file entry carries to the new version untouched
+    val c1 = vt.delete(spark, "v IS NULL")
+    val aFiles = h.files.filter(f => h.nullStats(f).get("v").contains(0L))
+    assert(aFiles.nonEmpty && aFiles.forall(c1.files.contains),
+      "null-free files must carry through an IS NULL delete untouched")
+    assert(vt.read(spark, "main").select("k").as[Int].collect().sorted
+      === Array(1, 2, 21))
+    // IS NOT NULL delete on a fresh copy: the all-null file B is excluded
+    val vt2 = freshVt("null_stats2")
+    vt2.write(dfA, "main", "A", statsCols = Seq("k", "v"))
+    vt2.write(dfB, "main", "B", mode = "append", statsCols = Seq("k", "v"))
+    val h2 = vt2.head("main").get
+    val bFiles = h2.files.filter(f =>
+      h2.nullStats(f).get("v").exists(nc => h2.rowCounts.get(f).contains(nc)))
+    val c2 = vt2.delete(spark, "v IS NOT NULL")
+    assert(bFiles.nonEmpty && bFiles.forall(c2.files.contains),
+      "all-null files must carry through an IS NOT NULL delete untouched")
+    assert(vt2.read(spark, "main").select("k").as[Int].collect().sorted === Array(11, 12))
+  }
+
   test("compact auto-rebases on concurrent-writer conflict (layout-only commutes)") {
     val vt = freshVt("compact_race")
     vt.write(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
