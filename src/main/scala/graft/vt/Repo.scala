@@ -405,10 +405,11 @@ final class Repo private (val root: Path, val store: MetaStore) {
     * direct staging/commits on matching repo branches — changes land only
     * via [[merge]]. Same persisted-rule mechanics as the table layer
     * ([[ProtectionRules]]); enforced by every handle on the root. */
-  def protectBranch(pattern: String): Unit = ProtectionRules.add(store, protectedDir, pattern)
+  def protectBranch(pattern: String): Unit =
+    synchronized { ProtectionRules.add(store, protectedDir, pattern) }
 
   def unprotectBranch(pattern: String): Boolean =
-    ProtectionRules.remove(store, protectedDir, pattern)
+    synchronized { ProtectionRules.remove(store, protectedDir, pattern) }
 
   def protectionRules: Seq[String] = ProtectionRules.all(store, protectedDir)
 

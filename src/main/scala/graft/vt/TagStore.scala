@@ -39,32 +39,3 @@ private[vt] object TagStore {
     store.delete(tagsDir.resolve(name))
 }
 
-/** Shared branch-protection mechanics for [[VersionedTable]] and [[Repo]]
-  * (lakeFS protection rules are repo configuration; the table layer mirrors
-  * them). One metadata object per glob pattern, named by URL-safe base64 so
-  * any pattern round-trips as an object key; enforcement is a listing + glob
-  * match, so every handle on the root sees the same rules. */
-private[vt] object ProtectionRules {
-
-  def add(store: MetaStore, dir: Path, pattern: String): Unit = {
-    require(pattern.nonEmpty, "empty protection pattern")
-    store.ensurePrefix(dir)
-    store.put(dir.resolve(VersionedTable.b64(pattern)), pattern)
-  }
-
-  /** Remove one rule (exact pattern, not a matching branch name). */
-  def remove(store: MetaStore, dir: Path, pattern: String): Boolean =
-    store.delete(dir.resolve(VersionedTable.b64(pattern)))
-
-  def all(store: MetaStore, dir: Path): Seq[String] =
-    store.list(dir).map(store.read(_).trim).sorted
-
-  def isProtected(store: MetaStore, dir: Path, branch: String): Boolean =
-    all(store, dir).exists(p => VersionedTable.globMatches(p, branch))
-
-  /** Throws unless `branch` accepts direct mutation. */
-  def guard(store: MetaStore, dir: Path, branch: String): Unit =
-    if (isProtected(store, dir, branch)) throw new IllegalStateException(
-      s"branch '$branch' is protected: direct changes are rejected; " +
-        "merge from a side branch instead (lakeFS branch-protection semantics)")
-}

@@ -1148,12 +1148,13 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     * Rules persist in the metadata store — one object per pattern, named by
     * URL-safe base64 so any pattern round-trips as an object key — and are
     * enforced by every table handle, not just the one that added them. */
-  def protectBranch(pattern: String): Unit = ProtectionRules.add(store, protectedDir, pattern)
+  def protectBranch(pattern: String): Unit =
+    synchronized { ProtectionRules.add(store, protectedDir, pattern) }
 
   /** Remove one protection rule (exact pattern, not a matching branch name).
     * Returns false when no such rule exists. */
   def unprotectBranch(pattern: String): Boolean =
-    ProtectionRules.remove(store, protectedDir, pattern)
+    synchronized { ProtectionRules.remove(store, protectedDir, pattern) }
 
   def protectionRules: Seq[String] = ProtectionRules.all(store, protectedDir)
 
@@ -1264,8 +1265,11 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
   def restoreTag(name: String, branch: String = "main", message: String = ""): Commit =
     synchronized {
       guardWritable(branch)
+      // a typo'd branch must fail, not be silently born from the tag
+      val h = head(branch).getOrElse(
+        throw new IllegalArgumentException(s"no such branch: $branch"))
       val target = tagCommit(name)
-      publish(branch, head(branch),
+      publish(branch, Some(h),
         if (message.isEmpty) s"restore tag $name" else message,
         DataType.fromJson(target.schemaJson).asInstanceOf[StructType], target.files,
         target.stats, strStats = target.strStats, nullStats = target.nullStats,

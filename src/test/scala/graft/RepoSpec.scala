@@ -181,7 +181,12 @@ class RepoSpec extends SparkSpec {
     val repo = Repo.create(Tables.scratch("repo_protected"))
     repo.stageWrite(Seq(1).toDF("x"), "main", "a")
     repo.commit("main", "v0")
+    // stage BEFORE protecting, then protect: the COMMIT door itself must be
+    // guarded — content staged pre-protection must not publish
+    repo.stageWrite(Seq(99).toDF("x"), "main", "a")
     repo.protectBranch("main")
+    assertThrows[IllegalStateException](repo.commit("main", "staged before protection"))
+    repo.reset("main") // discard the stranded staging (reset stays open)
     assertThrows[IllegalStateException](repo.stageWrite(Seq(2).toDF("x"), "main", "a"))
     assertThrows[IllegalStateException](repo.stageAppend(Seq(2).toDF("x"), "main", "a"))
     assertThrows[IllegalStateException](repo.revert("main", 0))

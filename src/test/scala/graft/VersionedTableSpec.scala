@@ -370,6 +370,9 @@ class VersionedTableSpec extends SparkSpec {
     // intact — the restore is itself revertable), addressed by name
     val restored = vt.restoreTag("rel-1.0")
     assert(restored.version === 2)
+    // a typo'd branch fails; it must NOT be silently created from the tag
+    assertThrows[IllegalArgumentException](vt.restoreTag("rel-1.0", "mian"))
+    assert(!vt.branches.contains("mian"))
     assert(vt.read(spark, "main").as[(Int, String)].collect().sorted
       === Array((1, "a"), (2, "b")))
     vt.revert("main", 1) // back to v1 content so the vacuum math below holds
