@@ -416,6 +416,39 @@ object Versioned {
       .orderBy("part", "n_nationkey")
   }
 
+  /** RESTORE-to-tag (Delta `RESTORE TABLE ... VERSION AS OF` by release
+    * name): v0 is tagged, v1 overwrites with a disjoint slice, then the
+    * restore publishes the tagged state back as v2 — so the head equals v0's
+    * content again while v1 stays one time-travel hop away. Output pins all
+    * three: restored head, the still-readable v1, and the CDC of the restore
+    * interval (v1→v2 = delete v1's rows, re-insert v0's). */
+  val qVtRestoreTag: QueryDef = q("q_vt_restore_tag")(
+    """SELECT * FROM (
+      |  SELECT 'head' AS part, n_nationkey FROM nation WHERE n_regionkey < 2
+      |  UNION ALL
+      |  SELECT 'v1' AS part, n_nationkey FROM nation WHERE n_regionkey >= 2
+      |  UNION ALL
+      |  SELECT 'cdc_del' AS part, n_nationkey FROM nation WHERE n_regionkey >= 2
+      |  UNION ALL
+      |  SELECT 'cdc_ins' AS part, n_nationkey FROM nation WHERE n_regionkey < 2)
+      |ORDER BY part, n_nationkey""".stripMargin) { (s, d) =>
+    val vt = VersionedTable.create(Tables.scratch("vt_restore_tag"))
+    val nation = Tables.nation(s, d)
+    vt.write(nation.where(col("n_regionkey") < 2), "main", "v0")
+    vt.createTag("golden")
+    vt.write(nation.where(col("n_regionkey") >= 2), "main", "v1 disjoint slice")
+    vt.restoreTag("golden")
+    val cdc = vt.changes(s, "main", fromVersion = 1, toVersion = 2)
+    vt.read(s, "main").select(lit("head").as("part"), col("n_nationkey"))
+      .unionByName(vt.readVersion(s, "main", 1)
+        .select(lit("v1").as("part"), col("n_nationkey")))
+      .unionByName(cdc.where(col("change_type") === "delete")
+        .select(lit("cdc_del").as("part"), col("n_nationkey")))
+      .unionByName(cdc.where(col("change_type") === "insert")
+        .select(lit("cdc_ins").as("part"), col("n_nationkey")))
+      .orderBy("part", "n_nationkey")
+  }
+
   /** Row-level UPDATE (Delta `UPDATE ... SET ... WHERE`): copy-on-write over
     * the stats-pruned touched files only. The output pins all three faces at
     * once: the head shows the after-state (CASE twin in the oracle), and the
@@ -628,5 +661,6 @@ object Versioned {
     qVtBranch, qVtCommit, qVtDiff, qVtMerge, qVtCherryPick, qVtRevert, qVtVacuum, qVtObjects,
     qVtSkipRead, qVtAppend, qRepoCommit, qRepoMergeUnion, qVtChanges,
     qVtChangesUpsert, qVtChangesFeed, qVtHistory, qVtUpsert, qVtDelete, qVtDeleteMor,
-    qVtUpdate, qVtTag, qVtProtected, qVtFeedConsume, qVtCount, qVtIncremental, qVtTsTravel)
+    qVtUpdate, qVtTag, qVtRestoreTag, qVtProtected, qVtFeedConsume, qVtCount,
+    qVtIncremental, qVtTsTravel)
 }

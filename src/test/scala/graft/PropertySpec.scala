@@ -253,6 +253,54 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: copy-on-write UPDATE equals the naive full-table rewrite on random data") {
+    // The stats pruning + touched-file restriction are OPTIMIZATIONS: for any
+    // layout, range predicate, and SET expressions, update's result must be
+    // row-identical to mapping the predicate over EVERY row (with the
+    // old-row-RHS rule), and the CDC must be the exact value-level delta.
+    val tableGen: Gen[List[(Int, Int)]] = Gen.listOfN(30,
+      for { k <- Gen.choose(0, 49); v <- Gen.choose(0, 9) } yield (k, v))
+    val predGen: Gen[(Int, Int)] = // an [lo, hi] key range, sometimes empty
+      for { a <- Gen.choose(0, 55); b <- Gen.choose(0, 55) } yield (a min b, a max b)
+    samples(Gen.zip(tableGen, predGen), 6).zipWithIndex.foreach {
+      case ((tableRows, (lo, hi)), i) =>
+        if (tableRows.nonEmpty) {
+          val vt = VersionedTable.create(Tables.scratch(s"prop_upd_$i"))
+          vt.write(tableRows.toDF("k", "v").repartitionByRange(4, col("k")),
+            "main", "v0", statsCols = Seq("k"))
+          // SET v = v + 100, k = v: both RHS must see the OLD row
+          vt.update(spark, s"k >= $lo AND k <= $hi", Map("v" -> "v + 100", "k" -> "v"))
+          val got = vt.read(spark, "main").as[(Int, Int)].collect()
+            .groupBy(identity).view.mapValues(_.length).toMap
+          val expectedRows = tableRows.map { case (k, v) =>
+            if (k >= lo && k <= hi) (v, v + 100) else (k, v)
+          }
+          val expected = expectedRows.groupBy(identity).view.mapValues(_.length).toMap
+          assert(got === expected, s"case $i: table=$tableRows pred=[$lo,$hi]")
+          // no-match predicates must not even have created a version
+          val headV = vt.head("main").get.version
+          if (tableRows.forall { case (k, _) => k < lo || k > hi })
+            assert(headV === 0, s"case $i: no-op update must not commit")
+          else {
+            assert(headV === 1)
+            // CDC = exact value-level delta as bags
+            val cdc = vt.changes(spark, "main", 0, 1)
+              .select("change_type", "k", "v").as[(String, Int, Int)].collect()
+            def bag(rs: Seq[(Int, Int)]) =
+              rs.groupBy(identity).view.mapValues(_.length).toMap
+            val before = bag(tableRows)
+            val after = expected
+            val ins = bag(cdc.collect { case ("insert", k, v) => (k, v) }.toSeq)
+            val del = bag(cdc.collect { case ("delete", k, v) => (k, v) }.toSeq)
+            val replayed = (before.keySet ++ ins.keySet).map { r =>
+              r -> (before.getOrElse(r, 0) + ins.getOrElse(r, 0) - del.getOrElse(r, 0))
+            }.filter(_._2 > 0).toMap
+            assert(replayed === after, s"case $i: CDC replay diverged")
+          }
+        }
+    }
+  }
+
   test("property: writers with random crash points — versions stay gap-free, published slots survive, the branch always recovers") {
     // op 0 = clean write; op 1 = crash between slot claim and commit write;
     // op 2 = crash between commit write and ref advance; op 3 = fast-forward
