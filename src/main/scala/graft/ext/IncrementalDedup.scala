@@ -86,7 +86,13 @@ object IncrementalDedup {
     val spark = org.apache.spark.sql.SparkSession.active
     val corpusHead = vt.head(branch).map(_.version).getOrElse(return)
     val from = sigVt.head(branch).map(_.version + 1).getOrElse(0L)
-    val byVersion = vt.lineage(branch).map(c => c.version -> c).toMap
+    if (from > corpusHead) return // already caught up: zero metadata reads
+    // only the catch-up interval's commits — O(increment) metadata, not
+    // O(history): on a long-lived streaming-ingest corpus (thousands of
+    // commits) a full lineage walk per micro-batch would grow without bound
+    // (same pattern as Ivf.maintainIvfIndex)
+    val byVersion = vt.commitRange(branch, math.max(from - 1, 0L), corpusHead)
+      .map(c => c.version -> c).toMap
     (from to corpusHead).foreach { v =>
       val appendOnly = v > 0 &&
         byVersion(v - 1).files.toSet.subsetOf(byVersion(v).files.toSet) &&

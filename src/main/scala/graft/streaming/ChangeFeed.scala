@@ -132,11 +132,27 @@ object ChangeFeed {
     * needs a keyed apply (upsert/delete by key) at the sink — a different
     * contract than log shipping.
     *
-    * Returns the number of intervals shipped. */
+    * CRASH RECOVERY starts by reconciling the two logs: the sink's newest
+    * ingest batchId IS the source `toVersion` of the last interval that
+    * landed, so the source cursor is fast-forwarded to it before polling.
+    * Without this, a crash between the sink commit and the cursor commit
+    * followed by MORE source commits would re-poll a WIDER interval
+    * (from, newHead] whose batchId (= newHead) passes the sink's dedup
+    * check — appending the already-ingested prefix twice. The fast-forward
+    * makes the replayed interval start exactly where the sink left off,
+    * restoring exactly-once under a source that keeps advancing. The target
+    * branch must be owned by this replication (its ingest batchIds are
+    * source versions — mixing in another producer's batchIds would
+    * fast-forward the cursor to a foreign offset). */
   def replicateAppends(spark: SparkSession, source: VersionedTable,
                        target: VersionedTable, consumer: String,
                        sourceBranch: String = "main", targetBranch: String = "main",
-                       maxVersions: Int = Int.MaxValue): Int =
+                       maxVersions: Int = Int.MaxValue): Int = {
+    val cur = cursor(source, consumer, sourceBranch)
+    EventsStreaming.lastIngestedBatchId(target, targetBranch).foreach { landed =>
+      if (landed > cur && landed <= headVersion(source, sourceBranch))
+        commit(source, consumer, landed, sourceBranch)
+    }
     processAvailable(spark, source, consumer, sourceBranch, maxVersions) { b =>
       // metadata precondition: every step in (from, to] only adds files
       val commits = Iterator.iterate(source.head(sourceBranch))(
@@ -158,6 +174,7 @@ object ChangeFeed {
           .drop("change_type", "version"),
         b.toVersion)
     }
+  }
 
   /** `Trigger.AvailableNow` drain: poll → process → commit until the head
     * OBSERVED AT ENTRY is consumed. The end offset is pinned first, so a

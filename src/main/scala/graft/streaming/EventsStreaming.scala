@@ -384,14 +384,21 @@ object EventsStreaming {
     * checkpoint, so "newest ingest commit's id >= batchId" ⇔ duplicate. */
   def ingestBatch(vt: graft.vt.VersionedTable, branch: String)
                  (batch: DataFrame, batchId: Long): Unit = {
-    val lastIngested: Option[Long] = // lazy head-first walk: stops at the first ingest commit
-      Iterator.iterate(vt.head(branch))(_.flatMap(_.parent).map(vt.loadCommit))
-        .takeWhile(_.isDefined).map(_.get.message)
-        .collectFirst { case BatchMsgRe(digits) => digits.toLong }
-    if (lastIngested.exists(_ >= batchId)) () // duplicate delivery: already committed
+    if (lastIngestedBatchId(vt, branch).exists(_ >= batchId)) () // duplicate delivery: already committed
     else if (!batch.isEmpty)
       vt.write(batch, branch, message = s"$BatchMsgPrefix$batchId", mode = "append")
   }
+
+  /** Newest ingest commit's batchId on `branch`, if any — the sink-side
+    * transaction watermark [[ingestBatch]] dedups against (Delta's
+    * `txnVersion` analog). Lazy head-first metadata walk that stops at the
+    * first ingest commit found — O(1) ingest commits inspected, no data
+    * read. Exposed so a crashed replicator ([[ChangeFeed.replicateAppends]])
+    * can recover which source interval the sink already holds. */
+  def lastIngestedBatchId(vt: graft.vt.VersionedTable, branch: String): Option[Long] =
+    Iterator.iterate(vt.head(branch))(_.flatMap(_.parent).map(vt.loadCommit))
+      .takeWhile(_.isDefined).map(_.get.message)
+      .collectFirst { case BatchMsgRe(digits) => digits.toLong }
 
   /** Streaming → VersionedTable ingest via foreachBatch: each micro-batch
     * becomes one APPEND commit (O(metadata) union of the parent file list),
@@ -429,11 +436,7 @@ object EventsStreaming {
     // that lets that batch's duplicates through). Maintenance is idempotent
     // and O(delta) when behind, a metadata no-op when caught up.
     graft.ext.IncrementalDedup.maintainSignatureTable(vt, sigVt, branch)
-    val lastIngested: Option[Long] =
-      Iterator.iterate(vt.head(branch))(_.flatMap(_.parent).map(vt.loadCommit))
-        .takeWhile(_.isDefined).map(_.get.message)
-        .collectFirst { case BatchMsgRe(digits) => digits.toLong }
-    if (lastIngested.exists(_ >= batchId) || batch.isEmpty) return
+    if (lastIngestedBatchId(vt, branch).exists(_ >= batchId) || batch.isEmpty) return
     // WITHIN-batch exact collapse first (min-doc_id survivor per sha): two
     // byte-identical docs arriving in one micro-batch must not both land.
     // Near-dup screening stays corpus-granular — same batch-boundary

@@ -1043,8 +1043,13 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     * ([[deleteWithVectors]] never re-records an already-deleted position),
     * and entries pointing at rewritten files (dead, left by copy-on-write
     * ops that carry `dvFiles` forward) are dropped by a broadcast semi-join
-    * against the live file keys. Files missing a logged count (pre-rowCounts
-    * history) fall back to one real scan-based count. */
+    * against the live file keys. The same (fk,pos) can appear in TWO vector
+    * files — merge/cherry-pick union `dvFiles` from both parents, and two
+    * branches may MOR-delete the same row of a shared base file (the
+    * conflict check allows it: both sides agree the row is gone) — so the
+    * subtrahend is the count of DISTINCT live positions, matching the
+    * anti-join semantics of [[scanWithPos]]. Files missing a logged count
+    * (pre-rowCounts history) fall back to one real scan-based count. */
   def countRows(spark: SparkSession, branch: String = "main"): Long = {
     val c = head(branch).getOrElse(
       throw new IllegalArgumentException(s"no such branch: $branch"))
@@ -1056,11 +1061,12 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
         import org.apache.spark.sql.functions.broadcast
         import spark.implicits._
         // broadcast the SMALL side (the vectors); `live` may be 10⁶ keys.
-        // live fks are unique, so the inner-join row count = #live DV entries.
+        // distinct BEFORE counting: duplicated (fk,pos) entries across DV
+        // files (merged branches deleting the same base row) mark one row.
         val live = c.files.map(VersionedTable.fileKey).toDF("fk")
         val dv = spark.read
           .parquet(c.dvFiles.map(f => root.resolve(f).toString): _*)
-        base - live.join(broadcast(dv), "fk").count()
+        base - live.join(broadcast(dv), "fk").select("fk", "pos").distinct().count()
       }
     }
   }
@@ -1145,9 +1151,11 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     * / compaction / branch deletion all throw. Changes reach a protected
     * branch only by [[merge]] from a reviewed side branch (exactly the lakeFS
     * model: protected branches guarantee every commit arrived via a merge).
-    * Rules persist in the metadata store — one object per pattern, named by
-    * URL-safe base64 so any pattern round-trips as an object key — and are
-    * enforced by every table handle, not just the one that added them. */
+    * Rules persist in the metadata store as ONE atomic `protected/rules`
+    * object holding all patterns newline-joined (so a rule update is a
+    * single CAS-able write; patterns therefore must not contain newlines) —
+    * and are enforced by every table handle, not just the one that added
+    * them. */
   def protectBranch(pattern: String): Unit =
     synchronized { ProtectionRules.add(store, protectedDir, pattern) }
 

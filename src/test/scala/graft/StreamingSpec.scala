@@ -321,28 +321,46 @@ class StreamingSpec extends SparkSpec {
     assert(ChangeFeed.replicateAppends(spark, src, dst, "repl") === 1)
     assert(rows(dst) === Array((1, "a"), (2, "b"), (3, "c")))
     // CRASH TWIN: a batch was ingested but the consumer died BEFORE the
-    // cursor commit — rewind the cursor by hand to simulate, then re-drain.
-    // The redelivered interval must be skipped by the sink's batchId dedup,
-    // not appended twice.
+    // cursor commit. The restarted replicator reconciles from the sink's
+    // ingest watermark (fast-forwards the cursor to the landed batchId), so
+    // the interval is neither re-polled nor re-appended.
     src.write(Seq((4, "d")).toDF("k", "v"), "main", "v3", mode = "append")
     val b = ChangeFeed.poll(spark, src, "repl").get
     graft.streaming.EventsStreaming.ingestBatch(dst, "main")(
       b.df.where(col("change_type") === "insert").drop("change_type", "version"),
       b.toVersion) // ...crash here: no ChangeFeed.commit
     val dstCommitsBefore = dst.lineage("main").size
-    assert(ChangeFeed.replicateAppends(spark, src, dst, "repl") === 1) // redelivery
+    assert(ChangeFeed.replicateAppends(spark, src, dst, "repl") === 0,
+      "reconciled from the sink watermark: nothing to re-ship")
+    assert(ChangeFeed.cursor(src, "repl") === b.toVersion,
+      "the cursor must fast-forward to the landed batchId")
     assert(rows(dst) === Array((1, "a"), (2, "b"), (3, "c"), (4, "d")),
       "crash replay must not duplicate rows")
     assert(dst.lineage("main").size === dstCommitsBefore,
       "the redelivered batch must be a metadata no-op on the target")
     // caught up: nothing ships
     assert(ChangeFeed.replicateAppends(spark, src, dst, "repl") === 0)
+    // THE r13-advice case: crash between sink commit and cursor commit, then
+    // the SOURCE ADVANCES before the replayer restarts. Without the
+    // watermark fast-forward, the re-polled interval widens to
+    // (cursor, newHead] whose batchId (= newHead) passes the sink dedup and
+    // the already-landed prefix appends TWICE.
+    src.write(Seq((5, "e")).toDF("k", "v"), "main", "v4", mode = "append")
+    val b2 = ChangeFeed.poll(spark, src, "repl").get // (3, 4]
+    graft.streaming.EventsStreaming.ingestBatch(dst, "main")(
+      b2.df.where(col("change_type") === "insert").drop("change_type", "version"),
+      b2.toVersion) // ...crash again: no cursor commit
+    src.write(Seq((6, "f")).toDF("k", "v"), "main", "v5 post-crash", mode = "append")
+    assert(ChangeFeed.replicateAppends(spark, src, dst, "repl") === 1,
+      "only the genuinely-new interval ships")
+    assert(rows(dst) === Array((1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e"), (6, "f")),
+      "advancing source after a crash must not duplicate the landed prefix")
     // a non-append source change refuses log shipping LOUDLY
     src.delete(spark, "k = 1")
     val e = intercept[IllegalStateException](
       ChangeFeed.replicateAppends(spark, src, dst, "repl"))
     assert(e.getMessage.contains("not append-only"))
-    assert(rows(dst) === Array((1, "a"), (2, "b"), (3, "c"), (4, "d")),
+    assert(rows(dst) === Array((1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e"), (6, "f")),
       "the refused interval must not partially apply")
   }
 

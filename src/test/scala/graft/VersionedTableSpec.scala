@@ -294,6 +294,27 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.countRows(spark) === 4, "scan fallback must agree")
   }
 
+  test("countRows dedups DV entries duplicated across merged branches") {
+    // Two branches MOR-delete the SAME row of a shared base file — the merge
+    // conflict check allows it (both sides agree the row is gone) and the
+    // merge unions dvFiles, so the merged snapshot carries the (fk,pos) entry
+    // in TWO vector files. The scan anti-join dedups naturally; countRows
+    // must count DISTINCT positions, not raw joined rows.
+    val vt = freshVt("count_dv_dup")
+    vt.write(Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("k", "v")
+      .coalesce(1), "main", "v0")
+    vt.createBranch("dev", from = "main")
+    vt.deleteWithVectors(spark, "k = 1", "main")       // deletes (f0, pos0)
+    vt.deleteWithVectors(spark, "k <= 2", "dev")       // deletes (f0, pos0) AND pos1
+    vt.merge("dev", "main")
+    val merged = vt.head("main").get
+    assert(merged.dvFiles.size === 2, "merge must union both sides' DV files")
+    val scanCount = vt.read(spark, "main").count()
+    assert(scanCount === 2, "rows 1 and 2 deleted exactly once")
+    assert(vt.countRows(spark, "main") === scanCount,
+      "metadata count must dedup duplicated DV positions")
+  }
+
   test("protected branches reject direct mutation but accept merges") {
     val vt = freshVt("protected")
     vt.write(Seq((1, "a")).toDF("k", "v"), "main", "v0")
@@ -1187,5 +1208,19 @@ class VersionedTableSpec extends SparkSpec {
     assert(sigVt.head("main").map(_.version) === Some(2L))
     assert(sigVt.read(spark, "main").count() ===
       docs.where(col("doc_id") % 7 === 0).count())
+
+    // THE O(increment) pin (r13 advice): catch-up must read only the
+    // interval's commit metadata, never the full lineage. Make the old
+    // commits UNREADABLE — if maintenance walked O(history) it would crash
+    // here; the commitRange walk (head down to from-1) never touches them.
+    vt.write(docs.where(col("doc_id") % 11 === 0), "main", "v3", mode = "append")
+    vt.write(docs.where(col("doc_id") % 13 === 0), "main", "v4", mode = "append")
+    val staleIds = vt.lineage("main").filter(_.version < 2).map(_.id)
+    assert(staleIds.size === 2, "v0 and v1 should be below the catch-up interval")
+    staleIds.foreach(id =>
+      vt.store.delete(vt.root.resolve("commits").resolve(id + ".json")))
+    IncrementalDedup.maintainSignatureTable(vt, sigVt) // from=3: walks v4→v3→v2 only
+    assert(sigVt.head("main").map(_.version) === Some(4L))
+    assert(sigVt.read(spark, "main").count() === vt.read(spark, "main").count())
   }
 }
