@@ -12,7 +12,13 @@ import org.apache.spark.sql.SparkSession
   * genuine kill -9, and the filesystem as the only coordination medium. */
 object ChaosWriter {
   def main(args: Array[String]): Unit = {
-    val Array(dir, id, n) = args
+    val (dir, id, n) = (args(0), args(1), args(2))
+    // optional 4th arg selects the control-plane backend: "s3" = the
+    // rename-free object-store simulator (shared bucket on disk, so real
+    // sibling processes coordinate through conditional PUTs alone)
+    val store: graft.vt.MetaStore =
+      if (args.length > 3 && args(3) == "s3") graft.vt.S3SimMetaStore.forTable(dir)
+      else graft.vt.LocalFsMetaStore
     val spark = SparkSession.builder().master("local[1]")
       .config("spark.sql.shuffle.partitions", "1")
       .config("spark.ui.enabled", "false")
@@ -20,7 +26,7 @@ object ChaosWriter {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
-    val vt = graft.vt.VersionedTable.open(dir)
+    val vt = graft.vt.VersionedTable.open(dir, store)
     var written = 0
     while (written < n.toInt) {
       try {

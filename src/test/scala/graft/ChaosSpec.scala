@@ -1,15 +1,19 @@
 package graft
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.Paths
 import scala.jdk.CollectionConverters._
 
 import org.scalatest.Tag
 
-import graft.vt.VersionedTable
+import graft.vt.{LocalFsMetaStore, MetaStore, S3SimMetaStore, VersionedTable}
 
 /** Cross-process chaos: REAL JVM writer processes, REAL SIGKILL. */
 object ChaosTag extends Tag("graft.Chaos")
 
+/** The scenario runs once per control-plane backend: the POSIX store and the
+  * rename-free S3-semantics object store ([[S3SimMetaStore]]) — the
+  * reference's lakeFS-over-MinIO topology, where crashing writers coordinate
+  * through conditional PUTs on a shared flat bucket and nothing else. */
 class ChaosSpec extends SparkSpec {
   import spark.implicits._
 
@@ -25,38 +29,42 @@ class ChaosSpec extends SparkSpec {
     "java.base/sun.security.action", "java.base/sun.util.calendar"
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  test("real cross-process writers with kill -9: versions gap-free, head readable, vacuum un-wedges",
-      ChaosTag) {
-    val root = Tables.scratch("chaos_xp")
-    val vt = VersionedTable.create(root)
+  private def runKill9Scenario(scratchName: String, storeArg: Option[String],
+                               mkStore: String => MetaStore): Unit = {
+    val root = Tables.scratch(scratchName)
+    val store = mkStore(root)
+    val vt = VersionedTable.create(root, store)
     vt.write(Seq(0).toDF("x"), "main", "v0")
 
     val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+    def logOf(id: Int) = Paths.get(s"/tmp/chaos_writer_${scratchName}_$id.log")
     def launch(id: Int, n: Int): Process = {
       val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx1g", "-cp",
         System.getProperty("java.class.path"), "graft.ChaosWriter",
-        root, id.toString, n.toString)
+        root, id.toString, n.toString) ++ storeArg.toSeq
       new ProcessBuilder(cmd.asJava).redirectErrorStream(true)
-        .redirectOutput(new java.io.File(s"/tmp/chaos_writer_$id.log")).start()
+        .redirectOutput(logOf(id).toFile).start()
     }
-    // three writers hammer the same table; two get SIGKILLed while the
-    // commit stream is actively advancing (kills are PROGRESS-triggered, not
-    // clock-triggered, so they land mid-hammer — possibly mid-claim,
-    // mid-commit-write, or mid-ref-advance — regardless of how long the
-    // spawned JVMs take to boot Spark); the third runs to completion.
-    // Writers 1-2 get a large quota so they are still writing when killed.
+    // three writers hammer the same table; two get SIGKILLed while THEY are
+    // actively committing (kills are gated on that writer's OWN append
+    // progress, not global commit count, so they land mid-hammer — possibly
+    // mid-claim, mid-commit-write, or mid-ref-advance — never during Spark
+    // bootstrap); the third runs to completion. Writers 1-2 get a large
+    // quota so they are still writing when killed.
     val writers = Seq(launch(1, 500), launch(2, 500), launch(3, 8))
-    def commitCount: Int = {
-      val s = Files.list(Paths.get(root).resolve("commits"))
-      try s.iterator().asScala.size finally s.close()
-    }
-    def waitForCommits(min: Int, timeoutMs: Long): Unit = {
+    def appendsOf(id: Int): Int =
+      if (!java.nio.file.Files.exists(logOf(id))) 0
+      else {
+        val st = java.nio.file.Files.lines(logOf(id))
+        try st.iterator().asScala.count(_.contains("appended")) finally st.close()
+      }
+    def waitForAppends(id: Int, min: Int, timeoutMs: Long): Unit = {
       val deadline = System.currentTimeMillis() + timeoutMs
-      while (commitCount < min && System.currentTimeMillis() < deadline)
-        Thread.sleep(100)
+      while (appendsOf(id) < min && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
     }
-    waitForCommits(4, 90000); writers(0).destroyForcibly()
-    waitForCommits(commitCount + 2, 60000); writers(1).destroyForcibly()
+    waitForAppends(1, 2, 120000); writers(0).destroyForcibly()
+    waitForAppends(2, 2, 60000); writers(1).destroyForcibly()
     writers(2).waitFor(120, java.util.concurrent.TimeUnit.SECONDS)
     writers.foreach(_.destroyForcibly())
     writers.foreach(_.waitFor(10, java.util.concurrent.TimeUnit.SECONDS))
@@ -76,16 +84,10 @@ class ChaosSpec extends SparkSpec {
     // invariant 3: vacuum un-wedges whatever the kills left behind (stale
     // claimed slots, published-but-unreferenced orphans) and a fresh write
     // then lands. Age every slot past the stale horizon first, as time would.
-    val past = java.nio.file.attribute.FileTime.fromMillis(
-      System.currentTimeMillis() - 2 * VersionedTable.DefaultStaleSlotMs)
-    def ageSlots(): Unit = {
-      val locks = Paths.get(root).resolve("locks")
-      if (Files.isDirectory(locks)) {
-        val s = Files.list(locks)
-        try s.iterator().asScala.foreach(p => Files.setLastModifiedTime(p, past))
-        finally s.close()
-      }
-    }
+    val past = System.currentTimeMillis() - 2 * VersionedTable.DefaultStaleSlotMs
+    def ageSlots(): Unit =
+      store.list(Paths.get(root).resolve("locks"))
+        .foreach(p => StoreOps.backdate(store, p, past))
     var landed = false
     var tries = 0
     while (!landed && tries < 3) {
@@ -105,8 +107,18 @@ class ChaosSpec extends SparkSpec {
     val v2 = assertLineage()
     assert(v2 > v1) // the post-chaos append is visible
     vt.lineage("main").foreach(c => assert(
-      Files.exists(Paths.get(root).resolve("locks").resolve(s"main-v${c.version}")),
+      store.exists(Paths.get(root).resolve("locks").resolve(s"main-v${c.version}")),
       s"published slot main-v${c.version} was reclaimed"))
     assert(vt.read(spark, "main").count() === v2 + 1)
+  }
+
+  test("real cross-process writers with kill -9: versions gap-free, head readable, vacuum un-wedges",
+      ChaosTag) {
+    runKill9Scenario("chaos_xp", None, _ => LocalFsMetaStore)
+  }
+
+  test("kill -9 chaos on the rename-free S3-semantics object store: same invariants",
+      ChaosTag) {
+    runKill9Scenario("chaos_s3", Some("s3"), S3SimMetaStore.forTable)
   }
 }

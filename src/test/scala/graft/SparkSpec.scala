@@ -10,6 +10,17 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   def sf: String = "/root/testdata/sf0.001"
 }
 
+/** Store-agnostic test backdoors (aging objects for stale-slot sweeps). */
+object StoreOps {
+  def backdate(store: graft.vt.MetaStore, key: java.nio.file.Path, toMs: Long): Unit =
+    store match {
+      case s: graft.vt.S3SimMetaStore => s.backdate(key, toMs)
+      case s: graft.vt.InMemoryMetaStore => s.backdate(key, toMs)
+      case _ => java.nio.file.Files.setLastModifiedTime(key,
+        java.nio.file.attribute.FileTime.fromMillis(toMs))
+    }
+}
+
 object SparkSpec {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()

@@ -5,18 +5,39 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
 
-import graft.vt.VersionedTable
+import graft.vt.{InMemoryMetaStore, LocalFsMetaStore, MetaStore, S3SimMetaStore, VersionedTable}
 
 /** Invariants of the commit-log versioned table (SURVEY.md §5.3–5.4):
   * v0 immutability under overwrite, time travel, branch isolation, merge
   * fast-forward/conflict, revert-as-new-commit, vacuum retention safety,
   * staging commit/reset, append mode.
+  *
+  * The WHOLE suite is parameterized over the [[MetaStore]] backend
+  * ([[storeFor]]): it runs once on the POSIX store and again
+  * ([[VersionedTableS3SimSpec]]) on the rename-free S3-semantics object
+  * store — the reference's lakeFS-over-MinIO deployment plane — so every
+  * invariant here is proven against conditional-PUT-only storage too.
+  * Control-plane manipulation in crash simulations goes through the store
+  * API (never raw FS paths); only data-plane checks touch the filesystem.
   */
 class VersionedTableSpec extends SparkSpec {
   import spark.implicits._
 
-  private def freshVt(name: String): VersionedTable =
-    VersionedTable.create(Tables.scratch(s"test_$name"))
+  protected def storeFor(root: String): MetaStore = LocalFsMetaStore
+  /** Distinguishes scratch roots when this suite runs under two backends. */
+  protected def suiteTag: String = ""
+
+  private def freshVt(name: String): VersionedTable = {
+    val root = Tables.scratch(s"test${suiteTag}_$name")
+    VersionedTable.create(root, storeFor(root))
+  }
+
+  /** Age a control-plane object via whichever backdoor the backend offers. */
+  protected def backdate(store: MetaStore, key: java.nio.file.Path, toMs: Long): Unit =
+    StoreOps.backdate(store, key, toMs)
+
+  private def staleMs: Long =
+    System.currentTimeMillis() - 2 * VersionedTable.DefaultStaleSlotMs
 
   private def df(xs: Int*) = xs.toDF("x")
 
@@ -339,7 +360,7 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.read(spark, "main").as[(Int, String)].collect().sortBy(_._1)
       === Array((1, "a"), (2, "b")))
     // rules are persisted: a second handle on the same root enforces them
-    val again = VersionedTable.open(vt.root.toString)
+    val again = VersionedTable.open(vt.root.toString, storeFor(vt.root.toString))
     assertThrows[IllegalStateException](again.delete(spark, "k = 1"))
     // unprotect reopens direct writes; removing a missing rule is false
     assert(vt.unprotectBranch("main") && !vt.unprotectBranch("main"))
@@ -583,7 +604,8 @@ class VersionedTableSpec extends SparkSpec {
     // input_file_name() percent-encodes (space → %20); a raw stripPrefix
     // mapping matched no commit-log entry, classified every file untouched,
     // and DELETE silently committed an identical snapshot
-    val vt = VersionedTable.create(Tables.scratch("uri dir") + "/t 1")
+    val uriRoot = Tables.scratch("uri dir" + suiteTag) + "/t 1"
+    val vt = VersionedTable.create(uriRoot, storeFor(uriRoot))
     vt.write(df(1, 2, 3), "main", "v0")
     val c = vt.delete(spark, "x = 2")
     assert(c.version === 1, "delete must commit a new version, not no-op")
@@ -879,17 +901,18 @@ class VersionedTableSpec extends SparkSpec {
   }
 
   test("optimistic concurrency: racing same-branch writers stay linear or fail cleanly") {
-    val rootDir = Tables.scratch("test_occ")
-    val vt1 = VersionedTable.create(rootDir)
+    val rootDir = Tables.scratch("test_occ" + suiteTag)
+    val vt1 = VersionedTable.create(rootDir, storeFor(rootDir))
     vt1.write(df(0), "main", "v0")
-    val vt2 = VersionedTable.open(rootDir) // a second "process": separate monitor
+    val vt2 = VersionedTable.open(rootDir, storeFor(rootDir)) // a second "process": separate monitor
     // deterministic CAS check: a rival that already claimed the next slot
     // forces a clean ConcurrentModificationException, not a forked lineage
-    graft.vt.CommitLog.claimVersionSlot(Paths.get(rootDir).resolve("locks"), "main", 1L)
+    graft.vt.CommitLog.claimVersionSlot(Paths.get(rootDir).resolve("locks"), "main", 1L,
+      store = vt1.store)
     assertThrows[java.util.ConcurrentModificationException](
       vt1.write(df(9), "main", "stale parent", mode = "append"))
     assert(vt1.head("main").get.version === 0) // nothing published
-    Files.delete(Paths.get(rootDir).resolve("locks").resolve("main-v1"))
+    vt1.store.delete(Paths.get(rootDir).resolve("locks").resolve("main-v1"))
     // two handles race 5 appends each with retry-on-CME: the outcome must be
     // a LINEAR v0..v10 history containing every writer's commit exactly once
     val threads = Seq(vt1, vt2).zipWithIndex.map { case (h, ti) =>
@@ -938,39 +961,37 @@ class VersionedTableSpec extends SparkSpec {
     vt.write(df(1), "main", "v0")
     // simulate a writer that claimed v1 and died before publishing
     val locks = vt.root.resolve("locks")
-    graft.vt.CommitLog.claimVersionSlot(locks, "main", 1L)
+    graft.vt.CommitLog.claimVersionSlot(locks, "main", 1L, store = vt.store)
     val stale = locks.resolve("main-v1")
     // a FRESH unpublished slot is not stolen (in-flight writer)
     vt.vacuum(retainLast = 10)
-    assert(Files.exists(stale), "fresh slot must survive vacuum")
+    assert(vt.store.exists(stale), "fresh slot must survive vacuum")
     val e = intercept[java.util.ConcurrentModificationException] {
       vt.write(df(2), "main", "blocked")
     }
     assert(e.getMessage.contains("already claimed"))
     // age the slot past the staleness horizon → vacuum reclaims it
-    Files.setLastModifiedTime(stale, java.nio.file.attribute.FileTime.fromMillis(
-      System.currentTimeMillis() - 2 * VersionedTable.DefaultStaleSlotMs))
+    backdate(vt.store, stale, staleMs)
     vt.vacuum(retainLast = 10)
-    assert(!Files.exists(stale), "stale unpublished slot must be reclaimed")
+    assert(!vt.store.exists(stale), "stale unpublished slot must be reclaimed")
     val c1 = vt.write(df(2), "main", "v1 after recovery")
     assert(c1.version === 1)
     // the PUBLISHED slot is the CAS record: vacuum keeps it however old
     val publishedSlot = locks.resolve("main-v1")
-    Files.setLastModifiedTime(publishedSlot, java.nio.file.attribute.FileTime.fromMillis(
-      System.currentTimeMillis() - 2 * VersionedTable.DefaultStaleSlotMs))
+    backdate(vt.store, publishedSlot, staleMs)
     vt.vacuum(retainLast = 10)
-    assert(Files.exists(publishedSlot), "published slot must never be swept")
+    assert(vt.store.exists(publishedSlot), "published slot must never be swept")
   }
 
   test("orphan replay: an age-gated orphan's files survive vacuum, then the ref advance is replayed") {
     val vt = freshVt("orphan_replay")
     vt.write(df(1), "main", "v0")
     val refPath = vt.root.resolve("refs").resolve("main")
-    val v0id = graft.vt.CommitLog.readString(refPath).trim
+    val v0id = vt.store.read(refPath).trim
     // simulate a writer that crashed AFTER publishing the commit json but
     // BEFORE advancing the ref: do a real write, then wind the ref back
     val c1 = vt.write(df(2, 3), "main", "v1 (ref advance lost)")
-    graft.vt.CommitLog.writeAtomic(refPath, v0id)
+    vt.store.put(refPath, v0id)
     // vacuum while the v1 slot is age-gated: the orphan is the pending replay
     // target, so its files must be RETAINED even though no ref reaches it
     vt.vacuum(retainLast = 1)
@@ -978,8 +999,7 @@ class VersionedTableSpec extends SparkSpec {
       "age-gated orphan's data files must survive vacuum")
     // age the slot past the horizon → the next vacuum finishes the publish
     val slot = vt.root.resolve("locks").resolve("main-v1")
-    Files.setLastModifiedTime(slot, java.nio.file.attribute.FileTime.fromMillis(
-      System.currentTimeMillis() - 2 * VersionedTable.DefaultStaleSlotMs))
+    backdate(vt.store, slot, staleMs)
     vt.vacuum(retainLast = 1)
     assert(vt.head("main").map(_.id) === Some(c1.id), "lost ref advance must be replayed")
     assert(vt.read(spark, "main").as[Int].collect().sorted === Array(2, 3),
@@ -990,20 +1010,19 @@ class VersionedTableSpec extends SparkSpec {
     val vt = freshVt("orphan_gone")
     vt.write(df(1), "main", "v0")
     val refPath = vt.root.resolve("refs").resolve("main")
-    val v0id = graft.vt.CommitLog.readString(refPath).trim
+    val v0id = vt.store.read(refPath).trim
     val c1 = vt.write(df(2), "main", "v1 (ref advance lost)")
-    graft.vt.CommitLog.writeAtomic(refPath, v0id)
+    vt.store.put(refPath, v0id)
     // simulate the pre-fix hazard: the orphan's data files were swept while
     // its slot was still age-gated — replaying the ref would publish a head
     // that cannot be read
     c1.files.foreach(f => Files.deleteIfExists(vt.root.resolve(f)))
     val slot = vt.root.resolve("locks").resolve("main-v1")
-    Files.setLastModifiedTime(slot, java.nio.file.attribute.FileTime.fromMillis(
-      System.currentTimeMillis() - 2 * VersionedTable.DefaultStaleSlotMs))
+    backdate(vt.store, slot, staleMs)
     vt.vacuum(retainLast = 1)
     assert(vt.head("main").map(_.id) === Some(v0id), "a file-less orphan must not become head")
-    assert(!Files.exists(slot), "the garbage orphan's slot must be reclaimed")
-    assert(!Files.exists(vt.root.resolve("commits").resolve(c1.id + ".json")),
+    assert(!vt.store.exists(slot), "the garbage orphan's slot must be reclaimed")
+    assert(!vt.store.exists(vt.root.resolve("commits").resolve(c1.id + ".json")),
       "the garbage orphan's commit json must be reclaimed")
     // the branch is un-wedged: a retry lands on the same version
     val retry = vt.write(df(9), "main", "v1 retry")
@@ -1015,10 +1034,9 @@ class VersionedTableSpec extends SparkSpec {
     val vt = freshVt("v0_replay")
     vt.write(df(1), "main", "m0")
     vt.write(df(7), "dev", "d0") // real v0 on a new branch...
-    Files.delete(vt.root.resolve("refs").resolve("dev")) // ...whose ref write was lost
+    vt.store.delete(vt.root.resolve("refs").resolve("dev")) // ...whose ref write was lost
     val slot = vt.root.resolve("locks").resolve("dev-v0")
-    Files.setLastModifiedTime(slot, java.nio.file.attribute.FileTime.fromMillis(
-      System.currentTimeMillis() - 2 * VersionedTable.DefaultStaleSlotMs))
+    backdate(vt.store, slot, staleMs)
     vt.vacuum(retainLast = 10)
     assert(vt.branches.contains("dev"), "crashed first commit must be replayed")
     assert(vt.read(spark, "dev").as[Int].collect() === Array(7))
@@ -1030,12 +1048,9 @@ class VersionedTableSpec extends SparkSpec {
     vt.write(df(2), "dev", "d0")
     vt.write(df(3), "dev", "d1", mode = "append")
     // the OLD deleteBranch order crashing mid-way: ref removed, slots left
-    Files.delete(vt.root.resolve("refs").resolve("dev"))
-    Seq("dev-v0", "dev-v1").foreach { s =>
-      Files.setLastModifiedTime(vt.root.resolve("locks").resolve(s),
-        java.nio.file.attribute.FileTime.fromMillis(
-          System.currentTimeMillis() - 2 * VersionedTable.DefaultStaleSlotMs))
-    }
+    vt.store.delete(vt.root.resolve("refs").resolve("dev"))
+    Seq("dev-v0", "dev-v1").foreach(s =>
+      backdate(vt.store, vt.root.resolve("locks").resolve(s), staleMs))
     vt.vacuum(retainLast = 10)
     assert(vt.branches === Seq("main"),
       "vacuum must not recreate a deleted branch from its leftover slots")
@@ -1068,9 +1083,9 @@ class VersionedTableSpec extends SparkSpec {
   test("commit publication is atomic: no partial refs/commits on disk") {
     val vt = freshVt("atomic")
     vt.write(df(1), "main", "v0")
-    val refs = Files.list(vt.root.resolve("refs")).iterator().asScala.map(_.getFileName.toString).toList
-    assert(refs === List("main"))
-    val commits = Files.list(vt.root.resolve("commits")).iterator().asScala.toList
+    val refs = vt.store.list(vt.root.resolve("refs")).map(_.getFileName.toString)
+    assert(refs === Vector("main"))
+    val commits = vt.store.list(vt.root.resolve("commits"))
     assert(commits.forall(_.getFileName.toString.endsWith(".json")))
     assert(!commits.exists(_.getFileName.toString.contains(".tmp")))
   }
@@ -1223,4 +1238,15 @@ class VersionedTableSpec extends SparkSpec {
     assert(sigVt.head("main").map(_.version) === Some(4L))
     assert(sigVt.read(spark, "main").count() === vt.read(spark, "main").count())
   }
+}
+
+/** The ENTIRE invariant matrix above, re-run on the rename-free S3-semantics
+  * object store ([[S3SimMetaStore]]) — the reference's lakeFS-over-MinIO
+  * control plane (`docker-compose.yml:92-102`): conditional PUT is the only
+  * atomic primitive, the keyspace is flat, no directory or rename exists.
+  * Every commit/merge/tag/vacuum/crash-recovery guarantee must hold
+  * unchanged. */
+class VersionedTableS3SimSpec extends VersionedTableSpec {
+  override protected def storeFor(root: String): MetaStore = S3SimMetaStore.forTable(root)
+  override protected def suiteTag: String = "s3"
 }
