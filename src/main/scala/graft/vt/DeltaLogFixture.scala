@@ -1,0 +1,85 @@
+package graft.vt
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.sql.DataFrame
+
+/** Authors MINIMAL protocol-conformant `_delta_log` tables so
+  * [[DeltaLogReader]] has real Delta commit logs to replay (the offline
+  * build has no Delta jar to write them — delta-io PROTOCOL.md is the
+  * specification being followed). Used by the `q_vt_delta_log` oracle row
+  * and DeltaLogSpec; data files are genuine Spark parquet, commit files are
+  * newline-delimited single-action JSON exactly as delta-spark 2.x emits. */
+object DeltaLogFixture {
+
+  private val mapper = new ObjectMapper()
+
+  private def line(kind: String)(fill: ObjectNode => Unit): String = {
+    val rootNode = mapper.createObjectNode()
+    fill(rootNode.putObject(kind))
+    mapper.writeValueAsString(rootNode)
+  }
+
+  def protocolLine(minReader: Int = 1, minWriter: Int = 2): String =
+    line("protocol") { p =>
+      p.put("minReaderVersion", minReader); p.put("minWriterVersion", minWriter); ()
+    }
+
+  def metaDataLine(schemaJson: String, partitionColumns: Seq[String]): String =
+    line("metaData") { m =>
+      m.put("id", java.util.UUID.randomUUID().toString)
+      m.putObject("format").put("provider", "parquet").putObject("options")
+      m.put("schemaString", schemaJson)
+      val pc = m.putArray("partitionColumns")
+      partitionColumns.foreach(pc.add)
+      m.putObject("configuration")
+      m.put("createdTime", 0L)
+      ()
+    }
+
+  def addLine(path: String, sizeBytes: Long,
+              partitionValues: Map[String, String] = Map.empty): String =
+    line("add") { a =>
+      a.put("path", path)
+      val pv = a.putObject("partitionValues")
+      partitionValues.foreach { case (k, v) => pv.put(k, v) }
+      a.put("size", sizeBytes)
+      a.put("modificationTime", 0L)
+      a.put("dataChange", true)
+      ()
+    }
+
+  def removeLine(path: String): String =
+    line("remove") { r =>
+      r.put("path", path); r.put("deletionTimestamp", 0L); r.put("dataChange", true); ()
+    }
+
+  /** Write commit `version`'s JSON file (`%020d.json`). */
+  def writeCommit(tableRoot: Path, version: Long, actions: Seq[String]): Unit = {
+    val logDir = tableRoot.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    Files.write(logDir.resolve(f"$version%020d.json"),
+      actions.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** Materialize `df` as ONE parquet data file named `<name>.parquet`
+    * directly under `tableRoot`; returns (relative path, size) for its
+    * `add` action. */
+  def writeDataFile(tableRoot: Path, df: DataFrame, name: String): (String, Long) = {
+    val tmp = tableRoot.resolve(s"_tmp_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val st = Files.list(tmp)
+    val part =
+      try st.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+      finally st.close()
+    val dest = tableRoot.resolve(s"$name.parquet")
+    Files.move(part, dest)
+    graft.Tables.deleteRecursively(tmp)
+    (s"$name.parquet", Files.size(dest))
+  }
+}

@@ -1,0 +1,157 @@
+package graft.vt
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** READ-ONLY replayer for the open Delta Lake transaction-log format — lets
+  * this engine open the reference's actual output tables (`jobs/vdt4.py:39-45`
+  * writes Delta; `README.md:260` pins delta-spark 2.1.0) without any Delta
+  * jar on the classpath. The protocol is public
+  * (github.com/delta-io/delta/blob/master/PROTOCOL.md): a table is a
+  * directory of parquet data files plus `_delta_log/<version %020d>.json`
+  * commit files, each a sequence of newline-delimited single-action JSON
+  * objects. Replaying actions `0..v` in order yields version `v`'s snapshot:
+  *
+  *  - `metaData` — table schema (`schemaString`, the same StructType JSON
+  *    Spark serializes) + `partitionColumns`; the newest one wins (schema
+  *    evolution via overwrite, exactly `jobs/vdt4.py:76-77`'s
+  *    `overwriteSchema` path).
+  *  - `add` — a data file joins the snapshot (path percent-encoded relative
+  *    to the table root, plus `partitionValues` for Hive-style partition
+  *    columns, which are NOT stored in the file).
+  *  - `remove` — a data file leaves the snapshot (delete/overwrite/compact).
+  *  - `protocol` — reader/writer feature gate: `minReaderVersion > 1`
+  *    (deletion vectors, column mapping) is refused LOUDLY rather than
+  *    silently misread.
+  *  - `commitInfo` / `txn` / `cdc` — no effect on the file snapshot.
+  *
+  * Checkpoint parquet files (`_last_checkpoint`) are an optimization of the
+  * same content and are not required for correctness; this replayer walks
+  * the JSON commits, which every Delta table retains for its checkpointed
+  * interval anyway. Scale: the walk is O(versions × actions) driver-side
+  * METADATA (the same cost Delta's own Snapshot construction pays without a
+  * checkpoint); data files are handed to the stock vectorized parquet
+  * reader, so pushdown/pruning/codegen are intact. Partitioned tables read
+  * each partition-value group with the file schema and inject the partition
+  * columns as literals cast to the declared types — Delta's own
+  * reconstitution rule.
+  */
+object DeltaLogReader {
+
+  private val mapper = new ObjectMapper()
+  private val CommitRe = """^(\d{20})\.json$""".r
+
+  /** One replayed snapshot: live data files (decoded path, partitionValues)
+    * in add-order, plus the winning schema and partition columns. */
+  final case class DeltaSnapshot(version: Long, schema: StructType,
+                                 partitionColumns: Seq[String],
+                                 files: Vector[(String, Map[String, String])])
+
+  /** Newest version present in `_delta_log` (−1 when the dir has no commit). */
+  def latestVersion(tableRoot: String): Long =
+    commitFiles(Paths.get(tableRoot)).lastOption.map(_._1).getOrElse(-1L)
+
+  private def commitFiles(root: Path): Vector[(Long, Path)] = {
+    val logDir = root.resolve("_delta_log")
+    if (!Files.isDirectory(logDir)) return Vector.empty
+    val st = Files.list(logDir)
+    val all =
+      try st.iterator().asScala.toVector finally st.close()
+    all.flatMap { p =>
+      p.getFileName.toString match {
+        case CommitRe(d) => Some(d.toLong -> p)
+        case _ => None
+      }
+    }.sortBy(_._1)
+  }
+
+  /** Replay the log up to `versionAsOf` (inclusive; default: latest). */
+  def snapshot(tableRoot: String, versionAsOf: Option[Long] = None): DeltaSnapshot = {
+    val root = Paths.get(tableRoot).toAbsolutePath.normalize
+    val commits = commitFiles(root)
+    require(commits.nonEmpty, s"not a Delta table (no _delta_log commits): $tableRoot")
+    val newest = commits.last._1
+    val upTo = versionAsOf.getOrElse(newest)
+    require(upTo >= 0 && upTo <= newest,
+      s"versionAsOf $upTo out of range [0, $newest] for $tableRoot")
+    val replayed = commits.takeWhile(_._1 <= upTo)
+    require(replayed.map(_._1) == (0L to upTo),
+      s"_delta_log has gaps in versions 0..$upTo (vacuumed beyond the " +
+        "checkpoint? this replayer needs the contiguous JSON commits)")
+    var schemaJson: String = null
+    var partCols: Seq[String] = Nil
+    // insertion-ordered so the scan's file order is deterministic
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, String]]
+    for ((_, commitPath) <- replayed;
+         line <- Files.readAllLines(commitPath).asScala if line.trim.nonEmpty) {
+      val action = mapper.readTree(line)
+      if (action.has("protocol")) {
+        val minReader = action.get("protocol").path("minReaderVersion").asInt(1)
+        require(minReader <= 1,
+          s"Delta protocol minReaderVersion=$minReader requires reader features " +
+            "(deletion vectors / column mapping) this replayer does not implement")
+      }
+      if (action.has("metaData")) {
+        val md = action.get("metaData")
+        schemaJson = md.get("schemaString").asText()
+        partCols = md.path("partitionColumns").elements().asScala.map(_.asText()).toSeq
+      }
+      if (action.has("add")) {
+        val add = action.get("add")
+        live.put(decodePath(add.get("path").asText()), partitionValues(add))
+      }
+      if (action.has("remove"))
+        live.remove(decodePath(action.get("remove").get("path").asText()))
+    }
+    require(schemaJson != null, s"no metaData action in versions 0..$upTo of $tableRoot")
+    DeltaSnapshot(upTo, DataType.fromJson(schemaJson).asInstanceOf[StructType],
+      partCols, live.toVector)
+  }
+
+  /** Delta paths are percent-encoded URIs relative to the table root. */
+  private def decodePath(p: String): String =
+    if (p.contains("://")) p else new java.net.URI(p).getPath
+
+  private def partitionValues(add: JsonNode): Map[String, String] = {
+    val pv = add.path("partitionValues")
+    pv.properties().asScala.map(e =>
+      e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap
+  }
+
+  /** Open the table at `versionAsOf` as a DataFrame — Delta's
+    * `option("versionAsOf", v)` without the Delta jar. */
+  def read(spark: SparkSession, tableRoot: String,
+           versionAsOf: Option[Long] = None): DataFrame = {
+    val root = Paths.get(tableRoot).toAbsolutePath.normalize
+    val snap = snapshot(tableRoot, versionAsOf)
+    def abs(p: String): String =
+      if (p.startsWith("/") || p.contains("://")) p else root.resolve(p).toString
+    if (snap.files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        snap.schema)
+    if (snap.partitionColumns.isEmpty)
+      spark.read.schema(snap.schema).parquet(snap.files.map(f => abs(f._1)): _*)
+    else {
+      // partition columns live in the log, not the files: read each
+      // partition-value group with the file schema and reconstitute the
+      // partition columns as cast literals (null for the empty-string-null
+      // convention), then project back to the declared column order
+      val fileSchema = StructType(
+        snap.schema.fields.filterNot(f => snap.partitionColumns.contains(f.name)))
+      val byType = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+      snap.files.groupBy(_._2).map { case (pv, group) =>
+        val base = spark.read.schema(fileSchema).parquet(group.map(f => abs(f._1)): _*)
+        snap.partitionColumns.foldLeft(base) { (df, c) =>
+          val raw = pv.getOrElse(c, null)
+          val v = if (raw == null || raw.isEmpty) lit(null) else lit(raw)
+          df.withColumn(c, v.cast(byType(c)))
+        }
+      }.reduce(_ unionByName _).select(snap.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+    }
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.vt.{DeltaLogFixture => F, DeltaLogReader}
+
+/** The read-only `_delta_log` replayer against hand-authored
+  * protocol-conformant fixtures: version replay through add/remove,
+  * partition-column reconstitution, schema evolution via a newer metaData,
+  * and the loud refusals (reader features beyond v1, log gaps). */
+class DeltaLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(name: String) = {
+    val p = Paths.get(Tables.scratch(s"delta_$name"))
+    Files.createDirectories(p)
+    p
+  }
+
+  test("replay add/remove across versions; versionAsOf and latest agree with the action stream") {
+    val root = freshRoot("basic")
+    val df = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val (fa, sa) = F.writeDataFile(root, df.where($"k" <= 2), "part-a")
+    val (fb, sb) = F.writeDataFile(root, df.where($"k" === 3), "part-b")
+    F.writeCommit(root, 0, Seq(F.protocolLine(), F.metaDataLine(df.schema.json, Nil),
+      F.addLine(fa, sa)))
+    F.writeCommit(root, 1, Seq(F.addLine(fb, sb)))
+    F.writeCommit(root, 2, Seq(F.removeLine(fa)))
+    assert(DeltaLogReader.latestVersion(root.toString) === 2)
+    def ks(v: Option[Long]) =
+      DeltaLogReader.read(spark, root.toString, v).select("k").as[Int].collect().sorted
+    assert(ks(Some(0)) === Array(1, 2))
+    assert(ks(Some(1)) === Array(1, 2, 3))
+    assert(ks(Some(2)) === Array(3))
+    assert(ks(None) === Array(3), "default must be the newest version")
+    // a version past the head or below 0 is refused
+    assertThrows[IllegalArgumentException](DeltaLogReader.read(spark, root.toString, Some(3)))
+  }
+
+  test("partition columns are reconstituted from partitionValues, typed per the schema") {
+    val root = freshRoot("partitioned")
+    val full = Seq((1, 10L, "x"), (2, 20L, "x"), (3, 30L, "y")).toDF("k", "amt", "part")
+    // files carry only (k, amt); `part` exists in the log alone
+    val (fx, sx) = F.writeDataFile(root, full.where($"part" === "x").drop("part"), "px")
+    val (fy, sy) = F.writeDataFile(root, full.where($"part" === "y").drop("part"), "py")
+    F.writeCommit(root, 0, Seq(F.protocolLine(),
+      F.metaDataLine(full.schema.json, Seq("part")),
+      F.addLine(fx, sx, Map("part" -> "x")), F.addLine(fy, sy, Map("part" -> "y"))))
+    val got = DeltaLogReader.read(spark, root.toString, None)
+    assert(got.columns.toSeq === Seq("k", "amt", "part"), "declared column order")
+    assert(got.schema("part").dataType.typeName === "string")
+    assert(got.as[(Int, Long, String)].collect().sortBy(_._1) ===
+      Array((1, 10L, "x"), (2, 20L, "x"), (3, 30L, "y")))
+    // integer-typed partition column round-trips through the string encoding
+    val root2 = freshRoot("part_int")
+    val full2 = Seq((1, 7), (2, 7), (3, 8)).toDF("k", "bucket")
+    val (f7, s7) = F.writeDataFile(root2, full2.where($"bucket" === 7).drop("bucket"), "b7")
+    F.writeCommit(root2, 0, Seq(F.protocolLine(),
+      F.metaDataLine(full2.schema.json, Seq("bucket")),
+      F.addLine(f7, s7, Map("bucket" -> "7"))))
+    val got2 = DeltaLogReader.read(spark, root2.toString, None)
+    assert(got2.schema("bucket").dataType.typeName === "integer")
+    assert(got2.select("bucket").as[Int].collect().toSet === Set(7))
+  }
+
+  test("schema evolution: the newest metaData wins, old versions replay with their own schema") {
+    val root = freshRoot("evolve")
+    val v0df = Seq((1, "a")).toDF("k", "v")
+    val v1df = Seq((2, "b", 9.5)).toDF("k", "v", "score")
+    val (f0, s0) = F.writeDataFile(root, v0df, "gen0")
+    val (f1, s1) = F.writeDataFile(root, v1df, "gen1")
+    F.writeCommit(root, 0, Seq(F.protocolLine(), F.metaDataLine(v0df.schema.json, Nil),
+      F.addLine(f0, s0)))
+    // overwrite with a widened schema: new metaData + remove old + add new
+    F.writeCommit(root, 1, Seq(F.metaDataLine(v1df.schema.json, Nil),
+      F.removeLine(f0), F.addLine(f1, s1)))
+    assert(DeltaLogReader.read(spark, root.toString, Some(0)).columns.toSeq === Seq("k", "v"))
+    assert(DeltaLogReader.read(spark, root.toString, Some(1)).columns.toSeq ===
+      Seq("k", "v", "score"))
+    assert(DeltaLogReader.read(spark, root.toString, Some(1))
+      .select("score").as[Double].collect() === Array(9.5))
+  }
+
+  test("reader features beyond protocol v1 and log gaps are refused loudly") {
+    val root = freshRoot("refuse")
+    val df = Seq((1, "a")).toDF("k", "v")
+    val (fa, sa) = F.writeDataFile(root, df, "a")
+    F.writeCommit(root, 0, Seq(F.protocolLine(minReader = 3, minWriter = 7),
+      F.metaDataLine(df.schema.json, Nil), F.addLine(fa, sa)))
+    val e = intercept[IllegalArgumentException](
+      DeltaLogReader.read(spark, root.toString, None))
+    assert(e.getMessage.contains("minReaderVersion"))
+    // gap: versions 0 and 2 present, 1 missing
+    val root2 = freshRoot("gap")
+    val (fb, sb) = F.writeDataFile(root2, df, "b")
+    F.writeCommit(root2, 0, Seq(F.protocolLine(), F.metaDataLine(df.schema.json, Nil),
+      F.addLine(fb, sb)))
+    F.writeCommit(root2, 2, Seq(F.removeLine(fb)))
+    val e2 = intercept[IllegalArgumentException](
+      DeltaLogReader.read(spark, root2.toString, Some(2)))
+    assert(e2.getMessage.contains("gaps"))
+    // percent-encoded path in the log resolves to the on-disk file
+    val root3 = freshRoot("encoded")
+    val (fc, sc) = F.writeDataFile(root3, df, "with space")
+    assert(fc === "with space.parquet")
+    F.writeCommit(root3, 0, Seq(F.protocolLine(), F.metaDataLine(df.schema.json, Nil),
+      F.addLine("with%20space.parquet", sc)))
+    assert(DeltaLogReader.read(spark, root3.toString, None).count() === 1)
+  }
+}
