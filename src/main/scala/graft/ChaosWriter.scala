@@ -27,11 +27,16 @@ object ChaosWriter {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     val vt = graft.vt.VersionedTable.open(dir, store)
+    // "tags" mode: tag every commit this writer lands (kill-9 may interrupt
+    // between the commit and the tag CAS — the harness then checks every tag
+    // that DID land resolves to a readable commit, never a dangling id)
+    val tagging = args.contains("tags")
     var written = 0
     while (written < n.toInt) {
       try {
-        vt.write(Seq(id.toInt * 1000 + written).toDF("x"), "main",
+        val c = vt.write(Seq(id.toInt * 1000 + written).toDF("x"), "main",
           s"writer$id-$written", mode = "append")
+        if (tagging) vt.createTagAt(s"t$id-$written", c.id)
         written += 1
         println(s"[chaos$id] appended $written/$n")
       } catch {

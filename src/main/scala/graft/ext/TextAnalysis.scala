@@ -245,8 +245,18 @@ object TextAnalysis {
     * turns variable-length documents into training-ready sequences: 64-token
     * windows starting every 48 tokens (16-token overlap so no boundary
     * context is lost), the trailing window short rather than dropped.
-    * Row-local (one generator, zero pre-order shuffle), so it scales with
-    * corpus bytes; same whitespace token convention as [[qTokenCount]]. */
+    * Same whitespace token convention as [[qTokenCount]].
+    *
+    * Scale shape (r13 verdict #4 — this was the worst non-parity 10× ratio):
+    * the deterministic (doc_id, chunk_id) output order comes from range-
+    * partitioning + sorting the COMPACT input (doc_id, text) and only then
+    * running the chunk generator row-locally inside each sorted partition —
+    * posexplode preserves row order and emits chunk_id ascending, so the
+    * global order survives with ZERO post-explode exchange. The naive
+    * `…posexplode….orderBy(doc_id, chunk_id)` shape shuffles ~1.33× the
+    * corpus bytes (overlap inflation) across 4× the rows AND evaluates the
+    * generator twice (once for range-bound sampling, once for the real
+    * exchange); this one shuffles the corpus bytes exactly once. */
   val qChunkWindows: QueryDef = q("q_chunk_windows")(
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
       |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
@@ -260,6 +270,9 @@ object TextAnalysis {
       |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
     val (w, st) = (64, 48)
     Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n", size(col("toks")).cast(LongType))
       // the chunk array is materialized BEFORE the generator select: a
@@ -270,7 +283,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("chunk_id"),
         least(lit(w.toLong), col("n") - col("chunk_id") * st).cast(LongType).as("n_tokens"),
         col("chunk"))
-      .orderBy("doc_id", "chunk_id")
   }
 
   /** Corpus-level bigram familiarity: how "typical" each document's word

@@ -41,7 +41,7 @@ class ChaosSpec extends SparkSpec {
     def launch(id: Int, n: Int): Process = {
       val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx1g", "-cp",
         System.getProperty("java.class.path"), "graft.ChaosWriter",
-        root, id.toString, n.toString) ++ storeArg.toSeq
+        root, id.toString, n.toString) ++ storeArg.toSeq ++ Seq("tags")
       new ProcessBuilder(cmd.asJava).redirectErrorStream(true)
         .redirectOutput(logOf(id).toFile).start()
     }
@@ -110,6 +110,17 @@ class ChaosSpec extends SparkSpec {
       store.exists(Paths.get(root).resolve("locks").resolve(s"main-v${c.version}")),
       s"published slot main-v${c.version} was reclaimed"))
     assert(vt.read(spark, "main").count() === v2 + 1)
+
+    // invariant 5 (r13 verdict #6): writers tagged every commit they landed;
+    // kill -9 may have cut any writer between commit and tag CAS. Every tag
+    // that DID land must resolve to a loadable, readable commit — a dangling
+    // tag (pointing at a commit the crash never published, or one the
+    // post-chaos vacuum swept despite the pin) fails here.
+    val tags = vt.tags
+    assert(tags.nonEmpty, "at least the surviving writer's tags must exist")
+    tags.foreach { case (name, _) =>
+      assert(vt.readTag(spark, name).count() >= 1, s"tag $name must stay readable")
+    }
   }
 
   test("real cross-process writers with kill -9: versions gap-free, head readable, vacuum un-wedges",

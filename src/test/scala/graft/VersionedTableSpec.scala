@@ -427,6 +427,96 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.read(spark, "main").as[(Int, String)].collect() === Array((9, "z")))
   }
 
+  test("protection racing live writers: in-flight commit completes, staged work freezes") {
+    // r13 verdict #6: protection-rule flips racing writers. lakeFS semantics:
+    // adding a rule does not abort an IN-FLIGHT commit (the guard runs at
+    // operation entry); it closes the door for the next one. Atomicity is
+    // the pin — the racing commit lands whole, the next is refused whole.
+    val vt = freshVt("protect_race")
+    vt.write(Seq((1, "a")).toDF("k", "v"), "main", "v0")
+    var flipped = false
+    vt.addPreCommitHook("protector") { (_, c) =>
+      if (c.message == "racing commit" && !flipped) {
+        flipped = true
+        vt.protectBranch("main") // the admin flips the rule mid-commit
+      }
+    }
+    val c1 = vt.write(Seq((2, "b")).toDF("k", "v"), "main", "racing commit", mode = "append")
+    assert(flipped && c1.version === 1, "the in-flight commit must land whole")
+    assert(vt.read(spark, "main").count() === 2)
+    assertThrows[IllegalStateException](
+      vt.write(Seq((3, "c")).toDF("k", "v"), "main", "after the flip", mode = "append"))
+    assert(vt.head("main").get.version === 1, "refused write must not publish")
+    vt.removePreCommitHook("protector")
+
+    // protect-while-staged: staged-but-uncommitted work freezes with the
+    // branch — commitStaged and reset both refuse; after unprotect the
+    // ORIGINAL staged snapshot publishes intact.
+    val vt2 = freshVt("protect_staged")
+    vt2.write(Seq((1, "a")).toDF("k", "v"), "main", "v0")
+    vt2.stage(Seq((9, "z")).toDF("k", "v"), "main")
+    vt2.protectBranch("main")
+    assertThrows[IllegalStateException](vt2.commitStaged("main", "blocked"))
+    assert(vt2.head("main").get.version === 0, "staged work must not leak into history")
+    assert(vt2.hasStaged("main"), "the refusal must not destroy the staged snapshot")
+    assert(vt2.unprotectBranch("main"))
+    vt2.commitStaged("main", "staged survives the freeze")
+    assert(vt2.read(spark, "main").as[(Int, String)].collect() === Array((9, "z")))
+  }
+
+  test("tag CAS race: one winner; a tag landing just before the sweep pins its commit") {
+    val vt = freshVt("tag_race")
+    vt.write(Seq((1, "a")).toDF("k", "v"), "main", "v0")
+    val c0 = vt.head("main").get
+    vt.write(Seq((2, "b")).toDF("k", "v"), "main", "v1")
+    val c1 = vt.head("main").get
+    // two release managers race the same tag name at different commits: the
+    // metadata CAS (putIfAbsent) picks exactly one winner, the loser gets
+    // the documented error, and the tag resolves to the winner's commit
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Throwable]()
+    val ts = Seq(c0, c1).map(c => new Thread(() =>
+      try { vt.createTagAt("rel", c.id); () }
+      catch { case e: Throwable => results.put(c.id, e); () }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(results.size === 1, s"exactly one racer must lose, got ${results.size} losers")
+    val winner = if (results.containsKey(c0.id)) c1 else c0
+    assert(vt.tags === Seq("rel" -> winner.id))
+    // tag-during-vacuum (r13 verdict #6): v0 is outside retention when the
+    // tag lands moments before the sweep — the sweep must honor it
+    vt.createTagAt("pin-v0", c0.id)
+    vt.vacuum(retainLast = 1)
+    assert(vt.readTag(spark, "pin-v0").as[(Int, String)].collect() === Array((1, "a")),
+      "a tag landing before the sweep must pin its commit's files")
+  }
+
+  test("pre-merge hook veto racing a target writer: merge aborts whole, retry merges the new base") {
+    val vt = freshVt("merge_veto_race")
+    vt.write(Seq((1, "a")).toDF("k", "v"), "main", "v0")
+    vt.createBranch("dev", from = "main")
+    vt.write(Seq((2, "b")).toDF("k", "v"), "dev", "dev append", mode = "append")
+    // the hook plays a racing writer: it advances the TARGET branch and then
+    // vetoes this merge — the veto must abort atomically (no half-merge),
+    // with the racer's append already durable
+    var raced = false
+    vt.addPreMergeHook("racer-veto") { (_, into) =>
+      if (into == "main" && !raced) {
+        raced = true
+        vt.write(Seq((3, "c")).toDF("k", "v"), "main", "racer append", mode = "append")
+        throw new IllegalStateException("veto: target moved under the merge")
+      }
+    }
+    val e = intercept[IllegalStateException](vt.merge("dev", "main"))
+    assert(e.getMessage.contains("veto") || e.getMessage.contains("racer-veto"))
+    assert(raced && vt.head("main").get.message === "racer append",
+      "the racer's append must be durable; the merge must have published nothing")
+    vt.removePreMergeHook("racer-veto")
+    // retry: the base has MOVED (disjoint appends on both sides) — the 3-way
+    // merge unions both, nothing from the aborted attempt leaks in
+    vt.merge("dev", "main")
+    assert(vt.read(spark, "main").as[(Int, String)].collect().sortBy(_._1)
+      === Array((1, "a"), (2, "b"), (3, "c")))
+  }
+
   test("update rewrites matched rows copy-on-write; RHS sees OLD values; stats prune") {
     val vt = freshVt("update")
     vt.write(Seq((1, 10, 100), (2, 20, 200), (3, 30, 300)).toDF("k", "a", "b"), "main", "v0")
