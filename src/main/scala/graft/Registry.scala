@@ -47,7 +47,11 @@ object Registry {
     "q_pii_redact", "q_tfidf_terms", "q_pack_sequences", "q_ann_ivf_trained",
     "q_dedup_incremental", "q_dedup_inc_ingest", "q_dedup_inc_screen",
     "q_zorder", "q_chunk_windows", "q_bigram_familiarity",
-    "q_embed_quant", "q_ann_sq8")
+    "q_embed_quant", "q_ann_sq8",
+    // wide-table shapes (r13 verdict #8): the reference's 54-double-column
+    // frame costs per-column — these catch per-column regressions that only
+    // show at many columns, in BOTH the sf0.1 and 10x scale runs
+    "q_unpivot", "q_rowwise_mean", "q_hof", "q_resample")
 
   /** The FROZEN round-4 headline list. `benchNames` grows as operators land
     * (23 → 27 across rounds), so the all-queries `total` is not

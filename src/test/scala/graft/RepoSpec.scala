@@ -1,15 +1,25 @@
 package graft
 
-import graft.vt.Repo
+import graft.vt.{LocalFsMetaStore, MetaStore, Repo, S3SimMetaStore}
 
 /** Multi-table repo semantics: atomic cross-table commits, reset drops the
   * whole staged batch, untouched tables carry forward, repo-wide time travel,
-  * zero-copy branches. */
+  * zero-copy branches. Parameterized over the [[MetaStore]] backend like
+  * VersionedTableSpec: [[RepoS3SimSpec]] re-runs everything on the
+  * rename-free S3-semantics object store. */
 class RepoSpec extends SparkSpec {
   import spark.implicits._
 
+  protected def storeFor(root: String): MetaStore = LocalFsMetaStore
+  protected def suiteTag: String = ""
+
+  private def freshRepo(name: String): Repo = {
+    val root = Tables.scratch(name + suiteTag)
+    Repo.create(root, storeFor(root))
+  }
+
   test("one commit atomically covers writes to multiple tables") {
-    val repo = Repo.create(Tables.scratch("repo_atomic"))
+    val repo = freshRepo("repo_atomic")
     repo.stageWrite(Seq(1, 2).toDF("x"), "main", "a")
     repo.stageWrite(Seq("p", "q").toDF("s"), "main", "b")
     // before commit: branch does not even exist for readers
@@ -22,7 +32,7 @@ class RepoSpec extends SparkSpec {
   }
 
   test("reset discards the entire staged batch") {
-    val repo = Repo.create(Tables.scratch("repo_reset"))
+    val repo = freshRepo("repo_reset")
     repo.stageWrite(Seq(1).toDF("x"), "main", "a")
     repo.commit("main", "v0")
     repo.stageWrite(Seq(9).toDF("x"), "main", "a")
@@ -34,7 +44,7 @@ class RepoSpec extends SparkSpec {
   }
 
   test("untouched tables carry forward; repo-wide time travel sees old state") {
-    val repo = Repo.create(Tables.scratch("repo_carry"))
+    val repo = freshRepo("repo_carry")
     repo.stageWrite(Seq(1).toDF("x"), "main", "a")
     repo.stageWrite(Seq(10).toDF("x"), "main", "b")
     repo.commit("main", "v0")
@@ -47,7 +57,7 @@ class RepoSpec extends SparkSpec {
   }
 
   test("repo merge fast-forwards all tables; diverged targets conflict") {
-    val repo = Repo.create(Tables.scratch("repo_merge"))
+    val repo = freshRepo("repo_merge")
     repo.stageWrite(Seq(1).toDF("x"), "main", "a")
     repo.commit("main", "v0")
     repo.createBranch("dev", "main")
@@ -66,7 +76,7 @@ class RepoSpec extends SparkSpec {
   }
 
   test("3-way merge: branches changing disjoint tables merge; same table conflicts") {
-    val repo = Repo.create(Tables.scratch("repo_merge3"))
+    val repo = freshRepo("repo_merge3")
     repo.stageWrite(Seq(1).toDF("x"), "main", "a")
     repo.stageWrite(Seq(10).toDF("x"), "main", "b")
     repo.commit("main", "v0")
@@ -90,7 +100,7 @@ class RepoSpec extends SparkSpec {
   }
 
   test("repo merge base advances: successive disjoint-table merges keep working") {
-    val repo = Repo.create(Tables.scratch("repo_merge_succ"))
+    val repo = freshRepo("repo_merge_succ")
     repo.stageWrite(Seq(1).toDF("x"), "main", "a")
     repo.stageWrite(Seq(10).toDF("x"), "main", "b")
     repo.commit("main", "v0")
@@ -109,7 +119,7 @@ class RepoSpec extends SparkSpec {
   }
 
   test("repo vacuumRetainHours keeps the horizon and the head, reclaims older") {
-    val repo = Repo.create(Tables.scratch("repo_vacuum_hours"))
+    val repo = freshRepo("repo_vacuum_hours")
     repo.stageWrite(Seq(1).toDF("x"), "main", "a"); val c0 = repo.commit("main", "v0")
     Thread.sleep(15)
     repo.stageWrite(Seq(2).toDF("x"), "main", "a"); val c1 = repo.commit("main", "v1")
@@ -121,7 +131,7 @@ class RepoSpec extends SparkSpec {
   }
 
   test("repo revert restores every table as a new commit; history lists lineage") {
-    val repo = Repo.create(Tables.scratch("repo_revert"))
+    val repo = freshRepo("repo_revert")
     repo.stageWrite(Seq(1).toDF("x"), "main", "a")
     repo.stageWrite(Seq(10).toDF("x"), "main", "b")
     repo.commit("main", "v0")
@@ -140,7 +150,7 @@ class RepoSpec extends SparkSpec {
   }
 
   test("repo vacuum reclaims files outside retention but never retained ones") {
-    val repo = Repo.create(Tables.scratch("repo_vacuum"))
+    val repo = freshRepo("repo_vacuum")
     (0 until 3).foreach { i =>
       repo.stageWrite(Seq(i).toDF("x"), "main", "a")
       repo.commit("main", s"v$i")
@@ -155,7 +165,7 @@ class RepoSpec extends SparkSpec {
   }
 
   test("repo tags pin every table of a multi-table state through vacuum") {
-    val repo = Repo.create(Tables.scratch("repo_tags"))
+    val repo = freshRepo("repo_tags")
     repo.stageWrite(Seq(1).toDF("x"), "main", "a")
     repo.stageWrite(Seq("p").toDF("s"), "main", "b")
     repo.commit("main", "v0: a+b together")
@@ -178,7 +188,7 @@ class RepoSpec extends SparkSpec {
   }
 
   test("repo branch protection: staging and commits rejected, merge lands") {
-    val repo = Repo.create(Tables.scratch("repo_protected"))
+    val repo = freshRepo("repo_protected")
     repo.stageWrite(Seq(1).toDF("x"), "main", "a")
     repo.commit("main", "v0")
     // stage BEFORE protecting, then protect: the COMMIT door itself must be
@@ -204,7 +214,7 @@ class RepoSpec extends SparkSpec {
   }
 
   test("repo-wide timestamp time travel resolves the snapshot as of a commit's clock") {
-    val repo = Repo.create(Tables.scratch("repo_ts_travel"))
+    val repo = freshRepo("repo_ts_travel")
     repo.stageWrite(Seq(1).toDF("x"), "main", "a")
     val c0 = repo.commit("main", "v0")
     while (System.currentTimeMillis() <= c0.ts) Thread.sleep(1)
@@ -226,29 +236,27 @@ class RepoSpec extends SparkSpec {
   }
 
   test("repo vacuum un-wedges crashed writers: stale claims reclaimed, orphan refs replayed, FF slots kept") {
-    import java.nio.file.Files
-    val rootStr = Tables.scratch("repo_slot_sweep")
-    val repo = Repo.create(rootStr)
-    val root = java.nio.file.Paths.get(rootStr)
-    val past = java.nio.file.attribute.FileTime.fromMillis(
-      System.currentTimeMillis() - 2 * graft.vt.VersionedTable.DefaultStaleSlotMs)
+    val repo = freshRepo("repo_slot_sweep")
+    val root = repo.root
+    val store = repo.store
+    val pastMs = System.currentTimeMillis() - 2 * graft.vt.VersionedTable.DefaultStaleSlotMs
     repo.stageWrite(Seq(1).toDF("x"), "main", "a")
     repo.commit("main", "v0")
     // crash case 1: slot claimed, nothing published — branch is wedged
-    graft.vt.CommitLog.claimVersionSlot(root.resolve("locks"), "main", 1)
+    graft.vt.CommitLog.claimVersionSlot(root.resolve("locks"), "main", 1, store = store)
     repo.stageWrite(Seq(2).toDF("x"), "main", "a")
     intercept[java.util.ConcurrentModificationException] { repo.commit("main", "wedged") }
-    Files.setLastModifiedTime(root.resolve("locks").resolve("main-v1"), past)
+    StoreOps.backdate(store, root.resolve("locks").resolve("main-v1"), pastMs)
     repo.vacuum(retainLast = 1000) // sweeps the stale claim
     val c1 = repo.commit("main", "retry lands")
     assert(c1.version === 1)
     // crash case 2: commit published, ref advance lost — vacuum replays it
     val refPath = root.resolve("refs").resolve("main")
-    val before = graft.vt.CommitLog.readString(refPath).trim
+    val before = store.read(refPath).trim
     repo.stageWrite(Seq(3).toDF("x"), "main", "a")
     val orphan = repo.commit("main", "lost ref")
-    graft.vt.CommitLog.writeAtomic(refPath, before) // simulate the crash
-    Files.setLastModifiedTime(root.resolve("locks").resolve(s"main-v${orphan.version}"), past)
+    store.put(refPath, before) // simulate the crash
+    StoreOps.backdate(store, root.resolve("locks").resolve(s"main-v${orphan.version}"), pastMs)
     repo.vacuum(retainLast = 1000)
     assert(repo.head("main").map(_.id) === Some(orphan.id), "orphan ref advance not replayed")
     assert(repo.readTable(spark, "main", "a").as[Int].collect() === Array(3))
@@ -258,15 +266,15 @@ class RepoSpec extends SparkSpec {
     val devHead = repo.commit("dev", "dev work")
     val merged = repo.merge("dev", "main") // fast-forward, claims main-v<devHead.version>
     assert(merged.id === devHead.id)
-    Files.setLastModifiedTime(root.resolve("locks").resolve(s"main-v${devHead.version}"), past)
+    StoreOps.backdate(store, root.resolve("locks").resolve(s"main-v${devHead.version}"), pastMs)
     repo.vacuum(retainLast = 1000)
-    assert(Files.exists(root.resolve("locks").resolve(s"main-v${devHead.version}")),
+    assert(store.exists(root.resolve("locks").resolve(s"main-v${devHead.version}")),
       "completed-FF slot reclaimed")
     assert(repo.head("main").map(_.id) === Some(devHead.id))
   }
 
   test("tableChanges diffs one table between repo versions, scanning only its touched files") {
-    val repo = Repo.create(Tables.scratch("repo_table_cdc"))
+    val repo = freshRepo("repo_table_cdc")
     repo.stageWrite(Seq(1, 2).toDF("x"), "main", "a")
     repo.stageWrite(Seq(10).toDF("y"), "main", "b")
     repo.commit("main", "v0")
@@ -289,7 +297,7 @@ class RepoSpec extends SparkSpec {
   }
 
   test("tableChanges reads each side under its own schema across a type change") {
-    val repo = Repo.create(Tables.scratch("repo_typechange"))
+    val repo = freshRepo("repo_typechange")
     repo.stageWrite(Seq(1, 2).toDF("x"), "main", "t") // x: INT
     repo.commit("main", "v0")
     repo.stageWrite(Seq("2", "3").toDF("x"), "main", "t") // x: STRING
@@ -302,7 +310,7 @@ class RepoSpec extends SparkSpec {
   }
 
   test("append-append on the SAME table union-merges; the base advances for later merges") {
-    val repo = Repo.create(Tables.scratch("repo_union_merge"))
+    val repo = freshRepo("repo_union_merge")
     repo.stageWrite(Seq(1).toDF("x"), "main", "t")
     repo.commit("main", "v0 base")
     repo.createBranch("dev", "main")
@@ -324,7 +332,7 @@ class RepoSpec extends SparkSpec {
   }
 
   test("append vs overwrite on the same table still conflicts") {
-    val repo = Repo.create(Tables.scratch("repo_union_conflict"))
+    val repo = freshRepo("repo_union_conflict")
     repo.stageWrite(Seq(1).toDF("x"), "main", "t")
     repo.commit("main", "v0")
     repo.createBranch("dev", "main")
@@ -337,7 +345,7 @@ class RepoSpec extends SparkSpec {
   }
 
   test("stageAppend rejects a schema drift and degenerates to write on a new table") {
-    val repo = Repo.create(Tables.scratch("repo_append_schema"))
+    val repo = freshRepo("repo_append_schema")
     repo.stageAppend(Seq(1).toDF("x"), "main", "fresh") // no table yet: plain write
     repo.commit("main", "v0")
     assert(repo.readTable(spark, "main", "fresh").as[Int].collect() === Array(1))
@@ -351,19 +359,20 @@ class RepoSpec extends SparkSpec {
   }
 
   test("Repo.open re-attaches via the _graft_repo marker and rejects non-repo roots") {
-    val root = Tables.scratch("repo_open")
-    val repo = Repo.create(root)
+    val root = Tables.scratch("repo_open" + suiteTag)
+    val repo = Repo.create(root, storeFor(root))
     repo.stageWrite(Seq(1).toDF("x"), "main", "t")
     repo.commit("main", "v0")
-    assert(Repo.open(root).readTable(spark, "main", "t").as[Int].collect() === Array(1))
+    assert(Repo.open(root, storeFor(root))
+      .readTable(spark, "main", "t").as[Int].collect() === Array(1))
     // a versioned-TABLE root is not a repo: the marker catches the mixup
-    val tableRoot = Tables.scratch("repo_open_not_a_repo")
-    graft.vt.VersionedTable.create(tableRoot)
-    intercept[IllegalArgumentException](Repo.open(tableRoot))
+    val tableRoot = Tables.scratch("repo_open_not_a_repo" + suiteTag)
+    graft.vt.VersionedTable.create(tableRoot, storeFor(tableRoot))
+    intercept[IllegalArgumentException](Repo.open(tableRoot, storeFor(tableRoot)))
   }
 
   test("branches are zero-copy and isolated across all tables") {
-    val repo = Repo.create(Tables.scratch("repo_branch"))
+    val repo = freshRepo("repo_branch")
     repo.stageWrite(Seq(1).toDF("x"), "main", "a")
     repo.commit("main", "v0")
     repo.createBranch("dev", "main")
@@ -375,4 +384,11 @@ class RepoSpec extends SparkSpec {
     assert(repo.readTable(spark, "dev", "a").as[Int].collect() === Array(2))
     assert(repo.tables("dev") === Seq("a", "new_table"))
   }
+}
+
+/** Every repo invariant above, re-run on the rename-free S3-semantics object
+  * store — atomic multi-table commits decided by conditional PUTs alone. */
+class RepoS3SimSpec extends RepoSpec {
+  override protected def storeFor(root: String): MetaStore = S3SimMetaStore.forTable(root)
+  override protected def suiteTag: String = "_s3"
 }
