@@ -301,21 +301,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("property: writers with random crash points — versions stay gap-free, published slots survive, the branch always recovers") {
-    // op 0 = clean write; op 1 = crash between slot claim and commit write;
-    // op 2 = crash between commit write and ref advance; op 3 = fast-forward
-    // merge (slot-serialized since r12 — a zombie writer based on the
-    // pre-merge head must LOSE the CAS, never overwrite the advanced ref);
-    // op 4 = crash between the FF's slot claim and its ref write. After
-    // every crash the branch is WEDGED (the claimed slot blocks the next
-    // writer); an aged-slot vacuum must always un-wedge it, never fork or
-    // lose history.
+  // op 0 = clean write; op 1 = crash between slot claim and commit write;
+  // op 2 = crash between commit write and ref advance; op 3 = fast-forward
+  // merge (slot-serialized since r12 — a zombie writer based on the
+  // pre-merge head must LOSE the CAS, never overwrite the advanced ref);
+  // op 4 = crash between the FF's slot claim and its ref write. After
+  // every crash the branch is WEDGED (the claimed slot blocks the next
+  // writer); an aged-slot vacuum must always un-wedge it, never fork or
+  // lose history. Store-parametric (r14): the same property runs on the
+  // POSIX store and on the rename-free S3-semantics object store.
+  private def crashPointProperty(tag: String,
+                                 storeFor: String => graft.vt.MetaStore): Unit = {
     val opsGen: Gen[List[Int]] = Gen.listOfN(7, Gen.choose(0, 4))
-    val past = java.nio.file.attribute.FileTime.fromMillis(
-      System.currentTimeMillis() - 2 * VersionedTable.DefaultStaleSlotMs)
+    val pastMs = System.currentTimeMillis() - 2 * VersionedTable.DefaultStaleSlotMs
     samples(opsGen, 4).zipWithIndex.foreach { case (opsSeq, si) =>
-      val vt = VersionedTable.create(Tables.scratch(s"prop_cas_$si"))
+      val rootStr = Tables.scratch(s"prop_cas$tag$si")
+      val store = storeFor(rootStr)
+      val vt = VersionedTable.create(rootStr, store)
       val refPath = vt.root.resolve("refs").resolve("main")
+      def slot(n: Long) = vt.root.resolve("locks").resolve(s"main-v$n")
       var expectedRows = List(0)
       vt.write(List(0).toDF("x"), "main", "v0")
       opsSeq.zipWithIndex.foreach { case (op, i) =>
@@ -326,23 +330,23 @@ class PropertySpec extends SparkSpec {
             expectedRows ::= v
           case 1 => // crash before the commit json: slot claimed, nothing published
             val next = vt.head("main").get.version + 1
-            graft.vt.CommitLog.claimVersionSlot(vt.root.resolve("locks"), "main", next)
+            graft.vt.CommitLog.claimVersionSlot(vt.root.resolve("locks"), "main", next,
+              store = store)
             intercept[java.util.ConcurrentModificationException] {
               vt.write(List(-1).toDF("x"), "main", "blocked", mode = "append")
             }
-            Files.setLastModifiedTime(vt.root.resolve("locks").resolve(s"main-v$next"), past)
+            StoreOps.backdate(store, slot(next), pastMs)
             vt.vacuum(retainLast = 1000) // reclaims the empty slot
             vt.write(List(v).toDF("x"), "main", s"retry$v", mode = "append")
             expectedRows ::= v
           case 2 => // crash before the ref advance: commit published, ref stale
-            val before = graft.vt.CommitLog.readString(refPath).trim
+            val before = store.read(refPath).trim
             val orphan = vt.write(List(v).toDF("x"), "main", s"lost$v", mode = "append")
-            graft.vt.CommitLog.writeAtomic(refPath, before)
+            store.put(refPath, before)
             intercept[java.util.ConcurrentModificationException] {
               vt.write(List(-1).toDF("x"), "main", "blocked", mode = "append")
             }
-            Files.setLastModifiedTime(
-              vt.root.resolve("locks").resolve(s"main-v${orphan.version}"), past)
+            StoreOps.backdate(store, slot(orphan.version), pastMs)
             vt.vacuum(retainLast = 1000) // replays the lost ref advance
             assert(vt.head("main").map(_.id) === Some(orphan.id))
             expectedRows ::= v
@@ -357,14 +361,13 @@ class PropertySpec extends SparkSpec {
             // the CAS instead of silently overwriting the merged ref
             intercept[java.util.ConcurrentModificationException] {
               graft.vt.CommitLog.claimVersionSlot(
-                vt.root.resolve("locks"), "main", merged.version)
+                vt.root.resolve("locks"), "main", merged.version, store = store)
             }
             // an aged-slot vacuum must KEEP a completed FF's slot (it is the
             // CAS record for that version), not reclaim it
-            Files.setLastModifiedTime(
-              vt.root.resolve("locks").resolve(s"main-v${merged.version}"), past)
+            StoreOps.backdate(store, slot(merged.version), pastMs)
             vt.vacuum(retainLast = 1000)
-            assert(Files.exists(vt.root.resolve("locks").resolve(s"main-v${merged.version}")),
+            assert(store.exists(slot(merged.version)),
               "completed-FF slot was reclaimed")
             assert(vt.head("main").map(_.id) === Some(merged.id))
             vt.deleteBranch(b)
@@ -375,13 +378,14 @@ class PropertySpec extends SparkSpec {
             val side = vt.write(List(v).toDF("x"), b, s"side$v", mode = "append")
             val next = vt.head("main").get.version + 1
             graft.vt.CommitLog.claimVersionSlot(
-              vt.root.resolve("locks"), "main", next, content = "ff:" + side.id)
+              vt.root.resolve("locks"), "main", next, content = "ff:" + side.id,
+              store = store)
             // wedged: both a plain write and the merge retry lose the CAS
             intercept[java.util.ConcurrentModificationException] {
               vt.merge(b, "main")
             }
             assert(vt.head("main").map(_.version) === Some(next - 1)) // no ref advance
-            Files.setLastModifiedTime(vt.root.resolve("locks").resolve(s"main-v$next"), past)
+            StoreOps.backdate(store, slot(next), pastMs)
             vt.vacuum(retainLast = 1000) // reclaims the crashed FF's slot (head never descended)
             val merged = vt.merge(b, "main") // retry lands
             assert(merged.id === side.id)
@@ -394,12 +398,19 @@ class PropertySpec extends SparkSpec {
         val lin = vt.lineage("main") // head-first
         assert(lin.map(_.version) === (lin.head.version to 0L by -1).toList,
           s"gap or non-monotonic versions: ${lin.map(_.version)}")
-        lin.foreach(c => assert(
-          Files.exists(vt.root.resolve("locks").resolve(s"main-v${c.version}")),
+        lin.foreach(c => assert(store.exists(slot(c.version)),
           s"published slot main-v${c.version} was reclaimed"))
       }
       assert(vt.read(spark, "main").as[Int].collect().sorted.toList ===
         expectedRows.sorted, s"ops=$opsSeq")
     }
+  }
+
+  test("property: writers with random crash points — versions stay gap-free, published slots survive, the branch always recovers") {
+    crashPointProperty("_", _ => graft.vt.LocalFsMetaStore)
+  }
+
+  test("property: the same crash-point walk holds on the rename-free S3-semantics store") {
+    crashPointProperty("_s3_", graft.vt.S3SimMetaStore.forTable)
   }
 }
