@@ -58,6 +58,11 @@ object DeltaLogFixture {
       r.put("path", path); r.put("deletionTimestamp", 0L); r.put("dataChange", true); ()
     }
 
+  def commitInfoLine(timestampMs: Long, operation: String = "WRITE"): String =
+    line("commitInfo") { c =>
+      c.put("timestamp", timestampMs); c.put("operation", operation); ()
+    }
+
   /** Write commit `version`'s JSON file (`%020d.json`). */
   def writeCommit(tableRoot: Path, version: Long, actions: Seq[String]): Unit = {
     val logDir = tableRoot.resolve("_delta_log")

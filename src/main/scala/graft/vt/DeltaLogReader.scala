@@ -56,6 +56,33 @@ object DeltaLogReader {
   def latestVersion(tableRoot: String): Long =
     commitFiles(Paths.get(tableRoot)).lastOption.map(_._1).getOrElse(-1L)
 
+  /** Delta's `timestampAsOf`: the newest version whose commit timestamp is
+    * ≤ `tsMillis` — the same newest-commit-at-or-before rule our own
+    * [[VersionedTable.readAsOfTimestamp]] and Delta implement. The
+    * timestamp of a commit is its `commitInfo.timestamp` when present
+    * (what delta-spark writes), else the commit file's own modification
+    * time (Delta's documented fallback). Throws when `tsMillis` predates
+    * the first commit — an empty read would silently hide a typo'd clock. */
+  def versionAtTimestamp(tableRoot: String, tsMillis: Long): Long = {
+    val root = Paths.get(tableRoot).toAbsolutePath.normalize
+    val commits = commitFiles(root)
+    require(commits.nonEmpty, s"not a Delta table (no _delta_log commits): $tableRoot")
+    val stamped = commits.map { case (v, p) => v -> commitTimestamp(p) }
+    require(stamped.head._2 <= tsMillis,
+      s"timestamp $tsMillis predates the first commit (${stamped.head._2}) of $tableRoot")
+    stamped.takeWhile(_._2 <= tsMillis).last._1
+  }
+
+  private def commitTimestamp(commitPath: Path): Long =
+    Files.readAllLines(commitPath).asScala.iterator
+      .filter(_.trim.nonEmpty)
+      .map(mapper.readTree)
+      .collectFirst {
+        case a if a.has("commitInfo") && a.get("commitInfo").has("timestamp") =>
+          a.get("commitInfo").get("timestamp").asLong()
+      }
+      .getOrElse(Files.getLastModifiedTime(commitPath).toMillis)
+
   private def commitFiles(root: Path): Vector[(Long, Path)] = {
     val logDir = root.resolve("_delta_log")
     if (!Files.isDirectory(logDir)) return Vector.empty
@@ -122,6 +149,11 @@ object DeltaLogReader {
     pv.properties().asScala.map(e =>
       e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap
   }
+
+  /** Delta's `option("timestampAsOf", ts)` without the Delta jar. */
+  def readAsOfTimestamp(spark: SparkSession, tableRoot: String,
+                        tsMillis: Long): DataFrame =
+    read(spark, tableRoot, Some(versionAtTimestamp(tableRoot, tsMillis)))
 
   /** Open the table at `versionAsOf` as a DataFrame — Delta's
     * `option("versionAsOf", v)` without the Delta jar. */

@@ -83,6 +83,37 @@ class DeltaLogSpec extends SparkSpec {
       .select("score").as[Double].collect() === Array(9.5))
   }
 
+  test("timestampAsOf resolves the newest commit at or before the clock (commitInfo, mtime fallback)") {
+    val root = freshRoot("ts_travel")
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val (fa, sa) = F.writeDataFile(root, df.where($"k" === 1), "a")
+    val (fb, sb) = F.writeDataFile(root, df.where($"k" === 2), "b")
+    F.writeCommit(root, 0, Seq(F.commitInfoLine(1000L), F.protocolLine(),
+      F.metaDataLine(df.schema.json, Nil), F.addLine(fa, sa)))
+    F.writeCommit(root, 1, Seq(F.commitInfoLine(5000L), F.addLine(fb, sb)))
+    assert(DeltaLogReader.versionAtTimestamp(root.toString, 1000L) === 0)
+    assert(DeltaLogReader.versionAtTimestamp(root.toString, 4999L) === 0)
+    assert(DeltaLogReader.versionAtTimestamp(root.toString, 5000L) === 1)
+    assert(DeltaLogReader.versionAtTimestamp(root.toString, Long.MaxValue) === 1)
+    assert(DeltaLogReader.readAsOfTimestamp(spark, root.toString, 4999L)
+      .select("k").as[Int].collect() === Array(1))
+    assert(DeltaLogReader.readAsOfTimestamp(spark, root.toString, 5000L)
+      .select("k").as[Int].collect().sorted === Array(1, 2))
+    // before the first commit: loud error, never an empty read
+    assertThrows[IllegalArgumentException](
+      DeltaLogReader.versionAtTimestamp(root.toString, 999L))
+    // a log with NO commitInfo falls back to the commit file's mtime
+    val root2 = freshRoot("ts_mtime")
+    val (fc, sc) = F.writeDataFile(root2, df, "c")
+    F.writeCommit(root2, 0, Seq(F.protocolLine(), F.metaDataLine(df.schema.json, Nil),
+      F.addLine(fc, sc)))
+    val mtime = java.nio.file.Files.getLastModifiedTime(
+      root2.resolve("_delta_log").resolve(f"${0L}%020d.json")).toMillis
+    assert(DeltaLogReader.versionAtTimestamp(root2.toString, mtime) === 0)
+    assertThrows[IllegalArgumentException](
+      DeltaLogReader.versionAtTimestamp(root2.toString, mtime - 1))
+  }
+
   test("reader features beyond protocol v1 and log gaps are refused loudly") {
     val root = freshRoot("refuse")
     val df = Seq((1, "a")).toDF("k", "v")
