@@ -364,6 +364,37 @@ class StreamingSpec extends SparkSpec {
       "the refused interval must not partially apply")
   }
 
+  test("replicateAppends exactly-once survives crash + advancing source on the S3-semantics store") {
+    // The cursor markers and ingest batchIds are both put-if-absent CAS
+    // objects — this replays the crash-with-advancing-source matrix with
+    // BOTH commit logs living on the rename-free object store.
+    import graft.streaming.ChangeFeed
+    def mk(name: String) = {
+      val root = Tables.scratch(name)
+      graft.vt.VersionedTable.create(root, graft.vt.S3SimMetaStore.forTable(root))
+    }
+    val src = mk("repl_s3_src")
+    val dst = mk("repl_s3_dst")
+    def rows(vt: graft.vt.VersionedTable) =
+      vt.read(spark, "main").as[(Int, String)].collect().sortBy(_._1)
+    src.write(Seq((1, "a")).toDF("k", "v"), "main", "v0")
+    dst.write(src.read(spark, "main"), "main", "seed")
+    src.write(Seq((2, "b")).toDF("k", "v"), "main", "v1", mode = "append")
+    assert(ChangeFeed.replicateAppends(spark, src, dst, "repl") === 1)
+    // crash between sink commit and cursor commit, then the source advances
+    src.write(Seq((3, "c")).toDF("k", "v"), "main", "v2", mode = "append")
+    val b = ChangeFeed.poll(spark, src, "repl").get
+    graft.streaming.EventsStreaming.ingestBatch(dst, "main")(
+      b.df.where(col("change_type") === "insert").drop("change_type", "version"),
+      b.toVersion) // ...crash: no cursor commit
+    src.write(Seq((4, "d")).toDF("k", "v"), "main", "v3 post-crash", mode = "append")
+    assert(ChangeFeed.replicateAppends(spark, src, dst, "repl") === 1,
+      "only the genuinely-new interval ships")
+    assert(rows(dst) === Array((1, "a"), (2, "b"), (3, "c"), (4, "d")),
+      "no duplicates through the object-store control plane")
+    assert(ChangeFeed.cursor(src, "repl") === 3)
+  }
+
   test("change-feed drain pins its end offset: commits landing mid-drain wait") {
     import graft.streaming.ChangeFeed
     val vt = graft.vt.VersionedTable.create(Tables.scratch("feed_pinned"))
