@@ -369,7 +369,59 @@ object TextAnalysis {
       .orderBy("quality")
   }
 
+  /** Cross-document REPEATED-PASSAGE detection — the windowed form of
+    * exact-substring training-data dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": repeated ≥N-token spans
+    * across documents degrade models even when whole docs are unique —
+    * boilerplate, licenses, templated headers). Each doc is cut into
+    * 20-token windows at stride 10 (adjacent windows overlap so a repeated
+    * span ≥30 tokens is guaranteed to land a whole window inside it); a
+    * window is DUPLICATED when it occurs in ≥2 distinct docs. Output is the
+    * per-doc census (window count, duplicated-window count, ratio) that a
+    * curation pass thresholds on.
+    *
+    * 100 TB shape: the keyed shuffle carries the windows' sha-256 DIGESTS,
+    * never window text (the explode stays in the scan stage); the group-by
+    * is a plain hash aggregate on 32-byte keys, and the join back to docs
+    * is digest-keyed — the exact-dedup scaling argument applied at passage
+    * granularity. A true suffix-array ExactSubstr finds arbitrary-offset
+    * repeats; the stride trades that completeness for one pass of linear,
+    * fully parallel work (the standard large-corpus practice). */
+  val qRepeatedPassages: QueryDef = q("q_repeated_passages")(
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+      |     w0 AS (SELECT doc_id, unnest(list_transform(
+      |                     range(0, greatest((n - 20) // 10 + 1, 1)),
+      |                     i -> array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 20), ' '))) AS win
+      |            FROM t),
+      |     w AS (SELECT doc_id, sha256(win) AS h FROM w0),
+      |     g AS (SELECT h, count(DISTINCT doc_id) AS nd FROM w GROUP BY h),
+      |     d AS (SELECT w.doc_id, count(*) AS n_windows,
+      |                  CAST(sum(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+      |           FROM w JOIN g USING (h) GROUP BY w.doc_id)
+      |SELECT doc_id, n_windows, n_dup_windows,
+      |       CAST(n_dup_windows AS DOUBLE) / CAST(n_windows AS DOUBLE) AS dup_ratio
+      |FROM d ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val (w, st) = (20, 10)
+    val wins = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")).cast(LongType))
+      .withColumn("wins", expr(
+        s"transform(sequence(0L, greatest((n - $w) DIV $st, 0L)), i -> array_join(slice(toks, CAST(i * $st + 1 AS INT), $w), ' '))"))
+      .select(col("doc_id"), explode(col("wins")).as("win"))
+      .withColumn("h", sha2(col("win"), 256)).drop("win") // digests shuffle, text never does
+    val byWindow = wins.groupBy("h").agg(count_distinct(col("doc_id")).as("nd"))
+    wins.join(byWindow, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        (col("n_dup_windows").cast(DoubleType) / col("n_windows").cast(DoubleType))
+          .as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(qTextStats, qLangId, qTokenCount,
     qDocFingerprint, qQualityScore, qOovRate, qTermDf, qDecontaminate,
-    qChunkWindows, qBigramFamiliarity, qQualityStratified)
+    qChunkWindows, qBigramFamiliarity, qQualityStratified, qRepeatedPassages)
 }
