@@ -421,7 +421,44 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The ACTIONABLE companion of [[qRepeatedPassages]]: the duplicated
+    * spans themselves — (doc, window ordinal, 1-based start token, partner
+    * count) for every 20-token window occurring in ≥2 distinct docs. This
+    * is the cut-list a curation job applies (drop or rewrite the span),
+    * where the census row is the threshold dial. Same digest-keyed plan;
+    * the output is ∝ duplicated spans, not corpus size. */
+  val qRepeatedSpans: QueryDef = q("q_repeated_spans")(
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+      |     w0 AS (SELECT doc_id, unnest(list_transform(
+      |                     range(0, greatest((n - 20) // 10 + 1, 1)),
+      |                     i -> {'wi': CAST(i AS BIGINT),
+      |                           'win': array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 20), ' ')})) AS u
+      |            FROM t),
+      |     w AS (SELECT doc_id, u.wi AS win_idx, sha256(u.win) AS h FROM w0),
+      |     g AS (SELECT h, count(DISTINCT doc_id) AS nd FROM w GROUP BY h)
+      |SELECT w.doc_id, w.win_idx, w.win_idx * 10 + 1 AS start_token,
+      |       CAST(g.nd AS BIGINT) AS n_docs
+      |FROM w JOIN g USING (h) WHERE g.nd >= 2
+      |ORDER BY w.doc_id, w.win_idx""".stripMargin) { (s, d) =>
+    val (w, st) = (20, 10)
+    val wins = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")).cast(LongType))
+      .withColumn("wins", expr(
+        s"transform(sequence(0L, greatest((n - $w) DIV $st, 0L)), i -> array_join(slice(toks, CAST(i * $st + 1 AS INT), $w), ' '))"))
+      .select(col("doc_id"), posexplode(col("wins")).as(Seq("win_idx", "win")))
+      .withColumn("h", sha2(col("win"), 256)).drop("win")
+      .withColumn("win_idx", col("win_idx").cast(LongType))
+    val byWindow = wins.groupBy("h").agg(count_distinct(col("doc_id")).as("nd"))
+    wins.join(byWindow.where(col("nd") >= 2), "h")
+      .select(col("doc_id"), col("win_idx"),
+        (col("win_idx") * st + 1).as("start_token"), col("nd").as("n_docs"))
+      .orderBy("doc_id", "win_idx")
+  }
+
   val defs: Seq[QueryDef] = Seq(qTextStats, qLangId, qTokenCount,
     qDocFingerprint, qQualityScore, qOovRate, qTermDf, qDecontaminate,
-    qChunkWindows, qBigramFamiliarity, qQualityStratified, qRepeatedPassages)
+    qChunkWindows, qBigramFamiliarity, qQualityStratified, qRepeatedPassages,
+    qRepeatedSpans)
 }
