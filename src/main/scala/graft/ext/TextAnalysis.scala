@@ -381,12 +381,15 @@ object TextAnalysis {
     * curation pass thresholds on.
     *
     * 100 TB shape: the keyed shuffle carries the windows' sha-256 DIGESTS,
-    * never window text (the explode stays in the scan stage); the group-by
-    * is a plain hash aggregate on 32-byte keys, and the join back to docs
-    * is digest-keyed — the exact-dedup scaling argument applied at passage
-    * granularity. A true suffix-array ExactSubstr finds arbitrary-offset
-    * repeats; the stride trades that completeness for one pass of linear,
-    * fully parallel work (the standard large-corpus practice). */
+    * never window text (the explode stays in the scan stage), and the
+    * per-byte work (tokenize + hash) runs EXACTLY ONCE: occurrences
+    * collapse to (digest, doc) rows in one aggregation, the distinct-doc
+    * count per digest is a count(*) window over those already-aggregated
+    * rows (never a join back to a second evaluation of the corpus
+    * subtree), and the census is a final doc-keyed aggregate. A true
+    * suffix-array ExactSubstr finds arbitrary-offset repeats; the stride
+    * trades that completeness for one pass of linear, fully parallel work
+    * (the standard large-corpus practice). */
   val qRepeatedPassages: QueryDef = q("q_repeated_passages")(
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
       |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
@@ -410,11 +413,14 @@ object TextAnalysis {
         s"transform(sequence(0L, greatest((n - $w) DIV $st, 0L)), i -> array_join(slice(toks, CAST(i * $st + 1 AS INT), $w), ' '))"))
       .select(col("doc_id"), explode(col("wins")).as("win"))
       .withColumn("h", sha2(col("win"), 256)).drop("win") // digests shuffle, text never does
-    val byWindow = wins.groupBy("h").agg(count_distinct(col("doc_id")).as("nd"))
-    wins.join(byWindow, "h")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_windows"),
-        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+    // one corpus pass: collapse occurrences to (h, doc) rows, then the
+    // distinct-doc count per digest is count(*) over the collapsed rows
+    val perDoc = wins.groupBy("h", "doc_id").agg(count(lit(1)).as("cnt"))
+      .withColumn("nd", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h")))
+    perDoc.groupBy("doc_id")
+      .agg(sum("cnt").as("n_windows"),
+        sum(when(col("nd") >= 2, col("cnt")).otherwise(0L)).as("n_dup_windows"))
       .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
         (col("n_dup_windows").cast(DoubleType) / col("n_windows").cast(DoubleType))
           .as("dup_ratio"))
@@ -450,8 +456,15 @@ object TextAnalysis {
       .select(col("doc_id"), posexplode(col("wins")).as(Seq("win_idx", "win")))
       .withColumn("h", sha2(col("win"), 256)).drop("win")
       .withColumn("win_idx", col("win_idx").cast(LongType))
-    val byWindow = wins.groupBy("h").agg(count_distinct(col("doc_id")).as("nd"))
-    wins.join(byWindow.where(col("nd") >= 2), "h")
+    // single corpus pass (see qRepeatedPassages): occurrences collapse to
+    // (h, doc, ordinals[]) — the ordinal list is tiny (same window repeated
+    // within one doc) — nd rides a count(*) window, spans explode back out
+    val perDoc = wins.groupBy("h", "doc_id")
+      .agg(collect_list(col("win_idx")).as("idxs"))
+      .withColumn("nd", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h")))
+    perDoc.where(col("nd") >= 2)
+      .select(col("doc_id"), explode(col("idxs")).as("win_idx"), col("nd"))
       .select(col("doc_id"), col("win_idx"),
         (col("win_idx") * st + 1).as("start_token"), col("nd").as("n_docs"))
       .orderBy("doc_id", "win_idx")

@@ -151,23 +151,30 @@ object ChangeFeed {
     val cur = cursor(source, consumer, sourceBranch)
     EventsStreaming.lastIngestedBatchId(target, targetBranch).foreach { landed =>
       if (landed > cur && landed <= headVersion(source, sourceBranch))
-        commit(source, consumer, landed, sourceBranch)
+        // a RIVAL replicator of the same consumer may have shipped further
+        // and advanced the cursor between our read and this commit — that
+        // makes our fast-forward a rewind, which commit() rejects loudly.
+        // The rival's advance subsumes ours: swallow the race as a no-op
+        // (the marker CAS keeps the cursor monotonic either way).
+        try commit(source, consumer, landed, sourceBranch)
+        catch { case _: IllegalArgumentException => () }
     }
     processAvailable(spark, source, consumer, sourceBranch, maxVersions) { b =>
-      // metadata precondition: every step in (from, to] only adds files
-      val commits = Iterator.iterate(source.head(sourceBranch))(
-          _.flatMap(_.parent).map(source.loadCommit))
-        .takeWhile(_.exists(_.version > b.fromVersion)).flatten.toVector
-      commits.filter(c => c.version > b.fromVersion && c.version <= b.toVersion)
-        .foreach { c =>
-          val p = c.parent.map(source.loadCommit)
-          val parentFiles = p.map(_.files.toSet).getOrElse(Set.empty)
-          val newDvs = p.map(_.dvFiles.toSet).getOrElse(Set.empty) != c.dvFiles.toSet
-          if (!parentFiles.subsetOf(c.files.toSet) || newDvs)
-            throw new IllegalStateException(
-              s"replicateAppends: source version ${c.version} is not append-only " +
-                "(files removed or deletion vectors changed); replicate it with a " +
-                "keyed CDC apply instead of log shipping")
+      // metadata precondition: every step in (from, to] only adds files.
+      // commitRange reads EXACTLY the interval's commits (checkpoint-jump +
+      // bounded parent walk) — a head-down walk here would re-read O(head -
+      // fromVersion) commit JSONs per chunk, turning a long chunked catch-up
+      // quadratic in the backlog.
+      source.commitRange(sourceBranch, b.fromVersion, b.toVersion)
+        .sliding(2).foreach {
+          case List(p, c) =>
+            if (!p.files.toSet.subsetOf(c.files.toSet) ||
+                p.dvFiles.toSet != c.dvFiles.toSet)
+              throw new IllegalStateException(
+                s"replicateAppends: source version ${c.version} is not append-only " +
+                  "(files removed or deletion vectors changed); replicate it with a " +
+                  "keyed CDC apply instead of log shipping")
+          case _ => ()
         }
       EventsStreaming.ingestBatch(target, targetBranch)(
         b.df.where(org.apache.spark.sql.functions.col("change_type") === "insert")

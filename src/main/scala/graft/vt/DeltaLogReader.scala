@@ -1,5 +1,6 @@
 package graft.vt
 
+import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
@@ -57,31 +58,55 @@ object DeltaLogReader {
     commitFiles(Paths.get(tableRoot)).lastOption.map(_._1).getOrElse(-1L)
 
   /** Delta's `timestampAsOf`: the newest version whose commit timestamp is
-    * ≤ `tsMillis` — the same newest-commit-at-or-before rule our own
-    * [[VersionedTable.readAsOfTimestamp]] and Delta implement. The
-    * timestamp of a commit is its `commitInfo.timestamp` when present
-    * (what delta-spark writes), else the commit file's own modification
-    * time (Delta's documented fallback). Throws when `tsMillis` predates
-    * the first commit — an empty read would silently hide a typo'd clock. */
+    * ≤ `tsMillis`. Raw timestamps come from `commitInfo.timestamp` when
+    * present (what delta-spark writes), else the commit file's own
+    * modification time (Delta's documented fallback) — and, exactly like
+    * delta-spark's `DeltaHistoryManager`, they are ADJUSTED to a strictly
+    * increasing sequence (`max(raw, prev + 1 ms)`) before the comparison:
+    * multi-writer clocks skew, and resolving against raw timestamps would
+    * pick a version delta itself would not. The adjusted sequence is
+    * monotonic, so stamping STOPS at the first commit past `tsMillis` —
+    * a deep log is never read beyond the answer. Throws when `tsMillis`
+    * predates the first commit — an empty read would silently hide a
+    * typo'd clock. */
   def versionAtTimestamp(tableRoot: String, tsMillis: Long): Long = {
     val root = Paths.get(tableRoot).toAbsolutePath.normalize
     val commits = commitFiles(root)
     require(commits.nonEmpty, s"not a Delta table (no _delta_log commits): $tableRoot")
-    val stamped = commits.map { case (v, p) => v -> commitTimestamp(p) }
-    require(stamped.head._2 <= tsMillis,
-      s"timestamp $tsMillis predates the first commit (${stamped.head._2}) of $tableRoot")
-    stamped.takeWhile(_._2 <= tsMillis).last._1
+    var adjusted = Long.MinValue
+    var answer = -1L
+    val it = commits.iterator
+    var done = false
+    while (it.hasNext && !done) {
+      val (v, p) = it.next()
+      val raw = commitTimestamp(p)
+      adjusted = if (adjusted == Long.MinValue) raw else math.max(raw, adjusted + 1)
+      if (adjusted <= tsMillis) answer = v
+      else done = true // monotonic: no later commit can qualify
+    }
+    require(answer >= 0,
+      s"timestamp $tsMillis predates the first commit of $tableRoot")
+    answer
   }
 
-  private def commitTimestamp(commitPath: Path): Long =
-    Files.readAllLines(commitPath).asScala.iterator
-      .filter(_.trim.nonEmpty)
-      .map(mapper.readTree)
-      .collectFirst {
-        case a if a.has("commitInfo") && a.get("commitInfo").has("timestamp") =>
-          a.get("commitInfo").get("timestamp").asLong()
+  /** First `commitInfo.timestamp` in the commit file (delta-spark writes
+    * commitInfo as the leading action, so this normally reads one line),
+    * else the file's mtime. */
+  private def commitTimestamp(commitPath: Path): Long = {
+    val reader = Files.newBufferedReader(commitPath, StandardCharsets.UTF_8)
+    try {
+      var line = reader.readLine()
+      while (line != null) {
+        if (line.trim.nonEmpty) {
+          val a = mapper.readTree(line)
+          if (a.has("commitInfo") && a.get("commitInfo").has("timestamp"))
+            return a.get("commitInfo").get("timestamp").asLong()
+        }
+        line = reader.readLine()
       }
-      .getOrElse(Files.getLastModifiedTime(commitPath).toMillis)
+      Files.getLastModifiedTime(commitPath).toMillis
+    } finally reader.close()
+  }
 
   private def commitFiles(root: Path): Vector[(Long, Path)] = {
     val logDir = root.resolve("_delta_log")

@@ -102,6 +102,21 @@ class DeltaLogSpec extends SparkSpec {
     // before the first commit: loud error, never an empty read
     assertThrows[IllegalArgumentException](
       DeltaLogReader.versionAtTimestamp(root.toString, 999L))
+    // NON-MONOTONIC raw timestamps (skewed multi-writer clocks): adjusted
+    // to strictly increasing exactly like delta-spark's history manager —
+    // raw [1000, 5000, 3000] reads as [1000, 5000, 5001]
+    val rootNm = freshRoot("ts_nonmono")
+    val (fn, sn) = F.writeDataFile(rootNm, df, "n")
+    F.writeCommit(rootNm, 0, Seq(F.commitInfoLine(1000L), F.protocolLine(),
+      F.metaDataLine(df.schema.json, Nil), F.addLine(fn, sn)))
+    F.writeCommit(rootNm, 1, Seq(F.commitInfoLine(5000L)))
+    F.writeCommit(rootNm, 2, Seq(F.commitInfoLine(3000L))) // clock went backwards
+    assert(DeltaLogReader.versionAtTimestamp(rootNm.toString, 3500L) === 0,
+      "raw-timestamp comparison would wrongly pick v2 here")
+    assert(DeltaLogReader.versionAtTimestamp(rootNm.toString, 5000L) === 1,
+      "v2's adjusted timestamp is 5001, not its raw 3000")
+    assert(DeltaLogReader.versionAtTimestamp(rootNm.toString, 5001L) === 2)
+
     // a log with NO commitInfo falls back to the commit file's mtime
     val root2 = freshRoot("ts_mtime")
     val (fc, sc) = F.writeDataFile(root2, df, "c")
