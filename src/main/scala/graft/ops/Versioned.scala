@@ -635,6 +635,43 @@ object Versioned {
       .orderBy("ver", "n_nationkey")
   }
 
+  /** Delta-protocol ROUND-TRIP (r14 verdict #1): our engine WRITES the
+    * `_delta_log` this time — [[graft.vt.VersionedTable.exportDeltaLog]]
+    * materializes the branch lineage as protocol-conformant commit JSON
+    * inside the table root (zero-copy; the adds reference the table's own
+    * parquet), and our [[graft.vt.DeltaLogReader]] replays every version
+    * back. The lineage exercises all three commit shapes the reference
+    * produces (`jobs/vdt4.py:39-45,76-77`): v0 initial write, v1 append
+    * (adds only), v2 overwrite with an EVOLVED schema (removes + adds + a
+    * re-emitted metaData — Delta's `overwriteSchema`). The oracle pins the
+    * replayed contents of all three versions, including the v2-only column
+    * being NULL at earlier versions. */
+  val qVtDeltaRoundtrip: QueryDef = q("q_vt_delta_roundtrip")(
+    """SELECT 0 AS ver, n_nationkey, n_name, CAST(NULL AS VARCHAR) AS name_lower
+      |FROM nation WHERE n_regionkey < 2
+      |UNION ALL
+      |SELECT 1 AS ver, n_nationkey, n_name, CAST(NULL AS VARCHAR) FROM nation
+      |UNION ALL
+      |SELECT 2 AS ver, n_nationkey, n_name, lower(n_name) FROM nation
+      |ORDER BY ver, n_nationkey""".stripMargin) { (s, d) =>
+    import graft.vt.DeltaLogReader
+    val vt = VersionedTable.create(Tables.scratch("vt_delta_rt"))
+    val nation = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+    vt.write(nation.where(col("n_regionkey") < 2), "main", "v0")
+    vt.write(nation.where(col("n_regionkey") >= 2), "main", "v1 append", mode = "append")
+    vt.write(nation.withColumn("name_lower", lower(col("n_name"))), "main",
+      "v2 overwrite, evolved schema", overwriteSchema = true)
+    vt.exportDeltaLog("main")
+    (0 to 2).map { v =>
+      val df = DeltaLogReader.read(s, vt.root.toString, Some(v.toLong))
+      val aligned =
+        if (df.columns.contains("name_lower")) df
+        else df.withColumn("name_lower", lit(null).cast("string"))
+      aligned.select(lit(v).as("ver"), col("n_nationkey"), col("n_name"),
+        col("name_lower"))
+    }.reduce(_ unionByName _).orderBy("ver", "n_nationkey")
+  }
+
   // ---- incremental view maintenance over CDC -----------------------------
 
   /** Maintain a (count, sum) aggregate "view" incrementally: fold a CDC
@@ -692,5 +729,5 @@ object Versioned {
     qVtSkipRead, qVtAppend, qRepoCommit, qRepoMergeUnion, qVtChanges,
     qVtChangesUpsert, qVtChangesFeed, qVtHistory, qVtUpsert, qVtDelete, qVtDeleteMor,
     qVtUpdate, qVtTag, qVtRestoreTag, qVtProtected, qVtFeedConsume, qVtCount,
-    qVtIncremental, qVtTsTravel, qVtDeltaLog)
+    qVtIncremental, qVtTsTravel, qVtDeltaLog, qVtDeltaRoundtrip)
 }

@@ -31,14 +31,21 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *    silently misread.
   *  - `commitInfo` / `txn` / `cdc` — no effect on the file snapshot.
   *
-  * Checkpoint parquet files (`_last_checkpoint`) are an optimization of the
-  * same content and are not required for correctness; this replayer walks
-  * the JSON commits, which every Delta table retains for its checkpointed
-  * interval anyway. Scale: the walk is O(versions × actions) driver-side
-  * METADATA (the same cost Delta's own Snapshot construction pays without a
-  * checkpoint); data files are handed to the stock vectorized parquet
-  * reader, so pushdown/pruning/codegen are intact. Partitioned tables read
-  * each partition-value group with the file schema and inject the partition
+  * CHECKPOINTS (`<v %020d>.checkpoint.parquet` + `_last_checkpoint`) are
+  * supported as a replay bootstrap: the snapshot starts from the newest
+  * checkpoint ≤ the requested version and replays only the JSON suffix —
+  * exactly delta-spark's Snapshot construction. This matters beyond speed:
+  * delta-spark's log cleanup (`delta.logRetentionDuration`, default 30 days)
+  * DELETES aged JSON commits, keeping only checkpoints, so a long-lived
+  * table's early versions exist ONLY through a checkpoint; without this
+  * bootstrap such tables would be unreadable. A version reproducible
+  * neither by contiguous JSON from 0 nor by checkpoint + JSON suffix is
+  * refused loudly. Scale: the JSON walk is O(suffix × actions) driver-side
+  * METADATA; the checkpoint read is one columnar parquet scan collecting
+  * O(files) rows — the same cost delta-spark's own Snapshot pays. Data
+  * files are handed to the stock vectorized parquet reader, so
+  * pushdown/pruning/codegen are intact. Partitioned tables read each
+  * partition-value group with the file schema and inject the partition
   * columns as literals cast to the declared types — Delta's own
   * reconstitution rule.
   */
@@ -46,6 +53,7 @@ object DeltaLogReader {
 
   private val mapper = new ObjectMapper()
   private val CommitRe = """^(\d{20})\.json$""".r
+  private val CheckpointRe = """^(\d{20})\.checkpoint\.parquet$""".r
 
   /** One replayed snapshot: live data files (decoded path, partitionValues)
     * in add-order, plus the winning schema and partition columns. */
@@ -53,9 +61,13 @@ object DeltaLogReader {
                                  partitionColumns: Seq[String],
                                  files: Vector[(String, Map[String, String])])
 
-  /** Newest version present in `_delta_log` (−1 when the dir has no commit). */
-  def latestVersion(tableRoot: String): Long =
-    commitFiles(Paths.get(tableRoot)).lastOption.map(_._1).getOrElse(-1L)
+  /** Newest version present in `_delta_log` — JSON commit or checkpoint,
+    * whichever is newer (−1 when the dir has neither). */
+  def latestVersion(tableRoot: String): Long = {
+    val root = Paths.get(tableRoot)
+    (commitFiles(root).map(_._1) ++ checkpointFiles(root).map(_._1))
+      .maxOption.getOrElse(-1L)
+  }
 
   /** Delta's `timestampAsOf`: the newest version whose commit timestamp is
     * ≤ `tsMillis`. Raw timestamps come from `commitInfo.timestamp` when
@@ -68,7 +80,10 @@ object DeltaLogReader {
     * monotonic, so stamping STOPS at the first commit past `tsMillis` —
     * a deep log is never read beyond the answer. Throws when `tsMillis`
     * predates the first commit — an empty read would silently hide a
-    * typo'd clock. */
+    * typo'd clock — and, exactly like delta-spark's `DeltaHistoryManager`,
+    * when it lands AFTER the last commit's adjusted timestamp: a lenient
+    * "latest" answer there would silently mask a wrong (future) clock
+    * value. */
   def versionAtTimestamp(tableRoot: String, tsMillis: Long): Long = {
     val root = Paths.get(tableRoot).toAbsolutePath.normalize
     val commits = commitFiles(root)
@@ -86,6 +101,10 @@ object DeltaLogReader {
     }
     require(answer >= 0,
       s"timestamp $tsMillis predates the first commit of $tableRoot")
+    require(done || tsMillis == adjusted,
+      s"timestamp $tsMillis is after the latest commit of $tableRoot " +
+        s"(adjusted ts $adjusted) — delta-spark's timestampAsOf refuses a " +
+        "future timestamp rather than silently answering with the latest version")
     answer
   }
 
@@ -108,7 +127,7 @@ object DeltaLogReader {
     } finally reader.close()
   }
 
-  private def commitFiles(root: Path): Vector[(Long, Path)] = {
+  private def logEntries(root: Path, re: scala.util.matching.Regex): Vector[(Long, Path)] = {
     val logDir = root.resolve("_delta_log")
     if (!Files.isDirectory(logDir)) return Vector.empty
     val st = Files.list(logDir)
@@ -116,53 +135,124 @@ object DeltaLogReader {
       try st.iterator().asScala.toVector finally st.close()
     all.flatMap { p =>
       p.getFileName.toString match {
-        case CommitRe(d) => Some(d.toLong -> p)
+        case re(d) => Some(d.toLong -> p)
         case _ => None
       }
     }.sortBy(_._1)
   }
 
-  /** Replay the log up to `versionAsOf` (inclusive; default: latest). */
-  def snapshot(tableRoot: String, versionAsOf: Option[Long] = None): DeltaSnapshot = {
-    val root = Paths.get(tableRoot).toAbsolutePath.normalize
-    val commits = commitFiles(root)
-    require(commits.nonEmpty, s"not a Delta table (no _delta_log commits): $tableRoot")
-    val newest = commits.last._1
-    val upTo = versionAsOf.getOrElse(newest)
-    require(upTo >= 0 && upTo <= newest,
-      s"versionAsOf $upTo out of range [0, $newest] for $tableRoot")
-    val replayed = commits.takeWhile(_._1 <= upTo)
-    require(replayed.map(_._1) == (0L to upTo),
-      s"_delta_log has gaps in versions 0..$upTo (vacuumed beyond the " +
-        "checkpoint? this replayer needs the contiguous JSON commits)")
+  private def commitFiles(root: Path): Vector[(Long, Path)] = logEntries(root, CommitRe)
+  private def checkpointFiles(root: Path): Vector[(Long, Path)] = logEntries(root, CheckpointRe)
+
+  /** Mutable replay state shared by the JSON walk and the checkpoint
+    * bootstrap; `live` is insertion-ordered so the scan's file order is
+    * deterministic. */
+  private final class ReplayState {
     var schemaJson: String = null
     var partCols: Seq[String] = Nil
-    // insertion-ordered so the scan's file order is deterministic
     val live = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, String]]
-    for ((_, commitPath) <- replayed;
-         line <- Files.readAllLines(commitPath).asScala if line.trim.nonEmpty) {
+  }
+
+  private def requireReaderV1(minReader: Int): Unit =
+    require(minReader <= 1,
+      s"Delta protocol minReaderVersion=$minReader requires reader features " +
+        "(deletion vectors / column mapping) this replayer does not implement")
+
+  private def applyCommit(state: ReplayState, commitPath: Path): Unit =
+    for (line <- Files.readAllLines(commitPath).asScala if line.trim.nonEmpty) {
       val action = mapper.readTree(line)
-      if (action.has("protocol")) {
-        val minReader = action.get("protocol").path("minReaderVersion").asInt(1)
-        require(minReader <= 1,
-          s"Delta protocol minReaderVersion=$minReader requires reader features " +
-            "(deletion vectors / column mapping) this replayer does not implement")
-      }
+      if (action.has("protocol"))
+        requireReaderV1(action.get("protocol").path("minReaderVersion").asInt(1))
       if (action.has("metaData")) {
         val md = action.get("metaData")
-        schemaJson = md.get("schemaString").asText()
-        partCols = md.path("partitionColumns").elements().asScala.map(_.asText()).toSeq
+        state.schemaJson = md.get("schemaString").asText()
+        state.partCols = md.path("partitionColumns").elements().asScala.map(_.asText()).toSeq
       }
       if (action.has("add")) {
         val add = action.get("add")
-        live.put(decodePath(add.get("path").asText()), partitionValues(add))
+        state.live.put(decodePath(add.get("path").asText()), partitionValues(add))
+        ()
       }
-      if (action.has("remove"))
-        live.remove(decodePath(action.get("remove").get("path").asText()))
+      if (action.has("remove")) {
+        state.live.remove(decodePath(action.get("remove").get("path").asText()))
+        ()
+      }
     }
-    require(schemaJson != null, s"no metaData action in versions 0..$upTo of $tableRoot")
-    DeltaSnapshot(upTo, DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      partCols, live.toVector)
+
+  /** Bootstrap replay state from a checkpoint parquet: protocol gate, the
+    * winning metaData, and the complete live file set (checkpoints carry the
+    * full state at their version; `remove` rows in them are vacuum
+    * tombstones, not live files). One columnar scan collecting O(files)
+    * metadata rows — the cost delta-spark's own Snapshot pays. */
+  private def bootstrapFromCheckpoint(spark: SparkSession, cpPath: Path): ReplayState = {
+    val state = new ReplayState
+    val df = spark.read.parquet(cpPath.toString)
+    val cols = df.columns.toSet
+    if (cols("protocol"))
+      df.where("protocol IS NOT NULL").select("protocol.minReaderVersion")
+        .collect().foreach(r => requireReaderV1(if (r.isNullAt(0)) 1 else r.getInt(0)))
+    require(cols("metaData"), s"checkpoint $cpPath has no metaData column")
+    val md = df.where("metaData IS NOT NULL")
+      .select("metaData.schemaString", "metaData.partitionColumns").collect()
+    require(md.nonEmpty, s"checkpoint $cpPath has no metaData row")
+    state.schemaJson = md.last.getString(0)
+    state.partCols =
+      if (md.last.isNullAt(1)) Nil else md.last.getSeq[String](1).toList
+    if (cols("add"))
+      df.where("add IS NOT NULL").select("add.path", "add.partitionValues")
+        .collect().sortBy(_.getString(0))
+        .foreach { r =>
+          val pv =
+            if (r.isNullAt(1)) Map.empty[String, String]
+            else r.getJavaMap[String, String](1).asScala.toMap
+          state.live.put(decodePath(r.getString(0)), pv)
+        }
+    state
+  }
+
+  /** Replay the log up to `versionAsOf` (inclusive; default: latest),
+    * bootstrapping from the newest usable checkpoint when one covers the
+    * request (required when pre-checkpoint JSON was pruned by log retention;
+    * checkpoint reads need the `spark` session — the JSON-only path does
+    * not). */
+  def snapshot(tableRoot: String, versionAsOf: Option[Long] = None,
+               spark: Option[SparkSession] = None): DeltaSnapshot = {
+    val root = Paths.get(tableRoot).toAbsolutePath.normalize
+    val commits = commitFiles(root)
+    val cps = checkpointFiles(root)
+    require(commits.nonEmpty || cps.nonEmpty,
+      s"not a Delta table (no _delta_log commits): $tableRoot")
+    val newest = (commits.map(_._1) ++ cps.map(_._1)).max
+    val upTo = versionAsOf.getOrElse(newest)
+    require(upTo >= 0 && upTo <= newest,
+      s"versionAsOf $upTo out of range [0, $newest] for $tableRoot")
+    val haveJson = commits.map(_._1).toSet
+    def jsonContiguous(from: Long): Boolean = (from to upTo).forall(haveJson)
+    // newest checkpoint ≤ upTo whose JSON suffix to upTo is complete; only
+    // usable when a session is available to read the parquet
+    val usableCp = cps.filter { case (cv, _) => cv <= upTo && jsonContiguous(cv + 1) }
+      .lastOption.filter(_ => spark.isDefined)
+    val state = usableCp match {
+      case Some((cv, cpPath)) =>
+        val s = bootstrapFromCheckpoint(spark.get, cpPath)
+        commits.filter { case (v, _) => v > cv && v <= upTo }
+          .foreach { case (_, p) => applyCommit(s, p) }
+        s
+      case None =>
+        require(jsonContiguous(0),
+          s"_delta_log cannot reproduce version $upTo: JSON commits 0..$upTo have " +
+            s"gaps (log retention pruned them?) and no readable checkpoint ≤ $upTo " +
+            "covers the request" +
+            (if (cps.nonEmpty && spark.isEmpty)
+              " — checkpoint bootstrap needs the SparkSession overload" else ""))
+        val s = new ReplayState
+        commits.takeWhile(_._1 <= upTo).foreach { case (_, p) => applyCommit(s, p) }
+        s
+    }
+    require(state.schemaJson != null,
+      s"no metaData action in versions 0..$upTo of $tableRoot")
+    DeltaSnapshot(upTo, DataType.fromJson(state.schemaJson).asInstanceOf[StructType],
+      state.partCols, state.live.toVector)
   }
 
   /** Delta paths are percent-encoded URIs relative to the table root. */
@@ -185,7 +275,7 @@ object DeltaLogReader {
   def read(spark: SparkSession, tableRoot: String,
            versionAsOf: Option[Long] = None): DataFrame = {
     val root = Paths.get(tableRoot).toAbsolutePath.normalize
-    val snap = snapshot(tableRoot, versionAsOf)
+    val snap = snapshot(tableRoot, versionAsOf, Some(spark))
     def abs(p: String): String =
       if (p.startsWith("/") || p.contains("://")) p else root.resolve(p).toString
     if (snap.files.isEmpty)

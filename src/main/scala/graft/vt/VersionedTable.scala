@@ -1151,11 +1151,13 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     * / compaction / branch deletion all throw. Changes reach a protected
     * branch only by [[merge]] from a reviewed side branch (exactly the lakeFS
     * model: protected branches guarantee every commit arrived via a merge).
-    * Rules persist in the metadata store as ONE atomic `protected/rules`
-    * object holding all patterns newline-joined (so a rule update is a
-    * single CAS-able write; patterns therefore must not contain newlines) —
-    * and are enforced by every table handle, not just the one that added
-    * them. */
+    * The rule set persists as a chain of immutable putIfAbsent-claimed
+    * generations under `protected/` ([[ProtectionRules]]): each edit is a
+    * REAL compare-and-set, so concurrent edits from different processes
+    * serialize — the loser rebases on the winner's set and retries, and no
+    * rule is ever silently dropped. Patterns must not contain newlines
+    * (the set is newline-joined per generation). Enforced by every table
+    * handle, not just the one that added the rule. */
   def protectBranch(pattern: String): Unit =
     synchronized { ProtectionRules.add(store, protectedDir, pattern) }
 
@@ -1733,6 +1735,16 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     }
 
   /** V10 upload/rm analog: raw object ops under the table root (staging dir). */
+  /** Export `branch`'s lineage as a Delta `_delta_log` INSIDE the table root
+    * — zero-copy protocol interop ([[DeltaLogWriter]]): the add actions
+    * reference this table's existing parquet, so after the export the root
+    * doubles as a Delta table readable at every version through
+    * [[DeltaLogReader]] (or stock delta-spark, protocol v1). Incremental and
+    * idempotent; refuses lineages carrying merge-on-read deletion vectors
+    * (compact first). Returns the newest exported version. */
+  def exportDeltaLog(branch: String = "main"): Long =
+    DeltaLogWriter.exportDeltaLog(this, branch)
+
   def putObject(rel: String, content: String): Unit =
     store.put(root.resolve(rel), content)
   def getObject(rel: String): String = store.read(root.resolve(rel))

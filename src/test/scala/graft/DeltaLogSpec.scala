@@ -1,10 +1,11 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
 
-import graft.vt.{DeltaLogFixture => F, DeltaLogReader}
+import graft.vt.{DeltaLogFixture => F, DeltaLogReader, DeltaLogWriter, VersionedTable}
 
 /** The read-only `_delta_log` replayer against hand-authored
   * protocol-conformant fixtures: version replay through add/remove,
@@ -94,7 +95,10 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLogReader.versionAtTimestamp(root.toString, 1000L) === 0)
     assert(DeltaLogReader.versionAtTimestamp(root.toString, 4999L) === 0)
     assert(DeltaLogReader.versionAtTimestamp(root.toString, 5000L) === 1)
-    assert(DeltaLogReader.versionAtTimestamp(root.toString, Long.MaxValue) === 1)
+    // after the last commit: refused like delta-spark's DeltaHistoryManager
+    // (a lenient "latest" would silently mask a future clock value)
+    assertThrows[IllegalArgumentException](
+      DeltaLogReader.versionAtTimestamp(root.toString, 5001L))
     assert(DeltaLogReader.readAsOfTimestamp(spark, root.toString, 4999L)
       .select("k").as[Int].collect() === Array(1))
     assert(DeltaLogReader.readAsOfTimestamp(spark, root.toString, 5000L)
@@ -127,6 +131,143 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLogReader.versionAtTimestamp(root2.toString, mtime) === 0)
     assertThrows[IllegalArgumentException](
       DeltaLogReader.versionAtTimestamp(root2.toString, mtime - 1))
+  }
+
+  // ---- the writer: exportDeltaLog action-level conformance ----------------
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Parse an exported commit JSON into its action lines. */
+  private def actions(root: java.nio.file.Path, v: Long) =
+    Files.readAllLines(root.resolve("_delta_log").resolve(f"$v%020d.json"))
+      .asScala.filter(_.trim.nonEmpty).map(mapper.readTree).toVector
+
+  private def exportedTable(name: String): VersionedTable = {
+    val vt = VersionedTable.create(Tables.scratch(s"delta_export_$name"))
+    val v0 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val v1 = Seq((3L, "c")).toDF("k", "v")
+    val v2 = Seq((1L, "a", 1.5), (9L, "z", 9.5)).toDF("k", "v", "score")
+    vt.write(v0, "main", "v0")
+    vt.write(v1, "main", "v1 append", mode = "append")
+    vt.write(v2, "main", "v2 overwrite, evolved schema", overwriteSchema = true)
+    vt.exportDeltaLog("main")
+    vt
+  }
+
+  test("exportDeltaLog: protocol at v0, metaData only on schema change, add/remove = file diff") {
+    val vt = exportedTable("conform")
+    val commits = vt.lineage("main").reverse // v0, v1, v2
+    val a0 = actions(vt.root, 0)
+    // commitInfo leads (delta-spark's layout) and carries the commit's own ts
+    assert(a0.head.has("commitInfo") &&
+      a0.head.get("commitInfo").get("timestamp").asLong() === commits(0).ts)
+    assert(a0.exists(a => a.has("protocol") &&
+      a.get("protocol").get("minReaderVersion").asInt() === 1))
+    val md0 = a0.filter(_.has("metaData"))
+    assert(md0.size === 1 &&
+      md0.head.get("metaData").get("schemaString").asText() === commits(0).schemaJson)
+    val adds0 = a0.filter(_.has("add")).map(_.get("add").get("path").asText())
+    assert(adds0.sorted === commits(0).files.sorted, "v0 adds are exactly the v0 snapshot")
+    assert(!a0.exists(_.has("remove")), "an initial write removes nothing")
+    assert(adds0.forall(p => !p.startsWith("/") && !p.contains("://")),
+      "add paths must be table-root-relative")
+    // every add carries the real on-disk size
+    a0.filter(_.has("add")).foreach { a =>
+      val rel = a.get("add").get("path").asText()
+      assert(a.get("add").get("size").asLong() === Files.size(vt.root.resolve(rel)))
+    }
+    // v1: append → adds only, NO metaData (schema unchanged)
+    val a1 = actions(vt.root, 1)
+    assert(!a1.exists(_.has("metaData")), "unchanged schema must not re-emit metaData")
+    assert(!a1.exists(_.has("remove")))
+    assert(a1.filter(_.has("add")).map(_.get("add").get("path").asText()).sorted ===
+      (commits(1).files.toSet -- commits(0).files.toSet).toVector.sorted)
+    // v2: overwrite with evolved schema → removes of ALL prior files, new
+    // adds, and a re-emitted metaData carrying the new schema
+    val a2 = actions(vt.root, 2)
+    val md2 = a2.filter(_.has("metaData"))
+    assert(md2.size === 1 &&
+      md2.head.get("metaData").get("schemaString").asText() === commits(2).schemaJson)
+    assert(a2.filter(_.has("remove")).map(_.get("remove").get("path").asText()).sorted ===
+      commits(1).files.sorted)
+    assert(a2.filter(_.has("add")).map(_.get("add").get("path").asText()).sorted ===
+      commits(2).files.sorted)
+  }
+
+  test("exportDeltaLog round-trips through our own reader at every version") {
+    val vt = exportedTable("roundtrip")
+    (0L to 2L).foreach { v =>
+      val viaDelta = DeltaLogReader.read(spark, vt.root.toString, Some(v))
+        .collect().map(_.toString).sorted
+      val direct = vt.readVersion(spark, "main", v).collect().map(_.toString).sorted
+      assert(viaDelta === direct, s"version $v replay mismatch")
+    }
+    assert(DeltaLogReader.latestVersion(vt.root.toString) === 2)
+  }
+
+  test("exportDeltaLog is incremental and idempotent") {
+    val vt = exportedTable("idem")
+    val log = vt.root.resolve("_delta_log")
+    val before = Files.list(log).iterator().asScala
+      .map(p => p.getFileName.toString -> Files.getLastModifiedTime(p)).toMap
+    vt.exportDeltaLog("main") // re-export: nothing rewritten
+    val after = Files.list(log).iterator().asScala
+      .map(p => p.getFileName.toString -> Files.getLastModifiedTime(p)).toMap
+    assert(after === before, "existing commit JSONs must not be rewritten")
+    vt.write(Seq((7L, "g", 0.5)).toDF("k", "v", "score"), "main", "v3 append",
+      mode = "append")
+    assert(vt.exportDeltaLog("main") === 3)
+    assert(Files.exists(log.resolve(f"${3L}%020d.json")), "new suffix exported")
+    assert(DeltaLogReader.read(spark, vt.root.toString, Some(3L)).count() === 3)
+  }
+
+  test("exportDeltaLog refuses a lineage carrying deletion vectors") {
+    val vt = VersionedTable.create(Tables.scratch("delta_export_dv"))
+    vt.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "main", "v0")
+    vt.deleteWithVectors(spark, "k = 1", "main")
+    val e = intercept[IllegalArgumentException](vt.exportDeltaLog("main"))
+    assert(e.getMessage.contains("deletion vectors"))
+  }
+
+  // ---- checkpoints --------------------------------------------------------
+
+  test("checkpoint bootstrap: versions resolve after pre-checkpoint JSON is pruned") {
+    val vt = exportedTable("ckpt")
+    DeltaLogWriter.writeCheckpoint(spark, vt.root.toString, 1L)
+    val log = vt.root.resolve("_delta_log")
+    assert(Files.exists(log.resolve(f"${1L}%020d.checkpoint.parquet")))
+    val lc = mapper.readTree(new String(Files.readAllBytes(log.resolve("_last_checkpoint"))))
+    assert(lc.get("version").asLong() === 1L)
+    // delta-spark's log retention: aged JSON commits are deleted, the
+    // checkpoint alone carries the early state
+    Files.delete(log.resolve(f"${0L}%020d.json"))
+    Files.delete(log.resolve(f"${1L}%020d.json"))
+    // v1 = pure checkpoint state; v2 = checkpoint + JSON suffix
+    assert(DeltaLogReader.read(spark, vt.root.toString, Some(1L))
+      .select("k").as[Long].collect().sorted === Array(1L, 2L, 3L))
+    assert(DeltaLogReader.read(spark, vt.root.toString, Some(2L))
+      .select("k").as[Long].collect().sorted === Array(1L, 9L))
+    assert(DeltaLogReader.read(spark, vt.root.toString, None).columns.contains("score"),
+      "schema must come from the JSON suffix's newer metaData")
+    // v0 predates the checkpoint and its JSON is gone: loud refusal
+    val e = intercept[IllegalArgumentException](
+      DeltaLogReader.read(spark, vt.root.toString, Some(0L)))
+    assert(e.getMessage.contains("checkpoint"))
+    // the spark-free snapshot overload cannot read a checkpoint: loud, not wrong
+    val e2 = intercept[IllegalArgumentException](
+      DeltaLogReader.snapshot(vt.root.toString, Some(1L)))
+    assert(e2.getMessage.contains("SparkSession"))
+  }
+
+  test("checkpoint at the head: a fully pruned JSON log still reads latest") {
+    val vt = exportedTable("ckpt_head")
+    DeltaLogWriter.writeCheckpoint(spark, vt.root.toString, 2L)
+    val log = vt.root.resolve("_delta_log")
+    (0L to 2L).foreach(v => Files.delete(log.resolve(f"$v%020d.json")))
+    assert(DeltaLogReader.latestVersion(vt.root.toString) === 2)
+    val got = DeltaLogReader.read(spark, vt.root.toString, None)
+    assert(got.columns.toSeq === Seq("k", "v", "score"))
+    assert(got.select("k").as[Long].collect().sorted === Array(1L, 9L))
   }
 
   test("reader features beyond protocol v1 and log gaps are refused loudly") {

@@ -262,6 +262,29 @@ class ScaleSpec extends SparkSpec {
       s"no file skipping on o_totalprice: ${byPrice.inputFiles.length}/$nFiles")
   }
 
+  test("q_chunk_windows: no exchange above the generator, output globally ordered") {
+    // The query's (doc_id, chunk_id) order contract rests on range exchange +
+    // sortWithinPartitions BELOW an order-preserving posexplode, with NO
+    // explicit final sort (TextAnalysis.qChunkWindows's scale shape: the
+    // corpus bytes shuffle exactly once, pre-inflation). That is an implicit
+    // order-preservation argument, so pin it: any future plan change (AQE
+    // re-plan, an added exchange, a different consumer) that inserts an
+    // exchange ABOVE the generator — destroying the order — fails HERE with
+    // a pointed message instead of surfacing as an opaque oracle hash diff.
+    val df = graft.ext.TextAnalysis.qChunkWindows.impl(spark, sf)
+    val plan = executedPlan(df).toString
+    val genAt = plan.indexOf("Generate")
+    assert(genAt >= 0, s"expected a Generate (posexplode) node:\n$plan")
+    val exAbove = plan.substring(0, genAt).contains("Exchange")
+    assert(!exAbove,
+      s"an exchange above the generator destroys the implicit (doc_id, chunk_id) order:\n$plan")
+    // and the contract itself: collected output IS globally sorted
+    val keys = df.select("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(keys === keys.sorted,
+      "q_chunk_windows output must arrive sorted by (doc_id, chunk_id) without a final sort")
+  }
+
   test("q_vdt2_scalable drops the order-only sort and the window, equal to the parity form") {
     val df = graft.ops.Pipelines.qVdt2Scalable.impl(spark, sf)
     val plan = executedPlan(df).toString
