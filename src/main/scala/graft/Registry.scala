@@ -51,7 +51,10 @@ object Registry {
     // wide-table shapes (r13 verdict #8): the reference's 54-double-column
     // frame costs per-column — these catch per-column regressions that only
     // show at many columns, in BOTH the sf0.1 and 10x scale runs
-    "q_unpivot", "q_rowwise_mean", "q_hof", "q_resample")
+    "q_unpivot", "q_rowwise_mean", "q_hof", "q_resample",
+    // r14 verdict #4/#5: the no-driver-labels indexer twin, and the heaviest
+    // text query (full tokenize+explode) previously missing from both runs
+    "q_string_indexer_scalable", "q_repeated_passages")
 
   /** The FROZEN round-4 headline list. `benchNames` grows as operators land
     * (23 → 27 across rounds), so the all-queries `total` is not

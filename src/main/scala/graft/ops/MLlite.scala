@@ -90,6 +90,65 @@ object MLlite {
       .orderBy("c_custkey")
   }
 
+  /** The 100 TB StringIndexer twin (r14 verdict #4): identical fit+transform
+    * semantics with NO driver-side labels array. [[stringIndex]] is
+    * parity-faithful to MLlib (whose model holds `labelsArray` on the
+    * driver) — which means a high-cardinality column OOMs the driver. Here
+    * the "model" stays a DISTRIBUTED mapping table end-to-end:
+    *
+    *  1. fit = one keyed groupBy-count over the column (map-side combined);
+    *  2. rank = `repartitionByRange` on the label order (cnt desc, value
+    *     asc) — the range exchange gives contiguous, ORDER-RESPECTING
+    *     partitions over the composite key, so ties on cnt split across
+    *     partitions without breaking the total order — then `row_number`
+    *     within each partition plus per-partition prefix offsets (O(P)
+    *     longs to the driver, never a label);
+    *  3. transform = an equi-join of the mapping back onto the rows (AQE
+    *     broadcasts it when small; shuffles it when a 10⁹-label column
+    *     makes broadcast impossible — exactly the case the parity form
+    *     cannot survive).
+    *
+    * The ranked mapping is persisted and materialized BEFORE its partition
+    * counts are read: `repartitionByRange` samples its bounds per action,
+    * so an unpersisted plan could re-sample between the offsets action and
+    * the final consumption and mis-assign partition ids. The cached mapping
+    * (one row per distinct label) is the model — the honest distributed
+    * analog of MLlib's labels array. */
+  def stringIndexScalable(df: DataFrame, inputCol: String, outputCol: String,
+                          partitions: Int = 32): DataFrame = {
+    val freq = df.where(col(inputCol).isNotNull)
+      .groupBy(col(inputCol)).agg(count(lit(1)).as("__cnt"))
+    val parted = freq
+      .repartitionByRange(partitions, col("__cnt").desc, col(inputCol).asc)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val counts = parted.groupBy("__pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val ids = counts.keys.toSeq.sorted
+    val offsets = ids.zip(ids.scanLeft(0L)(_ + counts(_)).init).toMap
+    val w = Window.partitionBy("__pid").orderBy(col("__cnt").desc, col(inputCol).asc)
+    val mapping = parted.withColumn(outputCol,
+        (row_number().over(w).cast(LongType) +
+          element_at(typedLit(offsets), col("__pid")) - 1L).cast(DoubleType))
+      .select(col(inputCol), col(outputCol))
+    df.join(mapping, Seq(inputCol))
+  }
+
+  /** Identical oracle to q_string_indexer — the assertion IS the twin
+    * contract: same fit order (frequency desc, value asc), same 0-based
+    * double indices, produced without any driver label state (ScaleSpec
+    * pins the plan: no LocalTableScan, no SinglePartition exchange). */
+  val qStringIndexerScalable: QueryDef = q("q_string_indexer_scalable")(
+    """WITH m AS (SELECT c_mktsegment,
+      |                  CAST(row_number() OVER (ORDER BY count(*) DESC, c_mktsegment) - 1 AS DOUBLE) AS seg_idx
+      |           FROM customer GROUP BY c_mktsegment)
+      |SELECT c.c_custkey, c.c_mktsegment, m.seg_idx
+      |FROM customer c JOIN m USING (c_mktsegment) ORDER BY c.c_custkey""".stripMargin) { (s, d) =>
+    stringIndexScalable(Tables.customer(s, d), "c_mktsegment", "seg_idx")
+      .select("c_custkey", "c_mktsegment", "seg_idx")
+      .orderBy("c_custkey")
+  }
+
   /** Exact quantile cut points under a pinned deterministic rule: the value at
     * 1-based rank ceil(p*n) of the ascending order — the classic
     * nearest-rank definition, expressible identically in Spark and SQL.
@@ -283,6 +342,7 @@ object MLlite {
       .orderBy("lang")
   }
 
-  val defs: Seq[QueryDef] = Seq(qStringIndexer, qApproxQuantile, qQuantileBucket,
+  val defs: Seq[QueryDef] = Seq(qStringIndexer, qStringIndexerScalable,
+    qApproxQuantile, qQuantileBucket,
     qPercentile, qApproxDistinct)
 }

@@ -262,6 +262,20 @@ class ScaleSpec extends SparkSpec {
       s"no file skipping on o_totalprice: ${byPrice.inputFiles.length}/$nFiles")
   }
 
+  test("stringIndexScalable: no driver label materialization, equal to the parity form") {
+    val df = graft.ops.MLlite.qStringIndexerScalable.impl(spark, sf)
+    val plan = executedPlan(df).toString
+    // the parity form's collected labels manifest as a LocalTableScan of the
+    // driver-built mapping; the scalable twin must have NO local relation
+    // (its mapping is a distributed cached table) and no single-task stage
+    assert(!plan.contains("LocalTableScan"),
+      s"driver-side label materialization leaked into the plan:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"the scalable indexer must not funnel the label rank through one task:\n$plan")
+    val parity = graft.ops.MLlite.qStringIndexer.impl(spark, sf).collect().toSeq
+    assert(df.collect().toSeq === parity)
+  }
+
   test("q_chunk_windows: no exchange above the generator, output globally ordered") {
     // The query's (doc_id, chunk_id) order contract rests on range exchange +
     // sortWithinPartitions BELOW an order-preserving posexplode, with NO
