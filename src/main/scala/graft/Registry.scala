@@ -20,6 +20,7 @@ object Registry {
       ext.Dedup.defs ++
       ext.DedupCluster.defs ++
       ext.IncrementalDedup.defs ++
+      ext.IncrementalPassages.defs ++
       ext.Similarity.defs ++
       ext.Ivf.defs ++
       ext.CorpusPipeline.defs ++
@@ -54,7 +55,11 @@ object Registry {
     "q_unpivot", "q_rowwise_mean", "q_hof", "q_resample",
     // r14 verdict #4/#5: the no-driver-labels indexer twin, and the heaviest
     // text query (full tokenize+explode) previously missing from both runs
-    "q_string_indexer_scalable", "q_repeated_passages")
+    "q_string_indexer_scalable", "q_repeated_passages",
+    // r14 verdict #2: the persisted passage relation — ingest times the
+    // O(corpus)+O(increment) signature build, census times the derived
+    // consumer that never re-tokenizes
+    "q_repeated_inc_ingest", "q_repeated_inc_census")
 
   /** The FROZEN round-4 headline list. `benchNames` grows as operators land
     * (23 → 27 across rounds), so the all-queries `total` is not

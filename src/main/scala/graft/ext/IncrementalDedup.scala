@@ -74,37 +74,12 @@ object IncrementalDedup {
 
   /** Advance the companion SIGNATURE TABLE to the corpus table's head:
     * version N of `sigVt` holds `(doc_id, sha, shingles, sig)` for every doc
-    * in version N of `vt`. Each append interval is maintained from its CDC
-    * delta alone — O(increment) shingling + one append commit, the
-    * `q_vt_incremental` IVM pattern — so the per-byte signature work happens
-    * once per document at ingest. A non-append interval (overwrite/upsert/
-    * revert) cannot be folded incrementally (signatures of removed docs must
-    * disappear); those versions rebuild from the full snapshot, exactly like
-    * any IVM falling back to recompute on a non-monotone change. */
+    * in version N of `vt`. The O(increment) walk — CDC-delta appends,
+    * full-snapshot rebuild on non-append intervals, commitRange-bounded
+    * catch-up — is the shared [[CompanionTable.maintain]] pattern. */
   def maintainSignatureTable(vt: VersionedTable, sigVt: VersionedTable,
-                             branch: String = "main"): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.active
-    val corpusHead = vt.head(branch).map(_.version).getOrElse(return)
-    val from = sigVt.head(branch).map(_.version + 1).getOrElse(0L)
-    if (from > corpusHead) return // already caught up: zero metadata reads
-    // only the catch-up interval's commits — O(increment) metadata, not
-    // O(history): on a long-lived streaming-ingest corpus (thousands of
-    // commits) a full lineage walk per micro-batch would grow without bound
-    // (same pattern as Ivf.maintainIvfIndex)
-    val byVersion = vt.commitRange(branch, math.max(from - 1, 0L), corpusHead)
-      .map(c => c.version -> c).toMap
-    (from to corpusHead).foreach { v =>
-      val appendOnly = v > 0 &&
-        byVersion(v - 1).files.toSet.subsetOf(byVersion(v).files.toSet) &&
-        byVersion(v - 1).dvFiles.toSet == byVersion(v).dvFiles.toSet
-      val (delta, mode) =
-        if (v == 0) (vt.readVersion(spark, branch, 0), "overwrite") // initial build
-        else if (appendOnly)
-          (vt.changes(spark, branch, v - 1, v).drop("change_type"), "append")
-        else (vt.readVersion(spark, branch, v), "overwrite") // IVM recompute fallback
-      sigVt.write(sigRows(delta), branch, s"signatures for corpus v$v", mode = mode)
-    }
-  }
+                             branch: String = "main"): Unit =
+    CompanionTable.maintain(vt, sigVt, branch)(sigRows)
 
   /** Profile of one arrival increment against the corpus snapshot:
     * `(doc_id, is_exact_dup, exact_rep, n_near, min_partner)` per increment

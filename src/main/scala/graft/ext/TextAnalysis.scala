@@ -385,11 +385,12 @@ object TextAnalysis {
     * aggregate is a partial-combining hash aggregate — a heavy-hitter
     * boilerplate window never concentrates in one task. Occurrences
     * collapse first to the (digest, doc) relation `perDoc`; that relation
-    * is the MATERIALIZATION BOUNDARY — a production pipeline persists it
-    * once (the signature-table pattern, [[graft.ext.IncrementalDedup]])
-    * and derives both the per-digest doc counts and the census from the
-    * persisted copy, so the per-byte tokenize+hash runs once per corpus,
-    * not once per consumer. As a self-contained oracle query the two
+    * is the MATERIALIZATION BOUNDARY — the production form PERSISTS it as
+    * an O(increment)-maintained versioned companion table and derives both
+    * census and cut-list from the persisted copy ([[IncrementalPassages]],
+    * oracle rows `q_repeated_inc_*`), so the per-byte tokenize+hash runs
+    * once per corpus, not once per consumer. As a self-contained oracle
+    * query here, the two
     * consumers each evaluate the corpus subtree (Catalyst's column pruning
     * specializes their partial aggregates, defeating exchange reuse) —
     * acceptable at test scale, persisted at production scale. A true

@@ -1328,6 +1328,50 @@ class VersionedTableSpec extends SparkSpec {
     assert(sigVt.head("main").map(_.version) === Some(4L))
     assert(sigVt.read(spark, "main").count() === vt.read(spark, "main").count())
   }
+
+  test("passage table advances per corpus commit; census never scans corpus text") {
+    import graft.ext.IncrementalPassages
+    val docs = Tables.documents(spark, sf)
+    val vt = freshVt("pass_corpus")
+    val sigVt = freshVt("pass_table")
+    vt.write(docs.where(col("doc_id") % 5 =!= 0), "main", "v0")
+    IncrementalPassages.maintainPassageTable(vt, sigVt)
+    assert(sigVt.head("main").map(_.version) === Some(0L))
+    vt.write(docs.where(col("doc_id") % 5 === 0), "main", "v1", mode = "append")
+    IncrementalPassages.maintainPassageTable(vt, sigVt)
+    assert(sigVt.head("main").map(_.version) === Some(1L))
+    // idempotent once caught up
+    IncrementalPassages.maintainPassageTable(vt, sigVt)
+    assert(sigVt.head("main").map(_.version) === Some(1L))
+    // the relation carries digests + ordinals, never window or document text
+    assert(sigVt.read(spark, "main").columns.sorted === Array("cnt", "doc_id", "h", "idxs"))
+
+    // THE scale claim: census and cut-list plans read ONLY the persisted
+    // relation — not one byte of corpus text
+    val sigs = sigVt.read(spark, "main")
+    val census = IncrementalPassages.censusFrom(sigs)
+    val corpusFiles = vt.read(spark, "main").inputFiles.toSet
+    assert(census.inputFiles.toSet.intersect(corpusFiles).isEmpty,
+      "census must not scan corpus files")
+    assert(IncrementalPassages.cutListFrom(sigs).inputFiles.toSet
+      .intersect(corpusFiles).isEmpty, "cut-list must not scan corpus files")
+
+    // persisted path ≡ recompute path over the same corpus — the
+    // maintenance-correctness identity (same oracle the driver replays)
+    val recompute = graft.ext.TextAnalysis.qRepeatedPassages.impl(spark, sf)
+      .collect().toSeq
+    assert(census.collect().toSeq === recompute)
+
+    // O(increment) catch-up: delete pre-interval commit metadata; a full
+    // lineage walk would crash, commitRange never touches it
+    vt.write(docs.where(col("doc_id") % 11 === 0), "main", "v2", mode = "append")
+    vt.write(docs.where(col("doc_id") % 13 === 0), "main", "v3", mode = "append")
+    val staleIds = vt.lineage("main").filter(_.version < 1).map(_.id)
+    staleIds.foreach(id =>
+      vt.store.delete(vt.root.resolve("commits").resolve(id + ".json")))
+    IncrementalPassages.maintainPassageTable(vt, sigVt) // walks v3→v2→v1 only
+    assert(sigVt.head("main").map(_.version) === Some(3L))
+  }
 }
 
 /** The ENTIRE invariant matrix above, re-run on the rename-free S3-semantics
