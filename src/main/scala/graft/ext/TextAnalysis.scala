@@ -480,8 +480,90 @@ object TextAnalysis {
       .orderBy("doc_id", "win_idx")
   }
 
+  /** ARBITRARY-OFFSET exact-substring detection (r14 verdict #6) — the
+    * completeness the stride form trades away: [[qRepeatedPassages]]'s
+    * stride-10 windows only catch repeats long enough (≥ window+stride−1
+    * tokens) to contain a stride-ALIGNED window, so a repeated span whose
+    * copies sit at different offsets mod stride can be missed entirely.
+    * This pass emits the length-`minLen` token gram at EVERY offset
+    * (stride 1 — the Spark-shaped equivalent of the suffix-array ExactSubstr
+    * of Lee et al. 2022: any repeat of ≥ minLen tokens contains an aligned
+    * minLen-gram at SOME offset, so detection is complete at the threshold),
+    * marks grams occurring in ≥2 distinct docs, and merges each doc's
+    * consecutive matched offsets into MAXIMAL spans (gaps-and-islands:
+    * offset − row_number is constant within a run).
+    *
+    * Output: one row per maximal repeated span — (doc_id, 1-based
+    * start_token, end_token inclusive, span_tokens).
+    *
+    * Scale: stride-1 inflates the exploded relation ~minLen× over the
+    * corpus (every token starts a gram) — this is the REAL cost of
+    * completeness, which is why large-corpus practice runs the stride form
+    * as the default and reserves this pass for high-value slices; digests
+    * shuffle, gram text never leaves the scan stage, the distinct-doc count
+    * is the same two-step skew-safe collapse as [[qRepeatedPassages]], and
+    * the only window is partitioned BY doc (parallel, bounded by doc
+    * length). */
+  def repeatedExactSpans(docs: DataFrame, minLen: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")).cast(LongType))
+      .withColumn("grams", expr(
+        s"""CASE WHEN n >= $minLen THEN transform(sequence(0L, n - $minLen),
+           |  i -> array_join(slice(toks, CAST(i + 1 AS INT), $minLen), ' '))
+           |ELSE array() END""".stripMargin))
+      .select(col("doc_id"), posexplode(col("grams")).as(Seq("o", "gram")))
+      .withColumn("hh", sha2(col("gram"), 256)).drop("gram")
+      .withColumn("o", col("o").cast(LongType))
+    val nd = grams.groupBy("hh", "doc_id").agg(count(lit(1)).as("c"))
+      .groupBy("hh").agg(count(lit(1)).as("nd"))
+    val matched = grams.join(nd.where(col("nd") >= 2), "hh").select("doc_id", "o")
+    val w = Window.partitionBy("doc_id").orderBy("o")
+    matched.withColumn("grp", col("o") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg((min("o") + 1).as("start_token"), (max("o") + minLen).as("end_token"),
+        (max("o") - min("o") + minLen).as("span_tokens"))
+      .select("doc_id", "start_token", "end_token", "span_tokens")
+      .orderBy("doc_id", "start_token")
+  }
+
+  /** Oracle row for [[repeatedExactSpans]] over a SHIFTED-TWIN fixture built
+    * relationally from `documents` (so DuckDB replays it bit-for-bit): a
+    * small doc slice plus copies prefixed with 3 junk tokens. The 3-token
+    * shift puts every copy at offset ≡ 3 mod 10, which the stride-10 window
+    * form can never align with — exactly the miss this pass exists to catch
+    * (ExtSpec proves the miss on a guaranteed-unique-token fixture). */
+  val qRepeatedExact: QueryDef = q("q_repeated_exact")(
+    """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 101 = 0),
+      |     fix AS (SELECT doc_id, text FROM base
+      |             UNION ALL
+      |             SELECT doc_id + 1000000, 'pfx0 pfx1 pfx2 ' || text FROM base),
+      |     t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM fix),
+      |     g AS (SELECT doc_id, unnest(list_transform(range(0, greatest(n - 19, 0)),
+      |                    i -> {'o': CAST(i AS BIGINT),
+      |                          'gram': array_to_string(list_slice(toks, i + 1, i + 20), ' ')})) AS u
+      |           FROM t),
+      |     h AS (SELECT doc_id, u.o AS o, sha256(u.gram) AS hh FROM g),
+      |     d AS (SELECT hh, count(DISTINCT doc_id) AS nd FROM h GROUP BY hh),
+      |     m AS (SELECT h.doc_id, h.o FROM h JOIN d USING (hh) WHERE d.nd >= 2),
+      |     runs AS (SELECT doc_id, o,
+      |                     o - row_number() OVER (PARTITION BY doc_id ORDER BY o) AS grp
+      |              FROM m)
+      |SELECT doc_id, CAST(min(o) + 1 AS BIGINT) AS start_token,
+      |       CAST(max(o) + 20 AS BIGINT) AS end_token,
+      |       CAST(max(o) - min(o) + 20 AS BIGINT) AS span_tokens
+      |FROM runs GROUP BY doc_id, grp ORDER BY doc_id, start_token""".stripMargin) { (s, d) =>
+    val base = Tables.documents(s, d).where(pmod(col("doc_id"), lit(101)) === 0)
+      .select(col("doc_id"), col("text"))
+    val fix = base.unionByName(base.select((col("doc_id") + 1000000).as("doc_id"),
+      concat(lit("pfx0 pfx1 pfx2 "), col("text")).as("text")))
+    repeatedExactSpans(fix, minLen = 20)
+  }
+
   val defs: Seq[QueryDef] = Seq(qTextStats, qLangId, qTokenCount,
     qDocFingerprint, qQualityScore, qOovRate, qTermDf, qDecontaminate,
     qChunkWindows, qBigramFamiliarity, qQualityStratified, qRepeatedPassages,
-    qRepeatedSpans)
+    qRepeatedSpans, qRepeatedExact)
 }

@@ -254,4 +254,26 @@ class ExtSpec extends SparkSpec {
     val mean = rows.sum / rows.length
     assert(mean >= 0.9, f"SQ8 mean recall $mean%.3f < 0.9 floor")
   }
+
+  test("repeatedExactSpans finds an offset-straddling repeat the stride form provably misses") {
+    // Guaranteed-unique tokens: doc 2 is doc 1 shifted by 3 junk tokens, so
+    // every copy of the shared 60-token span sits at offset ≡ 3 mod 10 —
+    // no stride-10 window of one doc can ever equal one of the other.
+    val a = (0 until 60).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, "x0 x1 x2 " + a)).toDF("doc_id", "text")
+    val (w, st) = (20, 10)
+    val wins = docs.withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("wins", expr(
+        s"transform(sequence(0L, greatest((n - $w) DIV $st, 0L)), i -> array_join(slice(toks, CAST(i * $st + 1 AS INT), $w), ' '))"))
+      .select(col("doc_id"), explode(col("wins")).as("win"))
+    val strideHits = wins.groupBy("win").agg(countDistinct("doc_id").as("nd"))
+      .where(col("nd") >= 2).count()
+    assert(strideHits === 0, "fixture must be invisible to the stride-window detector")
+    // the stride-1 exact pass recovers the FULL shared span in both docs,
+    // merged to one maximal run each (1-based inclusive token ranges)
+    val spans = graft.ext.TextAnalysis.repeatedExactSpans(docs, minLen = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(spans === Set((1L, 1L, 60L, 60L), (2L, 4L, 63L, 60L)))
+  }
 }
