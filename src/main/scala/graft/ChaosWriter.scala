@@ -15,9 +15,12 @@ object ChaosWriter {
     val (dir, id, n) = (args(0), args(1), args(2))
     // optional 4th arg selects the control-plane backend: "s3" = the
     // rename-free object-store simulator (shared bucket on disk, so real
-    // sibling processes coordinate through conditional PUTs alone)
+    // sibling processes coordinate through conditional PUTs alone);
+    // "s3ec" = the same with eventually-consistent LISTs (1.5 s lag)
     val store: graft.vt.MetaStore =
       if (args.length > 3 && args(3) == "s3") graft.vt.S3SimMetaStore.forTable(dir)
+      else if (args.length > 3 && args(3) == "s3ec")
+        graft.vt.S3SimMetaStore.forTable(dir, 1500L)
       else graft.vt.LocalFsMetaStore
     val spark = SparkSession.builder().master("local[1]")
       .config("spark.sql.shuffle.partitions", "1")

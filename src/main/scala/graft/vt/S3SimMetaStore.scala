@@ -44,8 +44,25 @@ import scala.jdk.CollectionConverters._
   * delete-only; overwritten keys — refs, checkpoints, rules — are never
   * CAS'd). The data plane (immutable parquet under `data/`) stays on the
   * real filesystem, as the trait prescribes.
+  *
+  * EVENTUALLY-CONSISTENT LISTINGS (`listDelayMs` > 0): classic-S3 LIST lag
+  * injected for the chaos matrix — a NEWLY CREATED key (still at generation
+  * 0) stays invisible to [[list]] until it is `listDelayMs` old, while
+  * single-key GET/HEAD ([[read]]/[[exists]]) remain strongly consistent and
+  * a key that has ever been OVERWRITTEN (generation > 0) is always listed
+  * (LIST lag hides new objects; it does not un-list live, long-existing
+  * ones — a constantly-advanced branch ref never vanishes from LIST). The
+  * versioning layer's claim under this injection — pinned by MetaStoreSpec
+  * and the ChaosSpec kill-9 run on a delayed store — is that EC listings
+  * only DELAY repairs that consume them (stale-slot sweeps pick a young
+  * wedged slot up one cycle later; branch enumeration surfaces a brand-new
+  * branch after the lag), never corrupt: no commit/merge decision ever
+  * reads a listing. One honest residual hazard is documented at
+  * [[VersionedTable.vacuum]]: vacuuming within the lag of creating a NEW
+  * branch whose only reference pins OLD commits.
   */
-final class S3SimMetaStore(val bucketDir: Path) extends MetaStore {
+final class S3SimMetaStore(val bucketDir: Path,
+                           val listDelayMs: Long = 0) extends MetaStore {
 
   Files.createDirectories(bucketDir)
 
@@ -118,9 +135,21 @@ final class S3SimMetaStore(val bucketDir: Path) extends MetaStore {
   def list(dir: Path): Vector[Path] = {
     val prefix = dir.toAbsolutePath.normalize.toString + "/"
     val st = Files.list(bucketDir)
-    val keys =
-      try st.iterator().asScala.flatMap(p => dec(p.getFileName.toString)).toVector
+    val entries = // (decoded key, generation, bucket file)
+      try st.iterator().asScala.flatMap { p =>
+        val name = p.getFileName.toString
+        dec(name).map(k => (k, genOf(name), p))
+      }.toVector
       finally st.close()
+    val cutoff = System.currentTimeMillis() - listDelayMs
+    val keys = entries.groupBy(_._1).collect {
+      case (k, gs) if listDelayMs == 0 ||
+        gs.exists(_._2 > 0) || // ever overwritten → long-existing, always listed
+        gs.exists { case (_, _, p) => // create-once: listed only once aged
+          (try Files.getLastModifiedTime(p).toMillis
+           catch { case _: java.nio.file.NoSuchFileException => Long.MaxValue }) <= cutoff
+        } => k
+    }.toVector
     keys.filter(_.startsWith(prefix))
       .map(k => Paths.get(prefix + k.stripPrefix(prefix).takeWhile(_ != '/')))
       .distinct.sortBy(_.toString)
@@ -148,6 +177,10 @@ object S3SimMetaStore {
     * INSIDE the root (data walks are confined to `data/`, so bucket objects
     * are never mistaken for parquet) so scratch-dir cleanup removes table
     * and bucket together. */
-  def forTable(root: String): S3SimMetaStore =
-    new S3SimMetaStore(Paths.get(root).toAbsolutePath.normalize.resolve("s3bucket"))
+  def forTable(root: String): S3SimMetaStore = forTable(root, 0L)
+
+  /** Same bucket with eventually-consistent listings (see class doc). */
+  def forTable(root: String, listDelayMs: Long): S3SimMetaStore =
+    new S3SimMetaStore(
+      Paths.get(root).toAbsolutePath.normalize.resolve("s3bucket"), listDelayMs)
 }

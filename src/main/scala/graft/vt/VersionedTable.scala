@@ -1462,6 +1462,18 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     * Safety invariant (property-tested): a file referenced by any retained
     * version is never deleted — vacuum can only break time travel to versions
     * older than the retention horizon, exactly like Delta's `vacuum()`.
+    *
+    * Eventually-consistent listings (S3-class stores, [[S3SimMetaStore]]
+    * with `listDelayMs` > 0): retention enumerates branches through a
+    * LISTING, so a vacuum that runs within the listing lag of `createBranch`
+    * may not see the NEW branch's ref yet. A branch whose head is also on a
+    * listed branch's retained lineage is safe regardless; the hazard is
+    * branching from about-to-expire history and vacuuming inside the lag.
+    * Operational rule (same shape as Delta's retention-interval check): keep
+    * the vacuum cadence above the store's listing lag, or serialize
+    * branch-create with vacuum. Slot sweeps are unconditionally safe under
+    * EC listings — an unlisted young slot is merely repaired a cycle later
+    * (MetaStoreSpec pins both behaviors).
     */
   def vacuum(retainLast: Int = 1, staleSlotMs: Long = VersionedTable.DefaultStaleSlotMs,
              dryRun: Boolean = false): Int = synchronized {

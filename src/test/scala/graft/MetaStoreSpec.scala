@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
-import graft.vt.{CommitLog, InMemoryMetaStore, LocalFsMetaStore, MetaStore, Repo, VersionedTable}
+import graft.vt.{CommitLog, InMemoryMetaStore, LocalFsMetaStore, MetaStore, Repo, S3SimMetaStore, VersionedTable}
 
 /** The pluggable atomic-commit primitive (r12 verdict #1): the versioning
   * layer's crash-safety story is stated against [[MetaStore]]'s two atomic
@@ -181,6 +181,32 @@ class MetaStoreSpec extends SparkSpec {
     vt.write(df(3), "main", "v2")
     assert(vt.head("main").get.version === 2)
     assert(vt.read(spark, "main").as[Int].collect() === Array(3))
+  }
+
+  test("S3Sim delayed listings: young create-once keys lag out of LIST; reads stay strong; overwritten keys always listed") {
+    val rootStr = Tables.scratch("test_s3ec_store")
+    val store = S3SimMetaStore.forTable(rootStr, listDelayMs = 60000L)
+    val base = Paths.get(rootStr).toAbsolutePath.normalize
+    val slot = base.resolve("locks").resolve("main-v1")
+    assert(store.putIfAbsent(slot, "claim"))
+    // single-key GET/HEAD are strongly consistent under LIST lag
+    assert(store.exists(slot) && store.read(slot) === "claim")
+    // ...but the fresh create-once key has not surfaced to LIST yet — the
+    // state a stale-slot sweep sees: it skips the young slot (conservative,
+    // repaired next cycle), never mis-repairs
+    assert(!store.list(base.resolve("locks")).contains(slot),
+      "young create-once key must lag out of LIST")
+    store.backdate(slot, System.currentTimeMillis() - 120000L)
+    assert(store.list(base.resolve("locks")).contains(slot), "aged past the lag → listed")
+    // a key that has been OVERWRITTEN (generation > 0) is always listed:
+    // LIST lag hides new objects, it never un-lists a live branch ref
+    val ref = base.resolve("refs").resolve("main")
+    store.put(ref, "a")
+    assert(!store.list(base.resolve("refs")).contains(ref),
+      "a ref's very first write is create-visibility-lagged like any new key")
+    store.put(ref, "b")
+    assert(store.list(base.resolve("refs")).contains(ref))
+    assert(store.read(ref) === "b")
   }
 
   test("dry-run vacuum equals the real vacuum in a crashed-writer (orphan replay) state") {
