@@ -672,6 +672,30 @@ object Versioned {
     }.reduce(_ unionByName _).orderBy("ver", "n_nationkey")
   }
 
+  /** DV round-trip (r14 verdict #8): a MERGE-ON-READ delete exports as
+    * Delta's own deletion-vector vocabulary — protocol upgraded to v3
+    * `deletionVectors` at the deleting version, the touched files re-added
+    * with Roaring/Z85 descriptors ([[graft.vt.DeletionVectors]]) — and our
+    * reader replays both versions, filtering the deleted positions via the
+    * parquet `_metadata.row_index`. The oracle pins the pre- and post-delete
+    * contents. */
+  val qVtDeltaDvRoundtrip: QueryDef = q("q_vt_delta_dv_roundtrip")(
+    """SELECT 0 AS ver, n_nationkey, n_name FROM nation
+      |UNION ALL
+      |SELECT 1 AS ver, n_nationkey, n_name FROM nation WHERE n_regionkey < 2
+      |ORDER BY ver, n_nationkey""".stripMargin) { (s, d) =>
+    import graft.vt.DeltaLogReader
+    val vt = VersionedTable.create(Tables.scratch("vt_delta_dv_rt"))
+    val nation = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+    vt.write(nation.repartitionByRange(2, col("n_nationkey")), "main", "v0",
+      statsCols = Seq("n_regionkey"))
+    vt.deleteWithVectors(s, "n_regionkey >= 2", "main")
+    vt.exportDeltaLog("main")
+    (0 to 1).map(v => DeltaLogReader.read(s, vt.root.toString, Some(v.toLong))
+        .select(lit(v).as("ver"), col("n_nationkey"), col("n_name")))
+      .reduce(_ unionByName _).orderBy("ver", "n_nationkey")
+  }
+
   // ---- incremental view maintenance over CDC -----------------------------
 
   /** Maintain a (count, sum) aggregate "view" incrementally: fold a CDC
@@ -729,5 +753,6 @@ object Versioned {
     qVtSkipRead, qVtAppend, qRepoCommit, qRepoMergeUnion, qVtChanges,
     qVtChangesUpsert, qVtChangesFeed, qVtHistory, qVtUpsert, qVtDelete, qVtDeleteMor,
     qVtUpdate, qVtTag, qVtRestoreTag, qVtProtected, qVtFeedConsume, qVtCount,
-    qVtIncremental, qVtTsTravel, qVtDeltaLog, qVtDeltaRoundtrip)
+    qVtIncremental, qVtTsTravel, qVtDeltaLog, qVtDeltaRoundtrip,
+    qVtDeltaDvRoundtrip)
 }

@@ -29,6 +29,36 @@ object DeltaLogFixture {
       p.put("minReaderVersion", minReader); p.put("minWriterVersion", minWriter); ()
     }
 
+  /** Protocol v3/v7 with explicit feature lists — the shape delta-spark
+    * writes for tables using deletion vectors. */
+  def protocolV3Line(readerFeatures: Seq[String],
+                     writerFeatures: Seq[String] = Nil): String =
+    line("protocol") { p =>
+      p.put("minReaderVersion", 3); p.put("minWriterVersion", 7)
+      val rf = p.putArray("readerFeatures"); readerFeatures.foreach(rf.add)
+      val wf = p.putArray("writerFeatures")
+      (writerFeatures ++ readerFeatures).distinct.foreach(wf.add)
+      ()
+    }
+
+  /** `add` carrying a deletionVector descriptor (protocol v3 DV tables). */
+  def addLineWithDv(path: String, sizeBytes: Long,
+                    dv: DeletionVectors.DvDescriptor): String =
+    line("add") { a =>
+      a.put("path", path)
+      a.putObject("partitionValues")
+      a.put("size", sizeBytes)
+      a.put("modificationTime", 0L)
+      a.put("dataChange", true)
+      val d = a.putObject("deletionVector")
+      d.put("storageType", dv.storageType)
+      d.put("pathOrInlineDv", dv.pathOrInlineDv)
+      dv.offset.foreach(o => d.put("offset", o))
+      d.put("sizeInBytes", dv.sizeInBytes)
+      d.put("cardinality", dv.cardinality)
+      ()
+    }
+
   def metaDataLine(schemaJson: String, partitionColumns: Seq[String]): String =
     line("metaData") { m =>
       m.put("id", java.util.UUID.randomUUID().toString)

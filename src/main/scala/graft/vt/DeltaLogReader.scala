@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{broadcast, col, lit}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** READ-ONLY replayer for the open Delta Lake transaction-log format — lets
@@ -26,8 +26,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *    to the table root, plus `partitionValues` for Hive-style partition
   *    columns, which are NOT stored in the file).
   *  - `remove` — a data file leaves the snapshot (delete/overwrite/compact).
-  *  - `protocol` — reader/writer feature gate: `minReaderVersion > 1`
-  *    (deletion vectors, column mapping) is refused LOUDLY rather than
+  *  - `protocol` — reader/writer feature gate: v1 always; v3 when every
+  *    declared readerFeature is implemented (currently `deletionVectors` —
+  *    an `add.deletionVector` marks MOR-deleted row positions, decoded by
+  *    [[DeletionVectors]] and filtered out at read). Anything else (v2
+  *    column mapping, unknown v3 features) is refused LOUDLY rather than
   *    silently misread.
   *  - `commitInfo` / `txn` / `cdc` — no effect on the file snapshot.
   *
@@ -55,11 +58,17 @@ object DeltaLogReader {
   private val CommitRe = """^(\d{20})\.json$""".r
   private val CheckpointRe = """^(\d{20})\.checkpoint\.parquet$""".r
 
-  /** One replayed snapshot: live data files (decoded path, partitionValues)
-    * in add-order, plus the winning schema and partition columns. */
+  /** One live data file of a snapshot: decoded table-root-relative path,
+    * partition values, and (protocol v3 `deletionVectors`) the optional
+    * deletion-vector descriptor marking its MOR-deleted row positions. */
+  final case class FileEntry(path: String, partitionValues: Map[String, String],
+                             dv: Option[DeletionVectors.DvDescriptor])
+
+  /** One replayed snapshot: live data files in add-order, plus the winning
+    * schema and partition columns. */
   final case class DeltaSnapshot(version: Long, schema: StructType,
                                  partitionColumns: Seq[String],
-                                 files: Vector[(String, Map[String, String])])
+                                 files: Vector[FileEntry])
 
   /** Newest version present in `_delta_log` — JSON commit or checkpoint,
     * whichever is newer (−1 when the dir has neither). */
@@ -150,19 +159,59 @@ object DeltaLogReader {
   private final class ReplayState {
     var schemaJson: String = null
     var partCols: Seq[String] = Nil
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, String]]
+    val live = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Map[String, String], Option[DeletionVectors.DvDescriptor])]
   }
 
-  private def requireReaderV1(minReader: Int): Unit =
-    require(minReader <= 1,
-      s"Delta protocol minReaderVersion=$minReader requires reader features " +
-        "(deletion vectors / column mapping) this replayer does not implement")
+  /** Reader features this replayer implements beyond protocol v1. */
+  private val SupportedReaderFeatures = Set("deletionVectors")
 
-  private def applyCommit(state: ReplayState, commitPath: Path): Unit =
+  /** Protocol gate: v1 unconditionally; v3 when every DECLARED reader
+    * feature is implemented (the feature-list contract of reader v3 — a v3
+    * protocol without a readerFeatures list is malformed and refused, never
+    * guessed at). v2 (column mapping, no feature list) is refused. */
+  private def checkProtocol(minReader: Int,
+                            readerFeatures: Option[Set[String]]): Unit =
+    if (minReader == 3) readerFeatures match {
+      case None => throw new IllegalArgumentException(
+        "Delta protocol minReaderVersion=3 without a readerFeatures list is " +
+          "malformed — refusing rather than guessing which features are required")
+      case Some(fs) =>
+        val unsupported = fs -- SupportedReaderFeatures
+        require(unsupported.isEmpty,
+          s"Delta readerFeatures ${unsupported.mkString(", ")} are not implemented " +
+            s"by this replayer (supported: ${SupportedReaderFeatures.mkString(", ")})")
+    } else require(minReader <= 1,
+      s"Delta protocol minReaderVersion=$minReader requires reader features " +
+        "(column mapping) this replayer does not implement")
+
+  private def dvDescriptor(add: JsonNode): Option[DeletionVectors.DvDescriptor] =
+    Option(add.get("deletionVector")).map { d =>
+      DeletionVectors.DvDescriptor(
+        d.get("storageType").asText(),
+        d.get("pathOrInlineDv").asText(),
+        if (d.has("offset")) Some(d.get("offset").asInt()) else None,
+        d.get("sizeInBytes").asInt(),
+        d.get("cardinality").asLong())
+    }
+
+  /** Apply one commit's actions. A commit is atomic, so its adds/removes are
+    * RECONCILED, not replayed in line order: a commit that re-adds a path it
+    * also removes (delta-spark's shape for a DV update: `remove` the old
+    * add + `add` the same path with the new deletionVector) must leave the
+    * file LIVE with the new metadata, regardless of which line came first. */
+  private def applyCommit(state: ReplayState, commitPath: Path): Unit = {
+    val adds = Vector.newBuilder[(String, (Map[String, String], Option[DeletionVectors.DvDescriptor]))]
+    val removes = Vector.newBuilder[String]
     for (line <- Files.readAllLines(commitPath).asScala if line.trim.nonEmpty) {
       val action = mapper.readTree(line)
-      if (action.has("protocol"))
-        requireReaderV1(action.get("protocol").path("minReaderVersion").asInt(1))
+      if (action.has("protocol")) {
+        val p = action.get("protocol")
+        checkProtocol(p.path("minReaderVersion").asInt(1),
+          if (p.has("readerFeatures"))
+            Some(p.get("readerFeatures").elements().asScala.map(_.asText()).toSet)
+          else None)
+      }
       if (action.has("metaData")) {
         val md = action.get("metaData")
         state.schemaJson = md.get("schemaString").asText()
@@ -170,14 +219,15 @@ object DeltaLogReader {
       }
       if (action.has("add")) {
         val add = action.get("add")
-        state.live.put(decodePath(add.get("path").asText()), partitionValues(add))
-        ()
+        adds += decodePath(add.get("path").asText()) ->
+          (partitionValues(add), dvDescriptor(add))
       }
-      if (action.has("remove")) {
-        state.live.remove(decodePath(action.get("remove").get("path").asText()))
-        ()
-      }
+      if (action.has("remove"))
+        removes += decodePath(action.get("remove").get("path").asText())
     }
+    removes.result().foreach(state.live.remove)
+    adds.result().foreach { case (p, v) => state.live.put(p, v) }
+  }
 
   /** Bootstrap replay state from a checkpoint parquet: protocol gate, the
     * winning metaData, and the complete live file set (checkpoints carry the
@@ -190,7 +240,8 @@ object DeltaLogReader {
     val cols = df.columns.toSet
     if (cols("protocol"))
       df.where("protocol IS NOT NULL").select("protocol.minReaderVersion")
-        .collect().foreach(r => requireReaderV1(if (r.isNullAt(0)) 1 else r.getInt(0)))
+        .collect()
+        .foreach(r => checkProtocol(if (r.isNullAt(0)) 1 else r.getInt(0), None))
     require(cols("metaData"), s"checkpoint $cpPath has no metaData column")
     val md = df.where("metaData IS NOT NULL")
       .select("metaData.schemaString", "metaData.partitionColumns").collect()
@@ -205,7 +256,7 @@ object DeltaLogReader {
           val pv =
             if (r.isNullAt(1)) Map.empty[String, String]
             else r.getJavaMap[String, String](1).asScala.toMap
-          state.live.put(decodePath(r.getString(0)), pv)
+          state.live.put(decodePath(r.getString(0)), (pv, None))
         }
     state
   }
@@ -252,7 +303,8 @@ object DeltaLogReader {
     require(state.schemaJson != null,
       s"no metaData action in versions 0..$upTo of $tableRoot")
     DeltaSnapshot(upTo, DataType.fromJson(state.schemaJson).asInstanceOf[StructType],
-      state.partCols, state.live.toVector)
+      state.partCols,
+      state.live.toVector.map { case (p, (pv, dv)) => FileEntry(p, pv, dv) })
   }
 
   /** Delta paths are percent-encoded URIs relative to the table root. */
@@ -271,7 +323,18 @@ object DeltaLogReader {
     read(spark, tableRoot, Some(versionAtTimestamp(tableRoot, tsMillis)))
 
   /** Open the table at `versionAsOf` as a DataFrame — Delta's
-    * `option("versionAsOf", v)` without the Delta jar. */
+    * `option("versionAsOf", v)` without the Delta jar.
+    *
+    * Partition columns live in the log, not the files: each partition-value
+    * group is read with the file schema and the partition columns are
+    * reconstituted as cast literals (null for the empty-string-null
+    * convention) — Delta's own rule. Files carrying a DELETION VECTOR are
+    * read per-file with the parquet `_metadata.row_index` column and their
+    * MOR-deleted positions filtered out (small DVs as a codegen'd NOT-IN
+    * literal, large ones as a broadcast anti-join) — the same
+    * position-anti-join shape [[VersionedTable.readCommit]] applies to
+    * native dvFiles. DV-free tables keep the single multi-file vectorized
+    * scan (pushdown/pruning intact). */
   def read(spark: SparkSession, tableRoot: String,
            versionAsOf: Option[Long] = None): DataFrame = {
     val root = Paths.get(tableRoot).toAbsolutePath.normalize
@@ -281,24 +344,34 @@ object DeltaLogReader {
     if (snap.files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         snap.schema)
-    if (snap.partitionColumns.isEmpty)
-      spark.read.schema(snap.schema).parquet(snap.files.map(f => abs(f._1)): _*)
-    else {
-      // partition columns live in the log, not the files: read each
-      // partition-value group with the file schema and reconstitute the
-      // partition columns as cast literals (null for the empty-string-null
-      // convention), then project back to the declared column order
-      val fileSchema = StructType(
-        snap.schema.fields.filterNot(f => snap.partitionColumns.contains(f.name)))
-      val byType = snap.schema.fields.map(f => f.name -> f.dataType).toMap
-      snap.files.groupBy(_._2).map { case (pv, group) =>
-        val base = spark.read.schema(fileSchema).parquet(group.map(f => abs(f._1)): _*)
-        snap.partitionColumns.foldLeft(base) { (df, c) =>
-          val raw = pv.getOrElse(c, null)
-          val v = if (raw == null || raw.isEmpty) lit(null) else lit(raw)
-          df.withColumn(c, v.cast(byType(c)))
-        }
-      }.reduce(_ unionByName _).select(snap.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+    val fileSchema = StructType(
+      snap.schema.fields.filterNot(f => snap.partitionColumns.contains(f.name)))
+    val byType = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+    def withPartCols(df: DataFrame, pv: Map[String, String]): DataFrame =
+      snap.partitionColumns.foldLeft(df) { (d, c) =>
+        val raw = pv.getOrElse(c, null)
+        val v = if (raw == null || raw.isEmpty) lit(null) else lit(raw)
+        d.withColumn(c, v.cast(byType(c)))
+      }
+    val (dvFiles, plain) = snap.files.partition(_.dv.isDefined)
+    if (dvFiles.isEmpty && snap.partitionColumns.isEmpty)
+      return spark.read.schema(snap.schema).parquet(snap.files.map(f => abs(f.path)): _*)
+    val plainScans = plain.groupBy(_.partitionValues).toSeq.map { case (pv, group) =>
+      withPartCols(spark.read.schema(fileSchema).parquet(group.map(f => abs(f.path)): _*), pv)
     }
+    val dvScans = dvFiles.map { f =>
+      val positions = DeletionVectors.readPositions(root, f.dv.get)
+      val base = spark.read.schema(fileSchema).parquet(abs(f.path))
+        .withColumn("__pos", col("_metadata.row_index"))
+      val kept =
+        if (positions.size <= 1024) base.where(!col("__pos").isin(positions: _*))
+        else {
+          import spark.implicits._
+          base.join(broadcast(positions.toDF("__pos")), Seq("__pos"), "left_anti")
+        }
+      withPartCols(kept.drop("__pos"), f.partitionValues)
+    }
+    (plainScans ++ dvScans).reduce(_ unionByName _)
+      .select(snap.schema.fieldNames.map(col): _*)
   }
 }

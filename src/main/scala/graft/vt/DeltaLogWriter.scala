@@ -37,64 +37,110 @@ import org.apache.spark.sql.types._
   * suffix of the lineage is written on re-export after further commits —
   * O(new versions), the same cost profile as delta-spark's own log appends.
   *
-  * Refused loudly: a lineage containing MERGE-ON-READ deletion vectors
-  * (`Commit.dvFiles`). Protocol v1 has no DV vocabulary, and silently
-  * exporting the base files would RESURRECT the deleted rows for Delta
-  * readers; compact the branch first (compaction rewrites DVs away).
+  * MERGE-ON-READ deletion vectors (`Commit.dvFiles`) export as Delta's OWN
+  * DV vocabulary: the native (fileKey, row_index) relation maps 1:1 onto
+  * Delta `add.deletionVector` descriptors (both record physical row
+  * positions per data file), serialized by [[DeletionVectors]] — inline
+  * (Z85) for small vectors, a `deletion_vector_<uuid>.bin` file above the
+  * threshold, exactly delta-spark's own split. The first DV-carrying
+  * version emits a `protocol` UPGRADE action (minReader 3 +
+  * `readerFeatures: [deletionVectors]`), so DV-free lineages stay maximally
+  * readable at protocol v1 and the upgrade point is a deterministic
+  * function of the lineage (incremental re-exports agree). A version that
+  * only CHANGES a file's DV exports as Delta's remove-and-re-add of that
+  * path with the new descriptor.
   *
-  * Scale: the export writes O(versions) small JSON objects and reads no data
-  * files (sizes/mtimes are per-file stat calls on metadata already in hand) —
-  * at 100 TB the cost is the commit count, not the byte count.
+  * Scale: the export writes O(versions) small JSON objects; DV-free
+  * versions read no data (sizes/mtimes are per-file stat calls), DV-bearing
+  * versions additionally read their dv-parquet — O(deleted positions), the
+  * size the descriptors must carry anyway.
   */
 object DeltaLogWriter {
 
   /** Export `branch`'s lineage as a Delta log inside the table root; returns
     * the newest exported version. See object doc for semantics. */
+  /** Positions above this count go to a `deletion_vector_<uuid>.bin` file
+    * instead of riding inline in the log (delta-spark's own small-DV split). */
+  private val InlineDvMax = 1024
+
   def exportDeltaLog(vt: VersionedTable, branch: String = "main"): Long = {
     val commits = vt.lineage(branch).reverse // oldest-first: v0..vN
     require(commits.nonEmpty, s"branch '$branch' has no commits to export")
     require(commits.head.version == 0 &&
       commits.zipWithIndex.forall { case (c, i) => c.version == i },
       s"lineage versions are not contiguous from 0: ${commits.map(_.version)}")
-    val dvCarriers = commits.filter(_.dvFiles.nonEmpty).map(_.version)
-    require(dvCarriers.isEmpty,
-      s"versions $dvCarriers carry merge-on-read deletion vectors, which Delta " +
-        "protocol v1 cannot express — exporting the base files alone would " +
-        "resurrect the deleted rows for Delta readers; compact the branch first")
+    // deterministic protocol-upgrade point: the first DV-carrying version
+    val firstDvVersion = commits.find(_.dvFiles.nonEmpty).map(_.version)
     val logDir = vt.root.resolve("_delta_log")
     Files.createDirectories(logDir)
     var prev: Option[Commit] = None
+    var prevDv: Map[String, Vector[Long]] = Map.empty
     for (c <- commits) {
       val target = logDir.resolve(f"${c.version}%020d.json")
+      val curDv = dvByFile(vt, c)
       if (!Files.exists(target)) {
         val parentFiles = prev.map(_.files.toSet).getOrElse(Set.empty)
         val adds = c.files.filterNot(parentFiles)
-        val removes = prev.map(_.files.filterNot(c.files.toSet)).getOrElse(Vector.empty)
+        // a surviving file whose DV changed re-enters the log as
+        // remove + add-with-new-descriptor (Delta's MOR-delete shape)
+        val dvChanged = c.files.filter(f =>
+          parentFiles.contains(f) && prevDv.get(f) != curDv.get(f))
+        val removes =
+          prev.map(_.files.filterNot(c.files.toSet)).getOrElse(Vector.empty) ++ dvChanged
         val schemaChanged = prev.forall(_.schemaJson != c.schemaJson)
         val actions = Vector.newBuilder[String]
         actions += DeltaLogFixture.commitInfoLine(c.ts,
-          if (prev.isEmpty) "WRITE" else if (removes.isEmpty) "APPEND" else "OVERWRITE")
-        if (prev.isEmpty) actions += DeltaLogFixture.protocolLine()
+          if (prev.isEmpty) "WRITE"
+          else if (dvChanged.nonEmpty) "DELETE"
+          else if (removes.isEmpty) "APPEND" else "OVERWRITE")
+        if (prev.isEmpty && !firstDvVersion.contains(0L))
+          actions += DeltaLogFixture.protocolLine()
+        if (firstDvVersion.contains(c.version))
+          actions += DeltaLogFixture.protocolV3Line(Seq("deletionVectors"))
         if (schemaChanged) actions += DeltaLogFixture.metaDataLine(c.schemaJson, Nil)
         removes.foreach(r => actions += DeltaLogFixture.removeLine(encodePath(r)))
-        adds.foreach { rel =>
+        (adds ++ dvChanged).foreach { rel =>
           val p = vt.root.resolve(rel)
+          val dv = curDv.get(rel).map { ps =>
+            if (ps.size <= InlineDvMax) DeletionVectors.inlineDescriptor(ps)
+            else DeletionVectors.writeDvFile(vt.root, ps)
+          }
           actions += addLineWithMtime(encodePath(rel), Files.size(p),
-            Files.getLastModifiedTime(p).toMillis)
+            Files.getLastModifiedTime(p).toMillis, dv)
         }
         writeAtomically(target, actions.result().mkString("", "\n", "\n"))
       }
       prev = Some(c)
+      prevDv = curDv
     }
     commits.last.version
   }
+
+  /** A commit's MOR-deleted positions keyed by data-file relative path:
+    * the union of its dv-parquet `(fk, pos)` rows, fk resolved through the
+    * live file list (dead entries for rewritten files drop out — the same
+    * filtering [[VersionedTable.readCommit]]'s anti-join applies). Reads
+    * O(deleted positions); empty for DV-free commits at zero I/O. */
+  private def dvByFile(vt: VersionedTable, c: Commit): Map[String, Vector[Long]] =
+    if (c.dvFiles.isEmpty) Map.empty
+    else {
+      val spark = SparkSession.active
+      val byFk = c.files.map(f => VersionedTable.fileKey(f) -> f).toMap
+      spark.read.parquet(c.dvFiles.map(f => vt.root.resolve(f).toString): _*)
+        .select("fk", "pos").collect()
+        .groupBy(_.getString(0))
+        .flatMap { case (fk, rows) =>
+          byFk.get(fk).map(_ -> rows.map(_.getLong(1)).toVector.distinct.sorted)
+        }
+    }
 
   /** Delta `add` paths are percent-encoded URIs relative to the table root
     * (PROTOCOL.md "Add File"): encode each segment, keep the separators. */
   private[vt] def encodePath(rel: String): String =
     new java.net.URI(null, null, rel, null).toASCIIString
 
-  private def addLineWithMtime(path: String, size: Long, mtime: Long): String = {
+  private def addLineWithMtime(path: String, size: Long, mtime: Long,
+                               dv: Option[DeletionVectors.DvDescriptor] = None): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val rootNode = mapper.createObjectNode()
     val a = rootNode.putObject("add")
@@ -103,6 +149,14 @@ object DeltaLogWriter {
     a.put("size", size)
     a.put("modificationTime", mtime)
     a.put("dataChange", true)
+    dv.foreach { d =>
+      val n = a.putObject("deletionVector")
+      n.put("storageType", d.storageType)
+      n.put("pathOrInlineDv", d.pathOrInlineDv)
+      d.offset.foreach(o => n.put("offset", o))
+      n.put("sizeInBytes", d.sizeInBytes)
+      n.put("cardinality", d.cardinality)
+    }
     mapper.writeValueAsString(rootNode)
   }
 
@@ -155,17 +209,22 @@ object DeltaLogWriter {
     val root = java.nio.file.Paths.get(tableRoot).toAbsolutePath.normalize
     val logDir = root.resolve("_delta_log")
     val snap = DeltaLogReader.snapshot(tableRoot, Some(version), Some(spark))
+    require(snap.files.forall(_.dv.isEmpty),
+      "checkpointing a snapshot with deletion vectors is not implemented — " +
+        "the checkpoint schema here has no deletionVector column, and dropping " +
+        "one would resurrect deleted rows; compact the DVs away first")
     val rows: Seq[Row] =
       Row(null, null, Row(1, 2)) +:
         Row(null, Row(java.util.UUID.randomUUID().toString,
           Row("parquet", Map.empty[String, String]), snap.schema.json,
           snap.partitionColumns, Map.empty[String, String], 0L), null) +:
-        snap.files.map { case (path, pv) =>
-          val p = root.resolve(path)
+        snap.files.map { f =>
+          val p = root.resolve(f.path)
           val (size, mtime) =
             if (Files.exists(p)) (Files.size(p), Files.getLastModifiedTime(p).toMillis)
             else (0L, 0L)
-          Row(Row(DeltaLogWriter.encodePath(path), pv, size, mtime, false), null, null)
+          Row(Row(DeltaLogWriter.encodePath(f.path), f.partitionValues, size, mtime,
+            false), null, null)
         }
     val df = spark.createDataFrame(rows.asJava, checkpointSchema)
     val tmp = logDir.resolve(s".checkpoint_tmp_$version")

@@ -1751,9 +1751,10 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     * — zero-copy protocol interop ([[DeltaLogWriter]]): the add actions
     * reference this table's existing parquet, so after the export the root
     * doubles as a Delta table readable at every version through
-    * [[DeltaLogReader]] (or stock delta-spark, protocol v1). Incremental and
-    * idempotent; refuses lineages carrying merge-on-read deletion vectors
-    * (compact first). Returns the newest exported version. */
+    * [[DeltaLogReader]] (or stock delta-spark — protocol v1, upgraded in
+    * place to v3 `deletionVectors` at the first version whose native MOR
+    * delete vectors are exported as Delta DV descriptors). Incremental and
+    * idempotent. Returns the newest exported version. */
   def exportDeltaLog(branch: String = "main"): Long =
     DeltaLogWriter.exportDeltaLog(this, branch)
 

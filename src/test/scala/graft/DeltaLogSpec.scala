@@ -221,12 +221,44 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLogReader.read(spark, vt.root.toString, Some(3L)).count() === 3)
   }
 
-  test("exportDeltaLog refuses a lineage carrying deletion vectors") {
+  test("exportDeltaLog maps native MOR delete vectors onto Delta DV descriptors") {
     val vt = VersionedTable.create(Tables.scratch("delta_export_dv"))
-    vt.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "main", "v0")
-    vt.deleteWithVectors(spark, "k = 1", "main")
-    val e = intercept[IllegalArgumentException](vt.exportDeltaLog("main"))
-    assert(e.getMessage.contains("deletion vectors"))
+    vt.write(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+      .repartitionByRange(2, col("k")), "main", "v0", statsCols = Seq("k"))
+    vt.deleteWithVectors(spark, "k = 1 OR k = 3", "main")
+    assert(vt.exportDeltaLog("main") === 1)
+    // v1's JSON carries the protocol UPGRADE (v3 + deletionVectors) and the
+    // DV-bearing re-add of the touched file(s); v0 stays plain protocol v1
+    val a0 = actions(vt.root, 0)
+    assert(a0.exists(a => a.has("protocol") &&
+      a.get("protocol").get("minReaderVersion").asInt() === 1))
+    val a1 = actions(vt.root, 1)
+    val p1 = a1.filter(_.has("protocol"))
+    assert(p1.size === 1 && p1.head.get("protocol").get("minReaderVersion").asInt() === 3)
+    assert(p1.head.get("protocol").get("readerFeatures").elements().asScala
+      .map(_.asText()).toSet === Set("deletionVectors"))
+    val dvAdds = a1.filter(a => a.has("add") && a.get("add").has("deletionVector"))
+    assert(dvAdds.nonEmpty, "the MOR delete must surface as DV-bearing adds")
+    assert(dvAdds.forall(a =>
+      a.get("add").get("deletionVector").get("cardinality").asLong() >= 1))
+    // each DV-changed file is remove+re-added — reconciliation keeps it live
+    val removed = a1.filter(_.has("remove")).map(_.get("remove").get("path").asText()).toSet
+    assert(dvAdds.map(_.get("add").get("path").asText()).toSet === removed)
+    // round-trip: our reader replays both versions identically to the native read
+    (0L to 1L).foreach { v =>
+      assert(DeltaLogReader.read(spark, vt.root.toString, Some(v))
+        .collect().map(_.toString).sorted ===
+        vt.readVersion(spark, "main", v).collect().map(_.toString).sorted,
+        s"DV version $v replay mismatch")
+    }
+    assert(DeltaLogReader.read(spark, vt.root.toString, Some(1L))
+      .select("k").as[Long].collect().sorted === Array(2L, 4L))
+    // a SECOND MOR delete changes the same files' DVs again: the export's
+    // dv-diff emits new descriptors and the replay tracks them
+    vt.deleteWithVectors(spark, "k = 2", "main")
+    assert(vt.exportDeltaLog("main") === 2)
+    assert(DeltaLogReader.read(spark, vt.root.toString, Some(2L))
+      .select("k").as[Long].collect().sorted === Array(4L))
   }
 
   // ---- checkpoints --------------------------------------------------------
@@ -268,6 +300,112 @@ class DeltaLogSpec extends SparkSpec {
     val got = DeltaLogReader.read(spark, vt.root.toString, None)
     assert(got.columns.toSeq === Seq("k", "v", "score"))
     assert(got.select("k").as[Long].collect().sorted === Array(1L, 9L))
+  }
+
+  // ---- deletion vectors (protocol v3 readerFeature) -----------------------
+
+  test("Roaring/Z85 codec: byte-level pin, round-trips across container kinds, run containers") {
+    import graft.vt.DeletionVectors
+    // byte-level pin vs an independently hand-computed serialization of
+    // {1, 3} (magic 1681511377 LE · 1 bitmap · key 0 · no-run cookie 12346 ·
+    // 1 container · key 0 card-1=1 · offset 16 · values 1,3) — guards
+    // against a symmetric writer/reader bug that a pure round-trip hides
+    val pinned = "d1d339640100000000000000000000003a30000001000000000001001000000001000300"
+    assert(DeletionVectors.serialize(Seq(1L, 3L)).map("%02x".format(_)).mkString === pinned)
+    // round-trips: array container, bitmap container (>4096 values in one
+    // 2^16 chunk), multi-chunk, and >2^32 positions (second high-32 key)
+    val cases = Seq[Seq[Long]](
+      Seq(1L, 3L),
+      (0L until 5000L).map(_ * 2),                   // bitmap container
+      Seq(5L, 70000L, 130000L),                      // three 16-bit chunks
+      Seq(7L, (1L << 32) + 9L, (1L << 33) + 1L))     // three high keys
+    cases.foreach { ps =>
+      val got = DeletionVectors.deserialize(DeletionVectors.serialize(ps))
+      assert(got === ps.distinct.sorted.toVector, s"round-trip failed for $ps")
+    }
+    // run-container layout (delta-spark compacts dense DVs to runs): cookie
+    // 12347, 1 container flagged as run, run [2, +3] → {2,3,4,5}
+    val runBytes = Array[Int](
+      0xd1, 0xd3, 0x39, 0x64, 1, 0, 0, 0, 0, 0, 0, 0, // magic + 1 bitmap
+      0, 0, 0, 0, // high key 0
+      0x3b, 0x30, 0x00, 0x00, // cookie 12347, (count-1)=0 in upper 16
+      0x01, // run-flag bitset: container 0 is a run
+      0x00, 0x00, 0x03, 0x00, // key 0, card-1 = 3
+      0x01, 0x00, 0x02, 0x00, 0x03, 0x00 // 1 run: start 2, len-1 3
+    ).map(_.toByte)
+    assert(DeletionVectors.deserialize(runBytes) === Vector(2L, 3L, 4L, 5L))
+    // Z85 known vector (ZeroMQ spec test case)
+    assert(DeletionVectors.z85Encode(
+      Array(0x86, 0x4f, 0xd2, 0x6f, 0xb5, 0x59, 0xf7, 0x5b).map(_.toByte)) === "HelloWorld")
+    assert(DeletionVectors.z85Decode("HelloWorld", 8) ===
+      Array(0x86, 0x4f, 0xd2, 0x6f, 0xb5, 0x59, 0xf7, 0x5b).map(_.toByte))
+  }
+
+  test("inline deletion vector: MOR-deleted positions filtered; add/remove in one commit reconcile") {
+    import graft.vt.DeletionVectors
+    val root = freshRoot("dv_inline")
+    val df = Seq((0, "r0"), (1, "r1"), (2, "r2"), (3, "r3"), (4, "r4")).toDF("k", "v")
+    val (fa, sa) = F.writeDataFile(root, df.orderBy("k").coalesce(1), "data")
+    F.writeCommit(root, 0, Seq(F.protocolV3Line(Seq("deletionVectors")),
+      F.metaDataLine(df.schema.json, Nil), F.addLine(fa, sa)))
+    // v1 = delete rows at positions 1 and 3 merge-on-read: delta-spark emits
+    // add (same path, new DV) + remove (old add) in ONE commit — order
+    // within the commit must not matter (actions reconcile atomically),
+    // so the fixture deliberately puts the add FIRST
+    val dv = DeletionVectors.inlineDescriptor(Seq(1L, 3L))
+    F.writeCommit(root, 1, Seq(F.addLineWithDv(fa, sa, dv), F.removeLine(fa)))
+    assert(DeltaLogReader.read(spark, root.toString, Some(0L))
+      .select("k").as[Int].collect().sorted === Array(0, 1, 2, 3, 4))
+    assert(DeltaLogReader.read(spark, root.toString, Some(1L))
+      .select("k").as[Int].collect().sorted === Array(0, 2, 4),
+      "DV positions 1 and 3 must be filtered out at v1")
+    assert(DeltaLogReader.read(spark, root.toString, Some(1L))
+      .select("v").as[String].collect().sorted === Array("r0", "r2", "r4"))
+  }
+
+  test("file-based (u) deletion vector: uuid path resolution, CRC verified, corruption loud") {
+    import graft.vt.DeletionVectors
+    val root = freshRoot("dv_file")
+    val df = Seq((0, "a"), (1, "b"), (2, "c"), (3, "d")).toDF("k", "v")
+    val (fa, sa) = F.writeDataFile(root, df.orderBy("k").coalesce(1), "data")
+    val dv = DeletionVectors.writeDvFile(root, Seq(0L, 2L))
+    assert(dv.storageType === "u" && dv.cardinality === 2L)
+    F.writeCommit(root, 0, Seq(F.protocolV3Line(Seq("deletionVectors")),
+      F.metaDataLine(df.schema.json, Nil), F.addLineWithDv(fa, sa, dv)))
+    assert(DeltaLogReader.read(spark, root.toString, None)
+      .select("k").as[Int].collect().sorted === Array(1, 3))
+    // flip one payload byte in the DV file: the CRC check must refuse
+    // rather than silently resurrect (or over-delete) rows
+    val dvFile = Files.list(root).iterator().asScala
+      .find(_.getFileName.toString.startsWith("deletion_vector_")).get
+    val bytes = Files.readAllBytes(dvFile)
+    bytes(7) = (bytes(7) ^ 0x1).toByte // inside the serialized bitmap
+    Files.write(dvFile, bytes)
+    val e = intercept[IllegalArgumentException](
+      DeltaLogReader.read(spark, root.toString, None).collect())
+    assert(e.getMessage.contains("checksum"))
+  }
+
+  test("reader-feature gate: deletionVectors accepted, unknown v3 features and v2 refused") {
+    val root = freshRoot("dv_gate")
+    val df = Seq((1, "a")).toDF("k", "v")
+    val (fa, sa) = F.writeDataFile(root, df, "a")
+    F.writeCommit(root, 0, Seq(
+      F.protocolV3Line(Seq("deletionVectors", "columnMapping")),
+      F.metaDataLine(df.schema.json, Nil), F.addLine(fa, sa)))
+    val e = intercept[IllegalArgumentException](
+      DeltaLogReader.read(spark, root.toString, None))
+    assert(e.getMessage.contains("columnMapping"), e.getMessage)
+    // checkpointing a DV-carrying snapshot is a scoped refusal (the
+    // checkpoint schema has no deletionVector column)
+    val root2 = freshRoot("dv_ckpt")
+    val (fb, sb) = F.writeDataFile(root2, df, "b")
+    val dv = graft.vt.DeletionVectors.inlineDescriptor(Seq(0L))
+    F.writeCommit(root2, 0, Seq(F.protocolV3Line(Seq("deletionVectors")),
+      F.metaDataLine(df.schema.json, Nil), F.addLineWithDv(fb, sb, dv)))
+    val e2 = intercept[IllegalArgumentException](
+      DeltaLogWriter.writeCheckpoint(spark, root2.toString, 0L))
+    assert(e2.getMessage.contains("deletion vectors"))
   }
 
   test("reader features beyond protocol v1 and log gaps are refused loudly") {
