@@ -130,6 +130,7 @@ final class Repo private (val root: Path, val store: MetaStore) {
     val c = Commit(id, parent.map(_.id), version, files.toVector, schemaJson,
       message, System.currentTimeMillis())
     store.put(commitsDir.resolve(id + ".json"), CommitLog.toJson(c))
+    if (parent.isEmpty) branchIndex.add(branch) // before the ref (see branches)
     store.put(refsDir.resolve(branch), id)
     staged.remove(branch)
     c
@@ -266,6 +267,7 @@ final class Repo private (val root: Path, val store: MetaStore) {
   /** lakeFS branch create: zero-copy head pointer. */
   def createBranch(name: String, from: String = "main"): Unit = synchronized {
     require(!store.exists(refsDir.resolve(name)), s"branch exists: $name")
+    branchIndex.add(name)
     val h = head(from).getOrElse(throw new IllegalArgumentException(s"no such branch: $from"))
     store.put(refsDir.resolve(name), h.id)
   }
@@ -367,8 +369,17 @@ final class Repo private (val root: Path, val store: MetaStore) {
     (a -- b).toSeq.sorted.map(_ -> "added") ++ (b -- a).toSeq.sorted.map(_ -> "removed")
   }
 
-  def branches: Seq[String] =
-    store.list(refsDir).map(_.getFileName.toString).sorted
+  /** Same eventual-consistency armor as [[VersionedTable.branches]]: a
+    * single-key-read [[CasStringSet]] index unioned with the listing, so
+    * [[vacuum]]'s retention enumeration sees a just-created branch even
+    * while the ref lags out of an EC LIST. */
+  private def branchIndex = new CasStringSet(store, root.resolve("refidx"), "branches")
+
+  def branches: Seq[String] = {
+    val listed = store.list(refsDir).map(_.getFileName.toString)
+    val indexed = branchIndex.all.filter(b => store.exists(refsDir.resolve(b)))
+    (listed ++ indexed).distinct.sorted
+  }
 
   /** Head-first lineage walk of a branch (head, head.parent, …, root). */
   def lineage(branch: String): List[Commit] = {

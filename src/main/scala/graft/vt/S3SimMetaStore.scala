@@ -55,11 +55,11 @@ import scala.jdk.CollectionConverters._
   * versioning layer's claim under this injection — pinned by MetaStoreSpec
   * and the ChaosSpec kill-9 run on a delayed store — is that EC listings
   * only DELAY repairs that consume them (stale-slot sweeps pick a young
-  * wedged slot up one cycle later; branch enumeration surfaces a brand-new
-  * branch after the lag), never corrupt: no commit/merge decision ever
-  * reads a listing. One honest residual hazard is documented at
-  * [[VersionedTable.vacuum]]: vacuuming within the lag of creating a NEW
-  * branch whose only reference pins OLD commits.
+  * wedged slot up one cycle later), never corrupt: no commit/merge decision
+  * ever reads a listing, and branch enumeration — which PRICES VACUUM
+  * RETENTION — reads the single-key branch index
+  * ([[VersionedTable.branches]]) in union with the listing, so a fresh
+  * unlisted branch's files are never swept.
   */
 final class S3SimMetaStore(val bucketDir: Path,
                            val listDelayMs: Long = 0) extends MetaStore {

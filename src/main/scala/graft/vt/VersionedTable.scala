@@ -68,9 +68,24 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     if (store.exists(ref)) Some(loadCommit(store.read(ref).trim)) else None
   }
 
-  def branches: Seq[String] =
-    store.list(refsDir).map(_.getFileName.toString)
-      .filterNot(_.endsWith(".staged")).sorted
+  /** Branch INDEX — a [[CasStringSet]] naming every branch, maintained by
+    * the same operations that create/delete refs. Listings may be
+    * EVENTUALLY CONSISTENT on object stores (a just-created ref can lag out
+    * of LIST), and [[vacuum]] prices retention by enumerating branches — an
+    * unlisted fresh branch would have its exclusive files swept. The index
+    * is read through SINGLE-KEY operations only (head hint + exists probes +
+    * one generation read), so enumeration is exact the moment the creating
+    * operation returns. The listing is still unioned in (tables created
+    * before the index, defensive completeness); index entries whose ref no
+    * longer exists are filtered out, so a deleted branch never resurrects. */
+  private def branchIndex = new CasStringSet(store, root.resolve("refidx"), "branches")
+
+  def branches: Seq[String] = {
+    val listed = store.list(refsDir).map(_.getFileName.toString)
+      .filterNot(_.endsWith(".staged"))
+    val indexed = branchIndex.all.filter(b => store.exists(refsDir.resolve(b)))
+    (listed ++ indexed).distinct.sorted
+  }
 
   /** Head-first lineage walk of a branch (head, head.parent, …, root). */
   def lineage(branch: String): List[Commit] = lineageFrom(head(branch))
@@ -913,6 +928,11 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     // A loser's already-written data files are orphans vacuum reclaims.
     CommitLog.claimVersionSlot(locksDir, branch, version, store = store)
     store.put(commitsDir.resolve(id + ".json"), CommitLog.toJson(c))
+    // index BEFORE the ref lands: vacuum enumerating mid-creation sees the
+    // name (and an exists-check on the not-yet-written ref just skips it) —
+    // the reverse order would leave a fresh unlisted branch enumerable by
+    // neither index nor EC listing for one sweep
+    if (parent.isEmpty) branchIndex.add(branch)
     store.put(refsDir.resolve(branch), id)
     if (version > 0 && version % VersionedTable.CheckpointInterval == 0)
       writeCheckpoint(branch, c)
@@ -1099,6 +1119,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
   def createBranch(name: String, from: String = "main"): Unit = synchronized {
     require(!store.exists(refsDir.resolve(name)), s"branch exists: $name")
     val h = head(from).getOrElse(throw new IllegalArgumentException(s"no such branch: $from"))
+    branchIndex.add(name) // before the ref: see publish's ordering note
     store.put(refsDir.resolve(name), h.id)
   }
 
@@ -1138,6 +1159,11 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     }
     store.delete(cursorsBranchDir)
     store.delete(refsDir.resolve(name))
+    // after the ref: a crash between the two leaves the indexed name
+    // filtered out by branches()' exists-check (ref gone), and the next
+    // index edit is free to drop it; the reverse order could hide a
+    // still-live ref from index-only enumerators
+    branchIndex.remove(name)
     ()
   }
 
@@ -1464,16 +1490,13 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     * older than the retention horizon, exactly like Delta's `vacuum()`.
     *
     * Eventually-consistent listings (S3-class stores, [[S3SimMetaStore]]
-    * with `listDelayMs` > 0): retention enumerates branches through a
-    * LISTING, so a vacuum that runs within the listing lag of `createBranch`
-    * may not see the NEW branch's ref yet. A branch whose head is also on a
-    * listed branch's retained lineage is safe regardless; the hazard is
-    * branching from about-to-expire history and vacuuming inside the lag.
-    * Operational rule (same shape as Delta's retention-interval check): keep
-    * the vacuum cadence above the store's listing lag, or serialize
-    * branch-create with vacuum. Slot sweeps are unconditionally safe under
-    * EC listings — an unlisted young slot is merely repaired a cycle later
-    * (MetaStoreSpec pins both behaviors).
+    * with `listDelayMs` > 0) cannot corrupt retention: branch enumeration
+    * goes through the single-key [[branchIndex]] in union with the listing,
+    * so a branch created a millisecond ago is priced into retention even
+    * while its ref lags out of LIST (MetaStoreSpec pins exactly this:
+    * branch → overwrite past it → vacuum under an EC store → the branch's
+    * exclusive files survive). Slot sweeps are likewise safe — an unlisted
+    * young slot is merely repaired a cycle later.
     */
   def vacuum(retainLast: Int = 1, staleSlotMs: Long = VersionedTable.DefaultStaleSlotMs,
              dryRun: Boolean = false): Int = synchronized {

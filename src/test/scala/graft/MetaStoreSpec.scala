@@ -209,6 +209,31 @@ class MetaStoreSpec extends SparkSpec {
     assert(store.read(ref) === "b")
   }
 
+  test("EC listings cannot corrupt vacuum: the branch index enumerates a just-created unlisted branch") {
+    // THE object-store hazard the index exists for: branch from the current
+    // head, then overwrite the source branch past it — the new branch is now
+    // the ONLY reference keeping those files alive, and its fresh ref is
+    // still invisible to eventually-consistent LISTs. Retention priced off
+    // the listing alone would sweep the files; the single-key branch index
+    // must keep them.
+    val rootStr = Tables.scratch("test_s3ec_vacuum")
+    val store = S3SimMetaStore.forTable(rootStr, listDelayMs = 3600000L) // nothing fresh ever lists
+    val base = Paths.get(rootStr).toAbsolutePath.normalize
+    val vt = VersionedTable.create(rootStr, store)
+    vt.write(df(1), "main", "v0")
+    vt.createBranch("rel", "main") // rel pins v0
+    vt.write(df(2), "main", "v1")  // overwrite: v0 files reachable ONLY via rel
+    assert(!store.list(base.resolve("refs")).map(_.getFileName.toString).contains("rel"),
+      "precondition: the fresh ref must be lagging out of LIST")
+    assert(vt.branches.contains("rel"), "the index must enumerate the unlisted branch")
+    vt.vacuum(retainLast = 1)
+    assert(vt.read(spark, "rel").as[Int].collect() === Array(1),
+      "vacuum under EC listings must not sweep the unlisted branch's files")
+    // and a deleted branch never resurrects through the index
+    vt.deleteBranch("rel")
+    assert(!vt.branches.contains("rel"))
+  }
+
   test("dry-run vacuum equals the real vacuum in a crashed-writer (orphan replay) state") {
     val store = new InMemoryMetaStore
     val rootStr = Tables.scratch("test_dryrun_crash")
