@@ -238,10 +238,19 @@ object DeltaLogReader {
     val state = new ReplayState
     val df = spark.read.parquet(cpPath.toString)
     val cols = df.columns.toSet
-    if (cols("protocol"))
-      df.where("protocol IS NOT NULL").select("protocol.minReaderVersion")
-        .collect()
-        .foreach(r => checkProtocol(if (r.isNullAt(0)) 1 else r.getInt(0), None))
+    def nested(col: String, field: String): Boolean =
+      df.schema(col).dataType.asInstanceOf[StructType].fieldNames.contains(field)
+    if (cols("protocol")) {
+      val hasFeatures = nested("protocol", "readerFeatures")
+      val sel =
+        if (hasFeatures) df.select("protocol.minReaderVersion", "protocol.readerFeatures")
+        else df.select("protocol.minReaderVersion")
+      sel.where("minReaderVersion IS NOT NULL").collect().foreach { r =>
+        val features =
+          if (hasFeatures && !r.isNullAt(1)) Some(r.getSeq[String](1).toSet) else None
+        checkProtocol(r.getInt(0), features)
+      }
+    }
     require(cols("metaData"), s"checkpoint $cpPath has no metaData column")
     val md = df.where("metaData IS NOT NULL")
       .select("metaData.schemaString", "metaData.partitionColumns").collect()
@@ -249,15 +258,26 @@ object DeltaLogReader {
     state.schemaJson = md.last.getString(0)
     state.partCols =
       if (md.last.isNullAt(1)) Nil else md.last.getSeq[String](1).toList
-    if (cols("add"))
-      df.where("add IS NOT NULL").select("add.path", "add.partitionValues")
-        .collect().sortBy(_.getString(0))
+    if (cols("add")) {
+      val hasDv = nested("add", "deletionVector")
+      val sel =
+        if (hasDv) df.select("add.path", "add.partitionValues", "add.deletionVector")
+        else df.select("add.path", "add.partitionValues")
+      sel.where("path IS NOT NULL").collect().sortBy(_.getString(0))
         .foreach { r =>
           val pv =
             if (r.isNullAt(1)) Map.empty[String, String]
             else r.getJavaMap[String, String](1).asScala.toMap
-          state.live.put(decodePath(r.getString(0)), (pv, None))
+          val dv =
+            if (hasDv && !r.isNullAt(2)) {
+              val d = r.getStruct(2)
+              Some(DeletionVectors.DvDescriptor(d.getString(0), d.getString(1),
+                if (d.isNullAt(2)) None else Some(d.getInt(2)),
+                d.getInt(3), d.getLong(4)))
+            } else None
+          state.live.put(decodePath(r.getString(0)), (pv, dv))
         }
+    }
     state
   }
 

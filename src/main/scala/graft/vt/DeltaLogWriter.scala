@@ -184,7 +184,13 @@ object DeltaLogWriter {
       StructField("partitionValues", MapType(StringType, StringType, valueContainsNull = true)),
       StructField("size", LongType),
       StructField("modificationTime", LongType),
-      StructField("dataChange", BooleanType)))),
+      StructField("dataChange", BooleanType),
+      StructField("deletionVector", StructType(Seq(
+        StructField("storageType", StringType),
+        StructField("pathOrInlineDv", StringType),
+        StructField("offset", IntegerType),
+        StructField("sizeInBytes", IntegerType),
+        StructField("cardinality", LongType))))))),
     StructField("metaData", StructType(Seq(
       StructField("id", StringType),
       StructField("format", StructType(Seq(
@@ -196,7 +202,9 @@ object DeltaLogWriter {
       StructField("createdTime", LongType)))),
     StructField("protocol", StructType(Seq(
       StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType))))))
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType)))))))
 
   /** Write the classic checkpoint for `version` — `<v %020d>.checkpoint.parquet`
     * plus the `_last_checkpoint` pointer — replaying the JSON log to that
@@ -204,17 +212,20 @@ object DeltaLogWriter {
     * retention): [[DeltaLogReader]] bootstraps from the newest usable
     * checkpoint and replays only the JSON suffix, exactly delta-spark's
     * Snapshot construction. `add.dataChange` is false per the protocol
-    * (checkpoint rows reconstitute state, they are not changes). */
+    * (checkpoint rows reconstitute state, they are not changes); deletion-
+    * vector descriptors are CARRIED (dropping one would resurrect deleted
+    * rows the moment the pre-checkpoint JSON is pruned). The checkpoint's
+    * protocol row keeps the highest version the snapshot needs: v3 when any
+    * file carries a DV, v1 otherwise. */
   def writeCheckpoint(spark: SparkSession, tableRoot: String, version: Long): Unit = {
     val root = java.nio.file.Paths.get(tableRoot).toAbsolutePath.normalize
     val logDir = root.resolve("_delta_log")
     val snap = DeltaLogReader.snapshot(tableRoot, Some(version), Some(spark))
-    require(snap.files.forall(_.dv.isEmpty),
-      "checkpointing a snapshot with deletion vectors is not implemented — " +
-        "the checkpoint schema here has no deletionVector column, and dropping " +
-        "one would resurrect deleted rows; compact the DVs away first")
+    val anyDv = snap.files.exists(_.dv.isDefined)
     val rows: Seq[Row] =
-      Row(null, null, Row(1, 2)) +:
+      Row(null, null,
+        if (anyDv) Row(3, 7, Seq("deletionVectors"), Seq("deletionVectors"))
+        else Row(1, 2, null, null)) +:
         Row(null, Row(java.util.UUID.randomUUID().toString,
           Row("parquet", Map.empty[String, String]), snap.schema.json,
           snap.partitionColumns, Map.empty[String, String], 0L), null) +:
@@ -223,8 +234,10 @@ object DeltaLogWriter {
           val (size, mtime) =
             if (Files.exists(p)) (Files.size(p), Files.getLastModifiedTime(p).toMillis)
             else (0L, 0L)
+          val dvRow = f.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
+            d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull
           Row(Row(DeltaLogWriter.encodePath(f.path), f.partitionValues, size, mtime,
-            false), null, null)
+            false, dvRow), null, null)
         }
     val df = spark.createDataFrame(rows.asJava, checkpointSchema)
     val tmp = logDir.resolve(s".checkpoint_tmp_$version")

@@ -396,16 +396,21 @@ class DeltaLogSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       DeltaLogReader.read(spark, root.toString, None))
     assert(e.getMessage.contains("columnMapping"), e.getMessage)
-    // checkpointing a DV-carrying snapshot is a scoped refusal (the
-    // checkpoint schema has no deletionVector column)
+    // deletion vectors survive a checkpoint: descriptors are carried in the
+    // checkpoint rows (dropping one would resurrect deleted rows the moment
+    // the pre-checkpoint JSON is pruned), and the checkpoint's protocol row
+    // declares readerFeatures so the bootstrap's gate still applies
     val root2 = freshRoot("dv_ckpt")
-    val (fb, sb) = F.writeDataFile(root2, df, "b")
-    val dv = graft.vt.DeletionVectors.inlineDescriptor(Seq(0L))
+    val dfb = Seq((0, "a"), (1, "b"), (2, "c")).toDF("k", "v")
+    val (fb, sb) = F.writeDataFile(root2, dfb.orderBy("k").coalesce(1), "b")
+    val dv = graft.vt.DeletionVectors.inlineDescriptor(Seq(1L))
     F.writeCommit(root2, 0, Seq(F.protocolV3Line(Seq("deletionVectors")),
-      F.metaDataLine(df.schema.json, Nil), F.addLineWithDv(fb, sb, dv)))
-    val e2 = intercept[IllegalArgumentException](
-      DeltaLogWriter.writeCheckpoint(spark, root2.toString, 0L))
-    assert(e2.getMessage.contains("deletion vectors"))
+      F.metaDataLine(dfb.schema.json, Nil), F.addLineWithDv(fb, sb, dv)))
+    DeltaLogWriter.writeCheckpoint(spark, root2.toString, 0L)
+    Files.delete(root2.resolve("_delta_log").resolve(f"${0L}%020d.json"))
+    assert(DeltaLogReader.read(spark, root2.toString, None)
+      .select("k").as[Int].collect().sorted === Array(0, 2),
+      "the checkpointed DV must still filter position 1 after JSON pruning")
   }
 
   test("reader features beyond protocol v1 and log gaps are refused loudly") {
