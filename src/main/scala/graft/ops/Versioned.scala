@@ -698,6 +698,42 @@ object Versioned {
 
   // ---- incremental view maintenance over CDC -----------------------------
 
+  /** Delta COLUMN MAPPING interop (name mode): modern Delta tables rename
+    * and drop columns without rewriting data by storing PHYSICAL column
+    * names (`delta.columnMapping.physicalName`, e.g. `col-7f3a…`) in the
+    * schema metadata — the parquet files never carry the logical names users
+    * query. This row authors exactly that table shape (protocol reader v2,
+    * `delta.columnMapping.mode=name`, physically-named files, physical
+    * partitionValues keys) and opens it through [[graft.vt.DeltaLogReader]]:
+    * the scan reads the physical schema and surfaces the logical one. The
+    * oracle is the plain nation projection — equality proves the rename
+    * round-trip is lossless. */
+  val qVtDeltaCmap: QueryDef = q("q_vt_delta_cmap")(
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+    import graft.vt.{DeltaLogFixture => F, DeltaLogReader}
+    val root = java.nio.file.Paths.get(Tables.scratch("vt_delta_cmap"))
+    java.nio.file.Files.createDirectories(root)
+    val nation = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+    val phys = Map("n_nationkey" -> "col-1b2c", "n_name" -> "col-3d4e",
+      "n_regionkey" -> "col-5f60")
+    def physical(df: DataFrame) =
+      df.select(df.columns.map(c => col(c).as(phys(c))): _*)
+    val (fa, sa) = F.writeDataFile(root,
+      physical(nation.where(col("n_regionkey") < 2)), "part-a")
+    val (fb, sb) = F.writeDataFile(root,
+      physical(nation.where(col("n_regionkey") >= 2)), "part-b")
+    F.writeCommit(root, 0, Seq(F.protocolLine(minReader = 2, minWriter = 5),
+      F.metaDataLine(F.columnMappedSchema(nation.schema, phys).json, Nil,
+        Map("delta.columnMapping.mode" -> "name",
+          "delta.columnMapping.maxColumnId" -> "3")),
+      F.addLine(fa, sa)))
+    F.writeCommit(root, 1, Seq(F.addLine(fb, sb)))
+    DeltaLogReader.read(s, root.toString, None)
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey")
+  }
+
   /** Maintain a (count, sum) aggregate "view" incrementally: fold a CDC
     * stream (from [[graft.vt.VersionedTable.changes]]) into the previously
     * materialized aggregate instead of recomputing from the full table.
@@ -754,5 +790,5 @@ object Versioned {
     qVtChangesUpsert, qVtChangesFeed, qVtHistory, qVtUpsert, qVtDelete, qVtDeleteMor,
     qVtUpdate, qVtTag, qVtRestoreTag, qVtProtected, qVtFeedConsume, qVtCount,
     qVtIncremental, qVtTsTravel, qVtDeltaLog, qVtDeltaRoundtrip,
-    qVtDeltaDvRoundtrip)
+    qVtDeltaDvRoundtrip, qVtDeltaCmap)
 }

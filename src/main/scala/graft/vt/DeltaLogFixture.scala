@@ -59,17 +59,48 @@ object DeltaLogFixture {
       ()
     }
 
-  def metaDataLine(schemaJson: String, partitionColumns: Seq[String]): String =
+  def metaDataLine(schemaJson: String, partitionColumns: Seq[String],
+                   configuration: Map[String, String] = Map.empty): String =
     line("metaData") { m =>
       m.put("id", java.util.UUID.randomUUID().toString)
       m.putObject("format").put("provider", "parquet").putObject("options")
       m.put("schemaString", schemaJson)
       val pc = m.putArray("partitionColumns")
       partitionColumns.foreach(pc.add)
-      m.putObject("configuration")
+      val cfg = m.putObject("configuration")
+      configuration.foreach { case (k, v) => cfg.put(k, v) }
       m.put("createdTime", 0L)
       ()
     }
+
+  /** `schema` with name-mode column-mapping metadata added to every field
+    * (physical name looked up by field name — nested struct fields
+    * included — defaulting to the logical name) plus sequential field ids:
+    * the schemaString shape delta-spark writes when
+    * `delta.columnMapping.mode=name`. */
+  def columnMappedSchema(schema: org.apache.spark.sql.types.StructType,
+                         phys: Map[String, String])
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{ArrayType, MetadataBuilder, StructField, StructType}
+    var nextId = 0L
+    def walk(st: StructType): StructType = StructType(st.fields.map { f =>
+      nextId += 1
+      val meta = new MetadataBuilder().withMetadata(f.metadata)
+        .putString("delta.columnMapping.physicalName", phys.getOrElse(f.name, f.name))
+        .putLong("delta.columnMapping.id", nextId)
+        .build()
+      val dt = f.dataType match {
+        case s: StructType => walk(s)
+        case a: ArrayType => a.elementType match {
+          case s: StructType => a.copy(elementType = walk(s))
+          case _ => a
+        }
+        case other => other
+      }
+      StructField(f.name, dt, f.nullable, meta)
+    })
+    walk(schema)
+  }
 
   def addLine(path: String, sizeBytes: Long,
               partitionValues: Map[String, String] = Map.empty): String =

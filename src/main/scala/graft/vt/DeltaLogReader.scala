@@ -65,10 +65,13 @@ object DeltaLogReader {
                              dv: Option[DeletionVectors.DvDescriptor])
 
   /** One replayed snapshot: live data files in add-order, plus the winning
-    * schema and partition columns. */
+    * schema, partition columns, and table configuration (the
+    * `metaData.configuration` map — carries `delta.columnMapping.mode` for
+    * column-mapped tables). */
   final case class DeltaSnapshot(version: Long, schema: StructType,
                                  partitionColumns: Seq[String],
-                                 files: Vector[FileEntry])
+                                 files: Vector[FileEntry],
+                                 configuration: Map[String, String] = Map.empty)
 
   /** Newest version present in `_delta_log` — JSON commit or checkpoint,
     * whichever is newer (−1 when the dir has neither). */
@@ -159,17 +162,19 @@ object DeltaLogReader {
   private final class ReplayState {
     var schemaJson: String = null
     var partCols: Seq[String] = Nil
+    var config: Map[String, String] = Map.empty
     val live = scala.collection.mutable.LinkedHashMap
       .empty[String, (Map[String, String], Option[DeletionVectors.DvDescriptor])]
   }
 
   /** Reader features this replayer implements beyond protocol v1. */
-  private val SupportedReaderFeatures = Set("deletionVectors")
+  private val SupportedReaderFeatures = Set("deletionVectors", "columnMapping")
 
-  /** Protocol gate: v1 unconditionally; v3 when every DECLARED reader
-    * feature is implemented (the feature-list contract of reader v3 — a v3
-    * protocol without a readerFeatures list is malformed and refused, never
-    * guessed at). v2 (column mapping, no feature list) is refused. */
+  /** Protocol gate: v1 unconditionally; v2 (column mapping, implied — no
+    * feature list exists at v2) now that name-mode mapping is implemented;
+    * v3 when every DECLARED reader feature is implemented (the feature-list
+    * contract of reader v3 — a v3 protocol without a readerFeatures list is
+    * malformed and refused, never guessed at). */
   private def checkProtocol(minReader: Int,
                             readerFeatures: Option[Set[String]]): Unit =
     if (minReader == 3) readerFeatures match {
@@ -181,9 +186,9 @@ object DeltaLogReader {
         require(unsupported.isEmpty,
           s"Delta readerFeatures ${unsupported.mkString(", ")} are not implemented " +
             s"by this replayer (supported: ${SupportedReaderFeatures.mkString(", ")})")
-    } else require(minReader <= 1,
-      s"Delta protocol minReaderVersion=$minReader requires reader features " +
-        "(column mapping) this replayer does not implement")
+    } else require(minReader <= 2,
+      s"Delta protocol minReaderVersion=$minReader is newer than this replayer " +
+        "understands")
 
   private def dvDescriptor(add: JsonNode): Option[DeletionVectors.DvDescriptor] =
     Option(add.get("deletionVector")).map { d =>
@@ -216,6 +221,8 @@ object DeltaLogReader {
         val md = action.get("metaData")
         state.schemaJson = md.get("schemaString").asText()
         state.partCols = md.path("partitionColumns").elements().asScala.map(_.asText()).toSeq
+        state.config = md.path("configuration").properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap
       }
       if (action.has("add")) {
         val add = action.get("add")
@@ -252,12 +259,21 @@ object DeltaLogReader {
       }
     }
     require(cols("metaData"), s"checkpoint $cpPath has no metaData column")
-    val md = df.where("metaData IS NOT NULL")
-      .select("metaData.schemaString", "metaData.partitionColumns").collect()
+    val hasConfig = nested("metaData", "configuration")
+    val mdSel =
+      if (hasConfig)
+        df.select("metaData.schemaString", "metaData.partitionColumns",
+          "metaData.configuration")
+      else df.select("metaData.schemaString", "metaData.partitionColumns")
+    val md = mdSel.where("schemaString IS NOT NULL").collect()
     require(md.nonEmpty, s"checkpoint $cpPath has no metaData row")
     state.schemaJson = md.last.getString(0)
     state.partCols =
       if (md.last.isNullAt(1)) Nil else md.last.getSeq[String](1).toList
+    state.config =
+      if (hasConfig && !md.last.isNullAt(2))
+        md.last.getJavaMap[String, String](2).asScala.toMap
+      else Map.empty
     if (cols("add")) {
       val hasDv = nested("add", "deletionVector")
       val sel =
@@ -324,12 +340,42 @@ object DeltaLogReader {
       s"no metaData action in versions 0..$upTo of $tableRoot")
     DeltaSnapshot(upTo, DataType.fromJson(state.schemaJson).asInstanceOf[StructType],
       state.partCols,
-      state.live.toVector.map { case (p, (pv, dv)) => FileEntry(p, pv, dv) })
+      state.live.toVector.map { case (p, (pv, dv)) => FileEntry(p, pv, dv) },
+      state.config)
   }
 
   /** Delta paths are percent-encoded URIs relative to the table root. */
   private def decodePath(p: String): String =
     if (p.contains("://")) p else new java.net.URI(p).getPath
+
+  // ---- column mapping (PROTOCOL.md §Column Mapping, name mode) -----------
+  //
+  // A column-mapped table's parquet files carry PHYSICAL column names
+  // (`delta.columnMapping.physicalName` in each schema field's metadata,
+  // e.g. "col-7f3a…"); the logical names users see exist only in the log.
+  // Name mode matches file columns by physical name — so the read path
+  // scans with the physical schema and renames back to logical afterwards
+  // (nested struct fields rename via a positional cast, Catalyst's own
+  // rule for struct casts). Id mode matches by parquet field id instead
+  // and is refused loudly. `add.partitionValues` keys are physical names
+  // in mapped tables (the spec's rule); lookups try physical then logical
+  // so unmapped tables are unaffected.
+
+  private val PhysNameKey = "delta.columnMapping.physicalName"
+
+  private def physName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysNameKey)) f.metadata.getString(PhysNameKey) else f.name
+
+  private def physType(dt: DataType): DataType = dt match {
+    case st: StructType =>
+      StructType(st.fields.map(f =>
+        org.apache.spark.sql.types.StructField(physName(f), physType(f.dataType), f.nullable)))
+    case at: org.apache.spark.sql.types.ArrayType =>
+      at.copy(elementType = physType(at.elementType))
+    case mt: org.apache.spark.sql.types.MapType =>
+      mt.copy(keyType = physType(mt.keyType), valueType = physType(mt.valueType))
+    case other => other
+  }
 
   private def partitionValues(add: JsonNode): Map[String, String] = {
     val pv = add.path("partitionValues")
@@ -364,20 +410,41 @@ object DeltaLogReader {
     if (snap.files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         snap.schema)
-    val fileSchema = StructType(
-      snap.schema.fields.filterNot(f => snap.partitionColumns.contains(f.name)))
-    val byType = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+    val mode = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
+    require(mode == "none" || mode == "name",
+      s"delta.columnMapping.mode=$mode is not implemented by this replayer " +
+        "(supported: none, name — id mode matches file columns by parquet " +
+        "field id, which this reader does not do)")
+    val mapped = mode == "name"
+    // partition columns may be listed under either name form; resolve
+    // against the schema's fields so both conventions read correctly
+    val partSet = snap.partitionColumns.toSet
+    def isPart(f: org.apache.spark.sql.types.StructField): Boolean =
+      partSet(f.name) || partSet(physName(f))
+    val dataFields = snap.schema.fields.filterNot(isPart)
+    val partFields = snap.schema.fields.filter(isPart)
+    val fileSchema =
+      if (mapped)
+        StructType(dataFields.map(f => org.apache.spark.sql.types
+          .StructField(physName(f), physType(f.dataType), f.nullable)))
+      else StructType(dataFields)
+    def renameToLogical(df: DataFrame): DataFrame =
+      if (!mapped) df
+      else df.select(dataFields.map(f =>
+        col(s"`${physName(f)}`").cast(f.dataType).as(f.name)): _*)
     def withPartCols(df: DataFrame, pv: Map[String, String]): DataFrame =
-      snap.partitionColumns.foldLeft(df) { (d, c) =>
-        val raw = pv.getOrElse(c, null)
+      partFields.foldLeft(df) { (d, f) =>
+        val raw = pv.get(physName(f)).orElse(pv.get(f.name)).orNull
         val v = if (raw == null || raw.isEmpty) lit(null) else lit(raw)
-        d.withColumn(c, v.cast(byType(c)))
+        d.withColumn(f.name, v.cast(f.dataType))
       }
     val (dvFiles, plain) = snap.files.partition(_.dv.isDefined)
-    if (dvFiles.isEmpty && snap.partitionColumns.isEmpty)
-      return spark.read.schema(snap.schema).parquet(snap.files.map(f => abs(f.path)): _*)
+    if (dvFiles.isEmpty && partFields.isEmpty)
+      return renameToLogical(
+        spark.read.schema(fileSchema).parquet(snap.files.map(f => abs(f.path)): _*))
     val plainScans = plain.groupBy(_.partitionValues).toSeq.map { case (pv, group) =>
-      withPartCols(spark.read.schema(fileSchema).parquet(group.map(f => abs(f.path)): _*), pv)
+      withPartCols(renameToLogical(
+        spark.read.schema(fileSchema).parquet(group.map(f => abs(f.path)): _*)), pv)
     }
     val dvScans = dvFiles.map { f =>
       val positions = DeletionVectors.readPositions(root, f.dv.get)
@@ -389,7 +456,7 @@ object DeltaLogReader {
           import spark.implicits._
           base.join(broadcast(positions.toDF("__pos")), Seq("__pos"), "left_anti")
         }
-      withPartCols(kept.drop("__pos"), f.partitionValues)
+      withPartCols(renameToLogical(kept.drop("__pos")), f.partitionValues)
     }
     (plainScans ++ dvScans).reduce(_ unionByName _)
       .select(snap.schema.fieldNames.map(col): _*)

@@ -222,13 +222,23 @@ object DeltaLogWriter {
     val logDir = root.resolve("_delta_log")
     val snap = DeltaLogReader.snapshot(tableRoot, Some(version), Some(spark))
     val anyDv = snap.files.exists(_.dv.isDefined)
+    val mapped =
+      snap.configuration.getOrElse("delta.columnMapping.mode", "none") != "none"
+    // configuration is CARRIED (dropping delta.columnMapping.mode would make
+    // a mapped table's physical columns read as its logical ones the moment
+    // the pre-checkpoint JSON is pruned), and the protocol row keeps the
+    // highest version the snapshot needs
+    val protoRow =
+      if (anyDv) Row(3, 7,
+        if (mapped) Seq("deletionVectors", "columnMapping") else Seq("deletionVectors"),
+        if (mapped) Seq("deletionVectors", "columnMapping") else Seq("deletionVectors"))
+      else if (mapped) Row(2, 5, null, null)
+      else Row(1, 2, null, null)
     val rows: Seq[Row] =
-      Row(null, null,
-        if (anyDv) Row(3, 7, Seq("deletionVectors"), Seq("deletionVectors"))
-        else Row(1, 2, null, null)) +:
+      Row(null, null, protoRow) +:
         Row(null, Row(java.util.UUID.randomUUID().toString,
           Row("parquet", Map.empty[String, String]), snap.schema.json,
-          snap.partitionColumns, Map.empty[String, String], 0L), null) +:
+          snap.partitionColumns, snap.configuration, 0L), null) +:
         snap.files.map { f =>
           val p = root.resolve(f.path)
           val (size, mtime) =

@@ -386,16 +386,16 @@ class DeltaLogSpec extends SparkSpec {
     assert(e.getMessage.contains("checksum"))
   }
 
-  test("reader-feature gate: deletionVectors accepted, unknown v3 features and v2 refused") {
+  test("reader-feature gate: deletionVectors accepted, unknown v3 features refused") {
     val root = freshRoot("dv_gate")
     val df = Seq((1, "a")).toDF("k", "v")
     val (fa, sa) = F.writeDataFile(root, df, "a")
     F.writeCommit(root, 0, Seq(
-      F.protocolV3Line(Seq("deletionVectors", "columnMapping")),
+      F.protocolV3Line(Seq("deletionVectors", "typeWidening")),
       F.metaDataLine(df.schema.json, Nil), F.addLine(fa, sa)))
     val e = intercept[IllegalArgumentException](
       DeltaLogReader.read(spark, root.toString, None))
-    assert(e.getMessage.contains("columnMapping"), e.getMessage)
+    assert(e.getMessage.contains("typeWidening"), e.getMessage)
     // deletion vectors survive a checkpoint: descriptors are carried in the
     // checkpoint rows (dropping one would resurrect deleted rows the moment
     // the pre-checkpoint JSON is pruned), and the checkpoint's protocol row
@@ -438,5 +438,107 @@ class DeltaLogSpec extends SparkSpec {
     F.writeCommit(root3, 0, Seq(F.protocolLine(), F.metaDataLine(df.schema.json, Nil),
       F.addLine("with%20space.parquet", sc)))
     assert(DeltaLogReader.read(spark, root3.toString, None).count() === 1)
+  }
+
+  private val CmapConfig = Map(
+    "delta.columnMapping.mode" -> "name", "delta.columnMapping.maxColumnId" -> "9")
+
+  test("column mapping (name mode): physical file columns read back under logical names") {
+    val root = freshRoot("cmap")
+    // parquet carries ONLY physical names; logical names live in the log
+    val physDf = Seq((1, "a"), (2, "b"), (3, "c")).toDF("col-k9f2", "col-v7a1")
+    val (fa, sa) = F.writeDataFile(root, physDf.where($"`col-k9f2`" <= 2), "pa")
+    val (fb, sb) = F.writeDataFile(root, physDf.where($"`col-k9f2`" === 3), "pb")
+    val logical = Seq((1, "a")).toDF("k", "v").schema
+    val mappedSchema = F.columnMappedSchema(logical,
+      Map("k" -> "col-k9f2", "v" -> "col-v7a1"))
+    F.writeCommit(root, 0, Seq(F.protocolLine(minReader = 2, minWriter = 5),
+      F.metaDataLine(mappedSchema.json, Nil, CmapConfig), F.addLine(fa, sa)))
+    F.writeCommit(root, 1, Seq(F.addLine(fb, sb)))
+    val got = DeltaLogReader.read(spark, root.toString, None)
+    assert(got.columns.toSeq === Seq("k", "v"), "logical names, not physical")
+    assert(got.select("k", "v").as[(Int, String)].collect().sortBy(_._1) ===
+      Array((1, "a"), (2, "b"), (3, "c")))
+    assert(DeltaLogReader.read(spark, root.toString, Some(0))
+      .select("k").as[Int].collect().sorted === Array(1, 2))
+    // filters against logical names still reach the scan
+    assert(got.where($"k" === 2).select("v").as[String].collect() === Array("b"))
+  }
+
+  test("column mapping: physical partitionValues keys and nested struct renames") {
+    val root = freshRoot("cmap_part")
+    // files carry the physical data column; `part` exists in the log alone,
+    // its partitionValues key is the PHYSICAL name (the spec's rule)
+    val physDf = Seq(17, 23).toDF("col-amt")
+    val (fx, sx) = F.writeDataFile(root, physDf.where($"`col-amt`" === 17), "px")
+    val (fy, sy) = F.writeDataFile(root, physDf.where($"`col-amt`" === 23), "py")
+    val logical = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("amt",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("part",
+        org.apache.spark.sql.types.StringType)))
+    val mappedSchema = F.columnMappedSchema(logical,
+      Map("amt" -> "col-amt", "part" -> "col-part"))
+    F.writeCommit(root, 0, Seq(F.protocolLine(minReader = 2, minWriter = 5),
+      F.metaDataLine(mappedSchema.json, Seq("part"), CmapConfig),
+      F.addLine(fx, sx, Map("col-part" -> "x")),
+      F.addLine(fy, sy, Map("col-part" -> "y"))))
+    val got = DeltaLogReader.read(spark, root.toString, None)
+    assert(got.columns.toSeq === Seq("amt", "part"))
+    assert(got.as[(Int, String)].collect().sortBy(_._1) ===
+      Array((17, "x"), (23, "y")))
+
+    // nested struct fields rename too (positional cast)
+    val root2 = freshRoot("cmap_nested")
+    val physNested = Seq((1, (10, "x")), (2, (20, "y")))
+      .toDF("col-k", "col-s")
+      .select($"`col-k`", $"`col-s`".cast("struct<`col-a`:int,`col-b`:string>"))
+    val (fn, sn) = F.writeDataFile(root2, physNested, "pn")
+    val inner = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.StringType)))
+    val logical2 = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("s", inner)))
+    val mapped2 = F.columnMappedSchema(logical2,
+      Map("k" -> "col-k", "s" -> "col-s", "a" -> "col-a", "b" -> "col-b"))
+    F.writeCommit(root2, 0, Seq(F.protocolLine(minReader = 2, minWriter = 5),
+      F.metaDataLine(mapped2.json, Nil, CmapConfig), F.addLine(fn, sn)))
+    val got2 = DeltaLogReader.read(spark, root2.toString, None)
+    assert(got2.schema("s").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq === Seq("a", "b"), "nested fields renamed to logical")
+    assert(got2.select($"k", $"s.a", $"s.b").as[(Int, Int, String)]
+      .collect().sortBy(_._1) === Array((1, 10, "x"), (2, 20, "y")))
+  }
+
+  test("column mapping: id mode refused loudly; config survives a checkpoint") {
+    val root = freshRoot("cmap_id")
+    val physDf = Seq((1, "a")).toDF("col-k", "col-v")
+    val (fa, sa) = F.writeDataFile(root, physDf, "pa")
+    val mappedSchema = F.columnMappedSchema(Seq((1, "a")).toDF("k", "v").schema,
+      Map("k" -> "col-k", "v" -> "col-v"))
+    F.writeCommit(root, 0, Seq(F.protocolLine(minReader = 2, minWriter = 5),
+      F.metaDataLine(mappedSchema.json, Nil,
+        Map("delta.columnMapping.mode" -> "id")),
+      F.addLine(fa, sa)))
+    val e = intercept[IllegalArgumentException](
+      DeltaLogReader.read(spark, root.toString, None))
+    assert(e.getMessage.contains("id"), e.getMessage)
+
+    // checkpoint a name-mode table, prune its JSON: the bootstrap must carry
+    // the configuration — otherwise physical columns would surface as-is
+    val root2 = freshRoot("cmap_ckpt")
+    val (fb, sb) = F.writeDataFile(root2, physDf, "pb")
+    F.writeCommit(root2, 0, Seq(F.protocolLine(minReader = 2, minWriter = 5),
+      F.metaDataLine(mappedSchema.json, Nil, CmapConfig), F.addLine(fb, sb)))
+    DeltaLogWriter.writeCheckpoint(spark, root2.toString, 0L)
+    Files.delete(root2.resolve("_delta_log").resolve(f"${0L}%020d.json"))
+    val got = DeltaLogReader.read(spark, root2.toString, None)
+    assert(got.columns.toSeq === Seq("k", "v"),
+      "checkpoint bootstrap must preserve delta.columnMapping.mode")
+    assert(got.as[(Int, String)].collect() === Array((1, "a")))
   }
 }
