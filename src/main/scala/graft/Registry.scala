@@ -25,6 +25,7 @@ object Registry {
       ext.Ivf.defs ++
       ext.CorpusPipeline.defs ++
       ext.TextAnalysis.defs ++
+      ext.HeavyHitters.defs ++
       ext.Sampling.defs ++
       ext.Multimodal.defs ++
       streaming.EventsStreaming.defs

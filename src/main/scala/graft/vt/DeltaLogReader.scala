@@ -59,10 +59,14 @@ object DeltaLogReader {
   private val CheckpointRe = """^(\d{20})\.checkpoint\.parquet$""".r
 
   /** One live data file of a snapshot: decoded table-root-relative path,
-    * partition values, and (protocol v3 `deletionVectors`) the optional
-    * deletion-vector descriptor marking its MOR-deleted row positions. */
+    * partition values, (protocol v3 `deletionVectors`) the optional
+    * deletion-vector descriptor marking its MOR-deleted row positions, and
+    * the add action's opaque per-file `stats` JSON (numRecords / minValues /
+    * maxValues / nullCount — carried so checkpoints never drop skipping
+    * stats; this reader's scans skip via parquet footers regardless). */
   final case class FileEntry(path: String, partitionValues: Map[String, String],
-                             dv: Option[DeletionVectors.DvDescriptor])
+                             dv: Option[DeletionVectors.DvDescriptor],
+                             stats: Option[String] = None)
 
   /** One replayed snapshot: live data files in add-order, plus the winning
     * schema, partition columns, and table configuration (the
@@ -164,7 +168,7 @@ object DeltaLogReader {
     var partCols: Seq[String] = Nil
     var config: Map[String, String] = Map.empty
     val live = scala.collection.mutable.LinkedHashMap
-      .empty[String, (Map[String, String], Option[DeletionVectors.DvDescriptor])]
+      .empty[String, (Map[String, String], Option[DeletionVectors.DvDescriptor], Option[String])]
   }
 
   /** Reader features this replayer implements beyond protocol v1. */
@@ -206,7 +210,7 @@ object DeltaLogReader {
     * add + `add` the same path with the new deletionVector) must leave the
     * file LIVE with the new metadata, regardless of which line came first. */
   private def applyCommit(state: ReplayState, commitPath: Path): Unit = {
-    val adds = Vector.newBuilder[(String, (Map[String, String], Option[DeletionVectors.DvDescriptor]))]
+    val adds = Vector.newBuilder[(String, (Map[String, String], Option[DeletionVectors.DvDescriptor], Option[String]))]
     val removes = Vector.newBuilder[String]
     for (line <- Files.readAllLines(commitPath).asScala if line.trim.nonEmpty) {
       val action = mapper.readTree(line)
@@ -227,7 +231,8 @@ object DeltaLogReader {
       if (action.has("add")) {
         val add = action.get("add")
         adds += decodePath(add.get("path").asText()) ->
-          (partitionValues(add), dvDescriptor(add))
+          ((partitionValues(add), dvDescriptor(add),
+            Option(add.get("stats")).map(_.asText())))
       }
       if (action.has("remove"))
         removes += decodePath(action.get("remove").get("path").asText())
@@ -276,10 +281,13 @@ object DeltaLogReader {
       else Map.empty
     if (cols("add")) {
       val hasDv = nested("add", "deletionVector")
-      val sel =
-        if (hasDv) df.select("add.path", "add.partitionValues", "add.deletionVector")
-        else df.select("add.path", "add.partitionValues")
-      sel.where("path IS NOT NULL").collect().sortBy(_.getString(0))
+      val hasStats = nested("add", "stats")
+      val fields = Seq("add.path", "add.partitionValues") ++
+        (if (hasDv) Seq("add.deletionVector") else Nil) ++
+        (if (hasStats) Seq("add.stats") else Nil)
+      val statsIdx = if (hasDv) 3 else 2
+      df.select(fields.head, fields.tail: _*)
+        .where("path IS NOT NULL").collect().sortBy(_.getString(0))
         .foreach { r =>
           val pv =
             if (r.isNullAt(1)) Map.empty[String, String]
@@ -291,7 +299,10 @@ object DeltaLogReader {
                 if (d.isNullAt(2)) None else Some(d.getInt(2)),
                 d.getInt(3), d.getLong(4)))
             } else None
-          state.live.put(decodePath(r.getString(0)), (pv, dv))
+          val stats =
+            if (hasStats && !r.isNullAt(statsIdx)) Some(r.getString(statsIdx))
+            else None
+          state.live.put(decodePath(r.getString(0)), (pv, dv, stats))
         }
     }
     state
@@ -340,7 +351,7 @@ object DeltaLogReader {
       s"no metaData action in versions 0..$upTo of $tableRoot")
     DeltaSnapshot(upTo, DataType.fromJson(state.schemaJson).asInstanceOf[StructType],
       state.partCols,
-      state.live.toVector.map { case (p, (pv, dv)) => FileEntry(p, pv, dv) },
+      state.live.toVector.map { case (p, (pv, dv, st)) => FileEntry(p, pv, dv, st) },
       state.config)
   }
 

@@ -106,7 +106,7 @@ object DeltaLogWriter {
             else DeletionVectors.writeDvFile(vt.root, ps)
           }
           actions += addLineWithMtime(encodePath(rel), Files.size(p),
-            Files.getLastModifiedTime(p).toMillis, dv)
+            Files.getLastModifiedTime(p).toMillis, dv, statsJson(c, rel))
         }
         writeAtomically(target, actions.result().mkString("", "\n", "\n"))
       }
@@ -140,7 +140,8 @@ object DeltaLogWriter {
     new java.net.URI(null, null, rel, null).toASCIIString
 
   private def addLineWithMtime(path: String, size: Long, mtime: Long,
-                               dv: Option[DeletionVectors.DvDescriptor] = None): String = {
+                               dv: Option[DeletionVectors.DvDescriptor] = None,
+                               stats: Option[String] = None): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val rootNode = mapper.createObjectNode()
     val a = rootNode.putObject("add")
@@ -149,6 +150,7 @@ object DeltaLogWriter {
     a.put("size", size)
     a.put("modificationTime", mtime)
     a.put("dataChange", true)
+    stats.foreach(s => a.put("stats", s))
     dv.foreach { d =>
       val n = a.putObject("deletionVector")
       n.put("storageType", d.storageType)
@@ -159,6 +161,49 @@ object DeltaLogWriter {
     }
     mapper.writeValueAsString(rootNode)
   }
+
+  /** Delta `add.stats` JSON for one exported file (PROTOCOL.md "Per-file
+    * Statistics"): `numRecords` from the commit's rowCounts plus the
+    * minValues/maxValues/nullCount quadrants the native log already tracks
+    * for `statsCols` — so a stock delta-spark session DATA-SKIPS over our
+    * exported tables exactly as it would over its own. Values render TYPED
+    * per the commit schema (integral columns as JSON integers, floating as
+    * doubles, strings as strings); columns of any other type are omitted —
+    * an untyped guess delta-spark mis-parses becomes WRONG skipping, and
+    * partial per-column stats are explicitly legal. Returns None when the
+    * commit has no row count for the file (stats without numRecords are
+    * useless to Delta's skipper). Zero extra I/O: everything here was
+    * already in the commit JSON. */
+  private def statsJson(c: Commit, rel: String): Option[String] =
+    c.rowCounts.get(rel).map { n =>
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val o = mapper.createObjectNode()
+      o.put("numRecords", n)
+      val types = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
+        .fields.map(f => f.name -> f.dataType).toMap
+      val minV = o.putObject("minValues")
+      val maxV = o.putObject("maxValues")
+      def putNum(t: com.fasterxml.jackson.databind.node.ObjectNode,
+                 colName: String, v: Double): Unit = types.get(colName) match {
+        case Some(ByteType | ShortType | IntegerType | LongType) =>
+          t.put(colName, v.toLong); ()
+        case Some(FloatType | DoubleType) => t.put(colName, v); ()
+        case _ => () // date/timestamp/decimal stats would need their own rendering
+      }
+      c.stats.getOrElse(rel, Map.empty).foreach { case (colName, (mn, mx)) =>
+        putNum(minV, colName, mn); putNum(maxV, colName, mx)
+      }
+      c.strStats.getOrElse(rel, Map.empty).foreach { case (colName, (mn, mx)) =>
+        if (types.get(colName).contains(StringType)) {
+          minV.put(colName, mn); maxV.put(colName, mx); ()
+        }
+      }
+      val nulls = o.putObject("nullCount")
+      c.nullStats.getOrElse(rel, Map.empty).foreach { case (colName, cnt) =>
+        nulls.put(colName, cnt); ()
+      }
+      mapper.writeValueAsString(o)
+    }
 
   /** Commit JSONs must appear complete or not at all (the same atomicity the
     * metadata plane gets from [[MetaStore.put]]): tmp + atomic rename within
@@ -185,6 +230,7 @@ object DeltaLogWriter {
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
+      StructField("stats", StringType),
       StructField("deletionVector", StructType(Seq(
         StructField("storageType", StringType),
         StructField("pathOrInlineDv", StringType),
@@ -247,7 +293,7 @@ object DeltaLogWriter {
           val dvRow = f.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
             d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull
           Row(Row(DeltaLogWriter.encodePath(f.path), f.partitionValues, size, mtime,
-            false, dvRow), null, null)
+            false, f.stats.orNull, dvRow), null, null)
         }
     val df = spark.createDataFrame(rows.asJava, checkpointSchema)
     val tmp = logDir.resolve(s".checkpoint_tmp_$version")

@@ -261,6 +261,45 @@ class DeltaLogSpec extends SparkSpec {
       .select("k").as[Long].collect().sorted === Array(4L))
   }
 
+  test("exportDeltaLog emits typed per-file stats; checkpoints carry them through pruning") {
+    val vt = VersionedTable.create(Tables.scratch("delta_export_stats"))
+    val data = Seq((1L, "apple", 0.5), (2L, "pear", 1.5), (3L, "fig", 2.5),
+      (10L, "kiwi", 9.5), (20L, "lime", 19.5)).toDF("k", "name", "score")
+    vt.write(data.repartitionByRange(2, col("k")), "main", "v0",
+      statsCols = Seq("k", "name", "score"))
+    vt.exportDeltaLog("main")
+    val statAdds = actions(vt.root, 0).filter(_.has("add"))
+    assert(statAdds.nonEmpty && statAdds.forall(_.get("add").has("stats")),
+      "every add of a stats-tracked write must carry stats JSON")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val parsed = statAdds.map { a =>
+      a.get("add").get("path").asText() ->
+        mapper.readTree(a.get("add").get("stats").asText())
+    }.toMap
+    // numRecords across files sums to the table; per-column quadrants are
+    // TYPED: k integral (no decimal point), score double, name JSON string
+    assert(parsed.values.map(_.get("numRecords").asLong()).sum === 5L)
+    val global = parsed.values.toSeq
+    assert(global.map(_.get("minValues").get("k").asLong()).min === 1L)
+    assert(global.map(_.get("maxValues").get("k").asLong()).max === 20L)
+    assert(global.forall(s => s.get("minValues").get("k").isIntegralNumber),
+      "a bigint column's stats must render as JSON integers, not 1.0")
+    assert(global.map(_.get("maxValues").get("score").asDouble()).max === 19.5)
+    assert(global.forall(s => s.get("minValues").get("name").isTextual))
+    assert(global.map(_.get("minValues").get("name").asText()).min === "apple")
+    assert(global.forall(s => s.get("nullCount").get("k").asLong() === 0L))
+    // checkpoint + prune the JSON: the stats must survive the bootstrap
+    DeltaLogWriter.writeCheckpoint(spark, vt.root.toString, 0L)
+    Files.delete(vt.root.resolve("_delta_log").resolve(f"${0L}%020d.json"))
+    val snap = DeltaLogReader.snapshot(vt.root.toString, None, Some(spark))
+    assert(snap.files.nonEmpty && snap.files.forall(_.stats.isDefined),
+      "checkpoint bootstrap must not drop per-file stats")
+    snap.files.foreach { f =>
+      assert(mapper.readTree(f.stats.get) === parsed(f.path),
+        s"stats for ${f.path} changed through the checkpoint")
+    }
+  }
+
   // ---- checkpoints --------------------------------------------------------
 
   test("checkpoint bootstrap: versions resolve after pre-checkpoint JSON is pruned") {

@@ -276,4 +276,38 @@ class ExtSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(spans === Set((1L, 1L, 60L, 60L), (2L, 4L, 63L, 60L)))
   }
+
+  test("Misra-Gries heavy hitters: exact above capacity, guaranteed error bound below it") {
+    // planted skew: five HEAVY tokens (500,450,400,350,300) over a 35-token
+    // light tail (10 each) → N = 2350, distinct = 40. Shuffled
+    // deterministically so heavy tokens spread across partitions (the merge
+    // path must do the work, not one lucky reduce).
+    val exact: Map[String, Long] =
+      (1 to 5).map(i => f"t$i%02d" -> (550L - 50 * i)).toMap ++
+        (6 to 40).map(i => f"t$i%02d" -> 10L).toMap
+    val stream = new scala.util.Random(7)
+      .shuffle(exact.toSeq.flatMap { case (t, c) => Seq.fill(c.toInt)(t) })
+    val docs = stream.grouped(47).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text").repartition(8)
+    // capacity >= distinct: bit-exact top-k including tie order
+    val full = graft.ext.HeavyHitters.topTokens(docs, capacity = 64, k = 5)
+      .as[(String, Long)].collect()
+    assert(full === (1 to 5).map(i => f"t$i%02d" -> (550L - 50 * i)).toArray)
+    // capacity < distinct: eviction happens, yet every reported count is an
+    // UNDERestimate within N/(capacity+1) and every token whose true count
+    // exceeds the bound is guaranteed to survive
+    val cap = 16
+    val bound = 2350L / (cap + 1) // = 138
+    val approx = graft.ext.HeavyHitters.topTokens(docs, capacity = cap, k = cap)
+      .as[(String, Long)].collect().toMap
+    assert((1 to 5).forall(i => approx.contains(f"t$i%02d")),
+      s"tokens above the N/(cap+1) bound must survive eviction; got ${approx.keySet}")
+    assert(approx.nonEmpty && approx.size <= cap)
+    assert(approx.keySet.subsetOf(exact.keySet), "no phantom tokens")
+    approx.foreach { case (t, c) =>
+      assert(c <= exact(t), s"$t overestimated: $c > ${exact(t)}")
+      assert(exact(t) - c <= bound, s"$t error ${exact(t) - c} exceeds N/(cap+1)=$bound")
+    }
+  }
 }

@@ -234,6 +234,30 @@ class MetaStoreSpec extends SparkSpec {
     assert(!vt.branches.contains("rel"))
   }
 
+  test("concurrent protection-rule edits from rival processes ALL land (CAS, not last-writer-wins)") {
+    // the r14 ADVICE hazard: two admins adding different rules at once on a
+    // read-modify-put rules object silently drop one, leaving a branch an
+    // admin believes protected actually unprotected. The CasStringSet form
+    // must land every edit. Two handles = two processes (no shared state
+    // beyond the store); threads interleave their generation claims.
+    val rootStr = Tables.scratch("test_rules_race")
+    val store = S3SimMetaStore.forTable(rootStr)
+    val vtA = VersionedTable.create(rootStr, store)
+    val vtB = VersionedTable.open(rootStr, store)
+    val rules = (0 until 8).map(i => s"rule-$i*")
+    val (forA, forB) = rules.splitAt(4)
+    val ta = new Thread(() => forA.foreach(vtA.protectBranch))
+    val tb = new Thread(() => forB.foreach(vtB.protectBranch))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert(vtA.protectionRules.sorted === rules.sorted,
+      "every concurrently added rule must survive")
+    // removal is CAS too: rivals removing different rules both land
+    val tc = new Thread(() => vtA.unprotectBranch("rule-0*"))
+    val td = new Thread(() => vtB.unprotectBranch("rule-7*"))
+    tc.start(); td.start(); tc.join(); td.join()
+    assert(vtB.protectionRules.sorted === rules.slice(1, 7).sorted)
+  }
+
   test("dry-run vacuum equals the real vacuum in a crashed-writer (orphan replay) state") {
     val store = new InMemoryMetaStore
     val rootStr = Tables.scratch("test_dryrun_crash")
