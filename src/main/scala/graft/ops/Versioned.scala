@@ -734,6 +734,25 @@ object Versioned {
       .orderBy("n_nationkey")
   }
 
+  /** Delta STATS-SKIPPING read (r15): the exported per-file stats doing
+    * their job through a Delta consumer. The table is range-partitioned on
+    * n_nationkey into 4 files, exported with stats, and opened through
+    * [[graft.vt.DeltaLogReader.readWhere]] — which prunes files by the add
+    * actions' [min,max] BEFORE Spark lists them (DeltaLogSpec pins the
+    * inputFiles count; here the oracle pins that pruning loses no rows). */
+  val qVtDeltaSkip: QueryDef = q("q_vt_delta_skip")(
+    """SELECT n_nationkey, n_name FROM nation
+      |WHERE n_nationkey BETWEEN 5 AND 11 ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+    import graft.vt.DeltaLogReader
+    val vt = VersionedTable.create(Tables.scratch("vt_delta_skip"))
+    val nation = Tables.nation(s, d).select("n_nationkey", "n_name")
+    vt.write(nation.repartitionByRange(4, col("n_nationkey")), "main", "v0",
+      statsCols = Seq("n_nationkey"))
+    vt.exportDeltaLog("main")
+    DeltaLogReader.readWhere(s, vt.root.toString, "n_nationkey", 5, 11)
+      .select("n_nationkey", "n_name").orderBy("n_nationkey")
+  }
+
   /** Maintain a (count, sum) aggregate "view" incrementally: fold a CDC
     * stream (from [[graft.vt.VersionedTable.changes]]) into the previously
     * materialized aggregate instead of recomputing from the full table.
@@ -790,5 +809,5 @@ object Versioned {
     qVtChangesUpsert, qVtChangesFeed, qVtHistory, qVtUpsert, qVtDelete, qVtDeleteMor,
     qVtUpdate, qVtTag, qVtRestoreTag, qVtProtected, qVtFeedConsume, qVtCount,
     qVtIncremental, qVtTsTravel, qVtDeltaLog, qVtDeltaRoundtrip,
-    qVtDeltaDvRoundtrip, qVtDeltaCmap)
+    qVtDeltaDvRoundtrip, qVtDeltaCmap, qVtDeltaSkip)
 }

@@ -413,9 +413,50 @@ object DeltaLogReader {
     * native dvFiles. DV-free tables keep the single multi-file vectorized
     * scan (pushdown/pruning intact). */
   def read(spark: SparkSession, tableRoot: String,
-           versionAsOf: Option[Long] = None): DataFrame = {
-    val root = Paths.get(tableRoot).toAbsolutePath.normalize
+           versionAsOf: Option[Long] = None): DataFrame =
+    readSnapshot(spark, tableRoot, snapshot(tableRoot, versionAsOf, Some(spark)))
+
+  /** DATA-SKIPPING read over a Delta table: prune the snapshot's file list
+    * with each add action's `stats` JSON ([min,max] on `column`, plus the
+    * all-null nullCount==numRecords case) BEFORE Spark ever lists the files,
+    * then apply the residual filter exactly — the same contract as
+    * [[VersionedTable.readWhere]], driven by Delta's own stats vocabulary.
+    * Files without stats for `column` are conservatively kept. In
+    * column-mapped tables stats keys are PHYSICAL names; both name forms
+    * are consulted. At 100 TB the win is not reading (or listing) the files
+    * whose range can't match — this is what the exported stats buy a
+    * consumer, demonstrated on our own reader. */
+  def readWhere(spark: SparkSession, tableRoot: String, column: String,
+                lower: Double, upper: Double,
+                versionAsOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(tableRoot, versionAsOf, Some(spark))
+    val physicalName = snap.schema.fields.find(_.name == column).map(physName)
+    val keep = snap.files.filter { f =>
+      f.stats match {
+        case None => true
+        case Some(s) =>
+          val node = mapper.readTree(s)
+          def field(quad: String): Option[JsonNode] =
+            (Seq(column) ++ physicalName).iterator
+              .map(n => node.path(quad).get(n)).find(v => v != null && v.isNumber)
+          val allNull = {
+            val nulls = field("nullCount").filter(_ => node.has("numRecords"))
+            nulls.exists(_.asLong() == node.get("numRecords").asLong())
+          }
+          if (allNull) false // BETWEEN can't match an all-null column
+          else (field("minValues"), field("maxValues")) match {
+            case (Some(mn), Some(mx)) => mx.asDouble() >= lower && mn.asDouble() <= upper
+            case _ => true
+          }
+      }
+    }
+    readSnapshot(spark, tableRoot, snap.copy(files = keep))
+      .where(col(column).cast("double").between(lower, upper))
+  }
+
+  private def readSnapshot(spark: SparkSession, tableRoot: String,
+                           snap: DeltaSnapshot): DataFrame = {
+    val root = Paths.get(tableRoot).toAbsolutePath.normalize
     def abs(p: String): String =
       if (p.startsWith("/") || p.contains("://")) p else root.resolve(p).toString
     if (snap.files.isEmpty)

@@ -300,6 +300,31 @@ class DeltaLogSpec extends SparkSpec {
     }
   }
 
+  test("readWhere prunes files by exported stats before Spark lists them") {
+    val vt = VersionedTable.create(Tables.scratch("delta_skip"))
+    val data = (1L to 40L).map(k => (k, s"n$k")).toDF("k", "v")
+    vt.write(data.repartitionByRange(4, col("k")), "main", "v0",
+      statsCols = Seq("k"))
+    vt.exportDeltaLog("main")
+    val full = DeltaLogReader.read(spark, vt.root.toString, None)
+    assert(full.inputFiles.length === 4, "fixture precondition: 4 data files")
+    // a range inside one file's [min,max] must scan exactly that file
+    val narrow = DeltaLogReader.readWhere(spark, vt.root.toString, "k", 12, 15)
+    assert(narrow.inputFiles.length === 1,
+      s"stats pruning should keep 1 of 4 files, kept ${narrow.inputFiles.length}")
+    assert(narrow.select("k").as[Long].collect().sorted === (12L to 15L).toArray)
+    // a range spanning file boundaries keeps only the touched files and
+    // the residual filter stays exact
+    val wide = DeltaLogReader.readWhere(spark, vt.root.toString, "k", 15, 25)
+    assert(wide.inputFiles.length === 2,
+      s"expected 2 of 4 files for a two-file span, kept ${wide.inputFiles.length}")
+    assert(wide.select("k").as[Long].collect().sorted === (15L to 25L).toArray)
+    // an impossible range reads nothing but keeps the schema
+    val none = DeltaLogReader.readWhere(spark, vt.root.toString, "k", 900, 999)
+    assert(none.inputFiles.isEmpty && none.count() === 0)
+    assert(none.columns.toSeq === Seq("k", "v"))
+  }
+
   // ---- checkpoints --------------------------------------------------------
 
   test("checkpoint bootstrap: versions resolve after pre-checkpoint JSON is pruned") {
