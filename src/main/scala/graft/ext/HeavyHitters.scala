@@ -36,35 +36,59 @@ import graft.QueryDef.{sql => q}
   */
 object HeavyHitters {
 
-  /** Misra–Gries frequency summary over string keys. Buffer = the counter
-    * map (≤ capacity entries); output = (token, cnt) pairs sorted
-    * (cnt desc, token asc) and cut to `k`. */
+  /** One Misra–Gries step: count `tok`, evicting by the decrement-all rule
+    * when the summary is full and `tok` unseen. */
+  def mgReduce(b: Map[String, Long], tok: String, capacity: Int): Map[String, Long] =
+    if (b.contains(tok) || b.size < capacity) b.updated(tok, b.getOrElse(tok, 0L) + 1L)
+    else b.flatMap { case (t, c) => if (c > 1L) Some(t -> (c - 1L)) else None }
+
+  /** Mergeable-summaries combine: sum counterpart counters, then evict by
+    * the (capacity+1)-th largest count. Error bounds ADD:
+    * N_a/(cap+1) + N_b/(cap+1) — merging partials (across partitions or
+    * across micro-batches) never exceeds the one-pass guarantee. */
+  def mgMerge(a: Map[String, Long], b: Map[String, Long], capacity: Int): Map[String, Long] = {
+    val sum = b.foldLeft(a) { case (m, (t, c)) => m.updated(t, m.getOrElse(t, 0L) + c) }
+    if (sum.size <= capacity) sum
+    else {
+      val cut = sum.valuesIterator.toArray.sortBy(-_).apply(capacity)
+      sum.flatMap { case (t, c) => if (c > cut) Some(t -> (c - cut)) else None }
+    }
+  }
+
+  /** The summary's top `k` as rows, (cnt desc, token asc). */
+  def mgTop(b: Map[String, Long], k: Int): Seq[TokenCount] =
+    b.toSeq.sortBy { case (t, c) => (-c, t) }.take(k)
+      .map { case (t, c) => TokenCount(t, c) }
+
+  /** Misra–Gries frequency summary over string keys as a typed Aggregator.
+    * Buffer = the counter map (≤ capacity entries); output = (token, cnt)
+    * pairs sorted (cnt desc, token asc) and cut to `k`. */
   final class MisraGries(capacity: Int, k: Int)
       extends Aggregator[String, Map[String, Long], Seq[TokenCount]] {
     require(capacity > 0 && k > 0 && k <= capacity,
       s"need 0 < k <= capacity, got k=$k capacity=$capacity")
-
     override def zero: Map[String, Long] = Map.empty
-
     override def reduce(b: Map[String, Long], tok: String): Map[String, Long] =
-      if (b.contains(tok) || b.size < capacity) b.updated(tok, b.getOrElse(tok, 0L) + 1L)
-      else b.flatMap { case (t, c) => if (c > 1L) Some(t -> (c - 1L)) else None }
+      mgReduce(b, tok, capacity)
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      mgMerge(a, b, capacity)
+    override def finish(b: Map[String, Long]): Seq[TokenCount] = mgTop(b, k)
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Seq[TokenCount]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TokenCount]]()
+  }
 
-    /** Mergeable-summaries combine: sum, then evict by the (capacity+1)-th
-      * largest count. Error bounds add: N_a/(cap+1) + N_b/(cap+1). */
-    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-      val sum = b.foldLeft(a) { case (m, (t, c)) => m.updated(t, m.getOrElse(t, 0L) + c) }
-      if (sum.size <= capacity) sum
-      else {
-        val cut = sum.valuesIterator.toArray.sortBy(-_).apply(capacity)
-        sum.flatMap { case (t, c) => if (c > cut) Some(t -> (c - cut)) else None }
-      }
-    }
-
-    override def finish(b: Map[String, Long]): Seq[TokenCount] =
-      b.toSeq.sortBy { case (t, c) => (-c, t) }.take(k)
-        .map { case (t, c) => TokenCount(t, c) }
-
+  /** Keyed variant for `groupByKey(...).agg` — same summary, input is
+    * (group, token) with the group ignored (the grouping key routes rows). */
+  final class MisraGriesKeyed(capacity: Int, k: Int)
+      extends Aggregator[(String, String), Map[String, Long], Seq[TokenCount]] {
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], in: (String, String)): Map[String, Long] =
+      mgReduce(b, in._2, capacity)
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      mgMerge(a, b, capacity)
+    override def finish(b: Map[String, Long]): Seq[TokenCount] = mgTop(b, k)
     override def bufferEncoder: Encoder[Map[String, Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
     override def outputEncoder: Encoder[Seq[TokenCount]] =
@@ -99,7 +123,43 @@ object HeavyHitters {
     topTokens(Tables.documents(s, d), capacity = 65536, k = 20)
   }
 
-  val defs: Seq[QueryDef] = Seq(qHeavyHitters)
+  /** Per-group top-k tokens: one bounded summary PER GROUP via
+    * `groupByKey(...).agg` — Catalyst still runs map-side partials, so a
+    * group's tokens reduce locally before one capacity-sized buffer per
+    * (group, partition) shuffles. The per-source/per-language vocabulary
+    * census at corpus scale. */
+  def topTokensByGroup(docs: DataFrame, groupCol: String,
+                       capacity: Int, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairs = docs
+      .select(col(groupCol).cast("string").as("g"),
+        explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "").as[(String, String)]
+    pairs.groupByKey(_._1)
+      .agg(new MisraGriesKeyed(capacity, k).toColumn)
+      .toDF("grp", "hh")
+      .select(col("grp"), explode(col("hh")).as("e"))
+      .select(col("grp").as(groupCol), col("e.token").as("token"),
+        col("e.cnt").as("cnt"))
+      .orderBy(col(groupCol), col("cnt").desc, col("token"))
+  }
+
+  /** Top-5 tokens per language — the grouped summary, exact at this
+    * capacity (see [[qHeavyHitters]]), so DuckDB's windowed rank replays
+    * it bit-for-bit. */
+  val qHeavyHittersGrouped: QueryDef = q("q_heavy_hitters_grouped")(
+    """SELECT lang, token, cnt FROM (
+      |  SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt,
+      |         row_number() OVER (PARTITION BY lang
+      |                            ORDER BY count(*) DESC, token) AS rn
+      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+      |  WHERE token <> '' GROUP BY lang, token)
+      |WHERE rn <= 5 ORDER BY lang, cnt DESC, token""".stripMargin) { (s, d) =>
+    topTokensByGroup(Tables.documents(s, d), "lang", capacity = 65536, k = 5)
+  }
+
+  val defs: Seq[QueryDef] = Seq(qHeavyHitters, qHeavyHittersGrouped)
 }
 
 /** One heavy-hitter row: the token and its (lower-bound) count. */

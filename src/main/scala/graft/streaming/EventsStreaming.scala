@@ -363,6 +363,36 @@ object EventsStreaming {
       }
   }
 
+  // ---- streaming heavy hitters -------------------------------------------
+
+  final case class HHOut(group: String, token: String, cnt: Long)
+
+  /** Streaming Misra–Gries heavy hitters: one BOUNDED counter map per group
+    * maintained across micro-batches via `flatMapGroupsWithState` — the
+    * [[graft.ext.HeavyHitters]] summary with TIME as the merge dimension.
+    * Each batch's tokens fold into the state with the same `mgReduce` step
+    * the batch Aggregator uses, so after any number of batches the state
+    * obeys the same N/(capacity+1) undercount bound over everything streamed
+    * so far — state stays ≤ capacity entries per group forever, the property
+    * that makes a frequency census runnable as an unbounded ingest job.
+    * Emits the current top-k per group each trigger (Update mode). */
+  def streamingHeavyHitters(tokens: Dataset[(String, String)],
+                            capacity: Int, k: Int)(
+      implicit spark: SparkSession): Dataset[HHOut] = {
+    import spark.implicits._
+    import graft.ext.HeavyHitters
+    tokens.groupByKey(_._1)
+      .flatMapGroupsWithState[Map[String, Long], HHOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (g: String, it: Iterator[(String, String)],
+         state: GroupState[Map[String, Long]]) =>
+          var buf = state.getOption.getOrElse(Map.empty[String, Long])
+          it.foreach { case (_, tok) => buf = HeavyHitters.mgReduce(buf, tok, capacity) }
+          state.update(buf)
+          HeavyHitters.mgTop(buf, k).iterator.map(tc => HHOut(g, tc.token, tc.cnt))
+      }
+  }
+
   // ---- streaming ingestion into the versioned lakehouse layer ------------
 
   private val BatchMsgPrefix = "stream batch "

@@ -429,4 +429,27 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(out === Set((10L, 0L, 2L), (10L, 1L, 1L), (20L, 0L, 1L)))
   }
+
+  test("streaming heavy hitters maintain one bounded Misra-Gries state per group across batches") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val mem = MemoryStream[(String, String)](spark)
+    val q = EventsStreaming.streamingHeavyHitters(mem.toDS(), capacity = 64, k = 3)
+      .writeStream.outputMode("update").format("memory").queryName("hh_stream")
+      .option("checkpointLocation", Tables.scratch("hh_stream_ckpt")).start()
+    try {
+      mem.addData(("en", "alpha"), ("en", "alpha"), ("en", "beta"), ("de", "zwei"))
+      q.processAllAvailable()
+      mem.addData(("en", "alpha"), ("en", "gamma"), ("en", "beta"),
+        ("en", "beta"), ("de", "zwei"), ("de", "eins"))
+      q.processAllAvailable()
+      // counts only grow in the exact (sub-capacity) regime, so the max cnt
+      // per (group, token) across emitted updates IS the cumulative truth
+      val fin = spark.table("hh_stream").groupBy("group", "token")
+        .agg(org.apache.spark.sql.functions.max("cnt").as("cnt"))
+        .as[(String, String, Long)].collect().toSet
+      assert(fin === Set(("en", "alpha", 3L), ("en", "beta", 3L),
+        ("en", "gamma", 1L), ("de", "zwei", 2L), ("de", "eins", 1L)),
+        s"got $fin")
+    } finally q.stop()
+  }
 }
