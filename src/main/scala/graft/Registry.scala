@@ -60,7 +60,9 @@ object Registry {
     // r14 verdict #2: the persisted passage relation — ingest times the
     // O(corpus)+O(increment) signature build, census times the derived
     // consumer that never re-tokenizes
-    "q_repeated_inc_ingest", "q_repeated_inc_census")
+    "q_repeated_inc_ingest", "q_repeated_inc_census",
+    // r15: bounded-memory corpus token census (Misra-Gries)
+    "q_heavy_hitters")
 
   /** The FROZEN round-4 headline list. `benchNames` grows as operators land
     * (23 → 27 across rounds), so the all-queries `total` is not

@@ -97,39 +97,39 @@ object MLlite {
     * the "model" stays a DISTRIBUTED mapping table end-to-end:
     *
     *  1. fit = one keyed groupBy-count over the column (map-side combined);
-    *  2. rank = `repartitionByRange` on the label order (cnt desc, value
-    *     asc) — the range exchange gives contiguous, ORDER-RESPECTING
-    *     partitions over the composite key, so ties on cnt split across
-    *     partitions without breaking the total order — then `row_number`
-    *     within each partition plus per-partition prefix offsets (O(P)
-    *     longs to the driver, never a label);
+    *  2. rank = the [[graft.ops.Scale.globalRankScalable]] shape: bucket
+    *     each label by DETERMINISTIC count cuts (≤ `buckets` doubles from
+    *     approxQuantile collected once and baked in as literals — bucket id
+    *     is then a pure expression of the row, so every action over the
+    *     plan agrees without persisting anything), `row_number` within each
+    *     bucket ordered (cnt desc, value asc), plus per-bucket prefix
+    *     offsets (O(buckets) longs to the driver, never a label). Cut
+    *     buckets respect the count order across buckets by construction;
+    *     equal counts share a bucket, where the window's value tiebreak
+    *     finishes the total order.
     *  3. transform = an equi-join of the mapping back onto the rows (AQE
     *     broadcasts it when small; shuffles it when a 10⁹-label column
     *     makes broadcast impossible — exactly the case the parity form
-    *     cannot survive).
-    *
-    * The ranked mapping is persisted and materialized BEFORE its partition
-    * counts are read: `repartitionByRange` samples its bounds per action,
-    * so an unpersisted plan could re-sample between the offsets action and
-    * the final consumption and mis-assign partition ids. The cached mapping
-    * (one row per distinct label) is the model — the honest distributed
-    * analog of MLlib's labels array. */
+    *     cannot survive). */
   def stringIndexScalable(df: DataFrame, inputCol: String, outputCol: String,
-                          partitions: Int = 32): DataFrame = {
+                          buckets: Int = 32): DataFrame = {
     val freq = df.where(col(inputCol).isNotNull)
       .groupBy(col(inputCol)).agg(count(lit(1)).as("__cnt"))
-    val parted = freq
-      .repartitionByRange(partitions, col("__cnt").desc, col(inputCol).asc)
-      .withColumn("__pid", spark_partition_id())
-      .persist()
-    val counts = parted.groupBy("__pid").count().collect()
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val cuts = freq.stat.approxQuantile("__cnt", probs, 0.001).distinct.sorted
+    // larger count → fewer cuts at or above it → SMALLER bucket id: bucket
+    // ascending is count descending, matching the fit order
+    val bucket = cuts.map(c => when(col("__cnt") <= c, 1).otherwise(0))
+      .reduceOption(_ + _).getOrElse(lit(0))
+    val withB = freq.withColumn("__b", bucket)
+    val counts = withB.groupBy("__b").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val ids = counts.keys.toSeq.sorted
     val offsets = ids.zip(ids.scanLeft(0L)(_ + counts(_)).init).toMap
-    val w = Window.partitionBy("__pid").orderBy(col("__cnt").desc, col(inputCol).asc)
-    val mapping = parted.withColumn(outputCol,
+    val w = Window.partitionBy("__b").orderBy(col("__cnt").desc, col(inputCol).asc)
+    val mapping = withB.withColumn(outputCol,
         (row_number().over(w).cast(LongType) +
-          element_at(typedLit(offsets), col("__pid")) - 1L).cast(DoubleType))
+          element_at(typedLit(offsets), col("__b")) - 1L).cast(DoubleType))
       .select(col(inputCol), col(outputCol))
     df.join(mapping, Seq(inputCol))
   }

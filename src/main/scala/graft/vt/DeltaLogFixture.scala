@@ -44,20 +44,7 @@ object DeltaLogFixture {
   /** `add` carrying a deletionVector descriptor (protocol v3 DV tables). */
   def addLineWithDv(path: String, sizeBytes: Long,
                     dv: DeletionVectors.DvDescriptor): String =
-    line("add") { a =>
-      a.put("path", path)
-      a.putObject("partitionValues")
-      a.put("size", sizeBytes)
-      a.put("modificationTime", 0L)
-      a.put("dataChange", true)
-      val d = a.putObject("deletionVector")
-      d.put("storageType", dv.storageType)
-      d.put("pathOrInlineDv", dv.pathOrInlineDv)
-      dv.offset.foreach(o => d.put("offset", o))
-      d.put("sizeInBytes", dv.sizeInBytes)
-      d.put("cardinality", dv.cardinality)
-      ()
-    }
+    addLine(path, sizeBytes, dv = Some(dv))
 
   def metaDataLine(schemaJson: String, partitionColumns: Seq[String],
                    configuration: Map[String, String] = Map.empty): String =
@@ -102,15 +89,30 @@ object DeltaLogFixture {
     walk(schema)
   }
 
+  /** The one `add`-action serializer — fixtures use the defaults,
+    * [[DeltaLogWriter]] passes real mtime/stats/DV so the writer and the
+    * round-trip fixtures can never drift on the action's encoding. */
   def addLine(path: String, sizeBytes: Long,
-              partitionValues: Map[String, String] = Map.empty): String =
+              partitionValues: Map[String, String] = Map.empty,
+              mtime: Long = 0L,
+              stats: Option[String] = None,
+              dv: Option[DeletionVectors.DvDescriptor] = None): String =
     line("add") { a =>
       a.put("path", path)
       val pv = a.putObject("partitionValues")
       partitionValues.foreach { case (k, v) => pv.put(k, v) }
       a.put("size", sizeBytes)
-      a.put("modificationTime", 0L)
+      a.put("modificationTime", mtime)
       a.put("dataChange", true)
+      stats.foreach(s => a.put("stats", s))
+      dv.foreach { d =>
+        val n = a.putObject("deletionVector")
+        n.put("storageType", d.storageType)
+        n.put("pathOrInlineDv", d.pathOrInlineDv)
+        d.offset.foreach(o => n.put("offset", o))
+        n.put("sizeInBytes", d.sizeInBytes)
+        n.put("cardinality", d.cardinality)
+      }
       ()
     }
 

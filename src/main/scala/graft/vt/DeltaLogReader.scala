@@ -498,17 +498,21 @@ object DeltaLogReader {
       withPartCols(renameToLogical(
         spark.read.schema(fileSchema).parquet(group.map(f => abs(f.path)): _*)), pv)
     }
+    // temp row-position column name must not shadow a real table column
+    // (withColumn REPLACES a same-named data column and drop would lose it)
+    var posCol = VersionedTable.PosCol
+    while (fileSchema.fieldNames.contains(posCol)) posCol = "_" + posCol
     val dvScans = dvFiles.map { f =>
       val positions = DeletionVectors.readPositions(root, f.dv.get)
       val base = spark.read.schema(fileSchema).parquet(abs(f.path))
-        .withColumn("__pos", col("_metadata.row_index"))
+        .withColumn(posCol, col("_metadata.row_index"))
       val kept =
-        if (positions.size <= 1024) base.where(!col("__pos").isin(positions: _*))
+        if (positions.size <= 1024) base.where(!col(posCol).isin(positions: _*))
         else {
           import spark.implicits._
-          base.join(broadcast(positions.toDF("__pos")), Seq("__pos"), "left_anti")
+          base.join(broadcast(positions.toDF(posCol)), Seq(posCol), "left_anti")
         }
-      withPartCols(renameToLogical(kept.drop("__pos")), f.partitionValues)
+      withPartCols(renameToLogical(kept.drop(posCol)), f.partitionValues)
     }
     (plainScans ++ dvScans).reduce(_ unionByName _)
       .select(snap.schema.fieldNames.map(col): _*)

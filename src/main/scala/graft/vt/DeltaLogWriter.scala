@@ -77,7 +77,13 @@ object DeltaLogWriter {
     var prevDv: Map[String, Vector[Long]] = Map.empty
     for (c <- commits) {
       val target = logDir.resolve(f"${c.version}%020d.json")
-      val curDv = dvByFile(vt, c)
+      // a commit's DV relation is read only when this version exports or the
+      // NEXT one does (the diff's base) — an incremental re-export of a long
+      // DV-bearing lineage stays O(new suffix), not O(full DV history)
+      val dvNeeded = !Files.exists(target) ||
+        (c.version < commits.last.version &&
+          !Files.exists(logDir.resolve(f"${c.version + 1}%020d.json")))
+      val curDv = if (dvNeeded) dvByFile(vt, c) else Map.empty[String, Vector[Long]]
       if (!Files.exists(target)) {
         val parentFiles = prev.map(_.files.toSet).getOrElse(Set.empty)
         val adds = c.files.filterNot(parentFiles)
@@ -105,8 +111,9 @@ object DeltaLogWriter {
             if (ps.size <= InlineDvMax) DeletionVectors.inlineDescriptor(ps)
             else DeletionVectors.writeDvFile(vt.root, ps)
           }
-          actions += addLineWithMtime(encodePath(rel), Files.size(p),
-            Files.getLastModifiedTime(p).toMillis, dv, statsJson(c, rel))
+          actions += DeltaLogFixture.addLine(encodePath(rel), Files.size(p),
+            mtime = Files.getLastModifiedTime(p).toMillis,
+            stats = statsJson(c, rel), dv = dv)
         }
         writeAtomically(target, actions.result().mkString("", "\n", "\n"))
       }
@@ -138,29 +145,6 @@ object DeltaLogWriter {
     * (PROTOCOL.md "Add File"): encode each segment, keep the separators. */
   private[vt] def encodePath(rel: String): String =
     new java.net.URI(null, null, rel, null).toASCIIString
-
-  private def addLineWithMtime(path: String, size: Long, mtime: Long,
-                               dv: Option[DeletionVectors.DvDescriptor] = None,
-                               stats: Option[String] = None): String = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val rootNode = mapper.createObjectNode()
-    val a = rootNode.putObject("add")
-    a.put("path", path)
-    a.putObject("partitionValues")
-    a.put("size", size)
-    a.put("modificationTime", mtime)
-    a.put("dataChange", true)
-    stats.foreach(s => a.put("stats", s))
-    dv.foreach { d =>
-      val n = a.putObject("deletionVector")
-      n.put("storageType", d.storageType)
-      n.put("pathOrInlineDv", d.pathOrInlineDv)
-      d.offset.foreach(o => n.put("offset", o))
-      n.put("sizeInBytes", d.sizeInBytes)
-      n.put("cardinality", d.cardinality)
-    }
-    mapper.writeValueAsString(rootNode)
-  }
 
   /** Delta `add.stats` JSON for one exported file (PROTOCOL.md "Per-file
     * Statistics"): `numRecords` from the commit's rowCounts plus the

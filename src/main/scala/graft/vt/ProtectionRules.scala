@@ -14,22 +14,56 @@ import java.nio.file.Path
   * single-key (head hint + exists probes + one generation read): no listing
   * is ever consulted to admit or reject a commit. Patterns must not contain
   * newlines (the set is newline-joined per generation).
-  */
+  *
+  * BACK-COMPAT: the pre-CAS format stored the whole set as ONE plain object
+  * at `protected/rules` — a distinct key from the generation chain
+  * (`rules.gen<N>`/`rules.head`), so a table protected under the old format
+  * would silently read as UNPROTECTED if only the chain were consulted.
+  * Every read unions the legacy object in, and the first CAS edit folds its
+  * contents into generation 0 before applying — the same
+  * listing-union-the-index posture the branch index takes for pre-index
+  * tables. */
 private[vt] object ProtectionRules {
 
   private def rules(store: MetaStore, dir: Path) = new CasStringSet(store, dir, "rules")
 
+  /** Rules persisted by the pre-CAS single-object format, if any. */
+  private def legacy(store: MetaStore, dir: Path): Seq[String] = {
+    val key = dir.resolve("rules")
+    if (store.exists(key)) store.read(key).split('\n').toSeq.filter(_.nonEmpty)
+    else Seq.empty
+  }
+
+  /** Fold the legacy object into the chain, then retire it. Runs before any
+    * EDIT (reads union instead): folding first means a crash at any point
+    * leaves the legacy rules readable — either still in the object or
+    * already in an immutable generation — never dropped; the delete-last
+    * order also prevents a removed legacy rule from resurrecting through
+    * the read-side union. Idempotent (re-folding dedupes). */
+  private def migrate(store: MetaStore, dir: Path): Unit = {
+    val old = legacy(store, dir)
+    if (old.nonEmpty) {
+      rules(store, dir).update(cur => (cur ++ old).distinct.sorted)
+      store.delete(dir.resolve("rules"))
+      ()
+    }
+  }
+
   def add(store: MetaStore, dir: Path, pattern: String): Unit = {
     require(pattern.nonEmpty && !pattern.contains('\n'), s"bad protection pattern: $pattern")
+    migrate(store, dir)
     rules(store, dir).add(pattern)
     ()
   }
 
   /** Remove one rule (exact pattern, not a matching branch name). */
-  def remove(store: MetaStore, dir: Path, pattern: String): Boolean =
+  def remove(store: MetaStore, dir: Path, pattern: String): Boolean = {
+    migrate(store, dir)
     rules(store, dir).remove(pattern)
+  }
 
-  def all(store: MetaStore, dir: Path): Seq[String] = rules(store, dir).all
+  def all(store: MetaStore, dir: Path): Seq[String] =
+    (rules(store, dir).all ++ legacy(store, dir)).distinct.sorted
 
   def isProtected(store: MetaStore, dir: Path, branch: String): Boolean =
     all(store, dir).exists(p => VersionedTable.globMatches(p, branch))

@@ -8,8 +8,22 @@ import java.nio.file.Path
   * the invariants — name validation (a slashed name would corrupt the flat
   * `tags/` listing and wedge every subsequent `tags()`/vacuum), put-if-absent
   * creation (two racing creates resolve atomically on any conforming
-  * [[MetaStore]]), immutability — cannot drift between the two scopes. */
+  * [[MetaStore]]), immutability — cannot drift between the two scopes.
+  *
+  * Enumeration goes through a single-key [[CasStringSet]] INDEX (sibling
+  * `tagidx/` prefix — it cannot live under `tags/`, where its generation
+  * keys would list as tags) unioned with the listing, for the same reason
+  * branches do: tags are create-once keys, exactly the class an
+  * eventually-consistent LIST hides while young — and a fresh release tag
+  * is often the ONLY thing keeping its commit's files out of vacuum's sweep
+  * (the branch index alone left this hole open on the tag side). The index
+  * entry lands BEFORE the tag object, mirroring the branch ordering; an
+  * indexed name whose object doesn't exist yet (mid-creation or a crashed
+  * create) is filtered by a strong single-key exists probe. */
 private[vt] object TagStore {
+
+  private def index(store: MetaStore, tagsDir: Path): CasStringSet =
+    new CasStringSet(store, tagsDir.getParent.resolve("tagidx"), "tags")
 
   /** Reject names that cannot serve as a single flat object key. */
   def validateName(name: String): Unit =
@@ -20,13 +34,20 @@ private[vt] object TagStore {
   def create(store: MetaStore, tagsDir: Path, name: String, commitId: String): Unit = {
     validateName(name)
     store.ensurePrefix(tagsDir)
+    index(store, tagsDir).add(name) // before the object: see enumeration note
     if (!store.putIfAbsent(tagsDir.resolve(name), commitId))
       throw new IllegalArgumentException(s"tag exists: $name (tags are immutable)")
   }
 
-  /** (tag name, commit id) pairs, name-sorted. */
-  def all(store: MetaStore, tagsDir: Path): Seq[(String, String)] =
-    store.list(tagsDir).map(p => p.getFileName.toString -> store.read(p).trim).sortBy(_._1)
+  /** (tag name, commit id) pairs, name-sorted — index ∪ listing, existence
+    * re-probed per name (single-key reads are strongly consistent even
+    * where LIST is not). */
+  def all(store: MetaStore, tagsDir: Path): Seq[(String, String)] = {
+    val listed = store.list(tagsDir).map(_.getFileName.toString)
+    (listed ++ index(store, tagsDir).all).distinct.sorted
+      .filter(n => store.exists(tagsDir.resolve(n)))
+      .map(n => n -> store.read(tagsDir.resolve(n)).trim)
+  }
 
   def commitIdOf(store: MetaStore, tagsDir: Path, name: String): String = {
     val p = tagsDir.resolve(name)
@@ -34,8 +55,14 @@ private[vt] object TagStore {
     store.read(p).trim
   }
 
-  /** Deleting a missing tag is a no-op returning false. */
-  def delete(store: MetaStore, tagsDir: Path, name: String): Boolean =
-    store.delete(tagsDir.resolve(name))
+  /** Deleting a missing tag is a no-op returning false. The index entry is
+    * dropped AFTER the object (the reverse order could leave a live tag
+    * invisible to vacuum's retained set if the delete crashed between the
+    * two writes — the exact hazard the index exists to close). */
+  def delete(store: MetaStore, tagsDir: Path, name: String): Boolean = {
+    val deleted = store.delete(tagsDir.resolve(name))
+    if (deleted) index(store, tagsDir).remove(name)
+    deleted
+  }
 }
 

@@ -234,6 +234,30 @@ class MetaStoreSpec extends SparkSpec {
     assert(!vt.branches.contains("rel"))
   }
 
+  test("EC listings cannot corrupt vacuum: the tag index pins a just-created unlisted tag") {
+    // the tag-side twin of the branch-index hazard: a release tag is often
+    // the ONLY reference keeping its commit's files alive, and tags are
+    // create-once keys — exactly what an EC LIST hides while young. A
+    // vacuum pricing retention off the listing alone would sweep the files.
+    val rootStr = Tables.scratch("test_s3ec_tag_vacuum")
+    val store = S3SimMetaStore.forTable(rootStr, listDelayMs = 3600000L)
+    val base = Paths.get(rootStr).toAbsolutePath.normalize
+    val vt = VersionedTable.create(rootStr, store)
+    vt.write(df(1), "main", "v0")
+    vt.createTag("release") // pins v0
+    vt.write(df(2), "main", "v1") // overwrite: v0 files reachable ONLY via the tag
+    assert(!store.list(base.resolve("tags")).map(_.getFileName.toString).contains("release"),
+      "precondition: the fresh tag must be lagging out of LIST")
+    assert(vt.tags.map(_._1).contains("release"),
+      "the index must enumerate the unlisted tag")
+    vt.vacuum(retainLast = 1)
+    assert(vt.readTag(spark, "release").as[Int].collect() === Array(1),
+      "vacuum under EC listings must not sweep the unlisted tag's files")
+    // deletion drops the index entry; the tag never resurrects
+    vt.deleteTag("release")
+    assert(!vt.tags.map(_._1).contains("release"))
+  }
+
   test("concurrent protection-rule edits from rival processes ALL land (CAS, not last-writer-wins)") {
     // the r14 ADVICE hazard: two admins adding different rules at once on a
     // read-modify-put rules object silently drop one, leaving a branch an
@@ -256,6 +280,29 @@ class MetaStoreSpec extends SparkSpec {
     val td = new Thread(() => vtB.unprotectBranch("rule-7*"))
     tc.start(); td.start(); tc.join(); td.join()
     assert(vtB.protectionRules.sorted === rules.slice(1, 7).sorted)
+  }
+
+  test("pre-CAS protection rules (legacy single object) stay enforced, migrate on first edit, never resurrect") {
+    val rootStr = Tables.scratch("test_rules_legacy")
+    val store = S3SimMetaStore.forTable(rootStr)
+    val vt = VersionedTable.create(rootStr, store)
+    // author the pre-r15 format directly: ONE plain object, newline-joined —
+    // a distinct key from the CAS chain's rules.gen<N>, so without the
+    // legacy union these rules would silently read as no protection at all
+    val dir = Paths.get(rootStr).toAbsolutePath.normalize.resolve("protected")
+    store.ensurePrefix(dir)
+    store.put(dir.resolve("rules"), "main\nrel*")
+    assert(vt.protectionRules === Seq("main", "rel*"), "legacy rules must read")
+    assertThrows[IllegalStateException](vt.write(df(1), "main", "blocked"))
+    // first edit folds the legacy set into generation 0 and retires the object
+    vt.protectBranch("extra")
+    assert(vt.protectionRules === Seq("extra", "main", "rel*"))
+    assert(!store.exists(dir.resolve("rules")), "legacy object retired after migration")
+    // a removed legacy-originated rule must NOT resurrect through the union
+    assert(vt.unprotectBranch("main"))
+    assert(vt.protectionRules === Seq("extra", "rel*"))
+    vt.write(df(1), "main", "now allowed")
+    assert(vt.head("main").isDefined)
   }
 
   test("dry-run vacuum equals the real vacuum in a crashed-writer (orphan replay) state") {

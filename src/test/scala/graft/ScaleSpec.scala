@@ -267,7 +267,8 @@ class ScaleSpec extends SparkSpec {
     val plan = executedPlan(df).toString
     // the parity form's collected labels manifest as a LocalTableScan of the
     // driver-built mapping; the scalable twin must have NO local relation
-    // (its mapping is a distributed cached table) and no single-task stage
+    // (its mapping stays a distributed table; only O(buckets) cuts/offsets
+    // ever reach the driver) and no single-task stage
     assert(!plan.contains("LocalTableScan"),
       s"driver-side label materialization leaked into the plan:\n$plan")
     assert(!plan.contains("SinglePartition"),
