@@ -734,6 +734,46 @@ object Versioned {
       .orderBy("n_nationkey")
   }
 
+  /** Delta CHANGE DATA FEED round-trip (r15): the same load → append →
+    * COW-upsert lineage as `q_vt_changes_feed`, exported with
+    * `changeDataFeed = true` — the upsert version writes its row-level
+    * changes as a `_change_data` parquet + `cdc` action — and read back
+    * through [[graft.vt.DeltaLogReader.changes]], Delta's
+    * `table_changes(0, 2)`: v0/v1 inserts DERIVED from the add actions,
+    * v2 taken from the cdc file. Same relational oracle as the native
+    * feed, plus v0 — equality proves the exported CDF vocabulary carries
+    * the native CDC losslessly. */
+  val qVtDeltaCdf: QueryDef = q("q_vt_delta_cdf")(
+    """SELECT * FROM (
+      |  SELECT CAST(0 AS BIGINT) AS version, 'insert' AS change_type,
+      |         n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey < 2
+      |  UNION ALL
+      |  SELECT CAST(1 AS BIGINT) AS version, 'insert' AS change_type,
+      |         n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey >= 2
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT) AS version, 'insert' AS change_type,
+      |         n_nationkey, lower(n_name) AS n_name, n_regionkey FROM nation WHERE n_nationkey < 5
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT) AS version, 'delete' AS change_type,
+      |         n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey < 5)
+      |ORDER BY version, change_type, n_nationkey""".stripMargin) { (s, d) =>
+    import graft.vt.DeltaLogReader
+    val vt = VersionedTable.create(Tables.scratch("vt_delta_cdf"))
+    val nation = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+    vt.write(nation.where(col("n_regionkey") < 2)
+      .repartitionByRange(2, col("n_nationkey")), "main", "v0 partial load",
+      statsCols = Seq("n_nationkey"))
+    vt.write(nation.where(col("n_regionkey") >= 2), "main", "v1 append", mode = "append")
+    vt.upsert(s, nation.where(col("n_nationkey") < 5)
+      .withColumn("n_name", lower(col("n_name"))), keyCols = Seq("n_nationkey"))
+    vt.exportDeltaLog("main", changeDataFeed = true)
+    DeltaLogReader.changes(s, vt.root.toString, 0, 2)
+      .select(col("_commit_version").as("version"),
+        col("_change_type").as("change_type"),
+        col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy("version", "change_type", "n_nationkey")
+  }
+
   /** Delta STATS-SKIPPING read (r15): the exported per-file stats doing
     * their job through a Delta consumer. The table is range-partitioned on
     * n_nationkey into 4 files, exported with stats, and opened through
@@ -809,5 +849,5 @@ object Versioned {
     qVtChangesUpsert, qVtChangesFeed, qVtHistory, qVtUpsert, qVtDelete, qVtDeleteMor,
     qVtUpdate, qVtTag, qVtRestoreTag, qVtProtected, qVtFeedConsume, qVtCount,
     qVtIncremental, qVtTsTravel, qVtDeltaLog, qVtDeltaRoundtrip,
-    qVtDeltaDvRoundtrip, qVtDeltaCmap, qVtDeltaSkip)
+    qVtDeltaDvRoundtrip, qVtDeltaCmap, qVtDeltaSkip, qVtDeltaCdf)
 }

@@ -116,6 +116,19 @@ object DeltaLogFixture {
       ()
     }
 
+  /** `cdc` action (PROTOCOL.md "Add CDC File"): a change-data file under
+    * `_change_data/` carrying the commit's row-level changes with their
+    * `_change_type`; `dataChange` is false by definition (CDC files restate
+    * changes, they are not part of the table snapshot). */
+  def cdcLine(path: String, sizeBytes: Long): String =
+    line("cdc") { c =>
+      c.put("path", path)
+      c.putObject("partitionValues")
+      c.put("size", sizeBytes)
+      c.put("dataChange", false)
+      ()
+    }
+
   def removeLine(path: String): String =
     line("remove") { r =>
       r.put("path", path); r.put("deletionTimestamp", 0L); r.put("dataChange", true); ()

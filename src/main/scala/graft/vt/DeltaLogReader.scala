@@ -394,6 +394,102 @@ object DeltaLogReader {
       e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap
   }
 
+  /** Delta CHANGE DATA FEED read — `table_changes(from, to)` (both ends
+    * inclusive) without the Delta jar. Per version: explicit `cdc` actions
+    * win when present (their `_change_data` parquet restates the commit's
+    * row-level changes with `_change_type`); otherwise the feed derives —
+    * a pure-add commit reads its added files as inserts (v0's initial load
+    * included), a pure-remove commit reads the removed files as deletes,
+    * and a MIXED commit without cdc actions is refused loudly (a CDF-enabled
+    * Delta writer always emits cdc for those; so does our
+    * [[DeltaLogWriter.exportDeltaLog]] with `changeDataFeed = true`).
+    * `dataChange=false` adds/removes (compaction restatements) contribute
+    * nothing, Delta's own rule. Output columns: the table schema plus
+    * `_change_type`, `_commit_version`, `_commit_timestamp`.
+    *
+    * Scope: unpartitioned, unmapped tables (everything our export
+    * produces); partitioned or column-mapped feeds are refused loudly.
+    * The walk reads commit JSON 0..to (schema tracking needs the prefix),
+    * O(versions) driver-side metadata like the snapshot replay. */
+  def changes(spark: SparkSession, tableRoot: String,
+              fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion >= 0 && toVersion >= fromVersion,
+      s"need 0 <= from <= to, got ($fromVersion, $toVersion)")
+    val root = Paths.get(tableRoot).toAbsolutePath.normalize
+    val have = commitFiles(root).toMap
+    (0L to toVersion).foreach(v => require(have.contains(v),
+      s"_delta_log has no commit JSON for version $v — a change feed over " +
+        "pruned history is unreproducible"))
+    var schemaJson: String = null
+    var partCols: Seq[String] = Nil
+    var config = Map.empty[String, String]
+    val outs = Vector.newBuilder[DataFrame]
+    for (v <- 0L to toVersion) {
+      val commitPath = have(v)
+      val adds = Vector.newBuilder[(String, Boolean)] // path, hasDv
+      val removes = Vector.newBuilder[String]
+      val cdcs = Vector.newBuilder[String]
+      for (line <- Files.readAllLines(commitPath).asScala if line.trim.nonEmpty) {
+        val action = mapper.readTree(line)
+        if (action.has("protocol")) {
+          val p = action.get("protocol")
+          checkProtocol(p.path("minReaderVersion").asInt(1),
+            if (p.has("readerFeatures"))
+              Some(p.get("readerFeatures").elements().asScala.map(_.asText()).toSet)
+            else None)
+        }
+        if (action.has("metaData")) {
+          val md = action.get("metaData")
+          schemaJson = md.get("schemaString").asText()
+          partCols = md.path("partitionColumns").elements().asScala.map(_.asText()).toSeq
+          config = md.path("configuration").properties().asScala
+            .map(e => e.getKey -> e.getValue.asText()).toMap
+        }
+        if (action.has("add") && action.get("add").path("dataChange").asBoolean(true))
+          adds += decodePath(action.get("add").get("path").asText()) ->
+            action.get("add").has("deletionVector")
+        if (action.has("remove") && action.get("remove").path("dataChange").asBoolean(true))
+          removes += decodePath(action.get("remove").get("path").asText())
+        if (action.has("cdc"))
+          cdcs += decodePath(action.get("cdc").get("path").asText())
+      }
+      require(partCols.isEmpty &&
+        config.getOrElse("delta.columnMapping.mode", "none") == "none",
+        "change-feed reads support unpartitioned, unmapped tables only")
+      if (v >= fromVersion) {
+        require(schemaJson != null, s"no metaData action in versions 0..$v")
+        val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+        val ts = commitTimestamp(commitPath)
+        def abs(rel: String) = root.resolve(rel).toString
+        def tag(df: DataFrame) = df
+          .withColumn("_commit_version", lit(v))
+          .withColumn("_commit_timestamp", (lit(ts) / 1000.0).cast("timestamp"))
+        val (a, r, c) = (adds.result(), removes.result(), cdcs.result())
+        if (c.nonEmpty)
+          outs += tag(spark.read
+            .schema(schema.add("_change_type", org.apache.spark.sql.types.StringType))
+            .parquet(c.map(abs): _*))
+        else if (r.isEmpty && a.nonEmpty) {
+          require(a.forall(!_._2), s"version $v adds deletion-vector files " +
+            "without cdc actions — its row-level changes are not derivable")
+          outs += tag(spark.read.schema(schema).parquet(a.map(x => abs(x._1)): _*)
+            .withColumn("_change_type", lit("insert")))
+        } else if (a.isEmpty && r.nonEmpty)
+          outs += tag(spark.read.schema(schema).parquet(r.map(abs): _*)
+            .withColumn("_change_type", lit("delete")))
+        else if (a.nonEmpty && r.nonEmpty)
+          throw new IllegalArgumentException(
+            s"version $v mixes adds and removes without cdc actions — not " +
+              "readable as a change feed (export with changeDataFeed=true)")
+        // else: metadata-only commit, contributes no changes
+      }
+    }
+    val frames = outs.result()
+    require(frames.nonEmpty,
+      s"versions $fromVersion..$toVersion contain no data changes")
+    frames.reduce(_ unionByName _)
+  }
+
   /** Delta's `option("timestampAsOf", ts)` without the Delta jar. */
   def readAsOfTimestamp(spark: SparkSession, tableRoot: String,
                         tsMillis: Long): DataFrame =

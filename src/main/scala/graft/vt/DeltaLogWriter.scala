@@ -63,7 +63,18 @@ object DeltaLogWriter {
     * instead of riding inline in the log (delta-spark's own small-DV split). */
   private val InlineDvMax = 1024
 
-  def exportDeltaLog(vt: VersionedTable, branch: String = "main"): Long = {
+  /** With `changeDataFeed = true` the export also speaks Delta's CHANGE
+    * DATA FEED vocabulary: `delta.enableChangeDataFeed=true` rides the
+    * metaData configuration, the protocol declares writer CDF support, and
+    * every exported version that is not a pure append additionally writes
+    * its row-level changes (from the native [[VersionedTable.changesFeed]])
+    * as a `_change_data/` parquet referenced by a `cdc` action — the file a
+    * stock delta-spark `table_changes()` reads for delete/update commits.
+    * Pure appends emit no cdc file (readers derive inserts from the adds,
+    * Delta's own rule). Cost: O(changed rows) extra I/O per non-append
+    * version, zero for append-only lineages. */
+  def exportDeltaLog(vt: VersionedTable, branch: String = "main",
+                     changeDataFeed: Boolean = false): Long = {
     val commits = vt.lineage(branch).reverse // oldest-first: v0..vN
     require(commits.nonEmpty, s"branch '$branch' has no commits to export")
     require(commits.head.version == 0 &&
@@ -100,10 +111,20 @@ object DeltaLogWriter {
           else if (dvChanged.nonEmpty) "DELETE"
           else if (removes.isEmpty) "APPEND" else "OVERWRITE")
         if (prev.isEmpty && !firstDvVersion.contains(0L))
-          actions += DeltaLogFixture.protocolLine()
+          actions += DeltaLogFixture.protocolLine(
+            minWriter = if (changeDataFeed) 4 else 2)
         if (firstDvVersion.contains(c.version))
-          actions += DeltaLogFixture.protocolV3Line(Seq("deletionVectors"))
-        if (schemaChanged) actions += DeltaLogFixture.metaDataLine(c.schemaJson, Nil)
+          actions += DeltaLogFixture.protocolV3Line(Seq("deletionVectors"),
+            if (changeDataFeed) Seq("changeDataFeed") else Nil)
+        if (schemaChanged) actions += DeltaLogFixture.metaDataLine(c.schemaJson, Nil,
+          if (changeDataFeed) Map("delta.enableChangeDataFeed" -> "true") else Map.empty)
+        if (changeDataFeed && prev.nonEmpty && removes.nonEmpty) {
+          val spark = SparkSession.active
+          val feed = vt.changesFeed(spark, branch, c.version - 1, c.version)
+            .drop("version").withColumnRenamed("change_type", "_change_type")
+          val (rel, size) = writeCdcFile(vt.root, feed, c.version)
+          actions += DeltaLogFixture.cdcLine(encodePath(rel), size)
+        }
         removes.foreach(r => actions += DeltaLogFixture.removeLine(encodePath(r)))
         (adds ++ dvChanged).foreach { rel =>
           val p = vt.root.resolve(rel)
@@ -140,6 +161,25 @@ object DeltaLogWriter {
           byFk.get(fk).map(_ -> rows.map(_.getLong(1)).toVector.distinct.sorted)
         }
     }
+
+  /** Materialize one `_change_data/cdc-<v>.parquet` file; idempotent per
+    * version (the commit JSON referencing it is written once). */
+  private def writeCdcFile(root: Path, df: org.apache.spark.sql.DataFrame,
+                           version: Long): (String, Long) = {
+    val dir = root.resolve("_change_data")
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".cdc_tmp_$version")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = {
+      val st = Files.list(tmp)
+      try st.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+      finally st.close()
+    }
+    val dest = dir.resolve(f"cdc-$version%020d.parquet")
+    Files.move(part, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    graft.Tables.deleteRecursively(tmp)
+    (f"_change_data/cdc-$version%020d.parquet", Files.size(dest))
+  }
 
   /** Delta `add` paths are percent-encoded URIs relative to the table root
     * (PROTOCOL.md "Add File"): encode each segment, keep the separators. */

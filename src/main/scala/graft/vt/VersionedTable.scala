@@ -1778,8 +1778,8 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     * place to v3 `deletionVectors` at the first version whose native MOR
     * delete vectors are exported as Delta DV descriptors). Incremental and
     * idempotent. Returns the newest exported version. */
-  def exportDeltaLog(branch: String = "main"): Long =
-    DeltaLogWriter.exportDeltaLog(this, branch)
+  def exportDeltaLog(branch: String = "main", changeDataFeed: Boolean = false): Long =
+    DeltaLogWriter.exportDeltaLog(this, branch, changeDataFeed)
 
   def putObject(rel: String, content: String): Unit =
     store.put(root.resolve(rel), content)

@@ -300,6 +300,56 @@ class DeltaLogSpec extends SparkSpec {
     }
   }
 
+  test("change data feed: cdc actions conform, appends derive, mixed-without-cdc refuses") {
+    def lineage(name: String, cdf: Boolean) = {
+      val vt = VersionedTable.create(Tables.scratch(name))
+      vt.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "main", "v0")
+      vt.write(Seq((3L, "c")).toDF("k", "v"), "main", "v1 append", mode = "append")
+      vt.upsert(spark, Seq((2L, "B"), (4L, "d")).toDF("k", "v"), keyCols = Seq("k"))
+      vt.exportDeltaLog("main", changeDataFeed = cdf)
+      vt
+    }
+    val vt = lineage("delta_cdf", cdf = true)
+    // v0: protocol declares writer CDF support; metaData carries the flag
+    val a0 = actions(vt.root, 0)
+    assert(a0.exists(a => a.has("protocol") &&
+      a.get("protocol").get("minWriterVersion").asInt() >= 4))
+    assert(a0.exists(a => a.has("metaData") &&
+      a.get("metaData").get("configuration")
+        .get("delta.enableChangeDataFeed").asText() === "true"))
+    assert(!a0.exists(_.has("cdc")), "an initial load derives; no cdc file")
+    assert(!actions(vt.root, 1).exists(_.has("cdc")), "pure append: no cdc file")
+    // v2 (upsert = removes + adds): exactly one cdc action, conformant shape
+    val c2 = actions(vt.root, 2).filter(_.has("cdc")).map(_.get("cdc"))
+    assert(c2.size === 1)
+    assert(c2.head.get("path").asText().startsWith("_change_data/"))
+    assert(!c2.head.get("dataChange").asBoolean(true))
+    assert(Files.exists(vt.root.resolve(c2.head.get("path").asText())))
+    // table_changes(0, 2): derived inserts for v0/v1, the cdc file for v2
+    val feed = DeltaLogReader.changes(spark, vt.root.toString, 0, 2)
+      .select("_commit_version", "_change_type", "k", "v")
+      .as[(Long, String, Long, String)].collect().toSet
+    assert(feed === Set((0L, "insert", 1L, "a"), (0L, "insert", 2L, "b"),
+      (1L, "insert", 3L, "c"),
+      (2L, "delete", 2L, "b"), (2L, "insert", 2L, "B"), (2L, "insert", 4L, "d")))
+    // a sub-range skips earlier versions' rows but still tracks schema
+    assert(DeltaLogReader.changes(spark, vt.root.toString, 2, 2)
+      .count() === 3)
+    // _commit_timestamp rides along as a timestamp column
+    assert(feedSchemaHasTimestamp(vt))
+    // without CDF the upsert version has no cdc actions: refused loudly
+    val plain = lineage("delta_nocdf", cdf = false)
+    val e = intercept[IllegalArgumentException](
+      DeltaLogReader.changes(spark, plain.root.toString, 0, 2))
+    assert(e.getMessage.contains("cdc"), e.getMessage)
+    // but the append-only prefix still derives
+    assert(DeltaLogReader.changes(spark, plain.root.toString, 0, 1).count() === 3)
+  }
+
+  private def feedSchemaHasTimestamp(vt: VersionedTable): Boolean =
+    DeltaLogReader.changes(spark, vt.root.toString, 0, 0)
+      .schema("_commit_timestamp").dataType.typeName === "timestamp"
+
   test("readWhere prunes files by exported stats before Spark lists them") {
     val vt = VersionedTable.create(Tables.scratch("delta_skip"))
     val data = (1L to 40L).map(k => (k, s"n$k")).toDF("k", "v")
