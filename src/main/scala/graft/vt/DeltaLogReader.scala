@@ -57,6 +57,10 @@ object DeltaLogReader {
   private val mapper = new ObjectMapper()
   private val CommitRe = """^(\d{20})\.json$""".r
   private val CheckpointRe = """^(\d{20})\.checkpoint\.parquet$""".r
+  // multi-part classic checkpoint: <v>.checkpoint.<part>.<ofN>.parquet —
+  // what delta-spark writes for large logs (spark.databricks.delta
+  // .checkpoint.partSize); a part group is usable only when complete
+  private val MultipartRe = """^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$""".r
 
   /** One live data file of a snapshot: decoded table-root-relative path,
     * partition values, (protocol v3 `deletionVectors`) the optional
@@ -158,7 +162,34 @@ object DeltaLogReader {
   }
 
   private def commitFiles(root: Path): Vector[(Long, Path)] = logEntries(root, CommitRe)
-  private def checkpointFiles(root: Path): Vector[(Long, Path)] = logEntries(root, CheckpointRe)
+
+  /** Usable checkpoints by version: single-file checkpoints plus COMPLETE
+    * multi-part groups, part files in order (a missing part disqualifies
+    * the whole group — bootstrapping from a partial checkpoint would
+    * silently drop live files). */
+  private def checkpointFiles(root: Path): Vector[(Long, Vector[Path])] = {
+    val logDir = root.resolve("_delta_log")
+    if (!Files.isDirectory(logDir)) return Vector.empty
+    val st = Files.list(logDir)
+    val all = try st.iterator().asScala.toVector finally st.close()
+    val singles = all.flatMap { p =>
+      p.getFileName.toString match {
+        case CheckpointRe(d) => Some(d.toLong -> Vector(p))
+        case _ => None
+      }
+    }
+    val parts = all.flatMap { p =>
+      p.getFileName.toString match {
+        case MultipartRe(d, i, n) => Some((d.toLong, i.toInt, n.toInt, p))
+        case _ => None
+      }
+    }
+    val groups = parts.groupBy(x => (x._1, x._3)).collect {
+      case ((v, n), ps) if ps.map(_._2).toSet == (1 to n).toSet =>
+        v -> ps.sortBy(_._2).map(_._4)
+    }.toVector
+    (singles ++ groups).sortBy(_._1)
+  }
 
   /** Mutable replay state shared by the JSON walk and the checkpoint
     * bootstrap; `live` is insertion-ordered so the scan's file order is
@@ -246,9 +277,11 @@ object DeltaLogReader {
     * full state at their version; `remove` rows in them are vacuum
     * tombstones, not live files). One columnar scan collecting O(files)
     * metadata rows — the cost delta-spark's own Snapshot pays. */
-  private def bootstrapFromCheckpoint(spark: SparkSession, cpPath: Path): ReplayState = {
+  private def bootstrapFromCheckpoint(spark: SparkSession,
+                                      cpParts: Vector[Path]): ReplayState = {
     val state = new ReplayState
-    val df = spark.read.parquet(cpPath.toString)
+    val cpPath = cpParts.head
+    val df = spark.read.parquet(cpParts.map(_.toString): _*)
     val cols = df.columns.toSet
     def nested(col: String, field: String): Boolean =
       df.schema(col).dataType.asInstanceOf[StructType].fieldNames.contains(field)

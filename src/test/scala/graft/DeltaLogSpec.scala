@@ -350,6 +350,48 @@ class DeltaLogSpec extends SparkSpec {
     DeltaLogReader.changes(spark, vt.root.toString, 0, 0)
       .schema("_commit_timestamp").dataType.typeName === "timestamp"
 
+  test("multi-part checkpoints bootstrap; incomplete part groups are ignored") {
+    // delta-spark splits large checkpoints into <v>.checkpoint.<i>.<n>.parquet
+    // parts; actions land in arbitrary parts. Split a real checkpoint in two
+    // (protocol+metaData in part 1, the adds in part 2), prune everything
+    // else, and the reader must reconstruct the snapshot from the group.
+    val vt = VersionedTable.create(Tables.scratch("delta_mp"))
+    vt.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .repartitionByRange(3, col("k")), "main", "v0")
+    vt.exportDeltaLog("main")
+    DeltaLogWriter.writeCheckpoint(spark, vt.root.toString, 0L)
+    val log = vt.root.resolve("_delta_log")
+    val single = log.resolve(f"${0L}%020d.checkpoint.parquet")
+    val cp = spark.read.parquet(single.toString)
+    val rows = cp.collect()
+    assert(rows.length >= 3, "fixture needs protocol+metaData+adds rows")
+    def writePart(rs: Seq[org.apache.spark.sql.Row], i: Int, n: Int): Unit = {
+      val tmp = log.resolve(s".mp_tmp_$i")
+      spark.createDataFrame(rs.asJava, cp.schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        val st = Files.list(tmp)
+        try st.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+        finally st.close()
+      }
+      Files.move(part, log.resolve(f"${0L}%020d.checkpoint.$i%010d.$n%010d.parquet"))
+      Tables.deleteRecursively(tmp)
+    }
+    writePart(rows.take(2).toSeq, 1, 2)
+    writePart(rows.drop(2).toSeq, 2, 2)
+    Files.delete(single)
+    Files.delete(log.resolve(f"${0L}%020d.json"))
+    assert(DeltaLogReader.read(spark, vt.root.toString, None)
+      .select("k").as[Long].collect().sorted === Array(1L, 2L, 3L))
+    // a group missing a part must be IGNORED, never half-read: with part 2
+    // gone there is no usable checkpoint left at all, and the fully pruned
+    // log refuses loudly instead of reconstructing a half-snapshot
+    Files.delete(log.resolve(f"${0L}%020d.checkpoint.${2}%010d.${2}%010d.parquet"))
+    val e = intercept[IllegalArgumentException](
+      DeltaLogReader.read(spark, vt.root.toString, None))
+    assert(e.getMessage.contains("no _delta_log commits"), e.getMessage)
+  }
+
   test("readWhere prunes files by exported stats before Spark lists them") {
     val vt = VersionedTable.create(Tables.scratch("delta_skip"))
     val data = (1L to 40L).map(k => (k, s"n$k")).toDF("k", "v")
