@@ -83,6 +83,8 @@ object HeavyHitters {
     * (group, token) with the group ignored (the grouping key routes rows). */
   final class MisraGriesKeyed(capacity: Int, k: Int)
       extends Aggregator[(String, String), Map[String, Long], Seq[TokenCount]] {
+    require(capacity > 0 && k > 0 && k <= capacity,
+      s"need 0 < k <= capacity, got k=$k capacity=$capacity")
     override def zero: Map[String, Long] = Map.empty
     override def reduce(b: Map[String, Long], in: (String, String)): Map[String, Long] =
       mgReduce(b, in._2, capacity)

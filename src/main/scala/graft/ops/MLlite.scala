@@ -99,39 +99,90 @@ object MLlite {
     *  1. fit = one keyed groupBy-count over the column (map-side combined);
     *  2. rank = the [[graft.ops.Scale.globalRankScalable]] shape: bucket
     *     each label by DETERMINISTIC count cuts (≤ `buckets` doubles from
-    *     approxQuantile collected once and baked in as literals — bucket id
-    *     is then a pure expression of the row, so every action over the
-    *     plan agrees without persisting anything), `row_number` within each
-    *     bucket ordered (cnt desc, value asc), plus per-bucket prefix
-    *     offsets (O(buckets) longs to the driver, never a label). Cut
-    *     buckets respect the count order across buckets by construction;
-    *     equal counts share a bucket, where the window's value tiebreak
-    *     finishes the total order.
+    *     approxQuantile, baked in as literals — bucket id is a pure
+    *     expression of the row, so every action over the plan agrees),
+    *     then `row_number` within each bucket ordered (cnt desc, value
+    *     asc) plus per-bucket prefix offsets (O(buckets) longs to the
+    *     driver, never a label). Count ties share a bucket — and a
+    *     Zipf-shaped column makes one tie group (cnt==1) most of the
+    *     table, so any FAT single-count bucket is further sub-split by
+    *     VALUE cuts from a seed-pinned sample (order-safe exactly because
+    *     one count remains: the residual order is value alone, compared as
+    *     unsigned UTF-8 on both sides). No persisted state survives the
+    *     call: the fit caches the per-label counts only while its own
+    *     actions run.
     *  3. transform = an equi-join of the mapping back onto the rows (AQE
     *     broadcasts it when small; shuffles it when a 10⁹-label column
     *     makes broadcast impossible — exactly the case the parity form
     *     cannot survive). */
   def stringIndexScalable(df: DataFrame, inputCol: String, outputCol: String,
                           buckets: Int = 32): DataFrame = {
+    // the mapping (one row per distinct label) is scanned by three fit-time
+    // actions; cache it for the fit and release it before returning — the
+    // transform's join recomputes it once lazily, nothing leaks
     val freq = df.where(col(inputCol).isNotNull)
-      .groupBy(col(inputCol)).agg(count(lit(1)).as("__cnt"))
-    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    val cuts = freq.stat.approxQuantile("__cnt", probs, 0.001).distinct.sorted
-    // larger count → fewer cuts at or above it → SMALLER bucket id: bucket
-    // ascending is count descending, matching the fit order
-    val bucket = cuts.map(c => when(col("__cnt") <= c, 1).otherwise(0))
-      .reduceOption(_ + _).getOrElse(lit(0))
-    val withB = freq.withColumn("__b", bucket)
-    val counts = withB.groupBy("__b").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val ids = counts.keys.toSeq.sorted
-    val offsets = ids.zip(ids.scanLeft(0L)(_ + counts(_)).init).toMap
-    val w = Window.partitionBy("__b").orderBy(col("__cnt").desc, col(inputCol).asc)
-    val mapping = withB.withColumn(outputCol,
-        (row_number().over(w).cast(LongType) +
-          element_at(typedLit(offsets), col("__b")) - 1L).cast(DoubleType))
-      .select(col(inputCol), col(outputCol))
-    df.join(mapping, Seq(inputCol))
+      .groupBy(col(inputCol)).agg(count(lit(1)).as("__cnt")).persist()
+    try {
+      freq.count() // materialize so the fit actions share one input scan
+      val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+      val cuts = freq.stat.approxQuantile("__cnt", probs, 0.001).distinct.sorted
+      // larger count → fewer cuts at or above it → SMALLER bucket id: bucket
+      // ascending is count descending, matching the fit order
+      val bucket = cuts.map(c => when(col("__cnt") <= c, 1).otherwise(0))
+        .reduceOption(_ + _).getOrElse(lit(0))
+      val withB = freq.withColumn("__b", bucket)
+      // ZIPF GUARD: count cuts put every equal-count label in ONE bucket, so
+      // the cnt==1 long tail of a high-cardinality column would rank in a
+      // single window task. A FAT bucket holding a single distinct count is
+      // order-safe to sub-split by VALUE (its residual order is value alone),
+      // with deterministic cut strings from a seed-pinned sample, compared
+      // in unsigned UTF-8 like Spark's own string ordering. Mixed-count
+      // buckets stay whole (value-splitting them would scramble cnt order) —
+      // cuts land between distinct counts whenever possible, so the massive
+      // tie groups that matter are single-count by construction.
+      val stats = withB.groupBy("__b")
+        .agg(count(lit(1)).as("n"), min("__cnt").as("lo"), max("__cnt").as("hi"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2) == r.getLong(3)))
+        .toMap
+      val total = stats.values.map(_._1).sum
+      val fatLimit = math.max(total / buckets * 2, 1024L)
+      val utf8 = new Ordering[String] {
+        def compare(a: String, b: String) = graft.vt.VersionedTable.utf8Cmp(a, b)
+      }
+      val subCuts: Map[Int, Seq[String]] = stats.collect {
+        case (b, (n, true)) if n > fatLimit =>
+          val sample = withB.where(col("__b") === b).select(inputCol)
+            .sample(withReplacement = false, math.min(1.0, 4096.0 / n), seed = 42)
+            .collect().map(_.getString(0)).sorted(utf8)
+          val cs =
+            if (sample.isEmpty) Seq.empty[String]
+            else (1 until buckets)
+              .map(i => sample(((sample.length.toLong * i) / buckets).toInt
+                .min(sample.length - 1)))
+              .distinct
+          b -> cs
+      }.filter(_._2.nonEmpty).toMap
+      val sub = subCuts.foldLeft(lit(0)) { case (acc, (b, cs)) =>
+        when(col("__b") === b,
+          cs.map(cu => when(col(inputCol) > lit(cu), 1).otherwise(0)).reduce(_ + _))
+          .otherwise(acc)
+      }
+      val keyed = withB.withColumn("__s", sub)
+        .withColumn("__g", col("__b") * 4096 + col("__s"))
+      val counts = keyed.groupBy("__g").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val ids = counts.keys.toSeq.sorted // (b asc, s asc) — the fit order
+      val offsets = ids.zip(ids.scanLeft(0L)(_ + counts(_)).init).toMap
+      val w = Window.partitionBy("__g").orderBy(col("__cnt").desc, col(inputCol).asc)
+      val mapping = keyed.withColumn(outputCol,
+          (row_number().over(w).cast(LongType) +
+            element_at(typedLit(offsets), col("__g")) - 1L).cast(DoubleType))
+        .select(col(inputCol), col(outputCol))
+      df.join(mapping, Seq(inputCol))
+    } finally {
+      freq.unpersist()
+      ()
+    }
   }
 
   /** Identical oracle to q_string_indexer — the assertion IS the twin

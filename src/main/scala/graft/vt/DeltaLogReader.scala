@@ -520,7 +520,11 @@ object DeltaLogReader {
     val frames = outs.result()
     require(frames.nonEmpty,
       s"versions $fromVersion..$toVersion contain no data changes")
-    frames.reduce(_ unionByName _)
+    // a range spanning an overwriteSchema commit mixes column sets: align
+    // by name and null-fill the columns a version's schema lacked — the
+    // rows ARE the feed's truth, and delta-spark's CDF likewise serves
+    // old-version changes null-padded to the latest schema
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Delta's `option("timestampAsOf", ts)` without the Delta jar. */

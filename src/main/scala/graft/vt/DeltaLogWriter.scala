@@ -84,6 +84,22 @@ object DeltaLogWriter {
     val firstDvVersion = commits.find(_.dvFiles.nonEmpty).map(_.version)
     val logDir = vt.root.resolve("_delta_log")
     Files.createDirectories(logDir)
+    // CDF enablement is stamped into v0's protocol/metaData, which an
+    // idempotent re-export never rewrites — so flipping the flag between
+    // exports would silently produce a NON-CONFORMANT log (cdc files in a
+    // table whose metaData never enabled CDF, or a CDF-enabled table whose
+    // non-append commit lacks its cdc file: the state delta-spark assumes
+    // cannot exist). Refuse loudly instead.
+    val v0 = logDir.resolve(f"${0L}%020d.json")
+    if (Files.exists(v0)) {
+      val exportedCdf = Files.readAllLines(v0).asScala.exists(
+        _.contains("\"delta.enableChangeDataFeed\":\"true\""))
+      require(exportedCdf == changeDataFeed,
+        s"this _delta_log was exported with changeDataFeed=$exportedCdf; " +
+          s"re-exporting with changeDataFeed=$changeDataFeed would produce a " +
+          "non-conformant log — keep the original setting (or remove " +
+          "_delta_log and re-export from scratch)")
+    }
     var prev: Option[Commit] = None
     var prevDv: Map[String, Vector[Long]] = Map.empty
     for (c <- commits) {

@@ -27,27 +27,31 @@ private[vt] object ProtectionRules {
 
   private def rules(store: MetaStore, dir: Path) = new CasStringSet(store, dir, "rules")
 
-  /** Rules persisted by the pre-CAS single-object format, if any. */
-  private def legacy(store: MetaStore, dir: Path): Seq[String] = {
-    val key = dir.resolve("rules")
-    if (store.exists(key)) store.read(key).split('\n').toSeq.filter(_.nonEmpty)
-    else Seq.empty
-  }
+  /** Rules persisted by the pre-CAS single-object format, if any. Read
+    * without an exists-then-read window: a concurrent first edit's
+    * [[migrate]] deletes the object, and an in-flight enforcement read
+    * racing that delete must see "absent" (the content is already folded
+    * into an immutable generation), never crash. */
+  private def legacy(store: MetaStore, dir: Path): Seq[String] =
+    try store.read(dir.resolve("rules")).split('\n').toSeq.filter(_.nonEmpty)
+    catch { case _: Exception => Seq.empty }
 
   /** Fold the legacy object into the chain, then retire it. Runs before any
     * EDIT (reads union instead): folding first means a crash at any point
     * leaves the legacy rules readable — either still in the object or
-    * already in an immutable generation — never dropped; the delete-last
-    * order also prevents a removed legacy rule from resurrecting through
-    * the read-side union. Idempotent (re-folding dedupes). */
-  private def migrate(store: MetaStore, dir: Path): Unit = {
-    val old = legacy(store, dir)
-    if (old.nonEmpty) {
-      rules(store, dir).update(cur => (cur ++ old).distinct.sorted)
+    * already in an immutable generation — never dropped. The legacy content
+    * is RE-READ inside the CAS closure: a rival that already folded,
+    * retired the object, AND removed one of its rules forces this updater
+    * to retry on the lost claim, at which point the re-read sees no legacy
+    * object and the update becomes a no-op — a stale capture taken before
+    * the rival's edits would CAS the removed rule straight back in.
+    * Idempotent (re-folding dedupes). */
+  private def migrate(store: MetaStore, dir: Path): Unit =
+    if (legacy(store, dir).nonEmpty) {
+      rules(store, dir).update(cur => (cur ++ legacy(store, dir)).distinct.sorted)
       store.delete(dir.resolve("rules"))
       ()
     }
-  }
 
   def add(store: MetaStore, dir: Path, pattern: String): Unit = {
     require(pattern.nonEmpty && !pattern.contains('\n'), s"bad protection pattern: $pattern")

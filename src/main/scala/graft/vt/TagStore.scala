@@ -56,13 +56,17 @@ private[vt] object TagStore {
   }
 
   /** Deleting a missing tag is a no-op returning false. The index entry is
-    * dropped AFTER the object (the reverse order could leave a live tag
-    * invisible to vacuum's retained set if the delete crashed between the
-    * two writes — the exact hazard the index exists to close). */
-  def delete(store: MetaStore, tagsDir: Path, name: String): Boolean = {
-    val deleted = store.delete(tagsDir.resolve(name))
-    if (deleted) index(store, tagsDir).remove(name)
-    deleted
-  }
+    * NOT removed: index entries are ADD-ONLY. Removing on delete looks
+    * tidy but reopens the hole — delete(x) racing a fresh create(x) can
+    * interleave as [A deletes object] [B's index.add no-ops, the stale
+    * entry is still present] [B's putIfAbsent lands the new tag]
+    * [A's index.remove strips it] — leaving a LIVE tag unindexed, i.e. the
+    * EC-vacuum data loss again. Add-only keeps the invariant "an existing
+    * tag always has an index entry" under every interleaving (the entry
+    * lands before the object and nothing ever takes it away); dead names
+    * cost bytes and one strongly-consistent exists probe each in [[all]],
+    * and deletions are admin-rare. */
+  def delete(store: MetaStore, tagsDir: Path, name: String): Boolean =
+    store.delete(tagsDir.resolve(name))
 }
 

@@ -1159,11 +1159,12 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     }
     store.delete(cursorsBranchDir)
     store.delete(refsDir.resolve(name))
-    // after the ref: a crash between the two leaves the indexed name
-    // filtered out by branches()' exists-check (ref gone), and the next
-    // index edit is free to drop it; the reverse order could hide a
-    // still-live ref from index-only enumerators
-    branchIndex.remove(name)
+    // the index entry is NOT removed — entries are ADD-ONLY, same rule as
+    // the tag index (TagStore.delete): a remove here racing a namesake
+    // createBranch can strip the NEW branch's entry (create's index.add
+    // no-ops while the stale entry exists), leaving a live ref invisible
+    // to index-only enumerators — the EC-vacuum hazard again. branches()'
+    // strongly-consistent exists probe filters the dead name instead.
     ()
   }
 
@@ -1863,7 +1864,7 @@ object VersionedTable {
 
   /** Unsigned UTF-8 byte comparison — the ordering Spark's string min/max
     * stats are computed under (UTF8String binary compare). */
-  private[vt] def utf8Cmp(a: String, b: String): Int = java.util.Arrays.compareUnsigned(
+  private[graft] def utf8Cmp(a: String, b: String): Int = java.util.Arrays.compareUnsigned(
     a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
     b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 

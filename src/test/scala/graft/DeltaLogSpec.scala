@@ -344,6 +344,14 @@ class DeltaLogSpec extends SparkSpec {
     assert(e.getMessage.contains("cdc"), e.getMessage)
     // but the append-only prefix still derives
     assert(DeltaLogReader.changes(spark, plain.root.toString, 0, 1).count() === 3)
+    // flipping the CDF flag on re-export would yield a non-conformant log
+    // (idempotence never rewrites v0's protocol/metaData): refused loudly
+    val e2 = intercept[IllegalArgumentException](
+      plain.exportDeltaLog("main", changeDataFeed = true))
+    assert(e2.getMessage.contains("changeDataFeed"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      vt.exportDeltaLog("main", changeDataFeed = false))
+    assert(e3.getMessage.contains("changeDataFeed"), e3.getMessage)
   }
 
   private def feedSchemaHasTimestamp(vt: VersionedTable): Boolean =

@@ -253,7 +253,9 @@ class MetaStoreSpec extends SparkSpec {
     vt.vacuum(retainLast = 1)
     assert(vt.readTag(spark, "release").as[Int].collect() === Array(1),
       "vacuum under EC listings must not sweep the unlisted tag's files")
-    // deletion drops the index entry; the tag never resurrects
+    // the index entry is add-only (removing it can strip a racing namesake
+    // create's entry), but the deleted tag never resurrects: enumeration
+    // probes each indexed name with a strongly-consistent exists check
     vt.deleteTag("release")
     assert(!vt.tags.map(_._1).contains("release"))
   }

@@ -277,6 +277,24 @@ class ScaleSpec extends SparkSpec {
     assert(df.collect().toSeq === parity)
   }
 
+  test("stringIndexScalable splits a Zipf cnt==1 tie group and still ranks exactly") {
+    // 20k singleton labels + 3 heavy ones: the count cuts collapse, so
+    // without the value sub-split the whole singleton tail would rank in
+    // ONE window task; with it, the fit must still produce the exact
+    // MLlib order (cnt desc, value asc over unsigned-UTF-8 strings)
+    import spark.implicits._
+    val heavy = Seq.fill(50)("zzz_top") ++ Seq.fill(30)("mid_way") ++ Seq.fill(9)("low_key")
+    val tail = (0 until 20000).map(i => f"label_$i%05d")
+    val df = (heavy ++ tail).toDF("v")
+    val got = graft.ops.MLlite.stringIndexScalable(df, "v", "idx")
+      .select("v", "idx").distinct().as[(String, Double)].collect().toMap
+    val expected = (Seq(("zzz_top", 50), ("mid_way", 30), ("low_key", 9)) ++
+      tail.map(_ -> 1)).sortBy { case (v, c) => (-c, v) }
+      .zipWithIndex.map { case ((v, _), i) => v -> i.toDouble }.toMap
+    assert(got.size === expected.size)
+    assert(got === expected, "sub-split ranking must equal the exact fit order")
+  }
+
   test("q_chunk_windows: no exchange above the generator, output globally ordered") {
     // The query's (doc_id, chunk_id) order contract rests on range exchange +
     // sortWithinPartitions BELOW an order-preserving posexplode, with NO
