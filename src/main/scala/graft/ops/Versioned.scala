@@ -734,6 +734,35 @@ object Versioned {
       .orderBy("n_nationkey")
   }
 
+  /** Foreign-Delta REPLICATION (r15): the migration on-ramp. A Delta table
+    * authored by "another engine" (protocol-conformant fixture) is followed
+    * version-for-version by [[graft.streaming.ChangeFeed.replicateFromDelta]]
+    * into a native versioned table — position derived from the target's own
+    * idempotent-ingest watermark, nothing written into the source. The
+    * oracle pins that the target's history MIRRORS the source's: version v
+    * of the target equals version v of the Delta table. */
+  val qVtDeltaReplicate: QueryDef = q("q_vt_delta_replicate")(
+    """SELECT 0 AS ver, n_nationkey, n_name FROM nation WHERE n_regionkey < 2
+      |UNION ALL
+      |SELECT 1 AS ver, n_nationkey, n_name FROM nation
+      |ORDER BY ver, n_nationkey""".stripMargin) { (s, d) =>
+    import graft.vt.{DeltaLogFixture => F}
+    val root = java.nio.file.Paths.get(Tables.scratch("vt_delta_repl_src"))
+    java.nio.file.Files.createDirectories(root)
+    val nation = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+    val (fa, sa) = F.writeDataFile(root, nation.where(col("n_regionkey") < 2), "part-a")
+    val (fb, sb) = F.writeDataFile(root, nation.where(col("n_regionkey") >= 2), "part-b")
+    F.writeCommit(root, 0, Seq(F.protocolLine(), F.metaDataLine(nation.schema.json, Nil),
+      F.addLine(fa, sa)))
+    F.writeCommit(root, 1, Seq(F.addLine(fb, sb)))
+    val target = VersionedTable.create(Tables.scratch("vt_delta_repl_tgt"))
+    val shipped = ChangeFeed.replicateFromDelta(s, root.toString, target)
+    require(shipped == 2, s"expected 2 shipped versions, got $shipped")
+    (0 to 1).map(v => target.readVersion(s, "main", v)
+        .select(lit(v).as("ver"), col("n_nationkey"), col("n_name")))
+      .reduce(_ unionByName _).orderBy("ver", "n_nationkey")
+  }
+
   /** Delta CHANGE DATA FEED round-trip (r15): the same load → append →
     * COW-upsert lineage as `q_vt_changes_feed`, exported with
     * `changeDataFeed = true` — the upsert version writes its row-level
@@ -849,5 +878,6 @@ object Versioned {
     qVtChangesUpsert, qVtChangesFeed, qVtHistory, qVtUpsert, qVtDelete, qVtDeleteMor,
     qVtUpdate, qVtTag, qVtRestoreTag, qVtProtected, qVtFeedConsume, qVtCount,
     qVtIncremental, qVtTsTravel, qVtDeltaLog, qVtDeltaRoundtrip,
-    qVtDeltaDvRoundtrip, qVtDeltaCmap, qVtDeltaSkip, qVtDeltaCdf)
+    qVtDeltaDvRoundtrip, qVtDeltaCmap, qVtDeltaSkip, qVtDeltaCdf,
+    qVtDeltaReplicate)
 }

@@ -205,4 +205,52 @@ object ChangeFeed {
     }
     n
   }
+
+  /** Replicate a FOREIGN Delta table into a versioned table — the
+    * migration on-ramp for a lakehouse user switching engines: point this
+    * at any `_delta_log` directory ([[graft.vt.DeltaLogReader]] needs no
+    * Delta jar) and the target follows it version-for-version, each Delta
+    * commit landing as one append commit (so the target's history mirrors
+    * the source's and every Delta version boundary is a time-travel point).
+    *
+    * Exactly-once WITHOUT touching the foreign table: the position is the
+    * target's own idempotent-ingest watermark
+    * ([[EventsStreaming.lastIngestedBatchId]], batchId = source version),
+    * so nothing is ever written into the source directory, a crashed
+    * replicator resumes from what the target durably holds, and duplicate
+    * deliveries dedup at the sink — the same contract
+    * [[replicateAppends]] gives native sources. Each source version ships
+    * from its own change feed ([[graft.vt.DeltaLogReader.changes]]): adds
+    * derived for plain appends, `cdc` files honored when present.
+    * Metadata-only versions are stepped over. A version whose feed contains
+    * a NON-insert change refuses loudly — deletes/updates need a keyed CDC
+    * apply, not log shipping (same rule as the native replicator).
+    * Per-version cost is O(that version's changes); the catch-up loop is
+    * O(backlog), never O(history). */
+  def replicateFromDelta(spark: SparkSession, deltaRoot: String,
+                         target: VersionedTable, targetBranch: String = "main",
+                         maxVersions: Int = Int.MaxValue): Int = {
+    import org.apache.spark.sql.functions.col
+    import graft.vt.DeltaLogReader
+    val newest = DeltaLogReader.latestVersion(deltaRoot)
+    val from = EventsStreaming.lastIngestedBatchId(target, targetBranch).getOrElse(-1L)
+    var shipped = 0
+    var v = from + 1
+    while (v <= newest && shipped < maxVersions) {
+      val feed = DeltaLogReader.changes(spark, deltaRoot, v, v)
+      val nonInsert = feed.where(col("_change_type") =!= "insert")
+      if (!nonInsert.isEmpty)
+        throw new IllegalStateException(
+          s"replicateFromDelta: source version $v carries non-insert changes " +
+            "(delete/update); replicate it with a keyed CDC apply instead of " +
+            "log shipping")
+      val batch = feed.drop("_change_type", "_commit_version", "_commit_timestamp")
+      if (!batch.isEmpty) {
+        EventsStreaming.ingestBatch(target, targetBranch)(batch, v)
+        shipped += 1
+      }
+      v += 1
+    }
+    shipped
+  }
 }

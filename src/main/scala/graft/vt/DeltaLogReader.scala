@@ -518,8 +518,18 @@ object DeltaLogReader {
       }
     }
     val frames = outs.result()
-    require(frames.nonEmpty,
-      s"versions $fromVersion..$toVersion contain no data changes")
+    if (frames.isEmpty) {
+      // a range of metadata-only commits is a legal, EMPTY feed (a
+      // replicator polling version-by-version must be able to step over
+      // them) — not an error
+      require(schemaJson != null, s"no metaData action in versions 0..$toVersion")
+      val s = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+        .add("_change_type", org.apache.spark.sql.types.StringType)
+        .add("_commit_version", org.apache.spark.sql.types.LongType)
+        .add("_commit_timestamp", org.apache.spark.sql.types.TimestampType)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    }
     // a range spanning an overwriteSchema commit mixes column sets: align
     // by name and null-fill the columns a version's schema lacked — the
     // rows ARE the feed's truth, and delta-spark's CDF likewise serves

@@ -358,6 +358,35 @@ class DeltaLogSpec extends SparkSpec {
     DeltaLogReader.changes(spark, vt.root.toString, 0, 0)
       .schema("_commit_timestamp").dataType.typeName === "timestamp"
 
+  test("replicateFromDelta: idempotent catch-up, metadata-only versions stepped over, deletes refused") {
+    import graft.streaming.ChangeFeed
+    val root = freshRoot("repl_src")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val (fa, sa) = F.writeDataFile(root, df, "a")
+    F.writeCommit(root, 0, Seq(F.protocolLine(), F.metaDataLine(df.schema.json, Nil),
+      F.addLine(fa, sa)))
+    val target = VersionedTable.create(Tables.scratch("repl_tgt"))
+    assert(ChangeFeed.replicateFromDelta(spark, root.toString, target) === 1)
+    assert(target.read(spark, "main").count() === 2)
+    // re-run with nothing new: no-op (position from the target's watermark)
+    assert(ChangeFeed.replicateFromDelta(spark, root.toString, target) === 0)
+    assert(target.head("main").get.version === 0)
+    // v1 metadata-only, v2 a real append: catch-up ships one batch and the
+    // target's history mirrors the source's version boundaries
+    F.writeCommit(root, 1, Seq(F.metaDataLine(df.schema.json, Nil)))
+    val (fb, sb) = F.writeDataFile(root, Seq((3L, "c")).toDF("k", "v"), "b")
+    F.writeCommit(root, 2, Seq(F.addLine(fb, sb)))
+    assert(ChangeFeed.replicateFromDelta(spark, root.toString, target) === 1)
+    assert(target.read(spark, "main").select("k").as[Long].collect().sorted ===
+      Array(1L, 2L, 3L))
+    // a delete commit is not log-shippable: refused loudly, target untouched
+    F.writeCommit(root, 3, Seq(F.removeLine(fb)))
+    val e = intercept[IllegalStateException](
+      ChangeFeed.replicateFromDelta(spark, root.toString, target))
+    assert(e.getMessage.contains("non-insert"), e.getMessage)
+    assert(target.read(spark, "main").count() === 3, "refusal must not mutate the target")
+  }
+
   test("multi-part checkpoints bootstrap; incomplete part groups are ignored") {
     // delta-spark splits large checkpoints into <v>.checkpoint.<i>.<n>.parquet
     // parts; actions land in arbitrary parts. Split a real checkpoint in two
