@@ -117,6 +117,10 @@ object MLlite {
     *     cannot survive). */
   def stringIndexScalable(df: DataFrame, inputCol: String, outputCol: String,
                           buckets: Int = 32): DataFrame = {
+    // 4096 is the __g = __b * 4096 + __s packing radix: more buckets than
+    // that would alias (b, s) pairs across buckets and silently mis-rank
+    require(buckets >= 2 && buckets <= 4096,
+      s"need 2 <= buckets <= 4096, got $buckets")
     // the mapping (one row per distinct label) is scanned by three fit-time
     // actions; cache it for the fit and release it before returning — the
     // transform's join recomputes it once lazily, nothing leaks
@@ -149,17 +153,30 @@ object MLlite {
       val utf8 = new Ordering[String] {
         def compare(a: String, b: String) = graft.vt.VersionedTable.utf8Cmp(a, b)
       }
-      val subCuts: Map[Int, Seq[String]] = stats.collect {
-        case (b, (n, true)) if n > fatLimit =>
-          val sample = withB.where(col("__b") === b).select(inputCol)
-            .sample(withReplacement = false, math.min(1.0, 4096.0 / n), seed = 42)
-            .collect().map(_.getString(0)).sorted(utf8)
-          val cs =
-            if (sample.isEmpty) Seq.empty[String]
-            else (1 until buckets)
-              .map(i => sample(((sample.length.toLong * i) / buckets).toInt
-                .min(sample.length - 1)))
-              .distinct
+      // sub-cuts are TYPED: string columns sample + unsigned-UTF-8-sorted
+      // cut strings; numeric columns take deterministic quantile cuts
+      // (9 < 10 must stay numeric, never lexicographic — the parity form's
+      // documented native-type contract); other orderable types keep the
+      // tie bucket whole rather than risk a driver/Spark ordering mismatch
+      val dt = freq.schema(inputCol).dataType
+      val subCuts: Map[Int, Seq[Any]] = stats.collect {
+        case (b, (n, true)) if n > fatLimit &&
+            (dt == org.apache.spark.sql.types.StringType ||
+              dt.isInstanceOf[org.apache.spark.sql.types.NumericType]) =>
+          val cs: Seq[Any] = dt match {
+            case org.apache.spark.sql.types.StringType =>
+              val sample = withB.where(col("__b") === b).select(inputCol)
+                .sample(withReplacement = false, math.min(1.0, 4096.0 / n), seed = 42)
+                .collect().map(_.getString(0)).sorted(utf8)
+              if (sample.isEmpty) Seq.empty
+              else (1 until buckets)
+                .map(i => sample(((sample.length.toLong * i) / buckets).toInt
+                  .min(sample.length - 1)))
+                .distinct
+            case _ =>
+              withB.where(col("__b") === b).stat
+                .approxQuantile(inputCol, probs, 0.001).distinct.sorted.toSeq
+          }
           b -> cs
       }.filter(_._2.nonEmpty).toMap
       val sub = subCuts.foldLeft(lit(0)) { case (acc, (b, cs)) =>

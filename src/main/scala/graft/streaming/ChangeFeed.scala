@@ -234,19 +234,35 @@ object ChangeFeed {
     import graft.vt.DeltaLogReader
     val newest = DeltaLogReader.latestVersion(deltaRoot)
     val from = EventsStreaming.lastIngestedBatchId(target, targetBranch).getOrElse(-1L)
+    if (from > newest)
+      throw new IllegalStateException(
+        s"replicateFromDelta: the target's ingest watermark ($from) is past " +
+          s"the Delta source's latest version ($newest) — the target branch " +
+          "carries ingest commits from some other source (batchId namespaces " +
+          "must not mix); replicate into a branch owned by this replication")
+    if (newest == from) return 0
+    // ONE feed over the whole backlog (changes() walks only the requested
+    // range; its prefix state bootstraps from checkpoints, so pruned-history
+    // sources replicate their retained range). Per-version slices prune to
+    // that version's files via constant folding on the literal
+    // _commit_version, so shipping N versions costs O(backlog) JSON reads
+    // + one scan of each version's change files — never O(history).
+    val feed = DeltaLogReader.changes(spark, deltaRoot, from + 1, newest)
     var shipped = 0
     var v = from + 1
     while (v <= newest && shipped < maxVersions) {
-      val feed = DeltaLogReader.changes(spark, deltaRoot, v, v)
-      val nonInsert = feed.where(col("_change_type") =!= "insert")
-      if (!nonInsert.isEmpty)
+      val slice = feed.where(col("_commit_version") === v)
+      // one job answers both the refusal check and emptiness
+      val byType = slice.groupBy("_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (byType.keySet.exists(_ != "insert"))
         throw new IllegalStateException(
           s"replicateFromDelta: source version $v carries non-insert changes " +
             "(delete/update); replicate it with a keyed CDC apply instead of " +
             "log shipping")
-      val batch = feed.drop("_change_type", "_commit_version", "_commit_timestamp")
-      if (!batch.isEmpty) {
-        EventsStreaming.ingestBatch(target, targetBranch)(batch, v)
+      if (byType.nonEmpty) {
+        EventsStreaming.ingestBatch(target, targetBranch)(
+          slice.drop("_change_type", "_commit_version", "_commit_timestamp"), v)
         shipped += 1
       }
       v += 1

@@ -442,22 +442,36 @@ object DeltaLogReader {
     *
     * Scope: unpartitioned, unmapped tables (everything our export
     * produces); partitioned or column-mapped feeds are refused loudly.
-    * The walk reads commit JSON 0..to (schema tracking needs the prefix),
-    * O(versions) driver-side metadata like the snapshot replay. */
+    * Commit JSON is read for the REQUESTED range only — the prefix state
+    * (schema/config as of `fromVersion - 1`) comes from [[snapshot]], i.e.
+    * checkpoint bootstrap + JSON suffix — so the walk is O(range) and a
+    * table whose pre-checkpoint JSON was pruned by log retention still
+    * serves feeds over its retained range. */
   def changes(spark: SparkSession, tableRoot: String,
               fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion >= 0 && toVersion >= fromVersion,
       s"need 0 <= from <= to, got ($fromVersion, $toVersion)")
     val root = Paths.get(tableRoot).toAbsolutePath.normalize
     val have = commitFiles(root).toMap
-    (0L to toVersion).foreach(v => require(have.contains(v),
+    (fromVersion to toVersion).foreach(v => require(have.contains(v),
       s"_delta_log has no commit JSON for version $v — a change feed over " +
         "pruned history is unreproducible"))
+    // prefix state (schema/partitioning/config as of fromVersion-1) comes
+    // from the SNAPSHOT machinery — checkpoint bootstrap + JSON suffix —
+    // so the walk here is O(range), not O(history), and a table whose
+    // pre-checkpoint JSON was pruned by log retention still serves feeds
+    // over its retained range
     var schemaJson: String = null
     var partCols: Seq[String] = Nil
     var config = Map.empty[String, String]
+    if (fromVersion > 0) {
+      val pre = snapshot(tableRoot, Some(fromVersion - 1), Some(spark))
+      schemaJson = pre.schema.json
+      partCols = pre.partitionColumns
+      config = pre.configuration
+    }
     val outs = Vector.newBuilder[DataFrame]
-    for (v <- 0L to toVersion) {
+    for (v <- fromVersion to toVersion) {
       val commitPath = have(v)
       val adds = Vector.newBuilder[(String, Boolean)] // path, hasDv
       val removes = Vector.newBuilder[String]
@@ -489,33 +503,31 @@ object DeltaLogReader {
       require(partCols.isEmpty &&
         config.getOrElse("delta.columnMapping.mode", "none") == "none",
         "change-feed reads support unpartitioned, unmapped tables only")
-      if (v >= fromVersion) {
-        require(schemaJson != null, s"no metaData action in versions 0..$v")
-        val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-        val ts = commitTimestamp(commitPath)
-        def abs(rel: String) = root.resolve(rel).toString
-        def tag(df: DataFrame) = df
-          .withColumn("_commit_version", lit(v))
-          .withColumn("_commit_timestamp", (lit(ts) / 1000.0).cast("timestamp"))
-        val (a, r, c) = (adds.result(), removes.result(), cdcs.result())
-        if (c.nonEmpty)
-          outs += tag(spark.read
-            .schema(schema.add("_change_type", org.apache.spark.sql.types.StringType))
-            .parquet(c.map(abs): _*))
-        else if (r.isEmpty && a.nonEmpty) {
-          require(a.forall(!_._2), s"version $v adds deletion-vector files " +
-            "without cdc actions — its row-level changes are not derivable")
-          outs += tag(spark.read.schema(schema).parquet(a.map(x => abs(x._1)): _*)
-            .withColumn("_change_type", lit("insert")))
-        } else if (a.isEmpty && r.nonEmpty)
-          outs += tag(spark.read.schema(schema).parquet(r.map(abs): _*)
-            .withColumn("_change_type", lit("delete")))
-        else if (a.nonEmpty && r.nonEmpty)
-          throw new IllegalArgumentException(
-            s"version $v mixes adds and removes without cdc actions — not " +
-              "readable as a change feed (export with changeDataFeed=true)")
-        // else: metadata-only commit, contributes no changes
-      }
+      require(schemaJson != null, s"no metaData action in versions 0..$v")
+      val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+      val ts = commitTimestamp(commitPath)
+      def abs(rel: String) = root.resolve(rel).toString
+      def tag(df: DataFrame) = df
+        .withColumn("_commit_version", lit(v))
+        .withColumn("_commit_timestamp", (lit(ts) / 1000.0).cast("timestamp"))
+      val (a, r, c) = (adds.result(), removes.result(), cdcs.result())
+      if (c.nonEmpty)
+        outs += tag(spark.read
+          .schema(schema.add("_change_type", org.apache.spark.sql.types.StringType))
+          .parquet(c.map(abs): _*))
+      else if (r.isEmpty && a.nonEmpty) {
+        require(a.forall(!_._2), s"version $v adds deletion-vector files " +
+          "without cdc actions — its row-level changes are not derivable")
+        outs += tag(spark.read.schema(schema).parquet(a.map(x => abs(x._1)): _*)
+          .withColumn("_change_type", lit("insert")))
+      } else if (a.isEmpty && r.nonEmpty)
+        outs += tag(spark.read.schema(schema).parquet(r.map(abs): _*)
+          .withColumn("_change_type", lit("delete")))
+      else if (a.nonEmpty && r.nonEmpty)
+        throw new IllegalArgumentException(
+          s"version $v mixes adds and removes without cdc actions — not " +
+            "readable as a change feed (export with changeDataFeed=true)")
+      // else: metadata-only commit, contributes no changes
     }
     val frames = outs.result()
     if (frames.isEmpty) {

@@ -91,15 +91,25 @@ object DeltaLogWriter {
     // non-append commit lacks its cdc file: the state delta-spark assumes
     // cannot exist). Refuse loudly instead.
     val v0 = logDir.resolve(f"${0L}%020d.json")
-    if (Files.exists(v0)) {
-      val exportedCdf = Files.readAllLines(v0).asScala.exists(
-        _.contains("\"delta.enableChangeDataFeed\":\"true\""))
-      require(exportedCdf == changeDataFeed,
-        s"this _delta_log was exported with changeDataFeed=$exportedCdf; " +
-          s"re-exporting with changeDataFeed=$changeDataFeed would produce a " +
-          "non-conformant log — keep the original setting (or remove " +
-          "_delta_log and re-export from scratch)")
-    }
+    val exportedCdf: Option[Boolean] =
+      if (Files.exists(v0))
+        Some(Files.readAllLines(v0).asScala.exists(
+          _.contains("\"delta.enableChangeDataFeed\":\"true\"")))
+      else if (DeltaLogReader.latestVersion(vt.root.toString) >= 0)
+        // v0's JSON may have been pruned after a checkpoint — the flag then
+        // lives in the checkpointed metaData configuration; skipping the
+        // check here would rewrite the pruned versions' JSON under the
+        // OPPOSITE setting while the retained checkpoint still carries the
+        // original, the exact mixed state this guard refuses
+        Some(DeltaLogReader
+          .snapshot(vt.root.toString, None, Some(SparkSession.active))
+          .configuration.get("delta.enableChangeDataFeed").contains("true"))
+      else None
+    exportedCdf.foreach(ex => require(ex == changeDataFeed,
+      s"this _delta_log was exported with changeDataFeed=$ex; re-exporting " +
+        s"with changeDataFeed=$changeDataFeed would produce a non-conformant " +
+        "log — keep the original setting (or remove _delta_log and re-export " +
+        "from scratch)"))
     var prev: Option[Commit] = None
     var prevDv: Map[String, Vector[Long]] = Map.empty
     for (c <- commits) {

@@ -34,7 +34,13 @@ private[vt] object ProtectionRules {
     * into an immutable generation), never crash. */
   private def legacy(store: MetaStore, dir: Path): Seq[String] =
     try store.read(dir.resolve("rules")).split('\n').toSeq.filter(_.nonEmpty)
-    catch { case _: Exception => Seq.empty }
+    catch {
+      // ONLY absence (every MetaStore's read signals it with
+      // NoSuchFileException) — any other failure must propagate: enforcement
+      // that swallows a transient store error fails OPEN on a branch the
+      // admin believes protected
+      case _: java.nio.file.NoSuchFileException => Seq.empty
+    }
 
   /** Fold the legacy object into the chain, then retire it. Runs before any
     * EDIT (reads union instead): folding first means a crash at any point
