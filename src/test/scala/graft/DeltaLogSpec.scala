@@ -358,6 +358,22 @@ class DeltaLogSpec extends SparkSpec {
     DeltaLogReader.changes(spark, vt.root.toString, 0, 0)
       .schema("_commit_timestamp").dataType.typeName === "timestamp"
 
+  test("change feed across an overwriteSchema commit null-fills the old versions' missing columns") {
+    val vt = VersionedTable.create(Tables.scratch("delta_cdf_evolve"))
+    vt.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "main", "v0")
+    vt.write(Seq((1L, "a", 0.5), (2L, "b", 1.5), (3L, "c", 2.5)).toDF("k", "v", "score"),
+      "main", "v1 overwrite, evolved schema", overwriteSchema = true)
+    vt.exportDeltaLog("main", changeDataFeed = true)
+    val feed = DeltaLogReader.changes(spark, vt.root.toString, 0, 1)
+    assert(feed.columns.contains("score"))
+    val v0rows = feed.where($"_commit_version" === 0)
+      .select("k", "score").collect()
+    assert(v0rows.length === 2 && v0rows.forall(_.isNullAt(1)),
+      "pre-evolution versions must null-fill the new column, not crash")
+    assert(feed.where($"_commit_version" === 1 && $"_change_type" === "insert")
+      .count() === 3)
+  }
+
   test("replicateFromDelta: idempotent catch-up, metadata-only versions stepped over, deletes refused") {
     import graft.streaming.ChangeFeed
     val root = freshRoot("repl_src")
