@@ -102,46 +102,92 @@ object DeletionVectors {
   /** Serialize sorted distinct 0-based positions (no-run layout:
     * array containers ≤4096 values, bitmap containers above). */
   def serialize(positions: Seq[Long]): Array[Byte] = {
-    require(positions.forall(_ >= 0), "DV positions are non-negative row indices")
-    val sorted = positions.distinct.sorted
-    val byHigh = sorted.groupBy(p => (p >> 32).toInt).toSeq.sortBy(_._1)
-    val bitmaps = byHigh.map { case (hk, ps) =>
-      hk -> serialize32(ps.map(p => (p & 0xffffffffL).toInt))
-    }
-    val buf = ByteBuffer.allocate(4 + 8 + bitmaps.map(4 + _._2.length).sum)
-      .order(ByteOrder.LITTLE_ENDIAN)
-    buf.putInt(Magic).putLong(bitmaps.size.toLong)
-    bitmaps.foreach { case (hk, b) => buf.putInt(hk).put(b) }
-    buf.array()
+    val b = new RoaringBuilder
+    positions.distinct.sorted.foreach(b.add)
+    b.result()
   }
 
-  private def serialize32(values: Seq[Int]): Array[Byte] = {
-    val byKey = values.groupBy(v => (v >>> 16) & 0xffff).toSeq.sortBy(_._1)
-    val n = byKey.size
-    val containers = byKey.map { case (_, vs) =>
-      if (vs.size <= 4096) { // array container
-        val b = ByteBuffer.allocate(2 * vs.size).order(ByteOrder.LITTLE_ENDIAN)
-        vs.sorted.foreach(v => b.putShort((v & 0xffff).toShort))
-        b.array()
-      } else { // bitmap container: 1024 × int64
-        val words = new Array[Long](1024)
-        vs.foreach { v => val low = v & 0xffff; words(low >>> 6) |= 1L << (low & 63) }
-        val b = ByteBuffer.allocate(8192).order(ByteOrder.LITTLE_ENDIAN)
-        words.foreach(b.putLong)
-        b.array()
+  /** STREAMING portable-RoaringBitmapArray serializer: feed positions in
+    * ascending order (consecutive duplicates tolerated), take the final
+    * bytes. Memory is O(serialized size) — one ≤64 Ki-value container is
+    * open at a time and flushes to its ≤8 KiB payload — NEVER O(positions),
+    * so an executor task can build the DV of a 10⁹-row MOR delete without
+    * materializing the position set ([[graft.vt.DeltaLogWriter]]'s
+    * distributed export path relies on exactly this). */
+  final class RoaringBuilder {
+    private val bitmaps = Vector.newBuilder[(Int, Array[Byte])]
+    // containers of the CURRENT high-32 key: (16-bit key, cardinality, payload)
+    private val containers = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Array[Byte])]
+    private val vals = new Array[Short](65536) // open container's low-16 values
+    private var n = 0
+    private var curHigh = -1L
+    private var curKey = -1
+    private var last = -1L
+    private var count = 0L
+
+    def add(pos: Long): Unit = {
+      require(pos >= 0, "DV positions are non-negative row indices")
+      if (pos == last) return // tolerate consecutive duplicates
+      require(pos > last,
+        s"RoaringBuilder positions must be ascending (got $pos after $last)")
+      last = pos; count += 1
+      val high = pos >>> 32
+      val key = ((pos >>> 16) & 0xffff).toInt
+      if (high != curHigh || key != curKey) {
+        flushContainer()
+        if (high != curHigh) { flushHigh(); curHigh = high }
+        curKey = key
       }
+      vals(n) = (pos & 0xffff).toShort; n += 1
     }
-    val headerLen = 8 + 4 * n + 4 * n // cookie+count, descriptors, offsets
-    val buf = ByteBuffer.allocate(headerLen + containers.map(_.length).sum)
-      .order(ByteOrder.LITTLE_ENDIAN)
-    buf.putInt(CookieNoRun).putInt(n)
-    byKey.foreach { case (k, vs) =>
-      buf.putShort(k.toShort).putShort((vs.size - 1).toShort)
+
+    /** Distinct positions added so far. */
+    def cardinality: Long = count
+
+    private def flushContainer(): Unit = if (n > 0) {
+      val payload =
+        if (n <= 4096) { // array container
+          val b = ByteBuffer.allocate(2 * n).order(ByteOrder.LITTLE_ENDIAN)
+          (0 until n).foreach(i => b.putShort(vals(i)))
+          b.array()
+        } else { // bitmap container: 1024 × int64
+          val words = new Array[Long](1024)
+          (0 until n).foreach { i =>
+            val low = vals(i) & 0xffff; words(low >>> 6) |= 1L << (low & 63)
+          }
+          val b = ByteBuffer.allocate(8192).order(ByteOrder.LITTLE_ENDIAN)
+          words.foreach(b.putLong)
+          b.array()
+        }
+      containers += ((curKey, n, payload))
+      n = 0
     }
-    var pos = headerLen
-    containers.foreach { c => buf.putInt(pos); pos += c.length }
-    containers.foreach(buf.put)
-    buf.array()
+
+    private def flushHigh(): Unit = if (containers.nonEmpty) {
+      val cs = containers.size
+      val headerLen = 8 + 4 * cs + 4 * cs // cookie+count, descriptors, offsets
+      val buf = ByteBuffer.allocate(headerLen + containers.map(_._3.length).sum)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      buf.putInt(CookieNoRun).putInt(cs)
+      containers.foreach { case (k, card, _) =>
+        buf.putShort(k.toShort).putShort((card - 1).toShort)
+      }
+      var pos = headerLen
+      containers.foreach { c => buf.putInt(pos); pos += c._3.length }
+      containers.foreach(c => buf.put(c._3))
+      bitmaps += ((curHigh.toInt, buf.array()))
+      containers.clear()
+    }
+
+    def result(): Array[Byte] = {
+      flushContainer(); flushHigh()
+      val bs = bitmaps.result()
+      val buf = ByteBuffer.allocate(4 + 8 + bs.map(4 + _._2.length).sum)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      buf.putInt(Magic).putLong(bs.size.toLong)
+      bs.foreach { case (hk, b) => buf.putInt(hk).put(b) }
+      buf.array()
+    }
   }
 
   /** Deserialize a portable RoaringBitmapArray to sorted positions. */
@@ -258,8 +304,15 @@ object DeletionVectors {
   /** Author an on-disk (`u`-flavor) DV file for `positions` under
     * `tableRoot`; returns its descriptor. Used by fixtures and the
     * versioned-table DV export. */
-  def writeDvFile(tableRoot: Path, positions: Seq[Long]): DvDescriptor = {
-    val data = serialize(positions)
+  def writeDvFile(tableRoot: Path, positions: Seq[Long]): DvDescriptor =
+    writeDvBytes(tableRoot, serialize(positions), positions.distinct.size.toLong)
+
+  /** On-disk (`u`-flavor) DV from an already-serialized bitmap — the
+    * executor-side half of the distributed Delta export ([[DeltaLogWriter]]
+    * builds the bytes with [[RoaringBuilder]] inside the task, so the
+    * position set never leaves the executor). */
+  def writeDvBytes(tableRoot: Path, data: Array[Byte],
+                   cardinality: Long): DvDescriptor = {
     val uuid = java.util.UUID.randomUUID()
     val buf = ByteBuffer.allocate(1 + 4 + data.length + 4).order(ByteOrder.BIG_ENDIAN)
     val crc = new java.util.zip.CRC32
@@ -268,7 +321,7 @@ object DeletionVectors {
     Files.write(tableRoot.resolve(s"deletion_vector_$uuid.bin"), buf.array())
     val ub = ByteBuffer.allocate(16)
     ub.putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits)
-    DvDescriptor("u", z85Encode(ub.array()), Some(1), data.length, positions.distinct.size.toLong)
+    DvDescriptor("u", z85Encode(ub.array()), Some(1), data.length, cardinality)
   }
 
   /** Inline (`i`-flavor) descriptor for `positions`. */
@@ -276,4 +329,8 @@ object DeletionVectors {
     val data = serialize(positions)
     DvDescriptor("i", z85Encode(data), None, data.length, positions.distinct.size.toLong)
   }
+
+  /** Inline (`i`-flavor) descriptor from pre-serialized bytes. */
+  def inlineBytes(data: Array[Byte], cardinality: Long): DvDescriptor =
+    DvDescriptor("i", z85Encode(data), None, data.length, cardinality)
 }

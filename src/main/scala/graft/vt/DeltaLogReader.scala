@@ -72,14 +72,22 @@ object DeltaLogReader {
                              dv: Option[DeletionVectors.DvDescriptor],
                              stats: Option[String] = None)
 
+  /** The log's newest `protocol` action, carried verbatim so a checkpoint
+    * of the snapshot preserves the table's declared feature gates instead
+    * of recomputing (and possibly weakening) them. */
+  final case class ProtocolInfo(minReader: Int, minWriter: Int,
+                                readerFeatures: Option[Seq[String]],
+                                writerFeatures: Option[Seq[String]])
+
   /** One replayed snapshot: live data files in add-order, plus the winning
-    * schema, partition columns, and table configuration (the
+    * schema, partition columns, table configuration (the
     * `metaData.configuration` map — carries `delta.columnMapping.mode` for
-    * column-mapped tables). */
+    * column-mapped tables), and the newest protocol action. */
   final case class DeltaSnapshot(version: Long, schema: StructType,
                                  partitionColumns: Seq[String],
                                  files: Vector[FileEntry],
-                                 configuration: Map[String, String] = Map.empty)
+                                 configuration: Map[String, String] = Map.empty,
+                                 protocol: Option[ProtocolInfo] = None)
 
   /** Newest version present in `_delta_log` — JSON commit or checkpoint,
     * whichever is newer (−1 when the dir has neither). */
@@ -198,6 +206,7 @@ object DeltaLogReader {
     var schemaJson: String = null
     var partCols: Seq[String] = Nil
     var config: Map[String, String] = Map.empty
+    var protocol: Option[ProtocolInfo] = None
     val live = scala.collection.mutable.LinkedHashMap
       .empty[String, (Map[String, String], Option[DeletionVectors.DvDescriptor], Option[String])]
   }
@@ -247,10 +256,14 @@ object DeltaLogReader {
       val action = mapper.readTree(line)
       if (action.has("protocol")) {
         val p = action.get("protocol")
+        def feats(key: String): Option[Seq[String]] =
+          if (p.has(key)) Some(p.get(key).elements().asScala.map(_.asText()).toSeq)
+          else None
         checkProtocol(p.path("minReaderVersion").asInt(1),
-          if (p.has("readerFeatures"))
-            Some(p.get("readerFeatures").elements().asScala.map(_.asText()).toSet)
-          else None)
+          feats("readerFeatures").map(_.toSet))
+        state.protocol = Some(ProtocolInfo(p.path("minReaderVersion").asInt(1),
+          p.path("minWriterVersion").asInt(2),
+          feats("readerFeatures"), feats("writerFeatures")))
       }
       if (action.has("metaData")) {
         val md = action.get("metaData")
@@ -286,15 +299,20 @@ object DeltaLogReader {
     def nested(col: String, field: String): Boolean =
       df.schema(col).dataType.asInstanceOf[StructType].fieldNames.contains(field)
     if (cols("protocol")) {
-      val hasFeatures = nested("protocol", "readerFeatures")
-      val sel =
-        if (hasFeatures) df.select("protocol.minReaderVersion", "protocol.readerFeatures")
-        else df.select("protocol.minReaderVersion")
-      sel.where("minReaderVersion IS NOT NULL").collect().foreach { r =>
-        val features =
-          if (hasFeatures && !r.isNullAt(1)) Some(r.getSeq[String](1).toSet) else None
-        checkProtocol(r.getInt(0), features)
-      }
+      val hasRf = nested("protocol", "readerFeatures")
+      val hasWf = nested("protocol", "writerFeatures")
+      val fields = Seq("protocol.minReaderVersion", "protocol.minWriterVersion") ++
+        (if (hasRf) Seq("protocol.readerFeatures") else Nil) ++
+        (if (hasWf) Seq("protocol.writerFeatures") else Nil)
+      val wfIdx = if (hasRf) 3 else 2
+      df.select(fields.head, fields.tail: _*)
+        .where("minReaderVersion IS NOT NULL").collect().foreach { r =>
+          val rf = if (hasRf && !r.isNullAt(2)) Some(r.getSeq[String](2)) else None
+          val wf = if (hasWf && !r.isNullAt(wfIdx)) Some(r.getSeq[String](wfIdx)) else None
+          checkProtocol(r.getInt(0), rf.map(_.toSet))
+          state.protocol = Some(ProtocolInfo(r.getInt(0),
+            if (r.isNullAt(1)) 2 else r.getInt(1), rf, wf))
+        }
     }
     require(cols("metaData"), s"checkpoint $cpPath has no metaData column")
     val hasConfig = nested("metaData", "configuration")
@@ -385,7 +403,7 @@ object DeltaLogReader {
     DeltaSnapshot(upTo, DataType.fromJson(state.schemaJson).asInstanceOf[StructType],
       state.partCols,
       state.live.toVector.map { case (p, (pv, dv, st)) => FileEntry(p, pv, dv, st) },
-      state.config)
+      state.config, state.protocol)
   }
 
   /** Delta paths are percent-encoded URIs relative to the table root. */
@@ -585,6 +603,15 @@ object DeltaLogReader {
                 lower: Double, upper: Double,
                 versionAsOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(tableRoot, versionAsOf, Some(spark))
+    // the residual filter casts to double; on a non-numeric column that cast
+    // yields null and silently drops EVERY row — require the declared type
+    // to be numeric up front, the same typed-stats discipline statsJson
+    // applies on the write side
+    val declared = snap.schema.fields.find(_.name == column).map(_.dataType)
+    require(declared.isDefined, s"no such column '$column' in ${snap.schema.fieldNames.mkString(", ")}")
+    require(declared.get.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"readWhere needs a numeric column; '$column' is ${declared.get.simpleString} " +
+        "— a double cast on it would yield null and silently drop every row")
     val physicalName = snap.schema.fields.find(_.name == column).map(physName)
     val keep = snap.files.filter { f =>
       f.stats match {

@@ -111,25 +111,27 @@ object DeltaLogWriter {
         "log — keep the original setting (or remove _delta_log and re-export " +
         "from scratch)"))
     var prev: Option[Commit] = None
-    var prevDv: Map[String, Vector[Long]] = Map.empty
     for (c <- commits) {
       val target = logDir.resolve(f"${c.version}%020d.json")
-      // a commit's DV relation is read only when this version exports or the
-      // NEXT one does (the diff's base) — an incremental re-export of a long
-      // DV-bearing lineage stays O(new suffix), not O(full DV history)
-      val dvNeeded = !Files.exists(target) ||
-        (c.version < commits.last.version &&
-          !Files.exists(logDir.resolve(f"${c.version + 1}%020d.json")))
-      val curDv = if (dvNeeded) dvByFile(vt, c) else Map.empty[String, Vector[Long]]
       if (!Files.exists(target)) {
         val parentFiles = prev.map(_.files.toSet).getOrElse(Set.empty)
         val adds = c.files.filterNot(parentFiles)
         // a surviving file whose DV changed re-enters the log as
-        // remove + add-with-new-descriptor (Delta's MOR-delete shape)
+        // remove + add-with-new-descriptor (Delta's MOR-delete shape).
+        // Which files changed is decided from the dvFiles SYMMETRIC
+        // DIFFERENCE (dv parquet is immutable, so an unchanged dvFiles set
+        // means unchanged DVs; a changed set touches exactly the fks its
+        // differing files mention) — O(changed fks) metadata, never a
+        // position read
+        val changedFks = dvChangedFks(vt, prev, c)
         val dvChanged = c.files.filter(f =>
-          parentFiles.contains(f) && prevDv.get(f) != curDv.get(f))
+          parentFiles.contains(f) && changedFks(VersionedTable.fileKey(f)))
         val removes =
           prev.map(_.files.filterNot(c.files.toSet)).getOrElse(Vector.empty) ++ dvChanged
+        // descriptors are built DISTRIBUTIVELY: executors stream each file's
+        // sorted positions into a Roaring bitmap and write/inline it in the
+        // task; the driver collects only the O(files) descriptors
+        val descriptors = dvDescriptors(vt, c, adds ++ dvChanged)
         val schemaChanged = prev.forall(_.schemaJson != c.schemaJson)
         val actions = Vector.newBuilder[String]
         actions += DeltaLogFixture.commitInfoLine(c.ts,
@@ -148,63 +150,136 @@ object DeltaLogWriter {
           val spark = SparkSession.active
           val feed = vt.changesFeed(spark, branch, c.version - 1, c.version)
             .drop("version").withColumnRenamed("change_type", "_change_type")
-          val (rel, size) = writeCdcFile(vt.root, feed, c.version)
-          actions += DeltaLogFixture.cdcLine(encodePath(rel), size)
+          writeCdcFiles(vt.root, feed, c.version).foreach { case (rel, size) =>
+            actions += DeltaLogFixture.cdcLine(encodePath(rel), size)
+          }
         }
         removes.foreach(r => actions += DeltaLogFixture.removeLine(encodePath(r)))
         (adds ++ dvChanged).foreach { rel =>
           val p = vt.root.resolve(rel)
-          val dv = curDv.get(rel).map { ps =>
-            if (ps.size <= InlineDvMax) DeletionVectors.inlineDescriptor(ps)
-            else DeletionVectors.writeDvFile(vt.root, ps)
-          }
           actions += DeltaLogFixture.addLine(encodePath(rel), Files.size(p),
             mtime = Files.getLastModifiedTime(p).toMillis,
-            stats = statsJson(c, rel), dv = dv)
+            stats = statsJson(c, rel), dv = descriptors.get(rel))
         }
         writeAtomically(target, actions.result().mkString("", "\n", "\n"))
       }
       prev = Some(c)
-      prevDv = curDv
     }
     commits.last.version
   }
 
-  /** A commit's MOR-deleted positions keyed by data-file relative path:
-    * the union of its dv-parquet `(fk, pos)` rows, fk resolved through the
-    * live file list (dead entries for rewritten files drop out — the same
-    * filtering [[VersionedTable.readCommit]]'s anti-join applies). Reads
-    * O(deleted positions); empty for DV-free commits at zero I/O. */
-  private def dvByFile(vt: VersionedTable, c: Commit): Map[String, Vector[Long]] =
-    if (c.dvFiles.isEmpty) Map.empty
+  /** File keys whose deletion vector DIFFERS between `prev` and `c`: the
+    * distinct fks mentioned by the dvFiles the two commits do NOT share.
+    * Sound because dv parquet is immutable — identical dvFiles sets imply
+    * identical per-file DV relations, and any per-file change must ride a
+    * differing dv file. (A dv-file rewrite restating identical positions
+    * would flag its fks spuriously, producing a harmless remove/re-add with
+    * an equivalent descriptor.) Cost: one distinct over the differing files
+    * only; zero I/O when the sets match. */
+  private def dvChangedFks(vt: VersionedTable, prev: Option[Commit],
+                           c: Commit): Set[String] = {
+    val pdv = prev.map(_.dvFiles.toSet).getOrElse(Set.empty)
+    val cdv = c.dvFiles.toSet
+    val diff = (pdv diff cdv) ++ (cdv diff pdv)
+    if (diff.isEmpty) Set.empty
+    else SparkSession.active.read
+      .parquet(diff.toSeq.map(f => vt.root.resolve(f).toString): _*)
+      .select("fk").distinct().collect().map(_.getString(0)).toSet
+  }
+
+  /** Deletion-vector descriptors for the files in `rels`, keyed by relative
+    * path — built WITHOUT materializing positions on the driver: the
+    * commit's dv rows shuffle by fk, each executor task streams its files'
+    * sorted positions through [[DeletionVectors.RoaringBuilder]]
+    * (O(serialized size) memory, never O(positions)) and either inlines the
+    * small result or writes the `deletion_vector_<uuid>.bin` in the task;
+    * the driver collects only the O(files) descriptor rows. Files in `rels`
+    * with no deleted positions simply have no entry. */
+  private def dvDescriptors(vt: VersionedTable, c: Commit,
+                            rels: Seq[String]): Map[String, DeletionVectors.DvDescriptor] =
+    if (c.dvFiles.isEmpty || rels.isEmpty) Map.empty
     else {
       val spark = SparkSession.active
-      val byFk = c.files.map(f => VersionedTable.fileKey(f) -> f).toMap
-      spark.read.parquet(c.dvFiles.map(f => vt.root.resolve(f).toString): _*)
-        .select("fk", "pos").collect()
-        .groupBy(_.getString(0))
-        .flatMap { case (fk, rows) =>
-          byFk.get(fk).map(_ -> rows.map(_.getLong(1)).toVector.distinct.sorted)
+      import spark.implicits._
+      val byFk = rels.map(f => VersionedTable.fileKey(f) -> f).toMap
+      val needed = spark.sparkContext.broadcast(byFk.keySet)
+      val rootStr = vt.root.toString
+      val inlineMax = InlineDvMax
+      var dv = spark.read.parquet(c.dvFiles.map(f => vt.root.resolve(f).toString): _*)
+        .select("fk", "pos")
+      // pre-shuffle prune when the needed set is small (the incremental
+      // re-export case); the post-shuffle broadcast lookup filters exactly
+      // either way
+      if (byFk.size <= 1000)
+        dv = dv.where(org.apache.spark.sql.functions.col("fk")
+          .isInCollection(byFk.keySet))
+      val rows = dv
+        .repartition(org.apache.spark.sql.functions.col("fk"))
+        .sortWithinPartitions("fk", "pos")
+        .mapPartitions { it =>
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, String, String, Option[Int], Int, Long)]
+          var curFk: String = null
+          var builder: DeletionVectors.RoaringBuilder = null
+          def flush(): Unit = if (builder != null) {
+            val data = builder.result()
+            val card = builder.cardinality
+            val d =
+              if (card <= inlineMax) DeletionVectors.inlineBytes(data, card)
+              else DeletionVectors.writeDvBytes(
+                java.nio.file.Paths.get(rootStr), data, card)
+            out += ((curFk, d.storageType, d.pathOrInlineDv, d.offset,
+              d.sizeInBytes, d.cardinality))
+            builder = null
+          }
+          it.foreach { r =>
+            val fk = r.getString(0)
+            if (needed.value.contains(fk)) {
+              if (fk != curFk) {
+                flush(); curFk = fk
+                builder = new DeletionVectors.RoaringBuilder
+              }
+              builder.add(r.getLong(1))
+            }
+          }
+          flush()
+          out.iterator
         }
+        .collect()
+      rows.flatMap { case (fk, st, pv, off, size, card) =>
+        byFk.get(fk).map(_ ->
+          DeletionVectors.DvDescriptor(st, pv, off, size, card))
+      }.toMap
     }
 
-  /** Materialize one `_change_data/cdc-<v>.parquet` file; idempotent per
-    * version (the commit JSON referencing it is written once). */
-  private def writeCdcFile(root: Path, df: org.apache.spark.sql.DataFrame,
-                           version: Long): (String, Long) = {
+  /** Materialize one commit's change data as `_change_data/cdc-<v>-<i>
+    * .parquet` files — one file PER PARTITION of the feed, written by the
+    * feed's own tasks (no `coalesce(1)`: a 100 TB table's large delete must
+    * not serialize its CDF through one core and one file — delta-spark
+    * likewise writes many cdc files per commit, and the reader treats a
+    * commit's `cdc` actions as a set). Idempotent per version: the commit
+    * JSON referencing the files is written once, and a re-export overwrites
+    * the same deterministic names. Returns (relative path, size) per file. */
+  private def writeCdcFiles(root: Path, df: org.apache.spark.sql.DataFrame,
+                            version: Long): Seq[(String, Long)] = {
     val dir = root.resolve("_change_data")
     Files.createDirectories(dir)
     val tmp = dir.resolve(s".cdc_tmp_$version")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = {
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val parts = {
       val st = Files.list(tmp)
-      try st.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+      try st.iterator().asScala.toVector
+        .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.getFileName.toString)
       finally st.close()
     }
-    val dest = dir.resolve(f"cdc-$version%020d.parquet")
-    Files.move(part, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val out = parts.zipWithIndex.map { case (part, i) =>
+      val rel = f"_change_data/cdc-$version%020d-$i%05d.parquet"
+      val dest = root.resolve(rel)
+      Files.move(part, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      rel -> Files.size(dest)
+    }
     graft.Tables.deleteRecursively(tmp)
-    (f"_change_data/cdc-$version%020d.parquet", Files.size(dest))
+    out
   }
 
   /** Delta `add` paths are percent-encoded URIs relative to the table root
@@ -302,34 +377,56 @@ object DeltaLogWriter {
       StructField("readerFeatures", ArrayType(StringType)),
       StructField("writerFeatures", ArrayType(StringType)))))))
 
-  /** Write the classic checkpoint for `version` — `<v %020d>.checkpoint.parquet`
-    * plus the `_last_checkpoint` pointer — replaying the JSON log to that
+  /** Write the checkpoint for `version` — classic single-file
+    * `<v %020d>.checkpoint.parquet`, or with `partSize` the multi-part form
+    * `<v>.checkpoint.<part %010d>.<ofN %010d>.parquet` (delta-spark's
+    * `checkpoint.partSize` behavior: at most `partSize` actions per part, so
+    * a multi-million-file snapshot never funnels through one output file) —
+    * plus the `_last_checkpoint` pointer, replaying the JSON log to that
     * version first. After this, JSON commits ≤ `version` may be pruned (log
     * retention): [[DeltaLogReader]] bootstraps from the newest usable
-    * checkpoint and replays only the JSON suffix, exactly delta-spark's
-    * Snapshot construction. `add.dataChange` is false per the protocol
-    * (checkpoint rows reconstitute state, they are not changes); deletion-
-    * vector descriptors are CARRIED (dropping one would resurrect deleted
-    * rows the moment the pre-checkpoint JSON is pruned). The checkpoint's
-    * protocol row keeps the highest version the snapshot needs: v3 when any
-    * file carries a DV, v1 otherwise. */
-  def writeCheckpoint(spark: SparkSession, tableRoot: String, version: Long): Unit = {
+    * checkpoint (part groups only when complete) and replays only the JSON
+    * suffix, exactly delta-spark's Snapshot construction. `add.dataChange`
+    * is false per the protocol (checkpoint rows reconstitute state, they
+    * are not changes); deletion-vector descriptors are CARRIED (dropping
+    * one would resurrect deleted rows the moment the pre-checkpoint JSON is
+    * pruned); configuration is CARRIED (dropping delta.columnMapping.mode
+    * would make a mapped table's physical columns read as its logical
+    * ones).
+    *
+    * The checkpoint's protocol row is the LOG'S OWN newest protocol action,
+    * carried verbatim — recomputing it from snapshot shape alone can only
+    * weaken the gate (e.g. a `delta.enableChangeDataFeed=true` table whose
+    * files happen to carry no DV would checkpoint as writer v2, letting a
+    * stock writer commit without cdc files once the pre-checkpoint JSON is
+    * pruned — silently corrupting the feed the config promises). Logs
+    * without any protocol action (legal pre-checkpoint states never produce
+    * one, but be safe) fall back to a recomputation that DOES account for
+    * CDF alongside DV/column-mapping. */
+  def writeCheckpoint(spark: SparkSession, tableRoot: String, version: Long,
+                      partSize: Option[Int] = None): Unit = {
+    require(partSize.forall(_ >= 1), s"partSize must be >= 1, got $partSize")
     val root = java.nio.file.Paths.get(tableRoot).toAbsolutePath.normalize
     val logDir = root.resolve("_delta_log")
     val snap = DeltaLogReader.snapshot(tableRoot, Some(version), Some(spark))
-    val anyDv = snap.files.exists(_.dv.isDefined)
-    val mapped =
-      snap.configuration.getOrElse("delta.columnMapping.mode", "none") != "none"
-    // configuration is CARRIED (dropping delta.columnMapping.mode would make
-    // a mapped table's physical columns read as its logical ones the moment
-    // the pre-checkpoint JSON is pruned), and the protocol row keeps the
-    // highest version the snapshot needs
-    val protoRow =
-      if (anyDv) Row(3, 7,
-        if (mapped) Seq("deletionVectors", "columnMapping") else Seq("deletionVectors"),
-        if (mapped) Seq("deletionVectors", "columnMapping") else Seq("deletionVectors"))
-      else if (mapped) Row(2, 5, null, null)
-      else Row(1, 2, null, null)
+    val protoRow = snap.protocol match {
+      case Some(p) => Row(p.minReader, p.minWriter,
+        p.readerFeatures.orNull, p.writerFeatures.orNull)
+      case None =>
+        val anyDv = snap.files.exists(_.dv.isDefined)
+        val mapped =
+          snap.configuration.getOrElse("delta.columnMapping.mode", "none") != "none"
+        val cdf =
+          snap.configuration.get("delta.enableChangeDataFeed").contains("true")
+        if (anyDv) {
+          val rf = Seq("deletionVectors") ++ (if (mapped) Seq("columnMapping") else Nil)
+          val wf = rf ++ (if (cdf) Seq("changeDataFeed") else Nil)
+          Row(3, 7, rf, wf)
+        }
+        else if (mapped) Row(2, 5, null, null) // writer v5 ⊇ v4's CDF support
+        else if (cdf) Row(1, 4, null, null)
+        else Row(1, 2, null, null)
+    }
     val rows: Seq[Row] =
       Row(null, null, protoRow) +:
         Row(null, Row(java.util.UUID.randomUUID().toString,
@@ -345,18 +442,33 @@ object DeltaLogWriter {
           Row(Row(DeltaLogWriter.encodePath(f.path), f.partitionValues, size, mtime,
             false, f.stats.orNull, dvRow), null, null)
         }
-    val df = spark.createDataFrame(rows.asJava, checkpointSchema)
-    val tmp = logDir.resolve(s".checkpoint_tmp_$version")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = {
-      val st = Files.list(tmp)
-      try st.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
-      finally st.close()
+    def writeOne(slice: Seq[Row], dest: Path): Unit = {
+      val df = spark.createDataFrame(slice.asJava, checkpointSchema)
+      val tmp = logDir.resolve(s".checkpoint_tmp_$version")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        val st = Files.list(tmp)
+        try st.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+        finally st.close()
+      }
+      Files.move(part, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      graft.Tables.deleteRecursively(tmp)
     }
-    Files.move(part, logDir.resolve(f"$version%020d.checkpoint.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    graft.Tables.deleteRecursively(tmp)
-    writeAtomically(logDir.resolve("_last_checkpoint"),
-      s"""{"version":$version,"size":${rows.size}}""")
+    partSize match {
+      case None =>
+        writeOne(rows, logDir.resolve(f"$version%020d.checkpoint.parquet"))
+        writeAtomically(logDir.resolve("_last_checkpoint"),
+          s"""{"version":$version,"size":${rows.size}}""")
+      case Some(ps) =>
+        val groups = rows.grouped(ps).toVector
+        val n = groups.size
+        groups.zipWithIndex.foreach { case (g, i) =>
+          // parts are 1-based; the reader requires the complete 1..N group
+          writeOne(g, logDir.resolve(
+            f"$version%020d.checkpoint.${i + 1}%010d.$n%010d.parquet"))
+        }
+        writeAtomically(logDir.resolve("_last_checkpoint"),
+          s"""{"version":$version,"size":${rows.size},"parts":$n}""")
+    }
   }
 }

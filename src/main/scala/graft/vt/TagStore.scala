@@ -46,7 +46,13 @@ private[vt] object TagStore {
     val listed = store.list(tagsDir).map(_.getFileName.toString)
     (listed ++ index(store, tagsDir).all).distinct.sorted
       .filter(n => store.exists(tagsDir.resolve(n)))
-      .map(n => n -> store.read(tagsDir.resolve(n)).trim)
+      .flatMap { n =>
+        // a tag deleted between the exists probe and this read must be
+        // SKIPPED, not crash the enumeration (vacuum's retention pricing
+        // calls this concurrently with admin tag deletes)
+        try Some(n -> store.read(tagsDir.resolve(n)).trim)
+        catch { case _: java.io.IOException | _: java.io.UncheckedIOException => None }
+      }
   }
 
   def commitIdOf(store: MetaStore, tagsDir: Path, name: String): String = {

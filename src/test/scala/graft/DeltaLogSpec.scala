@@ -319,12 +319,15 @@ class DeltaLogSpec extends SparkSpec {
         .get("delta.enableChangeDataFeed").asText() === "true"))
     assert(!a0.exists(_.has("cdc")), "an initial load derives; no cdc file")
     assert(!actions(vt.root, 1).exists(_.has("cdc")), "pure append: no cdc file")
-    // v2 (upsert = removes + adds): exactly one cdc action, conformant shape
+    // v2 (upsert = removes + adds): cdc actions present, conformant shape
+    // (one per feed partition — a commit's cdc actions are a set)
     val c2 = actions(vt.root, 2).filter(_.has("cdc")).map(_.get("cdc"))
-    assert(c2.size === 1)
-    assert(c2.head.get("path").asText().startsWith("_change_data/"))
-    assert(!c2.head.get("dataChange").asBoolean(true))
-    assert(Files.exists(vt.root.resolve(c2.head.get("path").asText())))
+    assert(c2.nonEmpty)
+    c2.foreach { c =>
+      assert(c.get("path").asText().startsWith("_change_data/"))
+      assert(!c.get("dataChange").asBoolean(true))
+      assert(Files.exists(vt.root.resolve(c.get("path").asText())))
+    }
     // table_changes(0, 2): derived inserts for v0/v1, the cdc file for v2
     val feed = DeltaLogReader.changes(spark, vt.root.toString, 0, 2)
       .select("_commit_version", "_change_type", "k", "v")
@@ -445,6 +448,148 @@ class DeltaLogSpec extends SparkSpec {
     assert(e.getMessage.contains("no _delta_log commits"), e.getMessage)
   }
 
+  test("writeCheckpoint partSize: complete multi-part group, bootstrapped after full pruning") {
+    val vt = VersionedTable.create(Tables.scratch("delta_mp_write"))
+    vt.write((1L to 60L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartitionByRange(6, col("k")), "main", "v0")
+    vt.exportDeltaLog("main")
+    DeltaLogWriter.writeCheckpoint(spark, vt.root.toString, 0L, partSize = Some(3))
+    val log = vt.root.resolve("_delta_log")
+    // 2 protocol/metaData rows + 6 adds = 8 rows → 3 parts of ≤3
+    val parts = {
+      val st = Files.list(log)
+      try st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.matches("""\d{20}\.checkpoint\.\d{10}\.\d{10}\.parquet""")).toVector.sorted
+      finally st.close()
+    }
+    assert(parts.size === 3, s"expected 3 parts, got $parts")
+    assert(parts.forall(_.endsWith(f".${3}%010d.parquet")), "every part names the group size")
+    val lastCp = new String(Files.readAllBytes(log.resolve("_last_checkpoint")))
+    assert(lastCp.contains("\"parts\":3"), lastCp)
+    Files.delete(log.resolve(f"${0L}%020d.json"))
+    assert(DeltaLogReader.read(spark, vt.root.toString, None)
+      .select("k").as[Long].collect().sorted === (1L to 60L).toArray)
+    // an incomplete group must be refused, never half-read
+    Files.delete(log.resolve(parts(1)))
+    val e = intercept[IllegalArgumentException](
+      DeltaLogReader.read(spark, vt.root.toString, None))
+    assert(e.getMessage.contains("no _delta_log commits"), e.getMessage)
+  }
+
+  test("checkpoint protocol is the log's own newest protocol action — CDF gate survives pruning") {
+    val vt = VersionedTable.create(Tables.scratch("delta_cp_proto"))
+    vt.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "main", "v0")
+    vt.upsert(spark, Seq((2L, "B")).toDF("k", "v"), keyCols = Seq("k"))
+    vt.exportDeltaLog("main", changeDataFeed = true)
+    DeltaLogWriter.writeCheckpoint(spark, vt.root.toString, 1L)
+    val log = vt.root.resolve("_delta_log")
+    (0L to 1L).foreach(v => Files.delete(log.resolve(f"$v%020d.json")))
+    val snap = DeltaLogReader.snapshot(vt.root.toString, None, Some(spark))
+    assert(snap.configuration.get("delta.enableChangeDataFeed").contains("true"))
+    val p = snap.protocol.getOrElse(fail("checkpoint must carry a protocol row"))
+    assert(p.minWriter >= 4 || p.writerFeatures.exists(_.contains("changeDataFeed")),
+      s"CDF-enabled table checkpointed with a protocol ($p) that no longer gates " +
+        "CDF writers — a stock writer could commit without cdc files")
+    // and the same through a DV lineage: the v7 writerFeatures keep changeDataFeed
+    val vt2 = VersionedTable.create(Tables.scratch("delta_cp_proto_dv"))
+    vt2.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), "main", "v0")
+    vt2.deleteWithVectors(spark, "k = 2", "main")
+    vt2.exportDeltaLog("main", changeDataFeed = true)
+    DeltaLogWriter.writeCheckpoint(spark, vt2.root.toString, 1L)
+    val log2 = vt2.root.resolve("_delta_log")
+    (0L to 1L).foreach(v => Files.delete(log2.resolve(f"$v%020d.json")))
+    val p2 = DeltaLogReader.snapshot(vt2.root.toString, None, Some(spark))
+      .protocol.getOrElse(fail("checkpoint must carry a protocol row"))
+    assert(p2.minReader === 3 &&
+      p2.readerFeatures.exists(_.contains("deletionVectors")) &&
+      p2.writerFeatures.exists(_.contains("changeDataFeed")), s"got $p2")
+  }
+
+  test("CDF export writes one cdc file per feed partition — no coalesce(1) funnel") {
+    val vt = VersionedTable.create(Tables.scratch("delta_cdf_multi"))
+    vt.write((1L to 400L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartitionByRange(4, col("k")), "main", "v0")
+    vt.upsert(spark, (1L to 400L).map(k => (k, s"V$k")).toDF("k", "v"),
+      keyCols = Seq("k"))
+    // at test size AQE (correctly) coalesces the tiny feed to one partition;
+    // disable coalescing so the writer's partition-per-file path is visible
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val saved = spark.conf.get(coalesceKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      vt.exportDeltaLog("main", changeDataFeed = true)
+    } finally spark.conf.set(coalesceKey, saved)
+    val cdcs = actions(vt.root, 1).filter(_.has("cdc"))
+      .map(_.get("cdc").get("path").asText())
+    assert(cdcs.size >= 2,
+      s"a multi-partition change set must emit multiple cdc files, got $cdcs")
+    cdcs.foreach(p => assert(Files.exists(vt.root.resolve(p)), s"missing $p"))
+    // the multi-file feed restates the native CDC losslessly
+    val got = DeltaLogReader.changes(spark, vt.root.toString, 1, 1)
+      .select("_change_type", "k", "v").as[(String, Long, String)].collect().sorted
+    val want = vt.changesFeed(spark, "main", 0, 1)
+      .select("change_type", "k", "v").as[(String, Long, String)].collect().sorted
+    assert(got === want)
+  }
+
+  test("large MOR delete exports DVs distributively: u-flavor files, multi-task build") {
+    val vt = VersionedTable.create(Tables.scratch("delta_dv_dist"))
+    vt.write((1L to 20000L).map(k => (k, k % 7)).toDF("k", "m")
+      .repartitionByRange(4, col("k")), "main", "v0")
+    // ~17k MOR-deleted positions, >InlineDvMax in every one of the 4 files
+    vt.deleteWithVectors(spark, "m != 0", "main")
+    val taskCounts = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        taskCounts.add(s.stageInfo.numTasks)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try vt.exportDeltaLog("main")
+    finally {
+      // the listener bus is async; give it a moment to drain before detaching
+      val deadline = System.currentTimeMillis() + 20000
+      while (!taskCounts.asScala.exists(_ >= 2) && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    assert(taskCounts.asScala.exists(_ >= 2),
+      "the DV descriptor build must run as a multi-task (distributed) stage — " +
+        "a single-task build means positions funneled through one slot")
+    val dvAdds = actions(vt.root, 1)
+      .filter(a => a.has("add") && a.get("add").has("deletionVector"))
+    assert(dvAdds.size === 4, "every file was MOR-touched")
+    assert(dvAdds.forall(_.get("add").get("deletionVector")
+        .get("storageType").asText() === "u"),
+      "above-threshold DVs must be on-disk files (written in the task), not inline")
+    assert(dvAdds.map(_.get("add").get("deletionVector").get("cardinality").asLong()).sum
+      === (1L to 20000L).count(_ % 7 != 0).toLong)
+    // replay equality with the native MOR read — positions round-trip exactly
+    assert(DeltaLogReader.read(spark, vt.root.toString, Some(1L))
+      .select("k").as[Long].collect().sorted ===
+      vt.readVersion(spark, "main", 1).select("k").as[Long].collect().sorted)
+  }
+
+  test("RoaringBuilder streams to byte-identical output vs the batch serializer") {
+    import graft.vt.DeletionVectors
+    // spans array containers, a bitmap container, a high-key boundary, and
+    // consecutive duplicates (multiple dv files restating a position)
+    val positions: Seq[Long] =
+      (0L until 6000L) ++ Seq(70000L, 70002L) ++
+        ((1L << 33) to ((1L << 33) + 300L)) ++ Seq((1L << 34) + 9L)
+    val batch = DeletionVectors.serialize(positions)
+    val b = new DeletionVectors.RoaringBuilder
+    positions.flatMap(p => Seq(p, p)).foreach(b.add) // duplicate every value
+    assert(b.result() === batch)
+    assert(b.cardinality === positions.distinct.size.toLong)
+    assert(DeletionVectors.deserialize(batch) === positions.distinct.sorted.toVector)
+    // out-of-order input is refused loudly, never silently misordered
+    val b2 = new DeletionVectors.RoaringBuilder
+    b2.add(10L)
+    assertThrows[IllegalArgumentException](b2.add(5L))
+    assertThrows[IllegalArgumentException]((new DeletionVectors.RoaringBuilder).add(-1L))
+  }
+
   test("readWhere prunes files by exported stats before Spark lists them") {
     val vt = VersionedTable.create(Tables.scratch("delta_skip"))
     val data = (1L to 40L).map(k => (k, s"n$k")).toDF("k", "v")
@@ -468,6 +613,13 @@ class DeltaLogSpec extends SparkSpec {
     val none = DeltaLogReader.readWhere(spark, vt.root.toString, "k", 900, 999)
     assert(none.inputFiles.isEmpty && none.count() === 0)
     assert(none.columns.toSeq === Seq("k", "v"))
+    // a non-numeric column is refused loudly (a double cast on it would
+    // null out and silently drop every row), as is a typo'd column name
+    val e = intercept[IllegalArgumentException](
+      DeltaLogReader.readWhere(spark, vt.root.toString, "v", 1, 2))
+    assert(e.getMessage.contains("numeric"), e.getMessage)
+    assertThrows[IllegalArgumentException](
+      DeltaLogReader.readWhere(spark, vt.root.toString, "nope", 1, 2))
   }
 
   // ---- checkpoints --------------------------------------------------------
