@@ -734,6 +734,40 @@ object Versioned {
       .orderBy("n_nationkey")
   }
 
+  /** Delta COLUMN MAPPING interop (id mode, r16): what modern delta-spark
+    * (`delta.columnMapping.mode=id`) and every Iceberg-compat table writes —
+    * columns bind by PARQUET FIELD ID (`delta.columnMapping.id` stamped as
+    * `parquet.field.id` on the read schema, resolved inside Spark's own
+    * vectorized reader — no per-file footer inspection on the driver). The
+    * fixture's files carry physical names AND field ids; the oracle is the
+    * plain nation projection — equality proves the id-driven bind is
+    * lossless. DeltaLogSpec additionally pins a fixture where NAME matching
+    * would bind the wrong column. */
+  val qVtDeltaCmapId: QueryDef = q("q_vt_delta_cmap_id")(
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+    import graft.vt.{DeltaLogFixture => F, DeltaLogReader}
+    val root = java.nio.file.Paths.get(Tables.scratch("vt_delta_cmap_id"))
+    java.nio.file.Files.createDirectories(root)
+    val nation = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+    val phys = Map("n_nationkey" -> "col-a1", "n_name" -> "col-b2",
+      "n_regionkey" -> "col-c3")
+    val ids = Map("n_nationkey" -> 1L, "n_name" -> 2L, "n_regionkey" -> 3L)
+    val (fa, sa) = F.writeDataFile(root,
+      F.physicalWithIds(nation.where(col("n_regionkey") < 2), phys, ids), "part-a")
+    val (fb, sb) = F.writeDataFile(root,
+      F.physicalWithIds(nation.where(col("n_regionkey") >= 2), phys, ids), "part-b")
+    F.writeCommit(root, 0, Seq(F.protocolLine(minReader = 2, minWriter = 5),
+      F.metaDataLine(F.columnMappedSchema(nation.schema, phys, ids).json, Nil,
+        Map("delta.columnMapping.mode" -> "id",
+          "delta.columnMapping.maxColumnId" -> "3")),
+      F.addLine(fa, sa)))
+    F.writeCommit(root, 1, Seq(F.addLine(fb, sb)))
+    DeltaLogReader.read(s, root.toString, None)
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey")
+  }
+
   /** Foreign-Delta REPLICATION (r15): the migration on-ramp. A Delta table
     * authored by "another engine" (protocol-conformant fixture) is followed
     * version-for-version by [[graft.streaming.ChangeFeed.replicateFromDelta]]
@@ -878,6 +912,6 @@ object Versioned {
     qVtChangesUpsert, qVtChangesFeed, qVtHistory, qVtUpsert, qVtDelete, qVtDeleteMor,
     qVtUpdate, qVtTag, qVtRestoreTag, qVtProtected, qVtFeedConsume, qVtCount,
     qVtIncremental, qVtTsTravel, qVtDeltaLog, qVtDeltaRoundtrip,
-    qVtDeltaDvRoundtrip, qVtDeltaCmap, qVtDeltaSkip, qVtDeltaCdf,
+    qVtDeltaDvRoundtrip, qVtDeltaCmap, qVtDeltaCmapId, qVtDeltaSkip, qVtDeltaCdf,
     qVtDeltaReplicate)
 }

@@ -66,7 +66,8 @@ object DeltaLogFixture {
     * the schemaString shape delta-spark writes when
     * `delta.columnMapping.mode=name`. */
   def columnMappedSchema(schema: org.apache.spark.sql.types.StructType,
-                         phys: Map[String, String])
+                         phys: Map[String, String],
+                         ids: Map[String, Long] = Map.empty)
       : org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types.{ArrayType, MetadataBuilder, StructField, StructType}
     var nextId = 0L
@@ -74,7 +75,7 @@ object DeltaLogFixture {
       nextId += 1
       val meta = new MetadataBuilder().withMetadata(f.metadata)
         .putString("delta.columnMapping.physicalName", phys.getOrElse(f.name, f.name))
-        .putLong("delta.columnMapping.id", nextId)
+        .putLong("delta.columnMapping.id", ids.getOrElse(f.name, nextId))
         .build()
       val dt = f.dataType match {
         case s: StructType => walk(s)
@@ -88,6 +89,19 @@ object DeltaLogFixture {
     })
     walk(schema)
   }
+
+  /** Rename `df`'s columns to their physical names AND stamp each with a
+    * parquet field id, so the written data file carries field ids
+    * (`spark.sql.parquet.fieldId.write.enabled` is on by default in
+    * Spark 3.3+) — the on-disk file shape of an id-mode column-mapped
+    * table. */
+  def physicalWithIds(df: DataFrame, phys: Map[String, String],
+                      ids: Map[String, Long]): DataFrame =
+    df.select(df.columns.map { c =>
+      val meta = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", ids(c)).build()
+      org.apache.spark.sql.functions.col(c).as(phys.getOrElse(c, c), meta)
+    }.toIndexedSeq: _*)
 
   /** The one `add`-action serializer — fixtures use the defaults,
     * [[DeltaLogWriter]] passes real mtime/stats/DV so the writer and the

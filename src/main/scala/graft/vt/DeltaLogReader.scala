@@ -26,12 +26,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *    to the table root, plus `partitionValues` for Hive-style partition
   *    columns, which are NOT stored in the file).
   *  - `remove` — a data file leaves the snapshot (delete/overwrite/compact).
-  *  - `protocol` — reader/writer feature gate: v1 always; v3 when every
-  *    declared readerFeature is implemented (currently `deletionVectors` —
-  *    an `add.deletionVector` marks MOR-deleted row positions, decoded by
-  *    [[DeletionVectors]] and filtered out at read). Anything else (v2
-  *    column mapping, unknown v3 features) is refused LOUDLY rather than
-  *    silently misread.
+  *  - `protocol` — reader/writer feature gate: v1 always; v2 column
+  *    mapping (both `name` and `id` modes); v3 when every declared
+  *    readerFeature is implemented (`deletionVectors` — an
+  *    `add.deletionVector` marks MOR-deleted row positions, decoded by
+  *    [[DeletionVectors]] and filtered out at read — and `columnMapping`).
+  *    Unknown v3 features are refused LOUDLY rather than silently misread.
   *  - `commitInfo` / `txn` / `cdc` — no effect on the file snapshot.
   *
   * CHECKPOINTS (`<v %020d>.checkpoint.parquet` + `_last_checkpoint`) are
@@ -410,7 +410,7 @@ object DeltaLogReader {
   private def decodePath(p: String): String =
     if (p.contains("://")) p else new java.net.URI(p).getPath
 
-  // ---- column mapping (PROTOCOL.md §Column Mapping, name mode) -----------
+  // ---- column mapping (PROTOCOL.md §Column Mapping, name + id modes) -----
   //
   // A column-mapped table's parquet files carry PHYSICAL column names
   // (`delta.columnMapping.physicalName` in each schema field's metadata,
@@ -418,15 +418,47 @@ object DeltaLogReader {
   // Name mode matches file columns by physical name — so the read path
   // scans with the physical schema and renames back to logical afterwards
   // (nested struct fields rename via a positional cast, Catalyst's own
-  // rule for struct casts). Id mode matches by parquet field id instead
-  // and is refused loudly. `add.partitionValues` keys are physical names
-  // in mapped tables (the spec's rule); lookups try physical then logical
-  // so unmapped tables are unaffected.
+  // rule for struct casts). Id mode (what modern delta-spark and every
+  // Iceberg-compat table writes) matches by PARQUET FIELD ID instead:
+  // the read schema keeps the LOGICAL names but stamps each field with
+  // `parquet.field.id` = `delta.columnMapping.id`, and Spark's own
+  // field-id resolution (`spark.sql.parquet.fieldId.read.enabled`) binds
+  // columns id-to-id inside the vectorized reader — scale-native, no
+  // per-file footer inspection on the driver. `add.partitionValues` keys
+  // are physical names in mapped tables of either mode (the spec's rule);
+  // lookups try physical then logical so unmapped tables are unaffected.
 
   private val PhysNameKey = "delta.columnMapping.physicalName"
+  private val ColIdKey = "delta.columnMapping.id"
+  /** Spark's own parquet field-id metadata key (ParquetUtils.FIELD_ID_METADATA_KEY). */
+  private val ParquetFieldIdKey = "parquet.field.id"
 
   private def physName(f: org.apache.spark.sql.types.StructField): String =
     if (f.metadata.contains(PhysNameKey)) f.metadata.getString(PhysNameKey) else f.name
+
+  /** Id-mode read schema: logical names, each field stamped with its
+    * `parquet.field.id` so Spark's reader matches by id. A mapped field
+    * without an id is refused loudly — guessing by name here is exactly the
+    * wrong-column hazard id mode exists to prevent. */
+  private def fieldIdSchema(st: StructType): StructType =
+    StructType(st.fields.map { f =>
+      require(f.metadata.contains(ColIdKey),
+        s"delta.columnMapping.mode=id but field '${f.name}' carries no " +
+          s"$ColIdKey — refusing to fall back to name matching")
+      val meta = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putLong(ParquetFieldIdKey, f.metadata.getLong(ColIdKey))
+        .build()
+      val dt = f.dataType match {
+        case s: StructType => fieldIdSchema(s)
+        case a: org.apache.spark.sql.types.ArrayType => a.elementType match {
+          case s: StructType => a.copy(elementType = fieldIdSchema(s))
+          case _ => a
+        }
+        case other => other
+      }
+      org.apache.spark.sql.types.StructField(f.name, dt, f.nullable, meta)
+    })
 
   private def physType(dt: DataType): DataType = dt match {
     case st: StructType =>
@@ -645,11 +677,16 @@ object DeltaLogReader {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         snap.schema)
     val mode = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
-    require(mode == "none" || mode == "name",
+    require(mode == "none" || mode == "name" || mode == "id",
       s"delta.columnMapping.mode=$mode is not implemented by this replayer " +
-        "(supported: none, name — id mode matches file columns by parquet " +
-        "field id, which this reader does not do)")
+        "(supported: none, name, id)")
     val mapped = mode == "name"
+    val idMapped = mode == "id"
+    // field-id resolution happens inside Spark's parquet reader; the conf is
+    // read when the scan plans, so it must be ON in the session. Enabling it
+    // globally is inert for schemas without parquet.field.id metadata (every
+    // non-id-mode read here), so set-and-leave is safe.
+    if (idMapped) spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     // partition columns may be listed under either name form; resolve
     // against the schema's fields so both conventions read correctly
     val partSet = snap.partitionColumns.toSet
@@ -661,7 +698,10 @@ object DeltaLogReader {
       if (mapped)
         StructType(dataFields.map(f => org.apache.spark.sql.types
           .StructField(physName(f), physType(f.dataType), f.nullable)))
+      else if (idMapped) fieldIdSchema(StructType(dataFields))
       else StructType(dataFields)
+    // id mode needs no rename: the read schema already carries the logical
+    // names and the reader binds columns by field id underneath them
     def renameToLogical(df: DataFrame): DataFrame =
       if (!mapped) df
       else df.select(dataFields.map(f =>

@@ -875,20 +875,51 @@ class DeltaLogSpec extends SparkSpec {
       .collect().sortBy(_._1) === Array((1, 10, "x"), (2, 20, "y")))
   }
 
-  test("column mapping: id mode refused loudly; config survives a checkpoint") {
+  test("column mapping (id mode): parquet field ids drive the read, names do not") {
+    // the TRAP: the file's physical column NAMES are swapped relative to
+    // what the log's physicalName metadata claims, while the field IDS are
+    // authoritative. Matching by (physical) name would bind logical `x` to
+    // file column "col-a" (a string); matching by id binds it to id 1 =
+    // file column "col-b" (the int 7). Only an id-driven read survives.
     val root = freshRoot("cmap_id")
-    val physDf = Seq((1, "a")).toDF("col-k", "col-v")
-    val (fa, sa) = F.writeDataFile(root, physDf, "pa")
-    val mappedSchema = F.columnMappedSchema(Seq((1, "a")).toDF("k", "v").schema,
-      Map("k" -> "col-k", "v" -> "col-v"))
+    val df = Seq((7, "seven")).toDF("x", "y")
+    val fileDf = F.physicalWithIds(df,
+      phys = Map("x" -> "col-b", "y" -> "col-a"),
+      ids = Map("x" -> 1L, "y" -> 2L))
+    val (fa, sa) = F.writeDataFile(root, fileDf, "pa")
+    val mappedSchema = F.columnMappedSchema(df.schema,
+      Map("x" -> "col-a", "y" -> "col-b"), // stale names; ids are the truth
+      Map("x" -> 1L, "y" -> 2L))
     F.writeCommit(root, 0, Seq(F.protocolLine(minReader = 2, minWriter = 5),
       F.metaDataLine(mappedSchema.json, Nil,
-        Map("delta.columnMapping.mode" -> "id")),
+        Map("delta.columnMapping.mode" -> "id",
+          "delta.columnMapping.maxColumnId" -> "2")),
       F.addLine(fa, sa)))
+    val got = DeltaLogReader.read(spark, root.toString, None)
+    assert(got.columns.toSeq === Seq("x", "y"))
+    assert(got.as[(Int, String)].collect() === Array((7, "seven")),
+      "id mode must bind columns by parquet field id, not by physical name")
+    // a mapped field WITHOUT an id is refused loudly — falling back to name
+    // matching is exactly the wrong-column hazard above
+    val root2 = freshRoot("cmap_id_missing")
+    val (fm, sm) = F.writeDataFile(root2, fileDf, "pm")
+    val noIds = org.apache.spark.sql.types.StructType(df.schema.fields.map { f =>
+      val meta = new org.apache.spark.sql.types.MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", "col-" + f.name).build()
+      f.copy(metadata = meta)
+    })
+    F.writeCommit(root2, 0, Seq(F.protocolLine(minReader = 2, minWriter = 5),
+      F.metaDataLine(noIds.json, Nil, Map("delta.columnMapping.mode" -> "id")),
+      F.addLine(fm, sm)))
     val e = intercept[IllegalArgumentException](
-      DeltaLogReader.read(spark, root.toString, None))
-    assert(e.getMessage.contains("id"), e.getMessage)
+      DeltaLogReader.read(spark, root2.toString, None))
+    assert(e.getMessage.contains("delta.columnMapping.id"), e.getMessage)
+  }
 
+  test("column mapping: config survives a checkpoint") {
+    val physDf = Seq((1, "a")).toDF("col-k", "col-v")
+    val mappedSchema = F.columnMappedSchema(Seq((1, "a")).toDF("k", "v").schema,
+      Map("k" -> "col-k", "v" -> "col-v"))
     // checkpoint a name-mode table, prune its JSON: the bootstrap must carry
     // the configuration — otherwise physical columns would surface as-is
     val root2 = freshRoot("cmap_ckpt")
