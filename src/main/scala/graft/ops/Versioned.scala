@@ -797,6 +797,60 @@ object Versioned {
       .reduce(_ unionByName _).orderBy("ver", "n_nationkey")
   }
 
+  /** STANDING foreign-Delta TAIL (r16): the daily mirroring flow. The
+    * source `_delta_log` advances BETWEEN drains — v0 ships in the first
+    * [[graft.streaming.ChangeFeed.tailFromDelta]] call, then the source
+    * gains an append (v1) and an UPDATE version (v2: remove+add plus a
+    * `cdc` file with update_preimage/update_postimage rows, delta-spark's
+    * CDF vocabulary) and the second drain ships both — the update landing
+    * as ONE keyed applyCdc commit, so the target's history keeps mirroring
+    * the source version-for-version. A third drain ships nothing (caught
+    * up). The oracle pins all three target versions, update applied. */
+  val qVtDeltaTail: QueryDef = q("q_vt_delta_tail")(
+    """SELECT 0 AS ver, n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey < 2
+      |UNION ALL
+      |SELECT 1 AS ver, n_nationkey, n_name, n_regionkey FROM nation
+      |UNION ALL
+      |SELECT 2 AS ver, n_nationkey,
+      |       CASE WHEN n_regionkey = 0 THEN lower(n_name) ELSE n_name END AS n_name,
+      |       n_regionkey FROM nation
+      |ORDER BY ver, n_nationkey""".stripMargin) { (s, d) =>
+    import graft.vt.{DeltaLogFixture => F}
+    val root = java.nio.file.Paths.get(Tables.scratch("vt_delta_tail_src"))
+    java.nio.file.Files.createDirectories(root)
+    val nation = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+    val partA = nation.where(col("n_regionkey") < 2)
+    val (fa, sa) = F.writeDataFile(root, partA, "part-a")
+    F.writeCommit(root, 0, Seq(F.protocolLine(), F.metaDataLine(nation.schema.json, Nil),
+      F.addLine(fa, sa)))
+    val target = VersionedTable.create(Tables.scratch("vt_delta_tail_tgt"))
+    val keys = Seq("n_nationkey")
+    val n0 = ChangeFeed.tailFromDelta(s, root.toString, target, keyCols = keys)
+    require(n0 == 1, s"first drain should ship v0, shipped $n0")
+    // the source advances between drains: an append, then an update
+    val (fb, sb) = F.writeDataFile(root,
+      nation.where(col("n_regionkey") >= 2), "part-b")
+    F.writeCommit(root, 1, Seq(F.addLine(fb, sb)))
+    val touched = partA.where(col("n_regionkey") === 0)
+    val (fa2, sa2) = F.writeDataFile(root, partA.withColumn("n_name",
+      when(col("n_regionkey") === 0, lower(col("n_name")))
+        .otherwise(col("n_name"))), "part-a2")
+    val cdcDf = touched.withColumn("_change_type", lit("update_preimage"))
+      .unionByName(touched.withColumn("n_name", lower(col("n_name")))
+        .withColumn("_change_type", lit("update_postimage")))
+    val (fc, sc) = F.writeDataFile(root, cdcDf, "cdc-2")
+    F.writeCommit(root, 2, Seq(F.removeLine(fa), F.addLine(fa2, sa2),
+      F.cdcLine(fc, sc)))
+    val n1 = ChangeFeed.tailFromDelta(s, root.toString, target, keyCols = keys)
+    require(n1 == 2, s"second drain should ship v1+v2, shipped $n1")
+    require(ChangeFeed.tailFromDelta(s, root.toString, target, keyCols = keys) == 0,
+      "a caught-up drain must ship nothing")
+    (0 to 2).map(v => target.readVersion(s, "main", v)
+        .select(lit(v).as("ver"), col("n_nationkey"), col("n_name"),
+          col("n_regionkey")))
+      .reduce(_ unionByName _).orderBy("ver", "n_nationkey")
+  }
+
   /** Delta CHANGE DATA FEED round-trip (r15): the same load → append →
     * COW-upsert lineage as `q_vt_changes_feed`, exported with
     * `changeDataFeed = true` — the upsert version writes its row-level
@@ -913,5 +967,5 @@ object Versioned {
     qVtUpdate, qVtTag, qVtRestoreTag, qVtProtected, qVtFeedConsume, qVtCount,
     qVtIncremental, qVtTsTravel, qVtDeltaLog, qVtDeltaRoundtrip,
     qVtDeltaDvRoundtrip, qVtDeltaCmap, qVtDeltaCmapId, qVtDeltaSkip, qVtDeltaCdf,
-    qVtDeltaReplicate)
+    qVtDeltaReplicate, qVtDeltaTail)
 }

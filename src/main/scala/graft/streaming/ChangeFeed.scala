@@ -229,14 +229,49 @@ object ChangeFeed {
     * O(backlog), never O(history). */
   def replicateFromDelta(spark: SparkSession, deltaRoot: String,
                          target: VersionedTable, targetBranch: String = "main",
-                         maxVersions: Int = Int.MaxValue): Int = {
+                         maxVersions: Int = Int.MaxValue): Int =
+    tailFromDelta(spark, deltaRoot, target, targetBranch, Nil, maxVersions)
+
+  /** STANDING CDF TAIL of a foreign Delta table — [[replicateFromDelta]]'s
+    * general form, the daily lakehouse mirroring flow: call it on a
+    * schedule (or in a loop) and each drain ships every source version that
+    * landed since the last one, version-for-version, exactly-once. The end
+    * offset is PINNED AT ENTRY (`latestVersion` when the drain starts), so
+    * a sustained concurrent writer cannot keep one drain alive forever —
+    * commits landing mid-drain wait for the next call, exactly
+    * `Trigger.AvailableNow`'s termination contract ([[processAvailable]]'s
+    * rule, composed here with the foreign log instead of a native one).
+    *
+    * With `keyCols` given, DELETE/UPDATE versions apply too: each such
+    * version's feed splits into postimages (`insert` + `update_postimage` —
+    * the rows that replace their key) and preimages (`delete` +
+    * `update_preimage` — the keys to remove), landed as ONE
+    * [[graft.vt.VersionedTable.applyCdc]] commit
+    * ([[EventsStreaming.applyCdcBatch]], batchId = source version). One
+    * commit per version keeps the target's history mirroring the source's
+    * and makes crash redelivery dedup on the same watermark as appends.
+    * Without `keyCols`, non-insert versions refuse loudly (log shipping
+    * cannot express them — the original replicate contract).
+    *
+    * Exactly-once WITHOUT touching the foreign table: the position is the
+    * target's own idempotent-ingest watermark
+    * ([[EventsStreaming.lastIngestedBatchId]], batchId = source version),
+    * so nothing is ever written into the source directory, a crashed
+    * replicator resumes from what the target durably holds, and duplicate
+    * deliveries dedup at the sink. Metadata-only versions are stepped over.
+    * Per-version cost is O(that version's changes); the catch-up loop is
+    * O(backlog), never O(history). */
+  def tailFromDelta(spark: SparkSession, deltaRoot: String,
+                    target: VersionedTable, targetBranch: String = "main",
+                    keyCols: Seq[String] = Nil,
+                    maxVersions: Int = Int.MaxValue): Int = {
     import org.apache.spark.sql.functions.col
     import graft.vt.DeltaLogReader
-    val newest = DeltaLogReader.latestVersion(deltaRoot)
+    val newest = DeltaLogReader.latestVersion(deltaRoot) // end offset, pinned
     val from = EventsStreaming.lastIngestedBatchId(target, targetBranch).getOrElse(-1L)
     if (from > newest)
       throw new IllegalStateException(
-        s"replicateFromDelta: the target's ingest watermark ($from) is past " +
+        s"tailFromDelta: the target's ingest watermark ($from) is past " +
           s"the Delta source's latest version ($newest) — the target branch " +
           "carries ingest commits from some other source (batchId namespaces " +
           "must not mix); replicate into a branch owned by this replication")
@@ -248,21 +283,37 @@ object ChangeFeed {
     // _commit_version, so shipping N versions costs O(backlog) JSON reads
     // + one scan of each version's change files — never O(history).
     val feed = DeltaLogReader.changes(spark, deltaRoot, from + 1, newest)
+    val Post = Set("insert", "update_postimage")
+    val Pre = Set("delete", "update_preimage")
     var shipped = 0
     var v = from + 1
     while (v <= newest && shipped < maxVersions) {
       val slice = feed.where(col("_commit_version") === v)
-      // one job answers both the refusal check and emptiness
+      // one job answers the shape check and emptiness together
       val byType = slice.groupBy("_change_type").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      if (byType.keySet.exists(_ != "insert"))
+      val unknown = byType.keySet -- Post -- Pre
+      if (unknown.nonEmpty)
         throw new IllegalStateException(
-          s"replicateFromDelta: source version $v carries non-insert changes " +
-            "(delete/update); replicate it with a keyed CDC apply instead of " +
-            "log shipping")
-      if (byType.nonEmpty) {
-        EventsStreaming.ingestBatch(target, targetBranch)(
-          slice.drop("_change_type", "_commit_version", "_commit_timestamp"), v)
+          s"tailFromDelta: source version $v carries unrecognized change " +
+            s"types ${unknown.mkString(", ")}")
+      val rows = slice.drop("_commit_version", "_commit_timestamp")
+      if (byType.keySet.forall(Post) && !byType.contains("update_postimage")) {
+        if (byType.nonEmpty) {
+          EventsStreaming.ingestBatch(target, targetBranch)(
+            rows.drop("_change_type"), v)
+          shipped += 1
+        } // else: metadata-only version, stepped over
+      } else {
+        if (keyCols.isEmpty)
+          throw new IllegalStateException(
+            s"tailFromDelta: source version $v carries non-insert changes " +
+              "(delete/update); pass keyCols for a keyed CDC apply — log " +
+              "shipping cannot express them")
+        EventsStreaming.applyCdcBatch(target, targetBranch, keyCols)(
+          rows.where(col("_change_type").isInCollection(Post)).drop("_change_type"),
+          rows.where(col("_change_type").isInCollection(Pre)).drop("_change_type"),
+          v)
         shipped += 1
       }
       v += 1

@@ -419,6 +419,22 @@ object EventsStreaming {
       vt.write(batch, branch, message = s"$BatchMsgPrefix$batchId", mode = "append")
   }
 
+  /** Keyed-CDC twin of [[ingestBatch]]: land one source version's
+    * (upserts, deleted keys) as ONE [[graft.vt.VersionedTable.applyCdc]]
+    * commit tagged with `batchId` — the same watermark dedup, so a
+    * re-delivered batch after a crash is skipped, and the one-commit shape
+    * means there is no torn intermediate version for the watermark to
+    * mis-read. Used by [[ChangeFeed.tailFromDelta]] for delete/update
+    * versions that log shipping cannot express. */
+  def applyCdcBatch(vt: graft.vt.VersionedTable, branch: String,
+                    keyCols: Seq[String])
+                   (upserts: DataFrame, deleteKeys: DataFrame,
+                    batchId: Long): Unit = {
+    if (lastIngestedBatchId(vt, branch).exists(_ >= batchId)) ()
+    else vt.applyCdc(upserts.sparkSession, upserts, Some(deleteKeys), keyCols,
+      branch, message = s"$BatchMsgPrefix$batchId")
+  }
+
   /** Newest ingest commit's batchId on `branch`, if any — the sink-side
     * transaction watermark [[ingestBatch]] dedups against (Delta's
     * `txnVersion` analog). Lazy head-first metadata walk that stops at the

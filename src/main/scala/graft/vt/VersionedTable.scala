@@ -446,11 +446,33 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     * key the anti-join uses) short-circuited by `limit(1)`: a bounded extra
     * job, metadata-scale next to the rewrite itself. */
   def upsert(spark: SparkSession, source: DataFrame, keyCols: Seq[String],
-             branch: String = "main", message: String = ""): Commit = synchronized {
+             branch: String = "main", message: String = ""): Commit =
+    applyCdc(spark, source, None, keyCols, branch,
+      if (message.isEmpty) s"upsert on (${keyCols.mkString(", ")})" else message)
+
+  /** Apply a KEYED CDC batch as ONE copy-on-write commit — the general form
+    * of [[upsert]] (which is `applyCdc` with no deletes): rows in `upserts`
+    * REPLACE any row sharing their key, keys in `deleteKeys` (a DataFrame
+    * carrying at least the key columns) are REMOVED, and a key present in
+    * both is a replace (the upsert wins — the net effect of a CDC batch's
+    * delete-preimage + insert-postimage pair). This is what a CDC consumer
+    * needs to land one source version ATOMICALLY: a split delete-commit +
+    * upsert-commit pair would leave a torn intermediate version on a crash
+    * between them and break batch-id idempotency
+    * ([[graft.streaming.ChangeFeed.tailFromDelta]] relies on the one-commit
+    * shape).
+    *
+    * Same COW mechanics and scale shape as upsert: numeric-key range stats
+    * (over upserted AND deleted keys) prune the files that provably hold no
+    * affected key; only the remainder is rewritten via one anti-join;
+    * untouched files carry their stats and deletion vectors. */
+  def applyCdc(spark: SparkSession, upserts: DataFrame,
+               deleteKeys: Option[DataFrame], keyCols: Seq[String],
+               branch: String = "main", message: String = ""): Commit = synchronized {
     guardWritable(branch)
-    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    require(keyCols.nonEmpty, "applyCdc needs at least one key column")
     import org.apache.spark.sql.functions.{col, count, lit, max, min}
-    val dup = source.groupBy(keyCols.map(col): _*)
+    val dup = upserts.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__n")).where(col("__n") > 1)
       .limit(1).collect()
     if (dup.nonEmpty) throw new IllegalArgumentException(
@@ -464,19 +486,25 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     // name+type equality (nullability-insensitive, including NESTED nullability:
     // reading parquet back relaxes nullable flags, which must not block an upsert)
     require(schema.fields.map(f => (f.name, VersionedTable.nullNormalized(f.dataType))).toSeq ==
-        source.schema.fields.map(f => (f.name, VersionedTable.nullNormalized(f.dataType))).toSeq,
+        upserts.schema.fields.map(f => (f.name, VersionedTable.nullNormalized(f.dataType))).toSeq,
       s"upsert schema mismatch on $branch: table has ${schema.simpleString} " +
-        s"but the source has ${source.schema.simpleString}")
-    // An empty source is a pure no-op: nothing matches and nothing inserts,
-    // so the current head IS the result — no rewrite, no version churn (the
-    // same early-return shape as merge's already-equal case). The
-    // incremental-pipeline cycle with no updates costs one limit(1) probe.
-    if (source.isEmpty) return parent
-    // file pruning: source key range per NUMERIC key column (one bounded
+        s"but the source has ${upserts.schema.simpleString}")
+    deleteKeys.foreach(d => require(keyCols.forall(d.columns.contains),
+      s"deleteKeys must carry the key columns (${keyCols.mkString(", ")}), " +
+        s"got (${d.columns.mkString(", ")})"))
+    val delKeys = deleteKeys.map(_.select(keyCols.map(col): _*))
+    // An empty batch is a pure no-op: nothing matches, nothing inserts,
+    // nothing deletes, so the current head IS the result — no rewrite, no
+    // version churn (the same early-return shape as merge's already-equal
+    // case). The incremental-pipeline cycle with no updates costs one
+    // limit(1) probe per side.
+    if (upserts.isEmpty && delKeys.forall(_.isEmpty)) return parent
+    val affected = delKeys.foldLeft(upserts.select(keyCols.map(col): _*))(_ unionByName _)
+    // file pruning: affected key range per NUMERIC key column (one bounded
     // action, 2 doubles per key) vs the parent's per-file stats — the same
     // range logic as readWhere. Only NumericType keys participate (a
     // DATE/BINARY key is not double-castable under ANSI and must not break
-    // the upsert); non-numeric-keyed tables simply rewrite conservatively.
+    // the apply); non-numeric-keyed tables simply rewrite conservatively.
     val numKeys = keyCols.filter(k =>
       schema(k).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
     val srcRange: Map[String, (Double, Double)] =
@@ -484,7 +512,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       else {
         val aggs = numKeys.flatMap(k => Seq(min(col(k).cast("double")).as(s"__mn_$k"),
           max(col(k).cast("double")).as(s"__mx_$k")))
-        val r = source.agg(aggs.head, aggs.tail: _*).collect().head
+        val r = affected.agg(aggs.head, aggs.tail: _*).collect().head
         numKeys.zipWithIndex.collect {
           case (k, i) if !r.isNullAt(2 * i) && !r.isNullAt(2 * i + 1) =>
             k -> (r.getDouble(2 * i), r.getDouble(2 * i + 1))
@@ -493,28 +521,27 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     val (untouched, touched) = parent.files.partition { f =>
       srcRange.exists { case (k, (smn, smx)) =>
         parent.stats.get(f).flatMap(_.get(k)) match {
-          case Some((mn, mx)) => mx < smn || mn > smx // provably no matched key
+          case Some((mn, mx)) => mx < smn || mn > smx // provably no affected key
           case None => false
         }
       }
     }
     val touchedRows = readCommit(spark, parent.copy(files = touched))
-    val keep = touchedRows.join(
-      source.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
-    val newFiles = writeDataFiles(keep.unionByName(source), branch, parent.version + 1)
+    val keep = touchedRows.join(affected.distinct(), keyCols, "left_anti")
+    val newFiles = writeDataFiles(keep.unionByName(upserts), branch, parent.version + 1)
     // untouched files keep their stats; new files get fresh stats over the
     // same column set the parent tracked (so skip-reads keep working)
     val statCols = (parent.stats.values.flatMap(_.keys) ++
       parent.strStats.values.flatMap(_.keys)).toSeq.distinct
     val (newStats, newStrStats, newNullStats) =
-      if (statCols.isEmpty)
+      if (statCols.isEmpty || newFiles.isEmpty) // a pure delete may empty the rewrite
         (Map.empty[String, Map[String, (Double, Double)]],
           Map.empty[String, Map[String, (String, String)]],
           Map.empty[String, Map[String, Long]])
       else collectFileStats(spark, newFiles, statCols, schema)
     val untouchedSet = untouched.toSet // O(1) lookups: stat carry is O(F), not O(F^2)
     publish(branch, Some(parent),
-      if (message.isEmpty) s"upsert on (${keyCols.mkString(", ")})" else message,
+      if (message.isEmpty) s"applyCdc on (${keyCols.mkString(", ")})" else message,
       schema, untouched ++ newFiles,
       parent.stats.view.filterKeys(untouchedSet).toMap ++ newStats,
       strStats = parent.strStats.view.filterKeys(untouchedSet).toMap ++ newStrStats,

@@ -417,6 +417,59 @@ class StreamingSpec extends SparkSpec {
     assert(b.fromVersion === 2 && b.toVersion === 3)
   }
 
+  test("tailFromDelta: keyed CDC apply lands delete/update versions as single commits, exactly-once") {
+    import java.nio.file.{Files, Paths}
+    import graft.streaming.ChangeFeed
+    import graft.vt.{DeltaLogFixture => F, VersionedTable}
+    val root = Paths.get(Tables.scratch("tail_cdc_src"))
+    Files.createDirectories(root)
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    val (fa, sa) = F.writeDataFile(root, base, "a")
+    F.writeCommit(root, 0, Seq(F.protocolLine(), F.metaDataLine(base.schema.json, Nil),
+      F.addLine(fa, sa)))
+    val target = VersionedTable.create(Tables.scratch("tail_cdc_tgt"))
+    // without keyCols a delete version refuses loudly, target untouched
+    val (fd, sd) = F.writeDataFile(root, base.where($"k" =!= 2), "a2")
+    val (fc1, sc1) = F.writeDataFile(root,
+      base.where($"k" === 2).withColumn("_change_type", lit("delete")), "cdc1")
+    F.writeCommit(root, 1, Seq(F.removeLine(fa), F.addLine(fd, sd), F.cdcLine(fc1, sc1)))
+    val e = intercept[IllegalStateException](
+      ChangeFeed.tailFromDelta(spark, root.toString, target))
+    assert(e.getMessage.contains("keyCols"), e.getMessage)
+    // the shippable prefix (v0, insert-only) landed durably BEFORE the
+    // refusal — a resumable position, not a rollback
+    assert(target.head("main").get.version === 0)
+    assert(target.read(spark, "main").count() === 4)
+    // with keyCols the drain resumes: v1 lands the delete as ONE applyCdc commit
+    assert(ChangeFeed.tailFromDelta(spark, root.toString, target,
+      keyCols = Seq("k")) === 1)
+    assert(target.head("main").get.version === 1,
+      "one commit per source version — history mirrors the source")
+    assert(target.readVersion(spark, "main", 1).select("k").as[Long].collect().sorted
+      === Array(1L, 3L, 4L))
+    // an update version (pre+post images) replaces in place
+    val (fu, su) = F.writeDataFile(root,
+      Seq((1L, "a"), (3L, "C"), (4L, "d")).toDF("k", "v"), "a3")
+    val cdc2 = Seq(("update_preimage", 3L, "c"), ("update_postimage", 3L, "C"))
+      .toDF("_change_type", "k", "v").select("k", "v", "_change_type")
+    val (fc2, sc2) = F.writeDataFile(root, cdc2, "cdc2")
+    F.writeCommit(root, 2, Seq(F.removeLine(fd), F.addLine(fu, su), F.cdcLine(fc2, sc2)))
+    assert(ChangeFeed.tailFromDelta(spark, root.toString, target,
+      keyCols = Seq("k")) === 1)
+    assert(target.read(spark, "main").as[(Long, String)].collect().sorted ===
+      Array((1L, "a"), (3L, "C"), (4L, "d")))
+    // crash redelivery: a re-delivered batchId is a no-op at the sink — the
+    // watermark dedups it even when the payload is garbage
+    EventsStreaming.applyCdcBatch(target, "main", Seq("k"))(
+      Seq((99L, "XX")).toDF("k", "v"), Seq(Tuple1(1L)).toDF("k"), 2L)
+    assert(target.head("main").get.version === 2, "duplicate delivery must not commit")
+    assert(target.read(spark, "main").as[(Long, String)].collect().sorted ===
+      Array((1L, "a"), (3L, "C"), (4L, "d")))
+    // caught up: nothing ships
+    assert(ChangeFeed.tailFromDelta(spark, root.toString, target,
+      keyCols = Seq("k")) === 0)
+  }
+
   test("batch sessionize splits on gaps > 30min and counts events per session") {
     val ts = (s: Long) => new Timestamp(s * 1000L)
     val ev = Seq(
