@@ -62,7 +62,12 @@ object Registry {
     // consumer that never re-tokenizes
     "q_repeated_inc_ingest", "q_repeated_inc_census",
     // r15: bounded-memory corpus token census (Misra-Gries)
-    "q_heavy_hitters")
+    "q_heavy_hitters",
+    // r16 verdict #3: the Delta interop family was invisible to the gates —
+    // roundtrip/replicate pin the protocol paths at fixed (nation) size,
+    // q_vt_delta_export_scale carries the sf-scaled export cost (distributed
+    // DV build + multi-file CDF write + replayed read)
+    "q_vt_delta_roundtrip", "q_vt_delta_replicate", "q_vt_delta_export_scale")
 
   /** The FROZEN round-4 headline list. `benchNames` grows as operators land
     * (23 → 27 across rounds), so the all-queries `total` is not

@@ -910,6 +910,37 @@ object Versioned {
       .select("n_nationkey", "n_name").orderBy("n_nationkey")
   }
 
+  /** SCALE-BEARING Delta export (r16, benched): the full interop pipeline on
+    * the sf-scaled orders table — versioned load + append (8 files), a 30%
+    * MERGE-ON-READ delete (deletion vectors well above the inline
+    * threshold in every file), then a CDF-enabled `_delta_log` export
+    * (distributed DV descriptor build + multi-file cdc write) and a
+    * replayed read of the exported table. In Registry.benchNames so the
+    * export data paths are visible to the 2× and 10× gates — the nation-
+    * sized interop rows pin correctness, this one pins COST. Oracle: the
+    * surviving orders aggregated. */
+  val qVtDeltaExportScale: QueryDef = q("q_vt_delta_export_scale")(
+    """SELECT o_orderpriority, count(*) AS cnt,
+      |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM orders WHERE o_orderkey % 10 >= 3
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    import graft.vt.DeltaLogReader
+    val vt = VersionedTable.create(Tables.scratch("vt_delta_export_scale"))
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val m2 = pmod(col("o_orderkey"), lit(2))
+    vt.write(orders.where(m2 === 0).repartitionByRange(4, col("o_orderkey")),
+      "main", "v0", statsCols = Seq("o_orderkey"))
+    vt.write(orders.where(m2 === 1).repartitionByRange(4, col("o_orderkey")),
+      "main", "v1 append", mode = "append")
+    vt.deleteWithVectors(s, "o_orderkey % 10 < 3", "main")
+    vt.exportDeltaLog("main", changeDataFeed = true)
+    DeltaLogReader.read(s, vt.root.toString, None)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("sum_cents"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Maintain a (count, sum) aggregate "view" incrementally: fold a CDC
     * stream (from [[graft.vt.VersionedTable.changes]]) into the previously
     * materialized aggregate instead of recomputing from the full table.
@@ -967,5 +998,5 @@ object Versioned {
     qVtUpdate, qVtTag, qVtRestoreTag, qVtProtected, qVtFeedConsume, qVtCount,
     qVtIncremental, qVtTsTravel, qVtDeltaLog, qVtDeltaRoundtrip,
     qVtDeltaDvRoundtrip, qVtDeltaCmap, qVtDeltaCmapId, qVtDeltaSkip, qVtDeltaCdf,
-    qVtDeltaReplicate, qVtDeltaTail)
+    qVtDeltaReplicate, qVtDeltaTail, qVtDeltaExportScale)
 }
