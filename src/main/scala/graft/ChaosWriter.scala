@@ -30,6 +30,23 @@ object ChaosWriter {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     val vt = graft.vt.VersionedTable.open(dir, store)
+    // "export" mode: loop Delta-log exports of whatever lineage each pass
+    // observes, while sibling writer processes keep committing — kill-9 may
+    // land mid-JSON-write (atomic rename must leave no torn commit), and a
+    // pass races the head it pinned at entry (later versions wait for the
+    // next pass). The harness then asserts every exported version replays
+    // to a committed snapshot.
+    if (args.contains("export")) {
+      var exported = 0
+      while (exported < n.toInt) {
+        val v = vt.exportDeltaLog("main")
+        exported += 1
+        println(s"[chaos$id] exported $v ($exported/$n)")
+        Thread.sleep(10)
+      }
+      spark.stop()
+      return
+    }
     // "tags" mode: tag every commit this writer lands (kill-9 may interrupt
     // between the commit and the tag CAS — the harness then checks every tag
     // that DID land resolves to a readable commit, never a dangling id)

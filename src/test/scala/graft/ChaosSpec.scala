@@ -123,6 +123,85 @@ class ChaosSpec extends SparkSpec {
     }
   }
 
+  /** Verdict r15 #7: a `_delta_log` EXPORT racing live writers. A real
+    * exporter process loops [[graft.vt.VersionedTable.exportDeltaLog]]
+    * while a real writer process keeps appending; the exporter is
+    * SIGKILLed mid-flight (possibly mid-JSON-write — the atomic tmp+rename
+    * must leave no torn commit for a reader to half-replay). Afterwards a
+    * harness-side export completes the suffix and EVERY exported version
+    * must replay to its committed snapshot — pre- or post-commit logs are
+    * both legal outcomes of the race; a torn or divergent one is not. */
+  private def runExportChaosScenario(scratchName: String, storeArg: Option[String],
+                                     mkStore: String => MetaStore): Unit = {
+    import graft.vt.DeltaLogReader
+    val root = Tables.scratch(scratchName)
+    val store = mkStore(root)
+    val vt = VersionedTable.create(root, store)
+    vt.write(Seq(0).toDF("x"), "main", "v0")
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+    def logOf(id: Int) = Paths.get(s"/tmp/chaos_export_${scratchName}_$id.log")
+    def launch(id: Int, n: Int, extra: Seq[String]): Process = {
+      val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx1g", "-cp",
+        System.getProperty("java.class.path"), "graft.ChaosWriter",
+        root, id.toString, n.toString) ++ storeArg.toSeq ++ extra
+      new ProcessBuilder(cmd.asJava).redirectErrorStream(true)
+        .redirectOutput(logOf(id).toFile).start()
+    }
+    def linesMatching(id: Int, re: String): Int =
+      if (!java.nio.file.Files.exists(logOf(id))) 0
+      else {
+        val st = java.nio.file.Files.lines(logOf(id))
+        try st.iterator().asScala.count(_.matches(re)) finally st.close()
+      }
+    def waitFor(id: Int, re: String, min: Int, timeoutMs: Long): Unit = {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (linesMatching(id, re) < min && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+    }
+    val writer = launch(1, 500, Nil)          // plain appender, runs until killed
+    val exporter = launch(2, 500, Seq("export"))
+    try {
+      // the exporter must observe a GROWING lineage (an export of some
+      // version > 0 proves a rival commit landed between its passes), and be
+      // killed while still actively exporting
+      waitFor(1, ".*appended.*", 3, 120000)
+      waitFor(2, ".*exported [1-9].*", 1, 120000)
+      waitFor(2, ".*exported.*", 3, 60000)
+      exporter.destroyForcibly()
+      waitFor(1, ".*appended.*", 6, 60000)
+      writer.destroyForcibly()
+    } finally {
+      Seq(writer, exporter).foreach(_.destroyForcibly())
+      Seq(writer, exporter).foreach(_.waitFor(10, java.util.concurrent.TimeUnit.SECONDS))
+    }
+    assert(linesMatching(2, ".*exported [1-9].*") >= 1,
+      "the exporter never raced a live lineage — scenario precondition")
+    // recovery: a fresh export completes the suffix the kill cut short
+    val headV = vt.head("main").get.version
+    vt.exportDeltaLog("main")
+    assert(DeltaLogReader.latestVersion(root) === headV)
+    // the export invariant: every exported version replays to a committed
+    // snapshot (torn JSON would fail the parse; a half-applied file set
+    // would diverge from the commit's own read)
+    (0L to headV).foreach { v =>
+      val got = DeltaLogReader.read(spark, root, Some(v))
+        .as[Int].collect().sorted
+      val want = vt.readVersion(spark, "main", v).as[Int].collect().sorted
+      assert(got === want,
+        s"exported version $v does not replay to the committed snapshot")
+    }
+  }
+
+  test("export racing kill -9 writers: every exported version replays to a committed snapshot",
+      ChaosTag) {
+    runExportChaosScenario("chaos_export_xp", None, _ => LocalFsMetaStore)
+  }
+
+  test("export chaos on the rename-free S3-semantics object store: same invariant",
+      ChaosTag) {
+    runExportChaosScenario("chaos_export_s3", Some("s3"), S3SimMetaStore.forTable)
+  }
+
   test("real cross-process writers with kill -9: versions gap-free, head readable, vacuum un-wedges",
       ChaosTag) {
     runKill9Scenario("chaos_xp", None, _ => LocalFsMetaStore)
