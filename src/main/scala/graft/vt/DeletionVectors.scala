@@ -263,23 +263,29 @@ object DeletionVectors {
 
   /** Resolve a descriptor to its deleted-position set. `tableRoot` anchors
     * relative (`u`) DVs. CRC-verified for on-disk flavors. */
+  /** The on-disk file a `u`/`p` descriptor points at (None for inline `i`). */
+  def dvFile(tableRoot: Path, dv: DvDescriptor): Option[Path] = dv.storageType match {
+    case "i" => None
+    case "p" => Some(java.nio.file.Paths.get(dv.pathOrInlineDv))
+    case "u" =>
+      val enc = dv.pathOrInlineDv
+      require(enc.length >= 20, s"bad DV uuid encoding '$enc'")
+      val (prefix, uuidEnc) = enc.splitAt(enc.length - 20)
+      val ub = z85Decode(uuidEnc, 16)
+      val bb = ByteBuffer.wrap(ub)
+      val uuid = new java.util.UUID(bb.getLong(), bb.getLong())
+      val dir = if (prefix.isEmpty) tableRoot else tableRoot.resolve(prefix)
+      Some(dir.resolve(s"deletion_vector_$uuid.bin"))
+    case other =>
+      throw new IllegalArgumentException(s"unknown DV storageType '$other'")
+  }
+
   def readPositions(tableRoot: Path, dv: DvDescriptor): Vector[Long] =
     dv.storageType match {
       case "i" =>
         deserialize(z85Decode(dv.pathOrInlineDv, dv.sizeInBytes))
       case "u" | "p" =>
-        val file = dv.storageType match {
-          case "p" => java.nio.file.Paths.get(dv.pathOrInlineDv)
-          case _ =>
-            val enc = dv.pathOrInlineDv
-            require(enc.length >= 20, s"bad DV uuid encoding '$enc'")
-            val (prefix, uuidEnc) = enc.splitAt(enc.length - 20)
-            val ub = z85Decode(uuidEnc, 16)
-            val bb = ByteBuffer.wrap(ub)
-            val uuid = new java.util.UUID(bb.getLong(), bb.getLong())
-            val dir = if (prefix.isEmpty) tableRoot else tableRoot.resolve(prefix)
-            dir.resolve(s"deletion_vector_$uuid.bin")
-        }
+        val file = dvFile(tableRoot, dv).get
         val all = Files.readAllBytes(file)
         val off = dv.offset.getOrElse(1) // byte 0 is the format version
         require(all.nonEmpty && all(0) == 1,

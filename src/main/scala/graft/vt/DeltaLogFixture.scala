@@ -134,18 +134,30 @@ object DeltaLogFixture {
     * `_change_data/` carrying the commit's row-level changes with their
     * `_change_type`; `dataChange` is false by definition (CDC files restate
     * changes, they are not part of the table snapshot). */
-  def cdcLine(path: String, sizeBytes: Long): String =
+  def cdcLine(path: String, sizeBytes: Long,
+              partitionValues: Map[String, String] = Map.empty): String =
     line("cdc") { c =>
       c.put("path", path)
-      c.putObject("partitionValues")
+      val pv = c.putObject("partitionValues")
+      partitionValues.foreach { case (k, v) => pv.put(k, v) }
       c.put("size", sizeBytes)
       c.put("dataChange", false)
       ()
     }
 
-  def removeLine(path: String): String =
+  /** `remove`; `partitionValues` present only when given (Some(Map.empty)
+    * writes the extended-metadata empty object, None omits the field — the
+    * pre-extended-metadata writer shape change feeds must refuse on
+    * partitioned tables). */
+  def removeLine(path: String,
+                 partitionValues: Option[Map[String, String]] = None): String =
     line("remove") { r =>
-      r.put("path", path); r.put("deletionTimestamp", 0L); r.put("dataChange", true); ()
+      r.put("path", path); r.put("deletionTimestamp", 0L); r.put("dataChange", true)
+      partitionValues.foreach { m =>
+        val pv = r.putObject("partitionValues")
+        m.foreach { case (k, v) => pv.put(k, v) }
+      }
+      ()
     }
 
   def commitInfoLine(timestampMs: Long, operation: String = "WRITE"): String =

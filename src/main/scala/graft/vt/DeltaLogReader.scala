@@ -490,8 +490,13 @@ object DeltaLogReader {
     * nothing, Delta's own rule. Output columns: the table schema plus
     * `_change_type`, `_commit_version`, `_commit_timestamp`.
     *
-    * Scope: unpartitioned, unmapped tables (everything our export
-    * produces); partitioned or column-mapped feeds are refused loudly.
+    * PARTITIONED tables are supported: each action carries its
+    * `partitionValues`, so every partition-value group of a version's
+    * change files is read with the file schema and the partition columns
+    * are reconstituted as typed literals — the same rule [[read]] applies
+    * to snapshots (a `remove` without partitionValues on a partitioned
+    * table — a pre-extended-metadata writer — is refused loudly rather
+    * than null-filled). Column-mapped feeds are refused loudly.
     * Commit JSON is read for the REQUESTED range only — the prefix state
     * (schema/config as of `fromVersion - 1`) comes from [[snapshot]], i.e.
     * checkpoint bootstrap + JSON suffix — so the walk is O(range) and a
@@ -523,9 +528,10 @@ object DeltaLogReader {
     val outs = Vector.newBuilder[DataFrame]
     for (v <- fromVersion to toVersion) {
       val commitPath = have(v)
-      val adds = Vector.newBuilder[(String, Boolean)] // path, hasDv
-      val removes = Vector.newBuilder[String]
-      val cdcs = Vector.newBuilder[String]
+      // (path, hasDv, partitionValues or None-when-absent)
+      val adds = Vector.newBuilder[(String, Boolean, Map[String, String])]
+      val removes = Vector.newBuilder[(String, Option[Map[String, String]])]
+      val cdcs = Vector.newBuilder[(String, Map[String, String])]
       for (line <- Files.readAllLines(commitPath).asScala if line.trim.nonEmpty) {
         val action = mapper.readTree(line)
         if (action.has("protocol")) {
@@ -542,38 +548,74 @@ object DeltaLogReader {
           config = md.path("configuration").properties().asScala
             .map(e => e.getKey -> e.getValue.asText()).toMap
         }
-        if (action.has("add") && action.get("add").path("dataChange").asBoolean(true))
-          adds += decodePath(action.get("add").get("path").asText()) ->
-            action.get("add").has("deletionVector")
-        if (action.has("remove") && action.get("remove").path("dataChange").asBoolean(true))
-          removes += decodePath(action.get("remove").get("path").asText())
-        if (action.has("cdc"))
-          cdcs += decodePath(action.get("cdc").get("path").asText())
+        if (action.has("add") && action.get("add").path("dataChange").asBoolean(true)) {
+          val add = action.get("add")
+          adds += ((decodePath(add.get("path").asText()),
+            add.has("deletionVector"), partitionValues(add)))
+        }
+        if (action.has("remove") && action.get("remove").path("dataChange").asBoolean(true)) {
+          val rm = action.get("remove")
+          removes += ((decodePath(rm.get("path").asText()),
+            if (rm.has("partitionValues")) Some(partitionValues(rm)) else None))
+        }
+        if (action.has("cdc")) {
+          val cdc = action.get("cdc")
+          cdcs += ((decodePath(cdc.get("path").asText()), partitionValues(cdc)))
+        }
       }
-      require(partCols.isEmpty &&
-        config.getOrElse("delta.columnMapping.mode", "none") == "none",
-        "change-feed reads support unpartitioned, unmapped tables only")
+      require(config.getOrElse("delta.columnMapping.mode", "none") == "none",
+        "change-feed reads support unmapped tables only")
       require(schemaJson != null, s"no metaData action in versions 0..$v")
       val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+      val partSet = partCols.toSet
+      val dataFields = schema.fields.filterNot(f => partSet(f.name))
       val ts = commitTimestamp(commitPath)
       def abs(rel: String) = root.resolve(rel).toString
       def tag(df: DataFrame) = df
         .withColumn("_commit_version", lit(v))
         .withColumn("_commit_timestamp", (lit(ts) / 1000.0).cast("timestamp"))
+      // partition columns live in the log, not the files: read each
+      // partition-value group with the file schema (+ _change_type for cdc
+      // files) and reconstitute the partition columns as typed literals —
+      // Delta's own rule, identical to readSnapshot's. Unpartitioned tables
+      // collapse to one group and keep the single multi-file scan.
+      def scanGrouped(files: Vector[(String, Map[String, String])],
+                      withChangeType: Boolean): DataFrame = {
+        val fileSchema = {
+          val base = StructType(dataFields)
+          if (withChangeType)
+            base.add("_change_type", org.apache.spark.sql.types.StringType)
+          else base
+        }
+        files.groupBy(_._2).toSeq.map { case (pv, group) =>
+          val base = spark.read.schema(fileSchema)
+            .parquet(group.map(g => abs(g._1)): _*)
+          schema.fields.filter(f => partSet(f.name)).foldLeft(base) { (d, f) =>
+            val raw = pv.get(f.name).orNull
+            val value = if (raw == null || raw.isEmpty) lit(null) else lit(raw)
+            d.withColumn(f.name, value.cast(f.dataType))
+          }
+        }.reduce(_ unionByName _)
+          .select((schema.fieldNames.map(col) ++
+            (if (withChangeType) Seq(col("_change_type")) else Nil)).toIndexedSeq: _*)
+      }
       val (a, r, c) = (adds.result(), removes.result(), cdcs.result())
       if (c.nonEmpty)
-        outs += tag(spark.read
-          .schema(schema.add("_change_type", org.apache.spark.sql.types.StringType))
-          .parquet(c.map(abs): _*))
+        outs += tag(scanGrouped(c, withChangeType = true))
       else if (r.isEmpty && a.nonEmpty) {
         require(a.forall(!_._2), s"version $v adds deletion-vector files " +
           "without cdc actions — its row-level changes are not derivable")
-        outs += tag(spark.read.schema(schema).parquet(a.map(x => abs(x._1)): _*)
+        outs += tag(scanGrouped(a.map(x => (x._1, x._3)), withChangeType = false)
           .withColumn("_change_type", lit("insert")))
-      } else if (a.isEmpty && r.nonEmpty)
-        outs += tag(spark.read.schema(schema).parquet(r.map(abs): _*)
+      } else if (a.isEmpty && r.nonEmpty) {
+        require(partCols.isEmpty || r.forall(_._2.isDefined),
+          s"version $v removes files without partitionValues on a " +
+            "partitioned table — its delete rows cannot be reconstituted " +
+            "(pre-extended-file-metadata writer)")
+        outs += tag(scanGrouped(r.map(x => (x._1, x._2.getOrElse(Map.empty))),
+            withChangeType = false)
           .withColumn("_change_type", lit("delete")))
-      else if (a.nonEmpty && r.nonEmpty)
+      } else if (a.nonEmpty && r.nonEmpty)
         throw new IllegalArgumentException(
           s"version $v mixes adds and removes without cdc actions — not " +
             "readable as a change feed (export with changeDataFeed=true)")

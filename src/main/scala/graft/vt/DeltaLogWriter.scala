@@ -342,6 +342,89 @@ object DeltaLogWriter {
     ()
   }
 
+  // ---- export-artifact garbage collection --------------------------------
+
+  /** Reclaim export artifacts NO exported version references: a kill -9
+    * mid-export (ChaosSpec's scenario) can leave `deletion_vector_*.bin`
+    * files and `_change_data` parquet whose commit JSON never landed, plus
+    * orphaned tmp directories — each harmless alone, an unbounded leak on a
+    * table exported for years. Referenced = every `cdc` path and `u`-flavor
+    * DV descriptor across all PRESENT commit JSONs plus every checkpoint
+    * (pruned-JSON tables keep their live DV references through the
+    * checkpoint, exactly like [[DeltaLogReader]]'s bootstrap). Only files
+    * older than `olderThanMs` are swept — a racing in-flight export writes
+    * its artifacts moments before its JSON, the same stale-horizon
+    * discipline [[VersionedTable.vacuum]] applies to claim slots. Sweeps
+    * only paths this writer's layout owns (top-level DV bins, parquet under
+    * `_change_data`, and `.cdc_tmp_` / `.checkpoint_tmp_` dirs).
+    * Returns the number of artifacts removed. */
+  def vacuumExport(spark: SparkSession, tableRoot: String,
+                   olderThanMs: Long = 3600000L): Int = {
+    val root = java.nio.file.Paths.get(tableRoot).toAbsolutePath.normalize
+    val logDir = root.resolve("_delta_log")
+    if (!Files.isDirectory(logDir)) return 0
+    def ls(dir: Path): Vector[Path] =
+      if (!Files.isDirectory(dir)) Vector.empty
+      else {
+        val st = Files.list(dir)
+        try st.iterator().asScala.toVector finally st.close()
+      }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def decode(p: String): String =
+      if (p.contains("://")) p else new java.net.URI(p).getPath
+    val referenced = scala.collection.mutable.Set.empty[Path]
+    def referenceDv(storageType: String, enc: String): Unit =
+      if (storageType == "u")
+        DeletionVectors.dvFile(root,
+          DeletionVectors.DvDescriptor("u", enc, None, 0, 0L))
+          .foreach(p => referenced += p.toAbsolutePath.normalize)
+    val logFiles = ls(logDir)
+    logFiles.filter(_.getFileName.toString.matches("""\d{20}\.json""")).foreach { j =>
+      Files.readAllLines(j).asScala.filter(_.trim.nonEmpty).foreach { line =>
+        val action = mapper.readTree(line)
+        if (action.has("cdc"))
+          referenced += root.resolve(decode(action.get("cdc").get("path").asText()))
+            .toAbsolutePath.normalize
+        if (action.has("add") && action.get("add").has("deletionVector")) {
+          val d = action.get("add").get("deletionVector")
+          referenceDv(d.get("storageType").asText(), d.get("pathOrInlineDv").asText())
+        }
+      }
+    }
+    logFiles.filter(_.getFileName.toString.matches(
+        """\d{20}\.checkpoint(\.\d{10}\.\d{10})?\.parquet""")).foreach { cp =>
+      val df = spark.read.parquet(cp.toString)
+      val hasDv = df.columns.contains("add") &&
+        df.schema("add").dataType.asInstanceOf[StructType]
+          .fieldNames.contains("deletionVector")
+      if (hasDv)
+        df.select("add.deletionVector.storageType", "add.deletionVector.pathOrInlineDv")
+          .where("storageType IS NOT NULL").collect()
+          .foreach(r => referenceDv(r.getString(0), r.getString(1)))
+    }
+    val horizon = System.currentTimeMillis() - olderThanMs
+    def stale(p: Path): Boolean =
+      Files.getLastModifiedTime(p).toMillis < horizon
+    var removed = 0
+    def sweepFile(p: Path): Unit =
+      if (!referenced(p.toAbsolutePath.normalize) && stale(p)) {
+        Files.deleteIfExists(p); removed += 1
+      }
+    ls(root).filter(_.getFileName.toString.matches("""deletion_vector_.*\.bin"""))
+      .foreach(sweepFile)
+    val changeDir = root.resolve("_change_data")
+    ls(changeDir).foreach { p =>
+      val name = p.getFileName.toString
+      if (name.endsWith(".parquet")) sweepFile(p)
+      else if (name.startsWith(".cdc_tmp_") && stale(p)) {
+        graft.Tables.deleteRecursively(p); removed += 1
+      }
+    }
+    ls(logDir).filter(p => p.getFileName.toString.startsWith(".checkpoint_tmp_"))
+      .foreach(p => if (stale(p)) { graft.Tables.deleteRecursively(p); removed += 1 })
+    removed
+  }
+
   // ---- checkpoints --------------------------------------------------------
 
   /** Classic single-file checkpoint schema (PROTOCOL.md "Checkpoints"): one

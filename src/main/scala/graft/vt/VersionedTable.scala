@@ -1809,6 +1809,13 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
   def exportDeltaLog(branch: String = "main", changeDataFeed: Boolean = false): Long =
     DeltaLogWriter.exportDeltaLog(this, branch, changeDataFeed)
 
+  /** Reclaim export artifacts (DV bins, cdc parquet, tmp dirs) no exported
+    * version references — the export-side companion of [[vacuum]], with the
+    * same stale-horizon discipline. See [[DeltaLogWriter.vacuumExport]]. */
+  def vacuumDeltaExport(spark: SparkSession,
+                        olderThanMs: Long = VersionedTable.DefaultStaleSlotMs): Int =
+    DeltaLogWriter.vacuumExport(spark, root.toString, olderThanMs)
+
   def putObject(rel: String, content: String): Unit =
     store.put(root.resolve(rel), content)
   def getObject(rel: String): String = store.read(root.resolve(rel))

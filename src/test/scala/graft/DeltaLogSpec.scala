@@ -377,6 +377,41 @@ class DeltaLogSpec extends SparkSpec {
       .count() === 3)
   }
 
+  test("change feed over a PARTITIONED table reconstitutes partition columns per action") {
+    val root = freshRoot("cdf_part")
+    val full = Seq((1, "x"), (2, "x"), (3, "y")).toDF("k", "part")
+    // files carry only k; `part` exists in the log alone
+    val (fx, sx) = F.writeDataFile(root, full.where($"part" === "x").drop("part"), "px")
+    val (fy, sy) = F.writeDataFile(root, full.where($"part" === "y").drop("part"), "py")
+    F.writeCommit(root, 0, Seq(F.protocolLine(),
+      F.metaDataLine(full.schema.json, Seq("part")),
+      F.addLine(fx, sx, Map("part" -> "x")), F.addLine(fy, sy, Map("part" -> "y"))))
+    // v1: drop partition x — the remove carries its partitionValues
+    F.writeCommit(root, 1, Seq(F.removeLine(fx, Some(Map("part" -> "x")))))
+    // v2: a cdc file scoped to partition y (content excludes the partition
+    // column, exactly delta-spark's layout)
+    val (fc, sc) = F.writeDataFile(root,
+      Seq((3, "delete"), (4, "insert")).toDF("k", "_change_type"), "cdc2")
+    F.writeCommit(root, 2, Seq(F.cdcLine(fc, sc, Map("part" -> "y"))))
+    val feed = DeltaLogReader.changes(spark, root.toString, 0, 2)
+      .select("_commit_version", "_change_type", "k", "part")
+      .as[(Long, String, Int, String)].collect().toSet
+    assert(feed === Set(
+      (0L, "insert", 1, "x"), (0L, "insert", 2, "x"), (0L, "insert", 3, "y"),
+      (1L, "delete", 1, "x"), (1L, "delete", 2, "x"),
+      (2L, "delete", 3, "y"), (2L, "insert", 4, "y")))
+    // a remove WITHOUT partitionValues on a partitioned table cannot
+    // reconstitute its delete rows: refused loudly, never null-filled
+    val root2 = freshRoot("cdf_part_noext")
+    val (fz, sz) = F.writeDataFile(root2, full.where($"part" === "x").drop("part"), "pz")
+    F.writeCommit(root2, 0, Seq(F.protocolLine(),
+      F.metaDataLine(full.schema.json, Seq("part")), F.addLine(fz, sz, Map("part" -> "x"))))
+    F.writeCommit(root2, 1, Seq(F.removeLine(fz)))
+    val e = intercept[IllegalArgumentException](
+      DeltaLogReader.changes(spark, root2.toString, 1, 1))
+    assert(e.getMessage.contains("partitionValues"), e.getMessage)
+  }
+
   test("replicateFromDelta: idempotent catch-up, metadata-only versions stepped over, deletes refused") {
     import graft.streaming.ChangeFeed
     val root = freshRoot("repl_src")
@@ -568,6 +603,73 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLogReader.read(spark, vt.root.toString, Some(1L))
       .select("k").as[Long].collect().sorted ===
       vt.readVersion(spark, "main", 1).select("k").as[Long].collect().sorted)
+  }
+
+  test("vacuumExport reclaims unreferenced DV/cdc artifacts, keeps referenced ones, honors the age horizon") {
+    import graft.vt.DeletionVectors
+    val vt = VersionedTable.create(Tables.scratch("delta_export_vacuum"))
+    vt.write((1L to 8000L).map(k => (k, k % 3)).toDF("k", "m")
+      .repartitionByRange(2, col("k")), "main", "v0")
+    // >InlineDvMax deleted positions per file, so the DVs land as .bin files
+    vt.deleteWithVectors(spark, "m = 0", "main")
+    vt.upsert(spark, Seq((1L, 9L)).toDF("k", "m"), keyCols = Seq("k"))
+    vt.exportDeltaLog("main", changeDataFeed = true)
+    def dvBins = {
+      val st = Files.list(vt.root)
+      try st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.matches("""deletion_vector_.*\.bin""")).toVector
+      finally st.close()
+    }
+    def cdcFiles = {
+      val st = Files.list(vt.root.resolve("_change_data"))
+      try st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toVector
+      finally st.close()
+    }
+    val (liveBins, liveCdcs) = (dvBins, cdcFiles)
+    assert(liveBins.nonEmpty && liveCdcs.nonEmpty, "fixture needs live artifacts")
+    // plant orphans: a crashed export's DV bin, cdc parquet, and tmp dirs
+    val orphanBin = DeletionVectors.dvFile(vt.root,
+      DeletionVectors.writeDvFile(vt.root, Seq(1L, 2L, 3L))).get
+    val orphanCdc = vt.root.resolve("_change_data").resolve(
+      f"cdc-${99L}%020d-${0}%05d.parquet")
+    Files.copy(vt.root.resolve("_change_data").resolve(liveCdcs.head), orphanCdc)
+    val tmpDirs = Seq(vt.root.resolve("_change_data").resolve(".cdc_tmp_99"),
+      vt.root.resolve("_delta_log").resolve(".checkpoint_tmp_99"))
+    tmpDirs.foreach(Files.createDirectories(_))
+    // too young: the in-flight-export horizon protects everything
+    assert(vt.vacuumDeltaExport(spark) === 0)
+    assert(Files.exists(orphanBin) && Files.exists(orphanCdc))
+    // aged past the horizon: exactly the orphans go
+    val past = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * graft.vt.VersionedTable.DefaultStaleSlotMs)
+    (Seq(orphanBin, orphanCdc) ++ tmpDirs).foreach(Files.setLastModifiedTime(_, past))
+    // age the LIVE artifacts too — reference, not age, must protect them
+    liveBins.foreach(b => Files.setLastModifiedTime(vt.root.resolve(b), past))
+    liveCdcs.foreach(c =>
+      Files.setLastModifiedTime(vt.root.resolve("_change_data").resolve(c), past))
+    assert(vt.vacuumDeltaExport(spark) === 4)
+    assert(!Files.exists(orphanBin) && !Files.exists(orphanCdc))
+    tmpDirs.foreach(d => assert(!Files.exists(d)))
+    assert(dvBins.toSet === liveBins.toSet, "referenced DV bins must survive")
+    assert(cdcFiles.toSet === liveCdcs.toSet, "referenced cdc files must survive")
+    // the exported table still replays in full after the sweep
+    assert(DeltaLogReader.read(spark, vt.root.toString, Some(1L)).count() ===
+      (1L to 8000L).count(_ % 3 != 0).toLong)
+    assert(DeltaLogReader.changes(spark, vt.root.toString, 2, 2).count() >= 1)
+    // log retention: checkpoint the head and prune ALL commit JSON. The v2
+    // upsert rewrote every file (no DVs survive into the checkpointed
+    // snapshot), so the old DV bins and the cdc files become genuinely
+    // unreferenced history — the sweep reclaims exactly them, and the
+    // checkpointed snapshot still reads in full (delta-spark's VACUUM
+    // retires aged _change_data the same way)
+    DeltaLogWriter.writeCheckpoint(spark, vt.root.toString, 2L)
+    (0L to 2L).foreach(v =>
+      Files.delete(vt.root.resolve("_delta_log").resolve(f"$v%020d.json")))
+    assert(vt.vacuumDeltaExport(spark) === liveBins.size + liveCdcs.size)
+    assert(dvBins.isEmpty && cdcFiles.isEmpty)
+    assert(DeltaLogReader.read(spark, vt.root.toString, None).count() ===
+      (1L to 8000L).count(_ % 3 != 0).toLong)
   }
 
   test("RoaringBuilder streams to byte-identical output vs the batch serializer") {
