@@ -73,8 +73,16 @@ object DeltaLogWriter {
     * Pure appends emit no cdc file (readers derive inserts from the adds,
     * Delta's own rule). Cost: O(changed rows) extra I/O per non-append
     * version, zero for append-only lineages. */
+  /** `checkpointInterval = Some(n)` additionally writes a classic
+    * checkpoint at every n-th exported version missing one (delta-spark
+    * writes one every 10 commits by default) — so a long exported lineage
+    * stays bootstrap-fast and its old JSON becomes prunable without a
+    * separate [[writeCheckpoint]] pass. Needs an active SparkSession. */
   def exportDeltaLog(vt: VersionedTable, branch: String = "main",
-                     changeDataFeed: Boolean = false): Long = {
+                     changeDataFeed: Boolean = false,
+                     checkpointInterval: Option[Int] = None): Long = {
+    require(checkpointInterval.forall(_ >= 1),
+      s"checkpointInterval must be >= 1, got $checkpointInterval")
     val commits = vt.lineage(branch).reverse // oldest-first: v0..vN
     require(commits.nonEmpty, s"branch '$branch' has no commits to export")
     require(commits.head.version == 0 &&
@@ -164,6 +172,12 @@ object DeltaLogWriter {
         writeAtomically(target, actions.result().mkString("", "\n", "\n"))
       }
       prev = Some(c)
+    }
+    checkpointInterval.foreach { n =>
+      commits.map(_.version).filter(v => v > 0 && v % n == 0).foreach { v =>
+        if (!Files.exists(logDir.resolve(f"$v%020d.checkpoint.parquet")))
+          writeCheckpoint(SparkSession.active, vt.root.toString, v)
+      }
     }
     commits.last.version
   }

@@ -1806,8 +1806,9 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     * place to v3 `deletionVectors` at the first version whose native MOR
     * delete vectors are exported as Delta DV descriptors). Incremental and
     * idempotent. Returns the newest exported version. */
-  def exportDeltaLog(branch: String = "main", changeDataFeed: Boolean = false): Long =
-    DeltaLogWriter.exportDeltaLog(this, branch, changeDataFeed)
+  def exportDeltaLog(branch: String = "main", changeDataFeed: Boolean = false,
+                     checkpointInterval: Option[Int] = None): Long =
+    DeltaLogWriter.exportDeltaLog(this, branch, changeDataFeed, checkpointInterval)
 
   /** Reclaim export artifacts (DV bins, cdc parquet, tmp dirs) no exported
     * version references — the export-side companion of [[vacuum]], with the

@@ -483,6 +483,30 @@ class DeltaLogSpec extends SparkSpec {
     assert(e.getMessage.contains("no _delta_log commits"), e.getMessage)
   }
 
+  test("exportDeltaLog checkpointInterval: periodic checkpoints make old JSON prunable") {
+    val vt = VersionedTable.create(Tables.scratch("delta_cp_interval"))
+    vt.write(Seq((0L, "r0")).toDF("k", "v"), "main", "v0")
+    (1L to 12L).foreach(i =>
+      vt.write(Seq((i, s"r$i")).toDF("k", "v"), "main", s"v$i", mode = "append"))
+    vt.exportDeltaLog("main", checkpointInterval = Some(5))
+    val log = vt.root.resolve("_delta_log")
+    Seq(5L, 10L).foreach(v => assert(
+      Files.exists(log.resolve(f"$v%020d.checkpoint.parquet")),
+      s"expected a checkpoint at v$v"))
+    assert(!Files.exists(log.resolve(f"${12L}%020d.checkpoint.parquet")),
+      "no checkpoint off the interval")
+    // idempotent: a re-export neither rewrites JSON nor re-checkpoints
+    val mtime = Files.getLastModifiedTime(log.resolve(f"${10L}%020d.checkpoint.parquet"))
+    vt.exportDeltaLog("main", checkpointInterval = Some(5))
+    assert(Files.getLastModifiedTime(
+      log.resolve(f"${10L}%020d.checkpoint.parquet")) === mtime)
+    // prune everything the newest checkpoint covers: still fully readable
+    (0L to 10L).foreach(v => Files.delete(log.resolve(f"$v%020d.json")))
+    assert(DeltaLogReader.read(spark, vt.root.toString, None)
+      .count() === 13L)
+    assert(DeltaLogReader.read(spark, vt.root.toString, Some(10L)).count() === 11L)
+  }
+
   test("writeCheckpoint partSize: complete multi-part group, bootstrapped after full pruning") {
     val vt = VersionedTable.create(Tables.scratch("delta_mp_write"))
     vt.write((1L to 60L).map(k => (k, s"v$k")).toDF("k", "v")
@@ -1016,6 +1040,38 @@ class DeltaLogSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       DeltaLogReader.read(spark, root2.toString, None))
     assert(e.getMessage.contains("delta.columnMapping.id"), e.getMessage)
+  }
+
+  test("column mapping (id mode): NESTED struct fields bind by field id too") {
+    import org.apache.spark.sql.types._
+    val root = freshRoot("cmap_id_nested")
+    val df = Seq((1, (10L, "ten")), (2, (20L, "twenty"))).toDF("k", "s")
+    // file: physical names everywhere, nested ids 3 (s.amt) and 4 (s.label)
+    val fileDf = df.select(
+      col("k").as("col-k", new MetadataBuilder().putLong("parquet.field.id", 1L).build()),
+      struct(
+        col("s._1").as("col-amt", new MetadataBuilder().putLong("parquet.field.id", 3L).build()),
+        col("s._2").as("col-lbl", new MetadataBuilder().putLong("parquet.field.id", 4L).build())
+      ).as("col-s", new MetadataBuilder().putLong("parquet.field.id", 2L).build()))
+    val (fa, sa) = F.writeDataFile(root, fileDf, "pn")
+    def field(name: String, dt: DataType, phys: String, id: Long) =
+      StructField(name, dt, nullable = true, new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id).build())
+    val logical = StructType(Seq(
+      field("k", IntegerType, "col-k", 1L),
+      field("s", StructType(Seq(
+        field("amt", LongType, "col-amt", 3L),
+        field("label", StringType, "col-lbl", 4L))), "col-s", 2L)))
+    F.writeCommit(root, 0, Seq(F.protocolLine(minReader = 2, minWriter = 5),
+      F.metaDataLine(logical.json, Nil,
+        Map("delta.columnMapping.mode" -> "id",
+          "delta.columnMapping.maxColumnId" -> "4")),
+      F.addLine(fa, sa)))
+    val got = DeltaLogReader.read(spark, root.toString, None)
+    assert(got.columns.toSeq === Seq("k", "s"))
+    assert(got.selectExpr("k", "s.amt", "s.label").as[(Int, Long, String)]
+      .collect().sortBy(_._1) === Array((1, 10L, "ten"), (2, 20L, "twenty")))
   }
 
   test("column mapping: config survives a checkpoint") {

@@ -470,6 +470,32 @@ class StreamingSpec extends SparkSpec {
       keyCols = Seq("k")) === 0)
   }
 
+  test("tailFromDelta follows a PARTITIONED foreign table, partition columns reconstituted") {
+    import java.nio.file.{Files, Paths}
+    import graft.streaming.ChangeFeed
+    import graft.vt.{DeltaLogFixture => F, VersionedTable}
+    val root = Paths.get(Tables.scratch("tail_part_src"))
+    Files.createDirectories(root)
+    val full = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("k", "part")
+    val (fx, sx) = F.writeDataFile(root, full.where($"part" === "x").drop("part"), "px")
+    val (fy, sy) = F.writeDataFile(root, full.where($"part" === "y").drop("part"), "py")
+    F.writeCommit(root, 0, Seq(F.protocolLine(),
+      F.metaDataLine(full.schema.json, Seq("part")),
+      F.addLine(fx, sx, Map("part" -> "x")), F.addLine(fy, sy, Map("part" -> "y"))))
+    val target = VersionedTable.create(Tables.scratch("tail_part_tgt"))
+    assert(ChangeFeed.tailFromDelta(spark, root.toString, target,
+      keyCols = Seq("k")) === 1)
+    assert(target.read(spark, "main").as[(Long, String)].collect().sorted ===
+      Array((1L, "x"), (2L, "x"), (3L, "y")),
+      "partition columns must land as regular columns in the replica")
+    // a partition-scoped delete ships as a keyed apply
+    F.writeCommit(root, 1, Seq(F.removeLine(fx, Some(Map("part" -> "x")))))
+    assert(ChangeFeed.tailFromDelta(spark, root.toString, target,
+      keyCols = Seq("k")) === 1)
+    assert(target.read(spark, "main").as[(Long, String)].collect() ===
+      Array((3L, "y")))
+  }
+
   test("batch sessionize splits on gaps > 30min and counts events per session") {
     val ts = (s: Long) => new Timestamp(s * 1000L)
     val ev = Seq(
