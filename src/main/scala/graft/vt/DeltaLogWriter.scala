@@ -174,6 +174,8 @@ object DeltaLogWriter {
       prev = Some(c)
     }
     checkpointInterval.foreach { n =>
+      // always reproducible: the loop above just (re)materialized every
+      // missing commit JSON from the native lineage, pruned history included
       commits.map(_.version).filter(v => v > 0 && v % n == 0).foreach { v =>
         if (!Files.exists(logDir.resolve(f"$v%020d.checkpoint.parquet")))
           writeCheckpoint(SparkSession.active, vt.root.toString, v)

@@ -505,6 +505,21 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLogReader.read(spark, vt.root.toString, None)
       .count() === 13L)
     assert(DeltaLogReader.read(spark, vt.root.toString, Some(10L)).count() === 11L)
+    // an interval re-export over the pruned lineage re-materializes the
+    // missing JSON from the native commit log (immutable commits make the
+    // rewrite byte-consistent), so every eligible checkpoint — including
+    // one whose file was lost — is writable again, and new ones land
+    Files.delete(log.resolve(f"${5L}%020d.checkpoint.parquet"))
+    (13L to 15L).foreach(i =>
+      vt.write(Seq((i, s"r$i")).toDF("k", "v"), "main", s"v$i", mode = "append"))
+    vt.exportDeltaLog("main", checkpointInterval = Some(5))
+    Seq(5L, 15L).foreach(v => assert(
+      Files.exists(log.resolve(f"$v%020d.checkpoint.parquet")),
+      s"expected a (re)created checkpoint at v$v"))
+    assert(Files.exists(log.resolve(f"${3L}%020d.json")),
+      "pruned commit JSON re-materializes from the native lineage")
+    assert(DeltaLogReader.read(spark, vt.root.toString, None).count() === 16L)
+    assert(DeltaLogReader.read(spark, vt.root.toString, Some(7L)).count() === 8L)
   }
 
   test("writeCheckpoint partSize: complete multi-part group, bootstrapped after full pruning") {
