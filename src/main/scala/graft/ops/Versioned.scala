@@ -941,6 +941,24 @@ object Versioned {
       .orderBy("o_orderpriority")
   }
 
+  /** String-stats skipping through the Delta export (r16): the textual
+    * min/max quadrants [[graft.vt.DeltaLogWriter]] emits doing their job —
+    * [[graft.vt.DeltaLogReader.readWhereString]] prunes files by exported
+    * UTF-8 [min,max] before Spark lists them (DeltaLogSpec pins the
+    * inputFiles count; the oracle pins that pruning loses no rows). */
+  val qVtDeltaSkipStr: QueryDef = q("q_vt_delta_skip_str")(
+    """SELECT n_nationkey, n_name FROM nation
+      |WHERE n_name BETWEEN 'NATION_12' AND 'NATION_19' ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+    import graft.vt.DeltaLogReader
+    val vt = VersionedTable.create(Tables.scratch("vt_delta_skip_str"))
+    val nation = Tables.nation(s, d).select("n_nationkey", "n_name")
+    vt.write(nation.repartitionByRange(4, col("n_name")), "main", "v0",
+      statsCols = Seq("n_name"))
+    vt.exportDeltaLog("main")
+    DeltaLogReader.readWhereString(s, vt.root.toString, "n_name", "NATION_12", "NATION_19")
+      .select("n_nationkey", "n_name").orderBy("n_nationkey")
+  }
+
   /** Maintain a (count, sum) aggregate "view" incrementally: fold a CDC
     * stream (from [[graft.vt.VersionedTable.changes]]) into the previously
     * materialized aggregate instead of recomputing from the full table.
@@ -998,5 +1016,5 @@ object Versioned {
     qVtUpdate, qVtTag, qVtRestoreTag, qVtProtected, qVtFeedConsume, qVtCount,
     qVtIncremental, qVtTsTravel, qVtDeltaLog, qVtDeltaRoundtrip,
     qVtDeltaDvRoundtrip, qVtDeltaCmap, qVtDeltaCmapId, qVtDeltaSkip, qVtDeltaCdf,
-    qVtDeltaReplicate, qVtDeltaTail, qVtDeltaExportScale)
+    qVtDeltaReplicate, qVtDeltaTail, qVtDeltaExportScale, qVtDeltaSkipStr)
 }

@@ -110,14 +110,15 @@ object DeltaLogFixture {
               partitionValues: Map[String, String] = Map.empty,
               mtime: Long = 0L,
               stats: Option[String] = None,
-              dv: Option[DeletionVectors.DvDescriptor] = None): String =
+              dv: Option[DeletionVectors.DvDescriptor] = None,
+              dataChange: Boolean = true): String =
     line("add") { a =>
       a.put("path", path)
       val pv = a.putObject("partitionValues")
       partitionValues.foreach { case (k, v) => pv.put(k, v) }
       a.put("size", sizeBytes)
       a.put("modificationTime", mtime)
-      a.put("dataChange", true)
+      a.put("dataChange", dataChange)
       stats.foreach(s => a.put("stats", s))
       dv.foreach { d =>
         val n = a.putObject("deletionVector")
@@ -150,9 +151,10 @@ object DeltaLogFixture {
     * pre-extended-metadata writer shape change feeds must refuse on
     * partitioned tables). */
   def removeLine(path: String,
-                 partitionValues: Option[Map[String, String]] = None): String =
+                 partitionValues: Option[Map[String, String]] = None,
+                 dataChange: Boolean = true): String =
     line("remove") { r =>
-      r.put("path", path); r.put("deletionTimestamp", 0L); r.put("dataChange", true)
+      r.put("path", path); r.put("deletionTimestamp", 0L); r.put("dataChange", dataChange)
       partitionValues.foreach { m =>
         val pv = r.putObject("partitionValues")
         m.foreach { case (k, v) => pv.put(k, v) }

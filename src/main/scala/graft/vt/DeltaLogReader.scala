@@ -710,6 +710,73 @@ object DeltaLogReader {
       .where(col(column).cast("double").between(lower, upper))
   }
 
+  /** String twin of [[readWhere]]: prune the snapshot's files with the
+    * exported TEXTUAL min/max stats (binary UTF-8 order — Spark's own
+    * string ordering) before Spark lists them, then apply the residual
+    * BETWEEN exactly. Foreign tables with delta-spark's truncated string
+    * stats stay conservative: truncation only ever widens the [min, max]
+    * envelope (the max is padded upward), so a kept file may be a false
+    * positive, never a false negative. */
+  def readWhereString(spark: SparkSession, tableRoot: String, column: String,
+                      lower: String, upper: String,
+                      versionAsOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(tableRoot, versionAsOf, Some(spark))
+    val declared = snap.schema.fields.find(_.name == column).map(_.dataType)
+    require(declared.isDefined,
+      s"no such column '$column' in ${snap.schema.fieldNames.mkString(", ")}")
+    require(declared.get == org.apache.spark.sql.types.StringType,
+      s"readWhereString needs a string column; '$column' is ${declared.get.simpleString}")
+    val physicalName = snap.schema.fields.find(_.name == column).map(physName)
+    val keep = snap.files.filter { f =>
+      f.stats match {
+        case None => true
+        case Some(s) =>
+          val node = mapper.readTree(s)
+          def field(quad: String): Option[JsonNode] =
+            (Seq(column) ++ physicalName).iterator
+              .map(n => node.path(quad).get(n)).find(_ != null)
+          val allNull = field("nullCount").filter(_.isNumber)
+            .filter(_ => node.has("numRecords"))
+            .exists(_.asLong() == node.get("numRecords").asLong())
+          if (allNull) false
+          else (field("minValues").filter(_.isTextual),
+              field("maxValues").filter(_.isTextual)) match {
+            case (Some(mn), Some(mx)) =>
+              VersionedTable.utf8Cmp(mx.asText(), lower) >= 0 &&
+                VersionedTable.utf8Cmp(mn.asText(), upper) <= 0
+            case _ => true
+          }
+      }
+    }
+    readSnapshot(spark, tableRoot, snap.copy(files = keep))
+      .where(col(column).between(lower, upper))
+  }
+
+  /** Delta CDF's `startingTimestamp` / `endingTimestamp` resolution: the
+    * feed over [first version at-or-after `fromTs`, newest version at-or-
+    * before `toTs`], timestamps adjusted to the same strictly-increasing
+    * sequence as [[versionAtTimestamp]]. Throws when the window contains no
+    * version (delta-spark refuses an empty timestamp range too). */
+  def changesByTimestamp(spark: SparkSession, tableRoot: String,
+                         fromTs: Long, toTs: Long): DataFrame = {
+    require(fromTs <= toTs, s"need fromTs <= toTs, got ($fromTs, $toTs)")
+    val root = Paths.get(tableRoot).toAbsolutePath.normalize
+    val commits = commitFiles(root)
+    require(commits.nonEmpty, s"not a Delta table (no _delta_log commits): $tableRoot")
+    var adjusted = Long.MinValue
+    var from = -1L
+    var to = -1L
+    commits.foreach { case (v, p) =>
+      val raw = commitTimestamp(p)
+      adjusted = if (adjusted == Long.MinValue) raw else math.max(raw, adjusted + 1)
+      if (adjusted >= fromTs && from < 0) from = v
+      if (adjusted <= toTs) to = v
+    }
+    require(from >= 0 && to >= from,
+      s"no commit falls inside [$fromTs, $toTs] for $tableRoot")
+    changes(spark, tableRoot, from, to)
+  }
+
   private def readSnapshot(spark: SparkSession, tableRoot: String,
                            snap: DeltaSnapshot): DataFrame = {
     val root = Paths.get(tableRoot).toAbsolutePath.normalize

@@ -154,20 +154,35 @@ object DeltaLogWriter {
             if (changeDataFeed) Seq("changeDataFeed") else Nil)
         if (schemaChanged) actions += DeltaLogFixture.metaDataLine(c.schemaJson, Nil,
           if (changeDataFeed) Map("delta.enableChangeDataFeed" -> "true") else Map.empty)
+        // ROW-PRESERVING rewrites (compact / Z-order: the file set changes,
+        // the row bag does not) export Delta's way: adds and removes marked
+        // dataChange=false, no cdc file — a CDF reader then skips the
+        // version instead of refusing a mixed add/remove commit or deriving
+        // phantom inserts. Detected EXACTLY from the version's own change
+        // feed being empty (one cached pass answers both the probe and the
+        // cdc write), only under changeDataFeed — non-CDF exports keep
+        // dataChange=true, which snapshot readers ignore.
+        var restatement = false
         if (changeDataFeed && prev.nonEmpty && removes.nonEmpty) {
           val spark = SparkSession.active
           val feed = vt.changesFeed(spark, branch, c.version - 1, c.version)
             .drop("version").withColumnRenamed("change_type", "_change_type")
-          writeCdcFiles(vt.root, feed, c.version).foreach { case (rel, size) =>
-            actions += DeltaLogFixture.cdcLine(encodePath(rel), size)
-          }
+          feed.persist()
+          try {
+            if (feed.isEmpty) restatement = true
+            else writeCdcFiles(vt.root, feed, c.version).foreach { case (rel, size) =>
+              actions += DeltaLogFixture.cdcLine(encodePath(rel), size)
+            }
+          } finally { feed.unpersist(); () }
         }
-        removes.foreach(r => actions += DeltaLogFixture.removeLine(encodePath(r)))
+        removes.foreach(r => actions += DeltaLogFixture.removeLine(encodePath(r),
+          dataChange = !restatement))
         (adds ++ dvChanged).foreach { rel =>
           val p = vt.root.resolve(rel)
           actions += DeltaLogFixture.addLine(encodePath(rel), Files.size(p),
             mtime = Files.getLastModifiedTime(p).toMillis,
-            stats = statsJson(c, rel), dv = descriptors.get(rel))
+            stats = statsJson(c, rel), dv = descriptors.get(rel),
+            dataChange = !restatement)
         }
         writeAtomically(target, actions.result().mkString("", "\n", "\n"))
       }

@@ -579,6 +579,45 @@ class DeltaLogSpec extends SparkSpec {
       p2.writerFeatures.exists(_.contains("changeDataFeed")), s"got $p2")
   }
 
+  test("compaction exports as dataChange=false: CDF readers skip it, snapshots still track it") {
+    import graft.streaming.ChangeFeed
+    val vt = VersionedTable.create(Tables.scratch("delta_compact_cdf"))
+    vt.write((1L to 50L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartitionByRange(4, col("k")), "main", "v0")
+    vt.write(Seq((51L, "v51")).toDF("k", "v"), "main", "v1 append", mode = "append")
+    vt.compact(spark, "main", numFiles = 2) // v2: rows identical, files rewritten
+    vt.upsert(spark, Seq((1L, "V1")).toDF("k", "v"), keyCols = Seq("k")) // v3
+    vt.exportDeltaLog("main", changeDataFeed = true)
+    // v2's actions: adds+removes all dataChange=false, no cdc file
+    val a2 = actions(vt.root, 2)
+    val addRm2 = a2.filter(a => a.has("add") || a.has("remove"))
+    assert(addRm2.nonEmpty && addRm2.forall { a =>
+      val n = if (a.has("add")) a.get("add") else a.get("remove")
+      !n.get("dataChange").asBoolean(true)
+    }, "a row-preserving rewrite must export with dataChange=false")
+    assert(!a2.exists(_.has("cdc")), "a restatement has no change data")
+    // the real change versions keep dataChange=true + cdc where due
+    assert(actions(vt.root, 3).exists(_.has("cdc")))
+    // CDF read: the compaction contributes NOTHING; the upsert's changes and
+    // the appends all survive
+    val feed = DeltaLogReader.changes(spark, vt.root.toString, 0, 3)
+    assert(feed.where($"_commit_version" === 2).count() === 0,
+      "phantom inserts from a compaction would poison every CDF consumer")
+    assert(feed.where($"_commit_version" === 3 && $"_change_type" === "insert")
+      .select("v").as[String].collect() === Array("V1"))
+    assert(feed.where($"_change_type" === "insert").count() === 52L) // 50 + 1 + upsert
+    // snapshot reads still see the compacted file set at v2 and beyond
+    assert(DeltaLogReader.read(spark, vt.root.toString, Some(2L)).count() === 51L)
+    assert(DeltaLogReader.read(spark, vt.root.toString, Some(2L)).inputFiles.length === 2)
+    // a tail over the lineage steps over the restatement and lands the rest
+    val target = VersionedTable.create(Tables.scratch("delta_compact_tgt"))
+    assert(ChangeFeed.tailFromDelta(spark, vt.root.toString, target,
+      keyCols = Seq("k")) === 3, "v0, v1, v3 ship; the compaction is a no-op")
+    assert(target.read(spark, "main").where($"k" === 1).select("v")
+      .as[String].collect() === Array("V1"))
+    assert(target.read(spark, "main").count() === 51L)
+  }
+
   test("CDF export writes one cdc file per feed partition — no coalesce(1) funnel") {
     val vt = VersionedTable.create(Tables.scratch("delta_cdf_multi"))
     vt.write((1L to 400L).map(k => (k, s"v$k")).toDF("k", "v")
@@ -761,6 +800,44 @@ class DeltaLogSpec extends SparkSpec {
     assert(e.getMessage.contains("numeric"), e.getMessage)
     assertThrows[IllegalArgumentException](
       DeltaLogReader.readWhere(spark, vt.root.toString, "nope", 1, 2))
+  }
+
+  test("readWhereString prunes files by exported textual stats; type guard is loud") {
+    val vt = VersionedTable.create(Tables.scratch("delta_skip_str"))
+    val data = ('a' to 'z').zipWithIndex.map { case (c, i) => (i.toLong, s"${c}name") }
+      .toDF("k", "name")
+    vt.write(data.repartitionByRange(4, col("name")), "main", "v0",
+      statsCols = Seq("name"))
+    vt.exportDeltaLog("main")
+    assert(DeltaLogReader.read(spark, vt.root.toString, None).inputFiles.length === 4)
+    val narrow = DeltaLogReader.readWhereString(
+      spark, vt.root.toString, "name", "ha", "kz")
+    assert(narrow.inputFiles.length < 4, "textual stats should prune files")
+    assert(narrow.select("name").as[String].collect().sorted ===
+      Array("hname", "iname", "jname", "kname"))
+    assertThrows[IllegalArgumentException](
+      DeltaLogReader.readWhereString(spark, vt.root.toString, "k", "a", "b"))
+  }
+
+  test("changesByTimestamp resolves the CDF window like startingTimestamp/endingTimestamp") {
+    val vt = VersionedTable.create(Tables.scratch("delta_cdf_ts"))
+    val c0 = vt.write(Seq((1L, "a")).toDF("k", "v"), "main", "v0")
+    while (System.currentTimeMillis() <= c0.ts) Thread.sleep(1)
+    val c1 = vt.write(Seq((2L, "b")).toDF("k", "v"), "main", "v1", mode = "append")
+    while (System.currentTimeMillis() <= c1.ts) Thread.sleep(1)
+    val c2 = vt.write(Seq((3L, "c")).toDF("k", "v"), "main", "v2", mode = "append")
+    vt.exportDeltaLog("main")
+    def vs(from: Long, to: Long): Seq[Long] =
+      DeltaLogReader.changesByTimestamp(spark, vt.root.toString, from, to)
+        .select("_commit_version").distinct().as[Long].collect().sorted.toSeq
+    assert(vs(c0.ts, c2.ts) === Seq(0L, 1L, 2L))
+    assert(vs(c1.ts, c2.ts) === Seq(1L, 2L))
+    // a from-timestamp strictly between commits rounds FORWARD (the next
+    // version), an end-timestamp rounds BACKWARD — delta's CDF rule
+    assert(vs(c0.ts + 1, c2.ts - 1) === Seq(1L))
+    assertThrows[IllegalArgumentException](
+      DeltaLogReader.changesByTimestamp(spark, vt.root.toString,
+        c2.ts + 100000, c2.ts + 200000))
   }
 
   // ---- checkpoints --------------------------------------------------------
