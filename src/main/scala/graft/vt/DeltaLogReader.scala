@@ -496,7 +496,8 @@ object DeltaLogReader {
     * are reconstituted as typed literals — the same rule [[read]] applies
     * to snapshots (a `remove` without partitionValues on a partitioned
     * table — a pre-extended-metadata writer — is refused loudly rather
-    * than null-filled). Column-mapped feeds are refused loudly.
+    * than null-filled). COLUMN-MAPPED feeds are supported in both name
+    * mode (scan physical, rename to logical) and id mode (field-id bind).
     * Commit JSON is read for the REQUESTED range only — the prefix state
     * (schema/config as of `fromVersion - 1`) comes from [[snapshot]], i.e.
     * checkpoint bootstrap + JSON suffix — so the walk is O(range) and a
@@ -563,12 +564,19 @@ object DeltaLogReader {
           cdcs += ((decodePath(cdc.get("path").asText()), partitionValues(cdc)))
         }
       }
-      require(config.getOrElse("delta.columnMapping.mode", "none") == "none",
-        "change-feed reads support unmapped tables only")
       require(schemaJson != null, s"no metaData action in versions 0..$v")
       val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+      val mode = config.getOrElse("delta.columnMapping.mode", "none")
+      require(mode == "none" || mode == "name" || mode == "id",
+        s"delta.columnMapping.mode=$mode is not implemented by this replayer")
+      val mapped = mode == "name"
+      val idMapped = mode == "id"
+      if (idMapped) spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
       val partSet = partCols.toSet
-      val dataFields = schema.fields.filterNot(f => partSet(f.name))
+      def isPart(f: org.apache.spark.sql.types.StructField): Boolean =
+        partSet(f.name) || partSet(physName(f))
+      val dataFields = schema.fields.filterNot(isPart)
+      val partFields = schema.fields.filter(isPart)
       val ts = commitTimestamp(commitPath)
       def abs(rel: String) = root.resolve(rel).toString
       def tag(df: DataFrame) = df
@@ -577,21 +585,33 @@ object DeltaLogReader {
       // partition columns live in the log, not the files: read each
       // partition-value group with the file schema (+ _change_type for cdc
       // files) and reconstitute the partition columns as typed literals —
-      // Delta's own rule, identical to readSnapshot's. Unpartitioned tables
+      // Delta's own rule, identical to readSnapshot's. Column-mapped feeds
+      // read data columns under physical names (name mode: scan physical,
+      // rename back; id mode: field-id bind under logical names — the
+      // `_change_type` column itself is never mapped and matches by name,
+      // which mixed field-id resolution supports). Unpartitioned tables
       // collapse to one group and keep the single multi-file scan.
       def scanGrouped(files: Vector[(String, Map[String, String])],
                       withChangeType: Boolean): DataFrame = {
-        val fileSchema = {
-          val base = StructType(dataFields)
+        val base0 =
+          if (mapped) StructType(dataFields.map(f => org.apache.spark.sql.types
+            .StructField(physName(f), physType(f.dataType), f.nullable)))
+          else if (idMapped) fieldIdSchema(StructType(dataFields))
+          else StructType(dataFields)
+        val fileSchema =
           if (withChangeType)
-            base.add("_change_type", org.apache.spark.sql.types.StringType)
-          else base
-        }
+            base0.add("_change_type", org.apache.spark.sql.types.StringType)
+          else base0
+        def renameToLogical(df: DataFrame): DataFrame =
+          if (!mapped) df
+          else df.select((dataFields.map(f =>
+            col(s"`${physName(f)}`").cast(f.dataType).as(f.name)) ++
+            (if (withChangeType) Seq(col("_change_type")) else Nil)).toIndexedSeq: _*)
         files.groupBy(_._2).toSeq.map { case (pv, group) =>
-          val base = spark.read.schema(fileSchema)
-            .parquet(group.map(g => abs(g._1)): _*)
-          schema.fields.filter(f => partSet(f.name)).foldLeft(base) { (d, f) =>
-            val raw = pv.get(f.name).orNull
+          val base = renameToLogical(spark.read.schema(fileSchema)
+            .parquet(group.map(g => abs(g._1)): _*))
+          partFields.foldLeft(base) { (d, f) =>
+            val raw = pv.get(physName(f)).orElse(pv.get(f.name)).orNull
             val value = if (raw == null || raw.isEmpty) lit(null) else lit(raw)
             d.withColumn(f.name, value.cast(f.dataType))
           }
@@ -687,8 +707,20 @@ object DeltaLogReader {
       s"readWhere needs a numeric column; '$column' is ${declared.get.simpleString} " +
         "— a double cast on it would yield null and silently drop every row")
     val physicalName = snap.schema.fields.find(_.name == column).map(physName)
+    // a PARTITION column's values live in partitionValues, not in stats:
+    // prune by the literal value instead (Delta's partition pruning)
+    val isPartCol = snap.partitionColumns.contains(column) ||
+      physicalName.exists(snap.partitionColumns.contains)
     val keep = snap.files.filter { f =>
-      f.stats match {
+      if (isPartCol) {
+        val raw = physicalName.flatMap(f.partitionValues.get)
+          .orElse(f.partitionValues.get(column))
+        raw match {
+          case None => true // no recorded value: conservative keep
+          case Some(v) if v == null || v.isEmpty => false // null can't BETWEEN
+          case Some(v) => v.toDoubleOption.forall(d => d >= lower && d <= upper)
+        }
+      } else f.stats match {
         case None => true
         case Some(s) =>
           val node = mapper.readTree(s)
@@ -727,8 +759,19 @@ object DeltaLogReader {
     require(declared.get == org.apache.spark.sql.types.StringType,
       s"readWhereString needs a string column; '$column' is ${declared.get.simpleString}")
     val physicalName = snap.schema.fields.find(_.name == column).map(physName)
+    val isPartCol = snap.partitionColumns.contains(column) ||
+      physicalName.exists(snap.partitionColumns.contains)
     val keep = snap.files.filter { f =>
-      f.stats match {
+      if (isPartCol) {
+        val raw = physicalName.flatMap(f.partitionValues.get)
+          .orElse(f.partitionValues.get(column))
+        raw match {
+          case None => true
+          case Some(v) if v == null || v.isEmpty => false
+          case Some(v) => VersionedTable.utf8Cmp(v, lower) >= 0 &&
+            VersionedTable.utf8Cmp(v, upper) <= 0
+        }
+      } else f.stats match {
         case None => true
         case Some(s) =>
           val node = mapper.readTree(s)

@@ -412,6 +412,73 @@ class DeltaLogSpec extends SparkSpec {
     assert(e.getMessage.contains("partitionValues"), e.getMessage)
   }
 
+  test("change feed over COLUMN-MAPPED tables: name mode renames, id mode binds by field id") {
+    // name mode: files carry physical names; the cdc file's data columns are
+    // physical too, _change_type is never mapped
+    val root = freshRoot("cdf_cmap_name")
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val phys = Map("k" -> "col-k", "v" -> "col-v")
+    def physical(d: org.apache.spark.sql.DataFrame) =
+      d.select(d.columns.map(c => col(c).as(phys.getOrElse(c, c))): _*)
+    val (fa, sa) = F.writeDataFile(root, physical(df), "pa")
+    F.writeCommit(root, 0, Seq(F.protocolLine(minReader = 2, minWriter = 5),
+      F.metaDataLine(F.columnMappedSchema(df.schema, phys).json, Nil,
+        Map("delta.columnMapping.mode" -> "name")),
+      F.addLine(fa, sa)))
+    val (fu, su) = F.writeDataFile(root, physical(Seq((1, "A"), (2, "b")).toDF("k", "v")), "pa2")
+    val (fc, sc) = F.writeDataFile(root,
+      physical(Seq((1, "a"), (1, "A")).toDF("k", "v"))
+        .withColumn("_change_type",
+          when(col("`col-v`") === "a", "update_preimage").otherwise("update_postimage")),
+      "cdc1")
+    F.writeCommit(root, 1, Seq(F.removeLine(fa), F.addLine(fu, su), F.cdcLine(fc, sc)))
+    val feed = DeltaLogReader.changes(spark, root.toString, 0, 1)
+      .select("_commit_version", "_change_type", "k", "v")
+      .as[(Long, String, Int, String)].collect().toSet
+    assert(feed === Set((0L, "insert", 1, "a"), (0L, "insert", 2, "b"),
+      (1L, "update_preimage", 1, "a"), (1L, "update_postimage", 1, "A")),
+      "logical names must surface through a name-mapped feed")
+    // id mode: same shape, ids drive the bind
+    val root2 = freshRoot("cdf_cmap_id")
+    val ids = Map("k" -> 1L, "v" -> 2L)
+    val fileDf = F.physicalWithIds(df, phys, ids)
+    val (fb, sb) = F.writeDataFile(root2, fileDf, "pb")
+    F.writeCommit(root2, 0, Seq(F.protocolLine(minReader = 2, minWriter = 5),
+      F.metaDataLine(F.columnMappedSchema(df.schema, phys, ids).json, Nil,
+        Map("delta.columnMapping.mode" -> "id")),
+      F.addLine(fb, sb)))
+    val idFeed = DeltaLogReader.changes(spark, root2.toString, 0, 0)
+      .select("_change_type", "k", "v").as[(String, Int, String)].collect().toSet
+    assert(idFeed === Set(("insert", 1, "a"), ("insert", 2, "b")))
+  }
+
+  test("readWhere/readWhereString prune by partitionValues on partition columns") {
+    val root = freshRoot("skip_partcol")
+    val full = Seq((1L, 7), (2L, 7), (3L, 8), (4L, 9)).toDF("k", "bucket")
+    val groups = Seq(7, 8, 9).map { b =>
+      val (f, s) = F.writeDataFile(root, full.where($"bucket" === b).drop("bucket"), s"b$b")
+      F.addLine(f, s, Map("bucket" -> b.toString))
+    }
+    F.writeCommit(root, 0, Seq(F.protocolLine(),
+      F.metaDataLine(full.schema.json, Seq("bucket"))) ++ groups)
+    val pruned = DeltaLogReader.readWhere(spark, root.toString, "bucket", 8, 9)
+    assert(pruned.inputFiles.length === 2,
+      "partition pruning must drop the bucket=7 file before listing")
+    assert(pruned.select("k").as[Long].collect().sorted === Array(3L, 4L))
+    // string partition column
+    val root2 = freshRoot("skip_partcol_str")
+    val full2 = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "part")
+    val groups2 = Seq("x", "y", "z").map { p =>
+      val (f, s) = F.writeDataFile(root2, full2.where($"part" === p).drop("part"), s"p$p")
+      F.addLine(f, s, Map("part" -> p))
+    }
+    F.writeCommit(root2, 0, Seq(F.protocolLine(),
+      F.metaDataLine(full2.schema.json, Seq("part"))) ++ groups2)
+    val prunedStr = DeltaLogReader.readWhereString(spark, root2.toString, "part", "y", "z")
+    assert(prunedStr.inputFiles.length === 2)
+    assert(prunedStr.select("k").as[Long].collect().sorted === Array(2L, 3L))
+  }
+
   test("replicateFromDelta: idempotent catch-up, metadata-only versions stepped over, deletes refused") {
     import graft.streaming.ChangeFeed
     val root = freshRoot("repl_src")
