@@ -167,6 +167,145 @@ object DeltaLogFixture {
       c.put("timestamp", timestampMs); c.put("operation", operation); ()
     }
 
+  /** `sidecar` action (PROTOCOL.md V2 checkpoints): references a parquet
+    * file under `_delta_log/_sidecars/` carrying the checkpoint's file
+    * actions. */
+  def sidecarLine(path: String, sizeBytes: Long): String =
+    line("sidecar") { s =>
+      s.put("path", path); s.put("sizeInBytes", sizeBytes)
+      s.put("modificationTime", 0L)
+      ()
+    }
+
+  /** `checkpointMetadata` action — mandatory in every V2 checkpoint
+    * manifest; its `version` must equal the manifest filename's. */
+  def checkpointMetadataLine(version: Long): String =
+    line("checkpointMetadata") { c => c.put("version", version); () }
+
+  /** Write a V2 checkpoint JSON manifest
+    * (`<v %020d>.checkpoint.<uuid>.json`) from action lines. */
+  def writeV2CheckpointJson(tableRoot: Path, version: Long, uuid: String,
+                            actions: Seq[String]): Unit = {
+    val logDir = tableRoot.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    Files.write(logDir.resolve(f"$version%020d.checkpoint.$uuid.json"),
+      actions.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  private def oneFileParquet(spark: org.apache.spark.sql.SparkSession,
+                             rows: Seq[org.apache.spark.sql.Row],
+                             schema: org.apache.spark.sql.types.StructType,
+                             tmpDir: Path, dest: Path): Unit = {
+    val df = spark.createDataFrame(rows.asJava, schema)
+    df.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+    val st = Files.list(tmpDir)
+    val part =
+      try st.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+      finally st.close()
+    Files.createDirectories(dest.getParent)
+    Files.move(part, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    graft.Tables.deleteRecursively(tmpDir)
+  }
+
+  /** V2-checkpoint SIDECAR parquet under `_delta_log/_sidecars/<name>
+    * .parquet`: `add` rows (path, size, partitionValues, optional stats
+    * JSON) plus optional `remove` tombstone rows (which a reader must
+    * ignore — they are vacuum bookkeeping, not live files). Returns the
+    * manifest-relative sidecar path for [[sidecarLine]]. */
+  def writeSidecarFile(spark: org.apache.spark.sql.SparkSession,
+                       tableRoot: Path, name: String,
+                       adds: Seq[(String, Long, Map[String, String])],
+                       removeTombstones: Seq[String] = Nil,
+                       statsByPath: Map[String, String] = Map.empty): String = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType, valueContainsNull = true)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType),
+        StructField("stats", StringType)))),
+      StructField("remove", StructType(Seq(
+        StructField("path", StringType),
+        StructField("deletionTimestamp", LongType),
+        StructField("dataChange", BooleanType))))))
+    val rows =
+      adds.map { case (p, sz, pv) =>
+        Row(Row(p, pv, sz, 0L, false, statsByPath.get(p).orNull), null)
+      } ++ removeTombstones.map(p => Row(null, Row(p, 0L, false)))
+    val dest = tableRoot.resolve("_delta_log").resolve("_sidecars")
+      .resolve(s"$name.parquet")
+    oneFileParquet(spark, rows, schema,
+      tableRoot.resolve(s"_tmp_sidecar_$name"), dest)
+    s"$name.parquet"
+  }
+
+  /** V2 checkpoint PARQUET manifest (`<v %020d>.checkpoint.<uuid>
+    * .parquet`): checkpointMetadata + protocol + metaData rows, `sidecar`
+    * references, and optional INLINE add rows (legal alongside sidecars).
+    * `cmVersion` defaults to the filename version; override it to author
+    * the mismatch fixture a reader must refuse. */
+  def writeV2CheckpointParquet(spark: org.apache.spark.sql.SparkSession,
+                               tableRoot: Path, version: Long, uuid: String,
+                               schemaJson: String,
+                               partitionColumns: Seq[String],
+                               configuration: Map[String, String],
+                               sidecars: Seq[String],
+                               inlineAdds: Seq[(String, Long, Map[String, String])] = Nil,
+                               readerFeatures: Seq[String] = Seq("v2Checkpoint"),
+                               writerFeatures: Seq[String] = Seq("v2Checkpoint"),
+                               cmVersion: Option[Long] = None): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("checkpointMetadata", StructType(Seq(
+        StructField("version", LongType)))),
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType),
+          StructField("options", MapType(StringType, StringType))))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType)),
+        StructField("createdTime", LongType)))),
+      StructField("sidecar", StructType(Seq(
+        StructField("path", StringType),
+        StructField("sizeInBytes", LongType),
+        StructField("modificationTime", LongType)))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType, valueContainsNull = true)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType),
+        StructField("stats", StringType))))))
+    val rows: Seq[Row] =
+      Seq(
+        Row(Row(cmVersion.getOrElse(version)), null, null, null, null),
+        Row(null, Row(3, 7, (readerFeatures :+ "v2Checkpoint").distinct,
+          (writerFeatures ++ readerFeatures :+ "v2Checkpoint").distinct), null, null, null),
+        Row(null, null, Row(java.util.UUID.randomUUID().toString,
+          Row("parquet", Map.empty[String, String]), schemaJson,
+          partitionColumns, configuration, 0L), null, null)) ++
+        sidecars.map(s => Row(null, null, null, Row(s, 0L, 0L), null)) ++
+        inlineAdds.map { case (p, sz, pv) =>
+          Row(null, null, null, null, Row(p, pv, sz, 0L, false, null))
+        }
+    oneFileParquet(spark, rows, schema,
+      tableRoot.resolve(s"_tmp_v2cp_$version"),
+      tableRoot.resolve("_delta_log")
+        .resolve(f"$version%020d.checkpoint.$uuid.parquet"))
+  }
+
   /** Write commit `version`'s JSON file (`%020d.json`). */
   def writeCommit(tableRoot: Path, version: Long, actions: Seq[String]): Unit = {
     val logDir = tableRoot.resolve("_delta_log")

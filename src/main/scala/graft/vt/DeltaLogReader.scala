@@ -61,6 +61,20 @@ object DeltaLogReader {
   // what delta-spark writes for large logs (spark.databricks.delta
   // .checkpoint.partSize); a part group is usable only when complete
   private val MultipartRe = """^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$""".r
+  // V2 checkpoint manifest (PROTOCOL.md "V2 Spec" / the `v2Checkpoint`
+  // reader feature): <v>.checkpoint.<uuid>.{parquet|json} — the manifest
+  // carries checkpointMetadata/protocol/metaData (and may inline adds);
+  // file actions live in `sidecar`-referenced parquet files under
+  // `_delta_log/_sidecars/`. The single uuid segment cannot collide with
+  // the multi-part form (whose middle is two DOT-separated numeric
+  // segments; the uuid charset excludes dots).
+  private val V2ManifestRe = """^(\d{20})\.checkpoint\.([0-9a-zA-Z-]+)\.(parquet|json)$""".r
+
+  /** Checkpoint forms the reader can bootstrap from. */
+  private sealed trait CpForm
+  private case object CpClassic extends CpForm
+  private case object CpV2Parquet extends CpForm
+  private case object CpV2Json extends CpForm
 
   /** One live data file of a snapshot: decoded table-root-relative path,
     * partition values, (protocol v3 `deletionVectors`) the optional
@@ -171,18 +185,25 @@ object DeltaLogReader {
 
   private def commitFiles(root: Path): Vector[(Long, Path)] = logEntries(root, CommitRe)
 
-  /** Usable checkpoints by version: single-file checkpoints plus COMPLETE
-    * multi-part groups, part files in order (a missing part disqualifies
-    * the whole group — bootstrapping from a partial checkpoint would
-    * silently drop live files). */
-  private def checkpointFiles(root: Path): Vector[(Long, Vector[Path])] = {
+  /** Usable checkpoints by version: single-file checkpoints, COMPLETE
+    * multi-part groups (part files in order — a missing part disqualifies
+    * the whole group; bootstrapping from a partial checkpoint would
+    * silently drop live files), and V2 manifests (parquet or json; their
+    * sidecar completeness is only checkable by READING the manifest, so a
+    * torn V2 checkpoint is refused loudly at bootstrap instead — sidecars
+    * are written before their manifest, so a dangling reference is
+    * corruption, not an in-progress write). Within a version, classic
+    * forms sort AFTER v2 so `lastOption` selection prefers the cheaper
+    * sidecar-free bootstrap when a table carries both (delta-spark's
+    * transition shape). */
+  private def checkpointFiles(root: Path): Vector[(Long, CpForm, Vector[Path])] = {
     val logDir = root.resolve("_delta_log")
     if (!Files.isDirectory(logDir)) return Vector.empty
     val st = Files.list(logDir)
     val all = try st.iterator().asScala.toVector finally st.close()
     val singles = all.flatMap { p =>
       p.getFileName.toString match {
-        case CheckpointRe(d) => Some(d.toLong -> Vector(p))
+        case CheckpointRe(d) => Some((d.toLong, CpClassic: CpForm, Vector(p)))
         case _ => None
       }
     }
@@ -194,9 +215,20 @@ object DeltaLogReader {
     }
     val groups = parts.groupBy(x => (x._1, x._3)).collect {
       case ((v, n), ps) if ps.map(_._2).toSet == (1 to n).toSet =>
-        v -> ps.sortBy(_._2).map(_._4)
+        (v, CpClassic: CpForm, ps.sortBy(_._2).map(_._4))
     }.toVector
-    (singles ++ groups).sortBy(_._1)
+    val v2 = all.flatMap { p =>
+      p.getFileName.toString match {
+        case V2ManifestRe(d, _, ext) =>
+          val form: CpForm = if (ext == "parquet") CpV2Parquet else CpV2Json
+          Some((d.toLong, form, Vector(p)))
+        case _ => None
+      }
+    }
+    def rank(f: CpForm): Int = f match {
+      case CpV2Json => 0; case CpV2Parquet => 1; case CpClassic => 2
+    }
+    (singles ++ groups ++ v2).sortBy { case (v, f, _) => (v, rank(f)) }
   }
 
   /** Mutable replay state shared by the JSON walk and the checkpoint
@@ -212,7 +244,8 @@ object DeltaLogReader {
   }
 
   /** Reader features this replayer implements beyond protocol v1. */
-  private val SupportedReaderFeatures = Set("deletionVectors", "columnMapping")
+  private val SupportedReaderFeatures =
+    Set("deletionVectors", "columnMapping", "v2Checkpoint")
 
   /** Protocol gate: v1 unconditionally; v2 (column mapping, implied — no
     * feature list exists at v2) now that name-mode mapping is implemented;
@@ -244,6 +277,32 @@ object DeltaLogReader {
         d.get("cardinality").asLong())
     }
 
+  /** Parse + gate a `protocol` action node into `state` (shared by the
+    * JSON commit walk and the V2 json-manifest bootstrap). */
+  private def parseProtocolNode(p: JsonNode, state: ReplayState): Unit = {
+    def feats(key: String): Option[Seq[String]] =
+      if (p.has(key)) Some(p.get(key).elements().asScala.map(_.asText()).toSeq)
+      else None
+    checkProtocol(p.path("minReaderVersion").asInt(1),
+      feats("readerFeatures").map(_.toSet))
+    state.protocol = Some(ProtocolInfo(p.path("minReaderVersion").asInt(1),
+      p.path("minWriterVersion").asInt(2),
+      feats("readerFeatures"), feats("writerFeatures")))
+  }
+
+  private def parseMetaDataNode(md: JsonNode, state: ReplayState): Unit = {
+    state.schemaJson = md.get("schemaString").asText()
+    state.partCols = md.path("partitionColumns").elements().asScala.map(_.asText()).toSeq
+    state.config = md.path("configuration").properties().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap
+  }
+
+  private def parseAddNode(add: JsonNode)
+      : (String, (Map[String, String], Option[DeletionVectors.DvDescriptor], Option[String])) =
+    decodePath(add.get("path").asText()) ->
+      ((partitionValues(add), dvDescriptor(add),
+        Option(add.get("stats")).map(_.asText())))
+
   /** Apply one commit's actions. A commit is atomic, so its adds/removes are
     * RECONCILED, not replayed in line order: a commit that re-adds a path it
     * also removes (delta-spark's shape for a DV update: `remove` the old
@@ -254,30 +313,9 @@ object DeltaLogReader {
     val removes = Vector.newBuilder[String]
     for (line <- Files.readAllLines(commitPath).asScala if line.trim.nonEmpty) {
       val action = mapper.readTree(line)
-      if (action.has("protocol")) {
-        val p = action.get("protocol")
-        def feats(key: String): Option[Seq[String]] =
-          if (p.has(key)) Some(p.get(key).elements().asScala.map(_.asText()).toSeq)
-          else None
-        checkProtocol(p.path("minReaderVersion").asInt(1),
-          feats("readerFeatures").map(_.toSet))
-        state.protocol = Some(ProtocolInfo(p.path("minReaderVersion").asInt(1),
-          p.path("minWriterVersion").asInt(2),
-          feats("readerFeatures"), feats("writerFeatures")))
-      }
-      if (action.has("metaData")) {
-        val md = action.get("metaData")
-        state.schemaJson = md.get("schemaString").asText()
-        state.partCols = md.path("partitionColumns").elements().asScala.map(_.asText()).toSeq
-        state.config = md.path("configuration").properties().asScala
-          .map(e => e.getKey -> e.getValue.asText()).toMap
-      }
-      if (action.has("add")) {
-        val add = action.get("add")
-        adds += decodePath(add.get("path").asText()) ->
-          ((partitionValues(add), dvDescriptor(add),
-            Option(add.get("stats")).map(_.asText())))
-      }
+      if (action.has("protocol")) parseProtocolNode(action.get("protocol"), state)
+      if (action.has("metaData")) parseMetaDataNode(action.get("metaData"), state)
+      if (action.has("add")) adds += parseAddNode(action.get("add"))
       if (action.has("remove"))
         removes += decodePath(action.get("remove").get("path").asText())
     }
@@ -285,22 +323,14 @@ object DeltaLogReader {
     adds.result().foreach { case (p, v) => state.live.put(p, v) }
   }
 
-  /** Bootstrap replay state from a checkpoint parquet: protocol gate, the
-    * winning metaData, and the complete live file set (checkpoints carry the
-    * full state at their version; `remove` rows in them are vacuum
-    * tombstones, not live files). One columnar scan collecting O(files)
-    * metadata rows — the cost delta-spark's own Snapshot pays. */
-  private def bootstrapFromCheckpoint(spark: SparkSession,
-                                      cpParts: Vector[Path]): ReplayState = {
-    val state = new ReplayState
-    val cpPath = cpParts.head
-    val df = spark.read.parquet(cpParts.map(_.toString): _*)
-    val cols = df.columns.toSet
-    def nested(col: String, field: String): Boolean =
-      df.schema(col).dataType.asInstanceOf[StructType].fieldNames.contains(field)
-    if (cols("protocol")) {
-      val hasRf = nested("protocol", "readerFeatures")
-      val hasWf = nested("protocol", "writerFeatures")
+  private def hasNested(df: DataFrame, col: String, field: String): Boolean =
+    df.schema(col).dataType.asInstanceOf[StructType].fieldNames.contains(field)
+
+  /** Gate + carry the `protocol` column of a checkpoint/manifest scan. */
+  private def readProtocolColumn(df: DataFrame, state: ReplayState): Unit =
+    if (df.columns.contains("protocol")) {
+      val hasRf = hasNested(df, "protocol", "readerFeatures")
+      val hasWf = hasNested(df, "protocol", "writerFeatures")
       val fields = Seq("protocol.minReaderVersion", "protocol.minWriterVersion") ++
         (if (hasRf) Seq("protocol.readerFeatures") else Nil) ++
         (if (hasWf) Seq("protocol.writerFeatures") else Nil)
@@ -314,8 +344,13 @@ object DeltaLogReader {
             if (r.isNullAt(1)) 2 else r.getInt(1), rf, wf))
         }
     }
-    require(cols("metaData"), s"checkpoint $cpPath has no metaData column")
-    val hasConfig = nested("metaData", "configuration")
+
+  /** The winning `metaData` row of a checkpoint/manifest scan. */
+  private def readMetaDataColumn(df: DataFrame, cpPath: Path,
+                                 state: ReplayState): Unit = {
+    require(df.columns.contains("metaData"),
+      s"checkpoint $cpPath has no metaData column")
+    val hasConfig = hasNested(df, "metaData", "configuration")
     val mdSel =
       if (hasConfig)
         df.select("metaData.schemaString", "metaData.partitionColumns",
@@ -330,9 +365,15 @@ object DeltaLogReader {
       if (hasConfig && !md.last.isNullAt(2))
         md.last.getJavaMap[String, String](2).asScala.toMap
       else Map.empty
-    if (cols("add")) {
-      val hasDv = nested("add", "deletionVector")
-      val hasStats = nested("add", "stats")
+  }
+
+  /** Live-file `add` rows of a checkpoint/sidecar scan into `state.live`
+    * (path-sorted for a deterministic scan order; `remove` rows are vacuum
+    * tombstones, never live files, and are ignored). */
+  private def readAddColumn(df: DataFrame, state: ReplayState): Unit =
+    if (df.columns.contains("add")) {
+      val hasDv = hasNested(df, "add", "deletionVector")
+      val hasStats = hasNested(df, "add", "stats")
       val fields = Seq("add.path", "add.partitionValues") ++
         (if (hasDv) Seq("add.deletionVector") else Nil) ++
         (if (hasStats) Seq("add.stats") else Nil)
@@ -355,6 +396,97 @@ object DeltaLogReader {
             else None
           state.live.put(decodePath(r.getString(0)), (pv, dv, stats))
         }
+    }
+
+  /** Resolve + read a V2 manifest's sidecar parquet files into `state`.
+    * Relative sidecar paths live under `_delta_log/_sidecars/` (the spec's
+    * layout); a referenced sidecar that does not exist is CORRUPTION —
+    * sidecars are written before their manifest — so the bootstrap refuses
+    * loudly instead of silently dropping the live files it carried. */
+  private def readSidecars(spark: SparkSession, manifest: Path,
+                           rels: Vector[String], state: ReplayState): Unit = {
+    if (rels.isEmpty) return
+    val dir = manifest.getParent.resolve("_sidecars")
+    val paths = rels.map { r =>
+      val decoded = decodePath(r)
+      if (decoded.startsWith("/")) Paths.get(decoded) else dir.resolve(decoded)
+    }
+    val missing = paths.filterNot(Files.exists(_))
+    require(missing.isEmpty,
+      s"v2 checkpoint $manifest references missing sidecar file(s) " +
+        s"${missing.mkString(", ")} — the checkpoint is torn/corrupt; refusing " +
+        "to bootstrap from it (live files would be silently dropped)")
+    readAddColumn(spark.read.parquet(paths.map(_.toString): _*), state)
+  }
+
+  /** Bootstrap replay state from a checkpoint: protocol gate, the winning
+    * metaData, and the complete live file set (checkpoints carry the full
+    * state at their version). Classic form: one columnar scan over the
+    * single file or complete part group — O(files) metadata rows, the cost
+    * delta-spark's own Snapshot pays. V2 form (`v2Checkpoint` reader
+    * feature): the manifest (parquet or json) carries
+    * checkpointMetadata/protocol/metaData and may inline adds; the bulk of
+    * the file actions live in sidecar parquet files, scanned as one
+    * multi-file columnar read. The manifest's `checkpointMetadata.version`
+    * must equal the filename version — a mismatch means a mis-named or
+    * torn checkpoint and is refused. */
+  private def bootstrapFromCheckpoint(spark: SparkSession, version: Long,
+                                      form: CpForm,
+                                      cpParts: Vector[Path]): ReplayState = {
+    val state = new ReplayState
+    form match {
+      case CpClassic =>
+        val df = spark.read.parquet(cpParts.map(_.toString): _*)
+        readProtocolColumn(df, state)
+        readMetaDataColumn(df, cpParts.head, state)
+        readAddColumn(df, state)
+      case CpV2Parquet =>
+        val manifest = cpParts.head
+        val df = spark.read.parquet(manifest.toString)
+        require(df.columns.contains("checkpointMetadata"),
+          s"v2 checkpoint $manifest has no checkpointMetadata action")
+        val cm = df.select("checkpointMetadata.version")
+          .where("version IS NOT NULL").collect().map(_.getLong(0))
+        require(cm.nonEmpty && cm.forall(_ == version),
+          s"v2 checkpoint $manifest: checkpointMetadata.version " +
+            s"${cm.mkString(",")} does not match filename version $version")
+        readProtocolColumn(df, state)
+        readMetaDataColumn(df, manifest, state)
+        readAddColumn(df, state) // inline adds are legal alongside sidecars
+        val sidecars =
+          if (df.columns.contains("sidecar"))
+            df.select("sidecar.path").where("path IS NOT NULL")
+              .collect().map(_.getString(0)).toVector
+          else Vector.empty
+        readSidecars(spark, manifest, sidecars, state)
+      case CpV2Json =>
+        val manifest = cpParts.head
+        var cmSeen = false
+        val sidecars = Vector.newBuilder[String]
+        for (line <- Files.readAllLines(manifest).asScala if line.trim.nonEmpty) {
+          val action = mapper.readTree(line)
+          if (action.has("checkpointMetadata")) {
+            val v = action.get("checkpointMetadata").path("version").asLong(-1L)
+            require(v == version,
+              s"v2 checkpoint $manifest: checkpointMetadata.version $v does " +
+                s"not match filename version $version")
+            cmSeen = true
+          }
+          if (action.has("protocol")) parseProtocolNode(action.get("protocol"), state)
+          if (action.has("metaData")) parseMetaDataNode(action.get("metaData"), state)
+          if (action.has("add")) {
+            val (p, v) = parseAddNode(action.get("add"))
+            state.live.put(p, v)
+          }
+          if (action.has("sidecar"))
+            sidecars += action.get("sidecar").get("path").asText()
+          // `remove` rows are vacuum tombstones — ignored, exactly as in
+          // the parquet forms
+        }
+        require(cmSeen, s"v2 checkpoint $manifest has no checkpointMetadata action")
+        require(state.schemaJson != null,
+          s"v2 checkpoint $manifest has no metaData action")
+        readSidecars(spark, manifest, sidecars.result(), state)
     }
     state
   }
@@ -379,11 +511,11 @@ object DeltaLogReader {
     def jsonContiguous(from: Long): Boolean = (from to upTo).forall(haveJson)
     // newest checkpoint ≤ upTo whose JSON suffix to upTo is complete; only
     // usable when a session is available to read the parquet
-    val usableCp = cps.filter { case (cv, _) => cv <= upTo && jsonContiguous(cv + 1) }
+    val usableCp = cps.filter { case (cv, _, _) => cv <= upTo && jsonContiguous(cv + 1) }
       .lastOption.filter(_ => spark.isDefined)
     val state = usableCp match {
-      case Some((cv, cpPath)) =>
-        val s = bootstrapFromCheckpoint(spark.get, cpPath)
+      case Some((cv, form, cpPath)) =>
+        val s = bootstrapFromCheckpoint(spark.get, cv, form, cpPath)
         commits.filter { case (v, _) => v > cv && v <= upTo }
           .foreach { case (_, p) => applyCommit(s, p) }
         s

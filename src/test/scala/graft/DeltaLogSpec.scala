@@ -479,6 +479,105 @@ class DeltaLogSpec extends SparkSpec {
     assert(prunedStr.select("k").as[Long].collect().sorted === Array(2L, 3L))
   }
 
+  test("V2 parquet checkpoint: sidecar bootstrap, inline adds, tombstones ignored, JSON suffix applied") {
+    val root = freshRoot("v2cp_parquet")
+    val df = Seq((1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")).toDF("k", "v")
+    def file(k: Int, name: String) = F.writeDataFile(root, df.where($"k" === k), name)
+    val (fa, sa) = file(1, "pa"); val (fb, sb) = file(2, "pb")
+    val (fc, sc) = file(3, "pc"); val (fd, sd) = file(4, "pd")
+    // sidecar 1 carries add(a) plus a remove TOMBSTONE of a long-gone file
+    // (vacuum bookkeeping a reader must ignore); sidecar 2 carries add(b)
+    val s1 = F.writeSidecarFile(spark, root, "sc-one",
+      adds = Seq((fa, sa, Map.empty[String, String])),
+      removeTombstones = Seq("gone-long-ago.parquet"))
+    val s2 = F.writeSidecarFile(spark, root, "sc-two",
+      adds = Seq((fb, sb, Map.empty[String, String])))
+    F.writeV2CheckpointParquet(spark, root, 1, "11111111-2222-3333-4444-555555555555",
+      df.schema.json, Nil, Map.empty, sidecars = Seq(s1, s2),
+      inlineAdds = Seq((fc, sc, Map.empty[String, String])))
+    // the pre-checkpoint JSON is fully pruned: versions 0..1 exist ONLY
+    // through the v2 checkpoint (+ its protocol row declares v2Checkpoint,
+    // which the reader-feature gate must accept)
+    assert(DeltaLogReader.latestVersion(root.toString) === 1,
+      "a v2 checkpoint must count toward the newest version")
+    val atCp = DeltaLogReader.read(spark, root.toString, Some(1))
+      .select("k").as[Int].collect().sorted
+    assert(atCp === Array(1, 2, 3),
+      "sidecar adds (both files) + inline add must all be live; the remove " +
+        "tombstone must contribute nothing")
+    // JSON suffix on top of the v2 bootstrap
+    F.writeCommit(root, 2, Seq(F.addLine(fd, sd), F.removeLine(fa)))
+    val atHead = DeltaLogReader.read(spark, root.toString, None)
+      .select("k").as[Int].collect().sorted
+    assert(atHead === Array(2, 3, 4))
+  }
+
+  test("V2 json manifest bootstraps; torn/misnamed v2 checkpoints are refused loudly") {
+    val root = freshRoot("v2cp_json")
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val (fa, sa) = F.writeDataFile(root, df.where($"k" === 1), "pa")
+    val (fb, sb) = F.writeDataFile(root, df.where($"k" === 2), "pb")
+    val sc1 = F.writeSidecarFile(spark, root, "sc-json",
+      adds = Seq((fb, sb, Map.empty[String, String])))
+    F.writeV2CheckpointJson(root, 0, "aaaabbbb-0000-1111-2222-333344445555", Seq(
+      F.checkpointMetadataLine(0),
+      F.protocolV3Line(Seq("v2Checkpoint")),
+      F.metaDataLine(df.schema.json, Nil),
+      F.addLine(fa, sa),
+      F.sidecarLine(sc1, 0L)))
+    val ks = DeltaLogReader.read(spark, root.toString, Some(0))
+      .select("k").as[Int].collect().sorted
+    assert(ks === Array(1, 2), "inline add + sidecar add through a json manifest")
+
+    // checkpointMetadata.version != filename version → refused
+    val root2 = freshRoot("v2cp_badver")
+    F.writeV2CheckpointJson(root2, 0, "aaaabbbb-0000-1111-2222-333344445555", Seq(
+      F.checkpointMetadataLine(7),
+      F.protocolV3Line(Seq("v2Checkpoint")),
+      F.metaDataLine(df.schema.json, Nil)))
+    val e1 = intercept[IllegalArgumentException](
+      DeltaLogReader.read(spark, root2.toString, Some(0)))
+    assert(e1.getMessage.contains("checkpointMetadata.version"), e1.getMessage)
+
+    // a manifest without checkpointMetadata at all → refused
+    val root3 = freshRoot("v2cp_nocm")
+    F.writeV2CheckpointJson(root3, 0, "aaaabbbb-0000-1111-2222-333344445555", Seq(
+      F.protocolV3Line(Seq("v2Checkpoint")),
+      F.metaDataLine(df.schema.json, Nil)))
+    val e2 = intercept[IllegalArgumentException](
+      DeltaLogReader.read(spark, root3.toString, Some(0)))
+    assert(e2.getMessage.contains("checkpointMetadata"), e2.getMessage)
+
+    // a manifest referencing a missing sidecar is torn → refused, named
+    val root4 = freshRoot("v2cp_torn")
+    F.writeV2CheckpointJson(root4, 0, "aaaabbbb-0000-1111-2222-333344445555", Seq(
+      F.checkpointMetadataLine(0),
+      F.metaDataLine(df.schema.json, Nil),
+      F.sidecarLine("never-written.parquet", 0L)))
+    val e3 = intercept[IllegalArgumentException](
+      DeltaLogReader.read(spark, root4.toString, Some(0)))
+    assert(e3.getMessage.contains("never-written.parquet"), e3.getMessage)
+  }
+
+  test("classic and v2 checkpoints at the same version: the cheaper classic form wins") {
+    // author BOTH at v0 — the v2 one torn (missing sidecar), so the read
+    // only succeeds if selection preferred the classic single-file form
+    val root = freshRoot("v2cp_pref")
+    val df = Seq((1, "a")).toDF("k", "v")
+    val (fa, sa) = F.writeDataFile(root, df, "pa")
+    F.writeCommit(root, 0, Seq(F.protocolLine(),
+      F.metaDataLine(df.schema.json, Nil), F.addLine(fa, sa)))
+    DeltaLogWriter.writeCheckpoint(spark, root.toString, 0)
+    F.writeV2CheckpointJson(root, 0, "aaaabbbb-0000-1111-2222-333344445555", Seq(
+      F.checkpointMetadataLine(0),
+      F.metaDataLine(df.schema.json, Nil),
+      F.sidecarLine("never-written.parquet", 0L)))
+    Files.delete(root.resolve("_delta_log").resolve(f"${0L}%020d.json"))
+    val ks = DeltaLogReader.read(spark, root.toString, Some(0))
+      .select("k").as[Int].collect()
+    assert(ks === Array(1))
+  }
+
   test("replicateFromDelta: idempotent catch-up, metadata-only versions stepped over, deletes refused") {
     import graft.streaming.ChangeFeed
     val root = freshRoot("repl_src")
