@@ -363,6 +363,44 @@ object Versioned {
     acc.reduce(_ unionByName _).orderBy("batch", "n_nationkey")
   }
 
+  /** The GENUINE Structured Streaming source over the change feed
+    * ([[graft.sources.VtChangeFeed]], `format("vt-changes")`): the same
+    * commit intervals [[qVtFeedConsume]] drains by hand arrive here as
+    * engine-driven micro-batches with checkpointed offsets. Output =
+    * every streamed change row, batching-independent (sorted); v0 is the
+    * initial snapshot and never feed content. */
+  val qVtStreamSource: QueryDef = q("q_vt_stream_source")(
+    """SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS version, 'insert' AS change_type, n_nationkey
+      |  FROM nation WHERE n_nationkey >= 10 AND n_nationkey < 20
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT) AS version, 'insert' AS change_type, n_nationkey
+      |  FROM nation WHERE n_nationkey >= 20)
+      |ORDER BY version, n_nationkey""".stripMargin) { (s, d) =>
+    val vt = VersionedTable.create(Tables.scratch("vt_stream_source"))
+    val nation = Tables.nation(s, d)
+    vt.write(nation.where(col("n_nationkey") < 10), "main", "v0")
+    vt.write(nation.where(col("n_nationkey") >= 10 && col("n_nationkey") < 20),
+      "main", "v1", mode = "append")
+    vt.write(nation.where(col("n_nationkey") >= 20), "main", "v2", mode = "append")
+    val acc = scala.collection.mutable.ListBuffer.empty[(Long, String, Int)]
+    val stream = s.readStream.format("vt-changes")
+      .option("path", vt.root.toString).load()
+      .writeStream
+      .option("checkpointLocation", Tables.scratch("vt_stream_source_ckpt"))
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        acc.synchronized {
+          acc ++= df.select("version", "change_type", "n_nationkey")
+            .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+        }
+        ()
+      }.start()
+    try stream.processAllAvailable() finally stream.stop()
+    import s.implicits._
+    acc.toSeq.toDF("version", "change_type", "n_nationkey")
+      .orderBy("version", "n_nationkey")
+  }
+
   /** Branch protection (lakeFS branch-protection rules): after `main` is
     * protected, a direct overwrite is rejected (caught and counted below)
     * while the same change lands fine when routed through a side branch and
@@ -1016,5 +1054,6 @@ object Versioned {
     qVtUpdate, qVtTag, qVtRestoreTag, qVtProtected, qVtFeedConsume, qVtCount,
     qVtIncremental, qVtTsTravel, qVtDeltaLog, qVtDeltaRoundtrip,
     qVtDeltaDvRoundtrip, qVtDeltaCmap, qVtDeltaCmapId, qVtDeltaSkip, qVtDeltaCdf,
-    qVtDeltaReplicate, qVtDeltaTail, qVtDeltaExportScale, qVtDeltaSkipStr)
+    qVtDeltaReplicate, qVtDeltaTail, qVtDeltaExportScale, qVtDeltaSkipStr,
+    qVtStreamSource)
 }

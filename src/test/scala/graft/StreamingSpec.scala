@@ -206,7 +206,7 @@ class StreamingSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       val got = spark.table("ssj_test").select("l_event", "r_event")
-        .as[(Long, Long)].collect().toSet
+        .as[(Int, Long)].collect().toSet
       // batch truth: r within [l.ts, l.ts + 1h] for the same user
       val expect = (for {
         (le, ls, lu) <- lRows; (re, rs, ru) <- rRows
@@ -530,5 +530,95 @@ class StreamingSpec extends SparkSpec {
         ("en", "gamma", 1L), ("de", "zwei", 2L), ("de", "eins", 1L)),
         s"got $fin")
     } finally q.stop()
+  }
+
+  test("vt-changes streaming source: feed equals batch feed; restart delivers only new commits") {
+    import graft.vt.VersionedTable
+    val vt = VersionedTable.create(Tables.scratch("vtcf_src"))
+    val nation = Tables.nation(spark, sf)
+    vt.write(nation.where($"n_nationkey" < 10), "main", "v0")
+    vt.write(nation.where($"n_nationkey" >= 10 && $"n_nationkey" < 15), "main",
+      "v1", mode = "append")
+    vt.write(nation.where($"n_nationkey" >= 15 && $"n_nationkey" < 20), "main",
+      "v2", mode = "append")
+    val ckpt = Tables.scratch("vtcf_ckpt")
+    val got = scala.collection.mutable.ListBuffer.empty[(Int, String, Long)]
+    // foreachBatch sink: the memory sink cannot recover from a checkpoint,
+    // and recovery is exactly what this test pins
+    def startQ() =
+      spark.readStream.format("vt-changes") // short name via META-INF services
+        .option("path", vt.root.toString).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized {
+            got ++= df.select("n_nationkey", "change_type", "version")
+              .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+          }
+          ()
+        }.start()
+    val q1 = startQ()
+    try {
+      q1.processAllAvailable()
+      val want = vt.changesFeed(spark, "main", 0, 2)
+        .select("n_nationkey", "change_type", "version")
+        .as[(Int, String, Long)].collect().toSet
+      assert(got.toSet === want, "streamed feed must equal the batch feed (0, head]")
+      assert(got.map(_._1).toSet === (10 until 20).toSet,
+        "v0 is the initial snapshot, not feed content")
+    } finally q1.stop()
+    // new commits land while the stream is DOWN; the restart resumes from
+    // the checkpoint and delivers exactly the missed interval
+    vt.write(nation.where($"n_nationkey" >= 20), "main", "v3", mode = "append")
+    got.clear()
+    val q2 = startQ()
+    try {
+      q2.processAllAvailable()
+      val got2 = got.toSet
+      assert(got2.nonEmpty && got2.forall(_._3 == 3L),
+        s"restart must deliver ONLY the (2, 3] interval, got $got2")
+      assert(got2.map(_._1) === nation.where($"n_nationkey" >= 20)
+        .select("n_nationkey").as[Int].collect().toSet)
+    } finally q2.stop()
+  }
+
+  test("vt-changes rate limit and startingVersion=latest") {
+    import graft.vt.VersionedTable
+    val vt = VersionedTable.create(Tables.scratch("vtcf_rate"))
+    val nation = Tables.nation(spark, sf)
+    vt.write(nation.where($"n_nationkey" < 5), "main", "v0")
+    vt.write(nation.where($"n_nationkey" === 5), "main", "v1", mode = "append")
+    vt.write(nation.where($"n_nationkey" === 6), "main", "v2", mode = "append")
+    vt.write(nation.where($"n_nationkey" === 7), "main", "v3", mode = "append")
+    // maxVersionsPerBatch=1: each micro-batch covers exactly one commit
+    val batches = scala.collection.mutable.ListBuffer.empty[(Long, Set[Long])]
+    val q = spark.readStream.format("vt-changes")
+      .option("path", vt.root.toString)
+      .option("maxVersionsPerBatch", "1").load()
+      .writeStream.option("checkpointLocation", Tables.scratch("vtcf_rate_ckpt"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches += ((id, df.select("version").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet))
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val delivered = batches.toList.filter(_._2.nonEmpty)
+    assert(delivered.map(_._2) === List(Set(1L), Set(2L), Set(3L)),
+      s"one version per rate-limited batch, got $batches")
+
+    // startingVersion=latest: the three existing commits are skipped
+    val vt2root = vt.root.toString
+    val q2 = spark.readStream.format("vt-changes")
+      .option("path", vt2root).option("startingVersion", "latest").load()
+      .writeStream.format("memory").queryName("vtcf_latest")
+      .option("checkpointLocation", Tables.scratch("vtcf_latest_ckpt")).start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("vtcf_latest").isEmpty,
+        "startingVersion=latest must skip pre-existing commits")
+      vt.write(nation.where($"n_nationkey" === 8), "main", "v4", mode = "append")
+      q2.processAllAvailable()
+      val got = spark.table("vtcf_latest").select("n_nationkey", "version")
+        .as[(Int, Long)].collect().toSet
+      assert(got === Set((8, 4L)))
+    } finally q2.stop()
   }
 }
