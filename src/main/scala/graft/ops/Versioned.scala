@@ -401,6 +401,77 @@ object Versioned {
       .orderBy("version", "n_nationkey")
   }
 
+  /** The engine-driven streaming SINK ([[graft.sources.VtSinkProvider]],
+    * `writeStream.format("vt")`): a file-source stream of the nation
+    * table lands in a versioned table one commit per micro-batch with
+    * batchId-deduped exactly-once; output = the final table, which must
+    * be exactly `nation`. */
+  val qVtStreamSink: QueryDef = q("q_vt_stream_sink")(
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+    val vt = VersionedTable.create(Tables.scratch("vt_stream_sink"))
+    val nation = Tables.nation(s, d)
+    vt.write(nation.limit(0), "main", "init")
+    val dir = java.nio.file.Paths.get(Tables.scratch("vt_stream_sink_src"))
+    java.nio.file.Files.createDirectories(dir)
+    nation.write.mode("overwrite").parquet(dir.toString)
+    val stream = s.readStream.schema(nation.schema).parquet(dir.toString)
+      .writeStream.format("vt").option("path", vt.root.toString)
+      .option("checkpointLocation", Tables.scratch("vt_stream_sink_ckpt"))
+      .start()
+    try stream.processAllAvailable() finally stream.stop()
+    vt.read(s, "main")
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey")
+  }
+
+  /** Streaming a FOREIGN Delta table's CDF ([[graft.sources.DeltaChanges]],
+    * `readStream.format("delta-cdf")`): a hand-authored `_delta_log` with
+    * three append commits streams as engine-driven micro-batches;
+    * startingVersion=earliest serves v0's initial load as inserts. */
+  val qVtDeltaStream: QueryDef = q("q_vt_delta_stream")(
+    """SELECT * FROM (
+      |  SELECT CAST(0 AS BIGINT) AS version, 'insert' AS change_type, n_nationkey
+      |  FROM nation WHERE n_nationkey < 10
+      |  UNION ALL
+      |  SELECT CAST(1 AS BIGINT) AS version, 'insert' AS change_type, n_nationkey
+      |  FROM nation WHERE n_nationkey >= 10 AND n_nationkey < 20
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT) AS version, 'insert' AS change_type, n_nationkey
+      |  FROM nation WHERE n_nationkey >= 20)
+      |ORDER BY version, n_nationkey""".stripMargin) { (s, d) =>
+    import graft.vt.{DeltaLogFixture => F}
+    val root = java.nio.file.Paths.get(Tables.scratch("vt_delta_stream"))
+    java.nio.file.Files.createDirectories(root)
+    val nation = Tables.nation(s, d)
+    def slice(ver: Long, cond: org.apache.spark.sql.Column, name: String,
+              withMeta: Boolean): Unit = {
+      val (f, sz) = F.writeDataFile(root, nation.where(cond), name)
+      val meta = if (withMeta)
+        Seq(F.protocolLine(), F.metaDataLine(nation.schema.json, Nil)) else Nil
+      F.writeCommit(root, ver, meta :+ F.addLine(f, sz))
+    }
+    slice(0, col("n_nationkey") < 10, "p0", withMeta = true)
+    slice(1, col("n_nationkey") >= 10 && col("n_nationkey") < 20, "p1", withMeta = false)
+    slice(2, col("n_nationkey") >= 20, "p2", withMeta = false)
+    val acc = scala.collection.mutable.ListBuffer.empty[(Long, String, Int)]
+    val stream = s.readStream.format("delta-cdf")
+      .option("path", root.toString).load()
+      .writeStream
+      .option("checkpointLocation", Tables.scratch("vt_delta_stream_ckpt"))
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        acc.synchronized {
+          acc ++= df.select("_commit_version", "_change_type", "n_nationkey")
+            .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+        }
+        ()
+      }.start()
+    try stream.processAllAvailable() finally stream.stop()
+    import s.implicits._
+    acc.toSeq.toDF("version", "change_type", "n_nationkey")
+      .orderBy("version", "n_nationkey")
+  }
+
   /** Branch protection (lakeFS branch-protection rules): after `main` is
     * protected, a direct overwrite is rejected (caught and counted below)
     * while the same change lands fine when routed through a side branch and
@@ -1055,5 +1126,5 @@ object Versioned {
     qVtIncremental, qVtTsTravel, qVtDeltaLog, qVtDeltaRoundtrip,
     qVtDeltaDvRoundtrip, qVtDeltaCmap, qVtDeltaCmapId, qVtDeltaSkip, qVtDeltaCdf,
     qVtDeltaReplicate, qVtDeltaTail, qVtDeltaExportScale, qVtDeltaSkipStr,
-    qVtStreamSource)
+    qVtStreamSource, qVtStreamSink, qVtDeltaStream)
 }

@@ -16,4 +16,15 @@ object StreamingShim {
     classic.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The inverse seam for a DSv1 `Sink`: the micro-batch frame handed to
+    * `addBatch` wraps the incremental execution and cannot be fed to batch
+    * writers directly — Spark's own ForeachBatchSink re-wraps it exactly
+    * like this (the already-planned `toRdd`, re-presented as a plain batch
+    * DataFrame) before handing it to user code. */
+  def asBatch(spark: ApiSparkSession, df: DataFrame): DataFrame = {
+    val classic = spark.asInstanceOf[SparkSession]
+    classic.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

@@ -621,4 +621,89 @@ class StreamingSpec extends SparkSpec {
       assert(got === Set((8, 4L)))
     } finally q2.stop()
   }
+
+  test("vt streaming sink: one commit per micro-batch, exactly-once across restart, Append only") {
+    import graft.vt.VersionedTable
+    val vt = VersionedTable.create(Tables.scratch("vtsink"))
+    // the sink opens an EXISTING table (lifecycle stays with its owner)
+    vt.write(Seq.empty[(Long, Long)].toDF("user_id", "sec"), "main", "init")
+    val ckpt = Tables.scratch("vtsink_ckpt")
+    val mem = MemoryStream[Ev](spark)
+    def startQ() = mem.toDS().toDF()
+      .writeStream.format("vt").option("path", vt.root.toString)
+      .option("checkpointLocation", ckpt).start()
+    val q1 = startQ()
+    try {
+      mem.addData(Ev(1L, 100L), Ev(2L, 200L))
+      q1.processAllAvailable()
+      mem.addData(Ev(3L, 300L))
+      q1.processAllAvailable()
+      assert(vt.read(spark, "main").count() === 3L)
+      assert(vt.head("main").get.message.startsWith("stream batch"),
+        "commits must carry the batchId watermark")
+    } finally q1.stop()
+    val headAfterRun1 = vt.head("main").get.version
+    // restart on the same checkpoint: the replayed last batch must NOT
+    // double-append (batchId dedup), new data lands as a new commit
+    val q2 = startQ()
+    try {
+      mem.addData(Ev(4L, 400L))
+      q2.processAllAvailable()
+      assert(vt.read(spark, "main").count() === 4L,
+        "replayed batch re-appended — exactly-once broken")
+      assert(vt.head("main").get.version === headAfterRun1 + 1)
+    } finally q2.stop()
+    // Update output mode is refused loudly, not silently appended
+    val e = intercept[Exception] {
+      mem.toDS().toDF().groupBy("user_id").count()
+        .writeStream.format("vt").outputMode("update")
+        .option("path", vt.root.toString)
+        .option("checkpointLocation", Tables.scratch("vtsink_upd_ckpt")).start()
+    }
+    assert(e.getMessage.contains("Append"), e.getMessage)
+  }
+
+  test("delta-cdf source -> vt sink: engine-driven standing mirror of a foreign Delta table") {
+    import graft.vt.{DeltaLogFixture => F, VersionedTable}
+    val root = java.nio.file.Paths.get(Tables.scratch("deltacdf_src"))
+    java.nio.file.Files.createDirectories(root)
+    val df = Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("k", "v")
+    def commitSlice(ver: Long, lo: Int, hi: Int, name: String,
+                    withMeta: Boolean = false): Unit = {
+      val (f, s) = F.writeDataFile(root, df.where($"k" >= lo && $"k" <= hi), name)
+      val meta = if (withMeta) Seq(F.protocolLine(), F.metaDataLine(df.schema.json, Nil))
+        else Nil
+      F.writeCommit(root, ver, meta :+ F.addLine(f, s))
+    }
+    commitSlice(0, 1, 1, "p0", withMeta = true)
+    commitSlice(1, 2, 2, "p1")
+    val mirror = VersionedTable.create(Tables.scratch("deltacdf_mirror"))
+    mirror.write(df.limit(0), "main", "init")
+    val ckpt = Tables.scratch("deltacdf_ckpt")
+    def startQ() = spark.readStream.format("delta-cdf")
+      .option("path", root.toString).load()
+      .where($"_change_type" === "insert")
+      .select("k", "v")
+      .writeStream.format("vt").option("path", mirror.root.toString)
+      .option("checkpointLocation", ckpt).start()
+    val q = startQ()
+    try {
+      q.processAllAvailable()
+      assert(mirror.read(spark, "main").select("k").as[Int].collect().sorted
+        === Array(1, 2), "startingVersion=earliest serves v0's load as inserts")
+      // a foreign commit lands while the stream RUNS
+      commitSlice(2, 3, 3, "p2")
+      q.processAllAvailable()
+      assert(mirror.read(spark, "main").select("k").as[Int].collect().sorted
+        === Array(1, 2, 3))
+    } finally q.stop()
+    // and one while it is DOWN — the restart picks up exactly the gap
+    commitSlice(3, 4, 4, "p3")
+    val q2 = startQ()
+    try {
+      q2.processAllAvailable()
+      assert(mirror.read(spark, "main").select("k").as[Int].collect().sorted
+        === Array(1, 2, 3, 4), "restart must deliver exactly the missed commit")
+    } finally q2.stop()
+  }
 }
