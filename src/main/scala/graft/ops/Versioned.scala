@@ -401,6 +401,33 @@ object Versioned {
       .orderBy("version", "n_nationkey")
   }
 
+  /** The BATCH data-source relation ([[graft.sources.VtDataSource]],
+    * `spark.read.format("vt")`): version-addressed reads through Spark's
+    * native file-scan machinery with commit-log stats pruning folded into
+    * planning ([[graft.sources.VtFileIndex]]). Output = v0 slice by
+    * `versionAsOf` + the filtered head read (whose BETWEEN prunes files
+    * from the log's stats before the scan is planned). */
+  val qVtFormatRead: QueryDef = q("q_vt_format_read")(
+    """SELECT * FROM (
+      |  SELECT 0 AS version, n_nationkey FROM nation WHERE n_regionkey < 2
+      |  UNION ALL
+      |  SELECT 1 AS version, n_nationkey FROM nation
+      |  WHERE n_nationkey >= 10 AND n_nationkey <= 20)
+      |ORDER BY version, n_nationkey""".stripMargin) { (s, d) =>
+    val vt = VersionedTable.create(Tables.scratch("vt_format_read"))
+    val nation = Tables.nation(s, d)
+    vt.write(nation.where(col("n_regionkey") < 2), "main", "v0",
+      statsCols = Seq("n_nationkey"))
+    vt.write(nation, "main", "v1", statsCols = Seq("n_nationkey"))
+    def rd = s.read.format("vt").option("path", vt.root.toString)
+    rd.option("versionAsOf", "0").load()
+      .select(lit(0).as("version"), col("n_nationkey"))
+      .unionByName(rd.load()
+        .where(col("n_nationkey").between(10, 20))
+        .select(lit(1).as("version"), col("n_nationkey")))
+      .orderBy("version", "n_nationkey")
+  }
+
   /** The engine-driven streaming SINK ([[graft.sources.VtSinkProvider]],
     * `writeStream.format("vt")`): a file-source stream of the nation
     * table lands in a versioned table one commit per micro-batch with
@@ -1126,5 +1153,5 @@ object Versioned {
     qVtIncremental, qVtTsTravel, qVtDeltaLog, qVtDeltaRoundtrip,
     qVtDeltaDvRoundtrip, qVtDeltaCmap, qVtDeltaCmapId, qVtDeltaSkip, qVtDeltaCdf,
     qVtDeltaReplicate, qVtDeltaTail, qVtDeltaExportScale, qVtDeltaSkipStr,
-    qVtStreamSource, qVtStreamSink, qVtDeltaStream)
+    qVtStreamSource, qVtStreamSink, qVtDeltaStream, qVtFormatRead)
 }

@@ -1,0 +1,190 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, PrunedScan, RelationProvider, StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
+
+import graft.vt.{Commit, VersionedTable}
+
+/** Commit-log-backed [[FileIndex]]: the snapshot's immutable file list,
+  * with the commit's per-file min/max stats applied to the scan's data
+  * filters so files whose range cannot match are pruned DURING QUERY
+  * PLANNING — `spark.read.format("vt").load().where($"k" between (a, b))`
+  * skips them without any listing, exactly Delta's data-skipping
+  * integration (TahoeFileIndex). Numeric bounds prune against the double
+  * stats, string bounds against the UTF-8-byte-ordered string stats
+  * ([[VersionedTable.utf8Cmp]] — the ordering the stats were computed
+  * under); files without stats for a bounded column are conservatively
+  * kept, and unrecognized predicate shapes prune nothing. At 100 TB this
+  * is the difference between touching 1% of a million files and paying a
+  * footer read on every one. */
+final class VtFileIndex(spark: SparkSession, vt: VersionedTable, commit: Commit)
+    extends FileIndex {
+
+  private val rootPath = new HPath(vt.root.toUri)
+
+  private lazy val statuses: Vector[(String, FileStatus)] = {
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    commit.files.map { f =>
+      f -> fs.getFileStatus(new HPath(vt.root.resolve(f).toUri))
+    }
+  }
+
+  override def rootPaths: Seq[HPath] = Seq(rootPath)
+
+  override def partitionSchema: StructType = StructType(Nil)
+
+  /** (column, lower, upper) windows extracted from the scan's conjuncts;
+    * `Left` = numeric window, `Right` = string window. Only shapes whose
+    * stats semantics are exact are recognized — everything else prunes
+    * nothing (conservative). Strict bounds relax to inclusive: stats
+    * pruning may KEEP extra files, never drop a matching one. */
+  private def windows(e: Expression)
+      : List[(String, Either[(Double, Double), (String, String)])] = {
+    def num(l: Literal): Option[Double] = l.value match {
+      case null => None
+      case n: Number => Some(n.doubleValue())
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+      case _ => None
+    }
+    def str(l: Literal): Option[String] = l.value match {
+      case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+      case _ => None
+    }
+    def window(a: AttributeReference, l: Literal, lo: Boolean, hi: Boolean) =
+      if (l.dataType == StringType)
+        str(l).map(v => a.name -> Right((
+          if (lo) v else VtFileIndex.MinString, if (hi) v else VtFileIndex.MaxString)))
+      else
+        num(l).map(v => a.name -> Left((
+          if (lo) v else Double.NegativeInfinity, if (hi) v else Double.PositiveInfinity)))
+    e match {
+      case And(l, r) => windows(l) ++ windows(r)
+      case EqualTo(a: AttributeReference, l: Literal) => window(a, l, lo = true, hi = true).toList
+      case EqualTo(l: Literal, a: AttributeReference) => window(a, l, lo = true, hi = true).toList
+      case EqualNullSafe(a: AttributeReference, l: Literal) => window(a, l, lo = true, hi = true).toList
+      case GreaterThan(a: AttributeReference, l: Literal) => window(a, l, lo = true, hi = false).toList
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) => window(a, l, lo = true, hi = false).toList
+      case LessThan(a: AttributeReference, l: Literal) => window(a, l, lo = false, hi = true).toList
+      case LessThanOrEqual(a: AttributeReference, l: Literal) => window(a, l, lo = false, hi = true).toList
+      case GreaterThan(l: Literal, a: AttributeReference) => window(a, l, lo = false, hi = true).toList
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => window(a, l, lo = false, hi = true).toList
+      case LessThan(l: Literal, a: AttributeReference) => window(a, l, lo = true, hi = false).toList
+      case LessThanOrEqual(l: Literal, a: AttributeReference) => window(a, l, lo = true, hi = false).toList
+      case _ => Nil
+    }
+  }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val bounds = dataFilters.flatMap(windows).toList
+    val kept = statuses.filter { case (rel, _) =>
+      bounds.forall {
+        case (colName, Left((lo, hi))) =>
+          commit.stats.get(rel).flatMap(_.get(colName)) match {
+            case Some((mn, mx)) => mx >= lo && mn <= hi
+            case None => true
+          }
+        case (colName, Right((lo, hi))) =>
+          commit.strStats.get(rel).flatMap(_.get(colName)) match {
+            case Some((mn, mx)) => VersionedTable.utf8Cmp(mx, lo) >= 0 &&
+              VersionedTable.utf8Cmp(mn, hi) <= 0
+            case None => true
+          }
+      }
+    }
+    Seq(PartitionDirectory(InternalRow.empty, kept.map(_._2).toArray))
+  }
+
+  override def inputFiles: Array[String] =
+    commit.files.map(f => vt.root.resolve(f).toString).toArray
+
+  override def refresh(): Unit = () // a commit is immutable
+
+  override def sizeInBytes: Long = statuses.map(_._2.getLen).sum
+}
+
+private object VtFileIndex {
+  // open-ended string windows: compare-below-everything / above-everything
+  // sentinels for utf8Cmp ("" is the true minimum; the max sentinel is a
+  // run of U+10FFFF, above any realistic stats value)
+  val MinString = ""
+  val MaxString: String = new String(Character.toChars(0x10FFFF)) * 8
+}
+
+/** Fallback relation for snapshots WITH deletion vectors: merge-on-read
+  * cannot be expressed as a bare file scan, so the relation delegates to
+  * [[VersionedTable.readCommit]] (scan + broadcast DV anti-join) with
+  * column pruning; Spark re-applies every filter above the scan, so
+  * results stay exact. The moment the branch is compacted the provider
+  * serves the native file-scan relation again. */
+final class VtMorRelation(ctx: SQLContext, vt: VersionedTable, commit: Commit)
+    extends BaseRelation with PrunedScan {
+  override def sqlContext: SQLContext = ctx
+  override val schema: StructType =
+    DataType.fromJson(commit.schemaJson).asInstanceOf[StructType]
+  override def buildScan(requiredColumns: Array[String]): RDD[Row] = {
+    val df = vt.readCommit(ctx.sparkSession, commit)
+    (if (requiredColumns.isEmpty) df
+     else df.select(requiredColumns.head, requiredColumns.tail: _*)).rdd
+  }
+}
+
+/** `format("vt")`: the versioned table as a first-class Spark data source —
+  * batch READ (`spark.read.format("vt").option("path", root).load()`) with
+  * `branch` / `versionAsOf` / `timestampAsOf` options, and streaming WRITE
+  * (`writeStream.format("vt")`, see [[VtSink]]).
+  *
+  * The batch read serves a genuine `HadoopFsRelation` over the commit's
+  * pinned schema and [[VtFileIndex]]: parquet pushdown, column pruning,
+  * vectorization and whole-stage codegen all intact, PLUS commit-log
+  * stats pruning folded into scan planning. Snapshots carrying deletion
+  * vectors fall back to [[VtMorRelation]] (correct merge-on-read, pruned
+  * columns) rather than silently resurrecting deleted rows. */
+final class VtDataSource extends RelationProvider with StreamSinkProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "vt"
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "format(\"vt\") needs option 'path' (the versioned table root)"))
+    val vt = VersionedTable.open(path)
+    val branch = parameters.getOrElse("branch", "main")
+    val commit = vt.resolveRead(branch,
+      versionAsOf = parameters.get("versionAsOf").map(_.toLong),
+      timestampAsOf = parameters.get("timestampAsOf").map(_.toLong))
+    if (commit.dvFiles.nonEmpty) new VtMorRelation(sqlContext, vt, commit)
+    else {
+      val spark = sqlContext.sparkSession
+      val dataSchema = DataType.fromJson(commit.schemaJson).asInstanceOf[StructType]
+      HadoopFsRelation(new VtFileIndex(spark, vt, commit), StructType(Nil),
+        dataSchema, None, new ParquetFileFormat, Map.empty[String, String])(spark)
+    }
+  }
+
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"format(\"vt\") supports Append output mode only, got $outputMode — " +
+        "Update/Complete need a keyed apply (VersionedTable.applyCdc), not a " +
+        "blind append")
+    require(partitionColumns.isEmpty,
+      "format(\"vt\") does not support partitionBy — versioned tables " +
+        "organize data by commit, not by directory partition")
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "format(\"vt\") needs option 'path' (the versioned table root)"))
+    new VtSink(VersionedTable.open(path), parameters.getOrElse("branch", "main"))
+  }
+}

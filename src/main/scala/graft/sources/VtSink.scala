@@ -1,10 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.graft.StreamingShim
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider}
-import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.EventsStreaming
 import graft.vt.VersionedTable
@@ -35,25 +33,3 @@ final class VtSink(vt: VersionedTable, branch: String) extends Sink {
   override def toString: String = s"VtSink(${vt.root}@$branch)"
 }
 
-/** `writeStream.format("vt")` provider. Options: `path` (required,
-  * versioned table root — must exist; table lifecycle stays with its
-  * owner), `branch` (default `main`). */
-final class VtSinkProvider extends StreamSinkProvider with DataSourceRegister {
-  override def shortName(): String = "vt"
-
-  override def createSink(sqlContext: SQLContext,
-                          parameters: Map[String, String],
-                          partitionColumns: Seq[String],
-                          outputMode: OutputMode): Sink = {
-    require(outputMode == OutputMode.Append(),
-      s"format(\"vt\") supports Append output mode only, got $outputMode — " +
-        "Update/Complete need a keyed apply (VersionedTable.applyCdc), not a " +
-        "blind append")
-    require(partitionColumns.isEmpty,
-      "format(\"vt\") does not support partitionBy — versioned tables " +
-        "organize data by commit, not by directory partition")
-    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
-      "format(\"vt\") needs option 'path' (the versioned table root)"))
-    new VtSink(VersionedTable.open(path), parameters.getOrElse("branch", "main"))
-  }
-}

@@ -1029,7 +1029,10 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     * not O(history) — and once the walk reaches checkpoint coverage it
     * finishes from the in-memory index (1 more read). A timestamp before the
     * first commit is an error, matching Delta's behavior. */
-  def readAsOfTimestamp(spark: SparkSession, branch: String, tsMillis: Long): DataFrame = {
+  def readAsOfTimestamp(spark: SparkSession, branch: String, tsMillis: Long): DataFrame =
+    readCommit(spark, commitAtTimestamp(branch, tsMillis))
+
+  private def commitAtTimestamp(branch: String, tsMillis: Long): Commit = {
     val h = head(branch).getOrElse(
       throw new IllegalArgumentException(s"no such branch: $branch"))
     lazy val checkpoint = latestCheckpoint(branch)
@@ -1057,7 +1060,23 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
           case None => fail()
         }
       }
-    readCommit(spark, walk(h))
+    walk(h)
+  }
+
+  /** Resolve the commit a read addresses — branch head, `versionAsOf`, or
+    * `timestampAsOf` (mutually exclusive) — the shared entry point for the
+    * read methods above and the `format("vt")` batch relation
+    * ([[graft.sources.VtDataSource]]). */
+  def resolveRead(branch: String, versionAsOf: Option[Long] = None,
+                  timestampAsOf: Option[Long] = None): Commit = {
+    require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    (versionAsOf, timestampAsOf) match {
+      case (Some(v), _) => resolveVersion(branch, v)
+      case (_, Some(ts)) => commitAtTimestamp(branch, ts)
+      case _ => head(branch).getOrElse(
+        throw new IllegalArgumentException(s"no such branch: $branch"))
+    }
   }
 
   def readCommit(spark: SparkSession, c: Commit): DataFrame = {

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.vt.VersionedTable
+
+/** `spark.read.format("vt")`: the batch relation over the commit log —
+  * head/branch/versionAsOf/timestampAsOf addressing, commit-log stats
+  * pruning folded into scan planning, parquet pushdown intact, and the
+  * merge-on-read fallback for DV snapshots. */
+class VtDataSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def readVt(path: String, opts: (String, String)*): DataFrame =
+    opts.foldLeft(spark.read.format("vt").option("path", path))(
+      (r, kv) => r.option(kv._1, kv._2)).load()
+
+  test("format(\"vt\") batch read: head, branch, versionAsOf, timestampAsOf") {
+    val vt = VersionedTable.create(Tables.scratch("vtds_basic"))
+    val df = (1 to 10).map(i => (i.toLong, s"row$i")).toDF("k", "v")
+    val c0 = vt.write(df.where($"k" <= 5), "main", "v0")
+    while (System.currentTimeMillis() <= c0.ts) Thread.sleep(1)
+    vt.write(df, "main", "v1")
+    vt.createBranch("side", "main")
+    vt.write(df.where($"k" > 8), "side", "side-v")
+    val root = vt.root.toString
+    assert(readVt(root).select("k").as[Long].collect().sorted === (1L to 10L).toArray)
+    assert(readVt(root, "versionAsOf" -> "0").select("k").as[Long].collect().sorted
+      === (1L to 5L).toArray)
+    assert(readVt(root, "timestampAsOf" -> c0.ts.toString)
+      .select("k").as[Long].collect().sorted === (1L to 5L).toArray)
+    assert(readVt(root, "branch" -> "side").select("k").as[Long].collect().sorted
+      === Array(9L, 10L))
+    // versionAsOf and timestampAsOf together are refused
+    val e = intercept[IllegalArgumentException](
+      readVt(root, "versionAsOf" -> "0", "timestampAsOf" -> "1"))
+    assert(e.getMessage.contains("mutually exclusive"))
+  }
+
+  test("format(\"vt\") prunes files from commit-log stats during planning; pushdown intact") {
+    val vt = VersionedTable.create(Tables.scratch("vtds_skip"))
+    def part(lo: Long, hi: Long, tag: String) =
+      (lo to hi).map(i => (i, s"$tag$i")).toDF("k", "v").coalesce(1)
+    vt.write(part(1, 10, "a"), "main", "A", statsCols = Seq("k", "v"))
+    vt.write(part(11, 20, "b"), "main", "B", mode = "append", statsCols = Seq("k", "v"))
+    vt.write(part(21, 30, "c"), "main", "C", mode = "append", statsCols = Seq("k", "v"))
+    val root = vt.root.toString
+    def scannedFiles(q: DataFrame): Long = {
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collectFirst {
+        case s: FileSourceScanExec => s
+      }.getOrElse(fail("no FileSourceScanExec — not the native file-scan relation"))
+      scan.metrics("numFiles").value
+    }
+    // numeric window hits one commit's range only
+    val q1 = readVt(root).where($"k" >= 12 && $"k" <= 18)
+    assert(q1.select("k").as[Long].collect().sorted === (12L to 18L).toArray)
+    assert(scannedFiles(q1) === 1,
+      "commit-log stats must prune non-overlapping files at planning time")
+    // string window prunes via the UTF-8-ordered string stats
+    val q2 = readVt(root).where($"v" >= "c" && $"v" <= "d")
+    assert(q2.select("k").as[Long].collect().sorted === (21L to 30L).toArray)
+    assert(scannedFiles(q2) === 1, "string stats must prune too")
+    // the residual predicate still reaches the parquet scan (pushdown)
+    assert(q1.queryExecution.executedPlan.toString.contains("PushedFilters: ["),
+      "parquet pushdown must survive the custom FileIndex")
+    // unrecognized predicate shapes prune nothing but stay correct
+    val q3 = readVt(root).where(length($"v") === 2)
+    assert(q3.count() === 9L) // a1..a9 (single-digit suffixes of tag 'a')
+  }
+
+  test("format(\"vt\") falls back to merge-on-read for DV snapshots — no resurrection") {
+    val vt = VersionedTable.create(Tables.scratch("vtds_mor"))
+    vt.write((1L to 10L).toDF("k").withColumn("v", concat(lit("r"), $"k")),
+      "main", "v0")
+    vt.deleteWithVectors(spark, "k >= 8", "main")
+    val root = vt.root.toString
+    val got = readVt(root).select("k").as[Long].collect().sorted
+    assert(got === (1L to 7L).toArray,
+      "DV-deleted rows must not resurrect through the batch relation")
+    // column pruning path (PrunedScan) returns the right columns
+    assert(readVt(root).select("v").as[String].collect().sorted.head === "r1")
+    // count(*) over the MOR relation is exact
+    assert(readVt(root).count() === 7L)
+  }
+}
