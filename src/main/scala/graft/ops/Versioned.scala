@@ -1046,6 +1046,24 @@ object Versioned {
       .select("n_nationkey", "n_name").orderBy("n_nationkey")
   }
 
+  /** [[qVtDeltaSkip]] through the BATCH RELATION
+    * ([[graft.sources.DeltaLite]], `spark.read.format("delta-lite")`):
+    * the exported `_delta_log`'s per-file stats prune during scan
+    * planning from an ordinary `.where`, no skip-read helper needed —
+    * the TahoeFileIndex role on our own reader. */
+  val qVtDeltaLiteRead: QueryDef = q("q_vt_delta_lite_read")(
+    """SELECT n_nationkey, n_name FROM nation
+      |WHERE n_nationkey BETWEEN 5 AND 11 ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+    val vt = VersionedTable.create(Tables.scratch("vt_delta_lite_read"))
+    val nation = Tables.nation(s, d).select("n_nationkey", "n_name")
+    vt.write(nation.repartitionByRange(4, col("n_nationkey")), "main", "v0",
+      statsCols = Seq("n_nationkey"))
+    vt.exportDeltaLog("main")
+    s.read.format("delta-lite").option("path", vt.root.toString).load()
+      .where(col("n_nationkey").between(5, 11))
+      .select("n_nationkey", "n_name").orderBy("n_nationkey")
+  }
+
   /** SCALE-BEARING Delta export (r16, benched): the full interop pipeline on
     * the sf-scaled orders table — versioned load + append (8 files), a 30%
     * MERGE-ON-READ delete (deletion vectors well above the inline
@@ -1153,5 +1171,6 @@ object Versioned {
     qVtIncremental, qVtTsTravel, qVtDeltaLog, qVtDeltaRoundtrip,
     qVtDeltaDvRoundtrip, qVtDeltaCmap, qVtDeltaCmapId, qVtDeltaSkip, qVtDeltaCdf,
     qVtDeltaReplicate, qVtDeltaTail, qVtDeltaExportScale, qVtDeltaSkipStr,
-    qVtStreamSource, qVtStreamSink, qVtDeltaStream, qVtFormatRead)
+    qVtStreamSource, qVtStreamSink, qVtDeltaStream, qVtFormatRead,
+    qVtDeltaLiteRead)
 }

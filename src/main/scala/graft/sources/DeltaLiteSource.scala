@@ -1,0 +1,193 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, PrunedScan, RelationProvider}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.vt.{DeltaLogReader, VersionedTable}
+import graft.vt.DeltaLogReader.DeltaSnapshot
+
+/** [[FileIndex]] over a FOREIGN Delta table's snapshot: the log's live
+  * file set with BOTH pruning layers folded into scan planning —
+  * partition pruning from each add action's `partitionValues` (evaluated
+  * against the scan's partition filters) and data skipping from the
+  * per-file `stats` JSON (`minValues`/`maxValues`, numeric compared as
+  * doubles, strings as unsigned UTF-8 bytes — Delta's stats ordering).
+  * This is delta-spark's TahoeFileIndex role re-expressed on
+  * [[DeltaLogReader]]'s snapshot: `spark.read.format("delta-lite")` plans
+  * the same pruned parquet scan a Delta-jar reader would, with pushdown,
+  * vectorization and whole-stage codegen intact. Files without stats for
+  * a bounded column are conservatively kept; unrecognized predicate
+  * shapes prune nothing. */
+final class DeltaFileIndex(spark: SparkSession, root: java.nio.file.Path,
+                           snap: DeltaSnapshot) extends FileIndex {
+
+  private val mapper = new ObjectMapper()
+  private val partFields: Array[StructField] =
+    snap.partitionColumns.map(n => snap.schema(n)).toArray
+
+  override val partitionSchema: StructType = StructType(partFields)
+
+  private lazy val statuses: Vector[(DeltaLogReader.FileEntry, FileStatus)] = {
+    val rootPath = new HPath(root.toUri)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    snap.files.map(f =>
+      f -> fs.getFileStatus(new HPath(root.resolve(f.path).toUri)))
+  }
+
+  override def rootPaths: Seq[HPath] = Seq(new HPath(root.toUri))
+
+  /** Typed catalyst value of a partition-value string (the supported-type
+    * gate lives in [[DeltaLite.partTypesSupported]]). */
+  private def partValue(f: StructField, raw: String): Any =
+    if (raw == null || raw.isEmpty) null
+    else f.dataType match {
+      case ByteType => raw.toByte
+      case ShortType => raw.toShort
+      case IntegerType => raw.toInt
+      case LongType => raw.toLong
+      case FloatType => raw.toFloat
+      case DoubleType => raw.toDouble
+      case BooleanType => raw.toBoolean
+      case StringType => UTF8String.fromString(raw)
+      case DateType => java.time.LocalDate.parse(raw).toEpochDay.toInt
+      case other => throw new IllegalStateException(
+        s"unsupported partition type $other reached DeltaFileIndex")
+    }
+
+  /** Does this partition group survive the window? Raw values compare as
+    * double for numeric partition fields and as UTF-8 bytes for strings;
+    * a NULL partition value cannot satisfy a comparison window. */
+  private def partSurvives(pv: Map[String, String],
+                           w: StatsWindows.Window): Boolean = {
+    val (colName, win) = w
+    if (!snap.partitionColumns.contains(colName)) true
+    else pv.get(colName) match {
+      case None => true // no recorded value: conservative keep
+      case Some(raw) if raw == null || raw.isEmpty => false
+      case Some(raw) => win match {
+        case Left((lo, hi)) => raw.toDoubleOption.forall(d => d >= lo && d <= hi)
+        case Right((lo, hi)) => VersionedTable.utf8Cmp(raw, lo) >= 0 &&
+          VersionedTable.utf8Cmp(raw, hi) <= 0
+      }
+    }
+  }
+
+  private def statsSurvive(stats: Option[String],
+                           bounds: List[StatsWindows.Window]): Boolean =
+    stats match {
+      case None => true
+      case Some(s) =>
+        val node = mapper.readTree(s)
+        val mins = node.path("minValues"); val maxs = node.path("maxValues")
+        bounds.forall {
+          case (colName, Left((lo, hi))) =>
+            val mn = mins.path(colName); val mx = maxs.path(colName)
+            !(mn.isNumber && mx.isNumber) ||
+              (mx.asDouble() >= lo && mn.asDouble() <= hi)
+          case (colName, Right((lo, hi))) =>
+            val mn = mins.path(colName); val mx = maxs.path(colName)
+            !(mn.isTextual && mx.isTextual) ||
+              (VersionedTable.utf8Cmp(mx.asText(), lo) >= 0 &&
+                VersionedTable.utf8Cmp(mn.asText(), hi) <= 0)
+        }
+    }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val partWins = partitionFilters.flatMap(StatsWindows.windows).toList
+    val dataWins = dataFilters.flatMap(StatsWindows.windows)
+      .filterNot { case (c, _) => snap.partitionColumns.contains(c) }.toList
+    statuses.groupBy(_._1.partitionValues).toSeq
+      .filter { case (pv, _) => partWins.forall(partSurvives(pv, _)) }
+      .map { case (pv, group) =>
+        val row = InternalRow.fromSeq(
+          partFields.toSeq.map(f => partValue(f, pv.get(f.name).orNull)))
+        PartitionDirectory(row,
+          group.filter(g => statsSurvive(g._1.stats, dataWins)).map(_._2).toArray)
+      }
+  }
+
+  override def inputFiles: Array[String] =
+    snap.files.map(f => root.resolve(f.path).toString).toArray
+
+  override def refresh(): Unit = () // a pinned snapshot is immutable
+
+  override def sizeInBytes: Long = statuses.map(_._2.getLen).sum
+}
+
+/** Fallback relation for the snapshot shapes a bare file scan cannot
+  * express — deletion vectors (merge-on-read), column-mapped schemas,
+  * exotic partition types: delegates to [[DeltaLogReader.read]] (which
+  * handles all of them) with column pruning; Spark re-applies every
+  * filter above the scan, so results stay exact. */
+final class DeltaLiteMorRelation(ctx: SQLContext, tableRoot: String,
+                                 version: Option[Long]) extends BaseRelation with PrunedScan {
+  override def sqlContext: SQLContext = ctx
+  override val schema: StructType =
+    DeltaLogReader.read(ctx.sparkSession, tableRoot, version).schema
+  override def buildScan(requiredColumns: Array[String]): RDD[Row] = {
+    val df = DeltaLogReader.read(ctx.sparkSession, tableRoot, version)
+    (if (requiredColumns.isEmpty) df
+     else df.select(requiredColumns.head, requiredColumns.tail: _*)).rdd
+  }
+}
+
+/** `spark.read.format("delta-lite")`: batch reads of a STOCK Delta table
+  * without the Delta jar, planned through Spark's native file-scan
+  * machinery with the log's partition values and per-file stats pruning
+  * folded in ([[DeltaFileIndex]]). Options: `path` (required),
+  * `versionAsOf`, `timestampAsOf` (epoch millis; mutually exclusive).
+  * Snapshots with deletion vectors, column mapping, or partition types
+  * beyond the primitive set fall back to a delegating relation that
+  * serves them correctly through [[DeltaLogReader.read]].
+  *
+  * Note: as with Spark's own partitioned reads, partition columns
+  * surface AFTER the data columns in the relation's schema. */
+final class DeltaLite extends RelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "delta-lite"
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "delta-lite needs option 'path' (the Delta table root)"))
+    val vAsOf = parameters.get("versionAsOf").map(_.toLong)
+    val tAsOf = parameters.get("timestampAsOf").map(_.toLong)
+    require(vAsOf.isEmpty || tAsOf.isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    val version = vAsOf.orElse(tAsOf.map(DeltaLogReader.versionAtTimestamp(path, _)))
+    val spark = sqlContext.sparkSession
+    val snap = DeltaLogReader.snapshot(path, version, Some(spark))
+    val mapped =
+      snap.configuration.getOrElse("delta.columnMapping.mode", "none") != "none"
+    val hasDv = snap.files.exists(_.dv.isDefined)
+    if (mapped || hasDv || !DeltaLite.partTypesSupported(snap))
+      new DeltaLiteMorRelation(sqlContext, path, version.orElse(Some(snap.version)))
+    else {
+      val root = java.nio.file.Paths.get(path).toAbsolutePath.normalize
+      val dataSchema = StructType(snap.schema.fields
+        .filterNot(f => snap.partitionColumns.contains(f.name)))
+      val index = new DeltaFileIndex(spark, root, snap)
+      HadoopFsRelation(index, index.partitionSchema, dataSchema, None,
+        new ParquetFileFormat, Map.empty[String, String])(spark)
+    }
+  }
+}
+
+object DeltaLite {
+  private val SupportedPartTypes: Set[DataType] = Set(ByteType, ShortType,
+    IntegerType, LongType, FloatType, DoubleType, BooleanType, StringType,
+    DateType)
+  private[sources] def partTypesSupported(snap: DeltaSnapshot): Boolean =
+    snap.partitionColumns.forall(n =>
+      SupportedPartTypes.contains(snap.schema(n).dataType))
+}

@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.{FileStatus, Path => HPath}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.streaming.Sink
@@ -42,50 +42,9 @@ final class VtFileIndex(spark: SparkSession, vt: VersionedTable, commit: Commit)
 
   override def partitionSchema: StructType = StructType(Nil)
 
-  /** (column, lower, upper) windows extracted from the scan's conjuncts;
-    * `Left` = numeric window, `Right` = string window. Only shapes whose
-    * stats semantics are exact are recognized — everything else prunes
-    * nothing (conservative). Strict bounds relax to inclusive: stats
-    * pruning may KEEP extra files, never drop a matching one. */
-  private def windows(e: Expression)
-      : List[(String, Either[(Double, Double), (String, String)])] = {
-    def num(l: Literal): Option[Double] = l.value match {
-      case null => None
-      case n: Number => Some(n.doubleValue())
-      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
-      case _ => None
-    }
-    def str(l: Literal): Option[String] = l.value match {
-      case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
-      case _ => None
-    }
-    def window(a: AttributeReference, l: Literal, lo: Boolean, hi: Boolean) =
-      if (l.dataType == StringType)
-        str(l).map(v => a.name -> Right((
-          if (lo) v else VtFileIndex.MinString, if (hi) v else VtFileIndex.MaxString)))
-      else
-        num(l).map(v => a.name -> Left((
-          if (lo) v else Double.NegativeInfinity, if (hi) v else Double.PositiveInfinity)))
-    e match {
-      case And(l, r) => windows(l) ++ windows(r)
-      case EqualTo(a: AttributeReference, l: Literal) => window(a, l, lo = true, hi = true).toList
-      case EqualTo(l: Literal, a: AttributeReference) => window(a, l, lo = true, hi = true).toList
-      case EqualNullSafe(a: AttributeReference, l: Literal) => window(a, l, lo = true, hi = true).toList
-      case GreaterThan(a: AttributeReference, l: Literal) => window(a, l, lo = true, hi = false).toList
-      case GreaterThanOrEqual(a: AttributeReference, l: Literal) => window(a, l, lo = true, hi = false).toList
-      case LessThan(a: AttributeReference, l: Literal) => window(a, l, lo = false, hi = true).toList
-      case LessThanOrEqual(a: AttributeReference, l: Literal) => window(a, l, lo = false, hi = true).toList
-      case GreaterThan(l: Literal, a: AttributeReference) => window(a, l, lo = false, hi = true).toList
-      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => window(a, l, lo = false, hi = true).toList
-      case LessThan(l: Literal, a: AttributeReference) => window(a, l, lo = true, hi = false).toList
-      case LessThanOrEqual(l: Literal, a: AttributeReference) => window(a, l, lo = true, hi = false).toList
-      case _ => Nil
-    }
-  }
-
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val bounds = dataFilters.flatMap(windows).toList
+    val bounds = dataFilters.flatMap(StatsWindows.windows).toList
     val kept = statuses.filter { case (rel, _) =>
       bounds.forall {
         case (colName, Left((lo, hi))) =>
@@ -110,14 +69,6 @@ final class VtFileIndex(spark: SparkSession, vt: VersionedTable, commit: Commit)
   override def refresh(): Unit = () // a commit is immutable
 
   override def sizeInBytes: Long = statuses.map(_._2.getLen).sum
-}
-
-private object VtFileIndex {
-  // open-ended string windows: compare-below-everything / above-everything
-  // sentinels for utf8Cmp ("" is the true minimum; the max sentinel is a
-  // run of U+10FFFF, above any realistic stats value)
-  val MinString = ""
-  val MaxString: String = new String(Character.toChars(0x10FFFF)) * 8
 }
 
 /** Fallback relation for snapshots WITH deletion vectors: merge-on-read

@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.vt.{DeltaLogFixture => F, DeletionVectors}
+
+/** `spark.read.format("delta-lite")`: foreign-Delta batch reads through
+  * the native file-scan machinery — stats skipping and partition pruning
+  * at planning time, MOR/column-mapped fallbacks staying exact. */
+class DeltaLiteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(name: String) = {
+    val p = Paths.get(Tables.scratch(s"dlite_$name"))
+    Files.createDirectories(p)
+    p
+  }
+
+  private def readDl(path: String, opts: (String, String)*): DataFrame =
+    opts.foldLeft(spark.read.format("delta-lite").option("path", path))(
+      (r, kv) => r.option(kv._1, kv._2)).load()
+
+  private def scannedFiles(q: DataFrame): Long = {
+    q.collect()
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec — not the native file-scan relation"))
+    scan.metrics("numFiles").value
+  }
+
+  private def stats(n: Long, mins: Map[String, Any], maxs: Map[String, Any]): String = {
+    def js(m: Map[String, Any]) = m.map {
+      case (k, v: String) => s""""$k":"$v""""
+      case (k, v) => s""""$k":$v"""
+    }.mkString("{", ",", "}")
+    s"""{"numRecords":$n,"minValues":${js(mins)},"maxValues":${js(maxs)},"nullCount":{}}"""
+  }
+
+  test("delta-lite prunes files from add-action stats at planning time; pushdown intact") {
+    val root = freshRoot("skip")
+    val df = (1L to 30L).map(i => (i, f"w$i%02d")).toDF("k", "w")
+    def slice(lo: Long, hi: Long, name: String) = {
+      val (f, s) = F.writeDataFile(root, df.where($"k".between(lo, hi)), name)
+      F.addLine(f, s, stats = Some(stats(hi - lo + 1,
+        Map("k" -> lo, "w" -> f"w$lo%02d"), Map("k" -> hi, "w" -> f"w$hi%02d"))))
+    }
+    F.writeCommit(root, 0, Seq(F.protocolLine(),
+      F.metaDataLine(df.schema.json, Nil),
+      slice(1, 10, "pa"), slice(11, 20, "pb"), slice(21, 30, "pc")))
+    val q1 = readDl(root.toString).where($"k" >= 12 && $"k" <= 18)
+    assert(q1.select("k").as[Long].collect().sorted === (12L to 18L).toArray)
+    assert(scannedFiles(q1) === 1, "numeric stats must prune at planning time")
+    val q2 = readDl(root.toString).where($"w" >= "w21" && $"w" <= "w30")
+    assert(q2.select("k").as[Long].collect().sorted === (21L to 30L).toArray)
+    assert(scannedFiles(q2) === 1, "string stats must prune at planning time")
+    assert(q1.queryExecution.executedPlan.toString.contains("PushedFilters: ["),
+      "parquet pushdown must survive the custom FileIndex")
+    // unbounded predicates prune nothing but stay correct
+    assert(readDl(root.toString).where(length($"w") === 3).count() === 30L)
+  }
+
+  test("delta-lite reconstitutes partition columns and prunes partitions at planning time") {
+    val root = freshRoot("part")
+    val df = (1L to 30L).map(i => (i, (i % 3).toInt)).toDF("k", "bucket")
+    def group(b: Int) = {
+      val (f, s) = F.writeDataFile(root,
+        df.where($"bucket" === b).drop("bucket"), s"b$b")
+      F.addLine(f, s, Map("bucket" -> b.toString))
+    }
+    F.writeCommit(root, 0, Seq(F.protocolLine(),
+      F.metaDataLine(df.schema.json, Seq("bucket")),
+      group(0), group(1), group(2)))
+    val full = readDl(root.toString)
+    // partition columns surface (after the data columns) with real values
+    assert(full.select("k", "bucket").as[(Long, Int)].collect().toSet
+      === df.as[(Long, Int)].collect().toSet)
+    val q = readDl(root.toString).where($"bucket" === 1)
+    assert(q.select("k").as[Long].collect().sorted
+      === (1L to 30L).filter(_ % 3 == 1).toArray)
+    assert(scannedFiles(q) === 1, "partitionValues must prune groups at planning time")
+  }
+
+  test("delta-lite versionAsOf + DV fallback stays exact (no resurrection, no native scan)") {
+    val root = freshRoot("dv")
+    val df = (1L to 8L).map(i => (i, s"r$i")).toDF("k", "v")
+    val (fa, sa) = F.writeDataFile(root, df, "pa")
+    F.writeCommit(root, 0, Seq(F.protocolLine(), F.metaDataLine(df.schema.json, Nil),
+      F.addLine(fa, sa)))
+    // v1 MOR-deletes k in {7, 8} via an inline deletion vector
+    val dv = DeletionVectors.inlineDescriptor(Seq(6L, 7L)) // 0-based row positions
+    F.writeCommit(root, 1, Seq(F.removeLine(fa), F.addLineWithDv(fa, sa, dv)))
+    assert(readDl(root.toString, "versionAsOf" -> "0")
+      .select("k").as[Long].collect().sorted === (1L to 8L).toArray)
+    val head = readDl(root.toString)
+    assert(head.select("k").as[Long].collect().sorted === (1L to 6L).toArray,
+      "DV-deleted rows must not resurrect through delta-lite")
+    assert(head.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.isEmpty, "DV snapshots must take the delegating fallback, not a bare scan")
+  }
+}
