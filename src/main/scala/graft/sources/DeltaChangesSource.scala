@@ -81,8 +81,8 @@ final class DeltaChanges extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "delta-cdf"
 
   private def path(params: Map[String, String]): String =
-    params.getOrElse("path", throw new IllegalArgumentException(
-      "delta-cdf needs option 'path' (the Delta table root)"))
+    SourcePaths.local(params.getOrElse("path", throw new IllegalArgumentException(
+      "delta-cdf needs option 'path' (the Delta table root)")))
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String,

@@ -158,8 +158,9 @@ final class DeltaLite extends RelationProvider with DataSourceRegister {
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
-    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
-      "delta-lite needs option 'path' (the Delta table root)"))
+    val path = SourcePaths.local(parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "delta-lite needs option 'path' (the Delta table root)")))
     val vAsOf = parameters.get("versionAsOf").map(_.toLong)
     val tAsOf = parameters.get("timestampAsOf").map(_.toLong)
     require(vAsOf.isEmpty || tAsOf.isEmpty,

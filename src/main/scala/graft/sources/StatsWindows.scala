@@ -11,6 +11,15 @@ import org.apache.spark.sql.types.StringType
   * anything else prunes nothing (conservative), and strict bounds relax
   * to inclusive: stats pruning may KEEP extra files, never drop a
   * matching one. */
+/** Path-option normalization shared by every provider: the SQL catalog
+  * hands `OPTIONS (path '…')` back as a `file:` URI, the DataFrame API as
+  * a bare filesystem path — both must address the same table. */
+private[sources] object SourcePaths {
+  def local(raw: String): String =
+    if (raw.startsWith("file:")) java.nio.file.Paths.get(java.net.URI.create(raw)).toString
+    else raw
+}
+
 private[sources] object StatsWindows {
 
   /** `Left` = numeric window, `Right` = string window (compared as

@@ -104,8 +104,9 @@ final class VtChangeFeed extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "vt-changes"
 
   private def open(params: Map[String, String]): (VersionedTable, String) = {
-    val path = params.getOrElse("path", throw new IllegalArgumentException(
-      "vt-changes needs option 'path' (the versioned table root)"))
+    val path = SourcePaths.local(params.getOrElse("path",
+      throw new IllegalArgumentException(
+        "vt-changes needs option 'path' (the versioned table root)")))
     (VersionedTable.open(path), params.getOrElse("branch", "main"))
   }
 

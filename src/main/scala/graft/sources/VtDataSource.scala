@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.streaming.Sink
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, PrunedScan, RelationProvider, StreamSinkProvider}
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, PrunedScan, RelationProvider, StreamSinkProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{DataType, StringType, StructType}
 
@@ -100,15 +101,44 @@ final class VtMorRelation(ctx: SQLContext, vt: VersionedTable, commit: Commit)
   * stats pruning folded into scan planning. Snapshots carrying deletion
   * vectors fall back to [[VtMorRelation]] (correct merge-on-read, pruned
   * columns) rather than silently resurrecting deleted rows. */
-final class VtDataSource extends RelationProvider with StreamSinkProvider
-    with DataSourceRegister {
+final class VtDataSource extends RelationProvider with CreatableRelationProvider
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "vt"
 
+  /** Batch WRITE — `df.write.format("vt").mode(...).save()`: one commit
+    * per save. SaveMode maps onto commit semantics: Append/Overwrite are
+    * the two native write modes; ErrorIfExists commits only a FIRST
+    * version (refusing if the branch already has one — the closest
+    * analog of "path already exists"); Ignore no-ops on a non-empty
+    * branch. Returns the relation at the new head. */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    val path = SourcePaths.local(parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "format(\"vt\") needs option 'path' (the versioned table root)")))
+    val vt = VersionedTable.open(path)
+    val branch = parameters.getOrElse("branch", "main")
+    val message = parameters.getOrElse("message", s"format(\"vt\") $mode save")
+    val hasHead = vt.head(branch).isDefined
+    mode match {
+      case SaveMode.Append => vt.write(data, branch, message, mode = "append")
+      case SaveMode.Overwrite => vt.write(data, branch, message)
+      case SaveMode.ErrorIfExists =>
+        if (hasHead) throw new IllegalArgumentException(
+          s"branch $branch of $path already has commits (SaveMode.ErrorIfExists)")
+        else vt.write(data, branch, message)
+      case SaveMode.Ignore => if (!hasHead) vt.write(data, branch, message)
+    }
+    createRelation(sqlContext, parameters)
+  }
+
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
-    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
-      "format(\"vt\") needs option 'path' (the versioned table root)"))
+    val path = SourcePaths.local(parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "format(\"vt\") needs option 'path' (the versioned table root)")))
     val vt = VersionedTable.open(path)
     val branch = parameters.getOrElse("branch", "main")
     val commit = vt.resolveRead(branch,
@@ -134,8 +164,9 @@ final class VtDataSource extends RelationProvider with StreamSinkProvider
     require(partitionColumns.isEmpty,
       "format(\"vt\") does not support partitionBy — versioned tables " +
         "organize data by commit, not by directory partition")
-    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
-      "format(\"vt\") needs option 'path' (the versioned table root)"))
+    val path = SourcePaths.local(parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "format(\"vt\") needs option 'path' (the versioned table root)")))
     new VtSink(VersionedTable.open(path), parameters.getOrElse("branch", "main"))
   }
 }

@@ -206,7 +206,7 @@ class StreamingSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       val got = spark.table("ssj_test").select("l_event", "r_event")
-        .as[(Int, Long)].collect().toSet
+        .as[(Long, Long)].collect().toSet
       // batch truth: r within [l.ts, l.ts + 1h] for the same user
       val expect = (for {
         (le, ls, lu) <- lRows; (re, rs, ru) <- rRows

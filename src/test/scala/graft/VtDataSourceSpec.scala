@@ -85,4 +85,40 @@ class VtDataSourceSpec extends SparkSpec {
     // count(*) over the MOR relation is exact
     assert(readVt(root).count() === 7L)
   }
+
+  test("format(\"vt\") batch write: SaveMode semantics, one commit per save") {
+    val vt = VersionedTable.create(Tables.scratch("vtds_write"))
+    val root = vt.root.toString
+    val df = (1L to 5L).toDF("k")
+    def save(d: DataFrame, mode: String) =
+      d.write.format("vt").mode(mode).option("path", root).save()
+    // ErrorIfExists: first version lands, second save refuses
+    save(df, "errorifexists")
+    assert(readVt(root).count() === 5L)
+    val e = intercept[Exception](save(df, "errorifexists"))
+    assert(e.getMessage.contains("already has commits"), e.getMessage)
+    // Append adds a commit; Ignore no-ops; Overwrite replaces
+    save((6L to 8L).toDF("k"), "append")
+    assert(readVt(root).select("k").as[Long].collect().sorted === (1L to 8L).toArray)
+    save((100L to 200L).toDF("k"), "ignore")
+    assert(readVt(root).count() === 8L, "Ignore must no-op on a non-empty branch")
+    save((10L to 12L).toDF("k"), "overwrite")
+    assert(readVt(root).select("k").as[Long].collect().sorted === (10L to 12L).toArray)
+    // every save was a commit: full history time-travels
+    assert(readVt(root, "versionAsOf" -> "0").count() === 5L)
+    assert(readVt(root, "versionAsOf" -> "1").count() === 8L)
+    assert(readVt(root, "versionAsOf" -> "2").count() === 3L)
+  }
+
+  test("format(\"vt\") tables register in the SQL catalog and read via pure SQL") {
+    val vt = VersionedTable.create(Tables.scratch("vtds_sql"))
+    vt.write((1L to 9L).toDF("k"), "main", "v0")
+    spark.sql("DROP TABLE IF EXISTS vt_sql_t")
+    spark.sql(
+      s"CREATE TABLE vt_sql_t USING vt OPTIONS (path '${vt.root}')")
+    try {
+      val got = spark.sql("SELECT sum(k) AS s FROM vt_sql_t").as[Long].head()
+      assert(got === 45L)
+    } finally spark.sql("DROP TABLE vt_sql_t")
+  }
 }
