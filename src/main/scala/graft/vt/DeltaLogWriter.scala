@@ -585,4 +585,95 @@ object DeltaLogWriter {
           s"""{"version":$version,"size":${rows.size},"parts":$n}""")
     }
   }
+
+  /** V2 checkpoint manifest columns (PROTOCOL.md "V2 Spec"): the classic
+    * action structs plus `checkpointMetadata` and `sidecar`. */
+  private val v2ManifestSchema: StructType = StructType(Seq(
+    StructField("checkpointMetadata", StructType(Seq(
+      StructField("version", LongType)))),
+    checkpointSchema("protocol"),
+    checkpointSchema("metaData"),
+    StructField("sidecar", StructType(Seq(
+      StructField("path", StringType),
+      StructField("sizeInBytes", LongType),
+      StructField("modificationTime", LongType))))))
+
+  private val sidecarSchema: StructType = StructType(Seq(checkpointSchema("add")))
+
+  /** Write a V2 (sidecar) checkpoint for `version` — the shape modern
+    * delta-spark writes under the `v2Checkpoint` table feature, and the
+    * scale shape for very large snapshots: file actions land in
+    * `_delta_log/_sidecars/<uuid>.parquet` files of at most
+    * `sidecarPartSize` adds each, and the tiny
+    * `<v>.checkpoint.<uuid>.parquet` manifest carries only
+    * checkpointMetadata / protocol / metaData / sidecar references, so no
+    * single output file grows with the snapshot. Sidecars are written
+    * BEFORE the manifest (a dangling reference is therefore corruption —
+    * the refusal [[DeltaLogReader]] enforces).
+    *
+    * The checkpoint's protocol row is the log's own newest protocol
+    * action UPGRADED to reader v3 / writer v7 with `v2Checkpoint` in both
+    * feature lists — the protocol's own rule: a table whose checkpoint is
+    * V2 must gate readers on understanding V2 checkpoints, since after
+    * JSON pruning the manifest is the only bootstrap. */
+  def writeCheckpointV2(spark: SparkSession, tableRoot: String, version: Long,
+                        sidecarPartSize: Int = 100000): Unit = {
+    require(sidecarPartSize >= 1, s"sidecarPartSize must be >= 1, got $sidecarPartSize")
+    val root = java.nio.file.Paths.get(tableRoot).toAbsolutePath.normalize
+    val logDir = root.resolve("_delta_log")
+    val snap = DeltaLogReader.snapshot(tableRoot, Some(version), Some(spark))
+    val (baseRf, baseWf) = snap.protocol match {
+      case Some(p) => (p.readerFeatures.getOrElse(
+        if (p.minReader >= 2) Seq("columnMapping") else Nil),
+        p.writerFeatures.getOrElse(Nil))
+      case None => (Nil, Nil)
+    }
+    val rf = (baseRf :+ "v2Checkpoint").distinct
+    val wf = (baseWf ++ rf).distinct
+    val addRows: Seq[Row] = snap.files.map { f =>
+      val p = root.resolve(f.path)
+      val (size, mtime) =
+        if (Files.exists(p)) (Files.size(p), Files.getLastModifiedTime(p).toMillis)
+        else (0L, 0L)
+      val dvRow = f.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
+        d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull
+      Row(Row(DeltaLogWriter.encodePath(f.path), f.partitionValues, size, mtime,
+        false, f.stats.orNull, dvRow))
+    }
+    def writeOne(slice: Seq[Row], schema: StructType, dest: Path): Unit = {
+      val df = spark.createDataFrame(slice.asJava, schema)
+      val tmp = logDir.resolve(s".checkpoint_tmp_v2_$version")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        val st = Files.list(tmp)
+        try st.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+        finally st.close()
+      }
+      Files.createDirectories(dest.getParent)
+      Files.move(part, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      graft.Tables.deleteRecursively(tmp)
+    }
+    val sidecarDir = logDir.resolve("_sidecars")
+    val sidecarNames = addRows.grouped(sidecarPartSize).toVector.map { g =>
+      val name = s"${java.util.UUID.randomUUID()}.parquet"
+      writeOne(g, sidecarSchema, sidecarDir.resolve(name))
+      name
+    }
+    val manifestRows: Seq[Row] =
+      Seq(
+        Row(Row(version), null, null, null),
+        Row(null, Row(3, 7, rf, wf), null, null),
+        Row(null, null, Row(java.util.UUID.randomUUID().toString,
+          Row("parquet", Map.empty[String, String]), snap.schema.json,
+          snap.partitionColumns, snap.configuration, 0L), null)) ++
+        sidecarNames.map { n =>
+          val p = sidecarDir.resolve(n)
+          Row(null, null, null,
+            Row(n, Files.size(p), Files.getLastModifiedTime(p).toMillis))
+        }
+    writeOne(manifestRows, v2ManifestSchema,
+      logDir.resolve(f"$version%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"))
+    writeAtomically(logDir.resolve("_last_checkpoint"),
+      s"""{"version":$version,"size":${addRows.size + 3}}""")
+  }
 }

@@ -578,6 +578,38 @@ class DeltaLogSpec extends SparkSpec {
     assert(ks === Array(1))
   }
 
+  test("writeCheckpointV2 round-trips through our own reader after JSON pruning") {
+    val root = freshRoot("v2cp_write")
+    val vt = VersionedTable.create(root.toString)
+    val df = (1L to 40L).map(i => (i, s"r$i")).toDF("k", "v")
+    vt.write(df.where($"k" <= 20).repartition(4), "main", "v0")
+    vt.write(df.where($"k" > 20).repartition(4), "main", "v1", mode = "append")
+    vt.exportDeltaLog("main")
+    // small sidecarPartSize forces MULTIPLE sidecars
+    DeltaLogWriter.writeCheckpointV2(spark, root.toString, 1, sidecarPartSize = 3)
+    val log = root.resolve("_delta_log")
+    val sidecars = {
+      val st = Files.list(log.resolve("_sidecars"))
+      try st.iterator().asScala.toVector finally st.close()
+    }
+    assert(sidecars.size === 3, s"8 adds / partSize 3 -> 3 sidecars, got $sidecars")
+    // prune ALL commit JSON: the v2 checkpoint is the only bootstrap left
+    Files.delete(log.resolve(f"${0L}%020d.json"))
+    Files.delete(log.resolve(f"${1L}%020d.json"))
+    val got = DeltaLogReader.read(spark, root.toString, None)
+      .select("k").as[Long].collect().sorted
+    assert(got === (1L to 40L).toArray)
+    // the checkpoint's protocol row gates on v2Checkpoint
+    val snap = DeltaLogReader.snapshot(root.toString, None, Some(spark))
+    assert(snap.protocol.exists(_.readerFeatures.exists(_.contains("v2Checkpoint"))),
+      s"protocol must require the v2Checkpoint reader feature, got ${snap.protocol}")
+    // a JSON suffix on top still applies
+    vt.write(df.where($"k" === 1L).withColumn("k", lit(100L)), "main", "v2",
+      mode = "append")
+    vt.exportDeltaLog("main")
+    assert(DeltaLogReader.read(spark, root.toString, None).count() === 41L)
+  }
+
   test("replicateFromDelta: idempotent catch-up, metadata-only versions stepped over, deletes refused") {
     import graft.streaming.ChangeFeed
     val root = freshRoot("repl_src")
