@@ -33,6 +33,13 @@ final class DeltaFileIndex(spark: SparkSession, root: java.nio.file.Path,
   private val mapper = new ObjectMapper()
   private val partFields: Array[StructField] =
     snap.partitionColumns.map(n => snap.schema(n)).toArray
+  // logical -> on-disk key for stats/partitionValues lookups: PHYSICAL
+  // names in column-mapped tables (id mode goes through this index; the
+  // spec keys both maps by physical name), the logical name otherwise
+  private val physByLogical: Map[String, String] =
+    snap.schema.fields.map(f => f.name -> DeltaLogReader.physName(f)).toMap
+  private def physKey(logical: String): String =
+    physByLogical.getOrElse(logical, logical)
 
   override val partitionSchema: StructType = StructType(partFields)
 
@@ -70,7 +77,7 @@ final class DeltaFileIndex(spark: SparkSession, root: java.nio.file.Path,
                            w: StatsWindows.Window): Boolean = {
     val (colName, win) = w
     if (!snap.partitionColumns.contains(colName)) true
-    else pv.get(colName) match {
+    else pv.get(physKey(colName)).orElse(pv.get(colName)) match {
       case None => true // no recorded value: conservative keep
       case Some(raw) if raw == null || raw.isEmpty => false
       case Some(raw) => win match {
@@ -90,11 +97,11 @@ final class DeltaFileIndex(spark: SparkSession, root: java.nio.file.Path,
         val mins = node.path("minValues"); val maxs = node.path("maxValues")
         bounds.forall {
           case (colName, Left((lo, hi))) =>
-            val mn = mins.path(colName); val mx = maxs.path(colName)
+            val mn = mins.path(physKey(colName)); val mx = maxs.path(physKey(colName))
             !(mn.isNumber && mx.isNumber) ||
               (mx.asDouble() >= lo && mn.asDouble() <= hi)
           case (colName, Right((lo, hi))) =>
-            val mn = mins.path(colName); val mx = maxs.path(colName)
+            val mn = mins.path(physKey(colName)); val mx = maxs.path(physKey(colName))
             !(mn.isTextual && mx.isTextual) ||
               (VersionedTable.utf8Cmp(mx.asText(), lo) >= 0 &&
                 VersionedTable.utf8Cmp(mn.asText(), hi) <= 0)
@@ -109,8 +116,8 @@ final class DeltaFileIndex(spark: SparkSession, root: java.nio.file.Path,
     statuses.groupBy(_._1.partitionValues).toSeq
       .filter { case (pv, _) => partWins.forall(partSurvives(pv, _)) }
       .map { case (pv, group) =>
-        val row = InternalRow.fromSeq(
-          partFields.toSeq.map(f => partValue(f, pv.get(f.name).orNull)))
+        val row = InternalRow.fromSeq(partFields.toSeq.map(f =>
+          partValue(f, pv.get(physKey(f.name)).orElse(pv.get(f.name)).orNull)))
         PartitionDirectory(row,
           group.filter(g => statsSurvive(g._1.stats, dataWins)).map(_._2).toArray)
       }
@@ -168,15 +175,22 @@ final class DeltaLite extends RelationProvider with DataSourceRegister {
     val version = vAsOf.orElse(tAsOf.map(DeltaLogReader.versionAtTimestamp(path, _)))
     val spark = sqlContext.sparkSession
     val snap = DeltaLogReader.snapshot(path, version, Some(spark))
-    val mapped =
-      snap.configuration.getOrElse("delta.columnMapping.mode", "none") != "none"
+    val mode = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
     val hasDv = snap.files.exists(_.dv.isDefined)
-    if (mapped || hasDv || !DeltaLite.partTypesSupported(snap))
+    // name mode needs a physical->logical column RENAME a bare file scan
+    // cannot express; id mode stays NATIVE — Spark's own parquet field-id
+    // resolution binds columns id-to-id inside the vectorized reader
+    if (mode == "name" || hasDv || !DeltaLite.partTypesSupported(snap))
       new DeltaLiteMorRelation(sqlContext, path, version.orElse(Some(snap.version)))
     else {
       val root = java.nio.file.Paths.get(path).toAbsolutePath.normalize
-      val dataSchema = StructType(snap.schema.fields
-        .filterNot(f => snap.partitionColumns.contains(f.name)))
+      val dataFields = snap.schema.fields
+        .filterNot(f => snap.partitionColumns.contains(f.name))
+      val dataSchema =
+        if (mode == "id") {
+          spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+          DeltaLogReader.fieldIdSchema(StructType(dataFields))
+        } else StructType(dataFields)
       val index = new DeltaFileIndex(spark, root, snap)
       HadoopFsRelation(index, index.partitionSchema, dataSchema, None,
         new ParquetFileFormat, Map.empty[String, String])(spark)

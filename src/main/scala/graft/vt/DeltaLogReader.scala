@@ -565,14 +565,14 @@ object DeltaLogReader {
   /** Spark's own parquet field-id metadata key (ParquetUtils.FIELD_ID_METADATA_KEY). */
   private val ParquetFieldIdKey = "parquet.field.id"
 
-  private def physName(f: org.apache.spark.sql.types.StructField): String =
+  private[graft] def physName(f: org.apache.spark.sql.types.StructField): String =
     if (f.metadata.contains(PhysNameKey)) f.metadata.getString(PhysNameKey) else f.name
 
   /** Id-mode read schema: logical names, each field stamped with its
     * `parquet.field.id` so Spark's reader matches by id. A mapped field
     * without an id is refused loudly — guessing by name here is exactly the
     * wrong-column hazard id mode exists to prevent. */
-  private def fieldIdSchema(st: StructType): StructType =
+  private[graft] def fieldIdSchema(st: StructType): StructType =
     StructType(st.fields.map { f =>
       require(f.metadata.contains(ColIdKey),
         s"delta.columnMapping.mode=id but field '${f.name}' carries no " +

@@ -84,6 +84,44 @@ class DeltaLiteSpec extends SparkSpec {
     assert(scannedFiles(q) === 1, "partitionValues must prune groups at planning time")
   }
 
+  test("delta-lite serves id-mode column-mapped tables NATIVELY: field ids bind, stats prune") {
+    val root = freshRoot("cmap_id")
+    val df = (1L to 20L).map(i => (i, s"v$i")).toDF("k", "v")
+    val phys = Map("k" -> "col-aaaa", "v" -> "col-bbbb")
+    val ids = Map("k" -> 1L, "v" -> 2L)
+    def slice(lo: Long, hi: Long, name: String) = {
+      val (f, s) = F.writeDataFile(root,
+        F.physicalWithIds(df.where($"k".between(lo, hi)), phys, ids), name)
+      F.addLine(f, s, stats = Some(stats(hi - lo + 1,
+        Map("col-aaaa" -> lo), Map("col-aaaa" -> hi)))) // stats keys: PHYSICAL
+    }
+    F.writeCommit(root, 0, Seq(F.protocolLine(minReader = 2, minWriter = 5),
+      F.metaDataLine(F.columnMappedSchema(df.schema, phys, ids).json, Nil,
+        Map("delta.columnMapping.mode" -> "id")),
+      slice(1, 10, "pa"), slice(11, 20, "pb")))
+    val full = readDl(root.toString)
+    assert(full.select("k", "v").as[(Long, String)].collect().toSet
+      === df.as[(Long, String)].collect().toSet,
+      "logical names must surface although the files carry physical names")
+    val q = readDl(root.toString).where($"k" >= 11)
+    assert(q.select("k").as[Long].collect().sorted === (11L to 20L).toArray)
+    assert(scannedFiles(q) === 1,
+      "physical-keyed stats must prune against logical-named predicates")
+    // name-mode tables take the exact fallback instead
+    val root2 = freshRoot("cmap_name")
+    val (fa, sa) = F.writeDataFile(root2,
+      df.select($"k".as("col-aaaa"), $"v".as("col-bbbb")), "pa")
+    F.writeCommit(root2, 0, Seq(F.protocolLine(minReader = 2, minWriter = 5),
+      F.metaDataLine(F.columnMappedSchema(df.schema, phys).json, Nil,
+        Map("delta.columnMapping.mode" -> "name")),
+      F.addLine(fa, sa)))
+    val nameRead = readDl(root2.toString)
+    assert(nameRead.select("k").as[Long].collect().sorted === (1L to 20L).toArray)
+    assert(nameRead.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.isEmpty, "name mode needs the renaming fallback, not a bare scan")
+  }
+
   test("delta-lite versionAsOf + DV fallback stays exact (no resurrection, no native scan)") {
     val root = freshRoot("dv")
     val df = (1L to 8L).map(i => (i, s"r$i")).toDF("k", "v")
