@@ -43,11 +43,22 @@ final class DeltaFileIndex(spark: SparkSession, root: java.nio.file.Path,
 
   override val partitionSchema: StructType = StructType(partFields)
 
+  /** One FileStatus per live file, built from the LOG'S OWN size/mtime
+    * (every protocol-conformant add action records them) — ZERO driver
+    * filesystem calls on the common path; only a malformed add without a
+    * size pays a real getFileStatus. At a million files this is the
+    * difference between reading one snapshot and issuing a million stat
+    * RPCs, the same reason delta-spark's own file index trusts the log. */
   private lazy val statuses: Vector[(DeltaLogReader.FileEntry, FileStatus)] = {
-    val rootPath = new HPath(root.toUri)
-    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    snap.files.map(f =>
-      f -> fs.getFileStatus(new HPath(root.resolve(f.path).toUri)))
+    lazy val fs =
+      new HPath(root.toUri).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    snap.files.map { f =>
+      val p = new HPath(root.resolve(f.path).toUri)
+      val status =
+        if (f.size >= 0L) new FileStatus(f.size, false, 1, 0L, f.modTime, p)
+        else fs.getFileStatus(p)
+      f -> status
+    }
   }
 
   override def rootPaths: Seq[HPath] = Seq(new HPath(root.toUri))

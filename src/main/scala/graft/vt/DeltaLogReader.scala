@@ -84,7 +84,8 @@ object DeltaLogReader {
     * stats; this reader's scans skip via parquet footers regardless). */
   final case class FileEntry(path: String, partitionValues: Map[String, String],
                              dv: Option[DeletionVectors.DvDescriptor],
-                             stats: Option[String] = None)
+                             stats: Option[String] = None,
+                             size: Long = -1L, modTime: Long = 0L)
 
   /** The log's newest `protocol` action, carried verbatim so a checkpoint
     * of the snapshot preserves the table's declared feature gates instead
@@ -240,7 +241,7 @@ object DeltaLogReader {
     var config: Map[String, String] = Map.empty
     var protocol: Option[ProtocolInfo] = None
     val live = scala.collection.mutable.LinkedHashMap
-      .empty[String, (Map[String, String], Option[DeletionVectors.DvDescriptor], Option[String])]
+      .empty[String, (Map[String, String], Option[DeletionVectors.DvDescriptor], Option[String], Long, Long)]
   }
 
   /** Reader features this replayer implements beyond protocol v1. */
@@ -298,10 +299,11 @@ object DeltaLogReader {
   }
 
   private def parseAddNode(add: JsonNode)
-      : (String, (Map[String, String], Option[DeletionVectors.DvDescriptor], Option[String])) =
+      : (String, (Map[String, String], Option[DeletionVectors.DvDescriptor], Option[String], Long, Long)) =
     decodePath(add.get("path").asText()) ->
       ((partitionValues(add), dvDescriptor(add),
-        Option(add.get("stats")).map(_.asText())))
+        Option(add.get("stats")).map(_.asText()),
+        add.path("size").asLong(-1L), add.path("modificationTime").asLong(0L)))
 
   /** Apply one commit's actions. A commit is atomic, so its adds/removes are
     * RECONCILED, not replayed in line order: a commit that re-adds a path it
@@ -309,7 +311,7 @@ object DeltaLogReader {
     * add + `add` the same path with the new deletionVector) must leave the
     * file LIVE with the new metadata, regardless of which line came first. */
   private def applyCommit(state: ReplayState, commitPath: Path): Unit = {
-    val adds = Vector.newBuilder[(String, (Map[String, String], Option[DeletionVectors.DvDescriptor], Option[String]))]
+    val adds = Vector.newBuilder[(String, (Map[String, String], Option[DeletionVectors.DvDescriptor], Option[String], Long, Long))]
     val removes = Vector.newBuilder[String]
     for (line <- Files.readAllLines(commitPath).asScala if line.trim.nonEmpty) {
       val action = mapper.readTree(line)
@@ -374,10 +376,16 @@ object DeltaLogReader {
     if (df.columns.contains("add")) {
       val hasDv = hasNested(df, "add", "deletionVector")
       val hasStats = hasNested(df, "add", "stats")
+      val hasSize = hasNested(df, "add", "size")
+      val hasMtime = hasNested(df, "add", "modificationTime")
       val fields = Seq("add.path", "add.partitionValues") ++
         (if (hasDv) Seq("add.deletionVector") else Nil) ++
-        (if (hasStats) Seq("add.stats") else Nil)
+        (if (hasStats) Seq("add.stats") else Nil) ++
+        (if (hasSize) Seq("add.size") else Nil) ++
+        (if (hasMtime) Seq("add.modificationTime") else Nil)
       val statsIdx = if (hasDv) 3 else 2
+      val sizeIdx = statsIdx + (if (hasStats) 1 else 0)
+      val mtimeIdx = sizeIdx + (if (hasSize) 1 else 0)
       df.select(fields.head, fields.tail: _*)
         .where("path IS NOT NULL").collect().sortBy(_.getString(0))
         .foreach { r =>
@@ -394,7 +402,11 @@ object DeltaLogReader {
           val stats =
             if (hasStats && !r.isNullAt(statsIdx)) Some(r.getString(statsIdx))
             else None
-          state.live.put(decodePath(r.getString(0)), (pv, dv, stats))
+          val size =
+            if (hasSize && !r.isNullAt(sizeIdx)) r.getLong(sizeIdx) else -1L
+          val mtime =
+            if (hasMtime && !r.isNullAt(mtimeIdx)) r.getLong(mtimeIdx) else 0L
+          state.live.put(decodePath(r.getString(0)), (pv, dv, stats, size, mtime))
         }
     }
 
@@ -534,7 +546,8 @@ object DeltaLogReader {
       s"no metaData action in versions 0..$upTo of $tableRoot")
     DeltaSnapshot(upTo, DataType.fromJson(state.schemaJson).asInstanceOf[StructType],
       state.partCols,
-      state.live.toVector.map { case (p, (pv, dv, st)) => FileEntry(p, pv, dv, st) },
+      state.live.toVector.map { case (p, (pv, dv, st, sz, mt)) =>
+        FileEntry(p, pv, dv, st, sz, mt) },
       state.config, state.protocol)
   }
 

@@ -84,6 +84,25 @@ class DeltaLiteSpec extends SparkSpec {
     assert(scannedFiles(q) === 1, "partitionValues must prune groups at planning time")
   }
 
+  test("DeltaFileIndex trusts the log's size/mtime: planning issues NO filesystem stats") {
+    import graft.vt.DeltaLogReader
+    val root = freshRoot("nostat")
+    val schema = Seq((1L, "a")).toDF("k", "v").schema
+    // the add action references a file that does NOT exist on disk: planning
+    // (listFiles / sizeInBytes) must succeed purely from the log's metadata —
+    // a getFileStatus here would throw FileNotFoundException
+    F.writeCommit(root, 0, Seq(F.protocolLine(), F.metaDataLine(schema.json, Nil),
+      F.addLine("ghost.parquet", 1234L, mtime = 99L)))
+    val snap = DeltaLogReader.snapshot(root.toString, None, Some(spark))
+    assert(snap.files.head.size === 1234L && snap.files.head.modTime === 99L,
+      "snapshot must carry the add action's size and modificationTime")
+    val idx = new graft.sources.DeltaFileIndex(spark,
+      root.toAbsolutePath.normalize, snap)
+    val dirs = idx.listFiles(Nil, Nil)
+    assert(dirs.map(_.files.map(_.getLen).sum).sum === 1234L)
+    assert(idx.sizeInBytes === 1234L)
+  }
+
   test("delta-lite serves id-mode column-mapped tables NATIVELY: field ids bind, stats prune") {
     val root = freshRoot("cmap_id")
     val df = (1L to 20L).map(i => (i, s"v$i")).toDF("k", "v")
