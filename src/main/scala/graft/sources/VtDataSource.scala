@@ -32,10 +32,19 @@ final class VtFileIndex(spark: SparkSession, vt: VersionedTable, commit: Commit)
 
   private val rootPath = new HPath(vt.root.toUri)
 
+  /** One FileStatus per file, from the COMMIT LOG'S recorded byte sizes
+    * (publish stats each new file once); only files a pre-`fileSizes`
+    * commit recorded pay a real getFileStatus — stat-free scan planning,
+    * the same trust-the-log rule the Delta index applies. */
   private lazy val statuses: Vector[(String, FileStatus)] = {
-    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    lazy val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     commit.files.map { f =>
-      f -> fs.getFileStatus(new HPath(vt.root.resolve(f).toUri))
+      val p = new HPath(vt.root.resolve(f).toUri)
+      val status = commit.fileSizes.get(f) match {
+        case Some(size) => new FileStatus(size, false, 1, 0L, 0L, p)
+        case None => fs.getFileStatus(p)
+      }
+      f -> status
     }
   }
 

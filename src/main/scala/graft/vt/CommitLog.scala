@@ -71,7 +71,14 @@ final case class Commit(
       * `statsCols` as min/max. Powers `IS NULL` pruning (skip files with 0
       * nulls) and — with [[rowCounts]] — `IS NOT NULL` pruning (skip all-null
       * files). Absent = empty = never skip (back-compatible JSON). */
-    nullStats: Map[String, Map[String, Long]] = Map.empty) {
+    nullStats: Map[String, Map[String, Long]] = Map.empty,
+    /** Per-file byte sizes (Delta records `add.size` for the same reason).
+      * Filled by publish from the parent's map plus one local stat per NEW
+      * file, so scan PLANNING (split sizing, [[graft.sources.VtFileIndex]])
+      * never issues per-file filesystem stats — at object-store scale that
+      * is one metadata read instead of a million stat RPCs. Absent = empty
+      * (back-compatible JSON; planners fall back to getFileStatus). */
+    fileSizes: Map[String, Long] = Map.empty) {
   /** All parents, first-parent first — the DAG edge set for ancestry walks. */
   def parents: List[String] = parent.toList ++ mergeParent.toList
 
@@ -135,6 +142,13 @@ object CommitLog {
       }
       m.put("rowCounts", rm)
     }
+    if (c.fileSizes.nonEmpty) {
+      val fm = new java.util.LinkedHashMap[String, Object]()
+      c.fileSizes.toSeq.sortBy(_._1).foreach { case (f, n) =>
+        fm.put(f, java.lang.Long.valueOf(n))
+      }
+      m.put("fileSizes", fm)
+    }
     if (c.nullStats.nonEmpty) {
       val nm = new java.util.LinkedHashMap[String, Object]()
       c.nullStats.toSeq.sortBy(_._1).foreach { case (file, cols) =>
@@ -188,6 +202,10 @@ object CommitLog {
           .asScala.map { case (file, cols) =>
             file -> cols.asScala.map { case (col, n) => col -> n.longValue() }.toMap
           }.toMap
+      }.getOrElse(Map.empty),
+      fileSizes = Option(m.get("fileSizes")).map { raw =>
+        raw.asInstanceOf[java.util.Map[String, Number]].asScala
+          .map { case (f, n) => f -> n.longValue() }.toMap
       }.getOrElse(Map.empty))
   }
 

@@ -942,9 +942,20 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       inheritedCounts.get(f).orElse(VersionedTable.footerRowCount(root.resolve(f)))
         .map(f -> _)
     }.toMap
+    // per-file byte sizes, same inheritance rule: one local stat per NEW
+    // file at publish time buys stat-free scan planning forever after
+    val inheritedSizes = parent.map(_.fileSizes).getOrElse(Map.empty) ++
+      mergeParent.map(mp => loadCommit(mp).fileSizes).getOrElse(Map.empty)
+    val fileSizes = files.flatMap { f =>
+      inheritedSizes.get(f).orElse {
+        val p = root.resolve(f)
+        try if (Files.exists(p)) Some(Files.size(p)) else None
+        catch { case _: java.io.IOException => None }
+      }.map(f -> _)
+    }.toMap
     val c = Commit(id, parent.map(_.id), version, files, schema.json, message,
       System.currentTimeMillis(), stats, mergeParent, strStats, dvFiles, rowCounts,
-      nullStats)
+      nullStats, fileSizes)
     // pre-commit hooks (lakeFS Actions) see the full candidate and may throw;
     // running BEFORE the slot claim means an abort leaves no claimed slot to
     // sweep — only orphan data files the next vacuum reclaims.

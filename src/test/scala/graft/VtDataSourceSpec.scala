@@ -110,6 +110,27 @@ class VtDataSourceSpec extends SparkSpec {
     assert(readVt(root, "versionAsOf" -> "2").count() === 3L)
   }
 
+  test("publish records per-file sizes; VtFileIndex plans without filesystem stats") {
+    val vt = VersionedTable.create(Tables.scratch("vtds_sizes"))
+    val c = vt.write((1L to 100L).toDF("k").repartition(2), "main", "v0")
+    assert(c.fileSizes.keySet === c.files.toSet,
+      "every published file must get a recorded size")
+    c.files.foreach { f =>
+      assert(c.fileSizes(f) === java.nio.file.Files.size(vt.root.resolve(f)))
+    }
+    // append inherits the parent's sizes without re-stating
+    val c1 = vt.write((101L to 110L).toDF("k"), "main", "v1", mode = "append")
+    assert(c1.fileSizes.keySet === c1.files.toSet)
+    assert(c.files.forall(f => c1.fileSizes(f) == c.fileSizes(f)))
+    // planning trusts the log: an index over a commit whose (sized) file is
+    // absent on disk still lists — getFileStatus would throw here
+    val ghost = c.copy(files = Vector("data/ghost.parquet"),
+      fileSizes = Map("data/ghost.parquet" -> 777L))
+    val idx = new graft.sources.VtFileIndex(spark, vt, ghost)
+    assert(idx.listFiles(Nil, Nil).map(_.files.map(_.getLen).sum).sum === 777L)
+    assert(idx.sizeInBytes === 777L)
+  }
+
   test("format(\"vt\") tables register in the SQL catalog and read via pure SQL") {
     val vt = VersionedTable.create(Tables.scratch("vtds_sql"))
     vt.write((1L to 9L).toDF("k"), "main", "v0")
