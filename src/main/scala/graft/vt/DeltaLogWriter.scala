@@ -382,13 +382,16 @@ object DeltaLogWriter {
     * table exported for years. Referenced = every `cdc` path and `u`-flavor
     * DV descriptor across all PRESENT commit JSONs plus every checkpoint
     * (pruned-JSON tables keep their live DV references through the
-    * checkpoint, exactly like [[DeltaLogReader]]'s bootstrap). Only files
-    * older than `olderThanMs` are swept — a racing in-flight export writes
-    * its artifacts moments before its JSON, the same stale-horizon
-    * discipline [[VersionedTable.vacuum]] applies to claim slots. Sweeps
-    * only paths this writer's layout owns (top-level DV bins, parquet under
-    * `_change_data`, and `.cdc_tmp_` / `.checkpoint_tmp_` dirs).
-    * Returns the number of artifacts removed. */
+    * checkpoint — classic, multi-part, AND v2 manifests with their
+    * sidecars, exactly like [[DeltaLogReader]]'s bootstrap; a pruned-JSON
+    * table bootstrapping through a v2 checkpoint keeps its DV bins). Only
+    * files older than `olderThanMs` are swept — a racing in-flight export
+    * writes its artifacts moments before its JSON (and sidecars before
+    * their manifest), the same stale-horizon discipline
+    * [[VersionedTable.vacuum]] applies to claim slots. Sweeps only paths
+    * this writer's layout owns (top-level DV bins, parquet under
+    * `_change_data`, unreferenced `_sidecars` parquet, and `.cdc_tmp_` /
+    * `.checkpoint_tmp_` dirs). Returns the number of artifacts removed. */
   def vacuumExport(spark: SparkSession, tableRoot: String,
                    olderThanMs: Long = 3600000L): Int = {
     val root = java.nio.file.Paths.get(tableRoot).toAbsolutePath.normalize
@@ -422,9 +425,15 @@ object DeltaLogWriter {
         }
       }
     }
-    logFiles.filter(_.getFileName.toString.matches(
-        """\d{20}\.checkpoint(\.\d{10}\.\d{10})?\.parquet""")).foreach { cp =>
-      val df = spark.read.parquet(cp.toString)
+    val sidecarDir = logDir.resolve("_sidecars")
+    val referencedSidecars = scala.collection.mutable.Set.empty[Path]
+    def referenceSidecar(rel: String): Unit = {
+      val decoded = decode(rel)
+      val p = if (decoded.startsWith("/")) java.nio.file.Paths.get(decoded)
+        else sidecarDir.resolve(decoded)
+      referencedSidecars += p.toAbsolutePath.normalize
+    }
+    def collectDvRefs(df: org.apache.spark.sql.DataFrame): Unit = {
       val hasDv = df.columns.contains("add") &&
         df.schema("add").dataType.asInstanceOf[StructType]
           .fieldNames.contains("deletionVector")
@@ -433,6 +442,36 @@ object DeltaLogWriter {
           .where("storageType IS NOT NULL").collect()
           .foreach(r => referenceDv(r.getString(0), r.getString(1)))
     }
+    logFiles.filter(_.getFileName.toString.matches(
+        """\d{20}\.checkpoint(\.\d{10}\.\d{10})?\.parquet""")).foreach { cp =>
+      collectDvRefs(spark.read.parquet(cp.toString))
+    }
+    // V2 (sidecar) checkpoints: the manifest (parquet or json) pins its
+    // sidecars, and the sidecars' adds may pin u-flavor DV bins — a
+    // pruned-JSON table bootstraps ONLY through them, so skipping this walk
+    // would sweep live DV files (silent row resurrection on the next read)
+    logFiles.filter(_.getFileName.toString.matches(
+        """\d{20}\.checkpoint\.[0-9a-zA-Z-]+\.parquet""")).foreach { cp =>
+      val df = spark.read.parquet(cp.toString)
+      collectDvRefs(df)
+      if (df.columns.contains("sidecar"))
+        df.select("sidecar.path").where("path IS NOT NULL").collect()
+          .foreach(r => referenceSidecar(r.getString(0)))
+    }
+    logFiles.filter(_.getFileName.toString.matches(
+        """\d{20}\.checkpoint\.[0-9a-zA-Z-]+\.json""")).foreach { cp =>
+      Files.readAllLines(cp).asScala.filter(_.trim.nonEmpty).foreach { line =>
+        val action = mapper.readTree(line)
+        if (action.has("sidecar"))
+          referenceSidecar(action.get("sidecar").get("path").asText())
+        if (action.has("add") && action.get("add").has("deletionVector")) {
+          val d = action.get("add").get("deletionVector")
+          referenceDv(d.get("storageType").asText(), d.get("pathOrInlineDv").asText())
+        }
+      }
+    }
+    ls(sidecarDir).filter(_.getFileName.toString.endsWith(".parquet"))
+      .foreach(p => collectDvRefs(spark.read.parquet(p.toString)))
     val horizon = System.currentTimeMillis() - olderThanMs
     def stale(p: Path): Boolean =
       Files.getLastModifiedTime(p).toMillis < horizon
@@ -449,6 +488,14 @@ object DeltaLogWriter {
       if (name.endsWith(".parquet")) sweepFile(p)
       else if (name.startsWith(".cdc_tmp_") && stale(p)) {
         graft.Tables.deleteRecursively(p); removed += 1
+      }
+    }
+    // sidecars no live manifest references (a deleted or torn-and-retried
+    // v2 checkpoint's leavings) age out like any other export artifact;
+    // referenced ones are log state and stay
+    ls(sidecarDir).filter(_.getFileName.toString.endsWith(".parquet")).foreach { p =>
+      if (!referencedSidecars(p.toAbsolutePath.normalize) && stale(p)) {
+        Files.deleteIfExists(p); removed += 1
       }
     }
     ls(logDir).filter(p => p.getFileName.toString.startsWith(".checkpoint_tmp_"))

@@ -881,6 +881,48 @@ class DeltaLogSpec extends SparkSpec {
       vt.readVersion(spark, "main", 1).select("k").as[Long].collect().sorted)
   }
 
+  test("vacuumExport keeps DV bins pinned by V2 checkpoints and sweeps orphan sidecars") {
+    val vt = VersionedTable.create(Tables.scratch("delta_export_vacuum_v2"))
+    vt.write((1L to 8000L).map(k => (k, k % 3)).toDF("k", "m")
+      .repartitionByRange(2, col("k")), "main", "v0")
+    vt.deleteWithVectors(spark, "m = 0", "main") // .bin DVs in the live snapshot
+    vt.exportDeltaLog("main")
+    DeltaLogWriter.writeCheckpointV2(spark, vt.root.toString, 1, sidecarPartSize = 1)
+    val log = vt.root.resolve("_delta_log")
+    // prune ALL commit JSON: the v2 checkpoint + sidecars are now the only
+    // thing standing between the DV bins and the sweep
+    Files.delete(log.resolve(f"${0L}%020d.json"))
+    Files.delete(log.resolve(f"${1L}%020d.json"))
+    def dvBins = {
+      val st = Files.list(vt.root)
+      try st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.matches("""deletion_vector_.*\.bin""")).toVector
+      finally st.close()
+    }
+    val liveBins = dvBins
+    assert(liveBins.nonEmpty, "fixture needs file-based DVs")
+    val sidecarDir = log.resolve("_sidecars")
+    val liveSidecars = {
+      val st = Files.list(sidecarDir)
+      try st.iterator().asScala.map(_.getFileName.toString).toVector finally st.close()
+    }
+    // plant an orphan sidecar no manifest references
+    val orphan = sidecarDir.resolve("99999999-dead-beef-0000-000000000000.parquet")
+    Files.copy(sidecarDir.resolve(liveSidecars.head), orphan)
+    val past = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * graft.vt.VersionedTable.DefaultStaleSlotMs)
+    Files.setLastModifiedTime(orphan, past)
+    liveBins.foreach(b => Files.setLastModifiedTime(vt.root.resolve(b), past))
+    liveSidecars.foreach(s => Files.setLastModifiedTime(sidecarDir.resolve(s), past))
+    assert(vt.vacuumDeltaExport(spark) === 1, "exactly the orphan sidecar goes")
+    assert(!Files.exists(orphan))
+    assert(dvBins.toSet === liveBins.toSet,
+      "DV bins pinned only through the v2 checkpoint must survive the sweep")
+    // and the pruned table still replays in full through the v2 bootstrap
+    assert(DeltaLogReader.read(spark, vt.root.toString, None).count() ===
+      (1L to 8000L).count(_ % 3 != 0).toLong)
+  }
+
   test("vacuumExport reclaims unreferenced DV/cdc artifacts, keeps referenced ones, honors the age horizon") {
     import graft.vt.DeletionVectors
     val vt = VersionedTable.create(Tables.scratch("delta_export_vacuum"))
