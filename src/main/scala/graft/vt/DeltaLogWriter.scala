@@ -596,7 +596,8 @@ object DeltaLogWriter {
         snap.files.map { f =>
           val p = root.resolve(f.path)
           val (size, mtime) =
-            if (Files.exists(p)) (Files.size(p), Files.getLastModifiedTime(p).toMillis)
+            if (f.size >= 0L) (f.size, f.modTime)
+            else if (Files.exists(p)) (Files.size(p), Files.getLastModifiedTime(p).toMillis)
             else (0L, 0L)
           val dvRow = f.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
             d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull
@@ -679,8 +680,11 @@ object DeltaLogWriter {
     val wf = (baseWf ++ rf).distinct
     val addRows: Seq[Row] = snap.files.map { f =>
       val p = root.resolve(f.path)
+      // the snapshot's add actions carry size/mtime — stat only a
+      // malformed entry that lacks them
       val (size, mtime) =
-        if (Files.exists(p)) (Files.size(p), Files.getLastModifiedTime(p).toMillis)
+        if (f.size >= 0L) (f.size, f.modTime)
+        else if (Files.exists(p)) (Files.size(p), Files.getLastModifiedTime(p).toMillis)
         else (0L, 0L)
       val dvRow = f.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
         d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull
