@@ -40,18 +40,30 @@ final class DeltaChangesSource(spark: SparkSession, tableRoot: String,
 
   override val schema: StructType = DeltaChanges.feedSchema(spark, tableRoot)
 
+  /** Same floor/rebase discipline as [[VtChangeFeedSource]]: the
+    * startingVersion option governs FRESH streams only; the engine's first
+    * checkpointed signal rebases both bounds so a restart can never skip
+    * the commits that landed while the stream was down. */
+  @volatile private var floor: Long = startFloor
   @volatile private var lastEnd: Long = startFloor
+  @volatile private var synced: Boolean = false
+
+  private def syncEngine(v: Long): Unit = synchronized {
+    if (!synced) { synced = true; floor = math.min(floor, v); lastEnd = v }
+    else lastEnd = math.max(lastEnd, v)
+  }
 
   override def getOffset: Option[Offset] = {
     val head = DeltaLogReader.latestVersion(tableRoot)
     val end = math.max(lastEnd, math.min(head, lastEnd + maxVersionsPerBatch))
-    if (end <= startFloor || end < 0) None else Some(VersionOffset(end))
+    if (end <= floor || end < 0) None else Some(VersionOffset(end))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(_.json.toLong).getOrElse(startFloor)
+    start.foreach(s => syncEngine(s.json.toLong))
+    val from = start.map(_.json.toLong).getOrElse(floor)
     val to = end.json.toLong
-    lastEnd = math.max(lastEnd, to)
+    syncEngine(to)
     val batch =
       if (to <= from)
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
@@ -66,8 +78,7 @@ final class DeltaChangesSource(spark: SparkSession, tableRoot: String,
     StreamingShim.asStreaming(spark, batch)
   }
 
-  override def commit(end: Offset): Unit =
-    lastEnd = math.max(lastEnd, end.json.toLong)
+  override def commit(end: Offset): Unit = syncEngine(end.json.toLong)
 
   override def stop(): Unit = ()
 
@@ -110,11 +121,25 @@ final class DeltaChanges extends StreamSourceProvider with DataSourceRegister {
 }
 
 object DeltaChanges {
+  // stream start calls this twice back-to-back (sourceSchema, then the
+  // Source's schema val) — cache per root, invalidated by the head version,
+  // so one log replay serves both instead of two checkpoint bootstraps
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, StructType)]()
+
   /** Pinned feed columns: the LATEST snapshot schema plus Delta's three
     * CDF columns, in that order. */
-  private[sources] def feedSchema(spark: SparkSession, tableRoot: String): StructType =
-    DeltaLogReader.snapshot(tableRoot, None, Some(spark)).schema
-      .add("_change_type", StringType)
-      .add("_commit_version", LongType)
-      .add("_commit_timestamp", TimestampType)
+  private[sources] def feedSchema(spark: SparkSession, tableRoot: String): StructType = {
+    val head = DeltaLogReader.latestVersion(tableRoot)
+    val cached = schemaCache.get(tableRoot)
+    if (cached != null && cached._1 == head) cached._2
+    else {
+      val s = DeltaLogReader.snapshot(tableRoot, None, Some(spark)).schema
+        .add("_change_type", StringType)
+        .add("_commit_version", LongType)
+        .add("_commit_timestamp", TimestampType)
+      schemaCache.put(tableRoot, (head, s))
+      s
+    }
+  }
 }

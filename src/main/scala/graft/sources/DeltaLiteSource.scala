@@ -31,8 +31,15 @@ final class DeltaFileIndex(spark: SparkSession, root: java.nio.file.Path,
                            snap: DeltaSnapshot) extends FileIndex {
 
   private val mapper = new ObjectMapper()
+  // metaData.partitionColumns may carry either name form in a mapped
+  // table (the tolerance DeltaLogReader.readSnapshot applies): resolve
+  // each against logical OR physical field names
   private val partFields: Array[StructField] =
-    snap.partitionColumns.map(n => snap.schema(n)).toArray
+    snap.partitionColumns.map { n =>
+      snap.schema.fields.find(f => f.name == n || DeltaLogReader.physName(f) == n)
+        .getOrElse(throw new IllegalArgumentException(
+          s"partition column '$n' not found in the snapshot schema"))
+    }.toArray
   // logical -> on-disk key for stats/partitionValues lookups: PHYSICAL
   // names in column-mapped tables (id mode goes through this index; the
   // spec keys both maps by physical name), the logical name otherwise
@@ -81,24 +88,6 @@ final class DeltaFileIndex(spark: SparkSession, root: java.nio.file.Path,
         s"unsupported partition type $other reached DeltaFileIndex")
     }
 
-  /** Does this partition group survive the window? Raw values compare as
-    * double for numeric partition fields and as UTF-8 bytes for strings;
-    * a NULL partition value cannot satisfy a comparison window. */
-  private def partSurvives(pv: Map[String, String],
-                           w: StatsWindows.Window): Boolean = {
-    val (colName, win) = w
-    if (!snap.partitionColumns.contains(colName)) true
-    else pv.get(physKey(colName)).orElse(pv.get(colName)) match {
-      case None => true // no recorded value: conservative keep
-      case Some(raw) if raw == null || raw.isEmpty => false
-      case Some(raw) => win match {
-        case Left((lo, hi)) => raw.toDoubleOption.forall(d => d >= lo && d <= hi)
-        case Right((lo, hi)) => VersionedTable.utf8Cmp(raw, lo) >= 0 &&
-          VersionedTable.utf8Cmp(raw, hi) <= 0
-      }
-    }
-  }
-
   private def statsSurvive(stats: Option[String],
                            bounds: List[StatsWindows.Window]): Boolean =
     stats match {
@@ -121,17 +110,40 @@ final class DeltaFileIndex(spark: SparkSession, root: java.nio.file.Path,
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val partWins = partitionFilters.flatMap(StatsWindows.windows).toList
+    val partNames = partFields.map(_.name).toSet
     val dataWins = dataFilters.flatMap(StatsWindows.windows)
-      .filterNot { case (c, _) => snap.partitionColumns.contains(c) }.toList
-    statuses.groupBy(_._1.partitionValues).toSeq
-      .filter { case (pv, _) => partWins.forall(partSurvives(pv, _)) }
-      .map { case (pv, group) =>
-        val row = InternalRow.fromSeq(partFields.toSeq.map(f =>
-          partValue(f, pv.get(physKey(f.name)).orElse(pv.get(f.name)).orNull)))
-        PartitionDirectory(row,
-          group.filter(g => statsSurvive(g._1.stats, dataWins)).map(_._2).toArray)
+      .filterNot { case (c, _) => partNames(c) }.toList
+    val groups = statuses.groupBy(_._1.partitionValues).toSeq.map { case (pv, group) =>
+      val row = InternalRow.fromSeq(partFields.toSeq.map(f =>
+        partValue(f, pv.get(physKey(f.name)).orElse(pv.get(f.name)).orNull)))
+      (row, group)
+    }
+    // Partition pruning is EXACT evaluation, never a conservative window:
+    // FileSourceStrategy REMOVES partition-only filters from the post-scan
+    // filter set and trusts listFiles to enforce them (the contract
+    // PartitioningAwareFileIndex.prunePartitions and Delta's TahoeFileIndex
+    // honor) — a kept-but-non-matching group here would return WRONG ROWS,
+    // so every partition filter shape (!=, IN, OR, IS NULL, ...) is bound
+    // to the partition row and evaluated for real.
+    val pruned =
+      if (partitionFilters.isEmpty) groups
+      else {
+        import org.apache.spark.sql.catalyst.expressions.{And => CatAnd, AttributeReference, BoundReference, Predicate => CatPredicate}
+        val bound = partitionFilters.reduce(CatAnd(_, _)).transform {
+          case a: AttributeReference =>
+            val idx = partFields.indexWhere(_.name == a.name)
+            require(idx >= 0,
+              s"partition filter references non-partition column '${a.name}'")
+            BoundReference(idx, partFields(idx).dataType, nullable = true)
+        }
+        val pred = CatPredicate.createInterpreted(bound)
+        pred.initialize(0)
+        groups.filter { case (row, _) => pred.eval(row) }
       }
+    pruned.map { case (row, group) =>
+      PartitionDirectory(row,
+        group.filter(g => statsSurvive(g._1.stats, dataWins)).map(_._2).toArray)
+    }
   }
 
   override def inputFiles: Array[String] =
@@ -150,13 +162,13 @@ final class DeltaFileIndex(spark: SparkSession, root: java.nio.file.Path,
 final class DeltaLiteMorRelation(ctx: SQLContext, tableRoot: String,
                                  version: Option[Long]) extends BaseRelation with PrunedScan {
   override def sqlContext: SQLContext = ctx
-  override val schema: StructType =
-    DeltaLogReader.read(ctx.sparkSession, tableRoot, version).schema
-  override def buildScan(requiredColumns: Array[String]): RDD[Row] = {
-    val df = DeltaLogReader.read(ctx.sparkSession, tableRoot, version)
+  // ONE log replay per relation: the DataFrame is lazy and reusable, so
+  // schema resolution and every buildScan share the same snapshot plan
+  private lazy val df = DeltaLogReader.read(ctx.sparkSession, tableRoot, version)
+  override def schema: StructType = df.schema
+  override def buildScan(requiredColumns: Array[String]): RDD[Row] =
     (if (requiredColumns.isEmpty) df
      else df.select(requiredColumns.head, requiredColumns.tail: _*)).rdd
-  }
 }
 
 /** `spark.read.format("delta-lite")`: batch reads of a STOCK Delta table
@@ -215,5 +227,7 @@ object DeltaLite {
     DateType)
   private[sources] def partTypesSupported(snap: DeltaSnapshot): Boolean =
     snap.partitionColumns.forall(n =>
-      SupportedPartTypes.contains(snap.schema(n).dataType))
+      snap.schema.fields
+        .find(f => f.name == n || DeltaLogReader.physName(f) == n)
+        .exists(f => SupportedPartTypes.contains(f.dataType)))
 }

@@ -3,14 +3,6 @@ package graft.sources
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.types.StringType
 
-/** Shared predicate→window extraction for file-skipping [[org.apache.spark
-  * .sql.execution.datasources.FileIndex]] implementations
-  * ([[VtFileIndex]], [[DeltaFileIndex]]): turns a scan's conjuncts into
-  * per-column [lower, upper] windows a file's min/max stats can be tested
-  * against. Only shapes whose stats semantics are EXACT are recognized —
-  * anything else prunes nothing (conservative), and strict bounds relax
-  * to inclusive: stats pruning may KEEP extra files, never drop a
-  * matching one. */
 /** Path-option normalization shared by every provider: the SQL catalog
   * hands `OPTIONS (path '…')` back as a `file:` URI, the DataFrame API as
   * a bare filesystem path — both must address the same table. */
@@ -20,6 +12,17 @@ private[sources] object SourcePaths {
     else raw
 }
 
+/** Shared predicate→window extraction for file-skipping [[org.apache.spark
+  * .sql.execution.datasources.FileIndex]] implementations
+  * ([[VtFileIndex]], [[DeltaFileIndex]]): turns a scan's DATA-filter
+  * conjuncts into per-column [lower, upper] windows a file's min/max
+  * stats can be tested against. Only shapes whose stats semantics are
+  * EXACT are recognized — anything else prunes nothing (conservative),
+  * and strict bounds relax to inclusive: stats pruning may KEEP extra
+  * files, never drop a matching one. NEVER use these windows for
+  * PARTITION filters: Spark strips partition-only filters from the
+  * post-scan filter set, so partition pruning must evaluate the filter
+  * exactly ([[DeltaFileIndex.listFiles]]), not conservatively. */
 private[sources] object StatsWindows {
 
   /** `Left` = numeric window, `Right` = string window (compared as

@@ -58,9 +58,23 @@ final class VtChangeFeedSource(spark: SparkSession, vt: VersionedTable,
   override val schema: StructType =
     VtChangeFeed.feedSchema(vt, branch)
 
-  /** Newest offset the engine may process to — head capped by the rate
-    * limit. Monotone: never below what a previous batch already covered. */
+  /** `floor` is the exclusive lower bound below which nothing is served;
+    * `lastEnd` the newest offset the engine knows about (rate-limit base).
+    * Both start at the OPTION-derived startVersion, but the option governs
+    * FRESH streams only (Delta's rule): on restart the engine's first
+    * signal — a `commit` ack or a `getBatch` replay carrying checkpointed
+    * offsets — REBASES both onto the checkpoint via [[syncEngine]].
+    * Without the rebase, `startingVersion=latest` would re-pin the floor
+    * to the restart-time head and silently withhold every commit that
+    * landed while the stream was down. */
+  @volatile private var floor: Long = startVersion
   @volatile private var lastEnd: Long = startVersion
+  @volatile private var synced: Boolean = false
+
+  private def syncEngine(v: Long): Unit = synchronized {
+    if (!synced) { synced = true; floor = math.min(floor, v); lastEnd = v }
+    else lastEnd = math.max(lastEnd, v)
+  }
 
   private def headVersion: Long =
     vt.head(branch).map(_.version).getOrElse(
@@ -68,13 +82,14 @@ final class VtChangeFeedSource(spark: SparkSession, vt: VersionedTable,
 
   override def getOffset: Option[Offset] = {
     val end = math.max(lastEnd, math.min(headVersion, lastEnd + maxVersionsPerBatch))
-    if (end <= startVersion) None else Some(VersionOffset(end))
+    if (end <= floor) None else Some(VersionOffset(end))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(_.json.toLong).getOrElse(startVersion)
+    start.foreach(s => syncEngine(s.json.toLong))
+    val from = start.map(_.json.toLong).getOrElse(floor)
     val to = end.json.toLong
-    lastEnd = math.max(lastEnd, to)
+    syncEngine(to)
     val batch =
       if (to <= from) // replayed empty interval after restart — never throw here
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
@@ -86,8 +101,7 @@ final class VtChangeFeedSource(spark: SparkSession, vt: VersionedTable,
     org.apache.spark.sql.graft.StreamingShim.asStreaming(spark, batch)
   }
 
-  override def commit(end: Offset): Unit =
-    lastEnd = math.max(lastEnd, end.json.toLong)
+  override def commit(end: Offset): Unit = syncEngine(end.json.toLong)
 
   override def stop(): Unit = ()
 

@@ -594,15 +594,19 @@ object DeltaLogReader {
         .withMetadata(f.metadata)
         .putLong(ParquetFieldIdKey, f.metadata.getLong(ColIdKey))
         .build()
-      val dt = f.dataType match {
+      // recurse through EVERY container shape — a struct reachable only
+      // under a map value (or nested arrays) still needs its ids stamped,
+      // else Spark silently falls back to by-name matching against the
+      // files' physical names for exactly those fields
+      def walk(dt: DataType): DataType = dt match {
         case s: StructType => fieldIdSchema(s)
-        case a: org.apache.spark.sql.types.ArrayType => a.elementType match {
-          case s: StructType => a.copy(elementType = fieldIdSchema(s))
-          case _ => a
-        }
+        case a: org.apache.spark.sql.types.ArrayType =>
+          a.copy(elementType = walk(a.elementType))
+        case m: org.apache.spark.sql.types.MapType =>
+          m.copy(keyType = walk(m.keyType), valueType = walk(m.valueType))
         case other => other
       }
-      org.apache.spark.sql.types.StructField(f.name, dt, f.nullable, meta)
+      org.apache.spark.sql.types.StructField(f.name, walk(f.dataType), f.nullable, meta)
     })
 
   private def physType(dt: DataType): DataType = dt match {

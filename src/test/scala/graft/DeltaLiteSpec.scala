@@ -82,6 +82,21 @@ class DeltaLiteSpec extends SparkSpec {
     assert(q.select("k").as[Long].collect().sorted
       === (1L to 30L).filter(_ % 3 == 1).toArray)
     assert(scannedFiles(q) === 1, "partitionValues must prune groups at planning time")
+    // partition filters are EXACT evaluation, not conservative windows:
+    // Spark strips partition-only filters from the post-scan set, so a
+    // shape the window extractor cannot express (!=, IN, OR) must still
+    // filter correctly — a conservative keep here would RETURN wrong rows
+    val qNe = readDl(root.toString).where($"bucket" =!= 1)
+    assert(qNe.select("k").as[Long].collect().sorted
+      === (1L to 30L).filter(_ % 3 != 1).toArray,
+      "bucket != 1 must exclude the bucket=1 partition exactly")
+    val qIn = readDl(root.toString).where($"bucket".isin(0, 2))
+    assert(qIn.select("k").as[Long].collect().sorted
+      === (1L to 30L).filter(i => i % 3 == 0 || i % 3 == 2).toArray)
+    val qOr = readDl(root.toString).where($"bucket" === 0 || $"bucket" === 2)
+    assert(qOr.select("k").as[Long].collect().sorted
+      === (1L to 30L).filter(i => i % 3 != 1).toArray)
+    assert(scannedFiles(qIn) === 2, "IN must also PRUNE, not just stay correct")
   }
 
   test("DeltaFileIndex trusts the log's size/mtime: planning issues NO filesystem stats") {

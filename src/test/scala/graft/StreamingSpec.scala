@@ -604,22 +604,41 @@ class StreamingSpec extends SparkSpec {
     assert(delivered.map(_._2) === List(Set(1L), Set(2L), Set(3L)),
       s"one version per rate-limited batch, got $batches")
 
-    // startingVersion=latest: the three existing commits are skipped
-    val vt2root = vt.root.toString
-    val q2 = spark.readStream.format("vt-changes")
-      .option("path", vt2root).option("startingVersion", "latest").load()
-      .writeStream.format("memory").queryName("vtcf_latest")
-      .option("checkpointLocation", Tables.scratch("vtcf_latest_ckpt")).start()
+    // startingVersion=latest: the three existing commits are skipped — but
+    // ONLY for the fresh stream; a restart must resume from the CHECKPOINT,
+    // not re-pin the floor to the restart-time head
+    val got = scala.collection.mutable.ListBuffer.empty[(Int, Long)]
+    val ckpt = Tables.scratch("vtcf_latest_ckpt")
+    def startLatest() = spark.readStream.format("vt-changes")
+      .option("path", vt.root.toString).option("startingVersion", "latest").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= df.select("n_nationkey", "version")
+            .collect().map(r => (r.getInt(0), r.getLong(1)))
+        }
+        ()
+      }.start()
+    val q2 = startLatest()
     try {
       q2.processAllAvailable()
-      assert(spark.table("vtcf_latest").isEmpty,
-        "startingVersion=latest must skip pre-existing commits")
+      assert(got.isEmpty, "startingVersion=latest must skip pre-existing commits")
       vt.write(nation.where($"n_nationkey" === 8), "main", "v4", mode = "append")
       q2.processAllAvailable()
-      val got = spark.table("vtcf_latest").select("n_nationkey", "version")
-        .as[(Int, Long)].collect().toSet
-      assert(got === Set((8, 4L)))
+      assert(got.toSet === Set((8, 4L)))
     } finally q2.stop()
+    // commits land while the stream is DOWN: the restart must deliver them
+    // (before the floor-rebase fix, 'latest' re-resolved to the new head
+    // and versions 5..6 were silently withheld)
+    vt.write(nation.where($"n_nationkey" === 9), "main", "v5", mode = "append")
+    vt.write(nation.where($"n_nationkey" === 10), "main", "v6", mode = "append")
+    got.clear()
+    val q3 = startLatest()
+    try {
+      q3.processAllAvailable()
+      assert(got.toSet === Set((9, 5L), (10, 6L)),
+        s"restart must serve the checkpoint gap, got ${got.toSet}")
+    } finally q3.stop()
   }
 
   test("vt streaming sink: one commit per micro-batch, exactly-once across restart, Append only") {
