@@ -89,13 +89,21 @@ final class DeltaFileIndex(spark: SparkSession, root: java.nio.file.Path,
     }
 
   private def statsSurvive(stats: Option[String],
-                           bounds: List[StatsWindows.Window]): Boolean =
+                           bounds: List[StatsWindows.Window],
+                           nulls: List[(String, Boolean)]): Boolean =
     stats match {
       case None => true
       case Some(s) =>
         val node = mapper.readTree(s)
         val mins = node.path("minValues"); val maxs = node.path("maxValues")
-        bounds.forall {
+        val nullCounts = node.path("nullCount")
+        val numRecords = node.path("numRecords")
+        nulls.forall { case (colName, wantNull) =>
+          val nc = nullCounts.path(physKey(colName))
+          if (!nc.isNumber) true
+          else if (wantNull) nc.asLong() > 0L // IS NULL: skip zero-null files
+          else !numRecords.isNumber || nc.asLong() < numRecords.asLong()
+        } && bounds.forall {
           case (colName, Left((lo, hi))) =>
             val mn = mins.path(physKey(colName)); val mx = maxs.path(physKey(colName))
             !(mn.isNumber && mx.isNumber) ||
@@ -112,6 +120,8 @@ final class DeltaFileIndex(spark: SparkSession, root: java.nio.file.Path,
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val partNames = partFields.map(_.name).toSet
     val dataWins = dataFilters.flatMap(StatsWindows.windows)
+      .filterNot { case (c, _) => partNames(c) }.toList
+    val dataNulls = dataFilters.flatMap(StatsWindows.nullWindows)
       .filterNot { case (c, _) => partNames(c) }.toList
     val groups = statuses.groupBy(_._1.partitionValues).toSeq.map { case (pv, group) =>
       val row = InternalRow.fromSeq(partFields.toSeq.map(f =>
@@ -142,7 +152,8 @@ final class DeltaFileIndex(spark: SparkSession, root: java.nio.file.Path,
       }
     pruned.map { case (row, group) =>
       PartitionDirectory(row,
-        group.filter(g => statsSurvive(g._1.stats, dataWins)).map(_._2).toArray)
+        group.filter(g => statsSurvive(g._1.stats, dataWins, dataNulls))
+          .map(_._2).toArray)
     }
   }
 

@@ -34,6 +34,22 @@ private[sources] object StatsWindows {
   val MinString = ""
   val MaxString: String = new String(Character.toChars(0x10FFFF)) * 8
 
+  /** Null-presence demands extracted from the scan's conjuncts:
+    * `(column, true)` = the filter needs NULL rows (`IS NULL`),
+    * `(column, false)` = it needs NON-null rows (`IS NOT NULL`, which
+    * Catalyst inserts under almost every comparison). Files whose
+    * nullCount/rowCount stats prove the demand unsatisfiable are
+    * skippable; unknown stats keep the file (conservative — these are
+    * DATA filters, re-applied above the scan). */
+  def nullWindows(e: Expression): List[(String, Boolean)] = e match {
+    case And(l, r) => nullWindows(l) ++ nullWindows(r)
+    case org.apache.spark.sql.catalyst.expressions.IsNull(a: AttributeReference) =>
+      List(a.name -> true)
+    case org.apache.spark.sql.catalyst.expressions.IsNotNull(a: AttributeReference) =>
+      List(a.name -> false)
+    case _ => Nil
+  }
+
   def windows(e: Expression): List[Window] = {
     def num(l: Literal): Option[Double] = l.value match {
       case null => None

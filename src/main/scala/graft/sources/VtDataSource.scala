@@ -55,6 +55,7 @@ final class VtFileIndex(spark: SparkSession, vt: VersionedTable, commit: Commit)
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val bounds = dataFilters.flatMap(StatsWindows.windows).toList
+    val nulls = dataFilters.flatMap(StatsWindows.nullWindows).toList
     val kept = statuses.filter { case (rel, _) =>
       bounds.forall {
         case (colName, Left((lo, hi))) =>
@@ -68,6 +69,13 @@ final class VtFileIndex(spark: SparkSession, vt: VersionedTable, commit: Commit)
               VersionedTable.utf8Cmp(mn, hi) <= 0
             case None => true
           }
+      } && nulls.forall { case (colName, wantNull) =>
+        val nullCount = commit.nullStats.get(rel).flatMap(_.get(colName))
+        if (wantNull) !nullCount.contains(0L) // IS NULL: skip zero-null files
+        else (nullCount, commit.rowCounts.get(rel)) match {
+          case (Some(n), Some(rows)) => n < rows // IS NOT NULL: skip all-null files
+          case _ => true
+        }
       }
     }
     Seq(PartitionDirectory(InternalRow.empty, kept.map(_._2).toArray))

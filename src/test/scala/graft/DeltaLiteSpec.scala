@@ -32,12 +32,14 @@ class DeltaLiteSpec extends SparkSpec {
     scan.metrics("numFiles").value
   }
 
-  private def stats(n: Long, mins: Map[String, Any], maxs: Map[String, Any]): String = {
+  private def stats(n: Long, mins: Map[String, Any], maxs: Map[String, Any],
+                    nulls: Map[String, Long] = Map.empty): String = {
     def js(m: Map[String, Any]) = m.map {
       case (k, v: String) => s""""$k":"$v""""
       case (k, v) => s""""$k":$v"""
     }.mkString("{", ",", "}")
-    s"""{"numRecords":$n,"minValues":${js(mins)},"maxValues":${js(maxs)},"nullCount":{}}"""
+    s"""{"numRecords":$n,"minValues":${js(mins)},"maxValues":${js(maxs)},""" +
+      s""""nullCount":${js(nulls)}}"""
   }
 
   test("delta-lite prunes files from add-action stats at planning time; pushdown intact") {
@@ -61,6 +63,26 @@ class DeltaLiteSpec extends SparkSpec {
       "parquet pushdown must survive the custom FileIndex")
     // unbounded predicates prune nothing but stay correct
     assert(readDl(root.toString).where(length($"w") === 3).count() === 30L)
+  }
+
+  test("delta-lite prunes files from nullCount stats (IS NULL / IS NOT NULL)") {
+    val root = freshRoot("nulls")
+    val allNull = (1L to 10L).map(i => (i, null: String)).toDF("k", "w")
+    val noNull = (11L to 20L).map(i => (i, s"w$i")).toDF("k", "w")
+    val (fa, sa) = F.writeDataFile(root, allNull, "pa")
+    val (fb, sb) = F.writeDataFile(root, noNull, "pb")
+    F.writeCommit(root, 0, Seq(F.protocolLine(),
+      F.metaDataLine(allNull.schema.json, Nil),
+      F.addLine(fa, sa, stats = Some(stats(10,
+        Map("k" -> 1L), Map("k" -> 10L), nulls = Map("w" -> 10L, "k" -> 0L)))),
+      F.addLine(fb, sb, stats = Some(stats(10,
+        Map("k" -> 11L), Map("k" -> 20L), nulls = Map("w" -> 0L, "k" -> 0L))))))
+    val qNotNull = readDl(root.toString).where($"w".isNotNull)
+    assert(qNotNull.select("k").as[Long].collect().sorted === (11L to 20L).toArray)
+    assert(scannedFiles(qNotNull) === 1, "the all-null file must be skipped")
+    val qNull = readDl(root.toString).where($"w".isNull)
+    assert(qNull.select("k").as[Long].collect().sorted === (1L to 10L).toArray)
+    assert(scannedFiles(qNull) === 1, "the zero-null file must be skipped")
   }
 
   test("delta-lite reconstitutes partition columns and prunes partitions at planning time") {

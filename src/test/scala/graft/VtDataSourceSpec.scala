@@ -110,6 +110,27 @@ class VtDataSourceSpec extends SparkSpec {
     assert(readVt(root, "versionAsOf" -> "2").count() === 3L)
   }
 
+  test("format(\"vt\") prunes files from null-count stats (IS NULL / IS NOT NULL)") {
+    val vt = VersionedTable.create(Tables.scratch("vtds_nulls"))
+    val allNull = (1L to 10L).map(i => (i, null: String)).toDF("k", "v").coalesce(1)
+    val noNull = (11L to 20L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1)
+    vt.write(allNull, "main", "A", statsCols = Seq("k", "v"))
+    vt.write(noNull, "main", "B", mode = "append", statsCols = Seq("k", "v"))
+    val root = vt.root.toString
+    def scanned(q: DataFrame): Long = {
+      q.collect()
+      q.queryExecution.executedPlan.collectFirst {
+        case s: FileSourceScanExec => s
+      }.get.metrics("numFiles").value
+    }
+    val qNotNull = readVt(root).where($"v".isNotNull)
+    assert(qNotNull.select("k").as[Long].collect().sorted === (11L to 20L).toArray)
+    assert(scanned(qNotNull) === 1, "the all-null file must be skipped")
+    val qNull = readVt(root).where($"v".isNull)
+    assert(qNull.select("k").as[Long].collect().sorted === (1L to 10L).toArray)
+    assert(scanned(qNull) === 1, "the zero-null file must be skipped")
+  }
+
   test("publish records per-file sizes; VtFileIndex plans without filesystem stats") {
     val vt = VersionedTable.create(Tables.scratch("vtds_sizes"))
     val c = vt.write((1L to 100L).toDF("k").repartition(2), "main", "v0")
