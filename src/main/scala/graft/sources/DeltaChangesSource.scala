@@ -40,30 +40,19 @@ final class DeltaChangesSource(spark: SparkSession, tableRoot: String,
 
   override val schema: StructType = DeltaChanges.feedSchema(spark, tableRoot)
 
-  /** Same floor/rebase discipline as [[VtChangeFeedSource]]: the
-    * startingVersion option governs FRESH streams only; the engine's first
-    * checkpointed signal rebases both bounds so a restart can never skip
-    * the commits that landed while the stream was down. */
-  @volatile private var floor: Long = startFloor
-  @volatile private var lastEnd: Long = startFloor
-  @volatile private var synced: Boolean = false
+  // floor / rate-limit / restart-rebase discipline shared with
+  // VtChangeFeedSource — see [[OffsetFloor]]
+  private val offsets = new OffsetFloor(startFloor)
 
-  private def syncEngine(v: Long): Unit = synchronized {
-    if (!synced) { synced = true; floor = math.min(floor, v); lastEnd = v }
-    else lastEnd = math.max(lastEnd, v)
-  }
-
-  override def getOffset: Option[Offset] = {
-    val head = DeltaLogReader.latestVersion(tableRoot)
-    val end = math.max(lastEnd, math.min(head, lastEnd + maxVersionsPerBatch))
-    if (end <= floor || end < 0) None else Some(VersionOffset(end))
-  }
+  override def getOffset: Option[Offset] =
+    offsets.nextEnd(DeltaLogReader.latestVersion(tableRoot), maxVersionsPerBatch)
+      .filter(_ >= 0).map(VersionOffset(_))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    start.foreach(s => syncEngine(s.json.toLong))
-    val from = start.map(_.json.toLong).getOrElse(floor)
+    start.foreach(s => offsets.sync(s.json.toLong))
+    val from = start.map(_.json.toLong).getOrElse(offsets.floor)
     val to = end.json.toLong
-    syncEngine(to)
+    offsets.sync(to)
     val batch =
       if (to <= from)
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
@@ -78,7 +67,7 @@ final class DeltaChangesSource(spark: SparkSession, tableRoot: String,
     StreamingShim.asStreaming(spark, batch)
   }
 
-  override def commit(end: Offset): Unit = syncEngine(end.json.toLong)
+  override def commit(end: Offset): Unit = offsets.sync(end.json.toLong)
 
   override def stop(): Unit = ()
 
@@ -92,8 +81,7 @@ final class DeltaChanges extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "delta-cdf"
 
   private def path(params: Map[String, String]): String =
-    SourcePaths.local(params.getOrElse("path", throw new IllegalArgumentException(
-      "delta-cdf needs option 'path' (the Delta table root)")))
+    SourcePaths.required(params, "delta-cdf", "Delta table root")
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String,

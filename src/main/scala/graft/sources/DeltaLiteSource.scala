@@ -1,6 +1,6 @@
 package graft.sources
 
-import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileStatus, Path => HPath}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Row, SQLContext, SparkSession}
@@ -199,9 +199,7 @@ final class DeltaLite extends RelationProvider with DataSourceRegister {
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
-    val path = SourcePaths.local(parameters.getOrElse("path",
-      throw new IllegalArgumentException(
-        "delta-lite needs option 'path' (the Delta table root)")))
+    val path = SourcePaths.required(parameters, "delta-lite", "Delta table root")
     val vAsOf = parameters.get("versionAsOf").map(_.toLong)
     val tAsOf = parameters.get("timestampAsOf").map(_.toLong)
     require(vAsOf.isEmpty || tAsOf.isEmpty,

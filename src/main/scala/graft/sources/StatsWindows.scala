@@ -10,6 +10,12 @@ private[sources] object SourcePaths {
   def local(raw: String): String =
     if (raw.startsWith("file:")) java.nio.file.Paths.get(java.net.URI.create(raw)).toString
     else raw
+
+  /** The mandatory, normalized `path` option — one error message shape
+    * across every provider. */
+  def required(params: Map[String, String], format: String, what: String): String =
+    local(params.getOrElse("path", throw new IllegalArgumentException(
+      s"$format needs option 'path' (the $what)")))
 }
 
 /** Shared predicate→window extraction for file-skipping [[org.apache.spark

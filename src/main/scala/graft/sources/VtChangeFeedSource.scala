@@ -15,6 +15,37 @@ final case class VersionOffset(version: Long) extends Offset {
   override def json: String = version.toString
 }
 
+/** Shared floor / rate-limit / restart-rebase bookkeeping for the
+  * version-offset streaming sources ([[VtChangeFeedSource]],
+  * [[DeltaChangesSource]]). `floor` is the exclusive lower bound below
+  * which nothing is served; `lastEnd` the newest offset the engine knows
+  * about (the rate-limit base). Both start at the OPTION-derived value,
+  * but the option governs FRESH streams only (Delta's rule): on restart
+  * the engine's first signal — a `commit` ack or a `getBatch` replay
+  * carrying checkpointed offsets — REBASES both onto the checkpoint via
+  * [[sync]]. Without the rebase, `startingVersion=latest` would re-pin
+  * the floor to the restart-time head and silently withhold every commit
+  * that landed while the stream was down. */
+private[sources] final class OffsetFloor(start: Long) {
+  @volatile private var floorV: Long = start
+  @volatile private var lastEnd: Long = start
+  @volatile private var synced: Boolean = false
+
+  def sync(v: Long): Unit = synchronized {
+    if (!synced) { synced = true; floorV = math.min(floorV, v); lastEnd = v }
+    else lastEnd = math.max(lastEnd, v)
+  }
+
+  def floor: Long = floorV
+
+  /** Newest offset the engine may process to — `head` capped by the rate
+    * limit; None while nothing past the floor exists. */
+  def nextEnd(head: Long, maxPerBatch: Int): Option[Long] = {
+    val end = math.max(lastEnd, math.min(head, lastEnd + maxPerBatch))
+    if (end <= floorV) None else Some(end)
+  }
+}
+
 /** A GENUINE Structured Streaming source over a versioned table's change
   * feed: `spark.readStream.format("vt-changes").option("path", root).load()`
   * tails the branch's commit log as micro-batches, one offset per commit
@@ -58,38 +89,20 @@ final class VtChangeFeedSource(spark: SparkSession, vt: VersionedTable,
   override val schema: StructType =
     VtChangeFeed.feedSchema(vt, branch)
 
-  /** `floor` is the exclusive lower bound below which nothing is served;
-    * `lastEnd` the newest offset the engine knows about (rate-limit base).
-    * Both start at the OPTION-derived startVersion, but the option governs
-    * FRESH streams only (Delta's rule): on restart the engine's first
-    * signal — a `commit` ack or a `getBatch` replay carrying checkpointed
-    * offsets — REBASES both onto the checkpoint via [[syncEngine]].
-    * Without the rebase, `startingVersion=latest` would re-pin the floor
-    * to the restart-time head and silently withhold every commit that
-    * landed while the stream was down. */
-  @volatile private var floor: Long = startVersion
-  @volatile private var lastEnd: Long = startVersion
-  @volatile private var synced: Boolean = false
-
-  private def syncEngine(v: Long): Unit = synchronized {
-    if (!synced) { synced = true; floor = math.min(floor, v); lastEnd = v }
-    else lastEnd = math.max(lastEnd, v)
-  }
+  private val offsets = new OffsetFloor(startVersion)
 
   private def headVersion: Long =
     vt.head(branch).map(_.version).getOrElse(
       throw new IllegalArgumentException(s"no such branch: $branch"))
 
-  override def getOffset: Option[Offset] = {
-    val end = math.max(lastEnd, math.min(headVersion, lastEnd + maxVersionsPerBatch))
-    if (end <= floor) None else Some(VersionOffset(end))
-  }
+  override def getOffset: Option[Offset] =
+    offsets.nextEnd(headVersion, maxVersionsPerBatch).map(VersionOffset(_))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    start.foreach(s => syncEngine(s.json.toLong))
-    val from = start.map(_.json.toLong).getOrElse(floor)
+    start.foreach(s => offsets.sync(s.json.toLong))
+    val from = start.map(_.json.toLong).getOrElse(offsets.floor)
     val to = end.json.toLong
-    syncEngine(to)
+    offsets.sync(to)
     val batch =
       if (to <= from) // replayed empty interval after restart — never throw here
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
@@ -101,7 +114,7 @@ final class VtChangeFeedSource(spark: SparkSession, vt: VersionedTable,
     org.apache.spark.sql.graft.StreamingShim.asStreaming(spark, batch)
   }
 
-  override def commit(end: Offset): Unit = syncEngine(end.json.toLong)
+  override def commit(end: Offset): Unit = offsets.sync(end.json.toLong)
 
   override def stop(): Unit = ()
 
@@ -118,9 +131,7 @@ final class VtChangeFeed extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "vt-changes"
 
   private def open(params: Map[String, String]): (VersionedTable, String) = {
-    val path = SourcePaths.local(params.getOrElse("path",
-      throw new IllegalArgumentException(
-        "vt-changes needs option 'path' (the versioned table root)")))
+    val path = SourcePaths.required(params, "vt-changes", "versioned table root")
     (VersionedTable.open(path), params.getOrElse("branch", "main"))
   }
 

@@ -11,7 +11,7 @@ import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, PrunedScan, RelationProvider, StreamSinkProvider}
 import org.apache.spark.sql.streaming.OutputMode
-import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, StructType}
 
 import graft.vt.{Commit, VersionedTable}
 
@@ -123,6 +123,13 @@ final class VtDataSource extends RelationProvider with CreatableRelationProvider
 
   override def shortName(): String = "vt"
 
+  private def openTable(parameters: Map[String, String])
+      : (String, VersionedTable, String) = {
+    val path = SourcePaths.required(parameters, "format(\"vt\")",
+      "versioned table root")
+    (path, VersionedTable.open(path), parameters.getOrElse("branch", "main"))
+  }
+
   /** Batch WRITE — `df.write.format("vt").mode(...).save()`: one commit
     * per save. SaveMode maps onto commit semantics: Append/Overwrite are
     * the two native write modes; ErrorIfExists commits only a FIRST
@@ -132,11 +139,7 @@ final class VtDataSource extends RelationProvider with CreatableRelationProvider
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
                               parameters: Map[String, String],
                               data: org.apache.spark.sql.DataFrame): BaseRelation = {
-    val path = SourcePaths.local(parameters.getOrElse("path",
-      throw new IllegalArgumentException(
-        "format(\"vt\") needs option 'path' (the versioned table root)")))
-    val vt = VersionedTable.open(path)
-    val branch = parameters.getOrElse("branch", "main")
+    val (path, vt, branch) = openTable(parameters)
     val message = parameters.getOrElse("message", s"format(\"vt\") $mode save")
     val hasHead = vt.head(branch).isDefined
     mode match {
@@ -153,11 +156,7 @@ final class VtDataSource extends RelationProvider with CreatableRelationProvider
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
-    val path = SourcePaths.local(parameters.getOrElse("path",
-      throw new IllegalArgumentException(
-        "format(\"vt\") needs option 'path' (the versioned table root)")))
-    val vt = VersionedTable.open(path)
-    val branch = parameters.getOrElse("branch", "main")
+    val (path, vt, branch) = openTable(parameters)
     val commit = vt.resolveRead(branch,
       versionAsOf = parameters.get("versionAsOf").map(_.toLong),
       timestampAsOf = parameters.get("timestampAsOf").map(_.toLong))
@@ -181,9 +180,7 @@ final class VtDataSource extends RelationProvider with CreatableRelationProvider
     require(partitionColumns.isEmpty,
       "format(\"vt\") does not support partitionBy — versioned tables " +
         "organize data by commit, not by directory partition")
-    val path = SourcePaths.local(parameters.getOrElse("path",
-      throw new IllegalArgumentException(
-        "format(\"vt\") needs option 'path' (the versioned table root)")))
-    new VtSink(VersionedTable.open(path), parameters.getOrElse("branch", "main"))
+    val (_, vt, branch) = openTable(parameters)
+    new VtSink(vt, branch)
   }
 }

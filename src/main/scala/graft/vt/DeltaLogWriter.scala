@@ -505,6 +505,24 @@ object DeltaLogWriter {
 
   // ---- checkpoints --------------------------------------------------------
 
+  /** Write `rows` as exactly ONE parquet file at `dest` (write to a tmp
+    * dir, move the single part into place) — the shared primitive of the
+    * classic and V2 checkpoint writers. */
+  private def writeSingleParquet(spark: SparkSession, rows: Seq[Row],
+                                 schema: StructType, tmpDir: Path,
+                                 dest: Path): Unit = {
+    val df = spark.createDataFrame(rows.asJava, schema)
+    df.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+    val part = {
+      val st = Files.list(tmpDir)
+      try st.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+      finally st.close()
+    }
+    Files.createDirectories(dest.getParent)
+    Files.move(part, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    graft.Tables.deleteRecursively(tmpDir)
+  }
+
   /** Classic single-file checkpoint schema (PROTOCOL.md "Checkpoints"): one
     * nullable struct column per action kind; each checkpoint row carries
     * exactly one non-null action. Minimal field set our reader and
@@ -604,18 +622,9 @@ object DeltaLogWriter {
           Row(Row(DeltaLogWriter.encodePath(f.path), f.partitionValues, size, mtime,
             false, f.stats.orNull, dvRow), null, null)
         }
-    def writeOne(slice: Seq[Row], dest: Path): Unit = {
-      val df = spark.createDataFrame(slice.asJava, checkpointSchema)
-      val tmp = logDir.resolve(s".checkpoint_tmp_$version")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = {
-        val st = Files.list(tmp)
-        try st.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
-        finally st.close()
-      }
-      Files.move(part, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      graft.Tables.deleteRecursively(tmp)
-    }
+    def writeOne(slice: Seq[Row], dest: Path): Unit =
+      writeSingleParquet(spark, slice, checkpointSchema,
+        logDir.resolve(s".checkpoint_tmp_$version"), dest)
     partSize match {
       case None =>
         writeOne(rows, logDir.resolve(f"$version%020d.checkpoint.parquet"))
@@ -691,19 +700,9 @@ object DeltaLogWriter {
       Row(Row(DeltaLogWriter.encodePath(f.path), f.partitionValues, size, mtime,
         false, f.stats.orNull, dvRow))
     }
-    def writeOne(slice: Seq[Row], schema: StructType, dest: Path): Unit = {
-      val df = spark.createDataFrame(slice.asJava, schema)
-      val tmp = logDir.resolve(s".checkpoint_tmp_v2_$version")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = {
-        val st = Files.list(tmp)
-        try st.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
-        finally st.close()
-      }
-      Files.createDirectories(dest.getParent)
-      Files.move(part, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      graft.Tables.deleteRecursively(tmp)
-    }
+    def writeOne(slice: Seq[Row], schema: StructType, dest: Path): Unit =
+      writeSingleParquet(spark, slice, schema,
+        logDir.resolve(s".checkpoint_tmp_v2_$version"), dest)
     val sidecarDir = logDir.resolve("_sidecars")
     val sidecarNames = addRows.grouped(sidecarPartSize).toVector.map { g =>
       val name = s"${java.util.UUID.randomUUID()}.parquet"
