@@ -1064,6 +1064,33 @@ object Versioned {
       .select("n_nationkey", "n_name").orderBy("n_nationkey")
   }
 
+  /** PARTITIONED foreign-Delta read through the batch relation: partition
+    * columns reconstitute from `partitionValues` and partition filters are
+    * evaluated EXACTLY during planning (Spark strips partition-only
+    * filters from the post-scan set — the `!=` shape here is precisely the
+    * one a conservative window-pruner would get WRONG, kept as a standing
+    * regression row). */
+  val qVtDeltaLitePart: QueryDef = q("q_vt_delta_lite_part")(
+    """SELECT n_nationkey, n_regionkey FROM nation
+      |WHERE n_regionkey <> 0 ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+    import graft.vt.{DeltaLogFixture => F}
+    val root = java.nio.file.Paths.get(Tables.scratch("vt_delta_lite_part"))
+    java.nio.file.Files.createDirectories(root)
+    val nation = Tables.nation(s, d).select("n_nationkey", "n_regionkey")
+    val regions = nation.select("n_regionkey").distinct()
+      .collect().map(_.getInt(0)).sorted // bounded: 5 regions
+    val adds = regions.toSeq.map { r =>
+      val (f, sz) = F.writeDataFile(root,
+        nation.where(col("n_regionkey") === r).drop("n_regionkey"), s"r$r")
+      F.addLine(f, sz, Map("n_regionkey" -> r.toString))
+    }
+    F.writeCommit(root, 0, Seq(F.protocolLine(),
+      F.metaDataLine(nation.schema.json, Seq("n_regionkey"))) ++ adds)
+    s.read.format("delta-lite").option("path", root.toString).load()
+      .where(col("n_regionkey") =!= 0)
+      .select("n_nationkey", "n_regionkey").orderBy("n_nationkey")
+  }
+
   /** SCALE-BEARING Delta export (r16, benched): the full interop pipeline on
     * the sf-scaled orders table — versioned load + append (8 files), a 30%
     * MERGE-ON-READ delete (deletion vectors well above the inline
@@ -1172,5 +1199,5 @@ object Versioned {
     qVtDeltaDvRoundtrip, qVtDeltaCmap, qVtDeltaCmapId, qVtDeltaSkip, qVtDeltaCdf,
     qVtDeltaReplicate, qVtDeltaTail, qVtDeltaExportScale, qVtDeltaSkipStr,
     qVtStreamSource, qVtStreamSink, qVtDeltaStream, qVtFormatRead,
-    qVtDeltaLiteRead)
+    qVtDeltaLiteRead, qVtDeltaLitePart)
 }
