@@ -183,12 +183,23 @@ class DeltaLiteSpec extends SparkSpec {
     val df = (1L to 8L).map(i => (i, s"r$i")).toDF("k", "v")
     val (fa, sa) = F.writeDataFile(root, df, "pa")
     F.writeCommit(root, 0, Seq(F.protocolLine(), F.metaDataLine(df.schema.json, Nil),
-      F.addLine(fa, sa)))
+      F.addLine(fa, sa), F.commitInfoLine(1000L)))
     // v1 MOR-deletes k in {7, 8} via an inline deletion vector
     val dv = DeletionVectors.inlineDescriptor(Seq(6L, 7L)) // 0-based row positions
-    F.writeCommit(root, 1, Seq(F.removeLine(fa), F.addLineWithDv(fa, sa, dv)))
+    F.writeCommit(root, 1, Seq(F.removeLine(fa), F.addLineWithDv(fa, sa, dv),
+      F.commitInfoLine(2000L)))
     assert(readDl(root.toString, "versionAsOf" -> "0")
       .select("k").as[Long].collect().sorted === (1L to 8L).toArray)
+    // timestampAsOf resolves through the commitInfo timestamps: between
+    // the commits lands on v0, at v1's stamp on the head
+    assert(readDl(root.toString, "timestampAsOf" -> "1500")
+      .select("k").as[Long].collect().sorted === (1L to 8L).toArray)
+    assert(readDl(root.toString, "timestampAsOf" -> "2000")
+      .select("k").as[Long].collect().sorted === (1L to 6L).toArray)
+    // versionAsOf + timestampAsOf together are refused
+    val eBoth = intercept[IllegalArgumentException](
+      readDl(root.toString, "versionAsOf" -> "0", "timestampAsOf" -> "1"))
+    assert(eBoth.getMessage.contains("mutually exclusive"))
     val head = readDl(root.toString)
     assert(head.select("k").as[Long].collect().sorted === (1L to 6L).toArray,
       "DV-deleted rows must not resurrect through delta-lite")

@@ -639,6 +639,28 @@ class StreamingSpec extends SparkSpec {
       assert(got.toSet === Set((9, 5L), (10, 6L)),
         s"restart must serve the checkpoint gap, got ${got.toSet}")
     } finally q3.stop()
+    // and the rate limit still applies to the catch-up: two more commits
+    // land while down, a max=1 restart drains them one version per batch
+    vt.write(nation.where($"n_nationkey" === 11), "main", "v7", mode = "append")
+    vt.write(nation.where($"n_nationkey" === 12), "main", "v8", mode = "append")
+    val catchup = scala.collection.mutable.ListBuffer.empty[Set[Long]]
+    val q4 = spark.readStream.format("vt-changes")
+      .option("path", vt.root.toString).option("startingVersion", "latest")
+      .option("maxVersionsPerBatch", "1").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        catchup.synchronized {
+          val vs = df.select("version")
+            .collect().map(_.getLong(0)).toSet
+          if (vs.nonEmpty) catchup += vs
+        }
+        ()
+      }.start()
+    try {
+      q4.processAllAvailable()
+      assert(catchup.toList === List(Set(7L), Set(8L)),
+        s"catch-up must respect maxVersionsPerBatch, got $catchup")
+    } finally q4.stop()
   }
 
   test("vt streaming sink: one commit per micro-batch, exactly-once across restart, Append only") {
