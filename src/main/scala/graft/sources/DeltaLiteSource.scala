@@ -3,17 +3,111 @@ package graft.sources
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileStatus, Path => HPath}
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, PrunedScan, RelationProvider}
+import org.apache.spark.sql.graft.SessionShim
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.vt.{DeltaLogReader, VersionedTable}
-import graft.vt.DeltaLogReader.DeltaSnapshot
+import graft.vt.DeltaLogReader.{DeltaSnapshot, FileEntry}
+
+/** Per-file survival of a FOREIGN Delta snapshot's metadata against a set
+  * of [[StatsWindows]] — shared by [[DeltaFileIndex]] (data-skipping
+  * during native scan planning) and [[DeltaLiteMorRelation]] (the same
+  * skipping under the fallback, where windows on PARTITION columns test
+  * the add action's `partitionValues` instead of stats — conservative is
+  * safe there because the fallback re-applies every pushed filter as an
+  * ordinary row predicate). Stats keys are PHYSICAL names in
+  * column-mapped tables; both name forms are consulted. Files without
+  * stats for a bounded column are conservatively kept. */
+private[sources] final class DeltaStatsTester(schema: StructType,
+                                              partitionColumns: Seq[String]) {
+  private val mapper = new ObjectMapper()
+  // logical -> on-disk key for stats/partitionValues lookups: PHYSICAL
+  // names in column-mapped tables, the logical name otherwise
+  private val physByLogical: Map[String, String] =
+    schema.fields.map(f => f.name -> DeltaLogReader.physName(f)).toMap
+  def physKey(logical: String): String = physByLogical.getOrElse(logical, logical)
+
+  /** Partition columns by their LOGICAL names (metaData.partitionColumns
+    * may carry either form in a mapped table). */
+  val partNames: Set[String] = schema.fields
+    .filter(f => partitionColumns.contains(f.name) ||
+      partitionColumns.contains(DeltaLogReader.physName(f)))
+    .map(_.name).toSet
+
+  def statsSurvive(stats: Option[String],
+                   bounds: List[StatsWindows.Window],
+                   nulls: List[(String, Boolean)]): Boolean =
+    stats match {
+      case None => true
+      case Some(s) =>
+        val node = mapper.readTree(s)
+        val mins = node.path("minValues"); val maxs = node.path("maxValues")
+        val nullCounts = node.path("nullCount")
+        val numRecords = node.path("numRecords")
+        nulls.forall { case (colName, wantNull) =>
+          val nc = nullCounts.path(physKey(colName))
+          if (!nc.isNumber) true
+          else if (wantNull) nc.asLong() > 0L // IS NULL: skip zero-null files
+          else !numRecords.isNumber || nc.asLong() < numRecords.asLong()
+        } && bounds.forall {
+          case (colName, Left(ranges)) =>
+            val mn = mins.path(physKey(colName)); val mx = maxs.path(physKey(colName))
+            !(mn.isNumber && mx.isNumber) ||
+              StatsWindows.numSurvives(mn.asDouble(), mx.asDouble(), ranges)
+          case (colName, Right(ranges)) =>
+            val mn = mins.path(physKey(colName)); val mx = maxs.path(physKey(colName))
+            !(mn.isTextual && mx.isTextual) ||
+              StatsWindows.strSurvives(mn.asText(), mx.asText(), ranges)(
+                VersionedTable.utf8Cmp)
+        }
+    }
+
+  /** Conservative window test against a file's single partition VALUE:
+    * every window-producing shape is a comparison (never true of NULL),
+    * so a null/empty partition value fails bounds windows outright, and a
+    * value that parses tests point-exactly. Unparseable values (e.g. a
+    * date string under a numeric window) keep the file. */
+  private def partSurvives(pv: Map[String, String],
+                           bounds: List[StatsWindows.Window],
+                           nulls: List[(String, Boolean)]): Boolean = {
+    def raw(c: String): Option[String] = pv.get(physKey(c)).orElse(pv.get(c))
+    bounds.forall { case (c, ranges) =>
+      raw(c) match {
+        case None => true
+        case Some(v) if v == null || v.isEmpty => false
+        case Some(v) => ranges match {
+          case Left(rs) => v.toDoubleOption.forall(d => StatsWindows.numSurvives(d, d, rs))
+          case Right(rs) => StatsWindows.strSurvives(v, v, rs)(VersionedTable.utf8Cmp)
+        }
+      }
+    } && nulls.forall { case (c, wantNull) =>
+      raw(c) match {
+        case None => true
+        case Some(v) =>
+          val isNull = v == null || v.isEmpty
+          if (wantNull) isNull else !isNull
+      }
+    }
+  }
+
+  /** The full per-file test for the fallback relation: partition-column
+    * windows against `partitionValues`, the rest against `stats`. */
+  def fileSurvives(fe: FileEntry,
+                   bounds: List[StatsWindows.Window],
+                   nulls: List[(String, Boolean)]): Boolean = {
+    val (partB, dataB) = bounds.partition(w => partNames(w._1))
+    val (partN, dataN) = nulls.partition(w => partNames(w._1))
+    partSurvives(fe.partitionValues, partB, partN) &&
+      statsSurvive(fe.stats, dataB, dataN)
+  }
+}
 
 /** [[FileIndex]] over a FOREIGN Delta table's snapshot: the log's live
   * file set with BOTH pruning layers folded into scan planning —
@@ -30,7 +124,7 @@ import graft.vt.DeltaLogReader.DeltaSnapshot
 final class DeltaFileIndex(spark: SparkSession, root: java.nio.file.Path,
                            snap: DeltaSnapshot) extends FileIndex {
 
-  private val mapper = new ObjectMapper()
+  private val tester = new DeltaStatsTester(snap.schema, snap.partitionColumns)
   // metaData.partitionColumns may carry either name form in a mapped
   // table (the tolerance DeltaLogReader.readSnapshot applies): resolve
   // each against logical OR physical field names
@@ -40,13 +134,6 @@ final class DeltaFileIndex(spark: SparkSession, root: java.nio.file.Path,
         .getOrElse(throw new IllegalArgumentException(
           s"partition column '$n' not found in the snapshot schema"))
     }.toArray
-  // logical -> on-disk key for stats/partitionValues lookups: PHYSICAL
-  // names in column-mapped tables (id mode goes through this index; the
-  // spec keys both maps by physical name), the logical name otherwise
-  private val physByLogical: Map[String, String] =
-    snap.schema.fields.map(f => f.name -> DeltaLogReader.physName(f)).toMap
-  private def physKey(logical: String): String =
-    physByLogical.getOrElse(logical, logical)
 
   override val partitionSchema: StructType = StructType(partFields)
 
@@ -88,34 +175,6 @@ final class DeltaFileIndex(spark: SparkSession, root: java.nio.file.Path,
         s"unsupported partition type $other reached DeltaFileIndex")
     }
 
-  private def statsSurvive(stats: Option[String],
-                           bounds: List[StatsWindows.Window],
-                           nulls: List[(String, Boolean)]): Boolean =
-    stats match {
-      case None => true
-      case Some(s) =>
-        val node = mapper.readTree(s)
-        val mins = node.path("minValues"); val maxs = node.path("maxValues")
-        val nullCounts = node.path("nullCount")
-        val numRecords = node.path("numRecords")
-        nulls.forall { case (colName, wantNull) =>
-          val nc = nullCounts.path(physKey(colName))
-          if (!nc.isNumber) true
-          else if (wantNull) nc.asLong() > 0L // IS NULL: skip zero-null files
-          else !numRecords.isNumber || nc.asLong() < numRecords.asLong()
-        } && bounds.forall {
-          case (colName, Left((lo, hi))) =>
-            val mn = mins.path(physKey(colName)); val mx = maxs.path(physKey(colName))
-            !(mn.isNumber && mx.isNumber) ||
-              (mx.asDouble() >= lo && mn.asDouble() <= hi)
-          case (colName, Right((lo, hi))) =>
-            val mn = mins.path(physKey(colName)); val mx = maxs.path(physKey(colName))
-            !(mn.isTextual && mx.isTextual) ||
-              (VersionedTable.utf8Cmp(mx.asText(), lo) >= 0 &&
-                VersionedTable.utf8Cmp(mn.asText(), hi) <= 0)
-        }
-    }
-
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val partNames = partFields.map(_.name).toSet
@@ -125,7 +184,7 @@ final class DeltaFileIndex(spark: SparkSession, root: java.nio.file.Path,
       .filterNot { case (c, _) => partNames(c) }.toList
     val groups = statuses.groupBy(_._1.partitionValues).toSeq.map { case (pv, group) =>
       val row = InternalRow.fromSeq(partFields.toSeq.map(f =>
-        partValue(f, pv.get(physKey(f.name)).orElse(pv.get(f.name)).orNull)))
+        partValue(f, pv.get(tester.physKey(f.name)).orElse(pv.get(f.name)).orNull)))
       (row, group)
     }
     // Partition pruning is EXACT evaluation, never a conservative window:
@@ -152,7 +211,7 @@ final class DeltaFileIndex(spark: SparkSession, root: java.nio.file.Path,
       }
     pruned.map { case (row, group) =>
       PartitionDirectory(row,
-        group.filter(g => statsSurvive(g._1.stats, dataWins, dataNulls))
+        group.filter(g => tester.statsSurvive(g._1.stats, dataWins, dataNulls))
           .map(_._2).toArray)
     }
   }
@@ -166,20 +225,51 @@ final class DeltaFileIndex(spark: SparkSession, root: java.nio.file.Path,
 }
 
 /** Fallback relation for the snapshot shapes a bare file scan cannot
-  * express — deletion vectors (merge-on-read), column-mapped schemas,
-  * exotic partition types: delegates to [[DeltaLogReader.read]] (which
-  * handles all of them) with column pruning; Spark re-applies every
-  * filter above the scan, so results stay exact. */
+  * express — deletion vectors (merge-on-read), renamed name-mode schemas
+  * without parquet field ids, exotic partition types: delegates to the
+  * snapshot replay ([[DeltaLogReader.read]]'s machinery, which handles
+  * all of them). It is a [[PrunedFilteredScan]]: pushed filters (a)
+  * prune the snapshot's file list through the SAME per-file stats and
+  * partitionValues the native index uses — one MOR delete on a 100 TB
+  * table no longer turns every filtered read into a full scan — and (b)
+  * are re-expressed as Column predicates on the inner DataFrame, below
+  * the DV position subtraction, where parquet pushdown sees them (a
+  * filter never resurrects a deleted row, so filtering under the
+  * anti-join is exact). Untranslatable conjuncts are reported via
+  * `unhandledFilters` and Spark re-applies them above the scan. */
 final class DeltaLiteMorRelation(ctx: SQLContext, tableRoot: String,
-                                 version: Option[Long]) extends BaseRelation with PrunedScan {
+                                 version: Option[Long])
+    extends BaseRelation with PrunedFilteredScan {
   override def sqlContext: SQLContext = ctx
-  // ONE log replay per relation: the DataFrame is lazy and reusable, so
-  // schema resolution and every buildScan share the same snapshot plan
-  private lazy val df = DeltaLogReader.read(ctx.sparkSession, tableRoot, version)
-  override def schema: StructType = df.schema
-  override def buildScan(requiredColumns: Array[String]): RDD[Row] =
-    (if (requiredColumns.isEmpty) df
-     else df.select(requiredColumns.head, requiredColumns.tail: _*)).rdd
+  // ONE log replay per relation: snapshot resolution is shared by schema
+  // and every buildScan (the data plan itself is rebuilt per scan over the
+  // PRUNED file subset)
+  private lazy val snap =
+    DeltaLogReader.snapshot(tableRoot, version, Some(ctx.sparkSession))
+  private lazy val tester = new DeltaStatsTester(snap.schema, snap.partitionColumns)
+  override def schema: StructType = snap.schema
+
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    FilterColumns.unhandled(filters)
+
+  /** The pruned, filtered, projected inner plan — package-visible so specs
+    * can assert the file-skipping evidence (`scanPlan(...).inputFiles`). */
+  private[graft] def scanPlan(requiredColumns: Array[String],
+                                filters: Array[Filter]): DataFrame = {
+    val (bounds, nulls) = StatsWindows.fromFilters(filters.toSeq)
+    val kept =
+      if (bounds.isEmpty && nulls.isEmpty) snap.files
+      else snap.files.filter(f => tester.fileSurvives(f, bounds, nulls))
+    val df = FilterColumns.applyAll(
+      DeltaLogReader.readPinnedSnapshot(ctx.sparkSession, tableRoot,
+        snap.copy(files = kept)), filters)
+    if (requiredColumns.isEmpty) df
+    else df.select(requiredColumns.head, requiredColumns.tail: _*)
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter]): RDD[Row] =
+    scanPlan(requiredColumns, filters).rdd
 }
 
 /** `spark.read.format("delta-lite")`: batch reads of a STOCK Delta table
@@ -187,9 +277,18 @@ final class DeltaLiteMorRelation(ctx: SQLContext, tableRoot: String,
   * machinery with the log's partition values and per-file stats pruning
   * folded in ([[DeltaFileIndex]]). Options: `path` (required),
   * `versionAsOf`, `timestampAsOf` (epoch millis; mutually exclusive).
-  * Snapshots with deletion vectors, column mapping, or partition types
-  * beyond the primitive set fall back to a delegating relation that
-  * serves them correctly through [[DeltaLogReader.read]].
+  *
+  * Column-mapped tables stay NATIVE wherever the files allow it: id mode
+  * binds columns by parquet field id inside Spark's own vectorized
+  * reader; name mode binds by field id too when the data files carry ids
+  * (what delta-spark writes — probed from ONE footer, the oldest file,
+  * the likeliest to predate a mapping upgrade), or scans plainly when no
+  * column was ever renamed (physicalName == logical name throughout).
+  * The field-id conf is scoped to the RELATION'S cloned session
+  * ([[SessionShim.withConf]]) — the user's session is never mutated.
+  * Snapshots with deletion vectors, renamed name-mode schemas without
+  * file field ids, or partition types beyond the primitive set fall back
+  * to [[DeltaLiteMorRelation]] (correct, pruned, filter-pushed).
   *
   * Note: as with Spark's own partitioned reads, partition columns
   * surface AFTER the data columns in the relation's schema. */
@@ -209,23 +308,50 @@ final class DeltaLite extends RelationProvider with DataSourceRegister {
     val snap = DeltaLogReader.snapshot(path, version, Some(spark))
     val mode = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
     val hasDv = snap.files.exists(_.dv.isDefined)
-    // name mode needs a physical->logical column RENAME a bare file scan
-    // cannot express; id mode stays NATIVE — Spark's own parquet field-id
-    // resolution binds columns id-to-id inside the vectorized reader
-    if (mode == "name" || hasDv || !DeltaLite.partTypesSupported(snap))
-      new DeltaLiteMorRelation(sqlContext, path, version.orElse(Some(snap.version)))
+    val root = java.nio.file.Paths.get(path).toAbsolutePath.normalize
+    def fallback = new DeltaLiteMorRelation(sqlContext, path,
+      version.orElse(Some(snap.version)))
+    if (hasDv || !DeltaLite.partTypesSupported(snap)) fallback
     else {
-      val root = java.nio.file.Paths.get(path).toAbsolutePath.normalize
       val dataFields = snap.schema.fields
-        .filterNot(f => snap.partitionColumns.contains(f.name))
-      val dataSchema =
-        if (mode == "id") {
-          spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-          DeltaLogReader.fieldIdSchema(StructType(dataFields))
-        } else StructType(dataFields)
-      val index = new DeltaFileIndex(spark, root, snap)
-      HadoopFsRelation(index, index.partitionSchema, dataSchema, None,
-        new ParquetFileFormat, Map.empty[String, String])(spark)
+        .filterNot(f => snap.partitionColumns.contains(f.name) ||
+          snap.partitionColumns.contains(DeltaLogReader.physName(f)))
+      // (schema option, needs field-id resolution) per mapping mode; None =
+      // this snapshot cannot be served natively
+      val routed: Option[(StructType, Boolean)] = mode match {
+        case "none" => Some((StructType(dataFields), false))
+        case _ if DeltaLite.unrenamed(StructType(dataFields)) =>
+          // mapping enabled but no column ever renamed (the upgrade
+          // default): physical == logical, a plain scan binds correctly
+          Some((StructType(dataFields), false))
+        case "id" =>
+          Some((DeltaLogReader.fieldIdSchema(StructType(dataFields)), true))
+        case "name" =>
+          // renamed name-mode columns can still bind NATIVELY when the
+          // data files carry parquet field ids (delta-spark's do): reuse
+          // the id-mode machinery; fall back only when ids are genuinely
+          // absent (probed from the oldest file's footer — a mixed table
+          // whose old files lack ids fails loudly in the reader rather
+          // than returning wrong columns)
+          scala.util.Try(DeltaLogReader.fieldIdSchema(StructType(dataFields)))
+            .toOption
+            .filter(_ => DeltaLite.oldestFileHasFieldIds(spark, root, snap))
+            .map(s => (s, true))
+        case _ => None
+      }
+      routed match {
+        case None => fallback
+        case Some((dataSchema, needsIds)) =>
+          // field-id resolution is read at scan planning from the
+          // RELATION's session — scope it to a clone, never the user's
+          val relSession =
+            if (needsIds) SessionShim.withConf(spark,
+              "spark.sql.parquet.fieldId.read.enabled" -> "true")
+            else spark
+          val index = new DeltaFileIndex(relSession, root, snap)
+          HadoopFsRelation(index, index.partitionSchema, dataSchema, None,
+            new ParquetFileFormat, Map.empty[String, String])(relSession)
+      }
     }
   }
 }
@@ -239,4 +365,44 @@ object DeltaLite {
       snap.schema.fields
         .find(f => f.name == n || DeltaLogReader.physName(f) == n)
         .exists(f => SupportedPartTypes.contains(f.dataType)))
+
+  /** True when NO field (nested included) was ever renamed — physical
+    * name equals logical name throughout, so the parquet files' column
+    * names ARE the logical names and a plain scan binds correctly. */
+  private[sources] def unrenamed(st: StructType): Boolean =
+    st.fields.forall { f =>
+      DeltaLogReader.physName(f) == f.name && (f.dataType match {
+        case s: StructType => unrenamed(s)
+        case a: ArrayType => a.elementType match {
+          case s: StructType => unrenamed(s)
+          case _ => true
+        }
+        case m: MapType => (m.keyType, m.valueType) match {
+          case (s: StructType, v: StructType) => unrenamed(s) && unrenamed(v)
+          case (s: StructType, _) => unrenamed(s)
+          case (_, v: StructType) => unrenamed(v)
+          case _ => true
+        }
+        case _ => true
+      })
+    }
+
+  /** ONE footer probe, of the OLDEST live file (add-order head — the
+    * likeliest to predate a column-mapping upgrade and so to lack ids):
+    * true iff every top-level parquet field carries a field id. Driver
+    * cost is a single footer read per relation creation, independent of
+    * table size. */
+  private[sources] def oldestFileHasFieldIds(spark: SparkSession,
+                                             root: java.nio.file.Path,
+                                             snap: DeltaSnapshot): Boolean =
+    snap.files.headOption.exists { fe =>
+      val p = new HPath(root.resolve(fe.path).toUri)
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        p, spark.sparkContext.hadoopConfiguration)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val fields = reader.getFooter.getFileMetaData.getSchema.getFields
+        !fields.isEmpty && fields.stream().allMatch(t => t.getId != null)
+      } finally reader.close()
+    }
 }

@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.{sources => f}
+import org.apache.spark.sql.types.{DataType, NumericType, StringType}
 
 /** Path-option normalization shared by every provider: the SQL catalog
   * hands `OPTIONS (path '…')` back as a `file:` URI, the DataFrame API as
@@ -18,27 +19,67 @@ private[sources] object SourcePaths {
       s"$format needs option 'path' (the $what)")))
 }
 
-/** Shared predicate→window extraction for file-skipping [[org.apache.spark
-  * .sql.execution.datasources.FileIndex]] implementations
-  * ([[VtFileIndex]], [[DeltaFileIndex]]): turns a scan's DATA-filter
-  * conjuncts into per-column [lower, upper] windows a file's min/max
-  * stats can be tested against. Only shapes whose stats semantics are
-  * EXACT are recognized — anything else prunes nothing (conservative),
-  * and strict bounds relax to inclusive: stats pruning may KEEP extra
-  * files, never drop a matching one. NEVER use these windows for
-  * PARTITION filters: Spark strips partition-only filters from the
-  * post-scan filter set, so partition pruning must evaluate the filter
-  * exactly ([[DeltaFileIndex.listFiles]]), not conservatively. */
+/** Shared predicate→window extraction for file-skipping scan planning
+  * ([[VtFileIndex]], [[DeltaFileIndex]], and the merge-on-read fallback
+  * relations): turns filter conjuncts into per-column DISJUNCTIONS of
+  * [lower, upper] ranges a file's min/max stats can be tested against —
+  * a plain comparison yields one range, `IN (…)` one POINT range per
+  * value (the union-of-point-windows semantics, exact where a single
+  * min..max envelope would keep every file straddling the list's hull).
+  * Two front ends share the vocabulary: catalyst `Expression`s (what a
+  * `FileIndex` receives) and `org.apache.spark.sql.sources.Filter`s
+  * (what a `PrunedFilteredScan` receives). Only shapes whose stats
+  * semantics are EXACT are recognized — anything else prunes nothing
+  * (conservative), strict bounds relax to inclusive, and an
+  * order-preserving numeric upcast Catalyst wrapped around the column
+  * (`cast(int_col as bigint) > 5L`) is unwrapped (stats compare as
+  * doubles, so the widened literal is as exact as the original): stats
+  * pruning may KEEP extra files, never drop a matching one. NEVER use
+  * these windows for PARTITION filters of a partitioned relation: Spark
+  * strips partition-only filters from the post-scan filter set, so
+  * partition pruning must evaluate the filter exactly
+  * ([[DeltaFileIndex.listFiles]]), not conservatively. (The merge-on-read
+  * relations MAY window partition columns — there the pushed filters are
+  * re-applied as ordinary row predicates, so conservative is safe.) */
 private[sources] object StatsWindows {
 
-  /** `Left` = numeric window, `Right` = string window (compared as
-    * unsigned UTF-8 bytes downstream). */
-  type Window = (String, Either[(Double, Double), (String, String)])
+  /** Disjunction of inclusive ranges: a file survives iff ANY range
+    * intersects its [min, max]. `Left` = numeric (compared as doubles),
+    * `Right` = string (compared as unsigned UTF-8 bytes downstream). */
+  type NumRanges = List[(Double, Double)]
+  type StrRanges = List[(String, String)]
+  type Window = (String, Either[NumRanges, StrRanges])
 
   // open-ended string windows: "" is the true minimum; the max sentinel is
   // a run of U+10FFFF, above any realistic stats value
   val MinString = ""
   val MaxString: String = new String(Character.toChars(0x10FFFF)) * 8
+
+  /** Does a file with numeric stats [mn, mx] survive the disjunction? */
+  def numSurvives(mn: Double, mx: Double, ranges: NumRanges): Boolean =
+    ranges.exists { case (lo, hi) => mx >= lo && mn <= hi }
+
+  /** String twin — `cmp` is the UTF-8-byte comparator the stats were
+    * ordered under ([[graft.vt.VersionedTable.utf8Cmp]]). */
+  def strSurvives(mn: String, mx: String, ranges: StrRanges)
+                 (cmp: (String, String) => Int): Boolean =
+    ranges.exists { case (lo, hi) => cmp(mx, lo) >= 0 && cmp(mn, hi) <= 0 }
+
+  /** The column itself, or an order-preserving numeric upcast of it —
+    * Catalyst wraps the attribute side in a `Cast` whenever the literal's
+    * type is wider (`int_col > 5L`, `int_col = 5.5`). Every
+    * numeric→numeric cast Catalyst inserts for a comparison widens, and
+    * the downstream stats test compares as doubles anyway, so unwrapping
+    * loses nothing and stays conservative. */
+  private object BoundAttr {
+    def unapply(e: Expression): Option[AttributeReference] = e match {
+      case a: AttributeReference => Some(a)
+      case Cast(a: AttributeReference, dt, _, _)
+          if a.dataType.isInstanceOf[NumericType] && dt.isInstanceOf[NumericType] =>
+        Some(a)
+      case _ => None
+    }
+  }
 
   /** Null-presence demands extracted from the scan's conjuncts:
     * `(column, true)` = the filter needs NULL rows (`IS NULL`),
@@ -56,38 +97,121 @@ private[sources] object StatsWindows {
     case _ => Nil
   }
 
+  // catalyst literal → window value (None = unrecognized, prune nothing)
+  private def litNum(value: Any): Option[Double] = value match {
+    case null => None
+    case n: Number => Some(n.doubleValue())
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+    case _ => None
+  }
+  private def litStr(value: Any): Option[String] = value match {
+    case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+    case _ => None
+  }
+
+  /** One comparison window: `lo`/`hi` say which side(s) the literal
+    * bounds; the open side stretches to the sentinel. */
+  private def cmpWindow(name: String, dt: DataType, value: Any,
+                        lo: Boolean, hi: Boolean,
+                        num: Any => Option[Double],
+                        str: Any => Option[String]): List[Window] =
+    (if (dt == StringType)
+       str(value).map(v => name -> Right(List((
+         if (lo) v else MinString, if (hi) v else MaxString))))
+     else
+       num(value).map(v => name -> Left(List((
+         if (lo) v else Double.NegativeInfinity,
+         if (hi) v else Double.PositiveInfinity))))).toList
+
+  /** `IN`-list window: one point range per NON-null value (null list
+    * entries can never match — `a IN (…, NULL)` is never true for the
+    * null entry). Exact only when EVERY non-null value converts to one
+    * side (all-numeric or all-string); a partially-recognized list must
+    * prune nothing, else a file holding only the unrecognized values
+    * would be wrongly dropped. */
+  private def inWindow(name: String, values: Seq[Any],
+                       num: Any => Option[Double],
+                       str: Any => Option[String]): List[Window] = {
+    val nonNull = values.filter(_ != null)
+    if (nonNull.isEmpty) Nil
+    else {
+      val nums = nonNull.map(num)
+      val strs = nonNull.map(str)
+      if (nums.forall(_.isDefined))
+        List(name -> Left(nums.map(_.get).map(v => (v, v)).toList))
+      else if (strs.forall(_.isDefined))
+        List(name -> Right(strs.map(_.get).map(v => (v, v)).toList))
+      else Nil
+    }
+  }
+
   def windows(e: Expression): List[Window] = {
-    def num(l: Literal): Option[Double] = l.value match {
-      case null => None
-      case n: Number => Some(n.doubleValue())
-      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
-      case _ => None
-    }
-    def str(l: Literal): Option[String] = l.value match {
-      case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
-      case _ => None
-    }
-    def window(a: AttributeReference, l: Literal, lo: Boolean, hi: Boolean) =
-      if (l.dataType == StringType)
-        str(l).map(v => a.name -> Right((
-          if (lo) v else MinString, if (hi) v else MaxString)))
-      else
-        num(l).map(v => a.name -> Left((
-          if (lo) v else Double.NegativeInfinity, if (hi) v else Double.PositiveInfinity)))
+    def w(a: AttributeReference, l: Literal, lo: Boolean, hi: Boolean) =
+      cmpWindow(a.name, l.dataType, l.value, lo, hi, litNum, litStr)
     e match {
       case And(l, r) => windows(l) ++ windows(r)
-      case EqualTo(a: AttributeReference, l: Literal) => window(a, l, lo = true, hi = true).toList
-      case EqualTo(l: Literal, a: AttributeReference) => window(a, l, lo = true, hi = true).toList
-      case EqualNullSafe(a: AttributeReference, l: Literal) => window(a, l, lo = true, hi = true).toList
-      case GreaterThan(a: AttributeReference, l: Literal) => window(a, l, lo = true, hi = false).toList
-      case GreaterThanOrEqual(a: AttributeReference, l: Literal) => window(a, l, lo = true, hi = false).toList
-      case LessThan(a: AttributeReference, l: Literal) => window(a, l, lo = false, hi = true).toList
-      case LessThanOrEqual(a: AttributeReference, l: Literal) => window(a, l, lo = false, hi = true).toList
-      case GreaterThan(l: Literal, a: AttributeReference) => window(a, l, lo = false, hi = true).toList
-      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => window(a, l, lo = false, hi = true).toList
-      case LessThan(l: Literal, a: AttributeReference) => window(a, l, lo = true, hi = false).toList
-      case LessThanOrEqual(l: Literal, a: AttributeReference) => window(a, l, lo = true, hi = false).toList
+      case EqualTo(BoundAttr(a), l: Literal) => w(a, l, lo = true, hi = true)
+      case EqualTo(l: Literal, BoundAttr(a)) => w(a, l, lo = true, hi = true)
+      case EqualNullSafe(BoundAttr(a), l: Literal) => w(a, l, lo = true, hi = true)
+      case GreaterThan(BoundAttr(a), l: Literal) => w(a, l, lo = true, hi = false)
+      case GreaterThanOrEqual(BoundAttr(a), l: Literal) => w(a, l, lo = true, hi = false)
+      case LessThan(BoundAttr(a), l: Literal) => w(a, l, lo = false, hi = true)
+      case LessThanOrEqual(BoundAttr(a), l: Literal) => w(a, l, lo = false, hi = true)
+      case GreaterThan(l: Literal, BoundAttr(a)) => w(a, l, lo = false, hi = true)
+      case GreaterThanOrEqual(l: Literal, BoundAttr(a)) => w(a, l, lo = false, hi = true)
+      case LessThan(l: Literal, BoundAttr(a)) => w(a, l, lo = true, hi = false)
+      case LessThanOrEqual(l: Literal, BoundAttr(a)) => w(a, l, lo = true, hi = false)
+      // IN — as written (a list of literals) and as optimized (InSet once the
+      // list crosses spark.sql.optimizer.inSetConversionThreshold)
+      case In(BoundAttr(a), vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        inWindow(a.name, vs.map(_.asInstanceOf[Literal].value), litNum, litStr)
+      case InSet(BoundAttr(a), vs) => inWindow(a.name, vs.toSeq, litNum, litStr)
       case _ => Nil
     }
   }
+
+  // ---- the sources.Filter front end (PrunedFilteredScan relations) -------
+  //
+  // Filter values are EXTERNAL Scala types (String, not UTF8String), hence
+  // the separate converters. Top-level filters arrive as implicit conjuncts;
+  // sources.And recurses, everything unrecognized prunes nothing.
+
+  private def extNum(value: Any): Option[Double] = value match {
+    case null => None
+    case n: Number => Some(n.doubleValue())
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+    case _ => None
+  }
+  private def extStr(value: Any): Option[String] = value match {
+    case s: String => Some(s)
+    case _ => None
+  }
+  private def extDt(value: Any): DataType =
+    if (value.isInstanceOf[String]) StringType
+    else org.apache.spark.sql.types.DoubleType // only the string-ness matters
+
+  def filterWindows(flt: f.Filter): List[Window] = flt match {
+    case f.And(l, r) => filterWindows(l) ++ filterWindows(r)
+    case f.EqualTo(a, v) => cmpWindow(a, extDt(v), v, lo = true, hi = true, extNum, extStr)
+    case f.EqualNullSafe(a, v) if v != null =>
+      cmpWindow(a, extDt(v), v, lo = true, hi = true, extNum, extStr)
+    case f.GreaterThan(a, v) => cmpWindow(a, extDt(v), v, lo = true, hi = false, extNum, extStr)
+    case f.GreaterThanOrEqual(a, v) => cmpWindow(a, extDt(v), v, lo = true, hi = false, extNum, extStr)
+    case f.LessThan(a, v) => cmpWindow(a, extDt(v), v, lo = false, hi = true, extNum, extStr)
+    case f.LessThanOrEqual(a, v) => cmpWindow(a, extDt(v), v, lo = false, hi = true, extNum, extStr)
+    case f.In(a, vs) => inWindow(a, vs.toSeq, extNum, extStr)
+    case _ => Nil
+  }
+
+  def filterNullWindows(flt: f.Filter): List[(String, Boolean)] = flt match {
+    case f.And(l, r) => filterNullWindows(l) ++ filterNullWindows(r)
+    case f.IsNull(a) => List(a -> true)
+    case f.IsNotNull(a) => List(a -> false)
+    case _ => Nil
+  }
+
+  /** Both extractions over a `PrunedFilteredScan`'s conjunct array. */
+  def fromFilters(filters: Seq[f.Filter]): (List[Window], List[(String, Boolean)]) =
+    (filters.flatMap(filterWindows).toList,
+      filters.flatMap(filterNullWindows).toList)
 }

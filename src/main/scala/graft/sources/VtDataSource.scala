@@ -2,33 +2,80 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileStatus, Path => HPath}
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, PartitionDirectory, PartitionSpec, PartitioningAwareFileIndex}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.SaveMode
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, PrunedScan, RelationProvider, StreamSinkProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider, StreamSinkProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{DataType, StructType}
 
 import graft.vt.{Commit, VersionedTable}
 
-/** Commit-log-backed [[FileIndex]]: the snapshot's immutable file list,
-  * with the commit's per-file min/max stats applied to the scan's data
-  * filters so files whose range cannot match are pruned DURING QUERY
-  * PLANNING — `spark.read.format("vt").load().where($"k" between (a, b))`
-  * skips them without any listing, exactly Delta's data-skipping
-  * integration (TahoeFileIndex). Numeric bounds prune against the double
-  * stats, string bounds against the UTF-8-byte-ordered string stats
+/** The one per-file survival test of a versioned commit's stats against a
+  * set of [[StatsWindows]] — shared by [[VtFileIndex]] (planning-time
+  * pruning under the native file-scan relation) and [[VtMorRelation]]
+  * (the same pruning under the merge-on-read fallback, where it is the
+  * difference between a filtered point-read touching one file and a full
+  * scan of a 100 TB snapshot). Numeric windows test the double stats,
+  * string windows the UTF-8-byte-ordered string stats; files without
+  * stats for a bounded column are conservatively kept. */
+private[sources] object VtPruning {
+
+  def survives(commit: Commit, rel: String,
+               bounds: List[StatsWindows.Window],
+               nulls: List[(String, Boolean)]): Boolean =
+    bounds.forall {
+      case (colName, Left(ranges)) =>
+        commit.stats.get(rel).flatMap(_.get(colName)) match {
+          case Some((mn, mx)) => StatsWindows.numSurvives(mn, mx, ranges)
+          case None => true
+        }
+      case (colName, Right(ranges)) =>
+        commit.strStats.get(rel).flatMap(_.get(colName)) match {
+          case Some((mn, mx)) =>
+            StatsWindows.strSurvives(mn, mx, ranges)(VersionedTable.utf8Cmp)
+          case None => true
+        }
+    } && nulls.forall { case (colName, wantNull) =>
+      val nullCount = commit.nullStats.get(rel).flatMap(_.get(colName))
+      if (wantNull) !nullCount.contains(0L) // IS NULL: skip zero-null files
+      else (nullCount, commit.rowCounts.get(rel)) match {
+        case (Some(n), Some(rows)) => n < rows // IS NOT NULL: skip all-null files
+        case _ => true
+      }
+    }
+
+  /** The commit's file list pruned by a `PrunedFilteredScan`'s pushed
+    * conjuncts (exposed for spec-level evidence too). */
+  def prunedFiles(commit: Commit, filters: Seq[Filter]): Vector[String] = {
+    val (bounds, nulls) = StatsWindows.fromFilters(filters)
+    if (bounds.isEmpty && nulls.isEmpty) commit.files
+    else commit.files.filter(survives(commit, _, bounds, nulls))
+  }
+}
+
+/** Commit-log-backed [[PartitioningAwareFileIndex]]: the snapshot's
+  * immutable file list, with the commit's per-file min/max stats applied
+  * to the scan's data filters so files whose range cannot match are
+  * pruned DURING QUERY PLANNING — `spark.read.format("vt").load().where(
+  * $"k" between (a, b))` skips them without any listing, exactly Delta's
+  * data-skipping integration (TahoeFileIndex). Extending the
+  * partitioning-aware base (trivially, with an empty partition spec)
+  * makes the same index serve BOTH front ends: the DSv1
+  * `HadoopFsRelation` and the DSv2 `ParquetScan` behind the `vt` catalog
+  * ([[VtCatalog]]). Numeric bounds prune against the double stats,
+  * string bounds against the UTF-8-byte-ordered string stats
   * ([[VersionedTable.utf8Cmp]] — the ordering the stats were computed
   * under); files without stats for a bounded column are conservatively
   * kept, and unrecognized predicate shapes prune nothing. At 100 TB this
   * is the difference between touching 1% of a million files and paying a
   * footer read on every one. */
 final class VtFileIndex(spark: SparkSession, vt: VersionedTable, commit: Commit)
-    extends FileIndex {
+    extends PartitioningAwareFileIndex(spark, Map.empty, None) {
 
   private val rootPath = new HPath(vt.root.toUri)
 
@@ -50,33 +97,26 @@ final class VtFileIndex(spark: SparkSession, vt: VersionedTable, commit: Commit)
 
   override def rootPaths: Seq[HPath] = Seq(rootPath)
 
+  override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
+
   override def partitionSchema: StructType = StructType(Nil)
+
+  override protected def leafFiles: scala.collection.mutable.LinkedHashMap[HPath, FileStatus] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[HPath, FileStatus]
+    statuses.foreach { case (_, st) => m += (st.getPath -> st) }
+    m
+  }
+
+  override protected def leafDirToChildrenFiles: Map[HPath, Array[FileStatus]] =
+    statuses.map(_._2).groupBy(_.getPath.getParent)
+      .view.mapValues(_.toArray).toMap
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val bounds = dataFilters.flatMap(StatsWindows.windows).toList
     val nulls = dataFilters.flatMap(StatsWindows.nullWindows).toList
     val kept = statuses.filter { case (rel, _) =>
-      bounds.forall {
-        case (colName, Left((lo, hi))) =>
-          commit.stats.get(rel).flatMap(_.get(colName)) match {
-            case Some((mn, mx)) => mx >= lo && mn <= hi
-            case None => true
-          }
-        case (colName, Right((lo, hi))) =>
-          commit.strStats.get(rel).flatMap(_.get(colName)) match {
-            case Some((mn, mx)) => VersionedTable.utf8Cmp(mx, lo) >= 0 &&
-              VersionedTable.utf8Cmp(mn, hi) <= 0
-            case None => true
-          }
-      } && nulls.forall { case (colName, wantNull) =>
-        val nullCount = commit.nullStats.get(rel).flatMap(_.get(colName))
-        if (wantNull) !nullCount.contains(0L) // IS NULL: skip zero-null files
-        else (nullCount, commit.rowCounts.get(rel)) match {
-          case (Some(n), Some(rows)) => n < rows // IS NOT NULL: skip all-null files
-          case _ => true
-        }
-      }
+      VtPruning.survives(commit, rel, bounds, nulls)
     }
     Seq(PartitionDirectory(InternalRow.empty, kept.map(_._2).toArray))
   }
@@ -91,20 +131,40 @@ final class VtFileIndex(spark: SparkSession, vt: VersionedTable, commit: Commit)
 
 /** Fallback relation for snapshots WITH deletion vectors: merge-on-read
   * cannot be expressed as a bare file scan, so the relation delegates to
-  * [[VersionedTable.readCommit]] (scan + broadcast DV anti-join) with
-  * column pruning; Spark re-applies every filter above the scan, so
-  * results stay exact. The moment the branch is compacted the provider
+  * [[VersionedTable.readCommit]] (scan + broadcast DV anti-join). It is a
+  * [[PrunedFilteredScan]]: pushed filters (a) prune the commit's file
+  * list through the SAME commit-log stats the native index uses — a
+  * point-read of a DV-carrying 100 TB snapshot touches one file, not all
+  * of them — and (b) are re-expressed as Column predicates on the inner
+  * DataFrame, BELOW the DV anti-join, where parquet pushdown and footer
+  * skipping see them (a filter never resurrects a deleted row, so
+  * filtering before the position subtraction is exact). Untranslatable
+  * conjuncts are reported via `unhandledFilters` and Spark re-applies
+  * them above the scan. The moment the branch is compacted the provider
   * serves the native file-scan relation again. */
 final class VtMorRelation(ctx: SQLContext, vt: VersionedTable, commit: Commit)
-    extends BaseRelation with PrunedScan {
+    extends BaseRelation with PrunedFilteredScan {
   override def sqlContext: SQLContext = ctx
   override val schema: StructType =
     DataType.fromJson(commit.schemaJson).asInstanceOf[StructType]
-  override def buildScan(requiredColumns: Array[String]): RDD[Row] = {
-    val df = vt.readCommit(ctx.sparkSession, commit)
-    (if (requiredColumns.isEmpty) df
-     else df.select(requiredColumns.head, requiredColumns.tail: _*)).rdd
+
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    FilterColumns.unhandled(filters)
+
+  /** The pruned, filtered, projected inner plan — package-visible so specs
+    * can assert the file-skipping evidence (`scanPlan(...).inputFiles`). */
+  private[graft] def scanPlan(requiredColumns: Array[String],
+                                filters: Array[Filter]): DataFrame = {
+    val pruned = commit.copy(files = VtPruning.prunedFiles(commit, filters.toSeq))
+    val df = FilterColumns.applyAll(
+      vt.readCommit(ctx.sparkSession, pruned), filters)
+    if (requiredColumns.isEmpty) df
+    else df.select(requiredColumns.head, requiredColumns.tail: _*)
   }
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter]): RDD[Row] =
+    scanPlan(requiredColumns, filters).rdd
 }
 
 /** `format("vt")`: the versioned table as a first-class Spark data source —
@@ -117,7 +177,8 @@ final class VtMorRelation(ctx: SQLContext, vt: VersionedTable, commit: Commit)
   * vectorization and whole-stage codegen all intact, PLUS commit-log
   * stats pruning folded into scan planning. Snapshots carrying deletion
   * vectors fall back to [[VtMorRelation]] (correct merge-on-read, pruned
-  * columns) rather than silently resurrecting deleted rows. */
+  * columns, pushed filters, stats file-skipping) rather than silently
+  * resurrecting deleted rows. */
 final class VtDataSource extends RelationProvider with CreatableRelationProvider
     with StreamSinkProvider with DataSourceRegister {
 

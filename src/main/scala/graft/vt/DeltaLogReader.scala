@@ -969,6 +969,14 @@ object DeltaLogReader {
     changes(spark, tableRoot, from, to)
   }
 
+  /** Replay a PINNED snapshot (possibly with a pruned file subset — the
+    * fallback relation's skipping path) into a DataFrame. Package-visible
+    * so [[graft.sources.DeltaLiteMorRelation]] can serve a stats-pruned
+    * file list through the same machinery. */
+  private[graft] def readPinnedSnapshot(spark: SparkSession, tableRoot: String,
+                                        snap: DeltaSnapshot): DataFrame =
+    readSnapshot(spark, tableRoot, snap)
+
   private def readSnapshot(spark: SparkSession, tableRoot: String,
                            snap: DeltaSnapshot): DataFrame = {
     val root = Paths.get(tableRoot).toAbsolutePath.normalize
@@ -984,10 +992,14 @@ object DeltaLogReader {
     val mapped = mode == "name"
     val idMapped = mode == "id"
     // field-id resolution happens inside Spark's parquet reader; the conf is
-    // read when the scan plans, so it must be ON in the session. Enabling it
-    // globally is inert for schemas without parquet.field.id metadata (every
-    // non-id-mode read here), so set-and-leave is safe.
-    if (idMapped) spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    // read at scan planning from the DataFrame's OWN session — so id-mode
+    // scans are built against a cloned session with the flag on
+    // (SessionShim.withConf), never by mutating the caller's session (which
+    // would leak one table's requirement onto every later parquet scan)
+    val scanSession =
+      if (idMapped) org.apache.spark.sql.graft.SessionShim.withConf(spark,
+        "spark.sql.parquet.fieldId.read.enabled" -> "true")
+      else spark
     // partition columns may be listed under either name form; resolve
     // against the schema's fields so both conventions read correctly
     val partSet = snap.partitionColumns.toSet
@@ -1016,10 +1028,10 @@ object DeltaLogReader {
     val (dvFiles, plain) = snap.files.partition(_.dv.isDefined)
     if (dvFiles.isEmpty && partFields.isEmpty)
       return renameToLogical(
-        spark.read.schema(fileSchema).parquet(snap.files.map(f => abs(f.path)): _*))
+        scanSession.read.schema(fileSchema).parquet(snap.files.map(f => abs(f.path)): _*))
     val plainScans = plain.groupBy(_.partitionValues).toSeq.map { case (pv, group) =>
       withPartCols(renameToLogical(
-        spark.read.schema(fileSchema).parquet(group.map(f => abs(f.path)): _*)), pv)
+        scanSession.read.schema(fileSchema).parquet(group.map(f => abs(f.path)): _*)), pv)
     }
     // temp row-position column name must not shadow a real table column
     // (withColumn REPLACES a same-named data column and drop would lose it)
@@ -1027,7 +1039,7 @@ object DeltaLogReader {
     while (fileSchema.fieldNames.contains(posCol)) posCol = "_" + posCol
     val dvScans = dvFiles.map { f =>
       val positions = DeletionVectors.readPositions(root, f.dv.get)
-      val base = spark.read.schema(fileSchema).parquet(abs(f.path))
+      val base = scanSession.read.schema(fileSchema).parquet(abs(f.path))
         .withColumn(posCol, col("_metadata.row_index"))
       val kept =
         if (positions.size <= 1024) base.where(!col(posCol).isin(positions: _*))

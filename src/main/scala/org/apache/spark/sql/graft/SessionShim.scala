@@ -1,0 +1,24 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.classic.SparkSession
+import org.apache.spark.sql.{SparkSession => ApiSparkSession}
+
+/** Scan-scoped session configuration. Some SQL confs are read at scan
+  * planning time from the RELATION'S session (`FileSourceScanExec` builds
+  * readers against `relation.sparkSession`), so a data source that needs
+  * one — `spark.sql.parquet.fieldId.read.enabled` for id-mode
+  * column-mapped Delta tables — must either mutate the user's session
+  * (leaking one table's requirement onto every later parquet scan) or
+  * plan against a CLONE. `cloneSession` is the engine's own forking
+  * primitive (same SparkContext, shared cache, copied-then-independent
+  * conf); it is `private[sql]`, hence this shim lives under
+  * `org.apache.spark.sql`. */
+object SessionShim {
+  /** A forked session with `kvs` applied on top of the caller's conf —
+    * the caller's session is never touched. */
+  def withConf(spark: ApiSparkSession, kvs: (String, String)*): ApiSparkSession = {
+    val cloned = spark.asInstanceOf[SparkSession].cloneSession()
+    kvs.foreach { case (k, v) => cloned.conf.set(k, v) }
+    cloned
+  }
+}

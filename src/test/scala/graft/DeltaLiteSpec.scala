@@ -178,6 +178,111 @@ class DeltaLiteSpec extends SparkSpec {
     }.isEmpty, "name mode needs the renaming fallback, not a bare scan")
   }
 
+  test("DV fallback is a PrunedFilteredScan: exported stats prune files under filters") {
+    import org.apache.spark.sql.{sources => fs}
+    import graft.vt.VersionedTable
+    val vt = VersionedTable.create(Tables.scratch("dlite_mor_push"))
+    def part(lo: Int, hi: Int) =
+      (lo to hi).map(i => (i.toLong, s"r$i")).toDF("k", "v").coalesce(1)
+    vt.write(part(1, 10), "main", "A", statsCols = Seq("k"))
+    vt.write(part(11, 20), "main", "B", mode = "append", statsCols = Seq("k"))
+    vt.write(part(21, 30), "main", "C", mode = "append", statsCols = Seq("k"))
+    vt.deleteWithVectors(spark, "k % 10 = 5", "main")
+    vt.exportDeltaLog("main")
+    // E2E through format("delta-lite"): deletions respected under filters
+    val q = readDl(vt.root.toString).where($"k".between(12, 18))
+    assert(q.select("k").as[Long].collect().sorted === Array(12L, 13, 14, 16, 17, 18))
+    // evidence: the pushed window prunes the snapshot's files before any scan
+    val rel = new graft.sources.DeltaLiteMorRelation(spark.sqlContext,
+      vt.root.toString, None)
+    val plan = rel.scanPlan(Array("k"),
+      Array(fs.GreaterThanOrEqual("k", 12L), fs.LessThanOrEqual("k", 18L)))
+    assert(plan.inputFiles.length === 1,
+      "two of three DV-carrying files must be pruned by exported stats")
+    assert(plan.select("k").as[Long].collect().sorted === Array(12L, 13, 14, 16, 17, 18))
+    assert(rel.unhandledFilters(Array(fs.LessThan("k", 9L))).isEmpty,
+      "translated conjuncts are handled (and fully enforced) by the relation")
+  }
+
+  test("name fallback prunes partitions from pushed filters (partitionValues windows)") {
+    import org.apache.spark.sql.{sources => fs}
+    val root = freshRoot("fb_part")
+    val df = (1L to 30L).map(i => (i, (i % 3).toInt)).toDF("k", "bucket")
+    val phys = Map("k" -> "col-kkkk", "bucket" -> "col-pppp")
+    def group(b: Int) = {
+      val (f, s) = F.writeDataFile(root,
+        df.where($"bucket" === b).select($"k".as("col-kkkk")), s"b$b")
+      F.addLine(f, s, Map("col-pppp" -> b.toString))
+    }
+    F.writeCommit(root, 0, Seq(F.protocolLine(minReader = 2, minWriter = 5),
+      F.metaDataLine(F.columnMappedSchema(df.schema, phys).json, Seq("col-pppp"),
+        Map("delta.columnMapping.mode" -> "name")),
+      group(0), group(1), group(2)))
+    // renamed name-mode files without field ids: the fallback serves it
+    val read = readDl(root.toString)
+    assert(read.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.isEmpty, "renamed name mode without file ids needs the fallback")
+    assert(read.where($"bucket" === 1).select("k").as[Long].collect().sorted
+      === (1L to 30L).filter(_ % 3 == 1).toArray)
+    // pushed partition-column filters prune whole partitionValues groups
+    val rel = new graft.sources.DeltaLiteMorRelation(spark.sqlContext,
+      root.toString, None)
+    assert(rel.scanPlan(Array("k"), Array(fs.EqualTo("bucket", 1)))
+      .inputFiles.length === 1)
+    assert(rel.scanPlan(Array("k"), Array(fs.In("bucket", Array(0, 2))))
+      .inputFiles.length === 2)
+    // conservative contract: un-window-able shapes prune nothing, stay exact
+    assert(readDl(root.toString).where($"bucket" =!= 1)
+      .select("k").as[Long].collect().sorted
+      === (1L to 30L).filter(_ % 3 != 1).toArray)
+  }
+
+  test("RENAMED name-mode tables serve natively when files carry field ids; session conf untouched") {
+    val flag = "spark.sql.parquet.fieldId.read.enabled"
+    val before = spark.conf.get(flag)
+    val root = freshRoot("cmap_name_native")
+    val df = (1L to 20L).map(i => (i, s"v$i")).toDF("k", "v")
+    val phys = Map("k" -> "col-aaaa", "v" -> "col-bbbb")
+    val ids = Map("k" -> 1L, "v" -> 2L)
+    def slice(lo: Long, hi: Long, name: String) = {
+      val (f, s) = F.writeDataFile(root,
+        F.physicalWithIds(df.where($"k".between(lo, hi)), phys, ids), name)
+      F.addLine(f, s, stats = Some(stats(hi - lo + 1,
+        Map("col-aaaa" -> lo), Map("col-aaaa" -> hi))))
+    }
+    F.writeCommit(root, 0, Seq(F.protocolLine(minReader = 2, minWriter = 5),
+      F.metaDataLine(F.columnMappedSchema(df.schema, phys, ids).json, Nil,
+        Map("delta.columnMapping.mode" -> "name")),
+      slice(1, 10, "pa"), slice(11, 20, "pb")))
+    val full = readDl(root.toString)
+    assert(full.select("k", "v").as[(Long, String)].collect().toSet
+      === df.as[(Long, String)].collect().toSet,
+      "field ids must bind physical file columns to logical names")
+    val q = readDl(root.toString).where($"k" >= 11)
+    assert(q.select("k").as[Long].collect().sorted === (11L to 20L).toArray)
+    assert(scannedFiles(q) === 1,
+      "the NATIVE scan path must serve renamed name mode when ids exist")
+    assert(spark.conf.get(flag) === before,
+      "field-id resolution must be scoped to the relation's cloned session, " +
+        "never set on the user's session")
+  }
+
+  test("UNRENAMED name-mode tables (physical == logical) serve natively without ids") {
+    val root = freshRoot("cmap_name_plain")
+    val df = (1L to 12L).map(i => (i, s"v$i")).toDF("k", "v")
+    val (fa, sa) = F.writeDataFile(root, df, "pa")
+    F.writeCommit(root, 0, Seq(F.protocolLine(minReader = 2, minWriter = 5),
+      F.metaDataLine(F.columnMappedSchema(df.schema, Map.empty).json, Nil,
+        Map("delta.columnMapping.mode" -> "name")),
+      F.addLine(fa, sa)))
+    val read = readDl(root.toString)
+    assert(read.select("k").as[Long].collect().sorted === (1L to 12L).toArray)
+    assert(read.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.nonEmpty, "an upgrade-without-rename table is a plain scan in disguise")
+  }
+
   test("delta-lite versionAsOf + DV fallback stays exact (no resurrection, no native scan)") {
     val root = freshRoot("dv")
     val df = (1L to 8L).map(i => (i, s"r$i")).toDF("k", "v")

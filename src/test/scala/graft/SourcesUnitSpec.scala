@@ -1,8 +1,9 @@
 package graft.sources
 
 import org.apache.spark.sql.catalyst.dsl.expressions._
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal}
-import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, In, InSet, Literal}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Unit contracts of the data-source plumbing: the offset floor's
@@ -39,14 +40,14 @@ class SourcesUnitSpec extends AnyFunSuite {
     val k = AttributeReference("k", IntegerType)()
     val s = AttributeReference("s", StringType)()
     assert(StatsWindows.windows(k > Literal(5)) ===
-      List("k" -> Left((5.0, Double.PositiveInfinity))))
+      List("k" -> Left(List((5.0, Double.PositiveInfinity)))))
     assert(StatsWindows.windows(Literal(5) > k) === // 5 > k  ⇔  k < 5
-      List("k" -> Left((Double.NegativeInfinity, 5.0))))
+      List("k" -> Left(List((Double.NegativeInfinity, 5.0)))))
     assert(StatsWindows.windows((k >= Literal(2)) && (k <= Literal(9))) ===
-      List("k" -> Left((2.0, Double.PositiveInfinity)),
-        "k" -> Left((Double.NegativeInfinity, 9.0))))
+      List("k" -> Left(List((2.0, Double.PositiveInfinity))),
+        "k" -> Left(List((Double.NegativeInfinity, 9.0)))))
     val sw = StatsWindows.windows(s === Literal("abc"))
-    assert(sw === List("s" -> Right(("abc", "abc"))))
+    assert(sw === List("s" -> Right(List(("abc", "abc")))))
     // OR / != / IsNull are NOT window-expressible: must return Nil (the
     // conservative contract — data filters are re-applied above the scan)
     assert(StatsWindows.windows((k > Literal(5)) || (k < Literal(2))) === Nil)
@@ -57,5 +58,79 @@ class SourcesUnitSpec extends AnyFunSuite {
     assert(StatsWindows.nullWindows(k.isNotNull && s.isNull) ===
       List("k" -> false, "s" -> true))
     assert(StatsWindows.nullWindows(k > Literal(5)) === Nil)
+  }
+
+  test("StatsWindows: IN lists become unions of point windows (both In and InSet forms)") {
+    val k = AttributeReference("k", IntegerType)()
+    val s = AttributeReference("s", StringType)()
+    assert(StatsWindows.windows(In(k, Seq(Literal(2), Literal(7), Literal(40)))) ===
+      List("k" -> Left(List((2.0, 2.0), (7.0, 7.0), (40.0, 40.0)))))
+    // a file [10, 20] intersects NO point window → skippable, where the old
+    // single-envelope [2, 40] would have kept it
+    val Left(ranges) = StatsWindows.windows(
+      In(k, Seq(Literal(2), Literal(7), Literal(40)))).head._2
+    assert(!StatsWindows.numSurvives(10.0, 20.0, ranges))
+    assert(StatsWindows.numSurvives(30.0, 50.0, ranges))
+    // InSet (the post-optimizer form past the conversion threshold) —
+    // values are Catalyst-internal (UTF8String for strings)
+    assert(StatsWindows.windows(InSet(s,
+      Set(UTF8String.fromString("a"), UTF8String.fromString("c")))) ===
+      List("s" -> Right(List(("a", "a"), ("c", "c")))))
+    // null entries never match — ignored; an all-null list prunes nothing
+    assert(StatsWindows.windows(In(k, Seq(Literal(2), Literal(null, IntegerType)))) ===
+      List("k" -> Left(List((2.0, 2.0)))))
+    assert(StatsWindows.windows(In(k, Seq(Literal(null, IntegerType)))) === Nil)
+    // a MIXED-type list must prune nothing (partially recognized values
+    // could wrongly drop a file holding only the unrecognized ones)
+    assert(StatsWindows.windows(InSet(k,
+      Set[Any](2, UTF8String.fromString("x")))) === Nil)
+  }
+
+  test("StatsWindows: order-preserving numeric upcasts around the column unwrap") {
+    val k = AttributeReference("k", IntegerType)()
+    val s = AttributeReference("s", StringType)()
+    // cast(int k as bigint) > 5L — the shape Catalyst makes of `k > 5L`
+    assert(StatsWindows.windows(Cast(k, LongType) > Literal(5L)) ===
+      List("k" -> Left(List((5.0, Double.PositiveInfinity)))))
+    assert(StatsWindows.windows(Cast(k, DoubleType) === Literal(5.5)) ===
+      List("k" -> Left(List((5.5, 5.5)))))
+    assert(StatsWindows.windows(In(Cast(k, LongType), Seq(Literal(2L), Literal(9L)))) ===
+      List("k" -> Left(List((2.0, 2.0), (9.0, 9.0)))))
+    // NON-numeric casts do not unwrap (string→int is not stats-exact)
+    assert(StatsWindows.windows(Cast(s, IntegerType) > Literal(5)) === Nil)
+  }
+
+  test("StatsWindows.fromFilters: the sources.Filter front end mirrors the catalyst one") {
+    import org.apache.spark.sql.{sources => f}
+    val (wins, nulls) = StatsWindows.fromFilters(Seq(
+      f.GreaterThan("k", 5), f.In("s", Array("a", "c")),
+      f.IsNotNull("k"), f.And(f.LessThanOrEqual("k", 9), f.IsNull("v"))))
+    assert(wins === List(
+      "k" -> Left(List((5.0, Double.PositiveInfinity))),
+      "s" -> Right(List(("a", "a"), ("c", "c"))),
+      "k" -> Left(List((Double.NegativeInfinity, 9.0)))))
+    assert(nulls === List("k" -> false, "v" -> true))
+    // unrecognized / unsafe shapes prune nothing
+    assert(StatsWindows.fromFilters(Seq(
+      f.Or(f.EqualTo("k", 1), f.EqualTo("k", 2)),
+      f.EqualNullSafe("k", null),
+      f.In("k", Array[Any](1, "x"))))._1 === Nil)
+  }
+
+  test("FilterColumns: translated conjuncts are exactly the handled set") {
+    import org.apache.spark.sql.{sources => f}
+    val translatable: Array[f.Filter] = Array(
+      f.EqualTo("k", 5), f.In("k", Array(1, 2)), f.IsNull("v"),
+      f.Or(f.GreaterThan("k", 7), f.StringStartsWith("v", "a")),
+      f.Not(f.LessThan("k", 0)))
+    assert(FilterColumns.unhandled(translatable) === Array.empty[f.Filter])
+    translatable.foreach(flt => assert(FilterColumns.translate(flt).isDefined))
+    // an untranslatable leaf poisons its whole conjunct — honest fallback.
+    // Collated comparisons are the real untranslatable family: a plain
+    // Column comparison would apply the WRONG (binary) collation.
+    val exotic: f.Filter = f.Or(f.EqualTo("k", 1),
+      f.CollatedEqualTo("v", "a", org.apache.spark.sql.types.StringType))
+    assert(FilterColumns.translate(exotic).isEmpty)
+    assert(FilterColumns.unhandled(Array(exotic, f.EqualTo("k", 1))) === Array(exotic))
   }
 }
