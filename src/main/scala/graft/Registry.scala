@@ -67,7 +67,12 @@ object Registry {
     // roundtrip/replicate pin the protocol paths at fixed (nation) size,
     // q_vt_delta_export_scale carries the sf-scaled export cost (distributed
     // DV build + multi-file CDF write + replayed read)
-    "q_vt_delta_roundtrip", "q_vt_delta_replicate", "q_vt_delta_export_scale")
+    "q_vt_delta_roundtrip", "q_vt_delta_replicate", "q_vt_delta_export_scale",
+    // r17 verdict #6: a FILTERED merge-on-read read at orders scale — the
+    // fallback-relation cost (now PrunedFilteredScan) visible to the 2×/10×
+    // gates; the band leg should stay ~flat at 10× because pushed stats
+    // prune to the same files
+    "q_vt_mor_filter")
 
   /** The FROZEN round-4 headline list. `benchNames` grows as operators land
     * (23 → 27 across rounds), so the all-queries `total` is not

@@ -412,7 +412,10 @@ object Versioned {
       |  SELECT 0 AS version, n_nationkey FROM nation WHERE n_regionkey < 2
       |  UNION ALL
       |  SELECT 1 AS version, n_nationkey FROM nation
-      |  WHERE n_nationkey >= 10 AND n_nationkey <= 20)
+      |  WHERE n_nationkey >= 10 AND n_nationkey <= 20
+      |  UNION ALL
+      |  SELECT 2 AS version, n_nationkey FROM nation
+      |  WHERE n_nationkey IN (3, 17))
       |ORDER BY version, n_nationkey""".stripMargin) { (s, d) =>
     val vt = VersionedTable.create(Tables.scratch("vt_format_read"))
     val nation = Tables.nation(s, d)
@@ -425,6 +428,11 @@ object Versioned {
       .unionByName(rd.load()
         .where(col("n_nationkey").between(10, 20))
         .select(lit(1).as("version"), col("n_nationkey")))
+      // IN prunes as a union of point windows (r17) — the spec pins the
+      // scanned-file count; this leg pins that pruning loses no rows
+      .unionByName(rd.load()
+        .where(col("n_nationkey").isin(3, 17))
+        .select(lit(2).as("version"), col("n_nationkey")))
       .orderBy("version", "n_nationkey")
   }
 
@@ -1140,6 +1148,102 @@ object Versioned {
       .select("n_nationkey", "n_name").orderBy("n_nationkey")
   }
 
+  /** SQL TIME-TRAVEL SYNTAX through the DSv2 catalog
+    * ([[graft.sources.VtCatalog]], r17): `SELECT … FROM vt.`path` VERSION
+    * AS OF n` parses and resolves through `TableCatalog.loadTable(ident,
+    * version)` — the surface SQL users expect from Delta/Iceberg, over
+    * the native commit log. Three legs: version 0, the head, and a side
+    * branch via the `branch@path` identifier form. DV-free snapshots plan
+    * as genuine DSv2 ParquetScans over the commit-pinned file index
+    * (VtCatalogSpec pins the planned-file count under filters). */
+  val qVtSqlTravel: QueryDef = q("q_vt_sql_travel")(
+    """SELECT * FROM (
+      |  SELECT 0 AS version, n_nationkey FROM nation WHERE n_regionkey < 2
+      |  UNION ALL
+      |  SELECT 1 AS version, n_nationkey FROM nation
+      |  UNION ALL
+      |  SELECT 2 AS version, n_nationkey FROM nation WHERE n_regionkey >= 3)
+      |ORDER BY version, n_nationkey""".stripMargin) { (s, d) =>
+    val vt = VersionedTable.create(Tables.scratch("vt_sql_travel"))
+    val nation = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+    vt.write(nation.where(col("n_regionkey") < 2), "main", "v0")
+    vt.write(nation, "main", "v1")
+    vt.createBranch("side", "main")
+    vt.write(nation.where(col("n_regionkey") >= 3), "side", "side-v")
+    s.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
+    val t = s"vt.`${vt.root}`"
+    s.sql(
+      s"""SELECT * FROM (
+         |  SELECT 0 AS version, n_nationkey FROM $t VERSION AS OF 0
+         |  UNION ALL
+         |  SELECT 1 AS version, n_nationkey FROM $t
+         |  UNION ALL
+         |  SELECT 2 AS version, n_nationkey FROM vt.`side@${vt.root}`)
+         |ORDER BY version, n_nationkey""".stripMargin)
+  }
+
+  /** FILTERED MERGE-ON-READ at orders scale (r17, benched): the fallback
+    * relation's cost pinned by the gates. v0 is a key-range layout with
+    * per-file o_orderkey stats; a 30% MOR delete attaches deletion
+    * vectors (no rewrite), making every `format("vt")` read take
+    * [[graft.sources.VtMorRelation]] — which, as a PrunedFilteredScan,
+    * prunes the commit's files from the pushed BETWEEN before any scan
+    * and runs the predicate below the DV anti-join. At 10× rows the
+    * band-read leg should cost ~the same (it touches the same files);
+    * without the r17 pushdown it would scan the whole snapshot. Output =
+    * the band aggregated by priority; the oracle applies the same delete
+    * predicate and band directly. */
+  val qVtMorFilter: QueryDef = q("q_vt_mor_filter")(
+    """SELECT o_orderpriority, count(*) AS cnt,
+      |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM orders WHERE o_orderkey % 10 >= 3 AND o_orderkey BETWEEN 100 AND 4999
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val vt = VersionedTable.create(Tables.scratch("vt_mor_filter"))
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    vt.write(orders.repartitionByRange(8, col("o_orderkey")), "main", "v0",
+      statsCols = Seq("o_orderkey"))
+    vt.deleteWithVectors(s, "o_orderkey % 10 < 3", "main")
+    s.read.format("vt").option("path", vt.root.toString).load()
+      .where(col("o_orderkey").between(100, 4999))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("sum_cents"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** RENAMED name-mode Delta table through the NATIVE scan path (r17):
+    * delta-spark's name-mode files carry parquet field ids, so
+    * [[graft.sources.DeltaLite]] binds physical columns to logical names
+    * by id inside Spark's own vectorized reader instead of falling back
+    * to the delegating relation — with the exported stats still pruning
+    * under the BETWEEN (DeltaLiteSpec pins the FileSourceScanExec class
+    * and the scanned-file count; this row pins losslessness). */
+  val qVtDeltaCmapNative: QueryDef = q("q_vt_delta_cmap_native")(
+    """SELECT n_nationkey, n_name FROM nation
+      |WHERE n_nationkey BETWEEN 10 AND 20 ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+    import graft.vt.{DeltaLogFixture => F}
+    val root = java.nio.file.Paths.get(Tables.scratch("vt_delta_cmap_native"))
+    java.nio.file.Files.createDirectories(root)
+    val nation = Tables.nation(s, d).select("n_nationkey", "n_name")
+    val phys = Map("n_nationkey" -> "col-n1", "n_name" -> "col-n2")
+    val ids = Map("n_nationkey" -> 1L, "n_name" -> 2L)
+    def slice(cond: org.apache.spark.sql.Column, lo: Long, hi: Long, name: String) = {
+      val (f, sz) = F.writeDataFile(root,
+        F.physicalWithIds(nation.where(cond), phys, ids), name)
+      F.addLine(f, sz, stats = Some(
+        s"""{"minValues":{"col-n1":$lo},"maxValues":{"col-n1":$hi}}"""))
+    }
+    F.writeCommit(root, 0, Seq(F.protocolLine(minReader = 2, minWriter = 5),
+      F.metaDataLine(F.columnMappedSchema(nation.schema, phys, ids).json, Nil,
+        Map("delta.columnMapping.mode" -> "name",
+          "delta.columnMapping.maxColumnId" -> "2")),
+      slice(col("n_nationkey") < 10, 0L, 9L, "part-a"),
+      slice(col("n_nationkey") >= 10, 10L, 24L, "part-b")))
+    s.read.format("delta-lite").option("path", root.toString).load()
+      .where(col("n_nationkey").between(10, 20))
+      .select("n_nationkey", "n_name").orderBy("n_nationkey")
+  }
+
   /** Maintain a (count, sum) aggregate "view" incrementally: fold a CDC
     * stream (from [[graft.vt.VersionedTable.changes]]) into the previously
     * materialized aggregate instead of recomputing from the full table.
@@ -1199,5 +1303,6 @@ object Versioned {
     qVtDeltaDvRoundtrip, qVtDeltaCmap, qVtDeltaCmapId, qVtDeltaSkip, qVtDeltaCdf,
     qVtDeltaReplicate, qVtDeltaTail, qVtDeltaExportScale, qVtDeltaSkipStr,
     qVtStreamSource, qVtStreamSink, qVtDeltaStream, qVtFormatRead,
-    qVtDeltaLiteRead, qVtDeltaLitePart)
+    qVtDeltaLiteRead, qVtDeltaLitePart,
+    qVtSqlTravel, qVtMorFilter, qVtDeltaCmapNative)
 }

@@ -111,23 +111,27 @@ final class DeltaChanges extends StreamSourceProvider with DataSourceRegister {
 object DeltaChanges {
   // stream start calls this twice back-to-back (sourceSchema, then the
   // Source's schema val) — cache per root, invalidated by the head version,
-  // so one log replay serves both instead of two checkpoint bootstraps
-  private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, StructType)]()
+  // so one log replay serves both instead of two checkpoint bootstraps.
+  // BOUNDED (LRU, 64 roots): a long-lived session tailing many tables must
+  // not grow this per-JVM map without limit; evicted roots just pay one
+  // extra replay on their next stream start.
+  private[sources] val SchemaCacheCap = 64
+  private[sources] val schemaCache =
+    new BoundedCache[String, (Long, StructType)](SchemaCacheCap)
 
   /** Pinned feed columns: the LATEST snapshot schema plus Delta's three
     * CDF columns, in that order. */
   private[sources] def feedSchema(spark: SparkSession, tableRoot: String): StructType = {
     val head = DeltaLogReader.latestVersion(tableRoot)
-    val cached = schemaCache.get(tableRoot)
-    if (cached != null && cached._1 == head) cached._2
-    else {
-      val s = DeltaLogReader.snapshot(tableRoot, None, Some(spark)).schema
-        .add("_change_type", StringType)
-        .add("_commit_version", LongType)
-        .add("_commit_timestamp", TimestampType)
-      schemaCache.put(tableRoot, (head, s))
-      s
+    schemaCache.get(tableRoot) match {
+      case Some((v, s)) if v == head => s
+      case _ =>
+        val s = DeltaLogReader.snapshot(tableRoot, None, Some(spark)).schema
+          .add("_change_type", StringType)
+          .add("_commit_version", LongType)
+          .add("_commit_timestamp", TimestampType)
+        schemaCache.put(tableRoot, (head, s))
+        s
     }
   }
 }

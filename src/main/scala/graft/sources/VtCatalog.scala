@@ -1,0 +1,204 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.vt.{Commit, VersionedTable}
+
+/** The DSv2 front end for versioned tables: a [[TableCatalog]] that makes
+  * them first-class SQL citizens, unlocking the time-travel SYNTAX the
+  * DSv1 relation cannot parse —
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.vt", classOf[VtCatalog].getName)
+  *   spark.sql("SELECT * FROM vt.`/path/to/table` VERSION AS OF 0")
+  *   spark.sql("SELECT * FROM vt.`/path/to/table` TIMESTAMP AS OF '…'")
+  *   spark.sql("INSERT INTO vt.`/path/to/table` SELECT …")   // one commit
+  * }}}
+  *
+  * The identifier is the table ROOT PATH (backquoted), optionally
+  * prefixed `branch@` to address a non-main branch. `VERSION AS OF n`
+  * resolves through the same [[VersionedTable.resolveRead]] the reader
+  * options use; `TIMESTAMP AS OF` arrives from Spark in MICROseconds and
+  * converts to the commit log's millisecond clock.
+  *
+  * Reads plan EXACTLY like the DSv1 path, through the same commit-pinned
+  * [[VtFileIndex]]: DV-free snapshots serve Spark's own `ParquetScan`
+  * (via [[ParquetScanBuilder]] — catalyst filter pushdown, commit-log
+  * stats pruning in `listFiles`, vectorization, codegen), and DV-carrying
+  * snapshots serve a [[V1Scan]] bridge onto [[VtMorRelation]]'s pruned+
+  * filtered merge-on-read plan, with column pruning and filter pushdown
+  * negotiated through the DSv2 mixins. Writes bridge through [[V1Write]]:
+  * `INSERT INTO` appends one commit, `INSERT OVERWRITE` replaces
+  * (`SupportsTruncate`). DDL (create/alter/rename) is refused — a
+  * versioned table is created by its own API ([[VersionedTable.create]]),
+  * not by the catalog. */
+final class VtCatalog extends TableCatalog {
+
+  private var catalogName: String = "vt"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  /** `[branch@]<root path>` → (table, branch). The namespace must be
+    * empty: the whole address lives in one backquoted identifier part. */
+  private def parse(ident: Identifier): (VersionedTable, String) = {
+    require(ident.namespace().isEmpty,
+      s"$catalogName catalog identifiers are single backquoted paths " +
+        s"(`[branch@]/path/to/table`), got ${ident.namespace().mkString(".")}.${ident.name()}")
+    val raw = ident.name()
+    val at = raw.indexOf('@')
+    val (branch, path) =
+      if (at > 0 && !raw.substring(0, at).contains('/')) (raw.substring(0, at), raw.substring(at + 1))
+      else ("main", raw)
+    (VersionedTable.open(SourcePaths.local(path)), branch)
+  }
+
+  private def load(ident: Identifier)(resolve: (VersionedTable, String) => Commit): Table =
+    try {
+      val (vt, branch) = parse(ident)
+      new VtTable(SparkSession.active, vt, branch, resolve(vt, branch),
+        s"$catalogName.`${ident.name()}`")
+    } catch {
+      case _: IllegalArgumentException => throw new NoSuchTableException(ident)
+    }
+
+  override def loadTable(ident: Identifier): Table =
+    load(ident)((vt, b) => vt.resolveRead(b))
+
+  /** SQL `VERSION AS OF n`. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident)((vt, b) => vt.resolveRead(b, versionAsOf = Some(version.toLong)))
+
+  /** SQL `TIMESTAMP AS OF ts` — Spark hands MICROseconds since epoch. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    load(ident)((vt, b) =>
+      vt.resolveRead(b, timestampAsOf = Some(Math.floorDiv(timestamp, 1000L))))
+
+  override def tableExists(ident: Identifier): Boolean =
+    try { val (vt, branch) = parse(ident); vt.head(branch).isDefined }
+    catch { case _: IllegalArgumentException => false }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty // path-addressed: there is no enumerable namespace
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "create versioned tables with VersionedTable.create, not catalog DDL")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "alter versioned tables through their own API (schema evolves per commit)")
+
+  override def dropTable(ident: Identifier): Boolean = false
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "versioned tables are path-addressed; rename the path, not the catalog entry")
+}
+
+/** One version-pinned versioned table served through DSv2 (see
+  * [[VtCatalog]]). The snapshot is resolved at load time, so every scan
+  * of this Table object reads the same immutable commit — DSv2's
+  * load-then-scan split gives snapshot isolation for free. */
+final class VtTable(spark: SparkSession, vt: VersionedTable, branch: String,
+                    commit: Commit, ident: String)
+    extends Table with SupportsRead with SupportsWrite {
+
+  private val tableSchema =
+    DataType.fromJson(commit.schemaJson).asInstanceOf[StructType]
+
+  override def name(): String = ident
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  /** DV-free snapshots: Spark's own parquet ScanBuilder over the
+    * commit-pinned [[VtFileIndex]] — full DSv2 pushdown (catalyst data
+    * filters reach `listFiles` for stats pruning AND the parquet reader
+    * for footer skipping), column pruning, vectorized batches. DV
+    * snapshots: the [[V1Scan]] bridge onto the merge-on-read relation. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    if (commit.dvFiles.isEmpty)
+      ParquetScanBuilder(spark, new VtFileIndex(spark, vt, commit),
+        tableSchema, tableSchema, options)
+    else new VtMorScanBuilder(vt, commit, tableSchema)
+
+  /** `INSERT INTO` = append commit; `INSERT OVERWRITE` = overwrite commit
+    * (SupportsTruncate). One SQL statement, one commit — the same mapping
+    * as `format("vt")`'s SaveModes. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwriteFlag: Boolean): Unit = {
+              val ow = overwrite || overwriteFlag
+              vt.write(data, branch,
+                s"SQL INSERT ${if (ow) "OVERWRITE" else "INTO"} $ident",
+                mode = if (ow) "overwrite" else "append")
+              ()
+            }
+          }
+      }
+    }
+}
+
+/** DSv2 scan builder for DV-carrying snapshots: negotiates column pruning
+  * and filter pushdown through the standard mixins, then bridges to
+  * [[VtMorRelation.scanPlan]] via [[V1Scan]] — the pushed conjuncts prune
+  * the commit's file list and run below the DV anti-join, exactly like
+  * the DSv1 path. `pushFilters` returns only the conjuncts the relation
+  * cannot enforce (Spark re-applies those above). */
+private[sources] final class VtMorScanBuilder(vt: VersionedTable, commit: Commit,
+                                              fullSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => FilterColumns.translate(f).isDefined)
+    FilterColumns.unhandled(filters) // what Spark must still evaluate
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new V1Scan {
+    override def readSchema(): StructType = required
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        ctx: SQLContext): T = {
+      val mor = new VtMorRelation(ctx, vt, commit)
+      val cols = required.fieldNames
+      val pushedNow = pushed
+      val schemaNow = required
+      new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = ctx
+        override def schema: StructType = schemaNow
+        override def buildScan(): RDD[Row] = mor.scanPlan(cols, pushedNow).rdd
+      }.asInstanceOf[T]
+    }
+  }
+}

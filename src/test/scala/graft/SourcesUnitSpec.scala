@@ -117,6 +117,19 @@ class SourcesUnitSpec extends AnyFunSuite {
       f.In("k", Array[Any](1, "x"))))._1 === Nil)
   }
 
+  test("BoundedCache: hard cap with LRU eviction; recently-used roots survive") {
+    val c = new BoundedCache[String, Int](3)
+    (1 to 3).foreach(i => c.put(s"r$i", i))
+    assert(c.size === 3)
+    c.get("r1") // refresh r1's recency: r2 is now the eldest
+    c.put("r4", 4)
+    assert(c.size === 3, "the cap is hard — inserting past it evicts")
+    assert(!c.contains("r2"), "least-recently-USED is evicted")
+    assert(c.contains("r1") && c.contains("r3") && c.contains("r4"))
+    // the schema cache is an instance of this with a per-JVM cap
+    assert(graft.sources.DeltaChanges.SchemaCacheCap === 64)
+  }
+
   test("FilterColumns: translated conjuncts are exactly the handled set") {
     import org.apache.spark.sql.{sources => f}
     val translatable: Array[f.Filter] = Array(

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.execution.RowDataSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.vt.VersionedTable
+
+/** The DSv2 catalog front end (`spark.sql.catalog.vt = VtCatalog`): SQL
+  * time-travel syntax over versioned tables, native parquet scans with
+  * commit-log stats pruning, the V1 bridge for DV snapshots, and
+  * INSERT INTO/OVERWRITE as commits. */
+class VtCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def registerCatalog(): Unit =
+    spark.conf.set("spark.sql.catalog.vt",
+      classOf[graft.sources.VtCatalog].getName)
+
+  test("SQL VERSION AS OF / TIMESTAMP AS OF resolve through the vt catalog") {
+    registerCatalog()
+    val vt = VersionedTable.create(Tables.scratch("vtcat_travel"))
+    val df = (1 to 10).map(i => (i.toLong, s"row$i")).toDF("k", "v")
+    val c0 = vt.write(df.where($"k" <= 5), "main", "v0")
+    while (System.currentTimeMillis() <= c0.ts) Thread.sleep(1)
+    vt.write(df, "main", "v1")
+    val t = s"vt.`${vt.root}`"
+    assert(spark.sql(s"SELECT k FROM $t").as[Long].collect().sorted
+      === (1L to 10L).toArray)
+    assert(spark.sql(s"SELECT k FROM $t VERSION AS OF 0").as[Long].collect().sorted
+      === (1L to 5L).toArray)
+    // TIMESTAMP AS OF: format c0's commit millis in the session (UTC) zone
+    val ts = java.time.Instant.ofEpochMilli(c0.ts)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    assert(spark.sql(s"SELECT k FROM $t TIMESTAMP AS OF '$ts'")
+      .as[Long].collect().sorted === (1L to 5L).toArray)
+    // branch@path addressing
+    vt.createBranch("side", "main")
+    vt.write(df.where($"k" > 8), "side", "side-v")
+    assert(spark.sql(s"SELECT k FROM vt.`side@${vt.root}`").as[Long].collect().sorted
+      === Array(9L, 10L))
+  }
+
+  test("catalog reads are native ParquetScans with commit-log stats pruning") {
+    registerCatalog()
+    val vt = VersionedTable.create(Tables.scratch("vtcat_prune"))
+    def part(lo: Int, hi: Int) =
+      (lo to hi).map(i => (i.toLong, s"r$i")).toDF("k", "v").coalesce(1)
+    vt.write(part(1, 10), "main", "A", statsCols = Seq("k"))
+    vt.write(part(11, 20), "main", "B", mode = "append", statsCols = Seq("k"))
+    vt.write(part(21, 30), "main", "C", mode = "append", statsCols = Seq("k"))
+    val q = spark.sql(s"SELECT k FROM vt.`${vt.root}` WHERE k BETWEEN 12 AND 18")
+    assert(q.as[Long].collect().sorted === (12L to 18L).toArray)
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan
+    }.getOrElse(fail("no BatchScanExec — the catalog read did not plan as DSv2"))
+    // the pushed data filters reached VtFileIndex.listFiles: one file planned
+    val plannedFiles = scan.toBatch.planInputPartitions()
+      .flatMap(_.asInstanceOf[FilePartition].files).length
+    assert(plannedFiles === 1,
+      "commit-log stats must prune two of three files in the DSv2 scan")
+    // parquet-level pushdown negotiated too
+    assert(q.queryExecution.executedPlan.toString.contains("PushedFilters"),
+      "catalyst filters must reach the parquet scan")
+  }
+
+  test("DV snapshots serve through the V1 bridge: exact MOR, pruned + pushed") {
+    registerCatalog()
+    val vt = VersionedTable.create(Tables.scratch("vtcat_mor"))
+    def part(lo: Int, hi: Int) =
+      (lo to hi).map(i => (i.toLong, s"r$i")).toDF("k", "v").coalesce(1)
+    vt.write(part(1, 10), "main", "A", statsCols = Seq("k"))
+    vt.write(part(11, 20), "main", "B", mode = "append", statsCols = Seq("k"))
+    vt.deleteWithVectors(spark, "k % 10 = 5", "main")
+    val q = spark.sql(s"SELECT k FROM vt.`${vt.root}` WHERE k >= 11")
+    assert(q.as[Long].collect().sorted === Array(11L, 12, 13, 14, 16, 17, 18, 19, 20),
+      "k=15 must stay deleted through the SQL read")
+    assert(q.queryExecution.executedPlan.collectFirst {
+      case s: RowDataSourceScanExec => s
+    }.nonEmpty, "DV snapshots must take the V1 bridge, not a bare parquet scan")
+    // and the full unfiltered read is exact too
+    assert(spark.sql(s"SELECT count(*) AS c FROM vt.`${vt.root}`")
+      .as[Long].head() === 18L)
+  }
+
+  test("INSERT INTO appends a commit; INSERT OVERWRITE replaces; history travels") {
+    registerCatalog()
+    val vt = VersionedTable.create(Tables.scratch("vtcat_insert"))
+    vt.write((1L to 3L).toDF("k"), "main", "v0")
+    val t = s"vt.`${vt.root}`"
+    spark.sql(s"INSERT INTO $t SELECT id + 4 AS k FROM range(3)")
+    assert(spark.sql(s"SELECT k FROM $t").as[Long].collect().sorted
+      === (1L to 6L).toArray, "INSERT INTO must append one commit")
+    spark.sql(s"INSERT OVERWRITE $t SELECT id + 100 AS k FROM range(2)")
+    assert(spark.sql(s"SELECT k FROM $t").as[Long].collect().sorted
+      === Array(100L, 101L), "INSERT OVERWRITE must replace")
+    // each statement was one commit: the pre-insert content still travels
+    assert(spark.sql(s"SELECT k FROM $t VERSION AS OF 0").as[Long].collect().sorted
+      === (1L to 3L).toArray)
+    assert(spark.sql(s"SELECT k FROM $t VERSION AS OF 1").as[Long].collect().sorted
+      === (1L to 6L).toArray)
+  }
+
+  test("catalog refuses DDL loudly; missing tables surface as NoSuchTable") {
+    registerCatalog()
+    val e = intercept[Exception](
+      spark.sql("CREATE TABLE vt.`/tmp/vtcat_nope` (k BIGINT) USING parquet"))
+    assert(e.getMessage.toLowerCase.contains("versionedtable.create") ||
+      e.getMessage.toLowerCase.contains("not supported") ||
+      e.getMessage.toLowerCase.contains("unsupported"), e.getMessage)
+    // catalog-API contract: a path that is not a versioned table is
+    // NoSuchTable, and tableExists is false (SQL then falls through to the
+    // direct-query-on-files path, whose own message surfaces to the user)
+    val cat = new graft.sources.VtCatalog
+    cat.initialize("vt", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Collections.emptyMap()))
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array.empty, "/tmp/definitely_missing_vt")
+    intercept[org.apache.spark.sql.catalyst.analysis.NoSuchTableException](
+      cat.loadTable(ident))
+    assert(!cat.tableExists(ident))
+  }
+}

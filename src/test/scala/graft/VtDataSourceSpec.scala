@@ -66,6 +66,12 @@ class VtDataSourceSpec extends SparkSpec {
     // the residual predicate still reaches the parquet scan (pushdown)
     assert(q1.queryExecution.executedPlan.toString.contains("PushedFilters: ["),
       "parquet pushdown must survive the custom FileIndex")
+    // IN prunes as a UNION of point windows: 5 and 25 touch the first and
+    // third files only — the middle file ([11,20], which the old single
+    // min..max envelope would have kept) is skipped
+    val qIn = readVt(root).where($"k".isin(5, 25))
+    assert(qIn.select("k").as[Long].collect().sorted === Array(5L, 25L))
+    assert(scannedFiles(qIn) === 2, "IN must prune per point window, not per envelope")
     // unrecognized predicate shapes prune nothing but stay correct
     val q3 = readVt(root).where(length($"v") === 2)
     assert(q3.count() === 9L) // a1..a9 (single-digit suffixes of tag 'a')
