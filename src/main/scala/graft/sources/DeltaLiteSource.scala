@@ -238,14 +238,16 @@ final class DeltaFileIndex(spark: SparkSession, root: java.nio.file.Path,
   * anti-join is exact). Untranslatable conjuncts are reported via
   * `unhandledFilters` and Spark re-applies them above the scan. */
 final class DeltaLiteMorRelation(ctx: SQLContext, tableRoot: String,
-                                 version: Option[Long])
+                                 version: Option[Long],
+                                 preResolved: Option[DeltaSnapshot] = None)
     extends BaseRelation with PrunedFilteredScan {
   override def sqlContext: SQLContext = ctx
-  // ONE log replay per relation: snapshot resolution is shared by schema
-  // and every buildScan (the data plan itself is rebuilt per scan over the
-  // PRUNED file subset)
-  private lazy val snap =
-    DeltaLogReader.snapshot(tableRoot, version, Some(ctx.sparkSession))
+  // ONE log replay per relation — and ZERO when the provider already
+  // resolved the snapshot to route here (it passes it in): schema and
+  // every buildScan share it (the data plan itself is rebuilt per scan
+  // over the PRUNED file subset)
+  private lazy val snap = preResolved.getOrElse(
+    DeltaLogReader.snapshot(tableRoot, version, Some(ctx.sparkSession)))
   private lazy val tester = new DeltaStatsTester(snap.schema, snap.partitionColumns)
   override def schema: StructType = snap.schema
 
@@ -310,7 +312,7 @@ final class DeltaLite extends RelationProvider with DataSourceRegister {
     val hasDv = snap.files.exists(_.dv.isDefined)
     val root = java.nio.file.Paths.get(path).toAbsolutePath.normalize
     def fallback = new DeltaLiteMorRelation(sqlContext, path,
-      version.orElse(Some(snap.version)))
+      version.orElse(Some(snap.version)), preResolved = Some(snap))
     if (hasDv || !DeltaLite.partTypesSupported(snap)) fallback
     else {
       val dataFields = snap.schema.fields
@@ -368,34 +370,35 @@ object DeltaLite {
 
   /** True when NO field (nested included) was ever renamed — physical
     * name equals logical name throughout, so the parquet files' column
-    * names ARE the logical names and a plain scan binds correctly. */
-  private[sources] def unrenamed(st: StructType): Boolean =
-    st.fields.forall { f =>
-      DeltaLogReader.physName(f) == f.name && (f.dataType match {
-        case s: StructType => unrenamed(s)
-        case a: ArrayType => a.elementType match {
-          case s: StructType => unrenamed(s)
-          case _ => true
-        }
-        case m: MapType => (m.keyType, m.valueType) match {
-          case (s: StructType, v: StructType) => unrenamed(s) && unrenamed(v)
-          case (s: StructType, _) => unrenamed(s)
-          case (_, v: StructType) => unrenamed(v)
-          case _ => true
-        }
-        case _ => true
-      })
+    * names ARE the logical names and a plain scan binds correctly. The
+    * walk recurses through EVERY container shape (array-of-array,
+    * map-value structs, …): a renamed struct field reachable only under
+    * nested containers wrongly routed native would silently read NULL
+    * where the fallback serves real data. */
+  private[sources] def unrenamed(st: StructType): Boolean = {
+    def walk(dt: DataType): Boolean = dt match {
+      case s: StructType =>
+        s.fields.forall(f => DeltaLogReader.physName(f) == f.name && walk(f.dataType))
+      case a: ArrayType => walk(a.elementType)
+      case m: MapType => walk(m.keyType) && walk(m.valueType)
+      case _ => true
     }
+    walk(st)
+  }
 
-  /** ONE footer probe, of the OLDEST live file (add-order head — the
+  /** ONE footer probe, of the OLDEST live file (minimum add-action
+    * modificationTime, path as tiebreaker — add order is not preserved
+    * through a checkpoint bootstrap, and the oldest file is the
     * likeliest to predate a column-mapping upgrade and so to lack ids):
     * true iff every top-level parquet field carries a field id. Driver
     * cost is a single footer read per relation creation, independent of
-    * table size. */
+    * table size. Any probe I/O failure answers FALSE — the fallback
+    * relation can serve what a failed native routing would crash on. */
   private[sources] def oldestFileHasFieldIds(spark: SparkSession,
                                              root: java.nio.file.Path,
                                              snap: DeltaSnapshot): Boolean =
-    snap.files.headOption.exists { fe =>
+    snap.files.nonEmpty && scala.util.Try {
+      val fe = snap.files.minBy(f => (f.modTime, f.path))
       val p = new HPath(root.resolve(fe.path).toUri)
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         p, spark.sparkContext.hadoopConfiguration)
@@ -404,5 +407,5 @@ object DeltaLite {
         val fields = reader.getFooter.getFileMetaData.getSchema.getFields
         !fields.isEmpty && fields.stream().allMatch(t => t.getId != null)
       } finally reader.close()
-    }
+    }.getOrElse(false)
 }

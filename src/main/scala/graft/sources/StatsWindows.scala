@@ -65,17 +65,21 @@ private[sources] object StatsWindows {
                  (cmp: (String, String) => Int): Boolean =
     ranges.exists { case (lo, hi) => cmp(mx, lo) >= 0 && cmp(mn, hi) <= 0 }
 
-  /** The column itself, or an order-preserving numeric upcast of it —
+  /** The column itself, or an order-preserving numeric UPcast of it —
     * Catalyst wraps the attribute side in a `Cast` whenever the literal's
-    * type is wider (`int_col > 5L`, `int_col = 5.5`). Every
-    * numeric→numeric cast Catalyst inserts for a comparison widens, and
-    * the downstream stats test compares as doubles anyway, so unwrapping
-    * loses nothing and stays conservative. */
+    * type is wider (`int_col > 5L`, `int_col = 5.5`). Only
+    * `Cast.canUpCast` shapes unwrap: an upcast is monotone (x ≤ y ⇒
+    * cast(x) ≤ cast(y)), so the widened literal's window is exact against
+    * the double stats. A user-written NARROWING cast (`CAST(dbl AS INT)`)
+    * must NOT unwrap — truncation is not order-preserving (dbl=5.5
+    * matches `=5` after the cast but lies outside the [5,5] window), and
+    * unwrapping it would prune files holding matching rows. */
   private object BoundAttr {
     def unapply(e: Expression): Option[AttributeReference] = e match {
       case a: AttributeReference => Some(a)
       case Cast(a: AttributeReference, dt, _, _)
-          if a.dataType.isInstanceOf[NumericType] && dt.isInstanceOf[NumericType] =>
+          if a.dataType.isInstanceOf[NumericType] && dt.isInstanceOf[NumericType] &&
+            Cast.canUpCast(a.dataType, dt) =>
         Some(a)
       case _ => None
     }
@@ -97,13 +101,16 @@ private[sources] object StatsWindows {
     case _ => Nil
   }
 
-  // catalyst literal → window value (None = unrecognized, prune nothing)
-  private def litNum(value: Any): Option[Double] = value match {
+  // catalyst literal → window value (None = unrecognized, prune nothing).
+  // NaN never windows: `mx >= NaN` is false for every file, so a NaN
+  // equality window would prune ALL files — while Spark's own semantics
+  // make `col = NaN` TRUE for NaN rows. No window = conservative = exact.
+  private def litNum(value: Any): Option[Double] = (value match {
     case null => None
     case n: Number => Some(n.doubleValue())
     case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
     case _ => None
-  }
+  }).filterNot(_.isNaN)
   private def litStr(value: Any): Option[String] = value match {
     case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
     case _ => None
@@ -176,12 +183,12 @@ private[sources] object StatsWindows {
   // the separate converters. Top-level filters arrive as implicit conjuncts;
   // sources.And recurses, everything unrecognized prunes nothing.
 
-  private def extNum(value: Any): Option[Double] = value match {
+  private def extNum(value: Any): Option[Double] = (value match {
     case null => None
     case n: Number => Some(n.doubleValue())
     case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
     case _ => None
-  }
+  }).filterNot(_.isNaN) // same NaN rule as litNum
   private def extStr(value: Any): Option[String] = value match {
     case s: String => Some(s)
     case _ => None

@@ -67,14 +67,15 @@ final class VtCatalog extends TableCatalog {
     (VersionedTable.open(SourcePaths.local(path)), branch)
   }
 
-  private def load(ident: Identifier)(resolve: (VersionedTable, String) => Commit): Table =
-    try {
-      val (vt, branch) = parse(ident)
-      new VtTable(SparkSession.active, vt, branch, resolve(vt, branch),
-        s"$catalogName.`${ident.name()}`")
-    } catch {
-      case _: IllegalArgumentException => throw new NoSuchTableException(ident)
-    }
+  private def load(ident: Identifier)(resolve: (VersionedTable, String) => Commit): Table = {
+    // only OPEN failures are "no such table"; a bad VERSION AS OF / branch
+    // on an existing table must surface as its own error, not table-not-found
+    val (vt, branch) =
+      try parse(ident)
+      catch { case _: IllegalArgumentException => throw new NoSuchTableException(ident) }
+    new VtTable(SparkSession.active, vt, branch, resolve(vt, branch),
+      s"$catalogName.`${ident.name()}`")
+  }
 
   override def loadTable(ident: Identifier): Table =
     load(ident)((vt, b) => vt.resolveRead(b))

@@ -101,15 +101,22 @@ final class VtFileIndex(spark: SparkSession, vt: VersionedTable, commit: Commit)
 
   override def partitionSchema: StructType = StructType(Nil)
 
-  override protected def leafFiles: scala.collection.mutable.LinkedHashMap[HPath, FileStatus] = {
+  // materialized ONCE (the commit is immutable): PartitioningAwareFileIndex
+  // internals consult these repeatedly during DSv2 planning
+  private lazy val leafMap: scala.collection.mutable.LinkedHashMap[HPath, FileStatus] = {
     val m = scala.collection.mutable.LinkedHashMap.empty[HPath, FileStatus]
     statuses.foreach { case (_, st) => m += (st.getPath -> st) }
     m
   }
-
-  override protected def leafDirToChildrenFiles: Map[HPath, Array[FileStatus]] =
+  private lazy val leafDirs: Map[HPath, Array[FileStatus]] =
     statuses.map(_._2).groupBy(_.getPath.getParent)
       .view.mapValues(_.toArray).toMap
+
+  override protected def leafFiles: scala.collection.mutable.LinkedHashMap[HPath, FileStatus] =
+    leafMap
+
+  override protected def leafDirToChildrenFiles: Map[HPath, Array[FileStatus]] =
+    leafDirs
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {

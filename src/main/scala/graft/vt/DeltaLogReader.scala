@@ -720,7 +720,13 @@ object DeltaLogReader {
         s"delta.columnMapping.mode=$mode is not implemented by this replayer")
       val mapped = mode == "name"
       val idMapped = mode == "id"
-      if (idMapped) spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      // same session-scoping rule as readSnapshot: id-mode scans plan
+      // against a cloned session with the field-id conf on, never by
+      // mutating the caller's session
+      val scanSession =
+        if (idMapped) org.apache.spark.sql.graft.SessionShim.withConf(spark,
+          "spark.sql.parquet.fieldId.read.enabled" -> "true")
+        else spark
       val partSet = partCols.toSet
       def isPart(f: org.apache.spark.sql.types.StructField): Boolean =
         partSet(f.name) || partSet(physName(f))
@@ -757,7 +763,7 @@ object DeltaLogReader {
             col(s"`${physName(f)}`").cast(f.dataType).as(f.name)) ++
             (if (withChangeType) Seq(col("_change_type")) else Nil)).toIndexedSeq: _*)
         files.groupBy(_._2).toSeq.map { case (pv, group) =>
-          val base = renameToLogical(spark.read.schema(fileSchema)
+          val base = renameToLogical(scanSession.read.schema(fileSchema)
             .parquet(group.map(g => abs(g._1)): _*))
           partFields.foldLeft(base) { (d, f) =>
             val raw = pv.get(physName(f)).orElse(pv.get(f.name)).orNull

@@ -447,9 +447,13 @@ class DeltaLogSpec extends SparkSpec {
       F.metaDataLine(F.columnMappedSchema(df.schema, phys, ids).json, Nil,
         Map("delta.columnMapping.mode" -> "id")),
       F.addLine(fb, sb)))
+    val flagBefore = spark.conf.get("spark.sql.parquet.fieldId.read.enabled")
     val idFeed = DeltaLogReader.changes(spark, root2.toString, 0, 0)
       .select("_change_type", "k", "v").as[(String, Int, String)].collect().toSet
     assert(idFeed === Set(("insert", 1, "a"), ("insert", 2, "b")))
+    assert(spark.conf.get("spark.sql.parquet.fieldId.read.enabled") === flagBefore,
+      "the CDF path must scope field-id resolution to a cloned session, " +
+        "never mutate the caller's (r17 review finding)")
   }
 
   test("readWhere/readWhereString prune by partitionValues on partition columns") {

@@ -98,6 +98,48 @@ class SourcesUnitSpec extends AnyFunSuite {
       List("k" -> Left(List((2.0, 2.0), (9.0, 9.0)))))
     // NON-numeric casts do not unwrap (string→int is not stats-exact)
     assert(StatsWindows.windows(Cast(s, IntegerType) > Literal(5)) === Nil)
+    // NARROWING numeric casts do not unwrap either: CAST(dbl AS INT) = 5
+    // matches dbl=5.5 after truncation, outside the [5,5] window — an
+    // unwrap here would prune files holding matching rows (review finding)
+    val dbl = AttributeReference("d", DoubleType)()
+    assert(StatsWindows.windows(Cast(dbl, IntegerType) === Literal(5)) === Nil)
+    assert(StatsWindows.windows(Cast(AttributeReference("l", LongType)(),
+      IntegerType) > Literal(5)) === Nil)
+  }
+
+  test("StatsWindows: NaN comparisons never window (would prune files holding NaN matches)") {
+    val d = AttributeReference("d", DoubleType)()
+    // Spark's NaN = NaN is TRUE, but against double stats `mx >= NaN` is
+    // false for every file — a NaN window would prune ALL files including
+    // ones holding matching NaN rows. No window = conservative = exact.
+    assert(StatsWindows.windows(d === Literal(Double.NaN)) === Nil)
+    // an IN list containing NaN must prune NOTHING (not just drop the NaN
+    // point): NaN rows can match, and NaN-holding files may carry NaN max
+    // stats that fail every finite point window
+    assert(StatsWindows.windows(In(d, Seq(Literal(1.0), Literal(Double.NaN)))) === Nil)
+    assert(StatsWindows.fromFilters(Seq(
+      org.apache.spark.sql.sources.EqualTo("d", Double.NaN)))._1 === Nil)
+  }
+
+  test("DeltaLite.unrenamed walks every container depth") {
+    import org.apache.spark.sql.types._
+    def field(name: String, phys: String, dt: DataType) =
+      StructField(name, dt, nullable = true,
+        new MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", phys).build())
+    // renamed struct field buried under array<array<struct>>: NOT unrenamed
+    val deep = StructType(Seq(StructField("a",
+      ArrayType(ArrayType(StructType(Seq(field("x", "col-x", IntegerType))))))))
+    assert(!DeltaLite.unrenamed(deep),
+      "a rename under nested containers must force the exact fallback")
+    // same shape, physical == logical: unrenamed
+    val same = StructType(Seq(StructField("a",
+      ArrayType(ArrayType(StructType(Seq(field("x", "x", IntegerType))))))))
+    assert(DeltaLite.unrenamed(same))
+    // map-value struct rename
+    val mapped = StructType(Seq(StructField("m",
+      MapType(StringType, StructType(Seq(field("y", "col-y", IntegerType)))))))
+    assert(!DeltaLite.unrenamed(mapped))
   }
 
   test("StatsWindows.fromFilters: the sources.Filter front end mirrors the catalyst one") {

@@ -121,5 +121,13 @@ class VtCatalogSpec extends SparkSpec {
     intercept[org.apache.spark.sql.catalyst.analysis.NoSuchTableException](
       cat.loadTable(ident))
     assert(!cat.tableExists(ident))
+    // a bad VERSION on an EXISTING table is its own error, never no-such-table
+    val vt = VersionedTable.create(Tables.scratch("vtcat_badver"))
+    vt.write(spark.range(3).toDF("k"), "main", "v0")
+    val okIdent = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array.empty, vt.root.toString)
+    val badVer = intercept[Exception](cat.loadTable(okIdent, "99"))
+    assert(!badVer.isInstanceOf[org.apache.spark.sql.catalyst.analysis.NoSuchTableException],
+      s"out-of-range version must not masquerade as table-not-found: $badVer")
   }
 }
