@@ -1244,6 +1244,49 @@ object Versioned {
       .select("n_nationkey", "n_name").orderBy("n_nationkey")
   }
 
+  /** Metadata-only MIN/MAX (r17): the commit log's per-file stats answer
+    * `SELECT min(col), max(col)` with ZERO file reads — not even footers
+    * (Spark's parquet aggregate pushdown still pays one footer GET per
+    * file; at 10⁶ files the driver-side fold is the only sane shape for
+    * "how fresh is this table?"). The `meta` leg is the pure-metadata
+    * answer ([[graft.vt.VersionedTable.minMaxFromStats]], string twin
+    * included); the `mor` leg pins the REFUSAL contract — after a
+    * merge-on-read delete the metadata answer is no longer provable
+    * (the extreme row may be gone), so the API answers None and the
+    * caller falls back to the (pruned, filter-pushed) scan.
+    * VersionedTableSpec pins zero-I/O via a ghost-file commit. */
+  val qVtMinmaxMeta: QueryDef = q("q_vt_minmax_meta")(
+    """SELECT 'meta' AS part,
+      |       CAST(min(o_orderkey) AS DOUBLE) AS mn, CAST(max(o_orderkey) AS DOUBLE) AS mx,
+      |       min(o_orderpriority) AS smn, max(o_orderpriority) AS smx
+      |FROM orders
+      |UNION ALL
+      |SELECT 'mor' AS part,
+      |       CAST(min(o_orderkey) AS DOUBLE), CAST(max(o_orderkey) AS DOUBLE),
+      |       min(o_orderpriority), max(o_orderpriority)
+      |FROM orders WHERE o_orderkey % 10 >= 3
+      |ORDER BY part""".stripMargin) { (s, d) =>
+    val vt = VersionedTable.create(Tables.scratch("vt_minmax_meta"))
+    val orders = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+    vt.write(orders.repartitionByRange(4, col("o_orderkey")), "main", "v0",
+      statsCols = Seq("o_orderkey", "o_orderpriority"))
+    val (mn, mx) = vt.minMaxFromStats("main", "o_orderkey")
+      .getOrElse(sys.error("metadata min/max must be provable on a clean snapshot"))
+    val (smn, smx) = vt.minMaxStringFromStats(vt.head("main").get, "o_orderpriority")
+      .getOrElse(sys.error("string metadata min/max must be provable too"))
+    val meta = s.range(1).select(lit("meta").as("part"),
+      lit(mn).as("mn"), lit(mx).as("mx"), lit(smn).as("smn"), lit(smx).as("smx"))
+    vt.deleteWithVectors(s, "o_orderkey % 10 < 3", "main")
+    require(vt.minMaxFromStats("main", "o_orderkey").isEmpty,
+      "a DV-carrying snapshot must refuse the metadata answer")
+    val fallback = vt.read(s, "main").agg(
+      min(col("o_orderkey")).cast("double").as("mn"),
+      max(col("o_orderkey")).cast("double").as("mx"),
+      min(col("o_orderpriority")).as("smn"), max(col("o_orderpriority")).as("smx"))
+      .select(lit("mor").as("part"), col("mn"), col("mx"), col("smn"), col("smx"))
+    meta.unionByName(fallback).orderBy("part")
+  }
+
   /** Maintain a (count, sum) aggregate "view" incrementally: fold a CDC
     * stream (from [[graft.vt.VersionedTable.changes]]) into the previously
     * materialized aggregate instead of recomputing from the full table.
@@ -1304,5 +1347,5 @@ object Versioned {
     qVtDeltaReplicate, qVtDeltaTail, qVtDeltaExportScale, qVtDeltaSkipStr,
     qVtStreamSource, qVtStreamSink, qVtDeltaStream, qVtFormatRead,
     qVtDeltaLiteRead, qVtDeltaLitePart,
-    qVtSqlTravel, qVtMorFilter, qVtDeltaCmapNative)
+    qVtSqlTravel, qVtMorFilter, qVtDeltaCmapNative, qVtMinmaxMeta)
 }

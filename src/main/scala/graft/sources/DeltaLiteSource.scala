@@ -278,7 +278,9 @@ final class DeltaLiteMorRelation(ctx: SQLContext, tableRoot: String,
   * without the Delta jar, planned through Spark's native file-scan
   * machinery with the log's partition values and per-file stats pruning
   * folded in ([[DeltaFileIndex]]). Options: `path` (required),
-  * `versionAsOf`, `timestampAsOf` (epoch millis; mutually exclusive).
+  * `versionAsOf`, `timestampAsOf` (epoch millis, ISO instant, or a
+  * session-zone date/date-time — [[SourcePaths.parseTimestamp]];
+  * mutually exclusive with `versionAsOf`).
   *
   * Column-mapped tables stay NATIVE wherever the files allow it: id mode
   * binds columns by parquet field id inside Spark's own vectorized
@@ -302,7 +304,8 @@ final class DeltaLite extends RelationProvider with DataSourceRegister {
                               parameters: Map[String, String]): BaseRelation = {
     val path = SourcePaths.required(parameters, "delta-lite", "Delta table root")
     val vAsOf = parameters.get("versionAsOf").map(_.toLong)
-    val tAsOf = parameters.get("timestampAsOf").map(_.toLong)
+    val tAsOf = parameters.get("timestampAsOf")
+      .map(SourcePaths.parseTimestamp(sqlContext.sparkSession, _))
     require(vAsOf.isEmpty || tAsOf.isEmpty,
       "versionAsOf and timestampAsOf are mutually exclusive")
     val version = vAsOf.orElse(tAsOf.map(DeltaLogReader.versionAtTimestamp(path, _)))

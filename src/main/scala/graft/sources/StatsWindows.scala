@@ -17,6 +17,28 @@ private[sources] object SourcePaths {
   def required(params: Map[String, String], format: String, what: String): String =
     local(params.getOrElse("path", throw new IllegalArgumentException(
       s"$format needs option 'path' (the $what)")))
+
+  /** A reader-option timestamp (`timestampAsOf`) → epoch millis. Accepts
+    * what Delta's reader option accepts: raw epoch millis (all digits),
+    * an ISO instant with zone (`2026-08-14T12:00:00Z`), or a local
+    * date / date-time (`2026-08-14` / `2026-08-14 12:00:00[.SSS]`)
+    * interpreted in the SESSION time zone (`spark.sql.session.timeZone`
+    * — Delta's rule; never the JVM default, which differs per executor
+    * host). */
+  def parseTimestamp(spark: org.apache.spark.sql.SparkSession, raw: String): Long = {
+    val t = raw.trim
+    t.toLongOption.getOrElse {
+      try java.time.Instant.parse(t).toEpochMilli
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          val zone = java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
+          val ldt =
+            if (t.length <= 10) java.time.LocalDate.parse(t).atStartOfDay()
+            else java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+          ldt.atZone(zone).toInstant.toEpochMilli
+      }
+    }
+  }
 }
 
 /** Shared predicate→window extraction for file-skipping scan planning

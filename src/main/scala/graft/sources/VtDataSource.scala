@@ -227,7 +227,8 @@ final class VtDataSource extends RelationProvider with CreatableRelationProvider
     val (path, vt, branch) = openTable(parameters)
     val commit = vt.resolveRead(branch,
       versionAsOf = parameters.get("versionAsOf").map(_.toLong),
-      timestampAsOf = parameters.get("timestampAsOf").map(_.toLong))
+      timestampAsOf = parameters.get("timestampAsOf")
+        .map(SourcePaths.parseTimestamp(sqlContext.sparkSession, _)))
     if (commit.dvFiles.nonEmpty) new VtMorRelation(sqlContext, vt, commit)
     else {
       val spark = sqlContext.sparkSession

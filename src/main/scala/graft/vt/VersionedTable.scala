@@ -1148,6 +1148,64 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     }
   }
 
+  /** Metadata-only `SELECT MIN(col), MAX(col)` from the commit log's
+    * per-file stats — ZERO file reads, not even footers (Spark's own
+    * parquet aggregate pushdown still costs one footer GET per file; at a
+    * million files this is the difference between a driver-side fold and
+    * a million GETs for the everyday "how fresh is this table?" query).
+    * Answers `None` — caller falls back to a scan — whenever the answer
+    * cannot be PROVEN from metadata: the snapshot carries deletion
+    * vectors (a deletion may have removed the extreme row), or any file
+    * lacks stats for the column without being provably all-null
+    * (nullCount == rowCount files contribute nothing to min/max, exactly
+    * SQL's null-ignoring semantics, so they are safely skipped). Numeric
+    * stats live in the double domain (the same domain the skipping stats
+    * use), so the answer is exact wherever the column's values are —
+    * i.e. for every numeric type except int64 values beyond 2⁵³. */
+  def minMaxFromStats(c: Commit, column: String): Option[(Double, Double)] =
+    minMaxFrom(c, column, c.stats)(math.min, math.max)
+
+  /** String twin of [[minMaxFromStats]] — the stats were computed under
+    * Spark's own binary-UTF-8 string ordering, which is also what SQL
+    * MIN/MAX use, so the metadata answer is exact. */
+  def minMaxStringFromStats(c: Commit, column: String): Option[(String, String)] =
+    minMaxFrom(c, column, c.strStats)(
+      (a, b) => if (VersionedTable.utf8Cmp(a, b) <= 0) a else b,
+      (a, b) => if (VersionedTable.utf8Cmp(a, b) >= 0) a else b)
+
+  def minMaxFromStats(branch: String, column: String): Option[(Double, Double)] =
+    minMaxFromStats(headOrThrow(branch), column)
+
+  private def headOrThrow(branch: String): Commit = head(branch).getOrElse(
+    throw new IllegalArgumentException(s"no such branch: $branch"))
+
+  private def minMaxFrom[T](c: Commit, column: String,
+                            statsOf: Map[String, Map[String, (T, T)]])
+                           (lo: (T, T) => T, hi: (T, T) => T): Option[(T, T)] = {
+    if (c.dvFiles.nonEmpty || c.files.isEmpty) None
+    else {
+      // per file: Some(Some(mm)) contributes, Some(None) provably all-null
+      // (contributes nothing), None = unknown → no metadata answer
+      val per: Vector[Option[Option[(T, T)]]] = c.files.map { f =>
+        statsOf.get(f).flatMap(_.get(column)) match {
+          case Some(mm) => Some(Some(mm))
+          case None =>
+            val allNull = for {
+              nc <- c.nullStats.get(f).flatMap(_.get(column))
+              rows <- c.rowCounts.get(f)
+            } yield nc == rows
+            if (allNull.contains(true)) Some(None) else None
+        }
+      }
+      if (per.exists(_.isEmpty)) None
+      else {
+        val mms = per.flatten.flatten
+        if (mms.isEmpty) None // every row null: SQL answer is NULL — scan says so
+        else Some((mms.map(_._1).reduce(lo), mms.map(_._2).reduce(hi)))
+      }
+    }
+  }
+
   /** The live rows of `c` tagged with their provenance — `__graft_fk` (file
     * key: last two path segments) and `__graft_pos` (0-based physical row
     * index from `_metadata.row_index`, stable because data files are

@@ -301,6 +301,10 @@ class DeltaLiteSpec extends SparkSpec {
       .select("k").as[Long].collect().sorted === (1L to 8L).toArray)
     assert(readDl(root.toString, "timestampAsOf" -> "2000")
       .select("k").as[Long].collect().sorted === (1L to 6L).toArray)
+    // datetime-string form of the option (ISO instant; Delta accepts both)
+    assert(readDl(root.toString,
+        "timestampAsOf" -> "1970-01-01T00:00:01.500Z")
+      .select("k").as[Long].collect().sorted === (1L to 8L).toArray)
     // versionAsOf + timestampAsOf together are refused
     val eBoth = intercept[IllegalArgumentException](
       readDl(root.toString, "versionAsOf" -> "0", "timestampAsOf" -> "1"))

@@ -1372,6 +1372,36 @@ class VersionedTableSpec extends SparkSpec {
     IncrementalPassages.maintainPassageTable(vt, sigVt) // walks v3→v2→v1 only
     assert(sigVt.head("main").map(_.version) === Some(3L))
   }
+
+  test("metadata-only MIN/MAX: zero file I/O, all-null files skipped, DV/missing-stats refuse") {
+    import spark.implicits._
+    val vt = freshVt("minmax_meta")
+    val withNulls = Seq((1L, "a"), (2L, null: String)).toDF("k", "v").coalesce(1)
+    val plain = Seq((10L, "z"), (7L, "m")).toDF("k", "v").coalesce(1)
+    val allNull = Seq((5L, null: String), (6L, null: String)).toDF("k", "v").coalesce(1)
+    vt.write(withNulls, "main", "A", statsCols = Seq("k", "v"))
+    vt.write(plain, "main", "B", mode = "append", statsCols = Seq("k", "v"))
+    vt.write(allNull, "main", "C", mode = "append", statsCols = Seq("k", "v"))
+    val head = vt.head("main").get
+    assert(vt.minMaxFromStats(head, "k") === Some((1.0, 10.0)))
+    // the all-null file contributes nothing to v (SQL semantics) and is
+    // provably all-null via nullStats+rowCounts — skipped, not a refusal
+    assert(vt.minMaxStringFromStats(head, "v") === Some(("a", "z")))
+    // ZERO file I/O: a commit whose (statted) files do not exist on disk
+    // still answers — any read would throw FileNotFound
+    val ghost = head.copy(files = Vector("data/ghost.parquet"),
+      stats = Map("data/ghost.parquet" -> Map("k" -> (3.0, 9.0))),
+      strStats = Map("data/ghost.parquet" -> Map("v" -> ("b", "q"))))
+    assert(vt.minMaxFromStats(ghost, "k") === Some((3.0, 9.0)))
+    assert(vt.minMaxStringFromStats(ghost, "v") === Some(("b", "q")))
+    // a file with unknown stats (not provably all-null) refuses
+    val unknown = head.copy(files = head.files :+ "data/unstatted.parquet")
+    assert(vt.minMaxFromStats(unknown, "k").isEmpty)
+    // a DV-carrying snapshot refuses: the deletion may have removed the
+    // extreme row
+    vt.deleteWithVectors(spark, "k = 10", "main")
+    assert(vt.minMaxFromStats("main", "k").isEmpty)
+  }
 }
 
 /** The ENTIRE invariant matrix above, re-run on the rename-free S3-semantics

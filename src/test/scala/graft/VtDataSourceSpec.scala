@@ -31,6 +31,15 @@ class VtDataSourceSpec extends SparkSpec {
       === (1L to 5L).toArray)
     assert(readVt(root, "timestampAsOf" -> c0.ts.toString)
       .select("k").as[Long].collect().sorted === (1L to 5L).toArray)
+    // timestampAsOf also accepts datetime STRINGS (Delta's option shape):
+    // ISO instant, and session-zone date-time (session tz is UTC here)
+    val iso = java.time.Instant.ofEpochMilli(c0.ts).toString
+    assert(readVt(root, "timestampAsOf" -> iso)
+      .select("k").as[Long].collect().sorted === (1L to 5L).toArray)
+    val local = java.time.Instant.ofEpochMilli(c0.ts)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.toString.replace('T', ' ')
+    assert(readVt(root, "timestampAsOf" -> local)
+      .select("k").as[Long].collect().sorted === (1L to 5L).toArray)
     assert(readVt(root, "branch" -> "side").select("k").as[Long].collect().sorted
       === Array(9L, 10L))
     // versionAsOf and timestampAsOf together are refused
