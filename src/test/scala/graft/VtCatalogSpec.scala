@@ -66,6 +66,30 @@ class VtCatalogSpec extends SparkSpec {
       "catalyst filters must reach the parquet scan")
   }
 
+  test("Spark's parquet aggregate pushdown composes with the catalog scan") {
+    registerCatalog()
+    val vt = VersionedTable.create(Tables.scratch("vtcat_aggpush"))
+    vt.write((1L to 100L).toDF("k"), "main", "v0")
+    val before = spark.conf.getOption("spark.sql.parquet.aggregatePushdown")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      // MIN/MAX/COUNT answered from parquet FOOTERS of the commit-pinned
+      // file set — zero row reads; the DSv2 route gets this for free
+      // because VtTable serves Spark's own ParquetScanBuilder
+      val q = spark.sql(
+        s"SELECT min(k) AS mn, max(k) AS mx, count(*) AS c FROM vt.`${vt.root}`")
+      assert(q.as[(Long, Long, Long)].head() === ((1L, 100L, 100L)))
+      assert(q.queryExecution.executedPlan.toString.contains(
+        "PushedAggregation: [MIN(k), MAX(k), COUNT(*)]"),
+        "the aggregate must reach the parquet scan")
+    } finally before match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.aggregatePushdown", v)
+      case None => spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+    }
+    // spark.table resolves through the catalog too (DataFrame route)
+    assert(spark.table(s"vt.`${vt.root}`").count() === 100L)
+  }
+
   test("DV snapshots serve through the V1 bridge: exact MOR, pruned + pushed") {
     registerCatalog()
     val vt = VersionedTable.create(Tables.scratch("vtcat_mor"))
