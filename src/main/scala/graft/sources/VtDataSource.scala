@@ -198,26 +198,43 @@ final class VtDataSource extends RelationProvider with CreatableRelationProvider
     (path, VersionedTable.open(path), parameters.getOrElse("branch", "main"))
   }
 
+  /** The `statsCols` option ("a,b,c"): columns whose per-file min/max/
+    * null-count stats the commit will record — what powers planning-time
+    * file skipping ([[VtFileIndex]]) and metadata-only MIN/MAX on
+    * format-written tables. */
+  private def statsColsOf(parameters: Map[String, String]): Seq[String] =
+    parameters.get("statsCols").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
   /** Batch WRITE — `df.write.format("vt").mode(...).save()`: one commit
     * per save. SaveMode maps onto commit semantics: Append/Overwrite are
     * the two native write modes; ErrorIfExists commits only a FIRST
     * version (refusing if the branch already has one — the closest
     * analog of "path already exists"); Ignore no-ops on a non-empty
-    * branch. Returns the relation at the new head. */
+    * branch. Options: `message`, `statsCols` (see [[statsColsOf]]),
+    * `mergeSchema` / `overwriteSchema` (Delta's schema-evolution dials,
+    * mapped onto the commit-level equivalents). Returns the relation at
+    * the new head. */
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
                               parameters: Map[String, String],
                               data: org.apache.spark.sql.DataFrame): BaseRelation = {
     val (path, vt, branch) = openTable(parameters)
     val message = parameters.getOrElse("message", s"format(\"vt\") $mode save")
+    val statsCols = statsColsOf(parameters)
+    val mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean)
+    val overwriteSchema = parameters.get("overwriteSchema").exists(_.toBoolean)
     val hasHead = vt.head(branch).isDefined
+    def write(writeMode: String) =
+      vt.write(data, branch, message, mode = writeMode, statsCols = statsCols,
+        mergeSchema = mergeSchema, overwriteSchema = overwriteSchema)
     mode match {
-      case SaveMode.Append => vt.write(data, branch, message, mode = "append")
-      case SaveMode.Overwrite => vt.write(data, branch, message)
+      case SaveMode.Append => write("append")
+      case SaveMode.Overwrite => write("overwrite")
       case SaveMode.ErrorIfExists =>
         if (hasHead) throw new IllegalArgumentException(
           s"branch $branch of $path already has commits (SaveMode.ErrorIfExists)")
-        else vt.write(data, branch, message)
-      case SaveMode.Ignore => if (!hasHead) vt.write(data, branch, message)
+        else write("overwrite")
+      case SaveMode.Ignore => if (!hasHead) { write("overwrite"); () }
     }
     createRelation(sqlContext, parameters)
   }
@@ -250,6 +267,6 @@ final class VtDataSource extends RelationProvider with CreatableRelationProvider
       "format(\"vt\") does not support partitionBy — versioned tables " +
         "organize data by commit, not by directory partition")
     val (_, vt, branch) = openTable(parameters)
-    new VtSink(vt, branch)
+    new VtSink(vt, branch, statsColsOf(parameters))
   }
 }

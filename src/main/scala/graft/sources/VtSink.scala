@@ -23,12 +23,13 @@ import graft.vt.VersionedTable
   * loops. Append output mode only: Update/Complete would need a keyed
   * apply (a different contract — [[graft.vt.VersionedTable.applyCdc]]),
   * so they are refused loudly rather than silently appended. */
-final class VtSink(vt: VersionedTable, branch: String) extends Sink {
+final class VtSink(vt: VersionedTable, branch: String,
+                   statsCols: Seq[String] = Nil) extends Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // the addBatch frame wraps the incremental execution; re-present it as
     // a plain batch frame (what ForeachBatchSink does) before committing
     val batch = StreamingShim.asBatch(data.sparkSession, data)
-    EventsStreaming.ingestBatch(vt, branch)(batch, batchId)
+    EventsStreaming.ingestBatch(vt, branch, statsCols)(batch, batchId)
   }
   override def toString: String = s"VtSink(${vt.root}@$branch)"
 }

@@ -412,11 +412,13 @@ object EventsStreaming {
     * newest-first and stops at the first ingest commit found — O(1) ingest
     * commits inspected per batch, no data read. Batch ids are monotonic per
     * checkpoint, so "newest ingest commit's id >= batchId" ⇔ duplicate. */
-  def ingestBatch(vt: graft.vt.VersionedTable, branch: String)
+  def ingestBatch(vt: graft.vt.VersionedTable, branch: String,
+                  statsCols: Seq[String] = Nil)
                  (batch: DataFrame, batchId: Long): Unit = {
     if (lastIngestedBatchId(vt, branch).exists(_ >= batchId)) () // duplicate delivery: already committed
     else if (!batch.isEmpty)
-      vt.write(batch, branch, message = s"$BatchMsgPrefix$batchId", mode = "append")
+      vt.write(batch, branch, message = s"$BatchMsgPrefix$batchId",
+        mode = "append", statsCols = statsCols)
   }
 
   /** Keyed-CDC twin of [[ingestBatch]]: land one source version's

@@ -317,8 +317,13 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
             s"append schema mismatch on $branch: table has ${parentSchema.simpleString} but " +
               s"the appended DataFrame has ${df.schema.simpleString}; pass mergeSchema=true " +
               "for additive evolution or use mode=overwrite")
+        // merged-in NEW columns are forced NULLABLE (Delta's mergeSchema
+        // rule): pre-existing rows have no value for them, and a
+        // non-nullable declaration would let Catalyst constant-fold
+        // `new_col IS NOT NULL` to true over rows that read back null
         StructType(parentSchema.fields ++
-          df.schema.fields.filterNot(f => byName.contains(f.name)))
+          df.schema.fields.filterNot(f => byName.contains(f.name))
+            .map(_.copy(nullable = true)))
       case Some(p) if mode == "overwrite" && !overwriteSchema =>
         val parentSchema = DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
         // normalization covers NESTED nullability (ArrayType.containsNull,

@@ -172,6 +172,103 @@ class SourcesUnitSpec extends AnyFunSuite {
     assert(graft.sources.DeltaChanges.SchemaCacheCap === 64)
   }
 
+  test("property: stats pruning never drops a file containing a matching row") {
+    import org.apache.spark.sql.{sources => f}
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import graft.vt.Commit
+
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (1L to n.toLong).flatMap(i => g.apply(Gen.Parameters.default, Seed(i)))
+
+    case class R(k: Option[Long], s: Option[String])
+    val rowGen = for {
+      k <- Gen.option(Gen.choose(-5L, 5L))
+      s <- Gen.option(Gen.oneOf("a", "b", "c", "dd", "e"))
+    } yield R(k, s)
+    val filesGen: Gen[List[List[R]]] = Gen.choose(1, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 6).flatMap(m => Gen.listOfN(m, rowGen))))
+    val valGen = Gen.choose(-6L, 6L)
+    val strGen = Gen.oneOf("a", "b", "c", "dd", "e", "")
+    val leafGen: Gen[f.Filter] = Gen.oneOf[f.Filter](
+      valGen.map(v => f.EqualTo("k", v)),
+      valGen.map(v => f.GreaterThan("k", v)),
+      valGen.map(v => f.GreaterThanOrEqual("k", v)),
+      valGen.map(v => f.LessThan("k", v)),
+      valGen.map(v => f.LessThanOrEqual("k", v)),
+      Gen.nonEmptyListOf(valGen).map(vs => f.In("k", vs.toArray[Any])),
+      Gen.const(f.IsNull("k")), Gen.const(f.IsNotNull("k")),
+      strGen.map(v => f.EqualTo("s", v)),
+      strGen.map(v => f.GreaterThan("s", v)),
+      strGen.map(v => f.LessThanOrEqual("s", v)),
+      Gen.nonEmptyListOf(strGen).map(vs => f.In("s", vs.toArray[Any])),
+      Gen.const(f.IsNull("s")), Gen.const(f.IsNotNull("s")))
+    val conjGen: Gen[List[f.Filter]] = for {
+      n <- Gen.choose(1, 3)
+      leaves <- Gen.listOfN(n, leafGen)
+      nest <- Gen.oneOf(true, false)
+    } yield if (nest && leaves.size >= 2)
+      f.And(leaves(0), leaves(1)) :: leaves.drop(2) else leaves
+
+    // truth of one conjunct for one row, SQL semantics (null fails every
+    // comparison; test strings are ASCII, so natural order == UTF-8 order)
+    def holds(r: R, flt: f.Filter): Boolean = flt match {
+      case f.EqualTo("k", v) => r.k.contains(v)
+      case f.EqualTo("s", v) => r.s.contains(v)
+      case f.GreaterThan("k", v: Long) => r.k.exists(_ > v)
+      case f.GreaterThan("s", v: String) => r.s.exists(_ > v)
+      case f.GreaterThanOrEqual("k", v: Long) => r.k.exists(_ >= v)
+      case f.LessThan("k", v: Long) => r.k.exists(_ < v)
+      case f.LessThanOrEqual("k", v: Long) => r.k.exists(_ <= v)
+      case f.LessThanOrEqual("s", v: String) => r.s.exists(_ <= v)
+      case f.In("k", vs) => r.k.exists(x => vs.contains(x))
+      case f.In("s", vs) => r.s.exists(x => vs.contains(x))
+      case f.IsNull(a) => if (a == "k") r.k.isEmpty else r.s.isEmpty
+      case f.IsNotNull(a) => if (a == "k") r.k.isDefined else r.s.isDefined
+      case f.And(l, rr) => holds(r, l) && holds(r, rr)
+      case other => fail(s"generator produced unhandled shape $other")
+    }
+
+    // commit metadata exactly as the write path records it: min/max over
+    // non-nulls (entry omitted when all-null), nullCount, rowCount
+    def commitOf(files: List[List[R]]): (Commit, Vector[String]) = {
+      val names = files.indices.map(i => s"data/f$i.parquet").toVector
+      def numStats(rows: List[R]) = {
+        val ks = rows.flatMap(_.k).map(_.toDouble)
+        if (ks.isEmpty) Map.empty[String, (Double, Double)]
+        else Map("k" -> (ks.min, ks.max))
+      }
+      def strStats(rows: List[R]) = {
+        val ss = rows.flatMap(_.s)
+        if (ss.isEmpty) Map.empty[String, (String, String)]
+        else Map("s" -> (ss.min, ss.max))
+      }
+      val c = Commit("t", None, 0L, names, "{}", "", 0L,
+        stats = names.zip(files).map { case (n, rs) => n -> numStats(rs) }.toMap,
+        strStats = names.zip(files).map { case (n, rs) => n -> strStats(rs) }.toMap,
+        nullStats = names.zip(files).map { case (n, rs) =>
+          n -> Map("k" -> rs.count(_.k.isEmpty).toLong,
+            "s" -> rs.count(_.s.isEmpty).toLong)
+        }.toMap,
+        rowCounts = names.zip(files).map { case (n, rs) => n -> rs.size.toLong }.toMap)
+      (c, names)
+    }
+
+    val cases = samples(Gen.zip(filesGen, conjGen), 400)
+    assert(cases.size > 300, "generator must actually produce cases")
+    cases.foreach { case (files, conj) =>
+      val (c, names) = commitOf(files)
+      val kept = VtPruning.prunedFiles(c, conj).toSet
+      files.zip(names).foreach { case (rows, name) =>
+        val hasMatch = rows.exists(r => conj.forall(holds(r, _)))
+        if (hasMatch)
+          assert(kept.contains(name),
+            s"file $name with rows $rows has a row matching ${conj.mkString(" AND ")} " +
+              s"but was pruned — stats pruning dropped a matching row")
+      }
+    }
+  }
+
   test("FilterColumns: translated conjuncts are exactly the handled set") {
     import org.apache.spark.sql.{sources => f}
     val translatable: Array[f.Filter] = Array(

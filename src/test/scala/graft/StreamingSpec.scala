@@ -672,6 +672,7 @@ class StreamingSpec extends SparkSpec {
     val mem = MemoryStream[Ev](spark)
     def startQ() = mem.toDS().toDF()
       .writeStream.format("vt").option("path", vt.root.toString)
+      .option("statsCols", "user_id") // r17: stats on streaming ingest
       .option("checkpointLocation", ckpt).start()
     val q1 = startQ()
     try {
@@ -682,6 +683,9 @@ class StreamingSpec extends SparkSpec {
       assert(vt.read(spark, "main").count() === 3L)
       assert(vt.head("main").get.message.startsWith("stream batch"),
         "commits must carry the batchId watermark")
+      assert(vt.head("main").get.stats.values.exists(_.contains("user_id")),
+        "the statsCols option must reach each micro-batch commit — " +
+          "streamed-in files skip like batch-written ones")
     } finally q1.stop()
     val headAfterRun1 = vt.head("main").get.version
     // restart on the same checkpoint: the replayed last batch must NOT

@@ -165,6 +165,42 @@ class VtDataSourceSpec extends SparkSpec {
     assert(readVt(root, "versionAsOf" -> "2").count() === 3L)
   }
 
+  test("format(\"vt\") write options: statsCols powers skipping; mergeSchema/overwriteSchema gate evolution") {
+    val vt = VersionedTable.create(Tables.scratch("vtds_wopts"))
+    val root = vt.root.toString
+    def save(df: DataFrame, mode: String, opts: (String, String)*) =
+      opts.foldLeft(df.write.format("vt").mode(mode).option("path", root))(
+        (w, kv) => w.option(kv._1, kv._2)).save()
+    def part(lo: Int, hi: Int) =
+      (lo to hi).map(i => (i.toLong, s"r$i")).toDF("k", "v").coalesce(1)
+    save(part(1, 10), "overwrite", "statsCols" -> "k")
+    save(part(11, 20), "append", "statsCols" -> "k")
+    save(part(21, 30), "append", "statsCols" -> "k")
+    // the option reached the commit: planning-time skipping works
+    val q = readVt(root).where($"k".between(12, 18))
+    assert(q.select("k").as[Long].collect().sorted === (12L to 18L).toArray)
+    q.collect()
+    assert(q.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.get.metrics("numFiles").value === 1,
+      "statsCols-written commits must prune through the batch relation")
+    // and the metadata-only MIN/MAX is provable on format-written tables
+    assert(vt.minMaxFromStats("main", "k") === Some((1.0, 30.0)))
+    // additive evolution refuses without mergeSchema, lands with it
+    val widened = Seq((31L, "r31", 62L)).toDF("k", "v", "w")
+    val e = intercept[Exception](save(widened, "append"))
+    assert(e.getMessage.contains("mergeSchema"), e.getMessage)
+    save(widened, "append", "mergeSchema" -> "true")
+    assert(readVt(root).columns.toSeq === Seq("k", "v", "w"))
+    assert(readVt(root).where($"w".isNotNull).count() === 1L)
+    // schema replacement refuses without overwriteSchema, lands with it
+    val replaced = Seq((1L, 9.5)).toDF("id", "score")
+    val e2 = intercept[Exception](save(replaced, "overwrite"))
+    assert(e2.getMessage.contains("overwriteSchema"), e2.getMessage)
+    save(replaced, "overwrite", "overwriteSchema" -> "true")
+    assert(readVt(root).columns.toSeq === Seq("id", "score"))
+  }
+
   test("format(\"vt\") prunes files from null-count stats (IS NULL / IS NOT NULL)") {
     val vt = VersionedTable.create(Tables.scratch("vtds_nulls"))
     val allNull = (1L to 10L).map(i => (i, null: String)).toDF("k", "v").coalesce(1)
