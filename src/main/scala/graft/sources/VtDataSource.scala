@@ -227,14 +227,20 @@ final class VtDataSource extends RelationProvider with CreatableRelationProvider
     def write(writeMode: String) =
       vt.write(data, branch, message, mode = writeMode, statsCols = statsCols,
         mergeSchema = mergeSchema, overwriteSchema = overwriteSchema)
+    // the hasHead pre-checks race against concurrent writers (each save
+    // opens its own table handle); the version-slot CAS serializes the
+    // COMMITS, so the post-checks below can detect a lost race from the
+    // landed version and restore the mode's contract — see
+    // [[VtDataSource.ensureFirstVersion]] / [[VtDataSource.undoRacedFirstWrite]]
     mode match {
       case SaveMode.Append => write("append")
       case SaveMode.Overwrite => write("overwrite")
       case SaveMode.ErrorIfExists =>
         if (hasHead) throw new IllegalArgumentException(
           s"branch $branch of $path already has commits (SaveMode.ErrorIfExists)")
-        else write("overwrite")
-      case SaveMode.Ignore => if (!hasHead) { write("overwrite"); () }
+        else VtDataSource.ensureFirstVersion(path, branch, write("overwrite"))
+      case SaveMode.Ignore =>
+        if (!hasHead) { VtDataSource.undoRacedFirstWrite(vt, branch, write("overwrite")); () }
     }
     createRelation(sqlContext, parameters)
   }
@@ -269,4 +275,33 @@ final class VtDataSource extends RelationProvider with CreatableRelationProvider
     val (_, vt, branch) = openTable(parameters)
     new VtSink(vt, branch, statsColsOf(parameters))
   }
+}
+
+object VtDataSource {
+  /** SaveMode.ErrorIfExists post-check: the CAS-serialized commit reveals
+    * a lost race — our save was supposed to create the table's FIRST
+    * version, but a concurrent writer's commit claimed v0 first. The
+    * overwrite cannot be un-published (commits are immutable), so the
+    * contract violation is surfaced LOUDLY with the recovery step instead
+    * of silently replacing the winner's data. */
+  private[graft] def ensureFirstVersion(path: String, branch: String,
+                                          c: Commit): Commit =
+    if (c.version == 0L) c
+    else throw new IllegalStateException(
+      s"concurrent writer raced SaveMode.ErrorIfExists on branch $branch of " +
+        s"$path: this save landed as v${c.version}, not the table's first " +
+        s"version, replacing another writer's v${c.version - 1} — " +
+        s"revert to v${c.version - 1} to restore it")
+
+  /** SaveMode.Ignore post-check: Ignore means "a concurrent first writer
+    * wins" — if our write raced in ABOVE someone else's commit, restore
+    * their table with a revert (a NEW commit, so the race stays in the
+    * audit trail; no history is rewritten). */
+  private[graft] def undoRacedFirstWrite(vt: VersionedTable, branch: String,
+                                           c: Commit): Unit =
+    if (c.version != 0L) {
+      vt.revert(branch, c.version - 1,
+        s"undo raced SaveMode.Ignore write v${c.version}")
+      ()
+    }
 }

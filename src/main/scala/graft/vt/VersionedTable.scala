@@ -289,6 +289,15 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
             mergeSchema: Boolean = false, check: Option[String] = None,
             overwriteSchema: Boolean = false): Commit = synchronized {
     guardWritable(branch)
+    // validate BEFORE any data file lands: a typo'd stats column must fail
+    // with a nameable error and zero orphan parquet on disk (a failure
+    // inside collectFileStats would be after writeDataFiles)
+    locally {
+      val missing = statsCols.filterNot(df.schema.fieldNames.contains)
+      if (missing.nonEmpty) throw new IllegalArgumentException(
+        s"statsCols name columns absent from the written DataFrame: " +
+          s"${missing.mkString(", ")} (schema: ${df.schema.fieldNames.mkString(", ")})")
+    }
     check.foreach { c =>
       val bad = df.where(org.apache.spark.sql.functions.expr(s"NOT ($c)")).limit(1).collect()
       if (bad.nonEmpty) throw new IllegalArgumentException(
@@ -320,8 +329,12 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
         // merged-in NEW columns are forced NULLABLE (Delta's mergeSchema
         // rule): pre-existing rows have no value for them, and a
         // non-nullable declaration would let Catalyst constant-fold
-        // `new_col IS NOT NULL` to true over rows that read back null
-        StructType(parentSchema.fields ++
+        // `new_col IS NOT NULL` to true over rows that read back null.
+        // Symmetrically, a PARENT column the appended frame OMITS goes
+        // nullable too — the new file's rows read null for it.
+        val appended = df.schema.fieldNames.toSet
+        StructType(parentSchema.fields
+          .map(f => if (appended.contains(f.name)) f else f.copy(nullable = true)) ++
           df.schema.fields.filterNot(f => byName.contains(f.name))
             .map(_.copy(nullable = true)))
       case Some(p) if mode == "overwrite" && !overwriteSchema =>

@@ -269,6 +269,107 @@ class SourcesUnitSpec extends AnyFunSuite {
     }
   }
 
+  test("property: catalyst-path pruning never drops a file containing a matching row") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, BoundReference, EqualTo => CEq, Expression, GreaterThan => CGt, GreaterThanOrEqual => CGe, IsNotNull => CNotNull, IsNull => CIsNull, LessThan => CLt, LessThanOrEqual => CLe}
+    import org.apache.spark.sql.types.{DoubleType => DDouble, LongType => DLong}
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import graft.vt.Commit
+
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (1L to n.toLong).flatMap(i => g.apply(Gen.Parameters.default, Seed(i)))
+
+    case class R(k: Option[Long], s: Option[String])
+    val rowGen = for {
+      k <- Gen.option(Gen.choose(-5L, 5L))
+      s <- Gen.option(Gen.oneOf("a", "b", "c", "dd", "e"))
+    } yield R(k, s)
+    val filesGen: Gen[List[List[R]]] = Gen.choose(1, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 6).flatMap(m => Gen.listOfN(m, rowGen))))
+
+    val k = AttributeReference("k", DLong)()
+    val s = AttributeReference("s", StringType)()
+    def litL(v: Long) = Literal(v, DLong)
+    val valGen = Gen.choose(-6L, 6L)
+    val strGen = Gen.oneOf("a", "b", "c", "dd", "e", "")
+    val leafGen: Gen[Expression] = Gen.oneOf[Expression](
+      valGen.map(v => CEq(k, litL(v))),
+      valGen.map(v => CGt(k, litL(v))),
+      valGen.map(v => CGt(litL(v), k)), // literal-left orientation
+      valGen.map(v => CGe(k, litL(v))),
+      valGen.map(v => CLt(k, litL(v))),
+      valGen.map(v => CLe(litL(v), k)),
+      Gen.nonEmptyListOf(valGen).map(vs => In(k, vs.map(litL))),
+      Gen.nonEmptyListOf(valGen).map(vs => InSet(k, vs.toSet.map((x: Long) => x: Any))),
+      // upcast-wrapped column — the shape Catalyst makes of `k > 2.5`
+      valGen.map(v => CGt(Cast(k, DDouble), Literal(v.toDouble + 0.5))),
+      valGen.map(v => CEq(Cast(k, DDouble), Literal(v.toDouble))),
+      Gen.nonEmptyListOf(valGen).map(vs =>
+        In(Cast(k, DDouble), vs.map(v => Literal(v.toDouble)))),
+      strGen.map(v => CEq(s, Literal(v))),
+      strGen.map(v => CGt(s, Literal(v))),
+      strGen.map(v => CLe(s, Literal(v))),
+      Gen.const(CIsNull(k)), Gen.const(CNotNull(k)),
+      Gen.const(CIsNull(s)), Gen.const(CNotNull(s)))
+    val conjGen: Gen[List[Expression]] = for {
+      n <- Gen.choose(1, 3)
+      leaves <- Gen.listOfN(n, leafGen)
+      nest <- Gen.oneOf(true, false)
+    } yield if (nest && leaves.size >= 2)
+      CAnd(leaves(0), leaves(1)) :: leaves.drop(2) else leaves
+
+    // truth by SPARK ITSELF: bind and interpret the very expression the
+    // FileIndex receives (null result = filter rejects, SQL semantics)
+    def holds(r: R, e: Expression): Boolean = {
+      val bound = e.transform {
+        case a: AttributeReference =>
+          BoundReference(if (a.name == "k") 0 else 1, a.dataType, nullable = true)
+      }
+      val row = InternalRow.fromSeq(Seq(
+        r.k.map(Long.box).orNull,
+        r.s.map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull))
+      val v = bound.eval(row)
+      v != null && v.asInstanceOf[Boolean]
+    }
+
+    def commitOf(files: List[List[R]]): (Commit, Vector[String]) = {
+      val names = files.indices.map(i => s"data/f$i.parquet").toVector
+      val c = Commit("t", None, 0L, names, "{}", "", 0L,
+        stats = names.zip(files).map { case (n, rs) =>
+          val ks = rs.flatMap(_.k).map(_.toDouble)
+          n -> (if (ks.isEmpty) Map.empty[String, (Double, Double)]
+                else Map("k" -> (ks.min, ks.max)))
+        }.toMap,
+        strStats = names.zip(files).map { case (n, rs) =>
+          val ss = rs.flatMap(_.s)
+          n -> (if (ss.isEmpty) Map.empty[String, (String, String)]
+                else Map("s" -> (ss.min, ss.max)))
+        }.toMap,
+        nullStats = names.zip(files).map { case (n, rs) =>
+          n -> Map("k" -> rs.count(_.k.isEmpty).toLong,
+            "s" -> rs.count(_.s.isEmpty).toLong)
+        }.toMap,
+        rowCounts = names.zip(files).map { case (n, rs) => n -> rs.size.toLong }.toMap)
+      (c, names)
+    }
+
+    val cases = samples(Gen.zip(filesGen, conjGen), 400)
+    assert(cases.size > 300, "generator must actually produce cases")
+    cases.foreach { case (files, conj) =>
+      val (c, names) = commitOf(files)
+      val bounds = conj.flatMap(StatsWindows.windows)
+      val nulls = conj.flatMap(StatsWindows.nullWindows)
+      files.zip(names).foreach { case (rows, name) =>
+        val hasMatch = rows.exists(r => conj.forall(holds(r, _)))
+        if (hasMatch)
+          assert(VtPruning.survives(c, name, bounds, nulls),
+            s"file $name with rows $rows has a row matching " +
+              s"${conj.mkString(" AND ")} but the catalyst windows pruned it")
+      }
+    }
+  }
+
   test("FilterColumns: translated conjuncts are exactly the handled set") {
     import org.apache.spark.sql.{sources => f}
     val translatable: Array[f.Filter] = Array(

@@ -201,6 +201,60 @@ class VtDataSourceSpec extends SparkSpec {
     assert(readVt(root).columns.toSeq === Seq("id", "score"))
   }
 
+  test("write-option hardening: typo'd statsCols fails fast, omitted parent cols go nullable, raced SaveModes recover") {
+    val vt = VersionedTable.create(Tables.scratch("vtds_wharden"))
+    val root = vt.root.toString
+    // 1) statsCols naming a missing column fails BEFORE any file lands
+    val filesBefore = java.nio.file.Files.walk(vt.root).count()
+    val e = intercept[Exception] {
+      (1L to 3L).toDF("k").write.format("vt").option("path", root)
+        .option("statsCols", "usr_id").save()
+    }
+    assert(e.getMessage.contains("statsCols") && e.getMessage.contains("usr_id"),
+      e.getMessage)
+    assert(java.nio.file.Files.walk(vt.root).count() === filesBefore,
+      "a refused save must leave zero orphan files")
+    // 2) mergeSchema append that OMITS a (non-nullable) parent column:
+    // the merged schema must relax that column to nullable — else
+    // Catalyst folds `k IS NOT NULL` to true over rows that read null
+    Seq((1L, "a")).toDF("k", "v").write.format("vt")
+      .mode("overwrite").option("path", root).save()
+    Seq(("b", 9L)).toDF("v", "w").write.format("vt")
+      .mode("append").option("path", root).option("mergeSchema", "true").save()
+    val head = spark.read.format("vt").option("path", root).load()
+    assert(head.schema("k").nullable, "omitted parent column must go nullable")
+    assert(head.where($"k".isNotNull).count() === 1L,
+      "rows from the k-less file must not satisfy k IS NOT NULL")
+    assert(head.where($"w".isNotNull).count() === 1L)
+    // 3) raced-SaveMode recovery contracts (the hasHead pre-check races;
+    // the CAS-serialized commit version reveals the loss)
+    val c1 = vt.head("main").get
+    assert(c1.version === 1L)
+    val raceErr = intercept[IllegalStateException](
+      graft.sources.VtDataSource.ensureFirstVersion(root, "main", c1))
+    assert(raceErr.getMessage.contains("raced SaveMode.ErrorIfExists"))
+    // Ignore: the raced-in write is undone by a revert — the concurrent
+    // first writer's content wins, with the race left in the audit trail
+    val before = spark.read.format("vt").option("path", root)
+      .option("versionAsOf", "0").load().collect().toSet
+    val raced = vt.write(Seq((99L, "z")).toDF("k", "v"), "main", "raced ignore",
+      overwriteSchema = true)
+    graft.sources.VtDataSource.undoRacedFirstWrite(vt, "main", raced)
+    assert(vt.head("main").get.version === raced.version + 1,
+      "the undo is a NEW commit, not a history rewrite")
+    assert(vt.read(spark, "main").select("k", "v").collect().toSet
+      === spark.read.format("vt").option("path", root)
+        .option("versionAsOf", raced.version - 1).load().select("k", "v")
+        .collect().toSet,
+      "Ignore's undo must restore the pre-race table")
+    assert(before.nonEmpty) // the v0 content existed and was comparable
+    // a genuinely-first write passes the ErrorIfExists post-check untouched
+    val vt2 = VersionedTable.create(Tables.scratch("vtds_wharden2"))
+    val c0 = vt2.write((1L to 2L).toDF("k"), "main", "v0")
+    assert(graft.sources.VtDataSource.ensureFirstVersion(
+      vt2.root.toString, "main", c0) eq c0)
+  }
+
   test("format(\"vt\") prunes files from null-count stats (IS NULL / IS NOT NULL)") {
     val vt = VersionedTable.create(Tables.scratch("vtds_nulls"))
     val allNull = (1L to 10L).map(i => (i, null: String)).toDF("k", "v").coalesce(1)
