@@ -1182,6 +1182,36 @@ object Versioned {
          |ORDER BY version, n_nationkey""".stripMargin)
   }
 
+  /** SQL `DELETE FROM` through the DSv2 catalog (r17): [[graft.sources
+    * .VtTable]] is a `SupportsDelete`, so the statement parses, the pushed
+    * conjuncts render back to engine predicates ([[graft.sources
+    * .FilterSql]]), and each DELETE lands as ONE commit — the first via
+    * copy-on-write (only files holding matches rewritten, commit-log
+    * stats confine the candidates), the second via deletion vectors
+    * (`spark.graft.vt.delete.mode=mor`, zero files rewritten). The read
+    * back goes through the same SQL surface over the DV-carrying head.
+    * Works on ANY session: the catalog binds via runtime conf, no
+    * session-build extensions involved. */
+  val qVtSqlDelete: QueryDef = q("q_vt_sql_delete")(
+    """SELECT o_orderpriority, count(*) AS cnt FROM orders
+      |WHERE NOT (o_orderkey BETWEEN 1000 AND 2999)
+      |  AND NOT (o_orderstatus = 'F' AND o_orderkey < 500)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val vt = VersionedTable.create(Tables.scratch("vt_sql_delete"))
+    val orders = Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+    vt.write(orders.repartitionByRange(4, col("o_orderkey")), "main", "v0",
+      statsCols = Seq("o_orderkey"))
+    s.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
+    val t = s"vt.`${vt.root}`"
+    s.sql(s"DELETE FROM $t WHERE o_orderkey BETWEEN 1000 AND 2999")
+    s.conf.set("spark.graft.vt.delete.mode", "mor")
+    try s.sql(s"DELETE FROM $t WHERE o_orderstatus = 'F' AND o_orderkey < 500")
+    finally s.conf.unset("spark.graft.vt.delete.mode")
+    s.sql(s"""SELECT o_orderpriority, count(*) AS cnt FROM $t
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** FILTERED MERGE-ON-READ at orders scale (r17, benched): the fallback
     * relation's cost pinned by the gates. v0 is a key-range layout with
     * per-file o_orderkey stats; a 30% MOR delete attaches deletion
@@ -1347,5 +1377,5 @@ object Versioned {
     qVtDeltaReplicate, qVtDeltaTail, qVtDeltaExportScale, qVtDeltaSkipStr,
     qVtStreamSource, qVtStreamSink, qVtDeltaStream, qVtFormatRead,
     qVtDeltaLiteRead, qVtDeltaLitePart,
-    qVtSqlTravel, qVtMorFilter, qVtDeltaCmapNative, qVtMinmaxMeta)
+    qVtSqlTravel, qVtSqlDelete, qVtMorFilter, qVtDeltaCmapNative, qVtMinmaxMeta)
 }

@@ -49,3 +49,51 @@ private[sources] object FilterColumns {
                filters: Array[f.Filter]): org.apache.spark.sql.DataFrame =
     filters.flatMap(translate).foldLeft(df)(_.filter(_))
 }
+
+/** `sources.Filter` → ANSI SQL text, for handing a pushed predicate to an
+  * engine entry point that takes a WHERE string ([[graft.vt.VersionedTable
+  * .delete]] behind SQL `DELETE FROM` — see [[VtTable]]'s `SupportsDelete`).
+  * Rendering is exact: attributes re-quote with backticks (dotted names
+  * address nested fields, split like `col` does), values render through
+  * catalyst's own `Literal.sql` (strings escaped, dates/timestamps as typed
+  * literals), and every composite maps to the operator the filter was
+  * translated FROM. Anything unrepresentable returns None — the caller must
+  * then refuse the operation rather than approximate it. */
+private[sources] object FilterSql {
+
+  private def attr(a: String): String =
+    a.split('.').map(p => "`" + p.replace("`", "``") + "`").mkString(".")
+
+  private def value(v: Any): Option[String] = v match {
+    case null => Some("NULL")
+    case _ => scala.util.Try(
+      org.apache.spark.sql.catalyst.expressions.Literal(v).sql).toOption
+  }
+
+  def render(flt: f.Filter): Option[String] = flt match {
+    case f.EqualTo(a, v) => value(v).map(s => s"${attr(a)} = $s")
+    case f.EqualNullSafe(a, v) => value(v).map(s => s"${attr(a)} <=> $s")
+    case f.GreaterThan(a, v) => value(v).map(s => s"${attr(a)} > $s")
+    case f.GreaterThanOrEqual(a, v) => value(v).map(s => s"${attr(a)} >= $s")
+    case f.LessThan(a, v) => value(v).map(s => s"${attr(a)} < $s")
+    case f.LessThanOrEqual(a, v) => value(v).map(s => s"${attr(a)} <= $s")
+    case f.In(a, vs) =>
+      val rendered = vs.toIndexedSeq.map(value)
+      if (vs.isEmpty || rendered.exists(_.isEmpty)) None
+      else Some(s"${attr(a)} IN (${rendered.flatten.mkString(", ")})")
+    case f.IsNull(a) => Some(s"${attr(a)} IS NULL")
+    case f.IsNotNull(a) => Some(s"${attr(a)} IS NOT NULL")
+    case f.StringStartsWith(a, v) =>
+      value(v).map(s => s"startswith(${attr(a)}, $s)")
+    case f.StringEndsWith(a, v) =>
+      value(v).map(s => s"endswith(${attr(a)}, $s)")
+    case f.StringContains(a, v) =>
+      value(v).map(s => s"contains(${attr(a)}, $s)")
+    case f.And(l, r) => for (ls <- render(l); rs <- render(r)) yield s"(($ls) AND ($rs))"
+    case f.Or(l, r) => for (ls <- render(l); rs <- render(r)) yield s"(($ls) OR ($rs))"
+    case f.Not(c) => render(c).map(s => s"(NOT ($s))")
+    case _: f.AlwaysTrue => Some("true")
+    case _: f.AlwaysFalse => Some("false")
+    case _ => None
+  }
+}

@@ -5,7 +5,7 @@ import java.util
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
@@ -119,7 +119,7 @@ final class VtCatalog extends TableCatalog {
   * load-then-scan split gives snapshot isolation for free. */
 final class VtTable(spark: SparkSession, vt: VersionedTable, branch: String,
                     commit: Commit, ident: String)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   private val tableSchema =
     DataType.fromJson(commit.schemaJson).asInstanceOf[StructType]
@@ -141,6 +141,33 @@ final class VtTable(spark: SparkSession, vt: VersionedTable, branch: String,
       ParquetScanBuilder(spark, new VtFileIndex(spark, vt, commit),
         tableSchema, tableSchema, options)
     else new VtMorScanBuilder(vt, commit, tableSchema)
+
+  /** SQL `DELETE FROM vt.\`path\` WHERE …`, on any session with the
+    * catalog conf set — Spark's analyzer keeps `DeleteFromTable` intact for
+    * a [[SupportsDelete]] table, the V2 strategy translates the condition
+    * to source filters, and this table routes them onto the engine's
+    * row-level delete as ONE new commit (old versions still time-travel).
+    * `canDeleteWhere` is honest: a conjunct [[FilterSql]] cannot render
+    * refuses the statement outright (Spark raises, nothing is deleted)
+    * rather than deleting a superset or subset. The rewrite strategy
+    * follows `spark.graft.vt.delete.mode`: `cow` (default) rewrites only
+    * the files holding matching rows ([[VersionedTable.delete]]); `mor`
+    * records deletion vectors and rewrites nothing
+    * ([[VersionedTable.deleteWithVectors]]) — the point-delete shape for
+    * petabyte tables. Both prune candidates through commit-log stats. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(FilterSql.render(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val where =
+      if (filters.isEmpty) "true"
+      else filters.flatMap(FilterSql.render).map(s => s"($s)").mkString(" AND ")
+    val message = s"SQL DELETE FROM $ident WHERE $where"
+    if (spark.conf.get("spark.graft.vt.delete.mode", "cow") == "mor")
+      vt.deleteWithVectors(spark, where, branch, message)
+    else vt.delete(spark, where, branch, message)
+    ()
+  }
 
   /** `INSERT INTO` = append commit; `INSERT OVERWRITE` = overwrite commit
     * (SupportsTruncate). One SQL statement, one commit — the same mapping

@@ -127,6 +127,55 @@ class VtCatalogSpec extends SparkSpec {
       === (1L to 6L).toArray)
   }
 
+  test("SQL DELETE FROM: COW commit via SupportsDelete; mor mode attaches DVs; untranslatable refused") {
+    registerCatalog()
+    val vt = VersionedTable.create(Tables.scratch("vtcat_delete"))
+    def part(lo: Int, hi: Int) =
+      (lo to hi).map(i => (i.toLong, s"r$i")).toDF("k", "v").coalesce(1)
+    vt.write(part(1, 10), "main", "A", statsCols = Seq("k"))
+    vt.write(part(11, 20), "main", "B", mode = "append", statsCols = Seq("k"))
+    vt.write(part(21, 30), "main", "C", mode = "append", statsCols = Seq("k"))
+    val t = s"vt.`${vt.root}`"
+    // COW delete: one new commit, only the touched file rewritten
+    val filesBefore = vt.head("main").get.files.toSet
+    spark.sql(s"DELETE FROM $t WHERE k >= 14 AND k <= 16")
+    val head = vt.head("main").get
+    assert(head.version === 3L, "SQL DELETE must land as ONE commit")
+    assert(head.dvFiles.isEmpty, "default mode is copy-on-write, not DVs")
+    assert((filesBefore -- head.files.toSet).size === 1,
+      "stats pruning must confine the rewrite to the one file holding 14..16")
+    assert(spark.sql(s"SELECT k FROM $t").as[Long].collect().sorted
+      === ((1L to 13L) ++ (17L to 30L)).toArray)
+    // history still travels: the deleted band exists at version 2
+    assert(spark.sql(s"SELECT count(*) AS c FROM $t VERSION AS OF 2")
+      .as[Long].head() === 30L)
+    // IN-list + string conjunct (both FilterSql shapes), string escaping
+    spark.sql(s"DELETE FROM $t WHERE k IN (1, 2) AND v != 'it''s'")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $t").as[Long].head() === 25L)
+    // mor mode: deletion vectors, zero files rewritten
+    spark.conf.set("spark.graft.vt.delete.mode", "mor")
+    try {
+      val before = vt.head("main").get
+      spark.sql(s"DELETE FROM $t WHERE k = 20")
+      val after = vt.head("main").get
+      assert(after.files === before.files, "mor delete must rewrite nothing")
+      assert(after.dvFiles.nonEmpty, "mor delete must attach deletion vectors")
+      assert(spark.sql(s"SELECT count(*) AS c FROM $t").as[Long].head() === 24L)
+      // and a second SQL delete THROUGH the DV-carrying snapshot still works
+      spark.sql(s"DELETE FROM $t WHERE k = 21")
+      assert(spark.sql(s"SELECT k FROM $t WHERE k BETWEEN 19 AND 22")
+        .as[Long].collect().sorted === Array(19L, 22L))
+    } finally spark.conf.unset("spark.graft.vt.delete.mode")
+    // an untranslatable predicate is REFUSED (nothing deleted), not approximated
+    val n = spark.sql(s"SELECT count(*) AS c FROM $t").as[Long].head()
+    val e = intercept[Exception](
+      spark.sql(s"DELETE FROM $t WHERE length(v) > 2"))
+    assert(e.getMessage.toLowerCase.matches("(?s).*(cannot|unsupported|can't|failed).*"),
+      e.getMessage)
+    assert(spark.sql(s"SELECT count(*) AS c FROM $t").as[Long].head() === n,
+      "a refused DELETE must delete nothing")
+  }
+
   test("catalog refuses DDL loudly; missing tables surface as NoSuchTable") {
     registerCatalog()
     val e = intercept[Exception](
