@@ -1212,6 +1212,53 @@ object Versioned {
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** Generalized MERGE INTO (r17, [[graft.vt.VersionedTable.mergeInto]]):
+    * the full Delta statement shape in one commit — a conditional WHEN
+    * MATCHED DELETE, a conditional WHEN MATCHED UPDATE, a WHEN NOT MATCHED
+    * INSERT (unassigned column → typed NULL), and a WHEN NOT MATCHED BY
+    * SOURCE DELETE — against a key-range laid-out target so the equi-key
+    * stats pruning confines the copy-on-write to files the source range
+    * can reach. The oracle replays the same clause algebra relationally
+    * (join / anti-join / union) over the raw orders table. */
+  val qVtMergeInto: QueryDef = q("q_vt_merge_into")(
+    """WITH t AS (SELECT o_orderkey AS k,
+      |              CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |              o_orderpriority AS prio
+      |           FROM orders WHERE o_orderkey <= 4000),
+      |     s AS (SELECT o_orderkey AS k,
+      |              CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 2 AS newc
+      |           FROM orders WHERE o_orderkey BETWEEN 2000 AND 6000)
+      |SELECT k, cents, prio FROM (
+      |  SELECT t.k AS k,
+      |         CASE WHEN t.prio = '1-URGENT' THEN s.newc ELSE t.cents END AS cents,
+      |         t.prio AS prio
+      |  FROM t JOIN s ON t.k = s.k
+      |  WHERE t.k % 7 <> 0
+      |  UNION ALL
+      |  SELECT t.k, t.cents, t.prio FROM t
+      |  WHERE t.k NOT IN (SELECT k FROM s) AND t.k >= 100
+      |  UNION ALL
+      |  SELECT s.k, s.newc, CAST(NULL AS VARCHAR) FROM s
+      |  WHERE s.k NOT IN (SELECT k FROM t)
+      |) ORDER BY k""".stripMargin) { (s, d) =>
+    import graft.vt.MergeClause
+    val vt = VersionedTable.create(Tables.scratch("vt_merge_into"))
+    val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+      col("o_orderpriority").as("prio"))
+    vt.write(o.where(col("k") <= 4000).repartitionByRange(4, col("k")), "main", "v0",
+      statsCols = Seq("k"))
+    val src = o.where(col("k").between(2000, 6000))
+      .select(col("k"), (col("cents") * 2).as("newc"))
+    vt.mergeInto(s, src, "t.k = s.k",
+      matched = Seq(
+        MergeClause.delete(Some("t.k % 7 = 0")),
+        MergeClause.update(Map("cents" -> "s.newc"), Some("t.prio = '1-URGENT'"))),
+      notMatched = Seq(MergeClause.insert(Map("k" -> "s.k", "cents" -> "s.newc"))),
+      notMatchedBySource = Seq(MergeClause.delete(Some("t.k < 100"))))
+    vt.read(s, "main").select("k", "cents", "prio").orderBy("k")
+  }
+
   /** FILTERED MERGE-ON-READ at orders scale (r17, benched): the fallback
     * relation's cost pinned by the gates. v0 is a key-range layout with
     * per-file o_orderkey stats; a 30% MOR delete attaches deletion
@@ -1377,5 +1424,6 @@ object Versioned {
     qVtDeltaReplicate, qVtDeltaTail, qVtDeltaExportScale, qVtDeltaSkipStr,
     qVtStreamSource, qVtStreamSink, qVtDeltaStream, qVtFormatRead,
     qVtDeltaLiteRead, qVtDeltaLitePart,
-    qVtSqlTravel, qVtSqlDelete, qVtMorFilter, qVtDeltaCmapNative, qVtMinmaxMeta)
+    qVtSqlTravel, qVtSqlDelete, qVtMergeInto, qVtMorFilter, qVtDeltaCmapNative,
+    qVtMinmaxMeta)
 }

@@ -43,6 +43,24 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
   * no atomic rename. The data plane (immutable parquet under `data/`) stays
   * on the Spark-visible filesystem.
   */
+
+/** One WHEN clause of a generalized MERGE ([[VersionedTable.mergeInto]]):
+  * `kind` is `update` / `delete` (matched, not-matched-by-source) or
+  * `insert` (not-matched); `condition` the optional AND predicate (SQL text
+  * over the merge's aliases); `assignments` maps target columns to SQL
+  * right-hand sides (update/insert — a delete clause takes none). */
+final case class MergeClause(kind: String, condition: Option[String] = None,
+                             assignments: Map[String, String] = Map.empty)
+
+object MergeClause {
+  def update(assignments: Map[String, String], condition: Option[String] = None): MergeClause =
+    MergeClause("update", condition, assignments)
+  def delete(condition: Option[String] = None): MergeClause =
+    MergeClause("delete", condition)
+  def insert(assignments: Map[String, String], condition: Option[String] = None): MergeClause =
+    MergeClause("insert", condition, assignments)
+}
+
 final class VersionedTable private (val root: Path, val store: MetaStore) {
 
   private def commitsDir: Path = root.resolve("commits")
@@ -565,6 +583,225 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       strStats = parent.strStats.view.filterKeys(untouchedSet).toMap ++ newStrStats,
       nullStats = parent.nullStats.view.filterKeys(untouchedSet).toMap ++ newNullStats,
       dvFiles = parent.dvFiles) // untouched files keep their deletion vectors
+  }
+
+  /** Generalized `MERGE INTO` (the full Delta/Spark statement, where
+    * [[upsert]] is the classic two-clause special case): target rows join
+    * `source` on the `on` predicate, then
+    *
+    *  - `matched` clauses (UPDATE SET / DELETE, each with an optional AND
+    *    condition) apply to target rows with a matching source row — FIRST
+    *    applicable clause wins, a row no clause applies to is kept as-is;
+    *  - `notMatched` clauses (INSERT, optional condition) apply to source
+    *    rows matching no target row — unassigned columns insert as typed
+    *    NULL (Delta's rule);
+    *  - `notMatchedBySource` clauses (UPDATE / DELETE, optional condition)
+    *    apply to target rows with no source match.
+    *
+    * Expressions (`on`, clause conditions, assignment right-hand sides) are
+    * SQL text over `targetAlias`/`sourceAlias`-qualified columns, evaluated
+    * on the joined row; a NULL condition applies nothing (three-valued
+    * logic, same as [[delete]]'s keep rule). Assignment targets must be
+    * existing columns and cast to the column's type — the merge never
+    * drifts the schema. A target row matched by MULTIPLE source rows where
+    * more than one joined copy has an applicable clause fails fast
+    * (Delta's cardinality error): which copy should win is ambiguous.
+    *
+    * COPY-ON-WRITE, file-granular, all as ONE commit: numeric equi-key
+    * conjuncts of `on` (`t.k = s.k`) prune candidate files through the
+    * commit-log stats exactly like [[upsert]]; an exact detection pass
+    * lists the files actually holding a row some clause APPLIES to; only
+    * those are rewritten (kept rows carried, updates applied, deletes
+    * dropped), inserts land in the new files, and every untouched file
+    * keeps its entry, stats and deletion vectors. A `notMatchedBySource`
+    * clause must examine every target row, so its detection scans the
+    * whole snapshot (still file-exact about what it rewrites) — the same
+    * cost Delta pays for that clause. Matching is over LIVE rows (deletion
+    * vectors subtracted) and the rewrite materializes survivors, so MOR
+    * and COW history compose. */
+  def mergeInto(spark: SparkSession, source: DataFrame, on: String,
+                matched: Seq[MergeClause] = Nil,
+                notMatched: Seq[MergeClause] = Nil,
+                notMatchedBySource: Seq[MergeClause] = Nil,
+                targetAlias: String = "t", sourceAlias: String = "s",
+                branch: String = "main", message: String = ""): Commit = synchronized {
+    guardWritable(branch)
+    import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, max => smax, min => smin, when}
+    require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
+      "mergeInto needs at least one WHEN clause")
+    require(targetAlias != sourceAlias,
+      s"target and source aliases must differ, both are '$targetAlias'")
+    matched.foreach(c => require(c.kind == "update" || c.kind == "delete",
+      s"WHEN MATCHED supports update/delete, got '${c.kind}'"))
+    notMatched.foreach(c => require(c.kind == "insert",
+      s"WHEN NOT MATCHED supports insert only, got '${c.kind}'"))
+    notMatchedBySource.foreach(c => require(c.kind == "update" || c.kind == "delete",
+      s"WHEN NOT MATCHED BY SOURCE supports update/delete, got '${c.kind}'"))
+    val parent = head(branch).getOrElse(
+      throw new IllegalArgumentException(s"no such branch: $branch"))
+    val schema = DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]
+    (matched ++ notMatched ++ notMatchedBySource).foreach { c =>
+      val unknown = c.assignments.keySet.diff(schema.fieldNames.toSet)
+      require(unknown.isEmpty,
+        s"merge ${c.kind} assigns unknown column(s): ${unknown.mkString(", ")}")
+      require(c.kind != "delete" || c.assignments.isEmpty,
+        "a DELETE clause takes no assignments")
+    }
+    Seq(VersionedTable.FkCol, VersionedTable.PosCol, "__graft_src").foreach(r =>
+      require(!source.columns.contains(r), s"source may not carry reserved column $r"))
+
+    val srcMark = "__graft_src"
+    val src = source.alias(sourceAlias)
+    val onExpr = expr(on)
+    def tgtScan(c: Commit) = scanWithPos(spark, c).alias(targetAlias)
+    // NULL clause condition applies nothing (SQL three-valued logic)
+    def condCol(c: MergeClause): org.apache.spark.sql.Column =
+      coalesce(expr(c.condition.getOrElse("true")), lit(false))
+    def anyCond(cs: Seq[MergeClause]) = cs.map(condCol).reduce(_ || _)
+    // first-applicable-clause index; `offset` keeps the matched and
+    // by-source chains in disjoint index spaces of one column
+    def chain(cs: Seq[MergeClause], offset: Int): org.apache.spark.sql.Column =
+      cs.zipWithIndex.foldRight(lit(null).cast("int")) { case ((c, i), rest) =>
+        when(condCol(c), lit(offset + i)).otherwise(rest)
+      }
+
+    // ---- candidate pruning: numeric equi-key conjuncts of `on` ----------
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualTo => CEq, Expression => CExpr}
+    def conjuncts(e: CExpr): Seq[CExpr] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val equiKeys: Seq[(String, String)] = // (target col, source col)
+      conjuncts(spark.sessionState.sqlParser.parseExpression(on)).collect {
+        case CEq(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+          (a.nameParts, b.nameParts) match {
+            case (Seq(ta, tc), Seq(sa, sc)) if ta == targetAlias && sa == sourceAlias => Some((tc, sc))
+            case (Seq(sa, sc), Seq(ta, tc)) if ta == targetAlias && sa == sourceAlias => Some((tc, sc))
+            case _ => None
+          }
+      }.flatten.filter { case (tc, _) =>
+        schema.fieldNames.contains(tc) &&
+          schema(tc).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+      }
+    val srcRange: Map[String, (Double, Double)] =
+      if (equiKeys.isEmpty) Map.empty
+      else {
+        val aggs = equiKeys.flatMap { case (tc, sc) =>
+          Seq(smin(col(sc).cast("double")).as(s"__mn_$tc"),
+            smax(col(sc).cast("double")).as(s"__mx_$tc"))
+        }
+        val r = source.agg(aggs.head, aggs.tail: _*).collect().head
+        equiKeys.map(_._1).zipWithIndex.collect {
+          case (tc, i) if !r.isNullAt(2 * i) && !r.isNullAt(2 * i + 1) =>
+            tc -> (r.getDouble(2 * i), r.getDouble(2 * i + 1))
+        }.toMap
+      }
+    val candidates = parent.files.filterNot { f =>
+      srcRange.exists { case (k, (lo, hi)) =>
+        parent.stats.get(f).flatMap(_.get(k)) match {
+          case Some((mn, mx)) => mx < lo || mn > hi // provably no equi-key match
+          case None => false
+        }
+      }
+    }
+
+    // ---- exact touched-file detection (files some clause APPLIES to) ----
+    val fkToRel = parent.files.map(f => VersionedTable.fileKey(f) -> f).toMap
+    val matchedTouched: Set[String] =
+      if (matched.isEmpty || candidates.isEmpty) Set.empty
+      else tgtScan(parent.copy(files = candidates)).join(src, onExpr, "inner")
+        .where(anyCond(matched))
+        .select(col(VersionedTable.FkCol)).distinct().collect()
+        .map(r => fkToRel(r.getString(0))).toSet
+    val bySourceTouched: Set[String] =
+      if (notMatchedBySource.isEmpty || parent.files.isEmpty) Set.empty
+      else tgtScan(parent).join(src, onExpr, "left_anti")
+        .where(anyCond(notMatchedBySource))
+        .select(col(VersionedTable.FkCol)).distinct().collect()
+        .map(r => fkToRel(r.getString(0))).toSet
+    val touchedSet = matchedTouched ++ bySourceTouched
+    val (touched, untouched) = parent.files.partition(touchedSet.contains)
+
+    // ---- the rewrite + insert plan, one write ----------------------------
+    def projectTo(c: MergeClause)(frame: DataFrame, fromTarget: Boolean): DataFrame =
+      frame.select(schema.fields.toIndexedSeq.map { f =>
+        c.assignments.get(f.name) match {
+          case Some(rhs) => expr(rhs).cast(f.dataType).as(f.name)
+          case None if fromTarget => col(s"$targetAlias.`${f.name}`").as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name) // Delta INSERT rule
+        }
+      }: _*)
+    val rewriteParts: Seq[DataFrame] =
+      if (touched.isEmpty) Nil
+      else {
+        val srcMarked = source.withColumn(srcMark, lit(true)).alias(sourceAlias)
+        val j = tgtScan(parent.copy(files = touched))
+          .join(srcMarked, onExpr, "left_outer")
+          .withColumn("__graft_applied",
+            when(col(srcMark).isNotNull, chain(matched, 0))
+              .otherwise(chain(notMatchedBySource, 1000)))
+        if (matched.nonEmpty) { // Delta's cardinality error: ambiguous winner
+          val dup = j.where(col("__graft_applied").isNotNull && col(srcMark).isNotNull)
+            .groupBy(col(VersionedTable.FkCol), col(VersionedTable.PosCol))
+            .agg(count(lit(1)).as("__n")).where(col("__n") > 1).limit(1).collect()
+          if (dup.nonEmpty) throw new IllegalArgumentException(
+            "mergeInto: multiple source rows match and attempt to modify the " +
+              "same target row — de-duplicate the source or tighten the ON / " +
+              "clause conditions (Delta MERGE raises the same error)")
+        }
+        // a row is kept iff NO joined copy applies a clause — and exactly
+        // once, however many source rows matched it without applying
+        // (a copy-level filter alone would wrongly keep the original of a
+        // row some OTHER copy modified)
+        val appliedIds = j.where(col("__graft_applied").isNotNull)
+          .select(col(VersionedTable.FkCol), col(VersionedTable.PosCol)).distinct()
+        val kept = j.where(col("__graft_applied").isNull)
+          .dropDuplicates(VersionedTable.FkCol :: VersionedTable.PosCol :: Nil)
+          .join(appliedIds, Seq(VersionedTable.FkCol, VersionedTable.PosCol), "left_anti")
+          .select(schema.fieldNames.toIndexedSeq.map(n => col(s"$targetAlias.`$n`").as(n)): _*)
+        val updates = (matched.zipWithIndex.map { case (c, i) => (c, i) } ++
+          notMatchedBySource.zipWithIndex.map { case (c, i) => (c, 1000 + i) })
+          .filter(_._1.kind == "update")
+          .map { case (c, idx) =>
+            projectTo(c)(j.where(col("__graft_applied") === idx), fromTarget = true)
+          } // delete clauses: their rows simply never reach the output
+        kept +: updates
+      }
+    val insertParts: Seq[DataFrame] =
+      if (notMatched.isEmpty) Nil
+      else {
+        val unmatched = // anti over candidates is exact: non-candidates hold no match
+          if (candidates.isEmpty) src
+          else src.join(tgtScan(parent.copy(files = candidates)), onExpr, "left_anti")
+        val withIns = unmatched.withColumn("__graft_ins", chain(notMatched, 0))
+        notMatched.zipWithIndex.map { case (c, i) =>
+          projectTo(c)(withIns.where(col("__graft_ins") === i), fromTarget = false)
+        }
+      }
+    val parts = rewriteParts ++ insertParts
+    if (parts.isEmpty) return parent // clauses can touch nothing: no-op, no churn
+    val out = parts.reduce(_ unionByName _)
+    if (touched.isEmpty && out.isEmpty) return parent // insert-only merge, zero inserts
+    val newFiles = writeDataFiles(out, branch, parent.version + 1)
+    val statCols = (parent.stats.values.flatMap(_.keys) ++
+      parent.strStats.values.flatMap(_.keys)).toSeq.distinct
+    val (newStats, newStrStats, newNullStats) =
+      if (statCols.isEmpty || newFiles.isEmpty)
+        (Map.empty[String, Map[String, (Double, Double)]],
+          Map.empty[String, Map[String, (String, String)]],
+          Map.empty[String, Map[String, Long]])
+      else collectFileStats(spark, newFiles, statCols, schema)
+    val untouchedSet = untouched.toSet
+    publish(branch, Some(parent),
+      if (message.isEmpty) s"merge into on ($on)" else message,
+      schema, untouched ++ newFiles,
+      parent.stats.view.filterKeys(untouchedSet).toMap ++ newStats,
+      strStats = parent.strStats.view.filterKeys(untouchedSet).toMap ++ newStrStats,
+      nullStats = parent.nullStats.view.filterKeys(untouchedSet).toMap ++ newNullStats,
+      // untouched files keep their deletion vectors; touched files were read
+      // with DVs applied and rewritten, leaving only harmless dead entries
+      dvFiles = parent.dvFiles)
   }
 
   /** Delta `DELETE FROM … WHERE`: remove the rows where `where` evaluates

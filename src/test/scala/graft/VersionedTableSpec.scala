@@ -1373,6 +1373,111 @@ class VersionedTableSpec extends SparkSpec {
     assert(sigVt.head("main").map(_.version) === Some(3L))
   }
 
+  test("mergeInto: full MERGE semantics — conditional update/delete/insert, by-source, clause order, null fill") {
+    import graft.vt.MergeClause
+    val vt = freshVt("merge_into")
+    // target: k 1..8, v = k*10, tag = "old"
+    vt.write((1L to 8L).map(k => (k, k * 10, "old")).toDF("k", "v", "tag"), "main", "v0")
+    // source: keys 2,3,4,5 (matched), 20,21 (unmatched)
+    val src = Seq((2L, 1000L), (3L, -5L), (4L, 777L), (5L, 888L), (20L, 1L), (21L, -1L))
+      .toDF("k", "nv")
+    val c = vt.mergeInto(spark, src, "t.k = s.k",
+      matched = Seq(
+        MergeClause.delete(Some("s.nv < 0")),                   // k=3 deleted
+        MergeClause.update(Map("v" -> "s.nv"), Some("s.nv > 800")), // k=2,5 (first-wins)
+        MergeClause.update(Map("v" -> "s.nv", "tag" -> "'merged'"))), // k=4 only
+      notMatched = Seq(
+        MergeClause.insert(Map("k" -> "s.k", "v" -> "s.nv"), Some("s.nv > 0")), // k=20; tag → NULL
+        MergeClause.insert(Map("k" -> "s.k", "v" -> "0", "tag" -> "'neg'"))),   // k=21
+      notMatchedBySource = Seq(
+        MergeClause.delete(Some("t.k = 8")),                    // k=8 deleted
+        MergeClause.update(Map("tag" -> "'untouched'"), Some("t.k = 1")))) // k=1 retagged
+    assert(c.version === 1L)
+    val got = vt.read(spark, "main").select("k", "v", "tag")
+      .as[(Long, Long, Option[String])].collect().sortBy(_._1)
+    assert(got === Array(
+      (1L, 10L, Some("untouched")),  // by-source update (second clause)
+      (2L, 1000L, Some("old")),      // conditional update fired FIRST (1000 > 800)
+      (4L, 777L, Some("merged")),    // fell through to the unconditional update
+      (5L, 888L, Some("old")),       // conditional update fired FIRST, tag untouched
+      (6L, 60L, Some("old")), (7L, 70L, Some("old")), // no clause applied: kept
+      (20L, 1L, None),               // insert with unassigned tag → typed NULL
+      (21L, 0L, Some("neg"))),
+      "k=3 (matched delete) and k=8 (by-source delete) must be gone")
+    // one commit; v0 still travels complete
+    assert(vt.readVersion(spark, "main", 0).count() === 8L)
+  }
+
+  test("mergeInto: cardinality — ambiguous multi-match fails, benign multi-match kept once") {
+    import graft.vt.MergeClause
+    val vt = freshVt("merge_card")
+    vt.write(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), "main", "v0")
+    // two source rows hit k=1 and BOTH apply → Delta's cardinality error
+    val dupApply = Seq((1L, 100L), (1L, 200L)).toDF("k", "nv")
+    val e = intercept[IllegalArgumentException](vt.mergeInto(spark, dupApply,
+      "t.k = s.k", matched = Seq(MergeClause.update(Map("v" -> "s.nv")))))
+    assert(e.getMessage.contains("multiple source rows match"), e.getMessage)
+    assert(vt.head("main").get.version === 0L, "a refused merge commits nothing")
+    // two source rows hit k=1 but only ONE satisfies the clause → that one wins
+    val c1 = vt.mergeInto(spark, dupApply, "t.k = s.k",
+      matched = Seq(MergeClause.update(Map("v" -> "s.nv"), Some("s.nv = 200"))))
+    assert(c1.version === 1L)
+    assert(vt.read(spark, "main").as[(Long, Long)].collect().sorted
+      === Array((1L, 200L), (2L, 20L)))
+    // two source rows hit k=2 and NEITHER applies → row kept exactly once
+    val c2 = vt.mergeInto(spark, Seq((2L, 5L), (2L, 6L)).toDF("k", "nv"), "t.k = s.k",
+      matched = Seq(MergeClause.update(Map("v" -> "s.nv"), Some("s.nv > 100"))),
+      notMatched = Seq(MergeClause.insert(Map("k" -> "s.k", "v" -> "s.nv"))))
+    assert(vt.read(spark, "main").where($"k" === 2L).count() === 1L,
+      "benign multi-match must not duplicate the kept row")
+    assert(c2.version === c1.version,
+      "nothing applied anywhere: applicability-exact detection means no rewrite, no churn")
+  }
+
+  test("mergeInto: COW file granularity, equi-key pruning, DV interplay, no-op no-churn") {
+    import graft.vt.MergeClause
+    val vt = freshVt("merge_cow")
+    def part(lo: Long, hi: Long) = (lo to hi).map(k => (k, k)).toDF("k", "v").coalesce(1)
+    vt.write(part(1, 10), "main", "A", statsCols = Seq("k"))
+    vt.write(part(11, 20), "main", "B", mode = "append", statsCols = Seq("k"))
+    vt.write(part(21, 30), "main", "C", mode = "append", statsCols = Seq("k"))
+    // MOR delete first: merge must match LIVE rows only
+    vt.deleteWithVectors(spark, "k = 12", "main")
+    val before = vt.head("main").get
+    // source touches only the middle file's range; k=12 is dead so it INSERTS
+    val src = Seq((12L, 1200L), (13L, 1300L)).toDF("k", "nv")
+    val c = vt.mergeInto(spark, src, "t.k = s.k",
+      matched = Seq(MergeClause.update(Map("v" -> "s.nv"))),
+      notMatched = Seq(MergeClause.insert(Map("k" -> "s.k", "v" -> "s.nv"))))
+    val after = vt.head("main").get
+    val carried = before.files.toSet.intersect(after.files.toSet)
+    assert(carried.size === 2,
+      s"equi-key stats pruning + exact detection must carry files A and C: $carried")
+    carried.foreach(f => assert(after.stats(f) === before.stats(f),
+      "carried files keep their stats entries"))
+    val got = vt.read(spark, "main").where($"k".between(11, 14))
+      .as[(Long, Long)].collect().sorted
+    assert(got === Array((11L, 11L), (12L, 1200L), (13L, 1300L), (14L, 14L)),
+      "dead k=12 must REINSERT (not resurrect), live k=13 must update")
+    assert(vt.read(spark, "main").count() === 30L, "29 live + 1 insert")
+    // no-op merge: nothing matches, nothing inserts → same head, no churn
+    val noop = vt.mergeInto(spark, Seq((999L, 1L)).toDF("k", "nv"), "t.k = s.k",
+      matched = Seq(MergeClause.update(Map("v" -> "s.nv"))))
+    assert(noop.version === c.version, "a no-op merge must not commit")
+    val noopIns = vt.mergeInto(spark, Seq((13L, 1L)).toDF("k", "nv"), "t.k = s.k",
+      notMatched = Seq(MergeClause.insert(Map("k" -> "s.k", "v" -> "s.nv"))))
+    assert(noopIns.version === c.version, "insert-only merge with zero inserts: no churn")
+    // validation: unknown assignment column, bad kinds, reserved source columns
+    intercept[IllegalArgumentException](vt.mergeInto(spark, src, "t.k = s.k",
+      matched = Seq(MergeClause.update(Map("nope" -> "1")))))
+    intercept[IllegalArgumentException](vt.mergeInto(spark, src, "t.k = s.k",
+      notMatched = Seq(MergeClause.update(Map("v" -> "1")))))
+    intercept[IllegalArgumentException](vt.mergeInto(spark, src, "t.k = s.k"))
+    intercept[IllegalArgumentException](vt.mergeInto(spark,
+      src.withColumnRenamed("nv", "__graft_fk"), "t.k = s.k",
+      matched = Seq(MergeClause.delete())))
+  }
+
   test("metadata-only MIN/MAX: zero file I/O, all-null files skipped, DV/missing-stats refuse") {
     import spark.implicits._
     val vt = freshVt("minmax_meta")
