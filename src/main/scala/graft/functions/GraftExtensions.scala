@@ -27,5 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Optimizer rule: bounded levenshtein predicates gain a free
     // length-difference prefilter and switch to the banded threshold DP.
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
+    // Parser wrapper: UPDATE / MERGE INTO / DELETE FROM statements on
+    // vt-catalog tables execute through the engine's row-level ops
+    // (graft.sources.VtSqlDml) — the rest of SQL passes through untouched.
+    ext.injectParser((session, delegate) =>
+      new graft.sources.GraftSqlParser(session, delegate))
   }
 }

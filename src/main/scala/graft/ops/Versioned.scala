@@ -1212,6 +1212,73 @@ object Versioned {
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** SQL `UPDATE` statement text over a versioned table (r17,
+    * [[graft.sources.VtSqlDml]]): parsed by Spark's parser, the alias-
+    * qualified assignments and WHERE render back onto the engine's
+    * copy-on-write [[graft.vt.VersionedTable.update]] — one commit, only
+    * files holding matching rows rewritten. Runs on a VANILLA session:
+    * the translator needs no build-time extensions (the injected-parser
+    * route for literal `spark.sql` text is spec-pinned instead). */
+  val qVtSqlUpdate: QueryDef = q("q_vt_sql_update")(
+    """SELECT o_orderkey AS k,
+      |  CASE WHEN o_orderkey BETWEEN 500 AND 1500
+      |       THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 2
+      |       ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END AS cents,
+      |  CASE WHEN o_orderkey BETWEEN 500 AND 1500
+      |       THEN 'bumped' ELSE o_orderpriority END AS prio
+      |FROM orders WHERE o_orderkey <= 3000 ORDER BY k""".stripMargin) { (s, d) =>
+    val vt = VersionedTable.create(Tables.scratch("vt_sql_update"))
+    val o = Tables.orders(s, d).where(col("o_orderkey") <= 3000)
+      .select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+        col("o_orderpriority").as("prio"))
+    vt.write(o.repartitionByRange(4, col("k")), "main", "v0", statsCols = Seq("k"))
+    s.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
+    graft.sources.VtSqlDml.exec(s,
+      s"UPDATE vt.`${vt.root}` AS o SET cents = o.cents * 2, prio = 'bumped' " +
+        "WHERE o.k BETWEEN 500 AND 1500")
+    vt.read(s, "main").select("k", "cents", "prio").orderBy("k")
+  }
+
+  /** SQL `MERGE INTO` statement text (r17, [[graft.sources.VtSqlDml]]):
+    * a conditional MATCHED DELETE plus the star actions (`UPDATE SET *` /
+    * `INSERT *`, expanded against the commit schema), with the source
+    * given as an inline subquery over the raw parquet — the translator
+    * hands it to [[graft.vt.VersionedTable.mergeInto]] as a DataFrame.
+    * Vanilla session, one commit. */
+  val qVtSqlMerge: QueryDef = q("q_vt_sql_merge")(
+    """WITH t AS (SELECT o_orderkey AS k,
+      |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |           FROM orders WHERE o_orderkey <= 3000),
+      |     s AS (SELECT o_orderkey AS k,
+      |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 3 AS cents
+      |           FROM orders WHERE o_orderkey BETWEEN 2000 AND 4000)
+      |SELECT k, cents FROM (
+      |  SELECT s.k, s.cents FROM s JOIN t ON t.k = s.k WHERE s.k % 5 <> 0
+      |  UNION ALL
+      |  SELECT t.k, t.cents FROM t WHERE t.k NOT IN (SELECT k FROM s)
+      |  UNION ALL
+      |  SELECT s.k, s.cents FROM s WHERE s.k NOT IN (SELECT k FROM t)
+      |) ORDER BY k""".stripMargin) { (s, d) =>
+    val vt = VersionedTable.create(Tables.scratch("vt_sql_merge"))
+    val o = Tables.orders(s, d).where(col("o_orderkey") <= 3000)
+      .select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    vt.write(o.repartitionByRange(4, col("k")), "main", "v0", statsCols = Seq("k"))
+    s.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
+    graft.sources.VtSqlDml.exec(s,
+      s"""MERGE INTO vt.`${vt.root}` AS t USING (
+         |  SELECT o_orderkey AS k,
+         |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 3 AS cents
+         |  FROM parquet.`$d/orders.parquet`
+         |  WHERE o_orderkey BETWEEN 2000 AND 4000) AS s
+         |ON t.k = s.k
+         |WHEN MATCHED AND s.k % 5 = 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    vt.read(s, "main").select("k", "cents").orderBy("k")
+  }
+
   /** Generalized MERGE INTO (r17, [[graft.vt.VersionedTable.mergeInto]]):
     * the full Delta statement shape in one commit — a conditional WHEN
     * MATCHED DELETE, a conditional WHEN MATCHED UPDATE, a WHEN NOT MATCHED
@@ -1424,6 +1491,6 @@ object Versioned {
     qVtDeltaReplicate, qVtDeltaTail, qVtDeltaExportScale, qVtDeltaSkipStr,
     qVtStreamSource, qVtStreamSink, qVtDeltaStream, qVtFormatRead,
     qVtDeltaLiteRead, qVtDeltaLitePart,
-    qVtSqlTravel, qVtSqlDelete, qVtMergeInto, qVtMorFilter, qVtDeltaCmapNative,
-    qVtMinmaxMeta)
+    qVtSqlTravel, qVtSqlDelete, qVtSqlUpdate, qVtSqlMerge, qVtMergeInto,
+    qVtMorFilter, qVtDeltaCmapNative, qVtMinmaxMeta)
 }

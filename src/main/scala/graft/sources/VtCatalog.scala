@@ -44,6 +44,18 @@ import graft.vt.{Commit, VersionedTable}
   * (`SupportsTruncate`). DDL (create/alter/rename) is refused — a
   * versioned table is created by its own API ([[VersionedTable.create]]),
   * not by the catalog. */
+/** The `[branch@]path` addressing shared by the catalog identifier and the
+  * SQL-DML bridge ([[VtSqlDml]]): a leading slash-free `branch@` segment
+  * selects a non-main branch; everything else is the table root path. */
+private[sources] object VtAddress {
+  def split(raw: String): (String, String) = {
+    val at = raw.indexOf('@')
+    if (at > 0 && !raw.substring(0, at).contains('/'))
+      (raw.substring(0, at), raw.substring(at + 1))
+    else ("main", raw)
+  }
+}
+
 final class VtCatalog extends TableCatalog {
 
   private var catalogName: String = "vt"
@@ -59,11 +71,7 @@ final class VtCatalog extends TableCatalog {
     require(ident.namespace().isEmpty,
       s"$catalogName catalog identifiers are single backquoted paths " +
         s"(`[branch@]/path/to/table`), got ${ident.namespace().mkString(".")}.${ident.name()}")
-    val raw = ident.name()
-    val at = raw.indexOf('@')
-    val (branch, path) =
-      if (at > 0 && !raw.substring(0, at).contains('/')) (raw.substring(0, at), raw.substring(at + 1))
-      else ("main", raw)
+    val (branch, path) = VtAddress.split(ident.name())
     (VersionedTable.open(SourcePaths.local(path)), branch)
   }
 

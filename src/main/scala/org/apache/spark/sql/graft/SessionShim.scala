@@ -21,4 +21,14 @@ object SessionShim {
     kvs.foreach { case (k, v) => cloned.conf.set(k, v) }
     cloned
   }
+
+  /** A DataFrame over an already-parsed logical plan (`Dataset.ofRows`,
+    * also `private[sql]`): what the SQL-DML bridge
+    * ([[graft.sources.VtSqlDml]]) needs to hand a parsed MERGE source —
+    * a table reference or an arbitrary subquery — to the engine as a
+    * DataFrame, triggering its normal analysis. */
+  def ofRows(spark: ApiSparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(spark.asInstanceOf[SparkSession], plan)
 }

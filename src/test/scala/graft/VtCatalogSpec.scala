@@ -176,6 +176,89 @@ class VtCatalogSpec extends SparkSpec {
       "a refused DELETE must delete nothing")
   }
 
+  test("VtSqlDml.exec: UPDATE and MERGE INTO statements run on a vanilla session") {
+    registerCatalog()
+    import graft.sources.VtSqlDml
+    val vt = VersionedTable.create(Tables.scratch("vtcat_dml"))
+    vt.write((1L to 6L).map(k => (k, k * 10, "old")).toDF("k", "v", "tag"), "main", "v0")
+    val t = s"vt.`${vt.root}`"
+    // UPDATE with alias: qualifiers strip onto the bare engine scan
+    VtSqlDml.exec(spark, s"UPDATE $t AS x SET v = x.v + 1, tag = 'upd' WHERE x.k <= 2")
+    assert(spark.sql(s"SELECT v FROM $t WHERE k <= 2").as[Long].collect().sorted
+      === Array(11L, 21L))
+    // UPDATE without alias or WHERE: all rows
+    VtSqlDml.exec(spark, s"UPDATE $t SET v = v + 100")
+    assert(spark.sql(s"SELECT sum(v) AS s FROM $t").as[Long].head()
+      === (11 + 21 + 30 + 40 + 50 + 60) + 600L)
+    // full MERGE: conditional update, delete, conditional insert, by-source
+    spark.range(4).select(($"id" + 5).as("k"), lit(7L).as("nv"))
+      .createOrReplaceTempView("dml_src") // keys 5,6 matched; 7,8 not
+    val c = VtSqlDml.exec(spark,
+      s"""MERGE INTO $t AS tgt USING dml_src AS src ON tgt.k = src.k
+         |WHEN MATCHED AND tgt.k = 5 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = src.nv
+         |WHEN NOT MATCHED AND src.k < 8 THEN INSERT (k, v) VALUES (src.k, src.nv)
+         |WHEN NOT MATCHED BY SOURCE AND tgt.k = 1 THEN UPDATE SET tag = 'lone'
+         |""".stripMargin)
+    val got = spark.sql(s"SELECT k, v, tag FROM $t ORDER BY k")
+      .as[(Long, Long, Option[String])].collect()
+    assert(got === Array(
+      (1L, 111L, Some("lone")), (2L, 121L, Some("upd")), (3L, 130L, Some("old")),
+      (4L, 140L, Some("old")), (6L, 7L, Some("old")), (7L, 7L, None)),
+      "k=5 deleted, k=6 updated, k=7 inserted (null tag), k=8 filtered, k=1 retagged")
+    assert(vt.head("main").get.version === c.version, "MERGE landed as one commit")
+    // subqueries in DML conditions are refused loudly
+    val e = intercept[IllegalArgumentException](VtSqlDml.exec(spark,
+      s"DELETE FROM $t WHERE k IN (SELECT k FROM dml_src)"))
+    assert(e.getMessage.contains("subqueries"), e.getMessage)
+    // non-DML or non-vt statements are not claimed
+    intercept[IllegalArgumentException](VtSqlDml.exec(spark, s"SELECT * FROM $t"))
+    spark.catalog.dropTempView("dml_src")
+  }
+
+  test("spark.sql UPDATE/MERGE/DELETE work literally in a GraftExtensions session") {
+    // new session (same context) WITH extensions — FunctionsSpec's pattern
+    val shared = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      import s2.implicits._
+      s2.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
+      val vt = VersionedTable.create(Tables.scratch("vtcat_extdml"))
+      vt.write((1L to 5L).map(k => (k, k * 10)).toDF("k", "v"), "main", "v0")
+      val t = s"vt.`${vt.root}`"
+      // UPDATE via literal SQL (would need SupportsRowLevelOperations upstream)
+      s2.sql(s"UPDATE $t SET v = v + 1 WHERE k = 1")
+      assert(s2.sql(s"SELECT v FROM $t WHERE k = 1").as[Long].head() === 11L)
+      // DELETE with a predicate SupportsDelete cannot translate — the
+      // parser route handles arbitrary row-local predicates
+      s2.sql(s"DELETE FROM $t WHERE k % 2 = 0 AND length(CAST(v AS STRING)) >= 2")
+      assert(s2.sql(s"SELECT k FROM $t").as[Long].collect().sorted === Array(1L, 3L, 5L))
+      // MERGE with star actions expanding against the commit schema
+      Seq((3L, 333L), (9L, 999L)).toDF("k", "v").createOrReplaceTempView("ext_src")
+      s2.sql(
+        s"""MERGE INTO $t AS tgt USING ext_src AS src ON tgt.k = src.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(s2.sql(s"SELECT k, v FROM $t ORDER BY k").as[(Long, Long)].collect()
+        === Array((1L, 11L), (3L, 333L), (5L, 50L), (9L, 999L)))
+      // each statement was one commit; everything still time-travels
+      assert(s2.sql(s"SELECT count(*) AS c FROM $t VERSION AS OF 0").as[Long].head() === 5L)
+      // the wrapped parser passes everything else through untouched
+      assert(s2.sql("SELECT 1 + 1 AS x").as[Long].head() === 2L)
+      assert(s2.range(3).count() === 3L)
+      s2.catalog.dropTempView("ext_src")
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(shared)
+      org.apache.spark.sql.SparkSession.setActiveSession(shared)
+    }
+  }
+
   test("catalog refuses DDL loudly; missing tables surface as NoSuchTable") {
     registerCatalog()
     val e = intercept[Exception](
