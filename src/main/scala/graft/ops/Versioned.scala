@@ -1279,6 +1279,49 @@ object Versioned {
     vt.read(s, "main").select("k", "cents").orderBy("k")
   }
 
+  /** Delta-parity UTILITY SQL (r17, [[graft.sources.VtUtilitySql]]):
+    * `RESTORE TABLE … TO VERSION AS OF 0` publishes v0's state as a NEW
+    * commit (history intact — the oracle leg reading v1 through SQL time
+    * travel proves it), then `VACUUM … RETAIN 3 VERSIONS` leaves every
+    * version this query reads intact. Vanilla session via the
+    * programmatic door; the injected-parser route is spec-pinned. */
+  val qVtSqlRestore: QueryDef = q("q_vt_sql_restore")(
+    """SELECT 0 AS leg, n_nationkey FROM nation WHERE n_regionkey < 2
+      |UNION ALL
+      |SELECT 1 AS leg, n_nationkey FROM nation
+      |ORDER BY leg, n_nationkey""".stripMargin) { (s, d) =>
+    val vt = writeV0V1(s, d, "vt_sql_restore")
+    s.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
+    val t = s"vt.`${vt.root}`"
+    graft.sources.VtUtilitySql.exec(s, s"RESTORE TABLE $t TO VERSION AS OF 0").collect()
+    graft.sources.VtUtilitySql.exec(s, s"VACUUM $t RETAIN 3 VERSIONS").collect()
+    s.sql(s"SELECT 0 AS leg, n_nationkey FROM $t").unionByName(
+      s.sql(s"SELECT 1 AS leg, n_nationkey FROM $t VERSION AS OF 1"))
+      .orderBy("leg", "n_nationkey")
+  }
+
+  /** `OPTIMIZE … FILES 4 ZORDER BY (a, b)` as a statement (r17): a
+    * layout-only commit — the band read after it returns exactly the raw
+    * table's band (the oracle), and the rewrite leaves fresh 2-D stats so
+    * the probe prunes files (spec-pinned; here the oracle pins rows). */
+  val qVtSqlOptimize: QueryDef = q("q_vt_sql_optimize")(
+    """SELECT o_orderkey AS k, cents FROM (
+      |  SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders)
+      |WHERE o_orderkey BETWEEN 1000 AND 1999 AND cents BETWEEN 500000 AND 20000000
+      |ORDER BY k""".stripMargin) { (s, d) =>
+    val vt = VersionedTable.create(Tables.scratch("vt_sql_optimize"))
+    val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    vt.write(o.repartition(8), "main", "v0")
+    s.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
+    graft.sources.VtUtilitySql.exec(s,
+      s"OPTIMIZE vt.`${vt.root}` FILES 4 ZORDER BY (k, cents)").collect()
+    s.read.format("vt").option("path", vt.root.toString).load()
+      .where(col("k").between(1000, 1999) && col("cents").between(500000L, 20000000L))
+      .orderBy("k")
+  }
+
   /** Generalized MERGE INTO (r17, [[graft.vt.VersionedTable.mergeInto]]):
     * the full Delta statement shape in one commit — a conditional WHEN
     * MATCHED DELETE, a conditional WHEN MATCHED UPDATE, a WHEN NOT MATCHED
@@ -1492,5 +1535,5 @@ object Versioned {
     qVtStreamSource, qVtStreamSink, qVtDeltaStream, qVtFormatRead,
     qVtDeltaLiteRead, qVtDeltaLitePart,
     qVtSqlTravel, qVtSqlDelete, qVtSqlUpdate, qVtSqlMerge, qVtMergeInto,
-    qVtMorFilter, qVtDeltaCmapNative, qVtMinmaxMeta)
+    qVtSqlRestore, qVtSqlOptimize, qVtMorFilter, qVtDeltaCmapNative, qVtMinmaxMeta)
 }

@@ -192,10 +192,30 @@ case class VtDmlCommand(dml: LogicalPlan, sqlText: String) extends LeafRunnableC
 final class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
-  override def parsePlan(sqlText: String): LogicalPlan = {
-    val plan = delegate.parsePlan(sqlText)
-    if (VtSqlDml.translatable(spark, plan)) VtDmlCommand(plan, sqlText) else plan
-  }
+  override def parsePlan(sqlText: String): LogicalPlan =
+    try {
+      val plan = delegate.parsePlan(sqlText)
+      if (VtSqlDml.translatable(spark, plan)) VtDmlCommand(plan, sqlText)
+      // DESCRIBE HISTORY is the one utility statement Spark's grammar
+      // accepts (as a describe-column of a table named `history`) — on a
+      // vt-catalog address that native plan can only fail analysis, so
+      // routing it to the lineage command shadows nothing that works
+      else if (sqlText.trim.take(4).equalsIgnoreCase("DESC"))
+        VtUtilitySql.parse(spark, sqlText) match {
+          case Some(stmt: VtUtilitySql.HistoryStmt) => VtUtilityCommand(stmt, sqlText)
+          case _ => plan
+        }
+      else plan
+    } catch {
+      // Utility statements (VACUUM / DESCRIBE HISTORY / OPTIMIZE / RESTORE
+      // TABLE) are not in Spark's grammar, so they are offered to the vt
+      // mini-parser only AFTER the delegate throws — a statement Spark
+      // understands can never be shadowed, and non-vt text keeps its
+      // original parse error.
+      case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+        VtUtilitySql.parse(spark, sqlText).map(VtUtilityCommand(_, sqlText))
+          .getOrElse(throw e)
+    }
 
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
   override def parseExpression(sqlText: String): Expression =

@@ -1,0 +1,146 @@
+package graft.sources
+
+import scala.util.matching.Regex
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+
+import graft.vt.VersionedTable
+
+/** Delta-parity UTILITY statements over versioned tables — the maintenance
+  * surface Delta adds to SQL beyond DML, mapped onto the engine's own ops:
+  *
+  * {{{
+  *   VACUUM vt.`path` [RETAIN n HOURS | RETAIN n VERSIONS] [DRY RUN]
+  *   DESCRIBE HISTORY vt.`path`
+  *   OPTIMIZE vt.`path` [FILES n] [ZORDER BY (a, b)]
+  *   RESTORE TABLE vt.`path` TO VERSION AS OF n
+  *   RESTORE TABLE vt.`path` TO TAG 'name'
+  * }}}
+  *
+  * None of these parse in Spark's grammar, so [[GraftSqlParser]] offers
+  * them to this mini-parser only AFTER the delegate throws — a statement
+  * Spark understands can never be shadowed. Addressing matches the
+  * catalog's (`[branch@]path`, catalog name resolved through the
+  * `spark.sql.catalog.<name>` runtime conf). [[exec]] is the
+  * extensions-free programmatic door. Semantics follow Delta where the
+  * dials coincide: bare `VACUUM` retains 168 hours (Delta's default);
+  * `RETAIN n VERSIONS` exposes the engine's count dial; `OPTIMIZE` is a
+  * layout-only commit (bin-pack, or Morton z-order with fresh stats on
+  * both columns) that retries through Delta's lost-race-rebase rule;
+  * `RESTORE` publishes the target state as a NEW commit — history stays. */
+object VtUtilitySql {
+
+  sealed trait Stmt { def address: String }
+  final case class VacuumStmt(address: String, retain: Option[(Double, String)],
+                              dryRun: Boolean) extends Stmt
+  final case class HistoryStmt(address: String) extends Stmt
+  final case class OptimizeStmt(address: String, files: Option[Int],
+                                zorder: Option[(String, String)]) extends Stmt
+  final case class RestoreStmt(address: String, to: Either[Long, String]) extends Stmt
+
+  // one identifier shape everywhere: <catalog>.`<[branch@]path>`
+  private val T = "(\\w+)\\.`([^`]+)`"
+  private val VacuumRe: Regex =
+    s"""(?is)\\s*VACUUM\\s+$T(?:\\s+RETAIN\\s+(\\d+(?:\\.\\d+)?)\\s+(HOURS|VERSIONS))?(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r
+  private val HistoryRe: Regex =
+    s"""(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$T\\s*;?\\s*""".r
+  private val OptimizeRe: Regex =
+    s"""(?is)\\s*OPTIMIZE\\s+$T(?:\\s+FILES\\s+(\\d+))?(?:\\s+ZORDER\\s+BY\\s*\\(\\s*`?([\\w.]+)`?\\s*,\\s*`?([\\w.]+)`?\\s*\\))?\\s*;?\\s*""".r
+  private val RestoreVerRe: Regex =
+    s"""(?is)\\s*RESTORE\\s+TABLE\\s+$T\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
+  private val RestoreTagRe: Regex =
+    s"""(?is)\\s*RESTORE\\s+TABLE\\s+$T\\s+TO\\s+TAG\\s+'([^']+)'\\s*;?\\s*""".r
+
+  private def isVt(spark: SparkSession, catalog: String): Boolean =
+    spark.conf.getOption(s"spark.sql.catalog.$catalog")
+      .contains(classOf[VtCatalog].getName)
+
+  /** Recognize a utility statement over a vt-catalog table; None lets the
+    * caller surface the original parse error. */
+  def parse(spark: SparkSession, sql: String): Option[Stmt] = sql match {
+    case VacuumRe(cat, addr, n, unit, dry) if isVt(spark, cat) =>
+      Some(VacuumStmt(addr, Option(n).map(v => (v.toDouble, unit.toUpperCase)),
+        dry != null))
+    case HistoryRe(cat, addr) if isVt(spark, cat) => Some(HistoryStmt(addr))
+    case OptimizeRe(cat, addr, files, za, zb) if isVt(spark, cat) =>
+      Some(OptimizeStmt(addr, Option(files).map(_.toInt),
+        Option(za).zip(Option(zb)).headOption))
+    case RestoreVerRe(cat, addr, v) if isVt(spark, cat) =>
+      Some(RestoreStmt(addr, Left(v.toLong)))
+    case RestoreTagRe(cat, addr, tag) if isVt(spark, cat) =>
+      Some(RestoreStmt(addr, Right(tag)))
+    case _ => None
+  }
+
+  def schemaOf(stmt: Stmt): StructType = stmt match {
+    case _: VacuumStmt => StructType(Seq(StructField("reclaimed", LongType, nullable = false)))
+    case _: HistoryStmt => StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("message", StringType, nullable = false),
+      StructField("ts", LongType, nullable = false),
+      StructField("n_files", IntegerType, nullable = false)))
+    case _: OptimizeStmt => StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("n_files", IntegerType, nullable = false)))
+    case _: RestoreStmt => StructType(Seq(StructField("version", LongType, nullable = false)))
+  }
+
+  def run(spark: SparkSession, stmt: Stmt): Seq[Row] = {
+    val (branch, path) = VtAddress.split(stmt.address)
+    val vt = VersionedTable.open(SourcePaths.local(path))
+    stmt match {
+      case VacuumStmt(_, retain, dry) =>
+        val reclaimed = retain match {
+          case Some((n, "VERSIONS")) =>
+            require(n == n.toInt && n >= 1, s"RETAIN $n VERSIONS: need a positive integer")
+            vt.vacuum(retainLast = n.toInt, dryRun = dry)
+          case Some((n, _)) => // HOURS
+            require(!dry, "DRY RUN is supported with the RETAIN … VERSIONS dial")
+            vt.vacuumRetainHours(n)
+          case None => // Delta's default retention window
+            require(!dry, "DRY RUN is supported with the RETAIN … VERSIONS dial")
+            vt.vacuumRetainHours(168.0)
+        }
+        Seq(Row(reclaimed.toLong))
+      case HistoryStmt(_) =>
+        vt.history(spark, branch).collect().toSeq // O(versions) metadata rows
+      case OptimizeStmt(_, files, zorder) =>
+        val c = zorder match {
+          case Some((a, b)) => vt.compactZorder(spark, branch, a, b,
+            numFiles = files.getOrElse(8))
+          case None => vt.compact(spark, branch, numFiles = files.getOrElse(1))
+        }
+        Seq(Row(c.version, c.files.size))
+      case RestoreStmt(_, Left(version)) =>
+        val c = vt.revert(branch, version, s"RESTORE TO VERSION AS OF $version")
+        Seq(Row(c.version))
+      case RestoreStmt(_, Right(tag)) =>
+        Seq(Row(vt.restoreTag(tag, branch).version))
+    }
+  }
+
+  /** Extensions-free programmatic door: parse + run + results as a
+    * DataFrame (the same rows `spark.sql` returns in extension sessions). */
+  def exec(spark: SparkSession, sql: String): DataFrame = {
+    val stmt = parse(spark, sql).getOrElse(throw new IllegalArgumentException(
+      s"not a vt utility statement (VACUUM / DESCRIBE HISTORY / OPTIMIZE / RESTORE TABLE): $sql"))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(run(spark, stmt).asJava, schemaOf(stmt))
+  }
+}
+
+/** Execution node for an intercepted utility statement: output attributes
+  * come from the statement's result schema so `spark.sql(...)` returns
+  * real rows (VACUUM's reclaim count, DESCRIBE HISTORY's lineage, …). */
+case class VtUtilityCommand(stmt: VtUtilitySql.Stmt, sqlText: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = VtUtilitySql.schemaOf(stmt).fields.toIndexedSeq
+    .map(f => AttributeReference(f.name, f.dataType, f.nullable)())
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    VtUtilitySql.run(sparkSession, stmt)
+  override def simpleString(maxFields: Int): String =
+    s"VtUtilityCommand ${sqlText.linesIterator.mkString(" ").take(120)}"
+}

@@ -259,6 +259,66 @@ class VtCatalogSpec extends SparkSpec {
     }
   }
 
+  test("utility SQL: VACUUM / DESCRIBE HISTORY / OPTIMIZE ZORDER / RESTORE as statements") {
+    registerCatalog()
+    import graft.sources.VtUtilitySql
+    val vt = VersionedTable.create(Tables.scratch("vtcat_util"))
+    def part(lo: Long, hi: Long) = (lo to hi).map(k => (k, k * 2)).toDF("k", "v").coalesce(1)
+    vt.write(part(1, 10), "main", "v0", statsCols = Seq("k"))
+    vt.write(part(1, 20), "main", "v1", statsCols = Seq("k"))
+    val t = s"vt.`${vt.root}`"
+    // vanilla-session door first: DESCRIBE HISTORY returns the lineage
+    val hist = VtUtilitySql.exec(spark, s"DESCRIBE HISTORY $t")
+      .select("version", "n_files").as[(Long, Int)].collect()
+    assert(hist.map(_._1).toSeq === Seq(1L, 0L), "newest first")
+    // literal statements through the extensions parser
+    val shared = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]").config("spark.ui.enabled", "false")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      import s2.implicits._
+      s2.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
+      // DESCRIBE HISTORY as a literal statement (Spark parses it natively
+      // as a describe-column — the parser shadows exactly that shape)
+      assert(s2.sql(s"DESCRIBE HISTORY $t").select("version")
+        .as[Long].collect().toSeq === Seq(1L, 0L))
+      // OPTIMIZE ZORDER: layout-only commit, rows identical, fresh 2-D stats
+      val zr = s2.sql(s"OPTIMIZE $t FILES 4 ZORDER BY (k, v)")
+        .as[(Long, Int)].head()
+      assert(zr === ((2L, 4)), "optimize = one layout commit with 4 files")
+      assert(s2.sql(s"SELECT sum(k) AS s FROM $t").as[Long].head() === (1L to 20L).sum)
+      val head = vt.head("main").get
+      assert(head.files.forall(f => vt.head("main").get.stats(f).contains("k")),
+        "z-order refreshes per-file stats")
+      // RESTORE TO VERSION AS OF: v0's content as a NEW commit
+      assert(s2.sql(s"RESTORE TABLE $t TO VERSION AS OF 0").as[Long].head() === 3L)
+      assert(s2.sql(s"SELECT count(*) AS c FROM $t").as[Long].head() === 10L)
+      assert(s2.sql(s"SELECT count(*) AS c FROM $t VERSION AS OF 1").as[Long].head() === 20L,
+        "restore must not rewrite history")
+      // VACUUM: dry run counts without deleting; the real run reclaims
+      val dry = s2.sql(s"VACUUM $t RETAIN 1 VERSIONS DRY RUN").as[Long].head()
+      assert(dry > 0L, "older versions hold reclaimable files")
+      assert(s2.sql(s"SELECT count(*) AS c FROM $t VERSION AS OF 1").as[Long].head() === 20L,
+        "dry run must delete nothing")
+      val real = s2.sql(s"VACUUM $t RETAIN 1 VERSIONS").as[Long].head()
+      assert(real === dry, "the real vacuum reclaims exactly what the dry run counted")
+      assert(s2.sql(s"SELECT count(*) AS c FROM $t").as[Long].head() === 10L,
+        "the retained head survives the vacuum")
+      // a parse error on NON-vt text keeps its original exception
+      intercept[org.apache.spark.sql.catalyst.parser.ParseException](
+        s2.sql("VACUUM other.`/nope`"))
+      intercept[org.apache.spark.sql.catalyst.parser.ParseException](
+        s2.sql("VACUUM")) // matches neither grammar: the original error survives
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(shared)
+      org.apache.spark.sql.SparkSession.setActiveSession(shared)
+    }
+  }
+
   test("catalog refuses DDL loudly; missing tables surface as NoSuchTable") {
     registerCatalog()
     val e = intercept[Exception](
