@@ -72,7 +72,11 @@ object Registry {
     // fallback-relation cost (now PrunedFilteredScan) visible to the 2×/10×
     // gates; the band leg should stay ~flat at 10× because pushed stats
     // prune to the same files
-    "q_vt_mor_filter")
+    "q_vt_mor_filter",
+    // r17: the generalized MERGE at full orders scale (worst-case shape:
+    // uniformly-spread matches touch every file) — detection join +
+    // cardinality check + COW rewrite + insert union under the gates
+    "q_vt_merge_scale")
 
   /** The FROZEN round-4 headline list. `benchNames` grows as operators land
     * (23 → 27 across rounds), so the all-queries `total` is not

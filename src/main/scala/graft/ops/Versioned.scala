@@ -1369,6 +1369,57 @@ object Versioned {
     vt.read(s, "main").select("k", "cents", "prio").orderBy("k")
   }
 
+  /** SF-SCALED MERGE (r17, benched): a CDC-style merge over the WHOLE
+    * orders table — 10% of keys update, 10% delete-or-update by a value
+    * condition, 10% insert as brand-new keys — so the full cost of the
+    * generalized [[graft.vt.VersionedTable.mergeInto]] (detection join,
+    * cardinality check, COW rewrite, insert union) is pinned by the
+    * 2×/10× gates the way `q_vt_delta_export_scale` pins the export path.
+    * Uniformly-spread matched keys touch every file by design: this is
+    * the WORST-case merge shape (a key-banded merge rewrites fewer files —
+    * VersionedTableSpec pins that), so the gate watches the ceiling. */
+  val qVtMergeScale: QueryDef = q("q_vt_merge_scale")(
+    """WITH t AS (SELECT o_orderkey AS k,
+      |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |             o_orderpriority AS prio
+      |           FROM orders),
+      |     s AS (SELECT o_orderkey AS k,
+      |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 2 AS newc
+      |           FROM orders WHERE o_orderkey % 10 = 3
+      |           UNION ALL
+      |           SELECT -o_orderkey,
+      |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+      |           FROM orders WHERE o_orderkey % 10 = 4)
+      |SELECT COALESCE(prio, 'zz_inserted') AS prio, count(*) AS cnt,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM (
+      |  SELECT t.prio, CASE WHEN s.k IS NULL THEN t.cents ELSE s.newc END AS cents
+      |  FROM t LEFT JOIN s ON t.k = s.k
+      |  WHERE s.k IS NULL OR s.newc % 97 >= 20
+      |  UNION ALL
+      |  SELECT CAST(NULL AS VARCHAR), s.newc FROM s WHERE s.k < 0
+      |) GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import graft.vt.MergeClause
+    val vt = VersionedTable.create(Tables.scratch("vt_merge_scale"))
+    val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+      col("o_orderpriority").as("prio"))
+    vt.write(o.repartitionByRange(8, col("k")), "main", "v0", statsCols = Seq("k"))
+    val src = o.where(pmod(col("k"), lit(10)) === 3)
+      .select(col("k"), (col("cents") * 2).as("newc"))
+      .unionByName(o.where(pmod(col("k"), lit(10)) === 4)
+        .select(negate(col("k")).as("k"), col("cents").as("newc")))
+    vt.mergeInto(s, src, "t.k = s.k",
+      matched = Seq(
+        MergeClause.delete(Some("s.newc % 97 < 20")),
+        MergeClause.update(Map("cents" -> "s.newc"))),
+      notMatched = Seq(MergeClause.insert(Map("k" -> "s.k", "cents" -> "s.newc"))))
+    vt.read(s, "main")
+      .groupBy(coalesce(col("prio"), lit("zz_inserted")).as("prio"))
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("sum_cents"))
+      .orderBy("prio")
+  }
+
   /** FILTERED MERGE-ON-READ at orders scale (r17, benched): the fallback
     * relation's cost pinned by the gates. v0 is a key-range layout with
     * per-file o_orderkey stats; a 30% MOR delete attaches deletion
@@ -1535,5 +1586,6 @@ object Versioned {
     qVtStreamSource, qVtStreamSink, qVtDeltaStream, qVtFormatRead,
     qVtDeltaLiteRead, qVtDeltaLitePart,
     qVtSqlTravel, qVtSqlDelete, qVtSqlUpdate, qVtSqlMerge, qVtMergeInto,
-    qVtSqlRestore, qVtSqlOptimize, qVtMorFilter, qVtDeltaCmapNative, qVtMinmaxMeta)
+    qVtSqlRestore, qVtSqlOptimize, qVtMergeScale, qVtMorFilter,
+    qVtDeltaCmapNative, qVtMinmaxMeta)
 }
