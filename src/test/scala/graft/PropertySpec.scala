@@ -253,6 +253,63 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: generalized mergeInto equals the naive per-row clause evaluation on random data") {
+    // Equi-key candidate pruning, applicability-exact touched-file
+    // detection, the kept-row anti-join, and the insert anti-join are all
+    // OPTIMIZATIONS: for any layout, any (possibly key-duplicated) target,
+    // any key-unique source, and any clause thresholds, the merge result
+    // must be multiset-identical to evaluating the clause chain per row.
+    import graft.vt.MergeClause
+    val tableGen: Gen[List[(Int, Int)]] = Gen.listOfN(30,
+      for { k <- Gen.choose(0, 49); v <- Gen.choose(0, 29) } yield (k, v))
+    val srcGen: Gen[List[(Int, Int)]] = Gen.listOfN(10,
+      for { k <- Gen.choose(0, 59); nv <- Gen.choose(0, 29) } yield (k, nv))
+    val thresholdsGen: Gen[(Int, Int, Int, Int)] =
+      for { d0 <- Gen.choose(0, 30); d1 <- Gen.choose(0, 30)
+            b0 <- Gen.choose(0, 30); b1 <- Gen.choose(0, 30) } yield (d0, d1, b0, b1)
+    samples(Gen.zip(tableGen, srcGen, thresholdsGen), 6).zipWithIndex.foreach {
+      case ((tableRows, srcRows0, (d0, d1, b0, b1)), i) =>
+        val srcRows = srcRows0.groupBy(_._1).values.map(_.head).toList // key-unique
+        if (tableRows.nonEmpty && srcRows.nonEmpty) {
+          val vt = VersionedTable.create(Tables.scratch(s"prop_merge_$i"))
+          vt.write(tableRows.toDF("k", "v").repartitionByRange(4, col("k")),
+            "main", "v0", statsCols = Seq("k"))
+          vt.mergeInto(spark, srcRows.toDF("k", "nv"), "t.k = s.k",
+            matched = Seq(
+              MergeClause.delete(Some(s"s.nv < $d0")),
+              MergeClause.update(Map("v" -> "s.nv + 1000"), Some(s"s.nv >= $d1")),
+              MergeClause.update(Map("v" -> "s.nv"))),
+            notMatched = Seq(
+              MergeClause.insert(Map("k" -> "s.k", "v" -> "s.nv"), Some("s.nv % 2 = 0"))),
+            notMatchedBySource = Seq(
+              MergeClause.update(Map("v" -> "t.v + 1"), Some(s"t.v < $b0")),
+              MergeClause.delete(Some(s"t.v >= $b1"))))
+          val src = srcRows.toMap
+          val tKeys = tableRows.map(_._1).toSet
+          val expectedRows: List[(Int, Int)] = tableRows.flatMap { case (k, v) =>
+            src.get(k) match {
+              case Some(nv) => // matched chain, first applicable wins
+                if (nv < d0) Nil
+                else if (nv >= d1) List((k, nv + 1000))
+                else List((k, nv))
+              case None => // by-source chain
+                if (v < b0) List((k, v + 1))
+                else if (v >= b1) Nil
+                else List((k, v))
+            }
+          } ++ srcRows.collect { // insert chain
+            case (k, nv) if !tKeys(k) && nv % 2 == 0 => (k, nv)
+          }
+          def bag(rs: Seq[(Int, Int)]) = rs.groupBy(identity).view.mapValues(_.length).toMap
+          val got = vt.read(spark, "main").as[(Int, Int)].collect().toSeq
+          assert(bag(got) === bag(expectedRows),
+            s"case $i: table=$tableRows src=$srcRows thresholds=($d0,$d1,$b0,$b1)")
+          // content equality is the contract here; no-op churn-freedom is
+          // pinned in VersionedTableSpec with a constructed no-op case
+        }
+    }
+  }
+
   test("property: copy-on-write UPDATE equals the naive full-table rewrite on random data") {
     // The stats pruning + touched-file restriction are OPTIMIZATIONS: for any
     // layout, range predicate, and SET expressions, update's result must be
