@@ -152,6 +152,29 @@ private[sources] object StatsWindows {
          if (lo) v else Double.NegativeInfinity,
          if (hi) v else Double.PositiveInfinity))))).toList
 
+  /** The smallest string greater than EVERY `p`-prefixed string: the last
+    * non-maximal code point incremented (skipping the surrogate gap —
+    * D800–DFFF are not scalar values), maximal tail dropped. UTF-8 byte
+    * order is code-point-monotone, so the bound is exact under the stats
+    * comparator. None when `p` is empty or all-U+10FFFF (no finite
+    * successor — the caller must emit no window, pruning nothing). */
+  private def prefixSuccessor(p: String): Option[String] = {
+    val cps = p.codePoints().toArray
+    var i = cps.length - 1
+    while (i >= 0 && cps(i) == 0x10FFFF) i -= 1
+    if (i < 0) None
+    else {
+      val next = if (cps(i) + 1 == 0xD800) 0xE000 else cps(i) + 1
+      Some(new String(cps, 0, i) + new String(Character.toChars(next)))
+    }
+  }
+
+  /** `startsWith(col, p)` window: every match lies in [p, successor(p)] —
+    * the hi end is inclusive-conservative (a file whose min IS the
+    * successor survives; it just holds no match). */
+  private def prefixWindow(name: String, p: String): List[Window] =
+    prefixSuccessor(p).map(succ => name -> Right(List((p, succ)))).toList
+
   /** `IN`-list window: one point range per NON-null value (null list
     * entries can never match — `a IN (…, NULL)` is never true for the
     * null entry). Exact only when EVERY non-null value converts to one
@@ -195,6 +218,9 @@ private[sources] object StatsWindows {
       case In(BoundAttr(a), vs) if vs.forall(_.isInstanceOf[Literal]) =>
         inWindow(a.name, vs.map(_.asInstanceOf[Literal].value), litNum, litStr)
       case InSet(BoundAttr(a), vs) => inWindow(a.name, vs.toSeq, litNum, litStr)
+      case org.apache.spark.sql.catalyst.expressions.StartsWith(
+          a: AttributeReference, l: Literal) if l.dataType == StringType =>
+        litStr(l.value).toList.flatMap(p => prefixWindow(a.name, p))
       case _ => Nil
     }
   }
@@ -229,6 +255,7 @@ private[sources] object StatsWindows {
     case f.LessThan(a, v) => cmpWindow(a, extDt(v), v, lo = false, hi = true, extNum, extStr)
     case f.LessThanOrEqual(a, v) => cmpWindow(a, extDt(v), v, lo = false, hi = true, extNum, extStr)
     case f.In(a, vs) => inWindow(a, vs.toSeq, extNum, extStr)
+    case f.StringStartsWith(a, v) => prefixWindow(a, v)
     case _ => Nil
   }
 

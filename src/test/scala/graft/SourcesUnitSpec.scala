@@ -86,6 +86,33 @@ class SourcesUnitSpec extends AnyFunSuite {
       Set[Any](2, UTF8String.fromString("x")))) === Nil)
   }
 
+  test("StatsWindows: startsWith becomes the prefix-successor window [p, succ(p)]") {
+    import org.apache.spark.sql.catalyst.expressions.StartsWith
+    val s = AttributeReference("s", StringType)()
+    def sw(p: String) = StatsWindows.windows(StartsWith(s, Literal(p)))
+    assert(sw("NA") === List("s" -> Right(List(("NA", "NB")))))
+    // the window keeps every match and skips a disjoint file
+    val Right(r) = sw("NA").head._2
+    assert(StatsWindows.strSurvives("NACHO", "NAZZZ", r)(graft.vt.VersionedTable.utf8Cmp))
+    assert(!StatsWindows.strSurvives("MA", "MZ", r)(graft.vt.VersionedTable.utf8Cmp))
+    assert(!StatsWindows.strSurvives("NC", "NZ", r)(graft.vt.VersionedTable.utf8Cmp))
+    // hi end is inclusive-conservative: a file whose min IS the successor
+    // survives (holds no match, but pruning must stay sound)
+    assert(StatsWindows.strSurvives("NB", "NZ", r)(graft.vt.VersionedTable.utf8Cmp))
+    // successor skips the surrogate gap (U+D7FF + 1 -> U+E000)
+    assert(sw("a\uD7FF") === List("s" -> Right(List(("a\uD7FF", "a\uE000")))))
+    // a maximal last code point drops and bumps the previous one
+    val maxCp = new String(Character.toChars(0x10FFFF))
+    assert(sw(s"ab$maxCp") === List("s" -> Right(List((s"ab$maxCp", "ac")))))
+    // no finite successor (empty / all-maximal prefix) -> no window
+    assert(sw("") === Nil)
+    assert(sw(maxCp * 3) === Nil)
+    // the sources.Filter front end mirrors it
+    assert(StatsWindows.fromFilters(Seq(
+      org.apache.spark.sql.sources.StringStartsWith("s", "NA")))._1 ===
+      List("s" -> Right(List(("NA", "NB")))))
+  }
+
   test("StatsWindows: order-preserving numeric upcasts around the column unwrap") {
     val k = AttributeReference("k", IntegerType)()
     val s = AttributeReference("s", StringType)()
@@ -202,6 +229,7 @@ class SourcesUnitSpec extends AnyFunSuite {
       strGen.map(v => f.GreaterThan("s", v)),
       strGen.map(v => f.LessThanOrEqual("s", v)),
       Gen.nonEmptyListOf(strGen).map(vs => f.In("s", vs.toArray[Any])),
+      strGen.map(v => f.StringStartsWith("s", v)),
       Gen.const(f.IsNull("s")), Gen.const(f.IsNotNull("s")))
     val conjGen: Gen[List[f.Filter]] = for {
       n <- Gen.choose(1, 3)
@@ -225,6 +253,7 @@ class SourcesUnitSpec extends AnyFunSuite {
       case f.In("s", vs) => r.s.exists(x => vs.contains(x))
       case f.IsNull(a) => if (a == "k") r.k.isEmpty else r.s.isEmpty
       case f.IsNotNull(a) => if (a == "k") r.k.isDefined else r.s.isDefined
+      case f.StringStartsWith("s", v) => r.s.exists(_.startsWith(v))
       case f.And(l, rr) => holds(r, l) && holds(r, rr)
       case other => fail(s"generator produced unhandled shape $other")
     }
@@ -310,6 +339,7 @@ class SourcesUnitSpec extends AnyFunSuite {
       strGen.map(v => CEq(s, Literal(v))),
       strGen.map(v => CGt(s, Literal(v))),
       strGen.map(v => CLe(s, Literal(v))),
+      strGen.map(v => org.apache.spark.sql.catalyst.expressions.StartsWith(s, Literal(v))),
       Gen.const(CIsNull(k)), Gen.const(CNotNull(k)),
       Gen.const(CIsNull(s)), Gen.const(CNotNull(s)))
     val conjGen: Gen[List[Expression]] = for {

@@ -84,6 +84,11 @@ class VtDataSourceSpec extends SparkSpec {
     // unrecognized predicate shapes prune nothing but stay correct
     val q3 = readVt(root).where(length($"v") === 2)
     assert(q3.count() === 9L) // a1..a9 (single-digit suffixes of tag 'a')
+    // startsWith prunes via the prefix-successor window [p, succ(p)]
+    val qPre = readVt(root).where($"v".startsWith("b1"))
+    assert(qPre.select("k").as[Long].collect().sorted === (11L to 19L).toArray,
+      "b11..b19 carry the 'b1' prefix; b20 does not")
+    assert(scannedFiles(qPre) === 1, "prefix window must prune to the b-file")
   }
 
   test("format(\"vt\") falls back to merge-on-read for DV snapshots — no resurrection") {
