@@ -707,13 +707,27 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     }
 
     // ---- exact touched-file detection (files some clause APPLIES to) ----
+    // The same pass carries Delta's cardinality check: for src-present rows
+    // "some matched clause applies" ⟺ anyCond(matched), so counting applied
+    // copies per target row here saves a second target×source join later.
     val fkToRel = parent.files.map(f => VersionedTable.fileKey(f) -> f).toMap
-    val matchedTouched: Set[String] =
-      if (matched.isEmpty || candidates.isEmpty) Set.empty
-      else tgtScan(parent.copy(files = candidates)).join(src, onExpr, "inner")
-        .where(anyCond(matched))
-        .select(col(VersionedTable.FkCol)).distinct().collect()
-        .map(r => fkToRel(r.getString(0))).toSet
+    val (matchedTouched, multiMatch): (Set[String], Boolean) =
+      if (matched.isEmpty || candidates.isEmpty) (Set.empty, false)
+      else {
+        val perFile = tgtScan(parent.copy(files = candidates)).join(src, onExpr, "inner")
+          .where(anyCond(matched))
+          .groupBy(col(VersionedTable.FkCol), col(VersionedTable.PosCol))
+          .agg(count(lit(1)).as("__graft_n"))
+          .groupBy(col(VersionedTable.FkCol))
+          .agg(smax(col("__graft_n")).as("__graft_mx"))
+          .collect() // O(touched files) rows
+        (perFile.map(r => fkToRel(r.getString(0))).toSet,
+          perFile.exists(_.getLong(1) > 1L))
+      }
+    if (multiMatch) throw new IllegalArgumentException(
+      "mergeInto: multiple source rows match and attempt to modify the " +
+        "same target row — de-duplicate the source or tighten the ON / " +
+        "clause conditions (Delta MERGE raises the same error)")
     val bySourceTouched: Set[String] =
       if (notMatchedBySource.isEmpty || parent.files.isEmpty) Set.empty
       else tgtScan(parent).join(src, onExpr, "left_anti")
@@ -741,15 +755,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
           .withColumn("__graft_applied",
             when(col(srcMark).isNotNull, chain(matched, 0))
               .otherwise(chain(notMatchedBySource, 1000)))
-        if (matched.nonEmpty) { // Delta's cardinality error: ambiguous winner
-          val dup = j.where(col("__graft_applied").isNotNull && col(srcMark).isNotNull)
-            .groupBy(col(VersionedTable.FkCol), col(VersionedTable.PosCol))
-            .agg(count(lit(1)).as("__n")).where(col("__n") > 1).limit(1).collect()
-          if (dup.nonEmpty) throw new IllegalArgumentException(
-            "mergeInto: multiple source rows match and attempt to modify the " +
-              "same target row — de-duplicate the source or tighten the ON / " +
-              "clause conditions (Delta MERGE raises the same error)")
-        }
+        // (the cardinality check already ran in the detection pass above)
         // a row is kept iff NO joined copy applies a clause — and exactly
         // once, however many source rows matched it without applying
         // (a copy-level filter alone would wrongly keep the original of a
