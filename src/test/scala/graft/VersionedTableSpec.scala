@@ -1478,6 +1478,36 @@ class VersionedTableSpec extends SparkSpec {
       matched = Seq(MergeClause.delete())))
   }
 
+  test("mergeInto loses a version-slot race cleanly; the retry merges against the new head") {
+    import graft.vt.MergeClause
+    val vt1 = freshVt("merge_race")
+    val vt2 = VersionedTable.open(vt1.root.toString, storeFor(vt1.root.toString))
+    vt1.write((1L to 4L).map(k => (k, k * 10)).toDF("k", "v"), "main", "v0")
+    // a concurrent writer lands BETWEEN vt1's merge computation and its
+    // slot claim (the pre-commit hook runs exactly there)
+    var fired = false
+    vt1.addPreCommitHook("race") { (_, c) =>
+      if (!fired && c.message.startsWith("merge into")) {
+        fired = true
+        vt2.write(Seq((9L, 90L)).toDF("k", "v"), "main", "racer", mode = "append")
+        ()
+      }
+    }
+    val src = Seq((2L, 222L), (7L, 777L)).toDF("k", "nv")
+    def merge() = vt1.mergeInto(spark, src, "t.k = s.k",
+      matched = Seq(MergeClause.update(Map("v" -> "s.nv"))),
+      notMatched = Seq(MergeClause.insert(Map("k" -> "s.k", "v" -> "s.nv"))))
+    intercept[java.util.ConcurrentModificationException](merge())
+    vt1.removePreCommitHook("race")
+    // no fork, no partial state: the head is exactly the racer's commit
+    assert(vt1.head("main").get.message === "racer")
+    assert(vt1.read(spark, "main").count() === 5L)
+    // the retry recomputes against the NEW head — racer's row survives
+    merge()
+    assert(vt1.read(spark, "main").as[(Long, Long)].collect().sorted === Array(
+      (1L, 10L), (2L, 222L), (3L, 30L), (4L, 40L), (7L, 777L), (9L, 90L)))
+  }
+
   test("metadata-only MIN/MAX: zero file I/O, all-null files skipped, DV/missing-stats refuse") {
     import spark.implicits._
     val vt = freshVt("minmax_meta")
