@@ -152,28 +152,15 @@ private[sources] object StatsWindows {
          if (lo) v else Double.NegativeInfinity,
          if (hi) v else Double.PositiveInfinity))))).toList
 
-  /** The smallest string greater than EVERY `p`-prefixed string: the last
-    * non-maximal code point incremented (skipping the surrogate gap —
-    * D800–DFFF are not scalar values), maximal tail dropped. UTF-8 byte
-    * order is code-point-monotone, so the bound is exact under the stats
-    * comparator. None when `p` is empty or all-U+10FFFF (no finite
-    * successor — the caller must emit no window, pruning nothing). */
-  private def prefixSuccessor(p: String): Option[String] = {
-    val cps = p.codePoints().toArray
-    var i = cps.length - 1
-    while (i >= 0 && cps(i) == 0x10FFFF) i -= 1
-    if (i < 0) None
-    else {
-      val next = if (cps(i) + 1 == 0xD800) 0xE000 else cps(i) + 1
-      Some(new String(cps, 0, i) + new String(Character.toChars(next)))
-    }
-  }
-
-  /** `startsWith(col, p)` window: every match lies in [p, successor(p)] —
-    * the hi end is inclusive-conservative (a file whose min IS the
-    * successor survives; it just holds no match). */
+  /** `startsWith(col, p)` window: every match lies in [p, successor(p)]
+    * ([[graft.vt.VersionedTable.prefixSuccessor]] — the same bound the
+    * stats writer truncates long maxima with) — the hi end is
+    * inclusive-conservative (a file whose min IS the successor survives;
+    * it just holds no match). An empty / all-maximal prefix has no finite
+    * successor: no window, pruning nothing. */
   private def prefixWindow(name: String, p: String): List[Window] =
-    prefixSuccessor(p).map(succ => name -> Right(List((p, succ)))).toList
+    graft.vt.VersionedTable.prefixSuccessor(p)
+      .map(succ => name -> Right(List((p, succ)))).toList
 
   /** `IN`-list window: one point range per NON-null value (null list
     * entries can never match — `a IN (…, NULL)` is never true for the

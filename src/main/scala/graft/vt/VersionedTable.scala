@@ -445,7 +445,10 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     val str = rows.map { case (rel, r) =>
       rel -> cols.zipWithIndex.collect {
         case (c, i) if isStr(c) && defined(r, i) =>
-          c -> (r.getString(1 + 2 * i), r.getString(2 + 2 * i))
+          // long values truncate to sound bounds — the commit log must stay
+          // metadata-sized even when the stats column is document text
+          c -> (VersionedTable.statsLower(r.getString(1 + 2 * i)),
+            VersionedTable.statsUpper(r.getString(2 + 2 * i)))
       }.toMap
     }.toMap
     val ncBase = 1 + 2 * cols.size
@@ -1433,6 +1436,11 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     minMaxFrom(c, column, c.strStats)(
       (a, b) => if (VersionedTable.utf8Cmp(a, b) <= 0) a else b,
       (a, b) => if (VersionedTable.utf8Cmp(a, b) >= 0) a else b)
+      .filterNot { case (mn, mx) =>
+        // a stat at the truncation limit may be a truncated BOUND, not the
+        // value itself — refuse; the caller's scan fallback stays exact
+        VersionedTable.overLimit(mn) || VersionedTable.overLimit(mx)
+      }
 
   def minMaxFromStats(branch: String, column: String): Option[(Double, Double)] =
     minMaxFromStats(headOrThrow(branch), column)
@@ -2251,6 +2259,60 @@ object VersionedTable {
   private[graft] def utf8Cmp(a: String, b: String): Int = java.util.Arrays.compareUnsigned(
     a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
     b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** String stats are TRUNCATED to this many code points in the commit log
+    * (Delta truncates at 32): a stats column over document-length text must
+    * not stream whole documents into per-file metadata — at object-store
+    * scale the log itself becomes the bottleneck. Truncated bounds stay
+    * SOUND for pruning (min → prefix, a valid lower bound; max → the
+    * prefix's successor padded maximal, a valid upper bound) and
+    * [[VersionedTable.minMaxStringFromStats]] refuses to answer from any
+    * stat at the limit, so exact MIN/MAX falls back to the scan. */
+  private[graft] val StatsStringMaxLen = 64
+
+  /** The smallest string greater than every `p`-prefixed string: last
+    * non-maximal code point incremented (surrogate gap D800–DFFF skipped —
+    * not scalar values), maximal tail dropped; None when no finite
+    * successor exists (empty / all-U+10FFFF). UTF-8 byte order is
+    * code-point monotone, so the bound is exact under [[utf8Cmp]]. */
+  private[graft] def prefixSuccessor(p: String): Option[String] = {
+    val cps = p.codePoints().toArray
+    var i = cps.length - 1
+    while (i >= 0 && cps(i) == 0x10FFFF) i -= 1
+    if (i < 0) None
+    else {
+      val next = if (cps(i) + 1 == 0xD800) 0xE000 else cps(i) + 1
+      Some(new String(cps, 0, i) + new String(Character.toChars(next)))
+    }
+  }
+
+  private def cpPrefix(s: String, n: Int): String =
+    s.substring(0, s.offsetByCodePoints(0, n))
+  private[vt] def overLimit(s: String): Boolean =
+    s.codePointCount(0, s.length) >= StatsStringMaxLen
+
+  /** Commit-log form of a string MIN stat: the value itself when short, its
+    * [[StatsStringMaxLen]]-code-point prefix otherwise (a prefix is ≤ the
+    * original bytewise — still a sound lower bound). */
+  private[vt] def statsLower(s: String): String =
+    if (s.codePointCount(0, s.length) <= StatsStringMaxLen) s
+    else cpPrefix(s, StatsStringMaxLen)
+
+  /** Commit-log form of a string MAX stat: the value itself when short;
+    * otherwise the truncation prefix's successor — greater than EVERY
+    * string carrying that prefix, so a sound upper bound — padded with
+    * U+10FFFF back to the limit so a truncated max is always recognizable
+    * (≥ limit code points) by the metadata-MIN/MAX refusal check. The
+    * pathological no-successor prefix keeps the full value (correct, just
+    * unbounded — it cannot occur for real text). */
+  private[vt] def statsUpper(s: String): String =
+    if (s.codePointCount(0, s.length) <= StatsStringMaxLen) s
+    else prefixSuccessor(cpPrefix(s, StatsStringMaxLen)) match {
+      case Some(succ) =>
+        val pad = StatsStringMaxLen - succ.codePointCount(0, succ.length)
+        succ + (new String(Character.toChars(0x10FFFF)) * math.max(0, pad))
+      case None => s
+    }
 
   /** V1 `repo create`: initialize an empty table root. `store` carries the
     * control-plane metadata (default: local filesystem); the data plane under

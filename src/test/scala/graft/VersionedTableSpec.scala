@@ -1146,6 +1146,44 @@ class VersionedTableSpec extends SparkSpec {
       "vacuum must not recreate a deleted branch from its leftover slots")
   }
 
+  test("long string stats truncate to sound bounded commit-log values; pruning exact, metadata MIN/MAX refuses") {
+    val vt = freshVt("stats_trunc")
+    val limit = VersionedTable.StatsStringMaxLen
+    // document-length values: two files whose stats column would otherwise
+    // stream ~100-char strings into the commit log per file
+    val aLo = "A" * 100 + "m"; val aHi = "A" * 100 + "z"
+    val qLo = "Q" * 100 + "a"; val qHi = "Q" * 100 + "q"
+    vt.write(Seq((aLo, "s1"), (aHi, "s2")).toDF("s", "t").coalesce(1),
+      "main", "A", statsCols = Seq("s", "t"))
+    vt.write(Seq((qLo, "s3"), (qHi, "s4")).toDF("s", "t").coalesce(1),
+      "main", "Q", mode = "append", statsCols = Seq("s", "t"))
+    val head = vt.head("main").get
+    val bounds = head.files.map(f => head.strStats(f)("s"))
+    assert(bounds.size === 2)
+    bounds.foreach { case (mn, mx) =>
+      assert(mn.codePointCount(0, mn.length) <= limit, "stored min bounded")
+      assert(mx.codePointCount(0, mx.length) <= limit, "stored max bounded")
+    }
+    // the truncated bounds are SOUND: stored min ≤ true min, stored max ≥ true max
+    val (aMn, aMx) = bounds.minBy(_._1)
+    assert(VersionedTable.utf8Cmp(aMn, aLo) <= 0 && VersionedTable.utf8Cmp(aMx, aHi) >= 0)
+    // pruning through the truncated stats: an A-prefix band reads ONE file
+    // and returns exactly the A rows
+    val band = vt.readWhereString(spark, "main", "s", "A" * 50, "B")
+    assert(band.inputFiles.length === 1, "the Q file must prune on truncated stats")
+    assert(band.select("s").as[String].collect().sorted === Array(aLo, aHi))
+    // a band beyond every bound prunes everything (and loses no rows)
+    assert(vt.readWhereString(spark, "main", "s", "ZZ", "Zz").count() === 0L)
+    // metadata MIN/MAX refuses the truncated column (the stored max is a
+    // BOUND, not a value) but still answers the short column exactly
+    assert(vt.minMaxStringFromStats(head, "s").isEmpty,
+      "truncated stats must not answer exact MIN/MAX")
+    assert(vt.minMaxStringFromStats(head, "t") === Some(("s1", "s4")))
+    // the scan fallback the refusal implies is exact
+    assert(vt.read(spark, "main").agg(min($"s"), max($"s"))
+      .as[(String, String)].head() === ((aLo, qHi)))
+  }
+
   test("string skip-read prunes under UTF-8 byte order, not UTF-16 code units") {
     val vt = freshVt("utf8_skip")
     // one file whose max is a supplementary-plane char: in UTF-8 bytes
