@@ -1300,6 +1300,32 @@ object Versioned {
       .orderBy("leg", "n_nationkey")
   }
 
+  /** The lakeFS branch workflow entirely through SQL statements (r17):
+    * `CREATE BRANCH`, `INSERT INTO` the branch via `branch@path`
+    * addressing, `MERGE BRANCH … INTO main` — then both the pre-merge
+    * main (via `VERSION AS OF`) and the merged head read back through the
+    * same SQL surface. The oracle is the closed-form v0/v1 split over raw
+    * nation. */
+  val qVtSqlBranch: QueryDef = q("q_vt_sql_branch")(
+    """SELECT 0 AS leg, n_nationkey FROM nation WHERE n_regionkey < 2
+      |UNION ALL
+      |SELECT 1 AS leg, n_nationkey FROM nation
+      |ORDER BY leg, n_nationkey""".stripMargin) { (s, d) =>
+    val vt = VersionedTable.create(Tables.scratch("vt_sql_branch"))
+    val nation = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+    vt.write(nation.where(col("n_regionkey") < 2), "main", "v0")
+    s.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
+    val t = s"vt.`${vt.root}`"
+    graft.sources.VtUtilitySql.exec(s, s"CREATE BRANCH side IN $t").collect()
+    s.sql(s"""INSERT INTO vt.`side@${vt.root}`
+             |SELECT n_nationkey, n_name, n_regionkey
+             |FROM parquet.`$d/nation.parquet` WHERE n_regionkey >= 2""".stripMargin)
+    graft.sources.VtUtilitySql.exec(s, s"MERGE BRANCH side INTO main IN $t").collect()
+    s.sql(s"SELECT 0 AS leg, n_nationkey FROM $t VERSION AS OF 0").unionByName(
+      s.sql(s"SELECT 1 AS leg, n_nationkey FROM $t"))
+      .orderBy("leg", "n_nationkey")
+  }
+
   /** `OPTIMIZE … FILES 4 ZORDER BY (a, b)` as a statement (r17): a
     * layout-only commit — the band read after it returns exactly the raw
     * table's band (the oracle), and the rewrite leaves fresh 2-D stats so
@@ -1586,6 +1612,6 @@ object Versioned {
     qVtStreamSource, qVtStreamSink, qVtDeltaStream, qVtFormatRead,
     qVtDeltaLiteRead, qVtDeltaLitePart,
     qVtSqlTravel, qVtSqlDelete, qVtSqlUpdate, qVtSqlMerge, qVtMergeInto,
-    qVtSqlRestore, qVtSqlOptimize, qVtMergeScale, qVtMorFilter,
+    qVtSqlRestore, qVtSqlOptimize, qVtSqlBranch, qVtMergeScale, qVtMorFilter,
     qVtDeltaCmapNative, qVtMinmaxMeta)
 }

@@ -18,6 +18,12 @@ import graft.vt.VersionedTable
   *   OPTIMIZE vt.`path` [FILES n] [ZORDER BY (a, b)]
   *   RESTORE TABLE vt.`path` TO VERSION AS OF n
   *   RESTORE TABLE vt.`path` TO TAG 'name'
+  *   CREATE BRANCH dev IN vt.`path` [FROM src]   -- lakeFS verbs as SQL
+  *   DROP BRANCH dev IN vt.`path`
+  *   CREATE TAG v1.0 IN vt.`path`                -- `branch@path` tags a side branch
+  *   DROP TAG v1.0 IN vt.`path`
+  *   MERGE BRANCH dev INTO main IN vt.`path`
+  *   SHOW BRANCHES IN vt.`path`
   * }}}
   *
   * None of these parse in Spark's grammar, so [[GraftSqlParser]] offers
@@ -40,6 +46,11 @@ object VtUtilitySql {
   final case class OptimizeStmt(address: String, files: Option[Int],
                                 zorder: Option[(String, String)]) extends Stmt
   final case class RestoreStmt(address: String, to: Either[Long, String]) extends Stmt
+  final case class BranchStmt(address: String, op: String, name: String,
+                              from: Option[String]) extends Stmt // create/drop
+  final case class TagStmt(address: String, op: String, name: String) extends Stmt
+  final case class MergeBranchStmt(address: String, from: String, into: String) extends Stmt
+  final case class ShowBranchesStmt(address: String) extends Stmt
 
   // one identifier shape everywhere: <catalog>.`<[branch@]path>`
   private val T = "(\\w+)\\.`([^`]+)`"
@@ -53,6 +64,19 @@ object VtUtilitySql {
     s"""(?is)\\s*RESTORE\\s+TABLE\\s+$T\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
   private val RestoreTagRe: Regex =
     s"""(?is)\\s*RESTORE\\s+TABLE\\s+$T\\s+TO\\s+TAG\\s+'([^']+)'\\s*;?\\s*""".r
+  // branch/tag lifecycle — the reference's lakeFS verbs as statements
+  private val CreateBranchRe: Regex =
+    s"""(?is)\\s*CREATE\\s+BRANCH\\s+(\\w+)\\s+IN\\s+$T(?:\\s+FROM\\s+(\\w+))?\\s*;?\\s*""".r
+  private val DropBranchRe: Regex =
+    s"""(?is)\\s*DROP\\s+BRANCH\\s+(\\w+)\\s+IN\\s+$T\\s*;?\\s*""".r
+  private val CreateTagRe: Regex =
+    s"""(?is)\\s*CREATE\\s+TAG\\s+([\\w.-]+)\\s+IN\\s+$T\\s*;?\\s*""".r
+  private val DropTagRe: Regex =
+    s"""(?is)\\s*DROP\\s+TAG\\s+([\\w.-]+)\\s+IN\\s+$T\\s*;?\\s*""".r
+  private val MergeBranchRe: Regex =
+    s"""(?is)\\s*MERGE\\s+BRANCH\\s+(\\w+)\\s+INTO\\s+(\\w+)\\s+IN\\s+$T\\s*;?\\s*""".r
+  private val ShowBranchesRe: Regex =
+    s"""(?is)\\s*SHOW\\s+BRANCHES\\s+IN\\s+$T\\s*;?\\s*""".r
 
   private def isVt(spark: SparkSession, catalog: String): Boolean =
     spark.conf.getOption(s"spark.sql.catalog.$catalog")
@@ -72,6 +96,18 @@ object VtUtilitySql {
       Some(RestoreStmt(addr, Left(v.toLong)))
     case RestoreTagRe(cat, addr, tag) if isVt(spark, cat) =>
       Some(RestoreStmt(addr, Right(tag)))
+    case CreateBranchRe(name, cat, addr, from) if isVt(spark, cat) =>
+      Some(BranchStmt(addr, "create", name, Option(from)))
+    case DropBranchRe(name, cat, addr) if isVt(spark, cat) =>
+      Some(BranchStmt(addr, "drop", name, None))
+    case CreateTagRe(name, cat, addr) if isVt(spark, cat) =>
+      Some(TagStmt(addr, "create", name))
+    case DropTagRe(name, cat, addr) if isVt(spark, cat) =>
+      Some(TagStmt(addr, "drop", name))
+    case MergeBranchRe(from, into, cat, addr) if isVt(spark, cat) =>
+      Some(MergeBranchStmt(addr, from, into))
+    case ShowBranchesRe(cat, addr) if isVt(spark, cat) =>
+      Some(ShowBranchesStmt(addr))
     case _ => None
   }
 
@@ -86,6 +122,13 @@ object VtUtilitySql {
       StructField("version", LongType, nullable = false),
       StructField("n_files", IntegerType, nullable = false)))
     case _: RestoreStmt => StructType(Seq(StructField("version", LongType, nullable = false)))
+    case _: BranchStmt | _: TagStmt =>
+      StructType(Seq(StructField("done", StringType, nullable = false)))
+    case _: MergeBranchStmt =>
+      StructType(Seq(StructField("version", LongType, nullable = false)))
+    case _: ShowBranchesStmt => StructType(Seq(
+      StructField("branch", StringType, nullable = false),
+      StructField("version", LongType, nullable = false)))
   }
 
   def run(spark: SparkSession, stmt: Stmt): Seq[Row] = {
@@ -119,6 +162,22 @@ object VtUtilitySql {
         Seq(Row(c.version))
       case RestoreStmt(_, Right(tag)) =>
         Seq(Row(vt.restoreTag(tag, branch).version))
+      case BranchStmt(_, "create", name, from) =>
+        vt.createBranch(name, from.getOrElse(branch))
+        Seq(Row(s"branch $name created"))
+      case BranchStmt(_, _, name, _) =>
+        vt.deleteBranch(name)
+        Seq(Row(s"branch $name dropped"))
+      case TagStmt(_, "create", name) =>
+        vt.createTag(name, branch) // `branch@path` addressing tags a side branch
+        Seq(Row(s"tag $name created"))
+      case TagStmt(_, _, name) =>
+        if (!vt.deleteTag(name)) throw new IllegalArgumentException(s"no such tag: $name")
+        Seq(Row(s"tag $name dropped"))
+      case MergeBranchStmt(_, from, into) =>
+        Seq(Row(vt.merge(from, into).version))
+      case ShowBranchesStmt(_) =>
+        vt.branches.sorted.map(b => Row(b, vt.head(b).map(_.version).getOrElse(-1L)))
     }
   }
 

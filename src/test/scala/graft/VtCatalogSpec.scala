@@ -319,6 +319,56 @@ class VtCatalogSpec extends SparkSpec {
     }
   }
 
+  test("branch/tag SQL: CREATE/DROP BRANCH, CREATE/DROP TAG, MERGE BRANCH, SHOW BRANCHES") {
+    registerCatalog()
+    import graft.sources.VtUtilitySql
+    val vt = VersionedTable.create(Tables.scratch("vtcat_branch"))
+    vt.write((1L to 5L).toDF("k"), "main", "v0")
+    val t = s"vt.`${vt.root}`"
+    // lifecycle through the extensions-free door (same translator the
+    // injected parser uses)
+    VtUtilitySql.exec(spark, s"CREATE BRANCH dev IN $t").collect()
+    // writes on the branch are invisible to main until merged
+    vt.write((6L to 8L).toDF("k"), "dev", "dev-rows", mode = "append")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $t").as[Long].head() === 5L)
+    assert(spark.sql(s"SELECT count(*) AS c FROM vt.`dev@${vt.root}`")
+      .as[Long].head() === 8L)
+    // tag the branch head via branch@path addressing
+    VtUtilitySql.exec(spark, s"CREATE TAG v1.0 IN vt.`dev@${vt.root}`").collect()
+    assert(vt.readTag(spark, "v1.0").count() === 8L)
+    val merged = VtUtilitySql.exec(spark, s"MERGE BRANCH dev INTO main IN $t")
+      .as[Long].head()
+    assert(spark.sql(s"SELECT count(*) AS c FROM $t").as[Long].head() === 8L)
+    assert(vt.head("main").get.version === merged)
+    val branches = VtUtilitySql.exec(spark, s"SHOW BRANCHES IN $t")
+      .as[(String, Long)].collect().toMap
+    assert(branches.keySet === Set("main", "dev"))
+    VtUtilitySql.exec(spark, s"DROP BRANCH dev IN $t").collect()
+    assert(VtUtilitySql.exec(spark, s"SHOW BRANCHES IN $t")
+      .as[(String, Long)].collect().map(_._1).toSeq === Seq("main"))
+    VtUtilitySql.exec(spark, s"DROP TAG v1.0 IN $t").collect()
+    intercept[IllegalArgumentException](
+      VtUtilitySql.exec(spark, s"DROP TAG v1.0 IN $t"))
+    // and literally through spark.sql in an extensions session
+    val shared = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]").config("spark.ui.enabled", "false")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      s2.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
+      s2.sql(s"CREATE BRANCH hotfix IN $t FROM main")
+      assert(s2.sql(s"SHOW BRANCHES IN $t").collect().map(_.getString(0)).sorted
+        === Array("hotfix", "main"))
+      s2.sql(s"DROP BRANCH hotfix IN $t")
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(shared)
+      org.apache.spark.sql.SparkSession.setActiveSession(shared)
+    }
+  }
+
   test("catalog refuses DDL loudly; missing tables surface as NoSuchTable") {
     registerCatalog()
     val e = intercept[Exception](
