@@ -76,7 +76,10 @@ object Registry {
     // r17: the generalized MERGE at full orders scale (worst-case shape:
     // uniformly-spread matches touch every file) — detection join +
     // cardinality check + COW rewrite + insert union under the gates
-    "q_vt_merge_scale")
+    "q_vt_merge_scale",
+    // r18: the STRING-keyed merge (doc_id/uuid shape) — strStats equi-key
+    // pruning confines detection+rewrite to the source band's files
+    "q_vt_merge_scale_str")
 
   /** The FROZEN round-4 headline list. `benchNames` grows as operators land
     * (23 → 27 across rounds), so the all-queries `total` is not

@@ -1446,6 +1446,69 @@ object Versioned {
       .orderBy("prio")
   }
 
+  /** STRING-KEYED MERGE at orders scale (r18, benched): the same
+    * generalized merge as [[qVtMergeScale]] but keyed on a STRING id —
+    * the doc_id/uuid shape every LLM-corpus merge has. r17 pruned only
+    * numeric equi-keys, so this shape scanned every candidate file; r18's
+    * strStats pruning confines detection+rewrite to the files whose
+    * UTF-8-ordered key range intersects the source's. The update band is
+    * a CONTIGUOUS 20% of the keyspace (sf-proportional via max(), so the
+    * 10× gate sees 10× work) against a key-range layout — the pruned
+    * shape — while the 'zzz-' insert keys sort above every target key and
+    * cost the anti-join nothing extra. VersionedTableSpec pins the actual
+    * file-skip with a ghost-file merge. */
+  val qVtMergeScaleStr: QueryDef = q("q_vt_merge_scale_str")(
+    """WITH m AS (SELECT CAST(floor(CAST(max(o_orderkey) AS DOUBLE) * 0.3) AS BIGINT) AS lo,
+      |             CAST(floor(CAST(max(o_orderkey) AS DOUBLE) * 0.5) AS BIGINT) AS hi,
+      |             CAST(floor(CAST(max(o_orderkey) AS DOUBLE) * 0.05) AS BIGINT) AS ilo,
+      |             CAST(floor(CAST(max(o_orderkey) AS DOUBLE) * 0.15) AS BIGINT) AS ihi
+      |           FROM orders),
+      |     t AS (SELECT 'ord-' || lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS k,
+      |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |             o_orderpriority AS prio
+      |           FROM orders),
+      |     s AS (SELECT 'ord-' || lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS k,
+      |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 2 AS newc
+      |           FROM orders, m WHERE o_orderkey BETWEEN m.lo AND m.hi
+      |           UNION ALL
+      |           SELECT 'zzz-' || lpad(CAST(o_orderkey AS VARCHAR), 10, '0'),
+      |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+      |           FROM orders, m WHERE o_orderkey BETWEEN m.ilo AND m.ihi)
+      |SELECT COALESCE(prio, 'zz_inserted') AS prio, count(*) AS cnt,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM (
+      |  SELECT t.prio, CASE WHEN s.k IS NULL THEN t.cents ELSE s.newc END AS cents
+      |  FROM t LEFT JOIN s ON t.k = s.k
+      |  WHERE s.k IS NULL OR s.newc % 97 >= 20
+      |  UNION ALL
+      |  SELECT CAST(NULL AS VARCHAR), s.newc FROM s WHERE s.k >= 'zzz-'
+      |) GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import graft.vt.MergeClause
+    val vt = VersionedTable.create(Tables.scratch("vt_merge_scale_str"))
+    val o0 = Tables.orders(s, d)
+    def key(prefix: String) =
+      concat(lit(prefix), lpad(col("o_orderkey").cast("string"), 10, "0"))
+    val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+    vt.write(o0.select(key("ord-").as("k"), cents.as("cents"),
+        col("o_orderpriority").as("prio"))
+      .repartitionByRange(8, col("k")), "main", "v0", statsCols = Seq("k"))
+    val mx = o0.agg(max(col("o_orderkey")).cast("long").as("m")).head.getLong(0)
+    def b(f: Double) = math.floor(mx * f).toLong
+    val src = o0.where(col("o_orderkey").between(b(0.3), b(0.5)))
+      .select(key("ord-").as("k"), (cents * 2).as("newc"))
+      .unionByName(o0.where(col("o_orderkey").between(b(0.05), b(0.15)))
+        .select(key("zzz-").as("k"), cents.as("newc")))
+    vt.mergeInto(s, src, "t.k = s.k",
+      matched = Seq(
+        MergeClause.delete(Some("s.newc % 97 < 20")),
+        MergeClause.update(Map("cents" -> "s.newc"))),
+      notMatched = Seq(MergeClause.insert(Map("k" -> "s.k", "cents" -> "s.newc"))))
+    vt.read(s, "main")
+      .groupBy(coalesce(col("prio"), lit("zz_inserted")).as("prio"))
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("sum_cents"))
+      .orderBy("prio")
+  }
+
   /** FILTERED MERGE-ON-READ at orders scale (r17, benched): the fallback
     * relation's cost pinned by the gates. v0 is a key-range layout with
     * per-file o_orderkey stats; a 30% MOR delete attaches deletion
@@ -1612,6 +1675,6 @@ object Versioned {
     qVtStreamSource, qVtStreamSink, qVtDeltaStream, qVtFormatRead,
     qVtDeltaLiteRead, qVtDeltaLitePart,
     qVtSqlTravel, qVtSqlDelete, qVtSqlUpdate, qVtSqlMerge, qVtMergeInto,
-    qVtSqlRestore, qVtSqlOptimize, qVtSqlBranch, qVtMergeScale, qVtMorFilter,
-    qVtDeltaCmapNative, qVtMinmaxMeta)
+    qVtSqlRestore, qVtSqlOptimize, qVtSqlBranch, qVtMergeScale, qVtMergeScaleStr,
+    qVtMorFilter, qVtDeltaCmapNative, qVtMinmaxMeta)
 }

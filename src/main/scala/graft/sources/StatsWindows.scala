@@ -127,8 +127,20 @@ private[sources] object StatsWindows {
   // NaN never windows: `mx >= NaN` is false for every file, so a NaN
   // equality window would prune ALL files — while Spark's own semantics
   // make `col = NaN` TRUE for NaN rows. No window = conservative = exact.
-  private def litNum(value: Any): Option[Double] = (value match {
+  // TYPE-AWARE: a TimestampType literal carries MICROseconds internally,
+  // but the stats writer records timestamp min/max in the cast-to-double
+  // domain — epoch SECONDS ([[graft.vt.VersionedTable]]'s
+  // collectFileStats) — so the literal must be normalized or the window
+  // compares micros against seconds and wrongly prunes every file holding
+  // matching rows. DateType (days) and TimestampNTZType have no stats
+  // domain at all (the writer refuses them): no window, prune nothing.
+  private def litNum(dt: DataType, value: Any): Option[Double] = (value match {
     case null => None
+    case l: java.lang.Long if dt == org.apache.spark.sql.types.TimestampType =>
+      Some(l.toDouble / 1e6) // micros → the stats' epoch-seconds domain
+    case _ if dt == org.apache.spark.sql.types.DateType ||
+        dt == org.apache.spark.sql.types.TimestampNTZType ||
+        dt == org.apache.spark.sql.types.TimestampType => None
     case n: Number => Some(n.doubleValue())
     case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
     case _ => None
@@ -142,13 +154,13 @@ private[sources] object StatsWindows {
     * bounds; the open side stretches to the sentinel. */
   private def cmpWindow(name: String, dt: DataType, value: Any,
                         lo: Boolean, hi: Boolean,
-                        num: Any => Option[Double],
+                        num: (DataType, Any) => Option[Double],
                         str: Any => Option[String]): List[Window] =
     (if (dt == StringType)
        str(value).map(v => name -> Right(List((
          if (lo) v else MinString, if (hi) v else MaxString))))
      else
-       num(value).map(v => name -> Left(List((
+       num(dt, value).map(v => name -> Left(List((
          if (lo) v else Double.NegativeInfinity,
          if (hi) v else Double.PositiveInfinity))))).toList
 
@@ -168,13 +180,13 @@ private[sources] object StatsWindows {
     * side (all-numeric or all-string); a partially-recognized list must
     * prune nothing, else a file holding only the unrecognized values
     * would be wrongly dropped. */
-  private def inWindow(name: String, values: Seq[Any],
-                       num: Any => Option[Double],
+  private def inWindow(name: String, dt: DataType, values: Seq[Any],
+                       num: (DataType, Any) => Option[Double],
                        str: Any => Option[String]): List[Window] = {
     val nonNull = values.filter(_ != null)
     if (nonNull.isEmpty) Nil
     else {
-      val nums = nonNull.map(num)
+      val nums = nonNull.map(num(dt, _))
       val strs = nonNull.map(str)
       if (nums.forall(_.isDefined))
         List(name -> Left(nums.map(_.get).map(v => (v, v)).toList))
@@ -203,8 +215,11 @@ private[sources] object StatsWindows {
       // IN — as written (a list of literals) and as optimized (InSet once the
       // list crosses spark.sql.optimizer.inSetConversionThreshold)
       case In(BoundAttr(a), vs) if vs.forall(_.isInstanceOf[Literal]) =>
-        inWindow(a.name, vs.map(_.asInstanceOf[Literal].value), litNum, litStr)
-      case InSet(BoundAttr(a), vs) => inWindow(a.name, vs.toSeq, litNum, litStr)
+        inWindow(a.name, a.dataType, vs.map(_.asInstanceOf[Literal].value), litNum, litStr)
+      case InSet(BoundAttr(a), vs) =>
+        // InSet values are raw internal objects with no per-value type — the
+        // ATTRIBUTE's type decides the domain (micros-normalize timestamps)
+        inWindow(a.name, a.dataType, vs.toSeq, litNum, litStr)
       case org.apache.spark.sql.catalyst.expressions.StartsWith(
           a: AttributeReference, l: Literal) if l.dataType == StringType =>
         litStr(l.value).toList.flatMap(p => prefixWindow(a.name, p))
@@ -218,8 +233,15 @@ private[sources] object StatsWindows {
   // the separate converters. Top-level filters arrive as implicit conjuncts;
   // sources.And recurses, everything unrecognized prunes nothing.
 
-  private def extNum(value: Any): Option[Double] = (value match {
+  private def extNum(dt: DataType, value: Any): Option[Double] = (value match {
     case null => None
+    // external timestamp values (java.sql.Timestamp / Instant) → the stats'
+    // epoch-seconds domain, same normalization as litNum's micros case
+    case t: java.sql.Timestamp =>
+      val i = t.toInstant; Some(i.getEpochSecond.toDouble + i.getNano / 1e9)
+    case i: java.time.Instant => Some(i.getEpochSecond.toDouble + i.getNano / 1e9)
+    case _: java.sql.Date | _: java.time.LocalDate | _: java.time.LocalDateTime =>
+      None // no stats domain exists for dates / NTZ timestamps
     case n: Number => Some(n.doubleValue())
     case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
     case _ => None
@@ -241,7 +263,8 @@ private[sources] object StatsWindows {
     case f.GreaterThanOrEqual(a, v) => cmpWindow(a, extDt(v), v, lo = true, hi = false, extNum, extStr)
     case f.LessThan(a, v) => cmpWindow(a, extDt(v), v, lo = false, hi = true, extNum, extStr)
     case f.LessThanOrEqual(a, v) => cmpWindow(a, extDt(v), v, lo = false, hi = true, extNum, extStr)
-    case f.In(a, vs) => inWindow(a, vs.toSeq, extNum, extStr)
+    case f.In(a, vs) => inWindow(a, org.apache.spark.sql.types.DoubleType,
+      vs.toSeq, extNum, extStr) // extNum types off the VALUE, dt is unused
     case f.StringStartsWith(a, v) => prefixWindow(a, v)
     case _ => Nil
   }

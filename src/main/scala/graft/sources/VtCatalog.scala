@@ -76,10 +76,16 @@ final class VtCatalog extends TableCatalog {
   }
 
   private def load(ident: Identifier)(resolve: (VersionedTable, String) => Commit): Table = {
-    // only OPEN failures are "no such table"; a bad VERSION AS OF / branch
-    // on an existing table must surface as its own error, not table-not-found
-    val (vt, branch) =
-      try parse(ident)
+    // the namespace-shape require is a USER error with its own message —
+    // surface it as-is; only the table OPEN failure maps to "no such table".
+    // A bad VERSION AS OF / branch on an existing table likewise surfaces as
+    // its own error from resolve, never table-not-found.
+    require(ident.namespace().isEmpty,
+      s"$catalogName catalog identifiers are single backquoted paths " +
+        s"(`[branch@]/path/to/table`), got ${ident.namespace().mkString(".")}.${ident.name()}")
+    val (branch, path) = VtAddress.split(ident.name())
+    val vt =
+      try VersionedTable.open(SourcePaths.local(path))
       catch { case _: IllegalArgumentException => throw new NoSuchTableException(ident) }
     new VtTable(SparkSession.active, vt, branch, resolve(vt, branch),
       s"$catalogName.`${ident.name()}`")
@@ -89,8 +95,12 @@ final class VtCatalog extends TableCatalog {
     load(ident)((vt, b) => vt.resolveRead(b))
 
   /** SQL `VERSION AS OF n`. */
-  override def loadTable(ident: Identifier, version: String): Table =
-    load(ident)((vt, b) => vt.resolveRead(b, versionAsOf = Some(version.toLong)))
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"VERSION AS OF must be a commit number, got '$version' " +
+        "(tags address snapshots through readVersion/restoreTag, not VERSION AS OF)"))
+    load(ident)((vt, b) => vt.resolveRead(b, versionAsOf = Some(v)))
+  }
 
   /** SQL `TIMESTAMP AS OF ts` — Spark hands MICROseconds since epoch. */
   override def loadTable(ident: Identifier, timestamp: Long): Table =

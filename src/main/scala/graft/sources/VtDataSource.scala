@@ -238,7 +238,7 @@ final class VtDataSource extends RelationProvider with CreatableRelationProvider
       case SaveMode.ErrorIfExists =>
         if (hasHead) throw new IllegalArgumentException(
           s"branch $branch of $path already has commits (SaveMode.ErrorIfExists)")
-        else VtDataSource.ensureFirstVersion(path, branch, write("overwrite"))
+        else VtDataSource.ensureFirstVersion(vt, path, branch, write("overwrite"))
       case SaveMode.Ignore =>
         if (!hasHead) { VtDataSource.undoRacedFirstWrite(vt, branch, write("overwrite")); () }
     }
@@ -281,17 +281,24 @@ object VtDataSource {
   /** SaveMode.ErrorIfExists post-check: the CAS-serialized commit reveals
     * a lost race — our save was supposed to create the table's FIRST
     * version, but a concurrent writer's commit claimed v0 first. The
-    * overwrite cannot be un-published (commits are immutable), so the
-    * contract violation is surfaced LOUDLY with the recovery step instead
-    * of silently replacing the winner's data. */
-  private[graft] def ensureFirstVersion(path: String, branch: String,
-                                          c: Commit): Commit =
+    * overwrite cannot be un-published (commits are immutable), so head is
+    * AUTO-REVERTED to the winner's version (the same repair the Ignore
+    * path does — a NEW commit, the race stays in the audit trail) and the
+    * contract violation then surfaced LOUDLY: the table needs no operator
+    * action, the caller just learns its exclusive-create lost. */
+  private[graft] def ensureFirstVersion(vt: VersionedTable, path: String,
+                                          branch: String, c: Commit): Commit =
     if (c.version == 0L) c
-    else throw new IllegalStateException(
-      s"concurrent writer raced SaveMode.ErrorIfExists on branch $branch of " +
-        s"$path: this save landed as v${c.version}, not the table's first " +
-        s"version, replacing another writer's v${c.version - 1} — " +
-        s"revert to v${c.version - 1} to restore it")
+    else {
+      vt.revert(branch, c.version - 1,
+        s"undo raced SaveMode.ErrorIfExists write v${c.version}")
+      throw new IllegalStateException(
+        s"concurrent writer raced SaveMode.ErrorIfExists on branch $branch of " +
+          s"$path: this save landed as v${c.version}, not the table's first " +
+          s"version — head has been reverted to the concurrent writer's " +
+          s"v${c.version - 1} (the raced snapshot stays readable as " +
+          s"v${c.version} for audit)")
+    }
 
   /** SaveMode.Ignore post-check: Ignore means "a concurrent first writer
     * wins" — if our write raced in ABOVE someone else's commit, restore

@@ -315,6 +315,22 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       if (missing.nonEmpty) throw new IllegalArgumentException(
         s"statsCols name columns absent from the written DataFrame: " +
           s"${missing.mkString(", ")} (schema: ${df.schema.fieldNames.mkString(", ")})")
+      // only types with a well-defined stats domain may carry skipping stats:
+      // numerics and timestamps compare as doubles (timestamps in epoch
+      // SECONDS — the cast-to-double domain, which StatsWindows normalizes
+      // literals into), strings as unsigned UTF-8 bytes. Anything else
+      // (date, binary, struct, …) would record stats no prune path can
+      // soundly compare against — refuse loudly instead of skipping wrong.
+      val badType = statsCols.filter { c =>
+        val dt = df.schema(c).dataType
+        !(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+          dt == org.apache.spark.sql.types.StringType ||
+          dt == org.apache.spark.sql.types.TimestampType)
+      }
+      if (badType.nonEmpty) throw new IllegalArgumentException(
+        s"statsCols must be numeric, string, or timestamp columns; " +
+          badType.map(c => s"$c: ${df.schema(c).dataType.simpleString}").mkString(", ") +
+          " has no sound stats domain")
     }
     check.foreach { c =>
       val bad = df.where(org.apache.spark.sql.functions.expr(s"NOT ($c)")).limit(1).collect()
@@ -610,9 +626,12 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     * more than one joined copy has an applicable clause fails fast
     * (Delta's cardinality error): which copy should win is ambiguous.
     *
-    * COPY-ON-WRITE, file-granular, all as ONE commit: numeric equi-key
-    * conjuncts of `on` (`t.k = s.k`) prune candidate files through the
-    * commit-log stats exactly like [[upsert]]; an exact detection pass
+    * COPY-ON-WRITE, file-granular, all as ONE commit: equi-key conjuncts
+    * of `on` (`t.k = s.k`) prune candidate files through the commit-log
+    * stats exactly like [[upsert]] — numeric and timestamp keys against
+    * the double-domain stats, STRING keys (doc_id/uuid, the common
+    * LLM-corpus merge shape) against the truncation-sound strStats under
+    * unsigned-UTF-8 order; an exact detection pass
     * lists the files actually holding a row some clause APPLIES to; only
     * those are rewritten (kept rows carried, updates applied, deletes
     * dropped), inserts land in the new files, and every untouched file
@@ -622,6 +641,33 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     * cost Delta pays for that clause. Matching is over LIVE rows (deletion
     * vectors subtracted) and the rewrite materializes survivors, so MOR
     * and COW history compose. */
+  /** The candidate-file set a merge source with the given per-key ranges
+    * could possibly match: a file is DROPPED only when some key's file
+    * stats are provably disjoint from the source's [min, max] on that key
+    * — numeric/timestamp keys against the double-domain stats, string keys
+    * against the truncation-sound strStats under unsigned-UTF-8 order.
+    * Missing stats keep the file (conservative); soundness is pinned by
+    * the ScalaCheck pruning property and the ghost-file merge spec. */
+  private[graft] def mergeCandidates(parent: Commit,
+      numRange: Map[String, (Double, Double)],
+      strRange: Map[String, (String, String)]): Vector[String] =
+    parent.files.filterNot { f =>
+      numRange.exists { case (k, (lo, hi)) =>
+        parent.stats.get(f).flatMap(_.get(k)) match {
+          case Some((mn, mx)) => mx < lo || mn > hi // provably no equi-key match
+          case None => false
+        }
+      } || strRange.exists { case (k, (lo, hi)) =>
+        parent.strStats.get(f).flatMap(_.get(k)) match {
+          // file stats are truncation-SOUND bounds (statsLower ≤ true min,
+          // statsUpper ≥ true max), so disjointness stays a proof
+          case Some((mn, mx)) =>
+            VersionedTable.utf8Cmp(mx, lo) < 0 || VersionedTable.utf8Cmp(mn, hi) > 0
+          case None => false
+        }
+      }
+    }
+
   def mergeInto(spark: SparkSession, source: DataFrame, on: String,
                 matched: Seq[MergeClause] = Nil,
                 notMatched: Seq[MergeClause] = Nil,
@@ -650,11 +696,26 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       require(c.kind != "delete" || c.assignments.isEmpty,
         "a DELETE clause takes no assignments")
     }
-    Seq(VersionedTable.FkCol, VersionedTable.PosCol, "__graft_src").foreach(r =>
-      require(!source.columns.contains(r), s"source may not carry reserved column $r"))
+    // every internal planning column is reserved, in BOTH schemas: a user
+    // column named __graft_applied/__graft_ins would be silently replaced by
+    // the clause-routing withColumn and corrupt which clause fires
+    Seq(VersionedTable.FkCol, VersionedTable.PosCol, "__graft_src",
+        "__graft_applied", "__graft_ins").foreach { r =>
+      require(!source.columns.contains(r), s"source may not carry reserved column $r")
+      require(!schema.fieldNames.contains(r), s"target may not carry reserved column $r")
+    }
+    // mergeInto evaluates the source in up to four independent jobs (equi-key
+    // range agg, matched detection, rewrite join, insert anti-join); a
+    // non-deterministic source (rand(), sample, a re-read mutable input)
+    // could apply clauses inconsistently between detection and rewrite.
+    // Delta materializes such sources for exactly this reason — pin it once.
+    val source0 =
+      if (source.queryExecution.analyzed.exists(_.expressions.exists(e => !e.deterministic)))
+        source.localCheckpoint()
+      else source
 
     val srcMark = "__graft_src"
-    val src = source.alias(sourceAlias)
+    val src = source0.alias(sourceAlias)
     val onExpr = expr(on)
     def tgtScan(c: Commit) = scanWithPos(spark, c).alias(targetAlias)
     // NULL clause condition applies nothing (SQL three-valued logic)
@@ -683,31 +744,42 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
             case (Seq(sa, sc), Seq(ta, tc)) if ta == targetAlias && sa == sourceAlias => Some((tc, sc))
             case _ => None
           }
-      }.flatten.filter { case (tc, _) =>
-        schema.fieldNames.contains(tc) &&
-          schema(tc).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
-      }
-    val srcRange: Map[String, (Double, Double)] =
-      if (equiKeys.isEmpty) Map.empty
+      }.flatten.filter { case (tc, _) => schema.fieldNames.contains(tc) }
+    // numeric AND timestamp keys prune through the double-domain stats
+    // (timestamps live there as epoch seconds — the cast below lands in the
+    // same domain); STRING keys — the common LLM-corpus shape, doc_id/uuid —
+    // prune through strStats under unsigned-UTF-8 order, exactly like
+    // delete/update's statsCandidates. One bounded agg computes every range.
+    val numKeys = equiKeys.filter { case (tc, _) =>
+      val dt = schema(tc).dataType
+      dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+        dt == org.apache.spark.sql.types.TimestampType
+    }
+    val strKeys = equiKeys.filter { case (tc, _) =>
+      schema(tc).dataType == org.apache.spark.sql.types.StringType
+    }
+    val (srcRange, srcStrRange): (Map[String, (Double, Double)], Map[String, (String, String)]) =
+      if (numKeys.isEmpty && strKeys.isEmpty) (Map.empty, Map.empty)
       else {
-        val aggs = equiKeys.flatMap { case (tc, sc) =>
+        val aggs = numKeys.flatMap { case (tc, sc) =>
           Seq(smin(col(sc).cast("double")).as(s"__mn_$tc"),
             smax(col(sc).cast("double")).as(s"__mx_$tc"))
+        } ++ strKeys.flatMap { case (tc, sc) =>
+          Seq(smin(col(sc)).as(s"__smn_$tc"), smax(col(sc)).as(s"__smx_$tc"))
         }
-        val r = source.agg(aggs.head, aggs.tail: _*).collect().head
-        equiKeys.map(_._1).zipWithIndex.collect {
+        val r = source0.agg(aggs.head, aggs.tail: _*).collect().head
+        val nums = numKeys.map(_._1).zipWithIndex.collect {
           case (tc, i) if !r.isNullAt(2 * i) && !r.isNullAt(2 * i + 1) =>
             tc -> (r.getDouble(2 * i), r.getDouble(2 * i + 1))
         }.toMap
+        val base = 2 * numKeys.size
+        val strs = strKeys.map(_._1).zipWithIndex.collect {
+          case (tc, i) if !r.isNullAt(base + 2 * i) && !r.isNullAt(base + 2 * i + 1) =>
+            tc -> (r.getString(base + 2 * i), r.getString(base + 2 * i + 1))
+        }.toMap
+        (nums, strs)
       }
-    val candidates = parent.files.filterNot { f =>
-      srcRange.exists { case (k, (lo, hi)) =>
-        parent.stats.get(f).flatMap(_.get(k)) match {
-          case Some((mn, mx)) => mx < lo || mn > hi // provably no equi-key match
-          case None => false
-        }
-      }
-    }
+    val candidates = mergeCandidates(parent, srcRange, srcStrRange)
 
     // ---- exact touched-file detection (files some clause APPLIES to) ----
     // The same pass carries Delta's cardinality check: for src-present rows
@@ -752,7 +824,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     val rewriteParts: Seq[DataFrame] =
       if (touched.isEmpty) Nil
       else {
-        val srcMarked = source.withColumn(srcMark, lit(true)).alias(sourceAlias)
+        val srcMarked = source0.withColumn(srcMark, lit(true)).alias(sourceAlias)
         val j = tgtScan(parent.copy(files = touched))
           .join(srcMarked, onExpr, "left_outer")
           .withColumn("__graft_applied",
@@ -864,6 +936,14 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       case _ => None
     }
     def num(e: Expression): Option[Double] = e match {
+      // TimestampType literals carry MICROseconds; the stats live in the
+      // cast-to-double domain (epoch SECONDS) — normalize, or the bound
+      // wrongly prunes files holding matching rows. Date/NTZ literals have
+      // no stats domain at all (the writer refuses such statsCols): no bound.
+      case Literal(v: java.lang.Long, org.apache.spark.sql.types.TimestampType) =>
+        Some(v.toDouble / 1e6)
+      case Literal(_, dt) if dt == org.apache.spark.sql.types.DateType ||
+          dt == org.apache.spark.sql.types.TimestampNTZType => None
       case Literal(v: Number, _) => Some(v.doubleValue()).filterNot(_.isNaN)
       case Literal(d: org.apache.spark.sql.types.Decimal, _) => Some(d.toDouble)
       case _ => None

@@ -310,6 +310,59 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: STRING-keyed mergeInto equals naive evaluation — utf8 stats pruning sound under supplementary-plane keys and truncated stats") {
+    // r18 extends merge candidate pruning to string equi-keys (strStats
+    // windows): for any layout and any source key set the result must be
+    // multiset-identical to per-row clause evaluation. The key styles are
+    // adversarial for the pruning order: plain ascii; a supplementary-plane
+    // prefix (U+1F600, 4-byte UTF-8 — sorts ABOVE fullwidth forms in UTF-8
+    // but BELOW them in Java's UTF-16 compareTo, so a compareTo-ordered
+    // prune would drop matching files); a fullwidth-z prefix (3-byte); and
+    // a 70-char shared prefix that forces stats TRUNCATION, whose bounds
+    // must stay conservative.
+    import graft.vt.MergeClause
+    val pfx = "p" * 70
+    val emoji = new String(Character.toChars(0x1F600))
+    val keyGen: Gen[String] = for {
+      style <- Gen.choose(0, 3); n <- Gen.choose(0, 49)
+    } yield style match {
+      case 0 => f"doc-$n%04d"
+      case 1 => f"$emoji$n%04d"
+      case 2 => f"ｚ$n%04d"
+      case _ => f"$pfx$n%04d"
+    }
+    val tableGen: Gen[List[(String, Int)]] = Gen.listOfN(30,
+      for { k <- keyGen; v <- Gen.choose(0, 29) } yield (k, v))
+    val srcGen: Gen[List[(String, Int)]] = Gen.listOfN(10,
+      for { k <- keyGen; nv <- Gen.choose(0, 29) } yield (k, nv))
+    samples(Gen.zip(tableGen, srcGen, Gen.choose(0, 30)), 6).zipWithIndex.foreach {
+      case ((tableRows, srcRows0, d0), i) =>
+        val srcRows = srcRows0.groupBy(_._1).values.map(_.head).toList // key-unique
+        if (tableRows.nonEmpty && srcRows.nonEmpty) {
+          val vt = VersionedTable.create(Tables.scratch(s"prop_merge_str_$i"))
+          vt.write(tableRows.toDF("k", "v").repartitionByRange(4, col("k")),
+            "main", "v0", statsCols = Seq("k"))
+          vt.mergeInto(spark, srcRows.toDF("k", "nv"), "t.k = s.k",
+            matched = Seq(
+              MergeClause.delete(Some(s"s.nv < $d0")),
+              MergeClause.update(Map("v" -> "s.nv"))),
+            notMatched = Seq(MergeClause.insert(Map("k" -> "s.k", "v" -> "s.nv"))))
+          val src = srcRows.toMap
+          val tKeys = tableRows.map(_._1).toSet
+          val expected = tableRows.flatMap { case (k, v) =>
+            src.get(k) match {
+              case Some(nv) => if (nv < d0) Nil else List((k, nv))
+              case None => List((k, v))
+            }
+          } ++ srcRows.collect { case (k, nv) if !tKeys(k) => (k, nv) }
+          def bag(rs: Seq[(String, Int)]) = rs.groupBy(identity).view.mapValues(_.length).toMap
+          val got = vt.read(spark, "main").as[(String, Int)].collect().toSeq
+          assert(bag(got) === bag(expected),
+            s"case $i d0=$d0 table=$tableRows src=$srcRows")
+        }
+    }
+  }
+
   test("property: copy-on-write UPDATE equals the naive full-table rewrite on random data") {
     // The stats pruning + touched-file restriction are OPTIMIZATIONS: for any
     // layout, range predicate, and SET expressions, update's result must be

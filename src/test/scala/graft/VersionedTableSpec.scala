@@ -1516,6 +1516,39 @@ class VersionedTableSpec extends SparkSpec {
       matched = Seq(MergeClause.delete())))
   }
 
+  test("mergeInto: STRING equi-key pruning skips files by strStats — ghost file proves the skip") {
+    import graft.vt.MergeClause
+    val vt = freshVt("merge_str_prune")
+    def part(lo: Int, hi: Int) =
+      (lo to hi).map(i => (f"id-$i%04d", i.toLong)).toDF("k", "v").coalesce(1)
+    vt.write(part(1, 10), "main", "A", statsCols = Seq("k"))
+    vt.write(part(11, 20), "main", "B", mode = "append", statsCols = Seq("k"))
+    vt.write(part(21, 30), "main", "C", mode = "append", statsCols = Seq("k"))
+    val before = vt.head("main").get
+    // the candidate decision itself (pure metadata): a banded string source
+    // range keeps only the middle file
+    assert(vt.mergeCandidates(before, Map.empty,
+      Map("k" -> ("id-0012", "id-0013"))).size === 1)
+    // ghost proof the detection scan NEVER opens a pruned file: physically
+    // move file A (range id-0001..id-0010, disjoint from the source band)
+    // away — the merge must succeed without reading it
+    val aFile = before.files.find(f =>
+      VersionedTable.utf8Cmp(before.strStats(f)("k")._2, "id-0011") < 0).get
+    val ghostTmp = vt.root.resolve("ghost_tmp.parquet")
+    java.nio.file.Files.move(vt.root.resolve(aFile), ghostTmp)
+    val src = Seq(("id-0012", 1200L), ("id-9999", 9999L)).toDF("k", "nv")
+    val c = vt.mergeInto(spark, src, "t.k = s.k",
+      matched = Seq(MergeClause.update(Map("v" -> "s.nv"))),
+      notMatched = Seq(MergeClause.insert(Map("k" -> "s.k", "v" -> "s.nv"))))
+    assert(c.files.contains(aFile), "the pruned file is carried untouched")
+    assert(before.files.toSet.intersect(c.files.toSet).size === 2,
+      "only file B is rewritten; A (pruned) and C (exact detection) carry")
+    java.nio.file.Files.move(ghostTmp, vt.root.resolve(aFile))
+    val got = vt.read(spark, "main").where($"k".isin("id-0001", "id-0012", "id-9999"))
+      .as[(String, Long)].collect().sorted
+    assert(got === Array(("id-0001", 1L), ("id-0012", 1200L), ("id-9999", 9999L)))
+  }
+
   test("mergeInto loses a version-slot race cleanly; the retry merges against the new head") {
     import graft.vt.MergeClause
     val vt1 = freshVt("merge_race")

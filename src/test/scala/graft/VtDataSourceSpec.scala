@@ -236,8 +236,16 @@ class VtDataSourceSpec extends SparkSpec {
     val c1 = vt.head("main").get
     assert(c1.version === 1L)
     val raceErr = intercept[IllegalStateException](
-      graft.sources.VtDataSource.ensureFirstVersion(root, "main", c1))
+      graft.sources.VtDataSource.ensureFirstVersion(vt, root, "main", c1))
     assert(raceErr.getMessage.contains("raced SaveMode.ErrorIfExists"))
+    // r18: the lost ErrorIfExists race AUTO-REVERTS head to the winner's
+    // version before throwing (same repair as Ignore) — no operator action
+    assert(vt.head("main").get.version === 2L,
+      "ErrorIfExists race repair is a NEW commit")
+    assert(vt.read(spark, "main").select("k", "v").collect().toSet ===
+      spark.read.format("vt").option("path", root)
+        .option("versionAsOf", "0").load().select("k", "v").collect().toSet,
+      "head must be restored to the concurrent winner's content")
     // Ignore: the raced-in write is undone by a revert — the concurrent
     // first writer's content wins, with the race left in the audit trail
     val before = spark.read.format("vt").option("path", root)
@@ -257,7 +265,46 @@ class VtDataSourceSpec extends SparkSpec {
     val vt2 = VersionedTable.create(Tables.scratch("vtds_wharden2"))
     val c0 = vt2.write((1L to 2L).toDF("k"), "main", "v0")
     assert(graft.sources.VtDataSource.ensureFirstVersion(
-      vt2.root.toString, "main", c0) eq c0)
+      vt2, vt2.root.toString, "main", c0) eq c0)
+  }
+
+  test("timestamp statsCols: literals normalize micros→seconds, skipping exact; date statsCols refuse") {
+    // r18 ADVICE fix: stats record timestamps in epoch SECONDS (the
+    // cast-to-double domain) while catalyst TimestampType literals carry
+    // MICROseconds — unnormalized, every comparison window would prune the
+    // very files holding matching rows. Pins both the correctness (full
+    // band read) and the skip (out-of-range file pruned).
+    import java.sql.Timestamp
+    val vt = VersionedTable.create(Tables.scratch("vtds_ts"))
+    def rows(lo: Int, hi: Int) = (lo to hi).map(i =>
+      (i.toLong, Timestamp.valueOf(f"2026-01-$i%02d 00:00:00"))).toDF("k", "ts").coalesce(1)
+    vt.write(rows(1, 10), "main", "A", statsCols = Seq("ts"))
+    vt.write(rows(11, 20), "main", "B", mode = "append", statsCols = Seq("ts"))
+    val root = vt.root.toString
+    def scanned(q: DataFrame): Long = {
+      q.collect()
+      q.queryExecution.executedPlan.collectFirst {
+        case s: FileSourceScanExec => s
+      }.get.metrics("numFiles").value
+    }
+    val q1 = readVt(root).where($"ts" >= Timestamp.valueOf("2026-01-11 00:00:00"))
+    assert(q1.count() === 10L, "no matching row may be pruned away")
+    assert(scanned(q1) === 1, "the below-range file must be skipped in the seconds domain")
+    val q2 = readVt(root).where($"ts" <= Timestamp.valueOf("2026-01-05 00:00:00"))
+    assert(q2.count() === 5L)
+    assert(scanned(q2) === 1)
+    val inList = readVt(root).where($"ts".isin(
+      Timestamp.valueOf("2026-01-03 00:00:00"), Timestamp.valueOf("2026-01-04 00:00:00")))
+    assert(inList.count() === 2L)
+    assert(scanned(inList) === 1, "IN-list point windows normalize too")
+    // the engine-op prune path (delete/update) shares the normalization
+    vt.delete(spark, "ts >= TIMESTAMP'2026-01-19 00:00:00'", "main")
+    assert(vt.read(spark, "main").count() === 18L)
+    // no stats domain exists for dates: refuse loudly at write
+    val e = intercept[IllegalArgumentException](vt.write(
+      Seq((1L, java.sql.Date.valueOf("2026-01-01"))).toDF("k", "d"),
+      "main", "bad", statsCols = Seq("d")))
+    assert(e.getMessage.contains("stats domain"))
   }
 
   test("format(\"vt\") prunes files from null-count stats (IS NULL / IS NOT NULL)") {
