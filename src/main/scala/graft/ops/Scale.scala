@@ -106,24 +106,37 @@ object Scale {
       .orderBy("o_custkey")
   }
 
-  /** 16-bit Z-order (Morton) interleave of two numeric columns, each rank-
-    * normalized to [0, 65535] with cut points from a driver-side action.
-    * Layout-sorting by the Z-value clusters BOTH dimensions, so per-file
-    * min/max stats can skip files for predicates on EITHER column — the
-    * standard multi-dimensional clustering recipe (Delta/Iceberg OPTIMIZE
-    * ZORDER). Pure bit arithmetic on codegen'd built-ins. */
-  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
-             aMin: Double, aMax: Double, bMin: Double, bMax: Double): org.apache.spark.sql.Column = {
+  /** N-ary Z-order (Morton) interleave: each numeric column is range-
+    * normalized to `bits = min(16, 63/n)` bits (so the interleave always
+    * fits a positive Long — 2 dims keep the full 16-bit resolution, 3 dims
+    * get 21, 4 get 15, …), then bit i of dimension j lands at position
+    * `n*i + (n-1-j)` (earlier columns take the higher bit — the
+    * conventional Morton layout). Layout-sorting by the Z-value clusters
+    * ALL dimensions, so per-file min/max stats can skip files for
+    * predicates on ANY column — the standard multi-dimensional clustering
+    * recipe (Delta/Iceberg OPTIMIZE ZORDER, 1..n columns). Pure bit
+    * arithmetic on codegen'd built-ins. */
+  def zValueN(cols: Seq[org.apache.spark.sql.Column],
+              bounds: Seq[(Double, Double)]): org.apache.spark.sql.Column = {
+    val n = cols.size
+    require(n >= 1 && n == bounds.size, s"zValueN needs matched cols/bounds, got $n/${bounds.size}")
+    val bits = math.min(16, 63 / n)
+    val maxV = (1 << bits) - 1
     def norm(c: org.apache.spark.sql.Column, lo: Double, hi: Double) =
-      least(lit(65535), greatest(lit(0),
-        ((c.cast(DoubleType) - lo) / (if (hi > lo) hi - lo else 1.0) * 65535).cast(IntegerType)))
-    val an = norm(a, aMin, aMax)
-    val bn = norm(b, bMin, bMax)
-    (0 until 16).map { i =>
-      (shiftleft(shiftright(an, i).bitwiseAND(1), 2 * i + 1) +
-        shiftleft(shiftright(bn, i).bitwiseAND(1), 2 * i)).cast(LongType)
+      least(lit(maxV), greatest(lit(0),
+        ((c.cast(DoubleType) - lo) / (if (hi > lo) hi - lo else 1.0) * maxV).cast(IntegerType)))
+    val normed = cols.zip(bounds).map { case (c, (lo, hi)) => norm(c, lo, hi) }
+    (0 until bits).flatMap { i =>
+      normed.zipWithIndex.map { case (cn, j) =>
+        shiftleft(shiftright(cn, i).bitwiseAND(1).cast(LongType), n * i + (n - 1 - j))
+      }
     }.reduce(_ + _)
   }
+
+  /** The classic 2-ary form (kept for callers and specs). */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+             aMin: Double, aMax: Double, bMin: Double, bMax: Double): org.apache.spark.sql.Column =
+    zValueN(Seq(a, b), Seq((aMin, aMax), (bMin, bMax)))
 
   /** Skew-safe SALTED JOIN — the companion recipe to [[saltedSum]] for the
     * case AQE can't fix (e.g. a skewed key that must SMJ against a
@@ -285,18 +298,21 @@ object Scale {
     * ([[zorderProbes]]) and the table operation
     * ([[graft.vt.VersionedTable.compactZorder]]), so the layout recipe
     * cannot drift between the measured row and the API. */
-  def zorderLayout(df: DataFrame, colA: String, colB: String, numFiles: Int): DataFrame = {
-    val Array(aMin, aMax, bMin, bMax) = df.selectExpr(
-      s"CAST(min($colA) AS DOUBLE)", s"CAST(max($colA) AS DOUBLE)",
-      s"CAST(min($colB) AS DOUBLE)", s"CAST(max($colB) AS DOUBLE)")
-      .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
-    val z = zValue(col(colA), col(colB), aMin, aMax, bMin, bMax)
+  def zorderLayout(df: DataFrame, cols: Seq[String], numFiles: Int): DataFrame = {
+    require(cols.nonEmpty, "zorderLayout needs at least one column")
+    val r = df.selectExpr(cols.flatMap(c =>
+      Seq(s"CAST(min($c) AS DOUBLE)", s"CAST(max($c) AS DOUBLE)")): _*).collect().head
+    val bounds = cols.indices.map(i => (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
+    val z = zValueN(cols.map(col), bounds)
     // sort the LAYOUT by the interleaved z-value: each file then covers a
-    // small rectangle of (a, b) space, so its min/max stats are tight on
-    // BOTH columns and either predicate prunes files before the scan
+    // small hyper-rectangle of the clustered space, so its min/max stats
+    // are tight on EVERY column and any predicate prunes files pre-scan
     df.withColumn("__z", z).repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z").drop("__z")
   }
+
+  def zorderLayout(df: DataFrame, colA: String, colB: String, numFiles: Int): DataFrame =
+    zorderLayout(df, Seq(colA, colB), numFiles)
 
   def zorderProbes(s: SparkSession, d: String, scratch: String):
       (graft.vt.VersionedTable, DataFrame, DataFrame) = {

@@ -1326,25 +1326,31 @@ object Versioned {
       .orderBy("leg", "n_nationkey")
   }
 
-  /** `OPTIMIZE … FILES 4 ZORDER BY (a, b)` as a statement (r17): a
-    * layout-only commit — the band read after it returns exactly the raw
-    * table's band (the oracle), and the rewrite leaves fresh 2-D stats so
-    * the probe prunes files (spec-pinned; here the oracle pins rows). */
+  /** `OPTIMIZE … FILES 4 ZORDER BY (a, b, c)` as a statement (r17, 3-ary
+    * since r18): a layout-only commit — the band read after it returns
+    * exactly the raw table's band (the oracle), and the rewrite leaves
+    * fresh 3-D stats so a probe on ANY clustered column — including the
+    * third — prunes files (VtCatalogSpec pins the skip-read; here the
+    * oracle pins rows). */
   val qVtSqlOptimize: QueryDef = q("q_vt_sql_optimize")(
-    """SELECT o_orderkey AS k, cents FROM (
-      |  SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    """SELECT o_orderkey AS k, cents, cust FROM (
+      |  SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |         o_custkey AS cust
       |  FROM orders)
       |WHERE o_orderkey BETWEEN 1000 AND 1999 AND cents BETWEEN 500000 AND 20000000
+      |  AND cust >= 100
       |ORDER BY k""".stripMargin) { (s, d) =>
     val vt = VersionedTable.create(Tables.scratch("vt_sql_optimize"))
     val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
-      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+      col("o_custkey").as("cust"))
     vt.write(o.repartition(8), "main", "v0")
     s.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
     graft.sources.VtUtilitySql.exec(s,
-      s"OPTIMIZE vt.`${vt.root}` FILES 4 ZORDER BY (k, cents)").collect()
+      s"OPTIMIZE vt.`${vt.root}` FILES 4 ZORDER BY (k, cents, cust)").collect()
     s.read.format("vt").option("path", vt.root.toString).load()
-      .where(col("k").between(1000, 1999) && col("cents").between(500000L, 20000000L))
+      .where(col("k").between(1000, 1999) && col("cents").between(500000L, 20000000L)
+        && col("cust") >= 100)
       .orderBy("k")
   }
 
@@ -1507,6 +1513,34 @@ object Versioned {
       .groupBy(coalesce(col("prio"), lit("zz_inserted")).as("prio"))
       .agg(count(lit(1)).as("cnt"), sum("cents").as("sum_cents"))
       .orderBy("prio")
+  }
+
+  /** `MERGE WITH SCHEMA EVOLUTION` (r18, Delta parity): the source carries
+    * a column the target lacks (`n_regionkey`) — the merge WIDENS the
+    * schema (nullable append), `UPDATE SET *` fills it on matched rows,
+    * `INSERT *` on new rows, and KEPT rows (plus every untouched file)
+    * read it back as null. Runs through the real SQL statement
+    * ([[graft.sources.VtSqlDml]] routes `withSchemaEvolution` into the
+    * engine op); VersionedTableSpec pins time travel across the widening. */
+  val qVtMergeEvolve: QueryDef = q("q_vt_merge_evolve")(
+    """SELECT n_nationkey, n_name,
+      |       CASE WHEN n_regionkey = 0 THEN NULL ELSE n_regionkey END AS n_regionkey
+      |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+    val vt = VersionedTable.create(Tables.scratch("vt_merge_evolve"))
+    val nation = Tables.nation(s, d)
+    vt.write(nation.where(col("n_regionkey") < 2).select("n_nationkey", "n_name"),
+      "main", "v0")
+    s.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
+    nation.where(col("n_regionkey") >= 1)
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .createOrReplaceTempView("evolve_src")
+    graft.sources.VtSqlDml.exec(s,
+      s"""MERGE WITH SCHEMA EVOLUTION INTO vt.`${vt.root}` t
+         |USING evolve_src s
+         |ON t.n_nationkey = s.n_nationkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    vt.read(s, "main").orderBy("n_nationkey")
   }
 
   /** FILTERED MERGE-ON-READ at orders scale (r17, benched): the fallback
@@ -1676,5 +1710,5 @@ object Versioned {
     qVtDeltaLiteRead, qVtDeltaLitePart,
     qVtSqlTravel, qVtSqlDelete, qVtSqlUpdate, qVtSqlMerge, qVtMergeInto,
     qVtSqlRestore, qVtSqlOptimize, qVtSqlBranch, qVtMergeScale, qVtMergeScaleStr,
-    qVtMorFilter, qVtDeltaCmapNative, qVtMinmaxMeta)
+    qVtMergeEvolve, qVtMorFilter, qVtDeltaCmapNative, qVtMinmaxMeta)
 }

@@ -77,9 +77,6 @@ object VtSqlDml {
       }
     case m: MergeIntoTable =>
       addressOf(spark, m.targetTable).map { case (path, branch, tAliasOpt) =>
-        require(!m.withSchemaEvolution,
-          "MERGE WITH SCHEMA EVOLUTION is not supported: versioned-table " +
-            "schema evolves per append commit (mergeSchema), never inside a merge")
         val vt = VersionedTable.open(SourcePaths.local(path))
         val tAlias = tAliasOpt.getOrElse("t")
         val (srcPlan, sAliasOpt) = m.sourceTable match {
@@ -91,8 +88,17 @@ object VtSqlDml {
           throw new IllegalArgumentException(s"no such branch: $branch"))
         val targetCols = DataType.fromJson(head.schemaJson)
           .asInstanceOf[StructType].fieldNames.toIndexedSeq
+        val srcDf = SessionShim.ofRows(spark, srcPlan)
+        // `SET *` / `INSERT *`: without evolution, every target column is
+        // star-assigned from its same-named source column (a source lacking
+        // one is an analysis error, as in Delta). WITH SCHEMA EVOLUTION the
+        // star expands over the SOURCE's column set instead (Delta's rule):
+        // source-only columns are assigned into the widened schema, and
+        // target-only columns stay unassigned — kept on update, null on
+        // insert.
         def starAssigns: Map[String, String] =
-          targetCols.map(c => c -> s"`$sAlias`.`$c`").toMap
+          (if (m.withSchemaEvolution) srcDf.columns.toIndexedSeq else targetCols)
+            .map(c => c -> s"`$sAlias`.`$c`").toMap
         def clauseOf(a: MergeAction): MergeClause = a match {
           case UpdateAction(c, assigns, _) =>
             MergeClause.update(assigns.map(asn =>
@@ -106,12 +112,13 @@ object VtSqlDml {
           case other => throw new IllegalArgumentException(
             s"unsupported MERGE action: $other")
         }
-        vt.mergeInto(spark, SessionShim.ofRows(spark, srcPlan), render(m.mergeCondition),
+        vt.mergeInto(spark, srcDf, render(m.mergeCondition),
           matched = m.matchedActions.map(clauseOf),
           notMatched = m.notMatchedActions.map(clauseOf),
           notMatchedBySource = m.notMatchedBySourceActions.map(clauseOf),
           targetAlias = tAlias, sourceAlias = sAlias, branch = branch,
-          message = s"SQL MERGE INTO $path ON ${render(m.mergeCondition)}")
+          message = s"SQL MERGE INTO $path ON ${render(m.mergeCondition)}",
+          schemaEvolution = m.withSchemaEvolution)
       }
     case _ => None
   }
@@ -203,6 +210,7 @@ final class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
       else if (sqlText.trim.take(4).equalsIgnoreCase("DESC"))
         VtUtilitySql.parse(spark, sqlText) match {
           case Some(stmt: VtUtilitySql.HistoryStmt) => VtUtilityCommand(stmt, sqlText)
+          case Some(stmt: VtUtilitySql.DetailStmt) => VtUtilityCommand(stmt, sqlText)
           case _ => plan
         }
       else plan

@@ -15,7 +15,8 @@ import graft.vt.VersionedTable
   * {{{
   *   VACUUM vt.`path` [RETAIN n HOURS | RETAIN n VERSIONS] [DRY RUN]
   *   DESCRIBE HISTORY vt.`path`
-  *   OPTIMIZE vt.`path` [FILES n] [ZORDER BY (a, b)]
+  *   DESCRIBE DETAIL vt.`path`                   -- Delta's table-metadata row
+  *   OPTIMIZE vt.`path` [FILES n] [ZORDER BY (a, b, …)]   -- 1..n columns
   *   RESTORE TABLE vt.`path` TO VERSION AS OF n
   *   RESTORE TABLE vt.`path` TO TAG 'name'
   *   CREATE BRANCH dev IN vt.`path` [FROM src]   -- lakeFS verbs as SQL
@@ -24,6 +25,7 @@ import graft.vt.VersionedTable
   *   DROP TAG v1.0 IN vt.`path`
   *   MERGE BRANCH dev INTO main IN vt.`path`
   *   SHOW BRANCHES IN vt.`path`
+  *   SHOW TAGS IN vt.`path`
   * }}}
   *
   * None of these parse in Spark's grammar, so [[GraftSqlParser]] offers
@@ -43,14 +45,16 @@ object VtUtilitySql {
   final case class VacuumStmt(address: String, retain: Option[(Double, String)],
                               dryRun: Boolean) extends Stmt
   final case class HistoryStmt(address: String) extends Stmt
+  final case class DetailStmt(address: String) extends Stmt
   final case class OptimizeStmt(address: String, files: Option[Int],
-                                zorder: Option[(String, String)]) extends Stmt
+                                zorder: Option[Seq[String]]) extends Stmt
   final case class RestoreStmt(address: String, to: Either[Long, String]) extends Stmt
   final case class BranchStmt(address: String, op: String, name: String,
                               from: Option[String]) extends Stmt // create/drop
   final case class TagStmt(address: String, op: String, name: String) extends Stmt
   final case class MergeBranchStmt(address: String, from: String, into: String) extends Stmt
   final case class ShowBranchesStmt(address: String) extends Stmt
+  final case class ShowTagsStmt(address: String) extends Stmt
 
   // one identifier shape everywhere: <catalog>.`<[branch@]path>`
   private val T = "(\\w+)\\.`([^`]+)`"
@@ -58,8 +62,10 @@ object VtUtilitySql {
     s"""(?is)\\s*VACUUM\\s+$T(?:\\s+RETAIN\\s+(\\d+(?:\\.\\d+)?)\\s+(HOURS|VERSIONS))?(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r
   private val HistoryRe: Regex =
     s"""(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$T\\s*;?\\s*""".r
+  private val DetailRe: Regex =
+    s"""(?is)\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$T\\s*;?\\s*""".r
   private val OptimizeRe: Regex =
-    s"""(?is)\\s*OPTIMIZE\\s+$T(?:\\s+FILES\\s+(\\d+))?(?:\\s+ZORDER\\s+BY\\s*\\(\\s*`?([\\w.]+)`?\\s*,\\s*`?([\\w.]+)`?\\s*\\))?\\s*;?\\s*""".r
+    s"""(?is)\\s*OPTIMIZE\\s+$T(?:\\s+FILES\\s+(\\d+))?(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*""".r
   private val RestoreVerRe: Regex =
     s"""(?is)\\s*RESTORE\\s+TABLE\\s+$T\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
   private val RestoreTagRe: Regex =
@@ -77,6 +83,8 @@ object VtUtilitySql {
     s"""(?is)\\s*MERGE\\s+BRANCH\\s+(\\w+)\\s+INTO\\s+(\\w+)\\s+IN\\s+$T\\s*;?\\s*""".r
   private val ShowBranchesRe: Regex =
     s"""(?is)\\s*SHOW\\s+BRANCHES\\s+IN\\s+$T\\s*;?\\s*""".r
+  private val ShowTagsRe: Regex =
+    s"""(?is)\\s*SHOW\\s+TAGS\\s+IN\\s+$T\\s*;?\\s*""".r
 
   private def isVt(spark: SparkSession, catalog: String): Boolean =
     spark.conf.getOption(s"spark.sql.catalog.$catalog")
@@ -89,9 +97,11 @@ object VtUtilitySql {
       Some(VacuumStmt(addr, Option(n).map(v => (v.toDouble, unit.toUpperCase)),
         dry != null))
     case HistoryRe(cat, addr) if isVt(spark, cat) => Some(HistoryStmt(addr))
-    case OptimizeRe(cat, addr, files, za, zb) if isVt(spark, cat) =>
+    case DetailRe(cat, addr) if isVt(spark, cat) => Some(DetailStmt(addr))
+    case OptimizeRe(cat, addr, files, zcols) if isVt(spark, cat) =>
       Some(OptimizeStmt(addr, Option(files).map(_.toInt),
-        Option(za).zip(Option(zb)).headOption))
+        Option(zcols).map(_.split(',').toSeq
+          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))))
     case RestoreVerRe(cat, addr, v) if isVt(spark, cat) =>
       Some(RestoreStmt(addr, Left(v.toLong)))
     case RestoreTagRe(cat, addr, tag) if isVt(spark, cat) =>
@@ -108,6 +118,7 @@ object VtUtilitySql {
       Some(MergeBranchStmt(addr, from, into))
     case ShowBranchesRe(cat, addr) if isVt(spark, cat) =>
       Some(ShowBranchesStmt(addr))
+    case ShowTagsRe(cat, addr) if isVt(spark, cat) => Some(ShowTagsStmt(addr))
     case _ => None
   }
 
@@ -118,6 +129,14 @@ object VtUtilitySql {
       StructField("message", StringType, nullable = false),
       StructField("ts", LongType, nullable = false),
       StructField("n_files", IntegerType, nullable = false)))
+    case _: DetailStmt => StructType(Seq(
+      StructField("format", StringType, nullable = false),
+      StructField("location", StringType, nullable = false),
+      StructField("version", LongType, nullable = false),
+      StructField("num_files", IntegerType, nullable = false),
+      StructField("size_bytes", LongType, nullable = false),
+      StructField("created_at", LongType, nullable = false),
+      StructField("last_modified", LongType, nullable = false)))
     case _: OptimizeStmt => StructType(Seq(
       StructField("version", LongType, nullable = false),
       StructField("n_files", IntegerType, nullable = false)))
@@ -128,6 +147,9 @@ object VtUtilitySql {
       StructType(Seq(StructField("version", LongType, nullable = false)))
     case _: ShowBranchesStmt => StructType(Seq(
       StructField("branch", StringType, nullable = false),
+      StructField("version", LongType, nullable = false)))
+    case _: ShowTagsStmt => StructType(Seq(
+      StructField("tag", StringType, nullable = false),
       StructField("version", LongType, nullable = false)))
   }
 
@@ -140,20 +162,28 @@ object VtUtilitySql {
           case Some((n, "VERSIONS")) =>
             require(n == n.toInt && n >= 1, s"RETAIN $n VERSIONS: need a positive integer")
             vt.vacuum(retainLast = n.toInt, dryRun = dry)
-          case Some((n, _)) => // HOURS
-            require(!dry, "DRY RUN is supported with the RETAIN … VERSIONS dial")
-            vt.vacuumRetainHours(n)
+          case Some((n, _)) => // HOURS — DRY RUN counts without deleting
+            vt.vacuumRetainHours(n, dryRun = dry)
           case None => // Delta's default retention window
-            require(!dry, "DRY RUN is supported with the RETAIN … VERSIONS dial")
-            vt.vacuumRetainHours(168.0)
+            vt.vacuumRetainHours(168.0, dryRun = dry)
         }
         Seq(Row(reclaimed.toLong))
       case HistoryStmt(_) =>
         vt.history(spark, branch).collect().toSeq // O(versions) metadata rows
+      case DetailStmt(_) =>
+        // Delta's DESCRIBE DETAIL row, from commit metadata alone: no file
+        // I/O (sizes live in the log), O(history) commit-json reads for the
+        // created_at bound
+        val h = vt.head(branch).getOrElse(
+          throw new IllegalArgumentException(s"no such branch: $branch"))
+        val lin = vt.lineage(branch)
+        Seq(Row("vt", vt.root.toString, h.version, h.files.size,
+          h.files.map(f => h.fileSizes.getOrElse(f, 0L)).sum,
+          lin.last.ts, h.ts))
       case OptimizeStmt(_, files, zorder) =>
         val c = zorder match {
-          case Some((a, b)) => vt.compactZorder(spark, branch, a, b,
-            numFiles = files.getOrElse(8))
+          case Some(cols) => vt.compactZorder(spark, branch, cols,
+            numFiles = files.getOrElse(8), maxRetries = 3)
           case None => vt.compact(spark, branch, numFiles = files.getOrElse(1))
         }
         Seq(Row(c.version, c.files.size))
@@ -178,6 +208,8 @@ object VtUtilitySql {
         Seq(Row(vt.merge(from, into).version))
       case ShowBranchesStmt(_) =>
         vt.branches.sorted.map(b => Row(b, vt.head(b).map(_.version).getOrElse(-1L)))
+      case ShowTagsStmt(_) =>
+        vt.tags.map { case (name, _) => Row(name, vt.tagCommit(name).version) }
     }
   }
 

@@ -622,7 +622,12 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     * on the joined row; a NULL condition applies nothing (three-valued
     * logic, same as [[delete]]'s keep rule). Assignment targets must be
     * existing columns and cast to the column's type — the merge never
-    * drifts the schema. A target row matched by MULTIPLE source rows where
+    * drifts the schema UNLESS `schemaEvolution` is set (Delta's `MERGE
+    * WITH SCHEMA EVOLUTION`): then source-only columns append to the
+    * target schema as nullable fields, assignments may fill them, and
+    * every row/file without a value reads null — old versions keep their
+    * own pinned schema, so time travel across the widening still replays
+    * exactly. A target row matched by MULTIPLE source rows where
     * more than one joined copy has an applicable clause fails fast
     * (Delta's cardinality error): which copy should win is ambiguous.
     *
@@ -673,7 +678,8 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
                 notMatched: Seq[MergeClause] = Nil,
                 notMatchedBySource: Seq[MergeClause] = Nil,
                 targetAlias: String = "t", sourceAlias: String = "s",
-                branch: String = "main", message: String = ""): Commit = synchronized {
+                branch: String = "main", message: String = "",
+                schemaEvolution: Boolean = false): Commit = synchronized {
     guardWritable(branch)
     import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, max => smax, min => smin, when}
     require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
@@ -689,10 +695,23 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     val parent = head(branch).getOrElse(
       throw new IllegalArgumentException(s"no such branch: $branch"))
     val schema = DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]
+    // WITH SCHEMA EVOLUTION (Delta's rule): source-only columns APPEND to
+    // the target schema as NULLABLE fields — assignments may target them,
+    // kept/by-source rows and untouched files read them back as null (a
+    // parquet file lacking a requested column yields nulls, the same
+    // mechanism mergeSchema appends rely on). Same-name columns keep the
+    // TARGET type; assignment right-hand sides cast to it as ever.
+    val outSchema: StructType =
+      if (!schemaEvolution) schema
+      else StructType(schema.fields ++
+        source.schema.fields.filterNot(f => schema.fieldNames.contains(f.name))
+          .map(_.copy(nullable = true)))
     (matched ++ notMatched ++ notMatchedBySource).foreach { c =>
-      val unknown = c.assignments.keySet.diff(schema.fieldNames.toSet)
+      val unknown = c.assignments.keySet.diff(outSchema.fieldNames.toSet)
       require(unknown.isEmpty,
-        s"merge ${c.kind} assigns unknown column(s): ${unknown.mkString(", ")}")
+        s"merge ${c.kind} assigns unknown column(s): ${unknown.mkString(", ")}" +
+          (if (schemaEvolution) ""
+           else " — source-only columns need schemaEvolution=true (MERGE WITH SCHEMA EVOLUTION)"))
       require(c.kind != "delete" || c.assignments.isEmpty,
         "a DELETE clause takes no assignments")
     }
@@ -814,10 +833,13 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
 
     // ---- the rewrite + insert plan, one write ----------------------------
     def projectTo(c: MergeClause)(frame: DataFrame, fromTarget: Boolean): DataFrame =
-      frame.select(schema.fields.toIndexedSeq.map { f =>
+      frame.select(outSchema.fields.toIndexedSeq.map { f =>
         c.assignments.get(f.name) match {
           case Some(rhs) => expr(rhs).cast(f.dataType).as(f.name)
-          case None if fromTarget => col(s"$targetAlias.`${f.name}`").as(f.name)
+          // an EVOLVED (source-only) column has no target side: null, like
+          // the INSERT rule — only an explicit assignment fills it
+          case None if fromTarget && schema.fieldNames.contains(f.name) =>
+            col(s"$targetAlias.`${f.name}`").as(f.name)
           case None => lit(null).cast(f.dataType).as(f.name) // Delta INSERT rule
         }
       }: _*)
@@ -840,7 +862,10 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
         val kept = j.where(col("__graft_applied").isNull)
           .dropDuplicates(VersionedTable.FkCol :: VersionedTable.PosCol :: Nil)
           .join(appliedIds, Seq(VersionedTable.FkCol, VersionedTable.PosCol), "left_anti")
-          .select(schema.fieldNames.toIndexedSeq.map(n => col(s"$targetAlias.`$n`").as(n)): _*)
+          .select(outSchema.fields.toIndexedSeq.map { f =>
+            if (schema.fieldNames.contains(f.name)) col(s"$targetAlias.`${f.name}`").as(f.name)
+            else lit(null).cast(f.dataType).as(f.name) // evolved column: null until assigned
+          }: _*)
         val updates = (matched.zipWithIndex.map { case (c, i) => (c, i) } ++
           notMatchedBySource.zipWithIndex.map { case (c, i) => (c, 1000 + i) })
           .filter(_._1.kind == "update")
@@ -872,11 +897,11 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
         (Map.empty[String, Map[String, (Double, Double)]],
           Map.empty[String, Map[String, (String, String)]],
           Map.empty[String, Map[String, Long]])
-      else collectFileStats(spark, newFiles, statCols, schema)
+      else collectFileStats(spark, newFiles, statCols, outSchema)
     val untouchedSet = untouched.toSet
     publish(branch, Some(parent),
       if (message.isEmpty) s"merge into on ($on)" else message,
-      schema, untouched ++ newFiles,
+      outSchema, untouched ++ newFiles,
       parent.stats.view.filterKeys(untouchedSet).toMap ++ newStats,
       strStats = parent.strStats.view.filterKeys(untouchedSet).toMap ++ newStrStats,
       nullStats = parent.nullStats.view.filterKeys(untouchedSet).toMap ++ newNullStats,
@@ -1980,16 +2005,24 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
   /** Time-based retention, Delta's `vacuum()` dial (`jobs/vdt4.py:84-85`
     * defaults to 168h): a commit is retained iff it is younger than
     * `retainHours` — or is a branch head, which is always kept so the table
-    * stays readable. `nowMs` is injectable for deterministic tests. */
+    * stays readable. `nowMs` is injectable for deterministic tests.
+    * `dryRun` COUNTS the reclaimable files without deleting (Delta's
+    * `VACUUM … DRY RUN`, same plan-then-act shape as [[vacuum]]'s dial —
+    * planned-but-unacted ref repairs substitute for the real sweep's). */
   def vacuumRetainHours(retainHours: Double,
                         nowMs: Long = System.currentTimeMillis(),
-                        staleSlotMs: Long = VersionedTable.DefaultStaleSlotMs): Int = synchronized {
+                        staleSlotMs: Long = VersionedTable.DefaultStaleSlotMs,
+                        dryRun: Boolean = false): Int = synchronized {
     require(retainHours >= 0, "retainHours must be >= 0")
     val cutoff = nowMs - (retainHours * 3600 * 1000).toLong
-    sweepStaleSlots(nowMs, staleSlotMs)
-    sweep((branches.flatMap(b => lineage(b).zipWithIndex.collect {
+    val repairs = sweepStaleSlots(nowMs, staleSlotMs, act = !dryRun).refRepairs
+    def vHead(b: String): Option[Commit] =
+      (if (dryRun) repairs.get(b).map(loadCommit) else None).orElse(head(b))
+    val vReachable = Ancestry.reachableIds(loadCommit, branches.flatMap(vHead))
+    sweep((branches.flatMap(b => lineageFrom(vHead(b)).zipWithIndex.collect {
       case (c, i) if i == 0 || c.ts >= cutoff => c.allFiles // i==0 = the head
-    }.flatten) ++ stagedFiles).toSet ++ slotProtectedFiles(reachableIds) ++ taggedFiles)
+    }.flatten) ++ stagedFiles).toSet ++ slotProtectedFiles(vReachable) ++ taggedFiles,
+      dryRun)
   }
 
   /** Crash recovery for this table's slots — semantics and guards live in
@@ -2220,19 +2253,24 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
         s"compact to $numFiles files", statsCols = statsCols)
     }
 
-  /** Delta `OPTIMIZE ZORDER BY (a, b)`: rewrite the head snapshot sorted by
-    * the Morton interleave of two numeric columns
-    * ([[graft.ops.Scale.zValue]]) as a NEW version with fresh per-file
-    * stats on BOTH — each file then covers a small rectangle of (a, b)
-    * space, so [[readWhere]] range probes on EITHER column prune files.
-    * Rows are untouched (layout-only commit, history intact); the
-    * normalization bounds come from one bounded driver action. */
+  /** Delta `OPTIMIZE ZORDER BY (a, b, …)`: rewrite the head snapshot
+    * sorted by the Morton interleave of 1..n numeric columns
+    * ([[graft.ops.Scale.zValueN]]) as a NEW version with fresh per-file
+    * stats on EVERY clustered column — each file then covers a small
+    * hyper-rectangle of the clustered space, so [[readWhere]] range
+    * probes on ANY of them prune files. Rows are untouched (layout-only
+    * commit, history intact); the normalization bounds come from one
+    * bounded driver action. */
+  def compactZorder(spark: SparkSession, branch: String, cols: Seq[String],
+                    numFiles: Int, maxRetries: Int): Commit =
+    retryLayoutCommit(maxRetries) { () =>
+      write(graft.ops.Scale.zorderLayout(read(spark, branch), cols, numFiles),
+        branch, s"optimize zorder by (${cols.mkString(", ")})", statsCols = cols)
+    }
+
   def compactZorder(spark: SparkSession, branch: String, colA: String,
                     colB: String, numFiles: Int = 8, maxRetries: Int = 3): Commit =
-    retryLayoutCommit(maxRetries) { () =>
-      write(graft.ops.Scale.zorderLayout(read(spark, branch), colA, colB, numFiles),
-        branch, s"optimize zorder by ($colA, $colB)", statsCols = Seq(colA, colB))
-    }
+    compactZorder(spark, branch, Seq(colA, colB), numFiles, maxRetries)
 
   /** V10 upload/rm analog: raw object ops under the table root (staging dir). */
   /** Export `branch`'s lineage as a Delta `_delta_log` INSIDE the table root

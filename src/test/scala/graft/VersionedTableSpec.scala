@@ -1549,6 +1549,41 @@ class VersionedTableSpec extends SparkSpec {
     assert(got === Array(("id-0001", 1L), ("id-0012", 1200L), ("id-9999", 9999L)))
   }
 
+  test("mergeInto WITH SCHEMA EVOLUTION: nullable widening, untouched-file null fill, old-schema time travel, refusal without the flag") {
+    import graft.vt.MergeClause
+    val vt = freshVt("merge_evolve")
+    def part(lo: Long, hi: Long) = (lo to hi).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1)
+    vt.write(part(1, 5), "main", "A", statsCols = Seq("k"))
+    vt.write(part(6, 10), "main", "B", mode = "append", statsCols = Seq("k"))
+    val before = vt.head("main").get
+    val src = Seq((7L, "B7", 70L), (99L, "C99", 990L)).toDF("k", "v", "extra")
+    // without the flag, a source-only assignment fails loudly and names the dial
+    val e = intercept[IllegalArgumentException](vt.mergeInto(spark, src, "t.k = s.k",
+      matched = Seq(MergeClause.update(Map("extra" -> "s.extra")))))
+    assert(e.getMessage.contains("schemaEvolution"))
+    val c = vt.mergeInto(spark, src, "t.k = s.k",
+      matched = Seq(MergeClause.update(Map("v" -> "s.v", "extra" -> "s.extra"))),
+      notMatched = Seq(MergeClause.insert(
+        Map("k" -> "s.k", "v" -> "s.v", "extra" -> "s.extra"))),
+      schemaEvolution = true)
+    // file A's key range is disjoint from the source: carried UNTOUCHED with
+    // its 2-column parquet — the widened read null-fills it
+    assert(before.files.toSet.intersect(c.files.toSet).size === 1,
+      "equi-key pruning must carry the untouched pre-evolution file")
+    val head = vt.read(spark, "main")
+    assert(head.schema.fieldNames.toSeq === Seq("k", "v", "extra"))
+    assert(head.schema("extra").nullable, "an evolved column is always nullable")
+    val got = head.as[(Long, String, Option[Long])].collect().toSet
+    assert(got.contains((1L, "v1", None)), "untouched-file rows read null")
+    assert(got.contains((6L, "v6", None)), "kept rows in the rewritten file read null")
+    assert(got.contains((7L, "B7", Some(70L))) && got.contains((99L, "C99", Some(990L))))
+    assert(got.size === 11)
+    // time travel across the widening: v1 keeps its OWN pinned 2-col schema
+    val v1 = vt.readVersion(spark, "main", 1)
+    assert(v1.schema.fieldNames.toSeq === Seq("k", "v"))
+    assert(v1.count() === 10L)
+  }
+
   test("mergeInto loses a version-slot race cleanly; the retry merges against the new head") {
     import graft.vt.MergeClause
     val vt1 = freshVt("merge_race")

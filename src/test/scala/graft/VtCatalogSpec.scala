@@ -369,6 +369,52 @@ class VtCatalogSpec extends SparkSpec {
     }
   }
 
+  test("utility SQL r18: 3-ary ZORDER prunes every dimension, VACUUM HOURS DRY RUN, SHOW TAGS, DESCRIBE DETAIL") {
+    registerCatalog()
+    import graft.sources.VtUtilitySql
+    val vt = VersionedTable.create(Tables.scratch("vtcat_util18"))
+    val rows = (0 until 4000).map(i =>
+      (i.toLong, (i.toLong * 7) % 4000, (i.toLong * 13) % 4000))
+    vt.write(rows.toDF("k", "v", "w").repartition(8), "main", "v0")
+    val t = s"vt.`${vt.root}`"
+    // 8 files = 3 top z-bits = one split bit PER dimension: every probe prunes
+    val zr = VtUtilitySql.exec(spark, s"OPTIMIZE $t FILES 8 ZORDER BY (k, v, w)")
+      .as[(Long, Int)].head()
+    assert(zr === ((1L, 8)))
+    def scanned(cond: org.apache.spark.sql.Column): Long = {
+      val q = spark.read.format("vt").option("path", vt.root.toString).load().where(cond)
+      q.collect()
+      q.queryExecution.executedPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.get.metrics("numFiles").value
+    }
+    for (c <- Seq($"k", $"v", $"w"))
+      assert(scanned(c.between(0, 499)) < 8, s"a band probe on $c must skip files")
+    assert(spark.sql(s"SELECT sum(w) AS s FROM $t").as[Long].head() ===
+      rows.map(_._3).sum, "layout-only: rows identical")
+    // SHOW TAGS lists (tag, version); DESCRIBE DETAIL is Delta's metadata row
+    VtUtilitySql.exec(spark, s"CREATE TAG r18 IN $t").collect()
+    assert(VtUtilitySql.exec(spark, s"SHOW TAGS IN $t")
+      .as[(String, Long)].collect().toSeq === Seq(("r18", 1L)))
+    val detail = VtUtilitySql.exec(spark, s"DESCRIBE DETAIL $t").collect().head
+    assert(detail.getString(0) === "vt")
+    assert(detail.getString(1) === vt.root.toString)
+    assert(detail.getLong(2) === 1L)
+    assert(detail.getInt(3) === 8)
+    assert(detail.getLong(4) > 0L, "size_bytes from commit metadata")
+    assert(detail.getLong(5) <= detail.getLong(6), "created_at <= last_modified")
+    // VACUUM … HOURS DRY RUN: counts v0's now-unreferenced files, deletes none
+    val dry = VtUtilitySql.exec(spark, s"VACUUM $t RETAIN 0 HOURS DRY RUN")
+      .as[Long].head()
+    assert(dry > 0L, "v0's files are past the 0-hour horizon")
+    assert(vt.readVersion(spark, "main", 0).count() === 4000L,
+      "DRY RUN must delete nothing")
+    val real = VtUtilitySql.exec(spark, s"VACUUM $t RETAIN 0 HOURS").as[Long].head()
+    assert(real === dry, "the real hours-vacuum reclaims exactly the dry-run count")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $t").as[Long].head() === 4000L,
+      "the head (and its tag) survive")
+  }
+
   test("catalog refuses DDL loudly; missing tables surface as NoSuchTable") {
     registerCatalog()
     val e = intercept[Exception](
