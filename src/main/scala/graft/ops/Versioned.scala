@@ -1648,6 +1648,29 @@ object Versioned {
     meta.unionByName(fallback).orderBy("part")
   }
 
+  /** Metadata-only aggregates through SQL (r18,
+    * [[graft.sources.VtMetaScanBuilder]]): `SELECT count(*), count(col),
+    * min(col), max(col)` on a vt-catalog table short-circuits to the
+    * commit log's row counts / null counts / min-max stats via DSv2
+    * aggregate pushdown — the plan is a LOCAL one-row relation, zero file
+    * reads, not even footers (VtCatalogSpec proves it by ghosting every
+    * data file). The oracle computes the same aggregates over raw orders. */
+  val qVtSqlCountMeta: QueryDef = q("q_vt_sql_count_meta")(
+    """SELECT count(*) AS c, count(o_orderpriority) AS cp,
+      |       min(o_orderkey) AS mn, max(o_orderkey) AS mx,
+      |       min(o_orderpriority) AS pmn, max(o_orderpriority) AS pmx
+      |FROM orders""".stripMargin) { (s, d) =>
+    val vt = VersionedTable.create(Tables.scratch("vt_sql_count_meta"))
+    vt.write(Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+      .repartition(4), "main", "v0", statsCols = Seq("o_orderkey", "o_orderpriority"))
+    s.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
+    s.sql(
+      s"""SELECT count(*) AS c, count(o_orderpriority) AS cp,
+         |       min(o_orderkey) AS mn, max(o_orderkey) AS mx,
+         |       min(o_orderpriority) AS pmn, max(o_orderpriority) AS pmx
+         |FROM vt.`${vt.root}`""".stripMargin)
+  }
+
   /** Maintain a (count, sum) aggregate "view" incrementally: fold a CDC
     * stream (from [[graft.vt.VersionedTable.changes]]) into the previously
     * materialized aggregate instead of recomputing from the full table.
@@ -1710,5 +1733,5 @@ object Versioned {
     qVtDeltaLiteRead, qVtDeltaLitePart,
     qVtSqlTravel, qVtSqlDelete, qVtSqlUpdate, qVtSqlMerge, qVtMergeInto,
     qVtSqlRestore, qVtSqlOptimize, qVtSqlBranch, qVtMergeScale, qVtMergeScaleStr,
-    qVtMergeEvolve, qVtMorFilter, qVtDeltaCmapNative, qVtMinmaxMeta)
+    qVtMergeEvolve, qVtMorFilter, qVtDeltaCmapNative, qVtMinmaxMeta, qVtSqlCountMeta)
 }

@@ -149,16 +149,18 @@ final class VtTable(spark: SparkSession, vt: VersionedTable, branch: String,
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
 
-  /** DV-free snapshots: Spark's own parquet ScanBuilder over the
-    * commit-pinned [[VtFileIndex]] — full DSv2 pushdown (catalyst data
-    * filters reach `listFiles` for stats pruning AND the parquet reader
-    * for footer skipping), column pruning, vectorized batches. DV
-    * snapshots: the [[V1Scan]] bridge onto the merge-on-read relation. */
+  /** DV-free snapshots: [[VtMetaScanBuilder]] — Spark's own parquet
+    * ScanBuilder over the commit-pinned [[VtFileIndex]] (full DSv2
+    * pushdown: catalyst data filters reach `listFiles` for stats pruning
+    * AND the parquet reader for footer skipping; column pruning;
+    * vectorized batches) PLUS metadata-only COUNT/MIN/MAX pushdown from
+    * the commit log. DV snapshots: [[VtMorScanBuilder]] — a NATIVE batch
+    * whose readers subtract deletion vectors by generated row index
+    * (r18; no `V1Scan`/`RDD[Row]` bridge). */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     if (commit.dvFiles.isEmpty)
-      ParquetScanBuilder(spark, new VtFileIndex(spark, vt, commit),
-        tableSchema, tableSchema, options)
-    else new VtMorScanBuilder(vt, commit, tableSchema)
+      new VtMetaScanBuilder(spark, vt, commit, tableSchema, options)
+    else new VtMorScanBuilder(spark, vt, commit, tableSchema)
 
   /** SQL `DELETE FROM vt.\`path\` WHERE …`, on any session with the
     * catalog conf set — Spark's analyzer keeps `DeleteFromTable` intact for
@@ -209,42 +211,9 @@ final class VtTable(spark: SparkSession, vt: VersionedTable, branch: String,
     }
 }
 
-/** DSv2 scan builder for DV-carrying snapshots: negotiates column pruning
-  * and filter pushdown through the standard mixins, then bridges to
-  * [[VtMorRelation.scanPlan]] via [[V1Scan]] — the pushed conjuncts prune
-  * the commit's file list and run below the DV anti-join, exactly like
-  * the DSv1 path. `pushFilters` returns only the conjuncts the relation
-  * cannot enforce (Spark re-applies those above). */
-private[sources] final class VtMorScanBuilder(vt: VersionedTable, commit: Commit,
-                                              fullSchema: StructType)
-    extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
-
-  private var required: StructType = fullSchema
-  private var pushed: Array[Filter] = Array.empty
-
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(f => FilterColumns.translate(f).isDefined)
-    FilterColumns.unhandled(filters) // what Spark must still evaluate
-  }
-  override def pushedFilters(): Array[Filter] = pushed
-
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
-
-  override def build(): Scan = new V1Scan {
-    override def readSchema(): StructType = required
-    override def toV1TableScan[T <: BaseRelation with TableScan](
-        ctx: SQLContext): T = {
-      val mor = new VtMorRelation(ctx, vt, commit)
-      val cols = required.fieldNames
-      val pushedNow = pushed
-      val schemaNow = required
-      new BaseRelation with TableScan {
-        override def sqlContext: SQLContext = ctx
-        override def schema: StructType = schemaNow
-        override def buildScan(): RDD[Row] = mor.scanPlan(cols, pushedNow).rdd
-      }.asInstanceOf[T]
-    }
-  }
-}
+// The merge-on-read DSv2 scan machinery lives in VtDsv2Scans.scala
+// ([[VtMorScanBuilder]] / [[VtMorScan]] / [[VtMetaScanBuilder]]): since
+// r18 it is a NATIVE Batch — per-file-split partitions whose readers
+// subtract deletion vectors by the parquet-generated row index — and the
+// DV-free path adds metadata-only aggregate pushdown. The r17
+// `V1Scan`/`RDD[Row]` bridge is gone.

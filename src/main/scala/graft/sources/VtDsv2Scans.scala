@@ -1,0 +1,297 @@
+package graft.sources
+
+import java.util.OptionalLong
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{InternalRow, ProjectingInternalRow}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
+import org.apache.spark.sql.graft.{CatalystFilterPushdown, Dsv2Shim}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.vt.{Commit, VersionedTable}
+
+/** DSv2 scan builder for DV-FREE snapshots: Spark's own
+  * [[ParquetScanBuilder]] over the commit-pinned [[VtFileIndex]] (full
+  * catalyst filter pushdown → commit-log stats pruning in `listFiles` AND
+  * footer skipping, column pruning, vectorization), PLUS metadata-only
+  * aggregate pushdown: an UNFILTERED, UNGROUPED `COUNT(*)` / `COUNT(col)`
+  * / `MIN(col)` / `MAX(col)` whose answer is PROVABLE from the commit
+  * log's per-file row counts / null counts / min-max stats short-circuits
+  * to a [[LocalScan]] — ZERO file reads, not even footers (Spark's own
+  * parquet aggregate pushdown still pays one footer GET per file; at 10⁶
+  * files the driver-side fold is the only sane shape for "how big / how
+  * fresh is this table?"). Anything not provable — a filter, a group-by,
+  * a DV (this builder is only used DV-free), a stats-less file, a string
+  * stat at the truncation limit, an int64 beyond 2⁵³ — falls through to
+  * the normal scan, exactly the refusal contract of
+  * [[VersionedTable.minMaxFromStats]]. */
+final class VtMetaScanBuilder(spark: SparkSession, vt: VersionedTable,
+                              commit: Commit, tableSchema: StructType,
+                              options: CaseInsensitiveStringMap)
+    extends ScanBuilder with CatalystFilterPushdown
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+
+  private val delegate =
+    ParquetScanBuilder(spark, new VtFileIndex(spark, vt, commit),
+      tableSchema, tableSchema, options)
+  private var filtered = false
+  private var meta: Option[(StructType, InternalRow)] = None
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    filtered = filtered || filters.nonEmpty
+    delegate.pushFilters(filters)
+  }
+  override def pushedFilters: Array[Predicate] = delegate.pushedFilters
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    delegate.pruneColumns(requiredSchema)
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (!filtered) meta = metaAnswer(aggregation)
+    meta.isDefined || delegate.pushAggregation(aggregation)
+  }
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    meta.isDefined || delegate.supportCompletePushDown(aggregation)
+
+  override def build(): Scan = meta match {
+    case Some((schema, row)) => new VtMetaAggScan(schema, row, commit)
+    case None => delegate.build()
+  }
+
+  // ---- the provable-from-metadata decision --------------------------------
+
+  private def columnOf(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[StructField] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 =>
+      tableSchema.fields.find(_.name == r.fieldNames()(0))
+    case _ => None
+  }
+
+  private def totalRows: Option[Long] =
+    if (commit.files.forall(commit.rowCounts.contains))
+      Some(commit.files.iterator.map(commit.rowCounts).sum)
+    else None
+
+  private def nonNullRows(col: String): Option[Long] =
+    if (commit.files.forall(f => commit.rowCounts.contains(f) &&
+          commit.nullStats.get(f).exists(_.contains(col))))
+      Some(commit.files.iterator.map(f => commit.rowCounts(f) - commit.nullStats(f)(col)).sum)
+    else None
+
+  /** Double-domain stat → EXACT catalyst value of the column's type, or
+    * None where exactness is not provable (int64 beyond 2⁵³, any type the
+    * stats writer does not cover exactly). */
+  private def exactNum(d: Double, dt: DataType): Option[Any] = dt match {
+    case DoubleType => Some(d)
+    case FloatType => Some(d.toFloat)
+    case IntegerType => Some(d.toInt)
+    case ShortType => Some(d.toShort)
+    case ByteType => Some(d.toByte)
+    case LongType if math.abs(d) <= 9007199254740992.0 => Some(d.toLong) // 2^53
+    case _ => None
+  }
+
+  private def minMaxOf(fld: StructField, takeMax: Boolean): Option[Any] =
+    fld.dataType match {
+      case StringType =>
+        vt.minMaxStringFromStats(commit, fld.name) // refuses truncated bounds
+          .map(mm => UTF8String.fromString(if (takeMax) mm._2 else mm._1))
+      case dt =>
+        vt.minMaxFromStats(commit, fld.name)
+          .flatMap(mm => exactNum(if (takeMax) mm._2 else mm._1, dt))
+    }
+
+  private def metaAnswer(agg: Aggregation): Option[(StructType, InternalRow)] = {
+    if (agg.groupByExpressions.nonEmpty || commit.dvFiles.nonEmpty) return None
+    val answered: Array[Option[(StructField, Any)]] = agg.aggregateExpressions.map {
+      case _: CountStar =>
+        totalRows.map(t => (StructField("count(*)", LongType, nullable = false), t))
+      case c: Count if !c.isDistinct =>
+        columnOf(c.column).flatMap(f => nonNullRows(f.name)
+          .map(n => (StructField(s"count(${f.name})", LongType, nullable = false), n)))
+      case m: Min =>
+        columnOf(m.column).flatMap(f => minMaxOf(f, takeMax = false)
+          .map(v => (StructField(s"min(${f.name})", f.dataType, nullable = true), v)))
+      case m: Max =>
+        columnOf(m.column).flatMap(f => minMaxOf(f, takeMax = true)
+          .map(v => (StructField(s"max(${f.name})", f.dataType, nullable = true), v)))
+      case _ => None
+    }
+    if (answered.exists(_.isEmpty)) None // all-or-nothing: one scan either way
+    else Some((StructType(answered.map(_.get._1)),
+      new GenericInternalRow(answered.map(_.get._2))))
+  }
+}
+
+/** The metadata answer as a [[LocalScan]]: Spark plans it as a local
+  * one-row relation — the query never launches a scan stage at all. */
+final class VtMetaAggScan(schema: StructType, row: InternalRow, commit: Commit)
+    extends LocalScan {
+  override def rows: Array[InternalRow] = Array(row)
+  override def readSchema(): StructType = schema
+  override def description(): String =
+    s"VtMetaAggScan v${commit.version} (commit-log metadata, zero file reads)"
+}
+
+/** NATIVE DSv2 scan builder for DV-carrying snapshots (r18 — replaces the
+  * r17 `V1Scan`/`.rdd` bridge): catalyst filters arrive through the same
+  * mixin Spark's file sources use, prune the commit's file list through
+  * the stats windows, AND are pushed into the parquet readers; the Scan
+  * is a real [[Batch]] whose reader factory applies the deletion vector
+  * BELOW everything — see [[VtMorScan]]. Every pushed conjunct is also
+  * returned as residual (the `FileScanBuilder` rule), so correctness
+  * never depends on the translation. */
+final class VtMorScanBuilder(spark: SparkSession, vt: VersionedTable,
+                             commit: Commit, tableSchema: StructType)
+    extends ScanBuilder with CatalystFilterPushdown
+    with SupportsPushDownRequiredColumns {
+
+  private val rowIdx = Dsv2Shim.rowIndexField
+  private val dataWithIdx = StructType(tableSchema.fields :+ rowIdx)
+  private val delegate =
+    ParquetScanBuilder(spark, new VtFileIndex(spark, vt, commit),
+      dataWithIdx, dataWithIdx, CaseInsensitiveStringMap.empty())
+  private var dataFilters: Seq[Expression] = Nil
+  private var required: StructType = tableSchema
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    dataFilters = filters
+    delegate.pushFilters(filters) // translated conjuncts reach the parquet readers
+    filters // ALL residual: Spark re-applies them above the DV subtraction
+  }
+  override def pushedFilters: Array[Predicate] = delegate.pushedFilters
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // normalize to table order — rows come back in dataSchema order
+    val names = requiredSchema.fieldNames.toSet
+    required = StructType(tableSchema.fields.filter(f => names.contains(f.name)))
+  }
+
+  override def build(): Scan = {
+    delegate.pruneColumns(StructType(required.fields :+ rowIdx))
+    val bounds = dataFilters.flatMap(StatsWindows.windows).toList
+    val nulls = dataFilters.flatMap(StatsWindows.nullWindows).toList
+    val pruned = commit.files.filter(VtPruning.survives(commit, _, bounds, nulls))
+    new VtMorScan(spark, vt, commit, pruned, required, delegate.build())
+  }
+}
+
+/** Merge-on-read as a NATIVE DSv2 batch: per-file-split input partitions
+  * over the stats-pruned file list, each carrying its file's sorted
+  * deleted-position array (loaded once, driver-side — the deletion
+  * vectors are O(deleted rows), the same bytes the DSv1 path broadcasts);
+  * the reader factory wraps Spark's own parquet readers — vectorized,
+  * filter-pushed, with the FILE-ABSOLUTE row index generated by the
+  * reserved [[Dsv2Shim.rowIndexField]] mechanism (correct under row-group
+  * skipping, the exact machinery `_metadata.row_index` uses) — and drops
+  * rows whose position is deleted with one binary search per row. No
+  * `RDD[Row]` materialization, no anti-join, columnar batches intact
+  * under the row interface, and AQE gets real [[Statistics]] from the
+  * commit log. At 100 TB: a point read touches one file split, and the
+  * DV subtraction costs log(deletions-in-that-file) per row. */
+final class VtMorScan(spark: SparkSession, vt: VersionedTable, commit: Commit,
+                      pruned: Vector[String], outSchema: StructType,
+                      parquet: ParquetScan)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = outSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"VtMorScan v${commit.version} files=${pruned.size}/${commit.files.size} " +
+      s"dv=${commit.dvFiles.size}"
+
+  /** (file key → sorted distinct deleted positions), restricted to the
+    * pruned files — one bounded driver action over the tiny DV parquet. */
+  private lazy val dvByKey: Map[String, Array[Long]] = {
+    val keys = pruned.map(VersionedTable.fileKey).toSet
+    spark.read.parquet(commit.dvFiles.map(f => vt.root.resolve(f).toString): _*)
+      .select("fk", "pos").collect()
+      .groupBy(_.getString(0)).collect {
+        case (k, rows) if keys(k) => k -> rows.map(_.getLong(1)).distinct.sorted
+      }
+  }
+
+  private lazy val sizeOf: Map[String, Long] = pruned.map { f =>
+    f -> commit.fileSizes.getOrElse(f, java.nio.file.Files.size(vt.root.resolve(f)))
+  }.toMap
+  private lazy val totalBytes: Long = sizeOf.valuesIterator.sum
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val maxSplit = math.max(1L, FilePartition.maxSplitBytes(spark, totalBytes))
+    val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    pruned.foreach { rel =>
+      val deleted = dvByKey.getOrElse(VersionedTable.fileKey(rel), Array.emptyLongArray)
+      val size = sizeOf(rel)
+      val path = SparkPath.fromPath(new HPath(vt.root.resolve(rel).toUri))
+      // splits of ONE file per partition: row indexes are file-absolute,
+      // so each split filters against the same per-file position array
+      (0L until size by maxSplit).foreach { start =>
+        val pf = PartitionedFile(InternalRow.empty, path, start,
+          math.min(maxSplit, size - start), Array.empty, 0L, size, Map.empty)
+        parts += VtMorInputPartition(FilePartition(parts.length, Array(pf)), deleted)
+      }
+    }
+    parts.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new VtMorReaderFactory(parquet.createReaderFactory(), outSchema)
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(totalBytes)
+    override def numRows(): OptionalLong =
+      if (pruned.forall(commit.rowCounts.contains))
+        OptionalLong.of(pruned.iterator.map(commit.rowCounts).sum -
+          dvByKey.valuesIterator.map(_.length.toLong).sum)
+      else OptionalLong.empty()
+  }
+}
+
+/** One single-file split + its file's sorted deleted positions. */
+private[sources] final case class VtMorInputPartition(files: FilePartition,
+                                                      deleted: Array[Long])
+    extends InputPartition {
+  override def preferredLocations(): Array[String] = files.preferredLocations()
+}
+
+/** Wraps the parquet readers: emit only live rows (position not in the
+  * partition's deleted array), projected back to the output schema (the
+  * generated row-index column is the last field, ordinal `n`). */
+private[sources] final class VtMorReaderFactory(delegate: PartitionReaderFactory,
+                                                outSchema: StructType)
+    extends PartitionReaderFactory {
+  private val n = outSchema.length
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val mp = partition.asInstanceOf[VtMorInputPartition]
+    val inner = delegate.createReader(mp.files)
+    val deleted = mp.deleted
+    val proj = ProjectingInternalRow(outSchema, (0 until n).toIndexedSeq)
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = {
+        while (inner.next()) {
+          val r = inner.get()
+          if (deleted.length == 0 ||
+              java.util.Arrays.binarySearch(deleted, r.getLong(n)) < 0) {
+            proj.project(r)
+            return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = proj
+      override def close(): Unit = inner.close()
+    }
+  }
+}

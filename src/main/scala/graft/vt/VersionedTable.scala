@@ -2370,7 +2370,7 @@ object VersionedTable {
     * file) — unique per file, scheme/root-independent, the same key the
     * scan-side `concat_ws("/", slice(split(file_path, "/"), -2, 2))`
     * computes. Used by change feeds and deletion vectors. */
-  private[vt] def fileKey(rel: String): String = rel.split('/').takeRight(2).mkString("/")
+  private[graft] def fileKey(rel: String): String = rel.split('/').takeRight(2).mkString("/")
 
   /** Unsigned UTF-8 byte comparison — the ordering Spark's string min/max
     * stats are computed under (UTF8String binary compare). */

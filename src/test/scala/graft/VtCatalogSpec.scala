@@ -90,7 +90,7 @@ class VtCatalogSpec extends SparkSpec {
     assert(spark.table(s"vt.`${vt.root}`").count() === 100L)
   }
 
-  test("DV snapshots serve through the V1 bridge: exact MOR, pruned + pushed") {
+  test("DV snapshots serve a NATIVE DSv2 batch: exact MOR, file-pruned, row-index subtraction") {
     registerCatalog()
     val vt = VersionedTable.create(Tables.scratch("vtcat_mor"))
     def part(lo: Int, hi: Int) =
@@ -101,12 +101,21 @@ class VtCatalogSpec extends SparkSpec {
     val q = spark.sql(s"SELECT k FROM vt.`${vt.root}` WHERE k >= 11")
     assert(q.as[Long].collect().sorted === Array(11L, 12, 13, 14, 16, 17, 18, 19, 20),
       "k=15 must stay deleted through the SQL read")
-    assert(q.queryExecution.executedPlan.collectFirst {
-      case s: RowDataSourceScanExec => s
-    }.nonEmpty, "DV snapshots must take the V1 bridge, not a bare parquet scan")
+    // r18: the scan is the native batch (no V1Scan/RDD[Row] bridge), and
+    // the stats windows pruned the out-of-range file BEFORE planning
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }
+    assert(scan.exists(_.isInstanceOf[graft.sources.VtMorScan]),
+      s"DV snapshots must take the native VtMorScan, got $scan")
+    assert(scan.get.description().contains("files=1/2"),
+      s"the k>=11 window must prune file A pre-planning: ${scan.get.description()}")
     // and the full unfiltered read is exact too
     assert(spark.sql(s"SELECT count(*) AS c FROM vt.`${vt.root}`")
       .as[Long].head() === 18L)
+    // AQE sees commit-log statistics (row count net of deletions)
+    val stats = scan.get.asInstanceOf[graft.sources.VtMorScan].estimateStatistics()
+    assert(stats.numRows.getAsLong === 9L, "stats = pruned-file rows minus deletions")
   }
 
   test("INSERT INTO appends a commit; INSERT OVERWRITE replaces; history travels") {
@@ -367,6 +376,46 @@ class VtCatalogSpec extends SparkSpec {
       org.apache.spark.sql.SparkSession.setDefaultSession(shared)
       org.apache.spark.sql.SparkSession.setActiveSession(shared)
     }
+  }
+
+  test("metadata-only SQL aggregates: count/min/max answered with ZERO file reads (ghosted data files)") {
+    registerCatalog()
+    val vt = VersionedTable.create(Tables.scratch("vtcat_metaagg"))
+    vt.write(Seq((1L, "a"), (7L, null: String), (5L, "m")).toDF("k", "v").coalesce(1),
+      "main", "v0", statsCols = Seq("k", "v"))
+    vt.write(Seq((10L, "z"), (2L, "b")).toDF("k", "v").coalesce(1),
+      "main", "v1", mode = "append", statsCols = Seq("k", "v"))
+    val t = s"vt.`${vt.root}`"
+    // GHOST the data plane: every answer below must come from the commit
+    // log alone — any file read (even a footer) would throw
+    val head = vt.head("main").get
+    val tmp = vt.root.resolve("ghost_all")
+    java.nio.file.Files.createDirectories(tmp)
+    head.files.foreach { f =>
+      java.nio.file.Files.move(vt.root.resolve(f), tmp.resolve(f.replace('/', '_')))
+    }
+    try {
+      val q = spark.sql(
+        s"SELECT count(*) AS c, count(v) AS cv, min(k) AS mn, max(k) AS mx, " +
+          s"min(v) AS vmn, max(v) AS vmx FROM $t")
+      assert(q.collect().toSeq.map(_.toSeq) ===
+        Seq(Seq(5L, 4L, 1L, 10L, "a", "z")))
+      assert(q.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+        s"the metadata answer must plan as a local relation:\n${q.queryExecution.executedPlan}")
+      // not provable → must NOT answer from metadata: filtered, grouped,
+      // distinct-counted, or non-min/max aggregates fall through to a real
+      // scan — which fails loudly on the ghosted files instead of guessing
+      intercept[Exception](
+        spark.sql(s"SELECT count(*) AS c FROM $t WHERE k > 3").collect())
+      intercept[Exception](
+        spark.sql(s"SELECT v, count(*) AS c FROM $t GROUP BY v").collect())
+      intercept[Exception](
+        spark.sql(s"SELECT sum(k) AS s FROM $t").collect())
+    } finally head.files.foreach { f =>
+      java.nio.file.Files.move(tmp.resolve(f.replace('/', '_')), vt.root.resolve(f))
+    }
+    // with files back, the fallback paths answer exactly
+    assert(spark.sql(s"SELECT count(*) AS c FROM $t WHERE k > 3").as[Long].head() === 3L)
   }
 
   test("utility SQL r18: 3-ary ZORDER prunes every dimension, VACUUM HOURS DRY RUN, SHOW TAGS, DESCRIBE DETAIL") {
