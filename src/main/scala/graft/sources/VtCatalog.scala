@@ -2,15 +2,13 @@ package graft.sources
 
 import java.util
 
-import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
 import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
-import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.sources.{Filter, InsertableRelation}
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -33,13 +31,14 @@ import graft.vt.{Commit, VersionedTable}
   * options use; `TIMESTAMP AS OF` arrives from Spark in MICROseconds and
   * converts to the commit log's millisecond clock.
   *
-  * Reads plan EXACTLY like the DSv1 path, through the same commit-pinned
-  * [[VtFileIndex]]: DV-free snapshots serve Spark's own `ParquetScan`
-  * (via [[ParquetScanBuilder]] — catalyst filter pushdown, commit-log
-  * stats pruning in `listFiles`, vectorization, codegen), and DV-carrying
-  * snapshots serve a [[V1Scan]] bridge onto [[VtMorRelation]]'s pruned+
-  * filtered merge-on-read plan, with column pruning and filter pushdown
-  * negotiated through the DSv2 mixins. Writes bridge through [[V1Write]]:
+  * Reads plan through the same commit-pinned [[VtFileIndex]] as the DSv1
+  * path: DV-free snapshots serve Spark's own `ParquetScan` (catalyst
+  * filter pushdown, commit-log stats pruning in `listFiles`,
+  * vectorization, codegen) wrapped by [[VtMetaScanBuilder]] for
+  * metadata-only aggregate pushdown, and DV-carrying snapshots serve the
+  * NATIVE merge-on-read batch [[VtMorScan]] (r18 — file-pruned,
+  * filter-pushed, deletion vectors subtracted by generated row index in
+  * the readers themselves). Writes bridge through [[V1Write]]:
   * `INSERT INTO` appends one commit, `INSERT OVERWRITE` replaces
   * (`SupportsTruncate`). DDL (create/alter/rename) is refused — a
   * versioned table is created by its own API ([[VersionedTable.create]]),

@@ -33,7 +33,9 @@ import graft.vt.{Commit, MergeClause, VersionedTable}
   * passes them through to [[VersionedTable.mergeInto]]'s joined frame.
   * Subqueries in conditions are refused loudly (the engine ops take
   * row-local predicates); `WHEN MATCHED THEN UPDATE SET *` / `INSERT *`
-  * expand against the target's commit schema. */
+  * expand against the target's commit schema — or, under `MERGE WITH
+  * SCHEMA EVOLUTION`, against the SOURCE's columns (Delta's rule), with
+  * source-only columns widening the target schema nullable. */
 object VtSqlDml {
 
   /** Execute one DML statement against a vt-catalog table; the commit it
