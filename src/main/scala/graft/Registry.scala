@@ -79,7 +79,11 @@ object Registry {
     "q_vt_merge_scale",
     // r18: the STRING-keyed merge (doc_id/uuid shape) — strStats equi-key
     // pruning confines detection+rewrite to the source band's files
-    "q_vt_merge_scale_str")
+    "q_vt_merge_scale_str",
+    // r18: the same MOR band read through the SQL catalog — the NATIVE
+    // DSv2 batch (file-pruned, row-index DV subtraction) under the gates
+    // next to its DSv1 twin q_vt_mor_filter
+    "q_vt_mor_sql")
 
   /** The FROZEN round-4 headline list. `benchNames` grows as operators land
     * (23 → 27 across rounds), so the all-queries `total` is not

@@ -1572,6 +1572,39 @@ object Versioned {
       .orderBy("o_orderpriority")
   }
 
+  /** FILTERED MERGE-ON-READ through the SQL CATALOG (r18, benched): the
+    * same DV-carrying table shape as [[qVtMorFilter]], read through
+    * `spark.sql` — i.e. the NATIVE DSv2 batch ([[graft.sources.VtMorScan]]):
+    * stats windows prune the commit's files before planning, Spark's own
+    * vectorized parquet readers generate the file-absolute row index, and
+    * the deletion vector is subtracted per row in the reader factory (no
+    * anti-join, no `RDD[Row]`). Keeps verdict-r17 item 5's "stays within
+    * its bench envelope" claim measurable next to the DSv1 twin. */
+  val qVtMorSql: QueryDef = q("q_vt_mor_sql")(
+    """WITH m AS (SELECT CAST(floor(CAST(max(o_orderkey) AS DOUBLE) * 0.2) AS BIGINT) AS lo,
+      |             CAST(floor(CAST(max(o_orderkey) AS DOUBLE) * 0.6) AS BIGINT) AS hi
+      |           FROM orders)
+      |SELECT o_orderpriority, count(*) AS cnt,
+      |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM orders, m WHERE o_orderkey % 10 >= 3 AND o_orderkey BETWEEN m.lo AND m.hi
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val vt = VersionedTable.create(Tables.scratch("vt_mor_sql"))
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    vt.write(orders.repartitionByRange(8, col("o_orderkey")), "main", "v0",
+      statsCols = Seq("o_orderkey"))
+    vt.deleteWithVectors(s, "o_orderkey % 10 < 3", "main")
+    // sf-proportional band (like q_vt_merge_scale_str): 40% of the keyspace,
+    // embedded as literals so the stats windows prune files pre-planning
+    val mx = orders.agg(max(col("o_orderkey")).cast("long").as("m")).head.getLong(0)
+    def b(f: Double) = math.floor(mx * f).toLong
+    s.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
+    s.sql(
+      s"""SELECT o_orderpriority, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents
+         |FROM vt.`${vt.root}` WHERE o_orderkey BETWEEN ${b(0.2)} AND ${b(0.6)}
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** RENAMED name-mode Delta table through the NATIVE scan path (r17):
     * delta-spark's name-mode files carry parquet field ids, so
     * [[graft.sources.DeltaLite]] binds physical columns to logical names
@@ -1733,5 +1766,6 @@ object Versioned {
     qVtDeltaLiteRead, qVtDeltaLitePart,
     qVtSqlTravel, qVtSqlDelete, qVtSqlUpdate, qVtSqlMerge, qVtMergeInto,
     qVtSqlRestore, qVtSqlOptimize, qVtSqlBranch, qVtMergeScale, qVtMergeScaleStr,
-    qVtMergeEvolve, qVtMorFilter, qVtDeltaCmapNative, qVtMinmaxMeta, qVtSqlCountMeta)
+    qVtMergeEvolve, qVtMorFilter, qVtMorSql, qVtDeltaCmapNative, qVtMinmaxMeta,
+    qVtSqlCountMeta)
 }

@@ -246,7 +246,10 @@ final class VtMorScan(spark: SparkSession, vt: VersionedTable, commit: Commit,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new VtMorReaderFactory(parquet.createReaderFactory(), outSchema)
+    // Spark refuses mixed row/columnar partitions, so columnar is a
+    // whole-scan decision: only when NO pruned file carries deletions
+    new VtMorReaderFactory(parquet.createReaderFactory(), outSchema,
+      allColumnar = dvByKey.isEmpty)
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong = OptionalLong.of(totalBytes)
@@ -267,11 +270,43 @@ private[sources] final case class VtMorInputPartition(files: FilePartition,
 
 /** Wraps the parquet readers: emit only live rows (position not in the
   * partition's deleted array), projected back to the output schema (the
-  * generated row-index column is the last field, ordinal `n`). */
+  * generated row-index column is the last field, ordinal `n`).
+  *
+  * COLUMNAR passthrough: when the stats-pruned file set carries NO
+  * deletions at all (`allColumnar` — the common case for a filtered
+  * point-read into clean regions of a MOR table), there is nothing to
+  * subtract and every reader forwards the delegate's vectorized batches
+  * intact (minus the row-index vector) — the whole scan keeps columnar
+  * batches and whole-stage codegen. Any deletion anywhere drops the
+  * whole scan to exact row-based subtraction (Spark refuses mixed
+  * row/columnar partitions, so this is a scan-level decision). */
 private[sources] final class VtMorReaderFactory(delegate: PartitionReaderFactory,
-                                                outSchema: StructType)
+                                                outSchema: StructType,
+                                                allColumnar: Boolean)
     extends PartitionReaderFactory {
   private val n = outSchema.length
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    allColumnar && delegate.supportColumnarReads(
+      partition.asInstanceOf[VtMorInputPartition].files)
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val mp = partition.asInstanceOf[VtMorInputPartition]
+    require(mp.deleted.length == 0, "columnar MOR read planned for a partition with deletions")
+    val inner = delegate.createColumnarReader(mp.files)
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      override def next(): Boolean = inner.next()
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+        val b = inner.get()
+        // drop the generated row-index vector (last); the data vectors are
+        // forwarded as-is — zero copies
+        new org.apache.spark.sql.vectorized.ColumnarBatch(
+          Array.tabulate(n)(b.column), b.numRows())
+      }
+      override def close(): Unit = inner.close()
+    }
+  }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val mp = partition.asInstanceOf[VtMorInputPartition]

@@ -378,6 +378,33 @@ class VtCatalogSpec extends SparkSpec {
     }
   }
 
+  test("MOR columnar passthrough: deletion-free partitions keep vectorized batches") {
+    registerCatalog()
+    val vt = VersionedTable.create(Tables.scratch("vtcat_morcol"))
+    def part(lo: Int, hi: Int) =
+      (lo to hi).map(i => (i.toLong, s"r$i")).toDF("k", "v").coalesce(1)
+    vt.write(part(1, 10), "main", "A", statsCols = Seq("k"))
+    vt.write(part(11, 20), "main", "B", mode = "append", statsCols = Seq("k"))
+    vt.deleteWithVectors(spark, "k = 3", "main") // only file A carries a DV
+    val t = s"vt.`${vt.root}`"
+    def scanOf(q: org.apache.spark.sql.DataFrame) =
+      q.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.get
+    // the k>=11 window prunes to file B (no deletions): the whole scan
+    // stays COLUMNAR — vectorized batches forwarded minus the row-index
+    val clean = spark.sql(s"SELECT k FROM $t WHERE k >= 11")
+    assert(clean.as[Long].collect().sorted === (11L to 20L).toArray)
+    assert(scanOf(clean).supportsColumnar,
+      "a DV-free pruned read must keep vectorized batches")
+    // a read touching the DV-carrying file drops to exact row subtraction
+    val mixed = spark.sql(s"SELECT k FROM $t")
+    assert(mixed.as[Long].collect().sorted ===
+      ((1L to 2L) ++ (4L to 20L)).toArray, "k=3 stays deleted")
+    assert(!scanOf(mixed).supportsColumnar,
+      "a partition with deletions forces the row-based subtraction path")
+  }
+
   test("metadata-only SQL aggregates: count/min/max answered with ZERO file reads (ghosted data files)") {
     registerCatalog()
     val vt = VersionedTable.create(Tables.scratch("vtcat_metaagg"))
