@@ -203,13 +203,42 @@ final class VtMorScanBuilder(spark: SparkSession, vt: VersionedTable,
 final class VtMorScan(spark: SparkSession, vt: VersionedTable, commit: Commit,
                       pruned: Vector[String], outSchema: StructType,
                       parquet: ParquetScan)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  /** The files still in play: starts at the statically-pruned list and
+    * shrinks further under RUNTIME filters ([[filter]]). */
+  @volatile private var liveFiles: Vector[String] = pruned
+
+  /** Exposed for specs: how many files the scan will actually plan. */
+  private[graft] def plannedFileCount: Int = liveFiles.size
 
   override def readSchema(): StructType = outSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"VtMorScan v${commit.version} files=${pruned.size}/${commit.files.size} " +
       s"dv=${commit.dvFiles.size}"
+
+  // ---- join-driven DYNAMIC FILE SKIPPING (SupportsRuntimeV2Filtering) ----
+  // Spark's dynamic-pruning rule hands the build side's join-key values
+  // (an IN predicate) at execution time; testing them against the same
+  // commit-log stats windows drops whole files BEFORE any partition is
+  // planned — Delta's dynamic file pruning, driven by per-file stats
+  // instead of directory partitions. Conservative by construction: an
+  // untranslatable predicate or a stats-less file prunes nothing, and
+  // Spark re-applies the join itself, so this is only ever a skip.
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val covered = (commit.stats.valuesIterator.flatMap(_.keys) ++
+      commit.strStats.valuesIterator.flatMap(_.keys)).toSet
+    outSchema.fieldNames.filter(covered).map(Dsv2Shim.columnRef)
+  }
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val v1 = predicates.flatMap(Dsv2Shim.toV1(_).toSeq)
+    val (bounds, nulls) = StatsWindows.fromFilters(v1.toSeq)
+    if (bounds.nonEmpty || nulls.nonEmpty)
+      liveFiles = liveFiles.filter(VtPruning.survives(commit, _, bounds, nulls))
+  }
 
   /** (file key → sorted distinct deleted positions), restricted to the
     * pruned files — one bounded driver action over the tiny DV parquet. */
@@ -230,7 +259,7 @@ final class VtMorScan(spark: SparkSession, vt: VersionedTable, commit: Commit,
   override def planInputPartitions(): Array[InputPartition] = {
     val maxSplit = math.max(1L, FilePartition.maxSplitBytes(spark, totalBytes))
     val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
-    pruned.foreach { rel =>
+    liveFiles.foreach { rel =>
       val deleted = dvByKey.getOrElse(VersionedTable.fileKey(rel), Array.emptyLongArray)
       val size = sizeOf(rel)
       val path = SparkPath.fromPath(new HPath(vt.root.resolve(rel).toUri))

@@ -42,4 +42,16 @@ object Dsv2Shim {
   /** `sources.Filter` → V2 `Predicate` (`Filter.toV2` is `private[sql]`);
     * what `pushedFilters()` must report for EXPLAIN. */
   def toV2(flt: f.Filter): Predicate = flt.toV2
+
+  /** V2 `Predicate` → `sources.Filter` (`PredicateUtils` is
+    * `private[sql]`); what a runtime filter arrives as, rendered back to
+    * the vocabulary the stats windows understand. */
+  def toV1(predicate: Predicate): Option[f.Filter] =
+    org.apache.spark.sql.internal.connector.PredicateUtils.toV1(predicate)
+
+  /** Column name → V2 `NamedReference` (`FieldReference` is
+    * `private[sql]`); what `filterAttributes()` advertises for runtime
+    * filtering. */
+  def columnRef(name: String): org.apache.spark.sql.connector.expressions.NamedReference =
+    org.apache.spark.sql.connector.expressions.FieldReference.column(name)
 }

@@ -405,6 +405,51 @@ class VtCatalogSpec extends SparkSpec {
       "a partition with deletions forces the row-based subtraction path")
   }
 
+  test("runtime file skipping: a broadcast join's key values prune MOR files at execution (ghost-proof)") {
+    registerCatalog()
+    val vt = VersionedTable.create(Tables.scratch("vtcat_dfp"))
+    def part(lo: Int, hi: Int) =
+      (lo to hi).map(i => (i.toLong, i * 10L)).toDF("k", "v").coalesce(1)
+    vt.write(part(1, 100), "main", "A", statsCols = Seq("k"))
+    vt.write(part(101, 200), "main", "B", mode = "append", statsCols = Seq("k"))
+    vt.write(part(201, 300), "main", "C", mode = "append", statsCols = Seq("k"))
+    vt.deleteWithVectors(spark, "k = 150", "main") // MOR: the catalog plans VtMorScan
+    val head = vt.head("main").get
+    // dim keys live entirely in file B's range; the dim must be FILE-backed —
+    // a LocalRelation dim gets its filter constant-folded away before the
+    // dynamic-pruning rule looks for a selective build-side predicate
+    val dimPath = Tables.scratch("vtcat_dfp_dim")
+    Seq((120L, "x"), (130L, "x"), (140L, "y")).toDF("dk", "grp")
+      .write.mode("overwrite").parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView("dfp_dim")
+    // GHOST file C: no static predicate mentions k, so only the RUNTIME
+    // join-key filter can prune it — the query succeeds iff the skip happened
+    val cFile = head.files.find(f => head.stats(f)("k")._1 >= 201.0).get
+    val tmp = vt.root.resolve("dfp_ghost.parquet")
+    java.nio.file.Files.move(vt.root.resolve(cFile), tmp)
+    try {
+      val q = spark.sql(
+        s"""SELECT sum(f.v) AS s FROM vt.`${vt.root}` f JOIN dfp_dim d ON f.k = d.dk
+           |WHERE d.grp = 'x'""".stripMargin)
+      assert(q.as[Long].head() === 2500L) // 1200 + 1300
+      val finalPlan = q.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val scanExec = finalPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.get
+      assert(scanExec.runtimeFilters.nonEmpty,
+        "the dynamic-pruning rule must attach the join-key runtime filter")
+      assert(scanExec.scan.isInstanceOf[graft.sources.VtMorScan])
+      // the file-count proof is the GHOST itself: file C physically absent,
+      // no static predicate mentions k — the query above could only succeed
+      // because filter() dropped C before partition planning (AQE may show
+      // a re-planned scan instance here, so the live count is not poked)
+    } finally java.nio.file.Files.move(tmp, vt.root.resolve(cFile))
+  }
+
   test("metadata-only SQL aggregates: count/min/max answered with ZERO file reads (ghosted data files)") {
     registerCatalog()
     val vt = VersionedTable.create(Tables.scratch("vtcat_metaagg"))
