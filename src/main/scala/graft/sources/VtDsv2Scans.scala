@@ -44,11 +44,14 @@ final class VtMetaScanBuilder(spark: SparkSession, vt: VersionedTable,
   private val delegate =
     ParquetScanBuilder(spark, new VtFileIndex(spark, vt, commit),
       tableSchema, tableSchema, options)
+  private var dataFilters: Seq[Expression] = Nil
   private var filtered = false
+  private var delegateAggPushed = false
   private var meta: Option[(StructType, InternalRow)] = None
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     filtered = filtered || filters.nonEmpty
+    dataFilters = dataFilters ++ filters
     delegate.pushFilters(filters)
   }
   override def pushedFilters: Array[Predicate] = delegate.pushedFilters
@@ -58,7 +61,8 @@ final class VtMetaScanBuilder(spark: SparkSession, vt: VersionedTable,
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     if (!filtered) meta = metaAnswer(aggregation)
-    meta.isDefined || delegate.pushAggregation(aggregation)
+    meta.isDefined || { delegateAggPushed = delegate.pushAggregation(aggregation)
+      delegateAggPushed }
   }
 
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
@@ -66,7 +70,11 @@ final class VtMetaScanBuilder(spark: SparkSession, vt: VersionedTable,
 
   override def build(): Scan = meta match {
     case Some((schema, row)) => new VtMetaAggScan(schema, row, commit)
-    case None => delegate.build()
+    // a footer-level aggregate scan owns its own whole-file partition plan
+    // — serve it untouched; everything else gets the native batch (runtime
+    // file skipping, commit-log statistics) around the delegate's readers
+    case None if delegateAggPushed => delegate.build()
+    case None => new VtDfScan(spark, vt, commit, dataFilters, delegate.build())
   }
 
   // ---- the provable-from-metadata decision --------------------------------
@@ -142,6 +150,78 @@ final class VtMetaAggScan(schema: StructType, row: InternalRow, commit: Commit)
   override def readSchema(): StructType = schema
   override def description(): String =
     s"VtMetaAggScan v${commit.version} (commit-log metadata, zero file reads)"
+}
+
+/** NATIVE batch for DV-FREE snapshots (r18): the delegate [[ParquetScan]]
+  * supplies the reader factory — Spark's own vectorized parquet readers,
+  * pushed filters, columnar batches, whole-stage codegen — while the
+  * PARTITIONS are planned here from the commit log: static stats pruning
+  * (the same windows `VtFileIndex.listFiles` applies), size-balanced
+  * split packing via `FilePartition.getFilePartitions`, commit-log
+  * [[Statistics]] for AQE, and — the reason this class exists —
+  * `SupportsRuntimeV2Filtering`: a broadcast join's key values re-prune
+  * the FILE LIST at execution time through the per-file stats (dynamic
+  * file pruning). Spark's own `FileScan` runtime-filters only PARTITION
+  * columns, which a versioned table does not have; per-file stats are
+  * its partition pruning. */
+final class VtDfScan(spark: SparkSession, vt: VersionedTable, commit: Commit,
+                     dataFilters: Seq[Expression], parquet: ParquetScan)
+    extends Scan with Batch with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  @volatile private var liveFiles: Vector[String] = {
+    val bounds = dataFilters.flatMap(StatsWindows.windows).toList
+    val nulls = dataFilters.flatMap(StatsWindows.nullWindows).toList
+    commit.files.filter(VtPruning.survives(commit, _, bounds, nulls))
+  }
+
+  private[graft] def plannedFileCount: Int = liveFiles.size
+
+  override def readSchema(): StructType = parquet.readSchema()
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"VtDfScan v${commit.version} files=${liveFiles.size}/${commit.files.size} " +
+      s"PushedFilters: [${parquet.pushedFilters.mkString(", ")}]"
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val covered = (commit.stats.valuesIterator.flatMap(_.keys) ++
+      commit.strStats.valuesIterator.flatMap(_.keys)).toSet
+    readSchema().fieldNames.filter(covered).map(Dsv2Shim.columnRef)
+  }
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val v1 = predicates.flatMap(Dsv2Shim.toV1(_).toSeq)
+    val (bounds, nulls) = StatsWindows.fromFilters(v1.toSeq)
+    if (bounds.nonEmpty || nulls.nonEmpty)
+      liveFiles = liveFiles.filter(VtPruning.survives(commit, _, bounds, nulls))
+  }
+
+  private def sizeOf(rel: String): Long =
+    commit.fileSizes.getOrElse(rel, java.nio.file.Files.size(vt.root.resolve(rel)))
+  private def totalBytes: Long = liveFiles.map(sizeOf).sum
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val maxSplit = math.max(1L, FilePartition.maxSplitBytes(spark, totalBytes))
+    val splits = liveFiles.flatMap { rel =>
+      val size = sizeOf(rel)
+      val path = SparkPath.fromPath(new HPath(vt.root.resolve(rel).toUri))
+      (0L until size by maxSplit).map(start =>
+        PartitionedFile(InternalRow.empty, path, start,
+          math.min(maxSplit, size - start), Array.empty, 0L, size, Map.empty))
+    }.sortBy(-_.length) // largest first: better bin packing (FileScan's rule)
+    FilePartition.getFilePartitions(spark, splits, maxSplit).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    parquet.createReaderFactory()
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(totalBytes)
+    override def numRows(): OptionalLong =
+      if (liveFiles.forall(commit.rowCounts.contains))
+        OptionalLong.of(liveFiles.iterator.map(commit.rowCounts).sum)
+      else OptionalLong.empty()
+  }
 }
 
 /** NATIVE DSv2 scan builder for DV-carrying snapshots (r18 — replaces the

@@ -450,6 +450,41 @@ class VtCatalogSpec extends SparkSpec {
     } finally java.nio.file.Files.move(tmp, vt.root.resolve(cFile))
   }
 
+  test("runtime file skipping works on DV-free snapshots too (VtDfScan, ghost-proof)") {
+    registerCatalog()
+    val vt = VersionedTable.create(Tables.scratch("vtcat_dfp2"))
+    def part(lo: Int, hi: Int) =
+      (lo to hi).map(i => (i.toLong, i * 10L)).toDF("k", "v").coalesce(1)
+    vt.write(part(1, 100), "main", "A", statsCols = Seq("k"))
+    vt.write(part(101, 200), "main", "B", mode = "append", statsCols = Seq("k"))
+    vt.write(part(201, 300), "main", "C", mode = "append", statsCols = Seq("k"))
+    val head = vt.head("main").get
+    val dimPath = Tables.scratch("vtcat_dfp2_dim")
+    Seq((120L, "x"), (130L, "x"), (140L, "y")).toDF("dk", "grp")
+      .write.mode("overwrite").parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView("dfp2_dim")
+    val cFile = head.files.find(f => head.stats(f)("k")._1 >= 201.0).get
+    val tmp = vt.root.resolve("dfp2_ghost.parquet")
+    java.nio.file.Files.move(vt.root.resolve(cFile), tmp)
+    try {
+      val q = spark.sql(
+        s"""SELECT sum(f.v) AS s FROM vt.`${vt.root}` f JOIN dfp2_dim d ON f.k = d.dk
+           |WHERE d.grp = 'x'""".stripMargin)
+      assert(q.as[Long].head() === 2500L)
+      val finalPlan = q.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val scanExec = finalPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.get
+      assert(scanExec.runtimeFilters.nonEmpty)
+      assert(scanExec.scan.isInstanceOf[graft.sources.VtDfScan],
+        s"DV-free catalog reads take VtDfScan, got ${scanExec.scan}")
+    } finally java.nio.file.Files.move(tmp, vt.root.resolve(cFile))
+  }
+
   test("metadata-only SQL aggregates: count/min/max answered with ZERO file reads (ghosted data files)") {
     registerCatalog()
     val vt = VersionedTable.create(Tables.scratch("vtcat_metaagg"))
