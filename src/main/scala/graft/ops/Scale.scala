@@ -108,8 +108,8 @@ object Scale {
 
   /** N-ary Z-order (Morton) interleave: each numeric column is range-
     * normalized to `bits = min(16, 63/n)` bits (so the interleave always
-    * fits a positive Long — 2 dims keep the full 16-bit resolution, 3 dims
-    * get 21, 4 get 15, …), then bit i of dimension j lands at position
+    * fits a positive Long — 1..3 dims keep the full 16-bit resolution,
+    * 4 dims get 15, 5 get 12, …), then bit i of dimension j lands at position
     * `n*i + (n-1-j)` (earlier columns take the higher bit — the
     * conventional Morton layout). Layout-sorting by the Z-value clusters
     * ALL dimensions, so per-file min/max stats can skip files for
@@ -302,7 +302,11 @@ object Scale {
     require(cols.nonEmpty, "zorderLayout needs at least one column")
     val r = df.selectExpr(cols.flatMap(c =>
       Seq(s"CAST(min($c) AS DOUBLE)", s"CAST(max($c) AS DOUBLE)")): _*).collect().head
-    val bounds = cols.indices.map(i => (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
+    // an empty table / all-null column yields NULL bounds: degrade to a
+    // constant normalization (layout-only commit still completes; the
+    // dimension simply contributes no clustering) instead of throwing
+    def bound(i: Int) = if (r.isNullAt(i)) 0.0 else r.getDouble(i)
+    val bounds = cols.indices.map(i => (bound(2 * i), bound(2 * i + 1)))
     val z = zValueN(cols.map(col), bounds)
     // sort the LAYOUT by the interleaved z-value: each file then covers a
     // small hyper-rectangle of the clustered space, so its min/max stats

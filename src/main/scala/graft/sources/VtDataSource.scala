@@ -290,14 +290,19 @@ object VtDataSource {
                                           branch: String, c: Commit): Commit =
     if (c.version == 0L) c
     else {
-      vt.revert(branch, c.version - 1,
+      val repaired = undoIfStillHead(vt, branch, c,
         s"undo raced SaveMode.ErrorIfExists write v${c.version}")
       throw new IllegalStateException(
         s"concurrent writer raced SaveMode.ErrorIfExists on branch $branch of " +
           s"$path: this save landed as v${c.version}, not the table's first " +
-          s"version — head has been reverted to the concurrent writer's " +
-          s"v${c.version - 1} (the raced snapshot stays readable as " +
-          s"v${c.version} for audit)")
+          s"version — " + (if (repaired)
+            s"head has been reverted to the concurrent writer's " +
+              s"v${c.version - 1} (the raced snapshot stays readable as " +
+              s"v${c.version} for audit)"
+          else
+            s"a later writer already advanced the branch past v${c.version}, " +
+              "so head was left untouched; revert manually if the raced " +
+              "snapshot's rows must be expunged"))
     }
 
   /** SaveMode.Ignore post-check: Ignore means "a concurrent first writer
@@ -307,8 +312,22 @@ object VtDataSource {
   private[graft] def undoRacedFirstWrite(vt: VersionedTable, branch: String,
                                            c: Commit): Unit =
     if (c.version != 0L) {
-      vt.revert(branch, c.version - 1,
-        s"undo raced SaveMode.Ignore write v${c.version}")
+      undoIfStillHead(vt, branch, c, s"undo raced SaveMode.Ignore write v${c.version}")
       ()
+    }
+
+  /** The raced-first-write repair, guarded: revert to `c.version - 1` ONLY
+    * while `c` is still the branch head — a THIRD writer may have already
+    * committed above the raced write, and a blind revert would silently
+    * drop their rows from head. The head re-check narrows the window and
+    * the revert itself goes through the version-slot CAS, so a writer
+    * landing inside the remaining window makes the revert LOSE the race
+    * (treated as "no repair needed") rather than clobber. Returns whether
+    * the repair commit was published. */
+  private def undoIfStillHead(vt: VersionedTable, branch: String, c: Commit,
+                              message: String): Boolean =
+    vt.head(branch).exists(_.id == c.id) && {
+      try { vt.revert(branch, c.version - 1, message); true }
+      catch { case _: java.util.ConcurrentModificationException => false }
     }
 }

@@ -152,37 +152,40 @@ final class VtMetaAggScan(schema: StructType, row: InternalRow, commit: Commit)
     s"VtMetaAggScan v${commit.version} (commit-log metadata, zero file reads)"
 }
 
-/** NATIVE batch for DV-FREE snapshots (r18): the delegate [[ParquetScan]]
-  * supplies the reader factory — Spark's own vectorized parquet readers,
-  * pushed filters, columnar batches, whole-stage codegen — while the
-  * PARTITIONS are planned here from the commit log: static stats pruning
-  * (the same windows `VtFileIndex.listFiles` applies), size-balanced
-  * split packing via `FilePartition.getFilePartitions`, commit-log
-  * [[Statistics]] for AQE, and — the reason this class exists —
-  * `SupportsRuntimeV2Filtering`: a broadcast join's key values re-prune
-  * the FILE LIST at execution time through the per-file stats (dynamic
-  * file pruning). Spark's own `FileScan` runtime-filters only PARTITION
-  * columns, which a versioned table does not have; per-file stats are
-  * its partition pruning. */
-final class VtDfScan(spark: SparkSession, vt: VersionedTable, commit: Commit,
-                     dataFilters: Seq[Expression], parquet: ParquetScan)
-    extends Scan with Batch with SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+/** Machinery shared by the native vt scans ([[VtDfScan]], [[VtMorScan]]):
+  * the LIVE file list (statically stats-pruned, shrunk further by runtime
+  * filters), the join-driven dynamic-file-skipping contract, memoized
+  * per-file sizes, the per-file split planner, and the commit-log row
+  * statistics — one implementation, so a fix to the pruning or packing
+  * rules can never diverge between the two scan shapes. */
+private[sources] trait VtRuntimePrunedScan
+    extends Scan with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
-  @volatile private var liveFiles: Vector[String] = {
-    val bounds = dataFilters.flatMap(StatsWindows.windows).toList
-    val nulls = dataFilters.flatMap(StatsWindows.nullWindows).toList
-    commit.files.filter(VtPruning.survives(commit, _, bounds, nulls))
+  protected def spark: SparkSession
+  protected def vt: VersionedTable
+  protected def commit: Commit
+  /** The planning-time stats-pruned file list. */
+  protected def staticFiles: Vector[String]
+
+  // seeded on first read (never during trait init, where a subclass
+  // constructor val behind staticFiles might not be assigned yet)
+  @volatile private var shrunk: Vector[String] = null
+  protected final def liveFiles: Vector[String] = {
+    val s = shrunk
+    if (s == null) staticFiles else s
   }
 
-  private[graft] def plannedFileCount: Int = liveFiles.size
+  /** Exposed for specs: how many files the scan will actually plan. */
+  private[graft] final def plannedFileCount: Int = liveFiles.size
 
-  override def readSchema(): StructType = parquet.readSchema()
-  override def toBatch: Batch = this
-  override def description(): String =
-    s"VtDfScan v${commit.version} files=${liveFiles.size}/${commit.files.size} " +
-      s"PushedFilters: [${parquet.pushedFilters.mkString(", ")}]"
-
+  // ---- join-driven DYNAMIC FILE SKIPPING (SupportsRuntimeV2Filtering) ----
+  // Spark's dynamic-pruning rule hands the broadcast build side's join-key
+  // values (an IN predicate) at execution time; testing them against the
+  // same commit-log stats windows drops whole files BEFORE any partition
+  // is planned — Delta's dynamic file pruning, driven by per-file stats
+  // instead of directory partitions. Conservative by construction: an
+  // untranslatable predicate or a stats-less file prunes nothing, and
+  // Spark re-applies the join itself, so this is only ever a skip.
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
     val covered = (commit.stats.valuesIterator.flatMap(_.keys) ++
       commit.strStats.valuesIterator.flatMap(_.keys)).toSet
@@ -193,22 +196,67 @@ final class VtDfScan(spark: SparkSession, vt: VersionedTable, commit: Commit,
     val v1 = predicates.flatMap(Dsv2Shim.toV1(_).toSeq)
     val (bounds, nulls) = StatsWindows.fromFilters(v1.toSeq)
     if (bounds.nonEmpty || nulls.nonEmpty)
-      liveFiles = liveFiles.filter(VtPruning.survives(commit, _, bounds, nulls))
+      shrunk = liveFiles.filter(VtPruning.survives(commit, _, bounds, nulls))
   }
 
-  private def sizeOf(rel: String): Long =
-    commit.fileSizes.getOrElse(rel, java.nio.file.Files.size(vt.root.resolve(rel)))
-  private def totalBytes: Long = liveFiles.map(sizeOf).sum
+  /** Per-file byte sizes, memoized over the static list — the commit log
+    * carries them, so only pre-`fileSizes` history pays a real stat call
+    * (and exactly once, not per planning round). */
+  protected final lazy val sizeOf: Map[String, Long] = staticFiles.map { f =>
+    f -> commit.fileSizes.getOrElse(f, java.nio.file.Files.size(vt.root.resolve(f)))
+  }.toMap
+  protected final def totalBytes: Long = liveFiles.iterator.map(sizeOf).sum
+
+  /** One [[PartitionedFile]] per ≤ `maxSplit` chunk of `rel` — row indexes
+    * (where requested) are file-absolute, so chunking is always safe. */
+  protected final def splitsOf(rel: String, maxSplit: Long): Seq[PartitionedFile] = {
+    val size = sizeOf(rel)
+    val path = SparkPath.fromPath(new HPath(vt.root.resolve(rel).toUri))
+    (0L until size by maxSplit).map(start =>
+      PartitionedFile(InternalRow.empty, path, start,
+        math.min(maxSplit, size - start), Array.empty, 0L, size, Map.empty))
+  }
+
+  /** Live-row count from the commit log, when every live file logged one. */
+  protected final def rowCountStat: OptionalLong =
+    if (liveFiles.forall(commit.rowCounts.contains))
+      OptionalLong.of(liveFiles.iterator.map(commit.rowCounts).sum)
+    else OptionalLong.empty()
+}
+
+/** NATIVE batch for DV-FREE snapshots (r18): the delegate [[ParquetScan]]
+  * supplies the reader factory — Spark's own vectorized parquet readers,
+  * pushed filters, columnar batches, whole-stage codegen — while the
+  * PARTITIONS are planned here from the commit log: static stats pruning
+  * (the same windows `VtFileIndex.listFiles` applies), size-balanced
+  * split packing via `FilePartition.getFilePartitions`, commit-log
+  * [[Statistics]] for AQE, and — the reason this class exists —
+  * `SupportsRuntimeV2Filtering` ([[VtRuntimePrunedScan]]): a broadcast
+  * join's key values re-prune the FILE LIST at execution time through
+  * the per-file stats (dynamic file pruning). Spark's own `FileScan`
+  * runtime-filters only PARTITION columns, which a versioned table does
+  * not have; per-file stats are its partition pruning. */
+final class VtDfScan(protected val spark: SparkSession, protected val vt: VersionedTable,
+                     protected val commit: Commit,
+                     dataFilters: Seq[Expression], parquet: ParquetScan)
+    extends Batch with SupportsReportStatistics with VtRuntimePrunedScan {
+
+  protected val staticFiles: Vector[String] = {
+    val bounds = dataFilters.flatMap(StatsWindows.windows).toList
+    val nulls = dataFilters.flatMap(StatsWindows.nullWindows).toList
+    commit.files.filter(VtPruning.survives(commit, _, bounds, nulls))
+  }
+
+  override def readSchema(): StructType = parquet.readSchema()
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"VtDfScan v${commit.version} files=${liveFiles.size}/${commit.files.size} " +
+      s"PushedFilters: [${parquet.pushedFilters.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val maxSplit = math.max(1L, FilePartition.maxSplitBytes(spark, totalBytes))
-    val splits = liveFiles.flatMap { rel =>
-      val size = sizeOf(rel)
-      val path = SparkPath.fromPath(new HPath(vt.root.resolve(rel).toUri))
-      (0L until size by maxSplit).map(start =>
-        PartitionedFile(InternalRow.empty, path, start,
-          math.min(maxSplit, size - start), Array.empty, 0L, size, Map.empty))
-    }.sortBy(-_.length) // largest first: better bin packing (FileScan's rule)
+    val splits = liveFiles.flatMap(splitsOf(_, maxSplit))
+      .sortBy(-_.length) // largest first: better bin packing (FileScan's rule)
     FilePartition.getFilePartitions(spark, splits, maxSplit).toArray
   }
 
@@ -217,10 +265,7 @@ final class VtDfScan(spark: SparkSession, vt: VersionedTable, commit: Commit,
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong = OptionalLong.of(totalBytes)
-    override def numRows(): OptionalLong =
-      if (liveFiles.forall(commit.rowCounts.contains))
-        OptionalLong.of(liveFiles.iterator.map(commit.rowCounts).sum)
-      else OptionalLong.empty()
+    override def numRows(): OptionalLong = rowCountStat
   }
 }
 
@@ -280,45 +325,19 @@ final class VtMorScanBuilder(spark: SparkSession, vt: VersionedTable,
   * under the row interface, and AQE gets real [[Statistics]] from the
   * commit log. At 100 TB: a point read touches one file split, and the
   * DV subtraction costs log(deletions-in-that-file) per row. */
-final class VtMorScan(spark: SparkSession, vt: VersionedTable, commit: Commit,
+final class VtMorScan(protected val spark: SparkSession, protected val vt: VersionedTable,
+                      protected val commit: Commit,
                       pruned: Vector[String], outSchema: StructType,
                       parquet: ParquetScan)
-    extends Scan with Batch with SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    extends Batch with SupportsReportStatistics with VtRuntimePrunedScan {
 
-  /** The files still in play: starts at the statically-pruned list and
-    * shrinks further under RUNTIME filters ([[filter]]). */
-  @volatile private var liveFiles: Vector[String] = pruned
-
-  /** Exposed for specs: how many files the scan will actually plan. */
-  private[graft] def plannedFileCount: Int = liveFiles.size
+  protected def staticFiles: Vector[String] = pruned
 
   override def readSchema(): StructType = outSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"VtMorScan v${commit.version} files=${pruned.size}/${commit.files.size} " +
       s"dv=${commit.dvFiles.size}"
-
-  // ---- join-driven DYNAMIC FILE SKIPPING (SupportsRuntimeV2Filtering) ----
-  // Spark's dynamic-pruning rule hands the build side's join-key values
-  // (an IN predicate) at execution time; testing them against the same
-  // commit-log stats windows drops whole files BEFORE any partition is
-  // planned — Delta's dynamic file pruning, driven by per-file stats
-  // instead of directory partitions. Conservative by construction: an
-  // untranslatable predicate or a stats-less file prunes nothing, and
-  // Spark re-applies the join itself, so this is only ever a skip.
-  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
-    val covered = (commit.stats.valuesIterator.flatMap(_.keys) ++
-      commit.strStats.valuesIterator.flatMap(_.keys)).toSet
-    outSchema.fieldNames.filter(covered).map(Dsv2Shim.columnRef)
-  }
-
-  override def filter(predicates: Array[Predicate]): Unit = {
-    val v1 = predicates.flatMap(Dsv2Shim.toV1(_).toSeq)
-    val (bounds, nulls) = StatsWindows.fromFilters(v1.toSeq)
-    if (bounds.nonEmpty || nulls.nonEmpty)
-      liveFiles = liveFiles.filter(VtPruning.survives(commit, _, bounds, nulls))
-  }
 
   /** (file key → sorted distinct deleted positions), restricted to the
     * pruned files — one bounded driver action over the tiny DV parquet. */
@@ -331,23 +350,14 @@ final class VtMorScan(spark: SparkSession, vt: VersionedTable, commit: Commit,
       }
   }
 
-  private lazy val sizeOf: Map[String, Long] = pruned.map { f =>
-    f -> commit.fileSizes.getOrElse(f, java.nio.file.Files.size(vt.root.resolve(f)))
-  }.toMap
-  private lazy val totalBytes: Long = sizeOf.valuesIterator.sum
-
   override def planInputPartitions(): Array[InputPartition] = {
     val maxSplit = math.max(1L, FilePartition.maxSplitBytes(spark, totalBytes))
     val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
     liveFiles.foreach { rel =>
       val deleted = dvByKey.getOrElse(VersionedTable.fileKey(rel), Array.emptyLongArray)
-      val size = sizeOf(rel)
-      val path = SparkPath.fromPath(new HPath(vt.root.resolve(rel).toUri))
       // splits of ONE file per partition: row indexes are file-absolute,
       // so each split filters against the same per-file position array
-      (0L until size by maxSplit).foreach { start =>
-        val pf = PartitionedFile(InternalRow.empty, path, start,
-          math.min(maxSplit, size - start), Array.empty, 0L, size, Map.empty)
+      splitsOf(rel, maxSplit).foreach { pf =>
         parts += VtMorInputPartition(FilePartition(parts.length, Array(pf)), deleted)
       }
     }
@@ -362,11 +372,12 @@ final class VtMorScan(spark: SparkSession, vt: VersionedTable, commit: Commit,
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong = OptionalLong.of(totalBytes)
-    override def numRows(): OptionalLong =
-      if (pruned.forall(commit.rowCounts.contains))
-        OptionalLong.of(pruned.iterator.map(commit.rowCounts).sum -
-          dvByKey.valuesIterator.map(_.length.toLong).sum)
-      else OptionalLong.empty()
+    override def numRows(): OptionalLong = {
+      val base = rowCountStat
+      if (!base.isPresent) base
+      else OptionalLong.of(base.getAsLong - liveFiles.iterator.map(f =>
+        dvByKey.getOrElse(VersionedTable.fileKey(f), Array.emptyLongArray).length.toLong).sum)
+    }
   }
 }
 

@@ -99,8 +99,13 @@ object VtSqlDml {
         // target-only columns stay unassigned — kept on update, null on
         // insert.
         def starAssigns: Map[String, String] =
-          (if (m.withSchemaEvolution) srcDf.columns.toIndexedSeq else targetCols)
-            .map(c => c -> s"`$sAlias`.`$c`").toMap
+          (if (m.withSchemaEvolution)
+             // a source column matching a target column case-INSENSITIVELY
+             // star-assigns the TARGET's spelling (Spark's default resolver;
+             // a case-variant must never mint a second column)
+             srcDf.columns.toIndexedSeq.map(c =>
+               targetCols.find(_.equalsIgnoreCase(c)).getOrElse(c) -> s"`$sAlias`.`$c`")
+           else targetCols.map(c => c -> s"`$sAlias`.`$c`")).toMap
         def clauseOf(a: MergeAction): MergeClause = a match {
           case UpdateAction(c, assigns, _) =>
             MergeClause.update(assigns.map(asn =>

@@ -209,7 +209,13 @@ object VtUtilitySql {
       case ShowBranchesStmt(_) =>
         vt.branches.sorted.map(b => Row(b, vt.head(b).map(_.version).getOrElse(-1L)))
       case ShowTagsStmt(_) =>
-        vt.tags.map { case (name, _) => Row(name, vt.tagCommit(name).version) }
+        // resolve versions tolerantly: a tag dropped between the listing and
+        // the commit read just vanishes from the result (TOCTOU-safe), it
+        // must not fail the whole statement; name-sorted like SHOW BRANCHES
+        vt.tags.sortBy(_._1).flatMap { case (name, _) =>
+          try Some(Row(name, vt.tagCommit(name).version))
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
     }
   }
 

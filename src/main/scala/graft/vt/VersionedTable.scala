@@ -701,10 +701,15 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     // parquet file lacking a requested column yields nulls, the same
     // mechanism mergeSchema appends rely on). Same-name columns keep the
     // TARGET type; assignment right-hand sides cast to it as ever.
+    // source-vs-target column matching is CASE-INSENSITIVE (Spark's default
+    // resolver, Delta's evolution rule): a source column differing only in
+    // case must NOT append a duplicate field — the merged files would then
+    // carry both and every later read fails parquet's duplicate-field check
     val outSchema: StructType =
       if (!schemaEvolution) schema
       else StructType(schema.fields ++
-        source.schema.fields.filterNot(f => schema.fieldNames.contains(f.name))
+        source.schema.fields
+          .filterNot(f => schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
           .map(_.copy(nullable = true)))
     (matched ++ notMatched ++ notMatchedBySource).foreach { c =>
       val unknown = c.assignments.keySet.diff(outSchema.fieldNames.toSet)

@@ -1582,6 +1582,18 @@ class VersionedTableSpec extends SparkSpec {
     val v1 = vt.readVersion(spark, "main", 1)
     assert(v1.schema.fieldNames.toSeq === Seq("k", "v"))
     assert(v1.count() === 10L)
+    // a source column differing only in CASE matches the existing column
+    // (Spark's default resolver) — it must never mint a duplicate field,
+    // which would make every later read fail parquet's duplicate check
+    val caseSrc = Seq((1L, "V1-up", 111L)).toDF("k", "V", "EXTRA")
+    vt.mergeInto(spark, caseSrc, "t.k = s.k",
+      matched = Seq(MergeClause.update(Map("v" -> "s.V", "extra" -> "s.EXTRA"))),
+      schemaEvolution = true)
+    val after = vt.read(spark, "main")
+    assert(after.schema.fieldNames.toSeq === Seq("k", "v", "extra"),
+      "case-variant source columns must not widen the schema again")
+    assert(after.where($"k" === 1L).as[(Long, String, Option[Long])].head()
+      === ((1L, "V1-up", Some(111L))))
   }
 
   test("mergeInto loses a version-slot race cleanly; the retry merges against the new head") {

@@ -569,6 +569,13 @@ class VtCatalogSpec extends SparkSpec {
     assert(real === dry, "the real hours-vacuum reclaims exactly the dry-run count")
     assert(spark.sql(s"SELECT count(*) AS c FROM $t").as[Long].head() === 4000L,
       "the head (and its tag) survive")
+    // ZORDER robustness: all-null clustered columns degrade to a constant
+    // normalization (layout-only commit still lands) instead of throwing
+    val vtN = VersionedTable.create(Tables.scratch("vtcat_zorder_null"))
+    vtN.write(Seq((1L, null: java.lang.Long), (2L, null: java.lang.Long))
+      .toDF("a", "b"), "main", "v0")
+    vtN.compactZorder(spark, "main", Seq("a", "b"), numFiles = 2, maxRetries = 1)
+    assert(vtN.read(spark, "main").count() === 2L)
   }
 
   test("catalog refuses DDL loudly; missing tables surface as NoSuchTable") {

@@ -246,6 +246,14 @@ class VtDataSourceSpec extends SparkSpec {
       spark.read.format("vt").option("path", root)
         .option("versionAsOf", "0").load().select("k", "v").collect().toSet,
       "head must be restored to the concurrent winner's content")
+    // a THIRD writer already advanced past the raced write: the repair must
+    // NOT blindly revert (that would drop the successor's rows) — head stays
+    val headBefore = vt.head("main").get.version
+    val raceErr2 = intercept[IllegalStateException](
+      graft.sources.VtDataSource.ensureFirstVersion(vt, root, "main", c1))
+    assert(raceErr2.getMessage.contains("left untouched"))
+    assert(vt.head("main").get.version === headBefore,
+      "no repair commit when the raced write is no longer head")
     // Ignore: the raced-in write is undone by a revert — the concurrent
     // first writer's content wins, with the race left in the audit trail
     val before = spark.read.format("vt").option("path", root)
