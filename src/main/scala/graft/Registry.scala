@@ -83,7 +83,10 @@ object Registry {
     // r18: the same MOR band read through the SQL catalog — the NATIVE
     // DSv2 batch (file-pruned, row-index DV subtraction) under the gates
     // next to its DSv1 twin q_vt_mor_filter
-    "q_vt_mor_sql")
+    "q_vt_mor_sql",
+    // r18: bloom-indexed point lookup on a scattered string key — the
+    // 10x gate pins that it stays near-flat (same few files touched)
+    "q_vt_bloom_skip")
 
   /** The FROZEN round-4 headline list. `benchNames` grows as operators land
     * (23 → 27 across rounds), so the all-queries `total` is not

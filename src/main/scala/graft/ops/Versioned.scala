@@ -1681,6 +1681,33 @@ object Versioned {
     meta.unionByName(fallback).orderBy("part")
   }
 
+  /** Per-file BLOOM FILTER INDEX (r18, Delta's bloom filter index): the
+    * table is keyed by a scattered high-cardinality STRING id — every file
+    * holds keys from the whole alphabet, so min/max string windows prune
+    * NOTHING — and written with `bloomCols`. Point lookups (the IN list)
+    * then skip files whose bloom provably misses every probed key: at 10×
+    * data the lookup should stay near-flat (it touches the same few
+    * files), which is what the bench pins. The oracle filters the raw
+    * table directly; VtDataSourceSpec pins the skip with a ghost file and
+    * PropertySpec pins zero false negatives. */
+  val qVtBloomSkip: QueryDef = q("q_vt_bloom_skip")(
+    """SELECT k, cents FROM (
+      |  SELECT 'k-' || lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS k,
+      |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders)
+      |WHERE k IN ('k-0000000007', 'k-0000000042', 'k-0000000099',
+      |            'k-0000000123', 'k-0000000777', 'k-nosuchkey00')
+      |ORDER BY k""".stripMargin) { (s, d) =>
+    val vt = VersionedTable.create(Tables.scratch("vt_bloom_skip"))
+    val o = Tables.orders(s, d).select(
+      concat(lit("k-"), lpad(col("o_orderkey").cast("string"), 10, "0")).as("k"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    vt.write(o.repartition(8), "main", "v0", bloomCols = Seq("k"))
+    val keys = Seq(7L, 42L, 99L, 123L, 777L).map(i => f"k-$i%010d") :+ "k-nosuchkey00"
+    s.read.format("vt").option("path", vt.root.toString).load()
+      .where(col("k").isin(keys: _*)).orderBy("k")
+  }
+
   /** Metadata-only aggregates through SQL (r18,
     * [[graft.sources.VtMetaScanBuilder]]): `SELECT count(*), count(col),
     * min(col), max(col)` on a vt-catalog table short-circuits to the
@@ -1767,5 +1794,5 @@ object Versioned {
     qVtSqlTravel, qVtSqlDelete, qVtSqlUpdate, qVtSqlMerge, qVtMergeInto,
     qVtSqlRestore, qVtSqlOptimize, qVtSqlBranch, qVtMergeScale, qVtMergeScaleStr,
     qVtMergeEvolve, qVtMorFilter, qVtMorSql, qVtDeltaCmapNative, qVtMinmaxMeta,
-    qVtSqlCountMeta)
+    qVtSqlCountMeta, qVtBloomSkip)
 }

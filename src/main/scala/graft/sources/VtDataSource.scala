@@ -35,10 +35,24 @@ private[sources] object VtPruning {
           case None => true
         }
       case (colName, Right(ranges)) =>
-        commit.strStats.get(rel).flatMap(_.get(colName)) match {
+        (commit.strStats.get(rel).flatMap(_.get(colName)) match {
           case Some((mn, mx)) =>
             StatsWindows.strSurvives(mn, mx, ranges)(VersionedTable.utf8Cmp)
           case None => true
+        }) && {
+          // BLOOM probe (Delta's bloom filter index): when EVERY range of
+          // this column's disjunction is a POINT (equality / IN list — the
+          // scattered-uuid lookup min/max can't prune) and the file carries
+          // a bloom for the column, the file survives only if SOME probed
+          // value might be present. Non-point ranges keep the file
+          // (conservative); false positives only ever KEEP files.
+          commit.bloomStats.get(rel).flatMap(_.get(colName)) match {
+            case Some(b64) if ranges.forall { case (lo, hi) => lo == hi } =>
+              ranges.exists { case (v, _) =>
+                VersionedTable.bloomMightContain(b64, v)
+              }
+            case _ => true
+          }
         }
     } && nulls.forall { case (colName, wantNull) =>
       val nullCount = commit.nullStats.get(rel).flatMap(_.get(colName))
@@ -206,6 +220,14 @@ final class VtDataSource extends RelationProvider with CreatableRelationProvider
     parameters.get("statsCols").toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
 
+  /** The `bloomCols` option ("a,b"): STRING columns whose per-file bloom
+    * bitsets the commit records — point-lookup file skipping for scattered
+    * high-cardinality keys (Delta's bloom filter index); sticky across
+    * later writes like a Delta table property. */
+  private def bloomColsOf(parameters: Map[String, String]): Seq[String] =
+    parameters.get("bloomCols").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
   /** Batch WRITE — `df.write.format("vt").mode(...).save()`: one commit
     * per save. SaveMode maps onto commit semantics: Append/Overwrite are
     * the two native write modes; ErrorIfExists commits only a FIRST
@@ -226,7 +248,8 @@ final class VtDataSource extends RelationProvider with CreatableRelationProvider
     val hasHead = vt.head(branch).isDefined
     def write(writeMode: String) =
       vt.write(data, branch, message, mode = writeMode, statsCols = statsCols,
-        mergeSchema = mergeSchema, overwriteSchema = overwriteSchema)
+        mergeSchema = mergeSchema, overwriteSchema = overwriteSchema,
+        bloomCols = bloomColsOf(parameters))
     // the hasHead pre-checks race against concurrent writers (each save
     // opens its own table handle); the version-slot CAS serializes the
     // COMMITS, so the post-checks below can detect a lost race from the

@@ -78,7 +78,16 @@ final case class Commit(
       * never issues per-file filesystem stats — at object-store scale that
       * is one metadata read instead of a million stat RPCs. Absent = empty
       * (back-compatible JSON; planners fall back to getFileStatus). */
-    fileSizes: Map[String, Long] = Map.empty) {
+    fileSizes: Map[String, Long] = Map.empty,
+    /** Per-file BLOOM FILTER bits for point-lookup skipping (Delta's bloom
+      * filter index): file → column → base64 bitset. Populated for the
+      * writer's `bloomCols` (STRING columns — the scattered uuid/doc_id
+      * shape whose min/max windows prune nothing); equality and IN
+      * predicates skip files whose bloom provably misses every probed
+      * value. False positives only (a stale bit after a merge-on-read
+      * delete just keeps the file), so skipping stays sound. Absent =
+      * empty = never skip (back-compatible JSON). */
+    bloomStats: Map[String, Map[String, String]] = Map.empty) {
   /** All parents, first-parent first — the DAG edge set for ancestry walks. */
   def parents: List[String] = parent.toList ++ mergeParent.toList
 
@@ -160,6 +169,15 @@ object CommitLog {
       }
       m.put("nullStats", nm)
     }
+    if (c.bloomStats.nonEmpty) {
+      val bm = new java.util.LinkedHashMap[String, Object]()
+      c.bloomStats.toSeq.sortBy(_._1).foreach { case (file, cols) =>
+        val cm = new java.util.LinkedHashMap[String, Object]()
+        cols.toSeq.sortBy(_._1).foreach { case (col, b64) => cm.put(col, b64) }
+        bm.put(file, cm)
+      }
+      m.put("bloomStats", bm)
+    }
     mapper.writeValueAsString(m)
   }
 
@@ -206,6 +224,12 @@ object CommitLog {
       fileSizes = Option(m.get("fileSizes")).map { raw =>
         raw.asInstanceOf[java.util.Map[String, Number]].asScala
           .map { case (f, n) => f -> n.longValue() }.toMap
+      }.getOrElse(Map.empty),
+      bloomStats = Option(m.get("bloomStats")).map { raw =>
+        raw.asInstanceOf[java.util.Map[String, java.util.Map[String, String]]]
+          .asScala.map { case (file, cols) =>
+            file -> cols.asScala.toMap
+          }.toMap
       }.getOrElse(Map.empty))
   }
 

@@ -305,8 +305,18 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
   def write(df: DataFrame, branch: String = "main", message: String = "",
             mode: String = "overwrite", statsCols: Seq[String] = Nil,
             mergeSchema: Boolean = false, check: Option[String] = None,
-            overwriteSchema: Boolean = false): Commit = synchronized {
+            overwriteSchema: Boolean = false,
+            bloomCols: Seq[String] = Nil): Commit = synchronized {
     guardWritable(branch)
+    // bloom-indexed columns must be STRING (the xxhash64 probe domain is
+    // pinned to UTF-8 bytes; numerics prune through min/max windows instead)
+    locally {
+      val bad = bloomCols.filter(c => !df.schema.fieldNames.contains(c) ||
+        df.schema(c).dataType != org.apache.spark.sql.types.StringType)
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"bloomCols must name STRING columns of the written DataFrame, got: " +
+          bad.mkString(", "))
+    }
     // validate BEFORE any data file lands: a typo'd stats column must fail
     // with a nameable error and zero orphan parquet on disk (a failure
     // inside collectFileStats would be after writeDataFiles)
@@ -398,6 +408,18 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
                          else Map.empty[String, Map[String, (String, String)]]
     val parentNullStats = if (mode == "append") parent.map(_.nullStats).getOrElse(Map.empty)
                           else Map.empty[String, Map[String, Long]]
+    // bloom columns are STICKY (Delta's bloom index is a table property):
+    // unless this write names its own, the parent's bloom column set is
+    // recomputed for the new files — so appends, compaction and z-order
+    // keep the index alive without re-specifying it. Columns the new
+    // schema dropped (or retyped away from STRING) silently fall out.
+    val effBloomCols = (if (bloomCols.nonEmpty) bloomCols
+                        else parent.map(bloomColsOf).getOrElse(Nil))
+      .filter(c => df.schema.fieldNames.contains(c) &&
+        df.schema(c).dataType == org.apache.spark.sql.types.StringType)
+    val newBlooms = collectFileBlooms(df.sparkSession, newFiles, effBloomCols)
+    val parentBlooms = if (mode == "append") parent.map(_.bloomStats).getOrElse(Map.empty)
+                       else Map.empty[String, Map[String, String]]
     publish(branch, parent, message, schema,
       if (mode == "append") parent.map(_.files).getOrElse(Vector.empty) ++ newFiles else newFiles,
       parentStats ++ newStats, strStats = parentStrStats ++ newStrStats,
@@ -405,7 +427,8 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       // append keeps the old files, so their deletion vectors stay live;
       // overwrite replaces the snapshot, so none carry
       dvFiles = if (mode == "append") parent.map(_.dvFiles).getOrElse(Vector.empty)
-                else Vector.empty)
+                else Vector.empty,
+      bloomStats = parentBlooms ++ newBlooms)
   }
 
   /** Per-file min/max stats for `cols`, computed in ONE Spark job over the
@@ -475,6 +498,43 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     }.toMap
     (num, str, nulls)
   }
+
+  /** Per-file BLOOM bitsets for `cols` (STRING columns), in ONE Spark job:
+    * each row contributes its k bit positions per column, deduped by the
+    * distinct — the driver receives at most files × cols × 16384 ints, a
+    * bounded metadata action (the same contract as [[collectFileStats]]).
+    * NULL values contribute the seed-only position — harmless, since an
+    * equality probe value is never NULL. */
+  private def collectFileBlooms(spark: SparkSession, files: Vector[String],
+                                cols: Seq[String]): Map[String, Map[String, String]] = {
+    import org.apache.spark.sql.functions.{array, col, explode, input_file_name, lit, pmod, struct, xxhash64}
+    if (cols.isEmpty || files.isEmpty) return Map.empty
+    val m = VersionedTable.BloomMBits
+    val rows = spark.read.parquet(files.map(f => root.resolve(f).toString): _*)
+      .select(input_file_name().as("__file"),
+        explode(array(cols.zipWithIndex.map { case (c, ci) =>
+          struct(lit(ci).as("ci"),
+            array((0 until VersionedTable.BloomKHashes).map(i =>
+              pmod(xxhash64(lit(i), col(c)), lit(m.toLong)).cast("int")): _*).as("ps"))
+        }: _*)).as("cp"))
+      .select(col("__file"), col("cp.ci").as("ci"), explode(col("cp.ps")).as("p"))
+      .distinct().collect()
+    rows.groupBy(_.getString(0)).map { case (file, rs) =>
+      inputFileToRel(file) -> rs.groupBy(_.getInt(1)).map { case (ci, ps) =>
+        val bits = new Array[Byte](m / 8)
+        ps.foreach { r =>
+          val p = r.getInt(2)
+          bits(p >> 3) = (bits(p >> 3) | (1 << (p & 7))).toByte
+        }
+        cols(ci) -> java.util.Base64.getEncoder.encodeToString(bits)
+      }
+    }
+  }
+
+  /** The bloom column set a commit tracks — what COW rewrites and sticky
+    * writes recompute for their new files. */
+  private def bloomColsOf(c: Commit): Seq[String] =
+    c.bloomStats.valuesIterator.flatMap(_.keys).toSeq.distinct
 
   /** Delta-style MERGE (upsert): source rows REPLACE current rows sharing
     * their key (WHEN MATCHED UPDATE ALL) and are INSERTED otherwise, as a
@@ -601,7 +661,9 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       parent.stats.view.filterKeys(untouchedSet).toMap ++ newStats,
       strStats = parent.strStats.view.filterKeys(untouchedSet).toMap ++ newStrStats,
       nullStats = parent.nullStats.view.filterKeys(untouchedSet).toMap ++ newNullStats,
-      dvFiles = parent.dvFiles) // untouched files keep their deletion vectors
+      dvFiles = parent.dvFiles, // untouched files keep their deletion vectors
+      bloomStats = parent.bloomStats.view.filterKeys(untouchedSet).toMap ++
+        collectFileBlooms(spark, newFiles, bloomColsOf(parent)))
   }
 
   /** Generalized `MERGE INTO` (the full Delta/Spark statement, where
@@ -912,7 +974,9 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       nullStats = parent.nullStats.view.filterKeys(untouchedSet).toMap ++ newNullStats,
       // untouched files keep their deletion vectors; touched files were read
       // with DVs applied and rewritten, leaving only harmless dead entries
-      dvFiles = parent.dvFiles)
+      dvFiles = parent.dvFiles,
+      bloomStats = parent.bloomStats.view.filterKeys(untouchedSet).toMap ++
+        collectFileBlooms(spark, newFiles, bloomColsOf(parent)))
   }
 
   /** Delta `DELETE FROM … WHERE`: remove the rows where `where` evaluates
@@ -1129,7 +1193,10 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       if (message.isEmpty) s"delete (merge-on-read) where ($where)" else message,
       DataType.fromJson(parent.schemaJson).asInstanceOf[StructType], parent.files,
       parent.stats, strStats = parent.strStats, nullStats = parent.nullStats,
-      dvFiles = parent.dvFiles ++ dvNew)
+      dvFiles = parent.dvFiles ++ dvNew,
+      // blooms carry verbatim: a deleted row's bits become false positives,
+      // which only KEEP files — skipping stays sound
+      bloomStats = parent.bloomStats)
   }
 
   def delete(spark: SparkSession, where: String, branch: String = "main",
@@ -1174,7 +1241,9 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       nullStats = parent.nullStats.view.filterKeys(untouchedSet).toMap ++ newNullStats,
       // untouched files keep their deletion vectors; touched files were read
       // with DVs applied and rewritten, leaving only harmless dead entries
-      dvFiles = parent.dvFiles)
+      dvFiles = parent.dvFiles,
+      bloomStats = parent.bloomStats.view.filterKeys(untouchedSet).toMap ++
+        collectFileBlooms(spark, newFiles, bloomColsOf(parent)))
   }
 
   /** Row-level UPDATE (Delta `UPDATE t SET c = e WHERE p`) over the same
@@ -1246,7 +1315,9 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       nullStats = parent.nullStats.view.filterKeys(untouchedSet).toMap ++ newNullStats,
       // untouched files keep their deletion vectors; touched files were read
       // with DVs applied and rewritten, leaving only harmless dead entries
-      dvFiles = parent.dvFiles)
+      dvFiles = parent.dvFiles,
+      bloomStats = parent.bloomStats.view.filterKeys(untouchedSet).toMap ++
+        collectFileBlooms(spark, newFiles, bloomColsOf(parent)))
   }
 
   /** Stage a snapshot on `branch` without committing (lakeFS staging area,
@@ -1301,7 +1372,8 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
                       mergeParent: Option[String] = None,
                       strStats: Map[String, Map[String, (String, String)]] = Map.empty,
                       dvFiles: Vector[String] = Vector.empty,
-                      nullStats: Map[String, Map[String, Long]] = Map.empty): Commit = {
+                      nullStats: Map[String, Map[String, Long]] = Map.empty,
+                      bloomStats: Map[String, Map[String, String]] = Map.empty): Commit = {
     val version = parent.map(_.version + 1).getOrElse(0L)
     val id = s"$branch-v$version-${java.util.UUID.randomUUID.toString.take(8)}"
     // Per-file row counts (Delta numRecords): inherited from either parent's
@@ -1329,7 +1401,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     }.toMap
     val c = Commit(id, parent.map(_.id), version, files, schema.json, message,
       System.currentTimeMillis(), stats, mergeParent, strStats, dvFiles, rowCounts,
-      nullStats, fileSizes)
+      nullStats, fileSizes, bloomStats)
     // pre-commit hooks (lakeFS Actions) see the full candidate and may throw;
     // running BEFORE the slot claim means an abort leaves no claimed slot to
     // sweep — only orphan data files the next vacuum reclaims.
@@ -1804,7 +1876,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
         if (message.isEmpty) s"restore tag $name" else message,
         DataType.fromJson(target.schemaJson).asInstanceOf[StructType], target.files,
         target.stats, strStats = target.strStats, nullStats = target.nullStats,
-        dvFiles = target.dvFiles)
+        dvFiles = target.dvFiles, bloomStats = target.bloomStats)
     }
 
   /** lakeFS `tag delete`: the commit becomes vacuumable again (if nothing
@@ -1897,7 +1969,8 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
         nullStats = dst.nullStats ++ src.nullStats,
         // deletion vectors union: concurrent merge-on-read deletes compose —
         // the merged snapshot subtracts BOTH sides' deleted positions
-        dvFiles = (dst.dvFiles ++ src.dvFiles).distinct.sorted)
+        dvFiles = (dst.dvFiles ++ src.dvFiles).distinct.sorted,
+        bloomStats = dst.bloomStats ++ src.bloomStats)
     }
   }
 
@@ -1909,7 +1982,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     publish(branch, head(branch), if (message.isEmpty) s"revert to v$toVersion" else message,
       DataType.fromJson(target.schemaJson).asInstanceOf[StructType], target.files,
       target.stats, strStats = target.strStats, nullStats = target.nullStats,
-      dvFiles = target.dvFiles)
+      dvFiles = target.dvFiles, bloomStats = target.bloomStats)
   }
 
   /** lakeFS `cherry-pick` (lakectl's single-commit transplant): apply the
@@ -1963,7 +2036,9 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
         picked.strStats.view.filterKeys(added.contains).toMap,
       nullStats = dst.nullStats.view.filterKeys(files.contains).toMap ++
         picked.nullStats.view.filterKeys(added.contains).toMap,
-      dvFiles = (dst.dvFiles ++ dvAdded).distinct.sorted.toVector)
+      dvFiles = (dst.dvFiles ++ dvAdded).distinct.sorted.toVector,
+      bloomStats = dst.bloomStats.view.filterKeys(files.contains).toMap ++
+        picked.bloomStats.view.filterKeys(added.contains).toMap)
   }
 
   // ---- vacuum (jobs/vdt4.py:84-85, V9) -----------------------------------
@@ -2376,6 +2451,37 @@ object VersionedTable {
     * scan-side `concat_ws("/", slice(split(file_path, "/"), -2, 2))`
     * computes. Used by change feeds and deletion vectors. */
   private[graft] def fileKey(rel: String): String = rel.split('/').takeRight(2).mkString("/")
+
+  // ---- per-file bloom filter index (Delta's bloom filter index) ----------
+  // Point-lookup skipping for scattered high-cardinality STRING keys
+  // (uuid/doc_id), where min/max windows prune nothing. Geometry matches
+  // ops/Scale's bloom recipe (16384 bits / 3 hashes ≈ 2% FPR at ~1500 keys
+  // per file); hashing is Spark's own xxhash64 so the write-side expression
+  // `pmod(xxhash64(lit(i), col), m)` and the driver-side probe below are
+  // bit-identical by construction (xxhash64 CHAINS: the int literal's hash
+  // becomes the seed for the column value).
+  private[graft] val BloomMBits = 16384
+  private[graft] val BloomKHashes = 3
+
+  /** The k bit positions of a probe value — the driver-side twin of the
+    * write-side expression. */
+  private[graft] def bloomPositions(value: String): Array[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    Array.tabulate(BloomKHashes) { i =>
+      val seed = XxHash64Function.hash(i, org.apache.spark.sql.types.IntegerType, 42L)
+      val h = XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(value),
+        org.apache.spark.sql.types.StringType, seed)
+      java.lang.Math.floorMod(h, BloomMBits.toLong).toInt
+    }
+  }
+
+  /** Membership probe against a commit-log bloom (base64 bitset): false
+    * means PROVABLY absent (prune the file); true means "maybe" (keep). */
+  private[graft] def bloomMightContain(b64: String, value: String): Boolean = {
+    val bits = java.util.Base64.getDecoder.decode(b64)
+    bloomPositions(value).forall(p => (bits(p >> 3) & (1 << (p & 7))) != 0)
+  }
 
   /** Unsigned UTF-8 byte comparison — the ordering Spark's string min/max
     * stats are computed under (UTF8String binary compare). */

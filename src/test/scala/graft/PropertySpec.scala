@@ -363,6 +363,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: bloom-indexed lookups never miss an existing key (driver/executor hash identity, unicode keys)") {
+    // The bloom probe is computed DRIVER-side (XxHash64Function) against
+    // bits built EXECUTOR-side (the xxhash64 expression): any divergence —
+    // seeds, chaining, UTF-8 encoding, supplementary-plane code points —
+    // would silently prune a file holding the key. Zero false negatives
+    // over random keys IS the identity proof; false positives only cost.
+    val pfx = "q" * 70
+    val emoji = new String(Character.toChars(0x1F643))
+    val keyGen: Gen[String] = for {
+      style <- Gen.choose(0, 3); n <- Gen.choose(0, 99)
+    } yield style match {
+      case 0 => f"doc-$n%04d"
+      case 1 => f"$emoji$n%04d"
+      case 2 => f"ｋ$n%04d"
+      case _ => f"$pfx$n%04d"
+    }
+    val rowsGen: Gen[List[(String, Int)]] = Gen.listOfN(40,
+      for { k <- keyGen; v <- Gen.choose(0, 999) } yield (k, v))
+    samples(rowsGen, 5).zipWithIndex.foreach { case (rows, i) =>
+      if (rows.nonEmpty) {
+        val vt = VersionedTable.create(Tables.scratch(s"prop_bloom_$i"))
+        vt.write(rows.toDF("k", "v").repartition(3), "main", "v0",
+          bloomCols = Seq("k"))
+        val table = spark.read.format("vt").option("path", vt.root.toString).load()
+        def bag(rs: Seq[(String, Int)]) = rs.groupBy(identity).view.mapValues(_.length).toMap
+        // every present key: the pruned read returns exactly its rows
+        rows.map(_._1).distinct.foreach { k =>
+          val got = table.where(col("k") === k).as[(String, Int)].collect().toSeq
+          assert(bag(got) === bag(rows.filter(_._1 == k)), s"case $i key $k")
+        }
+        // a mixed IN list (present + provably absent) equals the naive filter
+        val probe = rows.map(_._1).distinct.take(3) ++ Seq("absent-1", s"$emoji-absent")
+        val gotIn = table.where(col("k").isin(probe: _*)).as[(String, Int)].collect().toSeq
+        assert(bag(gotIn) === bag(rows.filter(r => probe.contains(r._1))), s"case $i IN")
+      }
+    }
+  }
+
   test("property: copy-on-write UPDATE equals the naive full-table rewrite on random data") {
     // The stats pruning + touched-file restriction are OPTIMIZATIONS: for any
     // layout, range predicate, and SET expressions, update's result must be

@@ -315,6 +315,51 @@ class VtDataSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("stats domain"))
   }
 
+  test("bloom filter index: point lookups skip files — ghost-proof, sticky across writes, COW-safe, reopen-safe") {
+    val vt = VersionedTable.create(Tables.scratch("vtds_bloom"))
+    // three files with INTERLEAVED key alphabets: every file spans the whole
+    // range, so min/max windows (none recorded here anyway) could never
+    // separate them — only the bloom can
+    def part(r: Int) = (0 until 40).map(i => (f"id-${i * 3 + r}%04d", i.toLong))
+      .toDF("k", "v").coalesce(1)
+    vt.write(part(0), "main", "A", bloomCols = Seq("k"))
+    vt.write(part(1), "main", "B", mode = "append") // sticky: no re-specification
+    vt.write(part(2), "main", "C", mode = "append")
+    val head0 = vt.head("main").get
+    assert(head0.files.forall(f => head0.bloomStats.get(f).exists(_.contains("k"))),
+      "sticky bloom columns must cover every file of every later write")
+    val root = vt.root.toString
+    def scanned(q: DataFrame): Long = {
+      q.collect()
+      q.queryExecution.executedPlan.collectFirst {
+        case s: FileSourceScanExec => s
+      }.get.metrics("numFiles").value
+    }
+    val q1 = readVt(root).where($"k" === "id-0006") // lives only in file A
+    assert(q1.count() === 1L)
+    assert(scanned(q1) === 1, "the bloom must confine the point probe to one file")
+    // ghost-proof: with file C physically absent, an A-key lookup succeeds —
+    // C was pruned by its bloom alone (no other pruning source exists)
+    val cFile = head0.files.last
+    val tmp = vt.root.resolve("bloom_ghost.parquet")
+    java.nio.file.Files.move(vt.root.resolve(cFile), tmp)
+    try assert(readVt(root).where($"k" === "id-0006").as[(String, Long)].head()
+      === (("id-0006", 2L)))
+    finally java.nio.file.Files.move(tmp, vt.root.resolve(cFile))
+    // validation: non-string / unknown bloom columns refuse loudly
+    intercept[IllegalArgumentException](
+      vt.write(part(0), "main", "bad", bloomCols = Seq("v")))
+    // COW update: untouched files keep blooms, the rewritten file gets a
+    // fresh one — the lookup stays single-file and sees the new value
+    vt.update(spark, "k = 'id-0006'", Map("v" -> "999"))
+    val q2 = readVt(root).where($"k" === "id-0006")
+    assert(q2.as[(String, Long)].head() === (("id-0006", 999L)))
+    assert(scanned(q2) === 1, "the post-COW bloom must keep pruning")
+    // reopen: the bloom round-trips through the commit-log JSON
+    val vt2 = VersionedTable.open(root)
+    assert(vt2.head("main").get.bloomStats === vt.head("main").get.bloomStats)
+  }
+
   test("format(\"vt\") prunes files from null-count stats (IS NULL / IS NOT NULL)") {
     val vt = VersionedTable.create(Tables.scratch("vtds_nulls"))
     val allNull = (1L to 10L).map(i => (i, null: String)).toDF("k", "v").coalesce(1)
