@@ -84,8 +84,9 @@ object Registry {
     // DSv2 batch (file-pruned, row-index DV subtraction) under the gates
     // next to its DSv1 twin q_vt_mor_filter
     "q_vt_mor_sql",
-    // r18: bloom-indexed point lookup on a scattered string key — the
-    // 10x gate pins that it stays near-flat (same few files touched)
+    // r18: bloom index build (O(n), the dominant cost) + point lookup on a
+    // scattered string key under the 10x gate; the lookup-side file skip
+    // itself is pinned by VtDataSourceSpec's ghost/numFiles evidence
     "q_vt_bloom_skip")
 
   /** The FROZEN round-4 headline list. `benchNames` grows as operators land
