@@ -87,7 +87,11 @@ object Registry {
     // r18: bloom index build (O(n), the dominant cost) + point lookup on a
     // scattered string key under the 10x gate; the lookup-side file skip
     // itself is pinned by VtDataSourceSpec's ghost/numFiles evidence
-    "q_vt_bloom_skip")
+    "q_vt_bloom_skip",
+    // r19: SQL CTAS end-to-end (empty v0 + data v1 through the catalog) and
+    // the foreign-Delta star join whose runtime join keys file-skip through
+    // the dlite DSv2 catalog — both sf-scaled, both under the 10× gate
+    "q_vt_ctas", "q_dlite_runtime_skip")
 
   /** The FROZEN round-4 headline list. `benchNames` grows as operators land
     * (23 → 27 across rounds), so the all-queries `total` is not

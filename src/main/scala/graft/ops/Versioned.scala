@@ -1717,19 +1717,104 @@ object Versioned {
     * reads, not even footers (VtCatalogSpec proves it by ghosting every
     * data file). The oracle computes the same aggregates over raw orders. */
   val qVtSqlCountMeta: QueryDef = q("q_vt_sql_count_meta")(
-    """SELECT count(*) AS c, count(o_orderpriority) AS cp,
+    """SELECT 'clean' AS part, count(*) AS c, count(o_orderpriority) AS cp,
       |       min(o_orderkey) AS mn, max(o_orderkey) AS mx,
       |       min(o_orderpriority) AS pmn, max(o_orderpriority) AS pmx
-      |FROM orders""".stripMargin) { (s, d) =>
+      |FROM orders
+      |UNION ALL
+      |SELECT 'mor' AS part, count(*), count(o_orderpriority),
+      |       min(o_orderkey), max(o_orderkey),
+      |       min(o_orderpriority), max(o_orderpriority)
+      |FROM orders WHERE o_orderkey % 10 >= 3
+      |ORDER BY part""".stripMargin) { (s, d) =>
     val vt = VersionedTable.create(Tables.scratch("vt_sql_count_meta"))
     vt.write(Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
       .repartition(4), "main", "v0", statsCols = Seq("o_orderkey", "o_orderpriority"))
     s.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
-    s.sql(
-      s"""SELECT count(*) AS c, count(o_orderpriority) AS cp,
+    val clean = s.sql(
+      s"""SELECT 'clean' AS part, count(*) AS c, count(o_orderpriority) AS cp,
          |       min(o_orderkey) AS mn, max(o_orderkey) AS mx,
          |       min(o_orderpriority) AS pmn, max(o_orderpriority) AS pmx
          |FROM vt.`${vt.root}`""".stripMargin)
+    // r19 MOR leg: after a merge-on-read delete, `SELECT count(*)` still
+    // answers from metadata + the DV parquet alone (Σ rowCounts − Σ
+    // distinct deleted positions, [[graft.sources.VtMorScanBuilder]]);
+    // value-dependent aggregates fall back to the (pruned, DV-subtracted)
+    // scan — VtCatalogSpec ghost-proves the zero-data-file-read claim
+    vt.deleteWithVectors(s, "o_orderkey % 10 < 3", "main")
+    val morCount = s.sql(s"SELECT count(*) AS c FROM vt.`${vt.root}`")
+    val morRest = s.sql(
+      s"""SELECT count(o_orderpriority) AS cp,
+         |       min(o_orderkey) AS mn, max(o_orderkey) AS mx,
+         |       min(o_orderpriority) AS pmn, max(o_orderpriority) AS pmx
+         |FROM vt.`${vt.root}`""".stripMargin)
+    val mor = morCount.crossJoin(morRest).select(lit("mor").as("part"),
+      col("c"), col("cp"), col("mn"), col("mx"), col("pmn"), col("pmx"))
+    clean.unionByName(mor).orderBy("part")
+  }
+
+  /** Runtime (join-driven) file skipping on a FOREIGN Delta table through
+    * the r19 DSv2 catalog ([[graft.sources.DeltaLiteCatalog]]): the fact
+    * side is an EXPORTED table (a stock `_delta_log` with per-file stats),
+    * range-laid-out on the join key; the broadcast dim's key values
+    * re-prune its file list at execution time against the add-action
+    * stats ([[graft.sources.DeltaDfScan]]'s `SupportsRuntimeV2Filtering`)
+    * — Delta's dynamic file pruning, DSv1 could only do this for
+    * directory partitions. DeltaLiteSpec ghost-proves the skip; the bench
+    * carries the end-to-end cost (export + star join). Bands derive from
+    * `max(o_orderkey)`, so the shape is sf-proportional. */
+  val qDliteRuntimeSkip: QueryDef = q("q_dlite_runtime_skip")(
+    """SELECT count(*) AS n, CAST(sum(o.o_orderkey) AS BIGINT) AS keysum
+      |FROM orders o
+      |JOIN (SELECT o_orderkey AS dk FROM orders
+      |      WHERE o_orderkey % 97 = 1
+      |        AND o_orderkey <= (SELECT floor(max(o_orderkey) * 0.1) FROM orders)) d
+      |  ON o.o_orderkey = d.dk""".stripMargin) { (s, d) =>
+    val vt = VersionedTable.create(Tables.scratch("dlite_rt_fact"))
+    val orders = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+    vt.write(orders.repartitionByRange(8, col("o_orderkey")), "main", "fact",
+      statsCols = Seq("o_orderkey"))
+    vt.exportDeltaLog("main")
+    val maxK = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+    val band = math.floor(maxK * 0.1).toLong
+    // dim must be parquet-backed: Spark's dynamic-pruning rule skips a
+    // build side constant-folded into a LocalRelation
+    val dimPath = Tables.scratch("dlite_rt_dim")
+    orders.where(col("o_orderkey") % 97 === 1 && col("o_orderkey") <= band)
+      .select(col("o_orderkey").as("dk"))
+      .write.mode("overwrite").parquet(dimPath)
+    s.read.parquet(dimPath).createOrReplaceTempView("dlite_rt_dim")
+    s.conf.set("spark.sql.catalog.dlite",
+      classOf[graft.sources.DeltaLiteCatalog].getName)
+    s.sql(
+      s"""SELECT count(*) AS n, CAST(sum(o.o_orderkey) AS BIGINT) AS keysum
+         |FROM dlite.`${vt.root}` o JOIN dlite_rt_dim d ON o.o_orderkey = d.dk""".stripMargin)
+  }
+
+  /** SQL `CREATE TABLE … AS SELECT` through the DSv2 catalog (r19,
+    * [[graft.sources.VtCatalog.createTable]]): the most common SQL entry
+    * path to a new table. CREATE publishes an empty schema-pinning v0,
+    * the SELECT's rows land as v1 through the ordinary append write, and
+    * the result is a fully versioned table (time travel to the empty v0
+    * included). Failed CTAS cleanup (no committed table left behind) is
+    * pinned by VtCatalogSpec. The oracle runs the same SELECT + aggregate
+    * directly over orders. */
+  val qVtCtas: QueryDef = q("q_vt_ctas")(
+    """SELECT o_orderpriority AS pri, count(*) AS n,
+      |       CAST(sum(o_orderkey) AS BIGINT) AS keysum
+      |FROM orders WHERE o_orderkey % 4 = 1
+      |GROUP BY o_orderpriority ORDER BY pri""".stripMargin) { (s, d) =>
+    val root = Tables.scratch("vt_ctas")
+    s.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
+    Tables.orders(s, d).createOrReplaceTempView("ctas_orders_src")
+    s.sql(
+      s"""CREATE TABLE vt.`$root` AS
+         |SELECT o_orderkey, o_orderpriority FROM ctas_orders_src
+         |WHERE o_orderkey % 4 = 1""".stripMargin).collect()
+    s.sql(
+      s"""SELECT o_orderpriority AS pri, count(*) AS n,
+         |       CAST(sum(o_orderkey) AS BIGINT) AS keysum
+         |FROM vt.`$root` GROUP BY o_orderpriority ORDER BY pri""".stripMargin)
   }
 
   /** Maintain a (count, sum) aggregate "view" incrementally: fold a CDC
@@ -1795,5 +1880,5 @@ object Versioned {
     qVtSqlTravel, qVtSqlDelete, qVtSqlUpdate, qVtSqlMerge, qVtMergeInto,
     qVtSqlRestore, qVtSqlOptimize, qVtSqlBranch, qVtMergeScale, qVtMergeScaleStr,
     qVtMergeEvolve, qVtMorFilter, qVtMorSql, qVtDeltaCmapNative, qVtMinmaxMeta,
-    qVtSqlCountMeta, qVtBloomSkip)
+    qVtSqlCountMeta, qVtBloomSkip, qVtCtas, qDliteRuntimeSkip)
 }

@@ -101,7 +101,18 @@ private[sources] object StatsWindows {
       case a: AttributeReference => Some(a)
       case Cast(a: AttributeReference, dt, _, _)
           if a.dataType.isInstanceOf[NumericType] && dt.isInstanceOf[NumericType] &&
-            Cast.canUpCast(a.dataType, dt) =>
+            Cast.canUpCast(a.dataType, dt) &&
+            // int/long → FLOAT is Spark-"upcast" but NOT value-faithful:
+            // float(2^30+1) == 2^30f, yet the file's stats image is the
+            // exact double 2^30+1, so a point window (2^30, 2^30) would
+            // wrongly PRUNE the file holding the matching row. Every other
+            // upcast's comparison domain embeds exactly in the double
+            // stats domain (incl. long→double: the stats ARE double
+            // images, so both sides round identically). Refusing the
+            // unwrap only loses pruning — conservative, never wrong.
+            !(dt == org.apache.spark.sql.types.FloatType &&
+              (a.dataType == org.apache.spark.sql.types.IntegerType ||
+                a.dataType == org.apache.spark.sql.types.LongType)) =>
         Some(a)
       case _ => None
     }
@@ -280,4 +291,69 @@ private[sources] object StatsWindows {
   def fromFilters(filters: Seq[f.Filter]): (List[Window], List[(String, Boolean)]) =
     (filters.flatMap(filterWindows).toList,
       filters.flatMap(filterNullWindows).toList)
+
+  // ---- bloom point probes (r19) ------------------------------------------
+
+  /** One conjunct's POINT probe group for the bloom index: the column and
+    * the exact probe value(s) it is pinned to — `Left` = the cast-to-long
+    * integral image, `Right` = strings. A file survives a group iff SOME
+    * value might be in its bloom (disjunction within a group — an IN
+    * list; conjunction across groups). Shapes/values without an EXACT
+    * probe image yield no probe: fractional doubles, whole doubles at or
+    * beyond 2^53 (multiple longs share that rounded image — probing one
+    * preimage would wrongly prune the others), timestamps/dates,
+    * partially-recognized IN lists. No probe = conservative = keep. */
+  type Probe = (String, Either[List[Long], List[String]])
+
+  private def probeLong(dt: DataType, value: Any): Option[Long] = value match {
+    case null => None
+    case _ if dt == org.apache.spark.sql.types.TimestampType ||
+        dt == org.apache.spark.sql.types.DateType ||
+        dt == org.apache.spark.sql.types.TimestampNTZType => None
+    case b: java.lang.Byte => Some(b.toLong)
+    case s: java.lang.Short => Some(s.toLong)
+    case i: java.lang.Integer => Some(i.toLong)
+    case l: java.lang.Long => Some(l.longValue)
+    case d: java.lang.Double
+        if d.doubleValue == Math.rint(d.doubleValue) &&
+          math.abs(d.doubleValue) < 9007199254740992.0 => // strictly < 2^53
+      Some(d.doubleValue.toLong)
+    case _ => None
+  }
+
+  private def probeGroup(name: String, dt: DataType, values: Seq[Any],
+                         str: Any => Option[String]): List[Probe] = {
+    val nonNull = values.filter(_ != null)
+    if (nonNull.isEmpty) Nil
+    else {
+      val longs = nonNull.map(probeLong(dt, _))
+      val strs = nonNull.map(str)
+      if (longs.forall(_.isDefined)) List(name -> Left(longs.map(_.get).toList))
+      else if (strs.forall(_.isDefined)) List(name -> Right(strs.map(_.get).toList))
+      else Nil
+    }
+  }
+
+  /** Catalyst front end (FileIndex / DSv2 data filters). */
+  def pointProbes(e: Expression): List[Probe] = e match {
+    case And(l, r) => pointProbes(l) ++ pointProbes(r)
+    case EqualTo(BoundAttr(a), l: Literal) => probeGroup(a.name, l.dataType, Seq(l.value), litStr)
+    case EqualTo(l: Literal, BoundAttr(a)) => probeGroup(a.name, l.dataType, Seq(l.value), litStr)
+    case EqualNullSafe(BoundAttr(a), l: Literal) =>
+      probeGroup(a.name, l.dataType, Seq(l.value), litStr)
+    case In(BoundAttr(a), vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      probeGroup(a.name, a.dataType, vs.map(_.asInstanceOf[Literal].value), litStr)
+    case InSet(BoundAttr(a), vs) => probeGroup(a.name, a.dataType, vs.toSeq, litStr)
+    case _ => Nil
+  }
+
+  /** `sources.Filter` front end (PrunedFilteredScan relations) — external
+    * value types (String, boxed numbers). */
+  def filterPointProbes(flt: f.Filter): List[Probe] = flt match {
+    case f.And(l, r) => filterPointProbes(l) ++ filterPointProbes(r)
+    case f.EqualTo(a, v) => probeGroup(a, extDt(v), Seq(v), extStr)
+    case f.EqualNullSafe(a, v) if v != null => probeGroup(a, extDt(v), Seq(v), extStr)
+    case f.In(a, vs) => probeGroup(a, org.apache.spark.sql.types.DoubleType, vs.toSeq, extStr)
+    case _ => Nil
+  }
 }

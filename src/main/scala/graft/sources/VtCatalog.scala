@@ -40,9 +40,11 @@ import graft.vt.{Commit, VersionedTable}
   * filter-pushed, deletion vectors subtracted by generated row index in
   * the readers themselves). Writes bridge through [[V1Write]]:
   * `INSERT INTO` appends one commit, `INSERT OVERWRITE` replaces
-  * (`SupportsTruncate`). DDL (create/alter/rename) is refused — a
-  * versioned table is created by its own API ([[VersionedTable.create]]),
-  * not by the catalog. */
+  * (`SupportsTruncate`). DDL (r19): `CREATE TABLE` / `CREATE TABLE … AS
+  * SELECT` publish an empty schema-pinning v0 (+ the data as v1), and
+  * `DROP TABLE` removes a verified table root — the SQL entry path to a
+  * new versioned table; alter/rename stay refused (schema evolves per
+  * commit; tables are path-addressed). */
 /** The `[branch@]path` addressing shared by the catalog identifier and the
   * SQL-DML bridge ([[VtSqlDml]]): a leading slash-free `branch@` segment
   * selects a non-main branch; everything else is the table root path. */
@@ -64,14 +66,21 @@ final class VtCatalog extends TableCatalog {
 
   override def name(): String = catalogName
 
-  /** `[branch@]<root path>` → (table, branch). The namespace must be
-    * empty: the whole address lives in one backquoted identifier part. */
-  private def parse(ident: Identifier): (VersionedTable, String) = {
+  /** `[branch@]<root path>` → (branch, normalized local path) WITHOUT
+    * opening the table — what DDL (create/drop/exists) needs. */
+  private def parseAddress(ident: Identifier): (String, String) = {
     require(ident.namespace().isEmpty,
       s"$catalogName catalog identifiers are single backquoted paths " +
         s"(`[branch@]/path/to/table`), got ${ident.namespace().mkString(".")}.${ident.name()}")
     val (branch, path) = VtAddress.split(ident.name())
-    (VersionedTable.open(SourcePaths.local(path)), branch)
+    (branch, SourcePaths.local(path))
+  }
+
+  /** `[branch@]<root path>` → (table, branch). The namespace must be
+    * empty: the whole address lives in one backquoted identifier part. */
+  private def parse(ident: Identifier): (VersionedTable, String) = {
+    val (branch, path) = parseAddress(ident)
+    (VersionedTable.open(path), branch)
   }
 
   private def load(ident: Identifier)(resolve: (VersionedTable, String) => Commit): Table = {
@@ -113,17 +122,45 @@ final class VtCatalog extends TableCatalog {
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty // path-addressed: there is no enumerable namespace
 
+  /** SQL `CREATE TABLE vt.\`path\` (…)` / `CREATE TABLE … AS SELECT` (r19):
+    * creates the versioned-table root and publishes an EMPTY v0 commit
+    * pinning the schema, so the table exists for every later load; a
+    * CTAS's data then lands as v1 through the ordinary append write of
+    * the returned handle. Non-atomic CTAS follows Spark's standard
+    * non-staging contract: a failed write makes the exec node call
+    * [[dropTable]], leaving no committed table behind. Partition
+    * transforms are refused — versioned tables organize data by commit,
+    * not directory partitions (cluster with OPTIMIZE … ZORDER instead). */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "create versioned tables with VersionedTable.create, not catalog DDL")
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "versioned tables are not directory-partitioned (use OPTIMIZE … ZORDER " +
+        "BY for clustering); CREATE TABLE must not carry PARTITIONED BY")
+    val (branch, path) = parseAddress(ident)
+    if (tableExists(ident)) throw new IllegalStateException(
+      s"table already exists: $catalogName.`${ident.name()}`")
+    val vt = VersionedTable.create(path)
+    val c = vt.createEmpty(branch, schema, s"CREATE TABLE $catalogName.`${ident.name()}`")
+    new VtTable(SparkSession.active, vt, branch, c, s"$catalogName.`${ident.name()}`")
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(
       "alter versioned tables through their own API (schema evolves per commit)")
 
-  override def dropTable(ident: Identifier): Boolean = false
+  /** `DROP TABLE vt.\`path\`` — also the cleanup half of a failed CTAS.
+    * Deletes the table tree ONLY when the path verifiably IS a versioned
+    * table root (the `_graft_table` marker / commits dir); anything else
+    * answers false and is left untouched. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val (_, path) = parseAddress(ident)
+    val root = java.nio.file.Paths.get(path)
+    val isVtRoot = java.nio.file.Files.exists(root.resolve("_graft_table")) ||
+      java.nio.file.Files.isDirectory(root.resolve("commits"))
+    if (!isVtRoot) false
+    else { VersionedTable.delete(path); true }
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(

@@ -25,9 +25,15 @@ import graft.vt.{Commit, VersionedTable}
   * stats for a bounded column are conservatively kept. */
 private[sources] object VtPruning {
 
+  /** "No bloom index" lookup — the default for callers without a table
+    * handle; probes then never prune (conservative). */
+  val NoBloom: (String, String) => Option[Array[Byte]] = (_, _) => None
+
   def survives(commit: Commit, rel: String,
                bounds: List[StatsWindows.Window],
-               nulls: List[(String, Boolean)]): Boolean =
+               nulls: List[(String, Boolean)],
+               probes: List[StatsWindows.Probe] = Nil,
+               bloom: (String, String) => Option[Array[Byte]] = NoBloom): Boolean =
     bounds.forall {
       case (colName, Left(ranges)) =>
         commit.stats.get(rel).flatMap(_.get(colName)) match {
@@ -35,25 +41,26 @@ private[sources] object VtPruning {
           case None => true
         }
       case (colName, Right(ranges)) =>
-        (commit.strStats.get(rel).flatMap(_.get(colName)) match {
+        commit.strStats.get(rel).flatMap(_.get(colName)) match {
           case Some((mn, mx)) =>
             StatsWindows.strSurvives(mn, mx, ranges)(VersionedTable.utf8Cmp)
           case None => true
-        }) && {
-          // BLOOM probe (Delta's bloom filter index): when EVERY range of
-          // this column's disjunction is a POINT (equality / IN list — the
-          // scattered-uuid lookup min/max can't prune) and the file carries
-          // a bloom for the column, the file survives only if SOME probed
-          // value might be present. Non-point ranges keep the file
-          // (conservative); false positives only ever KEEP files.
-          commit.bloomStats.get(rel).flatMap(_.get(colName)) match {
-            case Some(b64) if ranges.forall { case (lo, hi) => lo == hi } =>
-              ranges.exists { case (v, _) =>
-                VersionedTable.bloomMightContain(b64, v)
-              }
-            case _ => true
-          }
         }
+    } && probes.forall { case (colName, group) =>
+      // BLOOM probe (Delta's bloom filter index): an equality / IN conjunct
+      // pins the column to point value(s) — the scattered-uuid/long-id
+      // lookup shape min/max can't prune — and the file survives only if
+      // SOME probed value might be present in its bloom ([[VersionedTable
+      // .bloomLookup]]: r19 sidecars, lazily loaded, plus legacy inline
+      // bitsets). No bloom for the column keeps the file; false positives
+      // only ever KEEP files.
+      bloom(rel, colName) match {
+        case Some(bits) => group match {
+          case Left(longs) => longs.exists(VersionedTable.bloomMightContainLong(bits, _))
+          case Right(strs) => strs.exists(VersionedTable.bloomMightContain(bits, _))
+        }
+        case None => true
+      }
     } && nulls.forall { case (colName, wantNull) =>
       val nullCount = commit.nullStats.get(rel).flatMap(_.get(colName))
       if (wantNull) !nullCount.contains(0L) // IS NULL: skip zero-null files
@@ -65,10 +72,13 @@ private[sources] object VtPruning {
 
   /** The commit's file list pruned by a `PrunedFilteredScan`'s pushed
     * conjuncts (exposed for spec-level evidence too). */
-  def prunedFiles(commit: Commit, filters: Seq[Filter]): Vector[String] = {
+  def prunedFiles(commit: Commit, filters: Seq[Filter],
+                  bloom: (String, String) => Option[Array[Byte]] = NoBloom)
+      : Vector[String] = {
     val (bounds, nulls) = StatsWindows.fromFilters(filters)
-    if (bounds.isEmpty && nulls.isEmpty) commit.files
-    else commit.files.filter(survives(commit, _, bounds, nulls))
+    val probes = filters.flatMap(StatsWindows.filterPointProbes).toList
+    if (bounds.isEmpty && nulls.isEmpty && probes.isEmpty) commit.files
+    else commit.files.filter(survives(commit, _, bounds, nulls, probes, bloom))
   }
 }
 
@@ -136,8 +146,10 @@ final class VtFileIndex(spark: SparkSession, vt: VersionedTable, commit: Commit)
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val bounds = dataFilters.flatMap(StatsWindows.windows).toList
     val nulls = dataFilters.flatMap(StatsWindows.nullWindows).toList
+    val probes = dataFilters.flatMap(StatsWindows.pointProbes).toList
+    val bloom = if (probes.isEmpty) VtPruning.NoBloom else vt.bloomLookup(commit)
     val kept = statuses.filter { case (rel, _) =>
-      VtPruning.survives(commit, rel, bounds, nulls)
+      VtPruning.survives(commit, rel, bounds, nulls, probes, bloom)
     }
     Seq(PartitionDirectory(InternalRow.empty, kept.map(_._2).toArray))
   }
@@ -176,7 +188,8 @@ final class VtMorRelation(ctx: SQLContext, vt: VersionedTable, commit: Commit)
     * can assert the file-skipping evidence (`scanPlan(...).inputFiles`). */
   private[graft] def scanPlan(requiredColumns: Array[String],
                                 filters: Array[Filter]): DataFrame = {
-    val pruned = commit.copy(files = VtPruning.prunedFiles(commit, filters.toSeq))
+    val pruned = commit.copy(files =
+      VtPruning.prunedFiles(commit, filters.toSeq, vt.bloomLookup(commit)))
     val df = FilterColumns.applyAll(
       vt.readCommit(ctx.sparkSession, pruned), filters)
     if (requiredColumns.isEmpty) df
@@ -342,15 +355,17 @@ object VtDataSource {
   /** The raced-first-write repair, guarded: revert to `c.version - 1` ONLY
     * while `c` is still the branch head — a THIRD writer may have already
     * committed above the raced write, and a blind revert would silently
-    * drop their rows from head. The head re-check narrows the window and
-    * the revert itself goes through the version-slot CAS, so a writer
-    * landing inside the remaining window makes the revert LOSE the race
-    * (treated as "no repair needed") rather than clobber. Returns whether
-    * the repair commit was published. */
-  private def undoIfStillHead(vt: VersionedTable, branch: String, c: Commit,
-                              message: String): Boolean =
+    * drop their rows from head. The head re-check narrows the window, and
+    * the repair itself publishes with its parent PINNED to `c`
+    * ([[VersionedTable.revertRaced]]), targeting exactly slot
+    * `c.version + 1`: a third writer landing inside the remaining window
+    * claims that slot first, the repair's CAS fails, and the repair is
+    * skipped — it can only ever undo `c`, never a later commit. Returns
+    * whether the repair commit was published. */
+  private[graft] def undoIfStillHead(vt: VersionedTable, branch: String, c: Commit,
+                                     message: String): Boolean =
     vt.head(branch).exists(_.id == c.id) && {
-      try { vt.revert(branch, c.version - 1, message); true }
+      try { vt.revertRaced(branch, c, message); true }
       catch { case _: java.util.ConcurrentModificationException => false }
     }
 }

@@ -106,7 +106,9 @@ final class VtMetaScanBuilder(spark: SparkSession, vt: VersionedTable,
     case IntegerType => Some(d.toInt)
     case ShortType => Some(d.toShort)
     case ByteType => Some(d.toByte)
-    case LongType if math.abs(d) <= 9007199254740992.0 => Some(d.toLong) // 2^53
+    // STRICT bound: ±2^53 itself can be the rounded image of true long
+    // 2^53±1 (ties-to-even), so exactness is only provable strictly inside
+    case LongType if math.abs(d) < 9007199254740992.0 => Some(d.toLong) // |d| < 2^53
     case _ => None
   }
 
@@ -188,15 +190,22 @@ private[sources] trait VtRuntimePrunedScan
   // Spark re-applies the join itself, so this is only ever a skip.
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
     val covered = (commit.stats.valuesIterator.flatMap(_.keys) ++
-      commit.strStats.valuesIterator.flatMap(_.keys)).toSet
+      commit.strStats.valuesIterator.flatMap(_.keys) ++
+      // bloom-indexed columns skip on runtime point keys too (r19): a
+      // broadcast star-join's IN list over a scattered uuid/long-id key
+      // prunes whole files through the sidecar blooms
+      commit.bloomCols.iterator ++
+      commit.bloomStats.valuesIterator.flatMap(_.keys)).toSet
     readSchema().fieldNames.filter(covered).map(Dsv2Shim.columnRef)
   }
 
   override def filter(predicates: Array[Predicate]): Unit = {
     val v1 = predicates.flatMap(Dsv2Shim.toV1(_).toSeq)
     val (bounds, nulls) = StatsWindows.fromFilters(v1.toSeq)
-    if (bounds.nonEmpty || nulls.nonEmpty)
-      shrunk = liveFiles.filter(VtPruning.survives(commit, _, bounds, nulls))
+    val probes = v1.toSeq.flatMap(StatsWindows.filterPointProbes).toList
+    val bloom = if (probes.isEmpty) VtPruning.NoBloom else vt.bloomLookup(commit)
+    if (bounds.nonEmpty || nulls.nonEmpty || probes.nonEmpty)
+      shrunk = liveFiles.filter(VtPruning.survives(commit, _, bounds, nulls, probes, bloom))
   }
 
   /** Per-file byte sizes, memoized over the static list — the commit log
@@ -244,7 +253,9 @@ final class VtDfScan(protected val spark: SparkSession, protected val vt: Versio
   protected val staticFiles: Vector[String] = {
     val bounds = dataFilters.flatMap(StatsWindows.windows).toList
     val nulls = dataFilters.flatMap(StatsWindows.nullWindows).toList
-    commit.files.filter(VtPruning.survives(commit, _, bounds, nulls))
+    val probes = dataFilters.flatMap(StatsWindows.pointProbes).toList
+    val bloom = if (probes.isEmpty) VtPruning.NoBloom else vt.bloomLookup(commit)
+    commit.files.filter(VtPruning.survives(commit, _, bounds, nulls, probes, bloom))
   }
 
   override def readSchema(): StructType = parquet.readSchema()
@@ -280,7 +291,7 @@ final class VtDfScan(protected val spark: SparkSession, protected val vt: Versio
 final class VtMorScanBuilder(spark: SparkSession, vt: VersionedTable,
                              commit: Commit, tableSchema: StructType)
     extends ScanBuilder with CatalystFilterPushdown
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private val rowIdx = Dsv2Shim.rowIndexField
   private val dataWithIdx = StructType(tableSchema.fields :+ rowIdx)
@@ -289,6 +300,7 @@ final class VtMorScanBuilder(spark: SparkSession, vt: VersionedTable,
       dataWithIdx, dataWithIdx, CaseInsensitiveStringMap.empty())
   private var dataFilters: Seq[Expression] = Nil
   private var required: StructType = tableSchema
+  private var meta: Option[(StructType, InternalRow)] = None
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     dataFilters = filters
@@ -303,28 +315,91 @@ final class VtMorScanBuilder(spark: SparkSession, vt: VersionedTable,
     required = StructType(tableSchema.fields.filter(f => names.contains(f.name)))
   }
 
-  override def build(): Scan = {
-    delegate.pruneColumns(StructType(required.fields :+ rowIdx))
-    val bounds = dataFilters.flatMap(StatsWindows.windows).toList
-    val nulls = dataFilters.flatMap(StatsWindows.nullWindows).toList
-    val pruned = commit.files.filter(VtPruning.survives(commit, _, bounds, nulls))
-    new VtMorScan(spark, vt, commit, pruned, required, delegate.build())
+  /** `SELECT count(*)` on a MOR snapshot, from metadata + the DV parquet
+    * alone (r19): the live count is Σ per-file rowCounts − Σ per-file
+    * DISTINCT deleted positions — the commit log knows the former exactly,
+    * and one small aggregate over the DV parquet (O(deleted rows) read,
+    * O(files) driver rows — never a data-file scan) knows the latter.
+    * COUNT(col)/MIN/MAX stay refused under DVs: the deleted rows' values
+    * are unknown without reading data. */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (dataFilters.nonEmpty || aggregation.groupByExpressions.nonEmpty) return false
+    val onlyCountStar = aggregation.aggregateExpressions.nonEmpty &&
+      aggregation.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+    if (!onlyCountStar) return false
+    val total: Option[Long] =
+      if (commit.files.forall(commit.rowCounts.contains))
+        Some(commit.files.iterator.map(commit.rowCounts).sum -
+          VtDvStats.cardByKey(spark, vt, commit,
+            commit.files.map(VersionedTable.fileKey).toSet).valuesIterator.sum)
+      else None
+    meta = total.map { t =>
+      (StructType(aggregation.aggregateExpressions.map(_ =>
+        StructField("count(*)", LongType, nullable = false))),
+        new GenericInternalRow(
+          aggregation.aggregateExpressions.map(_ => t: Any)))
+    }
+    meta.isDefined
+  }
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    meta.isDefined
+
+  override def build(): Scan = meta match {
+    case Some((schema, row)) => new VtMetaAggScan(schema, row, commit)
+    case None =>
+      delegate.pruneColumns(StructType(required.fields :+ rowIdx))
+      val bounds = dataFilters.flatMap(StatsWindows.windows).toList
+      val nulls = dataFilters.flatMap(StatsWindows.nullWindows).toList
+      val probes = dataFilters.flatMap(StatsWindows.pointProbes).toList
+      val bloom = if (probes.isEmpty) VtPruning.NoBloom else vt.bloomLookup(commit)
+      val pruned = commit.files.filter(VtPruning.survives(commit, _, bounds, nulls, probes, bloom))
+      new VtMorScan(spark, vt, commit, pruned, required, delegate.build())
+  }
+}
+
+/** Driver-side DV METADATA (r19): per-file-key DISTINCT deleted-position
+  * COUNTS, computed by one distributed aggregate over the DV parquet and
+  * collected as O(files-with-deletions) `(key, count)` rows — the driver
+  * never materializes positions. Restriction to `keys` happens driver-side
+  * on the collected counts (dead entries for rewritten-away files drop
+  * out). Serves [[VtMorScan]]'s statistics/columnar decision and the
+  * MOR `COUNT(*)` metadata answer. */
+private[sources] object VtDvStats {
+  def cardByKey(spark: SparkSession, vt: VersionedTable, commit: Commit,
+                keys: Set[String]): Map[String, Long] = {
+    import org.apache.spark.sql.functions.{col, count_distinct}
+    if (commit.dvFiles.isEmpty) Map.empty
+    else spark.read.parquet(commit.dvFiles.map(f => vt.root.resolve(f).toString): _*)
+      .groupBy(col("fk")).agg(count_distinct(col("pos")).as("n"))
+      .collect().iterator
+      .map(r => r.getString(0) -> r.getLong(1))
+      .filter { case (k, _) => keys(k) }
+      .toMap
   }
 }
 
 /** Merge-on-read as a NATIVE DSv2 batch: per-file-split input partitions
-  * over the stats-pruned file list, each carrying its file's sorted
-  * deleted-position array (loaded once, driver-side — the deletion
-  * vectors are O(deleted rows), the same bytes the DSv1 path broadcasts);
-  * the reader factory wraps Spark's own parquet readers — vectorized,
-  * filter-pushed, with the FILE-ABSOLUTE row index generated by the
-  * reserved [[Dsv2Shim.rowIndexField]] mechanism (correct under row-group
-  * skipping, the exact machinery `_metadata.row_index` uses) — and drops
-  * rows whose position is deleted with one binary search per row. No
-  * `RDD[Row]` materialization, no anti-join, columnar batches intact
-  * under the row interface, and AQE gets real [[Statistics]] from the
-  * commit log. At 100 TB: a point read touches one file split, and the
-  * DV subtraction costs log(deletions-in-that-file) per row. */
+  * over the stats-pruned file list; the reader factory wraps Spark's own
+  * parquet readers — vectorized, filter-pushed, with the FILE-ABSOLUTE
+  * row index generated by the reserved [[Dsv2Shim.rowIndexField]]
+  * mechanism (correct under row-group skipping, the exact machinery
+  * `_metadata.row_index` uses) — and drops rows whose position is
+  * deleted with one binary search per row. No `RDD[Row]` materialization,
+  * no anti-join, columnar batches intact under the row interface, and
+  * AQE gets real [[Statistics]] from the commit log.
+  *
+  * DV loading is PER-TASK (r19): the driver computes only per-file DV
+  * CARDINALITIES ([[VtDvStats]] — one small aggregate, O(files) rows
+  * collected), and each reader whose file carries deletions loads ITS
+  * OWN positions from the DV parquet executor-side
+  * ([[DvTaskLoader.positionsFor]] — a parquet-hadoop read with the file
+  * key pushed as a row-group/record filter). The driver never
+  * materializes the deletion set: a 100 TB table with 1% deletions is
+  * tens of GB of positions, which the r18 shape collected whole. At
+  * 100 TB: a point read touches one file split, the DV subtraction costs
+  * log(deletions-in-that-file) per row, and DV bytes move only to the
+  * tasks that need them. */
 final class VtMorScan(protected val spark: SparkSession, protected val vt: VersionedTable,
                       protected val commit: Commit,
                       pruned: Vector[String], outSchema: StructType,
@@ -339,26 +414,24 @@ final class VtMorScan(protected val spark: SparkSession, protected val vt: Versi
     s"VtMorScan v${commit.version} files=${pruned.size}/${commit.files.size} " +
       s"dv=${commit.dvFiles.size}"
 
-  /** (file key → sorted distinct deleted positions), restricted to the
-    * pruned files — one bounded driver action over the tiny DV parquet. */
-  private lazy val dvByKey: Map[String, Array[Long]] = {
-    val keys = pruned.map(VersionedTable.fileKey).toSet
-    spark.read.parquet(commit.dvFiles.map(f => vt.root.resolve(f).toString): _*)
-      .select("fk", "pos").collect()
-      .groupBy(_.getString(0)).collect {
-        case (k, rows) if keys(k) => k -> rows.map(_.getLong(1)).distinct.sorted
-      }
-  }
+  /** file key → DISTINCT deleted-position COUNT, restricted to the pruned
+    * files — counts only ([[VtDvStats]]), never positions. */
+  private lazy val dvCardByKey: Map[String, Long] =
+    VtDvStats.cardByKey(spark, vt, commit, pruned.map(VersionedTable.fileKey).toSet)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val maxSplit = math.max(1L, FilePartition.maxSplitBytes(spark, totalBytes))
+    val dvPaths = commit.dvFiles.map(f => vt.root.resolve(f).toString).toArray
     val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
     liveFiles.foreach { rel =>
-      val deleted = dvByKey.getOrElse(VersionedTable.fileKey(rel), Array.emptyLongArray)
+      val key = VersionedTable.fileKey(rel)
+      // deletion-free files ship an empty path list: their readers skip
+      // the DV load entirely
+      val paths = if (dvCardByKey.contains(key)) dvPaths else Array.empty[String]
       // splits of ONE file per partition: row indexes are file-absolute,
-      // so each split filters against the same per-file position array
+      // so each split filters against the same per-file position set
       splitsOf(rel, maxSplit).foreach { pf =>
-        parts += VtMorInputPartition(FilePartition(parts.length, Array(pf)), deleted)
+        parts += VtMorInputPartition(FilePartition(parts.length, Array(pf)), key, paths)
       }
     }
     parts.toArray
@@ -368,7 +441,8 @@ final class VtMorScan(protected val spark: SparkSession, protected val vt: Versi
     // Spark refuses mixed row/columnar partitions, so columnar is a
     // whole-scan decision: only when NO pruned file carries deletions
     new VtMorReaderFactory(parquet.createReaderFactory(), outSchema,
-      allColumnar = dvByKey.isEmpty)
+      allColumnar = dvCardByKey.isEmpty,
+      confWrapper = Dsv2Shim.serializableConf(spark.sessionState.newHadoopConf()))
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong = OptionalLong.of(totalBytes)
@@ -376,21 +450,81 @@ final class VtMorScan(protected val spark: SparkSession, protected val vt: Versi
       val base = rowCountStat
       if (!base.isPresent) base
       else OptionalLong.of(base.getAsLong - liveFiles.iterator.map(f =>
-        dvByKey.getOrElse(VersionedTable.fileKey(f), Array.emptyLongArray).length.toLong).sum)
+        dvCardByKey.getOrElse(VersionedTable.fileKey(f), 0L)).sum)
     }
   }
 }
 
-/** One single-file split + its file's sorted deleted positions. */
+/** One single-file split + its file's KEY and the snapshot's DV parquet
+  * paths (empty when the file is deletion-free) — positions are loaded by
+  * the task itself, never shipped from the driver. */
 private[sources] final case class VtMorInputPartition(files: FilePartition,
-                                                      deleted: Array[Long])
+                                                      fileKey: String,
+                                                      dvPaths: Array[String])
     extends InputPartition {
   override def preferredLocations(): Array[String] = files.preferredLocations()
 }
 
+/** EXECUTOR-side deletion-vector load: the sorted distinct deleted
+  * positions of ONE file key, read from the DV parquet with the key
+  * pushed as a parquet-hadoop filter — row-group statistics and
+  * dictionary filtering skip non-matching groups (the MOR delete writes
+  * DV parquet SORTED by (fk, pos) to make those stats tight), so a task
+  * reads O(its own file's deletions) plus footers. Memoized per
+  * (executor, DV set, key): every split of a file shares one load. */
+private[sources] object DvTaskLoader {
+  import org.apache.parquet.filter2.compat.FilterCompat
+  import org.apache.parquet.filter2.predicate.FilterApi
+
+  private val CacheMax = 64
+  private val cache =
+    new java.util.LinkedHashMap[(Seq[String], String), Array[Long]](CacheMax, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Seq[String], String), Array[Long]]): Boolean =
+        size() > CacheMax
+    }
+
+  def positionsFor(key: String, dvPaths: Array[String],
+                   conf: org.apache.hadoop.conf.Configuration): Array[Long] = {
+    if (dvPaths.isEmpty) return Array.emptyLongArray
+    val cacheKey = (dvPaths.toSeq, key)
+    cache.synchronized { Option(cache.get(cacheKey)) } match {
+      case Some(hit) => hit
+      case None =>
+        val loaded = load(key, dvPaths, conf)
+        cache.synchronized { cache.put(cacheKey, loaded) }
+        loaded
+    }
+  }
+
+  private def load(key: String, dvPaths: Array[String],
+                   conf: org.apache.hadoop.conf.Configuration): Array[Long] = {
+    val pred = FilterApi.eq(FilterApi.binaryColumn("fk"),
+      org.apache.parquet.io.api.Binary.fromString(key))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    dvPaths.foreach { p =>
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+          new HPath(p))
+        .withConf(conf)
+        .withFilter(FilterCompat.get(pred))
+        .build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          out += g.getLong("pos", 0)
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    out.distinct.sorted.toArray
+  }
+}
+
 /** Wraps the parquet readers: emit only live rows (position not in the
-  * partition's deleted array), projected back to the output schema (the
-  * generated row-index column is the last field, ordinal `n`).
+  * file's deleted set — loaded BY THE TASK, [[DvTaskLoader]]), projected
+  * back to the output schema (the generated row-index column is the last
+  * field, ordinal `n`).
   *
   * COLUMNAR passthrough: when the stats-pruned file set carries NO
   * deletions at all (`allColumnar` — the common case for a filtered
@@ -402,7 +536,8 @@ private[sources] final case class VtMorInputPartition(files: FilePartition,
   * row/columnar partitions, so this is a scan-level decision). */
 private[sources] final class VtMorReaderFactory(delegate: PartitionReaderFactory,
                                                 outSchema: StructType,
-                                                allColumnar: Boolean)
+                                                allColumnar: Boolean,
+                                                confWrapper: AnyRef)
     extends PartitionReaderFactory {
   private val n = outSchema.length
 
@@ -413,7 +548,7 @@ private[sources] final class VtMorReaderFactory(delegate: PartitionReaderFactory
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val mp = partition.asInstanceOf[VtMorInputPartition]
-    require(mp.deleted.length == 0, "columnar MOR read planned for a partition with deletions")
+    require(mp.dvPaths.isEmpty, "columnar MOR read planned for a partition with deletions")
     val inner = delegate.createColumnarReader(mp.files)
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
       override def next(): Boolean = inner.next()
@@ -431,9 +566,12 @@ private[sources] final class VtMorReaderFactory(delegate: PartitionReaderFactory
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val mp = partition.asInstanceOf[VtMorInputPartition]
     val inner = delegate.createReader(mp.files)
-    val deleted = mp.deleted
     val proj = ProjectingInternalRow(outSchema, (0 until n).toIndexedSeq)
     new PartitionReader[InternalRow] {
+      // loaded lazily INSIDE the task (never on the driver); empty for
+      // deletion-free files, which skip the DV read entirely
+      private lazy val deleted: Array[Long] =
+        DvTaskLoader.positionsFor(mp.fileKey, mp.dvPaths, Dsv2Shim.confOf(confWrapper))
       override def next(): Boolean = {
         while (inner.next()) {
           val r = inner.get()

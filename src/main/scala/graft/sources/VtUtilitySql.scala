@@ -16,7 +16,8 @@ import graft.vt.VersionedTable
   *   VACUUM vt.`path` [RETAIN n HOURS | RETAIN n VERSIONS] [DRY RUN]
   *   DESCRIBE HISTORY vt.`path`
   *   DESCRIBE DETAIL vt.`path`                   -- Delta's table-metadata row
-  *   OPTIMIZE vt.`path` [FILES n] [ZORDER BY (a, b, …)]   -- 1..n columns
+  *   OPTIMIZE vt.`path` [FILES n] [WHERE pred] [ZORDER BY (a, b, …)]
+  *                                               -- WHERE: selective (r19)
   *   RESTORE TABLE vt.`path` TO VERSION AS OF n
   *   RESTORE TABLE vt.`path` TO TAG 'name'
   *   CREATE BRANCH dev IN vt.`path` [FROM src]   -- lakeFS verbs as SQL
@@ -47,7 +48,8 @@ object VtUtilitySql {
   final case class HistoryStmt(address: String) extends Stmt
   final case class DetailStmt(address: String) extends Stmt
   final case class OptimizeStmt(address: String, files: Option[Int],
-                                zorder: Option[Seq[String]]) extends Stmt
+                                zorder: Option[Seq[String]],
+                                where: Option[String] = None) extends Stmt
   final case class RestoreStmt(address: String, to: Either[Long, String]) extends Stmt
   final case class BranchStmt(address: String, op: String, name: String,
                               from: Option[String]) extends Stmt // create/drop
@@ -65,7 +67,7 @@ object VtUtilitySql {
   private val DetailRe: Regex =
     s"""(?is)\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$T\\s*;?\\s*""".r
   private val OptimizeRe: Regex =
-    s"""(?is)\\s*OPTIMIZE\\s+$T(?:\\s+FILES\\s+(\\d+))?(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*""".r
+    s"""(?is)\\s*OPTIMIZE\\s+$T(?:\\s+FILES\\s+(\\d+))?(?:\\s+WHERE\\s+(.+?))?(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*""".r
   private val RestoreVerRe: Regex =
     s"""(?is)\\s*RESTORE\\s+TABLE\\s+$T\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
   private val RestoreTagRe: Regex =
@@ -98,10 +100,11 @@ object VtUtilitySql {
         dry != null))
     case HistoryRe(cat, addr) if isVt(spark, cat) => Some(HistoryStmt(addr))
     case DetailRe(cat, addr) if isVt(spark, cat) => Some(DetailStmt(addr))
-    case OptimizeRe(cat, addr, files, zcols) if isVt(spark, cat) =>
+    case OptimizeRe(cat, addr, files, where, zcols) if isVt(spark, cat) =>
       Some(OptimizeStmt(addr, Option(files).map(_.toInt),
         Option(zcols).map(_.split(',').toSeq
-          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))))
+          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)),
+        Option(where).map(_.trim).filter(_.nonEmpty)))
     case RestoreVerRe(cat, addr, v) if isVt(spark, cat) =>
       Some(RestoreStmt(addr, Left(v.toLong)))
     case RestoreTagRe(cat, addr, tag) if isVt(spark, cat) =>
@@ -134,7 +137,9 @@ object VtUtilitySql {
       StructField("location", StringType, nullable = false),
       StructField("version", LongType, nullable = false),
       StructField("num_files", IntegerType, nullable = false),
-      StructField("size_bytes", LongType, nullable = false),
+      // nullable: a pre-fileSizes history file that no longer stats cleanly
+      // surfaces size as UNKNOWN (null), never a silent under-report
+      StructField("size_bytes", LongType, nullable = true),
       StructField("created_at", LongType, nullable = false),
       StructField("last_modified", LongType, nullable = false)))
     case _: OptimizeStmt => StructType(Seq(
@@ -171,20 +176,37 @@ object VtUtilitySql {
       case HistoryStmt(_) =>
         vt.history(spark, branch).collect().toSeq // O(versions) metadata rows
       case DetailStmt(_) =>
-        // Delta's DESCRIBE DETAIL row, from commit metadata alone: no file
-        // I/O (sizes live in the log), O(history) commit-json reads for the
-        // created_at bound
+        // Delta's DESCRIBE DETAIL row, from commit metadata alone on the
+        // common path (sizes live in the log; O(history) commit-json reads
+        // for the created_at bound). A pre-`fileSizes` HISTORY file pays a
+        // real Files.size (bounded: legacy files only), and a legacy file
+        // that no longer stats cleanly makes size_bytes NULL — unknown must
+        // surface as unknown, never as a silent under-report.
         val h = vt.head(branch).getOrElse(
           throw new IllegalArgumentException(s"no such branch: $branch"))
         val lin = vt.lineage(branch)
+        val sizes = h.files.map { f =>
+          h.fileSizes.get(f).orElse {
+            val p = vt.root.resolve(f)
+            try if (java.nio.file.Files.exists(p))
+              Some(java.nio.file.Files.size(p)) else None
+            catch { case _: java.io.IOException => None }
+          }
+        }
+        val sizeBytes: Any =
+          if (sizes.forall(_.isDefined)) sizes.flatten.sum else null
         Seq(Row("vt", vt.root.toString, h.version, h.files.size,
-          h.files.map(f => h.fileSizes.getOrElse(f, 0L)).sum,
-          lin.last.ts, h.ts))
-      case OptimizeStmt(_, files, zorder) =>
-        val c = zorder match {
-          case Some(cols) => vt.compactZorder(spark, branch, cols,
+          sizeBytes, lin.last.ts, h.ts))
+      case OptimizeStmt(_, files, zorder, where) =>
+        // WHERE → selective compaction of only the predicate's files
+        // (Delta's OPTIMIZE … WHERE); the bare forms rewrite the snapshot
+        val c = (where, zorder) match {
+          case (Some(w), z) => vt.compactWhere(spark, branch, w,
+            numFiles = files.getOrElse(if (z.isDefined) 8 else 1),
+            zorderCols = z.getOrElse(Nil))
+          case (None, Some(cols)) => vt.compactZorder(spark, branch, cols,
             numFiles = files.getOrElse(8), maxRetries = 3)
-          case None => vt.compact(spark, branch, numFiles = files.getOrElse(1))
+          case (None, None) => vt.compact(spark, branch, numFiles = files.getOrElse(1))
         }
         Seq(Row(c.version, c.files.size))
       case RestoreStmt(_, Left(version)) =>

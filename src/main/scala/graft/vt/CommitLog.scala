@@ -79,22 +79,36 @@ final case class Commit(
       * is one metadata read instead of a million stat RPCs. Absent = empty
       * (back-compatible JSON; planners fall back to getFileStatus). */
     fileSizes: Map[String, Long] = Map.empty,
-    /** Per-file BLOOM FILTER bits for point-lookup skipping (Delta's bloom
-      * filter index): file → column → base64 bitset. Populated for the
-      * writer's `bloomCols` (STRING columns — the scattered uuid/doc_id
-      * shape whose min/max windows prune nothing); equality and IN
-      * predicates skip files whose bloom provably misses every probed
-      * value. False positives only (a stale bit after a merge-on-read
-      * delete just keeps the file), so skipping stays sound. Absent =
-      * empty = never skip (back-compatible JSON). */
-    bloomStats: Map[String, Map[String, String]] = Map.empty) {
+    /** LEGACY (pre-r19) inline per-file bloom bitsets: file → column →
+      * base64 bitset. r18 commits carried the bloom index here; r19 moved
+      * it to SIDECAR files ([[bloomFiles]]) so the commit record stays
+      * O(files) regardless of indexed columns. Still read (old tables keep
+      * skipping), never written by new commits; COW rewrites carry a
+      * parent's inline entries for untouched files until a compaction
+      * retires them. */
+    bloomStats: Map[String, Map[String, String]] = Map.empty,
+    /** Bloom-INDEXED column set of this snapshot — the sticky table
+      * property (Delta's bloom index config): later writes, compaction and
+      * COW rewrites recompute blooms for their new files over this set
+      * without re-specification. Explicit (not derived from the sidecars)
+      * so stickiness never has to load an index file. */
+    bloomCols: Seq[String] = Nil,
+    /** Bloom index SIDECAR files (r19, [[BloomIndex]]): table-root-relative
+      * `.bloom` paths, each holding (file, column, bitset) entries for the
+      * files ONE write batch created. Point-lookup skipping loads them
+      * lazily on the first probe; vacuum retains them via [[allFiles]] and
+      * sweeps orphans. Entries for files later rewritten out of the
+      * snapshot are dead-but-harmless (lookups key on live file names).
+      * Absent = empty = never skip (back-compatible JSON). */
+    bloomFiles: Vector[String] = Vector.empty) {
   /** All parents, first-parent first — the DAG edge set for ancestry walks. */
   def parents: List[String] = parent.toList ++ mergeParent.toList
 
-  /** Every on-disk file this snapshot needs — data files plus deletion
-    * vectors. The unit of vacuum retention: dropping a retained commit's DV
-    * would silently RESURRECT its deleted rows. */
-  def allFiles: Vector[String] = files ++ dvFiles
+  /** Every on-disk file this snapshot needs — data files, deletion
+    * vectors, bloom index sidecars. The unit of vacuum retention: dropping
+    * a retained commit's DV would silently RESURRECT its deleted rows, and
+    * dropping its bloom sidecar would fail its point-lookup planning. */
+  def allFiles: Vector[String] = files ++ dvFiles ++ bloomFiles
 }
 
 /** JSON codec + crash-safe metadata helpers for the commit log.
@@ -178,6 +192,16 @@ object CommitLog {
       }
       m.put("bloomStats", bm)
     }
+    if (c.bloomCols.nonEmpty) {
+      val l = new java.util.ArrayList[String]()
+      c.bloomCols.foreach(l.add)
+      m.put("bloomCols", l)
+    }
+    if (c.bloomFiles.nonEmpty) {
+      val l = new java.util.ArrayList[String]()
+      c.bloomFiles.foreach(l.add)
+      m.put("bloomFiles", l)
+    }
     mapper.writeValueAsString(m)
   }
 
@@ -230,7 +254,13 @@ object CommitLog {
           .asScala.map { case (file, cols) =>
             file -> cols.asScala.toMap
           }.toMap
-      }.getOrElse(Map.empty))
+      }.getOrElse(Map.empty),
+      bloomCols = Option(m.get("bloomCols"))
+        .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq)
+        .getOrElse(Nil),
+      bloomFiles = Option(m.get("bloomFiles"))
+        .map(_.asInstanceOf[java.util.List[String]].asScala.toVector)
+        .getOrElse(Vector.empty))
   }
 
   /** Cross-process optimistic concurrency (Delta's log-store contract,

@@ -308,14 +308,17 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
             overwriteSchema: Boolean = false,
             bloomCols: Seq[String] = Nil): Commit = synchronized {
     guardWritable(branch)
-    // bloom-indexed columns must be STRING (the xxhash64 probe domain is
-    // pinned to UTF-8 bytes; numerics prune through min/max windows instead)
+    // bloom-indexed columns must be STRING or INTEGRAL — the two hash
+    // domains the probe can reproduce exactly (UTF-8 bytes; the cast-to-
+    // long twin — long ids are as common a point-lookup key as uuids).
+    // Fractional/decimal/timestamp keys have no exact probe image and
+    // refuse loudly rather than skipping wrong.
     locally {
       val bad = bloomCols.filter(c => !df.schema.fieldNames.contains(c) ||
-        df.schema(c).dataType != org.apache.spark.sql.types.StringType)
+        !VersionedTable.bloomSupported(df.schema(c).dataType))
       if (bad.nonEmpty) throw new IllegalArgumentException(
-        s"bloomCols must name STRING columns of the written DataFrame, got: " +
-          bad.mkString(", "))
+        s"bloomCols must name STRING or integral (byte/short/int/long) columns " +
+          s"of the written DataFrame, got: " + bad.mkString(", "))
     }
     // validate BEFORE any data file lands: a typo'd stats column must fail
     // with a nameable error and zero orphan parquet on disk (a failure
@@ -412,12 +415,19 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     // unless this write names its own, the parent's bloom column set is
     // recomputed for the new files — so appends, compaction and z-order
     // keep the index alive without re-specifying it. Columns the new
-    // schema dropped (or retyped away from STRING) silently fall out.
+    // schema dropped (or retyped away from a hashable type) silently fall
+    // out.
     val effBloomCols = (if (bloomCols.nonEmpty) bloomCols
                         else parent.map(bloomColsOf).getOrElse(Nil))
       .filter(c => df.schema.fieldNames.contains(c) &&
-        df.schema(c).dataType == org.apache.spark.sql.types.StringType)
-    val newBlooms = collectFileBlooms(df.sparkSession, newFiles, effBloomCols)
+        VersionedTable.bloomSupported(df.schema(c).dataType))
+    val newBlooms = collectFileBlooms(df.sparkSession, newFiles, effBloomCols, df.schema)
+    val sidecar = writeBloomSidecar(branch, parent.map(_.version + 1).getOrElse(0L), newBlooms)
+    // append keeps the parent's index (sidecars + any legacy inline
+    // entries) live alongside the new files' sidecar; overwrite replaces
+    // the snapshot, so only the fresh sidecar carries
+    val parentBloomFiles = if (mode == "append") parent.map(_.bloomFiles).getOrElse(Vector.empty)
+                           else Vector.empty
     val parentBlooms = if (mode == "append") parent.map(_.bloomStats).getOrElse(Map.empty)
                        else Map.empty[String, Map[String, String]]
     publish(branch, parent, message, schema,
@@ -428,7 +438,8 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       // overwrite replaces the snapshot, so none carry
       dvFiles = if (mode == "append") parent.map(_.dvFiles).getOrElse(Vector.empty)
                 else Vector.empty,
-      bloomStats = parentBlooms ++ newBlooms)
+      bloomStats = parentBlooms,
+      bloomCols = effBloomCols, bloomFiles = parentBloomFiles ++ sidecar)
   }
 
   /** Per-file min/max stats for `cols`, computed in ONE Spark job over the
@@ -499,42 +510,118 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     (num, str, nulls)
   }
 
-  /** Per-file BLOOM bitsets for `cols` (STRING columns), in ONE Spark job:
-    * each row contributes its k bit positions per column, deduped by the
-    * distinct — the driver receives at most files × cols × 16384 ints, a
-    * bounded metadata action (the same contract as [[collectFileStats]]).
-    * NULL values contribute the seed-only position — harmless, since an
-    * equality probe value is never NULL. */
+  /** Per-file BLOOM bitsets for `cols`, aggregated EXECUTOR-side (r19):
+    * each row's k bit positions per column are computed by the codegen'd
+    * `xxhash64` expression, partially deduped map-side (`collect_set` per
+    * (file, column) — ≤ 16384 ints per group per input partition cross
+    * the shuffle, never row-proportional), and each group's positions
+    * fold into its ~2 KB bitset INSIDE the task. The driver receives ONE
+    * bitset row per file × column — the same O(files) contract as
+    * [[collectFileStats]] — where the r18 shape collected every (file,
+    * column, position) triple (~4 orders of magnitude more; a 10k-file
+    * write could OOM the driver).
+    *
+    * STRING columns hash their UTF-8 bytes; INTEGRAL columns hash their
+    * cast-to-long twin, so byte/short/int/long key columns share one
+    * probe image ([[VersionedTable.bloomPositionsLong]]). NULL values
+    * contribute the seed-only position — harmless, since an equality
+    * probe value is never NULL. */
   private def collectFileBlooms(spark: SparkSession, files: Vector[String],
-                                cols: Seq[String]): Map[String, Map[String, String]] = {
-    import org.apache.spark.sql.functions.{array, col, explode, input_file_name, lit, pmod, struct, xxhash64}
-    if (cols.isEmpty || files.isEmpty) return Map.empty
+                                cols: Seq[String], schema: StructType)
+      : Vector[(String, String, Array[Byte])] = {
+    import org.apache.spark.sql.functions.{array, col, collect_set, explode, input_file_name, lit, pmod, struct, xxhash64}
+    if (cols.isEmpty || files.isEmpty) return Vector.empty
+    import spark.implicits._
     val m = VersionedTable.BloomMBits
+    def hashable(c: String) =
+      if (schema(c).dataType == org.apache.spark.sql.types.StringType) col(c)
+      else col(c).cast("long")
     val rows = spark.read.parquet(files.map(f => root.resolve(f).toString): _*)
       .select(input_file_name().as("__file"),
         explode(array(cols.zipWithIndex.map { case (c, ci) =>
           struct(lit(ci).as("ci"),
             array((0 until VersionedTable.BloomKHashes).map(i =>
-              pmod(xxhash64(lit(i), col(c)), lit(m.toLong)).cast("int")): _*).as("ps"))
+              pmod(xxhash64(lit(i), hashable(c)), lit(m.toLong)).cast("int")): _*).as("ps"))
         }: _*)).as("cp"))
       .select(col("__file"), col("cp.ci").as("ci"), explode(col("cp.ps")).as("p"))
-      .distinct().collect()
-    rows.groupBy(_.getString(0)).map { case (file, rs) =>
-      inputFileToRel(file) -> rs.groupBy(_.getInt(1)).map { case (ci, ps) =>
+      .groupBy(col("__file"), col("ci")).agg(collect_set(col("p")).as("ps"))
+      .as[(String, Int, Seq[Int])]
+      .map { case (file, ci, ps) =>
         val bits = new Array[Byte](m / 8)
-        ps.foreach { r =>
-          val p = r.getInt(2)
-          bits(p >> 3) = (bits(p >> 3) | (1 << (p & 7))).toByte
-        }
-        cols(ci) -> java.util.Base64.getEncoder.encodeToString(bits)
+        ps.foreach(p => bits(p >> 3) = (bits(p >> 3) | (1 << (p & 7))).toByte)
+        (file, ci, bits)
       }
-    }
+      .collect()
+    rows.map { case (file, ci, bits) =>
+      (inputFileToRel(file), cols(ci), bits)
+    }.toVector
   }
 
+  /** Persist one write batch's bloom entries as a sidecar `.bloom` file
+    * under the commit's data namespace ([[BloomIndex]]); returns its
+    * root-relative path (empty for an empty batch). Lives under `data/`
+    * so the existing vacuum sweep/retention machinery manages it like any
+    * data-plane artifact. */
+  private def writeBloomSidecar(branch: String, version: Long,
+                                entries: Seq[(String, String, Array[Byte])])
+      : Vector[String] =
+    if (entries.isEmpty) Vector.empty
+    else {
+      val rel = s"$branch-v$version-bloomidx-${java.util.UUID.randomUUID.toString.take(8)}"
+      val dir = dataDir.resolve(rel)
+      Files.createDirectories(dir)
+      val p = dir.resolve("index.bloom")
+      BloomIndex.write(p, entries)
+      Vector(root.relativize(p).toString)
+    }
+
   /** The bloom column set a commit tracks — what COW rewrites and sticky
-    * writes recompute for their new files. */
+    * writes recompute for their new files. Explicit field first (r19),
+    * unioned with the legacy inline index's columns. */
   private def bloomColsOf(c: Commit): Seq[String] =
-    c.bloomStats.valuesIterator.flatMap(_.keys).toSeq.distinct
+    (c.bloomCols ++ c.bloomStats.valuesIterator.flatMap(_.keys)).distinct
+
+  /** COW carry rule for the bloom index, shared by delete/update/merge/
+    * applyCdc: the parent's sidecars stay referenced (untouched files keep
+    * their entries; rewritten files' old entries go dead-but-harmless),
+    * legacy inline entries carry for untouched files only, and the
+    * rewritten files get a FRESH sidecar over the parent's sticky column
+    * set. Returns (bloomCols, bloomFiles, legacy inline carry) for
+    * [[publish]]. */
+  private def cowBloom(spark: SparkSession, parent: Commit, branch: String,
+                       untouchedSet: Set[String], newFiles: Vector[String],
+                       schema: StructType)
+      : (Seq[String], Vector[String], Map[String, Map[String, String]]) = {
+    val cols = bloomColsOf(parent).filter(c => schema.fieldNames.contains(c) &&
+      VersionedTable.bloomSupported(schema(c).dataType))
+    val sidecar = writeBloomSidecar(branch, parent.version + 1,
+      collectFileBlooms(spark, newFiles, cols, schema))
+    (cols, parent.bloomFiles ++ sidecar,
+      parent.bloomStats.view.filterKeys(untouchedSet).toMap)
+  }
+
+  /** Lazy bloom probe surface of a commit: `(relFile, col) → bitset`,
+    * merging the r19 sidecars with any legacy inline entries. Nothing is
+    * read until the FIRST probe (scans without point predicates never pay
+    * for the index); sidecar parses are memoized process-wide
+    * ([[BloomIndex.cached]]). Driver footprint per loaded commit is
+    * O(files × bloomCols × 2 KB) — the bounded metadata contract; a
+    * missing/corrupt sidecar degrades to "no bloom, never skip" rather
+    * than failing the scan. */
+  private[graft] def bloomLookup(c: Commit): (String, String) => Option[Array[Byte]] = {
+    if (c.bloomFiles.isEmpty && c.bloomStats.isEmpty) (_, _) => None
+    else {
+      lazy val side: Map[(String, String), Array[Byte]] =
+        c.bloomFiles.flatMap { f =>
+          try BloomIndex.cached(root.resolve(f))
+          catch { case scala.util.control.NonFatal(_) => Map.empty }
+        }.toMap
+      (file, colName) =>
+        side.get((file, colName)).orElse(
+          c.bloomStats.get(file).flatMap(_.get(colName))
+            .map(java.util.Base64.getDecoder.decode(_)))
+    }
+  }
 
   /** Delta-style MERGE (upsert): source rows REPLACE current rows sharing
     * their key (WHEN MATCHED UPDATE ALL) and are INSERTED otherwise, as a
@@ -655,6 +742,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
           Map.empty[String, Map[String, Long]])
       else collectFileStats(spark, newFiles, statCols, schema)
     val untouchedSet = untouched.toSet // O(1) lookups: stat carry is O(F), not O(F^2)
+    val (bCols, bFiles, bLegacy) = cowBloom(spark, parent, branch, untouchedSet, newFiles, schema)
     publish(branch, Some(parent),
       if (message.isEmpty) s"applyCdc on (${keyCols.mkString(", ")})" else message,
       schema, untouched ++ newFiles,
@@ -662,8 +750,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       strStats = parent.strStats.view.filterKeys(untouchedSet).toMap ++ newStrStats,
       nullStats = parent.nullStats.view.filterKeys(untouchedSet).toMap ++ newNullStats,
       dvFiles = parent.dvFiles, // untouched files keep their deletion vectors
-      bloomStats = parent.bloomStats.view.filterKeys(untouchedSet).toMap ++
-        collectFileBlooms(spark, newFiles, bloomColsOf(parent)))
+      bloomStats = bLegacy, bloomCols = bCols, bloomFiles = bFiles)
   }
 
   /** Generalized `MERGE INTO` (the full Delta/Spark statement, where
@@ -966,6 +1053,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
           Map.empty[String, Map[String, Long]])
       else collectFileStats(spark, newFiles, statCols, outSchema)
     val untouchedSet = untouched.toSet
+    val (bCols, bFiles, bLegacy) = cowBloom(spark, parent, branch, untouchedSet, newFiles, outSchema)
     publish(branch, Some(parent),
       if (message.isEmpty) s"merge into on ($on)" else message,
       outSchema, untouched ++ newFiles,
@@ -975,8 +1063,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       // untouched files keep their deletion vectors; touched files were read
       // with DVs applied and rewritten, leaving only harmless dead entries
       dvFiles = parent.dvFiles,
-      bloomStats = parent.bloomStats.view.filterKeys(untouchedSet).toMap ++
-        collectFileBlooms(spark, newFiles, bloomColsOf(parent)))
+      bloomStats = bLegacy, bloomCols = bCols, bloomFiles = bFiles)
   }
 
   /** Delta `DELETE FROM … WHERE`: remove the rows where `where` evaluates
@@ -1186,7 +1273,13 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     if (matched.isEmpty) return parent
     val rel = s"$branch-v${parent.version + 1}-dv-${java.util.UUID.randomUUID.toString.take(8)}"
     val out = dataDir.resolve(rel)
-    matched.write.mode("overwrite").parquet(out.toString)
+    // sorted WITHIN partitions by (fk, pos): each DV part-file's row
+    // groups cluster by file key, so the per-TASK DV load (r19,
+    // [[graft.sources.DvTaskLoader]]) prunes the DV parquet by row-group
+    // stats down to ~O(its own file's deletions). No extra shuffle — the
+    // matched scan's own partitioning (and its parallelism) is preserved
+    matched.sortWithinPartitions("fk", "pos")
+      .write.mode("overwrite").parquet(out.toString)
     val dvNew = listDir(out).filter(_.getFileName.toString.endsWith(".parquet"))
       .map(p => root.relativize(p).toString).sorted
     publish(branch, Some(parent),
@@ -1196,7 +1289,8 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       dvFiles = parent.dvFiles ++ dvNew,
       // blooms carry verbatim: a deleted row's bits become false positives,
       // which only KEEP files — skipping stays sound
-      bloomStats = parent.bloomStats)
+      bloomStats = parent.bloomStats,
+      bloomCols = parent.bloomCols, bloomFiles = parent.bloomFiles)
   }
 
   def delete(spark: SparkSession, where: String, branch: String = "main",
@@ -1233,6 +1327,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
           Map.empty[String, Map[String, Long]])
       else collectFileStats(spark, newFiles, statCols, schema)
     val untouchedSet = untouched.toSet // O(1) lookups: stat carry is O(F), not O(F^2)
+    val (bCols, bFiles, bLegacy) = cowBloom(spark, parent, branch, untouchedSet, newFiles, schema)
     publish(branch, Some(parent),
       if (message.isEmpty) s"delete where ($where)" else message,
       schema, untouched ++ newFiles,
@@ -1242,8 +1337,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       // untouched files keep their deletion vectors; touched files were read
       // with DVs applied and rewritten, leaving only harmless dead entries
       dvFiles = parent.dvFiles,
-      bloomStats = parent.bloomStats.view.filterKeys(untouchedSet).toMap ++
-        collectFileBlooms(spark, newFiles, bloomColsOf(parent)))
+      bloomStats = bLegacy, bloomCols = bCols, bloomFiles = bFiles)
   }
 
   /** Row-level UPDATE (Delta `UPDATE t SET c = e WHERE p`) over the same
@@ -1306,6 +1400,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
           Map.empty[String, Map[String, Long]])
       else collectFileStats(spark, newFiles, statCols, schema)
     val untouchedSet = untouched.toSet // O(1) lookups: stat carry is O(F), not O(F^2)
+    val (bCols, bFiles, bLegacy) = cowBloom(spark, parent, branch, untouchedSet, newFiles, schema)
     publish(branch, Some(parent),
       if (message.isEmpty) s"update set (${set.keys.toSeq.sorted.mkString(", ")}) where ($where)"
       else message,
@@ -1316,8 +1411,23 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       // untouched files keep their deletion vectors; touched files were read
       // with DVs applied and rewritten, leaving only harmless dead entries
       dvFiles = parent.dvFiles,
-      bloomStats = parent.bloomStats.view.filterKeys(untouchedSet).toMap ++
-        collectFileBlooms(spark, newFiles, bloomColsOf(parent)))
+      bloomStats = bLegacy, bloomCols = bCols, bloomFiles = bFiles)
+  }
+
+  /** Publish an EMPTY v0 snapshot carrying only a schema — SQL
+    * `CREATE TABLE`'s registration commit
+    * ([[graft.sources.VtCatalog.createTable]]): the table then EXISTS for
+    * every later load (schema pinned, zero files, COUNT(*) = 0 from
+    * metadata), and a CTAS's data lands as v1 through the ordinary append
+    * path. O(metadata); goes through the same version-slot CAS as any
+    * commit, so two racing CREATEs produce one winner and one clean
+    * conflict. */
+  private[graft] def createEmpty(branch: String, schema: StructType,
+                                 message: String): Commit = synchronized {
+    guardWritable(branch)
+    require(head(branch).isEmpty,
+      s"branch $branch already has commits — CREATE TABLE needs a fresh table")
+    publish(branch, None, message, schema, Vector.empty)
   }
 
   /** Stage a snapshot on `branch` without committing (lakeFS staging area,
@@ -1373,7 +1483,9 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
                       strStats: Map[String, Map[String, (String, String)]] = Map.empty,
                       dvFiles: Vector[String] = Vector.empty,
                       nullStats: Map[String, Map[String, Long]] = Map.empty,
-                      bloomStats: Map[String, Map[String, String]] = Map.empty): Commit = {
+                      bloomStats: Map[String, Map[String, String]] = Map.empty,
+                      bloomCols: Seq[String] = Nil,
+                      bloomFiles: Vector[String] = Vector.empty): Commit = {
     val version = parent.map(_.version + 1).getOrElse(0L)
     val id = s"$branch-v$version-${java.util.UUID.randomUUID.toString.take(8)}"
     // Per-file row counts (Delta numRecords): inherited from either parent's
@@ -1401,7 +1513,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     }.toMap
     val c = Commit(id, parent.map(_.id), version, files, schema.json, message,
       System.currentTimeMillis(), stats, mergeParent, strStats, dvFiles, rowCounts,
-      nullStats, fileSizes, bloomStats)
+      nullStats, fileSizes, bloomStats, bloomCols, bloomFiles)
     // pre-commit hooks (lakeFS Actions) see the full candidate and may throw;
     // running BEFORE the slot claim means an abort leaves no claimed slot to
     // sweep — only orphan data files the next vacuum reclaims.
@@ -1876,7 +1988,8 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
         if (message.isEmpty) s"restore tag $name" else message,
         DataType.fromJson(target.schemaJson).asInstanceOf[StructType], target.files,
         target.stats, strStats = target.strStats, nullStats = target.nullStats,
-        dvFiles = target.dvFiles, bloomStats = target.bloomStats)
+        dvFiles = target.dvFiles, bloomStats = target.bloomStats,
+      bloomCols = target.bloomCols, bloomFiles = target.bloomFiles)
     }
 
   /** lakeFS `tag delete`: the commit becomes vacuumable again (if nothing
@@ -1970,7 +2083,9 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
         // deletion vectors union: concurrent merge-on-read deletes compose —
         // the merged snapshot subtracts BOTH sides' deleted positions
         dvFiles = (dst.dvFiles ++ src.dvFiles).distinct.sorted,
-        bloomStats = dst.bloomStats ++ src.bloomStats)
+        bloomStats = dst.bloomStats ++ src.bloomStats,
+        bloomCols = (dst.bloomCols ++ src.bloomCols).distinct,
+        bloomFiles = (dst.bloomFiles ++ src.bloomFiles).distinct.sorted)
     }
   }
 
@@ -1982,7 +2097,31 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     publish(branch, head(branch), if (message.isEmpty) s"revert to v$toVersion" else message,
       DataType.fromJson(target.schemaJson).asInstanceOf[StructType], target.files,
       target.stats, strStats = target.strStats, nullStats = target.nullStats,
-      dvFiles = target.dvFiles, bloomStats = target.bloomStats)
+      dvFiles = target.dvFiles, bloomStats = target.bloomStats,
+      bloomCols = target.bloomCols, bloomFiles = target.bloomFiles)
+  }
+
+  /** [[revert]] with the parent PINNED to `raced` — the raced-first-write
+    * repair ([[graft.sources.VtDataSource]]). A plain `revert` re-reads the
+    * branch head internally, so a third writer landing between the caller's
+    * head check and that read would become the revert's parent and be
+    * silently reverted out of head. Pinning the parent makes the repair
+    * target exactly slot `raced.version + 1`: a third writer's claim of
+    * that slot fails this publish's CAS
+    * ([[java.util.ConcurrentModificationException]]) and the repair is
+    * SKIPPED — it can only ever undo `raced` itself, never a later commit.
+    * The restored snapshot is `raced`'s own parent (the concurrent winner
+    * the mode contract says should own the table). */
+  private[graft] def revertRaced(branch: String, raced: Commit,
+                                 message: String): Commit = synchronized {
+    guardWritable(branch)
+    val target = loadCommit(raced.parent.getOrElse(throw new IllegalStateException(
+      s"revertRaced needs a raced commit with a parent, got root ${raced.id}")))
+    publish(branch, Some(raced), message,
+      DataType.fromJson(target.schemaJson).asInstanceOf[StructType], target.files,
+      target.stats, strStats = target.strStats, nullStats = target.nullStats,
+      dvFiles = target.dvFiles, bloomStats = target.bloomStats,
+      bloomCols = target.bloomCols, bloomFiles = target.bloomFiles)
   }
 
   /** lakeFS `cherry-pick` (lakectl's single-commit transplant): apply the
@@ -2038,7 +2177,11 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
         picked.nullStats.view.filterKeys(added.contains).toMap,
       dvFiles = (dst.dvFiles ++ dvAdded).distinct.sorted.toVector,
       bloomStats = dst.bloomStats.view.filterKeys(files.contains).toMap ++
-        picked.bloomStats.view.filterKeys(added.contains).toMap)
+        picked.bloomStats.view.filterKeys(added.contains).toMap,
+      bloomCols = (dst.bloomCols ++ picked.bloomCols).distinct,
+      // picked sidecars carry whole; entries for files the pick did not
+      // transplant are dead-but-harmless (lookups key on live file names)
+      bloomFiles = (dst.bloomFiles ++ picked.bloomFiles).distinct.sorted)
   }
 
   // ---- vacuum (jobs/vdt4.py:84-85, V9) -----------------------------------
@@ -2128,14 +2271,18 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     branches.filter(hasStaged).flatMap(b =>
       CommitLog.fromJson(store.read(refsDir.resolve(b + ".staged"))).files)
 
-  /** Delete every data file not in `retained` (or just COUNT them when
-    * `dryRun`); prune emptied commit dirs. */
+  /** Delete every data-plane file not in `retained` (or just COUNT them
+    * when `dryRun`); prune emptied commit dirs. Covers parquet (data +
+    * deletion vectors) AND `.bloom` index sidecars — an orphaned sidecar
+    * is reclaimable garbage exactly like an orphaned data file. */
   private def sweep(retained: Set[String], dryRun: Boolean = false): Int = {
+    def dataPlane(name: String): Boolean =
+      name.endsWith(".parquet") || name.endsWith(".bloom")
     if (!Files.exists(dataDir)) return 0
     val walk = Files.walk(dataDir)
     val all =
       try walk.iterator().asScala
-        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+        .filter(p => Files.isRegularFile(p) && dataPlane(p.getFileName.toString))
         .map(p => root.relativize(p).toString).toVector
       finally walk.close()
     val dead = all.filterNot(retained.contains)
@@ -2144,7 +2291,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     // prune now-empty commit directories
     listDir(dataDir).foreach { d =>
       if (Files.isDirectory(d) && !listDir(d).exists(p =>
-            p.getFileName.toString.endsWith(".parquet")))
+            dataPlane(p.getFileName.toString)))
         graft.Tables.deleteRecursively(d)
     }
     dead.size
@@ -2352,6 +2499,64 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
                     colB: String, numFiles: Int = 8, maxRetries: Int = 3): Commit =
     compactZorder(spark, branch, Seq(colA, colB), numFiles, maxRetries)
 
+  /** Delta `OPTIMIZE … WHERE` (r19): SELECTIVE compaction — only the files
+    * whose commit-log stats windows intersect `where` (the same
+    * [[statsCandidates]] test delete/update prune with) are rewritten,
+    * coalesced into `numFiles` (z-ordered when `zorderCols` is set); every
+    * other file carries with its IDENTITY, stats, and bloom entries
+    * untouched. On a petabyte table this compacts yesterday's hot
+    * partition's small files without touching the cold 99%, and the
+    * file-granular CDC diff over the interval cancels exactly (rows are
+    * unchanged). Touched files are read with their deletion vectors
+    * APPLIED, so the rewrite also materializes away the region's DVs;
+    * untouched files keep theirs. A predicate whose stats provably match
+    * no file (or a stats-free table where nothing can be excluded — then
+    * everything rewrites, like bare OPTIMIZE) behaves accordingly;
+    * matching zero files is a no-op returning the unchanged head. Retries
+    * through the same lost-race-rebase rule as [[compact]]. */
+  def compactWhere(spark: SparkSession, branch: String, where: String,
+                   numFiles: Int = 1, zorderCols: Seq[String] = Nil,
+                   maxRetries: Int = 3): Commit =
+    retryLayoutCommit(maxRetries) { () =>
+      guardWritable(branch)
+      val parent = head(branch).getOrElse(
+        throw new IllegalArgumentException(s"no such branch: $branch"))
+      val touchedSet = statsCandidates(parent, where).toSet
+      if (touchedSet.isEmpty) parent
+      else synchronized {
+        val (touched, untouched) = parent.files.partition(touchedSet.contains)
+        val schema = DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]
+        val rows = readCommit(spark, parent.copy(files = touched))
+        val layout =
+          if (zorderCols.nonEmpty) graft.ops.Scale.zorderLayout(rows, zorderCols, numFiles)
+          else rows.repartition(numFiles)
+        val newFiles = writeDataFiles(layout, branch, parent.version + 1)
+        val statCols = (parent.stats.values.flatMap(_.keys) ++
+          parent.strStats.values.flatMap(_.keys) ++ zorderCols).toSeq.distinct
+          .filter(schema.fieldNames.contains)
+        val (newStats, newStrStats, newNullStats) =
+          if (statCols.isEmpty || newFiles.isEmpty)
+            (Map.empty[String, Map[String, (Double, Double)]],
+              Map.empty[String, Map[String, (String, String)]],
+              Map.empty[String, Map[String, Long]])
+          else collectFileStats(spark, newFiles, statCols, schema)
+        val untouchedSet = untouched.toSet
+        val (bCols, bFiles, bLegacy) = cowBloom(spark, parent, branch, untouchedSet, newFiles, schema)
+        publish(branch, Some(parent),
+          s"optimize where ($where)" +
+            (if (zorderCols.nonEmpty) s" zorder by (${zorderCols.mkString(", ")})" else ""),
+          schema, untouched ++ newFiles,
+          parent.stats.view.filterKeys(untouchedSet).toMap ++ newStats,
+          strStats = parent.strStats.view.filterKeys(untouchedSet).toMap ++ newStrStats,
+          nullStats = parent.nullStats.view.filterKeys(untouchedSet).toMap ++ newNullStats,
+          // untouched files keep their deletion vectors; the touched
+          // region's DVs were applied during the rewrite (dead entries stay
+          // harmless)
+          dvFiles = parent.dvFiles,
+          bloomStats = bLegacy, bloomCols = bCols, bloomFiles = bFiles)
+      }
+    }
+
   /** V10 upload/rm analog: raw object ops under the table root (staging dir). */
   /** Export `branch`'s lineage as a Delta `_delta_log` INSIDE the table root
     * — zero-copy protocol interop ([[DeltaLogWriter]]): the add actions
@@ -2463,25 +2668,55 @@ object VersionedTable {
   private[graft] val BloomMBits = 16384
   private[graft] val BloomKHashes = 3
 
-  /** The k bit positions of a probe value — the driver-side twin of the
-    * write-side expression. */
+  /** Column types a bloom index can hash with an exactly reproducible
+    * probe image: strings (UTF-8 bytes) and integrals (the cast-to-long
+    * twin — byte/short/int/long share one image). */
+  private[graft] def bloomSupported(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt == org.apache.spark.sql.types.StringType ||
+      dt == org.apache.spark.sql.types.ByteType ||
+      dt == org.apache.spark.sql.types.ShortType ||
+      dt == org.apache.spark.sql.types.IntegerType ||
+      dt == org.apache.spark.sql.types.LongType
+
+  private def bloomSeed(i: Int): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    XxHash64Function.hash(i, org.apache.spark.sql.types.IntegerType, 42L)
+  }
+
+  /** The k bit positions of a STRING probe value — the driver-side twin of
+    * the write-side `xxhash64(lit(i), col)` expression. */
   private[graft] def bloomPositions(value: String): Array[Int] = {
     import org.apache.spark.sql.catalyst.expressions.XxHash64Function
     Array.tabulate(BloomKHashes) { i =>
-      val seed = XxHash64Function.hash(i, org.apache.spark.sql.types.IntegerType, 42L)
       val h = XxHash64Function.hash(
         org.apache.spark.unsafe.types.UTF8String.fromString(value),
-        org.apache.spark.sql.types.StringType, seed)
+        org.apache.spark.sql.types.StringType, bloomSeed(i))
       java.lang.Math.floorMod(h, BloomMBits.toLong).toInt
     }
   }
 
-  /** Membership probe against a commit-log bloom (base64 bitset): false
-    * means PROVABLY absent (prune the file); true means "maybe" (keep). */
-  private[graft] def bloomMightContain(b64: String, value: String): Boolean = {
-    val bits = java.util.Base64.getDecoder.decode(b64)
-    bloomPositions(value).forall(p => (bits(p >> 3) & (1 << (p & 7))) != 0)
+  /** The k bit positions of an INTEGRAL probe value — the driver-side twin
+    * of the write-side `xxhash64(lit(i), col.cast("long"))` expression
+    * (one long image for byte/short/int/long key columns). */
+  private[graft] def bloomPositionsLong(value: Long): Array[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    Array.tabulate(BloomKHashes) { i =>
+      val h = XxHash64Function.hash(value, org.apache.spark.sql.types.LongType,
+        bloomSeed(i))
+      java.lang.Math.floorMod(h, BloomMBits.toLong).toInt
+    }
   }
+
+  private def bitsHave(bits: Array[Byte], ps: Array[Int]): Boolean =
+    ps.forall(p => (bits(p >> 3) & (1 << (p & 7))) != 0)
+
+  /** Membership probe against a bloom bitset: false means PROVABLY absent
+    * (prune the file); true means "maybe" (keep). */
+  private[graft] def bloomMightContain(bits: Array[Byte], value: String): Boolean =
+    bitsHave(bits, bloomPositions(value))
+
+  private[graft] def bloomMightContainLong(bits: Array[Byte], value: Long): Boolean =
+    bitsHave(bits, bloomPositionsLong(value))
 
   /** Unsigned UTF-8 byte comparison — the ordering Spark's string min/max
     * stats are computed under (UTF8String binary compare). */

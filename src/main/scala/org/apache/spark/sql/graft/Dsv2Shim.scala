@@ -54,4 +54,14 @@ object Dsv2Shim {
     * filtering. */
   def columnRef(name: String): org.apache.spark.sql.connector.expressions.NamedReference =
     org.apache.spark.sql.connector.expressions.FieldReference.column(name)
+
+  /** A Hadoop `Configuration` wrapped for task serialization
+    * (`SerializableConfiguration` is `private[spark]`) — what a reader
+    * factory ships so EXECUTOR-side file access (e.g. per-task deletion-
+    * vector loads) sees the session's filesystem configuration. */
+  def serializableConf(conf: org.apache.hadoop.conf.Configuration): AnyRef =
+    new org.apache.spark.util.SerializableConfiguration(conf)
+
+  def confOf(wrapped: AnyRef): org.apache.hadoop.conf.Configuration =
+    wrapped.asInstanceOf[org.apache.spark.util.SerializableConfiguration].value
 }

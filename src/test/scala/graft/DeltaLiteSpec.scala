@@ -316,4 +316,63 @@ class DeltaLiteSpec extends SparkSpec {
       case s: FileSourceScanExec => s
     }.isEmpty, "DV snapshots must take the delegating fallback, not a bare scan")
   }
+
+  test("r19 dlite catalog: runtime join keys skip foreign-Delta files ghost-proof; time travel + fallbacks exact") {
+    import graft.vt.VersionedTable
+    // an EXPORTED vt table is a stock Delta table with per-file stats —
+    // the foreign fact-table shape the runtime filter exists for
+    val vt = VersionedTable.create(Tables.scratch("dlite_cat_rt"))
+    def part(lo: Long, hi: Long) = spark.range(lo, hi + 1)
+      .select(col("id").as("k"), (col("id") % 7).as("v")).coalesce(1)
+    vt.write(part(1, 100), "main", "A", statsCols = Seq("k"))
+    vt.write(part(101, 200), "main", "B", mode = "append", statsCols = Seq("k"))
+    vt.write(part(201, 300), "main", "C", mode = "append", statsCols = Seq("k"))
+    vt.exportDeltaLog("main")
+    spark.conf.set("spark.sql.catalog.dlite",
+      classOf[graft.sources.DeltaLiteCatalog].getName)
+    val t = s"dlite.`${vt.root}`"
+    // dim MUST be parquet-backed: the DPP rule skips LocalRelation builds
+    val dimPath = Tables.scratch("dlite_cat_dim")
+    Seq((120L, "x"), (130L, "x"), (140L, "y")).toDF("dk", "grp")
+      .write.mode("overwrite").parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView("dlite_dim")
+    // ghost file C: only the RUNTIME join-key filter could prune it (the
+    // query has no static predicate on k) — success proves the skip
+    val head = vt.head("main").get
+    val cFile = head.files.find(f => head.stats(f)("k")._1 >= 201.0).get
+    val tmp = vt.root.resolve("dlite_ghost.parquet")
+    Files.move(vt.root.resolve(cFile), tmp)
+    try {
+      val q = spark.sql(
+        s"""SELECT sum(f.k) AS s FROM $t f JOIN dlite_dim d ON f.k = d.dk
+           |WHERE d.grp = 'x'""".stripMargin)
+      assert(q.as[Long].head() === 250L)
+      val finalPlan = q.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val scanExec = finalPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.get
+      assert(scanExec.runtimeFilters.nonEmpty, "the join must inject a runtime filter")
+      assert(scanExec.scan.isInstanceOf[graft.sources.DeltaDfScan],
+        s"native foreign-Delta reads take DeltaDfScan, got ${scanExec.scan}")
+    } finally Files.move(tmp, vt.root.resolve(cFile))
+    // SQL time travel through the catalog
+    assert(spark.sql(s"SELECT count(*) AS c FROM $t VERSION AS OF 0")
+      .as[Long].head() === 100L)
+    // static pushdown still prunes via the exported stats (scan-level pin)
+    val qs = spark.sql(s"SELECT count(*) AS c FROM $t WHERE k >= 201")
+    assert(qs.as[Long].head() === 100L)
+    // a DV-carrying export falls back to the V1 relation — correct, no
+    // resurrection — and an out-of-range version errors loudly
+    vt.deleteWithVectors(spark, "k % 2 = 0", "main")
+    vt.exportDeltaLog("main")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $t").as[Long].head() === 150L)
+    assert(spark.sql(s"SELECT sum(k) AS s FROM $t WHERE k <= 10").as[Long].head()
+      === Seq(1L, 3L, 5L, 7L, 9L).sum)
+    intercept[Exception](
+      spark.sql(s"SELECT count(*) AS c FROM $t VERSION AS OF 99").collect())
+  }
 }

@@ -401,6 +401,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: LONG-keyed bloom lookups never miss an existing key (cast-to-long image, extreme magnitudes)") {
+    // r19: integral bloomCols hash the cast-to-long twin executor-side
+    // (`xxhash64(lit(i), col.cast("long"))`); the driver probe
+    // ([[graft.vt.VersionedTable.bloomPositionsLong]]) must be bit-identical
+    // for EVERY long, including negatives and |v| near Long range — a
+    // divergence silently prunes a file holding the key.
+    val keyGen: Gen[Long] = Gen.oneOf(
+      Gen.choose(-1000L, 1000L),
+      Gen.choose(Long.MinValue, Long.MaxValue),
+      Gen.oneOf(0L, -1L, Long.MinValue, Long.MaxValue,
+        9007199254740992L, 9007199254740993L, -9007199254740993L))
+    val rowsGen: Gen[List[(Long, Int)]] = Gen.listOfN(40,
+      for { k <- keyGen; v <- Gen.choose(0, 999) } yield (k, v))
+    samples(rowsGen, 4).zipWithIndex.foreach { case (rows, i) =>
+      if (rows.nonEmpty) {
+        val vt = VersionedTable.create(Tables.scratch(s"prop_bloom_long_$i"))
+        vt.write(rows.toDF("k", "v").repartition(3), "main", "v0",
+          bloomCols = Seq("k"))
+        val table = spark.read.format("vt").option("path", vt.root.toString).load()
+        def bag(rs: Seq[(Long, Int)]) = rs.groupBy(identity).view.mapValues(_.length).toMap
+        rows.map(_._1).distinct.foreach { k =>
+          val got = table.where(col("k") === k).as[(Long, Int)].collect().toSeq
+          assert(bag(got) === bag(rows.filter(_._1 == k)), s"case $i key $k")
+        }
+        // a mixed IN list (present + probably-absent) equals the naive filter
+        val probe = rows.map(_._1).distinct.take(3) ++ Seq(1234567891011L, -42L)
+        val gotIn = table.where(col("k").isin(probe: _*)).as[(Long, Int)].collect().toSeq
+        assert(bag(gotIn) === bag(rows.filter(r => probe.contains(r._1))), s"case $i IN")
+      }
+    }
+  }
+
   test("property: copy-on-write UPDATE equals the naive full-table rewrite on random data") {
     // The stats pruning + touched-file restriction are OPTIMIZATIONS: for any
     // layout, range predicate, and SET expressions, update's result must be

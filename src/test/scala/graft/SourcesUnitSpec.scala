@@ -60,6 +60,54 @@ class SourcesUnitSpec extends AnyFunSuite {
     assert(StatsWindows.nullWindows(k > Literal(5)) === Nil)
   }
 
+  test("StatsWindows: non-value-faithful float upcasts never window or probe (r19 soundness fix)") {
+    val l = AttributeReference("l", LongType)()
+    val i = AttributeReference("i", IntegerType)()
+    // float(2^30+1) == 2^30f while the stats image is the exact double
+    // 2^30+1: a point window from the unwrapped cast would wrongly prune
+    // the file holding the matching row — the unwrap must refuse
+    val f = Literal(1073741824f) // 2^30 as a float
+    assert(StatsWindows.windows(Cast(l, org.apache.spark.sql.types.FloatType) === f) === Nil)
+    assert(StatsWindows.windows(Cast(i, org.apache.spark.sql.types.FloatType) === f) === Nil)
+    assert(StatsWindows.pointProbes(Cast(l, org.apache.spark.sql.types.FloatType) === f) === Nil)
+    // value-faithful upcasts still unwrap: long→double shares the stats'
+    // rounding, int→long/int→double are exact
+    assert(StatsWindows.windows(Cast(l, DoubleType) === Literal(5.0)) ===
+      List("l" -> Left(List((5.0, 5.0)))))
+    assert(StatsWindows.windows(Cast(i, LongType) === Literal(7L)) ===
+      List("i" -> Left(List((7.0, 7.0)))))
+  }
+
+  test("StatsWindows: point probes carry exact typed images; inexact values refuse (r19 bloom probes)") {
+    val l = AttributeReference("l", LongType)()
+    val s = AttributeReference("s", StringType)()
+    assert(StatsWindows.pointProbes(l === Literal(42L)) ===
+      List("l" -> Left(List(42L))))
+    assert(StatsWindows.pointProbes(Cast(l, DoubleType) === Literal(42.0)) ===
+      List("l" -> Left(List(42L))))
+    // a whole double AT 2^53: multiple longs share that rounded image —
+    // probing one preimage would wrongly prune the others; refuse
+    assert(StatsWindows.pointProbes(
+      Cast(l, DoubleType) === Literal(9007199254740992.0)) === Nil)
+    assert(StatsWindows.pointProbes(Cast(l, DoubleType) === Literal(42.5)) === Nil)
+    assert(StatsWindows.pointProbes(s === Literal("abc")) ===
+      List("s" -> Right(List("abc"))))
+    assert(StatsWindows.pointProbes(In(l, Seq(Literal(1L), Literal(2L)))) ===
+      List("l" -> Left(List(1L, 2L))))
+    // a partially-recognized IN list probes nothing
+    assert(StatsWindows.pointProbes(InSet(l, Set[Any](1L, UTF8String.fromString("x")))) === Nil)
+    // ranges are not points
+    assert(StatsWindows.pointProbes(l > Literal(5L)) === Nil)
+    // external-filter front end: boxed numbers and strings
+    import org.apache.spark.sql.{sources => fsrc}
+    assert(StatsWindows.filterPointProbes(fsrc.EqualTo("l", java.lang.Long.valueOf(7L))) ===
+      List("l" -> Left(List(7L))))
+    assert(StatsWindows.filterPointProbes(fsrc.In("s", Array[Any]("a", "b"))) ===
+      List("s" -> Right(List("a", "b"))))
+    assert(StatsWindows.filterPointProbes(fsrc.EqualTo("l",
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))) === Nil)
+  }
+
   test("StatsWindows: IN lists become unions of point windows (both In and InSet forms)") {
     val k = AttributeReference("k", IntegerType)()
     val s = AttributeReference("s", StringType)()

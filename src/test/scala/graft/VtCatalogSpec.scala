@@ -525,6 +525,140 @@ class VtCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) AS c FROM $t WHERE k > 3").as[Long].head() === 3L)
   }
 
+  test("r19 OPTIMIZE WHERE: only the predicate's files rewrite; untouched files keep identity, stats, and CDC silence") {
+    import graft.sources.VtUtilitySql
+    registerCatalog()
+    val vt = VersionedTable.create(Tables.scratch("vtcat_opt_where"))
+    vt.write(spark.range(1, 101).toDF("k").repartition(1), "main", "cold",
+      statsCols = Seq("k"))
+    vt.write(spark.range(101, 201).toDF("k").repartition(4), "main",
+      "hot small files", mode = "append", statsCols = Seq("k"))
+    val before = vt.head("main").get
+    val cold = before.files.filter(f => before.stats(f)("k")._2 <= 100.0)
+    assert(cold.size === 1 && before.files.size === 5)
+    val t = s"vt.`${vt.root}`"
+    VtUtilitySql.exec(spark, s"OPTIMIZE $t WHERE k >= 101").collect()
+    val after = vt.head("main").get
+    assert(after.version === before.version + 1)
+    // untouched region: same file identity, same stats entry — the rewrite
+    // never touched (or even read) the cold file
+    cold.foreach { f =>
+      assert(after.files.contains(f), s"cold file $f must keep its identity")
+      assert(after.stats(f) === before.stats(f))
+    }
+    // the four hot files coalesced into one
+    assert(after.files.size === cold.size + 1)
+    assert(spark.sql(s"SELECT sum(k) AS s FROM $t").as[Long].head()
+      === (1L to 200L).sum)
+    // layout-only: the file-granular CDC diff over the interval cancels
+    assert(vt.changes(spark, "main", before.version, after.version).count() === 0L)
+    // a predicate matching no file is a no-op (no empty commit churn)
+    assert(vt.compactWhere(spark, "main", "k >= 100000").version === after.version)
+    // WHERE + ZORDER composes: the selected region is z-ordered in place
+    VtUtilitySql.exec(spark, s"OPTIMIZE $t FILES 2 WHERE k >= 101 ZORDER BY (k)").collect()
+    val zafter = vt.head("main").get
+    assert(zafter.version === after.version + 1)
+    cold.foreach(f => assert(zafter.files.contains(f)))
+    assert(spark.sql(s"SELECT sum(k) AS s FROM $t").as[Long].head()
+      === (1L to 200L).sum)
+  }
+
+  test("r19 DDL: CREATE TABLE / CTAS / DROP TABLE; a failed CTAS leaves no committed table") {
+    registerCatalog()
+    val path = Tables.scratch("vtcat_ctas")
+    val t = s"vt.`$path`"
+    spark.sql(s"CREATE TABLE $t AS SELECT id AS k, id * 2 AS v FROM range(100)").collect()
+    assert(spark.sql(s"SELECT count(*) AS c, sum(v) AS s FROM $t")
+      .as[(Long, Long)].head() === ((100L, 9900L)))
+    val vt = VersionedTable.open(path)
+    assert(vt.head("main").get.version === 1L, "v0 = CREATE (empty), v1 = the data")
+    assert(vt.readVersion(spark, "main", 0).count() === 0L,
+      "time travel reaches the empty schema-pinning commit")
+    assert(vt.readVersion(spark, "main", 0).schema.fieldNames.toSeq === Seq("k", "v"))
+    // CTAS / CREATE on an existing table refuses
+    intercept[Exception](spark.sql(s"CREATE TABLE $t AS SELECT 1 AS x").collect())
+    // plain CREATE TABLE + INSERT round-trips; empty COUNT is metadata-only
+    val path2 = Tables.scratch("vtcat_create_plain")
+    val t2 = s"vt.`$path2`"
+    spark.sql(s"CREATE TABLE $t2 (k BIGINT, v STRING)").collect()
+    assert(spark.sql(s"SELECT count(*) AS c FROM $t2").as[Long].head() === 0L)
+    spark.sql(s"INSERT INTO $t2 VALUES (1, 'a'), (2, 'b')").collect()
+    assert(spark.sql(s"SELECT sum(k) AS s FROM $t2").as[Long].head() === 3L)
+    // PARTITIONED BY refuses (versioned tables cluster via ZORDER instead)
+    val path3 = Tables.scratch("vtcat_ctas_part")
+    intercept[Exception](
+      spark.sql(s"CREATE TABLE vt.`$path3` (k BIGINT) PARTITIONED BY (k)").collect())
+    // failed CTAS: the exec node drops the half-created table — nothing
+    // committed, nothing left to load
+    val path4 = Tables.scratch("vtcat_ctas_fail")
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE vt.`$path4` AS " +
+        "SELECT assert_true(id < 5) AS a, id FROM range(10)").collect())
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path4).resolve("_graft_table")),
+      "a failed CTAS must leave no committed table behind")
+    intercept[Exception](spark.sql(s"SELECT * FROM vt.`$path4`").collect())
+    // DROP TABLE removes a verified table root; refuses non-table paths
+    spark.sql(s"DROP TABLE $t2").collect()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path2)))
+    val notATable = Tables.scratch("vtcat_not_a_table")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(notATable))
+    val cat = new graft.sources.VtCatalog()
+    cat.initialize("vt", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Collections.emptyMap()))
+    assert(!cat.dropTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array.empty, notATable)), "dropTable must refuse a non-table path")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(notATable)))
+  }
+
+  test("r19 MOR: COUNT(*) answers from metadata + DV parquet alone; partitions ship keys, tasks load their own DV") {
+    registerCatalog()
+    val vt = VersionedTable.create(Tables.scratch("vtcat_mor_count"))
+    vt.write((1L to 100L).toDF("k").repartition(2), "main", "v0", statsCols = Seq("k"))
+    vt.deleteWithVectors(spark, "k % 10 = 0", "main") // 10 rows gone, 2 files kept
+    val t = s"vt.`${vt.root}`"
+    // the driver never materializes positions: every planned partition
+    // carries only (split, file key, dv paths) — no Array[Long] anywhere
+    val q0 = spark.sql(s"SELECT k FROM $t")
+    q0.collect()
+    val scan = q0.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.get
+    assert(scan.scan.isInstanceOf[graft.sources.VtMorScan])
+    scan.scan.toBatch.planInputPartitions().foreach {
+      case p: Product =>
+        assert(!p.productIterator.exists(_.isInstanceOf[Array[Long]]),
+          s"a MOR input partition must not ship deleted positions: $p")
+      case other => fail(s"unexpected partition shape $other")
+    }
+    // GHOST the data plane (DV parquet stays): COUNT(*) = Σ rowCounts −
+    // Σ distinct DV positions — provable without touching a data file
+    val head = vt.head("main").get
+    val tmp = vt.root.resolve("ghost_mor")
+    java.nio.file.Files.createDirectories(tmp)
+    head.files.foreach { f =>
+      java.nio.file.Files.move(vt.root.resolve(f), tmp.resolve(f.replace('/', '_')))
+    }
+    try {
+      val q = spark.sql(s"SELECT count(*) AS c FROM $t")
+      assert(q.as[Long].head() === 90L)
+      assert(q.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+        s"the MOR count must plan as a local relation:\n${q.queryExecution.executedPlan}")
+      // value-dependent aggregates stay refused under DVs (the deleted
+      // rows' values are unknown) → real scan → loud failure on ghosts
+      intercept[Exception](spark.sql(s"SELECT max(k) AS m FROM $t").collect())
+      intercept[Exception](
+        spark.sql(s"SELECT count(*) AS c FROM $t WHERE k > 3").collect())
+    } finally head.files.foreach { f =>
+      java.nio.file.Files.move(tmp.resolve(f.replace('/', '_')), vt.root.resolve(f))
+    }
+    // files restored: the per-task DV load yields the exact live rows
+    assert(spark.sql(s"SELECT sum(k) AS s FROM $t").as[Long].head()
+      === (1L to 100L).filter(_ % 10 != 0).sum)
+    assert(spark.sql(s"SELECT count(*) AS c FROM $t WHERE k > 3").as[Long].head()
+      === (4L to 100L).count(_ % 10 != 0).toLong)
+  }
+
   test("utility SQL r18: 3-ary ZORDER prunes every dimension, VACUUM HOURS DRY RUN, SHOW TAGS, DESCRIBE DETAIL") {
     registerCatalog()
     import graft.sources.VtUtilitySql
@@ -578,13 +712,16 @@ class VtCatalogSpec extends SparkSpec {
     assert(vtN.read(spark, "main").count() === 2L)
   }
 
-  test("catalog refuses DDL loudly; missing tables surface as NoSuchTable") {
+  test("catalog refuses non-evolvable DDL loudly; missing tables surface as NoSuchTable") {
     registerCatalog()
-    val e = intercept[Exception](
-      spark.sql("CREATE TABLE vt.`/tmp/vtcat_nope` (k BIGINT) USING parquet"))
-    assert(e.getMessage.toLowerCase.contains("versionedtable.create") ||
-      e.getMessage.toLowerCase.contains("not supported") ||
-      e.getMessage.toLowerCase.contains("unsupported"), e.getMessage)
+    // CREATE TABLE is supported since r19 (see the DDL test); alter/rename
+    // stay refused — schema evolves per commit, tables are path-addressed
+    val created = Tables.scratch("vtcat_ddl_created")
+    spark.sql(s"CREATE TABLE vt.`$created` (k BIGINT)").collect()
+    val eAlter = intercept[Exception](
+      spark.sql(s"ALTER TABLE vt.`$created` ADD COLUMN v STRING"))
+    assert(eAlter.getMessage.toLowerCase.contains("alter") ||
+      eAlter.getMessage.toLowerCase.contains("unsupported"), eAlter.getMessage)
     // catalog-API contract: a path that is not a versioned table is
     // NoSuchTable, and tableExists is false (SQL then falls through to the
     // direct-query-on-files path, whose own message surfaces to the user)
@@ -604,5 +741,46 @@ class VtCatalogSpec extends SparkSpec {
     val badVer = intercept[Exception](cat.loadTable(okIdent, "99"))
     assert(!badVer.isInstanceOf[org.apache.spark.sql.catalyst.analysis.NoSuchTableException],
       s"out-of-range version must not masquerade as table-not-found: $badVer")
+  }
+
+  test("metadata MIN/MAX refuses the 2^53 boundary: a long whose stats double rounded down still answers exactly") {
+    // r19 ADVICE fix: stats double exactly ±2^53 can be the ties-to-even
+    // image of long 2^53+1 — the metadata answer must REFUSE (strict <)
+    // and fall through to the scan, which returns the true value. The old
+    // inclusive bound would have answered 9007199254740992 here: wrong.
+    val vt = VersionedTable.create(Tables.scratch("vtcat_2p53"))
+    val big = 9007199254740993L // 2^53 + 1; cast-to-double stats record 2^53
+    vt.write(Seq(1L, 42L, big).toDF("k"), "main", "v0", statsCols = Seq("k"))
+    spark.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
+    val got = spark.sql(s"SELECT max(k) AS mx FROM vt.`${vt.root}`").as[Long].head()
+    assert(got === big, s"boundary max must come from the scan, got $got")
+  }
+
+  test("DESCRIBE DETAIL on a legacy commit: real stat fallback for unlogged sizes, NULL when a size is unknowable") {
+    import graft.sources.VtUtilitySql
+    // r19 ADVICE fix: a pre-fileSizes history commit must not silently
+    // under-report size_bytes as if missing files were 0 bytes
+    val vt = VersionedTable.create(Tables.scratch("vtcat_detail_legacy"))
+    vt.write(spark.range(100).toDF("k"), "main", "v0")
+    val head = vt.head("main").get
+    val trueSize = head.files.map(f => java.nio.file.Files.size(vt.root.resolve(f))).sum
+    // simulate a legacy log: rewrite the head commit JSON without fileSizes
+    val cPath = vt.root.resolve("commits").resolve(head.id + ".json")
+    val legacy = graft.vt.CommitLog.toJson(head.copy(fileSizes = Map.empty))
+    java.nio.file.Files.writeString(cPath, legacy)
+    spark.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
+    val t = s"vt.`${vt.root}`"
+    val d1 = VtUtilitySql.exec(spark, s"DESCRIBE DETAIL $t").collect().head
+    assert(d1.getLong(4) === trueSize,
+      "unlogged legacy sizes fall back to a real Files.size, not 0")
+    // a legacy file that cannot be stat'd → size_bytes NULL (unknown),
+    // never an under-reported partial sum
+    val ghost = vt.root.resolve(head.files.head)
+    val away = ghost.resolveSibling(ghost.getFileName.toString + ".away")
+    java.nio.file.Files.move(ghost, away)
+    try {
+      val d2 = VtUtilitySql.exec(spark, s"DESCRIBE DETAIL $t").collect().head
+      assert(d2.isNullAt(4), "an unknowable size must surface as NULL")
+    } finally java.nio.file.Files.move(away, ghost)
   }
 }

@@ -326,7 +326,12 @@ class VtDataSourceSpec extends SparkSpec {
     vt.write(part(1), "main", "B", mode = "append") // sticky: no re-specification
     vt.write(part(2), "main", "C", mode = "append")
     val head0 = vt.head("main").get
-    assert(head0.files.forall(f => head0.bloomStats.get(f).exists(_.contains("k"))),
+    // r19: bitsets live in SIDECAR files, not the commit JSON — the commit
+    // carries only the sticky column set and the sidecar paths
+    assert(head0.bloomStats.isEmpty, "no inline bitsets in new commits")
+    assert(head0.bloomCols === Seq("k") && head0.bloomFiles.size === 3)
+    val look0 = vt.bloomLookup(head0)
+    assert(head0.files.forall(f => look0(f, "k").isDefined),
       "sticky bloom columns must cover every file of every later write")
     val root = vt.root.toString
     def scanned(q: DataFrame): Long = {
@@ -346,18 +351,91 @@ class VtDataSourceSpec extends SparkSpec {
     try assert(readVt(root).where($"k" === "id-0006").as[(String, Long)].head()
       === (("id-0006", 2L)))
     finally java.nio.file.Files.move(tmp, vt.root.resolve(cFile))
-    // validation: non-string / unknown bloom columns refuse loudly
+    // validation: unhashable-type / unknown bloom columns refuse loudly
+    // (strings and integrals are the supported probe domains — r19)
     intercept[IllegalArgumentException](
-      vt.write(part(0), "main", "bad", bloomCols = Seq("v")))
+      vt.write(part(0).withColumn("d", $"v" * 0.5), "main", "bad",
+        bloomCols = Seq("d")))
+    intercept[IllegalArgumentException](
+      vt.write(part(0), "main", "bad", bloomCols = Seq("nosuch")))
     // COW update: untouched files keep blooms, the rewritten file gets a
     // fresh one — the lookup stays single-file and sees the new value
     vt.update(spark, "k = 'id-0006'", Map("v" -> "999"))
     val q2 = readVt(root).where($"k" === "id-0006")
     assert(q2.as[(String, Long)].head() === (("id-0006", 999L)))
     assert(scanned(q2) === 1, "the post-COW bloom must keep pruning")
-    // reopen: the bloom round-trips through the commit-log JSON
+    // reopen: the sidecar paths round-trip through the commit-log JSON and
+    // a FRESH handle loads them (probe parity with the writing handle)
     val vt2 = VersionedTable.open(root)
-    assert(vt2.head("main").get.bloomStats === vt.head("main").get.bloomStats)
+    val h2 = vt2.head("main").get
+    assert(h2.bloomFiles === vt.head("main").get.bloomFiles && h2.bloomFiles.nonEmpty)
+    val lookA = vt.bloomLookup(h2); val lookB = vt2.bloomLookup(h2)
+    h2.files.foreach { f =>
+      assert(lookB(f, "k").isDefined &&
+        lookA(f, "k").get.sameElements(lookB(f, "k").get), s"reopen parity for $f")
+    }
+    // the commit JSON itself stays metadata-sized: O(files), independent of
+    // the indexed columns (the r18 inline design grew it by ~2.7 KB per
+    // file per column)
+    val jsonLen = graft.vt.CommitLog.toJson(h2).length
+    assert(jsonLen < 1000 + 400 * h2.files.size,
+      s"commit JSON must stay O(files): $jsonLen bytes for ${h2.files.size} files")
+  }
+
+  test("bloom index r19: LONG keys skip files, vacuum sweeps orphaned sidecars, a lost sidecar degrades to no-skip") {
+    val vt = VersionedTable.create(Tables.scratch("vtds_bloom_long"))
+    // interleaved long ids: every file spans the whole range, min/max (none
+    // recorded anyway) could never separate them — only the bloom can
+    def part(r: Int) = (0 until 40).map(i => ((i * 3 + r) * 1000001L, i.toLong))
+      .toDF("id", "v").coalesce(1)
+    vt.write(part(0), "main", "A", bloomCols = Seq("id"))
+    vt.write(part(1), "main", "B", mode = "append")
+    vt.write(part(2), "main", "C", mode = "append")
+    val root = vt.root.toString
+    def scanned(q: DataFrame): Long = {
+      q.collect()
+      q.queryExecution.executedPlan.collectFirst {
+        case s: FileSourceScanExec => s
+      }.get.metrics("numFiles").value
+    }
+    val key = 6L * 1000001L // lives only in file A (i=2, r=0)
+    val q1 = readVt(root).where($"id" === key)
+    assert(q1.count() === 1L)
+    assert(scanned(q1) === 1, "the long bloom must confine the point probe to one file")
+    // an INT literal on the long column (Catalyst wraps the attr in an
+    // upcast) probes the same cast-to-long image
+    val q2 = readVt(root).where($"id" === lit(3000003).cast("int"))
+    assert(q2.count() === 1L && scanned(q2) === 1)
+    // IN list mixing present + provably-absent keys stays exact
+    val q3 = readVt(root).where($"id".isin(key, 7L * 1000001L, 999999999999L))
+    assert(q3.select("id").as[Long].collect().sorted
+      === Array(key, 7L * 1000001L))
+    assert(scanned(q3) === 2)
+    // ghost-proof: with file C physically absent, an A-key lookup succeeds
+    val cFile = vt.head("main").get.files.last
+    val tmp = vt.root.resolve("bloom_ghost.parquet")
+    java.nio.file.Files.move(vt.root.resolve(cFile), tmp)
+    try assert(readVt(root).where($"id" === key).count() === 1L)
+    finally java.nio.file.Files.move(tmp, vt.root.resolve(cFile))
+    // vacuum: an overwrite orphans the three old sidecars; the sweep
+    // reclaims them like any unreferenced data-plane file
+    val oldSidecars = vt.head("main").get.bloomFiles.map(vt.root.resolve)
+    assert(oldSidecars.size === 3 && oldSidecars.forall(java.nio.file.Files.exists(_)))
+    vt.write(part(0), "main", "reset") // sticky cols → one fresh sidecar
+    vt.vacuum(retainLast = 1)
+    assert(oldSidecars.forall(p => !java.nio.file.Files.exists(p)),
+      "orphaned bloom sidecars must be swept")
+    val liveSidecars = vt.head("main").get.bloomFiles.map(vt.root.resolve)
+    assert(liveSidecars.nonEmpty && liveSidecars.forall(java.nio.file.Files.exists(_)),
+      "the head's sidecar must be retained")
+    // a LOST sidecar (never yet cached) degrades to "no bloom, never skip"
+    // — the read stays correct, it just stops pruning
+    val vt3 = VersionedTable.create(Tables.scratch("vtds_bloom_lost"))
+    vt3.write(part(0), "main", "A", bloomCols = Seq("id"))
+    vt3.head("main").get.bloomFiles.foreach(f =>
+      java.nio.file.Files.delete(vt3.root.resolve(f)))
+    assert(spark.read.format("vt").option("path", vt3.root.toString).load()
+      .where($"id" === key).count() === 1L)
   }
 
   test("format(\"vt\") prunes files from null-count stats (IS NULL / IS NOT NULL)") {
@@ -412,5 +490,37 @@ class VtDataSourceSpec extends SparkSpec {
       val got = spark.sql("SELECT sum(k) AS s FROM vt_sql_t").as[Long].head()
       assert(got === 45L)
     } finally spark.sql("DROP TABLE vt_sql_t")
+  }
+
+  test("raced-write repair is parent-pinned: a third writer inside the repair window is never reverted out") {
+    // r19 ADVICE fix: the repair publishes with parent = the raced commit,
+    // targeting exactly slot raced.version + 1 — a third writer landing
+    // between the caller's head check and the repair claims that slot
+    // first, so the repair's CAS fails and head keeps the third writer's
+    // rows (the old head-re-reading revert would have adopted the third
+    // writer as its parent and silently reverted THEIR commit out).
+    val vt = VersionedTable.create(Tables.scratch("vtds_pinned_repair"))
+    vt.write(Seq((1L, "winner")).toDF("k", "v"), "main", "concurrent winner v0")
+    val raced = vt.write(Seq((2L, "raced")).toDF("k", "v"), "main",
+      "raced exclusive-create", mode = "append")
+    // positive leg: while `raced` IS still head, the pinned repair restores
+    // its parent's snapshot as a NEW commit
+    val repaired = vt.revertRaced("main", raced, "undo raced write")
+    assert(repaired.version === raced.version + 1)
+    assert(vt.read(spark, "main").select("v").as[String].collect().toSeq
+      === Seq("winner"))
+    // negative leg: a third writer claims slot raced.version + 1 — here the
+    // repair itself played that role — so a SECOND repair attempt for the
+    // same raced commit must lose the CAS and leave head untouched
+    val third = vt.write(Seq((3L, "third")).toDF("k", "v"), "main",
+      "third writer", mode = "append")
+    assert(third.version === raced.version + 2)
+    intercept[java.util.ConcurrentModificationException](
+      vt.revertRaced("main", raced, "late repair"))
+    assert(vt.head("main").get.id === third.id,
+      "a lost repair race must leave the third writer's commit at head")
+    // and the guarded wrapper reports "no repair" for both stale shapes
+    assert(!graft.sources.VtDataSource.undoIfStillHead(vt, "main", raced, "x"))
+    assert(vt.head("main").get.id === third.id)
   }
 }
