@@ -63,12 +63,15 @@ final class DeltaLiteCatalog extends TableCatalog {
 
   private def load(ident: Identifier, version: Option[Long]): Table = {
     val path = pathOf(ident)
-    val snap =
-      try DeltaLogReader.snapshot(path, version, Some(SparkSession.active))
-      catch {
-        case e: Exception if version.isEmpty =>
-          throw new NoSuchTableException(ident)
-      }
+    // only a path that genuinely has NO delta log maps to "no such table";
+    // a table whose log EXISTS but fails to replay (truncated JSON, IO
+    // errors, unsupported features) must surface its own error — masking
+    // corruption as table-not-found sends the user hunting a typo
+    if (version.isEmpty &&
+        (try DeltaLogReader.latestVersion(path) < 0L
+         catch { case _: Exception => true }))
+      throw new NoSuchTableException(ident)
+    val snap = DeltaLogReader.snapshot(path, version, Some(SparkSession.active))
     new DeltaLiteTable(SparkSession.active, path, snap,
       s"$catalogName.`${ident.name()}`" + version.map(v => s" v$v").getOrElse(""))
   }

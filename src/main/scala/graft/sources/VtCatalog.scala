@@ -138,6 +138,29 @@ final class VtCatalog extends TableCatalog {
       "versioned tables are not directory-partitioned (use OPTIMIZE … ZORDER " +
         "BY for clustering); CREATE TABLE must not carry PARTITIONED BY")
     val (branch, path) = parseAddress(ident)
+    // clauses this catalog cannot honor must refuse LOUDLY, not be silently
+    // dropped: a user who wrote them believes they took effect. Informational
+    // reserved properties (owner/comment/external marker) pass; the provider
+    // must be this engine (or parquet — the physical storage — incl. the
+    // session default Spark fills in when USING is omitted); a LOCATION is
+    // only legal when it restates the identifier's own path.
+    import org.apache.spark.sql.connector.catalog.TableCatalog._
+    properties.forEach { (k, v) =>
+      k match {
+        case PROP_PROVIDER =>
+          require(v == null || v.equalsIgnoreCase("vt") || v.equalsIgnoreCase("parquet"),
+            s"USING $v is not supported: versioned tables are parquet-backed " +
+              "vt tables (write `USING vt`, or omit the clause)")
+        case PROP_LOCATION =>
+          require(SourcePaths.local(v) == path,
+            s"LOCATION '$v' conflicts with the identifier path '$path' — vt " +
+              "tables are path-addressed; drop the LOCATION clause")
+        case PROP_OWNER | PROP_COMMENT | PROP_EXTERNAL | PROP_IS_MANAGED_LOCATION => ()
+        case other => throw new IllegalArgumentException(
+          s"unsupported table property '$other' — versioned tables carry no " +
+            "TBLPROPERTIES (versioning dials are write options / SQL verbs)")
+      }
+    }
     if (tableExists(ident)) throw new IllegalStateException(
       s"table already exists: $catalogName.`${ident.name()}`")
     val vt = VersionedTable.create(path)
@@ -150,16 +173,29 @@ final class VtCatalog extends TableCatalog {
       "alter versioned tables through their own API (schema evolves per commit)")
 
   /** `DROP TABLE vt.\`path\`` — also the cleanup half of a failed CTAS.
-    * Deletes the table tree ONLY when the path verifiably IS a versioned
-    * table root (the `_graft_table` marker / commits dir); anything else
-    * answers false and is left untouched. */
+    * BRANCH-SCOPED identifiers (`dev@path`) drop ONLY that branch (the
+    * table root and every other branch's data stay; a failed
+    * branch-scoped CTAS thus cleans up exactly what it created). A plain
+    * (main) identifier deletes the table tree, and ONLY when the path
+    * verifiably IS a versioned table root — the `_graft_table` marker,
+    * or BOTH the `commits` and `refs` control directories for pre-marker
+    * tables (a lone `commits` subfolder in some unrelated tree must
+    * never authorize a recursive delete). Anything else answers false
+    * and is left untouched. */
   override def dropTable(ident: Identifier): Boolean = {
-    val (_, path) = parseAddress(ident)
+    val (branch, path) = parseAddress(ident)
     val root = java.nio.file.Paths.get(path)
     val isVtRoot = java.nio.file.Files.exists(root.resolve("_graft_table")) ||
-      java.nio.file.Files.isDirectory(root.resolve("commits"))
+      (java.nio.file.Files.isDirectory(root.resolve("commits")) &&
+        java.nio.file.Files.isDirectory(root.resolve("refs")))
     if (!isVtRoot) false
-    else { VersionedTable.delete(path); true }
+    else if (branch != "main") {
+      // drop the BRANCH, not the table: its exclusive files become
+      // vacuumable orphans; a missing branch answers false
+      val vt = VersionedTable.open(path)
+      if (vt.head(branch).isEmpty) false
+      else { vt.deleteBranch(branch); true }
+    } else { VersionedTable.delete(path); true }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =

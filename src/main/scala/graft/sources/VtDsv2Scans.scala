@@ -358,25 +358,15 @@ final class VtMorScanBuilder(spark: SparkSession, vt: VersionedTable,
   }
 }
 
-/** Driver-side DV METADATA (r19): per-file-key DISTINCT deleted-position
-  * COUNTS, computed by one distributed aggregate over the DV parquet and
-  * collected as O(files-with-deletions) `(key, count)` rows — the driver
-  * never materializes positions. Restriction to `keys` happens driver-side
-  * on the collected counts (dead entries for rewritten-away files drop
-  * out). Serves [[VtMorScan]]'s statistics/columnar decision and the
-  * MOR `COUNT(*)` metadata answer. */
+/** Driver-side DV METADATA (r19): delegates to the ONE shared per-file-key
+  * deleted-count aggregate ([[VersionedTable.dvCardByKey]] — the same
+  * implementation `countRows` subtracts with, so the SQL `COUNT(*)` answer
+  * and the API count can never drift). O(files-with-deletions) count rows
+  * reach the driver, never positions. */
 private[sources] object VtDvStats {
   def cardByKey(spark: SparkSession, vt: VersionedTable, commit: Commit,
-                keys: Set[String]): Map[String, Long] = {
-    import org.apache.spark.sql.functions.{col, count_distinct}
-    if (commit.dvFiles.isEmpty) Map.empty
-    else spark.read.parquet(commit.dvFiles.map(f => vt.root.resolve(f).toString): _*)
-      .groupBy(col("fk")).agg(count_distinct(col("pos")).as("n"))
-      .collect().iterator
-      .map(r => r.getString(0) -> r.getLong(1))
-      .filter { case (k, _) => keys(k) }
-      .toMap
-  }
+                keys: Set[String]): Map[String, Long] =
+    vt.dvCardByKey(spark, commit, keys)
 }
 
 /** Merge-on-read as a NATIVE DSv2 batch: per-file-split input partitions

@@ -70,14 +70,16 @@ object BloomIndex {
 
   def cached(path: Path): Map[(String, String), Array[Byte]] = {
     val key = path.toAbsolutePath.toString
-    cache.synchronized {
-      val hit = cache.get(key)
-      if (hit != null) hit
-      else {
-        val loaded = read(path).toMap
-        cache.put(key, loaded)
-        loaded
-      }
+    // check-release-load-reacquire: the file read/parse happens OUTSIDE the
+    // lock so concurrent first-time loads of different sidecars never
+    // serialize behind each other's IO; a rare duplicate parse of the same
+    // immutable sidecar is harmless (last put wins, same content)
+    val hit = cache.synchronized(cache.get(key))
+    if (hit != null) hit
+    else {
+      val loaded = read(path).toMap
+      cache.synchronized(cache.put(key, loaded))
+      loaded
     }
   }
 }

@@ -1692,18 +1692,31 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     else {
       val base = c.files.iterator.map(c.rowCounts).sum
       if (c.dvFiles.isEmpty) base
-      else {
-        import org.apache.spark.sql.functions.broadcast
-        import spark.implicits._
-        // broadcast the SMALL side (the vectors); `live` may be 10⁶ keys.
-        // distinct BEFORE counting: duplicated (fk,pos) entries across DV
-        // files (merged branches deleting the same base row) mark one row.
-        val live = c.files.map(VersionedTable.fileKey).toDF("fk")
-        val dv = spark.read
-          .parquet(c.dvFiles.map(f => root.resolve(f).toString): _*)
-        base - live.join(broadcast(dv), "fk").select("fk", "pos").distinct().count()
-      }
+      else base - dvCardByKey(spark, c,
+        c.files.map(VersionedTable.fileKey).toSet).valuesIterator.sum
     }
+  }
+
+  /** THE one implementation of "how many rows has each file MOR-deleted":
+    * per-file-key DISTINCT deleted-position counts from the snapshot's DV
+    * parquet, restricted to `keys` (dead entries for rewritten-away files
+    * drop out; duplicated (fk,pos) entries across DV files — merged
+    * branches deleting the same base row — mark ONE row). One distributed
+    * aggregate; the driver receives O(files-with-deletions) count rows,
+    * never positions. Feeds [[countRows]], the native MOR scan's
+    * statistics/columnar decision, and the SQL `COUNT(*)` metadata answer
+    * ([[graft.sources.VtMorScanBuilder]]) — a future DV-semantics change
+    * lands in all of them at once. */
+  private[graft] def dvCardByKey(spark: SparkSession, c: Commit,
+                                 keys: Set[String]): Map[String, Long] = {
+    import org.apache.spark.sql.functions.{col, count_distinct}
+    if (c.dvFiles.isEmpty) Map.empty
+    else spark.read.parquet(c.dvFiles.map(f => root.resolve(f).toString): _*)
+      .groupBy(col("fk")).agg(count_distinct(col("pos")).as("n"))
+      .collect().iterator
+      .map(r => r.getString(0) -> r.getLong(1))
+      .filter { case (k, _) => keys(k) }
+      .toMap
   }
 
   /** Metadata-only `SELECT MIN(col), MAX(col)` from the commit log's

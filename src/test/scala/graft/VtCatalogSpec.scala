@@ -598,17 +598,44 @@ class VtCatalogSpec extends SparkSpec {
       java.nio.file.Paths.get(path4).resolve("_graft_table")),
       "a failed CTAS must leave no committed table behind")
     intercept[Exception](spark.sql(s"SELECT * FROM vt.`$path4`").collect())
+    // clauses the catalog cannot honor refuse LOUDLY (never silently drop)
+    val path5 = Tables.scratch("vtcat_ctas_props")
+    intercept[Exception](
+      spark.sql(s"CREATE TABLE vt.`$path5` (k BIGINT) USING csv").collect())
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE vt.`$path5` (k BIGINT) TBLPROPERTIES ('x'='y')").collect())
+    spark.sql(s"CREATE TABLE vt.`$path5` (k BIGINT) USING vt").collect() // ok
     // DROP TABLE removes a verified table root; refuses non-table paths
     spark.sql(s"DROP TABLE $t2").collect()
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path2)))
-    val notATable = Tables.scratch("vtcat_not_a_table")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(notATable))
     val cat = new graft.sources.VtCatalog()
     cat.initialize("vt", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
       java.util.Collections.emptyMap()))
-    assert(!cat.dropTable(org.apache.spark.sql.connector.catalog.Identifier.of(
-      Array.empty, notATable)), "dropTable must refuse a non-table path")
+    def dropOf(p: String) = cat.dropTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, p))
+    val notATable = Tables.scratch("vtcat_not_a_table")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(notATable))
+    assert(!dropOf(notATable), "dropTable must refuse a non-table path")
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(notATable)))
+    // a lone `commits` subfolder in an unrelated tree must NOT authorize a
+    // recursive delete (r19 review fix)
+    val lookalike = Tables.scratch("vtcat_lookalike")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(lookalike).resolve("commits"))
+    assert(!dropOf(lookalike), "a mere 'commits' subfolder is not a table root")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(lookalike).resolve("commits")))
+    // a BRANCH-scoped DROP removes only that branch — never the table
+    // (r19 review fix: the old shape deleted the whole root)
+    val vtB = VersionedTable.create(Tables.scratch("vtcat_drop_branch"))
+    vtB.write(Seq((1L, "keep")).toDF("k", "v"), "main", "main data")
+    vtB.createBranch("dev", "main")
+    vtB.write(Seq((2L, "dev")).toDF("k", "v"), "dev", "dev data", mode = "append")
+    spark.sql(s"DROP TABLE vt.`dev@${vtB.root}`").collect()
+    assert(vtB.head("dev").isEmpty, "the dev branch is gone")
+    assert(vtB.read(spark, "main").select("v").as[String].collect().toSeq
+      === Seq("keep"), "main's data survives a branch-scoped DROP")
+    assert(!dropOf(s"dev@${vtB.root}"), "re-dropping a missing branch is false")
   }
 
   test("r19 MOR: COUNT(*) answers from metadata + DV parquet alone; partitions ship keys, tasks load their own DV") {
