@@ -952,7 +952,60 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
         }.toMap
         (nums, strs)
       }
-    val candidates = mergeCandidates(parent, srcRange, srcStrRange)
+    val candidates = {
+      val base = mergeCandidates(parent, srcRange, srcStrRange)
+      // BLOOM probe (r19): when the source's DISTINCT keys on a
+      // bloom-indexed equi-key column are FEW (the point-upsert shape —
+      // exactly where scattered uuid/long-id keys defeat the range
+      // windows above), probe each surviving candidate's bloom with every
+      // source key; a file whose bloom provably misses them all cannot
+      // hold a match and carries untouched. One bounded `distinct().
+      // limit(cap+1)` job per probed column; a bigger-than-cap source
+      // skips the probe (range pruning already did its part). False
+      // positives only ever KEEP files, so the rewrite set stays sound.
+      val bloomKeyCols = equiKeys.filter { case (tc, _) =>
+        bloomColsOf(parent).contains(tc) &&
+          VersionedTable.bloomSupported(schema(tc).dataType)
+      }
+      if (base.isEmpty || bloomKeyCols.isEmpty) base
+      else {
+        val bloom = bloomLookup(parent)
+        bloomKeyCols.foldLeft(base) { case (files, (tc, sc)) =>
+          val cap = VersionedTable.MaxMergeBloomProbes
+          val vals = source0.select(col(sc)).distinct().limit(cap + 1).collect()
+          if (files.isEmpty || vals.length > cap) files
+          else {
+            val isStr = schema(tc).dataType == org.apache.spark.sql.types.StringType
+            // every non-null source key must convert EXACTLY into the
+            // bloom's hash domain, else probe nothing (a cast-mismatched
+            // join could match values the probe image misses)
+            val probes: Option[Seq[Either[Long, String]]] = {
+              val conv = vals.filterNot(_.isNullAt(0)).map(_.get(0)).map {
+                case s: String if isStr => Some(scala.Right(s))
+                case b: java.lang.Byte if !isStr => Some(scala.Left(b.toLong))
+                case sh: java.lang.Short if !isStr => Some(scala.Left(sh.toLong))
+                case i: java.lang.Integer if !isStr => Some(scala.Left(i.toLong))
+                case l: java.lang.Long if !isStr => Some(scala.Left(l.longValue))
+                case _ => None
+              }
+              if (conv.forall(_.isDefined)) Some(conv.toSeq.map(_.get)) else None
+            }
+            probes match {
+              case None => files
+              case Some(ks) => files.filter { f =>
+                bloom(f, tc) match {
+                  case Some(bits) => ks.exists {
+                    case scala.Left(l) => VersionedTable.bloomMightContainLong(bits, l)
+                    case scala.Right(s) => VersionedTable.bloomMightContain(bits, s)
+                  }
+                  case None => true
+                }
+              }
+            }
+          }
+        }
+      }
+    }
 
     // ---- exact touched-file detection (files some clause APPLIES to) ----
     // The same pass carries Delta's cardinality check: for src-present rows
@@ -1211,10 +1264,83 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     walk(pred)
   }
 
+  /** Bloom POINT PROBES of a DML predicate (r19): top-level equality / IN
+    * conjuncts pinning a column to integral or string literal(s) — the
+    * scattered-key shape (`doc_id = '…'`, `id IN (…)`) whose min/max
+    * windows prune nothing. Same conservatism as the scan-side extraction
+    * ([[graft.sources.StatsWindows.pointProbes]]): unrecognized shapes,
+    * mixed/partial IN lists and non-exact value types probe nothing. */
+  private def predicateProbes(pred: org.apache.spark.sql.catalyst.expressions.Expression)
+      : List[(String, Either[List[Long], List[String]])] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def colName(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def longOf(e: Expression): Option[Long] = e match {
+      case Literal(v: java.lang.Byte, _) => Some(v.toLong)
+      case Literal(v: java.lang.Short, _) => Some(v.toLong)
+      case Literal(v: java.lang.Integer, _) => Some(v.toLong)
+      case Literal(v: java.lang.Long, dt)
+          if dt != org.apache.spark.sql.types.TimestampType => Some(v.longValue)
+      case _ => None
+    }
+    def strOf(e: Expression): Option[String] = e match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String,
+                   org.apache.spark.sql.types.StringType) => Some(s.toString)
+      case _ => None
+    }
+    def group(n: String, vs: Seq[Expression])
+        : List[(String, Either[List[Long], List[String]])] = {
+      val longs = vs.map(longOf)
+      val strs = vs.map(strOf)
+      if (vs.nonEmpty && longs.forall(_.isDefined))
+        List(n -> scala.Left(longs.map(_.get).toList))
+      else if (vs.nonEmpty && strs.forall(_.isDefined))
+        List(n -> scala.Right(strs.map(_.get).toList))
+      else Nil
+    }
+    def walk(e: Expression): List[(String, Either[List[Long], List[String]])] = e match {
+      case And(l, r) => walk(l) ++ walk(r)
+      case EqualTo(c, v) =>
+        colName(c).map(group(_, Seq(v)))
+          .orElse(colName(v).map(group(_, Seq(c)))).getOrElse(Nil)
+      case In(c, vs) => colName(c).map(group(_, vs)).getOrElse(Nil)
+      case _ => Nil
+    }
+    walk(pred)
+  }
+
   private def statsCandidates(parent: Commit, where: String): Vector[String] = {
     val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(where)
     val (bounds, strBounds) = allPredicateBounds(parsed)
     val (needNull, needNotNull) = nullDemands(parsed)
+    // bloom probes confine a point-keyed DML (the scattered doc_id/uuid
+    // delete/update shape) to the files that might hold a probed key —
+    // lazily loaded, zero cost for range predicates
+    val probes = predicateProbes(parsed)
+    val bloom = if (probes.isEmpty) null else bloomLookup(parent)
+    def bloomSurvives(f: String): Boolean =
+      probes.forall { case (c, g) =>
+        bloom(f, c) match {
+          case Some(bits) => g match {
+            case scala.Left(ls) => ls.exists(VersionedTable.bloomMightContainLong(bits, _))
+            case scala.Right(ss) => ss.exists(VersionedTable.bloomMightContain(bits, _))
+          }
+          case None => true
+        }
+      }
+    statsCandidatesWith(parent, bounds, strBounds, needNull, needNotNull,
+      if (probes.isEmpty) null else bloomSurvives)
+  }
+
+  private def statsCandidatesWith(parent: Commit,
+      bounds: Map[String, (Double, Double)],
+      strBounds: Map[String, (Option[String], Option[String])],
+      needNull: Set[String], needNotNull: Set[String],
+      bloomSurvives: String => Boolean): Vector[String] = {
     parent.files.filter { f =>
       bounds.forall { case (k, (lo, hi)) =>
         parent.stats.get(f).flatMap(_.get(k)) match {
@@ -1240,7 +1366,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
           case (Some(nc), Some(rc)) => nc < rc
           case _ => true
         }
-      }
+      } && (bloomSurvives == null || bloomSurvives(f))
     }
   }
 
@@ -2680,6 +2806,11 @@ object VersionedTable {
   // becomes the seed for the column value).
   private[graft] val BloomMBits = 16384
   private[graft] val BloomKHashes = 3
+
+  /** MERGE sources with at most this many DISTINCT keys per equi-key
+    * column get bloom-probed against candidate files ([[mergeInto]]) —
+    * the point-upsert shape; bigger sources rely on range pruning. */
+  private[graft] val MaxMergeBloomProbes = 1024
 
   /** Column types a bloom index can hash with an exactly reproducible
     * probe image: strings (UTF-8 bytes) and integrals (the cast-to-long

@@ -438,6 +438,53 @@ class VtDataSourceSpec extends SparkSpec {
       .where($"id" === key).count() === 1L)
   }
 
+  test("r19 DML bloom pruning: point-keyed DELETE/UPDATE/MERGE never touch files whose bloom misses the key (ghost-proof)") {
+    val vt = VersionedTable.create(Tables.scratch("vtds_bloom_dml"))
+    // interleaved string keys: file r holds id-(3i+r) — min/max windows
+    // cannot separate the files, only the bloom can
+    def part(r: Int) = (0 until 40).map(i => (f"id-${i * 3 + r}%04d", i.toLong))
+      .toDF("k", "v").coalesce(1)
+    vt.write(part(0), "main", "A", bloomCols = Seq("k"))
+    vt.write(part(1), "main", "B", mode = "append")
+    vt.write(part(2), "main", "C", mode = "append")
+    def ghostC[T](body: => T): T = {
+      // C's keys are ≡2 mod 3; none of the probed keys below lives there,
+      // so a correct bloom prune never opens it — physically removing it
+      // is the proof
+      val cFile = vt.head("main").get.files.find { f =>
+        vt.bloomLookup(vt.head("main").get)(f, "k")
+          .exists(b => graft.vt.VersionedTable.bloomMightContain(b, "id-0002"))
+      }.get
+      val tmp = vt.root.resolve("dml_ghost.parquet")
+      java.nio.file.Files.move(vt.root.resolve(cFile), tmp)
+      try body finally java.nio.file.Files.move(tmp, vt.root.resolve(cFile))
+    }
+    // COW DELETE of an A-key: candidates exclude the ghosted C
+    ghostC { vt.delete(spark, "k = 'id-0006'", "main") }
+    assert(vt.read(spark, "main").count() === 119L)
+    assert(vt.read(spark, "main").where($"k" === "id-0006").count() === 0L)
+    // MOR DELETE (deletion vectors) prunes through the same path
+    ghostC { vt.deleteWithVectors(spark, "k IN ('id-0009', 'absent')", "main") }
+    assert(vt.read(spark, "main").count() === 118L)
+    // UPDATE
+    ghostC { vt.update(spark, "k = 'id-0012'", Map("v" -> "777"), "main") }
+    assert(vt.read(spark, "main").where($"k" === "id-0012")
+      .select("v").as[Long].head() === 777L)
+    // full MERGE (update + insert): detection AND the insert anti-join run
+    // over the bloom-pruned candidates only
+    val src = Seq(("id-0003", 555L), ("id-9999", 1L)).toDF("k", "v")
+    ghostC {
+      vt.mergeInto(spark, src, "t.k = s.k",
+        matched = Seq(graft.vt.MergeClause.update(Map("v" -> "s.v"))),
+        notMatched = Seq(graft.vt.MergeClause.insert(
+          Map("k" -> "s.k", "v" -> "s.v"))))
+    }
+    assert(vt.read(spark, "main").where($"k" === "id-0003")
+      .select("v").as[Long].head() === 555L)
+    assert(vt.read(spark, "main").where($"k" === "id-9999").count() === 1L)
+    assert(vt.read(spark, "main").count() === 119L)
+  }
+
   test("format(\"vt\") prunes files from null-count stats (IS NULL / IS NOT NULL)") {
     val vt = VersionedTable.create(Tables.scratch("vtds_nulls"))
     val allNull = (1L to 10L).map(i => (i, null: String)).toDF("k", "v").coalesce(1)
