@@ -63,13 +63,14 @@ final class DeltaLiteCatalog extends TableCatalog {
 
   private def load(ident: Identifier, version: Option[Long]): Table = {
     val path = pathOf(ident)
-    // only a path that genuinely has NO delta log maps to "no such table";
-    // a table whose log EXISTS but fails to replay (truncated JSON, IO
-    // errors, unsupported features) must surface its own error — masking
-    // corruption as table-not-found sends the user hunting a typo
-    if (version.isEmpty &&
-        (try DeltaLogReader.latestVersion(path) < 0L
-         catch { case _: Exception => true }))
+    // only a path with NO `_delta_log` directory at all maps to "no such
+    // table"; a log that EXISTS but fails to list or replay (truncated
+    // JSON, permissions, IO) must surface its own error — masking
+    // corruption as table-not-found sends the user hunting a typo. A bare
+    // existence check (no listing) also keeps the healthy path at ONE log
+    // listing, inside snapshot().
+    if (version.isEmpty && !java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(path).resolve("_delta_log")))
       throw new NoSuchTableException(ident)
     val snap = DeltaLogReader.snapshot(path, version, Some(SparkSession.active))
     new DeltaLiteTable(SparkSession.active, path, snap,

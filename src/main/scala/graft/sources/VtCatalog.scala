@@ -155,7 +155,10 @@ final class VtCatalog extends TableCatalog {
           require(SourcePaths.local(v) == path,
             s"LOCATION '$v' conflicts with the identifier path '$path' — vt " +
               "tables are path-addressed; drop the LOCATION clause")
-        case PROP_OWNER | PROP_COMMENT | PROP_EXTERNAL | PROP_IS_MANAGED_LOCATION => ()
+        case PROP_COMMENT => throw new IllegalArgumentException(
+          "COMMENT is not stored by versioned tables (nothing would surface " +
+            "it back) — record table notes in commit messages instead")
+        case PROP_OWNER | PROP_EXTERNAL | PROP_IS_MANAGED_LOCATION => ()
         case other => throw new IllegalArgumentException(
           s"unsupported table property '$other' — versioned tables carry no " +
             "TBLPROPERTIES (versioning dials are write options / SQL verbs)")
@@ -191,9 +194,14 @@ final class VtCatalog extends TableCatalog {
     if (!isVtRoot) false
     else if (branch != "main") {
       // drop the BRANCH, not the table: its exclusive files become
-      // vacuumable orphans; a missing branch answers false
+      // vacuumable orphans; a missing branch answers false. When the
+      // branch is the table's ONLY one (a branch-scoped CTAS on a fresh
+      // path created exactly that), dropping it IS dropping the table —
+      // deleteBranch refuses to orphan a last branch, and the failed-CTAS
+      // cleanup must still leave nothing behind.
       val vt = VersionedTable.open(path)
       if (vt.head(branch).isEmpty) false
+      else if (vt.branches == Seq(branch)) { VersionedTable.delete(path); true }
       else { vt.deleteBranch(branch); true }
     } else { VersionedTable.delete(path); true }
   }

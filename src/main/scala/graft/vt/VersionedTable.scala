@@ -1319,9 +1319,26 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     val (needNull, needNotNull) = nullDemands(parsed)
     // bloom probes confine a point-keyed DML (the scattered doc_id/uuid
     // delete/update shape) to the files that might hold a probed key —
-    // lazily loaded, zero cost for range predicates
-    val probes = predicateProbes(parsed)
-    val bloom = if (probes.isEmpty) null else bloomLookup(parent)
+    // lazily loaded, zero cost for range predicates. The probe's hash
+    // domain must be the COLUMN's, not the literal's: Spark evaluates the
+    // predicate with implicit casts (`long_col = '5'` can match rows), so
+    // a literal whose type disagrees with the column probes NOTHING — a
+    // string probe against a long-image bloom would "prove" every file
+    // missing and silently skip rows the predicate matches.
+    val schema = DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]
+    def integral(dt: DataType): Boolean =
+      dt == org.apache.spark.sql.types.ByteType ||
+        dt == org.apache.spark.sql.types.ShortType ||
+        dt == org.apache.spark.sql.types.IntegerType ||
+        dt == org.apache.spark.sql.types.LongType
+    val probes = predicateProbes(parsed).filter {
+      case (c, scala.Left(_)) =>
+        schema.fieldNames.contains(c) && integral(schema(c).dataType)
+      case (c, scala.Right(_)) =>
+        schema.fieldNames.contains(c) &&
+          schema(c).dataType == org.apache.spark.sql.types.StringType
+    }
+    lazy val bloom = bloomLookup(parent)
     def bloomSurvives(f: String): Boolean =
       probes.forall { case (c, g) =>
         bloom(f, c) match {
@@ -1332,15 +1349,6 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
           case None => true
         }
       }
-    statsCandidatesWith(parent, bounds, strBounds, needNull, needNotNull,
-      if (probes.isEmpty) null else bloomSurvives)
-  }
-
-  private def statsCandidatesWith(parent: Commit,
-      bounds: Map[String, (Double, Double)],
-      strBounds: Map[String, (Option[String], Option[String])],
-      needNull: Set[String], needNotNull: Set[String],
-      bloomSurvives: String => Boolean): Vector[String] = {
     parent.files.filter { f =>
       bounds.forall { case (k, (lo, hi)) =>
         parent.stats.get(f).flatMap(_.get(k)) match {
@@ -1366,7 +1374,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
           case (Some(nc), Some(rc)) => nc < rc
           case _ => true
         }
-      } && (bloomSurvives == null || bloomSurvives(f))
+      } && (probes.isEmpty || bloomSurvives(f))
     }
   }
 

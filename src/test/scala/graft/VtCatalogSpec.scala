@@ -636,6 +636,28 @@ class VtCatalogSpec extends SparkSpec {
     assert(vtB.read(spark, "main").select("v").as[String].collect().toSeq
       === Seq("keep"), "main's data survives a branch-scoped DROP")
     assert(!dropOf(s"dev@${vtB.root}"), "re-dropping a missing branch is false")
+    // a failed BRANCH-scoped CTAS on a fresh path (the table's ONLY branch
+    // is the one being created) must also leave nothing behind — the
+    // cleanup drops the whole just-created table, not just the branch
+    val path6 = Tables.scratch("vtcat_ctas_branch_fail")
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE vt.`dev@$path6` AS " +
+        "SELECT assert_true(id < 5) AS a, id FROM range(10)").collect())
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path6).resolve("_graft_table")),
+      "a failed branch-scoped CTAS must leave no committed table behind")
+    // and a SUCCESSFUL branch-scoped CTAS round-trips + drops cleanly
+    val path7 = Tables.scratch("vtcat_ctas_branch_ok")
+    spark.sql(s"CREATE TABLE vt.`dev@$path7` AS SELECT id FROM range(5)").collect()
+    assert(spark.sql(s"SELECT count(*) AS c FROM vt.`dev@$path7`")
+      .as[Long].head() === 5L)
+    spark.sql(s"DROP TABLE vt.`dev@$path7`").collect()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path7)),
+      "dropping a table's only branch drops the table")
+    // COMMENT refuses loudly (nothing would surface it back)
+    val path8 = Tables.scratch("vtcat_ctas_comment")
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE vt.`$path8` (k BIGINT) COMMENT 'lost'").collect())
   }
 
   test("r19 MOR: COUNT(*) answers from metadata + DV parquet alone; partitions ship keys, tasks load their own DV") {

@@ -483,6 +483,23 @@ class VtDataSourceSpec extends SparkSpec {
       .select("v").as[Long].head() === 555L)
     assert(vt.read(spark, "main").where($"k" === "id-9999").count() === 1L)
     assert(vt.read(spark, "main").count() === 119L)
+    // DOMAIN GUARD (r19 review fix): a literal whose type disagrees with
+    // the bloom column probes NOTHING — Spark's implicit casts can still
+    // match rows, so a cross-domain probe must never skip them. Here the
+    // predicate `v = '25'` (quoted number on the LONG column, after
+    // bloom-indexing v too) must still delete its rows.
+    val vtL = VersionedTable.create(Tables.scratch("vtds_bloom_domain"))
+    vtL.write((0L until 40L).map(i => (f"id-$i%04d", i)).toDF("k", "v")
+      .repartition(2), "main", "v0", bloomCols = Seq("k", "v"))
+    vtL.delete(spark, "v = '25'", "main")
+    assert(vtL.read(spark, "main").where($"v" === 25L).count() === 0L,
+      "a quoted-number predicate on a long bloom column must still match")
+    assert(vtL.read(spark, "main").count() === 39L)
+    // and the converse: an unquoted number against the STRING bloom column
+    // probes nothing (no rows match here, but nothing may throw or skip)
+    vtL.update(spark, "k = 'id-0007'", Map("v" -> "700"), "main")
+    assert(vtL.read(spark, "main").where($"k" === "id-0007")
+      .select("v").as[Long].head() === 700L)
   }
 
   test("format(\"vt\") prunes files from null-count stats (IS NULL / IS NOT NULL)") {
