@@ -433,6 +433,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: OPTIMIZE WHERE is layout-only — rows invariant for random predicates, DV regions materialized exactly") {
+    // r19: selective compaction must NEVER change table contents, for any
+    // layout, predicate, and deletion-vector state — the candidate
+    // selection and the untouched-file carry are pure optimizations. The
+    // MOR leg also pins that compacting a region with live DVs applies
+    // them exactly once (no resurrection, no double-subtraction).
+    val tableGen: Gen[List[(Int, Int)]] = Gen.listOfN(40,
+      for { k <- Gen.choose(0, 60); v <- Gen.choose(0, 9) } yield (k, v))
+    val predGen: Gen[String] = Gen.oneOf(
+      Gen.choose(0, 60).map(a => s"k >= $a"),
+      Gen.choose(0, 60).map(a => s"k = $a"),
+      Gen.const("v < 5"),   // no stats on v: everything is a candidate
+      Gen.const("k >= 100")) // matches nothing: must be a no-op
+    samples(Gen.zip(tableGen, predGen), 5).zipWithIndex.foreach {
+      case ((rows, pred), i) =>
+        if (rows.nonEmpty) {
+          val vt = VersionedTable.create(Tables.scratch(s"prop_optwhere_$i"))
+          vt.write(rows.toDF("k", "v").repartition(4), "main", "v0",
+            statsCols = Seq("k"))
+          // a MOR delete makes some region DV-carrying
+          vt.deleteWithVectors(spark, "v = 0", "main")
+          val want = rows.filter(_._2 != 0).groupBy(identity)
+            .view.mapValues(_.length).toMap
+          def got = vt.read(spark, "main").as[(Int, Int)].collect().toSeq
+            .groupBy(identity).view.mapValues(_.length).toMap
+          assert(got === want, s"case $i precondition")
+          val before = vt.head("main").get
+          val after = vt.compactWhere(spark, "main", pred, numFiles = 2)
+          assert(got === want, s"case $i pred '$pred' changed rows")
+          if (after.version != before.version) {
+            // layout-only: the file-granular CDC over the interval cancels
+            assert(vt.changes(spark, "main", before.version, after.version)
+              .count() === 0L, s"case $i pred '$pred' CDC must be empty")
+            // candidates were read with DVs applied: no touched file's DV
+            // entry can resurrect (re-read through a fresh handle)
+            assert(VersionedTable.open(vt.root.toString).read(spark, "main")
+              .as[(Int, Int)].collect().length === rows.count(_._2 != 0),
+              s"case $i reopen row count")
+          }
+        }
+    }
+  }
+
   test("property: copy-on-write UPDATE equals the naive full-table rewrite on random data") {
     // The stats pruning + touched-file restriction are OPTIMIZATIONS: for any
     // layout, range predicate, and SET expressions, update's result must be
