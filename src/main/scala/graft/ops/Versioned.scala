@@ -1753,6 +1753,55 @@ object Versioned {
     clean.unionByName(mor).orderBy("part")
   }
 
+  /** LONG-keyed bloom lookup (r19): the same scattered point-lookup shape
+    * as [[qVtBloomSkip]] but on an INTEGRAL id — hash-partitioned files
+    * each span the whole key range, so min/max windows prune nothing and
+    * only the cast-to-long bloom image can skip. Bands scale with
+    * `max(o_orderkey)`; the ghost/numFiles skip evidence lives in
+    * VtDataSourceSpec, the zero-false-negative property in PropertySpec. */
+  val qVtBloomLong: QueryDef = q("q_vt_bloom_long")(
+    """SELECT o_orderkey AS id, o_orderpriority AS pri FROM orders
+      |WHERE o_orderkey IN (
+      |  SELECT o_orderkey FROM orders
+      |  WHERE o_orderkey % 1009 = 7
+      |    AND o_orderkey <= (SELECT floor(max(o_orderkey) * 0.2) FROM orders))
+      |ORDER BY id""".stripMargin) { (s, d) =>
+    val vt = VersionedTable.create(Tables.scratch("vt_bloom_long"))
+    val orders = Tables.orders(s, d).select(
+      col("o_orderkey").as("id"), col("o_orderpriority").as("pri"))
+    vt.write(orders.repartition(8), "main", "v0", bloomCols = Seq("id"))
+    val maxK = orders.agg(max(col("id"))).head().getLong(0)
+    val keys = (0L to maxK).filter(k => k % 1009 == 7 && k <= maxK / 5)
+    s.read.format("vt").option("path", vt.root.toString).load()
+      .where(col("id").isin(keys: _*))
+      .select(col("id"), col("pri")).orderBy("id")
+  }
+
+  /** `OPTIMIZE … WHERE` end-to-end (r19): selective compaction of only
+    * the files whose stats windows intersect the predicate — rows are
+    * INVARIANT (layout-only), which is exactly what the oracle checks;
+    * identity/CDC-silence of untouched files is pinned by VtCatalogSpec
+    * and the PropertySpec random-predicate property. The sf-proportional
+    * band comes from `max(o_orderkey)`. */
+  val qVtOptimizeWhere: QueryDef = q("q_vt_optimize_where")(
+    """SELECT o_orderpriority AS pri, count(*) AS n,
+      |       CAST(sum(o_orderkey) AS BIGINT) AS keysum
+      |FROM orders GROUP BY o_orderpriority ORDER BY pri""".stripMargin) { (s, d) =>
+    val vt = VersionedTable.create(Tables.scratch("vt_optimize_where"))
+    val orders = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+    vt.write(orders.repartitionByRange(8, col("o_orderkey")), "main", "v0",
+      statsCols = Seq("o_orderkey"))
+    val maxK = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+    val band = maxK - maxK / 4 // compact the hottest (newest-keys) quarter
+    s.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
+    graft.sources.VtUtilitySql.exec(s,
+      s"OPTIMIZE vt.`${vt.root}` WHERE o_orderkey >= $band").collect()
+    s.sql(
+      s"""SELECT o_orderpriority AS pri, count(*) AS n,
+         |       CAST(sum(o_orderkey) AS BIGINT) AS keysum
+         |FROM vt.`${vt.root}` GROUP BY o_orderpriority ORDER BY pri""".stripMargin)
+  }
+
   /** Runtime (join-driven) file skipping on a FOREIGN Delta table through
     * the r19 DSv2 catalog ([[graft.sources.DeltaLiteCatalog]]): the fact
     * side is an EXPORTED table (a stock `_delta_log` with per-file stats),
@@ -1880,5 +1929,6 @@ object Versioned {
     qVtSqlTravel, qVtSqlDelete, qVtSqlUpdate, qVtSqlMerge, qVtMergeInto,
     qVtSqlRestore, qVtSqlOptimize, qVtSqlBranch, qVtMergeScale, qVtMergeScaleStr,
     qVtMergeEvolve, qVtMorFilter, qVtMorSql, qVtDeltaCmapNative, qVtMinmaxMeta,
-    qVtSqlCountMeta, qVtBloomSkip, qVtCtas, qDliteRuntimeSkip)
+    qVtSqlCountMeta, qVtBloomSkip, qVtCtas, qDliteRuntimeSkip,
+    qVtBloomLong, qVtOptimizeWhere)
 }
