@@ -91,7 +91,11 @@ object Registry {
     // r19: SQL CTAS end-to-end (empty v0 + data v1 through the catalog) and
     // the foreign-Delta star join whose runtime join keys file-skip through
     // the dlite DSv2 catalog — both sf-scaled, both under the 10× gate
-    "q_vt_ctas", "q_dlite_runtime_skip")
+    "q_vt_ctas", "q_dlite_runtime_skip",
+    // r19: the integral-key bloom build+lookup and selective compaction of
+    // the hottest key quarter — the index build and the partial rewrite are
+    // the O(n) costs that must stay sub-linear
+    "q_vt_bloom_long", "q_vt_optimize_where")
 
   /** The FROZEN round-4 headline list. `benchNames` grows as operators land
     * (23 → 27 across rounds), so the all-queries `total` is not
