@@ -404,20 +404,22 @@ final class VtMorScan(protected val spark: SparkSession, protected val vt: Versi
     s"VtMorScan v${commit.version} files=${pruned.size}/${commit.files.size} " +
       s"dv=${commit.dvFiles.size}"
 
-  /** file key → DISTINCT deleted-position COUNT, restricted to the pruned
-    * files — counts only ([[VtDvStats]]), never positions. */
-  private lazy val dvCardByKey: Map[String, Long] =
-    VtDvStats.cardByKey(spark, vt, commit, pruned.map(VersionedTable.fileKey).toSet)
+  /** file key → (DISTINCT deleted-position COUNT, the DV part-files that
+    * mention the key), restricted to the pruned files — counts and path
+    * lists only ([[VersionedTable.dvStatsByKey]]), never positions. */
+  private lazy val dvByKey: Map[String, (Long, Seq[String])] =
+    vt.dvStatsByKey(spark, commit, pruned.map(VersionedTable.fileKey).toSet)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val maxSplit = math.max(1L, FilePartition.maxSplitBytes(spark, totalBytes))
-    val dvPaths = commit.dvFiles.map(f => vt.root.resolve(f).toString).toArray
     val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
     liveFiles.foreach { rel =>
       val key = VersionedTable.fileKey(rel)
-      // deletion-free files ship an empty path list: their readers skip
-      // the DV load entirely
-      val paths = if (dvCardByKey.contains(key)) dvPaths else Array.empty[String]
+      // deletion-free files ship an empty path list (their readers skip
+      // the DV load entirely); deletion-carrying files ship ONLY the DV
+      // part-files that mention their key — on a long delete history a
+      // task pays for its own deletes' files, not every delete ever made
+      val paths = dvByKey.get(key).map(_._2.toArray).getOrElse(Array.empty[String])
       // splits of ONE file per partition: row indexes are file-absolute,
       // so each split filters against the same per-file position set
       splitsOf(rel, maxSplit).foreach { pf =>
@@ -431,7 +433,7 @@ final class VtMorScan(protected val spark: SparkSession, protected val vt: Versi
     // Spark refuses mixed row/columnar partitions, so columnar is a
     // whole-scan decision: only when NO pruned file carries deletions
     new VtMorReaderFactory(parquet.createReaderFactory(), outSchema,
-      allColumnar = dvCardByKey.isEmpty,
+      allColumnar = dvByKey.isEmpty,
       confWrapper = Dsv2Shim.serializableConf(spark.sessionState.newHadoopConf()))
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -440,7 +442,7 @@ final class VtMorScan(protected val spark: SparkSession, protected val vt: Versi
       val base = rowCountStat
       if (!base.isPresent) base
       else OptionalLong.of(base.getAsLong - liveFiles.iterator.map(f =>
-        dvCardByKey.getOrElse(VersionedTable.fileKey(f), 0L)).sum)
+        dvByKey.get(VersionedTable.fileKey(f)).map(_._1).getOrElse(0L)).sum)
     }
   }
 }

@@ -1831,27 +1831,50 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     }
   }
 
-  /** THE one implementation of "how many rows has each file MOR-deleted":
-    * per-file-key DISTINCT deleted-position counts from the snapshot's DV
+  /** THE one implementation of "how many rows has each file MOR-deleted,
+    * and which DV parquet part-files say so": per-file-key DISTINCT
+    * deleted-position counts PLUS the set of DV part-file paths mentioning
+    * the key, from one distributed aggregate over the snapshot's DV
     * parquet, restricted to `keys` (dead entries for rewritten-away files
     * drop out; duplicated (fk,pos) entries across DV files — merged
-    * branches deleting the same base row — mark ONE row). One distributed
-    * aggregate; the driver receives O(files-with-deletions) count rows,
-    * never positions. Feeds [[countRows]], the native MOR scan's
-    * statistics/columnar decision, and the SQL `COUNT(*)` metadata answer
-    * ([[graft.sources.VtMorScanBuilder]]) — a future DV-semantics change
-    * lands in all of them at once. */
-  private[graft] def dvCardByKey(spark: SparkSession, c: Commit,
-                                 keys: Set[String]): Map[String, Long] = {
-    import org.apache.spark.sql.functions.{col, count_distinct}
+    * branches deleting the same base row — mark ONE row). The driver
+    * receives O(files-with-deletions) rows — counts and path lists, never
+    * positions. Feeds [[countRows]], the native MOR scan's statistics /
+    * columnar / per-task-load routing, and the SQL `COUNT(*)` metadata
+    * answer ([[graft.sources.VtMorScanBuilder]]) — a future DV-semantics
+    * change lands in all of them at once. The path set is what lets each
+    * MOR task open ONLY the DV part-files that mention its key: on a long
+    * delete history a task pays footer reads for its own deletes' files,
+    * not every delete ever made. */
+  private[graft] def dvStatsByKey(spark: SparkSession, c: Commit,
+                                  keys: Set[String])
+      : Map[String, (Long, Seq[String])] = {
+    import org.apache.spark.sql.functions.{col, collect_set, count_distinct, input_file_name}
     if (c.dvFiles.isEmpty) Map.empty
     else spark.read.parquet(c.dvFiles.map(f => root.resolve(f).toString): _*)
-      .groupBy(col("fk")).agg(count_distinct(col("pos")).as("n"))
+      // input_file_name() materializes BELOW the aggregate (Catalyst
+      // refuses non-deterministic expressions inside aggregate arguments)
+      .select(col("fk"), col("pos"), input_file_name().as("__src"))
+      .groupBy(col("fk"))
+      .agg(count_distinct(col("pos")).as("n"),
+        collect_set(col("__src")).as("srcs"))
       .collect().iterator
-      .map(r => r.getString(0) -> r.getLong(1))
+      .map { r =>
+        // input_file_name() yields percent-encoded URIs — decode to plain
+        // filesystem paths (same trap [[inputFileToRel]] documents)
+        val srcs = r.getSeq[String](2).map { raw =>
+          try java.nio.file.Paths.get(new java.net.URI(raw).getPath).toString
+          catch { case _: Exception => raw.stripPrefix("file:") }
+        }
+        r.getString(0) -> (r.getLong(1), srcs)
+      }
       .filter { case (k, _) => keys(k) }
       .toMap
   }
+
+  private[graft] def dvCardByKey(spark: SparkSession, c: Commit,
+                                 keys: Set[String]): Map[String, Long] =
+    dvStatsByKey(spark, c, keys).view.mapValues(_._1).toMap
 
   /** Metadata-only `SELECT MIN(col), MAX(col)` from the commit log's
     * per-file stats — ZERO file reads, not even footers (Spark's own
