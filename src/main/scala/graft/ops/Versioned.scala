@@ -1866,6 +1866,69 @@ object Versioned {
          |FROM vt.`$root` GROUP BY o_orderpriority ORDER BY pri""".stripMargin)
   }
 
+  /** SQL `ALTER TABLE … ADD COLUMNS` (r19b,
+    * [[graft.vt.VersionedTable.addColumns]]): a METADATA-ONLY
+    * schema-evolution commit — the snapshot's files, stats, DVs and bloom
+    * index carry byte-for-byte, pre-evolution rows read NULL for the new
+    * column, and a later INSERT fills it. The oracle reproduces exactly
+    * that null split over orders. */
+  val qVtAddColumn: QueryDef = q("q_vt_add_column")(
+    """SELECT o_orderkey, CAST(NULL AS VARCHAR) AS note FROM orders
+      |WHERE o_orderkey % 8 = 1
+      |UNION ALL
+      |SELECT o_orderkey, 'late-' || CAST(o_orderkey AS VARCHAR) AS note
+      |FROM orders WHERE o_orderkey % 8 = 2
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val root = Tables.scratch("vt_add_column")
+    s.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
+    val vt = VersionedTable.create(root)
+    val orders = Tables.orders(s, d)
+    vt.write(orders.where(pmod(col("o_orderkey"), lit(8)) === 1)
+      .select("o_orderkey"), "main", "v0")
+    s.sql(s"ALTER TABLE vt.`$root` ADD COLUMNS (note STRING)").collect()
+    orders.where(pmod(col("o_orderkey"), lit(8)) === 2)
+      .select(col("o_orderkey"),
+        concat(lit("late-"), col("o_orderkey").cast("string")).as("note"))
+      .createOrReplaceTempView("add_col_late")
+    s.sql(s"INSERT INTO vt.`$root` SELECT o_orderkey, note FROM add_col_late")
+    s.sql(s"SELECT o_orderkey, note FROM vt.`$root` ORDER BY o_orderkey")
+  }
+
+  /** Atomic `CREATE OR REPLACE TABLE … AS SELECT` (r19b,
+    * [[graft.sources.VtCatalog]]'s StagingTableCatalog face): the
+    * replacement snapshot — schema and all — lands as ONE commit after the
+    * query's rows are already on disk unreferenced; readers can never see
+    * a half-replaced table, and the replaced snapshot still time-travels.
+    * The result unions the replaced head with the ORIGINAL contents read
+    * back VERSION AS OF 0 — so the oracle checks both the replacement and
+    * the preserved history in one row set. */
+  val qVtRtas: QueryDef = q("q_vt_rtas")(
+    """SELECT 'new' AS era, o_orderkey AS k,
+      |       CAST(o_orderkey * 2 AS BIGINT) AS doubled
+      |FROM orders WHERE o_orderkey % 8 = 3
+      |UNION ALL
+      |SELECT 'old' AS era, o_orderkey AS k, CAST(NULL AS BIGINT) AS doubled
+      |FROM orders WHERE o_orderkey % 8 = 5
+      |ORDER BY era, k""".stripMargin) { (s, d) =>
+    val root = Tables.scratch("vt_rtas")
+    s.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
+    Tables.orders(s, d).createOrReplaceTempView("rtas_orders_src")
+    s.sql(
+      s"""CREATE TABLE vt.`$root` AS
+         |SELECT o_orderkey AS k FROM rtas_orders_src WHERE o_orderkey % 8 = 5""".stripMargin)
+      .collect()
+    s.sql(
+      s"""CREATE OR REPLACE TABLE vt.`$root` AS
+         |SELECT o_orderkey AS k, CAST(o_orderkey * 2 AS BIGINT) AS doubled
+         |FROM rtas_orders_src WHERE o_orderkey % 8 = 3""".stripMargin).collect()
+    s.sql(
+      s"""SELECT 'new' AS era, k, doubled FROM vt.`$root`
+         |UNION ALL
+         |SELECT 'old' AS era, k, CAST(NULL AS BIGINT) AS doubled
+         |FROM vt.`$root` VERSION AS OF 0
+         |ORDER BY era, k""".stripMargin)
+  }
+
   /** Maintain a (count, sum) aggregate "view" incrementally: fold a CDC
     * stream (from [[graft.vt.VersionedTable.changes]]) into the previously
     * materialized aggregate instead of recomputing from the full table.
@@ -1930,5 +1993,5 @@ object Versioned {
     qVtSqlRestore, qVtSqlOptimize, qVtSqlBranch, qVtMergeScale, qVtMergeScaleStr,
     qVtMergeEvolve, qVtMorFilter, qVtMorSql, qVtDeltaCmapNative, qVtMinmaxMeta,
     qVtSqlCountMeta, qVtBloomSkip, qVtCtas, qDliteRuntimeSkip,
-    qVtBloomLong, qVtOptimizeWhere)
+    qVtBloomLong, qVtOptimizeWhere, qVtAddColumn, qVtRtas)
 }

@@ -3,13 +3,13 @@ package graft.sources
 import java.util
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, StagedTable, StagingTableCatalog, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{Filter, InsertableRelation}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.vt.{Commit, VersionedTable}
@@ -57,7 +57,7 @@ private[sources] object VtAddress {
   }
 }
 
-final class VtCatalog extends TableCatalog {
+final class VtCatalog extends TableCatalog with StagingTableCatalog {
 
   private var catalogName: String = "vt"
 
@@ -131,19 +131,18 @@ final class VtCatalog extends TableCatalog {
     * [[dropTable]], leaving no committed table behind. Partition
     * transforms are refused — versioned tables organize data by commit,
     * not directory partitions (cluster with OPTIMIZE … ZORDER instead). */
-  override def createTable(ident: Identifier, schema: StructType,
-                           partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table = {
+  /** Shared CREATE/CTAS/RTAS clause validation: clauses this catalog
+    * cannot honor must refuse LOUDLY, not be silently dropped — a user who
+    * wrote them believes they took effect. Informational reserved
+    * properties (owner/external marker) pass; the provider must be this
+    * engine (or parquet — the physical storage — incl. the session default
+    * Spark fills in when USING is omitted); a LOCATION is only legal when
+    * it restates the identifier's own path. */
+  private def validateCreate(path: String, partitions: Array[Transform],
+                             properties: util.Map[String, String]): Unit = {
     require(partitions.isEmpty,
       "versioned tables are not directory-partitioned (use OPTIMIZE … ZORDER " +
         "BY for clustering); CREATE TABLE must not carry PARTITIONED BY")
-    val (branch, path) = parseAddress(ident)
-    // clauses this catalog cannot honor must refuse LOUDLY, not be silently
-    // dropped: a user who wrote them believes they took effect. Informational
-    // reserved properties (owner/comment/external marker) pass; the provider
-    // must be this engine (or parquet — the physical storage — incl. the
-    // session default Spark fills in when USING is omitted); a LOCATION is
-    // only legal when it restates the identifier's own path.
     import org.apache.spark.sql.connector.catalog.TableCatalog._
     properties.forEach { (k, v) =>
       k match {
@@ -164,6 +163,13 @@ final class VtCatalog extends TableCatalog {
             "TBLPROPERTIES (versioning dials are write options / SQL verbs)")
       }
     }
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val (branch, path) = parseAddress(ident)
+    validateCreate(path, partitions, properties)
     if (tableExists(ident)) throw new IllegalStateException(
       s"table already exists: $catalogName.`${ident.name()}`")
     val vt = VersionedTable.create(path)
@@ -171,9 +177,93 @@ final class VtCatalog extends TableCatalog {
     new VtTable(SparkSession.active, vt, branch, c, s"$catalogName.`${ident.name()}`")
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "alter versioned tables through their own API (schema evolves per commit)")
+  /** Atomic `CREATE TABLE … AS SELECT` ([[StagingTableCatalog]]): the
+    * query's rows are written as unreferenced files under the table root,
+    * and the table springs into existence as ONE commit (v0 = the data)
+    * when Spark calls [[VtStagedTable.commitStagedChanges]] after the
+    * write succeeds — a reader can never observe a half-created table,
+    * and a failed query aborts to NOTHING (no root, no commit; Spark's
+    * non-atomic fallback would expose an empty committed table to
+    * concurrent readers mid-CTAS). */
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): StagedTable = {
+    val (branch, path) = parseAddress(ident)
+    validateCreate(path, partitions, properties)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val existedBefore = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path).resolve("_graft_table"))
+    val vt = VersionedTable.create(path)
+    new VtStagedTable(SparkSession.active, vt, branch, schema,
+      s"$catalogName.`${ident.name()}`", mustCreate = true,
+      createdRoot = !existedBefore)
+  }
+
+  /** Atomic `REPLACE TABLE [AS SELECT]`: the replacement snapshot (schema
+    * and all — Delta's overwriteSchema semantics) lands as one overwrite
+    * commit; until then every reader still sees the old head, and an
+    * abort leaves the table EXACTLY as it was (the old Delta
+    * drop-then-recreate fallback loses the table on failure). History is
+    * kept: the replaced contents still time-travel. */
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String]): StagedTable = {
+    val (branch, path) = parseAddress(ident)
+    validateCreate(path, partitions, properties)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new VtStagedTable(SparkSession.active, VersionedTable.open(path), branch,
+      schema, s"$catalogName.`${ident.name()}`", mustReplace = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: util.Map[String, String]): StagedTable = {
+    val (branch, path) = parseAddress(ident)
+    validateCreate(path, partitions, properties)
+    val existedBefore = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path).resolve("_graft_table"))
+    val vt = VersionedTable.create(path)
+    new VtStagedTable(SparkSession.active, vt, branch, schema,
+      s"$catalogName.`${ident.name()}`", createdRoot = !existedBefore)
+  }
+
+  /** SQL `ALTER TABLE … ADD COLUMNS` (r19): a metadata-only
+    * schema-evolution commit through [[VersionedTable.addColumns]] — same
+    * files, stats, DVs and bloom index; pre-evolution rows read NULL for
+    * the new columns. Everything else ALTER can say (drop/rename/retype a
+    * column would need Delta-style column mapping; properties/comments
+    * are not stored) refuses loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val adds = changes.map {
+      case a: TableChange.AddColumn => a
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER on a versioned table: ${other.getClass.getSimpleName} " +
+          "(only ADD COLUMNS is a metadata-only commit; drop/rename/retype " +
+          "would need column mapping, and there are no table properties)")
+    }
+    val fields = adds.map { a =>
+      require(a.fieldNames().length == 1,
+        s"ADD COLUMNS supports top-level columns only, got nested " +
+          a.fieldNames().mkString("."))
+      require(a.isNullable,
+        s"added column ${a.fieldNames().head} must be nullable: existing rows " +
+          "read NULL for it")
+      require(a.position() == null,
+        "FIRST/AFTER positions are not supported: new columns append at the " +
+          "end (parquet fills missing trailing columns positionally-safely by name)")
+      require(a.comment() == null,
+        "COMMENT is not stored by versioned tables — record notes in commit messages")
+      require(a.defaultValue() == null,
+        "DEFAULT values are not supported: pre-existing rows read NULL, and a " +
+          "default would silently diverge from that")
+      StructField(a.fieldNames().head, a.dataType(), nullable = true)
+    }
+    val (vt, branch) = parse(ident)
+    val c = vt.addColumns(branch, fields,
+      s"ALTER TABLE $catalogName.`${ident.name()}` ADD COLUMNS " +
+        s"(${fields.map(_.name).mkString(", ")})")
+    new VtTable(SparkSession.active, vt, branch, c, s"$catalogName.`${ident.name()}`")
+  }
 
   /** `DROP TABLE vt.\`path\`` — also the cleanup half of a failed CTAS.
     * BRANCH-SCOPED identifiers (`dev@path`) drop ONLY that branch (the
@@ -289,6 +379,66 @@ final class VtTable(spark: SparkSession, vt: VersionedTable, branch: String,
           }
       }
     }
+}
+
+/** The staged table behind atomic CTAS/RTAS ([[VtCatalog.stageCreate]] &
+  * co). Spark's atomic exec nodes drive it in two phases: the WRITE runs
+  * first (the V1 bridge below lands the query's rows as UNREFERENCED data
+  * files under the table root — the expensive part, visible to nobody),
+  * then [[commitStagedChanges]] publishes them as ONE commit through the
+  * commit log's slot CAS. [[abortStagedChanges]] deletes exactly what this
+  * staging wrote: the staged files, plus the table root itself when this
+  * staging created it AND it is still commit-free (a concurrent writer who
+  * claimed v0 meanwhile owns the root — the raced CTAS must not delete
+  * their table). */
+private final class VtStagedTable(spark: SparkSession, vt: VersionedTable,
+                                  branch: String, declared: StructType,
+                                  ident: String, mustCreate: Boolean = false,
+                                  mustReplace: Boolean = false,
+                                  createdRoot: Boolean = false)
+    extends StagedTable with SupportsWrite {
+
+  // set by the write phase; a plain REPLACE TABLE (no AS SELECT) never
+  // writes and commits the declared schema over zero files
+  @volatile private var staged: Option[(Vector[String], StructType)] = None
+
+  override def name(): String = ident
+  override def schema(): StructType = declared
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      // RTAS arrives as a truncate+write; the staged snapshot REPLACES the
+      // branch contents by construction, so the flag needs no handling
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwriteFlag: Boolean): Unit = {
+              staged = Some((vt.writeStagedFiles(data, branch), data.schema))
+              ()
+            }
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val (files, schema) = staged.getOrElse((Vector.empty[String], declared))
+    vt.commitStagedSnapshot(spark, branch, files, schema,
+      s"SQL ${if (mustReplace) "REPLACE" else if (mustCreate) "CREATE" else "CREATE OR REPLACE"} TABLE $ident AS staged snapshot",
+      mustCreate = mustCreate, mustReplace = mustReplace)
+    ()
+  }
+
+  override def abortStagedChanges(): Unit = {
+    staged.foreach { case (files, _) =>
+      files.foreach(f =>
+        java.nio.file.Files.deleteIfExists(vt.root.resolve(f)))
+    }
+    if (createdRoot && vt.branches.isEmpty)
+      VersionedTable.delete(vt.root.toString)
+  }
 }
 
 // The merge-on-read DSv2 scan machinery lives in VtDsv2Scans.scala

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, StructType}
 
 /** A branch/version-addressed table over immutable parquet files + a commit log.
   *
@@ -1563,6 +1563,86 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       s"branch $branch already has commits — CREATE TABLE needs a fresh table")
     publish(branch, None, message, schema, Vector.empty)
   }
+
+  /** Delta `ALTER TABLE … ADD COLUMNS`: a METADATA-ONLY schema-evolution
+    * commit. The new version keeps the parent's files, stats, deletion
+    * vectors and bloom index byte-for-byte — only the schema grows, so on
+    * a 100 TB table this is one commit-record write, zero data I/O. Every
+    * pre-evolution file simply lacks the new columns in its footer, and
+    * the parquet readers (DSv1 [[readCommit]] and the native DSv2 scans
+    * alike) fill them with NULL — which is why each added column MUST be
+    * nullable: existing rows have no value for it, and a non-nullable
+    * declaration would let Catalyst constant-fold `c IS NOT NULL` to true
+    * over rows that read back null (the same rule [[write]] applies to
+    * mergeSchema'd columns). Name collisions are checked
+    * CASE-INSENSITIVELY, matching Spark's default resolution — a table
+    * with both `Note` and `note` would be unreadable by SQL. Stats/bloom
+    * pruning stays sound for free: the new columns have no stats entries,
+    * and every prune path conservatively keeps files with missing stats. */
+  def addColumns(branch: String, newCols: Seq[StructField],
+                 message: String = ""): Commit = synchronized {
+    guardWritable(branch)
+    require(newCols.nonEmpty, "ADD COLUMNS needs at least one column")
+    val parent = headOrThrow(branch)
+    val schema = DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]
+    newCols.foldLeft(schema.fieldNames.map(_.toLowerCase).toSet) { (seen, f) =>
+      require(!seen.contains(f.name.toLowerCase),
+        s"column ${f.name} already exists on $branch (names are case-insensitive)")
+      require(f.nullable,
+        s"added column ${f.name} must be nullable: existing rows read NULL for it")
+      seen + f.name.toLowerCase
+    }
+    val evolved = StructType(schema.fields ++ newCols)
+    publish(branch, Some(parent),
+      if (message.nonEmpty) message
+      else s"ALTER TABLE ADD COLUMNS (${newCols.map(_.name).mkString(", ")})",
+      evolved, parent.files, parent.stats, strStats = parent.strStats,
+      dvFiles = parent.dvFiles, nullStats = parent.nullStats,
+      bloomStats = parent.bloomStats, bloomCols = bloomColsOf(parent),
+      bloomFiles = parent.bloomFiles)
+  }
+
+  /** Atomic CTAS/RTAS support ([[graft.sources.VtCatalog]]'s
+    * StagingTableCatalog face): write the query's rows as data files
+    * UNDER THE TABLE ROOT without publishing any commit. Until
+    * [[commitStagedSnapshot]] lands, the files are unreferenced — no
+    * reader can see them, and an abort (or a crash) leaves only orphans
+    * vacuum reclaims. Unlike the lakeFS-style [[stage]] ref, nothing is
+    * recorded on disk but the files themselves, so concurrent staged
+    * writes to the same branch cannot clobber each other's state. */
+  private[graft] def writeStagedFiles(df: DataFrame, branch: String): Vector[String] =
+    writeDataFiles(df, branch + "-staging",
+      head(branch).map(_.version + 1).getOrElse(0L))
+
+  /** Publish a staged snapshot as ONE commit — the atomic half of
+    * CTAS/RTAS. The parent is re-read under the lock, so the commit
+    * targets whatever head exists NOW and the slot CAS serializes against
+    * concurrent writers: a raced atomic CTAS (`mustCreate`) loses cleanly
+    * to a concurrent first commit instead of forking v0. The snapshot
+    * REPLACES the branch contents (REPLACE TABLE semantics — overwrite
+    * schema and all); the parent's sticky bloom column set carries, with
+    * the index rebuilt for the new files (same rule as
+    * [[write]](mode=overwrite)). */
+  private[graft] def commitStagedSnapshot(spark: SparkSession, branch: String,
+                                          files: Vector[String], schema: StructType,
+                                          message: String,
+                                          mustCreate: Boolean = false,
+                                          mustReplace: Boolean = false): Commit =
+    synchronized {
+      guardWritable(branch)
+      val parent = head(branch)
+      if (mustCreate) require(parent.isEmpty,
+        s"table already exists on $branch — a concurrent writer created it first")
+      if (mustReplace) require(parent.nonEmpty,
+        s"REPLACE TABLE: no such table/branch to replace: $branch")
+      val cols = parent.map(bloomColsOf).getOrElse(Nil).filter(c =>
+        schema.fieldNames.contains(c) &&
+          VersionedTable.bloomSupported(schema(c).dataType))
+      val sidecar = writeBloomSidecar(branch, parent.map(_.version + 1).getOrElse(0L),
+        collectFileBlooms(spark, files, cols, schema))
+      publish(branch, parent, message, schema, files,
+        bloomCols = cols, bloomFiles = sidecar)
+    }
 
   /** Stage a snapshot on `branch` without committing (lakeFS staging area,
     * `README.md:85-127`). Promote with [[commitStaged]]; discard with [[reset]]. */

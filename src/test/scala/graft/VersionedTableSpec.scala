@@ -1655,6 +1655,53 @@ class VersionedTableSpec extends SparkSpec {
     vt.deleteWithVectors(spark, "k = 10", "main")
     assert(vt.minMaxFromStats("main", "k").isEmpty)
   }
+
+  test("addColumns: metadata-only evolution — CDC-silent, prune-sound, append rules intact") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField}
+    val vt = freshVt("addcols")
+    def part(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, s"id$i")).toDF("k", "id").coalesce(1)
+    vt.write(part(1, 10), "main", "A", statsCols = Seq("k"))
+    vt.write(part(11, 20), "main", "B", mode = "append", statsCols = Seq("k"))
+    val before = vt.head("main").get
+    vt.addColumns("main", Seq(StructField("note", StringType)))
+    // file-granular CDC over the evolution interval cancels exactly: the
+    // commit changed the SCHEMA, not one row
+    assert(vt.changes(spark, "main", before.version, before.version + 1).count() === 0L)
+    // stats carried verbatim → pruning on the old column still skips files,
+    // ghost-proof: the [11,20] file physically gone, a [1,5] probe succeeds
+    val hi = vt.head("main").get.files.find(f =>
+      vt.head("main").get.stats(f)("k")._1 >= 11.0).get
+    val tmp = vt.root.resolve("ghost_tmp.parquet")
+    java.nio.file.Files.move(vt.root.resolve(hi), tmp)
+    try
+      assert(vt.readWhere(spark, "main", "k", 1.0, 5.0)
+        .select("k").as[Long].collect().sorted === (1L to 5L).toArray)
+    finally java.nio.file.Files.move(tmp, vt.root.resolve(hi))
+    // old rows read NULL; the pre-evolution version keeps its schema
+    assert(vt.read(spark, "main").where($"note".isNull).count() === 20L)
+    assert(vt.readVersion(spark, "main", before.version)
+      .schema.fieldNames.toSeq === Seq("k", "id"))
+    // append rules: the evolved shape appends; the OLD shape still trips the
+    // schema gate unless mergeSchema re-evolves it
+    vt.write(Seq((21L, "id21", "n")).toDF("k", "id", "note"), "main", "C",
+      mode = "append")
+    intercept[IllegalArgumentException](
+      vt.write(part(22, 22), "main", "D", mode = "append"))
+    vt.write(part(22, 22), "main", "D", mode = "append", mergeSchema = true)
+    assert(vt.read(spark, "main").count() === 22L)
+    // refusals: collision (case-insensitive), non-nullable, empty, no branch
+    intercept[IllegalArgumentException](vt.addColumns("main",
+      Seq(StructField("K", LongType))))
+    intercept[IllegalArgumentException](vt.addColumns("main",
+      Seq(StructField("x", LongType, nullable = false))))
+    intercept[IllegalArgumentException](vt.addColumns("main", Nil))
+    intercept[IllegalArgumentException](vt.addColumns("nope",
+      Seq(StructField("x", LongType))))
+    // two new columns colliding with EACH OTHER refuse too
+    intercept[IllegalArgumentException](vt.addColumns("main",
+      Seq(StructField("y", LongType), StructField("Y", StringType))))
+  }
 }
 
 /** The ENTIRE invariant matrix above, re-run on the rename-free S3-semantics

@@ -571,9 +571,10 @@ class VtCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) AS c, sum(v) AS s FROM $t")
       .as[(Long, Long)].head() === ((100L, 9900L)))
     val vt = VersionedTable.open(path)
-    assert(vt.head("main").get.version === 1L, "v0 = CREATE (empty), v1 = the data")
-    assert(vt.readVersion(spark, "main", 0).count() === 0L,
-      "time travel reaches the empty schema-pinning commit")
+    // r19b: CTAS is ATOMIC (StagingTableCatalog) — the table springs into
+    // existence as ONE commit carrying the data, not an empty v0 + data v1
+    assert(vt.head("main").get.version === 0L, "atomic CTAS = one commit with the data")
+    assert(vt.readVersion(spark, "main", 0).count() === 100L)
     assert(vt.readVersion(spark, "main", 0).schema.fieldNames.toSeq === Seq("k", "v"))
     // CTAS / CREATE on an existing table refuses
     intercept[Exception](spark.sql(s"CREATE TABLE $t AS SELECT 1 AS x").collect())
@@ -763,12 +764,13 @@ class VtCatalogSpec extends SparkSpec {
 
   test("catalog refuses non-evolvable DDL loudly; missing tables surface as NoSuchTable") {
     registerCatalog()
-    // CREATE TABLE is supported since r19 (see the DDL test); alter/rename
-    // stay refused — schema evolves per commit, tables are path-addressed
+    // CREATE TABLE is supported since r19, ADD COLUMNS since r19b (see the
+    // DDL tests); rename/retype/properties stay refused — schema evolves
+    // per commit, tables are path-addressed, nothing stores TBLPROPERTIES
     val created = Tables.scratch("vtcat_ddl_created")
     spark.sql(s"CREATE TABLE vt.`$created` (k BIGINT)").collect()
     val eAlter = intercept[Exception](
-      spark.sql(s"ALTER TABLE vt.`$created` ADD COLUMN v STRING"))
+      spark.sql(s"ALTER TABLE vt.`$created` ALTER COLUMN k TYPE STRING").collect())
     assert(eAlter.getMessage.toLowerCase.contains("alter") ||
       eAlter.getMessage.toLowerCase.contains("unsupported"), eAlter.getMessage)
     // catalog-API contract: a path that is not a versioned table is
@@ -831,5 +833,106 @@ class VtCatalogSpec extends SparkSpec {
       val d2 = VtUtilitySql.exec(spark, s"DESCRIBE DETAIL $t").collect().head
       assert(d2.isNullAt(4), "an unknowable size must surface as NULL")
     } finally java.nio.file.Files.move(away, ghost)
+  }
+
+  test("r19b DDL: ALTER TABLE ADD COLUMNS is a metadata-only schema-evolution commit") {
+    registerCatalog()
+    val vt = VersionedTable.create(Tables.scratch("vtcat_alter"))
+    vt.write((1L to 20L).map(i => (i, s"id$i")).toDF("k", "id").repartition(2),
+      "main", "v0", statsCols = Seq("k"), bloomCols = Seq("id"))
+    val before = vt.head("main").get
+    val t = s"vt.`${vt.root}`"
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (note STRING, score DOUBLE)").collect()
+    val after = vt.head("main").get
+    assert(after.version === before.version + 1, "evolution is one commit")
+    assert(after.files === before.files, "metadata-only: zero data I/O")
+    assert(after.stats === before.stats, "stats carry byte-for-byte")
+    assert(after.bloomFiles === before.bloomFiles, "the bloom index carries")
+    // pre-evolution rows read NULL for the new columns
+    val row3 = spark.sql(s"SELECT k, note, score FROM $t WHERE k = 3").collect()
+    assert(row3.length === 1 && row3.head.isNullAt(1) && row3.head.isNullAt(2))
+    // appends carry the new columns; old rows stay NULL
+    spark.sql(s"INSERT INTO $t VALUES (21, 'id21', 'new', 1.5)").collect()
+    assert(spark.sql(s"SELECT count(*) AS c FROM $t WHERE note IS NULL")
+      .as[Long].head() === 20L)
+    assert(spark.sql(s"SELECT k FROM $t WHERE note = 'new'").as[Long].head() === 21L)
+    // time travel: the pre-evolution version keeps its own schema
+    assert(spark.sql(s"SELECT * FROM $t VERSION AS OF 0").schema.fieldNames.toSeq
+      === Seq("k", "id"))
+    // a DV-carrying snapshot evolves too — the NATIVE MOR batch fills NULLs
+    // for columns absent from the pre-evolution footers
+    vt.deleteWithVectors(spark, "k = 5", "main")
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (tag STRING)").collect()
+    val got = spark.sql(s"SELECT k, tag FROM $t WHERE k <= 6").collect()
+    assert(got.map(_.getLong(0)).sorted === Array(1L, 2L, 3L, 4L, 6L),
+      "the MOR-deleted row stays gone through the evolved schema")
+    assert(got.forall(_.isNullAt(1)))
+    // refusals: duplicates (case-insensitive), NOT NULL, COMMENT, positions,
+    // and every non-ADD alter — loudly, with nothing committed
+    val vBefore = vt.head("main").get.version
+    intercept[Exception](spark.sql(s"ALTER TABLE $t ADD COLUMNS (K BIGINT)").collect())
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $t ADD COLUMNS (x BIGINT NOT NULL)").collect())
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $t ADD COLUMNS (y BIGINT COMMENT 'lost')").collect())
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $t ADD COLUMNS (z BIGINT FIRST)").collect())
+    intercept[Exception](spark.sql(s"ALTER TABLE $t RENAME COLUMN k TO kk").collect())
+    intercept[Exception](spark.sql(s"ALTER TABLE $t DROP COLUMN id").collect())
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('a'='b')").collect())
+    assert(vt.head("main").get.version === vBefore, "refused ALTERs commit nothing")
+  }
+
+  test("r19b DDL: REPLACE TABLE [AS SELECT] is atomic — commit-or-nothing, history kept") {
+    registerCatalog()
+    val path = Tables.scratch("vtcat_rtas")
+    val t = s"vt.`$path`"
+    spark.sql(s"CREATE TABLE $t AS SELECT id AS k FROM range(10)").collect()
+    // RTAS replaces contents AND schema as ONE commit; the old snapshot
+    // still time-travels (Delta's drop-then-recreate fallback loses history)
+    spark.sql(s"REPLACE TABLE $t AS SELECT id AS a, id * 3 AS b FROM range(5)").collect()
+    assert(spark.sql(s"SELECT sum(b) AS s FROM $t").as[Long].head() === 30L)
+    assert(spark.sql(s"SELECT count(*) AS c FROM $t VERSION AS OF 0")
+      .as[Long].head() === 10L)
+    val vt = VersionedTable.open(path)
+    assert(vt.head("main").get.version === 1L, "RTAS = exactly one commit")
+    // a FAILED RTAS leaves the table exactly as it was
+    intercept[Exception](spark.sql(
+      s"REPLACE TABLE $t AS SELECT assert_true(id < 2) AS x, id FROM range(5)").collect())
+    assert(vt.head("main").get.version === 1L, "failed RTAS must not commit")
+    assert(spark.sql(s"SELECT sum(b) AS s FROM $t").as[Long].head() === 30L)
+    // REPLACE of a missing table refuses (and creates nothing);
+    // CREATE OR REPLACE creates it, then replaces it in place
+    val fresh = Tables.scratch("vtcat_rtas_fresh")
+    intercept[Exception](
+      spark.sql(s"REPLACE TABLE vt.`$fresh` AS SELECT 1 AS x").collect())
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(fresh).resolve("_graft_table")))
+    spark.sql(s"CREATE OR REPLACE TABLE vt.`$fresh` AS SELECT 7L AS x").collect()
+    assert(spark.sql(s"SELECT x FROM vt.`$fresh`").as[Long].head() === 7L)
+    spark.sql(s"CREATE OR REPLACE TABLE vt.`$fresh` AS SELECT 9L AS y").collect()
+    assert(spark.sql(s"SELECT y FROM vt.`$fresh`").as[Long].head() === 9L)
+    // plain REPLACE TABLE (no AS SELECT): empty snapshot, new schema, one commit
+    spark.sql(s"REPLACE TABLE $t (z BIGINT)").collect()
+    assert(spark.sql(s"SELECT count(*) AS c FROM $t").as[Long].head() === 0L)
+    assert(spark.sql(s"SELECT * FROM $t").schema.fieldNames.toSeq === Seq("z"))
+    // a failed ATOMIC CTAS aborts to nothing: no root, no commit
+    val f2 = Tables.scratch("vtcat_actas_fail")
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE vt.`$f2` AS SELECT assert_true(id < 3) AS a, id FROM range(9)").collect())
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(f2).resolve("_graft_table")),
+      "a failed atomic CTAS must leave no table root behind")
+    // sticky bloom columns survive an RTAS that keeps the column (the same
+    // rule as write(mode=overwrite)): the index is rebuilt for the new files
+    val bvt = VersionedTable.create(Tables.scratch("vtcat_rtas_bloom"))
+    bvt.write((1L to 50L).map(i => (i, s"u$i")).toDF("n", "uid"), "main", "v0",
+      bloomCols = Seq("uid"))
+    spark.sql(
+      s"REPLACE TABLE vt.`${bvt.root}` AS SELECT 'u7' AS uid, 7L AS n").collect()
+    val bHead = bvt.head("main").get
+    assert(bHead.bloomCols === Seq("uid"), "sticky bloom column set carries")
+    assert(bHead.bloomFiles.nonEmpty, "the replacement snapshot gets a fresh sidecar")
   }
 }
