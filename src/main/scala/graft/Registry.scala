@@ -95,7 +95,14 @@ object Registry {
     // r19: the integral-key bloom build+lookup and selective compaction of
     // the hottest key quarter — the index build and the partial rewrite are
     // the O(n) costs that must stay sub-linear
-    "q_vt_bloom_long", "q_vt_optimize_where")
+    "q_vt_bloom_long", "q_vt_optimize_where",
+    // r19b: atomic RTAS (staged files + one slot-CAS'd commit, both legs
+    // sf-scaled over orders) and metadata-only ADD COLUMNS followed by an
+    // sf-scaled INSERT — the DDL surface under the gates; plus the DSv2
+    // catalog streaming read (fixed-size nation: snapshot batch + tailed
+    // appends + a compaction streamed as silence — the cost is the
+    // micro-batch engine, not rows)
+    "q_vt_rtas", "q_vt_add_column", "q_vt_stream_table")
 
   /** The FROZEN round-4 headline list. `benchNames` grows as operators land
     * (23 → 27 across rounds), so the all-queries `total` is not

@@ -401,6 +401,53 @@ object Versioned {
       .orderBy("version", "n_nationkey")
   }
 
+  /** `spark.readStream.table("vt.\`…\`")` (r19b,
+    * [[graft.sources.VtMicroBatchStream]]): the DSv2 catalog's streaming
+    * read — snapshot-then-tail over the commit log, Delta's table
+    * streaming semantics. Phase 0 collects the initial snapshot, phase 1
+    * a tailed append, and phase 2 proves BOTH that a mid-stream
+    * compaction streams as silence (`dataChange=false`) and that the
+    * append behind it still arrives. The oracle reproduces the three
+    * phases from `nation` directly. */
+  val qVtStreamTable: QueryDef = q("q_vt_stream_table")(
+    """SELECT * FROM (
+      |  SELECT 0 AS phase, n_nationkey FROM nation WHERE n_nationkey < 10
+      |  UNION ALL
+      |  SELECT 1 AS phase, n_nationkey FROM nation
+      |  WHERE n_nationkey >= 10 AND n_nationkey < 20
+      |  UNION ALL
+      |  SELECT 2 AS phase, n_nationkey FROM nation WHERE n_nationkey >= 20)
+      |ORDER BY phase, n_nationkey""".stripMargin) { (s, d) =>
+    s.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
+    val vt = VersionedTable.create(Tables.scratch("vt_stream_table"))
+    val nation = Tables.nation(s, d)
+    vt.write(nation.where(col("n_nationkey") < 10), "main", "v0")
+    val acc = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
+    @volatile var phase = 0
+    val stream = s.readStream.table(s"vt.`${vt.root}`")
+      .writeStream
+      .option("checkpointLocation", Tables.scratch("vt_stream_table_ckpt"))
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        acc.synchronized {
+          acc ++= df.select("n_nationkey").collect().map(r => (phase, r.getInt(0)))
+        }
+        ()
+      }.start()
+    try {
+      stream.processAllAvailable() // phase 0: the initial snapshot batch
+      phase = 1
+      vt.write(nation.where(col("n_nationkey") >= 10 && col("n_nationkey") < 20),
+        "main", "v1", mode = "append")
+      stream.processAllAvailable()
+      phase = 2
+      vt.compact(s, "main", numFiles = 1) // dataChange=false → streamed silence
+      vt.write(nation.where(col("n_nationkey") >= 20), "main", "v2", mode = "append")
+      stream.processAllAvailable()
+    } finally stream.stop()
+    import s.implicits._
+    acc.toSeq.toDF("phase", "n_nationkey").orderBy("phase", "n_nationkey")
+  }
+
   /** The BATCH data-source relation ([[graft.sources.VtDataSource]],
     * `spark.read.format("vt")`): version-addressed reads through Spark's
     * native file-scan machinery with commit-log stats pruning folded into
@@ -1993,5 +2040,5 @@ object Versioned {
     qVtSqlRestore, qVtSqlOptimize, qVtSqlBranch, qVtMergeScale, qVtMergeScaleStr,
     qVtMergeEvolve, qVtMorFilter, qVtMorSql, qVtDeltaCmapNative, qVtMinmaxMeta,
     qVtSqlCountMeta, qVtBloomSkip, qVtCtas, qDliteRuntimeSkip,
-    qVtBloomLong, qVtOptimizeWhere, qVtAddColumn, qVtRtas)
+    qVtBloomLong, qVtOptimizeWhere, qVtAddColumn, qVtRtas, qVtStreamTable)
 }

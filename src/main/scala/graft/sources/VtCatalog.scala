@@ -316,8 +316,8 @@ final class VtTable(spark: SparkSession, vt: VersionedTable, branch: String,
   override def schema(): StructType = tableSchema
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   /** DV-free snapshots: [[VtMetaScanBuilder]] — Spark's own parquet
     * ScanBuilder over the commit-pinned [[VtFileIndex]] (full DSv2
@@ -329,8 +329,8 @@ final class VtTable(spark: SparkSession, vt: VersionedTable, branch: String,
     * (r18; no `V1Scan`/`RDD[Row]` bridge). */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     if (commit.dvFiles.isEmpty)
-      new VtMetaScanBuilder(spark, vt, commit, tableSchema, options)
-    else new VtMorScanBuilder(spark, vt, commit, tableSchema)
+      new VtMetaScanBuilder(spark, vt, commit, tableSchema, options, branch)
+    else new VtMorScanBuilder(spark, vt, commit, tableSchema, branch, options)
 
   /** SQL `DELETE FROM vt.\`path\` WHERE …`, on any session with the
     * catalog conf set — Spark's analyzer keeps `DeleteFromTable` intact for

@@ -37,7 +37,8 @@ import graft.vt.{Commit, VersionedTable}
   * [[VersionedTable.minMaxFromStats]]. */
 final class VtMetaScanBuilder(spark: SparkSession, vt: VersionedTable,
                               commit: Commit, tableSchema: StructType,
-                              options: CaseInsensitiveStringMap)
+                              options: CaseInsensitiveStringMap,
+                              branch: String = "main")
     extends ScanBuilder with CatalystFilterPushdown
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -74,7 +75,8 @@ final class VtMetaScanBuilder(spark: SparkSession, vt: VersionedTable,
     // — serve it untouched; everything else gets the native batch (runtime
     // file skipping, commit-log statistics) around the delegate's readers
     case None if delegateAggPushed => delegate.build()
-    case None => new VtDfScan(spark, vt, commit, dataFilters, delegate.build())
+    case None =>
+      new VtDfScan(spark, vt, commit, dataFilters, delegate.build(), branch, options)
   }
 
   // ---- the provable-from-metadata decision --------------------------------
@@ -218,19 +220,26 @@ private[sources] trait VtRuntimePrunedScan
 
   /** One [[PartitionedFile]] per ≤ `maxSplit` chunk of `rel` — row indexes
     * (where requested) are file-absolute, so chunking is always safe. */
-  protected final def splitsOf(rel: String, maxSplit: Long): Seq[PartitionedFile] = {
-    val size = sizeOf(rel)
-    val path = SparkPath.fromPath(new HPath(vt.root.resolve(rel).toUri))
-    (0L until size by maxSplit).map(start =>
-      PartitionedFile(InternalRow.empty, path, start,
-        math.min(maxSplit, size - start), Array.empty, 0L, size, Map.empty))
-  }
+  protected final def splitsOf(rel: String, maxSplit: Long): Seq[PartitionedFile] =
+    VtSplits.of(vt, rel, sizeOf(rel), maxSplit)
 
   /** Live-row count from the commit log, when every live file logged one. */
   protected final def rowCountStat: OptionalLong =
     if (liveFiles.forall(commit.rowCounts.contains))
       OptionalLong.of(liveFiles.iterator.map(commit.rowCounts).sum)
     else OptionalLong.empty()
+}
+
+/** The one per-file split planner shared by the native batch scans and the
+  * micro-batch stream ([[VtMicroBatchStream]]) — row indexes are
+  * file-absolute, so byte-range chunking is always safe. */
+private[sources] object VtSplits {
+  def of(vt: VersionedTable, rel: String, size: Long, maxSplit: Long): Seq[PartitionedFile] = {
+    val path = SparkPath.fromPath(new HPath(vt.root.resolve(rel).toUri))
+    (0L until size by maxSplit).map(start =>
+      PartitionedFile(InternalRow.empty, path, start,
+        math.min(maxSplit, size - start), Array.empty, 0L, size, Map.empty))
+  }
 }
 
 /** NATIVE batch for DV-FREE snapshots (r18): the delegate [[ParquetScan]]
@@ -247,7 +256,9 @@ private[sources] trait VtRuntimePrunedScan
   * not have; per-file stats are its partition pruning. */
 final class VtDfScan(protected val spark: SparkSession, protected val vt: VersionedTable,
                      protected val commit: Commit,
-                     dataFilters: Seq[Expression], parquet: ParquetScan)
+                     dataFilters: Seq[Expression], parquet: ParquetScan,
+                     branch: String = "main",
+                     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends Batch with SupportsReportStatistics with VtRuntimePrunedScan {
 
   protected val staticFiles: Vector[String] = {
@@ -260,6 +271,12 @@ final class VtDfScan(protected val spark: SparkSession, protected val vt: Versio
 
   override def readSchema(): StructType = parquet.readSchema()
   override def toBatch: Batch = this
+  /** `spark.readStream.table(...)` — snapshot-then-tail over the commit
+    * log ([[VtMicroBatchStream]]); this scan's pruned readSchema pins the
+    * stream's column set. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new VtMicroBatchStream(spark, vt, branch, commit, readSchema(), options)
   override def description(): String =
     s"VtDfScan v${commit.version} files=${liveFiles.size}/${commit.files.size} " +
       s"PushedFilters: [${parquet.pushedFilters.mkString(", ")}]"
@@ -289,7 +306,10 @@ final class VtDfScan(protected val spark: SparkSession, protected val vt: Versio
   * returned as residual (the `FileScanBuilder` rule), so correctness
   * never depends on the translation. */
 final class VtMorScanBuilder(spark: SparkSession, vt: VersionedTable,
-                             commit: Commit, tableSchema: StructType)
+                             commit: Commit, tableSchema: StructType,
+                             branch: String = "main",
+                             options: CaseInsensitiveStringMap =
+                               CaseInsensitiveStringMap.empty())
     extends ScanBuilder with CatalystFilterPushdown
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -354,7 +374,8 @@ final class VtMorScanBuilder(spark: SparkSession, vt: VersionedTable,
       val probes = dataFilters.flatMap(StatsWindows.pointProbes).toList
       val bloom = if (probes.isEmpty) VtPruning.NoBloom else vt.bloomLookup(commit)
       val pruned = commit.files.filter(VtPruning.survives(commit, _, bounds, nulls, probes, bloom))
-      new VtMorScan(spark, vt, commit, pruned, required, delegate.build())
+      new VtMorScan(spark, vt, commit, pruned, required, delegate.build(),
+        branch, options)
   }
 }
 
@@ -393,13 +414,20 @@ private[sources] object VtDvStats {
 final class VtMorScan(protected val spark: SparkSession, protected val vt: VersionedTable,
                       protected val commit: Commit,
                       pruned: Vector[String], outSchema: StructType,
-                      parquet: ParquetScan)
+                      parquet: ParquetScan,
+                      branch: String = "main",
+                      options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends Batch with SupportsReportStatistics with VtRuntimePrunedScan {
 
   protected def staticFiles: Vector[String] = pruned
 
   override def readSchema(): StructType = outSchema
   override def toBatch: Batch = this
+  /** `spark.readStream.table(...)` on a DV-carrying head: the stream's
+    * initial snapshot applies the deletion vectors per task, then tails. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new VtMicroBatchStream(spark, vt, branch, commit, readSchema(), options)
   override def description(): String =
     s"VtMorScan v${commit.version} files=${pruned.size}/${commit.files.size} " +
       s"dv=${commit.dvFiles.size}"

@@ -1,0 +1,213 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.graft.Dsv2Shim
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.vt.{Commit, VersionedTable}
+
+/** Commit-version offset of the catalog streaming read. JSON form
+  * `{"version":N}`; `-1` means "nothing consumed yet" — the next batch
+  * delivers the full snapshot AT its end version (then the stream tails). */
+private[sources] final case class VtStreamOffset(version: Long) extends Offset {
+  override def json: String = s"""{"version":$version}"""
+}
+
+private[sources] object VtStreamOffset {
+  def parse(json: String): VtStreamOffset = {
+    val m = "\"version\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(json).getOrElse(
+      throw new IllegalArgumentException(s"not a vt stream offset: $json"))
+    VtStreamOffset(m.group(1).toLong)
+  }
+}
+
+/** `spark.readStream.table("vt.\`path\`")` — a DSv2 [[MicroBatchStream]]
+  * over the commit log, the streaming twin of Delta's table streaming
+  * source (the DSv1 `vt-changes` source remains the ROW-LEVEL CDF feed;
+  * this stream serves the table's DATA rows).
+  *
+  * Semantics (Delta's, deliberately):
+  *  - **Snapshot-then-tail**: the first batch is the full snapshot at the
+  *    stream-start head (offset −1 → head), every later batch the files
+  *    APPENDED by the commits in `(start, end]`. With the
+  *    `startingVersion` option the snapshot is skipped and versions
+  *    `≥ startingVersion` stream as appends from the start.
+  *  - **Append-only tailing**: a commit that removes files or grows the
+  *    deletion-vector set changed existing rows — refused loudly with a
+  *    pointer to the options, because silently dropping a delete turns an
+  *    exactly-once pipeline into a wrong one. `ignoreDeletes` skips pure
+  *    deletes (nothing re-emitted); `ignoreChanges` additionally tolerates
+  *    rewrites by re-emitting the rewritten files (Delta's documented
+  *    at-least-once caveat).
+  *  - **Layout commits stream as silence**: compaction / z-order /
+  *    `OPTIMIZE … WHERE` / `ADD COLUMNS` publish `dataChange=false`
+  *    (Delta marks OPTIMIZE actions the same way), so table maintenance
+  *    never breaks a running stream — the pre-flag history conservatively
+  *    counts as data change.
+  *  - **Pinned schema**: batches read with the stream-start schema.
+  *    Additive evolution mid-stream is invisible (new columns surface on
+  *    restart); a commit that DROPS or RETYPES a pinned column fails the
+  *    batch with a restart instruction instead of null-filling.
+  *
+  * Scale shape: the driver touches O(versions) commit records per batch —
+  * never rows; partitions are the same per-file splits the native batch
+  * scans plan, readers are Spark's vectorized parquet readers behind
+  * [[VtMorReaderFactory]] (columnar passthrough when the batch carries no
+  * deletion vectors, per-task DV loading when it does — cherry-picked
+  * commits can add files with transplanted DVs), and `maxVersionsPerTrigger`
+  * bounds a batch after downtime. Offsets are deterministic: a restart
+  * replays `(checkpointed start, checkpointed end]` byte-identically
+  * (provided vacuum retention covers the stream's lag, the same contract
+  * as the DSv1 feed). */
+final class VtMicroBatchStream(spark: SparkSession, vt: VersionedTable,
+                               branch: String, startCommit: Commit,
+                               streamSchema: StructType,
+                               options: CaseInsensitiveStringMap)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  private val ignoreDeletes = options.getBoolean("ignoreDeletes", false)
+  private val ignoreChanges = options.getBoolean("ignoreChanges", false)
+  private val startingVersion: Option[Long] =
+    Option(options.get("startingVersion")).map {
+      case "earliest" => 0L
+      case "latest" => startCommit.version + 1
+      case v => v.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"startingVersion must be a version number, 'earliest' or 'latest', got '$v'"))
+    }
+  private val maxVersions: Option[Long] =
+    Option(options.get("maxVersionsPerTrigger")).map { v =>
+      val n = v.toLongOption.filter(_ > 0).getOrElse(
+        throw new IllegalArgumentException(
+          s"maxVersionsPerTrigger must be a positive number, got '$v'"))
+      n
+    }
+
+  private val pinnedSchema =
+    DataType.fromJson(startCommit.schemaJson).asInstanceOf[StructType]
+
+  override def initialOffset(): Offset =
+    VtStreamOffset(startingVersion.map(_ - 1).getOrElse(-1L))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** End offset for the next batch: the branch head, clamped to
+    * `maxVersionsPerTrigger` versions past the consumed offset (the
+    * snapshot batch counts as one version). The engine's ReadLimit is a
+    * rows/files vocabulary — version clamping comes from the option. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[VtStreamOffset].version
+    val head = vt.head(branch).map(_.version).getOrElse(
+      throw new IllegalArgumentException(s"no such branch: $branch"))
+    VtStreamOffset(maxVersions.fold(math.max(s, head))(m =>
+      math.max(s, math.min(head, s + m))))
+  }
+
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "latestOffset(start, limit) is the admission-control entry point")
+
+  override def deserializeOffset(json: String): Offset = VtStreamOffset.parse(json)
+  override def commit(end: Offset): Unit = () // offsets live in the checkpoint log
+  override def stop(): Unit = ()
+
+  /** Built by [[planInputPartitions]] for the SAME batch (the engine plans
+    * partitions before wiring the factory into the RDD). */
+  @volatile private var factory: PartitionReaderFactory = _
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val f = factory
+    require(f != null, "createReaderFactory before planInputPartitions")
+    f
+  }
+
+  /** A pinned column must survive in `c`'s schema with the same
+    * (nullability-normalized) type; additions are invisible until restart. */
+  private def schemaGuard(c: Commit): Unit = {
+    if (c.schemaJson == startCommit.schemaJson) return
+    val now = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
+    val byName = now.fields.map(f =>
+      f.name -> VersionedTable.nullNormalized(f.dataType)).toMap
+    pinnedSchema.fields.foreach { f =>
+      val ok = byName.get(f.name).contains(VersionedTable.nullNormalized(f.dataType))
+      if (!ok) throw new IllegalStateException(
+        s"schema of $branch changed at version ${c.version}: column ${f.name} " +
+          "was dropped or retyped — restart the stream to adopt the new schema")
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[VtStreamOffset].version
+    val e = end.asInstanceOf[VtStreamOffset].version
+    // (commit that introduced them, files to emit) — the commit supplies
+    // fileSizes and the dvFiles its added files must be checked against
+    // (cherry-pick transplants DVs onto files it adds)
+    val emitted: Vector[(Commit, Vector[String])] =
+      if (e <= s) Vector.empty
+      else if (s < 0) {
+        val snap = vt.resolveRead(branch, versionAsOf = Some(e))
+        schemaGuard(snap)
+        Vector((snap, snap.files))
+      } else {
+        // commitRange is from-inclusive: element 0 is the consumed base,
+        // pairs (parent, child) give each child's file diff
+        val range = vt.commitRange(branch, s, e).toVector
+        range.sliding(2).collect { case Vector(p, c) if c.dataChange =>
+          schemaGuard(c)
+          val pf = p.files.toSet
+          val added = c.files.filterNot(pf)
+          val removed = p.files.filterNot(c.files.toSet)
+          val dvGrew = c.dvFiles.exists(!p.dvFiles.contains(_))
+          if ((removed.nonEmpty || dvGrew) && !ignoreChanges &&
+              !(ignoreDeletes && added.isEmpty)) throw new IllegalStateException(
+            s"streaming read of $branch hit version ${c.version}, which changes " +
+              "rows already streamed (delete/update/overwrite). This stream " +
+              "serves appends: set ignoreDeletes=true to skip pure deletes, " +
+              "ignoreChanges=true to re-emit rewritten files (at-least-once), " +
+              "or consume row-level changes via format(\"vt-changes\")")
+          (c, added)
+        }.toVector
+      }
+    val allFiles = emitted.flatMap(_._2)
+    val sizeOf: Map[String, Long] = emitted.flatMap { case (c, fs) =>
+      fs.map(f => f -> c.fileSizes.getOrElse(f,
+        java.nio.file.Files.size(vt.root.resolve(f))))
+    }.toMap
+    // reader factory over THIS batch's files, with the stream's pinned
+    // schema: Spark's own vectorized parquet readers + the generated
+    // row-index column, deletion vectors (when any) subtracted per task —
+    // the exact machinery of the native MOR batch scan
+    val rowIdx = Dsv2Shim.rowIndexField
+    val withIdx = StructType(pinnedSchema.fields :+ rowIdx)
+    val synth = startCommit.copy(files = allFiles, fileSizes = sizeOf,
+      dvFiles = Vector.empty, stats = Map.empty, strStats = Map.empty,
+      nullStats = Map.empty, bloomStats = Map.empty, bloomFiles = Vector.empty)
+    val delegate = ParquetScanBuilder(spark, new VtFileIndex(spark, vt, synth),
+      withIdx, withIdx, CaseInsensitiveStringMap.empty())
+    delegate.pruneColumns(StructType(streamSchema.fields :+ rowIdx))
+    val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    var anyDv = false
+    val maxSplit = math.max(1L,
+      FilePartition.maxSplitBytes(spark, allFiles.iterator.map(sizeOf).sum))
+    emitted.foreach { case (c, fs) =>
+      val dvStats: Map[String, (Long, Seq[String])] =
+        if (c.dvFiles.isEmpty || fs.isEmpty) Map.empty
+        else vt.dvStatsByKey(spark, c, fs.map(VersionedTable.fileKey).toSet)
+      fs.foreach { rel =>
+        val key = VersionedTable.fileKey(rel)
+        val dvPaths = dvStats.get(key).map(_._2.toArray).getOrElse(Array.empty[String])
+        anyDv |= dvPaths.nonEmpty
+        VtSplits.of(vt, rel, sizeOf(rel), maxSplit).foreach { pf =>
+          parts += VtMorInputPartition(FilePartition(parts.length, Array(pf)), key, dvPaths)
+        }
+      }
+    }
+    factory = new VtMorReaderFactory(delegate.build().createReaderFactory(),
+      streamSchema, allColumnar = !anyDv,
+      confWrapper = Dsv2Shim.serializableConf(spark.sessionState.newHadoopConf()))
+    parts.toArray
+  }
+}

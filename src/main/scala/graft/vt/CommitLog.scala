@@ -100,7 +100,16 @@ final case class Commit(
       * sweeps orphans. Entries for files later rewritten out of the
       * snapshot are dead-but-harmless (lookups key on live file names).
       * Absent = empty = never skip (back-compatible JSON). */
-    bloomFiles: Vector[String] = Vector.empty) {
+    bloomFiles: Vector[String] = Vector.empty,
+    /** FALSE for commits that re-arrange bytes without changing the
+      * table's visible rows — compaction, z-order, `OPTIMIZE … WHERE`,
+      * `ALTER TABLE ADD COLUMNS` (Delta writes `dataChange=false` on its
+      * OPTIMIZE add/remove actions for the same reason): streaming readers
+      * skip these commits instead of erroring on their removed files, and
+      * CDC consumers may fast-path them to "no row changes". Absent = true
+      * (back-compatible JSON: every pre-flag commit conservatively counts
+      * as a data change). */
+    dataChange: Boolean = true) {
   /** All parents, first-parent first — the DAG edge set for ancestry walks. */
   def parents: List[String] = parent.toList ++ mergeParent.toList
 
@@ -202,6 +211,7 @@ object CommitLog {
       c.bloomFiles.foreach(l.add)
       m.put("bloomFiles", l)
     }
+    if (!c.dataChange) m.put("dataChange", java.lang.Boolean.FALSE)
     mapper.writeValueAsString(m)
   }
 
@@ -260,7 +270,9 @@ object CommitLog {
         .getOrElse(Nil),
       bloomFiles = Option(m.get("bloomFiles"))
         .map(_.asInstanceOf[java.util.List[String]].asScala.toVector)
-        .getOrElse(Vector.empty))
+        .getOrElse(Vector.empty),
+      dataChange = Option(m.get("dataChange"))
+        .forall(_.asInstanceOf[java.lang.Boolean].booleanValue()))
   }
 
   /** Cross-process optimistic concurrency (Delta's log-store contract,

@@ -144,6 +144,7 @@ object DeltaLogWriter {
         val actions = Vector.newBuilder[String]
         actions += DeltaLogFixture.commitInfoLine(c.ts,
           if (prev.isEmpty) "WRITE"
+          else if (!c.dataChange && removes.nonEmpty) "OPTIMIZE"
           else if (dvChanged.nonEmpty) "DELETE"
           else if (removes.isEmpty) "APPEND" else "OVERWRITE")
         if (prev.isEmpty && !firstDvVersion.contains(0L))
@@ -158,12 +159,14 @@ object DeltaLogWriter {
         // the row bag does not) export Delta's way: adds and removes marked
         // dataChange=false, no cdc file — a CDF reader then skips the
         // version instead of refusing a mixed add/remove commit or deriving
-        // phantom inserts. Detected EXACTLY from the version's own change
-        // feed being empty (one cached pass answers both the probe and the
-        // cdc write), only under changeDataFeed — non-CDF exports keep
-        // dataChange=true, which snapshot readers ignore.
-        var restatement = false
-        if (changeDataFeed && prev.nonEmpty && removes.nonEmpty) {
+        // phantom inserts. Since r19b the commit log CARRIES the flag
+        // (layout commits publish dataChange=false), so the export reads it
+        // directly — for every export kind, not just CDF ones. Pre-flag
+        // history (conservatively dataChange=true) keeps the exact probe:
+        // the version's own change feed being empty proves the restatement
+        // (one cached pass answers both the probe and the cdc write).
+        var restatement = prev.nonEmpty && removes.nonEmpty && !c.dataChange
+        if (changeDataFeed && prev.nonEmpty && removes.nonEmpty && !restatement) {
           val spark = SparkSession.active
           val feed = vt.changesFeed(spark, branch, c.version - 1, c.version)
             .drop("version").withColumnRenamed("change_type", "_change_type")

@@ -306,7 +306,8 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
             mode: String = "overwrite", statsCols: Seq[String] = Nil,
             mergeSchema: Boolean = false, check: Option[String] = None,
             overwriteSchema: Boolean = false,
-            bloomCols: Seq[String] = Nil): Commit = synchronized {
+            bloomCols: Seq[String] = Nil,
+            dataChange: Boolean = true): Commit = synchronized {
     guardWritable(branch)
     // bloom-indexed columns must be STRING or INTEGRAL — the two hash
     // domains the probe can reproduce exactly (UTF-8 bytes; the cast-to-
@@ -439,7 +440,8 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       dvFiles = if (mode == "append") parent.map(_.dvFiles).getOrElse(Vector.empty)
                 else Vector.empty,
       bloomStats = parentBlooms,
-      bloomCols = effBloomCols, bloomFiles = parentBloomFiles ++ sidecar)
+      bloomCols = effBloomCols, bloomFiles = parentBloomFiles ++ sidecar,
+      dataChange = dataChange)
   }
 
   /** Per-file min/max stats for `cols`, computed in ONE Spark job over the
@@ -1599,7 +1601,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       evolved, parent.files, parent.stats, strStats = parent.strStats,
       dvFiles = parent.dvFiles, nullStats = parent.nullStats,
       bloomStats = parent.bloomStats, bloomCols = bloomColsOf(parent),
-      bloomFiles = parent.bloomFiles)
+      bloomFiles = parent.bloomFiles, dataChange = false)
   }
 
   /** Atomic CTAS/RTAS support ([[graft.sources.VtCatalog]]'s
@@ -1699,7 +1701,8 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
                       nullStats: Map[String, Map[String, Long]] = Map.empty,
                       bloomStats: Map[String, Map[String, String]] = Map.empty,
                       bloomCols: Seq[String] = Nil,
-                      bloomFiles: Vector[String] = Vector.empty): Commit = {
+                      bloomFiles: Vector[String] = Vector.empty,
+                      dataChange: Boolean = true): Commit = {
     val version = parent.map(_.version + 1).getOrElse(0L)
     val id = s"$branch-v$version-${java.util.UUID.randomUUID.toString.take(8)}"
     // Per-file row counts (Delta numRecords): inherited from either parent's
@@ -1727,7 +1730,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     }.toMap
     val c = Commit(id, parent.map(_.id), version, files, schema.json, message,
       System.currentTimeMillis(), stats, mergeParent, strStats, dvFiles, rowCounts,
-      nullStats, fileSizes, bloomStats, bloomCols, bloomFiles)
+      nullStats, fileSizes, bloomStats, bloomCols, bloomFiles, dataChange)
     // pre-commit hooks (lakeFS Actions) see the full candidate and may throw;
     // running BEFORE the slot claim means an abort leaves no claimed slot to
     // sweep — only orphan data files the next vacuum reclaims.
@@ -2727,7 +2730,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
               statsCols: Seq[String] = Nil, maxRetries: Int = 3): Commit =
     retryLayoutCommit(maxRetries) { () =>
       write(read(spark, branch).repartition(numFiles), branch,
-        s"compact to $numFiles files", statsCols = statsCols)
+        s"compact to $numFiles files", statsCols = statsCols, dataChange = false)
     }
 
   /** Delta `OPTIMIZE ZORDER BY (a, b, …)`: rewrite the head snapshot
@@ -2742,7 +2745,8 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
                     numFiles: Int, maxRetries: Int): Commit =
     retryLayoutCommit(maxRetries) { () =>
       write(graft.ops.Scale.zorderLayout(read(spark, branch), cols, numFiles),
-        branch, s"optimize zorder by (${cols.mkString(", ")})", statsCols = cols)
+        branch, s"optimize zorder by (${cols.mkString(", ")})", statsCols = cols,
+        dataChange = false)
     }
 
   def compactZorder(spark: SparkSession, branch: String, colA: String,
@@ -2803,7 +2807,8 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
           // region's DVs were applied during the rewrite (dead entries stay
           // harmless)
           dvFiles = parent.dvFiles,
-          bloomStats = bLegacy, bloomCols = bCols, bloomFiles = bFiles)
+          bloomStats = bLegacy, bloomCols = bCols, bloomFiles = bFiles,
+          dataChange = false)
       }
     }
 
@@ -2871,7 +2876,7 @@ object VersionedTable {
     * is package-private) so schema comparisons ignore nullability at any
     * nesting depth; field metadata is also dropped — only name+logical type
     * should participate in equality. */
-  private[vt] def nullNormalized(dt: DataType): DataType = dt match {
+  private[graft] def nullNormalized(dt: DataType): DataType = dt match {
     case s: StructType =>
       StructType(s.fields.map(f => org.apache.spark.sql.types.StructField(
         f.name, nullNormalized(f.dataType), nullable = true)))

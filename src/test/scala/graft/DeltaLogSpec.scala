@@ -818,6 +818,21 @@ class DeltaLogSpec extends SparkSpec {
     assert(target.read(spark, "main").where($"k" === 1).select("v")
       .as[String].collect() === Array("V1"))
     assert(target.read(spark, "main").count() === 51L)
+    // r19b: the commit log carries dataChange itself, so the restatement is
+    // visible to NON-CDF exports too (a stock delta streaming reader then
+    // skips the compaction instead of erroring on its removes) — and the
+    // commitInfo names the operation OPTIMIZE
+    val vtN = VersionedTable.create(Tables.scratch("delta_compact_nocdf"))
+    vtN.write((1L to 20L).toDF("k").repartition(4), "main", "v0")
+    vtN.compact(spark, "main", numFiles = 1)
+    vtN.exportDeltaLog("main")
+    val n1 = actions(vtN.root, 1).filter(a => a.has("add") || a.has("remove"))
+    assert(n1.nonEmpty && n1.forall { a =>
+      val n = if (a.has("add")) a.get("add") else a.get("remove")
+      !n.get("dataChange").asBoolean(true)
+    }, "non-CDF export must mark the flagged layout commit dataChange=false")
+    assert(actions(vtN.root, 1).exists(a => a.has("commitInfo") &&
+      a.get("commitInfo").get("operation").asText() == "OPTIMIZE"))
   }
 
   test("CDF export writes one cdc file per feed partition — no coalesce(1) funnel") {

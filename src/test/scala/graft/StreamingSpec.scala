@@ -751,4 +751,124 @@ class StreamingSpec extends SparkSpec {
         === Array(1, 2, 3, 4), "restart must deliver exactly the missed commit")
     } finally q2.stop()
   }
+
+  test("readStream.table: snapshot-then-tail; OPTIMIZE streams as silence; restart resumes") {
+    import graft.vt.VersionedTable
+    spark.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
+    val vt = VersionedTable.create(Tables.scratch("vtmbs"))
+    vt.write((1 to 10).toDF("k"), "main", "v0")
+    vt.write((11 to 15).toDF("k"), "main", "v1", mode = "append")
+    val ckpt = Tables.scratch("vtmbs_ckpt")
+    val got = scala.collection.mutable.ListBuffer.empty[Int]
+    def startQ() = spark.readStream.table(s"vt.`${vt.root}`")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= df.select("k").as[Int].collect() }
+        ()
+      }.start()
+    val q1 = startQ()
+    try {
+      q1.processAllAvailable()
+      assert(got.sorted === (1 to 15), "initial batch = full snapshot at stream start")
+      vt.write((16 to 18).toDF("k"), "main", "v2", mode = "append")
+      q1.processAllAvailable()
+      assert(got.sorted === (1 to 18), "appends tail incrementally")
+      // maintenance mid-stream: compaction removes files but publishes
+      // dataChange=false — the stream sees silence, never a refusal or
+      // re-emission
+      vt.compact(spark, "main", numFiles = 1)
+      assert(!vt.head("main").get.dataChange)
+      q1.processAllAvailable()
+      assert(got.size === 18, "OPTIMIZE must not re-emit rows into a stream")
+      // metadata-only evolution mid-stream is silence too (pinned schema)
+      vt.addColumns("main", Seq(org.apache.spark.sql.types.StructField(
+        "note", org.apache.spark.sql.types.StringType)))
+      q1.processAllAvailable()
+      assert(got.size === 18)
+      // appends carrying the evolved schema stream through the PINNED
+      // schema: the new column is invisible until restart
+      vt.write(Seq((19, "n")).toDF("k", "note"), "main", "v5", mode = "append")
+      q1.processAllAvailable()
+      assert(got.sorted === (1 to 19))
+    } finally q1.stop()
+    // commits land while the stream is DOWN; restart resumes from the
+    // checkpoint and delivers exactly the missed interval
+    vt.write(Seq((20, "x")).toDF("k", "note"), "main", "v6", mode = "append")
+    got.clear()
+    val q2 = startQ()
+    try {
+      q2.processAllAvailable()
+      assert(got.toList === List(20), "restart delivers only the missed appends")
+    } finally q2.stop()
+  }
+
+  test("readStream.table: deletes refuse loudly; ignoreDeletes skips; MOR snapshot applies DVs; startingVersion and rate limit") {
+    import graft.vt.VersionedTable
+    spark.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
+    val vt = VersionedTable.create(Tables.scratch("vtmbs_del"))
+    vt.write((1 to 10).toDF("k"), "main", "v0")
+    vt.deleteWithVectors(spark, "k = 3", "main") // v1: MOR delete
+    // a stream STARTED on the DV-carrying head applies the deletion
+    // vectors in its initial snapshot
+    val got = scala.collection.mutable.ListBuffer.empty[Int]
+    val ckpt = Tables.scratch("vtmbs_del_ckpt")
+    def startQ(opts: Map[String, String] = Map.empty) = {
+      val r = spark.readStream
+      opts.foreach { case (k, v) => r.option(k, v) }
+      r.table(s"vt.`${vt.root}`")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized { got ++= df.select("k").as[Int].collect() }
+          ()
+        }.start()
+    }
+    val q1 = startQ()
+    try {
+      q1.processAllAvailable()
+      assert(got.sorted === ((1 to 10).toSet - 3).toSeq.sorted,
+        "the initial snapshot must subtract deletion vectors")
+      // a delete AFTER the snapshot refuses loudly (rows already streamed
+      // would silently change meaning)
+      vt.delete(spark, "k = 5", "main") // v2: COW delete — removes files
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        vt.write(Seq(11).toDF("k"), "main", "v3", mode = "append")
+        q1.processAllAvailable()
+      }
+      assert(e.getMessage.contains("ignoreDeletes") ||
+        Option(e.getCause).exists(_.getMessage.contains("ignoreDeletes")),
+        s"refusal must name the options: ${e.getMessage}")
+    } finally q1.stop()
+    // ignoreChanges rides over the rewrite (re-emitting its files) and
+    // the stream proceeds to the append
+    got.clear()
+    val q2 = startQ(Map("ignoreChanges" -> "true"))
+    try {
+      q2.processAllAvailable()
+      assert(got.contains(11), "the append behind the delete must stream")
+    } finally q2.stop()
+    // startingVersion: no snapshot, tail from the given version's changes
+    val vt2 = VersionedTable.create(Tables.scratch("vtmbs_sv"))
+    vt2.write((1 to 5).toDF("k"), "main", "v0")
+    vt2.write((6 to 8).toDF("k"), "main", "v1", mode = "append")
+    vt2.write((9 to 9).toDF("k"), "main", "v2", mode = "append")
+    got.clear()
+    var batches = 0
+    val q3 = spark.readStream.option("startingVersion", "1")
+      .option("maxVersionsPerTrigger", "1")
+      .table(s"vt.`${vt2.root}`")
+      .writeStream.option("checkpointLocation", Tables.scratch("vtmbs_sv_ckpt"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          val rows = df.select("k").as[Int].collect()
+          if (rows.nonEmpty) batches += 1
+          got ++= rows
+        }
+        ()
+      }.start()
+    try {
+      q3.processAllAvailable()
+      assert(got.sorted === (6 to 9), "startingVersion=1 skips the v0 snapshot")
+      assert(batches === 2, "maxVersionsPerTrigger=1 → one commit per batch")
+    } finally q3.stop()
+  }
 }

@@ -1656,6 +1656,32 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.minMaxFromStats("main", "k").isEmpty)
   }
 
+  test("dataChange flag: layout/evolution commits publish false, data commits true, JSON round-trips") {
+    val vt = freshVt("datachange")
+    vt.write((1L to 20L).toDF("k").repartition(4), "main", "v0", statsCols = Seq("k"))
+    assert(vt.head("main").get.dataChange, "a write IS a data change")
+    vt.compact(spark, "main", numFiles = 1)
+    assert(!vt.head("main").get.dataChange, "compaction re-arranges bytes only")
+    vt.compactZorder(spark, "main", Seq("k"), numFiles = 2, maxRetries = 3)
+    assert(!vt.head("main").get.dataChange)
+    vt.compactWhere(spark, "main", "k <= 5", numFiles = 1)
+    assert(!vt.head("main").get.dataChange)
+    vt.addColumns("main", Seq(org.apache.spark.sql.types.StructField(
+      "note", org.apache.spark.sql.types.StringType)))
+    assert(!vt.head("main").get.dataChange)
+    vt.delete(spark, "k = 1", "main")
+    assert(vt.head("main").get.dataChange, "a row delete is a data change")
+    // the flag survives the JSON codec in both directions, and a pre-flag
+    // record (no key) conservatively reads TRUE
+    val h = vt.head("main").get
+    assert(graft.vt.CommitLog.fromJson(graft.vt.CommitLog.toJson(h)).dataChange)
+    val json = graft.vt.CommitLog.toJson(vt.lineage("main")(1)) // the ADD COLUMNS commit
+    assert(!graft.vt.CommitLog.fromJson(json).dataChange)
+    assert(graft.vt.CommitLog.fromJson(
+      json.replaceAll(",\\s*\"dataChange\"\\s*:\\s*false", "")).dataChange,
+      "absent key = pre-flag history = conservatively a data change")
+  }
+
   test("addColumns: metadata-only evolution — CDC-silent, prune-sound, append rules intact") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField}
     val vt = freshVt("addcols")
