@@ -102,7 +102,12 @@ object Registry {
     // catalog streaming read (fixed-size nation: snapshot batch + tailed
     // appends + a compaction streamed as silence — the cost is the
     // micro-batch engine, not rows)
-    "q_vt_rtas", "q_vt_add_column", "q_vt_stream_table")
+    "q_vt_rtas", "q_vt_add_column", "q_vt_stream_table",
+    // r19b: the catalog-native streaming mirror — readStream.table →
+    // writeStream.toTable, epoch files written by the tasks themselves and
+    // published as one watermarked commit (fixed-size; the cost is two
+    // micro-batch engine cycles)
+    "q_vt_stream_mirror")
 
   /** The FROZEN round-4 headline list. `benchNames` grows as operators land
     * (23 → 27 across rounds), so the all-queries `total` is not

@@ -448,6 +448,32 @@ object Versioned {
     acc.toSeq.toDF("phase", "n_nationkey").orderBy("phase", "n_nationkey")
   }
 
+  /** The catalog-native streaming MIRROR (r19b): `readStream.table` on the
+    * source versioned table piped straight into `writeStream.toTable` on a
+    * second one — no foreachBatch, no DSv1 format strings, just the two
+    * DSv2 faces ([[graft.sources.VtMicroBatchStream]] →
+    * [[graft.sources.VtStreamingWrite]]). Each epoch's rows are written by
+    * the epoch's own tasks and published as ONE watermarked commit, so the
+    * mirror is exactly-once by construction. The oracle checks the mirror
+    * equals the source after a snapshot batch plus a tailed append. */
+  val qVtStreamMirror: QueryDef = q("q_vt_stream_mirror")(
+    """SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey""") { (s, d) =>
+    s.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
+    val src = VersionedTable.create(Tables.scratch("vt_mirror_src"))
+    val nation = Tables.nation(s, d).select("n_nationkey", "n_name")
+    src.write(nation.where(col("n_nationkey") < 12), "main", "v0")
+    val dst = Tables.scratch("vt_mirror_dst")
+    val stream = s.readStream.table(s"vt.`${src.root}`")
+      .writeStream.option("checkpointLocation", Tables.scratch("vt_mirror_ckpt"))
+      .toTable(s"vt.`$dst`")
+    try {
+      stream.processAllAvailable() // snapshot epoch
+      src.write(nation.where(col("n_nationkey") >= 12), "main", "v1", mode = "append")
+      stream.processAllAvailable() // tailed append epoch
+    } finally stream.stop()
+    s.sql(s"SELECT n_nationkey, n_name FROM vt.`$dst` ORDER BY n_nationkey")
+  }
+
   /** The BATCH data-source relation ([[graft.sources.VtDataSource]],
     * `spark.read.format("vt")`): version-addressed reads through Spark's
     * native file-scan machinery with commit-log stats pruning folded into
@@ -2040,5 +2066,6 @@ object Versioned {
     qVtSqlRestore, qVtSqlOptimize, qVtSqlBranch, qVtMergeScale, qVtMergeScaleStr,
     qVtMergeEvolve, qVtMorFilter, qVtMorSql, qVtDeltaCmapNative, qVtMinmaxMeta,
     qVtSqlCountMeta, qVtBloomSkip, qVtCtas, qDliteRuntimeSkip,
-    qVtBloomLong, qVtOptimizeWhere, qVtAddColumn, qVtRtas, qVtStreamTable)
+    qVtBloomLong, qVtOptimizeWhere, qVtAddColumn, qVtRtas, qVtStreamTable,
+    qVtStreamMirror)
 }

@@ -317,7 +317,8 @@ final class VtTable(spark: SparkSession, vt: VersionedTable, branch: String,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
 
   /** DV-free snapshots: [[VtMetaScanBuilder]] — Spark's own parquet
     * ScanBuilder over the commit-pinned [[VtFileIndex]] (full DSv2
@@ -361,7 +362,10 @@ final class VtTable(spark: SparkSession, vt: VersionedTable, branch: String,
 
   /** `INSERT INTO` = append commit; `INSERT OVERWRITE` = overwrite commit
     * (SupportsTruncate). One SQL statement, one commit — the same mapping
-    * as `format("vt")`'s SaveModes. */
+    * as `format("vt")`'s SaveModes. `writeStream.toTable` builds the same
+    * Write's STREAMING face ([[VtStreamingWrite]]): Append mode = one
+    * append commit per epoch, Complete mode (truncate) = one overwrite
+    * commit per epoch — the epoch's tasks write the parquet themselves. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
@@ -377,6 +381,12 @@ final class VtTable(spark: SparkSession, vt: VersionedTable, branch: String,
               ()
             }
           }
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          // info.queryId() is the STREAMING QUERY's stable id (constant
+          // across restarts from one checkpoint) — the txn appId
+          new VtStreamingWrite(spark, vt, branch, info.schema(), ident,
+            overwrite, info.queryId())
       }
     }
 }

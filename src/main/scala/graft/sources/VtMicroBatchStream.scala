@@ -13,16 +13,24 @@ import graft.vt.{Commit, VersionedTable}
 
 /** Commit-version offset of the catalog streaming read. JSON form
   * `{"version":N}`; `-1` means "nothing consumed yet" — the next batch
-  * delivers the full snapshot AT its end version (then the stream tails). */
-private[sources] final case class VtStreamOffset(version: Long) extends Offset {
-  override def json: String = s"""{"version":$version}"""
+  * delivers the full snapshot AT its end version (then the stream tails).
+  * `tail` marks a `startingVersion` stream's pre-consumption offset: no
+  * snapshot, version `N+1` onward stream as per-commit appends (needed
+  * because `startingVersion=0` also sits at version −1 but must emit v0's
+  * files as an APPEND, not a snapshot). */
+private[sources] final case class VtStreamOffset(version: Long,
+                                                 tail: Boolean = false)
+    extends Offset {
+  override def json: String =
+    if (tail) s"""{"version":$version,"tail":true}"""
+    else s"""{"version":$version}"""
 }
 
 private[sources] object VtStreamOffset {
   def parse(json: String): VtStreamOffset = {
     val m = "\"version\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(json).getOrElse(
       throw new IllegalArgumentException(s"not a vt stream offset: $json"))
-    VtStreamOffset(m.group(1).toLong)
+    VtStreamOffset(m.group(1).toLong, tail = json.contains("\"tail\":true"))
   }
 }
 
@@ -91,7 +99,8 @@ final class VtMicroBatchStream(spark: SparkSession, vt: VersionedTable,
     DataType.fromJson(startCommit.schemaJson).asInstanceOf[StructType]
 
   override def initialOffset(): Offset =
-    VtStreamOffset(startingVersion.map(_ - 1).getOrElse(-1L))
+    startingVersion.fold(VtStreamOffset(-1L))(sv =>
+      VtStreamOffset(sv - 1, tail = true))
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
@@ -100,11 +109,14 @@ final class VtMicroBatchStream(spark: SparkSession, vt: VersionedTable,
     * snapshot batch counts as one version). The engine's ReadLimit is a
     * rows/files vocabulary — version clamping comes from the option. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[VtStreamOffset].version
+    val so = start.asInstanceOf[VtStreamOffset]
     val head = vt.head(branch).map(_.version).getOrElse(
       throw new IllegalArgumentException(s"no such branch: $branch"))
-    VtStreamOffset(maxVersions.fold(math.max(s, head))(m =>
-      math.max(s, math.min(head, s + m))))
+    val e = maxVersions.fold(math.max(so.version, head))(m =>
+      math.max(so.version, math.min(head, so.version + m)))
+    // nothing new: hand BACK the start offset (a fresh object differing
+    // only in the tail flag would look like new data forever)
+    if (e == so.version) so else VtStreamOffset(e)
   }
 
   override def latestOffset(): Offset = throw new UnsupportedOperationException(
@@ -140,27 +152,33 @@ final class VtMicroBatchStream(spark: SparkSession, vt: VersionedTable,
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[VtStreamOffset].version
+    val so = start.asInstanceOf[VtStreamOffset]
+    val s = so.version
     val e = end.asInstanceOf[VtStreamOffset].version
     // (commit that introduced them, files to emit) — the commit supplies
     // fileSizes and the dvFiles its added files must be checked against
     // (cherry-pick transplants DVs onto files it adds)
     val emitted: Vector[(Commit, Vector[String])] =
       if (e <= s) Vector.empty
-      else if (s < 0) {
+      else if (s < 0 && !so.tail) {
         val snap = vt.resolveRead(branch, versionAsOf = Some(e))
         schemaGuard(snap)
         Vector((snap, snap.files))
       } else {
-        // commitRange is from-inclusive: element 0 is the consumed base,
-        // pairs (parent, child) give each child's file diff
-        val range = vt.commitRange(branch, s, e).toVector
-        range.sliding(2).collect { case Vector(p, c) if c.dataChange =>
+        // commitRange is from-inclusive: element 0 is the consumed base —
+        // except when tailing from BEFORE v0 (`startingVersion=0`), where
+        // v0 itself is an emission (its whole file list is "added")
+        val range = vt.commitRange(branch, math.max(s, 0L), e).toVector
+        val pairs: Vector[(Option[Commit], Commit)] =
+          (if (s < 0) Vector((Option.empty[Commit], range.head)) else Vector.empty) ++
+            range.sliding(2).collect { case Vector(p, c) => (Some(p), c) }
+        pairs.collect { case (pOpt, c) if c.dataChange =>
           schemaGuard(c)
-          val pf = p.files.toSet
+          val pf = pOpt.map(_.files.toSet).getOrElse(Set.empty[String])
           val added = c.files.filterNot(pf)
-          val removed = p.files.filterNot(c.files.toSet)
-          val dvGrew = c.dvFiles.exists(!p.dvFiles.contains(_))
+          val removed = pOpt.map(_.files.filterNot(c.files.toSet)).getOrElse(Vector.empty)
+          val parentDv = pOpt.map(_.dvFiles).getOrElse(Vector.empty)
+          val dvGrew = c.dvFiles.exists(!parentDv.contains(_))
           if ((removed.nonEmpty || dvGrew) && !ignoreChanges &&
               !(ignoreDeletes && added.isEmpty)) throw new IllegalStateException(
             s"streaming read of $branch hit version ${c.version}, which changes " +
@@ -169,7 +187,7 @@ final class VtMicroBatchStream(spark: SparkSession, vt: VersionedTable,
               "ignoreChanges=true to re-emit rewritten files (at-least-once), " +
               "or consume row-level changes via format(\"vt-changes\")")
           (c, added)
-        }.toVector
+        }
       }
     val allFiles = emitted.flatMap(_._2)
     val sizeOf: Map[String, Long] = emitted.flatMap { case (c, fs) =>

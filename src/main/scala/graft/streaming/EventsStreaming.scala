@@ -395,7 +395,7 @@ object EventsStreaming {
 
   // ---- streaming ingestion into the versioned lakehouse layer ------------
 
-  private val BatchMsgPrefix = "stream batch "
+  private[graft] val BatchMsgPrefix = "stream batch "
   // Strict message shape for the idempotence check: a manual commit whose
   // message merely starts with the prefix ("stream batch backfill") must be
   // SKIPPED, not parsed — a NumberFormatException here would wedge every

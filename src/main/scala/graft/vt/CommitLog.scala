@@ -109,7 +109,16 @@ final case class Commit(
       * CDC consumers may fast-path them to "no row changes". Absent = true
       * (back-compatible JSON: every pre-flag commit conservatively counts
       * as a data change). */
-    dataChange: Boolean = true) {
+    dataChange: Boolean = true,
+    /** Idempotent-writer transaction mark (Delta's `txn` action:
+      * appId + version): a streaming sink stamps each epoch commit with
+      * its QUERY id and epoch, and a crash-replayed epoch is recognized by
+      * `lastTxnVersion(appId) >= epoch` — per WRITER, so two different
+      * streaming queries appending to one branch can never swallow each
+      * other's epochs (the bare message-watermark they replace could).
+      * Absent = no mark (back-compatible JSON). */
+    txnAppId: Option[String] = None,
+    txnVersion: Option[Long] = None) {
   /** All parents, first-parent first — the DAG edge set for ancestry walks. */
   def parents: List[String] = parent.toList ++ mergeParent.toList
 
@@ -212,6 +221,8 @@ object CommitLog {
       m.put("bloomFiles", l)
     }
     if (!c.dataChange) m.put("dataChange", java.lang.Boolean.FALSE)
+    c.txnAppId.foreach(a => m.put("txnAppId", a))
+    c.txnVersion.foreach(v => m.put("txnVersion", java.lang.Long.valueOf(v)))
     mapper.writeValueAsString(m)
   }
 
@@ -272,7 +283,10 @@ object CommitLog {
         .map(_.asInstanceOf[java.util.List[String]].asScala.toVector)
         .getOrElse(Vector.empty),
       dataChange = Option(m.get("dataChange"))
-        .forall(_.asInstanceOf[java.lang.Boolean].booleanValue()))
+        .forall(_.asInstanceOf[java.lang.Boolean].booleanValue()),
+      txnAppId = Option(m.get("txnAppId").asInstanceOf[String]),
+      txnVersion = Option(m.get("txnVersion"))
+        .map(_.asInstanceOf[Number].longValue()))
   }
 
   /** Cross-process optimistic concurrency (Delta's log-store contract,

@@ -1604,6 +1604,67 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       bloomFiles = parent.bloomFiles, dataChange = false)
   }
 
+  /** One micro-batch epoch of the DSv2 STREAMING sink
+    * ([[graft.sources.VtStreamingWrite]]): publish data files the epoch's
+    * TASKS already wrote straight into the table root — no DataFrame
+    * detour, no driver row traffic — as ONE commit. `overwrite` = Complete
+    * output mode (the epoch's rows replace the snapshot); append keeps the
+    * parent's files, stats, DVs and bloom index live, recomputing the
+    * sticky bloom columns for the new files (the same rule as
+    * [[write]]). The schema must match the table's append contract —
+    * nullability-insensitive, same names and types — because streamed
+    * epochs are homogeneous and Spark already resolved the query against
+    * the table schema; a drift here would be a bug, so it throws. */
+  private[graft] def commitStreamEpoch(spark: SparkSession, branch: String,
+                                       newFiles: Vector[String], schema: StructType,
+                                       message: String,
+                                       overwrite: Boolean = false,
+                                       txn: Option[(String, Long)] = None): Commit =
+    synchronized {
+      guardWritable(branch)
+      val parent = head(branch)
+      val tblSchema = parent match {
+        case Some(p) if !overwrite =>
+          val ps = DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
+          def shape(s: StructType) =
+            s.fields.map(f => (f.name, VersionedTable.nullNormalized(f.dataType))).toSeq
+          require(shape(schema) == shape(ps),
+            s"streamed epoch schema ${schema.simpleString} does not match table " +
+              s"schema ${ps.simpleString} on $branch")
+          ps
+        case _ => schema
+      }
+      val cols = parent.map(bloomColsOf).getOrElse(Nil).filter(c =>
+        tblSchema.fieldNames.contains(c) &&
+          VersionedTable.bloomSupported(tblSchema(c).dataType))
+      val sidecar = writeBloomSidecar(branch, parent.map(_.version + 1).getOrElse(0L),
+        collectFileBlooms(spark, newFiles, cols, tblSchema))
+      if (overwrite)
+        publish(branch, parent, message, tblSchema, newFiles,
+          bloomCols = cols, bloomFiles = sidecar, txn = txn)
+      else
+        publish(branch, parent, message, tblSchema,
+          parent.map(_.files).getOrElse(Vector.empty) ++ newFiles,
+          parent.map(_.stats).getOrElse(Map.empty),
+          strStats = parent.map(_.strStats).getOrElse(Map.empty),
+          nullStats = parent.map(_.nullStats).getOrElse(Map.empty),
+          dvFiles = parent.map(_.dvFiles).getOrElse(Vector.empty),
+          bloomStats = parent.map(_.bloomStats).getOrElse(Map.empty),
+          bloomCols = cols,
+          bloomFiles = parent.map(_.bloomFiles).getOrElse(Vector.empty) ++ sidecar,
+          txn = txn)
+    }
+
+  /** Newest transaction version `appId` has committed on `branch`, if any
+    * (Delta's `txn` lookup): the per-WRITER idempotence watermark —
+    * head-first metadata walk to the first commit stamped by this appId,
+    * O(commits since that writer's last epoch) reads, no data touched. */
+  def lastTxnVersion(branch: String, appId: String): Option[Long] =
+    Iterator.iterate(head(branch))(_.flatMap(_.parent).map(loadCommit))
+      .takeWhile(_.isDefined).map(_.get)
+      .collectFirst { case c if c.txnAppId.contains(appId) => c.txnVersion }
+      .flatten
+
   /** Atomic CTAS/RTAS support ([[graft.sources.VtCatalog]]'s
     * StagingTableCatalog face): write the query's rows as data files
     * UNDER THE TABLE ROOT without publishing any commit. Until
@@ -1702,7 +1763,8 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
                       bloomStats: Map[String, Map[String, String]] = Map.empty,
                       bloomCols: Seq[String] = Nil,
                       bloomFiles: Vector[String] = Vector.empty,
-                      dataChange: Boolean = true): Commit = {
+                      dataChange: Boolean = true,
+                      txn: Option[(String, Long)] = None): Commit = {
     val version = parent.map(_.version + 1).getOrElse(0L)
     val id = s"$branch-v$version-${java.util.UUID.randomUUID.toString.take(8)}"
     // Per-file row counts (Delta numRecords): inherited from either parent's
@@ -1730,7 +1792,8 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     }.toMap
     val c = Commit(id, parent.map(_.id), version, files, schema.json, message,
       System.currentTimeMillis(), stats, mergeParent, strStats, dvFiles, rowCounts,
-      nullStats, fileSizes, bloomStats, bloomCols, bloomFiles, dataChange)
+      nullStats, fileSizes, bloomStats, bloomCols, bloomFiles, dataChange,
+      txn.map(_._1), txn.map(_._2))
     // pre-commit hooks (lakeFS Actions) see the full candidate and may throw;
     // running BEFORE the slot claim means an abort leaves no claimed slot to
     // sweep — only orphan data files the next vacuum reclaims.

@@ -870,5 +870,123 @@ class StreamingSpec extends SparkSpec {
       assert(got.sorted === (6 to 9), "startingVersion=1 skips the v0 snapshot")
       assert(batches === 2, "maxVersionsPerTrigger=1 → one commit per batch")
     } finally q3.stop()
+    // startingVersion=0 is NOT the snapshot sentinel (both sit at offset
+    // −1): v0's files stream as an ordinary APPEND emission
+    got.clear()
+    val q4 = spark.readStream.option("startingVersion", "0")
+      .table(s"vt.`${vt2.root}`")
+      .writeStream.option("checkpointLocation", Tables.scratch("vtmbs_sv0_ckpt"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= df.select("k").as[Int].collect() }
+        ()
+      }.start()
+    try {
+      q4.processAllAvailable()
+      assert(got.sorted === (1 to 9), "startingVersion=0 streams v0 as an append")
+    } finally q4.stop()
+  }
+
+  test("writeStream.toTable: tasks write the parquet, one commit per epoch, replay-proof; Complete mode overwrites; catalog mirror") {
+    import graft.vt.VersionedTable
+    spark.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
+    // ---- Append mode: epoch commits without a DataFrame detour ----
+    val vt = VersionedTable.create(Tables.scratch("vtsw"))
+    spark.sql(s"CREATE TABLE vt.`${vt.root}` (k BIGINT, v STRING)").collect()
+    val in = MemoryStream[(Long, String)](spark)
+    val q = in.toDF().toDF("k", "v").writeStream
+      .option("checkpointLocation", Tables.scratch("vtsw_ckpt"))
+      .toTable(s"vt.`${vt.root}`")
+    try {
+      in.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      assert(spark.sql(s"SELECT sum(k) AS s FROM vt.`${vt.root}`")
+        .as[Long].head() === 3L)
+      val h1 = vt.head("main").get
+      assert(h1.message.startsWith("stream batch "),
+        "the epoch id rides in the commit message (the exactly-once watermark)")
+      in.addData((3L, "c"))
+      q.processAllAvailable()
+      assert(vt.head("main").get.version === h1.version + 1, "one epoch = one commit")
+      assert(spark.sql(s"SELECT count(*) AS c FROM vt.`${vt.root}`")
+        .as[Long].head() === 3L)
+      // a REPLAYED epoch (crash between the engine's commit log and ours)
+      // publishes nothing — THIS query's txn watermark (Delta's txn
+      // appId+version, stamped on each epoch commit) already covers it
+      val before = vt.head("main").get.version
+      val qid = q.id.toString
+      val lastEpoch = vt.lastTxnVersion("main", qid).get
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+      val sw = new graft.sources.VtStreamingWrite(spark, vt, "main",
+        schema, "t", overwrite = false, queryId = qid)
+      sw.commit(lastEpoch,
+        Array(graft.sources.VtEpochFileMessage("data/ghost/replayed.parquet", 1)))
+      assert(vt.head("main").get.version === before,
+        "a replayed epoch must not double-commit")
+      // …while a DIFFERENT query's writer at the same epoch number is NOT
+      // swallowed (per-writer keying — the bare message watermark would
+      // have silently dropped this epoch): its commit lands
+      val extraDir = vt.root.resolve("data/other-stream-e9")
+      Seq((99L, "z")).toDF("k", "v").coalesce(1)
+        .write.mode("overwrite").parquet(extraDir.toString)
+      val extraRel = {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.list(extraDir)
+        try {
+          val f = s.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          vt.root.relativize(f).toString
+        } finally s.close()
+      }
+      val other = new graft.sources.VtStreamingWrite(spark, vt, "main",
+        schema, "t2", overwrite = false, queryId = "another-query")
+      other.commit(lastEpoch,
+        Array(graft.sources.VtEpochFileMessage(extraRel, 1)))
+      assert(vt.head("main").get.version === before + 1,
+        "a different query's same-numbered epoch must still commit")
+      assert(spark.sql(s"SELECT count(*) AS c FROM vt.`${vt.root}` WHERE k = 99")
+        .as[Long].head() === 1L)
+    } finally q.stop()
+    // ---- Complete mode: each epoch OVERWRITES (and still time-travels) ----
+    val aggRoot = Tables.scratch("vtsw_complete")
+    val in2 = MemoryStream[String](spark)
+    val q2 = in2.toDF().toDF("v").groupBy("v").count().writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", Tables.scratch("vtsw_c_ckpt"))
+      .toTable(s"vt.`$aggRoot`")
+    try {
+      in2.addData("x", "x", "y")
+      q2.processAllAvailable()
+      def agg(): Map[String, Long] = spark.sql(s"SELECT v, count FROM vt.`$aggRoot`")
+        .as[(String, Long)].collect().toMap
+      assert(agg() === Map("x" -> 2L, "y" -> 1L))
+      in2.addData("y")
+      q2.processAllAvailable()
+      assert(agg() === Map("x" -> 2L, "y" -> 2L),
+        "a Complete epoch REPLACES the snapshot")
+      val vt2 = VersionedTable.open(aggRoot)
+      val prev = vt2.readVersion(spark, "main", vt2.head("main").get.version - 1)
+      assert(prev.as[(String, Long)].collect().toMap === Map("x" -> 2L, "y" -> 1L),
+        "the replaced epoch still time-travels")
+    } finally q2.stop()
+    // ---- the catalog-native mirror: readStream.table → writeStream.toTable,
+    // exactly-once across a restart with source commits landing in between ----
+    val src = VersionedTable.create(Tables.scratch("vtsw_src"))
+    src.write((1 to 5).toDF("k"), "main", "v0")
+    val dstRoot = Tables.scratch("vtsw_dst")
+    val ckpt = Tables.scratch("vtsw_mirror_ckpt")
+    def mirror() = spark.readStream.table(s"vt.`${src.root}`")
+      .writeStream.option("checkpointLocation", ckpt)
+      .toTable(s"vt.`$dstRoot`")
+    val m1 = mirror()
+    try m1.processAllAvailable() finally m1.stop()
+    src.write((6 to 8).toDF("k"), "main", "more", mode = "append")
+    val m2 = mirror()
+    try {
+      m2.processAllAvailable()
+      assert(spark.sql(s"SELECT k FROM vt.`$dstRoot`").as[Int].collect().sorted
+        === (1 to 8).toArray, "mirror = source, no duplicates across the restart")
+    } finally m2.stop()
   }
 }

@@ -1680,6 +1680,21 @@ class VersionedTableSpec extends SparkSpec {
     assert(graft.vt.CommitLog.fromJson(
       json.replaceAll(",\\s*\"dataChange\"\\s*:\\s*false", "")).dataChange,
       "absent key = pre-flag history = conservatively a data change")
+    // the txn mark (Delta's appId+version) round-trips and resolves per
+    // writer: each appId sees only ITS newest epoch
+    val t1 = h.copy(txnAppId = Some("qA"), txnVersion = Some(7L))
+    val rt = graft.vt.CommitLog.fromJson(graft.vt.CommitLog.toJson(t1))
+    assert(rt.txnAppId === Some("qA") && rt.txnVersion === Some(7L))
+    assert(graft.vt.CommitLog.fromJson(graft.vt.CommitLog.toJson(h)).txnAppId.isEmpty)
+    vt.commitStreamEpoch(spark, "main",
+      Vector.empty, vt.read(spark, "main").schema, "stream batch 3",
+      overwrite = true, txn = Some(("qA", 3L)))
+    vt.commitStreamEpoch(spark, "main",
+      Vector.empty, vt.read(spark, "main").schema, "stream batch 1",
+      overwrite = true, txn = Some(("qB", 1L)))
+    assert(vt.lastTxnVersion("main", "qA") === Some(3L))
+    assert(vt.lastTxnVersion("main", "qB") === Some(1L))
+    assert(vt.lastTxnVersion("main", "qC") === None)
   }
 
   test("addColumns: metadata-only evolution — CDC-silent, prune-sound, append rules intact") {
