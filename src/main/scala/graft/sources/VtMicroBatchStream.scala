@@ -17,20 +17,30 @@ import graft.vt.{Commit, VersionedTable}
   * `tail` marks a `startingVersion` stream's pre-consumption offset: no
   * snapshot, version `N+1` onward stream as per-commit appends (needed
   * because `startingVersion=0` also sits at version −1 but must emit v0's
-  * files as an APPEND, not a snapshot). */
+  * files as an APPEND, not a snapshot). `snapPos ≥ 0` marks a PARTIAL
+  * snapshot under `maxFilesPerTrigger`: the snapshot is pinned at
+  * `version` and its first `snapPos` files (commit-log order) are
+  * consumed — the 100 TB bootstrap arrives as bounded batches instead of
+  * one monster; a plain `{version:N}` means the snapshot completed. */
 private[sources] final case class VtStreamOffset(version: Long,
-                                                 tail: Boolean = false)
+                                                 tail: Boolean = false,
+                                                 snapPos: Long = -1L)
     extends Offset {
-  override def json: String =
-    if (tail) s"""{"version":$version,"tail":true}"""
-    else s"""{"version":$version}"""
+  override def json: String = {
+    val extra = (if (tail) ""","tail":true""" else "") +
+      (if (snapPos >= 0) s""","snapPos":$snapPos""" else "")
+    s"""{"version":$version$extra}"""
+  }
 }
 
 private[sources] object VtStreamOffset {
   def parse(json: String): VtStreamOffset = {
     val m = "\"version\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(json).getOrElse(
       throw new IllegalArgumentException(s"not a vt stream offset: $json"))
-    VtStreamOffset(m.group(1).toLong, tail = json.contains("\"tail\":true"))
+    val sp = "\"snapPos\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong).getOrElse(-1L)
+    VtStreamOffset(m.group(1).toLong, tail = json.contains("\"tail\":true"),
+      snapPos = sp)
   }
 }
 
@@ -67,9 +77,13 @@ private[sources] object VtStreamOffset {
   * scans plan, readers are Spark's vectorized parquet readers behind
   * [[VtMorReaderFactory]] (columnar passthrough when the batch carries no
   * deletion vectors, per-task DV loading when it does — cherry-picked
-  * commits can add files with transplanted DVs), and `maxVersionsPerTrigger`
-  * bounds a batch after downtime. Offsets are deterministic: a restart
-  * replays `(checkpointed start, checkpointed end]` byte-identically
+  * commits can add files with transplanted DVs), `maxVersionsPerTrigger`
+  * bounds tail catch-up after downtime, and `maxFilesPerTrigger` (Delta's
+  * dial) CHUNKS the initial snapshot — at 100 TB the bootstrap arrives as
+  * bounded per-file batches pinned to one version, not one monster batch.
+  * Offsets are deterministic: a restart replays `(checkpointed start,
+  * checkpointed end]` byte-identically — mid-snapshot included, since the
+  * chunk is a position range over the pinned commit's file list —
   * (provided vacuum retention covers the stream's lag, the same contract
   * as the DSv1 feed). */
 final class VtMicroBatchStream(spark: SparkSession, vt: VersionedTable,
@@ -94,6 +108,19 @@ final class VtMicroBatchStream(spark: SparkSession, vt: VersionedTable,
           s"maxVersionsPerTrigger must be a positive number, got '$v'"))
       n
     }
+  private val maxFiles: Option[Long] =
+    Option(options.get("maxFilesPerTrigger")).map { v =>
+      v.toLongOption.filter(_ > 0).getOrElse(
+        throw new IllegalArgumentException(
+          s"maxFilesPerTrigger must be a positive number, got '$v'"))
+    }
+
+  /** The snapshot's commit, memoized — chunked-snapshot planning asks for
+    * it once per trigger. */
+  private val snapCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Commit]()
+  private def commitAt(v: Long): Commit =
+    snapCache.computeIfAbsent(v, _ => vt.resolveRead(branch, versionAsOf = Some(v)))
 
   private val pinnedSchema =
     DataType.fromJson(startCommit.schemaJson).asInstanceOf[StructType]
@@ -105,18 +132,35 @@ final class VtMicroBatchStream(spark: SparkSession, vt: VersionedTable,
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   /** End offset for the next batch: the branch head, clamped to
-    * `maxVersionsPerTrigger` versions past the consumed offset (the
-    * snapshot batch counts as one version). The engine's ReadLimit is a
-    * rows/files vocabulary — version clamping comes from the option. */
+    * `maxVersionsPerTrigger` versions past the consumed offset. The
+    * initial snapshot is additionally chunked by `maxFilesPerTrigger`
+    * (Delta's dial): the snapshot pins at the head version and each
+    * trigger consumes the next ≤ maxFiles files of its commit-log file
+    * list — the 100 TB bootstrap becomes bounded batches. The engine's
+    * ReadLimit is a rows/files vocabulary — both dials come from options. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val so = start.asInstanceOf[VtStreamOffset]
     val head = vt.head(branch).map(_.version).getOrElse(
       throw new IllegalArgumentException(s"no such branch: $branch"))
-    val e = maxVersions.fold(math.max(so.version, head))(m =>
-      math.max(so.version, math.min(head, so.version + m)))
-    // nothing new: hand BACK the start offset (a fresh object differing
-    // only in the tail flag would look like new data forever)
-    if (e == so.version) so else VtStreamOffset(e)
+    if (so.snapPos >= 0) {
+      // mid-snapshot: finish it before any tailing; a restart without the
+      // option (maxFiles empty) completes the snapshot in one batch
+      val total = commitAt(so.version).files.size.toLong
+      val next = maxFiles.fold(total)(mf => math.min(total, so.snapPos + mf))
+      if (next >= total) VtStreamOffset(so.version)
+      else VtStreamOffset(so.version, snapPos = next)
+    } else if (so.version < 0 && !so.tail && maxFiles.isDefined) {
+      // fresh snapshot under maxFilesPerTrigger: pin at head, emit chunk 1
+      val total = commitAt(head).files.size.toLong
+      if (total > maxFiles.get) VtStreamOffset(head, snapPos = maxFiles.get)
+      else VtStreamOffset(head)
+    } else {
+      val e = maxVersions.fold(math.max(so.version, head))(m =>
+        math.max(so.version, math.min(head, so.version + m)))
+      // nothing new: hand BACK the start offset (a fresh object differing
+      // only in the tail flag would look like new data forever)
+      if (e == so.version) so else VtStreamOffset(e)
+    }
   }
 
   override def latestOffset(): Offset = throw new UnsupportedOperationException(
@@ -153,17 +197,24 @@ final class VtMicroBatchStream(spark: SparkSession, vt: VersionedTable,
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val so = start.asInstanceOf[VtStreamOffset]
+    val eo = end.asInstanceOf[VtStreamOffset]
     val s = so.version
-    val e = end.asInstanceOf[VtStreamOffset].version
+    val e = eo.version
+    val snapshotting =
+      (s < 0 && !so.tail) || so.snapPos >= 0 // fresh or mid-chunk snapshot
     // (commit that introduced them, files to emit) — the commit supplies
     // fileSizes and the dvFiles its added files must be checked against
     // (cherry-pick transplants DVs onto files it adds)
     val emitted: Vector[(Commit, Vector[String])] =
-      if (e <= s) Vector.empty
-      else if (s < 0 && !so.tail) {
-        val snap = vt.resolveRead(branch, versionAsOf = Some(e))
+      if (!snapshotting && e <= s) Vector.empty
+      else if (snapshotting) {
+        // snapshot slice [consumed, end position) of the pinned version's
+        // commit-log file list — deterministic across replays
+        val snap = commitAt(e)
         schemaGuard(snap)
-        Vector((snap, snap.files))
+        val from = math.max(so.snapPos, 0L).toInt
+        val to = (if (eo.snapPos >= 0) eo.snapPos else snap.files.size.toLong).toInt
+        Vector((snap, snap.files.slice(from, to)))
       } else {
         // commitRange is from-inclusive: element 0 is the consumed base —
         // except when tailing from BEFORE v0 (`startingVersion=0`), where

@@ -464,4 +464,25 @@ class SourcesUnitSpec extends AnyFunSuite {
     assert(FilterColumns.translate(exotic).isEmpty)
     assert(FilterColumns.unhandled(Array(exotic, f.EqualTo("k", 1))) === Array(exotic))
   }
+
+  test("VtStreamOffset: json round-trips every shape, checkpoint-stable") {
+    val shapes = Seq(
+      VtStreamOffset(-1L),                      // snapshot pending
+      VtStreamOffset(7L),                       // tailing / snapshot done
+      VtStreamOffset(0L, tail = true),          // startingVersion=1 base
+      VtStreamOffset(-1L, tail = true),         // startingVersion=0 base
+      VtStreamOffset(4L, snapPos = 128L),       // mid-chunked-snapshot
+      VtStreamOffset(4L, tail = true, snapPos = 2L))
+    shapes.foreach { o =>
+      assert(VtStreamOffset.parse(o.json) === o, s"round-trip of ${o.json}")
+    }
+    // the engine hands back SerializedOffset json — field order must not
+    // matter, absent flags default off
+    assert(VtStreamOffset.parse("""{"version":3}""") === VtStreamOffset(3L))
+    assert(VtStreamOffset.parse("""{"tail":true,"version":-1}""")
+      === VtStreamOffset(-1L, tail = true))
+    assert(VtStreamOffset.parse("""{"snapPos":9,"version":2}""")
+      === VtStreamOffset(2L, snapPos = 9L))
+    intercept[IllegalArgumentException](VtStreamOffset.parse("""{"x":1}"""))
+  }
 }

@@ -884,6 +884,34 @@ class StreamingSpec extends SparkSpec {
       q4.processAllAvailable()
       assert(got.sorted === (1 to 9), "startingVersion=0 streams v0 as an append")
     } finally q4.stop()
+    // maxFilesPerTrigger chunks the INITIAL SNAPSHOT (the 100 TB bootstrap
+    // shape): 4 files, 2 per trigger → two snapshot batches pinned at one
+    // version, then ordinary tailing
+    val vt3 = VersionedTable.create(Tables.scratch("vtmbs_mft"))
+    vt3.write((1 to 40).toDF("k").repartition(4), "main", "v0")
+    assert(vt3.head("main").get.files.size === 4)
+    got.clear()
+    batches = 0
+    val q5 = spark.readStream.option("maxFilesPerTrigger", "2")
+      .table(s"vt.`${vt3.root}`")
+      .writeStream.option("checkpointLocation", Tables.scratch("vtmbs_mft_ckpt"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          val rows = df.select("k").as[Int].collect()
+          if (rows.nonEmpty) batches += 1
+          got ++= rows
+        }
+        ()
+      }.start()
+    try {
+      q5.processAllAvailable()
+      assert(got.sorted === (1 to 40), "the chunked snapshot covers every row once")
+      assert(batches === 2, s"4 files / 2 per trigger = 2 snapshot batches, got $batches")
+      // tailing proceeds normally after the snapshot completes
+      vt3.write((41 to 42).toDF("k"), "main", "v1", mode = "append")
+      q5.processAllAvailable()
+      assert(got.sorted === (1 to 42))
+    } finally q5.stop()
   }
 
   test("writeStream.toTable: tasks write the parquet, one commit per epoch, replay-proof; Complete mode overwrites; catalog mirror") {
