@@ -294,14 +294,9 @@ final class DeltaDfScan(spark: SparkSession, root: java.nio.file.Path,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val maxSplit = math.max(1L, FilePartition.maxSplitBytes(spark, totalBytes))
-    val splits = liveFiles.flatMap { f =>
-      val size = sizeOf(f)
-      val path = SparkPath.fromPath(new HPath(root.resolve(f.path).toUri))
-      (0L until size by maxSplit).map(start =>
-        org.apache.spark.sql.execution.datasources.PartitionedFile(
-          InternalRow.empty, path, start, math.min(maxSplit, size - start),
-          Array.empty, 0L, size, Map.empty))
-    }.sortBy(-_.length)
+    val splits = liveFiles
+      .flatMap(f => VtSplits.ofPath(root.resolve(f.path), sizeOf(f), maxSplit))
+      .sortBy(-_.length)
     FilePartition.getFilePartitions(spark, splits, maxSplit).toArray
   }
 

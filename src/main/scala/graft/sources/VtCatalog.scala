@@ -170,8 +170,10 @@ final class VtCatalog extends TableCatalog with StagingTableCatalog {
                            properties: util.Map[String, String]): Table = {
     val (branch, path) = parseAddress(ident)
     validateCreate(path, partitions, properties)
-    if (tableExists(ident)) throw new IllegalStateException(
-      s"table already exists: $catalogName.`${ident.name()}`")
+    // the typed exception matters: CREATE TABLE IF NOT EXISTS losing a
+    // create race catches TableAlreadyExistsException and no-ops — any
+    // other type would fail the statement
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val vt = VersionedTable.create(path)
     val c = vt.createEmpty(branch, schema, s"CREATE TABLE $catalogName.`${ident.name()}`")
     new VtTable(SparkSession.active, vt, branch, c, s"$catalogName.`${ident.name()}`")

@@ -230,12 +230,16 @@ private[sources] trait VtRuntimePrunedScan
     else OptionalLong.empty()
 }
 
-/** The one per-file split planner shared by the native batch scans and the
-  * micro-batch stream ([[VtMicroBatchStream]]) — row indexes are
-  * file-absolute, so byte-range chunking is always safe. */
+/** The one per-file split planner shared by the native batch scans, the
+  * micro-batch stream ([[VtMicroBatchStream]]) and the foreign-Delta scan
+  * ([[DeltaDfScan]]) — row indexes are file-absolute, so byte-range
+  * chunking is always safe; a fix to the packing rule lands everywhere. */
 private[sources] object VtSplits {
-  def of(vt: VersionedTable, rel: String, size: Long, maxSplit: Long): Seq[PartitionedFile] = {
-    val path = SparkPath.fromPath(new HPath(vt.root.resolve(rel).toUri))
+  def of(vt: VersionedTable, rel: String, size: Long, maxSplit: Long): Seq[PartitionedFile] =
+    ofPath(vt.root.resolve(rel), size, maxSplit)
+
+  def ofPath(abs: java.nio.file.Path, size: Long, maxSplit: Long): Seq[PartitionedFile] = {
+    val path = SparkPath.fromPath(new HPath(abs.toUri))
     (0L until size by maxSplit).map(start =>
       PartitionedFile(InternalRow.empty, path, start,
         math.min(maxSplit, size - start), Array.empty, 0L, size, Map.empty))

@@ -131,13 +131,14 @@ final class VtMicroBatchStream(spark: SparkSession, vt: VersionedTable,
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-  /** End offset for the next batch: the branch head, clamped to
-    * `maxVersionsPerTrigger` versions past the consumed offset. The
-    * initial snapshot is additionally chunked by `maxFilesPerTrigger`
-    * (Delta's dial): the snapshot pins at the head version and each
-    * trigger consumes the next ≤ maxFiles files of its commit-log file
-    * list — the 100 TB bootstrap becomes bounded batches. The engine's
-    * ReadLimit is a rows/files vocabulary — both dials come from options. */
+  /** End offset for the next batch. TAIL phase: the branch head, clamped
+    * to `maxVersionsPerTrigger` versions past the consumed offset.
+    * SNAPSHOT phase: always pinned at the head version (never
+    * version-clamped) and chunked by `maxFilesPerTrigger` (Delta's dial) —
+    * each trigger consumes the next ≤ maxFiles files of the pinned
+    * commit's file list, so the 100 TB bootstrap becomes bounded batches.
+    * The engine's ReadLimit is a rows/files vocabulary — both dials come
+    * from options. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val so = start.asInstanceOf[VtStreamOffset]
     val head = vt.head(branch).map(_.version).getOrElse(
@@ -149,11 +150,17 @@ final class VtMicroBatchStream(spark: SparkSession, vt: VersionedTable,
       val next = maxFiles.fold(total)(mf => math.min(total, so.snapPos + mf))
       if (next >= total) VtStreamOffset(so.version)
       else VtStreamOffset(so.version, snapPos = next)
-    } else if (so.version < 0 && !so.tail && maxFiles.isDefined) {
-      // fresh snapshot under maxFilesPerTrigger: pin at head, emit chunk 1
-      val total = commitAt(head).files.size.toLong
-      if (total > maxFiles.get) VtStreamOffset(head, snapPos = maxFiles.get)
-      else VtStreamOffset(head)
+    } else if (so.version < 0 && !so.tail) {
+      // fresh snapshot: ALWAYS pinned at the head — maxVersionsPerTrigger
+      // is a TAIL catch-up dial and must not shrink the snapshot version
+      // (a snapshot pinned below head would replay the gap as per-commit
+      // tailing and hit refusals/duplicates a head snapshot never sees);
+      // maxFilesPerTrigger chunks it by files instead
+      maxFiles match {
+        case Some(mf) if commitAt(head).files.size.toLong > mf =>
+          VtStreamOffset(head, snapPos = mf)
+        case _ => VtStreamOffset(head)
+      }
     } else {
       val e = maxVersions.fold(math.max(so.version, head))(m =>
         math.max(so.version, math.min(head, so.version + m)))
@@ -180,18 +187,32 @@ final class VtMicroBatchStream(spark: SparkSession, vt: VersionedTable,
     f
   }
 
-  /** A pinned column must survive in `c`'s schema with the same
-    * (nullability-normalized) type; additions are invisible until restart. */
+  /** A pinned column present in `c`'s schema must keep its
+    * (nullability-normalized) type — a RETYPE would read wrong bytes.
+    * A pinned column MISSING from `c` is fine when `c` is not newer than
+    * the stream-start head: it is pre-ADD-COLUMNS history whose files
+    * correctly read NULL (a restart-recovered batch may replay commits
+    * from before an additive evolution — refusing them would wedge the
+    * stream on the exact restart its error message advises). Only a
+    * commit NEWER than the stream start may not lose a pinned column:
+    * that is a genuine DROP mid-stream. Additions are invisible until
+    * restart either way. */
   private def schemaGuard(c: Commit): Unit = {
     if (c.schemaJson == startCommit.schemaJson) return
     val now = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
     val byName = now.fields.map(f =>
       f.name -> VersionedTable.nullNormalized(f.dataType)).toMap
     pinnedSchema.fields.foreach { f =>
-      val ok = byName.get(f.name).contains(VersionedTable.nullNormalized(f.dataType))
-      if (!ok) throw new IllegalStateException(
-        s"schema of $branch changed at version ${c.version}: column ${f.name} " +
-          "was dropped or retyped — restart the stream to adopt the new schema")
+      byName.get(f.name) match {
+        case Some(dt) if dt == VersionedTable.nullNormalized(f.dataType) => ()
+        case Some(_) => throw new IllegalStateException(
+          s"schema of $branch changed at version ${c.version}: column ${f.name} " +
+            "was retyped — restart the stream to adopt the new schema")
+        case None if c.version <= startCommit.version => () // pre-evolution history: reads NULL
+        case None => throw new IllegalStateException(
+          s"schema of $branch changed at version ${c.version}: column ${f.name} " +
+            "was dropped — restart the stream to adopt the new schema")
+      }
     }
   }
 

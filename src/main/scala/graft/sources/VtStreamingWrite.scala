@@ -10,7 +10,6 @@ import org.apache.spark.sql.graft.Dsv2Shim
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.StructType
 
-import graft.streaming.EventsStreaming
 import graft.vt.VersionedTable
 
 /** One task's output file (table-root-relative) and its row count; rowless
@@ -86,8 +85,13 @@ private[graft] final class VtStreamingWrite(spark: SparkSession,
     // the DSv1 sink does
     if (files.nonEmpty || overwrite)
       locally {
+        // message deliberately does NOT match the DSv1 sink's
+        // "stream batch N" watermark regex: a DSv1 ingest sharing this
+        // branch must not mistake another engine's epoch number for its
+        // own and skip real batches — DSv2 idempotence rides on the txn
+        // mark alone
         val _ = vt.commitStreamEpoch(spark, branch, files, schema,
-          s"${EventsStreaming.BatchMsgPrefix}$epochId", overwrite = overwrite,
+          s"stream epoch $epochId (query $queryId)", overwrite = overwrite,
           txn = Some((queryId, epochId)))
       }
   }

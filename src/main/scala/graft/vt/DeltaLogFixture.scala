@@ -167,6 +167,14 @@ object DeltaLogFixture {
       c.put("timestamp", timestampMs); c.put("operation", operation); ()
     }
 
+  /** `txn` action (PROTOCOL.md Transaction Identifiers): the idempotent
+    * streaming writer's (appId, version) mark — stock delta-spark's
+    * `txnVersion`/`txnAppId` dedup reads exactly this. */
+  def txnLine(appId: String, version: Long): String =
+    line("txn") { t =>
+      t.put("appId", appId); t.put("version", version); ()
+    }
+
   /** `sidecar` action (PROTOCOL.md V2 checkpoints): references a parquet
     * file under `_delta_log/_sidecars/` carrying the checkpoint's file
     * actions. */

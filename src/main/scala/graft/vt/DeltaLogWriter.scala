@@ -142,6 +142,11 @@ object DeltaLogWriter {
         val descriptors = dvDescriptors(vt, c, adds ++ dvChanged)
         val schemaChanged = prev.forall(_.schemaJson != c.schemaJson)
         val actions = Vector.newBuilder[String]
+        // a streaming epoch's txn mark exports as Delta's transaction
+        // identifier — stock delta-spark idempotent writers/readers see the
+        // same (appId, version) watermark our own replay dedup uses
+        for (a <- c.txnAppId; v <- c.txnVersion)
+          actions += DeltaLogFixture.txnLine(a, v)
         actions += DeltaLogFixture.commitInfoLine(c.ts,
           if (prev.isEmpty) "WRITE"
           else if (!c.dataChange && removes.nonEmpty) "OPTIMIZE"

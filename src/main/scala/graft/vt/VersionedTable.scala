@@ -1998,6 +1998,12 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     import org.apache.spark.sql.functions.{col, collect_set, count_distinct, input_file_name}
     if (c.dvFiles.isEmpty) Map.empty
     else spark.read.parquet(c.dvFiles.map(f => root.resolve(f).toString): _*)
+      // restrict to the CALLER'S keys BELOW the aggregate (isInCollection
+      // compiles to an InSet hash probe, and the DV parquet is sorted by
+      // fk so row-group stats skip non-matching groups): a point read on a
+      // heavily-deleted table must collect O(its files), not one row +
+      // path set per file-with-deletions table-wide
+      .where(col("fk").isInCollection(keys))
       // input_file_name() materializes BELOW the aggregate (Catalyst
       // refuses non-deterministic expressions inside aggregate arguments)
       .select(col("fk"), col("pos"), input_file_name().as("__src"))

@@ -835,6 +835,22 @@ class DeltaLogSpec extends SparkSpec {
       a.get("commitInfo").get("operation").asText() == "OPTIMIZE"))
   }
 
+  test("streaming epoch txn marks export as Delta transaction identifiers") {
+    val vt = VersionedTable.create(Tables.scratch("delta_txn_export"))
+    vt.write((1L to 10L).toDF("k"), "main", "v0")
+    // a (no-op) streaming epoch commit stamped (appId, version)
+    vt.commitStreamEpoch(spark, "main", Vector.empty,
+      vt.read(spark, "main").schema, "stream batch 5", txn = Some(("qZ", 5L)))
+    vt.exportDeltaLog("main")
+    val a1 = actions(vt.root, 1)
+    assert(a1.exists(a => a.has("txn") &&
+      a.get("txn").get("appId").asText() == "qZ" &&
+      a.get("txn").get("version").asLong() == 5L),
+      "the epoch's txn mark must export as PROTOCOL.md's txn action")
+    // the replayer steps over the txn action and the snapshot is intact
+    assert(DeltaLogReader.read(spark, vt.root.toString, None).count() === 10L)
+  }
+
   test("CDF export writes one cdc file per feed partition — no coalesce(1) funnel") {
     val vt = VersionedTable.create(Tables.scratch("delta_cdf_multi"))
     vt.write((1L to 400L).map(k => (k, s"v$k")).toDF("k", "v")

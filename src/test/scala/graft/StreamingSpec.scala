@@ -846,6 +846,23 @@ class StreamingSpec extends SparkSpec {
       q2.processAllAvailable()
       assert(got.contains(11), "the append behind the delete must stream")
     } finally q2.stop()
+    // a FRESH stream with maxVersionsPerTrigger must still snapshot AT
+    // HEAD: version clamping is a TAIL dial — the buggy clamp pinned the
+    // snapshot at v0 and replayed this table's deletes as refusals
+    got.clear()
+    val q2b = spark.readStream.option("maxVersionsPerTrigger", "1")
+      .table(s"vt.`${vt.root}`")
+      .writeStream
+      .option("checkpointLocation", Tables.scratch("vtmbs_del_mv_ckpt"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= df.select("k").as[Int].collect() }
+        ()
+      }.start()
+    try {
+      q2b.processAllAvailable()
+      assert(got.sorted === Seq(1, 2, 4, 6, 7, 8, 9, 10, 11),
+        "snapshot pins at head — delete history below it is invisible")
+    } finally q2b.stop()
     // startingVersion: no snapshot, tail from the given version's changes
     val vt2 = VersionedTable.create(Tables.scratch("vtmbs_sv"))
     vt2.write((1 to 5).toDF("k"), "main", "v0")
@@ -930,8 +947,13 @@ class StreamingSpec extends SparkSpec {
       assert(spark.sql(s"SELECT sum(k) AS s FROM vt.`${vt.root}`")
         .as[Long].head() === 3L)
       val h1 = vt.head("main").get
-      assert(h1.message.startsWith("stream batch "),
-        "the epoch id rides in the commit message (the exactly-once watermark)")
+      assert(h1.message.startsWith("stream epoch "),
+        "DSv2 epochs must NOT reuse the DSv1 'stream batch' watermark prefix " +
+          "(a DSv1 ingest on this branch would skip its own batches)")
+      assert(graft.streaming.EventsStreaming.lastIngestedBatchId(vt, "main").isEmpty,
+        "the DSv1 watermark must be blind to DSv2 epoch commits")
+      assert(h1.txnAppId === Some(q.id.toString) && h1.txnVersion.isDefined,
+        "idempotence rides on the txn mark")
       in.addData((3L, "c"))
       q.processAllAvailable()
       assert(vt.head("main").get.version === h1.version + 1, "one epoch = one commit")
