@@ -636,4 +636,93 @@ class PropertySpec extends SparkSpec {
   test("property: the same crash-point walk holds on the rename-free S3-semantics store") {
     crashPointProperty("_s3_", graft.vt.S3SimMetaStore.forTable)
   }
+
+  test("property: the catalog stream's offset walk emits every live file exactly once, any history × any trigger dials") {
+    // random history: appends before the pin, then appends / layout
+    // compactions / metadata-only evolutions after it; random
+    // maxFilesPerTrigger (snapshot chunking) and maxVersionsPerTrigger
+    // (tail clamp). Invariant: walking latestOffset/planInputPartitions to
+    // the fixpoint emits EXACTLY the pinned snapshot's files plus the
+    // files post-pin dataChange commits added — each split once, layout
+    // commits as silence, regardless of chunk boundaries.
+    sealed trait Op
+    case object App extends Op; case object Layout extends Op; case object Evolve extends Op
+    val scenario = for {
+      pre <- Gen.choose(0, 2)
+      post <- Gen.listOfN(4, Gen.oneOf[Op](App, App, Layout, Evolve))
+      mf <- Gen.option(Gen.choose(1L, 3L))
+      mv <- Gen.option(Gen.choose(1L, 2L))
+    } yield (pre, post, mf, mv)
+    var ctr = 0
+    samples(scenario, 6).zipWithIndex.foreach { case ((pre, post, mf, mv), i) =>
+      val vt = VersionedTable.create(Tables.scratch(s"prop_stream_$i"))
+      var next = 100
+      def appendRows(): Unit = {
+        vt.write((next to next + 4).toDF("k").repartition(2), "main",
+          s"append $next", mode = "append", mergeSchema = true)
+        next += 5
+      }
+      appendRows() // v0
+      (1 to pre).foreach(_ => appendRows())
+      val pinned = vt.head("main").get
+      def norm(s: String): String =
+        try new java.net.URI(s).getPath catch { case _: Exception => s.stripPrefix("file:") }
+      // drive the stream's offset walk directly (no engine), INTERLEAVED
+      // with the post-pin operations — each drain() runs latestOffset /
+      // planInputPartitions to the fixpoint like triggers would
+      val opts = new java.util.HashMap[String, String]()
+      mf.foreach(v => opts.put("maxFilesPerTrigger", v.toString))
+      mv.foreach(v => opts.put("maxVersionsPerTrigger", v.toString))
+      val stream = new graft.sources.VtMicroBatchStream(spark, vt, "main",
+        pinned,
+        org.apache.spark.sql.types.DataType.fromJson(pinned.schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType],
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts))
+      val seen = scala.collection.mutable.ListBuffer.empty[(String, Long)]
+      var off = stream.initialOffset()
+      def drain(): Unit = {
+        var guard = 0
+        var done = false
+        while (!done && guard < 50) {
+          guard += 1
+          val nxt = stream.latestOffset(off,
+            org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+          if (nxt == off) done = true
+          else {
+            stream.planInputPartitions(off, nxt).foreach { p =>
+              val fp = p.asInstanceOf[Product].productIterator.collectFirst {
+                case f: org.apache.spark.sql.execution.datasources.FilePartition => f
+              }.get
+              fp.files.foreach(pf => seen += ((norm(pf.filePath.toString), pf.start)))
+            }
+            off = nxt
+          }
+        }
+        assert(guard < 50, s"offset walk did not converge: pre=$pre post=$post mf=$mf mv=$mv")
+      }
+      drain() // the (possibly chunked) snapshot of `pinned`
+      post.foreach { op =>
+        op match {
+          case App => appendRows()
+          case Layout => vt.compact(spark, "main", numFiles = 1)
+          case Evolve =>
+            ctr += 1
+            vt.addColumns("main", Seq(org.apache.spark.sql.types.StructField(
+              s"c$ctr", org.apache.spark.sql.types.StringType)))
+        }
+        drain()
+      }
+      // expected: pinned snapshot files + post-pin dataChange additions
+      val lineage = vt.lineage("main").reverse // oldest first
+      val after = lineage.dropWhile(_.version <= pinned.version)
+      val expected = (pinned.files ++ after.zip(lineage.dropWhile(
+          _.version < pinned.version)).collect {
+        case (c, p) if c.dataChange => c.files.filterNot(p.files.toSet)
+      }.flatten).map(f => vt.root.resolve(f).toString).toSet
+      assert(seen.size === seen.distinct.size,
+        s"a split was emitted twice: pre=$pre post=$post mf=$mf mv=$mv")
+      assert(seen.map(_._1).toSet === expected,
+        s"emitted files != snapshot+appends: pre=$pre post=$post mf=$mf mv=$mv")
+    }
+  }
 }
