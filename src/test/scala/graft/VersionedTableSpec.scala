@@ -1656,6 +1656,33 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.minMaxFromStats("main", "k").isEmpty)
   }
 
+  test("vacuum reclaims orphaned streaming-epoch files; the committed epoch's file survives") {
+    val vt = freshVt("stream_orphans")
+    vt.write((1L to 10L).toDF("k"), "main", "v0")
+    // a committed epoch references its file; a crash-replayed epoch's
+    // re-written file (same dir shape, never committed) is an orphan
+    val epochDir = vt.root.resolve("data/main-stream-e0")
+    (11L to 12L).toDF("k").coalesce(1).write.mode("overwrite").parquet(epochDir.toString)
+    val files = {
+      val s = java.nio.file.Files.list(epochDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(p => vt.root.relativize(p).toString).toVector
+      } finally s.close()
+    }
+    vt.commitStreamEpoch(spark, "main", files, vt.read(spark, "main").schema,
+      "stream epoch 0 (query q1)", txn = Some(("q1", 0L)))
+    val orphan = epochDir.resolve("part-replayed-orphan.snappy.parquet")
+    java.nio.file.Files.copy(vt.root.resolve(files.head), orphan)
+    vt.vacuum(retainLast = 10)
+    assert(!java.nio.file.Files.exists(orphan),
+      "an uncommitted epoch leftover must be reclaimed")
+    files.foreach(f => assert(java.nio.file.Files.exists(vt.root.resolve(f)),
+      "the committed epoch's files must survive"))
+    assert(vt.read(spark, "main").count() === 12L)
+  }
+
   test("dataChange flag: layout/evolution commits publish false, data commits true, JSON round-trips") {
     val vt = freshVt("datachange")
     vt.write((1L to 20L).toDF("k").repartition(4), "main", "v0", statsCols = Seq("k"))
