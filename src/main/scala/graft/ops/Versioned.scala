@@ -1571,7 +1571,7 @@ object Versioned {
     vt.write(o0.select(key("ord-").as("k"), cents.as("cents"),
         col("o_orderpriority").as("prio"))
       .repartitionByRange(8, col("k")), "main", "v0", statsCols = Seq("k"))
-    val mx = o0.agg(max(col("o_orderkey")).cast("long").as("m")).head.getLong(0)
+    val mx = o0.agg(max(col("o_orderkey")).cast("long").as("m")).head().getLong(0)
     def b(f: Double) = math.floor(mx * f).toLong
     val src = o0.where(col("o_orderkey").between(b(0.3), b(0.5)))
       .select(key("ord-").as("k"), (cents * 2).as("newc"))
@@ -1669,7 +1669,7 @@ object Versioned {
     vt.deleteWithVectors(s, "o_orderkey % 10 < 3", "main")
     // sf-proportional band (like q_vt_merge_scale_str): 40% of the keyspace,
     // embedded as literals so the stats windows prune files pre-planning
-    val mx = orders.agg(max(col("o_orderkey")).cast("long").as("m")).head.getLong(0)
+    val mx = orders.agg(max(col("o_orderkey")).cast("long").as("m")).head().getLong(0)
     def b(f: Double) = math.floor(mx * f).toLong
     s.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
     s.sql(
