@@ -27,6 +27,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Optimizer rule: bounded levenshtein predicates gain a free
     // length-difference prefilter and switch to the banded threshold DP.
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
+    // Delta's CDF table-valued function, registered through the analyzer's
+    // own TVF door (same registry as the built-in `range`):
+    // SELECT … FROM table_changes('[branch@]path', start[, end]).
+    ext.injectTableFunction((
+      new FunctionIdentifier("table_changes"),
+      new ExpressionInfo(graft.plans.TableChanges.getClass.getName, "table_changes"),
+      (args: Seq[Expression]) => graft.plans.TableChanges.plan(args)))
     // Parser wrapper: UPDATE / MERGE INTO / DELETE FROM statements on
     // vt-catalog tables execute through the engine's row-level ops
     // (graft.sources.VtSqlDml) — the rest of SQL passes through untouched.

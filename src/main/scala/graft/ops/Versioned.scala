@@ -1967,6 +1967,70 @@ object Versioned {
     s.sql(s"SELECT o_orderkey, note FROM vt.`$root` ORDER BY o_orderkey")
   }
 
+  /** SQL CHECK constraints end-to-end (r19c, Spark 4's native constraint
+    * grammar + [[graft.vt.VersionedTable.addCheckConstraint]]): `ALTER
+    * TABLE … ADD CONSTRAINT` validates the EXISTING rows then lands as a
+    * metadata-only commit in [[graft.vt.Commit.props]]; the following
+    * `INSERT INTO` is enforced INSIDE its write job (fused
+    * `coalesce(p,true) OR raise_error` filter — no second scan of the
+    * batch); `DROP CONSTRAINT` lifts it for the final insert. The oracle
+    * replays the three bands' union — the constraint machinery must be
+    * invisible to compliant data. Violation refusal is pinned by
+    * ConstraintSpec (a refused batch is not SQL-expressible). */
+  val qVtConstraint: QueryDef = q("q_vt_constraint")(
+    """SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+      |       o_orderpriority AS pri
+      |FROM orders WHERE o_orderkey % 16 IN (3, 5, 9)
+      |ORDER BY k""".stripMargin) { (s, d) =>
+    val root = Tables.scratch("vt_constraint")
+    s.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
+    val vt = VersionedTable.create(root)
+    val orders = Tables.orders(s, d).select(col("o_orderkey"),
+      col("o_totalprice").cast("double").as("price"), col("o_orderpriority").as("pri"))
+    def band(m: Int) = orders.where(pmod(col("o_orderkey"), lit(16)) === m)
+    vt.write(band(3), "main", "v0")
+    s.sql(s"ALTER TABLE vt.`$root` ADD CONSTRAINT price_pos CHECK (price > 0)").collect()
+    band(5).createOrReplaceTempView("ck_band5")
+    s.sql(s"INSERT INTO vt.`$root` SELECT * FROM ck_band5") // enforced in-job
+    s.sql(s"ALTER TABLE vt.`$root` DROP CONSTRAINT price_pos").collect()
+    band(9).createOrReplaceTempView("ck_band9")
+    s.sql(s"INSERT INTO vt.`$root` SELECT * FROM ck_band9")
+    s.sql(s"SELECT o_orderkey AS k, price, pri FROM vt.`$root` ORDER BY k")
+  }
+
+  /** Delta's `table_changes` CDF surface (r19c,
+    * [[graft.vt.VersionedTable.tableChanges]] + the SQL-text analyzer rule
+    * [[graft.plans.TableChangesRule]]): per-commit row deltas over an
+    * INCLUSIVE version interval with Delta's metadata columns. The oracle
+    * replays inserts as the appended bands and the COW delete as the
+    * predicate's rows — the file-granular diff must emit exactly the
+    * row-level delta, never the rewritten files' surviving rows.
+    * `_commit_timestamp` is wall-clock and so excluded from the compared
+    * projection (its presence/type is pinned by PlanRulesSpec). */
+  val qVtTableChanges: QueryDef = q("q_vt_table_changes")(
+    """SELECT k, _change_type, _commit_version FROM (
+      |  SELECT o_orderkey AS k, 'insert' AS _change_type,
+      |         CAST(1 AS BIGINT) AS _commit_version
+      |  FROM orders WHERE o_orderkey % 3 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey, 'insert', CAST(2 AS BIGINT) FROM orders
+      |  WHERE o_orderkey % 3 = 2
+      |  UNION ALL
+      |  SELECT o_orderkey, 'delete', CAST(3 AS BIGINT) FROM orders
+      |  WHERE o_orderkey % 3 = 1 AND o_orderkey % 2 = 0
+      |) ORDER BY _commit_version, k""".stripMargin) { (s, d) =>
+    val vt = VersionedTable.create(Tables.scratch("vt_table_changes"))
+    val orders = Tables.orders(s, d).select(col("o_orderkey"))
+    val m3 = pmod(col("o_orderkey"), lit(3))
+    vt.write(orders.where(m3 === 0), "main", "v0")
+    vt.write(orders.where(m3 === 1), "main", "v1", mode = "append")
+    vt.write(orders.where(m3 === 2), "main", "v2", mode = "append")
+    vt.delete(s, "o_orderkey % 3 = 1 AND o_orderkey % 2 = 0", "main", "v3 delete")
+    vt.tableChanges(s, "main", 1, 3)
+      .select(col("o_orderkey").as("k"), col("_change_type"), col("_commit_version"))
+      .orderBy("_commit_version", "k")
+  }
+
   /** Atomic `CREATE OR REPLACE TABLE … AS SELECT` (r19b,
     * [[graft.sources.VtCatalog]]'s StagingTableCatalog face): the
     * replacement snapshot — schema and all — lands as ONE commit after the
@@ -2067,5 +2131,5 @@ object Versioned {
     qVtMergeEvolve, qVtMorFilter, qVtMorSql, qVtDeltaCmapNative, qVtMinmaxMeta,
     qVtSqlCountMeta, qVtBloomSkip, qVtCtas, qDliteRuntimeSkip,
     qVtBloomLong, qVtOptimizeWhere, qVtAddColumn, qVtRtas, qVtStreamTable,
-    qVtStreamMirror)
+    qVtStreamMirror, qVtConstraint, qVtTableChanges)
 }

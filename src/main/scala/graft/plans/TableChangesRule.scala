@@ -1,0 +1,72 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.{SourcePaths, VtAddress}
+import graft.vt.VersionedTable
+
+/** Delta's CDF SQL surface as a registered TABLE-VALUED FUNCTION:
+  *
+  * {{{
+  *   SELECT * FROM table_changes('[branch@]path', startVersion[, endVersion])
+  * }}}
+  *
+  * resolves into [[VersionedTable.tableChanges]]'s plan (per-commit row
+  * deltas with `_change_type` / `_commit_version` / `_commit_timestamp`,
+  * both version bounds inclusive; `endVersion` defaults to the branch
+  * head). Registered by [[graft.functions.GraftExtensions]] via
+  * `injectTableFunction` — the same analyzer door Spark's built-in `range`
+  * TVF uses, so name resolution, error positions, and aliasing behave like
+  * any other FROM-clause function. Sessions without the extension call the
+  * engine door directly.
+  *
+  * Arguments must be literals (a version read from a column would make the
+  * scanned interval data-dependent — no sound plan exists); anything else
+  * refuses with the expected shape in the message.
+  */
+object TableChanges {
+
+  private def str(e: Expression): Option[String] = e match {
+    case Literal(s: UTF8String, StringType) => Some(s.toString)
+    case _ => None
+  }
+
+  private def lng(e: Expression): Option[Long] = e match {
+    case Literal(v: Int, IntegerType) => Some(v.toLong)
+    case Literal(v: Long, LongType) => Some(v)
+    case _ => None
+  }
+
+  /** The `Seq[Expression] => LogicalPlan` builder handed to
+    * `injectTableFunction`. Runs on the ACTIVE session at analysis time —
+    * the metadata walk is O(interval) commit reads; the returned plan is
+    * the engine's analyzed CDF frame. */
+  def plan(args: Seq[Expression]): LogicalPlan = {
+    def usage = "table_changes('[branch@]path', startVersion[, endVersion]) " +
+      "with literal arguments"
+    val (addr, start, end) = args match {
+      case Seq(a, s) => (str(a), lng(s), None)
+      case Seq(a, s, e) => (str(a), lng(s), Some(lng(e)))
+      case _ => throw new IllegalArgumentException(
+        s"table_changes takes 2 or 3 arguments — $usage")
+    }
+    val (branch, path) = VtAddress.split(addr.getOrElse(
+      throw new IllegalArgumentException(s"table_changes: first argument " +
+        s"must be a string literal table path — $usage")))
+    val s0 = start.getOrElse(throw new IllegalArgumentException(
+      s"table_changes: startVersion must be an integer literal — $usage"))
+    val spark = SparkSession.active
+    val vt = VersionedTable.open(SourcePaths.local(path))
+    val e0 = end match {
+      case None => vt.head(branch).map(_.version).getOrElse(
+        throw new IllegalArgumentException(s"no such branch: $branch"))
+      case Some(v) => v.getOrElse(throw new IllegalArgumentException(
+        s"table_changes: endVersion must be an integer literal — $usage"))
+    }
+    vt.tableChanges(spark, branch, s0, e0).queryExecution.analyzed
+  }
+}

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.{DataType, NumericType, StringType}
 /** Path-option normalization shared by every provider: the SQL catalog
   * hands `OPTIONS (path '…')` back as a `file:` URI, the DataFrame API as
   * a bare filesystem path — both must address the same table. */
-private[sources] object SourcePaths {
+private[graft] object SourcePaths {
   def local(raw: String): String =
     if (raw.startsWith("file:")) java.nio.file.Paths.get(java.net.URI.create(raw)).toString
     else raw

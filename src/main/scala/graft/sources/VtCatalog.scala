@@ -4,7 +4,8 @@ import java.util
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, StagedTable, StagingTableCatalog, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, StagedTable, StagingTableCatalog, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableCatalogCapability, TableChange, TableInfo}
+import org.apache.spark.sql.connector.catalog.constraints.{Check, Constraint}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
@@ -48,7 +49,7 @@ import graft.vt.{Commit, VersionedTable}
 /** The `[branch@]path` addressing shared by the catalog identifier and the
   * SQL-DML bridge ([[VtSqlDml]]): a leading slash-free `branch@` segment
   * selects a non-main branch; everything else is the table root path. */
-private[sources] object VtAddress {
+private[graft] object VtAddress {
   def split(raw: String): (String, String) = {
     val at = raw.indexOf('@')
     if (at > 0 && !raw.substring(0, at).contains('/'))
@@ -65,6 +66,13 @@ final class VtCatalog extends TableCatalog with StagingTableCatalog {
     catalogName = name
 
   override def name(): String = catalogName
+
+  /** Spark 4's constraint SPIP: declaring this capability makes the native
+    * `ALTER TABLE … ADD/DROP CONSTRAINT` grammar route here as
+    * [[TableChange.AddConstraint]]/[[TableChange.DropConstraint]], and lets
+    * `CREATE TABLE` carry CHECK constraints through [[TableInfo]]. */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   /** `[branch@]<root path>` → (branch, normalized local path) WITHOUT
     * opening the table — what DDL (create/drop/exists) needs. */
@@ -179,6 +187,34 @@ final class VtCatalog extends TableCatalog with StagingTableCatalog {
     new VtTable(SparkSession.active, vt, branch, c, s"$catalogName.`${ident.name()}`")
   }
 
+  /** `CREATE TABLE … (cols, CONSTRAINT n CHECK (p))` — the [[TableInfo]]
+    * face Spark uses when the catalog declares SUPPORT_TABLE_CONSTRAINT:
+    * the empty schema-pinning v0 lands first, then each CHECK records as
+    * its own metadata-only commit (validation over zero rows is free).
+    * Only CHECK constraints are accepted — see [[alterConstraints]]. */
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    val checks = info.constraints().map {
+      case c: Check =>
+        require(c.enforced(), s"constraint ${c.name()}: NOT ENFORCED CHECK " +
+          "constraints are not supported")
+        c.name() -> Option(c.predicateSql()).filter(_.nonEmpty).getOrElse(
+          throw new IllegalArgumentException(
+            s"constraint ${c.name()}: no predicate SQL to record"))
+      case other => throw new UnsupportedOperationException(
+        s"only CHECK constraints are supported on versioned tables, got ${other.toDDL}")
+    }
+    val table = createTable(ident, info.schema(), info.partitions(), info.properties())
+    if (checks.isEmpty) table
+    else {
+      val (vt, branch) = parse(ident)
+      checks.foreach { case (n, sql) =>
+        vt.addCheckConstraint(SparkSession.active, branch, n, sql,
+          s"CREATE TABLE $catalogName.`${ident.name()}` … CONSTRAINT $n CHECK ($sql)")
+      }
+      loadTable(ident)
+    }
+  }
+
   /** Atomic `CREATE TABLE … AS SELECT` ([[StagingTableCatalog]]): the
     * query's rows are written as unreferenced files under the table root,
     * and the table springs into existence as ONE commit (v0 = the data)
@@ -217,6 +253,30 @@ final class VtCatalog extends TableCatalog with StagingTableCatalog {
       schema, s"$catalogName.`${ident.name()}`", mustReplace = true)
   }
 
+  /** CTAS/RTAS with inline constraints would have to validate the query's
+    * rows against predicates that only exist once the table commits —
+    * refuse loudly rather than committing data that was never checked;
+    * `ALTER TABLE … ADD CONSTRAINT` after the CTAS validates properly. */
+  private def refuseStagedConstraints(info: TableInfo): Unit =
+    require(info.constraints().isEmpty,
+      "CREATE/REPLACE TABLE … AS SELECT cannot carry constraints — run the " +
+        "CTAS first, then ALTER TABLE … ADD CONSTRAINT (which validates the rows)")
+
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable = {
+    refuseStagedConstraints(info)
+    stageCreate(ident, info.schema(), info.partitions(), info.properties())
+  }
+
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable = {
+    refuseStagedConstraints(info)
+    stageReplace(ident, info.schema(), info.partitions(), info.properties())
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable = {
+    refuseStagedConstraints(info)
+    stageCreateOrReplace(ident, info.schema(), info.partitions(), info.properties())
+  }
+
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
                                     partitions: Array[Transform],
                                     properties: util.Map[String, String]): StagedTable = {
@@ -235,13 +295,56 @@ final class VtCatalog extends TableCatalog with StagingTableCatalog {
     * the new columns. Everything else ALTER can say (drop/rename/retype a
     * column would need Delta-style column mapping; properties/comments
     * are not stored) refuses loudly. */
+  /** SQL `ALTER TABLE … ADD CONSTRAINT name CHECK (pred)` (r19, Spark 4's
+    * native constraint grammar): a metadata-only commit through
+    * [[VersionedTable.addCheckConstraint]] — the engine validates the
+    * EXISTING rows first (one pushed-down short-circuit scan), and from
+    * then on every write path enforces the predicate inside its own write
+    * job. `DROP CONSTRAINT [IF EXISTS]` is the symmetric metadata commit.
+    * Only CHECK constraints are accepted: PRIMARY KEY / UNIQUE / FOREIGN
+    * KEY would promise global uniqueness this engine does not index for,
+    * and silently-unenforced informational constraints would let the
+    * optimizer assume facts nobody checks. */
+  private def alterConstraints(ident: Identifier, changes: Seq[TableChange]): Table = {
+    val (vt, branch) = parse(ident)
+    changes.foreach {
+      case a: TableChange.AddConstraint => a.constraint() match {
+        case c: Check =>
+          require(c.enforced(),
+            s"constraint ${c.name()}: NOT ENFORCED CHECK constraints are not " +
+              "supported (an unenforced CHECK is a fact nobody verifies)")
+          val sql = Option(c.predicateSql()).filter(_.nonEmpty).getOrElse(
+            throw new IllegalArgumentException(
+              s"constraint ${c.name()}: no predicate SQL to record"))
+          vt.addCheckConstraint(SparkSession.active, branch, c.name(), sql,
+            s"ALTER TABLE $catalogName.`${ident.name()}` ADD CONSTRAINT " +
+              s"${c.name()} CHECK ($sql)")
+        case other => throw new UnsupportedOperationException(
+          s"only CHECK constraints are supported on versioned tables, got " +
+            other.toDDL)
+      }
+      case d: TableChange.DropConstraint =>
+        require(d.mode() != TableChange.DropConstraint.Mode.CASCADE,
+          "DROP CONSTRAINT CASCADE is not supported (CHECK constraints have " +
+            "no dependents)")
+        vt.dropCheckConstraint(branch, d.name(), ifExists = d.ifExists(),
+          message = s"ALTER TABLE $catalogName.`${ident.name()}` DROP CONSTRAINT ${d.name()}")
+      case _ => throw new IllegalStateException("alterConstraints: non-constraint change")
+    }
+    loadTable(ident)
+  }
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (changes.forall(c => c.isInstanceOf[TableChange.AddConstraint] ||
+        c.isInstanceOf[TableChange.DropConstraint]))
+      return alterConstraints(ident, changes)
     val adds = changes.map {
       case a: TableChange.AddColumn => a
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER on a versioned table: ${other.getClass.getSimpleName} " +
-          "(only ADD COLUMNS is a metadata-only commit; drop/rename/retype " +
-          "would need column mapping, and there are no table properties)")
+          "(only ADD COLUMNS and ADD/DROP CONSTRAINT are metadata-only " +
+          "commits; drop/rename/retype would need column mapping, and there " +
+          "are no free-form table properties)")
     }
     val fields = adds.map { a =>
       require(a.fieldNames().length == 1,
@@ -316,6 +419,19 @@ final class VtTable(spark: SparkSession, vt: VersionedTable, branch: String,
 
   override def name(): String = ident
   override def schema(): StructType = tableSchema
+
+  /** Spark 4 constraint surface: the snapshot's CHECK constraints, reported
+    * VALID + ENFORCED (validated over the existing rows when added; every
+    * engine write path enforces them inside its write job). Spark's own
+    * analyzer additionally wraps V2 writes against this table with the
+    * predicates — belt and braces, both nameable errors. */
+  override def constraints(): Array[Constraint] =
+    VersionedTable.checkConstraints(commit).toSeq.sortBy(_._1).map {
+      case (n, sql) => Constraint.check(n).predicateSql(sql)
+        .enforced(true)
+        .validationStatus(Constraint.ValidationStatus.VALID)
+        .build(): Constraint
+    }.toArray
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,

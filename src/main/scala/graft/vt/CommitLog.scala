@@ -118,7 +118,15 @@ final case class Commit(
       * other's epochs (the bare message-watermark they replace could).
       * Absent = no mark (back-compatible JSON). */
     txnAppId: Option[String] = None,
-    txnVersion: Option[Long] = None) {
+    txnVersion: Option[Long] = None,
+    /** TABLE PROPERTIES (Delta's metadata `configuration`): durable
+      * key→value pairs that ride the commit log — the home of CHECK
+      * constraints (`constraint.check.<name>` → predicate SQL, the same
+      * keying Delta uses for `delta.constraints.<name>`). Publish carries
+      * the parent's map unless a metadata op overrides it; version-graph
+      * ops that restore an old STATE (revert/restore) restore its props
+      * too. Absent = empty (back-compatible JSON). */
+    props: Map[String, String] = Map.empty) {
   /** All parents, first-parent first — the DAG edge set for ancestry walks. */
   def parents: List[String] = parent.toList ++ mergeParent.toList
 
@@ -223,6 +231,11 @@ object CommitLog {
     if (!c.dataChange) m.put("dataChange", java.lang.Boolean.FALSE)
     c.txnAppId.foreach(a => m.put("txnAppId", a))
     c.txnVersion.foreach(v => m.put("txnVersion", java.lang.Long.valueOf(v)))
+    if (c.props.nonEmpty) {
+      val pm = new java.util.LinkedHashMap[String, Object]()
+      c.props.toSeq.sortBy(_._1).foreach { case (k, v) => pm.put(k, v) }
+      m.put("props", pm)
+    }
     mapper.writeValueAsString(m)
   }
 
@@ -286,7 +299,10 @@ object CommitLog {
         .forall(_.asInstanceOf[java.lang.Boolean].booleanValue()),
       txnAppId = Option(m.get("txnAppId").asInstanceOf[String]),
       txnVersion = Option(m.get("txnVersion"))
-        .map(_.asInstanceOf[Number].longValue()))
+        .map(_.asInstanceOf[Number].longValue()),
+      props = Option(m.get("props")).map { raw =>
+        raw.asInstanceOf[java.util.Map[String, String]].asScala.toMap
+      }.getOrElse(Map.empty))
   }
 
   /** Cross-process optimistic concurrency (Delta's log-store contract,

@@ -399,7 +399,27 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
         df.schema
       case _ => df.schema
     }
-    val newFiles = writeDataFiles(df, branch, parent.map(_.version + 1).getOrElse(0L))
+    // a schema-REPLACING overwrite must not leave a CHECK constraint
+    // silently dead: if a recorded predicate no longer analyzes against the
+    // new schema (its column was dropped/renamed away), refuse the write —
+    // Delta likewise refuses to drop a constrained column. Same-schema
+    // writes skip the probe (the predicate analyzed when it was added).
+    if (overwriteSchema && mode == "overwrite")
+      parent.map(VersionedTable.checkConstraints).getOrElse(Map.empty).foreach {
+        case (cname, csql) =>
+          try df.sparkSession.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+            .select(org.apache.spark.sql.functions.expr(csql)).queryExecution.analyzed
+          catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              throw new IllegalArgumentException(
+                s"overwriteSchema would orphan CHECK constraint $cname ($csql): " +
+                  s"it no longer analyzes against the new schema (${e.getMessage.linesIterator.next()}); " +
+                  "DROP CONSTRAINT first", e)
+          }
+      }
+    val newFiles = writeDataFiles(guardChecks(df, parent), branch,
+      parent.map(_.version + 1).getOrElse(0L))
     val (newStats, newStrStats, newNullStats) =
       if (statsCols.isEmpty)
         (Map.empty[String, Map[String, (Double, Double)]],
@@ -732,7 +752,10 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     }
     val touchedRows = readCommit(spark, parent.copy(files = touched))
     val keep = touchedRows.join(affected.distinct(), keyCols, "left_anti")
-    val newFiles = writeDataFiles(keep.unionByName(upserts), branch, parent.version + 1)
+    // CHECK constraints guard only the INCOMING side: `keep` rows come from
+    // the already-validated snapshot and re-land unchanged
+    val newFiles = writeDataFiles(
+      keep.unionByName(guardChecks(upserts, Some(parent))), branch, parent.version + 1)
     // untouched files keep their stats; new files get fresh stats over the
     // same column set the parent tracked (so skip-reads keep working)
     val statCols = (parent.stats.values.flatMap(_.keys) ++
@@ -1098,7 +1121,9 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     if (parts.isEmpty) return parent // clauses can touch nothing: no-op, no churn
     val out = parts.reduce(_ unionByName _)
     if (touched.isEmpty && out.isEmpty) return parent // insert-only merge, zero inserts
-    val newFiles = writeDataFiles(out, branch, parent.version + 1)
+    // UPDATE/INSERT clauses can mint constraint-violating values — the
+    // fused guard aborts the rewrite before any commit publishes
+    val newFiles = writeDataFiles(guardChecks(out, Some(parent)), branch, parent.version + 1)
     val statCols = (parent.stats.values.flatMap(_.keys) ++
       parent.strStats.values.flatMap(_.keys)).toSeq.distinct
     val (newStats, newStrStats, newNullStats) =
@@ -1526,7 +1551,9 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
           case None => col(f.name)
         }
       }: _*)
-    val newFiles = writeDataFiles(rewritten, branch, parent.version + 1)
+    // SET can mint violating values — fuse the constraint guard into the rewrite
+    val newFiles = writeDataFiles(guardChecks(rewritten, Some(parent)), branch,
+      parent.version + 1)
     val statCols = (parent.stats.values.flatMap(_.keys) ++
       parent.strStats.values.flatMap(_.keys)).toSeq.distinct
     val (newStats, newStrStats, newNullStats) =
@@ -1604,6 +1631,122 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       bloomFiles = parent.bloomFiles, dataChange = false)
   }
 
+  // ---- CHECK constraints (Delta `ALTER TABLE … ADD CONSTRAINT`) ----------
+
+  /** The branch head's CHECK constraints: name → predicate SQL. */
+  def checkConstraints(branch: String = "main"): Map[String, String] =
+    head(branch).map(VersionedTable.checkConstraints).getOrElse(Map.empty)
+
+  /** Delta `ALTER TABLE … ADD CONSTRAINT <name> CHECK (<predicate>)`: a
+    * METADATA-ONLY commit that records the predicate in [[Commit.props]]
+    * (`constraint.check.<name>`) AFTER validating that every EXISTING row
+    * satisfies it — Delta refuses to add a constraint the current snapshot
+    * already violates, and so do we (one pushed-down `NOT(p)` scan,
+    * short-circuiting on the first violation via `limit(1)`; an empty
+    * table validates for free). From this commit on, every row-adding
+    * write path enforces the predicate INSIDE its own write job
+    * ([[guardChecks]] — zero extra passes on the happy path). NULL
+    * satisfies a CHECK, per the SQL standard. Names are case-insensitive
+    * and stored lowercase (Delta does the same). */
+  def addCheckConstraint(spark: SparkSession, branch: String, name: String,
+                         predicateSql: String, message: String = ""): Commit =
+    synchronized {
+      guardWritable(branch)
+      require(name.matches("""[A-Za-z_][A-Za-z0-9_]*"""),
+        s"constraint name must be an identifier, got '$name'")
+      val key = name.toLowerCase
+      val parent = headOrThrow(branch)
+      require(!parent.props.contains(VersionedTable.CheckConstraintPrefix + key),
+        s"constraint $key already exists on $branch: " +
+          s"(${parent.props(VersionedTable.CheckConstraintPrefix + key)}); " +
+          "DROP CONSTRAINT first to replace it")
+      val schema = DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]
+      // the predicate must ANALYZE against the table schema and be boolean —
+      // checked on an empty frame so a typo'd column or non-boolean
+      // expression fails the ALTER with Spark's own nameable error, before
+      // any validation scan runs
+      val probe = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        .select(org.apache.spark.sql.functions.expr(predicateSql).as("p"))
+      require(probe.schema.head.dataType == org.apache.spark.sql.types.BooleanType,
+        s"CHECK predicate must be boolean, got ${probe.schema.head.dataType.simpleString}: " +
+          predicateSql)
+      if (parent.files.nonEmpty) {
+        import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+        val bad = readCommit(spark, parent)
+          .where(not(coalesce(expr(predicateSql), lit(true)))).limit(1).collect()
+        if (bad.nonEmpty) throw new IllegalArgumentException(
+          s"cannot add CHECK constraint $key ($predicateSql) on $branch: " +
+            s"existing row violates it: ${bad.head}")
+      }
+      publish(branch, Some(parent),
+        if (message.nonEmpty) message
+        else s"ALTER TABLE ADD CONSTRAINT $key CHECK ($predicateSql)",
+        schema, parent.files, parent.stats, strStats = parent.strStats,
+        dvFiles = parent.dvFiles, nullStats = parent.nullStats,
+        bloomStats = parent.bloomStats, bloomCols = bloomColsOf(parent),
+        bloomFiles = parent.bloomFiles, dataChange = false,
+        props = Some(parent.props +
+          (VersionedTable.CheckConstraintPrefix + key -> predicateSql)))
+    }
+
+  /** Delta `ALTER TABLE … DROP CONSTRAINT [IF EXISTS] <name>`: a
+    * metadata-only commit removing the predicate; unknown names refuse
+    * loudly unless `ifExists`. */
+  def dropCheckConstraint(branch: String, name: String,
+                          ifExists: Boolean = false,
+                          message: String = ""): Commit = synchronized {
+    guardWritable(branch)
+    val key = name.toLowerCase
+    val parent = headOrThrow(branch)
+    val propKey = VersionedTable.CheckConstraintPrefix + key
+    if (!parent.props.contains(propKey)) {
+      if (ifExists) return parent
+      throw new IllegalArgumentException(
+        s"no such constraint on $branch: $key (have: " +
+          s"${VersionedTable.checkConstraints(parent).keys.toSeq.sorted.mkString(", ")})")
+    }
+    publish(branch, Some(parent),
+      if (message.nonEmpty) message else s"ALTER TABLE DROP CONSTRAINT $key",
+      DataType.fromJson(parent.schemaJson).asInstanceOf[StructType],
+      parent.files, parent.stats, strStats = parent.strStats,
+      dvFiles = parent.dvFiles, nullStats = parent.nullStats,
+      bloomStats = parent.bloomStats, bloomCols = bloomColsOf(parent),
+      bloomFiles = parent.bloomFiles, dataChange = false,
+      props = Some(parent.props - propKey))
+  }
+
+  /** CHECK-constraint enforcement, FUSED into the write job (Delta's
+    * `CheckInvariant` shape): each constraint becomes one codegen'd filter
+    * `coalesce(p, true) OR raise_error(…)` over the outgoing rows — the
+    * happy path costs a predicate eval per row inside the job that was
+    * writing the rows anyway (no second scan of the batch), and the first
+    * violating row aborts the job with a nameable error BEFORE any commit
+    * publishes. An aborted job may leave orphan part-files under `data/`;
+    * those are unreferenced by any commit and the next vacuum sweeps them —
+    * the same contract as a lost version-slot race. Columns the batch
+    * omits (mergeSchema appends) evaluate as NULL, which satisfies a CHECK
+    * per the SQL standard — exactly what their rows read back as. */
+  private def guardChecks(df: DataFrame, parent: Option[Commit]): DataFrame = {
+    val checks = parent.map(VersionedTable.checkConstraints).getOrElse(Map.empty)
+    if (checks.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions._
+      val schema = DataType.fromJson(parent.get.schemaJson).asInstanceOf[StructType]
+      val missing = schema.fields.filter(f => !df.columns.contains(f.name))
+      val widened = missing.foldLeft(df)((d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType)))
+      val guarded = checks.toSeq.sortBy(_._1).foldLeft(widened) {
+        case (d, (name, sql)) =>
+          d.where(coalesce(expr(sql), lit(true)) ||
+            raise_error(concat(
+              lit(s"CHECK constraint $name ($sql) violated by row "),
+              to_json(struct(df.columns.map(col).toIndexedSeq: _*)))).cast("boolean"))
+      }
+      guarded.select(df.columns.map(col).toIndexedSeq: _*)
+    }
+  }
+
   /** One micro-batch epoch of the DSv2 STREAMING sink
     * ([[graft.sources.VtStreamingWrite]]): publish data files the epoch's
     * TASKS already wrote straight into the table root — no DataFrame
@@ -1633,6 +1776,25 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
               s"schema ${ps.simpleString} on $branch")
           ps
         case _ => schema
+      }
+      // CHECK constraints: the epoch's rows are already on disk (task-written,
+      // unreferenced), so enforcement is a read-back of JUST the epoch's new
+      // files — O(micro-batch), short-circuiting on the first violation; a
+      // refusal leaves only vacuum-sweepable orphans, and the sink surfaces
+      // the error to the streaming query before any commit publishes
+      locally {
+        val checks = parent.map(VersionedTable.checkConstraints).getOrElse(Map.empty)
+        if (checks.nonEmpty && newFiles.nonEmpty) {
+          import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+          val epoch = spark.read.schema(tblSchema)
+            .parquet(newFiles.map(f => root.resolve(f).toString): _*)
+          checks.toSeq.sortBy(_._1).foreach { case (cname, csql) =>
+            val bad = epoch.where(not(coalesce(expr(csql), lit(true)))).limit(1).collect()
+            if (bad.nonEmpty) throw new IllegalArgumentException(
+              s"CHECK constraint $cname ($csql) violated by streamed epoch row " +
+                s"${bad.head}; the epoch was not committed")
+          }
+        }
       }
       val cols = parent.map(bloomColsOf).getOrElse(Nil).filter(c =>
         tblSchema.fieldNames.contains(c) &&
@@ -1674,7 +1836,9 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     * recorded on disk but the files themselves, so concurrent staged
     * writes to the same branch cannot clobber each other's state. */
   private[graft] def writeStagedFiles(df: DataFrame, branch: String): Vector[String] =
-    writeDataFiles(df, branch + "-staging",
+    // RTAS onto a constrained table enforces the CURRENT head's constraints
+    // (the staged snapshot replaces it as one commit; fresh CTAS has none)
+    writeDataFiles(guardChecks(df, head(branch)), branch + "-staging",
       head(branch).map(_.version + 1).getOrElse(0L))
 
   /** Publish a staged snapshot as ONE commit — the atomic half of
@@ -1698,6 +1862,20 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
         s"table already exists on $branch — a concurrent writer created it first")
       if (mustReplace) require(parent.nonEmpty,
         s"REPLACE TABLE: no such table/branch to replace: $branch")
+      // RTAS replaces the schema: a CHECK predicate that no longer analyzes
+      // against it would go silently dead — refuse, like write(overwriteSchema)
+      parent.map(VersionedTable.checkConstraints).getOrElse(Map.empty).foreach {
+        case (cname, csql) =>
+          try spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+            .select(org.apache.spark.sql.functions.expr(csql)).queryExecution.analyzed
+          catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              throw new IllegalArgumentException(
+                s"REPLACE TABLE would orphan CHECK constraint $cname ($csql) — " +
+                  "DROP CONSTRAINT first", e)
+          }
+      }
       val cols = parent.map(bloomColsOf).getOrElse(Nil).filter(c =>
         schema.fieldNames.contains(c) &&
           VersionedTable.bloomSupported(schema(c).dataType))
@@ -1712,7 +1890,8 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
   def stage(df: DataFrame, branch: String = "main"): Unit = synchronized {
     guardWritable(branch)
     val parent = head(branch)
-    val files = writeDataFiles(df, branch + "-staged", parent.map(_.version + 1).getOrElse(0L))
+    val files = writeDataFiles(guardChecks(df, parent), branch + "-staged",
+      parent.map(_.version + 1).getOrElse(0L))
     val staged = Commit("STAGED", parent.map(_.id),
       parent.map(_.version + 1).getOrElse(0L), files, df.schema.json, "", System.currentTimeMillis())
     store.put(refsDir.resolve(branch + ".staged"), CommitLog.toJson(staged))
@@ -1764,7 +1943,12 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
                       bloomCols: Seq[String] = Nil,
                       bloomFiles: Vector[String] = Vector.empty,
                       dataChange: Boolean = true,
-                      txn: Option[(String, Long)] = None): Commit = {
+                      txn: Option[(String, Long)] = None,
+                      // table properties: None = carry the first parent's
+                      // map (constraints et al. are sticky by default);
+                      // Some(...) = this commit SETS the map (metadata ops,
+                      // and revert/restore restoring an old state's props)
+                      props: Option[Map[String, String]] = None): Commit = {
     val version = parent.map(_.version + 1).getOrElse(0L)
     val id = s"$branch-v$version-${java.util.UUID.randomUUID.toString.take(8)}"
     // Per-file row counts (Delta numRecords): inherited from either parent's
@@ -1793,7 +1977,8 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     val c = Commit(id, parent.map(_.id), version, files, schema.json, message,
       System.currentTimeMillis(), stats, mergeParent, strStats, dvFiles, rowCounts,
       nullStats, fileSizes, bloomStats, bloomCols, bloomFiles, dataChange,
-      txn.map(_._1), txn.map(_._2))
+      txn.map(_._1), txn.map(_._2),
+      props = props.getOrElse(parent.map(_.props).getOrElse(Map.empty)))
     // pre-commit hooks (lakeFS Actions) see the full candidate and may throw;
     // running BEFORE the slot claim means an abort leaves no claimed slot to
     // sweep — only orphan data files the next vacuum reclaims.
@@ -2311,7 +2496,11 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
         DataType.fromJson(target.schemaJson).asInstanceOf[StructType], target.files,
         target.stats, strStats = target.strStats, nullStats = target.nullStats,
         dvFiles = target.dvFiles, bloomStats = target.bloomStats,
-      bloomCols = target.bloomCols, bloomFiles = target.bloomFiles)
+        bloomCols = target.bloomCols, bloomFiles = target.bloomFiles,
+        // restore restores STATE — table properties (constraints) included,
+        // Delta's RESTORE semantics: the restored data was validated under
+        // the restored constraint set, not the current one
+        props = Some(target.props))
     }
 
   /** lakeFS `tag delete`: the commit becomes vacuumable again (if nothing
@@ -2420,7 +2609,8 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       DataType.fromJson(target.schemaJson).asInstanceOf[StructType], target.files,
       target.stats, strStats = target.strStats, nullStats = target.nullStats,
       dvFiles = target.dvFiles, bloomStats = target.bloomStats,
-      bloomCols = target.bloomCols, bloomFiles = target.bloomFiles)
+      bloomCols = target.bloomCols, bloomFiles = target.bloomFiles,
+      props = Some(target.props)) // revert restores state, props included
   }
 
   /** [[revert]] with the parent PINNED to `raced` — the raced-first-write
@@ -2443,7 +2633,8 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       DataType.fromJson(target.schemaJson).asInstanceOf[StructType], target.files,
       target.stats, strStats = target.strStats, nullStats = target.nullStats,
       dvFiles = target.dvFiles, bloomStats = target.bloomStats,
-      bloomCols = target.bloomCols, bloomFiles = target.bloomFiles)
+      bloomCols = target.bloomCols, bloomFiles = target.bloomFiles,
+      props = Some(target.props)) // the repair restores the winner's state
   }
 
   /** lakeFS `cherry-pick` (lakectl's single-commit transplant): apply the
@@ -2763,6 +2954,50 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     } else frames.reduce(_.unionByName(_))
   }
 
+  /** Delta's `table_changes(tbl, start, end)` surface over [[changesFeed]]:
+    * the per-commit row deltas of versions `[startVersion, endVersion]`
+    * (both INCLUSIVE, Delta's contract), each row tagged with Delta's CDF
+    * metadata columns — `_change_type`, `_commit_version`,
+    * `_commit_timestamp`. `startVersion = 0` includes the root commit's
+    * rows as inserts (a feed interval is exclusive below, so v0 is the
+    * snapshot itself). Same scale shape as the feed: append-only runs
+    * collapse to one delta-file scan, rewrites diff only symmetric file
+    * differences, and the timestamp attaches via ONE broadcast of the
+    * interval's O(span) version→ts metadata — never a per-row lineage
+    * walk. SQL-text form: `SELECT … FROM table_changes('[branch@]path',
+    * s [, e])` via [[graft.plans.TableChangesRule]] (extensions
+    * sessions); this method is the extensions-free door. */
+  def tableChanges(spark: SparkSession, branch: String, startVersion: Long,
+                   endVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, timestamp_millis}
+    import spark.implicits._
+    require(startVersion >= 0,
+      s"table_changes: startVersion must be >= 0, got $startVersion")
+    require(endVersion >= startVersion,
+      s"table_changes: need startVersion <= endVersion, got [$startVersion, $endVersion]")
+    val feed =
+      if (startVersion == 0) {
+        val c0 = resolveVersion(branch, 0L)
+        val v0 = readCommit(spark, c0)
+          .withColumn("change_type", lit("insert"))
+          .withColumn("version", lit(0L))
+        if (endVersion == 0) v0
+        else v0.unionByName(changesFeed(spark, branch, 0L, endVersion),
+          allowMissingColumns = true) // mergeSchema evolution inside the interval
+      } else changesFeed(spark, branch, startVersion - 1, endVersion)
+    // version → commit millis for the interval: [max(start-1,0), end] is
+    // already the metadata the feed walked; one tiny broadcast frame
+    val tsByVersion = commitRange(branch, math.max(startVersion - 1, 0L), endVersion)
+      .filter(_.version >= startVersion || startVersion == 0)
+      .map(c => (c.version, c.ts)).toDF("version", "__ts_ms")
+    val rowCols = feed.columns.filterNot(Set("change_type", "version")).toIndexedSeq
+    feed.join(broadcast(tsByVersion), Seq("version"), "left")
+      .select(rowCols.map(col) ++ Seq(
+        col("change_type").as("_change_type"),
+        col("version").as("_commit_version"),
+        timestamp_millis(col("__ts_ms")).as("_commit_timestamp")): _*)
+  }
+
   /** Commit history of a branch, newest first: (version, message, ts, n_files). */
   def history(spark: SparkSession, branch: String): DataFrame = {
     import spark.implicits._
@@ -2908,6 +3143,17 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
 }
 
 object VersionedTable {
+  /** [[Commit.props]] key namespace for CHECK constraints — the same keying
+    * shape as Delta's `delta.constraints.<name>` configuration entries. */
+  private[graft] val CheckConstraintPrefix = "constraint.check."
+
+  /** A commit's CHECK constraints: lowercase name → predicate SQL. */
+  def checkConstraints(c: Commit): Map[String, String] =
+    c.props.collect {
+      case (k, v) if k.startsWith(CheckConstraintPrefix) =>
+        k.stripPrefix(CheckConstraintPrefix) -> v
+    }
+
   /** Physical row count from a parquet FOOTER — no data pages touched. Used
     * once per new file at publish time to stock the commit log's
     * [[Commit.rowCounts]]; None (unreadable/corrupt footer) just omits the

@@ -62,4 +62,69 @@ class PlanRulesSpec extends SparkSpec {
       SparkSession.setActiveSession(shared)
     }
   }
+
+  test("table_changes TVF resolves through the analyzer rule (Delta CDF SQL surface)") {
+    val shared = spark
+    // the table is built with the SHARED session; the extended session only
+    // has to RESOLVE the function — tables are path-addressed, no state moves
+    val vt = graft.vt.VersionedTable.create(Tables.scratch("tvf_changes"))
+    import shared.implicits._
+    def band(m: Int) = (1 to 30).map(i => (i.toLong, s"r$i")).toDF("k", "v")
+      .where($"k" % 3 === m)
+    vt.write(band(0), "main", "v0")
+    vt.write(band(1), "main", "v1", mode = "append")
+    vt.write(band(2), "main", "v2", mode = "append")
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      val df = s2.sql(
+        s"SELECT k, _change_type, _commit_version FROM " +
+          s"table_changes('${vt.root}', 1, 2) ORDER BY k")
+      // Delta's CDF columns, correct values: v1+v2 appends as inserts
+      assert(df.columns.toSeq === Seq("k", "_change_type", "_commit_version"))
+      val rows = df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(rows.forall(_._2 == "insert"))
+      assert(rows.filter(_._3 == 1L).map(_._1).sorted
+        === (1 to 30).filter(_ % 3 == 1).map(_.toLong))
+      assert(rows.filter(_._3 == 2L).map(_._1).sorted
+        === (1 to 30).filter(_ % 3 == 2).map(_.toLong))
+      // endVersion defaults to head; _commit_timestamp is a real timestamp
+      val full = s2.sql(s"SELECT * FROM table_changes('${vt.root}', 0)")
+      assert(full.schema("_commit_timestamp").dataType
+        === org.apache.spark.sql.types.TimestampType)
+      assert(full.count() === 30L) // v0 snapshot + both appends
+      assert(full.where($"_commit_timestamp".isNull).count() === 0L)
+      // SCALE PIN: an append-only interval scans ONLY the delta files —
+      // the v0 snapshot's files never enter the plan
+      val v0Files = vt.head("main").map(_ => vt.resolveRead("main",
+        versionAsOf = Some(0L)).files.toSet).get
+      val scanned = s2.sql(
+        s"SELECT k FROM table_changes('${vt.root}', 1, 2)").inputFiles.toSet
+      assert(scanned.nonEmpty &&
+        !scanned.exists(f => v0Files.exists(v0 => f.endsWith(v0))),
+        s"append-only table_changes must not scan the base snapshot: $scanned")
+      // non-literal / malformed arguments refuse with the usage shape
+      val e = intercept[Exception] {
+        s2.sql(s"SELECT * FROM table_changes('${vt.root}', k)").collect()
+      }
+      assert(e.getMessage.contains("table_changes") ||
+        Option(e.getCause).exists(_.getMessage.contains("table_changes")))
+      val e2 = intercept[Exception] {
+        s2.sql(s"SELECT * FROM table_changes('${vt.root}')").collect()
+      }
+      assert(e2.getMessage.contains("2 or 3 arguments") ||
+        Option(e2.getCause).exists(_.getMessage.contains("2 or 3 arguments")))
+      // an UNKNOWN TVF still fails with Spark's own error (the rule must
+      // not swallow other names)
+      intercept[Exception] { s2.sql("SELECT * FROM no_such_tvf(1)").collect() }
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
 }
