@@ -103,6 +103,12 @@ object Registry {
     // appends + a compaction streamed as silence — the cost is the
     // micro-batch engine, not rows)
     "q_vt_rtas", "q_vt_add_column", "q_vt_stream_table",
+    // r19c: sf-scaled SQL CHECK-constraint flow (ADD validates the table,
+    // two INSERTs pay the fused in-job guard), the table_changes CDF
+    // function over appends + a COW delete, and the zero-copy SHALLOW
+    // CLONE followed by a diverging append — the metadata-only clone cost
+    // must stay flat while the reads ride the source files
+    "q_vt_constraint", "q_vt_table_changes", "q_vt_clone",
     // r19b: the catalog-native streaming mirror — readStream.table →
     // writeStream.toTable, epoch files written by the tasks themselves and
     // published as one watermarked commit (fixed-size; the cost is two

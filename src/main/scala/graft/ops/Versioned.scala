@@ -2031,6 +2031,66 @@ object Versioned {
       .orderBy("_commit_version", "k")
   }
 
+  /** `CREATE TABLE … SHALLOW CLONE …` (r19c,
+    * [[graft.vt.VersionedTable.shallowCloneFrom]]): a ZERO-COPY table —
+    * the clone's v0 references the source snapshot's files by absolute
+    * path (one commit record; rowCounts/fileSizes/stats seeded from the
+    * source log, no footers read) and diverges copy-on-write. The oracle
+    * replays both sides after divergence: the source must not see the
+    * clone's append, and the clone must hold exactly snapshot + append.
+    * Zero-copy itself (no data files under the clone; external absolute
+    * refs; clone-vacuum safety) is pinned by CloneSpec. */
+  val qVtClone: QueryDef = q("q_vt_clone")(
+    """SELECT side, o_orderkey AS k FROM (
+      |  SELECT 'src' AS side, o_orderkey FROM orders WHERE o_orderkey % 4 = 1
+      |  UNION ALL
+      |  SELECT 'clone', o_orderkey FROM orders WHERE o_orderkey % 4 IN (1, 2)
+      |) ORDER BY side, k""".stripMargin) { (s, d) =>
+    val srcRoot = Tables.scratch("vt_clone_src")
+    val dstRoot = Tables.scratch("vt_clone_dst")
+    s.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
+    val src = VersionedTable.create(srcRoot)
+    val orders = Tables.orders(s, d).select(col("o_orderkey"))
+    val m4 = pmod(col("o_orderkey"), lit(4))
+    src.write(orders.where(m4 === 1), "main", "v0")
+    graft.sources.VtUtilitySql.exec(s,
+      s"CREATE TABLE vt.`$dstRoot` SHALLOW CLONE vt.`$srcRoot`").collect()
+    val dst = VersionedTable.open(dstRoot)
+    dst.write(orders.where(m4 === 2), "main", "clone diverges", mode = "append")
+    src.read(s, "main").select(lit("src").as("side"), col("o_orderkey").as("k"))
+      .unionByName(dst.read(s, "main")
+        .select(lit("clone").as("side"), col("o_orderkey").as("k")))
+      .orderBy("side", "k")
+  }
+
+  /** SHALLOW CLONE of a FOREIGN DELTA table (r19c,
+    * [[graft.vt.VersionedTable.shallowCloneFromDelta]]): a stock Delta
+    * table imports as a zero-copy versioned table — the clone's v0
+    * references the Delta snapshot's parquet by absolute path, with
+    * numeric stats / row counts converted straight from the add actions
+    * (pure log replay, no file I/O). The oracle checks the imported rows
+    * plus a diverging native append; zero-copy itself and the
+    * partitioned/DV/column-mapped refusals are pinned by CloneSpec. */
+  val qVtCloneDelta: QueryDef = q("q_vt_clone_delta")(
+    """SELECT o_orderkey AS k FROM orders
+      |WHERE o_orderkey % 4 IN (0, 3) ORDER BY k""".stripMargin) { (s, d) =>
+    val srcRoot = Tables.scratch("vt_clone_delta_src")
+    val dstRoot = Tables.scratch("vt_clone_delta_dst")
+    s.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
+    s.conf.set("spark.sql.catalog.dlite",
+      classOf[graft.sources.DeltaLiteCatalog].getName)
+    val src = VersionedTable.create(srcRoot)
+    val orders = Tables.orders(s, d).select(col("o_orderkey"))
+    val m4 = pmod(col("o_orderkey"), lit(4))
+    src.write(orders.where(m4 === 3), "main", "v0", statsCols = Seq("o_orderkey"))
+    src.exportDeltaLog("main") // srcRoot is now a stock Delta table
+    graft.sources.VtUtilitySql.exec(s,
+      s"CREATE TABLE vt.`$dstRoot` SHALLOW CLONE dlite.`$srcRoot`").collect()
+    val dst = VersionedTable.open(dstRoot)
+    dst.write(orders.where(m4 === 0), "main", "diverge", mode = "append")
+    s.sql(s"SELECT o_orderkey AS k FROM vt.`$dstRoot` ORDER BY k")
+  }
+
   /** Atomic `CREATE OR REPLACE TABLE … AS SELECT` (r19b,
     * [[graft.sources.VtCatalog]]'s StagingTableCatalog face): the
     * replacement snapshot — schema and all — lands as ONE commit after the
@@ -2131,5 +2191,5 @@ object Versioned {
     qVtMergeEvolve, qVtMorFilter, qVtMorSql, qVtDeltaCmapNative, qVtMinmaxMeta,
     qVtSqlCountMeta, qVtBloomSkip, qVtCtas, qDliteRuntimeSkip,
     qVtBloomLong, qVtOptimizeWhere, qVtAddColumn, qVtRtas, qVtStreamTable,
-    qVtStreamMirror, qVtConstraint, qVtTableChanges)
+    qVtStreamMirror, qVtConstraint, qVtTableChanges, qVtClone, qVtCloneDelta)
 }

@@ -334,10 +334,32 @@ final class VtCatalog extends TableCatalog with StagingTableCatalog {
     loadTable(ident)
   }
 
+  /** `ALTER TABLE … SET/UNSET TBLPROPERTIES`: one metadata-only commit
+    * over [[VersionedTable.setTableProperties]]. Durable free-form
+    * key→values ride [[graft.vt.Commit.props]] next to the constraints
+    * (whose reserved namespace refuses the raw-property door). */
+  private def alterProperties(ident: Identifier, changes: Seq[TableChange]): Table = {
+    val set = changes.collect {
+      case s: TableChange.SetProperty => s.property() -> s.value()
+    }.toMap
+    val unset = changes.collect {
+      case r: TableChange.RemoveProperty => r.property()
+    }
+    val (vt, branch) = parse(ident)
+    vt.setTableProperties(branch, set, unset,
+      s"ALTER TABLE $catalogName.`${ident.name()}` " +
+        (if (set.nonEmpty) s"SET TBLPROPERTIES (${set.keys.mkString(", ")})" else "") +
+        (if (unset.nonEmpty) s"UNSET TBLPROPERTIES (${unset.mkString(", ")})" else ""))
+    loadTable(ident)
+  }
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (changes.forall(c => c.isInstanceOf[TableChange.AddConstraint] ||
         c.isInstanceOf[TableChange.DropConstraint]))
       return alterConstraints(ident, changes)
+    if (changes.forall(c => c.isInstanceOf[TableChange.SetProperty] ||
+        c.isInstanceOf[TableChange.RemoveProperty]))
+      return alterProperties(ident, changes)
     val adds = changes.map {
       case a: TableChange.AddColumn => a
       case other => throw new UnsupportedOperationException(
@@ -419,6 +441,15 @@ final class VtTable(spark: SparkSession, vt: VersionedTable, branch: String,
 
   override def name(): String = ident
   override def schema(): StructType = tableSchema
+
+  /** The snapshot's durable table properties ([[graft.vt.Commit.props]]) —
+    * what `SHOW TBLPROPERTIES vt.\`path\`` and DESCRIBE EXTENDED list.
+    * Version-pinned like everything else on this Table object. */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    commit.props.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
 
   /** Spark 4 constraint surface: the snapshot's CHECK constraints, reported
     * VALID + ENFORCED (validated over the existing rows when added; every

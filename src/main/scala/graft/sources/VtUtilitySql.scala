@@ -57,6 +57,12 @@ object VtUtilitySql {
   final case class MergeBranchStmt(address: String, from: String, into: String) extends Stmt
   final case class ShowBranchesStmt(address: String) extends Stmt
   final case class ShowTagsStmt(address: String) extends Stmt
+  /** `CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF n]` — `address` is
+    * the DESTINATION (the table the statement creates). A source in a
+    * delta-lite catalog imports a FOREIGN DELTA table by reference. */
+  final case class CloneStmt(address: String, source: String,
+                             versionAsOf: Option[Long],
+                             sourceIsDelta: Boolean = false) extends Stmt
 
   // one identifier shape everywhere: <catalog>.`<[branch@]path>`
   private val T = "(\\w+)\\.`([^`]+)`"
@@ -87,10 +93,18 @@ object VtUtilitySql {
     s"""(?is)\\s*SHOW\\s+BRANCHES\\s+IN\\s+$T\\s*;?\\s*""".r
   private val ShowTagsRe: Regex =
     s"""(?is)\\s*SHOW\\s+TAGS\\s+IN\\s+$T\\s*;?\\s*""".r
+  // Delta's zero-copy clone verb; Spark's grammar has no CLONE clause, so
+  // the whole statement arrives here after the native parse throws
+  private val CloneRe: Regex =
+    s"""(?is)\\s*CREATE\\s+TABLE\\s+$T\\s+SHALLOW\\s+CLONE\\s+$T(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*""".r
 
   private def isVt(spark: SparkSession, catalog: String): Boolean =
     spark.conf.getOption(s"spark.sql.catalog.$catalog")
       .contains(classOf[VtCatalog].getName)
+
+  private def isDlite(spark: SparkSession, catalog: String): Boolean =
+    spark.conf.getOption(s"spark.sql.catalog.$catalog")
+      .contains(classOf[DeltaLiteCatalog].getName)
 
   /** Recognize a utility statement over a vt-catalog table; None lets the
     * caller surface the original parse error. */
@@ -122,6 +136,10 @@ object VtUtilitySql {
     case ShowBranchesRe(cat, addr) if isVt(spark, cat) =>
       Some(ShowBranchesStmt(addr))
     case ShowTagsRe(cat, addr) if isVt(spark, cat) => Some(ShowTagsStmt(addr))
+    case CloneRe(dstCat, dst, srcCat, src, v)
+        if isVt(spark, dstCat) && (isVt(spark, srcCat) || isDlite(spark, srcCat)) =>
+      Some(CloneStmt(dst, src, Option(v).map(_.toLong),
+        sourceIsDelta = isDlite(spark, srcCat)))
     case _ => None
   }
 
@@ -156,10 +174,35 @@ object VtUtilitySql {
     case _: ShowTagsStmt => StructType(Seq(
       StructField("tag", StringType, nullable = false),
       StructField("version", LongType, nullable = false)))
+    case _: CloneStmt => StructType(Seq(
+      StructField("source_version", LongType, nullable = false),
+      StructField("n_files", IntegerType, nullable = false)))
   }
 
   def run(spark: SparkSession, stmt: Stmt): Seq[Row] = {
     val (branch, path) = VtAddress.split(stmt.address)
+    // CLONE creates its destination — the shared open() below would refuse
+    stmt match {
+      case CloneStmt(_, source, versionAsOf, sourceIsDelta) =>
+        if (sourceIsDelta) {
+          val srcPath = SourcePaths.local(source) // delta tables have no branches
+          val dst = VersionedTable.create(SourcePaths.local(path))
+          val c = dst.shallowCloneFromDelta(spark, srcPath, versionAsOf, branch)
+          val srcVersion = versionAsOf.getOrElse(
+            graft.vt.DeltaLogReader.latestVersion(srcPath))
+          return Seq(Row(srcVersion, c.files.size))
+        }
+        val (srcBranch, srcPath) = VtAddress.split(source)
+        val src = VersionedTable.open(SourcePaths.local(srcPath))
+        val srcVersion = versionAsOf.getOrElse(src.head(srcBranch)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no such branch on clone source: $srcBranch")).version)
+        val dst = VersionedTable.create(SourcePaths.local(path))
+        val c = dst.shallowCloneFrom(src, srcBranch, versionAsOf, branch,
+          s"CREATE TABLE SHALLOW CLONE $source VERSION AS OF $srcVersion")
+        return Seq(Row(srcVersion, c.files.size))
+      case _ => ()
+    }
     val vt = VersionedTable.open(SourcePaths.local(path))
     stmt match {
       case VacuumStmt(_, retain, dry) =>
@@ -238,6 +281,7 @@ object VtUtilitySql {
           try Some(Row(name, vt.tagCommit(name).version))
           catch { case scala.util.control.NonFatal(_) => None }
         }
+      case _: CloneStmt => throw new IllegalStateException("CLONE handled above")
     }
   }
 

@@ -555,6 +555,50 @@ object DeltaLogReader {
   private def decodePath(p: String): String =
     if (p.contains("://")) p else new java.net.URI(p).getPath
 
+  /** Add-action stats → the commit log's quadrants, for zero-copy IMPORT
+    * ([[VersionedTable.shallowCloneFromDelta]]): per-file NUMERIC min/max,
+    * null counts, and row counts, keyed by `abs(path)`. Only numeric
+    * columns import — Delta's numeric stats are exact, while its STRING
+    * stats may be truncated envelopes (sound for pruning, but vt's
+    * metadata MIN/MAX treats `strStats` as exact answers, so importing
+    * them could surface a padded maximum as a query result). A column
+    * missing from a file's stats simply has no entry; every vt prune path
+    * keeps files with missing stats. */
+  private[vt] def vtStatsOf(snap: DeltaSnapshot, abs: String => String)
+      : (Map[String, Map[String, (Double, Double)]],
+         Map[String, Map[String, Long]],
+         Map[String, Long]) = {
+    val numericCols = snap.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
+    }.toSet
+    val mm = Map.newBuilder[String, Map[String, (Double, Double)]]
+    val nulls = Map.newBuilder[String, Map[String, Long]]
+    val counts = Map.newBuilder[String, Long]
+    snap.files.foreach { f =>
+      f.stats.foreach { s =>
+        val node = mapper.readTree(s)
+        val mins = node.path("minValues")
+        val maxs = node.path("maxValues")
+        val fileMm = numericCols.flatMap { c =>
+          (Option(mins.get(c)), Option(maxs.get(c))) match {
+            case (Some(mn), Some(mx)) if mn.isNumber && mx.isNumber =>
+              Some(c -> (mn.asDouble(), mx.asDouble()))
+            case _ => None
+          }
+        }.toMap
+        if (fileMm.nonEmpty) mm += abs(f.path) -> fileMm
+        val nc = node.path("nullCount")
+        val fileNulls = snap.schema.fieldNames.flatMap { c =>
+          Option(nc.get(c)).filter(_.isNumber).map(c -> _.asLong())
+        }.toMap
+        if (fileNulls.nonEmpty) nulls += abs(f.path) -> fileNulls
+        if (node.hasNonNull("numRecords"))
+          counts += abs(f.path) -> node.get("numRecords").asLong()
+      }
+    }
+    (mm.result(), nulls.result(), counts.result())
+  }
+
   // ---- column mapping (PROTOCOL.md §Column Mapping, name + id modes) -----
   //
   // A column-mapped table's parquet files carry PHYSICAL column names

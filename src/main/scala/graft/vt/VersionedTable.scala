@@ -1631,6 +1631,36 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       bloomFiles = parent.bloomFiles, dataChange = false)
   }
 
+  /** `ALTER TABLE … SET/UNSET TBLPROPERTIES`: a metadata-only commit
+    * adjusting [[Commit.props]]. The `constraint.check.` namespace is
+    * reserved — a CHECK constraint smuggled in as a raw property would skip
+    * the existing-data validation ADD CONSTRAINT performs, so those keys
+    * refuse loudly in both directions. UNSET of a missing key is a no-op
+    * within the statement (Delta's behavior), but a statement that changes
+    * NOTHING still publishes (idempotent audit trail beats a surprising
+    * silent no-op here — the commit is one metadata record). */
+  def setTableProperties(branch: String, set: Map[String, String],
+                         unset: Seq[String] = Nil,
+                         message: String = ""): Commit = synchronized {
+    guardWritable(branch)
+    val reserved = (set.keys ++ unset).filter(
+      _.startsWith(VersionedTable.CheckConstraintPrefix))
+    require(reserved.isEmpty,
+      s"properties in the ${VersionedTable.CheckConstraintPrefix}* namespace " +
+        s"are managed by ADD/DROP CONSTRAINT (existing-data validation), got: " +
+        reserved.mkString(", "))
+    val parent = headOrThrow(branch)
+    publish(branch, Some(parent),
+      if (message.nonEmpty) message
+      else s"ALTER TABLE SET TBLPROPERTIES (${(set.keys ++ unset).mkString(", ")})",
+      DataType.fromJson(parent.schemaJson).asInstanceOf[StructType],
+      parent.files, parent.stats, strStats = parent.strStats,
+      dvFiles = parent.dvFiles, nullStats = parent.nullStats,
+      bloomStats = parent.bloomStats, bloomCols = bloomColsOf(parent),
+      bloomFiles = parent.bloomFiles, dataChange = false,
+      props = Some(parent.props -- unset ++ set))
+  }
+
   // ---- CHECK constraints (Delta `ALTER TABLE … ADD CONSTRAINT`) ----------
 
   /** The branch head's CHECK constraints: name → predicate SQL. */
@@ -1948,7 +1978,12 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
                       // map (constraints et al. are sticky by default);
                       // Some(...) = this commit SETS the map (metadata ops,
                       // and revert/restore restoring an old state's props)
-                      props: Option[Map[String, String]] = None): Commit = {
+                      props: Option[Map[String, String]] = None,
+                      // extra rowCounts/fileSizes inheritance (SHALLOW CLONE
+                      // seeds the source's logged metadata so a 10^6-file
+                      // clone never reads a footer or stats a file)
+                      seedRowCounts: Map[String, Long] = Map.empty,
+                      seedFileSizes: Map[String, Long] = Map.empty): Commit = {
     val version = parent.map(_.version + 1).getOrElse(0L)
     val id = s"$branch-v$version-${java.util.UUID.randomUUID.toString.take(8)}"
     // Per-file row counts (Delta numRecords): inherited from either parent's
@@ -1957,7 +1992,8 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     // object-store scale — the alternative re-reads a footer per file per
     // count. A failed footer read just omits the entry (countRows falls back
     // to a scan); it never fails the publish.
-    val inheritedCounts = parent.map(_.rowCounts).getOrElse(Map.empty) ++
+    val inheritedCounts = seedRowCounts ++
+      parent.map(_.rowCounts).getOrElse(Map.empty) ++
       mergeParent.map(mp => loadCommit(mp).rowCounts).getOrElse(Map.empty)
     val rowCounts = files.flatMap { f =>
       inheritedCounts.get(f).orElse(VersionedTable.footerRowCount(root.resolve(f)))
@@ -1965,7 +2001,8 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     }.toMap
     // per-file byte sizes, same inheritance rule: one local stat per NEW
     // file at publish time buys stat-free scan planning forever after
-    val inheritedSizes = parent.map(_.fileSizes).getOrElse(Map.empty) ++
+    val inheritedSizes = seedFileSizes ++
+      parent.map(_.fileSizes).getOrElse(Map.empty) ++
       mergeParent.map(mp => loadCommit(mp).fileSizes).getOrElse(Map.empty)
     val fileSizes = files.flatMap { f =>
       inheritedSizes.get(f).orElse {
@@ -2502,6 +2539,112 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
         // the restored constraint set, not the current one
         props = Some(target.props))
     }
+
+  /** Delta `CREATE TABLE … SHALLOW CLONE src [VERSION AS OF n]`: THIS table's
+    * first commit references the source snapshot's files BY ABSOLUTE PATH —
+    * a metadata-only operation (one commit record; zero data copied, zero
+    * footers read — the source's logged rowCounts/fileSizes/stats seed the
+    * clone's). Every reader path resolves commit entries via
+    * `root.resolve(f)`, which passes absolute paths through untouched, so
+    * scans, stats pruning, DV subtraction (file KEYS are the last two path
+    * segments — unchanged by absolutization) and metadata COUNT all work
+    * unchanged on the clone.
+    *
+    * Divergence is natural copy-on-write: appends add local files next to
+    * the external references; a COW rewrite (delete/update/merge/compact)
+    * replaces the touched external files with LOCAL rewrites — the clone
+    * "localizes" exactly what it changes, like Delta's. The clone's vacuum
+    * can never delete source data (the sweep walks only the clone's own
+    * `data/` directory). Table properties — CHECK constraints included —
+    * clone with the snapshot.
+    *
+    * Shared-fate caveat (Delta documents the same): `VACUUM` on the SOURCE
+    * reclaims files by ITS OWN retention rules and does not know about
+    * clones — keep a tag/branch pinning the cloned version on the source,
+    * or vacuum the source with enough retention. The bloom sidecar index is
+    * NOT carried (its entries key source-relative names); the clone's first
+    * own write rebuilds blooms for its new files if `bloomCols` is set. */
+  def shallowCloneFrom(src: VersionedTable, srcBranch: String = "main",
+                       versionAsOf: Option[Long] = None,
+                       branch: String = "main", message: String = ""): Commit =
+    synchronized {
+      guardWritable(branch)
+      require(head(branch).isEmpty,
+        s"SHALLOW CLONE target branch $branch already has commits")
+      require(src.root.toAbsolutePath != root.toAbsolutePath,
+        "SHALLOW CLONE of a table into itself")
+      val target = versionAsOf match {
+        case Some(v) => src.resolveVersion(srcBranch, v)
+        case None => src.headOrThrow(srcBranch)
+      }
+      def abs(f: String) = src.root.resolve(f).toString
+      def absKeys[V](m: Map[String, V]): Map[String, V] =
+        m.map { case (k, v) => abs(k) -> v }
+      publish(branch, None,
+        if (message.nonEmpty) message
+        else s"SHALLOW CLONE of ${src.root}@$srcBranch v${target.version}",
+        DataType.fromJson(target.schemaJson).asInstanceOf[StructType],
+        target.files.map(abs),
+        absKeys(target.stats), strStats = absKeys(target.strStats),
+        nullStats = absKeys(target.nullStats),
+        dvFiles = target.dvFiles.map(abs),
+        props = Some(target.props),
+        seedRowCounts = absKeys(target.rowCounts),
+        seedFileSizes = absKeys(target.fileSizes))
+    }
+
+  /** [[shallowCloneFrom]] for a FOREIGN DELTA source: import a stock Delta
+    * table (any `_delta_log` this repo's reader replays — delta-spark
+    * exports included) as a zero-copy versioned table. The clone's v0
+    * references the Delta snapshot's parquet by absolute path; numeric
+    * stats / null counts / row counts / sizes convert straight from the
+    * add actions' stats JSON (no file I/O at all — the whole import is a
+    * log replay plus one commit write), so skip-reads and metadata
+    * COUNT(*) work on the import immediately. From there the table is
+    * fully native: branches, constraints, MERGE, time travel forward.
+    *
+    * Refused shapes — each would silently corrupt reads, so they error
+    * loudly toward the COPYING path
+    * ([[graft.streaming.ChangeFeed.replicateFromDelta]]): PARTITIONED
+    * sources (partition values live in the log, not the parquet — a direct
+    * scan would drop those columns), sources with live DELETION VECTORS
+    * (Delta's DV binary format is not this engine's), and COLUMN-MAPPED
+    * tables (the parquet carries physical names). String stats are not
+    * imported: delta-spark truncates them, and vt's metadata MIN/MAX
+    * treats `strStats` as exact (pruning simply stays conservative). */
+  def shallowCloneFromDelta(spark: SparkSession, deltaRoot: String,
+                            versionAsOf: Option[Long] = None,
+                            branch: String = "main",
+                            message: String = ""): Commit = synchronized {
+    guardWritable(branch)
+    require(head(branch).isEmpty,
+      s"SHALLOW CLONE target branch $branch already has commits")
+    val snap = DeltaLogReader.snapshot(deltaRoot, versionAsOf, Some(spark))
+    require(snap.partitionColumns.isEmpty,
+      s"cannot shallow-clone a PARTITIONED Delta table (partition values " +
+        "live in the log, not the parquet files) — import it with " +
+        "replicateFromDelta instead")
+    require(snap.files.forall(_.dv.isEmpty),
+      "cannot shallow-clone a Delta table with live deletion vectors " +
+        "(Delta's DV binary format differs) — import it with " +
+        "replicateFromDelta instead")
+    require(snap.configuration.getOrElse("delta.columnMapping.mode", "none") == "none",
+      "cannot shallow-clone a column-mapped Delta table (parquet files " +
+        "carry physical column names) — import it with replicateFromDelta instead")
+    val droot = java.nio.file.Paths.get(deltaRoot).toAbsolutePath.normalize
+    require(droot != root.toAbsolutePath, "SHALLOW CLONE of a table into itself")
+    def abs(p: String) = droot.resolve(p).toString
+    val (stats, nullStats, rowCounts) = DeltaLogReader.vtStatsOf(snap, abs)
+    publish(branch, None,
+      if (message.nonEmpty) message
+      else s"SHALLOW CLONE of Delta table $deltaRoot v${snap.version}",
+      snap.schema, snap.files.map(f => abs(f.path)),
+      stats, nullStats = nullStats,
+      seedRowCounts = rowCounts,
+      seedFileSizes = snap.files.collect {
+        case f if f.size >= 0 => abs(f.path) -> f.size
+      }.toMap)
+  }
 
   /** lakeFS `tag delete`: the commit becomes vacuumable again (if nothing
     * else retains it). Deleting a missing tag is a no-op returning false. */

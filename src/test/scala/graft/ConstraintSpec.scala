@@ -235,6 +235,42 @@ class ConstraintSpec extends SparkSpec {
     assert(ck.name() === "k_positive" && ck.predicateSql() === "k > 0" && ck.enforced())
   }
 
+  test("SET/UNSET TBLPROPERTIES: durable free-form props, reserved constraint namespace") {
+    registerCatalog()
+    val root = Tables.scratch("ck_props")
+    val vt = VersionedTable.create(root)
+    vt.write(df(1, 3), "main", "v0")
+    val t = s"vt.`$root`"
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('team' = 'data-eng', 'pii' = 'false')")
+      .collect()
+    // metadata-only commit; SHOW TBLPROPERTIES surfaces them natively
+    val h = vt.head("main").get
+    assert(!h.dataChange && h.props === Map("team" -> "data-eng", "pii" -> "false"))
+    val shown = spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("team").contains("data-eng") && shown.get("pii").contains("false"))
+    spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES ('pii')").collect()
+    assert(vt.head("main").get.props === Map("team" -> "data-eng"))
+    // survives reopen, rides time travel
+    assert(VersionedTable.open(root).head("main").get.props === Map("team" -> "data-eng"))
+    // the constraint namespace refuses the raw-property door (it would skip
+    // existing-data validation)
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('constraint.check.evil' = '1 = 0')")
+        .collect()
+    }
+    def chain(x: Throwable): List[Throwable] =
+      if (x == null) Nil else x :: chain(x.getCause)
+    assert(chain(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("ADD/DROP CONSTRAINT"))))
+    // constraints and free props coexist; SHOW TBLPROPERTIES lists both
+    spark.sql(s"ALTER TABLE $t ADD CONSTRAINT k_pos CHECK (k > 0)").collect()
+    val both = spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(both.get("constraint.check.k_pos").contains("k > 0") &&
+      both.get("team").contains("data-eng"))
+  }
+
   test("streaming epochs enforce constraints: the violating micro-batch fails, nothing commits") {
     registerCatalog()
     val root = Tables.scratch("ck_stream")
