@@ -1701,6 +1701,27 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       require(probe.schema.head.dataType == org.apache.spark.sql.types.BooleanType,
         s"CHECK predicate must be boolean, got ${probe.schema.head.dataType.simpleString}: " +
           predicateSql)
+      // …and be a ROW-LOCAL deterministic predicate (Delta's rule): an
+      // aggregate/window would analyze above but wedge every later WRITE
+      // (no aggregates in a filter), a non-deterministic one would make
+      // "which rows pass" depend on the run, and a subquery's answer
+      // drifts with other tables. Each refuses NOW with a nameable error.
+      locally {
+        val cond = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+          .where(org.apache.spark.sql.functions.expr(predicateSql)) // throws on aggregates
+          .queryExecution.analyzed.collectFirst {
+            case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+          }.getOrElse(throw new IllegalStateException(
+            s"CHECK probe lost its Filter node for: $predicateSql"))
+        require(cond.deterministic,
+          s"CHECK predicate must be deterministic (no rand()/uuid()/…): $predicateSql")
+        require(cond.collectFirst {
+          case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression => s
+        }.isEmpty,
+          s"CHECK predicate must not contain a subquery " +
+            s"(its answer would drift with other tables): $predicateSql")
+      }
       if (parent.files.nonEmpty) {
         import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
         val bad = readCommit(spark, parent)

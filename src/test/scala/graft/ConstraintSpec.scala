@@ -51,6 +51,21 @@ class ConstraintSpec extends SparkSpec {
       vt.addCheckConstraint(spark, "main", "K_POSITIVE", "k > -1")
     }
     assert(e3.getMessage.contains("already exists"))
+    // non-row-local predicates refuse at ADD time (they would wedge or
+    // destabilize every later write): aggregate, non-deterministic, subquery
+    intercept[Exception] {
+      vt.addCheckConstraint(spark, "main", "agg", "max(k) > 0")
+    }
+    val e4 = intercept[IllegalArgumentException] {
+      vt.addCheckConstraint(spark, "main", "flaky", "rand() < 0.5")
+    }
+    assert(e4.getMessage.contains("deterministic"))
+    val e5 = intercept[IllegalArgumentException] {
+      vt.addCheckConstraint(spark, "main", "subq", "k IN (SELECT 1)")
+    }
+    assert(e5.getMessage.contains("subquery"))
+    assert(vt.checkConstraints("main").keySet === Set("k_positive"),
+      "no refused predicate may be recorded")
   }
 
   test("writes enforce the constraint: violating batches abort before any commit") {
