@@ -145,13 +145,17 @@ final class VtCatalog extends TableCatalog with StagingTableCatalog {
     * properties (owner/external marker) pass; the provider must be this
     * engine (or parquet — the physical storage — incl. the session default
     * Spark fills in when USING is omitted); a LOCATION is only legal when
-    * it restates the identifier's own path. */
+    * it restates the identifier's own path. FREE-FORM `TBLPROPERTIES`
+    * (r19c) are returned for the new table's durable [[graft.vt.Commit.props]]
+    * map — except the constraint namespace, which must enter through
+    * CONSTRAINT clauses / ADD CONSTRAINT so its validation runs. */
   private def validateCreate(path: String, partitions: Array[Transform],
-                             properties: util.Map[String, String]): Unit = {
+                             properties: util.Map[String, String]): Map[String, String] = {
     require(partitions.isEmpty,
       "versioned tables are not directory-partitioned (use OPTIMIZE … ZORDER " +
         "BY for clustering); CREATE TABLE must not carry PARTITIONED BY")
     import org.apache.spark.sql.connector.catalog.TableCatalog._
+    val user = Map.newBuilder[String, String]
     properties.forEach { (k, v) =>
       k match {
         case PROP_PROVIDER =>
@@ -166,24 +170,33 @@ final class VtCatalog extends TableCatalog with StagingTableCatalog {
           "COMMENT is not stored by versioned tables (nothing would surface " +
             "it back) — record table notes in commit messages instead")
         case PROP_OWNER | PROP_EXTERNAL | PROP_IS_MANAGED_LOCATION => ()
-        case other => throw new IllegalArgumentException(
-          s"unsupported table property '$other' — versioned tables carry no " +
-            "TBLPROPERTIES (versioning dials are write options / SQL verbs)")
+        case other if other.startsWith(OPTION_PREFIX) =>
+          throw new IllegalArgumentException(
+            s"OPTIONS ('${other.stripPrefix(OPTION_PREFIX)}') are not read by " +
+              "versioned tables — versioning dials are write options / SQL verbs")
+        case other if other.startsWith("constraint.check.") =>
+          throw new IllegalArgumentException(
+            s"'$other' is in the CHECK-constraint namespace — declare it as a " +
+              "CONSTRAINT clause (or ALTER TABLE … ADD CONSTRAINT) so its " +
+              "validation runs")
+        case other => user += other -> v
       }
     }
+    user.result()
   }
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
     val (branch, path) = parseAddress(ident)
-    validateCreate(path, partitions, properties)
+    val userProps = validateCreate(path, partitions, properties)
     // the typed exception matters: CREATE TABLE IF NOT EXISTS losing a
     // create race catches TableAlreadyExistsException and no-ops — any
     // other type would fail the statement
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val vt = VersionedTable.create(path)
-    val c = vt.createEmpty(branch, schema, s"CREATE TABLE $catalogName.`${ident.name()}`")
+    val c = vt.createEmpty(branch, schema,
+      s"CREATE TABLE $catalogName.`${ident.name()}`", props = userProps)
     new VtTable(SparkSession.active, vt, branch, c, s"$catalogName.`${ident.name()}`")
   }
 
@@ -202,6 +215,21 @@ final class VtCatalog extends TableCatalog with StagingTableCatalog {
             s"constraint ${c.name()}: no predicate SQL to record"))
       case other => throw new UnsupportedOperationException(
         s"only CHECK constraints are supported on versioned tables, got ${other.toDDL}")
+    }
+    // PRE-FLIGHT every constraint against the declared schema BEFORE any
+    // commit publishes: duplicate (case-insensitive) names, unparseable /
+    // non-boolean / non-row-local predicates must fail the statement with
+    // NOTHING created — constraint i failing after v0 + constraints 0..i-1
+    // landed would leave a half-created table that blocks the retried
+    // CREATE with TableAlreadyExists.
+    locally {
+      val dup = checks.groupBy(_._1.toLowerCase).collect {
+        case (n, g) if g.length > 1 => n }
+      require(dup.isEmpty,
+        s"duplicate constraint name(s) (names are case-insensitive): ${dup.mkString(", ")}")
+      checks.foreach { case (_, sql) =>
+        VersionedTable.validateCheckPredicate(SparkSession.active, info.schema(), sql)
+      }
     }
     val table = createTable(ident, info.schema(), info.partitions(), info.properties())
     if (checks.isEmpty) table
@@ -227,14 +255,14 @@ final class VtCatalog extends TableCatalog with StagingTableCatalog {
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): StagedTable = {
     val (branch, path) = parseAddress(ident)
-    validateCreate(path, partitions, properties)
+    val userProps = validateCreate(path, partitions, properties)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val existedBefore = java.nio.file.Files.exists(
       java.nio.file.Paths.get(path).resolve("_graft_table"))
     val vt = VersionedTable.create(path)
     new VtStagedTable(SparkSession.active, vt, branch, schema,
       s"$catalogName.`${ident.name()}`", mustCreate = true,
-      createdRoot = !existedBefore)
+      createdRoot = !existedBefore, userProps = userProps)
   }
 
   /** Atomic `REPLACE TABLE [AS SELECT]`: the replacement snapshot (schema
@@ -247,10 +275,11 @@ final class VtCatalog extends TableCatalog with StagingTableCatalog {
                             partitions: Array[Transform],
                             properties: util.Map[String, String]): StagedTable = {
     val (branch, path) = parseAddress(ident)
-    validateCreate(path, partitions, properties)
+    val userProps = validateCreate(path, partitions, properties)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     new VtStagedTable(SparkSession.active, VersionedTable.open(path), branch,
-      schema, s"$catalogName.`${ident.name()}`", mustReplace = true)
+      schema, s"$catalogName.`${ident.name()}`", mustReplace = true,
+      userProps = userProps)
   }
 
   /** CTAS/RTAS with inline constraints would have to validate the query's
@@ -281,12 +310,13 @@ final class VtCatalog extends TableCatalog with StagingTableCatalog {
                                     partitions: Array[Transform],
                                     properties: util.Map[String, String]): StagedTable = {
     val (branch, path) = parseAddress(ident)
-    validateCreate(path, partitions, properties)
+    val userProps = validateCreate(path, partitions, properties)
     val existedBefore = java.nio.file.Files.exists(
       java.nio.file.Paths.get(path).resolve("_graft_table"))
     val vt = VersionedTable.create(path)
     new VtStagedTable(SparkSession.active, vt, branch, schema,
-      s"$catalogName.`${ident.name()}`", createdRoot = !existedBefore)
+      s"$catalogName.`${ident.name()}`", createdRoot = !existedBefore,
+      userProps = userProps)
   }
 
   /** SQL `ALTER TABLE … ADD COLUMNS` (r19): a metadata-only
@@ -364,9 +394,9 @@ final class VtCatalog extends TableCatalog with StagingTableCatalog {
       case a: TableChange.AddColumn => a
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER on a versioned table: ${other.getClass.getSimpleName} " +
-          "(only ADD COLUMNS and ADD/DROP CONSTRAINT are metadata-only " +
-          "commits; drop/rename/retype would need column mapping, and there " +
-          "are no free-form table properties)")
+          "(ADD COLUMNS, ADD/DROP CONSTRAINT and SET/UNSET TBLPROPERTIES are " +
+          "the metadata-only commits; drop/rename/retype a column would need " +
+          "column mapping)")
     }
     val fields = adds.map { a =>
       require(a.fieldNames().length == 1,
@@ -554,7 +584,8 @@ private final class VtStagedTable(spark: SparkSession, vt: VersionedTable,
                                   branch: String, declared: StructType,
                                   ident: String, mustCreate: Boolean = false,
                                   mustReplace: Boolean = false,
-                                  createdRoot: Boolean = false)
+                                  createdRoot: Boolean = false,
+                                  userProps: Map[String, String] = Map.empty)
     extends StagedTable with SupportsWrite {
 
   // set by the write phase; a plain REPLACE TABLE (no AS SELECT) never
@@ -586,7 +617,8 @@ private final class VtStagedTable(spark: SparkSession, vt: VersionedTable,
     val (files, schema) = staged.getOrElse((Vector.empty[String], declared))
     vt.commitStagedSnapshot(spark, branch, files, schema,
       s"SQL ${if (mustReplace) "REPLACE" else if (mustCreate) "CREATE" else "CREATE OR REPLACE"} TABLE $ident AS staged snapshot",
-      mustCreate = mustCreate, mustReplace = mustReplace)
+      mustCreate = mustCreate, mustReplace = mustReplace,
+      extraProps = userProps)
     ()
   }
 

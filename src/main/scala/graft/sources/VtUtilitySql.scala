@@ -51,6 +51,9 @@ object VtUtilitySql {
                                 zorder: Option[Seq[String]],
                                 where: Option[String] = None) extends Stmt
   final case class RestoreStmt(address: String, to: Either[Long, String]) extends Stmt
+  /** `RESTORE TABLE t TO TIMESTAMP AS OF '<ts>'` — epoch millis, ISO
+    * instant, or session-zone date/date-time (the reader-option shapes). */
+  final case class RestoreTsStmt(address: String, ts: String) extends Stmt
   final case class BranchStmt(address: String, op: String, name: String,
                               from: Option[String]) extends Stmt // create/drop
   final case class TagStmt(address: String, op: String, name: String) extends Stmt
@@ -78,6 +81,8 @@ object VtUtilitySql {
     s"""(?is)\\s*RESTORE\\s+TABLE\\s+$T\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
   private val RestoreTagRe: Regex =
     s"""(?is)\\s*RESTORE\\s+TABLE\\s+$T\\s+TO\\s+TAG\\s+'([^']+)'\\s*;?\\s*""".r
+  private val RestoreTsRe: Regex =
+    s"""(?is)\\s*RESTORE\\s+TABLE\\s+$T\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*""".r
   // branch/tag lifecycle — the reference's lakeFS verbs as statements
   private val CreateBranchRe: Regex =
     s"""(?is)\\s*CREATE\\s+BRANCH\\s+(\\w+)\\s+IN\\s+$T(?:\\s+FROM\\s+(\\w+))?\\s*;?\\s*""".r
@@ -123,6 +128,8 @@ object VtUtilitySql {
       Some(RestoreStmt(addr, Left(v.toLong)))
     case RestoreTagRe(cat, addr, tag) if isVt(spark, cat) =>
       Some(RestoreStmt(addr, Right(tag)))
+    case RestoreTsRe(cat, addr, ts) if isVt(spark, cat) =>
+      Some(RestoreTsStmt(addr, ts))
     case CreateBranchRe(name, cat, addr, from) if isVt(spark, cat) =>
       Some(BranchStmt(addr, "create", name, Option(from)))
     case DropBranchRe(name, cat, addr) if isVt(spark, cat) =>
@@ -163,7 +170,8 @@ object VtUtilitySql {
     case _: OptimizeStmt => StructType(Seq(
       StructField("version", LongType, nullable = false),
       StructField("n_files", IntegerType, nullable = false)))
-    case _: RestoreStmt => StructType(Seq(StructField("version", LongType, nullable = false)))
+    case _: RestoreStmt | _: RestoreTsStmt =>
+      StructType(Seq(StructField("version", LongType, nullable = false)))
     case _: BranchStmt | _: TagStmt =>
       StructType(Seq(StructField("done", StringType, nullable = false)))
     case _: MergeBranchStmt =>
@@ -184,12 +192,16 @@ object VtUtilitySql {
     // CLONE creates its destination — the shared open() below would refuse
     stmt match {
       case CloneStmt(_, source, versionAsOf, sourceIsDelta) =>
+        // resolve the source version ONCE and pin the clone to it — a
+        // second head/log read after the clone could disagree with the
+        // snapshot actually cloned under a concurrent writer
         if (sourceIsDelta) {
           val srcPath = SourcePaths.local(source) // delta tables have no branches
-          val dst = VersionedTable.create(SourcePaths.local(path))
-          val c = dst.shallowCloneFromDelta(spark, srcPath, versionAsOf, branch)
           val srcVersion = versionAsOf.getOrElse(
             graft.vt.DeltaLogReader.latestVersion(srcPath))
+          require(srcVersion >= 0, s"not a Delta table (no _delta_log): $srcPath")
+          val dst = VersionedTable.create(SourcePaths.local(path))
+          val c = dst.shallowCloneFromDelta(spark, srcPath, Some(srcVersion), branch)
           return Seq(Row(srcVersion, c.files.size))
         }
         val (srcBranch, srcPath) = VtAddress.split(source)
@@ -198,7 +210,7 @@ object VtUtilitySql {
           .getOrElse(throw new IllegalArgumentException(
             s"no such branch on clone source: $srcBranch")).version)
         val dst = VersionedTable.create(SourcePaths.local(path))
-        val c = dst.shallowCloneFrom(src, srcBranch, versionAsOf, branch,
+        val c = dst.shallowCloneFrom(src, srcBranch, Some(srcVersion), branch,
           s"CREATE TABLE SHALLOW CLONE $source VERSION AS OF $srcVersion")
         return Seq(Row(srcVersion, c.files.size))
       case _ => ()
@@ -257,6 +269,9 @@ object VtUtilitySql {
         Seq(Row(c.version))
       case RestoreStmt(_, Right(tag)) =>
         Seq(Row(vt.restoreTag(tag, branch).version))
+      case RestoreTsStmt(_, ts) =>
+        Seq(Row(vt.restoreToTimestamp(
+          SourcePaths.parseTimestamp(spark, ts), branch).version))
       case BranchStmt(_, "create", name, from) =>
         vt.createBranch(name, from.getOrElse(branch))
         Seq(Row(s"branch $name created"))

@@ -1586,12 +1586,14 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     * commit, so two racing CREATEs produce one winner and one clean
     * conflict. */
   private[graft] def createEmpty(branch: String, schema: StructType,
-                                 message: String): Commit = synchronized {
-    guardWritable(branch)
-    require(head(branch).isEmpty,
-      s"branch $branch already has commits — CREATE TABLE needs a fresh table")
-    publish(branch, None, message, schema, Vector.empty)
-  }
+                                 message: String,
+                                 props: Map[String, String] = Map.empty): Commit =
+    synchronized {
+      guardWritable(branch)
+      require(head(branch).isEmpty,
+        s"branch $branch already has commits — CREATE TABLE needs a fresh table")
+      publish(branch, None, message, schema, Vector.empty, props = Some(props))
+    }
 
   /** Delta `ALTER TABLE … ADD COLUMNS`: a METADATA-ONLY schema-evolution
     * commit. The new version keeps the parent's files, stats, deletion
@@ -1691,37 +1693,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
           s"(${parent.props(VersionedTable.CheckConstraintPrefix + key)}); " +
           "DROP CONSTRAINT first to replace it")
       val schema = DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]
-      // the predicate must ANALYZE against the table schema and be boolean —
-      // checked on an empty frame so a typo'd column or non-boolean
-      // expression fails the ALTER with Spark's own nameable error, before
-      // any validation scan runs
-      val probe = spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-        .select(org.apache.spark.sql.functions.expr(predicateSql).as("p"))
-      require(probe.schema.head.dataType == org.apache.spark.sql.types.BooleanType,
-        s"CHECK predicate must be boolean, got ${probe.schema.head.dataType.simpleString}: " +
-          predicateSql)
-      // …and be a ROW-LOCAL deterministic predicate (Delta's rule): an
-      // aggregate/window would analyze above but wedge every later WRITE
-      // (no aggregates in a filter), a non-deterministic one would make
-      // "which rows pass" depend on the run, and a subquery's answer
-      // drifts with other tables. Each refuses NOW with a nameable error.
-      locally {
-        val cond = spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-          .where(org.apache.spark.sql.functions.expr(predicateSql)) // throws on aggregates
-          .queryExecution.analyzed.collectFirst {
-            case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-          }.getOrElse(throw new IllegalStateException(
-            s"CHECK probe lost its Filter node for: $predicateSql"))
-        require(cond.deterministic,
-          s"CHECK predicate must be deterministic (no rand()/uuid()/…): $predicateSql")
-        require(cond.collectFirst {
-          case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression => s
-        }.isEmpty,
-          s"CHECK predicate must not contain a subquery " +
-            s"(its answer would drift with other tables): $predicateSql")
-      }
+      VersionedTable.validateCheckPredicate(spark, schema, predicateSql)
       if (parent.files.nonEmpty) {
         import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
         val bad = readCommit(spark, parent)
@@ -1767,6 +1739,59 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       props = Some(parent.props - propKey))
   }
 
+  /** ONE pass over `frame` for ALL constraints: the first row failing any
+    * predicate, with the violated constraint's (name, sql). Shared by the
+    * read-back enforcement sites (streaming epochs; merge / cherry-pick
+    * incoming files) — k separate limit(1) jobs would re-read the same
+    * files k times. */
+  private def firstCheckViolation(frame: DataFrame, rowCols: Seq[String],
+                                  checks: Seq[(String, String)])
+      : Option[(String, String, Row)] = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not, struct}
+    if (checks.isEmpty) return None
+    val flags = checks.zipWithIndex.map { case ((_, csql), i) =>
+      not(coalesce(expr(csql), lit(true))).as(s"__bad_$i")
+    }
+    frame
+      .select(struct(rowCols.toIndexedSeq.map(col): _*).as("__row") +: flags: _*)
+      .where(flags.indices.map(i => col(s"__bad_$i")).reduce(_ || _))
+      .limit(1).collect()
+      .headOption.map { r =>
+        val i = flags.indices.find(i => r.getBoolean(1 + i)).getOrElse(0)
+        (checks(i)._1, checks(i)._2, r.getStruct(0))
+      }
+  }
+
+  /** Enforce `checks` over the LIVE rows of `files` (merged `dvFiles`
+    * applied — a violating row both sides agreed to MOR-delete is not
+    * incoming data). Used by the version-graph ops that import rows a
+    * branch's own write-time guard never saw (merge, cherry-pick); needs a
+    * session, taken from the active/default one — version-graph ops keep
+    * their sessionless signatures and only demand a session when there is
+    * actually something to validate. */
+  private def enforceChecksOnFiles(files: Vector[String], dvFiles: Vector[String],
+                                   schemaJson: String,
+                                   checks: Map[String, String],
+                                   context: String): Unit = {
+    if (files.isEmpty || checks.isEmpty) return
+    val spark = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .getOrElse(throw new IllegalStateException(
+        s"$context must validate CHECK constraints " +
+          s"(${checks.keys.toSeq.sorted.mkString(", ")}) over the incoming " +
+          "files, which needs an active SparkSession"))
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val snap = Commit("VALIDATE", None, -1L, files, schemaJson, "", 0L,
+      dvFiles = dvFiles)
+    firstCheckViolation(readCommit(spark, snap),
+      schema.fieldNames.toIndexedSeq, checks.toSeq.sortBy(_._1)).foreach {
+      case (name, sql, row) => throw new IllegalStateException(
+        s"$context: CHECK constraint $name ($sql) violated by incoming row $row " +
+          "— the rows were written on a branch that did not carry the " +
+          "constraint; fix them there (or DROP CONSTRAINT) and retry")
+    }
+  }
+
   /** CHECK-constraint enforcement, FUSED into the write job (Delta's
     * `CheckInvariant` shape): each constraint becomes one codegen'd filter
     * `coalesce(p, true) OR raise_error(…)` over the outgoing rows — the
@@ -1789,10 +1814,21 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
         d.withColumn(f.name, lit(null).cast(f.dataType)))
       val guarded = checks.toSeq.sortBy(_._1).foldLeft(widened) {
         case (d, (name, sql)) =>
+          // the trailing disjunct is a PLAN BARRIER, never evaluated (the
+          // raise_error before it either throws or is short-circuited
+          // away): a DECLARED-non-deterministic false that pins the filter
+          // at the top of the plan — a deterministic guard would be pushed
+          // below a join/filter inside the incoming frame and raise on
+          // rows the query was about to DISCARD. The guard must judge
+          // exactly the rows that land. (`rand() < -1` would not survive:
+          // Spark 4's OptimizeRand folds it away — see
+          // [[graft.functions.NondeterministicFalse]].)
           d.where(coalesce(expr(sql), lit(true)) ||
             raise_error(concat(
               lit(s"CHECK constraint $name ($sql) violated by row "),
-              to_json(struct(df.columns.map(col).toIndexedSeq: _*)))).cast("boolean"))
+              to_json(struct(df.columns.map(col).toIndexedSeq: _*)))).cast("boolean") ||
+            org.apache.spark.sql.graftbridge.ColumnBridge.column(
+              graft.functions.NondeterministicFalse()))
       }
       guarded.select(df.columns.map(col).toIndexedSeq: _*)
     }
@@ -1834,17 +1870,20 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       // refusal leaves only vacuum-sweepable orphans, and the sink surfaces
       // the error to the streaming query before any commit publishes
       locally {
-        val checks = parent.map(VersionedTable.checkConstraints).getOrElse(Map.empty)
+        val checks = parent.map(VersionedTable.checkConstraints)
+          .getOrElse(Map.empty).toSeq.sortBy(_._1)
         if (checks.nonEmpty && newFiles.nonEmpty) {
-          import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+          // ONE pass over the epoch's files for ALL constraints (this runs
+          // on every micro-batch — k separate limit(1) jobs would re-read
+          // the same files k times)
           val epoch = spark.read.schema(tblSchema)
             .parquet(newFiles.map(f => root.resolve(f).toString): _*)
-          checks.toSeq.sortBy(_._1).foreach { case (cname, csql) =>
-            val bad = epoch.where(not(coalesce(expr(csql), lit(true)))).limit(1).collect()
-            if (bad.nonEmpty) throw new IllegalArgumentException(
-              s"CHECK constraint $cname ($csql) violated by streamed epoch row " +
-                s"${bad.head}; the epoch was not committed")
-          }
+          firstCheckViolation(epoch, tblSchema.fieldNames.toIndexedSeq, checks)
+            .foreach { case (cname, csql, row) =>
+              throw new IllegalArgumentException(
+                s"CHECK constraint $cname ($csql) violated by streamed epoch " +
+                  s"row $row; the epoch was not committed")
+            }
         }
       }
       val cols = parent.map(bloomColsOf).getOrElse(Nil).filter(c =>
@@ -1905,7 +1944,9 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
                                           files: Vector[String], schema: StructType,
                                           message: String,
                                           mustCreate: Boolean = false,
-                                          mustReplace: Boolean = false): Commit =
+                                          mustReplace: Boolean = false,
+                                          extraProps: Map[String, String] = Map.empty)
+      : Commit =
     synchronized {
       guardWritable(branch)
       val parent = head(branch)
@@ -1932,8 +1973,12 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
           VersionedTable.bloomSupported(schema(c).dataType))
       val sidecar = writeBloomSidecar(branch, parent.map(_.version + 1).getOrElse(0L),
         collectFileBlooms(spark, files, cols, schema))
+      // the replaced snapshot KEEPS the table's existing props (constraints
+      // survive a REPLACE unless dropped explicitly — the safer reading of
+      // RTAS) and adds the statement's declared TBLPROPERTIES on top
       publish(branch, parent, message, schema, files,
-        bloomCols = cols, bloomFiles = sidecar)
+        bloomCols = cols, bloomFiles = sidecar,
+        props = Some(parent.map(_.props).getOrElse(Map.empty) ++ extraProps))
     }
 
   /** Stage a snapshot on `branch` without committing (lakeFS staging area,
@@ -2748,8 +2793,48 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
             "snapshot; redo the append on the merged head instead")
       if (src.schemaJson != dst.schemaJson) throw new IllegalStateException(
         s"merge conflict: $from and $into disagree on the table schema")
+      // TABLE-PROPERTIES 3-way merge (constraints included), git's per-key
+      // rule: a key changed on ONE side since the base carries; changed
+      // DIFFERENTLY on both sides conflicts loudly — silently keeping one
+      // side would drop a constraint (or a governance tag) nobody deleted.
+      val mergedProps: Map[String, String] =
+        (base.props.keySet ++ src.props.keySet ++ dst.props.keySet).flatMap { k =>
+          (base.props.get(k), src.props.get(k), dst.props.get(k)) match {
+            case (_, s, d) if s == d => s.map(k -> _) // agree (both set same / both absent)
+            case (b, s, d) if s == b => d.map(k -> _) // only dst changed
+            case (b, s, d) if d == b => s.map(k -> _) // only src changed
+            case _ => throw new IllegalStateException(
+              s"merge conflict: table property '$k' changed differently on " +
+                s"$from and $into since the merge base — resolve it with " +
+                "SET/UNSET TBLPROPERTIES (or DROP CONSTRAINT) on one side")
+          }
+        }.toMap
       val merged = (dst.files.filterNot(srcRemoved.contains) ++
         src.files.filter(srcAdded.contains)).distinct.sorted.toVector
+      val mergedDvs = (dst.dvFiles ++ src.dvFiles).distinct.sorted.toVector
+      // CHECK constraints judge the rows each side IMPORTS (a branch's own
+      // writes were fused-guarded when they landed, but a branch that never
+      // carried the constraint enforced nothing): constraints the TARGET
+      // carries validate the source's added files; constraints NEWLY
+      // arriving from the source validate the target's own post-base files
+      // (the source's ADD already validated its snapshot, base included).
+      // Bounded by the merge delta, short-circuits on the first violation,
+      // and MOR-deleted rows don't count (merged DVs applied).
+      locally {
+        val inMerged = VersionedTable.checkConstraints _
+        val mergedChecks = mergedProps.collect {
+          case (k, v) if k.startsWith(VersionedTable.CheckConstraintPrefix) =>
+            k.stripPrefix(VersionedTable.CheckConstraintPrefix) -> v
+        }
+        val dstChecks = inMerged(dst).filter { case (n, v) =>
+          mergedChecks.get(n).contains(v) }
+        val srcNewChecks = mergedChecks.filter { case (n, v) =>
+          !inMerged(dst).get(n).contains(v) }
+        enforceChecksOnFiles(src.files.filter(srcAdded.contains), mergedDvs,
+          dst.schemaJson, dstChecks, s"merge $from into $into")
+        enforceChecksOnFiles(dst.files.filter(dstAdded.contains), mergedDvs,
+          dst.schemaJson, srcNewChecks, s"merge $from into $into")
+      }
       publish(into, Some(dst), s"merge $from into $into",
         DataType.fromJson(dst.schemaJson).asInstanceOf[StructType], merged,
         dst.stats ++ src.stats, mergeParent = Some(src.id),
@@ -2757,10 +2842,11 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
         nullStats = dst.nullStats ++ src.nullStats,
         // deletion vectors union: concurrent merge-on-read deletes compose —
         // the merged snapshot subtracts BOTH sides' deleted positions
-        dvFiles = (dst.dvFiles ++ src.dvFiles).distinct.sorted,
+        dvFiles = mergedDvs,
         bloomStats = dst.bloomStats ++ src.bloomStats,
         bloomCols = (dst.bloomCols ++ src.bloomCols).distinct,
-        bloomFiles = (dst.bloomFiles ++ src.bloomFiles).distinct.sorted)
+        bloomFiles = (dst.bloomFiles ++ src.bloomFiles).distinct.sorted,
+        props = Some(mergedProps))
     }
   }
 
@@ -2775,6 +2861,18 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       dvFiles = target.dvFiles, bloomStats = target.bloomStats,
       bloomCols = target.bloomCols, bloomFiles = target.bloomFiles,
       props = Some(target.props)) // revert restores state, props included
+  }
+
+  /** Delta `RESTORE TABLE … TO TIMESTAMP AS OF`: [[revert]] addressed by
+    * wall clock — the restored state is the newest commit at or before
+    * `tsMillis` (same resolution as [[readAsOfTimestamp]], checkpoint-
+    * accelerated), published as a NEW commit so history stays. */
+  def restoreToTimestamp(tsMillis: Long, branch: String = "main",
+                         message: String = ""): Commit = synchronized {
+    val target = commitAtTimestamp(branch, tsMillis)
+    revert(branch, target.version,
+      if (message.nonEmpty) message
+      else s"RESTORE TO TIMESTAMP AS OF $tsMillis (v${target.version})")
   }
 
   /** [[revert]] with the parent PINNED to `raced` — the raced-first-write
@@ -2842,6 +2940,12 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
         s"already present on $into (e.g. ${dup.sorted.take(3).mkString(", ")})")
     if (picked.schemaJson != dst.schemaJson) throw new IllegalStateException(
       s"cherry-pick conflict: $fromBranch@v$version and $into disagree on the table schema")
+    // the transplanted files were written under the SOURCE branch's
+    // constraint set — the target's CHECK constraints must judge them
+    // (bounded by the pick's delta; DV-deleted rows don't count)
+    enforceChecksOnFiles(added, (dst.dvFiles ++ dvAdded).distinct.sorted.toVector,
+      dst.schemaJson, VersionedTable.checkConstraints(dst),
+      s"cherry-pick $fromBranch@v$version into $into")
     val files = (dst.files.filterNot(removed.contains) ++ added).distinct.sorted.toVector
     publish(into, Some(dst),
       s"cherry-pick $fromBranch@v$version (${picked.id.take(8)}): ${picked.message}",
@@ -3139,6 +3243,21 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       s"table_changes: startVersion must be >= 0, got $startVersion")
     require(endVersion >= startVersion,
       s"table_changes: need startVersion <= endVersion, got [$startVersion, $endVersion]")
+    // the feed plumbing tags rows with unprefixed `change_type`/`version`
+    // columns ([[changesFeed]]'s documented output) and this method joins
+    // on `__ts_ms` — a DATA column with one of those names would be
+    // silently clobbered and then dropped from the output. Refuse loudly
+    // (Delta likewise reserves its CDF column names).
+    locally {
+      val schema = DataType.fromJson(
+        resolveVersion(branch, endVersion).schemaJson).asInstanceOf[StructType]
+      val clash = schema.fieldNames.filter(
+        Set("change_type", "version", "__ts_ms").contains)
+      require(clash.isEmpty,
+        s"table_changes: column name(s) ${clash.mkString(", ")} collide with " +
+          "the change-feed metadata columns — rename the column(s) to read " +
+          "this table's changes")
+    }
     val feed =
       if (startVersion == 0) {
         val c0 = resolveVersion(branch, 0L)
@@ -3317,6 +3436,38 @@ object VersionedTable {
       case (k, v) if k.startsWith(CheckConstraintPrefix) =>
         k.stripPrefix(CheckConstraintPrefix) -> v
     }
+
+  /** Static admission rules for a CHECK predicate, against a SCHEMA alone
+    * (no table needed — CREATE TABLE pre-flights its inline constraints
+    * with this BEFORE publishing anything, so a rejected predicate leaves
+    * no half-created table). The predicate must analyze, be boolean, and
+    * be ROW-LOCAL + DETERMINISTIC (Delta's rule): an aggregate/window
+    * would analyze but wedge every later WRITE (no aggregates in a
+    * filter), a non-deterministic one would make "which rows pass" depend
+    * on the run, and a subquery's answer drifts with other tables. */
+  private[graft] def validateCheckPredicate(spark: org.apache.spark.sql.SparkSession,
+                                            schema: org.apache.spark.sql.types.StructType,
+                                            predicateSql: String): Unit = {
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val probe = empty.select(org.apache.spark.sql.functions.expr(predicateSql).as("p"))
+    require(probe.schema.head.dataType == org.apache.spark.sql.types.BooleanType,
+      s"CHECK predicate must be boolean, got ${probe.schema.head.dataType.simpleString}: " +
+        predicateSql)
+    val cond = empty
+      .where(org.apache.spark.sql.functions.expr(predicateSql)) // throws on aggregates
+      .queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.getOrElse(throw new IllegalStateException(
+        s"CHECK probe lost its Filter node for: $predicateSql"))
+    require(cond.deterministic,
+      s"CHECK predicate must be deterministic (no rand()/uuid()/…): $predicateSql")
+    require(cond.collectFirst {
+      case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression => s
+    }.isEmpty,
+      s"CHECK predicate must not contain a subquery " +
+        s"(its answer would drift with other tables): $predicateSql")
+  }
 
   /** Physical row count from a parquet FOOTER — no data pages touched. Used
     * once per new file at publish time to stock the commit log's

@@ -202,6 +202,26 @@ class ConstraintSpec extends SparkSpec {
     spark.sql(s"INSERT INTO $t VALUES (1L, 'ok')").collect()
     intercept[Exception] { spark.sql(s"INSERT INTO $t VALUES (0L, 'bad')").collect() }
     assert(spark.sql(s"SELECT count(*) FROM $t").as[Long].head() === 1L)
+    // a CREATE whose constraint list fails pre-flight (duplicate
+    // case-insensitive names) creates NOTHING — the retried statement works
+    val root2 = Tables.scratch("ck_create_dup")
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE vt.`$root2` (k BIGINT, CONSTRAINT AB CHECK (k > 0), " +
+        "CONSTRAINT ab CHECK (k < 9)) USING vt").collect()
+    }
+    spark.sql(s"CREATE TABLE vt.`$root2` (k BIGINT, CONSTRAINT ab CHECK (k > 0)) USING vt")
+      .collect()
+    assert(VersionedTable.open(root2).checkConstraints("main") === Map("ab" -> "k > 0"))
+  }
+
+  test("table_changes refuses tables whose columns collide with the CDF metadata names") {
+    val vt = VersionedTable.create(Tables.scratch("ck_cdf_clash"))
+    vt.write(Seq((1L, 2L)).toDF("k", "version"), "main", "v0")
+    vt.write(Seq((2L, 3L)).toDF("k", "version"), "main", "v1", mode = "append")
+    val e = intercept[IllegalArgumentException] {
+      vt.tableChanges(spark, "main", 1, 1).collect()
+    }
+    assert(e.getMessage.contains("version") && e.getMessage.contains("collide"))
   }
 
   test("staged writes (lakeFS stage/commit) and RTAS enforce the head's constraints") {
@@ -284,6 +304,86 @@ class ConstraintSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(both.get("constraint.check.k_pos").contains("k > 0") &&
       both.get("team").contains("data-eng"))
+  }
+
+  test("merge and cherry-pick enforce constraints on imported rows; props merge 3-way") {
+    val vt = VersionedTable.create(Tables.scratch("ck_merge"))
+    vt.write(df(1, 5), "main", "base") // v0 = merge base
+    vt.createBranch("dev", "main")
+    vt.addCheckConstraint(spark, "main", "k_positive", "k > 0") // main-only
+    // dev never carried the constraint: its append is un-guarded there
+    vt.write(Seq((-9L, "bad")).toDF("k", "v"), "dev", "dev append", mode = "append")
+    val e = intercept[IllegalStateException] { vt.merge("dev", "main") }
+    assert(e.getMessage.contains("k_positive"), s"got: ${e.getMessage}")
+    // a compliant branch merges, and the constraint survives the merge
+    vt.createBranch("dev2", "main")
+    vt.write(Seq((77L, "ok")).toDF("k", "v"), "dev2", "dev2 append", mode = "append")
+    vt.merge("dev2", "main")
+    assert(vt.checkConstraints("main") === Map("k_positive" -> "k > 0"))
+    assert(vt.read(spark, "main").where($"k" === 77).count() === 1L)
+    // a constraint added ONLY on the source branch arrives via the 3-way
+    // props merge and judges the target's own post-base files
+    val vt2 = VersionedTable.create(Tables.scratch("ck_merge2"))
+    vt2.write(df(1, 5), "main", "base")
+    vt2.createBranch("rules", "main")
+    vt2.addCheckConstraint(spark, "rules", "k_small", "k < 100")
+    vt2.write(Seq((500L, "big")).toDF("k", "v"), "main", "main append", mode = "append")
+    val e2 = intercept[IllegalStateException] { vt2.merge("rules", "main") }
+    assert(e2.getMessage.contains("k_small"))
+    // same-key divergent property edits conflict loudly
+    val vt3 = VersionedTable.create(Tables.scratch("ck_merge3"))
+    vt3.write(df(1, 3), "main", "base")
+    vt3.createBranch("side", "main")
+    vt3.setTableProperties("main", Map("team" -> "alpha"))
+    vt3.setTableProperties("side", Map("team" -> "beta"))
+    vt3.write(df(4, 5), "side", "side rows", mode = "append")
+    val e3 = intercept[IllegalStateException] { vt3.merge("side", "main") }
+    assert(e3.getMessage.contains("team"))
+    // cherry-pick: transplanting a violating commit refuses
+    val vt4 = VersionedTable.create(Tables.scratch("ck_pick"))
+    vt4.write(df(1, 5), "main", "base")
+    vt4.createBranch("feat", "main")
+    vt4.addCheckConstraint(spark, "main", "k_positive", "k > 0")
+    vt4.write(Seq((-3L, "bad")).toDF("k", "v"), "feat", "bad pick", mode = "append")
+    val e4 = intercept[IllegalStateException] {
+      vt4.cherryPick("feat", vt4.head("feat").get.version, "main")
+    }
+    assert(e4.getMessage.contains("k_positive"))
+  }
+
+  test("CREATE TABLE TBLPROPERTIES persist; the write guard is not pushed below joins") {
+    registerCatalog()
+    val root = Tables.scratch("ck_create_props")
+    spark.sql(
+      s"CREATE TABLE vt.`$root` (k BIGINT, v STRING) USING vt " +
+        "TBLPROPERTIES ('team' = 'ml', 'tier' = 'gold')").collect()
+    val vt = VersionedTable.open(root)
+    assert(vt.head("main").get.props === Map("team" -> "ml", "tier" -> "gold"))
+    // CTAS carries them too (staged path)
+    val root2 = Tables.scratch("ck_ctas_props")
+    spark.sql(
+      s"CREATE TABLE vt.`$root2` TBLPROPERTIES ('team' = 'ml') AS " +
+        "SELECT 1L AS k, 'a' AS v").collect()
+    assert(VersionedTable.open(root2).head("main").get.props === Map("team" -> "ml"))
+    // the constraint namespace still refuses the raw-TBLPROPERTIES door
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE vt.`${Tables.scratch("ck_create_evil")}` " +
+        "(k BIGINT) USING vt TBLPROPERTIES ('constraint.check.x' = '1=0')").collect()
+    }
+    // PUSHDOWN BARRIER: writing a joined frame that FILTERS OUT the
+    // violating row must succeed — a deterministic guard filter would be
+    // pushed below the join and raise on the discarded row. The engine
+    // guard judges exactly the rows that land. (Through SQL `INSERT INTO`,
+    // SPARK'S OWN constraint layer — it reads Table.constraints() and
+    // injects its own check — pre-filters the join INPUTS and may abort
+    // early on a row the join would drop: fail-safe, and theirs; every
+    // ENGINE door goes through the barrier below.)
+    vt.addCheckConstraint(spark, "main", "k_pos", "k > 0")
+    val left = Seq((1L, "keep"), (-5L, "dropped-by-join")).toDF("k", "v")
+    val keys = Seq(Tuple1(1L)).toDF("k")
+    vt.write(left.join(keys, "k").select($"k", $"v"), "main",
+      "join-filtered append", mode = "append")
+    assert(spark.sql(s"SELECT count(*) FROM vt.`$root`").as[Long].head() === 1L)
   }
 
   test("streaming epochs enforce constraints: the violating micro-batch fails, nothing commits") {

@@ -725,4 +725,55 @@ class PropertySpec extends SparkSpec {
         s"emitted files != snapshot+appends: pre=$pre post=$post mf=$mf mv=$mv")
     }
   }
+
+  /** CHECK-constraint guard equivalence (r19c): for random batches and
+    * random predicates from a small grammar, an append under a constraint
+    * behaves EXACTLY like pre-screening the batch — it succeeds iff no row
+    * violates (NULL passes), commits exactly the batch's rows on success,
+    * and publishes nothing on refusal. Pins the fused
+    * raise_error-filter enforcement (plan barrier included: the batch runs
+    * through a join-bearing frame) against the naive definition. */
+  test("property: constraint guard ≡ pre-screened append on random batches + predicates") {
+    val preds: Seq[(String, (Option[Int], Option[Int]) => Boolean)] = Seq(
+      ("a > 0", (a, _) => a.forall(_ > 0)),
+      ("a + b < 150", (a, b) =>
+        (for (x <- a; y <- b) yield x + y < 150).getOrElse(true)),
+      ("b % 2 = 0", (_, b) => b.forall(_ % 2 == 0)),
+      ("a <= b OR a > 90", (a, b) =>
+        (for (x <- a; y <- b) yield x <= y || x > 90).getOrElse(true)))
+    val batches: Gen[List[(Option[Int], Option[Int])]] = Gen.listOfN(12,
+      for {
+        a <- Gen.option(Gen.choose(-20, 100))
+        b <- Gen.option(Gen.choose(-20, 100))
+      } yield (a, b))
+    var checked = 0
+    samples(Gen.zip(Gen.choose(0, preds.size - 1), batches), 25).foreach {
+      case (pi, rows) if rows.nonEmpty =>
+        val (sql, naive) = preds(pi)
+        val vt = graft.vt.VersionedTable.create(
+          Tables.scratch(s"prop_guard_${pi}_$checked"))
+        checked += 1
+        // the seed row satisfies every grammar predicate, so ADD validates
+        vt.write(Seq((1, 2)).toDF("a", "b"), "main", "seed")
+        vt.addCheckConstraint(spark, "main", "p", sql)
+        val df = rows.map { case (a, b) =>
+          (a.map(Integer.valueOf).orNull, b.map(Integer.valueOf).orNull)
+        }.toDF("a", "b").select(col("a").cast("int"), col("b").cast("int"))
+          // route through a join so the plan-barrier path is exercised
+          .join(Seq(Tuple1(1)).toDF("one"), lit(true), "cross")
+          .select(col("a"), col("b"))
+        val before = vt.head("main").get
+        val ok = rows.forall { case (a, b) => naive(a, b) }
+        if (ok) {
+          vt.write(df, "main", "batch", mode = "append")
+          assert(vt.read(spark, "main").count() === 1L + rows.size)
+        } else {
+          intercept[Exception] { vt.write(df, "main", "batch", mode = "append") }
+          assert(vt.head("main").get.id === before.id,
+            s"refused batch must publish nothing (pred=$sql rows=$rows)")
+        }
+      case _ => ()
+    }
+    assert(checked >= 15, s"property exercised too few cases: $checked")
+  }
 }

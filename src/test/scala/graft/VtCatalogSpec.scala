@@ -603,8 +603,11 @@ class VtCatalogSpec extends SparkSpec {
     val path5 = Tables.scratch("vtcat_ctas_props")
     intercept[Exception](
       spark.sql(s"CREATE TABLE vt.`$path5` (k BIGINT) USING csv").collect())
-    intercept[Exception](spark.sql(
-      s"CREATE TABLE vt.`$path5` (k BIGINT) TBLPROPERTIES ('x'='y')").collect())
+    // free-form TBLPROPERTIES persist since r19c (durable commit-log props)
+    spark.sql(
+      s"CREATE TABLE vt.`$path5` (k BIGINT) TBLPROPERTIES ('x'='y')").collect()
+    assert(VersionedTable.open(path5).head("main").get.props === Map("x" -> "y"))
+    spark.sql(s"DROP TABLE vt.`$path5`").collect()
     spark.sql(s"CREATE TABLE vt.`$path5` (k BIGINT) USING vt").collect() // ok
     // DROP TABLE removes a verified table root; refuses non-table paths
     spark.sql(s"DROP TABLE $t2").collect()
@@ -879,9 +882,12 @@ class VtCatalogSpec extends SparkSpec {
       spark.sql(s"ALTER TABLE $t ADD COLUMNS (z BIGINT FIRST)").collect())
     intercept[Exception](spark.sql(s"ALTER TABLE $t RENAME COLUMN k TO kk").collect())
     intercept[Exception](spark.sql(s"ALTER TABLE $t DROP COLUMN id").collect())
-    intercept[Exception](
-      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('a'='b')").collect())
     assert(vt.head("main").get.version === vBefore, "refused ALTERs commit nothing")
+    // SET TBLPROPERTIES is supported since r19c: one metadata-only commit
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('a'='b')").collect()
+    val propHead = vt.head("main").get
+    assert(propHead.version === vBefore + 1 && !propHead.dataChange &&
+      propHead.props === Map("a" -> "b"))
   }
 
   test("r19b DDL: REPLACE TABLE [AS SELECT] is atomic — commit-or-nothing, history kept") {
@@ -934,5 +940,35 @@ class VtCatalogSpec extends SparkSpec {
     val bHead = bvt.head("main").get
     assert(bHead.bloomCols === Seq("uid"), "sticky bloom column set carries")
     assert(bHead.bloomFiles.nonEmpty, "the replacement snapshot gets a fresh sidecar")
+  }
+
+  test("RESTORE TABLE TO TIMESTAMP AS OF restores by wall clock (r19c)") {
+    registerCatalog()
+    import graft.sources.VtUtilitySql
+    val vt = VersionedTable.create(Tables.scratch("vtcat_restore_ts"))
+    val c0 = vt.write((1L to 5L).map(i => (i, s"r$i")).toDF("k", "v"), "main", "v0")
+    // a wall-clock instant strictly between v0 and v1
+    while (System.currentTimeMillis() <= c0.ts) Thread.sleep(1)
+    val between = System.currentTimeMillis()
+    while (System.currentTimeMillis() <= between) Thread.sleep(1)
+    vt.write((1L to 10L).map(i => (i, s"r$i")).toDF("k", "v"), "main", "v1")
+    val t = s"vt.`${vt.root}`"
+    // epoch-millis form: restores v0's state as a NEW commit, history intact
+    assert(VtUtilitySql.exec(spark,
+      s"RESTORE TABLE $t TO TIMESTAMP AS OF '$between'").as[Long].head() === 2L)
+    assert(spark.sql(s"SELECT count(*) FROM $t").as[Long].head() === 5L)
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 1").as[Long].head() === 10L,
+      "restore must not rewrite history")
+    // ISO-instant form resolves through the same session-zone-aware parser
+    val iso = java.time.Instant.ofEpochMilli(System.currentTimeMillis()).toString
+    assert(VtUtilitySql.exec(spark,
+      s"RESTORE TABLE $t TO TIMESTAMP AS OF '$iso'").as[Long].head() === 3L)
+    assert(spark.sql(s"SELECT count(*) FROM $t").as[Long].head() === 5L,
+      "a now-instant restore reproduces the current head")
+    // a timestamp before the first commit refuses loudly
+    intercept[IllegalArgumentException] {
+      VtUtilitySql.exec(spark,
+        s"RESTORE TABLE $t TO TIMESTAMP AS OF '${c0.ts - 100000}'").collect()
+    }
   }
 }
