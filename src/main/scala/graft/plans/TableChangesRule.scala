@@ -44,28 +44,41 @@ object TableChanges {
   /** The `Seq[Expression] => LogicalPlan` builder handed to
     * `injectTableFunction`. Runs on the ACTIVE session at analysis time —
     * the metadata walk is O(interval) commit reads; the returned plan is
-    * the engine's analyzed CDF frame. */
+    * the engine's analyzed CDF frame.
+    *
+    * Bound arguments follow Delta's typing rule: an INTEGER literal is a
+    * commit version; a STRING literal is a TIMESTAMP (epoch millis, ISO
+    * instant, or session-zone date-time — the reader-option shapes). A
+    * start timestamp resolves to the first version at-or-after it, an end
+    * timestamp to the newest at-or-before it (Delta's
+    * startingTimestamp/endingTimestamp semantics). */
   def plan(args: Seq[Expression]): LogicalPlan = {
-    def usage = "table_changes('[branch@]path', startVersion[, endVersion]) " +
-      "with literal arguments"
-    val (addr, start, end) = args match {
-      case Seq(a, s) => (str(a), lng(s), None)
-      case Seq(a, s, e) => (str(a), lng(s), Some(lng(e)))
+    def usage = "table_changes('[branch@]path', start[, end]) with literal " +
+      "arguments — integers are versions, strings are timestamps"
+    val (addr, startE, endE) = args match {
+      case Seq(a, s) => (str(a), s, None)
+      case Seq(a, s, e) => (str(a), s, Some(e))
       case _ => throw new IllegalArgumentException(
         s"table_changes takes 2 or 3 arguments — $usage")
     }
     val (branch, path) = VtAddress.split(addr.getOrElse(
       throw new IllegalArgumentException(s"table_changes: first argument " +
         s"must be a string literal table path — $usage")))
-    val s0 = start.getOrElse(throw new IllegalArgumentException(
-      s"table_changes: startVersion must be an integer literal — $usage"))
     val spark = SparkSession.active
     val vt = VersionedTable.open(SourcePaths.local(path))
-    val e0 = end match {
+    def bound(e: Expression, isStart: Boolean): Long =
+      lng(e).orElse(str(e).map { ts =>
+        val millis = SourcePaths.parseTimestamp(spark, ts)
+        if (isStart) vt.firstVersionAtOrAfter(branch, millis)
+        else vt.versionAtOrBefore(branch, millis)
+      }).getOrElse(throw new IllegalArgumentException(
+        s"table_changes: ${if (isStart) "start" else "end"} must be an " +
+          s"integer (version) or string (timestamp) literal — $usage"))
+    val s0 = bound(startE, isStart = true)
+    val e0 = endE match {
       case None => vt.head(branch).map(_.version).getOrElse(
         throw new IllegalArgumentException(s"no such branch: $branch"))
-      case Some(v) => v.getOrElse(throw new IllegalArgumentException(
-        s"table_changes: endVersion must be an integer literal — $usage"))
+      case Some(e) => bound(e, isStart = false)
     }
     vt.tableChanges(spark, branch, s0, e0).queryExecution.analyzed
   }

@@ -141,6 +141,22 @@ object DeltaLogWriter {
         // task; the driver collects only the O(files) descriptors
         val descriptors = dvDescriptors(vt, c, adds ++ dvChanged)
         val schemaChanged = prev.forall(_.schemaJson != c.schemaJson)
+        // table properties export as metaData CONFIGURATION: CHECK
+        // constraints translate to Delta's `delta.constraints.<name>` keys
+        // (stock delta-spark then ENFORCES them on its own writes — the
+        // reverse of shallowCloneFromDelta's import), free-form props pass
+        // verbatim. A props-only change (ADD/DROP CONSTRAINT, SET/UNSET
+        // TBLPROPERTIES) re-emits metaData exactly like a schema change —
+        // without it the constraint would silently not exist downstream.
+        val propsChanged = prev.forall(_.props != c.props)
+        def exportedConfig: Map[String, String] =
+          c.props.map {
+            case (k, v) if k.startsWith(VersionedTable.CheckConstraintPrefix) =>
+              ("delta.constraints." +
+                k.stripPrefix(VersionedTable.CheckConstraintPrefix)) -> v
+            case kv => kv
+          } ++ (if (changeDataFeed) Map("delta.enableChangeDataFeed" -> "true")
+                else Map.empty)
         val actions = Vector.newBuilder[String]
         // a streaming epoch's txn mark exports as Delta's transaction
         // identifier — stock delta-spark idempotent writers/readers see the
@@ -158,8 +174,8 @@ object DeltaLogWriter {
         if (firstDvVersion.contains(c.version))
           actions += DeltaLogFixture.protocolV3Line(Seq("deletionVectors"),
             if (changeDataFeed) Seq("changeDataFeed") else Nil)
-        if (schemaChanged) actions += DeltaLogFixture.metaDataLine(c.schemaJson, Nil,
-          if (changeDataFeed) Map("delta.enableChangeDataFeed" -> "true") else Map.empty)
+        if (schemaChanged || propsChanged)
+          actions += DeltaLogFixture.metaDataLine(c.schemaJson, Nil, exportedConfig)
         // ROW-PRESERVING rewrites (compact / Z-order: the file set changes,
         // the row bag does not) export Delta's way: adds and removes marked
         // dataChange=false, no cdc file — a CDF reader then skips the

@@ -2169,6 +2169,26 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
   def readAsOfTimestamp(spark: SparkSession, branch: String, tsMillis: Long): DataFrame =
     readCommit(spark, commitAtTimestamp(branch, tsMillis))
 
+  /** Newest version at or before `tsMillis` — Delta's CDF
+    * `endingTimestamp` rule (errors when the timestamp precedes the first
+    * commit, like Delta). */
+  private[graft] def versionAtOrBefore(branch: String, tsMillis: Long): Long =
+    commitAtTimestamp(branch, tsMillis).version
+
+  /** First version at or after `tsMillis` — Delta's CDF
+    * `startingTimestamp` rule: a timestamp after the branch's newest
+    * commit refuses (there is nothing to stream from it), one before the
+    * first commit resolves to version 0. O(commits since tsMillis) like
+    * [[commitAtTimestamp]] (checkpoint-accelerated). */
+  private[graft] def firstVersionAtOrAfter(branch: String, tsMillis: Long): Long = {
+    val h = headOrThrow(branch)
+    require(h.ts >= tsMillis,
+      s"timestamp $tsMillis is after the newest commit on $branch (${h.ts})")
+    // first ≥ ts  ==  (newest ≤ ts−1).version + 1; no commit ≤ ts−1 → v0
+    try commitAtTimestamp(branch, tsMillis - 1).version + 1
+    catch { case _: IllegalArgumentException => 0L }
+  }
+
   private def commitAtTimestamp(branch: String, tsMillis: Long): Commit = {
     val h = head(branch).getOrElse(
       throw new IllegalArgumentException(s"no such branch: $branch"))
@@ -2701,11 +2721,26 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     require(droot != root.toAbsolutePath, "SHALLOW CLONE of a table into itself")
     def abs(p: String) = droot.resolve(p).toString
     val (stats, nullStats, rowCounts) = DeltaLogReader.vtStatsOf(snap, abs)
+    // the source's own CHECK constraints (`delta.constraints.<name>` in the
+    // metaData configuration — Delta predicates are Spark SQL) import into
+    // the clone's constraint namespace: the source enforced them over the
+    // cloned snapshot already, so no validation scan is needed — only the
+    // predicate's ANALYZABILITY against the schema is checked, loudly (an
+    // unparseable constraint must not silently become unenforced). Other
+    // configuration keys (appendOnly, retention dials, …) are Delta-engine
+    // dials with no meaning here and are NOT imported.
+    val importedChecks = snap.configuration.collect {
+      case (k, v) if k.startsWith("delta.constraints.") =>
+        val name = k.stripPrefix("delta.constraints.").toLowerCase
+        VersionedTable.validateCheckPredicate(spark, snap.schema, v)
+        VersionedTable.CheckConstraintPrefix + name -> v
+    }
     publish(branch, None,
       if (message.nonEmpty) message
       else s"SHALLOW CLONE of Delta table $deltaRoot v${snap.version}",
       snap.schema, snap.files.map(f => abs(f.path)),
       stats, nullStats = nullStats,
+      props = Some(importedChecks),
       seedRowCounts = rowCounts,
       seedFileSizes = snap.files.collect {
         case f if f.size >= 0 => abs(f.path) -> f.size

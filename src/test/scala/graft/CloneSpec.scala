@@ -154,6 +154,48 @@ class CloneSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("partitioned"))
   }
 
+  test("clone of a clone: absolute refs resolve transitively, all three diverge independently") {
+    val a = VersionedTable.create(Tables.scratch("clone_chain_a"))
+    a.write(df(1, 6).coalesce(1), "main", "v0", statsCols = Seq("k"))
+    val b = VersionedTable.create(Tables.scratch("clone_chain_b"))
+    b.shallowCloneFrom(a)
+    b.write(df(7, 8), "main", "b append", mode = "append")
+    val c = VersionedTable.create(Tables.scratch("clone_chain_c"))
+    c.shallowCloneFrom(b) // refs into A (via B's externals) AND into B (its local append)
+    val cHead = c.head("main").get
+    assert(cHead.files.exists(_.startsWith(a.root.toString)),
+      "grand-source refs stay absolute into the ORIGINAL table")
+    assert(cHead.files.exists(_.startsWith(b.root.toString)))
+    assert(c.read(spark, "main").count() === 8L)
+    c.write(df(9, 9), "main", "c append", mode = "append")
+    assert((a.read(spark, "main").count(),
+      b.read(spark, "main").count(),
+      c.read(spark, "main").count()) === ((6L, 8L, 9L)))
+    // metadata COUNT stays log-only down the chain
+    assert(c.countRows(spark, "main") === 9L)
+  }
+
+  test("CHECK constraints round-trip the Delta log: export → configuration → import") {
+    val src = VersionedTable.create(Tables.scratch("clone_ck_rt_src"))
+    src.write(df(1, 6), "main", "v0")
+    src.addCheckConstraint(spark, "main", "k_pos", "k > 0")
+    src.setTableProperties("main", Map("team" -> "ml"))
+    src.exportDeltaLog("main")
+    // the exported metaData carries Delta's constraint keys + free props
+    val snap = graft.vt.DeltaLogReader.snapshot(src.root.toString, None, Some(spark))
+    assert(snap.configuration.get("delta.constraints.k_pos").contains("k > 0"))
+    assert(snap.configuration.get("team").contains("ml"))
+    // importing the export brings the constraint back, ENFORCED
+    val dst = VersionedTable.create(Tables.scratch("clone_ck_rt_dst"))
+    dst.shallowCloneFromDelta(spark, src.root.toString)
+    assert(dst.checkConstraints("main") === Map("k_pos" -> "k > 0"))
+    intercept[Exception] {
+      dst.write(Seq((-1L, "bad")).toDF("k", "v"), "main", "bad", mode = "append")
+    }
+    dst.write(Seq((9L, "ok")).toDF("k", "v"), "main", "ok", mode = "append")
+    assert(dst.read(spark, "main").count() === 7L)
+  }
+
   test("SQL: CREATE TABLE … SHALLOW CLONE … [VERSION AS OF n] via the utility parser") {
     spark.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
     val srcRoot = Tables.scratch("clone_sql_src")

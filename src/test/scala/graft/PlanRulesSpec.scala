@@ -72,7 +72,11 @@ class PlanRulesSpec extends SparkSpec {
     def band(m: Int) = (1 to 30).map(i => (i.toLong, s"r$i")).toDF("k", "v")
       .where($"k" % 3 === m)
     vt.write(band(0), "main", "v0")
-    vt.write(band(1), "main", "v1", mode = "append")
+    val c1 = vt.write(band(1), "main", "v1", mode = "append")
+    // a wall-clock instant strictly between v1 and v2, for timestamp bounds
+    while (System.currentTimeMillis() <= c1.ts) Thread.sleep(1)
+    val betweenV1V2 = System.currentTimeMillis()
+    while (System.currentTimeMillis() <= betweenV1V2) Thread.sleep(1)
     vt.write(band(2), "main", "v2", mode = "append")
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -108,6 +112,17 @@ class PlanRulesSpec extends SparkSpec {
       assert(scanned.nonEmpty &&
         !scanned.exists(f => v0Files.exists(v0 => f.endsWith(v0))),
         s"append-only table_changes must not scan the base snapshot: $scanned")
+      // TIMESTAMP bounds (Delta's typed-argument rule: strings are
+      // timestamps): a start timestamp resolves first-at-or-after → v2
+      // only; an end timestamp resolves newest-at-or-before → v1 only
+      val fromTs = s2.sql(s"SELECT DISTINCT _commit_version FROM " +
+        s"table_changes('${vt.root}', '$betweenV1V2')")
+        .collect().map(_.getLong(0)).toSet
+      assert(fromTs === Set(2L), s"start-ts must resolve to v2, got $fromTs")
+      val toTs = s2.sql(s"SELECT DISTINCT _commit_version FROM " +
+        s"table_changes('${vt.root}', 1, '$betweenV1V2')")
+        .collect().map(_.getLong(0)).toSet
+      assert(toTs === Set(1L), s"end-ts must resolve to v1, got $toTs")
       // non-literal / malformed arguments refuse with the usage shape
       val e = intercept[Exception] {
         s2.sql(s"SELECT * FROM table_changes('${vt.root}', k)").collect()

@@ -776,4 +776,68 @@ class PropertySpec extends SparkSpec {
     }
     assert(checked >= 15, s"property exercised too few cases: $checked")
   }
+
+  /** 3-way table-properties merge (r19c): per key, against the naive rule —
+    * sides agreeing carry their value; exactly one side changing carries
+    * its change (set, update, or delete); both changing differently
+    * conflicts. Exercised through REAL branch merges over random
+    * (base, src-edit, dst-edit) prop states. */
+  test("property: props 3-way merge ≡ per-key naive rule on random edits") {
+    val keys = Seq("p1", "p2", "p3")
+    // 0 = leave, 1 = set "a", 2 = set "b", 3 = delete
+    val edits: Gen[(List[Int], List[Int], List[Int])] = for {
+      base <- Gen.listOfN(keys.size, Gen.choose(0, 2)) // 0=absent,1="a",2="b"
+      s <- Gen.listOfN(keys.size, Gen.choose(0, 3))
+      d <- Gen.listOfN(keys.size, Gen.choose(0, 3))
+    } yield (base, s, d)
+    def v(i: Int): Option[String] = i match {
+      case 1 => Some("a"); case 2 => Some("b"); case _ => None
+    }
+    var n = 0
+    samples(edits, 30).foreach { case (baseV, sEdit, dEdit) =>
+      val vt = graft.vt.VersionedTable.create(Tables.scratch(s"prop_props_$n"))
+      n += 1
+      vt.write(Seq((1, 2)).toDF("a", "b"), "main", "seed")
+      val base = keys.zip(baseV).flatMap { case (k, i) => v(i).map(k -> _) }.toMap
+      if (base.nonEmpty) vt.setTableProperties("main", base)
+      vt.createBranch("side", "main")
+      def apply(branch: String, edit: List[Int]): Map[String, Option[String]] =
+        keys.zip(edit).map { case (k, e) =>
+          e match {
+            case 1 => vt.setTableProperties(branch, Map(k -> "x")); k -> Some("x")
+            case 2 => vt.setTableProperties(branch, Map(k -> "y")); k -> Some("y")
+            case 3 => vt.setTableProperties(branch, Map.empty, unset = Seq(k))
+              k -> None
+            case _ => k -> base.get(k)
+          }
+        }.toMap
+      val sState = apply("side", sEdit)
+      val dState = apply("main", dEdit)
+      // the naive per-key verdict
+      val expect: Either[String, Map[String, String]] = {
+        val out = Map.newBuilder[String, String]
+        var conflict: Option[String] = None
+        keys.foreach { k =>
+          (base.get(k), sState(k), dState(k)) match {
+            case (_, s, d) if s == d => s.foreach(out += k -> _)
+            case (b, s, d) if s == b => d.foreach(out += k -> _)
+            case (b, s, d) if d == b => s.foreach(out += k -> _)
+            case _ => conflict = conflict.orElse(Some(k))
+          }
+        }
+        conflict.toLeft(out.result())
+      }
+      expect match {
+        case Right(props) =>
+          vt.merge("side", "main")
+          assert(vt.head("main").get.props === props,
+            s"base=$base src=$sState dst=$dState")
+        case Left(k) =>
+          val e = intercept[IllegalStateException] { vt.merge("side", "main") }
+          assert(e.getMessage.contains("property"),
+            s"expected props conflict on $k, got: ${e.getMessage}")
+      }
+    }
+    assert(n >= 25)
+  }
 }
