@@ -175,6 +175,21 @@ class CloneSpec extends SparkSpec {
     assert(c.countRows(spark, "main") === 9L)
   }
 
+  test("table_changes spans the clone boundary: v0 = the cloned snapshot as inserts") {
+    val src = VersionedTable.create(Tables.scratch("clone_cdf_src"))
+    src.write(df(1, 4), "main", "v0")
+    val dst = VersionedTable.create(Tables.scratch("clone_cdf_dst"))
+    dst.shallowCloneFrom(src)
+    dst.write(df(5, 6), "main", "diverge", mode = "append")
+    val feed = dst.tableChanges(spark, "main", 0, 1)
+      .select($"k", $"_change_type", $"_commit_version")
+      .as[(Long, String, Long)].collect().sorted
+    assert(feed.forall(_._2 == "insert"))
+    assert(feed.filter(_._3 == 0L).map(_._1).sorted === (1L to 4L).toArray,
+      "the clone's v0 (external refs) feeds as the snapshot's inserts")
+    assert(feed.filter(_._3 == 1L).map(_._1).sorted === Array(5L, 6L))
+  }
+
   test("CHECK constraints round-trip the Delta log: export → configuration → import") {
     val src = VersionedTable.create(Tables.scratch("clone_ck_rt_src"))
     src.write(df(1, 6), "main", "v0")

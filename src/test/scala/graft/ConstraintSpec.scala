@@ -214,6 +214,45 @@ class ConstraintSpec extends SparkSpec {
     assert(VersionedTable.open(root2).checkConstraints("main") === Map("ab" -> "k > 0"))
   }
 
+  test("a write losing the version-slot race to ADD CONSTRAINT re-validates on retry") {
+    // the engine's optimistic-concurrency answer to "constraint lands while
+    // a violating batch is in flight": the slot CAS serializes the COMMITS,
+    // so whichever side loses retries against the new head — and the
+    // retried write now carries the constraint's fused guard
+    val vt = VersionedTable.create(Tables.scratch("ck_race"))
+    vt.write(df(1, 3), "main", "seed")
+    @volatile var fired = false
+    vt.addPreCommitHook("constraint-racer") { (_, candidate) =>
+      if (!fired && candidate.message == "racer") {
+        fired = true
+        // a SEPARATE handle (second process in real life) publishes the
+        // constraint first — it claims the slot this write targeted
+        VersionedTable.open(vt.root.toString)
+          .addCheckConstraint(spark, "main", "k_pos", "k > 0")
+        ()
+      }
+    }
+    try {
+      val bad = Seq((-5L, "bad")).toDF("k", "v")
+      // the in-flight write validated against the PRE-constraint head
+      // (nothing to guard) but loses the slot: a clean CME, no fork
+      intercept[java.util.ConcurrentModificationException] {
+        vt.write(bad, "main", "racer", mode = "append")
+      }
+      // the retry re-reads the head, sees the constraint, and the fused
+      // guard refuses the batch for the REAL reason
+      val e = intercept[Exception] {
+        vt.write(bad, "main", "racer retry", mode = "append")
+      }
+      def chain(x: Throwable): List[Throwable] =
+        if (x == null) Nil else x :: chain(x.getCause)
+      assert(chain(e).exists(c => Option(c.getMessage).exists(_.contains("k_pos"))))
+      assert(vt.checkConstraints("main") === Map("k_pos" -> "k > 0"))
+      assert(vt.read(spark, "main").where($"k" < 0).count() === 0L,
+        "no violating row may be visible on any committed version")
+    } finally vt.removePreCommitHook("constraint-racer")
+  }
+
   test("table_changes refuses tables whose columns collide with the CDF metadata names") {
     val vt = VersionedTable.create(Tables.scratch("ck_cdf_clash"))
     vt.write(Seq((1L, 2L)).toDF("k", "version"), "main", "v0")
