@@ -209,6 +209,18 @@ class CloneSpec extends SparkSpec {
     }
     dst.write(Seq((9L, "ok")).toDF("k", "v"), "main", "ok", mode = "append")
     assert(dst.read(spark, "main").count() === 7L)
+    // a CDF export containing the constraint's metaData-ONLY version streams
+    // it as silence: the feed over (constraint add v1, append v2) carries
+    // exactly v2's inserts
+    val cdf = VersionedTable.create(Tables.scratch("clone_ck_rt_cdf"))
+    cdf.write(df(1, 3), "main", "v0")
+    cdf.addCheckConstraint(spark, "main", "k_pos", "k > 0") // v1: metaData only
+    cdf.write(df(4, 5), "main", "v2", mode = "append")
+    cdf.exportDeltaLog("main", changeDataFeed = true)
+    val feed = graft.vt.DeltaLogReader.changes(spark, cdf.root.toString, 1, 2)
+      .select($"k", $"_commit_version").as[(Long, Long)].collect().sorted
+    assert(feed === Array((4L, 2L), (5L, 2L)),
+      s"the constraint version must feed as silence, got ${feed.mkString(",")}")
   }
 
   test("SQL: CREATE TABLE … SHALLOW CLONE … [VERSION AS OF n] via the utility parser") {
