@@ -2091,6 +2091,31 @@ object Versioned {
     s.sql(s"SELECT o_orderkey AS k FROM vt.`$dstRoot` ORDER BY k")
   }
 
+  /** ANALYZE backfill (r19c, [[graft.vt.VersionedTable.computeStats]]): a
+    * table INGESTED WITHOUT statsCols gains skipping stats from one
+    * metadata-only commit — no rewrite — and the subsequent band read
+    * prunes through them (file-count drop pinned by AnalyzeSpec; the
+    * oracle checks the band's rows are exactly right through the pruned
+    * plan). The adoption path for a pre-existing 100 TB corpus: one scan
+    * instead of a full rewrite. */
+  val qVtAnalyze: QueryDef = q("q_vt_analyze")(
+    """SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price
+      |FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey <= 1000
+      |ORDER BY k""".stripMargin) { (s, d) =>
+    val root = Tables.scratch("vt_analyze")
+    s.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
+    val vt = VersionedTable.create(root)
+    val orders = Tables.orders(s, d).where(pmod(col("o_orderkey"), lit(2)) === 1)
+      .select(col("o_orderkey"), col("o_totalprice").cast("double").as("price"))
+    // ingest key-ranged files WITHOUT stats (the pre-adoption state)
+    vt.write(orders.repartitionByRange(8, col("o_orderkey")), "main", "unstatted")
+    graft.sources.VtUtilitySql.exec(s,
+      s"ANALYZE vt.`$root` COMPUTE STATISTICS FOR COLUMNS (o_orderkey)").collect()
+    vt.readWhere(s, "main", "o_orderkey", 1, 1000)
+      .select(col("o_orderkey").as("k"), col("price"))
+      .orderBy("k")
+  }
+
   /** Atomic `CREATE OR REPLACE TABLE … AS SELECT` (r19b,
     * [[graft.sources.VtCatalog]]'s StagingTableCatalog face): the
     * replacement snapshot — schema and all — lands as ONE commit after the
@@ -2191,5 +2216,6 @@ object Versioned {
     qVtMergeEvolve, qVtMorFilter, qVtMorSql, qVtDeltaCmapNative, qVtMinmaxMeta,
     qVtSqlCountMeta, qVtBloomSkip, qVtCtas, qDliteRuntimeSkip,
     qVtBloomLong, qVtOptimizeWhere, qVtAddColumn, qVtRtas, qVtStreamTable,
-    qVtStreamMirror, qVtConstraint, qVtTableChanges, qVtClone, qVtCloneDelta)
+    qVtStreamMirror, qVtConstraint, qVtTableChanges, qVtClone, qVtCloneDelta,
+    qVtAnalyze)
 }

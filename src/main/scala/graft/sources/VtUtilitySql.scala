@@ -60,6 +60,15 @@ object VtUtilitySql {
   final case class MergeBranchStmt(address: String, from: String, into: String) extends Stmt
   final case class ShowBranchesStmt(address: String) extends Stmt
   final case class ShowTagsStmt(address: String) extends Stmt
+  /** `ANALYZE t COMPUTE STATISTICS FOR COLUMNS (a, b) [RECOMPUTE]` /
+    * `ANALYZE t COMPUTE BLOOM INDEX FOR COLUMNS (a, b)` — metadata-only
+    * stats / bloom-index BACKFILL over the current snapshot (the adoption
+    * path for tables ingested without statsCols/bloomCols). Deliberately
+    * NOT Spark's `ANALYZE TABLE` spelling: that parses natively and would
+    * never reach this mini-parser. */
+  final case class AnalyzeStmt(address: String, cols: Seq[String],
+                               bloom: Boolean, recompute: Boolean) extends Stmt
+
   /** `CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF n]` — `address` is
     * the DESTINATION (the table the statement creates). A source in a
     * delta-lite catalog imports a FOREIGN DELTA table by reference. */
@@ -98,10 +107,18 @@ object VtUtilitySql {
     s"""(?is)\\s*SHOW\\s+BRANCHES\\s+IN\\s+$T\\s*;?\\s*""".r
   private val ShowTagsRe: Regex =
     s"""(?is)\\s*SHOW\\s+TAGS\\s+IN\\s+$T\\s*;?\\s*""".r
+  private val AnalyzeStatsRe: Regex =
+    s"""(?is)\\s*ANALYZE\\s+$T\\s+COMPUTE\\s+STATISTICS\\s+FOR\\s+COLUMNS\\s*\\(([^)]+)\\)(\\s+RECOMPUTE)?\\s*;?\\s*""".r
+  private val AnalyzeBloomRe: Regex =
+    s"""(?is)\\s*ANALYZE\\s+$T\\s+COMPUTE\\s+BLOOM\\s+INDEX\\s+FOR\\s+COLUMNS\\s*\\(([^)]+)\\)\\s*;?\\s*""".r
   // Delta's zero-copy clone verb; Spark's grammar has no CLONE clause, so
   // the whole statement arrives here after the native parse throws
   private val CloneRe: Regex =
     s"""(?is)\\s*CREATE\\s+TABLE\\s+$T\\s+SHALLOW\\s+CLONE\\s+$T(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*""".r
+
+  private def splitCols(raw: String): Seq[String] =
+    raw.split(',').toSeq.map(_.trim.stripPrefix("`").stripSuffix("`"))
+      .filter(_.nonEmpty)
 
   private def isVt(spark: SparkSession, catalog: String): Boolean =
     spark.conf.getOption(s"spark.sql.catalog.$catalog")
@@ -143,6 +160,10 @@ object VtUtilitySql {
     case ShowBranchesRe(cat, addr) if isVt(spark, cat) =>
       Some(ShowBranchesStmt(addr))
     case ShowTagsRe(cat, addr) if isVt(spark, cat) => Some(ShowTagsStmt(addr))
+    case AnalyzeStatsRe(cat, addr, cols, rec) if isVt(spark, cat) =>
+      Some(AnalyzeStmt(addr, splitCols(cols), bloom = false, recompute = rec != null))
+    case AnalyzeBloomRe(cat, addr, cols) if isVt(spark, cat) =>
+      Some(AnalyzeStmt(addr, splitCols(cols), bloom = true, recompute = false))
     case CloneRe(dstCat, dst, srcCat, src, v)
         if isVt(spark, dstCat) && (isVt(spark, srcCat) || isDlite(spark, srcCat)) =>
       Some(CloneStmt(dst, src, Option(v).map(_.toLong),
@@ -184,6 +205,9 @@ object VtUtilitySql {
       StructField("version", LongType, nullable = false)))
     case _: CloneStmt => StructType(Seq(
       StructField("source_version", LongType, nullable = false),
+      StructField("n_files", IntegerType, nullable = false)))
+    case _: AnalyzeStmt => StructType(Seq(
+      StructField("version", LongType, nullable = false),
       StructField("n_files", IntegerType, nullable = false)))
   }
 
@@ -296,6 +320,11 @@ object VtUtilitySql {
           try Some(Row(name, vt.tagCommit(name).version))
           catch { case scala.util.control.NonFatal(_) => None }
         }
+      case AnalyzeStmt(_, cols, bloom, recompute) =>
+        val c =
+          if (bloom) vt.computeBloomIndex(spark, cols, branch)
+          else vt.computeStats(spark, cols, branch, recompute = recompute)
+        Seq(Row(c.version, c.files.size))
       case _: CloneStmt => throw new IllegalStateException("CLONE handled above")
     }
   }

@@ -1633,6 +1633,92 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       bloomFiles = parent.bloomFiles, dataChange = false)
   }
 
+  /** `ANALYZE`-shape stats BACKFILL (Delta recomputes stats the same way):
+    * collect per-file min/max/null-count stats for `cols` over the files
+    * that MISS them and publish as a METADATA-ONLY commit — same files,
+    * same rows, `dataChange=false` (streams see silence). One scan of the
+    * un-statted files buys skip-reads and metadata MIN/MAX forever — the
+    * adoption path for a table that was ingested without `statsCols`
+    * (re-writing a 100 TB table to get pruning would be absurd). Files
+    * already covered for every requested column are NOT re-read; pass
+    * `recompute = true` to force a full rebuild of the requested columns.
+    * Validation matches [[write]]'s statsCols rules (named columns must
+    * exist and have a sound stats domain). A snapshot already fully
+    * covered publishes nothing and returns the head unchanged. */
+  def computeStats(spark: SparkSession, cols: Seq[String],
+                   branch: String = "main", recompute: Boolean = false,
+                   message: String = ""): Commit = synchronized {
+    guardWritable(branch)
+    require(cols.nonEmpty, "computeStats needs at least one column")
+    val parent = headOrThrow(branch)
+    val schema = DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]
+    val missing = cols.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"computeStats names columns absent from the table: ${missing.mkString(", ")}")
+    val badType = cols.filter { c =>
+      val dt = schema(c).dataType
+      !(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+        dt == org.apache.spark.sql.types.StringType ||
+        dt == org.apache.spark.sql.types.TimestampType)
+    }
+    require(badType.isEmpty,
+      s"computeStats needs numeric, string, or timestamp columns; " +
+        badType.map(c => s"$c: ${schema(c).dataType.simpleString}").mkString(", ") +
+        " has no sound stats domain")
+    def covered(f: String): Boolean = cols.forall { c =>
+      parent.stats.get(f).exists(_.contains(c)) ||
+        parent.strStats.get(f).exists(_.contains(c))
+    }
+    val targets = if (recompute) parent.files else parent.files.filterNot(covered)
+    if (targets.isEmpty) return parent
+    val (num, str, nulls) = collectFileStats(spark, targets, cols, schema)
+    def merge[V](old: Map[String, Map[String, V]],
+                 fresh: Map[String, Map[String, V]]): Map[String, Map[String, V]] =
+      (old.keySet ++ fresh.keySet).map { f =>
+        f -> (old.getOrElse(f, Map.empty) ++ fresh.getOrElse(f, Map.empty))
+      }.toMap
+    publish(branch, Some(parent),
+      if (message.nonEmpty) message
+      else s"ANALYZE: stats for (${cols.mkString(", ")}) over ${targets.size} file(s)",
+      schema, parent.files,
+      merge(parent.stats, num), strStats = merge(parent.strStats, str),
+      nullStats = merge(parent.nullStats, nulls),
+      dvFiles = parent.dvFiles, bloomStats = parent.bloomStats,
+      bloomCols = bloomColsOf(parent), bloomFiles = parent.bloomFiles,
+      dataChange = false)
+  }
+
+  /** [[computeStats]]' BLOOM-INDEX sibling: build the per-file bloom
+    * sidecar for `cols` over the CURRENT snapshot and make the column set
+    * STICKY (later writes, compaction and COW rewrites keep it fresh, the
+    * same rule as write(bloomCols=…)) — the point-lookup adoption path for
+    * an already-ingested corpus keyed by uuid/doc_id. Metadata-only:
+    * files and rows unchanged, one sidecar written, `dataChange=false`. */
+  def computeBloomIndex(spark: SparkSession, cols: Seq[String],
+                        branch: String = "main",
+                        message: String = ""): Commit = synchronized {
+    guardWritable(branch)
+    require(cols.nonEmpty, "computeBloomIndex needs at least one column")
+    val parent = headOrThrow(branch)
+    val schema = DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]
+    val bad = cols.filter(c => !schema.fieldNames.contains(c) ||
+      !VersionedTable.bloomSupported(schema(c).dataType))
+    require(bad.isEmpty,
+      s"computeBloomIndex needs STRING or integral columns of the table, got: " +
+        bad.mkString(", "))
+    val sidecar = writeBloomSidecar(branch, parent.version + 1,
+      collectFileBlooms(spark, parent.files, cols, schema))
+    publish(branch, Some(parent),
+      if (message.nonEmpty) message
+      else s"ANALYZE: bloom index on (${cols.mkString(", ")})",
+      schema, parent.files, parent.stats, strStats = parent.strStats,
+      nullStats = parent.nullStats, dvFiles = parent.dvFiles,
+      bloomStats = parent.bloomStats,
+      bloomCols = (bloomColsOf(parent) ++ cols).distinct,
+      bloomFiles = parent.bloomFiles ++ sidecar,
+      dataChange = false)
+  }
+
   /** `ALTER TABLE … SET/UNSET TBLPROPERTIES`: a metadata-only commit
     * adjusting [[Commit.props]]. The `constraint.check.` namespace is
     * reserved — a CHECK constraint smuggled in as a raw property would skip
