@@ -109,6 +109,10 @@ object Registry {
     // CLONE followed by a diverging append — the metadata-only clone cost
     // must stay flat while the reads ride the source files
     "q_vt_constraint", "q_vt_table_changes", "q_vt_clone",
+    // r19c: the ANALYZE stats backfill — the one-time O(table) scan that
+    // buys pruning (its cost is what must stay linear; the pruned band
+    // read after it is the payoff)
+    "q_vt_analyze",
     // r19b: the catalog-native streaming mirror — readStream.table →
     // writeStream.toTable, epoch files written by the tasks themselves and
     // published as one watermarked commit (fixed-size; the cost is two
