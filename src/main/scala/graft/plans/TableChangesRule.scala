@@ -65,7 +65,25 @@ object TableChanges {
       throw new IllegalArgumentException(s"table_changes: first argument " +
         s"must be a string literal table path — $usage")))
     val spark = SparkSession.active
-    val vt = VersionedTable.open(SourcePaths.local(path))
+    val local = SourcePaths.local(path)
+    // ONE SQL surface over both table kinds: a path that is not a
+    // versioned-table root but carries a `_delta_log` serves the FOREIGN
+    // Delta change feed through the log replayer (same Delta column
+    // contract). Native markers win — a vt table with an exported log
+    // stays on the native feed.
+    locally {
+      val root = java.nio.file.Paths.get(local)
+      val isVtRoot = java.nio.file.Files.exists(root.resolve("_graft_table")) ||
+        (java.nio.file.Files.isDirectory(root.resolve("commits")) &&
+          java.nio.file.Files.isDirectory(root.resolve("refs")))
+      if (!isVtRoot &&
+          java.nio.file.Files.isDirectory(root.resolve("_delta_log"))) {
+        require(branch == "main",
+          "foreign Delta tables have no branches — drop the 'branch@' prefix")
+        return foreignDeltaPlan(spark, local, startE, endE, usage)
+      }
+    }
+    val vt = VersionedTable.open(local)
     def bound(e: Expression, isStart: Boolean): Long =
       lng(e).orElse(str(e).map { ts =>
         val millis = SourcePaths.parseTimestamp(spark, ts)
@@ -81,5 +99,43 @@ object TableChanges {
       case Some(e) => bound(e, isStart = false)
     }
     vt.tableChanges(spark, branch, s0, e0).queryExecution.analyzed
+  }
+
+  /** `table_changes` over a FOREIGN `_delta_log`: version bounds route to
+    * [[graft.vt.DeltaLogReader.changes]] (cdc actions win, add/remove
+    * commits derive — the reader's documented contract), timestamp bounds
+    * to [[graft.vt.DeltaLogReader.changesByTimestamp]] (Delta's
+    * startingTimestamp/endingTimestamp rules over the log's adjusted
+    * clock). Bounds must agree in kind — the two resolution clocks differ
+    * (commit-log millis vs the log's strictly-increasing adjusted
+    * sequence), so a mixed pair has no one sound reading. */
+  private def foreignDeltaPlan(spark: SparkSession, local: String,
+                               startE: Expression, endE: Option[Expression],
+                               usage: String): LogicalPlan = {
+    import graft.vt.DeltaLogReader
+    (lng(startE), str(startE)) match {
+      case (Some(s), _) =>
+        val e = endE match {
+          case None => DeltaLogReader.latestVersion(local)
+          case Some(x) => lng(x).getOrElse(throw new IllegalArgumentException(
+            "table_changes on a Delta table: bounds must agree in kind " +
+              s"(both versions or both timestamps) — $usage"))
+        }
+        DeltaLogReader.changes(spark, local, s, e).queryExecution.analyzed
+      case (None, Some(ts)) =>
+        val from = SourcePaths.parseTimestamp(spark, ts)
+        val to = endE match {
+          case None => System.currentTimeMillis()
+          case Some(x) => str(x).map(SourcePaths.parseTimestamp(spark, _))
+            .getOrElse(throw new IllegalArgumentException(
+              "table_changes on a Delta table: bounds must agree in kind " +
+                s"(both versions or both timestamps) — $usage"))
+        }
+        DeltaLogReader.changesByTimestamp(spark, local, from, to)
+          .queryExecution.analyzed
+      case _ => throw new IllegalArgumentException(
+        s"table_changes: start must be an integer (version) or string " +
+          s"(timestamp) literal — $usage")
+    }
   }
 }

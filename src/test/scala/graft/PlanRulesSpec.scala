@@ -137,6 +137,31 @@ class PlanRulesSpec extends SparkSpec {
       // an UNKNOWN TVF still fails with Spark's own error (the rule must
       // not swallow other names)
       intercept[Exception] { s2.sql("SELECT * FROM no_such_tvf(1)").collect() }
+      // FOREIGN DELTA routing: a non-vt path carrying a _delta_log serves
+      // the same SQL surface through the log replayer
+      locally {
+        import graft.vt.{DeltaLogFixture => F}
+        import s2.implicits._
+        val droot = java.nio.file.Paths.get(Tables.scratch("tvf_delta"))
+        java.nio.file.Files.createDirectories(droot)
+        val ddf = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+        val (f0, sz0) = F.writeDataFile(droot, ddf.where($"k" <= 2), "p0")
+        val (f1, sz1) = F.writeDataFile(droot, ddf.where($"k" === 3), "p1")
+        F.writeCommit(droot, 0, Seq(F.protocolLine(),
+          F.metaDataLine(ddf.schema.json, Nil), F.addLine(f0, sz0)))
+        F.writeCommit(droot, 1, Seq(F.addLine(f1, sz1)))
+        val dch = s2.sql(s"SELECT k, _change_type, _commit_version FROM " +
+          s"table_changes('$droot', 1, 1)")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        assert(dch.toSeq === Seq((3L, "insert", 1L)),
+          s"foreign feed must carry exactly commit 1's insert, got ${dch.mkString(",")}")
+        // mixed version/timestamp bounds refuse (two different clocks)
+        val em = intercept[Exception] {
+          s2.sql(s"SELECT * FROM table_changes('$droot', 1, '2026-01-01')").collect()
+        }
+        assert(em.getMessage.contains("agree in kind") ||
+          Option(em.getCause).exists(_.getMessage.contains("agree in kind")))
+      }
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
