@@ -126,15 +126,29 @@ final case class Commit(
       * the parent's map unless a metadata op overrides it; version-graph
       * ops that restore an old STATE (revert/restore) restore its props
       * too. Absent = empty (back-compatible JSON). */
-    props: Map[String, String] = Map.empty) {
+    props: Map[String, String] = Map.empty,
+    /** Commit-metadata MANIFEST files (r20, [[Manifest]]): table-root-
+      * relative `.manifest` paths whose concatenated entries ARE this
+      * snapshot's file list + per-file stats. When non-empty, the commit
+      * JSON omits `files`/`stats`/`strStats`/`rowCounts`/`nullStats`/
+      * `fileSizes` entirely — [[VersionedTable.loadCommit]] resolves the
+      * references back into those fields, so everything downstream keeps
+      * seeing a fully materialized Commit. An append reuses the parent's
+      * manifests by reference and adds ONE new manifest for its new files:
+      * the commit record is O(changed files), not O(table), the Iceberg
+      * manifest-sharing shape. Absent = empty = legacy inline commit
+      * (back-compatible JSON). */
+    manifests: Vector[String] = Vector.empty) {
   /** All parents, first-parent first — the DAG edge set for ancestry walks. */
   def parents: List[String] = parent.toList ++ mergeParent.toList
 
   /** Every on-disk file this snapshot needs — data files, deletion
-    * vectors, bloom index sidecars. The unit of vacuum retention: dropping
-    * a retained commit's DV would silently RESURRECT its deleted rows, and
-    * dropping its bloom sidecar would fail its point-lookup planning. */
-  def allFiles: Vector[String] = files ++ dvFiles ++ bloomFiles
+    * vectors, bloom index sidecars, commit-metadata manifests. The unit of
+    * vacuum retention: dropping a retained commit's DV would silently
+    * RESURRECT its deleted rows, dropping its bloom sidecar would fail its
+    * point-lookup planning, and dropping its manifest would lose the
+    * snapshot's file list itself. */
+  def allFiles: Vector[String] = files ++ dvFiles ++ bloomFiles ++ manifests
 }
 
 /** JSON codec + crash-safe metadata helpers for the commit log.
@@ -151,16 +165,20 @@ object CommitLog {
   private val mapper = new ObjectMapper()
 
   def toJson(c: Commit): String = {
+    // manifest-backed commits (r20) store their file list + per-file stats
+    // in the referenced .manifest files, never inline — that is the whole
+    // point (O(changed files) commit records); loadCommit resolves them back
+    val inline = c.manifests.isEmpty
     val m = new java.util.LinkedHashMap[String, Object]()
     m.put("id", c.id)
     m.put("parent", c.parent.orNull)
     m.put("version", java.lang.Long.valueOf(c.version))
-    m.put("files", c.files.asJava)
+    if (inline) m.put("files", c.files.asJava)
     m.put("schemaJson", c.schemaJson)
     m.put("message", c.message)
     m.put("ts", java.lang.Long.valueOf(c.ts))
     c.mergeParent.foreach(mp => m.put("mergeParent", mp)) // absent = not a merge
-    if (c.stats.nonEmpty) {
+    if (inline && c.stats.nonEmpty) {
       val sm = new java.util.LinkedHashMap[String, Object]()
       c.stats.toSeq.sortBy(_._1).foreach { case (file, cols) =>
         val cm = new java.util.LinkedHashMap[String, Object]()
@@ -172,7 +190,7 @@ object CommitLog {
       }
       m.put("stats", sm)
     }
-    if (c.strStats.nonEmpty) {
+    if (inline && c.strStats.nonEmpty) {
       val sm = new java.util.LinkedHashMap[String, Object]()
       c.strStats.toSeq.sortBy(_._1).foreach { case (file, cols) =>
         val cm = new java.util.LinkedHashMap[String, Object]()
@@ -184,21 +202,21 @@ object CommitLog {
       m.put("strStats", sm)
     }
     if (c.dvFiles.nonEmpty) m.put("dvFiles", c.dvFiles.asJava)
-    if (c.rowCounts.nonEmpty) {
+    if (inline && c.rowCounts.nonEmpty) {
       val rm = new java.util.LinkedHashMap[String, Object]()
       c.rowCounts.toSeq.sortBy(_._1).foreach { case (f, n) =>
         rm.put(f, java.lang.Long.valueOf(n))
       }
       m.put("rowCounts", rm)
     }
-    if (c.fileSizes.nonEmpty) {
+    if (inline && c.fileSizes.nonEmpty) {
       val fm = new java.util.LinkedHashMap[String, Object]()
       c.fileSizes.toSeq.sortBy(_._1).foreach { case (f, n) =>
         fm.put(f, java.lang.Long.valueOf(n))
       }
       m.put("fileSizes", fm)
     }
-    if (c.nullStats.nonEmpty) {
+    if (inline && c.nullStats.nonEmpty) {
       val nm = new java.util.LinkedHashMap[String, Object]()
       c.nullStats.toSeq.sortBy(_._1).foreach { case (file, cols) =>
         val cm = new java.util.LinkedHashMap[String, Object]()
@@ -236,6 +254,7 @@ object CommitLog {
       c.props.toSeq.sortBy(_._1).foreach { case (k, v) => pm.put(k, v) }
       m.put("props", pm)
     }
+    if (c.manifests.nonEmpty) m.put("manifests", c.manifests.asJava)
     mapper.writeValueAsString(m)
   }
 
@@ -245,7 +264,9 @@ object CommitLog {
       id = m.get("id").asInstanceOf[String],
       parent = Option(m.get("parent").asInstanceOf[String]),
       version = m.get("version").asInstanceOf[Number].longValue(),
-      files = m.get("files").asInstanceOf[java.util.List[String]].asScala.toVector,
+      files = Option(m.get("files"))
+        .map(_.asInstanceOf[java.util.List[String]].asScala.toVector)
+        .getOrElse(Vector.empty), // manifest-backed commit: resolved at load
       schemaJson = m.get("schemaJson").asInstanceOf[String],
       message = m.get("message").asInstanceOf[String],
       ts = m.get("ts").asInstanceOf[Number].longValue(),
@@ -302,7 +323,10 @@ object CommitLog {
         .map(_.asInstanceOf[Number].longValue()),
       props = Option(m.get("props")).map { raw =>
         raw.asInstanceOf[java.util.Map[String, String]].asScala.toMap
-      }.getOrElse(Map.empty))
+      }.getOrElse(Map.empty),
+      manifests = Option(m.get("manifests"))
+        .map(_.asInstanceOf[java.util.List[String]].asScala.toVector)
+        .getOrElse(Vector.empty))
   }
 
   /** Cross-process optimistic concurrency (Delta's log-store contract,

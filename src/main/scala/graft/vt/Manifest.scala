@@ -1,0 +1,146 @@
+package graft.vt
+
+import java.nio.file.{Files, Path}
+
+/** One data file's complete commit-log metadata — the per-file quintuple the
+  * commit JSON used to inline (`files` + `fileSizes` + `rowCounts` + `stats`
+  * + `strStats` + `nullStats`), factored into a value that can live in an
+  * immutable shared MANIFEST file instead ([[Manifest]]).
+  *
+  * Structural equality is the manifest REUSE test: a parent manifest is
+  * carried by reference into a child commit iff every entry it holds is
+  * byte-for-byte the child's metadata for a still-live file — so the check
+  * is `entry == childEntry`, and the codec below round-trips doubles as raw
+  * bits to keep that equality exact. */
+final case class ManifestEntry(
+    file: String,
+    size: Option[Long],
+    rows: Option[Long],
+    stats: Map[String, (Double, Double)],
+    strStats: Map[String, (String, String)],
+    nulls: Map[String, Long])
+
+/** Commit-metadata MANIFEST codec (r20). Every commit JSON used to inline
+  * the COMPLETE file list plus five per-file stats maps, copied from the
+  * parent on every publish — at 10⁶ files a one-row append serializes a
+  * multi-GB record, every `open()` parses it, and the log stores it once
+  * PER COMMIT. Delta stores deltas + parquet checkpoints; Iceberg shares
+  * immutable manifest files across snapshots. This engine now does the
+  * Iceberg shape: per-file metadata lives in write-once `.manifest` files
+  * under `data/`, a commit records only the manifest PATHS
+  * ([[Commit.manifests]]), an append writes ONE new manifest for its new
+  * files and reuses the parent's untouched manifests BY REFERENCE, and
+  * [[VersionedTable.loadCommit]] resolves the references back into the
+  * in-memory [[Commit]] through a bounded process-wide cache — so the
+  * commit record is O(changed files) and `open()` parses each shared
+  * manifest once per process, not once per commit.
+  *
+  * The r19 bloom sidecar ([[BloomIndex]]) proved the pattern; manifests are
+  * the same contract for the file list itself. Like sidecars they are
+  * data-plane artifacts: vacuum retains them through [[Commit.allFiles]]
+  * and sweeps orphans.
+  *
+  * Format (write-once, driver-read): int32 magic "GMFT", int32 version (1),
+  * int32 entry count, then per entry: path (len+UTF-8), size int64 (-1 =
+  * unknown), rows int64 (-1 = unknown), numeric stats (int32 n, per col:
+  * name, min/max as raw-bit doubles), string stats (int32 n, per col: name,
+  * min/max as len+UTF-8 — NOT writeUTF, whose 64 KB modified-UTF-8 ceiling
+  * a long string min/max would trip), null counts (int32 n, per col: name,
+  * int64). */
+object Manifest {
+
+  private val Magic = 0x474d4654 // "GMFT"
+  private val UTF8 = java.nio.charset.StandardCharsets.UTF_8
+
+  private def writeStr(out: java.io.DataOutputStream, s: String): Unit = {
+    val b = s.getBytes(UTF8)
+    out.writeInt(b.length); out.write(b)
+  }
+
+  private def readStr(in: java.io.DataInputStream): String = {
+    val b = new Array[Byte](in.readInt())
+    in.readFully(b)
+    new String(b, UTF8)
+  }
+
+  def write(path: Path, entries: Seq[ManifestEntry]): Unit = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(Magic)
+    out.writeInt(1)
+    out.writeInt(entries.size)
+    entries.foreach { e =>
+      writeStr(out, e.file)
+      out.writeLong(e.size.getOrElse(-1L))
+      out.writeLong(e.rows.getOrElse(-1L))
+      out.writeInt(e.stats.size)
+      e.stats.toSeq.sortBy(_._1).foreach { case (col, (mn, mx)) =>
+        writeStr(out, col)
+        out.writeLong(java.lang.Double.doubleToRawLongBits(mn))
+        out.writeLong(java.lang.Double.doubleToRawLongBits(mx))
+      }
+      out.writeInt(e.strStats.size)
+      e.strStats.toSeq.sortBy(_._1).foreach { case (col, (mn, mx)) =>
+        writeStr(out, col); writeStr(out, mn); writeStr(out, mx)
+      }
+      out.writeInt(e.nulls.size)
+      e.nulls.toSeq.sortBy(_._1).foreach { case (col, n) =>
+        writeStr(out, col); out.writeLong(n)
+      }
+    }
+    out.flush()
+    Files.write(path, bos.toByteArray)
+  }
+
+  def read(path: Path): Vector[ManifestEntry] = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(Files.readAllBytes(path)))
+    require(in.readInt() == Magic, s"$path is not a graft commit manifest")
+    val ver = in.readInt()
+    require(ver == 1, s"unsupported manifest version $ver in $path")
+    val n = in.readInt()
+    Vector.fill(n) {
+      val file = readStr(in)
+      val size = in.readLong() match { case -1L => None; case s => Some(s) }
+      val rows = in.readLong() match { case -1L => None; case r => Some(r) }
+      val stats = Vector.fill(in.readInt()) {
+        (readStr(in),
+          (java.lang.Double.longBitsToDouble(in.readLong()),
+            java.lang.Double.longBitsToDouble(in.readLong())))
+      }.toMap
+      val strStats = Vector.fill(in.readInt()) {
+        (readStr(in), (readStr(in), readStr(in)))
+      }.toMap
+      val nulls = Vector.fill(in.readInt()) { (readStr(in), in.readLong()) }.toMap
+      ManifestEntry(file, size, rows, stats, strStats, nulls)
+    }
+  }
+
+  // Bounded process-wide cache keyed by absolute manifest path: manifests
+  // are immutable once published and the same manifest is referenced by
+  // every descendant commit, so lineage walks and repeated `open()`s share
+  // one parsed copy. LRU-bounded so a driver hosting many tables holds a
+  // bounded number of entry vectors.
+  private val CacheMax = 512
+  private val cache =
+    new java.util.LinkedHashMap[String, Vector[ManifestEntry]](CacheMax, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Vector[ManifestEntry]]): Boolean =
+        size() > CacheMax
+    }
+
+  def cached(path: Path): Vector[ManifestEntry] = {
+    val key = path.toAbsolutePath.toString
+    // load happens OUTSIDE the lock (same shape as BloomIndex.cached):
+    // concurrent first-time loads of different manifests never serialize
+    // behind each other's IO; a duplicate parse of the same immutable file
+    // is harmless.
+    val hit = cache.synchronized(cache.get(key))
+    if (hit != null) hit
+    else {
+      val loaded = read(path)
+      cache.synchronized(cache.put(key, loaded))
+      loaded
+    }
+  }
+}

@@ -79,7 +79,31 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
   // ---- commit log access -------------------------------------------------
 
   def loadCommit(id: String): Commit =
-    CommitLog.fromJson(store.read(commitsDir.resolve(id + ".json")))
+    resolveManifests(CommitLog.fromJson(store.read(commitsDir.resolve(id + ".json"))))
+
+  /** Materialize a manifest-backed commit (r20, [[Manifest]]): the JSON
+    * record carries only manifest PATHS; their concatenated entries — in
+    * manifest-list order, which [[buildManifests]] made identical to the
+    * order publish saw — become the in-memory `files` list and per-file
+    * stats maps. Everything downstream (scans, pruning, diff, merge, CDC,
+    * vacuum) keeps seeing a fully materialized [[Commit]]; the resolution
+    * is cheap because immutable manifests parse once per process
+    * ([[Manifest.cached]]). Legacy inline commits pass through untouched. */
+  private def resolveManifests(c: Commit): Commit =
+    if (c.manifests.isEmpty) c
+    else {
+      val entries = c.manifests.flatMap(m => Manifest.cached(root.resolve(m)))
+      c.copy(
+        files = entries.map(_.file),
+        stats = entries.iterator.filter(_.stats.nonEmpty)
+          .map(e => e.file -> e.stats).toMap,
+        strStats = entries.iterator.filter(_.strStats.nonEmpty)
+          .map(e => e.file -> e.strStats).toMap,
+        rowCounts = entries.iterator.flatMap(e => e.rows.map(e.file -> _)).toMap,
+        nullStats = entries.iterator.filter(_.nulls.nonEmpty)
+          .map(e => e.file -> e.nulls).toMap,
+        fileSizes = entries.iterator.flatMap(e => e.size.map(e.file -> _)).toMap)
+    }
 
   def head(branch: String): Option[Commit] = {
     val ref = refsDir.resolve(branch)
@@ -426,12 +450,6 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
           Map.empty[String, Map[String, (String, String)]],
           Map.empty[String, Map[String, Long]])
       else collectFileStats(df.sparkSession, newFiles, statsCols, df.schema)
-    val parentStats = if (mode == "append") parent.map(_.stats).getOrElse(Map.empty)
-                      else Map.empty[String, Map[String, (Double, Double)]]
-    val parentStrStats = if (mode == "append") parent.map(_.strStats).getOrElse(Map.empty)
-                         else Map.empty[String, Map[String, (String, String)]]
-    val parentNullStats = if (mode == "append") parent.map(_.nullStats).getOrElse(Map.empty)
-                          else Map.empty[String, Map[String, Long]]
     // bloom columns are STICKY (Delta's bloom index is a table property):
     // unless this write names its own, the parent's bloom column set is
     // recomputed for the new files — so appends, compaction and z-order
@@ -447,21 +465,64 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     // append keeps the parent's index (sidecars + any legacy inline
     // entries) live alongside the new files' sidecar; overwrite replaces
     // the snapshot, so only the fresh sidecar carries
-    val parentBloomFiles = if (mode == "append") parent.map(_.bloomFiles).getOrElse(Vector.empty)
-                           else Vector.empty
-    val parentBlooms = if (mode == "append") parent.map(_.bloomStats).getOrElse(Map.empty)
-                       else Map.empty[String, Map[String, String]]
-    publish(branch, parent, message, schema,
-      if (mode == "append") parent.map(_.files).getOrElse(Vector.empty) ++ newFiles else newFiles,
-      parentStats ++ newStats, strStats = parentStrStats ++ newStrStats,
-      nullStats = parentNullStats ++ newNullStats,
-      // append keeps the old files, so their deletion vectors stay live;
-      // overwrite replaces the snapshot, so none carry
-      dvFiles = if (mode == "append") parent.map(_.dvFiles).getOrElse(Vector.empty)
-                else Vector.empty,
-      bloomStats = parentBlooms,
-      bloomCols = effBloomCols, bloomFiles = parentBloomFiles ++ sidecar,
-      dataChange = dataChange)
+    def attempt(base: Option[Commit]): Commit = {
+      val app = mode == "append"
+      publish(branch, base, message, schema,
+        (if (app) base.map(_.files).getOrElse(Vector.empty) else Vector.empty) ++ newFiles,
+        (if (app) base.map(_.stats).getOrElse(Map.empty)
+         else Map.empty[String, Map[String, (Double, Double)]]) ++ newStats,
+        strStats = (if (app) base.map(_.strStats).getOrElse(Map.empty)
+                    else Map.empty[String, Map[String, (String, String)]]) ++ newStrStats,
+        nullStats = (if (app) base.map(_.nullStats).getOrElse(Map.empty)
+                     else Map.empty[String, Map[String, Long]]) ++ newNullStats,
+        // append keeps the old files, so their deletion vectors stay live;
+        // overwrite replaces the snapshot, so none carry
+        dvFiles = if (app) base.map(_.dvFiles).getOrElse(Vector.empty)
+                  else Vector.empty,
+        bloomStats = if (app) base.map(_.bloomStats).getOrElse(Map.empty)
+                     else Map.empty[String, Map[String, String]],
+        bloomCols = effBloomCols,
+        bloomFiles = (if (app) base.map(_.bloomFiles).getOrElse(Vector.empty)
+                      else Vector.empty) ++ sidecar,
+        dataChange = dataChange)
+    }
+    try attempt(parent)
+    catch {
+      // OCC REBASE for blind appends (r20, Delta's WriteSerializable rule:
+      // a transaction that only ADDS files never logically conflicts with
+      // another committed change — appends commute with appends, DML and
+      // layout commits). Losing the version-slot CAS therefore re-reads the
+      // new head and re-publishes the SAME already-written data files on
+      // top of it — metadata-only, the data job never re-runs — so a
+      // 1000-writer concurrent ingest serializes instead of failing 999
+      // writers. The rebase REFUSES (rethrowing the conflict) whenever the
+      // winner moved anything this append's validation depended on: the
+      // schema (our shape/type checks ran against the old one), the table
+      // properties (a concurrently ADDED CHECK constraint has not validated
+      // our rows), or the sticky bloom column set (our sidecar indexes the
+      // old columns). Overwrites and DML never rebase here — an overwrite
+      // that lost the race would silently drop the winner's rows.
+      case e: java.util.ConcurrentModificationException
+          if mode == "append" && parent.nonEmpty =>
+        var base = parent
+        var out: Option[Commit] = None
+        var lost = 0
+        while (out.isEmpty) {
+          lost += 1
+          if (lost > VersionedTable.MaxAppendRebase) throw e
+          guardWritable(branch) // protection rules may have changed mid-race
+          val nh = head(branch)
+          val safe = nh.exists(h => base.exists(b =>
+            h.version > b.version &&
+              h.schemaJson == b.schemaJson && h.props == b.props &&
+              bloomColsOf(h).sorted == bloomColsOf(b).sorted))
+          if (!safe) throw e
+          base = nh
+          try out = Some(attempt(base))
+          catch { case _: java.util.ConcurrentModificationException => () }
+        }
+        out.get
+    }
   }
 
   /** Per-file min/max stats for `cols`, computed in ONE Spark job over the
@@ -2138,6 +2199,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
                       seedFileSizes: Map[String, Long] = Map.empty): Commit = {
     val version = parent.map(_.version + 1).getOrElse(0L)
     val id = s"$branch-v$version-${java.util.UUID.randomUUID.toString.take(8)}"
+    val mergeParentCommit = mergeParent.map(loadCommit)
     // Per-file row counts (Delta numRecords): inherited from either parent's
     // map when the file carries over; ONE local footer read per genuinely new
     // file. Keeping them in the log is what makes COUNT(*) metadata-only at
@@ -2146,7 +2208,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     // to a scan); it never fails the publish.
     val inheritedCounts = seedRowCounts ++
       parent.map(_.rowCounts).getOrElse(Map.empty) ++
-      mergeParent.map(mp => loadCommit(mp).rowCounts).getOrElse(Map.empty)
+      mergeParentCommit.map(_.rowCounts).getOrElse(Map.empty)
     val rowCounts = files.flatMap { f =>
       inheritedCounts.get(f).orElse(VersionedTable.footerRowCount(root.resolve(f)))
         .map(f -> _)
@@ -2155,7 +2217,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     // file at publish time buys stat-free scan planning forever after
     val inheritedSizes = seedFileSizes ++
       parent.map(_.fileSizes).getOrElse(Map.empty) ++
-      mergeParent.map(mp => loadCommit(mp).fileSizes).getOrElse(Map.empty)
+      mergeParentCommit.map(_.fileSizes).getOrElse(Map.empty)
     val fileSizes = files.flatMap { f =>
       inheritedSizes.get(f).orElse {
         val p = root.resolve(f)
@@ -2163,11 +2225,18 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
         catch { case _: java.io.IOException => None }
       }.map(f -> _)
     }.toMap
-    val c = Commit(id, parent.map(_.id), version, files, schema.json, message,
+    // r20: per-file metadata moves to immutable shared MANIFEST files; the
+    // commit record carries only their paths, so an append's record is
+    // O(its new files) — not O(table) — and unchanged segments are reused
+    // by reference across commits (Iceberg's manifest sharing).
+    val (manifestRefs, orderedFiles) = buildManifests(branch, version, parent,
+      mergeParentCommit, files, stats, strStats, rowCounts, nullStats, fileSizes)
+    val c = Commit(id, parent.map(_.id), version, orderedFiles, schema.json, message,
       System.currentTimeMillis(), stats, mergeParent, strStats, dvFiles, rowCounts,
       nullStats, fileSizes, bloomStats, bloomCols, bloomFiles, dataChange,
       txn.map(_._1), txn.map(_._2),
-      props = props.getOrElse(parent.map(_.props).getOrElse(Map.empty)))
+      props = props.getOrElse(parent.map(_.props).getOrElse(Map.empty)),
+      manifests = manifestRefs)
     // pre-commit hooks (lakeFS Actions) see the full candidate and may throw;
     // running BEFORE the slot claim means an abort leaves no claimed slot to
     // sweep — only orphan data files the next vacuum reclaims.
@@ -2187,6 +2256,83 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     if (version > 0 && version % VersionedTable.CheckpointInterval == 0)
       writeCheckpoint(branch, c)
     c
+  }
+
+  /** Factor this commit's per-file metadata into MANIFEST references
+    * (r20, [[Manifest]]): reuse every parent manifest whose entries are ALL
+    * still live and unchanged (the common case — an append or a metadata-only
+    * commit touches none of them), pool the surviving entries of partially
+    * dead manifests with the genuinely new files into ONE fresh manifest,
+    * and — when the reference list would exceed
+    * [[VersionedTable.MaxManifests]] — compact everything into a single
+    * manifest so `open()` cost stays bounded by a constant number of cached
+    * reads no matter how many commits the table accretes (Iceberg's
+    * rewrite-manifests, amortized O(files/MaxManifests) per commit).
+    *
+    * Returns (manifest paths, files in RESOLUTION order) — the order
+    * [[resolveManifests]] will reproduce, which publish stores in the
+    * in-memory commit so a round-trip through the log is an identity.
+    * A legacy inline parent (no manifests) converts wholesale: its carried
+    * files land in the fresh manifest once, O(table) at conversion only. */
+  private def buildManifests(
+      branch: String, version: Long,
+      parent: Option[Commit], mergeParentCommit: Option[Commit],
+      files: Vector[String],
+      stats: Map[String, Map[String, (Double, Double)]],
+      strStats: Map[String, Map[String, (String, String)]],
+      rowCounts: Map[String, Long],
+      nullStats: Map[String, Map[String, Long]],
+      fileSizes: Map[String, Long]): (Vector[String], Vector[String]) = {
+    if (files.isEmpty) return (Vector.empty, files)
+    def entryOf(f: String): ManifestEntry = ManifestEntry(f,
+      fileSizes.get(f), rowCounts.get(f),
+      stats.getOrElse(f, Map.empty), strStats.getOrElse(f, Map.empty),
+      nullStats.getOrElse(f, Map.empty))
+    val fileSet = files.toSet
+    val parentRefs = (parent.map(_.manifests).getOrElse(Vector.empty) ++
+      mergeParentCommit.map(_.manifests).getOrElse(Vector.empty)).distinct
+    var covered = Set.empty[String]
+    val reused = Vector.newBuilder[String]
+    val reusedFiles = Vector.newBuilder[String]
+    val residual = Vector.newBuilder[ManifestEntry]
+    parentRefs.foreach { mref =>
+      val entries =
+        try Manifest.cached(root.resolve(mref))
+        catch { case scala.util.control.NonFatal(_) => Vector.empty }
+      // an entry survives iff its file is still in the snapshot, not already
+      // covered by an earlier manifest (merge commits may reference
+      // overlapping ancestors), and its metadata is UNCHANGED (ANALYZE
+      // backfill and stats-evolving rewrites migrate files out)
+      val live = entries.filter(e =>
+        fileSet(e.file) && !covered(e.file) && entryOf(e.file) == e)
+      if (live.nonEmpty && live.size == entries.size) {
+        reused += mref
+        live.foreach { e => covered += e.file; reusedFiles += e.file }
+      } else if (live.nonEmpty) {
+        live.foreach { e => covered += e.file; residual += e }
+      }
+    }
+    val freshEntries = residual.result() ++ files.filterNot(covered).map(entryOf)
+    val ordered = reusedFiles.result() ++ freshEntries.map(_.file)
+    val refs = reused.result() ++
+      (if (freshEntries.nonEmpty)
+         Vector(writeManifest(branch, version, freshEntries))
+       else Vector.empty)
+    if (refs.size <= VersionedTable.MaxManifests) (refs, ordered)
+    else // compact: one manifest holding every live entry, resolution order
+      (Vector(writeManifest(branch, version, ordered.map(entryOf))), ordered)
+  }
+
+  /** Persist one manifest as a flat `.manifest` file under `data/` —
+    * data-plane like the bloom sidecars, so the existing vacuum
+    * sweep/retention machinery manages it; returns its root-relative path. */
+  private def writeManifest(branch: String, version: Long,
+                            entries: Seq[ManifestEntry]): String = {
+    Files.createDirectories(dataDir)
+    val p = dataDir.resolve(
+      s"$branch-v$version-mf-${java.util.UUID.randomUUID.toString.take(8)}.manifest")
+    Manifest.write(p, entries)
+    root.relativize(p).toString
   }
 
   // ---- reads -------------------------------------------------------------
@@ -3179,7 +3325,8 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     * is reclaimable garbage exactly like an orphaned data file. */
   private def sweep(retained: Set[String], dryRun: Boolean = false): Int = {
     def dataPlane(name: String): Boolean =
-      name.endsWith(".parquet") || name.endsWith(".bloom")
+      name.endsWith(".parquet") || name.endsWith(".bloom") ||
+        name.endsWith(".manifest")
     if (!Files.exists(dataDir)) return 0
     val walk = Files.walk(dataDir)
     val all =
@@ -3646,6 +3793,19 @@ object VersionedTable {
     * index (Delta writes parquet checkpoints every 10 commits for the same
     * reason — snapshot resolution must not replay the log). */
   val CheckpointInterval: Long = 10L
+
+  /** Manifest-list cap (r20): when a commit would reference more manifests
+    * than this, publish compacts them into one — so `open()` resolves a
+    * snapshot in a bounded number of (cached) manifest reads no matter how
+    * many commits the table accretes, and the compaction's O(files) rewrite
+    * amortizes to O(files/MaxManifests) per commit (Iceberg's
+    * rewrite-manifests cadence). */
+  val MaxManifests: Int = 32
+
+  /** Bounded lost-CAS rebases for a blind append (r20 OCC): enough that a
+    * realistic concurrent-ingest burst serializes, small enough that a
+    * stuck slot (crashed claimer) surfaces as a conflict quickly. */
+  val MaxAppendRebase: Int = 5
 
   /** Slot filename "<branch>-v<version>"; greedy branch group so hyphenated
     * branch names (even ones ending in "-vN") parse to the right (branch,

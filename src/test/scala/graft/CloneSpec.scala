@@ -26,9 +26,11 @@ class CloneSpec extends SparkSpec {
     assert(c.files.forall(f => java.nio.file.Paths.get(f).isAbsolute &&
       f.startsWith(src.root.toString)))
     val dataDir = dst.root.resolve("data")
+    // r20: the clone's own commit-metadata MANIFEST lives under data/
+    // (vacuum-managed like any sidecar) — but no PARQUET may be copied
     assert(!java.nio.file.Files.exists(dataDir) ||
-      !java.nio.file.Files.walk(dataDir).iterator().hasNext ||
       java.nio.file.Files.walk(dataDir).filter(java.nio.file.Files.isRegularFile(_))
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
         .count() === 0L, "a SHALLOW clone must copy no data files")
     // rows identical to the source snapshot
     assert(dst.read(spark, "main").as[(Long, String)].collect().sorted

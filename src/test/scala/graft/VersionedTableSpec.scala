@@ -157,7 +157,8 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.readVersion(spark, "main", 0).as[Int].collect() === Array(1))
     // horizon ends after c0 → c0 reclaimed, head (c1) always survives
     val deleted = vt.vacuumRetainHours(0.0, nowMs = c1.ts)
-    assert(deleted === c0.files.size && deleted > 0)
+    // r20: c0's commit-metadata manifest is reclaimed alongside its data
+    assert(deleted === c0.allFiles.size && deleted > c0.files.size)
     assert(vt.read(spark, "main").as[Int].collect() === Array(2))
     assertThrows[Exception](vt.readVersion(spark, "main", 0).collect())
   }
@@ -310,7 +311,8 @@ class VersionedTableSpec extends SparkSpec {
     // a commit without logged counts (pre-rowCounts history) falls back to a scan
     val h = vt.head("main").get
     vt.store.put(vt.root.resolve("commits").resolve(h.id + ".json"),
-      graft.vt.CommitLog.toJson(h.copy(rowCounts = Map.empty)))
+      graft.vt.CommitLog.toJson( // legacy inline commit: no manifests either
+        h.copy(rowCounts = Map.empty, manifests = Vector.empty)))
     assert(vt.head("main").get.rowCounts.isEmpty)
     assert(vt.countRows(spark) === 4, "scan fallback must agree")
   }
@@ -423,7 +425,9 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.deleteTag("rel-1.0") && vt.deleteTag("also-v0"))
     assert(!vt.deleteTag("rel-1.0")) // double delete is a false no-op
     val reclaimed = vt.vacuum(retainLast = 1)
-    assert(reclaimed === c0.files.size && reclaimed > 0)
+    // r20: v0's data files go, plus every manifest only unretained commits
+    // reference (restore/revert wrote fresh ones) — at least c0's own
+    assert(reclaimed >= c0.allFiles.size && reclaimed > c0.files.size)
     assert(vt.read(spark, "main").as[(Int, String)].collect() === Array((9, "z")))
   }
 
@@ -746,7 +750,9 @@ class VersionedTableSpec extends SparkSpec {
     // main is untouched; dev's now-unreachable files go at the next vacuum
     assert(vt.read(spark, "main").as[Int].collect() === Array(1))
     val deleted = vt.vacuum(retainLast = 1)
-    assert(deleted === cDev.files.size && deleted > 0)
+    // r20: dev's exclusive manifest is unreachable too (main's manifest
+    // predates the branch, so only the dev overwrite's manifest dies)
+    assert(deleted === cDev.files.size + 1 && deleted > 0)
     // the last branch is protected
     assertThrows[IllegalArgumentException](vt.deleteBranch("main"))
   }
@@ -984,9 +990,10 @@ class VersionedTableSpec extends SparkSpec {
     // numeric stats still recorded alongside on the same commit
     val prunedNum = vt.readWhere(spark, "main", "v", 5.0, 9.0)
     assert(prunedNum.inputFiles.length === 1)
-    // string stats survive the JSON codec round-trip
+    // string stats survive the commit-log round-trip (r20: through the
+    // manifest codec — loadCommit resolves the references back)
     val head = vt.head("main").get
-    val reloaded = graft.vt.CommitLog.fromJson(graft.vt.CommitLog.toJson(head))
+    val reloaded = vt.loadCommit(head.id)
     assert(reloaded.strStats === head.strStats && head.strStats.nonEmpty)
   }
 

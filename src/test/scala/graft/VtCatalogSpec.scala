@@ -820,7 +820,10 @@ class VtCatalogSpec extends SparkSpec {
     val trueSize = head.files.map(f => java.nio.file.Files.size(vt.root.resolve(f))).sum
     // simulate a legacy log: rewrite the head commit JSON without fileSizes
     val cPath = vt.root.resolve("commits").resolve(head.id + ".json")
-    val legacy = graft.vt.CommitLog.toJson(head.copy(fileSizes = Map.empty))
+    // legacy = pre-manifest inline commit (manifests cleared so toJson
+    // inlines the file list) without fileSizes
+    val legacy = graft.vt.CommitLog.toJson(
+      head.copy(fileSizes = Map.empty, manifests = Vector.empty))
     java.nio.file.Files.writeString(cPath, legacy)
     spark.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
     val t = s"vt.`${vt.root}`"
