@@ -117,7 +117,11 @@ object Registry {
     // writeStream.toTable, epoch files written by the tasks themselves and
     // published as one watermarked commit (fixed-size; the cost is two
     // micro-batch engine cycles)
-    "q_vt_stream_mirror")
+    "q_vt_stream_mirror",
+    // r20: RENAME/DROP COLUMN via name-mode column mapping — metadata-only
+    // commits (the stats re-key is the only O(files) metadata work) followed
+    // by an sf-scaled INSERT/read through the mapped write/read paths
+    "q_vt_rename_column", "q_vt_drop_column")
 
   /** The FROZEN round-4 headline list. `benchNames` grows as operators land
     * (23 → 27 across rounds), so the all-queries `total` is not

@@ -1967,6 +1967,56 @@ object Versioned {
     s.sql(s"SELECT o_orderkey, note FROM vt.`$root` ORDER BY o_orderkey")
   }
 
+  /** SQL `ALTER TABLE … RENAME COLUMN` (r20,
+    * [[graft.vt.VersionedTable.renameColumn]]): a METADATA-ONLY commit via
+    * name-mode column mapping — ZERO files rewritten; the field keeps its
+    * physical parquet name in StructField metadata, reads re-alias
+    * positionally, the logical-keyed stats re-key in the same commit, and
+    * the catalog serves the mapped snapshot through the V1 fallback scan.
+    * The INSERT after the rename proves writes keep landing under the
+    * stable physical name. The oracle unions both bands over orders. */
+  val qVtRenameColumn: QueryDef = q("q_vt_rename_column")(
+    """SELECT o_orderpriority AS pri, count(*) AS n,
+      |       CAST(sum(o_orderkey) AS BIGINT) AS keysum
+      |FROM orders WHERE o_orderkey % 8 = 3 OR o_orderkey % 8 = 4
+      |GROUP BY o_orderpriority ORDER BY pri""".stripMargin) { (s, d) =>
+    val root = Tables.scratch("vt_rename_column")
+    s.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
+    val vt = VersionedTable.create(root)
+    val orders = Tables.orders(s, d)
+    vt.write(orders.where(pmod(col("o_orderkey"), lit(8)) === 3)
+      .select("o_orderkey", "o_orderpriority"), "main", "v0",
+      statsCols = Seq("o_orderkey"))
+    s.sql(s"ALTER TABLE vt.`$root` RENAME COLUMN o_orderkey TO doc_key").collect()
+    orders.where(pmod(col("o_orderkey"), lit(8)) === 4)
+      .select(col("o_orderkey").as("doc_key"), col("o_orderpriority"))
+      .createOrReplaceTempView("rename_late")
+    s.sql(s"INSERT INTO vt.`$root` SELECT doc_key, o_orderpriority FROM rename_late")
+    s.sql(
+      s"""SELECT o_orderpriority AS pri, count(*) AS n,
+         |       CAST(sum(doc_key) AS BIGINT) AS keysum
+         |FROM vt.`$root` GROUP BY o_orderpriority ORDER BY pri""".stripMargin)
+  }
+
+  /** SQL `ALTER TABLE … DROP COLUMN` (r20,
+    * [[graft.vt.VersionedTable.dropColumn]]): metadata-only — old files
+    * keep the bytes but explicit-schema reads never request them, and a
+    * RE-ADDED column of the same name gets a FRESH physical name, so the
+    * dropped values are unreachable by construction: the oracle pins
+    * exactly that all-NULL read-back. */
+  val qVtDropColumn: QueryDef = q("q_vt_drop_column")(
+    """SELECT o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice FROM orders
+      |WHERE o_orderkey % 8 = 5 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val root = Tables.scratch("vt_drop_column")
+    s.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
+    val vt = VersionedTable.create(root)
+    vt.write(Tables.orders(s, d).where(pmod(col("o_orderkey"), lit(8)) === 5)
+      .select("o_orderkey", "o_totalprice"), "main", "v0")
+    s.sql(s"ALTER TABLE vt.`$root` DROP COLUMN o_totalprice").collect()
+    s.sql(s"ALTER TABLE vt.`$root` ADD COLUMNS (o_totalprice DOUBLE)").collect()
+    s.sql(s"SELECT o_orderkey, o_totalprice FROM vt.`$root` ORDER BY o_orderkey")
+  }
+
   /** SQL CHECK constraints end-to-end (r19c, Spark 4's native constraint
     * grammar + [[graft.vt.VersionedTable.addCheckConstraint]]): `ALTER
     * TABLE … ADD CONSTRAINT` validates the EXISTING rows then lands as a
@@ -2217,5 +2267,5 @@ object Versioned {
     qVtSqlCountMeta, qVtBloomSkip, qVtCtas, qDliteRuntimeSkip,
     qVtBloomLong, qVtOptimizeWhere, qVtAddColumn, qVtRtas, qVtStreamTable,
     qVtStreamMirror, qVtConstraint, qVtTableChanges, qVtClone, qVtCloneDelta,
-    qVtAnalyze)
+    qVtAnalyze, qVtRenameColumn, qVtDropColumn)
 }

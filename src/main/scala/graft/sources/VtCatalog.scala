@@ -227,7 +227,14 @@ final class VtCatalog extends TableCatalog with StagingTableCatalog {
         case (n, g) if g.length > 1 => n }
       require(dup.isEmpty,
         s"duplicate constraint name(s) (names are case-insensitive): ${dup.mkString(", ")}")
-      checks.foreach { case (_, sql) =>
+      checks.foreach { case (n, sql) =>
+        // the SAME name-shape rule addCheckConstraint enforces later: a
+        // backquoted non-identifier name (valid in Spark 4's grammar, e.g.
+        // CONSTRAINT `a-b`) must fail HERE, before v0 publishes — failing
+        // inside the post-create loop would leave the half-created table
+        // this pre-flight exists to prevent
+        require(n.matches("""[A-Za-z_][A-Za-z0-9_]*"""),
+          s"constraint name must be an identifier, got '$n'")
         VersionedTable.validateCheckPredicate(SparkSession.active, info.schema(), sql)
       }
     }
@@ -372,6 +379,27 @@ final class VtCatalog extends TableCatalog with StagingTableCatalog {
     val set = changes.collect {
       case s: TableChange.SetProperty => s.property() -> s.value()
     }.toMap
+    // the SAME reserved-key screening CREATE TABLE applies: keys the create
+    // path refuses loudly (COMMENT, provider, option.*-prefixed OPTIONS)
+    // must not slip into durable props through the SET door (COMMENT ON
+    // TABLE routes here too); constraint.check.* is guarded one layer down
+    // in setTableProperties
+    locally {
+      import org.apache.spark.sql.connector.catalog.TableCatalog._
+      set.keys.foreach {
+        case PROP_COMMENT => throw new IllegalArgumentException(
+          "COMMENT is not stored by versioned tables (nothing would surface " +
+            "it back) — record table notes in commit messages instead")
+        case PROP_PROVIDER | PROP_LOCATION => throw new IllegalArgumentException(
+          "provider/location are fixed at CREATE for a path-addressed vt " +
+            "table and cannot be changed via SET TBLPROPERTIES")
+        case k if k.startsWith(OPTION_PREFIX) =>
+          throw new IllegalArgumentException(
+            s"OPTIONS ('${k.stripPrefix(OPTION_PREFIX)}') are not read by " +
+              "versioned tables — versioning dials are write options / SQL verbs")
+        case _ => ()
+      }
+    }
     val unset = changes.collect {
       case r: TableChange.RemoveProperty => r.property()
     }
@@ -390,13 +418,42 @@ final class VtCatalog extends TableCatalog with StagingTableCatalog {
     if (changes.forall(c => c.isInstanceOf[TableChange.SetProperty] ||
         c.isInstanceOf[TableChange.RemoveProperty]))
       return alterProperties(ident, changes)
+    // RENAME/DROP COLUMN (r20): metadata-only commits through name-mode
+    // column mapping — zero files rewritten, old versions time-travel with
+    // their pinned schema, reads re-alias physical parquet names
+    if (changes.forall(c => c.isInstanceOf[TableChange.RenameColumn] ||
+        c.isInstanceOf[TableChange.DeleteColumn])) {
+      val (vt, branch) = parse(ident)
+      changes.foreach {
+        case r: TableChange.RenameColumn =>
+          require(r.fieldNames().length == 1,
+            s"RENAME COLUMN supports top-level columns only, got nested " +
+              r.fieldNames().mkString("."))
+          vt.renameColumn(SparkSession.active, branch, r.fieldNames().head, r.newName(),
+            s"ALTER TABLE $catalogName.`${ident.name()}` RENAME COLUMN " +
+              s"${r.fieldNames().head} TO ${r.newName()}")
+        case d: TableChange.DeleteColumn =>
+          require(d.fieldNames().length == 1,
+            s"DROP COLUMN supports top-level columns only, got nested " +
+              d.fieldNames().mkString("."))
+          try vt.dropColumn(SparkSession.active, branch, d.fieldNames().head,
+            s"ALTER TABLE $catalogName.`${ident.name()}` DROP COLUMN " +
+              d.fieldNames().head)
+          catch {
+            case e: IllegalArgumentException
+                if d.ifExists() && e.getMessage.contains("no such column") => ()
+          }
+        case _ => () // exhaustive by the forall guard
+      }
+      return loadTable(ident)
+    }
     val adds = changes.map {
       case a: TableChange.AddColumn => a
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER on a versioned table: ${other.getClass.getSimpleName} " +
-          "(ADD COLUMNS, ADD/DROP CONSTRAINT and SET/UNSET TBLPROPERTIES are " +
-          "the metadata-only commits; drop/rename/retype a column would need " +
-          "column mapping)")
+          "(ADD COLUMNS, RENAME/DROP COLUMN, ADD/DROP CONSTRAINT and " +
+          "SET/UNSET TBLPROPERTIES are the metadata-only commits; retyping " +
+          "a column would change the bytes' meaning and is refused)")
     }
     val fields = adds.map { a =>
       require(a.fieldNames().length == 1,
@@ -508,7 +565,12 @@ final class VtTable(spark: SparkSession, vt: VersionedTable, branch: String,
     * whose readers subtract deletion vectors by generated row index
     * (r18; no `V1Scan`/`RDD[Row]` bridge). */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    if (commit.dvFiles.isEmpty)
+    // column-mapped snapshots (r20 RENAME/DROP) read physical parquet names
+    // the native builders cannot address — serve the proven V1 fallback
+    // (stats/bloom-pruned, filter-pushed, DV-correct)
+    if (VersionedTable.hasColumnMapping(tableSchema))
+      new VtV1ScanBuilder(spark, vt, commit)
+    else if (commit.dvFiles.isEmpty)
       new VtMetaScanBuilder(spark, vt, commit, tableSchema, options, branch)
     else new VtMorScanBuilder(spark, vt, commit, tableSchema, branch, options)
 

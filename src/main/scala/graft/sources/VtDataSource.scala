@@ -9,7 +9,8 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, PartitionDi
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.SaveMode
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider, StreamSinkProvider}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider, StreamSinkProvider, TableScan}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -201,6 +202,56 @@ final class VtMorRelation(ctx: SQLContext, vt: VersionedTable, commit: Commit)
     scanPlan(requiredColumns, filters).rdd
 }
 
+/** DSv2 → DSv1 bridge for COLUMN-MAPPED snapshots (r20 RENAME/DROP): the
+  * native batch builders address parquet by the table's LOGICAL names,
+  * which a mapped snapshot's files do not carry — so the `vt` catalog
+  * serves these shapes through a [[V1Scan]] over [[VtMorRelation]]
+  * (readCommit's positional physical→logical aliasing, commit-log
+  * stats/bloom file pruning, pushed filters below any DV subtraction;
+  * untranslatable conjuncts re-applied by Spark). The same fallback rule
+  * the delta-lite catalog applies to foreign renamed tables. */
+final class VtV1ScanBuilder(spark: SparkSession, vt: VersionedTable,
+                            commit: Commit)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private val full: StructType =
+    DataType.fromJson(commit.schemaJson).asInstanceOf[StructType]
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = full
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters // all residual: the relation re-applies what it can, Spark the rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val names = requiredSchema.fieldNames.toSet
+    val kept = full.fields.filter(f => names.contains(f.name))
+    // an empty projection (e.g. COUNT(*)) still needs one column to scan
+    required = if (kept.isEmpty) StructType(full.fields.take(1))
+               else StructType(kept)
+  }
+
+  override def build(): Scan = new V1Scan {
+    override def readSchema(): StructType = required
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: org.apache.spark.sql.SQLContext): T = {
+      val rel = new VtMorRelation(context, vt, commit)
+      val cols = required.fieldNames
+      val filters = pushed
+      (new BaseRelation with TableScan {
+        override def sqlContext: org.apache.spark.sql.SQLContext = context
+        override def schema: StructType = required
+        override def buildScan(): RDD[Row] = rel.scanPlan(cols, filters).rdd
+      }).asInstanceOf[T]
+    }
+    override def description(): String =
+      s"VtV1Scan v${commit.version} (column-mapped fallback)"
+  }
+}
+
 /** `format("vt")`: the versioned table as a first-class Spark data source —
   * batch READ (`spark.read.format("vt").option("path", root).load()`) with
   * `branch` / `versionAsOf` / `timestampAsOf` options, and streaming WRITE
@@ -288,12 +339,16 @@ final class VtDataSource extends RelationProvider with CreatableRelationProvider
       versionAsOf = parameters.get("versionAsOf").map(_.toLong),
       timestampAsOf = parameters.get("timestampAsOf")
         .map(SourcePaths.parseTimestamp(sqlContext.sparkSession, _)))
-    if (commit.dvFiles.nonEmpty) new VtMorRelation(sqlContext, vt, commit)
+    val schema = DataType.fromJson(commit.schemaJson).asInstanceOf[StructType]
+    // DV snapshots need merge-on-read; column-mapped snapshots (r20
+    // RENAME/DROP) need the physical→logical re-aliasing readCommit does —
+    // both are exactly what VtMorRelation serves (pruned, filter-pushed)
+    if (commit.dvFiles.nonEmpty || VersionedTable.hasColumnMapping(schema))
+      new VtMorRelation(sqlContext, vt, commit)
     else {
       val spark = sqlContext.sparkSession
-      val dataSchema = DataType.fromJson(commit.schemaJson).asInstanceOf[StructType]
       HadoopFsRelation(new VtFileIndex(spark, vt, commit), StructType(Nil),
-        dataSchema, None, new ParquetFileFormat, Map.empty[String, String])(spark)
+        schema, None, new ParquetFileFormat, Map.empty[String, String])(spark)
     }
   }
 

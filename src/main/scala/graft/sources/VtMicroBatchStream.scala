@@ -125,6 +125,16 @@ final class VtMicroBatchStream(spark: SparkSession, vt: VersionedTable,
   private val pinnedSchema =
     DataType.fromJson(startCommit.schemaJson).asInstanceOf[StructType]
 
+  // column-mapped snapshots (r20 RENAME/DROP) store physical parquet names
+  // the stream's pinned logical schema cannot address through the plain
+  // ParquetScanBuilder below — refuse LOUDLY at start (a rename/drop landing
+  // MID-stream is refused per-commit by schemaGuard's dropped-column branch)
+  require(!VersionedTable.hasColumnMapping(pinnedSchema),
+    s"streaming read of $branch: the snapshot has renamed/dropped " +
+      "(column-mapped) columns; the streaming source serves unmapped " +
+      "snapshots only — start from a version before the mapping, or consume " +
+      "row-level changes via table_changes/format(\"vt-changes\")")
+
   override def initialOffset(): Offset =
     startingVersion.fold(VtStreamOffset(-1L))(sv =>
       VtStreamOffset(sv - 1, tail = true))

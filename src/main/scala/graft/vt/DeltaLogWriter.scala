@@ -88,6 +88,18 @@ object DeltaLogWriter {
     require(commits.head.version == 0 &&
       commits.zipWithIndex.forall { case (c, i) => c.version == i },
       s"lineage versions are not contiguous from 0: ${commits.map(_.version)}")
+    // column-mapped snapshots (r20 RENAME/DROP COLUMN) would need the log
+    // to carry delta.columnMapping metadata (mode, physicalName, field ids)
+    // for stock delta-spark to bind the physical parquet names — not
+    // emitted yet; refuse loudly rather than export a log that reads NULLs
+    commits.find(c => VersionedTable.hasColumnMapping(
+      org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])).foreach { c =>
+      throw new UnsupportedOperationException(
+        s"export to _delta_log: version ${c.version} of '$branch' has " +
+          "renamed/dropped (column-mapped) columns, which the exporter does " +
+          "not translate to delta.columnMapping metadata yet")
+    }
     // deterministic protocol-upgrade point: the first DV-carrying version
     val firstDvVersion = commits.find(_.dvFiles.nonEmpty).map(_.version)
     val logDir = vt.root.resolve("_delta_log")

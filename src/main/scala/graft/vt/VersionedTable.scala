@@ -405,10 +405,17 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
         // Symmetrically, a PARENT column the appended frame OMITS goes
         // nullable too — the new file's rows read null for it.
         val appended = df.schema.fieldNames.toSet
+        val mapActive = mappingActive(p, parentSchema)
         StructType(parentSchema.fields
           .map(f => if (appended.contains(f.name)) f else f.copy(nullable = true)) ++
           df.schema.fields.filterNot(f => byName.contains(f.name))
-            .map(_.copy(nullable = true)))
+            .map { f =>
+              val g = f.copy(nullable = true)
+              // fresh physical name under active mapping: see addColumns
+              if (mapActive)
+                VersionedTable.withPhysical(g, VersionedTable.freshPhysical(g.name))
+              else g
+            })
       case Some(p) if mode == "overwrite" && !overwriteSchema =>
         val parentSchema = DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
         // normalization covers NESTED nullability (ArrayType.containsNull,
@@ -443,13 +450,13 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
           }
       }
     val newFiles = writeDataFiles(guardChecks(df, parent), branch,
-      parent.map(_.version + 1).getOrElse(0L))
+      parent.map(_.version + 1).getOrElse(0L), mapTo = Some(schema))
     val (newStats, newStrStats, newNullStats) =
       if (statsCols.isEmpty)
         (Map.empty[String, Map[String, (Double, Double)]],
           Map.empty[String, Map[String, (String, String)]],
           Map.empty[String, Map[String, Long]])
-      else collectFileStats(df.sparkSession, newFiles, statsCols, df.schema)
+      else collectFileStats(df.sparkSession, newFiles, statsCols, schema)
     // bloom columns are STICKY (Delta's bloom index is a table property):
     // unless this write names its own, the parent's bloom column set is
     // recomputed for the new files — so appends, compaction and z-order
@@ -460,7 +467,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
                         else parent.map(bloomColsOf).getOrElse(Nil))
       .filter(c => df.schema.fieldNames.contains(c) &&
         VersionedTable.bloomSupported(df.schema(c).dataType))
-    val newBlooms = collectFileBlooms(df.sparkSession, newFiles, effBloomCols, df.schema)
+    val newBlooms = collectFileBlooms(df.sparkSession, newFiles, effBloomCols, schema)
     val sidecar = writeBloomSidecar(branch, parent.map(_.version + 1).getOrElse(0L), newBlooms)
     // append keeps the parent's index (sidecars + any legacy inline
     // entries) live alongside the new files' sidecar; overwrite replaces
@@ -555,14 +562,20 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min, sum, when}
     val isStr = cols.map(c =>
       c -> (schema(c).dataType == org.apache.spark.sql.types.StringType)).toMap
+    // column mapping (r20): files store PHYSICAL names — aggregate over the
+    // physical twin, emit maps keyed by the LOGICAL names the log uses. The
+    // explicit schema also makes files that PREDATE a metadata-only ADD
+    // COLUMNS read the missing column as NULL (omitted entry, conservative)
+    // instead of failing on whichever footer Spark sampled for inference.
+    def pc(c: String) = col(VersionedTable.physName(schema, c))
     val paths = files.map(f => root.resolve(f).toString)
     // layout per file row: [__file, (min,max) x cols, nullCount x cols]
     val aggs = cols.flatMap(c =>
-      if (isStr(c)) Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"))
-      else Seq(min(col(c).cast("double")).as(s"__min_$c"),
-        max(col(c).cast("double")).as(s"__max_$c"))) ++
-      cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nc_$c"))
-    val rows = spark.read.parquet(paths: _*)
+      if (isStr(c)) Seq(min(pc(c)).as(s"__min_$c"), max(pc(c)).as(s"__max_$c"))
+      else Seq(min(pc(c).cast("double")).as(s"__min_$c"),
+        max(pc(c).cast("double")).as(s"__max_$c"))) ++
+      cols.map(c => sum(when(pc(c).isNull, 1L).otherwise(0L)).as(s"__nc_$c"))
+    val rows = spark.read.schema(VersionedTable.physicalSchema(schema)).parquet(paths: _*)
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().map(r => inputFileToRel(r.getString(0)) -> r)
@@ -616,10 +629,15 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     if (cols.isEmpty || files.isEmpty) return Vector.empty
     import spark.implicits._
     val m = VersionedTable.BloomMBits
+    // sidecars are immutable and shared across commits, so their entries
+    // key on the column's PHYSICAL name (stable across renames);
+    // [[bloomLookup]] translates each probe's logical name once
     def hashable(c: String) =
-      if (schema(c).dataType == org.apache.spark.sql.types.StringType) col(c)
-      else col(c).cast("long")
-    val rows = spark.read.parquet(files.map(f => root.resolve(f).toString): _*)
+      if (schema(c).dataType == org.apache.spark.sql.types.StringType)
+        col(VersionedTable.physName(schema, c))
+      else col(VersionedTable.physName(schema, c)).cast("long")
+    val rows = spark.read.schema(VersionedTable.physicalSchema(schema))
+      .parquet(files.map(f => root.resolve(f).toString): _*)
       .select(input_file_name().as("__file"),
         explode(array(cols.zipWithIndex.map { case (c, ci) =>
           struct(lit(ci).as("ci"),
@@ -636,7 +654,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       }
       .collect()
     rows.map { case (file, ci, bits) =>
-      (inputFileToRel(file), cols(ci), bits)
+      (inputFileToRel(file), VersionedTable.physName(schema, cols(ci)), bits)
     }.toVector
   }
 
@@ -699,10 +717,15 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
           try BloomIndex.cached(root.resolve(f))
           catch { case scala.util.control.NonFatal(_) => Map.empty }
         }.toMap
-      (file, colName) =>
-        side.get((file, colName)).orElse(
-          c.bloomStats.get(file).flatMap(_.get(colName))
+      // probes arrive with the query's LOGICAL column name; sidecars (and
+      // legacy inline entries) key on the stable PHYSICAL name
+      lazy val schema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
+      (file, colName) => {
+        val pn = VersionedTable.physName(schema, colName)
+        side.get((file, pn)).orElse(
+          c.bloomStats.get(file).flatMap(_.get(pn))
             .map(java.util.Base64.getDecoder.decode(_)))
+      }
     }
   }
 
@@ -816,7 +839,8 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     // CHECK constraints guard only the INCOMING side: `keep` rows come from
     // the already-validated snapshot and re-land unchanged
     val newFiles = writeDataFiles(
-      keep.unionByName(guardChecks(upserts, Some(parent))), branch, parent.version + 1)
+      keep.unionByName(guardChecks(upserts, Some(parent))), branch, parent.version + 1,
+      mapTo = Some(DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]))
     // untouched files keep their stats; new files get fresh stats over the
     // same column set the parent tracked (so skip-reads keep working)
     val statCols = (parent.stats.values.flatMap(_.keys) ++
@@ -1184,7 +1208,8 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     if (touched.isEmpty && out.isEmpty) return parent // insert-only merge, zero inserts
     // UPDATE/INSERT clauses can mint constraint-violating values — the
     // fused guard aborts the rewrite before any commit publishes
-    val newFiles = writeDataFiles(guardChecks(out, Some(parent)), branch, parent.version + 1)
+    val newFiles = writeDataFiles(guardChecks(out, Some(parent)), branch, parent.version + 1,
+      mapTo = Some(DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]))
     val statCols = (parent.stats.values.flatMap(_.keys) ++
       parent.strStats.values.flatMap(_.keys)).toSeq.distinct
     val (newStats, newStrStats, newNullStats) =
@@ -1539,7 +1564,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     val schema = DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]
     val kept = readCommit(spark, parent.copy(files = touched))
       .where(not(coalesce(pred, lit(false)))) // NULL predicate keeps the row
-    val newFiles = writeDataFiles(kept, branch, parent.version + 1)
+    val newFiles = writeDataFiles(kept, branch, parent.version + 1, mapTo = Some(schema))
     val statCols = (parent.stats.values.flatMap(_.keys) ++
       parent.strStats.values.flatMap(_.keys)).toSeq.distinct
     val (newStats, newStrStats, newNullStats) =
@@ -1614,7 +1639,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       }: _*)
     // SET can mint violating values — fuse the constraint guard into the rewrite
     val newFiles = writeDataFiles(guardChecks(rewritten, Some(parent)), branch,
-      parent.version + 1)
+      parent.version + 1, mapTo = Some(schema))
     val statCols = (parent.stats.values.flatMap(_.keys) ++
       parent.strStats.values.flatMap(_.keys)).toSeq.distinct
     val (newStats, newStrStats, newNullStats) =
@@ -1684,7 +1709,14 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
         s"added column ${f.name} must be nullable: existing rows read NULL for it")
       seen + f.name.toLowerCase
     }
-    val evolved = StructType(schema.fields ++ newCols)
+    // once column mapping is active, a NEW column needs a collision-proof
+    // fresh physical name: reusing a previously DROPPED column's name would
+    // resurrect its bytes from the old files
+    val added =
+      if (mappingActive(parent, schema))
+        newCols.map(f => VersionedTable.withPhysical(f, VersionedTable.freshPhysical(f.name)))
+      else newCols
+    val evolved = StructType(schema.fields ++ added)
     publish(branch, Some(parent),
       if (message.nonEmpty) message
       else s"ALTER TABLE ADD COLUMNS (${newCols.map(_.name).mkString(", ")})",
@@ -1692,6 +1724,103 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       dvFiles = parent.dvFiles, nullStats = parent.nullStats,
       bloomStats = parent.bloomStats, bloomCols = bloomColsOf(parent),
       bloomFiles = parent.bloomFiles, dataChange = false)
+  }
+
+  /** Column mapping activity test: the sticky props flag (set by the first
+    * rename/drop — it outlives a later rename-back) or any field already
+    * carrying a physical name. */
+  private def mappingActive(parent: Commit, schema: StructType): Boolean =
+    parent.props.get(VersionedTable.ColMapProp).contains("name") ||
+      VersionedTable.hasColumnMapping(schema)
+
+  /** Refuse a schema change that would orphan a CHECK constraint: each
+    * recorded predicate must still analyze against the candidate schema
+    * (Delta likewise refuses renaming/dropping constrained columns). */
+  private def probeConstraints(spark: SparkSession, parent: Commit,
+                               candidate: StructType, what: String): Unit =
+    VersionedTable.checkConstraints(parent).foreach { case (cname, csql) =>
+      try spark.createDataFrame(new java.util.ArrayList[Row](), candidate)
+        .select(org.apache.spark.sql.functions.expr(csql)).queryExecution.analyzed
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"$what would orphan CHECK constraint $cname ($csql) — " +
+              "DROP CONSTRAINT first", e)
+      }
+    }
+
+  /** `ALTER TABLE RENAME COLUMN` as a METADATA-ONLY commit (r20 — Delta's
+    * name-mode column mapping): ZERO files rewritten. The field keeps its
+    * PHYSICAL parquet name (recorded in StructField metadata,
+    * [[VersionedTable.PhysKey]]) and only the LOGICAL name queries see
+    * changes; reads re-alias positionally ([[readCommit]]), the
+    * logical-keyed per-file stats maps and the sticky bloom column set are
+    * re-keyed in the same commit (pure metadata — at 10⁶ files this is one
+    * manifest rewrite, no data I/O), and bloom sidecars — immutable and
+    * shared — stay valid because they key on the physical name. Old
+    * versions time-travel with their own pinned schema. A CHECK constraint
+    * referencing the old name refuses the rename. */
+  def renameColumn(spark: SparkSession, branch: String, from: String,
+                   to: String, message: String = ""): Commit = synchronized {
+    guardWritable(branch)
+    val parent = headOrThrow(branch)
+    val schema = DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(from),
+      s"RENAME COLUMN: no such column $from on $branch")
+    require(from != to, "RENAME COLUMN: old and new names are identical")
+    require(!schema.fieldNames.exists(n => n != from && n.equalsIgnoreCase(to)),
+      s"RENAME COLUMN: column $to already exists on $branch (names are " +
+        "case-insensitive)")
+    val renamed = StructType(schema.fields.map(f =>
+      if (f.name == from)
+        VersionedTable.withPhysical(f, VersionedTable.physicalName(f)).copy(name = to)
+      else f))
+    probeConstraints(spark, parent, renamed, s"RENAME COLUMN $from TO $to")
+    def rekey[V](m: Map[String, Map[String, V]]): Map[String, Map[String, V]] =
+      m.view.mapValues(_.map { case (k, v) =>
+        (if (k == from) to else k) -> v }).toMap
+    publish(branch, Some(parent),
+      if (message.nonEmpty) message else s"ALTER TABLE RENAME COLUMN $from TO $to",
+      renamed, parent.files,
+      rekey(parent.stats), strStats = rekey(parent.strStats),
+      nullStats = rekey(parent.nullStats),
+      dvFiles = parent.dvFiles, bloomStats = parent.bloomStats,
+      bloomCols = bloomColsOf(parent).map(c => if (c == from) to else c),
+      bloomFiles = parent.bloomFiles, dataChange = false,
+      props = Some(parent.props + (VersionedTable.ColMapProp -> "name")))
+  }
+
+  /** `ALTER TABLE DROP COLUMN` as a METADATA-ONLY commit (r20): the field
+    * leaves the logical schema; old files keep the bytes and every
+    * explicit-schema read simply never requests them. The dropped column's
+    * logical-keyed stats are PURGED in the same commit so a later re-added
+    * column of the same name can never inherit them — and, with mapping
+    * now active, that re-add gets a FRESH physical name
+    * ([[VersionedTable.freshPhysical]]), so the old bytes are unreachable
+    * by construction. Constraints referencing the column refuse the drop;
+    * old versions still time-travel with the column present. */
+  def dropColumn(spark: SparkSession, branch: String, name: String,
+                 message: String = ""): Commit = synchronized {
+    guardWritable(branch)
+    val parent = headOrThrow(branch)
+    val schema = DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(name),
+      s"DROP COLUMN: no such column $name on $branch")
+    require(schema.fields.length > 1,
+      s"DROP COLUMN: cannot drop the last column of $branch")
+    val remaining = StructType(schema.fields.filterNot(_.name == name))
+    probeConstraints(spark, parent, remaining, s"DROP COLUMN $name")
+    def purge[V](m: Map[String, Map[String, V]]): Map[String, Map[String, V]] =
+      m.view.mapValues(_ - name).toMap.filter(_._2.nonEmpty)
+    publish(branch, Some(parent),
+      if (message.nonEmpty) message else s"ALTER TABLE DROP COLUMN $name",
+      remaining, parent.files,
+      purge(parent.stats), strStats = purge(parent.strStats),
+      nullStats = purge(parent.nullStats),
+      dvFiles = parent.dvFiles, bloomStats = parent.bloomStats,
+      bloomCols = bloomColsOf(parent).filterNot(_ == name),
+      bloomFiles = parent.bloomFiles, dataChange = false,
+      props = Some(parent.props + (VersionedTable.ColMapProp -> "name")))
   }
 
   /** `ANALYZE`-shape stats BACKFILL (Delta recomputes stats the same way):
@@ -2120,12 +2249,18 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
           VersionedTable.bloomSupported(schema(c).dataType))
       val sidecar = writeBloomSidecar(branch, parent.map(_.version + 1).getOrElse(0L),
         collectFileBlooms(spark, files, cols, schema))
-      // the replaced snapshot KEEPS the table's existing props (constraints
-      // survive a REPLACE unless dropped explicitly — the safer reading of
-      // RTAS) and adds the statement's declared TBLPROPERTIES on top
+      // REPLACE resets FREE-FORM properties to the statement's declared set
+      // (Spark/Delta REPLACE semantics: undeclared properties drop) — but
+      // the RESERVED namespaces survive: CHECK constraints stay enforced
+      // unless dropped explicitly (the safer reading of RTAS; their
+      // predicates were compatibility-probed above), and the engine's own
+      // graft.* markers (column-mapping activity) keep their guarantees
+      val reserved = parent.map(_.props).getOrElse(Map.empty).view.filterKeys(k =>
+        k.startsWith(VersionedTable.CheckConstraintPrefix) ||
+          k.startsWith("graft.")).toMap
       publish(branch, parent, message, schema, files,
         bloomCols = cols, bloomFiles = sidecar,
-        props = Some(parent.map(_.props).getOrElse(Map.empty) ++ extraProps))
+        props = Some(reserved ++ extraProps))
     }
 
   /** Stage a snapshot on `branch` without committing (lakeFS staging area,
@@ -2164,10 +2299,14 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     }
   }
 
-  private def writeDataFiles(df: DataFrame, branch: String, version: Long): Vector[String] = {
+  private def writeDataFiles(df: DataFrame, branch: String, version: Long,
+                             mapTo: Option[StructType] = None): Vector[String] = {
     val rel = s"$branch-v$version-${java.util.UUID.randomUUID.toString.take(8)}"
     val out = dataDir.resolve(rel)
-    df.write.mode("overwrite").parquet(out.toString)
+    // column mapping (r20): parquet always stores PHYSICAL names — rename
+    // the logical frame positionally per the table schema's mapping
+    val body = mapTo.map(VersionedTable.toPhysical(df, _)).getOrElse(df)
+    body.write.mode("overwrite").parquet(out.toString)
     listDir(out)
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(p => root.relativize(p).toString).sorted
@@ -2475,9 +2614,15 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     else {
       // Stock parquet reader over an explicit immutable file list: pushdown,
       // pruning and vectorization intact; the pinned schema makes replays of
-      // old versions immune to later schema evolution.
-      val base = spark.read.schema(schema)
+      // old versions immune to later schema evolution. Column-mapped
+      // snapshots (r20 RENAME/DROP) read the PHYSICAL-named twin of the
+      // schema and re-alias positionally — filters on logical names push
+      // through the aliasing Project into the parquet scan as usual.
+      val phys = VersionedTable.physicalSchema(schema)
+      val raw = spark.read.schema(phys)
         .parquet(c.files.map(f => root.resolve(f).toString): _*)
+      val base = if (!VersionedTable.hasColumnMapping(schema)) raw
+                 else raw.toDF(schema.fieldNames.toIndexedSeq: _*)
       if (c.dvFiles.isEmpty) base
       else
         // merge-on-read: subtract the deletion vectors with ONE broadcast
@@ -2640,11 +2785,18 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
   private def scanWithPos(spark: SparkSession, c: Commit): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, concat_ws, slice, split}
     val schema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
-    val tagged = spark.read.schema(schema)
+    // column mapping: tag positions on the PHYSICAL scan (metadata columns
+    // resolve only on the scan relation), then re-alias data columns to
+    // their logical names — positional, so DV subtraction is untouched
+    val raw = spark.read.schema(VersionedTable.physicalSchema(schema))
       .parquet(c.files.map(f => root.resolve(f).toString): _*)
       .withColumn(VersionedTable.FkCol,
         concat_ws("/", slice(split(col("_metadata.file_path"), "/"), -2, 2)))
       .withColumn(VersionedTable.PosCol, col("_metadata.row_index"))
+    val tagged =
+      if (!VersionedTable.hasColumnMapping(schema)) raw
+      else raw.toDF((schema.fieldNames :+ VersionedTable.FkCol :+
+        VersionedTable.PosCol).toIndexedSeq: _*)
     if (c.dvFiles.isEmpty) tagged
     else {
       val dv = spark.read.parquet(c.dvFiles.map(f => root.resolve(f).toString): _*)
@@ -3639,7 +3791,8 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
         val layout =
           if (zorderCols.nonEmpty) graft.ops.Scale.zorderLayout(rows, zorderCols, numFiles)
           else rows.repartition(numFiles)
-        val newFiles = writeDataFiles(layout, branch, parent.version + 1)
+        val newFiles = writeDataFiles(layout, branch, parent.version + 1,
+          mapTo = Some(schema))
         val statCols = (parent.stats.values.flatMap(_.keys) ++
           parent.strStats.values.flatMap(_.keys) ++ zorderCols).toSeq.distinct
           .filter(schema.fieldNames.contains)
@@ -3806,6 +3959,68 @@ object VersionedTable {
     * realistic concurrent-ingest burst serializes, small enough that a
     * stuck slot (crashed claimer) surfaces as a conflict quickly. */
   val MaxAppendRebase: Int = 5
+
+  // ---- COLUMN MAPPING (r20: RENAME/DROP COLUMN as metadata-only commits) --
+  //
+  // Delta's name-mode column mapping, carried in the one place the engine
+  // already versions per commit: StructField METADATA inside `schemaJson`.
+  // A field whose metadata holds [[PhysKey]] reads and writes its data under
+  // that PHYSICAL parquet column name; the field's `name` is the LOGICAL name
+  // queries see. Physical names never change once assigned — a RENAME swaps
+  // only the logical name (metadata-only commit, zero files rewritten), a
+  // DROP removes the field (old files keep the bytes; explicit-schema reads
+  // skip them). Because the mapping is NAME-only (types and positions are
+  // untouched), the whole read-side translation is positional: read parquet
+  // with the physical-named twin of the schema, then re-alias to logical.
+  //
+  // Commit-log key domains under mapping:
+  //  - stats / strStats / nullStats / bloomCols: LOGICAL names as of their
+  //    commit (a rename commit re-keys them — pure metadata), so every
+  //    pruning and metadata-aggregate path keeps working untranslated;
+  //  - bloom SIDECARS (immutable, shared across commits): PHYSICAL names —
+  //    [[VersionedTable.bloomLookup]] translates the probe once;
+  //  - parquet files: PHYSICAL names, uniformly (pre-mapping files ARE
+  //    physical — logical == physical until the first rename/drop).
+
+  /** StructField metadata key holding a column's physical parquet name. */
+  val PhysKey = "graft.physicalName"
+
+  /** Table-property flag marking column mapping ACTIVE: once a rename/drop
+    * has happened, later ADDed columns need FRESH physical names — reusing
+    * a dropped column's name would resurrect its bytes from old files. */
+  val ColMapProp = "graft.columnMapping"
+
+  def physicalName(f: StructField): String =
+    if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey) else f.name
+
+  /** Logical column name → physical parquet name (identity when unmapped,
+    * and for pseudo-columns not in the schema). */
+  def physName(schema: StructType, col: String): String =
+    schema.fields.find(_.name == col).map(physicalName).getOrElse(col)
+
+  /** The schema as parquet stores it: field names swapped to physical. */
+  def physicalSchema(schema: StructType): StructType =
+    StructType(schema.fields.map(f => f.copy(name = physicalName(f))))
+
+  def hasColumnMapping(schema: StructType): Boolean =
+    schema.fields.exists(f => physicalName(f) != f.name)
+
+  /** Attach a physical name to a field's metadata. */
+  def withPhysical(f: StructField, phys: String): StructField =
+    f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata).putString(PhysKey, phys).build())
+
+  /** A fresh collision-proof physical name for a column ADDED while mapping
+    * is active (Delta generates `col-<uuid>` for the same reason). */
+  def freshPhysical(logical: String): String =
+    s"${logical}_${java.util.UUID.randomUUID.toString.take(8)}"
+
+  /** Rename a DataFrame's columns to their physical twins per `schema`
+    * (identity when unmapped). Positional: only names change. */
+  def toPhysical(df: org.apache.spark.sql.DataFrame,
+                 schema: StructType): org.apache.spark.sql.DataFrame =
+    if (!hasColumnMapping(schema)) df
+    else df.toDF(df.schema.fieldNames.map(n => physName(schema, n)).toIndexedSeq: _*)
 
   /** Slot filename "<branch>-v<version>"; greedy branch group so hyphenated
     * branch names (even ones ending in "-vN") parse to the right (branch,

@@ -883,14 +883,22 @@ class VtCatalogSpec extends SparkSpec {
       spark.sql(s"ALTER TABLE $t ADD COLUMNS (y BIGINT COMMENT 'lost')").collect())
     intercept[Exception](
       spark.sql(s"ALTER TABLE $t ADD COLUMNS (z BIGINT FIRST)").collect())
-    intercept[Exception](spark.sql(s"ALTER TABLE $t RENAME COLUMN k TO kk").collect())
-    intercept[Exception](spark.sql(s"ALTER TABLE $t DROP COLUMN id").collect())
+    intercept[Exception](spark.sql(s"ALTER TABLE $t DROP COLUMN nope").collect())
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN k TYPE INT").collect()) // retype refused
     assert(vt.head("main").get.version === vBefore, "refused ALTERs commit nothing")
     // SET TBLPROPERTIES is supported since r19c: one metadata-only commit
     spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('a'='b')").collect()
     val propHead = vt.head("main").get
     assert(propHead.version === vBefore + 1 && !propHead.dataChange &&
       propHead.props === Map("a" -> "b"))
+    // RENAME COLUMN is supported since r20 (metadata-only, ColumnMappingSpec
+    // pins the semantics) — it must compose with the evolved MOR snapshot
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN k TO kk").collect()
+    assert(vt.head("main").get.version === vBefore + 2)
+    assert(spark.sql(s"SELECT kk FROM $t WHERE kk <= 6").collect()
+      .map(_.getLong(0)).sorted === Array(1L, 2L, 3L, 4L, 6L),
+      "the MOR delete stays applied through the rename")
   }
 
   test("r19b DDL: REPLACE TABLE [AS SELECT] is atomic — commit-or-nothing, history kept") {
@@ -973,5 +981,54 @@ class VtCatalogSpec extends SparkSpec {
       VtUtilitySql.exec(spark,
         s"RESTORE TABLE $t TO TIMESTAMP AS OF '${c0.ts - 100000}'").collect()
     }
+  }
+
+  test("r20 ADVICE: non-identifier constraint name fails CREATE pre-flight, nothing created") {
+    val root = Tables.scratch("vtcat_badname")
+    spark.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
+    val t = s"vt.`$root`"
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $t (k BIGINT, CONSTRAINT `a-b` CHECK (k > 0)) USING vt")
+    }
+    assert(e.getMessage.contains("identifier"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "commits")) ||
+      java.nio.file.Files.list(java.nio.file.Paths.get(root, "commits")).count() === 0L,
+      "a failed pre-flight must leave NO half-created table")
+    // the retried CREATE with a valid name works (no TableAlreadyExists)
+    spark.sql(s"CREATE TABLE $t (k BIGINT, CONSTRAINT a_b CHECK (k > 0)) USING vt")
+    assert(spark.table(t).columns.toSeq === Seq("k"))
+  }
+
+  test("r20 ADVICE: SET TBLPROPERTIES refuses the keys CREATE refuses") {
+    val vt = VersionedTable.create(Tables.scratch("vtcat_setprops"))
+    vt.write(spark.range(3).toDF("k"), "main", "v0")
+    spark.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
+    val t = s"vt.`${vt.root}`"
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('comment' = 'nope')"))
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('option.compression' = 'zstd')"))
+    intercept[Exception](spark.sql(s"COMMENT ON TABLE $t IS 'nope'"))
+    // free-form keys still work
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('team' = 'core')")
+    assert(vt.head("main").get.props("team") === "core")
+  }
+
+  test("r20 ADVICE: REPLACE TABLE resets free-form props, keeps constraints") {
+    val root = Tables.scratch("vtcat_rtas_props")
+    spark.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
+    val t = s"vt.`$root`"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, CONSTRAINT pos_k CHECK (k > 0)) USING vt " +
+      "TBLPROPERTIES ('stale' = 'yes')")
+    spark.sql(s"INSERT INTO $t VALUES (1), (2)")
+    spark.sql(s"REPLACE TABLE $t TBLPROPERTIES ('fresh' = 'yes') AS " +
+      "SELECT id + 1 AS k FROM range(4)")
+    val props = VersionedTable.open(root).head("main").get.props
+    assert(!props.contains("stale"), "undeclared free-form props must drop on REPLACE")
+    assert(props("fresh") === "yes")
+    assert(props.keys.exists(_.startsWith("constraint.check.")),
+      "CHECK constraints survive a REPLACE unless dropped explicitly")
+    // and the surviving constraint still enforces
+    intercept[Exception](spark.sql(s"INSERT INTO $t VALUES (-7)").collect())
   }
 }
