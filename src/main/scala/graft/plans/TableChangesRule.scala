@@ -84,14 +84,22 @@ object TableChanges {
       }
     }
     val vt = VersionedTable.open(local)
+    // r20: a string bound that names an EXISTING TAG resolves to the tagged
+    // commit's version (matching the RESTORE TO TAG verb) — tags are
+    // explicit user-created names, so they take precedence over the
+    // timestamp reading; anything else parses as a timestamp as before.
+    lazy val tagNames = vt.tags.map(_._1).toSet
     def bound(e: Expression, isStart: Boolean): Long =
       lng(e).orElse(str(e).map { ts =>
-        val millis = SourcePaths.parseTimestamp(spark, ts)
-        if (isStart) vt.firstVersionAtOrAfter(branch, millis)
-        else vt.versionAtOrBefore(branch, millis)
+        if (tagNames.contains(ts)) vt.tagCommit(ts).version
+        else {
+          val millis = SourcePaths.parseTimestamp(spark, ts)
+          if (isStart) vt.firstVersionAtOrAfter(branch, millis)
+          else vt.versionAtOrBefore(branch, millis)
+        }
       }).getOrElse(throw new IllegalArgumentException(
         s"table_changes: ${if (isStart) "start" else "end"} must be an " +
-          s"integer (version) or string (timestamp) literal — $usage"))
+          s"integer (version), tag name, or timestamp string literal — $usage"))
     val s0 = bound(startE, isStart = true)
     val e0 = endE match {
       case None => vt.head(branch).map(_.version).getOrElse(

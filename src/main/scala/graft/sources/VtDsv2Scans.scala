@@ -82,11 +82,7 @@ final class VtMetaScanBuilder(spark: SparkSession, vt: VersionedTable,
   // ---- the provable-from-metadata decision --------------------------------
 
   private def columnOf(e: org.apache.spark.sql.connector.expressions.Expression)
-      : Option[StructField] = e match {
-    case r: NamedReference if r.fieldNames.length == 1 =>
-      tableSchema.fields.find(_.name == r.fieldNames()(0))
-    case _ => None
-  }
+      : Option[StructField] = VtExact.columnOf(tableSchema, e)
 
   private def totalRows: Option[Long] =
     if (commit.files.forall(commit.rowCounts.contains))
@@ -99,20 +95,8 @@ final class VtMetaScanBuilder(spark: SparkSession, vt: VersionedTable,
       Some(commit.files.iterator.map(f => commit.rowCounts(f) - commit.nullStats(f)(col)).sum)
     else None
 
-  /** Double-domain stat → EXACT catalyst value of the column's type, or
-    * None where exactness is not provable (int64 beyond 2⁵³, any type the
-    * stats writer does not cover exactly). */
-  private def exactNum(d: Double, dt: DataType): Option[Any] = dt match {
-    case DoubleType => Some(d)
-    case FloatType => Some(d.toFloat)
-    case IntegerType => Some(d.toInt)
-    case ShortType => Some(d.toShort)
-    case ByteType => Some(d.toByte)
-    // STRICT bound: ±2^53 itself can be the rounded image of true long
-    // 2^53±1 (ties-to-even), so exactness is only provable strictly inside
-    case LongType if math.abs(d) < 9007199254740992.0 => Some(d.toLong) // |d| < 2^53
-    case _ => None
-  }
+  private def exactNum(d: Double, dt: DataType): Option[Any] =
+    VtExact.exactNum(d, dt)
 
   private def minMaxOf(fld: StructField, takeMax: Boolean): Option[Any] =
     fld.dataType match {
@@ -143,6 +127,36 @@ final class VtMetaScanBuilder(spark: SparkSession, vt: VersionedTable,
     if (answered.exists(_.isEmpty)) None // all-or-nothing: one scan either way
     else Some((StructType(answered.map(_.get._1)),
       new GenericInternalRow(answered.map(_.get._2))))
+  }
+}
+
+/** Exactness helpers shared by the metadata-aggregate builders (clean and
+  * MOR): resolve an aggregate's single-column reference against the table
+  * schema, and convert a double-domain stat to the column type only where
+  * exactness is PROVABLE. */
+private[sources] object VtExact {
+
+  def columnOf(schema: StructType,
+               e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[StructField] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 =>
+      schema.fields.find(_.name == r.fieldNames()(0))
+    case _ => None
+  }
+
+  /** Double-domain stat → EXACT catalyst value of the column's type, or
+    * None where exactness is not provable (int64 beyond 2⁵³, any type the
+    * stats writer does not cover exactly). */
+  def exactNum(d: Double, dt: DataType): Option[Any] = dt match {
+    case DoubleType => Some(d)
+    case FloatType => Some(d.toFloat)
+    case IntegerType => Some(d.toInt)
+    case ShortType => Some(d.toShort)
+    case ByteType => Some(d.toByte)
+    // STRICT bound: ±2^53 itself can be the rounded image of true long
+    // 2^53±1 (ties-to-even), so exactness is only provable strictly inside
+    case LongType if math.abs(d) < 9007199254740992.0 => Some(d.toLong) // |d| < 2^53
+    case _ => None
   }
 }
 
@@ -339,30 +353,57 @@ final class VtMorScanBuilder(spark: SparkSession, vt: VersionedTable,
     required = StructType(tableSchema.fields.filter(f => names.contains(f.name)))
   }
 
-  /** `SELECT count(*)` on a MOR snapshot, from metadata + the DV parquet
-    * alone (r19): the live count is Σ per-file rowCounts − Σ per-file
-    * DISTINCT deleted positions — the commit log knows the former exactly,
-    * and one small aggregate over the DV parquet (O(deleted rows) read,
-    * O(files) driver rows — never a data-file scan) knows the latter.
-    * COUNT(col)/MIN/MAX stay refused under DVs: the deleted rows' values
-    * are unknown without reading data. */
+  /** Metadata aggregates on a MOR snapshot, from the commit log + one
+    * bounded DV aggregate — never a data-file scan. `COUNT(*)` (r19): Σ
+    * per-file rowCounts − Σ per-file DISTINCT deleted positions. `MIN` /
+    * `MAX` (r20): deletions only REMOVE rows, so each end stays EXACTLY
+    * the stats answer whenever some file ACHIEVING it has zero deletions —
+    * the per-file DV cardinalities are already on the driver, so the proof
+    * costs nothing extra ([[VersionedTable.minMaxNumFromStatsDv]]).
+    * `COUNT(col)` stays refused under DVs: a deleted row's null-ness is
+    * unknown without reading data. */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     if (dataFilters.nonEmpty || aggregation.groupByExpressions.nonEmpty) return false
-    val onlyCountStar = aggregation.aggregateExpressions.nonEmpty &&
-      aggregation.aggregateExpressions.forall(_.isInstanceOf[CountStar])
-    if (!onlyCountStar) return false
-    val total: Option[Long] =
-      if (commit.files.forall(commit.rowCounts.contains))
-        Some(commit.files.iterator.map(commit.rowCounts).sum -
-          VtDvStats.cardByKey(spark, vt, commit,
-            commit.files.map(VersionedTable.fileKey).toSet).valuesIterator.sum)
-      else None
-    meta = total.map { t =>
-      (StructType(aggregation.aggregateExpressions.map(_ =>
-        StructField("count(*)", LongType, nullable = false))),
-        new GenericInternalRow(
-          aggregation.aggregateExpressions.map(_ => t: Any)))
+    val exprs = aggregation.aggregateExpressions
+    if (exprs.isEmpty ||
+        !exprs.forall(e => e.isInstanceOf[CountStar] || e.isInstanceOf[Min] ||
+          e.isInstanceOf[Max])) return false
+    // ONE bounded aggregate serves every expression: per-file-key counts
+    // of distinct deleted positions (O(files) driver rows)
+    lazy val dvCard: Map[String, Long] = VtDvStats.cardByKey(spark, vt, commit,
+      commit.files.map(VersionedTable.fileKey).toSet)
+    def dvFree(rel: String): Boolean =
+      dvCard.getOrElse(VersionedTable.fileKey(rel), 0L) == 0L
+    def minMaxOf(fld: StructField, takeMax: Boolean): Option[Any] =
+      fld.dataType match {
+        case StringType =>
+          vt.minMaxStringFromStatsDv(commit, fld.name, takeMax, dvFree)
+            .map(UTF8String.fromString)
+        case dt =>
+          vt.minMaxNumFromStatsDv(commit, fld.name, takeMax, dvFree)
+            .flatMap(VtExact.exactNum(_, dt))
+      }
+    val answered: Array[Option[(StructField, Any)]] = exprs.map {
+      case _: CountStar =>
+        (if (commit.files.forall(commit.rowCounts.contains))
+           Some(commit.files.iterator.map(commit.rowCounts).sum -
+             dvCard.valuesIterator.sum)
+         else None)
+          .map(t => (StructField("count(*)", LongType, nullable = false), t: Any))
+      case m: Min =>
+        VtExact.columnOf(tableSchema, m.column).flatMap(f =>
+          minMaxOf(f, takeMax = false).map(v =>
+            (StructField(s"min(${f.name})", f.dataType, nullable = true), v)))
+      case m: Max =>
+        VtExact.columnOf(tableSchema, m.column).flatMap(f =>
+          minMaxOf(f, takeMax = true).map(v =>
+            (StructField(s"max(${f.name})", f.dataType, nullable = true), v)))
+      case _ => None
     }
+    meta =
+      if (answered.exists(_.isEmpty)) None // all-or-nothing: one scan either way
+      else Some((StructType(answered.map(_.get._1)),
+        new GenericInternalRow(answered.map(_.get._2))))
     meta.isDefined
   }
 

@@ -2746,6 +2746,57 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
   def minMaxFromStats(branch: String, column: String): Option[(Double, Double)] =
     minMaxFromStats(headOrThrow(branch), column)
 
+  /** [[minMaxFromStats]] under DELETION VECTORS, one end at a time (r20):
+    * a deletion can only REMOVE rows, so the live MIN can only move up and
+    * the live MAX only down — and the end stays EXACTLY the stats answer
+    * whenever some file ACHIEVING it (a) has ZERO deleted rows, so its
+    * extremal value provably survives, and (b) records the exact value
+    * rather than a truncation bound. Per-file bounds stay sound for the
+    * NON-achieving files in the right direction (statsLower ≤ true min),
+    * so only the witness file needs exactness. `dvFree` answers per
+    * root-relative file path from the bounded per-file-key cardinality
+    * aggregate. Same all-files-known refusal contract as the DV-free
+    * twins; no witness → None → the caller's scan fallback stays exact. */
+  private[graft] def minMaxNumFromStatsDv(c: Commit, column: String,
+      takeMax: Boolean, dvFree: String => Boolean): Option[Double] =
+    endFromStatsDv(c, column, takeMax, dvFree, c.stats)(
+      Ordering.Double.TotalOrdering, _ => true)
+
+  /** String twin of [[minMaxNumFromStatsDv]] — adds the truncated-bound
+    * refusal ([[VersionedTable.overLimit]]) on the witness value. */
+  private[graft] def minMaxStringFromStatsDv(c: Commit, column: String,
+      takeMax: Boolean, dvFree: String => Boolean): Option[String] =
+    endFromStatsDv(c, column, takeMax, dvFree, c.strStats)(
+      (a: String, b: String) => VersionedTable.utf8Cmp(a, b),
+      s => !VersionedTable.overLimit(s))
+
+  private def endFromStatsDv[T](c: Commit, column: String, takeMax: Boolean,
+      dvFree: String => Boolean, statsOf: Map[String, Map[String, (T, T)]])(
+      ord: Ordering[T], exact: T => Boolean): Option[T] = {
+    if (c.files.isEmpty) return None
+    // per file: Some(Some(f, end)) contributes, Some(None) provably
+    // all-null (contributes nothing), None = unknown → no metadata answer
+    val per: Vector[Option[Option[(String, T)]]] = c.files.map { f =>
+      statsOf.get(f).flatMap(_.get(column)) match {
+        case Some((mn, mx)) => Some(Some(f -> (if (takeMax) mx else mn)))
+        case None =>
+          val allNull = for {
+            nc <- c.nullStats.get(f).flatMap(_.get(column))
+            rows <- c.rowCounts.get(f)
+          } yield nc == rows
+          if (allNull.contains(true)) Some(None) else None
+      }
+    }
+    if (per.exists(_.isEmpty)) return None
+    val ends = per.flatten.flatten
+    if (ends.isEmpty) return None // every row null — let the scan say NULL
+    val best = if (takeMax) ends.iterator.map(_._2).max(ord)
+               else ends.iterator.map(_._2).min(ord)
+    val witnessed = ends.exists { case (f, v) =>
+      ord.equiv(v, best) && exact(v) && dvFree(f) }
+    if (witnessed) Some(best) else None
+  }
+
   private def headOrThrow(branch: String): Commit = head(branch).getOrElse(
     throw new IllegalArgumentException(s"no such branch: $branch"))
 

@@ -78,6 +78,7 @@ class PlanRulesSpec extends SparkSpec {
     val betweenV1V2 = System.currentTimeMillis()
     while (System.currentTimeMillis() <= betweenV1V2) Thread.sleep(1)
     vt.write(band(2), "main", "v2", mode = "append")
+    vt.createTag("rel-v2", "main") // tags v2 (the head)
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     try {
@@ -123,6 +124,21 @@ class PlanRulesSpec extends SparkSpec {
         s"table_changes('${vt.root}', 1, '$betweenV1V2')")
         .collect().map(_.getLong(0)).toSet
       assert(toTs === Set(1L), s"end-ts must resolve to v1, got $toTs")
+      // TAG bounds (r20): a string naming an existing tag resolves to the
+      // tagged commit's version — matching the RESTORE TO TAG verb; tags
+      // win over the timestamp reading (they are explicit user names)
+      val fromTag = s2.sql(s"SELECT DISTINCT _commit_version FROM " +
+        s"table_changes('${vt.root}', 'rel-v2')")
+        .collect().map(_.getLong(0)).toSet
+      assert(fromTag === Set(2L), s"tag start must resolve to v2, got $fromTag")
+      val tagBoth = s2.sql(s"SELECT DISTINCT _commit_version FROM " +
+        s"table_changes('${vt.root}', 1, 'rel-v2')")
+        .collect().map(_.getLong(0)).toSet
+      assert(tagBoth === Set(1L, 2L), s"tag end bound inclusive, got $tagBoth")
+      // a string naming NO tag still refuses as a malformed timestamp
+      intercept[Exception] {
+        s2.sql(s"SELECT * FROM table_changes('${vt.root}', 'no-such-tag')").collect()
+      }
       // non-literal / malformed arguments refuse with the usage shape
       val e = intercept[Exception] {
         s2.sql(s"SELECT * FROM table_changes('${vt.root}', k)").collect()

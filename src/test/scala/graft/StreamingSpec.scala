@@ -931,6 +931,66 @@ class StreamingSpec extends SparkSpec {
     } finally q5.stop()
   }
 
+  test("r20 stateful agg end-to-end: readStream.table → watermark window agg → writeStream.toTable; late data drops across restarts") {
+    import graft.vt.VersionedTable
+    spark.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
+    val src = VersionedTable.create(Tables.scratch("vtsagg_src"))
+    val dst = VersionedTable.create(Tables.scratch("vtsagg_dst"))
+    spark.sql(
+      s"CREATE TABLE vt.`${dst.root}` (wstart TIMESTAMP, usr STRING, total BIGINT)")
+      .collect()
+    def ev(ts: String, usr: String, amt: Long) =
+      Seq((ts, usr, amt)).toDF("t", "usr", "amount")
+        .select(to_timestamp($"t").as("ts"), $"usr", $"amount")
+    src.write(ev("2024-01-01 10:00:10", "a", 1)
+      .unionByName(ev("2024-01-01 10:00:20", "b", 2)), "main", "v0")
+    val ckpt = Tables.scratch("vtsagg_ckpt")
+    // the full stateful pipeline through the DSv2 catalog pair: the
+    // micro-batch source feeds Spark's own watermarked windowed aggregation
+    // (Append mode: a window emits once, when the watermark passes its
+    // end), and the finalized rows land as epoch commits on a second
+    // catalog table written by the query's own tasks
+    def startQ() = spark.readStream.table(s"vt.`${src.root}`")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window($"ts", "1 minute"), $"usr")
+      .agg(sum($"amount").as("total"))
+      .select($"window.start".as("wstart"), $"usr", $"total")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .toTable(s"vt.`${dst.root}`")
+    def dstRows(): Set[(String, String, Long)] =
+      spark.sql(s"SELECT CAST(wstart AS STRING) AS w, usr, total FROM vt.`${dst.root}`")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val q1 = startQ()
+    try {
+      q1.processAllAvailable()
+      assert(dstRows().isEmpty, "no window is final before the watermark passes it")
+      // an event far past the first window advances the watermark →
+      // the [10:00, 10:01) window finalizes and lands in dst
+      src.write(ev("2024-01-01 10:05:00", "a", 5), "main", "adv", mode = "append")
+      q1.processAllAvailable()
+      assert(dstRows() === Set(("2024-01-01 10:00:00", "a", 1L),
+        ("2024-01-01 10:00:00", "b", 2L)),
+        s"watermark passage must finalize the first window, got ${dstRows()}")
+      // LATE data behind the watermark is DROPPED, not aggregated
+      src.write(ev("2024-01-01 10:00:30", "a", 100), "main", "late", mode = "append")
+      q1.processAllAvailable()
+      assert(dstRows().forall(_._3 < 100L), "late rows must drop, not re-aggregate")
+    } finally q1.stop()
+    // commits land while the stream is DOWN — including MORE late data;
+    // the restart restores the watermark from the checkpoint, so the late
+    // row drops across the restart boundary too
+    src.write(ev("2024-01-01 10:10:00", "b", 7), "main", "adv2", mode = "append")
+    src.write(ev("2024-01-01 10:00:40", "b", 50), "main", "late2", mode = "append")
+    val q2 = startQ()
+    try {
+      q2.processAllAvailable()
+      assert(dstRows() === Set(("2024-01-01 10:00:00", "a", 1L),
+        ("2024-01-01 10:00:00", "b", 2L), ("2024-01-01 10:05:00", "a", 5L)),
+        s"restart: [10:05) finalizes, both late rows stay dropped — ${dstRows()}")
+    } finally q2.stop()
+  }
+
   test("writeStream.toTable: tasks write the parquet, one commit per epoch, replay-proof; Complete mode overwrites; catalog mirror") {
     import graft.vt.VersionedTable
     spark.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)

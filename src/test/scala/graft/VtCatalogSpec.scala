@@ -525,6 +525,52 @@ class VtCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) AS c FROM $t WHERE k > 3").as[Long].head() === 3L)
   }
 
+  test("r20: MOR MIN/MAX answers from metadata when the extremal files are DV-free (ghost-proof)") {
+    registerCatalog()
+    val vt = VersionedTable.create(Tables.scratch("vtcat_mor_minmax"))
+    // range-clustered: file i covers ~[i*100, i*100+99]
+    // s must be NULLABLE: Catalyst rewrites count(non-nullable col) to
+    // count(*), which IS metadata-answerable and would defeat the
+    // count(col)-refusal assertion below
+    val df = spark.range(0, 400).toDF("k")
+      .withColumn("s", when(col("k") % 7 === 3, lit(null))
+        .otherwise(concat(lit("v"), col("k").cast("string"))))
+    vt.write(df.repartitionByRange(4, col("k")), "main", "v0",
+      statsCols = Seq("k", "s"))
+    // MOR-delete the MIDDLE band only: the files carrying min(k)/max(k)
+    // (and the string extremes "v0"/"v99", both in the first file) stay
+    // DV-free, so every end has a surviving witness
+    vt.deleteWithVectors(spark, "k >= 100 AND k < 300", "main")
+    val t = s"vt.`${vt.root}`"
+    val head = vt.head("main").get
+    val tmp = vt.root.resolve("ghost_mor")
+    java.nio.file.Files.createDirectories(tmp)
+    head.files.foreach { f =>
+      java.nio.file.Files.move(vt.root.resolve(f), tmp.resolve(f.replace('/', '_')))
+    }
+    try {
+      val q = spark.sql(
+        s"SELECT count(*) AS c, min(k) AS mn, max(k) AS mx, " +
+          s"min(s) AS smn, max(s) AS smx FROM $t")
+      assert(q.collect().toSeq.map(_.toSeq) ===
+        Seq(Seq(200L, 0L, 399L, "v0", "v99")))
+      assert(q.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+        s"the DV metadata answer must plan locally:\n${q.queryExecution.executedPlan}")
+      // count(col) stays refused under DVs (deleted rows' null-ness is
+      // unknown) — the scan fallback fails loudly on the ghosts
+      intercept[Exception](spark.sql(s"SELECT count(s) AS c FROM $t").collect())
+    } finally head.files.foreach { f =>
+      java.nio.file.Files.move(tmp.resolve(f.replace('/', '_')), vt.root.resolve(f))
+    }
+    // delete rows in the MIN file: min(k) loses its witness (the true
+    // minimum may be gone) → scan fallback answers the moved-up value
+    vt.deleteWithVectors(spark, "k < 50", "main")
+    val q2 = spark.sql(s"SELECT min(k) AS mn, max(k) AS mx FROM $t")
+    assert(q2.collect().toSeq.map(_.toSeq) === Seq(Seq(50L, 399L)))
+    assert(!q2.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "a witness-less end must fall back to the scan")
+  }
+
   test("r19 OPTIMIZE WHERE: only the predicate's files rewrite; untouched files keep identity, stats, and CDC silence") {
     import graft.sources.VtUtilitySql
     registerCatalog()
