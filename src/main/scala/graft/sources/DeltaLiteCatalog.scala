@@ -11,7 +11,8 @@ import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
+import org.apache.spark.sql.catalyst.ProjectingInternalRow
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.execution.datasources.FilePartition
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
 import org.apache.spark.sql.graft.{CatalystFilterPushdown, Dsv2Shim}
@@ -19,7 +20,7 @@ import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.vt.DeltaLogReader
+import graft.vt.{DeletionVectors, DeltaLogReader}
 import graft.vt.DeltaLogReader.DeltaSnapshot
 
 /** READ-ONLY DSv2 catalog over FOREIGN Delta tables (r19) — the scale
@@ -130,15 +131,23 @@ final class DeltaLiteTable(spark: SparkSession, tableRoot: String,
     * values live in paths, not files — the fallback replays them
     * correctly). Everything else → the proven [[DeltaLiteMorRelation]]
     * behind a [[V1Scan]]. */
-  private def nativeRoutable: Boolean = {
+  private def flatUnrenamed: Boolean = {
     val mode = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
-    snap.files.forall(_.dv.isEmpty) && snap.partitionColumns.isEmpty &&
+    snap.partitionColumns.isEmpty &&
       (mode == "none" || DeltaLite.unrenamed(snap.schema))
   }
+  private def nativeRoutable: Boolean =
+    snap.files.forall(_.dv.isEmpty) && flatUnrenamed
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     if (nativeRoutable)
       new DeltaDfScanBuilder(spark, tableRoot, snap)
+    else if (flatUnrenamed)
+      // DV-bearing flat snapshots (r20): native merge-on-read batch with
+      // per-task roaring-DV subtraction AND runtime file skipping — the
+      // broadcast star join into an exported DV table re-prunes files at
+      // execution, which the V1 fallback could never do
+      new DeltaMorScanBuilder(spark, tableRoot, snap)
     else
       new DeltaLiteV1ScanBuilder(spark, tableRoot, snap)
 }
@@ -312,6 +321,225 @@ final class DeltaDfScan(spark: SparkSession, root: java.nio.file.Path,
       if (counts.forall(_.exists(_.isNumber)))
         java.util.OptionalLong.of(counts.iterator.map(_.get.asLong()).sum)
       else java.util.OptionalLong.empty()
+    }
+  }
+}
+
+/** NATIVE DSv2 scan builder for DV-CARRYING flat foreign snapshots (r20 —
+  * replaces their `V1Scan` fallback): catalyst filters prune the add list
+  * through the log's per-file stats AND reach the parquet readers; the
+  * Scan is a real [[Batch]] whose readers subtract each file's roaring
+  * deletion vector BY TASK — the driver ships only the tiny DV
+  * DESCRIPTORS (path/inline + cardinality, straight from the add
+  * actions), never positions. Every pushed conjunct is also returned as
+  * residual, so correctness never depends on the translation. The vt twin
+  * is [[VtMorScanBuilder]]. */
+final class DeltaMorScanBuilder(spark: SparkSession, tableRoot: String,
+                                snap: DeltaSnapshot)
+    extends ScanBuilder with CatalystFilterPushdown
+    with SupportsPushDownRequiredColumns {
+
+  private val root = java.nio.file.Paths.get(tableRoot).toAbsolutePath.normalize
+  private val rowIdx = Dsv2Shim.rowIndexField
+  private val dataWithIdx = StructType(snap.schema.fields :+ rowIdx)
+  private val delegate =
+    ParquetScanBuilder(spark, new DeltaFlatFileIndex(spark, root, snap),
+      dataWithIdx, dataWithIdx, CaseInsensitiveStringMap.empty())
+  private var dataFilters: Seq[Expression] = Nil
+  private var required: StructType = snap.schema
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    dataFilters = filters
+    delegate.pushFilters(filters) // translated conjuncts reach the readers
+    filters // ALL residual: Spark re-applies them above the DV subtraction
+  }
+  override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    delegate.pushedFilters
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // normalize to table order — rows come back in dataSchema order
+    val names = requiredSchema.fieldNames.toSet
+    required = StructType(snap.schema.fields.filter(f => names.contains(f.name)))
+  }
+
+  override def build(): Scan = {
+    delegate.pruneColumns(StructType(required.fields :+ rowIdx))
+    val tester = new DeltaStatsTester(snap.schema, snap.partitionColumns)
+    val bounds = dataFilters.flatMap(StatsWindows.windows).toList
+    val nulls = dataFilters.flatMap(StatsWindows.nullWindows).toList
+    val pruned =
+      if (bounds.isEmpty && nulls.isEmpty) snap.files
+      else snap.files.filter(f => tester.fileSurvives(f, bounds, nulls))
+    new DeltaMorScan(spark, root, snap, pruned, required,
+      delegate.build().asInstanceOf[ParquetScan])
+  }
+}
+
+/** One single-file split + its add action's DV DESCRIPTOR (None when the
+  * file is deletion-free) — the positions are decoded by the task itself
+  * from the roaring bitmap, never shipped from the driver. */
+private[sources] final case class DeltaMorInputPartition(
+    files: FilePartition, rootDir: String,
+    dv: Option[DeletionVectors.DvDescriptor]) extends InputPartition {
+  override def preferredLocations(): Array[String] = files.preferredLocations()
+}
+
+/** EXECUTOR-side roaring-DV decode, memoized per (executor, descriptor):
+  * every split of a file shares one decode; an inline (Z85) descriptor
+  * never touches the filesystem at all. */
+private[sources] object DeltaDvTaskLoader {
+  private val CacheMax = 64
+  private val cache =
+    new java.util.LinkedHashMap[(String, String), Array[Long]](CacheMax, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), Array[Long]]): Boolean =
+        size() > CacheMax
+    }
+
+  def positionsFor(rootDir: String, dv: DeletionVectors.DvDescriptor): Array[Long] = {
+    val key = (rootDir, dv.toString)
+    cache.synchronized { Option(cache.get(key)) } match {
+      case Some(hit) => hit
+      case None =>
+        val loaded = DeletionVectors
+          .readPositions(java.nio.file.Paths.get(rootDir), dv)
+          .distinct.sorted.toArray
+        cache.synchronized { cache.put(key, loaded) }
+        loaded
+    }
+  }
+}
+
+/** The native foreign-Delta merge-on-read batch: stats-pruned and
+  * runtime-skippable file list ([[SupportsRuntimeV2Filtering]] — dynamic
+  * file pruning over a DV-carrying foreign table), per-file splits, and
+  * readers that drop deleted positions with one binary search per row
+  * against the task-decoded roaring bitmap. Columnar passthrough when no
+  * live file carries deletions. */
+final class DeltaMorScan(spark: SparkSession, root: java.nio.file.Path,
+                         snap: DeltaSnapshot,
+                         pruned: Vector[DeltaLogReader.FileEntry],
+                         outSchema: StructType, parquet: ParquetScan)
+    extends Batch with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  private val tester = new DeltaStatsTester(snap.schema, snap.partitionColumns)
+
+  @volatile private var shrunk: Vector[DeltaLogReader.FileEntry] = null
+  private def liveFiles: Vector[DeltaLogReader.FileEntry] = {
+    val s = shrunk
+    if (s == null) pruned else s
+  }
+
+  /** Exposed for specs: how many files the scan will actually plan. */
+  private[graft] def plannedFileCount: Int = liveFiles.size
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    readSchema().fieldNames.map(Dsv2Shim.columnRef)
+
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val v1 = predicates.flatMap(Dsv2Shim.toV1(_).toSeq)
+    val (bounds, nulls) = StatsWindows.fromFilters(v1.toSeq)
+    if (bounds.nonEmpty || nulls.nonEmpty)
+      shrunk = liveFiles.filter(f => tester.fileSurvives(f, bounds, nulls))
+  }
+
+  override def readSchema(): StructType = outSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"DeltaMorScan v${snap.version} files=${liveFiles.size}/${snap.files.size} " +
+      s"dv=${snap.files.count(_.dv.isDefined)}"
+
+  private def sizeOf(f: DeltaLogReader.FileEntry): Long =
+    if (f.size >= 0L) f.size
+    else java.nio.file.Files.size(root.resolve(f.path))
+  private def totalBytes: Long = liveFiles.iterator.map(sizeOf).sum
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val maxSplit = math.max(1L, FilePartition.maxSplitBytes(spark, totalBytes))
+    val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    liveFiles.foreach { f =>
+      // splits of ONE file per partition: row indexes are file-absolute,
+      // so every split filters against the same decoded position set
+      VtSplits.ofPath(root.resolve(f.path), sizeOf(f), maxSplit).foreach { pf =>
+        parts += DeltaMorInputPartition(FilePartition(parts.length, Array(pf)),
+          root.toString, f.dv)
+      }
+    }
+    parts.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    // Spark refuses mixed row/columnar partitions: columnar only when NO
+    // live file carries deletions (runtime skipping may have dropped them)
+    new DeltaMorReaderFactory(parquet.createReaderFactory(), outSchema,
+      allColumnar = liveFiles.forall(_.dv.isEmpty))
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(totalBytes)
+    override def numRows(): java.util.OptionalLong = {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val counts = liveFiles.map(_.stats.map(s => mapper.readTree(s).path("numRecords")))
+      if (counts.forall(_.exists(_.isNumber)))
+        java.util.OptionalLong.of(counts.iterator.map(_.get.asLong()).sum -
+          liveFiles.iterator.flatMap(_.dv).map(_.cardinality).sum)
+      else java.util.OptionalLong.empty()
+    }
+  }
+}
+
+/** Wraps the parquet readers: emit only rows whose file-absolute index
+  * (the generated last column) is not in the task-decoded deletion set;
+  * columnar passthrough when the whole scan is deletion-free. The vt twin
+  * is [[VtMorReaderFactory]]. */
+private[sources] final class DeltaMorReaderFactory(
+    delegate: PartitionReaderFactory, outSchema: StructType,
+    allColumnar: Boolean) extends PartitionReaderFactory {
+  private val n = outSchema.length
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    allColumnar && delegate.supportColumnarReads(
+      partition.asInstanceOf[DeltaMorInputPartition].files)
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val mp = partition.asInstanceOf[DeltaMorInputPartition]
+    require(mp.dv.isEmpty, "columnar MOR read planned for a partition with deletions")
+    val inner = delegate.createColumnarReader(mp.files)
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      override def next(): Boolean = inner.next()
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+        val b = inner.get()
+        new org.apache.spark.sql.vectorized.ColumnarBatch(
+          Array.tabulate(n)(b.column), b.numRows())
+      }
+      override def close(): Unit = inner.close()
+    }
+  }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val mp = partition.asInstanceOf[DeltaMorInputPartition]
+    val inner = delegate.createReader(mp.files)
+    val proj = ProjectingInternalRow(outSchema, (0 until n).toIndexedSeq)
+    new PartitionReader[InternalRow] {
+      // decoded lazily INSIDE the task; deletion-free files skip it
+      private lazy val deleted: Array[Long] =
+        mp.dv.map(DeltaDvTaskLoader.positionsFor(mp.rootDir, _))
+          .getOrElse(Array.emptyLongArray)
+      override def next(): Boolean = {
+        while (inner.next()) {
+          val r = inner.get()
+          if (deleted.length == 0 ||
+              java.util.Arrays.binarySearch(deleted, r.getLong(n)) < 0) {
+            proj.project(r)
+            return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = proj
+      override def close(): Unit = inner.close()
     }
   }
 }

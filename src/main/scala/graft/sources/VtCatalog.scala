@@ -565,13 +565,15 @@ final class VtTable(spark: SparkSession, vt: VersionedTable, branch: String,
     * whose readers subtract deletion vectors by generated row index
     * (r18; no `V1Scan`/`RDD[Row]` bridge). */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    // column-mapped snapshots (r20 RENAME/DROP) read physical parquet names
-    // the native builders cannot address — serve the proven V1 fallback
-    // (stats/bloom-pruned, filter-pushed, DV-correct)
-    if (VersionedTable.hasColumnMapping(tableSchema))
-      new VtV1ScanBuilder(spark, vt, commit)
-    else if (commit.dvFiles.isEmpty)
+    // DV-free snapshots take the native builder — column-mapped ones
+    // included (r20: it translates the delegate into physical name space,
+    // keeping metadata aggregates, runtime file skipping and columnar
+    // reads through a rename). DV+mapped combines two translations; that
+    // rarer shape serves the proven V1 fallback over the MOR relation.
+    if (commit.dvFiles.isEmpty)
       new VtMetaScanBuilder(spark, vt, commit, tableSchema, options, branch)
+    else if (VersionedTable.hasColumnMapping(tableSchema))
+      new VtV1ScanBuilder(spark, vt, commit)
     else new VtMorScanBuilder(spark, vt, commit, tableSchema, branch, options)
 
   /** SQL `DELETE FROM vt.\`path\` WHERE …`, on any session with the

@@ -42,9 +42,42 @@ final class VtMetaScanBuilder(spark: SparkSession, vt: VersionedTable,
     extends ScanBuilder with CatalystFilterPushdown
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
+  // ---- COLUMN MAPPING (r20): the delegate operates in PHYSICAL name
+  // space — physical-named twin schema and a commit copy whose stats maps
+  // are re-keyed physical (and whose schemaJson IS the physical schema, so
+  // bloomLookup's translation is the identity — immune to rename swaps) —
+  // while Spark, the metadata aggregates, and the runtime-filter path stay
+  // LOGICAL. Rows are positional, so only NAMES translate: filters rewrite
+  // their attribute names on the way into the delegate, pruning renames its
+  // requested fields, and VtDfScan maps the pruned read schema back.
+  private val mapped = VersionedTable.hasColumnMapping(tableSchema)
+  private val physOf: Map[String, String] =
+    if (!mapped) Map.empty
+    else tableSchema.fields.map(f => f.name -> VersionedTable.physicalName(f)).toMap
+  private val logOf: Map[String, String] = physOf.map(_.swap)
+  private val physCommit: Commit =
+    if (!mapped) commit
+    else {
+      def rekey[V](m: Map[String, Map[String, V]]): Map[String, Map[String, V]] =
+        m.view.mapValues(_.map { case (k, v) => physOf.getOrElse(k, k) -> v }).toMap
+      commit.copy(
+        schemaJson = VersionedTable.physicalSchema(tableSchema).json,
+        stats = rekey(commit.stats), strStats = rekey(commit.strStats),
+        nullStats = rekey(commit.nullStats),
+        bloomCols = commit.bloomCols.map(c => physOf.getOrElse(c, c)))
+    }
+  private def toPhys(e: Expression): Expression = e.transform {
+    case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+        if physOf.getOrElse(a.name, a.name) != a.name =>
+      a.withName(physOf(a.name))
+  }
+  private def toPhysSchema(s: StructType): StructType =
+    StructType(s.fields.map(f => f.copy(name = physOf.getOrElse(f.name, f.name))))
+
   private val delegate =
-    ParquetScanBuilder(spark, new VtFileIndex(spark, vt, commit),
-      tableSchema, tableSchema, options)
+    ParquetScanBuilder(spark, new VtFileIndex(spark, vt, physCommit),
+      VersionedTable.physicalSchema(tableSchema),
+      VersionedTable.physicalSchema(tableSchema), options)
   private var dataFilters: Seq[Expression] = Nil
   private var filtered = false
   private var delegateAggPushed = false
@@ -53,21 +86,31 @@ final class VtMetaScanBuilder(spark: SparkSession, vt: VersionedTable,
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     filtered = filtered || filters.nonEmpty
     dataFilters = dataFilters ++ filters
-    delegate.pushFilters(filters)
+    val residual = delegate.pushFilters(
+      if (mapped) filters.map(toPhys) else filters)
+    // mapped: the delegate's residual carries PHYSICAL names Spark cannot
+    // re-resolve — return every original conjunct instead (correct; the
+    // translated copies still reached the parquet readers)
+    if (mapped) filters else residual
   }
   override def pushedFilters: Array[Predicate] = delegate.pushedFilters
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    delegate.pruneColumns(requiredSchema)
+    delegate.pruneColumns(
+      if (mapped) toPhysSchema(requiredSchema) else requiredSchema)
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     if (!filtered) meta = metaAnswer(aggregation)
-    meta.isDefined || { delegateAggPushed = delegate.pushAggregation(aggregation)
-      delegateAggPushed }
+    // the delegate's footer-level aggregate scan reports a physical-named
+    // readSchema Spark cannot bind — mapped snapshots take metadata answers
+    // or the ordinary scan, never the delegate's aggregate scan
+    meta.isDefined || (!mapped && {
+      delegateAggPushed = delegate.pushAggregation(aggregation)
+      delegateAggPushed })
   }
 
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    meta.isDefined || delegate.supportCompletePushDown(aggregation)
+    meta.isDefined || (!mapped && delegate.supportCompletePushDown(aggregation))
 
   override def build(): Scan = meta match {
     case Some((schema, row)) => new VtMetaAggScan(schema, row, commit)
@@ -76,7 +119,8 @@ final class VtMetaScanBuilder(spark: SparkSession, vt: VersionedTable,
     // file skipping, commit-log statistics) around the delegate's readers
     case None if delegateAggPushed => delegate.build()
     case None =>
-      new VtDfScan(spark, vt, commit, dataFilters, delegate.build(), branch, options)
+      new VtDfScan(spark, vt, commit, dataFilters, delegate.build(), branch,
+        options, logOf)
   }
 
   // ---- the provable-from-metadata decision --------------------------------
@@ -276,10 +320,17 @@ final class VtDfScan(protected val spark: SparkSession, protected val vt: Versio
                      protected val commit: Commit,
                      dataFilters: Seq[Expression], parquet: ParquetScan,
                      branch: String = "main",
-                     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+                     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
+                     // physical→logical column names for mapped snapshots
+                     // (r20): the delegate reads physical-named parquet;
+                     // Spark binds the batch's columns POSITIONALLY against
+                     // this scan's logical readSchema — only names map
+                     nameMap: Map[String, String] = Map.empty)
     extends Batch with SupportsReportStatistics with VtRuntimePrunedScan {
 
   protected val staticFiles: Vector[String] = {
+    // dataFilters and the commit are both LOGICAL-keyed here — the builder
+    // keeps this scan's pruning inputs in the query's own name space
     val bounds = dataFilters.flatMap(StatsWindows.windows).toList
     val nulls = dataFilters.flatMap(StatsWindows.nullWindows).toList
     val probes = dataFilters.flatMap(StatsWindows.pointProbes).toList
@@ -287,7 +338,10 @@ final class VtDfScan(protected val spark: SparkSession, protected val vt: Versio
     commit.files.filter(VtPruning.survives(commit, _, bounds, nulls, probes, bloom))
   }
 
-  override def readSchema(): StructType = parquet.readSchema()
+  override def readSchema(): StructType =
+    if (nameMap.isEmpty) parquet.readSchema()
+    else StructType(parquet.readSchema().fields.map(f =>
+      f.copy(name = nameMap.getOrElse(f.name, f.name))))
   override def toBatch: Batch = this
   /** `spark.readStream.table(...)` — snapshot-then-tail over the commit
     * log ([[VtMicroBatchStream]]); this scan's pruned readSchema pins the

@@ -46,6 +46,19 @@ object DeltaLogFixture {
                     dv: DeletionVectors.DvDescriptor): String =
     addLine(path, sizeBytes, dv = Some(dv))
 
+  /** Does this type contain a nested struct anywhere — the shapes the
+    * mapped EXPORT refuses (field-id assignment below top level is not
+    * implemented)? Plain arrays/maps of primitives are fine. */
+  def nested(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    dt match {
+      case _: StructType => true
+      case a: ArrayType => nested(a.elementType)
+      case m: MapType => nested(m.keyType) || nested(m.valueType)
+      case _ => false
+    }
+  }
+
   def metaDataLine(schemaJson: String, partitionColumns: Seq[String],
                    configuration: Map[String, String] = Map.empty): String =
     line("metaData") { m =>

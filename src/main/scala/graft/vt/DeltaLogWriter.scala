@@ -88,17 +88,40 @@ object DeltaLogWriter {
     require(commits.head.version == 0 &&
       commits.zipWithIndex.forall { case (c, i) => c.version == i },
       s"lineage versions are not contiguous from 0: ${commits.map(_.version)}")
-    // column-mapped snapshots (r20 RENAME/DROP COLUMN) would need the log
-    // to carry delta.columnMapping metadata (mode, physicalName, field ids)
-    // for stock delta-spark to bind the physical parquet names — not
-    // emitted yet; refuse loudly rather than export a log that reads NULLs
-    commits.find(c => VersionedTable.hasColumnMapping(
+    // COLUMN-MAPPED lineages (r20 RENAME/DROP COLUMN) export as stock
+    // NAME-MODE logs: from the first mapped version on, every field's
+    // schemaString metadata carries delta.columnMapping.physicalName/.id
+    // and the configuration sets mode=name + maxColumnId — the engine's
+    // data files already store PHYSICAL column names, which is exactly the
+    // binding name mode specifies, so stock delta-spark (and the engine's
+    // own delta-lite reader) bind correctly with zero file rewrites.
+    // Field ids are assigned by FIRST APPEARANCE of a physical name over
+    // the lineage — stable across renames, never reused after a drop.
+    def schemaOf(c: Commit): org.apache.spark.sql.types.StructType =
       org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])).foreach { c =>
-      throw new UnsupportedOperationException(
-        s"export to _delta_log: version ${c.version} of '$branch' has " +
-          "renamed/dropped (column-mapped) columns, which the exporter does " +
-          "not translate to delta.columnMapping metadata yet")
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val firstMappedVersion: Option[Long] =
+      commits.find(c => VersionedTable.hasColumnMapping(schemaOf(c))).map(_.version)
+    if (firstMappedVersion.isDefined) {
+      require(!changeDataFeed,
+        "export to _delta_log: CDF export of a column-mapped lineage is not " +
+          "supported (cdc files would need the physical-name convention) — " +
+          "export without changeDataFeed, or consume table_changes directly")
+      commits.foreach { c =>
+        require(!schemaOf(c).fields.exists(f => DeltaLogFixture.nested(f.dataType)),
+          s"export to _delta_log: version ${c.version} mixes column mapping " +
+            "with nested struct/array/map columns — field-id assignment for " +
+            "nested fields is not implemented")
+      }
+    }
+    // physical name → stable field id, first-appearance order
+    val fieldIdOf: Map[String, Long] = {
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      commits.foreach(c => schemaOf(c).fields.foreach { f =>
+        val pn = VersionedTable.physicalName(f)
+        if (!m.contains(pn)) m += (pn -> (m.size + 1L))
+      })
+      m.toMap
     }
     // deterministic protocol-upgrade point: the first DV-carrying version
     val firstDvVersion = commits.find(_.dvFiles.nonEmpty).map(_.version)
@@ -180,14 +203,42 @@ object DeltaLogWriter {
           else if (!c.dataChange && removes.nonEmpty) "OPTIMIZE"
           else if (dvChanged.nonEmpty) "DELETE"
           else if (removes.isEmpty) "APPEND" else "OVERWRITE")
-        if (prev.isEmpty && !firstDvVersion.contains(0L))
+        val mapActive = firstMappedVersion.exists(_ <= c.version)
+        val dvActive = firstDvVersion.exists(_ <= c.version)
+        if (prev.isEmpty && !firstDvVersion.contains(0L) &&
+            !firstMappedVersion.contains(0L))
           actions += DeltaLogFixture.protocolLine(
             minWriter = if (changeDataFeed) 4 else 2)
-        if (firstDvVersion.contains(c.version))
-          actions += DeltaLogFixture.protocolV3Line(Seq("deletionVectors"),
-            if (changeDataFeed) Seq("changeDataFeed") else Nil)
-        if (schemaChanged || propsChanged)
-          actions += DeltaLogFixture.metaDataLine(c.schemaJson, Nil, exportedConfig)
+        // protocol upgrades accumulate: a v3/v7 line must list EVERY active
+        // reader feature, so a mapping that joins a DV table (or vice
+        // versa) re-declares both
+        if (firstDvVersion.contains(c.version) ||
+            firstMappedVersion.contains(c.version)) {
+          if (dvActive)
+            actions += DeltaLogFixture.protocolV3Line(
+              Seq("deletionVectors") ++
+                (if (mapActive) Seq("columnMapping") else Nil),
+              if (changeDataFeed) Seq("changeDataFeed") else Nil)
+          else // mapping only: the classic reader-2 / writer-5 declaration
+            actions += DeltaLogFixture.protocolLine(minReader = 2, minWriter = 5)
+        }
+        if (schemaChanged || propsChanged) {
+          val (schemaJson, mapCfg) =
+            if (!mapActive) (c.schemaJson, Map.empty[String, String])
+            else {
+              val st = schemaOf(c)
+              val phys = st.fields.map(f =>
+                f.name -> VersionedTable.physicalName(f)).toMap
+              val ids = st.fields.map(f =>
+                f.name -> fieldIdOf(VersionedTable.physicalName(f))).toMap
+              (DeltaLogFixture.columnMappedSchema(st, phys, ids).json,
+                Map("delta.columnMapping.mode" -> "name",
+                  "delta.columnMapping.maxColumnId" ->
+                    fieldIdOf.values.max.toString))
+            }
+          actions += DeltaLogFixture.metaDataLine(schemaJson, Nil,
+            exportedConfig ++ mapCfg)
+        }
         // ROW-PRESERVING rewrites (compact / Z-order: the file set changes,
         // the row bag does not) export Delta's way: adds and removes marked
         // dataChange=false, no cdc file — a CDF reader then skips the

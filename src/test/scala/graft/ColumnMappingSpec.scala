@@ -157,7 +157,7 @@ class ColumnMappingSpec extends SparkSpec {
     assert(v1.where($"doc_id" === 1000L).count() === 1)
   }
 
-  test("streaming read refuses a mapped snapshot loudly; delta export refuses too") {
+  test("streaming read refuses a mapped snapshot loudly; CDF export of a mapped lineage refuses") {
     val vt = VersionedTable.create(Tables.scratch("cmap_refusals"))
     vt.write((1 to 10).map(i => (i.toLong, s"r$i")).toDF("k", "v").coalesce(1),
       "main", "v0")
@@ -170,8 +170,130 @@ class ColumnMappingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("column-mapped") ||
       Option(e.getCause).exists(_.getMessage.contains("column-mapped")))
-    val e2 = intercept[UnsupportedOperationException](vt.exportDeltaLog("main"))
-    assert(e2.getMessage.contains("columnMapping"))
+    // CDF export of a mapped lineage refuses; the PLAIN export now works
+    // (see the round-trip test below)
+    val e2 = intercept[IllegalArgumentException](
+      vt.exportDeltaLog("main", changeDataFeed = true))
+    assert(e2.getMessage.contains("column-mapped"))
+  }
+
+  test("r20b: mapped lineages EXPORT as stock name-mode Delta logs; delta-lite reads them back") {
+    val vt = VersionedTable.create(Tables.scratch("cmap_export"))
+    def part(lo: Int) = (lo until lo + 40).map(i => (i.toLong, s"u$i"))
+      .toDF("id", "owner").coalesce(1)
+    vt.write(part(0), "main", "v0", statsCols = Seq("id"))
+    vt.renameColumn(spark, "main", "id", "doc_id")
+    // post-rename append writes PHYSICAL names — the exported add actions
+    // reference those files, and name mode binds them by physicalName
+    vt.write(part(100).toDF("doc_id", "owner"), "main", "v2", mode = "append",
+      statsCols = Seq("doc_id"))
+    val latest = vt.exportDeltaLog("main")
+    assert(latest === 2L)
+    // the engine's own stock-Delta reader round-trips the mapped log:
+    // logical names out, correct values, version-pinned schemas
+    val back = spark.read.format("delta-lite")
+      .option("path", vt.root.toString).load()
+    assert(back.columns.toSeq === Seq("doc_id", "owner"))
+    assert(back.count() === 80)
+    assert(back.agg(sum($"doc_id")).head.getLong(0) ===
+      ((0L until 40L) ++ (100L until 140L)).sum)
+    assert(back.where($"doc_id" === 120L).select($"owner").as[String].head() === "u120")
+    // time travel to the PRE-mapping version speaks the old name
+    val v0 = spark.read.format("delta-lite").option("path", vt.root.toString)
+      .option("versionAsOf", "0").load()
+    assert(v0.columns.toSeq === Seq("id", "owner") && v0.count() === 40)
+    // the dlite CATALOG serves it too (renamed name-mode → V1 fallback)
+    spark.conf.set("spark.sql.catalog.dlite",
+      classOf[graft.sources.DeltaLiteCatalog].getName)
+    assert(spark.sql(s"SELECT count(*) AS c FROM dlite.`${vt.root}`")
+      .head.getLong(0) === 80L)
+    // a DROP exports too: the field leaves the schemaString, old files'
+    // extra physical column is simply never requested
+    vt.dropColumn(spark, "main", "owner")
+    vt.write(Seq(500L).toDF("doc_id").coalesce(1), "main", "v4", mode = "append")
+    assert(vt.exportDeltaLog("main") === 4L)
+    val dropped = spark.read.format("delta-lite")
+      .option("path", vt.root.toString).load()
+    assert(dropped.columns.toSeq === Seq("doc_id") && dropped.count() === 81)
+    // DV + mapping compose: the protocol re-declares both reader features
+    vt.deleteWithVectors(spark, "doc_id < 10", "main")
+    assert(vt.exportDeltaLog("main") === 5L)
+    val withDv = spark.read.format("delta-lite")
+      .option("path", vt.root.toString).load()
+    assert(withDv.count() === 71, "exported DVs must apply under the mapped schema")
+    val proto = java.nio.file.Files.readAllLines(
+      vt.root.resolve("_delta_log").resolve(f"${5L}%020d.json")).toString
+    assert(proto.contains("deletionVectors") && proto.contains("columnMapping"),
+      "the v3 protocol upgrade must list EVERY active reader feature")
+  }
+
+  test("r20: mapped DV-free snapshots serve the NATIVE DSv2 batch — metadata aggs (ghost-proof), stats pruning, runtime join skipping") {
+    val vt = VersionedTable.create(Tables.scratch("cmap_native"))
+    // range-clustered: file i covers ~[i*100, i*100+99]
+    vt.write(spark.range(0, 400).toDF("id")
+      .withColumn("s", concat(lit("v"), col("id").cast("string")))
+      .repartitionByRange(4, col("id")), "main", "v0", statsCols = Seq("id", "s"))
+    vt.renameColumn(spark, "main", "id", "doc_id")
+    spark.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
+    val t = s"vt.`${vt.root}`"
+    // metadata aggregates on the RENAMED column answer with ZERO file
+    // reads (logical-keyed stats + the re-key in the rename commit)
+    val head = vt.head("main").get
+    val tmp = vt.root.resolve("ghost_native")
+    java.nio.file.Files.createDirectories(tmp)
+    head.files.foreach { f =>
+      java.nio.file.Files.move(vt.root.resolve(f), tmp.resolve(f.replace('/', '_')))
+    }
+    try {
+      val q = spark.sql(
+        s"SELECT count(*) AS c, min(doc_id) AS mn, max(doc_id) AS mx FROM $t")
+      assert(q.collect().toSeq.map(_.toSeq) === Seq(Seq(400L, 0L, 399L)))
+      assert(q.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+        "mapped metadata aggregates must stay zero-read")
+    } finally head.files.foreach { f =>
+      java.nio.file.Files.move(tmp.resolve(f.replace('/', '_')), vt.root.resolve(f))
+    }
+    // static stats pruning through the renamed name reaches the scan plan
+    val filtered = spark.sql(s"SELECT s FROM $t WHERE doc_id BETWEEN 150 AND 160")
+    assert(filtered.count() === 11)
+    val fScan = filtered.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get.scan
+    assert(fScan.asInstanceOf[graft.sources.VtDfScan].plannedFileCount === 1,
+      s"stats pruning must survive the rename: ${fScan.description()}")
+    // runtime file skipping: a broadcast join's keys re-prune the mapped
+    // file list at execution (the scan must be the native VtDfScan)
+    val dimPath = Tables.scratch("cmap_native_dim")
+    Seq((120L, "x"), (130L, "x")).toDF("dk", "grp")
+      .write.mode("overwrite").parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView("cmap_dim")
+    // GHOST every file except the [100,199] range file: only the runtime
+    // join-key re-prune (no static predicate on doc_id) lets this succeed
+    val keep = head.files.find(f => head.stats(f)("doc_id")._1 <= 120.0 &&
+      head.stats(f)("doc_id")._2 >= 130.0).get
+    val ghosts2 = head.files.filterNot(_ == keep).map { f =>
+      val g = tmp.resolve(f.replace('/', '_') + ".rt")
+      java.nio.file.Files.move(vt.root.resolve(f), g); (f, g)
+    }
+    try {
+      val j = spark.sql(
+        s"""SELECT sum(f.doc_id) AS s FROM $t f JOIN cmap_dim d ON f.doc_id = d.dk
+           |WHERE d.grp = 'x'""".stripMargin)
+      assert(j.head.getLong(0) === 250L,
+        "runtime join-key skipping must prune the ghosted mapped files")
+      val finalPlan = j.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val scanExec = finalPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.get
+      assert(scanExec.runtimeFilters.nonEmpty, "the join must inject a runtime filter")
+      assert(scanExec.scan.isInstanceOf[graft.sources.VtDfScan],
+        s"mapped DV-free snapshots must take the native batch, got ${scanExec.scan}")
+    } finally ghosts2.foreach { case (f, g) =>
+      java.nio.file.Files.move(g, vt.root.resolve(f)) }
   }
 
   test("MOR deletion vectors compose with a rename (positions are name-agnostic)") {

@@ -375,4 +375,63 @@ class DeltaLiteSpec extends SparkSpec {
     intercept[Exception](
       spark.sql(s"SELECT count(*) AS c FROM $t VERSION AS OF 99").collect())
   }
+
+  test("r20 dlite catalog: DV-carrying exports serve the NATIVE MOR batch — runtime join-key skipping, per-task roaring subtraction (ghost-proof)") {
+    import graft.vt.VersionedTable
+    val vt = VersionedTable.create(Tables.scratch("dlite_cat_mor_rt"))
+    def part(lo: Long, hi: Long) = spark.range(lo, hi + 1)
+      .select(col("id").as("k"), (col("id") % 7).as("v")).coalesce(1)
+    vt.write(part(1, 100), "main", "A", statsCols = Seq("k"))
+    vt.write(part(101, 200), "main", "B", mode = "append", statsCols = Seq("k"))
+    vt.write(part(201, 300), "main", "C", mode = "append", statsCols = Seq("k"))
+    // MOR delete touches files A and B only; C stays deletion-free
+    vt.deleteWithVectors(spark, "k % 2 = 0 AND k <= 200", "main")
+    vt.exportDeltaLog("main")
+    spark.conf.set("spark.sql.catalog.dlite",
+      classOf[graft.sources.DeltaLiteCatalog].getName)
+    val t = s"dlite.`${vt.root}`"
+    // whole-table count through the native MOR batch: 300 − 100 evens
+    assert(spark.sql(s"SELECT count(*) AS c FROM $t").as[Long].head() === 200L)
+    val dimPath = Tables.scratch("dlite_cat_mor_dim")
+    // 120 is DELETED (even ≤ 200): the join must not resurrect it
+    Seq((120L, "x"), (121L, "x"), (141L, "y")).toDF("dk", "grp")
+      .write.mode("overwrite").parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView("dlite_mor_dim")
+    // ghost files A and C: only the RUNTIME join-key filter can prune them
+    // (no static predicate on k) — success proves the DV-bearing batch
+    // re-prunes its file list at execution like the clean batch does
+    val head = vt.head("main").get
+    val ghosts = head.files.filter(f =>
+      head.stats(f)("k")._2 <= 100.0 || head.stats(f)("k")._1 >= 201.0)
+    assert(ghosts.size === 2)
+    val moved = ghosts.map { f =>
+      val tmp = vt.root.resolve(f.replace('/', '_') + ".ghost")
+      Files.move(vt.root.resolve(f), tmp); (f, tmp)
+    }
+    try {
+      val q = spark.sql(
+        s"""SELECT sum(f.k) AS s FROM $t f JOIN dlite_mor_dim d ON f.k = d.dk
+           |WHERE d.grp = 'x'""".stripMargin)
+      assert(q.as[Long].head() === 121L,
+        "the deleted key 120 must not resurrect; the live 121 must survive")
+      val finalPlan = q.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val scanExec = finalPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.get
+      assert(scanExec.runtimeFilters.nonEmpty, "the join must inject a runtime filter")
+      assert(scanExec.scan.isInstanceOf[graft.sources.DeltaMorScan],
+        s"DV-carrying flat exports must take the native MOR batch, got ${scanExec.scan}")
+    } finally moved.foreach { case (f, tmp) => Files.move(tmp, vt.root.resolve(f)) }
+    // static pushdown into the clean region: stats prune to file C, whose
+    // deletion-free readers keep the columnar passthrough
+    assert(spark.sql(s"SELECT count(*) AS c FROM $t WHERE k >= 201")
+      .as[Long].head() === 100L)
+    assert(spark.sql(s"SELECT sum(k) AS s FROM $t WHERE k <= 10").as[Long].head()
+      === Seq(1L, 3L, 5L, 7L, 9L).sum)
+  }
 }
+
