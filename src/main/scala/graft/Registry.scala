@@ -121,7 +121,10 @@ object Registry {
     // r20: RENAME/DROP COLUMN via name-mode column mapping — metadata-only
     // commits (the stats re-key is the only O(files) metadata work) followed
     // by an sf-scaled INSERT/read through the mapped write/read paths
-    "q_vt_rename_column", "q_vt_drop_column")
+    "q_vt_rename_column", "q_vt_drop_column",
+    // r20b: foreign-Delta append — export an sf-scaled band, append the
+    // twin band onto the stock log, read back through delta-lite
+    "q_vt_delta_append")
 
   /** The FROZEN round-4 headline list. `benchNames` grows as operators land
     * (23 → 27 across rounds), so the all-queries `total` is not

@@ -2017,6 +2017,33 @@ object Versioned {
     s.sql(s"SELECT o_orderkey, o_totalprice FROM vt.`$root` ORDER BY o_orderkey")
   }
 
+  /** Foreign-Delta APPEND (r20, [[graft.vt.DeltaForeignWriter]]): the last
+    * interop direction — writing onto a PRE-EXISTING stock `_delta_log`
+    * table the way the reference jobs write through delta-spark
+    * (`jobs/vdt4.py:39-45`). The append claims the next log version with an
+    * atomic create (the LogStore rule), carries real sizes + `numRecords`
+    * stats on its adds, and is read back through the engine's own
+    * stock-Delta reader. The oracle unions both bands over orders. */
+  val qVtDeltaAppend: QueryDef = q("q_vt_delta_append")(
+    """SELECT o_orderpriority AS pri, count(*) AS n,
+      |       CAST(sum(o_orderkey) AS BIGINT) AS keysum
+      |FROM orders WHERE o_orderkey % 8 = 6 OR o_orderkey % 8 = 7
+      |GROUP BY o_orderpriority ORDER BY pri""".stripMargin) { (s, d) =>
+    val vt = VersionedTable.create(Tables.scratch("vt_delta_append"))
+    val orders = Tables.orders(s, d)
+    vt.write(orders.where(pmod(col("o_orderkey"), lit(8)) === 6)
+      .select("o_orderkey", "o_orderpriority"), "main", "v0")
+    vt.exportDeltaLog("main")
+    graft.vt.DeltaForeignWriter.append(s, vt.root.toString,
+      orders.where(pmod(col("o_orderkey"), lit(8)) === 7)
+        .select("o_orderkey", "o_orderpriority"))
+    s.read.format("delta-lite").option("path", vt.root.toString).load()
+      .groupBy(col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).cast("long").as("keysum"))
+      .orderBy("pri")
+  }
+
   /** SQL CHECK constraints end-to-end (r19c, Spark 4's native constraint
     * grammar + [[graft.vt.VersionedTable.addCheckConstraint]]): `ALTER
     * TABLE … ADD CONSTRAINT` validates the EXISTING rows then lands as a
@@ -2267,5 +2294,5 @@ object Versioned {
     qVtSqlCountMeta, qVtBloomSkip, qVtCtas, qDliteRuntimeSkip,
     qVtBloomLong, qVtOptimizeWhere, qVtAddColumn, qVtRtas, qVtStreamTable,
     qVtStreamMirror, qVtConstraint, qVtTableChanges, qVtClone, qVtCloneDelta,
-    qVtAnalyze, qVtRenameColumn, qVtDropColumn)
+    qVtAnalyze, qVtRenameColumn, qVtDropColumn, qVtDeltaAppend)
 }
