@@ -127,8 +127,10 @@ final class Repo private (val root: Path, val store: MetaStore) {
     // same cross-process CAS as VersionedTable.publish: no silent forks
     CommitLog.claimVersionSlot(root.resolve("locks"), branch, version, store = store)
     val id = s"$branch-v$version-${java.util.UUID.randomUUID.toString.take(8)}"
-    val c = Commit(id, parent.map(_.id), version, files.toVector, schemaJson,
-      message, System.currentTimeMillis())
+    val (mrefs, ordered) = buildManifests(branch, version,
+      parent.map(_.manifests).getOrElse(Vector.empty), files.toVector)
+    val c = Commit(id, parent.map(_.id), version, ordered, schemaJson,
+      message, System.currentTimeMillis(), manifests = mrefs)
     store.put(commitsDir.resolve(id + ".json"), CommitLog.toJson(c))
     if (parent.isEmpty) branchIndex.add(branch) // before the ref (see branches)
     store.put(refsDir.resolve(branch), id)
@@ -273,7 +275,64 @@ final class Repo private (val root: Path, val store: MetaStore) {
   }
 
   private def loadCommit(id: String): Commit =
-    CommitLog.fromJson(store.read(commitsDir.resolve(id + ".json")))
+    resolveManifests(CommitLog.fromJson(store.read(commitsDir.resolve(id + ".json"))))
+
+  // ---- commit-metadata manifests (r20, the [[VersionedTable]] contract at
+  // repo scope): a repo commit's file list spans EVERY table — inlining it
+  // makes a 1-table commit into a 1000-table repo an O(repo) record. The
+  // record instead reuses the parent's immutable `.manifest` sidecars by
+  // reference (untouched tables' segments carry as-is) plus ONE fresh
+  // manifest for the changed files; [[Manifest.cached]] resolution keeps
+  // everything downstream seeing materialized commits. Repo entries carry
+  // only paths (the repo layer tracks no per-file stats).
+  private def resolveManifests(c: Commit): Commit =
+    if (c.manifests.isEmpty) c
+    else c.copy(files =
+      c.manifests.flatMap(m => Manifest.cached(root.resolve(m))).map(_.file))
+
+  private def writeManifest(branch: String, version: Long,
+                            files: Seq[String]): String = {
+    Files.createDirectories(dataDir)
+    val p = dataDir.resolve(
+      s"$branch-v$version-mf-${java.util.UUID.randomUUID.toString.take(8)}.manifest")
+    Manifest.write(p, files.map(f =>
+      ManifestEntry(f, None, None, Map.empty, Map.empty, Map.empty)))
+    root.relativize(p).toString
+  }
+
+  /** Factor `files` into manifest refs: reuse every candidate manifest whose
+    * entries are all still live, pool partial survivors + new files into one
+    * fresh manifest, compact past [[VersionedTable.MaxManifests]]. Returns
+    * (refs, files in resolution order). */
+  private def buildManifests(branch: String, version: Long,
+                             candidateRefs: Vector[String],
+                             files: Vector[String]): (Vector[String], Vector[String]) = {
+    if (files.isEmpty) return (Vector.empty, files)
+    val fileSet = files.toSet
+    var covered = Set.empty[String]
+    val reused = Vector.newBuilder[String]
+    val orderedReused = Vector.newBuilder[String]
+    val residual = Vector.newBuilder[String]
+    candidateRefs.distinct.foreach { mref =>
+      val entries =
+        try Manifest.cached(root.resolve(mref))
+        catch { case scala.util.control.NonFatal(_) => Vector.empty }
+      val live = entries.filter(e => fileSet(e.file) && !covered(e.file))
+      if (live.nonEmpty && live.size == entries.size) {
+        reused += mref
+        live.foreach { e => covered += e.file; orderedReused += e.file }
+      } else if (live.nonEmpty) {
+        live.foreach { e => covered += e.file; residual += e.file }
+      }
+    }
+    val fresh = residual.result() ++ files.filterNot(covered)
+    val ordered = orderedReused.result() ++ fresh
+    val refs = reused.result() ++
+      (if (fresh.nonEmpty) Vector(writeManifest(branch, version, fresh))
+       else Vector.empty)
+    if (refs.size <= VersionedTable.MaxManifests) (refs, ordered)
+    else (Vector(writeManifest(branch, version, ordered)), ordered)
+  }
 
   /** DAG-aware ancestry (merge commits have two parents — see [[Ancestry]]). */
   private def isAncestor(maybeAncestor: String, of: Commit): Boolean =
@@ -354,8 +413,11 @@ final class Repo private (val root: Path, val store: MetaStore) {
       val version = dst.version + 1
       CommitLog.claimVersionSlot(root.resolve("locks"), into, version, store = store)
       val id = s"$into-v$version-${java.util.UUID.randomUUID.toString.take(8)}"
-      val c = Commit(id, Some(dst.id), version, files.sorted, schemaJson,
-        s"merge $from into $into", System.currentTimeMillis(), mergeParent = Some(src.id))
+      val (mrefs, ordered) = buildManifests(into, version,
+        dst.manifests ++ src.manifests, files.sorted)
+      val c = Commit(id, Some(dst.id), version, ordered, schemaJson,
+        s"merge $from into $into", System.currentTimeMillis(),
+        mergeParent = Some(src.id), manifests = mrefs)
       store.put(commitsDir.resolve(id + ".json"), CommitLog.toJson(c))
       store.put(refsDir.resolve(into), id)
       c
@@ -401,8 +463,11 @@ final class Repo private (val root: Path, val store: MetaStore) {
     val version = parent.version + 1
     CommitLog.claimVersionSlot(root.resolve("locks"), branch, version, store = store)
     val id = s"$branch-v$version-${java.util.UUID.randomUUID.toString.take(8)}"
-    val c = Commit(id, Some(parent.id), version, target.files, target.schemaJson,
-      if (message.isEmpty) s"revert to v$toVersion" else message, System.currentTimeMillis())
+    val (mrefs, ordered) = buildManifests(branch, version,
+      target.manifests ++ parent.manifests, target.files)
+    val c = Commit(id, Some(parent.id), version, ordered, target.schemaJson,
+      if (message.isEmpty) s"revert to v$toVersion" else message,
+      System.currentTimeMillis(), manifests = mrefs)
     store.put(commitsDir.resolve(id + ".json"), CommitLog.toJson(c))
     store.put(refsDir.resolve(branch), id)
     c
@@ -462,7 +527,7 @@ final class Repo private (val root: Path, val store: MetaStore) {
   /** Every table's files across all tagged repo states — joins each vacuum's
     * retained set. */
   private def taggedFiles: Set[String] =
-    tags.flatMap { case (_, id) => loadCommit(id).files }.toSet
+    tags.flatMap { case (_, id) => loadCommit(id).allFiles }.toSet
 
   /** Commit history of a branch, newest first: (version, message, ts,
     * n_tables, n_files). */
@@ -494,7 +559,7 @@ final class Repo private (val root: Path, val store: MetaStore) {
     require(retainLast >= 1, "retainLast must be >= 1")
     sweepStaleSlots(System.currentTimeMillis(), staleSlotMs)
     val retained: Set[String] =
-      (branches.flatMap(b => lineage(b).take(retainLast).flatMap(_.files)) ++
+      (branches.flatMap(b => lineage(b).take(retainLast).flatMap(_.allFiles)) ++
         staged.values.flatMap(_.values.flatMap(_._1))).toSet ++
         SlotSweep.slotProtectedFiles(store, root, loadCommit, reachableIds) ++ taggedFiles
     sweepData(retained)
@@ -511,7 +576,7 @@ final class Repo private (val root: Path, val store: MetaStore) {
     sweepStaleSlots(nowMs, staleSlotMs)
     val retained: Set[String] =
       (branches.flatMap(b => lineage(b).zipWithIndex.collect {
-        case (c, i) if i == 0 || c.ts >= cutoff => c.files // i==0 = the head
+        case (c, i) if i == 0 || c.ts >= cutoff => c.allFiles // i==0 = the head
       }.flatten) ++ staged.values.flatMap(_.values.flatMap(_._1))).toSet ++
         SlotSweep.slotProtectedFiles(store, root, loadCommit, reachableIds) ++ taggedFiles
     sweepData(retained)
@@ -523,7 +588,9 @@ final class Repo private (val root: Path, val store: MetaStore) {
     import scala.jdk.CollectionConverters._
     val all =
       try walk.iterator().asScala
-        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+        .filter(p => Files.isRegularFile(p) &&
+          (p.getFileName.toString.endsWith(".parquet") ||
+            p.getFileName.toString.endsWith(".manifest")))
         .map(p => root.relativize(p).toString).toVector
       finally walk.close()
     val dead = all.filterNot(retained.contains)

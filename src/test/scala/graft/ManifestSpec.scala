@@ -161,6 +161,36 @@ class ManifestSpec extends SparkSpec {
     assert(vt.read(spark, "main").count() === 31)
   }
 
+  test("REPO commits share manifests too: a 1-table commit into a multi-table repo is O(changed files)") {
+    val repo = graft.vt.Repo.create(Tables.scratch("mf_repo"))
+    def df(n: Int) = (1 to n).map(i => (i.toLong, s"r$i")).toDF("k", "v")
+    // v0: three tables in one atomic commit
+    Seq("a", "b", "c").foreach(t =>
+      repo.stageWrite(df(50).repartition(2), "main", t))
+    val c0 = repo.commit("main", "v0")
+    def raw(id: String) = java.nio.file.Files.readString(
+      repo.root.resolve("commits").resolve(id + ".json"))
+    assert(!raw(c0.id).contains("\"files\""),
+      "repo commits must not inline the cross-table file list")
+    // a commit touching ONE table reuses the others' segments by reference
+    repo.stageAppend(df(5).coalesce(1), "main", "b")
+    val c1 = repo.commit("main", "touch b")
+    assert(raw(c1.id).length <= raw(c0.id).length + 300,
+      s"repo record must stay O(changed): ${raw(c1.id).length} vs ${raw(c0.id).length}")
+    assert(c1.manifests.exists(c0.manifests.contains),
+      "untouched tables' manifests must carry by reference")
+    // resolution: reads see all three tables, the appended rows included
+    assert(repo.readTable(spark, "main", "b").count() === 55)
+    assert(repo.readTable(spark, "main", "a").count() === 50)
+    // vacuum keeps the retained manifests, sweeps unreferenced ones
+    repo.stageWrite(df(50), "main", "a") // overwrite a
+    repo.commit("main", "ow a")
+    val swept = repo.vacuum(retainLast = 1)
+    assert(swept > 0)
+    assert(repo.readTable(spark, "main", "a").count() === 50)
+    assert(repo.readTable(spark, "main", "b").count() === 55)
+  }
+
   test("manifest codec round-trips long strings and raw-bit doubles exactly") {
     val dir = java.nio.file.Paths.get(Tables.scratch("mf_codec"))
     Files.createDirectories(dir)
