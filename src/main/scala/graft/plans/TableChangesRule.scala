@@ -91,8 +91,15 @@ object TableChanges {
     lazy val tagNames = vt.tags.map(_._1).toSet
     def bound(e: Expression, isStart: Boolean): Long =
       lng(e).orElse(str(e).map { ts =>
-        if (tagNames.contains(ts)) vt.tagCommit(ts).version
-        else {
+        if (tagNames.contains(ts)) {
+          // tags pin commits branch-agnostically — a tag on ANOTHER branch
+          // must not silently misread as a version number on this one
+          val tagged = vt.tagCommit(ts)
+          require(vt.lineage(branch).exists(_.id == tagged.id),
+            s"table_changes: tag '$ts' pins commit ${tagged.id}, which is " +
+              s"not on branch '$branch' — address the tag's own branch")
+          tagged.version
+        } else {
           val millis = SourcePaths.parseTimestamp(spark, ts)
           if (isStart) vt.firstVersionAtOrAfter(branch, millis)
           else vt.versionAtOrBefore(branch, millis)

@@ -388,26 +388,12 @@ private[sources] final case class DeltaMorInputPartition(
   * every split of a file shares one decode; an inline (Z85) descriptor
   * never touches the filesystem at all. */
 private[sources] object DeltaDvTaskLoader {
-  private val CacheMax = 64
-  private val cache =
-    new java.util.LinkedHashMap[(String, String), Array[Long]](CacheMax, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, String), Array[Long]]): Boolean =
-        size() > CacheMax
-    }
+  private val cache = new graft.vt.BoundedCache[(String, String), Array[Long]](64)
 
-  def positionsFor(rootDir: String, dv: DeletionVectors.DvDescriptor): Array[Long] = {
-    val key = (rootDir, dv.toString)
-    cache.synchronized { Option(cache.get(key)) } match {
-      case Some(hit) => hit
-      case None =>
-        val loaded = DeletionVectors
-          .readPositions(java.nio.file.Paths.get(rootDir), dv)
-          .distinct.sorted.toArray
-        cache.synchronized { cache.put(key, loaded) }
-        loaded
-    }
-  }
+  def positionsFor(rootDir: String, dv: DeletionVectors.DvDescriptor): Array[Long] =
+    cache.get((rootDir, dv.toString))(
+      DeletionVectors.readPositions(java.nio.file.Paths.get(rootDir), dv)
+        .distinct.sorted.toArray)
 }
 
 /** The native foreign-Delta merge-on-read batch: stats-pruned and

@@ -595,25 +595,12 @@ private[sources] object DvTaskLoader {
   import org.apache.parquet.filter2.compat.FilterCompat
   import org.apache.parquet.filter2.predicate.FilterApi
 
-  private val CacheMax = 64
-  private val cache =
-    new java.util.LinkedHashMap[(Seq[String], String), Array[Long]](CacheMax, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(Seq[String], String), Array[Long]]): Boolean =
-        size() > CacheMax
-    }
+  private val cache = new graft.vt.BoundedCache[(Seq[String], String), Array[Long]](64)
 
   def positionsFor(key: String, dvPaths: Array[String],
                    conf: org.apache.hadoop.conf.Configuration): Array[Long] = {
     if (dvPaths.isEmpty) return Array.emptyLongArray
-    val cacheKey = (dvPaths.toSeq, key)
-    cache.synchronized { Option(cache.get(cacheKey)) } match {
-      case Some(hit) => hit
-      case None =>
-        val loaded = load(key, dvPaths, conf)
-        cache.synchronized { cache.put(cacheKey, loaded) }
-        loaded
-    }
+    cache.get((dvPaths.toSeq, key))(load(key, dvPaths, conf))
   }
 
   private def load(key: String, dvPaths: Array[String],

@@ -58,28 +58,9 @@ object BloomIndex {
   // immutable once published, and the same sidecar is referenced by every
   // descendant commit, so scans across versions share one parsed copy.
   // LRU-bounded so a driver hosting many tables holds at most
-  // `CacheMax × (batch files × cols × 2 KB)` of bitsets.
-  private val CacheMax = 256
-  private val cache =
-    new java.util.LinkedHashMap[String, Map[(String, String), Array[Byte]]](
-      CacheMax, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Map[(String, String), Array[Byte]]]): Boolean =
-        size() > CacheMax
-    }
+  // `256 × (batch files × cols × 2 KB)` of bitsets.
+  private val cache = new BoundedCache[String, Map[(String, String), Array[Byte]]](256)
 
-  def cached(path: Path): Map[(String, String), Array[Byte]] = {
-    val key = path.toAbsolutePath.toString
-    // check-release-load-reacquire: the file read/parse happens OUTSIDE the
-    // lock so concurrent first-time loads of different sidecars never
-    // serialize behind each other's IO; a rare duplicate parse of the same
-    // immutable sidecar is harmless (last put wins, same content)
-    val hit = cache.synchronized(cache.get(key))
-    if (hit != null) hit
-    else {
-      val loaded = read(path).toMap
-      cache.synchronized(cache.put(key, loaded))
-      loaded
-    }
-  }
+  def cached(path: Path): Map[(String, String), Array[Byte]] =
+    cache.get(path.toAbsolutePath.toString)(read(path).toMap)
 }

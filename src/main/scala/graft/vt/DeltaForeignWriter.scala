@@ -72,13 +72,21 @@ object DeltaForeignWriter {
     val files = writeDataFiles(spark, root, snap, df)
     var lost = 0
     while (true) {
-      val version = DeltaLogReader.latestVersion(tableRoot) + 1L
+      // claim SNAPSHOT version + 1, never latestVersion + 1: a commit that
+      // landed between our snapshot read and this claim must force the
+      // FileAlreadyExists path below (fresh snapshot, revalidation, removes
+      // recomputed) — claiming past it would silently build on unseen
+      // changes (resurrect an intervening append under an overwrite, skip a
+      // concurrently added constraint). The LogStore OCC contract.
+      val version = snap.version + 1L
       val actions = Vector.newBuilder[String]
       actions += DeltaLogFixture.commitInfoLine(System.currentTimeMillis(),
         if (overwrite) "WRITE" else "APPEND")
       if (overwrite)
         snap.files.foreach(f =>
-          actions += DeltaLogFixture.removeLine(f.path))
+          // remove paths must be percent-encoded exactly like the adds were
+          // (PROTOCOL.md): the reader decoded them into snap.files
+          actions += DeltaLogFixture.removeLine(DeltaLogWriter.encodePath(f.path)))
       files.foreach { case (rel, size, rows) =>
         actions += DeltaLogFixture.addLine(DeltaLogWriter.encodePath(rel), size,
           mtime = System.currentTimeMillis(),

@@ -119,28 +119,60 @@ object Manifest {
   // Bounded process-wide cache keyed by absolute manifest path: manifests
   // are immutable once published and the same manifest is referenced by
   // every descendant commit, so lineage walks and repeated `open()`s share
-  // one parsed copy. LRU-bounded so a driver hosting many tables holds a
-  // bounded number of entry vectors.
-  private val CacheMax = 512
-  private val cache =
-    new java.util.LinkedHashMap[String, Vector[ManifestEntry]](CacheMax, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Vector[ManifestEntry]]): Boolean =
-        size() > CacheMax
-    }
+  // one parsed copy.
+  private val cache = new BoundedCache[String, Vector[ManifestEntry]](512)
 
-  def cached(path: Path): Vector[ManifestEntry] = {
-    val key = path.toAbsolutePath.toString
-    // load happens OUTSIDE the lock (same shape as BloomIndex.cached):
-    // concurrent first-time loads of different manifests never serialize
-    // behind each other's IO; a duplicate parse of the same immutable file
-    // is harmless.
-    val hit = cache.synchronized(cache.get(key))
-    if (hit != null) hit
-    else {
-      val loaded = read(path)
-      cache.synchronized(cache.put(key, loaded))
-      loaded
+  def cached(path: Path): Vector[ManifestEntry] =
+    cache.get(path.toAbsolutePath.toString)(read(path))
+
+  /** The ONE manifest-factoring algorithm, shared by the table layer
+    * ([[VersionedTable]], full per-file stats entries) and the repo layer
+    * ([[Repo]], path-only entries): reuse every candidate manifest whose
+    * entries are ALL still live and byte-identical to the commit's current
+    * metadata for their files, pool the survivors of partially dead
+    * manifests with the genuinely new files into ONE fresh manifest, and
+    * compact everything into a single manifest when the reference list
+    * would exceed `maxRefs` (so `open()` stays a bounded number of cached
+    * reads forever — Iceberg's rewrite-manifests cadence, amortized
+    * O(files/maxRefs) per commit).
+    *
+    * Returns (manifest refs, files in RESOLUTION order) — the order
+    * loading the refs back reproduces, which publishers store in the
+    * in-memory commit so a log round-trip is an identity. */
+  def factor(load: String => Vector[ManifestEntry],
+             write: Seq[ManifestEntry] => String,
+             candidateRefs: Vector[String], files: Vector[String],
+             entryOf: String => ManifestEntry,
+             maxRefs: Int): (Vector[String], Vector[String]) = {
+    if (files.isEmpty) return (Vector.empty, files)
+    val fileSet = files.toSet
+    var covered = Set.empty[String]
+    val reused = Vector.newBuilder[String]
+    val reusedFiles = Vector.newBuilder[String]
+    val residual = Vector.newBuilder[ManifestEntry]
+    candidateRefs.distinct.foreach { mref =>
+      val entries =
+        try load(mref)
+        catch { case scala.util.control.NonFatal(_) => Vector.empty }
+      // an entry survives iff its file is still in the snapshot, not
+      // already covered by an earlier manifest (merge commits may reference
+      // overlapping ancestors), and its metadata is UNCHANGED (ANALYZE
+      // backfill and stats-evolving rewrites migrate files out)
+      val live = entries.filter(e =>
+        fileSet(e.file) && !covered(e.file) && entryOf(e.file) == e)
+      if (live.nonEmpty && live.size == entries.size) {
+        reused += mref
+        live.foreach { e => covered += e.file; reusedFiles += e.file }
+      } else if (live.nonEmpty) {
+        live.foreach { e => covered += e.file; residual += e }
+      }
     }
+    val freshEntries = residual.result() ++ files.filterNot(covered).map(entryOf)
+    val ordered = reusedFiles.result() ++ freshEntries.map(_.file)
+    val refs = reused.result() ++
+      (if (freshEntries.nonEmpty) Vector(write(freshEntries)) else Vector.empty)
+    if (refs.size <= maxRefs) (refs, ordered)
+    else // compact: one manifest holding every live entry, resolution order
+      (Vector(write(ordered.map(entryOf))), ordered)
   }
 }

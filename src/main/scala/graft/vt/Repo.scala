@@ -300,39 +300,18 @@ final class Repo private (val root: Path, val store: MetaStore) {
     root.relativize(p).toString
   }
 
-  /** Factor `files` into manifest refs: reuse every candidate manifest whose
-    * entries are all still live, pool partial survivors + new files into one
-    * fresh manifest, compact past [[VersionedTable.MaxManifests]]. Returns
-    * (refs, files in resolution order). */
+  /** Factor `files` into manifest refs — [[Manifest.factor]] with
+    * path-only entries (the repo layer tracks no per-file stats). */
   private def buildManifests(branch: String, version: Long,
                              candidateRefs: Vector[String],
-                             files: Vector[String]): (Vector[String], Vector[String]) = {
-    if (files.isEmpty) return (Vector.empty, files)
-    val fileSet = files.toSet
-    var covered = Set.empty[String]
-    val reused = Vector.newBuilder[String]
-    val orderedReused = Vector.newBuilder[String]
-    val residual = Vector.newBuilder[String]
-    candidateRefs.distinct.foreach { mref =>
-      val entries =
-        try Manifest.cached(root.resolve(mref))
-        catch { case scala.util.control.NonFatal(_) => Vector.empty }
-      val live = entries.filter(e => fileSet(e.file) && !covered(e.file))
-      if (live.nonEmpty && live.size == entries.size) {
-        reused += mref
-        live.foreach { e => covered += e.file; orderedReused += e.file }
-      } else if (live.nonEmpty) {
-        live.foreach { e => covered += e.file; residual += e.file }
-      }
-    }
-    val fresh = residual.result() ++ files.filterNot(covered)
-    val ordered = orderedReused.result() ++ fresh
-    val refs = reused.result() ++
-      (if (fresh.nonEmpty) Vector(writeManifest(branch, version, fresh))
-       else Vector.empty)
-    if (refs.size <= VersionedTable.MaxManifests) (refs, ordered)
-    else (Vector(writeManifest(branch, version, ordered)), ordered)
-  }
+                             files: Vector[String]): (Vector[String], Vector[String]) =
+    Manifest.factor(
+      load = mref => Manifest.cached(root.resolve(mref)),
+      write = entries => writeManifest(branch, version, entries.map(_.file)),
+      candidateRefs = candidateRefs,
+      files = files,
+      entryOf = f => ManifestEntry(f, None, None, Map.empty, Map.empty, Map.empty),
+      maxRefs = VersionedTable.MaxManifests)
 
   /** DAG-aware ancestry (merge commits have two parents — see [[Ancestry]]). */
   private def isAncestor(maybeAncestor: String, of: Commit): Boolean =
@@ -529,6 +508,14 @@ final class Repo private (val root: Path, val store: MetaStore) {
   private def taggedFiles: Set[String] =
     tags.flatMap { case (_, id) => loadCommit(id).allFiles }.toSet
 
+  /** Manifests of every reachable commit stay retained — the record must
+    * resolve for ancestry walks even past the data horizon (the same r20
+    * review fix as [[VersionedTable]]'s). */
+  private def reachableManifests: Set[String] =
+    reachableIds.flatMap(id =>
+      try CommitLog.fromJson(store.read(commitsDir.resolve(id + ".json"))).manifests
+      catch { case scala.util.control.NonFatal(_) => Vector.empty })
+
   /** Commit history of a branch, newest first: (version, message, ts,
     * n_tables, n_files). */
   def history(spark: SparkSession, branch: String): DataFrame = {
@@ -561,7 +548,8 @@ final class Repo private (val root: Path, val store: MetaStore) {
     val retained: Set[String] =
       (branches.flatMap(b => lineage(b).take(retainLast).flatMap(_.allFiles)) ++
         staged.values.flatMap(_.values.flatMap(_._1))).toSet ++
-        SlotSweep.slotProtectedFiles(store, root, loadCommit, reachableIds) ++ taggedFiles
+        SlotSweep.slotProtectedFiles(store, root, loadCommit, reachableIds) ++
+        taggedFiles ++ reachableManifests
     sweepData(retained)
   }
 
@@ -578,7 +566,8 @@ final class Repo private (val root: Path, val store: MetaStore) {
       (branches.flatMap(b => lineage(b).zipWithIndex.collect {
         case (c, i) if i == 0 || c.ts >= cutoff => c.allFiles // i==0 = the head
       }.flatten) ++ staged.values.flatMap(_.values.flatMap(_._1))).toSet ++
-        SlotSweep.slotProtectedFiles(store, root, loadCommit, reachableIds) ++ taggedFiles
+        SlotSweep.slotProtectedFiles(store, root, loadCommit, reachableIds) ++
+        taggedFiles ++ reachableManifests
     sweepData(retained)
   }
 

@@ -2421,46 +2421,17 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       strStats: Map[String, Map[String, (String, String)]],
       rowCounts: Map[String, Long],
       nullStats: Map[String, Map[String, Long]],
-      fileSizes: Map[String, Long]): (Vector[String], Vector[String]) = {
-    if (files.isEmpty) return (Vector.empty, files)
-    def entryOf(f: String): ManifestEntry = ManifestEntry(f,
-      fileSizes.get(f), rowCounts.get(f),
-      stats.getOrElse(f, Map.empty), strStats.getOrElse(f, Map.empty),
-      nullStats.getOrElse(f, Map.empty))
-    val fileSet = files.toSet
-    val parentRefs = (parent.map(_.manifests).getOrElse(Vector.empty) ++
-      mergeParentCommit.map(_.manifests).getOrElse(Vector.empty)).distinct
-    var covered = Set.empty[String]
-    val reused = Vector.newBuilder[String]
-    val reusedFiles = Vector.newBuilder[String]
-    val residual = Vector.newBuilder[ManifestEntry]
-    parentRefs.foreach { mref =>
-      val entries =
-        try Manifest.cached(root.resolve(mref))
-        catch { case scala.util.control.NonFatal(_) => Vector.empty }
-      // an entry survives iff its file is still in the snapshot, not already
-      // covered by an earlier manifest (merge commits may reference
-      // overlapping ancestors), and its metadata is UNCHANGED (ANALYZE
-      // backfill and stats-evolving rewrites migrate files out)
-      val live = entries.filter(e =>
-        fileSet(e.file) && !covered(e.file) && entryOf(e.file) == e)
-      if (live.nonEmpty && live.size == entries.size) {
-        reused += mref
-        live.foreach { e => covered += e.file; reusedFiles += e.file }
-      } else if (live.nonEmpty) {
-        live.foreach { e => covered += e.file; residual += e }
-      }
-    }
-    val freshEntries = residual.result() ++ files.filterNot(covered).map(entryOf)
-    val ordered = reusedFiles.result() ++ freshEntries.map(_.file)
-    val refs = reused.result() ++
-      (if (freshEntries.nonEmpty)
-         Vector(writeManifest(branch, version, freshEntries))
-       else Vector.empty)
-    if (refs.size <= VersionedTable.MaxManifests) (refs, ordered)
-    else // compact: one manifest holding every live entry, resolution order
-      (Vector(writeManifest(branch, version, ordered.map(entryOf))), ordered)
-  }
+      fileSizes: Map[String, Long]): (Vector[String], Vector[String]) =
+    Manifest.factor(
+      load = mref => Manifest.cached(root.resolve(mref)),
+      write = entries => writeManifest(branch, version, entries),
+      candidateRefs = parent.map(_.manifests).getOrElse(Vector.empty) ++
+        mergeParentCommit.map(_.manifests).getOrElse(Vector.empty),
+      files = files,
+      entryOf = f => ManifestEntry(f, fileSizes.get(f), rowCounts.get(f),
+        stats.getOrElse(f, Map.empty), strStats.getOrElse(f, Map.empty),
+        nullStats.getOrElse(f, Map.empty)),
+      maxRefs = VersionedTable.MaxManifests)
 
   /** Persist one manifest as a flat `.manifest` file under `data/` —
     * data-plane like the bloom sidecars, so the existing vacuum
@@ -3473,8 +3444,22 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       (if (dryRun) repairs.get(b).map(loadCommit) else None).orElse(head(b))
     val vReachable = Ancestry.reachableIds(loadCommit, branches.flatMap(vHead))
     sweep((branches.flatMap(b => lineageTake(vHead(b), retainLast).flatMap(_.allFiles)) ++
-      stagedFiles).toSet ++ slotProtectedFiles(vReachable) ++ taggedFiles, dryRun)
+      stagedFiles).toSet ++ slotProtectedFiles(vReachable) ++ taggedFiles ++
+      reachableManifests(vReachable), dryRun)
   }
+
+  /** Manifests of every REACHABLE commit (r20 review fix): the commit
+    * RECORD must stay resolvable for ancestry walks — reachableIds, merge
+    * bases, lineage, timestamp resolution — in a fresh process even after
+    * the commit's DATA fell off the retention horizon (pre-manifest inline
+    * records had this property for free). Only unreachable commits'
+    * manifests sweep. Cost: O(history) tiny JSON parses, zero data reads —
+    * the manifests themselves are O(files) path lists, the exact metadata
+    * the inline records used to carry. */
+  private def reachableManifests(reachable: Set[String]): Set[String] =
+    reachable.flatMap(id =>
+      try CommitLog.fromJson(store.read(commitsDir.resolve(id + ".json"))).manifests
+      catch { case scala.util.control.NonFatal(_) => Vector.empty })
 
   /** Time-based retention, Delta's `vacuum()` dial (`jobs/vdt4.py:84-85`
     * defaults to 168h): a commit is retained iff it is younger than
@@ -3495,8 +3480,8 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     val vReachable = Ancestry.reachableIds(loadCommit, branches.flatMap(vHead))
     sweep((branches.flatMap(b => lineageFrom(vHead(b)).zipWithIndex.collect {
       case (c, i) if i == 0 || c.ts >= cutoff => c.allFiles // i==0 = the head
-    }.flatten) ++ stagedFiles).toSet ++ slotProtectedFiles(vReachable) ++ taggedFiles,
-      dryRun)
+    }.flatten) ++ stagedFiles).toSet ++ slotProtectedFiles(vReachable) ++
+      taggedFiles ++ reachableManifests(vReachable), dryRun)
   }
 
   /** Crash recovery for this table's slots — semantics and guards live in

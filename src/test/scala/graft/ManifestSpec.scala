@@ -121,22 +121,37 @@ class ManifestSpec extends SparkSpec {
     assert(vt.countRows(spark) === n.toLong)
   }
 
-  test("vacuum retains referenced manifests and sweeps unreferenced ones") {
+  test("vacuum keeps REACHABLE commits' manifests (ancestry stays walkable), sweeps unreachable ones") {
     val vt = VersionedTable.create(Tables.scratch("mf_vacuum"))
     def part(lo: Int) = (lo until lo + 20).map(i => (i.toLong, i)).toDF("k", "v")
       .coalesce(1)
     vt.write(part(0), "main", "v0")
-    vt.write(part(100), "main", "v1") // overwrite: v0's manifest unreferenced by head
+    vt.write(part(100), "main", "v1") // overwrite: v0's DATA falls off retention
     val v0 = vt.lineage("main").last
     assert(v0.manifests.nonEmpty && vt.head("main").get.manifests.nonEmpty)
     val v0Manifest = vt.root.resolve(v0.manifests.head)
-    assert(Files.exists(v0Manifest))
+    // a branch whose deletion makes its commit UNREACHABLE
+    vt.createBranch("dead", "main")
+    vt.write(part(500), "dead", "dead-v")
+    val deadManifest = vt.root.resolve(vt.head("dead").get.manifests.head)
+    vt.deleteBranch("dead")
     vt.vacuum(retainLast = 1)
-    assert(!Files.exists(v0Manifest), "unretained manifest must be swept")
+    // v0 stays REACHABLE (head's parent): its data files sweep but its
+    // manifest survives, so ancestry walks keep resolving in a fresh
+    // process (the review-found hazard) — the dead branch's manifest goes
+    assert(Files.exists(v0Manifest),
+      "a reachable commit's manifest must survive vacuum — the record " +
+        "must stay resolvable for ancestry walks")
+    assert(!Files.exists(deadManifest), "unreachable manifests must sweep")
+    assert(vt.loadCommit(v0.id).files === v0.files,
+      "the vacuumed-data ancestor still RESOLVES (its data is gone, its " +
+        "record is not)")
     vt.head("main").get.manifests
       .foreach(m => assert(Files.exists(vt.root.resolve(m)),
         "retained manifest must survive vacuum"))
     assert(vt.read(spark, "main").count() === 20)
+    // and a post-vacuum vacuum (fresh ancestry walk) still works
+    assert(vt.vacuum(retainLast = 1) === 0)
   }
 
   test("legacy inline commits convert on the next publish and stay readable") {

@@ -139,6 +139,16 @@ class PlanRulesSpec extends SparkSpec {
       intercept[Exception] {
         s2.sql(s"SELECT * FROM table_changes('${vt.root}', 'no-such-tag')").collect()
       }
+      // a tag pinned on ANOTHER branch must refuse, not silently misread
+      // as a version number on this one (r20 review fix)
+      vt.createBranch("side", "main")
+      vt.write(band(0), "side", "side-v", mode = "append")
+      vt.createTag("side-tag", "side")
+      val e3 = intercept[Exception] {
+        s2.sql(s"SELECT * FROM table_changes('${vt.root}', 'side-tag')").collect()
+      }
+      assert(e3.getMessage.contains("not on branch") ||
+        Option(e3.getCause).exists(_.getMessage.contains("not on branch")))
       // non-literal / malformed arguments refuse with the usage shape
       val e = intercept[Exception] {
         s2.sql(s"SELECT * FROM table_changes('${vt.root}', k)").collect()

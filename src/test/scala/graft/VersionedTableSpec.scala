@@ -157,8 +157,9 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.readVersion(spark, "main", 0).as[Int].collect() === Array(1))
     // horizon ends after c0 → c0 reclaimed, head (c1) always survives
     val deleted = vt.vacuumRetainHours(0.0, nowMs = c1.ts)
-    // r20: c0's commit-metadata manifest is reclaimed alongside its data
-    assert(deleted === c0.allFiles.size && deleted > c0.files.size)
+    // r20: c0's DATA reclaims; its manifest survives (c0 stays reachable as
+    // the head's parent — ancestry must keep resolving)
+    assert(deleted === c0.files.size && deleted > 0)
     assert(vt.read(spark, "main").as[Int].collect() === Array(2))
     assertThrows[Exception](vt.readVersion(spark, "main", 0).collect())
   }
@@ -425,9 +426,9 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.deleteTag("rel-1.0") && vt.deleteTag("also-v0"))
     assert(!vt.deleteTag("rel-1.0")) // double delete is a false no-op
     val reclaimed = vt.vacuum(retainLast = 1)
-    // r20: v0's data files go, plus every manifest only unretained commits
-    // reference (restore/revert wrote fresh ones) — at least c0's own
-    assert(reclaimed >= c0.allFiles.size && reclaimed > c0.files.size)
+    // r20: v0's data files go; every commit here stays REACHABLE from the
+    // head chain, so all manifests survive for ancestry resolution
+    assert(reclaimed === c0.files.size && reclaimed > 0)
     assert(vt.read(spark, "main").as[(Int, String)].collect() === Array((9, "z")))
   }
 
