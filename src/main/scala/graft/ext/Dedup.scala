@@ -88,11 +88,16 @@ object Dedup {
 
   /** MinHash signature over a precomputed `basehashes` column (one polynomial
     * hash per shingle): k independent affine-permutation minimums. One pass
-    * over the array per row, no shuffle, and exactly replayable in SQL. */
-  def minhashSignature(k: Int): Column = {
-    val a = sparkArr((0 until k).map(affineA)); val b = sparkArr((0 until k).map(affineB))
-    expr(s"transform(sequence(0, ${k - 1}), h -> array_min(transform(basehashes, x -> (element_at($a, h + 1) * x + element_at($b, h + 1)) % $P)))")
-  }
+    * over the array per row, no shuffle, and exactly replayable in SQL —
+    * computed by the native codegen kernel (TextHashes.scala); the HOF twin
+    * it replaced is pinned value-equal in TextHashesSpec. */
+  def minhashSignature(k: Int): Column =
+    graft.functions.TextHashes.minhashSig(col("basehashes"), k,
+      (0 until k).map(affineA).toArray, (0 until k).map(affineB).toArray)
+
+  /** Element-wise polynomial hash of an array<string> column — the native
+    * twin of `transform(arr, sh -> polySql(sh))`. */
+  def polyHashAll(arr: Column): Column = graft.functions.TextHashes.polyHashAll(arr)
 
   /** MinHash + LSH banding near-dup detection (SURVEY.md §7 step 6).
     *
@@ -142,7 +147,7 @@ object Dedup {
     // 2. shingle → polynomial base hashes → k-minhash over representatives only
     val withSig = reps.select(col("doc_id"), col("text"))
       .withColumn("shingles", shingles(col("text")))
-      .withColumn("basehashes", expr(s"transform(shingles, sh -> ${polySql("sh")})"))
+      .withColumn("basehashes", polyHashAll(col("shingles")))
       .withColumn("sig", minhashSignature(k))
     val rowsPerBand = k / bands
     val banded = withSig.select(col("doc_id"), posexplode(
@@ -250,7 +255,7 @@ object Dedup {
     * same deterministic per-bucket cap as minhash (lowest doc_id survives). */
   def simhashNearDups(docs: DataFrame, bucketCap: Int = 256): DataFrame = {
     val withSim = docs.select(col("doc_id"), col("text"))
-      .withColumn("tokhashes", expr(tokhashesSql("text")))
+      .withColumn("tokhashes", polyHashAll(split(col("text"), " ")))
       .withColumn("simhash", expr(simhashExpr("tokhashes")))
     val banded = withSim.select(col("doc_id"), col("simhash"), posexplode(
       expr("transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535L)"))

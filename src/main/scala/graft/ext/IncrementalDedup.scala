@@ -49,7 +49,7 @@ object IncrementalDedup {
 
   private def withSig(df: DataFrame): DataFrame =
     df.withColumn("shingles", shingles(col("text")))
-      .withColumn("basehashes", expr(s"transform(shingles, sh -> ${polySql("sh")})"))
+      .withColumn("basehashes", Dedup.polyHashAll(col("shingles")))
       .withColumn("sig", minhashSignature(K))
 
   private def bandFold: String =

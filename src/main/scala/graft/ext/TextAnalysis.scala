@@ -103,8 +103,7 @@ object TextAnalysis {
       |         (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     Tables.documents(s, d).select(col("doc_id"),
-      expr("aggregate(split(text, ''), CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + CAST(ascii(c) AS BIGINT)) % 1000000007)")
-        .as("fingerprint"))
+      graft.functions.TextHashes.polyHash(col("text")).as("fingerprint"))
       .orderBy("doc_id")
   }
 

@@ -395,7 +395,7 @@ object MLlite {
     val hashes = Tables.documents(s, d)
       .select(col("lang"), explode(split(lower(col("text")), " ")).as("w"))
       .where(col("w") =!= "")
-      .select(col("lang"), expr(graft.ext.Dedup.polySql("w")).as("hv"))
+      .select(col("lang"), graft.functions.TextHashes.polyHash(col("w")).as("hv"))
       .distinct()
     val topk = hashes
       .withColumn("rn", row_number().over(Window.partitionBy("lang").orderBy("hv")))

@@ -558,6 +558,152 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
                                cols: Seq[String], schema: StructType)
       : (Map[String, Map[String, (Double, Double)]],
          Map[String, Map[String, (String, String)]],
+         Map[String, Map[String, Long]]) =
+    footerFileStats(files, cols, schema)
+      .getOrElse(collectFileStatsJob(spark, files, cols, schema))
+
+  /** Footer fast path for [[collectFileStats]] (r21, guide §1/§6): the
+    * min/max/nullCount the Spark job re-reads every data page to compute
+    * are ALREADY in each new file's parquet footer — written by the write
+    * job itself moments earlier. Reading footers is O(files) driver-local
+    * metadata I/O (cached, shared with [[VersionedTable.footerRowCount]]),
+    * which removes one full read-back Spark job from EVERY stats-carrying
+    * commit (write / COW rewrite / compaction / ANALYZE).
+    *
+    * Exactness: every bound equals the Spark job's value — footer min/max
+    * are exact extrema of the same rows, and `long→double` / `float→double`
+    * casts are monotone, so min/max commute with them. Returns None (caller
+    * falls back to the job) for any shape whose equality is not PROVEN:
+    * decimals, INT96 timestamps, or a chunk with non-null values but
+    * dropped stats (NaN doubles, over-long binary) — so behavior in those
+    * corners is byte-identical to before. A column absent from a file's
+    * own schema (file predates ADD COLUMNS) mirrors the job's read-as-null:
+    * all-null counts, no min/max entry. */
+  private def footerFileStats(files: Vector[String], cols: Seq[String],
+                              schema: StructType)
+      : Option[(Map[String, Map[String, (Double, Double)]],
+                Map[String, Map[String, (String, String)]],
+                Map[String, Map[String, Long]])] = try {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.spark.sql.types._
+    if (cols.exists(c => schema(c).dataType.isInstanceOf[DecimalType])) return None
+    val num = scala.collection.mutable.Map.empty[String, Map[String, (Double, Double)]]
+    val str = scala.collection.mutable.Map.empty[String, Map[String, (String, String)]]
+    val nulls = scala.collection.mutable.Map.empty[String, Map[String, Long]]
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    def leUtf8(a: Array[Byte], b: Array[Byte]): Boolean = { // unsigned lexicographic
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i) & 0xff; val y = b(i) & 0xff
+        if (x != y) return x < y
+        i += 1
+      }
+      a.length <= b.length
+    }
+    for (f <- files) {
+      val meta = VersionedTable.footerMeta(root.resolve(f)).getOrElse(return None)
+      val blocks = meta.getBlocks
+      val fileRows = {
+        var s = 0L; blocks.forEach(b => s += b.getRowCount); s
+      }
+      if (fileRows > 0) {
+        val fNum = Map.newBuilder[String, (Double, Double)]
+        val fStr = Map.newBuilder[String, (String, String)]
+        val fNul = Map.newBuilder[String, Long]
+        for (c <- cols) {
+          val phys = VersionedTable.physName(schema, c)
+          val dt = schema(c).dataType
+          var nullCount = 0L
+          var dMin = Double.MaxValue; var dMax = Double.MinValue
+          var sMin: Array[Byte] = null; var sMax: Array[Byte] = null
+          var any = false
+          val it = blocks.iterator()
+          while (it.hasNext) {
+            val b = it.next()
+            val chunk = {
+              var found: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData = null
+              val cit = b.getColumns.iterator()
+              while (cit.hasNext && found == null) {
+                val cc = cit.next()
+                if (cc.getPath.size() == 1 && cc.getPath.toDotString == phys) found = cc
+              }
+              found
+            }
+            if (chunk == null) nullCount += b.getRowCount // pre-ADD COLUMNS file: reads as null
+            else {
+              val st = chunk.getStatistics
+              if (st == null || !st.isNumNullsSet) return None
+              nullCount += st.getNumNulls
+              val nonNull = chunk.getValueCount - st.getNumNulls
+              if (nonNull > 0) {
+                if (!st.hasNonNullValue) return None // dropped stats (NaN / oversize binary)
+                any = true
+                dt match {
+                  case StringType =>
+                    val mn = st.getMinBytes; val mx = st.getMaxBytes
+                    if (sMin == null || leUtf8(mn, sMin)) sMin = mn
+                    if (sMax == null || leUtf8(sMax, mx)) sMax = mx
+                  case TimestampType =>
+                    val lt = chunk.getPrimitiveType.getLogicalTypeAnnotation
+                    val unit = lt match {
+                      case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                        t.getUnit
+                      case _ => return None // INT96 or unexpected physical layout
+                    }
+                    val div = unit match {
+                      case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS => 1e6
+                      case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MILLIS => 1e3
+                      case _ => return None
+                    }
+                    val mn = st.genericGetMin.asInstanceOf[java.lang.Long].toDouble / div
+                    val mx = st.genericGetMax.asInstanceOf[java.lang.Long].toDouble / div
+                    if (mn < dMin) dMin = mn
+                    if (mx > dMax) dMax = mx
+                  case _: NumericType =>
+                    val (mn, mx) = chunk.getPrimitiveType.getPrimitiveTypeName match {
+                      case PrimitiveTypeName.INT32 =>
+                        (st.genericGetMin.asInstanceOf[java.lang.Integer].toDouble,
+                          st.genericGetMax.asInstanceOf[java.lang.Integer].toDouble)
+                      case PrimitiveTypeName.INT64 =>
+                        (st.genericGetMin.asInstanceOf[java.lang.Long].toDouble,
+                          st.genericGetMax.asInstanceOf[java.lang.Long].toDouble)
+                      case PrimitiveTypeName.FLOAT =>
+                        (st.genericGetMin.asInstanceOf[java.lang.Float].toDouble,
+                          st.genericGetMax.asInstanceOf[java.lang.Float].toDouble)
+                      case PrimitiveTypeName.DOUBLE =>
+                        (st.genericGetMin.asInstanceOf[java.lang.Double].doubleValue(),
+                          st.genericGetMax.asInstanceOf[java.lang.Double].doubleValue())
+                      case _ => return None
+                    }
+                    if (mn.isNaN || mx.isNaN) return None // Spark orders NaN greatest; don't mirror here
+                    if (mn < dMin) dMin = mn
+                    if (mx > dMax) dMax = mx
+                  case _ => return None
+                }
+              }
+            }
+          }
+          fNul += c -> nullCount
+          if (any) dt match {
+            case StringType =>
+              fStr += c -> (VersionedTable.statsLower(new String(sMin, utf8)),
+                VersionedTable.statsUpper(new String(sMax, utf8)))
+            case _ => fNum += c -> (dMin, dMax)
+          }
+        }
+        num(f) = fNum.result(); str(f) = fStr.result(); nulls(f) = fNul.result()
+      }
+    }
+    // files with zero rows are absent from every map, and an inner map may
+    // be empty — exactly the shapes the Spark job's groupBy produces
+    Some((num.toMap, str.toMap, nulls.toMap))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def collectFileStatsJob(spark: SparkSession, files: Vector[String],
+                                  cols: Seq[String], schema: StructType)
+      : (Map[String, Map[String, (Double, Double)]],
+         Map[String, Map[String, (String, String)]],
          Map[String, Map[String, Long]]) = {
     import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min, sum, when}
     val isStr = cols.map(c =>
@@ -3930,14 +4076,32 @@ object VersionedTable {
     * once per new file at publish time to stock the commit log's
     * [[Commit.rowCounts]]; None (unreadable/corrupt footer) just omits the
     * entry rather than failing the commit. */
-  private[vt] def footerRowCount(p: Path): Option[Long] =
-    try {
+  /** One shared Hadoop Configuration for local footer reads: constructing a
+    * fresh one per file re-parses core-default.xml out of the hadoop jar
+    * (~50 ms of driver time PER NEW FILE at publish — jstack-confirmed as
+    * the dominant commit-path driver cost before r21). Immutable use only. */
+  private[vt] lazy val footerConf = new org.apache.hadoop.conf.Configuration()
+
+  /** Footer metadata cache: data files are immutable once written (UUID'd
+    * directory names), so path-keyed caching is sound; failures are NOT
+    * cached. Shared by publish's rowCounts and the footer stats fast path,
+    * so one commit reads each new file's footer at most once. */
+  private val footerMetaCache =
+    new BoundedCache[String, org.apache.parquet.hadoop.metadata.ParquetMetadata](4096)
+
+  private[vt] def footerMeta(p: Path)
+      : Option[org.apache.parquet.hadoop.metadata.ParquetMetadata] =
+    try Some(footerMetaCache.get(p.toString) {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(p.toUri),
-        new org.apache.hadoop.conf.Configuration())
+        new org.apache.hadoop.fs.Path(p.toUri), footerConf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try Some(r.getRecordCount) finally r.close()
-    } catch { case scala.util.control.NonFatal(_) => None }
+      try r.getFooter finally r.close()
+    }) catch { case scala.util.control.NonFatal(_) => None }
+
+  private[vt] def footerRowCount(p: Path): Option[Long] =
+    footerMeta(p).map { m =>
+      var s = 0L; m.getBlocks.forEach(b => s += b.getRowCount); s
+    }
 
   /** URL-safe base64 (no padding) — lets any protection pattern or branch
     * name serve as a metadata-store object name (also used by
@@ -4180,7 +4344,7 @@ object VersionedTable {
   /** Commit-log form of a string MIN stat: the value itself when short, its
     * [[StatsStringMaxLen]]-code-point prefix otherwise (a prefix is ≤ the
     * original bytewise — still a sound lower bound). */
-  private[vt] def statsLower(s: String): String =
+  private[graft] def statsLower(s: String): String =
     if (s.codePointCount(0, s.length) <= StatsStringMaxLen) s
     else cpPrefix(s, StatsStringMaxLen)
 
@@ -4191,7 +4355,7 @@ object VersionedTable {
     * (≥ limit code points) by the metadata-MIN/MAX refusal check. The
     * pathological no-successor prefix keeps the full value (correct, just
     * unbounded — it cannot occur for real text). */
-  private[vt] def statsUpper(s: String): String =
+  private[graft] def statsUpper(s: String): String =
     if (s.codePointCount(0, s.length) <= StatsStringMaxLen) s
     else prefixSuccessor(cpPrefix(s, StatsStringMaxLen)) match {
       case Some(succ) =>
