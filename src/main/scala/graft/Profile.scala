@@ -9,7 +9,7 @@ import scala.collection.mutable
   * commits, reads); `Explain` shows only the final read's plan — this shows
   * which of the N jobs the seconds actually go to. */
 object Profile {
-  private case class JobRow(id: Int, desc: String, start: Long, var end: Long = 0L,
+  private case class JobRow(id: Int, var desc: String, start: Long, var end: Long = 0L,
                             var stages: Int = 0, var tasks: Int = 0,
                             var shuffleRead: Long = 0L, var shuffleWrite: Long = 0L,
                             var input: Long = 0L, var output: Long = 0L)
@@ -31,8 +31,7 @@ object Profile {
     val stageToJob = mutable.Map.empty[Int, Int]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = jobs.synchronized {
-        val desc = Option(e.properties.getProperty("spark.job.description"))
-          .orElse(Option(e.properties.getProperty("callSite.short"))).getOrElse("")
+        val desc = Option(e.properties.getProperty("spark.job.description")).getOrElse("")
         jobs(e.jobId) = JobRow(e.jobId, desc, e.time)
         e.stageIds.foreach(s => stageToJob(s) = e.jobId)
       }
@@ -43,6 +42,7 @@ object Profile {
         val si = e.stageInfo
         stageToJob.get(si.stageId).flatMap(jobs.get).foreach { j =>
           j.stages += 1; j.tasks += si.numTasks
+          if (j.desc.length < 160) j.desc = (j.desc + " ; " + si.name.take(70)).take(200)
           val m = si.taskMetrics
           j.shuffleRead += m.shuffleReadMetrics.totalBytesRead
           j.shuffleWrite += m.shuffleWriteMetrics.bytesWritten

@@ -110,12 +110,21 @@ object Curation {
       |                FROM scored)
       |SELECT doc_id, term, score, rnk FROM ranked WHERE rnk <= 3
       |ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
-    val toks = Tables.documents(s, d)
+    // r21: spread the single-split documents scan so tokenize+explode runs
+    // on every core (a 5 GB corpus file is still ≤ a few splits — the
+    // repartition is what parallelizes the per-byte work at any scale), and
+    // derive df FROM tf instead of re-tokenizing: tf has exactly one row per
+    // (doc_id, term), so count(*) over a term window IS countDistinct(doc_id)
+    // — expressed as a window (not a self-join) so the tokenize+aggregate
+    // subtree is computed ONCE instead of twice (guide §2.3/§2.4).
+    val docs = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+    val toks = docs
       .select(col("doc_id"),
         explode(filter(split(lower(col("text")), " "), x => x =!= "")).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
-    val scored = tf.join(df, "term")
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .select(col("doc_id"), col("term"),
         expr("CAST(tf * (1000000L div df) AS BIGINT)").as("score"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)

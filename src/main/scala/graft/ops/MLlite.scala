@@ -289,7 +289,13 @@ object MLlite {
     val cond = locals.distinct
       .map { case (b, k) => col("__b") === lit(b) && col("__rn") === lit(k) }
       .reduce(_ || _)
-    val got = withB.withColumn("__rn", row_number().over(w).cast(LongType))
+    // r21 (guide §2.3): only the buckets that HOLD a target rank need the
+    // window pass — pre-filtering the others cuts the rank shuffle to
+    // ~|targets|/buckets of the rows; per-bucket row_numbers are unchanged
+    // by dropping whole other partitions.
+    val candBuckets = locals.map(_._1).distinct
+    val got = withB.where(col("__b").isin(candBuckets: _*))
+      .withColumn("__rn", row_number().over(w).cast(LongType))
       .where(cond)
       .select(col("__b"), col("__rn"), col(valueCol).cast(DoubleType).as("__v"))
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap

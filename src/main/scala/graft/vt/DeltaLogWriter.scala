@@ -254,13 +254,23 @@ object DeltaLogWriter {
           val spark = SparkSession.active
           val feed = vt.changesFeed(spark, branch, c.version - 1, c.version)
             .drop("version").withColumnRenamed("change_type", "_change_type")
-          feed.persist()
-          try {
-            if (feed.isEmpty) restatement = true
-            else writeCdcFiles(vt.root, feed, c.version).foreach { case (rel, size) =>
-              actions += DeltaLogFixture.cdcLine(encodePath(rel), size)
+          // ONE pass (r21): write the cdc parquet directly and read emptiness
+          // off the landed files' footer row counts — an empty feed writes a
+          // single schema-only part file (verified), which is deleted again.
+          // The previous persist + isEmpty + write sequence paid an extra
+          // probe job and cached the feed's rows for no other consumer.
+          val written = writeCdcFiles(vt.root, feed, c.version)
+          val rows = written.map { case (rel, _) =>
+            VersionedTable.footerRowCount(vt.root.resolve(rel)).getOrElse(1L)
+          }.sum
+          if (rows == 0L) {
+            written.foreach { case (rel, _) =>
+              Files.deleteIfExists(vt.root.resolve(rel)); ()
             }
-          } finally { feed.unpersist(); () }
+            restatement = true
+          } else written.foreach { case (rel, size) =>
+            actions += DeltaLogFixture.cdcLine(encodePath(rel), size)
+          }
         }
         removes.foreach(r => actions += DeltaLogFixture.removeLine(encodePath(r),
           dataChange = !restatement))

@@ -3744,6 +3744,54 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       val fromSet = from.files.toSet
       val dvDelta = (to.dvFiles.toSet diff from.dvFiles.toSet) ++
         (from.dvFiles.toSet diff to.dvFiles.toSet) // reverts drop DVs too
+      // PURE-DV step (r21, guide §2.3/§2.4): same file set, same schema, only
+      // deletion vectors moved — a MOR delete (or its revert). The bag diff
+      // below shuffles EVERY row of the touched files through two exceptAll
+      // aggregations; but the change set is, by construction, exactly the
+      // rows at the symmetric position difference of the two DV relations.
+      // Read the touched files once with `_metadata.row_index` and inner-
+      // broadcast-join the O(changed rows) position delta — zero shuffle of
+      // data rows. Values are bag-identical to the exceptAll form (positions
+      // are unique per file, so each changed position contributes exactly
+      // its row once — even when equal-valued rows exist elsewhere).
+      // Bounded: the position delta is broadcast, so fall back to the bag
+      // diff when the DV delta's footer row counts exceed the cap (a
+      // 100 TB mega-delete keeps the shuffle path).
+      val pureDvCap = 2000000L
+      lazy val dvDeltaRows: Option[Long] =
+        dvDelta.toSeq.foldLeft(Option(0L)) { (acc, f) =>
+          acc.flatMap(a => VersionedTable.footerRowCount(root.resolve(f)).map(a + _))
+        }
+      if (fromSet == toSet && from.schemaJson == to.schemaJson &&
+          dvDelta.nonEmpty && dvDeltaRows.exists(_ <= pureDvCap)) {
+        import org.apache.spark.sql.functions.{broadcast, col}
+        def dvPos(c2: Commit) =
+          if (c2.dvFiles.isEmpty)
+            spark.createDataFrame(new java.util.ArrayList[Row](),
+              StructType(Seq(
+                org.apache.spark.sql.types.StructField("fk", org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.LongType))))
+          else spark.read.parquet(c2.dvFiles.map(f => root.resolve(f).toString): _*)
+            .select(col("fk"), col("pos"))
+        val fromPos = dvPos(from)
+        val toPos = dvPos(to)
+        val delPos = toPos.except(fromPos)   // newly deleted positions
+        val insPos = fromPos.except(toPos)   // un-deleted positions (revert)
+        // fks whose DV changed: scan only those files (raw, NO DV subtraction)
+        val touchedFks = spark.read
+          .parquet(dvDelta.toSeq.map(f => root.resolve(f).toString): _*)
+          .select("fk").distinct().collect().map(_.getString(0)).toSet
+        val touched = to.files.filter(f => touchedFks.contains(VersionedTable.fileKey(f)))
+        val rows = scanWithPos(spark, to.copy(files = touched, dvFiles = Vector.empty))
+        def attach(pos: DataFrame, kind: String) =
+          align(rows.join(broadcast(pos
+              .withColumnRenamed("fk", VersionedTable.FkCol)
+              .withColumnRenamed("pos", VersionedTable.PosCol)),
+            Seq(VersionedTable.FkCol, VersionedTable.PosCol))
+            .drop(VersionedTable.FkCol, VersionedTable.PosCol))
+            .withColumn("change_type", lit(kind))
+        return attach(insPos, "insert").unionByName(attach(delPos, "delete"))
+      }
       val dvTouchedFks: Set[String] =
         if (dvDelta.isEmpty) Set.empty
         else spark.read.parquet(dvDelta.toSeq.map(f => root.resolve(f).toString): _*)
@@ -4082,16 +4130,20 @@ object VersionedTable {
     * the dominant commit-path driver cost before r21). Immutable use only. */
   private[vt] lazy val footerConf = new org.apache.hadoop.conf.Configuration()
 
-  /** Footer metadata cache: data files are immutable once written (UUID'd
-    * directory names), so path-keyed caching is sound; failures are NOT
-    * cached. Shared by publish's rowCounts and the footer stats fast path,
-    * so one commit reads each new file's footer at most once. */
+  /** Footer metadata cache, keyed by (path, size, mtime) — data files are
+    * immutable once written (UUID'd directory names), but a few artifacts
+    * (cdc files) reuse deterministic names across re-exports, so the key
+    * carries the stat fingerprint. Failures are NOT cached. Shared by
+    * publish's rowCounts and the footer stats fast path, so one commit
+    * reads each new file's footer at most once. */
   private val footerMetaCache =
-    new BoundedCache[String, org.apache.parquet.hadoop.metadata.ParquetMetadata](4096)
+    new BoundedCache[(String, Long, Long),
+      org.apache.parquet.hadoop.metadata.ParquetMetadata](4096)
 
   private[vt] def footerMeta(p: Path)
       : Option[org.apache.parquet.hadoop.metadata.ParquetMetadata] =
-    try Some(footerMetaCache.get(p.toString) {
+    try Some(footerMetaCache.get((p.toString, Files.size(p),
+      Files.getLastModifiedTime(p).toMillis)) {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(p.toUri), footerConf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
