@@ -42,10 +42,7 @@ object IncrementalPassages {
   def passageRows(docs: DataFrame): DataFrame = {
     val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     spread.select(col("doc_id"), col("text"))
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("n", size(col("toks")).cast(LongType))
-      .withColumn("wins", expr(
-        s"transform(sequence(0L, greatest((n - $w) DIV $st, 0L)), i -> array_join(slice(toks, CAST(i * $st + 1 AS INT), $w), ' '))"))
+      .withColumn("wins", graft.functions.TokenWindows.strided(col("text"), w, st))
       .select(col("doc_id"), posexplode(col("wins")).as(Seq("win_idx", "win")))
       .withColumn("h", sha2(col("win"), 256)).drop("win")
       .groupBy("doc_id", "h")

@@ -276,8 +276,7 @@ object TextAnalysis {
       .withColumn("n", size(col("toks")).cast(LongType))
       // the chunk array is materialized BEFORE the generator select: a
       // generator rewrites sibling expressions and drops struct aliases
-      .withColumn("chunks", expr(
-        s"transform(sequence(0L, (n - 1) DIV $st), i -> array_join(slice(toks, CAST(i * $st + 1 AS INT), $w), ' '))"))
+      .withColumn("chunks", graft.functions.TokenWindows.chunked(col("text"), w, st))
       .select(col("doc_id"), col("n"), posexplode(col("chunks")).as(Seq("chunk_id", "chunk")))
       .select(col("doc_id"), col("chunk_id"),
         least(lit(w.toLong), col("n") - col("chunk_id") * st).cast(LongType).as("n_tokens"),
@@ -413,10 +412,7 @@ object TextAnalysis {
       |FROM d ORDER BY doc_id""".stripMargin) { (s, d) =>
     val (w, st) = (20, 10)
     val wins = Tables.documents(s, d)
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("n", size(col("toks")).cast(LongType))
-      .withColumn("wins", expr(
-        s"transform(sequence(0L, greatest((n - $w) DIV $st, 0L)), i -> array_join(slice(toks, CAST(i * $st + 1 AS INT), $w), ' '))"))
+      .withColumn("wins", graft.functions.TokenWindows.strided(col("text"), w, st))
       .select(col("doc_id"), explode(col("wins")).as("win"))
       .withColumn("h", sha2(col("win"), 256)).drop("win") // digests shuffle, text never does
     // one corpus pass: collapse occurrences to (h, doc) rows; BOTH consumers
@@ -458,10 +454,7 @@ object TextAnalysis {
       |ORDER BY w.doc_id, w.win_idx""".stripMargin) { (s, d) =>
     val (w, st) = (20, 10)
     val wins = Tables.documents(s, d)
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("n", size(col("toks")).cast(LongType))
-      .withColumn("wins", expr(
-        s"transform(sequence(0L, greatest((n - $w) DIV $st, 0L)), i -> array_join(slice(toks, CAST(i * $st + 1 AS INT), $w), ' '))"))
+      .withColumn("wins", graft.functions.TokenWindows.strided(col("text"), w, st))
       .select(col("doc_id"), posexplode(col("wins")).as(Seq("win_idx", "win")))
       .withColumn("h", sha2(col("win"), 256)).drop("win")
       .withColumn("win_idx", col("win_idx").cast(LongType))

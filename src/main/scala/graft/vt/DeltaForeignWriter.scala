@@ -94,10 +94,24 @@ object DeltaForeignWriter {
       }
       val target = root.resolve("_delta_log").resolve(f"$version%020d.json")
       try {
-        Files.write(target,
-          (actions.result().mkString("\n") + "\n")
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8),
-          StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+        // LogStore contract: readers listing _delta_log must never see a
+        // partial commit. CREATE_NEW+WRITE exposes the window between file
+        // creation and write completion (a line-complete prefix would parse
+        // and silently drop trailing actions); write the bytes to a tmp file
+        // and publish with an atomic hard link — createLink throws
+        // FileAlreadyExistsException on the OCC-loss path, same as before
+        // (mirrors LocalFsMetaStore.putIfAbsent).
+        val tmp = Files.createTempFile(root.resolve("_delta_log"),
+          s".commit_tmp_$version-", ".json")
+        try {
+          Files.write(tmp,
+            (actions.result().mkString("\n") + "\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
+          Files.createLink(target, tmp)
+        } finally {
+          Files.deleteIfExists(tmp); ()
+        }
         return version
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>

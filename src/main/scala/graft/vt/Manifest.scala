@@ -169,9 +169,14 @@ object Manifest {
     }
     val freshEntries = residual.result() ++ files.filterNot(covered).map(entryOf)
     val ordered = reusedFiles.result() ++ freshEntries.map(_.file)
-    val refs = reused.result() ++
-      (if (freshEntries.nonEmpty) Vector(write(freshEntries)) else Vector.empty)
-    if (refs.size <= maxRefs) (refs, ordered)
+    // decide compaction from the WOULD-BE ref count before writing anything:
+    // writing the fresh manifest first and then compacting would orphan it
+    // immediately — a wasted O(changed files) sidecar per compaction
+    val wouldBe = reused.result().size + (if (freshEntries.nonEmpty) 1 else 0)
+    if (wouldBe <= maxRefs)
+      (reused.result() ++
+        (if (freshEntries.nonEmpty) Vector(write(freshEntries)) else Vector.empty),
+        ordered)
     else // compact: one manifest holding every live entry, resolution order
       (Vector(write(ordered.map(entryOf))), ordered)
   }

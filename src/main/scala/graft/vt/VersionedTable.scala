@@ -771,37 +771,37 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
   private def collectFileBlooms(spark: SparkSession, files: Vector[String],
                                 cols: Seq[String], schema: StructType)
       : Vector[(String, String, Array[Byte])] = {
-    import org.apache.spark.sql.functions.{array, col, collect_set, explode, input_file_name, lit, pmod, struct, xxhash64}
+    import org.apache.spark.sql.functions.{array, col, input_file_name, lit, pmod, xxhash64}
     if (cols.isEmpty || files.isEmpty) return Vector.empty
-    import spark.implicits._
     val m = VersionedTable.BloomMBits
     // sidecars are immutable and shared across commits, so their entries
     // key on the column's PHYSICAL name (stable across renames);
-    // [[bloomLookup]] translates each probe's logical name once
+    // [[bloomLookup]] translates each probe's logical name once.
+    // r21 (guide §2.3): each row's k positions fold DIRECTLY into the
+    // ~2 KB bitset via the BloomBitsAgg typed aggregate — one buffer per
+    // (file, column) per map partition crosses the shuffle, where the
+    // previous shape exploded k rows per input row and collect_set-deduped
+    // them first. Bitset contents are identical (same positions set).
     def hashable(c: String) =
       if (schema(c).dataType == org.apache.spark.sql.types.StringType)
         col(VersionedTable.physName(schema, c))
       else col(VersionedTable.physName(schema, c)).cast("long")
+    def positions(c: String) =
+      array((0 until VersionedTable.BloomKHashes).map(i =>
+        pmod(xxhash64(lit(i), hashable(c)), lit(m.toLong)).cast("int")): _*)
+    val aggs = cols.map(c =>
+      graft.functions.BloomBitsAgg.bloomBits(positions(c), m).as(s"__bits_$c"))
     val rows = spark.read.schema(VersionedTable.physicalSchema(schema))
       .parquet(files.map(f => root.resolve(f).toString): _*)
-      .select(input_file_name().as("__file"),
-        explode(array(cols.zipWithIndex.map { case (c, ci) =>
-          struct(lit(ci).as("ci"),
-            array((0 until VersionedTable.BloomKHashes).map(i =>
-              pmod(xxhash64(lit(i), hashable(c)), lit(m.toLong)).cast("int")): _*).as("ps"))
-        }: _*)).as("cp"))
-      .select(col("__file"), col("cp.ci").as("ci"), explode(col("cp.ps")).as("p"))
-      .groupBy(col("__file"), col("ci")).agg(collect_set(col("p")).as("ps"))
-      .as[(String, Int, Seq[Int])]
-      .map { case (file, ci, ps) =>
-        val bits = new Array[Byte](m / 8)
-        ps.foreach(p => bits(p >> 3) = (bits(p >> 3) | (1 << (p & 7))).toByte)
-        (file, ci, bits)
-      }
+      .groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect()
-    rows.map { case (file, ci, bits) =>
-      (inputFileToRel(file), VersionedTable.physName(schema, cols(ci)), bits)
-    }.toVector
+    rows.toVector.flatMap { r =>
+      val rel = inputFileToRel(r.getString(0))
+      cols.zipWithIndex.map { case (c, i) =>
+        (rel, VersionedTable.physName(schema, c), r.getAs[Array[Byte]](1 + i))
+      }
+    }
   }
 
   /** Persist one write batch's bloom entries as a sidecar `.bloom` file
