@@ -424,6 +424,24 @@ final class VtCatalog extends TableCatalog with StagingTableCatalog {
     if (changes.forall(c => c.isInstanceOf[TableChange.RenameColumn] ||
         c.isInstanceOf[TableChange.DeleteColumn])) {
       val (vt, branch) = parse(ident)
+      // pre-validate the WHOLE change list against the head schema before
+      // publishing anything: each change below is its own commit, and a
+      // failure mid-list (collision, constraint probe) must not leave
+      // earlier renames already published — ALTER is atomic-or-nothing
+      vt.validateColumnOps(SparkSession.active, branch, changes.map {
+        case r: TableChange.RenameColumn =>
+          require(r.fieldNames().length == 1,
+            s"RENAME COLUMN supports top-level columns only, got nested " +
+              r.fieldNames().mkString("."))
+          Left((r.fieldNames().head, r.newName()))
+        case d: TableChange.DeleteColumn =>
+          require(d.fieldNames().length == 1,
+            s"DROP COLUMN supports top-level columns only, got nested " +
+              d.fieldNames().mkString("."))
+          Right((d.fieldNames().head, d.ifExists(): Boolean))
+        case other => throw new IllegalStateException(
+          s"unreachable by the forall guard: ${other.getClass.getSimpleName}")
+      }.toSeq)
       changes.foreach {
         case r: TableChange.RenameColumn =>
           require(r.fieldNames().length == 1,

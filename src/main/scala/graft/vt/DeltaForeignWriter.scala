@@ -84,9 +84,13 @@ object DeltaForeignWriter {
         if (overwrite) "WRITE" else "APPEND")
       if (overwrite)
         snap.files.foreach(f =>
-          // remove paths must be percent-encoded exactly like the adds were
-          // (PROTOCOL.md): the reader decoded them into snap.files
-          actions += DeltaLogFixture.removeLine(DeltaLogWriter.encodePath(f.path)))
+          // each remove carries the add's ORIGINAL (still-encoded) path
+          // string: stock replay compares escaped forms without decoding,
+          // so a re-encoding of an unusually-escaped foreign add would not
+          // cancel it and the overwritten rows would resurrect. The encoder
+          // is only the fallback for entries with no recorded raw form.
+          actions += DeltaLogFixture.removeLine(
+            f.rawPath.getOrElse(DeltaLogWriter.encodePath(f.path))))
       files.foreach { case (rel, size, rows) =>
         actions += DeltaLogFixture.addLine(DeltaLogWriter.encodePath(rel), size,
           mtime = System.currentTimeMillis(),
@@ -170,7 +174,14 @@ object DeltaForeignWriter {
     val clash = byName.collect { case (n, dt) if dfByName(n) != dt => n }
     require(clash.isEmpty,
       s"type mismatch on ${clash.mkString(", ")}: a column cannot change type")
-    // ONE short-circuit probe enforces NOT NULL + every CHECK constraint
+    // ONE short-circuit probe enforces NOT NULL + every CHECK constraint.
+    // ASSUMPTION (documented): the probe evaluates `df` once and
+    // writeDataFiles re-evaluates it to produce the parquet — a
+    // NON-DETERMINISTIC frame (rand(), sampling, a re-read mutable input)
+    // could pass here yet materialize violating rows, where delta-spark
+    // enforces invariants per-row inside its write. Callers passing such
+    // frames must pin them first (localCheckpoint), as mergeInto does for
+    // its source.
     import org.apache.spark.sql.functions.{col, expr, lit, not, coalesce}
     val notNull = snap.schema.fields.filterNot(_.nullable)
       .map(f => col(f.name).isNull)

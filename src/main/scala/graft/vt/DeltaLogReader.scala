@@ -85,7 +85,15 @@ object DeltaLogReader {
   final case class FileEntry(path: String, partitionValues: Map[String, String],
                              dv: Option[DeletionVectors.DvDescriptor],
                              stats: Option[String] = None,
-                             size: Long = -1L, modTime: Long = 0L)
+                             size: Long = -1L, modTime: Long = 0L,
+                             /** The add action's path string VERBATIM (still
+                               * percent-encoded): a remove re-emitted for this
+                               * file must carry the exact original string —
+                               * delta-spark's replay compares escaped forms
+                               * without decoding, so a re-encoded remove of an
+                               * unusually-escaped foreign add would not cancel
+                               * it and the file's rows would resurrect. */
+                             rawPath: Option[String] = None)
 
   /** The log's newest `protocol` action, carried verbatim so a checkpoint
     * of the snapshot preserves the table's declared feature gates instead
@@ -241,7 +249,7 @@ object DeltaLogReader {
     var config: Map[String, String] = Map.empty
     var protocol: Option[ProtocolInfo] = None
     val live = scala.collection.mutable.LinkedHashMap
-      .empty[String, (Map[String, String], Option[DeletionVectors.DvDescriptor], Option[String], Long, Long)]
+      .empty[String, (Map[String, String], Option[DeletionVectors.DvDescriptor], Option[String], Long, Long, String)]
   }
 
   /** Reader features this replayer implements beyond protocol v1. */
@@ -299,11 +307,12 @@ object DeltaLogReader {
   }
 
   private def parseAddNode(add: JsonNode)
-      : (String, (Map[String, String], Option[DeletionVectors.DvDescriptor], Option[String], Long, Long)) =
+      : (String, (Map[String, String], Option[DeletionVectors.DvDescriptor], Option[String], Long, Long, String)) =
     decodePath(add.get("path").asText()) ->
       ((partitionValues(add), dvDescriptor(add),
         Option(add.get("stats")).map(_.asText()),
-        add.path("size").asLong(-1L), add.path("modificationTime").asLong(0L)))
+        add.path("size").asLong(-1L), add.path("modificationTime").asLong(0L),
+        add.get("path").asText()))
 
   /** Apply one commit's actions. A commit is atomic, so its adds/removes are
     * RECONCILED, not replayed in line order: a commit that re-adds a path it
@@ -311,7 +320,7 @@ object DeltaLogReader {
     * add + `add` the same path with the new deletionVector) must leave the
     * file LIVE with the new metadata, regardless of which line came first. */
   private def applyCommit(state: ReplayState, commitPath: Path): Unit = {
-    val adds = Vector.newBuilder[(String, (Map[String, String], Option[DeletionVectors.DvDescriptor], Option[String], Long, Long))]
+    val adds = Vector.newBuilder[(String, (Map[String, String], Option[DeletionVectors.DvDescriptor], Option[String], Long, Long, String))]
     val removes = Vector.newBuilder[String]
     for (line <- Files.readAllLines(commitPath).asScala if line.trim.nonEmpty) {
       val action = mapper.readTree(line)
@@ -406,7 +415,8 @@ object DeltaLogReader {
             if (hasSize && !r.isNullAt(sizeIdx)) r.getLong(sizeIdx) else -1L
           val mtime =
             if (hasMtime && !r.isNullAt(mtimeIdx)) r.getLong(mtimeIdx) else 0L
-          state.live.put(decodePath(r.getString(0)), (pv, dv, stats, size, mtime))
+          state.live.put(decodePath(r.getString(0)),
+            (pv, dv, stats, size, mtime, r.getString(0)))
         }
     }
 
@@ -546,8 +556,8 @@ object DeltaLogReader {
       s"no metaData action in versions 0..$upTo of $tableRoot")
     DeltaSnapshot(upTo, DataType.fromJson(state.schemaJson).asInstanceOf[StructType],
       state.partCols,
-      state.live.toVector.map { case (p, (pv, dv, st, sz, mt)) =>
-        FileEntry(p, pv, dv, st, sz, mt) },
+      state.live.toVector.map { case (p, (pv, dv, st, sz, mt, raw)) =>
+        FileEntry(p, pv, dv, st, sz, mt, rawPath = Some(raw)) },
       state.config, state.protocol)
   }
 

@@ -1351,11 +1351,19 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     val parts = rewriteParts ++ insertParts
     if (parts.isEmpty) return parent // clauses can touch nothing: no-op, no churn
     val out = parts.reduce(_ unionByName _)
-    if (touched.isEmpty && out.isEmpty) return parent // insert-only merge, zero inserts
     // UPDATE/INSERT clauses can mint constraint-violating values — the
     // fused guard aborts the rewrite before any commit publishes
     val newFiles = writeDataFiles(guardChecks(out, Some(parent)), branch, parent.version + 1,
       mapTo = Some(DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]))
+    // insert-only merge with zero inserts: no-op, no version churn — decided
+    // from the landed footers (r21) instead of a separate isEmpty probe job
+    // that ran the whole insert anti-join twice
+    if (touched.isEmpty &&
+        newFiles.map(f => VersionedTable.footerRowCount(root.resolve(f)).getOrElse(1L)).sum == 0L) {
+      newFiles.headOption.foreach(f =>
+        graft.Tables.deleteRecursively(root.resolve(f).getParent))
+      return parent
+    }
     val statCols = (parent.stats.values.flatMap(_.keys) ++
       parent.strStats.values.flatMap(_.keys)).toSeq.distinct
     val (newStats, newStrStats, newNullStats) =
@@ -1663,18 +1671,25 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
       .where(expr(where))
       .select(col(VersionedTable.FkCol).as("fk"),
         col(VersionedTable.PosCol).cast("long").as("pos"))
-    if (matched.isEmpty) return parent
     val rel = s"$branch-v${parent.version + 1}-dv-${java.util.UUID.randomUUID.toString.take(8)}"
     val out = dataDir.resolve(rel)
     // sorted WITHIN partitions by (fk, pos): each DV part-file's row
     // groups cluster by file key, so the per-TASK DV load (r19,
     // [[graft.sources.DvTaskLoader]]) prunes the DV parquet by row-group
     // stats down to ~O(its own file's deletions). No extra shuffle — the
-    // matched scan's own partitioning (and its parallelism) is preserved
+    // matched scan's own partitioning (and its parallelism) is preserved.
+    // ONE pass (r21): the former `matched.isEmpty` probe ran the whole
+    // find-matches scan once before the write re-ran it; emptiness is read
+    // off the landed footers instead, and a no-match delete removes the
+    // empty output and returns the unchanged head exactly as before.
     matched.sortWithinPartitions("fk", "pos")
       .write.mode("overwrite").parquet(out.toString)
     val dvNew = listDir(out).filter(_.getFileName.toString.endsWith(".parquet"))
       .map(p => root.relativize(p).toString).sorted
+    if (dvNew.map(f => VersionedTable.footerRowCount(root.resolve(f)).getOrElse(1L)).sum == 0L) {
+      graft.Tables.deleteRecursively(out)
+      return parent
+    }
     publish(branch, Some(parent),
       if (message.isEmpty) s"delete (merge-on-read) where ($where)" else message,
       DataType.fromJson(parent.schemaJson).asInstanceOf[StructType], parent.files,
@@ -1945,6 +1960,42 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     * ([[VersionedTable.freshPhysical]]), so the old bytes are unreachable
     * by construction. Constraints referencing the column refuse the drop;
     * old versions still time-travel with the column present. */
+  /** Dry-run validation of a RENAME/DROP COLUMN sequence against the branch
+    * head — the SAME checks [[renameColumn]]/[[dropColumn]] apply (name
+    * existence, case-insensitive collisions, last-column, constraint
+    * probes), replayed over a simulated schema WITHOUT publishing anything.
+    * A multi-change ALTER runs this first so a failure mid-list can never
+    * leave the table partially altered (the ADD COLUMNS path is one commit
+    * and never had the problem). Left = rename(from, to);
+    * Right = drop(name, ifExists). */
+  def validateColumnOps(spark: SparkSession, branch: String,
+                        ops: Seq[Either[(String, String), (String, Boolean)]]): Unit = synchronized {
+    guardWritable(branch)
+    val parent = headOrThrow(branch)
+    var schema = DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]
+    ops.foreach {
+      case Left((from, to)) =>
+        require(schema.fieldNames.contains(from),
+          s"RENAME COLUMN: no such column $from on $branch")
+        require(from != to, "RENAME COLUMN: old and new names are identical")
+        require(!schema.fieldNames.exists(n => n != from && n.equalsIgnoreCase(to)),
+          s"RENAME COLUMN: column $to already exists on $branch (names are " +
+            "case-insensitive)")
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f))
+        probeConstraints(spark, parent, schema, s"RENAME COLUMN $from TO $to")
+      case Right((name, ifExists)) =>
+        if (!(ifExists && !schema.fieldNames.contains(name))) {
+          require(schema.fieldNames.contains(name),
+            s"DROP COLUMN: no such column $name on $branch")
+          require(schema.fields.length > 1,
+            s"DROP COLUMN: cannot drop the last column of $branch")
+          schema = StructType(schema.fields.filterNot(_.name == name))
+          probeConstraints(spark, parent, schema, s"DROP COLUMN $name")
+        }
+    }
+  }
+
   def dropColumn(spark: SparkSession, branch: String, name: String,
                  message: String = ""): Commit = synchronized {
     guardWritable(branch)

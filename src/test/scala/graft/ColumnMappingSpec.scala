@@ -296,6 +296,32 @@ class ColumnMappingSpec extends SparkSpec {
       java.nio.file.Files.move(g, vt.root.resolve(f)) }
   }
 
+  test("multi-change ALTER is atomic: a failing change publishes nothing (r21)") {
+    val vt = VersionedTable.create(Tables.scratch("cmap_atomic"))
+    vt.write((1 to 10).map(i => (i.toLong, s"o$i", i % 3)).toDF("a", "b", "c")
+      .coalesce(1), "main", "v0")
+    spark.conf.set("spark.sql.catalog.vt", classOf[graft.sources.VtCatalog].getName)
+    val cat = spark.sessionState.catalogManager.catalog("vt")
+      .asInstanceOf[graft.sources.VtCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array.empty, vt.root.toString)
+    import org.apache.spark.sql.connector.catalog.TableChange
+    // first rename is fine on its own; the second collides with column c —
+    // the whole ALTER must refuse with ZERO commits published
+    val before = vt.head("main").get.version
+    val e = intercept[IllegalArgumentException](cat.alterTable(ident,
+      TableChange.renameColumn(Array("a"), "a2"),
+      TableChange.renameColumn(Array("b"), "c")))
+    assert(e.getMessage.contains("already exists"))
+    assert(vt.head("main").get.version === before, "partial ALTER published")
+    assert(vt.read(spark, "main").columns.toSeq === Seq("a", "b", "c"))
+    // the sequence-aware validator: rename a→b is legal once b was dropped
+    cat.alterTable(ident,
+      TableChange.deleteColumn(Array("b"), false),
+      TableChange.renameColumn(Array("a"), "b"))
+    assert(vt.read(spark, "main").columns.toSeq === Seq("b", "c"))
+  }
+
   test("MOR deletion vectors compose with a rename (positions are name-agnostic)") {
     val vt = VersionedTable.create(Tables.scratch("cmap_dv"))
     vt.write((1 to 30).map(i => (i.toLong, s"r$i")).toDF("k", "v")
