@@ -16,7 +16,7 @@ object Profile {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val name = args.lift(1).getOrElse("q_vdt1")
+    val queryNames = args.lift(1).getOrElse("q_vdt1").split(",").toSeq
     val passes = args.lift(2).map(_.toInt).getOrElse(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -51,6 +51,7 @@ object Profile {
         }
       }
     })
+    queryNames.foreach { name =>
     val fn = Registry.byName(name).impl
     (1 to passes).foreach { p =>
       jobs.synchronized { jobs.clear(); stageToJob.clear() }
@@ -76,6 +77,7 @@ object Profile {
           prevEnd = math.max(prevEnd, j.end)
         }
       }
+    }
     }
     spark.stop()
   }

@@ -263,20 +263,93 @@ object MLlite {
     * into the subsequent plan as literals (SURVEY.md §3.3). */
   def exactQuantilesScalable(df: DataFrame, valueCol: String, ps: Seq[Double],
                              buckets: Int = 32): Seq[Double] = {
-    import org.apache.spark.sql.expressions.Window
     // NULLs are excluded up front so both paths agree on nullable columns:
-    // approxQuantile (the GK path) ignores nulls, while the when/otherwise
-    // bucket expression would have silently routed them to bucket 0.
+    // approxQuantile (the sketch fallback) ignores nulls, while the
+    // when/otherwise bucket expression would have routed them to bucket 0.
     val rows = df.where(col(valueCol).isNotNull)
-    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    val cuts = // buckets=1 → no cuts: everything lands in bucket 0
-      if (probs.isEmpty) Array.empty[Double]
-      else rows.stat.approxQuantile(valueCol, probs, 0.01).distinct.sorted
-    val bucket = cuts.map(c => when(col(valueCol) > c, 1).otherwise(0))
+    exactQuantilesWithCuts(rows, valueCol, ps,
+      balancingCuts(df, valueCol, buckets), countsOpt = None)
+  }
+
+  /** The value-bucket expression shared by the bucketed rank/quantile
+    * machinery: Σ [v > cutᵢ] over SORTED cuts — monotone in v, so bucket
+    * concatenation in cut order reproduces the global value order, and equal
+    * values always share a bucket whatever the cut VALUES are. That is why
+    * cut choice can never change results, only bucket balance. */
+  private[graft] def bucketOf(valueCol: String, cuts: Array[Double]): Column =
+    cuts.map(c => when(col(valueCol) > c, 1).otherwise(0))
       .reduceOption(_ + _).getOrElse(lit(0))
-    val withB = rows.withColumn("__b", bucket)
-    val counts = withB.groupBy("__b").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  /** Pick ~`buckets` balancing cut points for the bucketed rank/quantile
+    * machinery WITHOUT a data pass when the frame is file-backed (r21, guide
+    * §1.2/§6): global [min, max] from the parquet footers of `df.inputFiles`
+    * (driver-local cached metadata reads), linearly interpolated. Cut VALUES
+    * never affect results — see [[bucketOf]] — they only balance bucket
+    * sizes, so footer-derived cuts are as correct as the GK sketch's and
+    * cost ZERO Spark jobs where the sketch cost one full pass over the
+    * column. Any shape the footers cannot prove (computed frames with no
+    * input files, renamed columns, decimals, NaN extremes, dropped stats)
+    * falls back to the one-pass ε=0.01 sketch. A pathological distribution
+    * (all mass in one interpolation span) degrades bucket BALANCE only —
+    * the per-bucket window then sorts more rows, results unchanged. */
+  private[graft] def balancingCuts(df: DataFrame, valueCol: String,
+                                   buckets: Int): Array[Double] = {
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    if (probs.isEmpty) return Array.empty[Double] // buckets=1: no cuts
+    footerRange(df, valueCol) match {
+      case Some((lo, hi)) if hi > lo =>
+        (1 until buckets).map(i => lo + (hi - lo) * i / buckets)
+          .toArray.distinct.sorted
+      case Some(_) => Array.empty[Double] // single value: one bucket
+      case None =>
+        df.where(col(valueCol).isNotNull)
+          .stat.approxQuantile(valueCol, probs, 0.01).distinct.sorted
+    }
+  }
+
+  /** Footer-provable global [min, max] of `valueCol` across `df`'s input
+    * files; None → caller runs the sketch pass. Only used for bucket
+    * BALANCE, so a filter above the scan (footers then cover a superset)
+    * is harmless. */
+  private def footerRange(df: DataFrame, valueCol: String): Option[(Double, Double)] = {
+    val dt = df.schema.find(_.name == valueCol).map(_.dataType)
+    if (!dt.exists(t => t.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+        !t.isInstanceOf[org.apache.spark.sql.types.DecimalType])) return None
+    val files = try df.inputFiles catch { case scala.util.control.NonFatal(_) => Array.empty[String] }
+    if (files.isEmpty || files.length > 4096) return None
+    var lo = Double.MaxValue
+    var hi = -Double.MaxValue
+    var any = false
+    files.foreach { f =>
+      if (!f.endsWith(".parquet")) return None
+      val p = try java.nio.file.Paths.get(new java.net.URI(f).getPath)
+              catch { case _: Exception => java.nio.file.Paths.get(f.stripPrefix("file:")) }
+      graft.vt.VersionedTable.footerDoubleRange(p, valueCol) match {
+        case Some(Some((mn, mx))) =>
+          any = true
+          if (mn < lo) lo = mn
+          if (mx > hi) hi = mx
+        case Some(None) => () // provably all-null for the column: no range
+        case None => return None // unprovable footer: sketch fallback
+      }
+    }
+    if (any && java.lang.Double.isFinite(lo) && java.lang.Double.isFinite(hi))
+      Some((lo, hi))
+    else None
+  }
+
+  /** Exact nearest-rank quantiles over `rows` (already null-filtered) with
+    * PRECOMPUTED cuts and, optionally, precomputed per-bucket non-null
+    * counts — the fusion hook that lets one counts job serve both this and
+    * [[Scale.globalRankScalable]] when a pipeline needs both over the same
+    * column (q_vdt4: guide §2.4, share the pass). */
+  private[graft] def exactQuantilesWithCuts(rows: DataFrame, valueCol: String,
+                                            ps: Seq[Double], cuts: Array[Double],
+                                            countsOpt: Option[Map[Int, Long]]): Seq[Double] = {
+    import org.apache.spark.sql.expressions.Window
+    val withB = rows.withColumn("__b", bucketOf(valueCol, cuts))
+    val counts = countsOpt.getOrElse(withB.groupBy("__b").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap)
     val n = counts.values.sum
     require(n > 0, s"exactQuantilesScalable: no rows in $valueCol")
     val order = counts.keys.toSeq.sorted

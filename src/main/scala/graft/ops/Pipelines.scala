@@ -245,11 +245,29 @@ object Pipelines {
     vt.write(base, "main", "v0: raw casts") // Delta v0 (`jobs/vdt4.py:39-40`)
     val df0 = vt.read(s, "main")            // re-read latest (`jobs/vdt4.py:44-45`)
 
+    // r21 fusion (guide §2.4): the global-rank id and the fe4 quantile cuts
+    // bucket the SAME column over the same row bag — pick the balancing cuts
+    // ONCE (from v0's parquet footers: zero Spark jobs; cut values only
+    // balance, never change ranks or quantiles) and run ONE per-bucket
+    // counts job serving both consumers. Rank offsets take all-rows counts,
+    // quantile targets take non-null counts (identical here — the column is
+    // a cast of a non-null source — but the split keeps the fusion correct
+    // on nullable columns). Before: two approxQuantile sketch passes + two
+    // counts passes; after: zero sketch passes + one counts pass.
+    val qcuts = MLlite.balancingCuts(df0, "l_extendedprice", 32)
+    val bCounts = df0
+      .groupBy(MLlite.bucketOf("l_extendedprice", qcuts).as("__b"))
+      .agg(count(lit(1)).as("__all"), count(col("l_extendedprice")).as("__nn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val allCounts = bCounts.map(t => t._1 -> t._2).toMap
+    val nnCounts = bCounts.collect { case (b, _, nn) if nn > 0 => b -> nn }.toMap
+
     // global rank id — parity form is the reference's single-partition
     // window (`jobs/vdt4.py:48-49`); the scalable form ranks identically
-    // through bucketed offsets (Scale.globalRankScalable)
+    // through bucketed offsets (Scale.globalRankWithCuts)
     val ranked =
-      if (scalableRank) Scale.globalRankScalable(df0, "l_extendedprice", desc = false, "id")
+      if (scalableRank) Scale.globalRankWithCuts(df0, "l_extendedprice",
+        desc = false, "id", qcuts, Some(allCounts))
       else df0.withColumn("id",
         rank().over(Window.orderBy(col("l_extendedprice").asc)).cast(LongType))
     val df1 = ranked.withColumn("label", when(col("l_quantity") <= 25, 0).otherwise(1))
@@ -266,8 +284,11 @@ object Pipelines {
 
     // fe4: quantile buckets from a driver-side action (`jobs/vdt4.py:68-73`) —
     // cut VALUES are identical to the reference's approxQuantile but computed
-    // through the bounded two-pass path (no O(distinct) driver state)
-    val cuts = MLlite.exactQuantilesScalable(base, "l_extendedprice", Seq(0.25, 0.5, 0.75))
+    // through the bounded path, riding the fused counts job above (the probe
+    // window scans only the buckets holding a target rank)
+    val cuts = MLlite.exactQuantilesWithCuts(
+      base.where(col("l_extendedprice").isNotNull), "l_extendedprice",
+      Seq(0.25, 0.5, 0.75), qcuts, Some(nnCounts))
     val df4 = MLlite.quantileBucket(df3, "l_extendedprice", "fe4", cuts).drop("qstr")
 
     // Delta v1 (`jobs/vdt4.py:76-77`): the feature columns change the schema,

@@ -190,15 +190,23 @@ object Scale {
     * (first for asc, last for desc — bucket 0 ranks last in desc order).
     * At 100 TB: two extra scans buy a window bounded by N/buckets per task. */
   def globalRankScalable(df: DataFrame, key: String, desc: Boolean,
-                         outCol: String, buckets: Int = 32): DataFrame = {
+                         outCol: String, buckets: Int = 32): DataFrame =
+    // cuts from footers when the frame is file-backed (zero jobs), else the
+    // one-pass sketch — cut values only balance, never change ranks (r21)
+    globalRankWithCuts(df, key, desc, outCol,
+      MLlite.balancingCuts(df, key, buckets), countsOpt = None)
+
+  /** [[globalRankScalable]] with PRECOMPUTED cuts and (optionally) the
+    * per-bucket ALL-ROWS counts — the fusion hook letting one counts job
+    * serve both the rank offsets and [[MLlite.exactQuantilesWithCuts]] when
+    * a pipeline needs both over the same column (q_vdt4, guide §2.4). */
+  private[graft] def globalRankWithCuts(df: DataFrame, key: String, desc: Boolean,
+                                        outCol: String, cuts: Array[Double],
+                                        countsOpt: Option[Map[Int, Long]]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    val cuts = df.stat.approxQuantile(key, probs, 0.001).distinct.sorted
-    val bucket = cuts.map(c => when(col(key) > c, 1).otherwise(0))
-      .reduceOption(_ + _).getOrElse(lit(0))
-    val withB = df.withColumn("__b", bucket)
-    val counts = withB.groupBy("__b").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val withB = df.withColumn("__b", MLlite.bucketOf(key, cuts))
+    val counts = countsOpt.getOrElse(withB.groupBy("__b").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap)
     val order = if (desc) counts.keys.toSeq.sorted.reverse else counts.keys.toSeq.sorted
     val offsets = order.zip(order.scanLeft(0L)(_ + counts(_)).init).toMap
     val w = Window.partitionBy("__b").orderBy(if (desc) col(key).desc else col(key).asc)

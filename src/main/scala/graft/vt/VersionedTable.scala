@@ -4206,6 +4206,66 @@ object VersionedTable {
       var s = 0L; m.getBlocks.forEach(b => s += b.getRowCount); s
     }
 
+  /** Exact [min, max] of a primitive-numeric top-level column from one
+    * parquet file's FOOTER (r21, guide §6) — driver-local cached metadata,
+    * zero data pages. Outer None = not provable from the footer (missing
+    * column, dropped/NaN stats, decimal/non-primitive physical type);
+    * Some(None) = provably zero non-null values; Some(Some((lo, hi)))
+    * otherwise. Callers that only need APPROXIMATE bounds (bucket
+    * balancing) fall back to a sketch pass on outer None. */
+  private[graft] def footerDoubleRange(p: Path, colName: String)
+      : Option[Option[(Double, Double)]] = try {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    footerMeta(p).flatMap { m =>
+      var lo = Double.MaxValue
+      var hi = -Double.MaxValue
+      var any = false
+      val it = m.getBlocks.iterator()
+      while (it.hasNext) {
+        val b = it.next()
+        val cit = b.getColumns.iterator()
+        var found = false
+        while (cit.hasNext) {
+          val cc = cit.next()
+          if (cc.getPath.size() == 1 && cc.getPath.toDotString == colName) {
+            found = true
+            val st = cc.getStatistics
+            if (st == null || !st.isNumNullsSet) return None
+            if (cc.getValueCount - st.getNumNulls > 0) {
+              if (!st.hasNonNullValue) return None
+              // decimals store UNSCALED ints — not the logical value domain
+              if (cc.getPrimitiveType.getLogicalTypeAnnotation
+                  .isInstanceOf[org.apache.parquet.schema.LogicalTypeAnnotation.DecimalLogicalTypeAnnotation])
+                return None
+              val (mn, mx) = cc.getPrimitiveType.getPrimitiveTypeName match {
+                case PrimitiveTypeName.INT32 =>
+                  (st.genericGetMin.asInstanceOf[java.lang.Integer].toDouble,
+                    st.genericGetMax.asInstanceOf[java.lang.Integer].toDouble)
+                case PrimitiveTypeName.INT64 =>
+                  (st.genericGetMin.asInstanceOf[java.lang.Long].toDouble,
+                    st.genericGetMax.asInstanceOf[java.lang.Long].toDouble)
+                case PrimitiveTypeName.FLOAT =>
+                  (st.genericGetMin.asInstanceOf[java.lang.Float].toDouble,
+                    st.genericGetMax.asInstanceOf[java.lang.Float].toDouble)
+                case PrimitiveTypeName.DOUBLE =>
+                  (st.genericGetMin.asInstanceOf[java.lang.Double].doubleValue(),
+                    st.genericGetMax.asInstanceOf[java.lang.Double].doubleValue())
+                case _ => return None
+              }
+              if (mn.isNaN || mx.isNaN) return None
+              any = true
+              if (mn < lo) lo = mn
+              if (mx > hi) hi = mx
+            }
+          }
+        }
+        // a file without the column reads as all-null for it (pre-ADD
+        // COLUMNS history): provably contributes nothing to min/max
+      }
+      Some(if (any) Some((lo, hi)) else None)
+    }
+  } catch { case scala.util.control.NonFatal(_) => None }
+
   /** URL-safe base64 (no padding) — lets any protection pattern or branch
     * name serve as a metadata-store object name (also used by
     * [[graft.streaming.ChangeFeed]]'s per-branch cursor directories). */

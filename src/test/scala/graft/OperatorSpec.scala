@@ -66,6 +66,40 @@ class OperatorSpec extends SparkSpec {
       Seq(2.0, 3.0, 4.0))
   }
 
+  test("footer-derived balancing cuts: file-backed path active, results identical to sketch cuts") {
+    // r21: balancingCuts reads parquet footers for file-backed frames. Pin
+    // (a) the fast path actually fires on a written parquet (non-empty,
+    // finite, sorted, strictly inside [min,max]); (b) quantiles through it
+    // equal the sketch-cut path bit-for-bit, nulls and all-null files
+    // included (cut choice must never change results).
+    val dir = Tables.scratch("footer_cuts_spec")
+    Seq(Some(10.0), Some(2.0), None, Some(7.5), Some(4.0), Some(1.0))
+      .toDF("v").repartition(2).write.mode("overwrite").parquet(dir)
+    // an extra file that is ALL NULL for v: must not abort the fast path
+    Seq.empty[Option[Double]].toDF("v")
+      .union(Seq(Option.empty[Double], Option.empty[Double]).toDF("v"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val cuts = MLlite.balancingCuts(df, "v", 4)
+    assert(cuts.nonEmpty && cuts.sameElements(cuts.sorted))
+    assert(cuts.forall(c => c > 1.0 && c < 10.0 && java.lang.Double.isFinite(c)))
+    val ps = Seq(0.25, 0.5, 0.75)
+    val viaFooter = MLlite.exactQuantilesScalable(df, "v", ps)
+    // sketch-cut path forced by a non-file-backed twin of the same rows
+    val viaSketch = MLlite.exactQuantilesScalable(
+      df.as[Option[Double]].collect().toSeq.toDF("v"), "v", ps)
+    assert(viaFooter === viaSketch, s"footer $viaFooter vs sketch $viaSketch")
+    assert(viaFooter === MLlite.exactQuantiles(df, "v", ps))
+    // rank through footer cuts equals the single-partition window rank
+    val fast = ops.Scale.globalRankScalable(df.where(col("v").isNotNull), "v",
+      desc = false, "rnk", buckets = 4)
+      .select("v", "rnk").as[(Double, Long)].collect().toMap
+    val slow = df.where(col("v").isNotNull)
+      .withColumn("rnk", rank().over(Window.orderBy(col("v").asc)).cast("long"))
+      .select("v", "rnk").as[(Double, Long)].collect().toMap
+    assert(fast === slow)
+  }
+
   test("quantileBucket boundaries are inclusive on the left cut") {
     val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
     val out = MLlite.quantileBucket(df, "v", "b", Seq(1.0, 2.0, 3.0))
