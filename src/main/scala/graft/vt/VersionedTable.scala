@@ -2780,15 +2780,20 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     if (c.files.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), schema)
     else {
-      // Stock parquet reader over an explicit immutable file list: pushdown,
-      // pruning and vectorization intact; the pinned schema makes replays of
-      // old versions immune to later schema evolution. Column-mapped
-      // snapshots (r20 RENAME/DROP) read the PHYSICAL-named twin of the
-      // schema and re-alias positionally — filters on logical names push
-      // through the aliasing Project into the parquet scan as usual.
-      val phys = VersionedTable.physicalSchema(schema)
-      val raw = spark.read.schema(phys)
-        .parquet(c.files.map(f => root.resolve(f).toString): _*)
+      // LISTING-FREE scan over the commit's pinned file list (r21, guide
+      // §6): a HadoopFsRelation over the commit-log-backed
+      // [[graft.sources.VtFileIndex]] — file statuses come from the
+      // commit's recorded sizes, so the plan never lists paths (the old
+      // `spark.read.parquet(files…)` paid one driver getFileStatus per
+      // path, and past 32 paths a whole distributed LISTING JOB per read).
+      // Pushdown, pruning and vectorization are intact as before, PLUS the
+      // index folds commit-log stats/bloom file skipping into planning.
+      // The pinned schema keeps replays of old versions immune to later
+      // schema evolution. Column-mapped snapshots (r20 RENAME/DROP) read
+      // the PHYSICAL-named twin of the schema and re-alias positionally —
+      // filters on logical names push through the aliasing Project into
+      // the parquet scan as usual.
+      val raw = physFrame(spark, c, schema)
       val base = if (!VersionedTable.hasColumnMapping(schema)) raw
                  else raw.toDF(schema.fieldNames.toIndexedSeq: _*)
       if (c.dvFiles.isEmpty) base
@@ -2800,6 +2805,19 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
         scanWithPos(spark, c).drop(VersionedTable.FkCol, VersionedTable.PosCol)
     }
   }
+
+  /** The physical-named parquet frame over a commit's files, planned
+    * through [[graft.sources.VtFileIndex]] (no listing, commit-stats file
+    * skipping); shared by [[readCommit]] and [[scanWithPos]]. */
+  private def physFrame(spark: SparkSession, c: Commit,
+                        schema: StructType): DataFrame =
+    org.apache.spark.sql.graft.SessionShim.ofRelation(spark,
+      org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+        new graft.sources.VtFileIndex(spark, this, c),
+        StructType(Nil), VersionedTable.physicalSchema(schema), None,
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+        Map.empty[String, String])(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]))
 
   /** Metadata-only `SELECT COUNT(*)` (Delta answers it from `numRecords` in
     * the log; so does this). When every file has a logged row count and the
@@ -3007,8 +3025,7 @@ final class VersionedTable private (val root: Path, val store: MetaStore) {
     // column mapping: tag positions on the PHYSICAL scan (metadata columns
     // resolve only on the scan relation), then re-alias data columns to
     // their logical names — positional, so DV subtraction is untouched
-    val raw = spark.read.schema(VersionedTable.physicalSchema(schema))
-      .parquet(c.files.map(f => root.resolve(f).toString): _*)
+    val raw = physFrame(spark, c, schema)
       .withColumn(VersionedTable.FkCol,
         concat_ws("/", slice(split(col("_metadata.file_path"), "/"), -2, 2)))
       .withColumn(VersionedTable.PosCol, col("_metadata.row_index"))

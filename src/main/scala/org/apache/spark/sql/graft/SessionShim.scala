@@ -31,4 +31,16 @@ object SessionShim {
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(spark.asInstanceOf[SparkSession], plan)
+
+  /** A DataFrame over a `BaseRelation` (`baseRelationToDataFrame`, the same
+    * wrapping `DataFrameReader.load` performs) — what lets the engine serve
+    * a LISTING-FREE `HadoopFsRelation` over a commit-pinned file index as a
+    * plain DataFrame (r21): `spark.read.parquet(explicit files…)` pays a
+    * driver `getFileStatus` per path, and above the parallel-discovery
+    * threshold (32 paths) a whole distributed LISTING JOB, for statuses the
+    * commit log already records. */
+  def ofRelation(spark: ApiSparkSession,
+                 rel: org.apache.spark.sql.sources.BaseRelation)
+      : org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[SparkSession].baseRelationToDataFrame(rel)
 }
